@@ -1,0 +1,239 @@
+"""TPC-H-style analytical queries over the synthetic star schema.
+
+These exercise the engine's scan/filter/join/aggregate path at scale
+(the reference itself only ever joins two 5-row aggregates —
+reference ``spark_app/functions/functions.py:113-115`` — so the
+analytics muscle comes from here).
+
+Determinism discipline for the DuckDB oracle gate: monetary math is
+done in DECIMAL (exact, association-independent) and only cast to
+DOUBLE at the end, so distributed partial aggregation order cannot
+change results. Top-k queries carry a total order (tiebreak on key).
+
+Scale notes (100 TB):
+- ``lineitem``/``orders`` joins shuffle on the join key; AQE handles
+  skew. ``nation``/``region`` are broadcast — they are bounded-size
+  dimensions at any scale factor.
+- All filters are plain column predicates -> pushed to the parquet
+  scan (PushedFilters), and projections prune columns (ReadSchema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_app_twitter_spark.sources.parquet import load_table
+
+# Decimal casts: l_extendedprice < 110_000.00 -> (12,2);
+# l_discount/l_tax in [0, 0.10] -> (3,2).
+_PRICE = "decimal(12,2)"
+_RATE = "decimal(3,2)"
+
+
+def _money(col: str) -> F.Column:
+    return F.col(col).cast(_PRICE)
+
+
+def _one_minus(col: str) -> F.Column:
+    return F.lit(1).cast(_RATE) - F.col(col).cast(_RATE)
+
+
+def _one_plus(col: str) -> F.Column:
+    return F.lit(1).cast(_RATE) + F.col(col).cast(_RATE)
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: pricing summary report.
+
+    Single scan -> partial hash agg (map-side combine) -> shuffle on
+    (returnflag, linestatus) [6 groups] -> final agg. No UDFs; whole
+    plan is one WholeStageCodegen span over the vectorized parquet
+    reader.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = _money("l_extendedprice") * _one_minus("l_discount")
+    charge = disc_price * _one_plus("l_tax")
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(_PRICE)).cast("double").alias("sum_qty"),
+            F.sum(_money("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (
+                F.sum(F.col("l_quantity").cast(_PRICE)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_qty"),
+            (
+                F.sum(_money("l_extendedprice")).cast("double") / F.count(F.lit(1))
+            ).alias("avg_price"),
+            (
+                F.sum(F.col("l_discount").cast(_RATE)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+  CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / count(*) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: top-10 unshipped orders by revenue.
+
+    customer (filtered) ⨝ orders (filtered) ⨝ lineitem (filtered):
+    all three filters push to the scans; at sf<=1 AQE converts the
+    joins to broadcast, at 100 TB they become shuffle joins on the
+    natural keys. Top-10 runs as TakeOrderedAndProject (no global
+    sort materialization).
+    """
+    cutoff = F.lit("1998-06-15").cast("timestamp")
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    revenue = F.sum(_money("l_extendedprice") * _one_minus("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT
+  l_orderkey,
+  o_orderdate,
+  o_orderpriority,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-15'
+  AND l_shipdate  > TIMESTAMP '1998-06-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue by nation for one region/year.
+
+    nation/region are broadcast explicitly — they are fixed-cardinality
+    dimensions (25/5 rows) at every scale factor, so the big-table side
+    never shuffles for them.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    revenue = F.sum(_money("l_extendedprice") * _one_minus("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(revenue.cast("double").alias("revenue"))
+    )
+
+
+Q5_SQL = """
+SELECT
+  n_name,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by revenue within each nation (window rank).
+
+    groupBy(c_custkey) reuses the customer⨝orders⨝lineitem shuffle;
+    the rank window repartitions by nation — bounded state per
+    partition (3 rows kept), no driver involvement.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    revenue = F.sum(_money("l_extendedprice") * _one_minus("l_discount"))
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_custkey", "c_name")
+        .agg(revenue.alias("rev_dec"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("rev_dec"), F.asc("c_custkey")
+    )
+    return (
+        per_cust.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "n_name",
+            "c_custkey",
+            "c_name",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            "rank",
+        )
+    )
+
+
+TOP_CUSTOMERS_SQL = """
+WITH per_cust AS (
+  SELECT
+    n_name, c_custkey, c_name,
+    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS rev_dec
+  FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON o_orderkey = l_orderkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name, c_custkey, c_name
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY n_name ORDER BY rev_dec DESC, c_custkey ASC) AS rank
+  FROM per_cust
+)
+SELECT n_name, c_custkey, c_name, CAST(rev_dec AS DOUBLE) AS revenue, rank
+FROM ranked WHERE rank <= 3
+"""

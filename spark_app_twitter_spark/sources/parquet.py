@@ -1,0 +1,49 @@
+"""Parquet batch sources.
+
+The reference addresses partitions by hand-building path strings from
+the wall clock (reference ``spark_app/functions/functions.py:63-71``)
+— which defeats Catalyst partition pruning and breaks on late data.
+Here partition selection is expressed as a *predicate* so the
+optimizer prunes at plan time (static) or run time (dynamic): at
+100 TB the difference is scanning one hive partition vs listing paths
+in Python and hoping.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_app_twitter_spark.schemas import ALL_TABLES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table (TESTDATA.md layout)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or ALL_TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register temp views so operators can be written in pure SQL."""
+    for n, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(n)
+
+
+def read_datalake_hour(
+    spark: SparkSession, root: str, date: str, hour: str
+) -> DataFrame:
+    """Read one (date, hour) slice of a hive-partitioned datalake.
+
+    Replaces the reference's path-string construction + 3600 s
+    blocking retry (``functions.py:63-86``). The filter on partition
+    columns compiles to `PartitionFilters` in the parquet scan — only
+    matching directories are listed/read; an empty slice is an empty
+    DataFrame, not an exception.
+    """
+    df = spark.read.parquet(root)
+    return df.where((F.col("date") == date) & (F.col("hour") == hour))

@@ -1,0 +1,26 @@
+from spark_app_twitter_spark.operators import tpch
+
+from tests.parity import assert_parity
+
+
+def test_q1(spark, sf_dir):
+    assert_parity(tpch.q1_pricing_summary(spark, sf_dir), tpch.Q1_SQL, sf_dir, "q1")
+
+
+def test_q3(spark, sf_dir):
+    assert_parity(tpch.q3_shipping_priority(spark, sf_dir), tpch.Q3_SQL, sf_dir, "q3")
+
+
+def test_q5(spark, sf_dir):
+    assert_parity(
+        tpch.q5_local_supplier_volume(spark, sf_dir), tpch.Q5_SQL, sf_dir, "q5"
+    )
+
+
+def test_top_customers(spark, sf_dir):
+    assert_parity(
+        tpch.top_customers_per_nation(spark, sf_dir),
+        tpch.TOP_CUSTOMERS_SQL,
+        sf_dir,
+        "top_customers",
+    )
