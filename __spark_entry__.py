@@ -19,17 +19,53 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from spark_app_twitter_spark.operators import tpch  # noqa: E402
+from spark_app_twitter_spark.operators import (  # noqa: E402
+    aggregates,
+    enrich,
+    ingest,
+    serving,
+    tpch,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return tpch.q1_pricing_summary(spark, "/root/testdata/sf0.001")
+    """Flagship: the reference's EP2 pipeline (enrich -> positivity agg
+    + pinned emotion pivot -> broadcast join) on sf0.001."""
+    return aggregates.aggregated_serving(spark, "/root/testdata/sf0.001")
+
+
+def _enriched(fn):
+    """Adapt an enriched-DataFrame operator to the (spark, sf_dir) shape."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from spark_app_twitter_spark.sources.parquet import load_table
+
+        return fn(enrich.enrich(load_table(spark, sf_dir, "documents")))
+
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
+        # §2.2 projections/filters/scalar exprs (P1-P3, P5-P8, P10)
+        "ingest_parse_events": ingest.parse_events,
+        # §2.6 ML/UDF surface (M1-M2, deterministic lexicon default)
+        "enrich_documents": enrich.enrich_documents,
+        # §2.4 aggregations (A1-A3) + §2.3 join (J1)
+        "agg_positivity": _enriched(aggregates.positivity_agg),
+        "agg_emotion_counts": _enriched(aggregates.emotion_counts),
+        "agg_emotion_pivot": _enriched(aggregates.emotion_pivot),
+        "agg_serving_join": aggregates.aggregated_serving,
+        # §2.5 dedup/reshape/top-k + dashboard queries (A4-A9, D1-D3, P9-P13)
+        "serving_dedup_first": serving.dedup_first,
+        "serving_unpivot_emotions": serving.unpivot_emotions,
+        "serving_topic_share": serving.topic_share,
+        "serving_grains_grouping_sets": serving.grains_grouping_sets,
+        "serving_value_percentiles": serving.value_percentiles,
+        "serving_latest_inputs": serving.latest_inputs,
+        "serving_hourly_window": serving.hourly_window,
+        # TPC-H-style analytics (scan/join/agg at scale)
         "tpch_q1_pricing_summary": tpch.q1_pricing_summary,
         "tpch_q3_shipping_priority": tpch.q3_shipping_priority,
         "tpch_q5_local_supplier_volume": tpch.q5_local_supplier_volume,
@@ -40,6 +76,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query."""
     return {
+        "ingest_parse_events": ingest.PARSE_EVENTS_SQL,
+        "enrich_documents": enrich.ENRICH_DOCUMENTS_SQL,
+        "agg_positivity": aggregates.POSITIVITY_SQL,
+        "agg_emotion_counts": aggregates.EMOTION_COUNTS_SQL,
+        "agg_emotion_pivot": aggregates.EMOTION_PIVOT_SQL,
+        "agg_serving_join": aggregates.AGGREGATED_SERVING_SQL,
+        "serving_dedup_first": serving.DEDUP_FIRST_SQL,
+        "serving_unpivot_emotions": serving.UNPIVOT_EMOTIONS_SQL,
+        "serving_topic_share": serving.TOPIC_SHARE_SQL,
+        "serving_grains_grouping_sets": serving.GRAINS_GROUPING_SETS_SQL,
+        "serving_value_percentiles": serving.VALUE_PERCENTILES_SQL,
+        "serving_latest_inputs": serving.LATEST_INPUTS_SQL,
+        "serving_hourly_window": serving.HOURLY_WINDOW_SQL,
         "tpch_q1_pricing_summary": tpch.Q1_SQL,
         "tpch_q3_shipping_priority": tpch.Q3_SQL,
         "tpch_q5_local_supplier_volume": tpch.Q5_SQL,

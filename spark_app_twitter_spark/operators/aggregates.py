@@ -1,0 +1,156 @@
+"""The reference's EP2 aggregation pipeline, Spark-first
+(SURVEY §2.4 A1-A3, §2.3 J1, §2.2 P6-P8, P11).
+
+Reference shape (``spark_app/functions/functions.py:100-117``):
+  agg_sentiment = groupBy(topic).agg(avg(when(sentiment=='positive',1,0))
+                                     as positivity, count(*) as counts)
+  agg_emotion   = groupBy(topic, emotion).count() -> pivot(emotion).sum()
+  joined        = agg_sentiment ⨝ agg_emotion on topic
+Defects fixed here, per SURVEY §2.8:
+- pivot values are **pinned** (no eager distinct-values driver job,
+  deterministic schema);
+- the enriched input is computed once and both aggregate branches
+  hang off the same plan (and callers may ``persist()`` it);
+- ``current_timestamp`` is injectable (``run_ts``) so results are
+  oracle-reproducible;
+- positivity keeps the reference's ``eqNullSafe`` null semantics.
+
+The synthetic ``documents`` table stands in for the enriched hour
+(``lang`` plays ``topic``).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_app_twitter_spark.functions import text as X
+from spark_app_twitter_spark.operators.enrich import enrich
+from spark_app_twitter_spark.schemas import EMOTIONS
+from spark_app_twitter_spark.sources.parquet import load_table
+
+# Deterministic stand-in for the reference's current_timestamp() stamp
+# (functions.py:104) — injected so the oracle can reproduce it.
+RUN_TS = _dt.datetime(2026, 1, 1, 0, 0, 0)
+
+def _pos_flag() -> F.Column:
+    return F.when(F.col("sentiment").eqNullSafe("positive"), 1).otherwise(0)
+
+
+def positivity_agg(enriched: DataFrame, topic_col: str = "lang") -> DataFrame:
+    """A1: conditional-avg positivity + counts per topic.
+
+    avg is written as exact-int-sum / count (one double division) so
+    distributed accumulation order cannot perturb the result.
+    """
+    return enriched.groupBy(F.col(topic_col).alias("topic_agg")).agg(
+        F.round(F.sum(_pos_flag()).cast("double") / F.count(F.lit(1)), 2).alias(
+            "positivity_rate"
+        ),
+        F.count(F.lit(1)).alias("counts"),
+    )
+
+
+def emotion_counts(enriched: DataFrame, topic_col: str = "lang") -> DataFrame:
+    """A2: multi-key count per (topic, emotion)."""
+    return enriched.groupBy(
+        F.col(topic_col).alias("topic"), F.col("emotion")
+    ).agg(F.count(F.lit(1)).alias("counts"))
+
+
+def emotion_pivot(enriched: DataFrame, topic_col: str = "lang") -> DataFrame:
+    """A3: wide emotion counts — pivot with **pinned** values.
+
+    Pinning EMOTIONS avoids the reference's eager distinct-values
+    collect (a driver round-trip before planning) and fixes the
+    output schema even when an emotion is absent from the slice.
+    """
+    return (
+        emotion_counts(enriched, topic_col)
+        .groupBy("topic")
+        .pivot("emotion", list(EMOTIONS))
+        .sum("counts")
+        .na.fill(0, list(EMOTIONS))
+    )
+
+
+def aggregated_serving(
+    spark: SparkSession, sf_dir: str, run_ts: _dt.datetime = RUN_TS
+) -> DataFrame:
+    """EP2 end-to-end: enrich -> two aggregates -> J1 join (schema A).
+
+    The join key has one row per topic on each side (post-agg), so the
+    right side is explicitly broadcast — at 100 TB the aggregates are
+    still only |topics| rows; the expensive part is the two partial
+    aggregations, which share the single enriched scan.
+    """
+    enriched = enrich(load_table(spark, sf_dir, "documents"))
+    sent = positivity_agg(enriched).withColumn("created_at", F.lit(run_ts))
+    emo = emotion_pivot(enriched)
+    return sent.join(
+        F.broadcast(emo), sent.topic_agg == emo.topic, "inner"
+    ).select(
+        "topic_agg",
+        "positivity_rate",
+        "counts",
+        "created_at",
+        "topic",
+        *EMOTIONS,
+    )
+
+
+def _enriched_docs_cte() -> str:
+    return (
+        "WITH enriched AS (SELECT lang, "
+        f"{X.sentiment_sql('text')} AS sentiment, "
+        f"{X.emotion_sql('text')} AS emotion FROM documents)"
+    )
+
+
+POSITIVITY_SQL = f"""
+{_enriched_docs_cte()}
+SELECT
+  lang AS topic_agg,
+  round(CAST(sum(CASE WHEN sentiment = 'positive' THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 2) AS positivity_rate,
+  count(*) AS counts
+FROM enriched
+GROUP BY lang
+"""
+
+EMOTION_COUNTS_SQL = f"""
+{_enriched_docs_cte()}
+SELECT lang AS topic, emotion, count(*) AS counts
+FROM enriched
+GROUP BY lang, emotion
+"""
+
+_PIVOT_COLS = ",\n  ".join(
+    f"count(*) FILTER (WHERE emotion = '{e}') AS {e}" for e in EMOTIONS
+)
+
+EMOTION_PIVOT_SQL = f"""
+{_enriched_docs_cte()}
+SELECT lang AS topic,
+  {_PIVOT_COLS}
+FROM enriched
+GROUP BY lang
+"""
+
+AGGREGATED_SERVING_SQL = f"""
+{_enriched_docs_cte()},
+sent AS (
+  SELECT lang AS topic_agg,
+    round(CAST(sum(CASE WHEN sentiment = 'positive' THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 2) AS positivity_rate,
+    count(*) AS counts,
+    TIMESTAMP '{RUN_TS:%Y-%m-%d %H:%M:%S}' AS created_at
+  FROM enriched GROUP BY lang
+),
+emo AS (
+  SELECT lang AS topic,
+    {_PIVOT_COLS}
+  FROM enriched GROUP BY lang
+)
+SELECT sent.*, emo.* FROM sent JOIN emo ON sent.topic_agg = emo.topic
+"""

@@ -1,0 +1,260 @@
+"""Dashboard-equivalent serving queries (SURVEY §2.4 A4-A9, §2.5 D1-D3,
+§2.2 P9-P13).
+
+The reference's dashboard pulls the whole serving collection into
+pandas and re-aggregates per chart (``streamlit/utilities/
+utilities.py:13-33``, ``streamlit/charts/charts.py``). Here each
+chart is a Spark query over the source tables — pushdown-friendly,
+no driver-side materialization — and the three dashboard grains
+(Global/Day/Hour, ``streamlit/main.py:52-93``) collapse into one
+GROUPING SETS pass.
+
+The synthetic ``events`` table is the serving source
+(``event_type``→topic, ``ts``→event time, ``value``→metric).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_app_twitter_spark.operators.aggregates import emotion_pivot
+from spark_app_twitter_spark.operators.enrich import enrich
+from spark_app_twitter_spark.schemas import EMOTIONS
+from spark_app_twitter_spark.sources.parquet import load_table
+
+_VAL_DEC = "decimal(12,2)"  # events.value < 10^6, 2dp
+
+
+def dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: keep-first dedup on a key subset, with explicit ordering.
+
+    pandas ``drop_duplicates(subset=...)`` keeps the first row in
+    frame order (``streamlit/utilities/utilities.py:27``); Spark's
+    ``dropDuplicates`` keeps an *arbitrary* row, so the engine makes
+    the tie-break explicit: row_number over (key) ordered by
+    (ts, event_id). One shuffle on the dedup key; at scale this is
+    the standard exactly-once-by-id pattern (and the streaming twin
+    is ``dropDuplicatesWithinWatermark``).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+DEDUP_FIRST_SQL = """
+SELECT event_id, ts, user_id, event_type, value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def unpivot_emotions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: melt the wide emotion pivot back to long format.
+
+    pandas ``melt`` (``streamlit/charts/charts.py:21-31``) becomes
+    the ``stack`` table generator — map-side, no shuffle beyond the
+    pivot that feeds it.
+    """
+    wide = emotion_pivot(enrich(load_table(spark, sf_dir, "documents")))
+    stack_args = ", ".join(f"'{e}', {e}" for e in EMOTIONS)
+    return wide.select(
+        "topic",
+        F.expr(
+            f"stack({len(EMOTIONS)}, {stack_args}) AS (emotion, counts)"
+        ),
+    )
+
+
+_UNPIVOT_ARMS = "\nUNION ALL\n".join(
+    f"SELECT topic, '{e}' AS emotion, {e} AS counts FROM wide" for e in EMOTIONS
+)
+
+UNPIVOT_EMOTIONS_SQL = f"""
+WITH enriched AS (
+  SELECT lang, (['anger','fear','joy','love','sadness','surprise'])[(length(text) % 6) + 1] AS emotion
+  FROM documents
+),
+wide AS (
+  SELECT lang AS topic,
+    {", ".join(f"count(*) FILTER (WHERE emotion = '{e}') AS {e}" for e in EMOTIONS)}
+  FROM enriched GROUP BY lang
+)
+{_UNPIVOT_ARMS}
+"""
+
+
+def topic_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/P13: per-topic counts and share-of-total.
+
+    The pandas ``counts / counts.sum()`` percent-of-total becomes a
+    window aggregate **over the pre-aggregated** frame (|topics|
+    rows), so the unpartitioned window is harmless at any scale —
+    never apply it to the raw table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(F.col("event_type").alias("topic")).agg(
+        F.count(F.lit(1)).alias("counts")
+    )
+    total = Window.partitionBy()
+    return counts.select(
+        "topic",
+        "counts",
+        F.round(
+            F.col("counts").cast("double") / F.sum("counts").over(total), 6
+        ).alias("share"),
+    )
+
+
+TOPIC_SHARE_SQL = """
+WITH counts AS (
+  SELECT event_type AS topic, count(*) AS counts FROM events GROUP BY event_type
+)
+SELECT topic, counts,
+       round(CAST(counts AS DOUBLE) / sum(counts) OVER (), 6) AS share
+FROM counts
+"""
+
+
+def grains_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4-A6 via GROUPING SETS: the dashboard's Global/Day/Hour grains
+    in one aggregation pass (one shuffle instead of three).
+
+    value sums are decimal-exact then cast to double; the grain label
+    is derived from which keys are null (date/hour derivations are
+    never null on real rows).
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_gs")
+    return spark.sql(
+        f"""
+        SELECT
+          event_type AS topic,
+          date_format(ts, 'yyyy-MM-dd') AS date,
+          date_format(ts, 'HH') AS hour,
+          CASE WHEN date_format(ts, 'yyyy-MM-dd') IS NULL THEN 'topic'
+               WHEN date_format(ts, 'HH') IS NULL THEN 'topic_date'
+               ELSE 'topic_date_hour' END AS grain,
+          count(*) AS counts,
+          CAST(sum(CAST(value AS {_VAL_DEC})) AS DOUBLE) AS total_value
+        FROM events_gs
+        GROUP BY GROUPING SETS (
+          (event_type),
+          (event_type, date_format(ts, 'yyyy-MM-dd')),
+          (event_type, date_format(ts, 'yyyy-MM-dd'), date_format(ts, 'HH'))
+        )
+        """
+    )
+
+
+GRAINS_GROUPING_SETS_SQL = """
+SELECT
+  event_type AS topic,
+  strftime(ts, '%Y-%m-%d') AS date,
+  strftime(ts, '%H') AS hour,
+  CASE WHEN strftime(ts, '%Y-%m-%d') IS NULL THEN 'topic'
+       WHEN strftime(ts, '%H') IS NULL THEN 'topic_date'
+       ELSE 'topic_date_hour' END AS grain,
+  count(*) AS counts,
+  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY GROUPING SETS (
+  (event_type),
+  (event_type, strftime(ts, '%Y-%m-%d')),
+  (event_type, strftime(ts, '%Y-%m-%d'), strftime(ts, '%H'))
+)
+"""
+
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: boxplot statistics per topic (exact percentiles).
+
+    Altair computes quartiles browser-side from the full frame
+    (``streamlit/charts/charts.py:173-199``); the engine computes
+    them in-cluster. Exact ``percentile`` is fine per bounded group;
+    for 100 TB unbounded groups switch to ``percentile_approx``
+    (t-digest, mergeable, single pass) — same call shape.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("event_type").alias("topic")).agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+VALUE_PERCENTILES_SQL = """
+SELECT
+  event_type AS topic,
+  round(quantile_cont(value, 0.25), 6) AS p25,
+  round(quantile_cont(value, 0.50), 6) AS p50,
+  round(quantile_cont(value, 0.75), 6) AS p75,
+  min(value) AS vmin,
+  max(value) AS vmax
+FROM events
+GROUP BY event_type
+"""
+
+
+def latest_inputs(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFrame:
+    """D3: the dashboard's tail(25) — top-k by recency.
+
+    Runs as TakeOrderedAndProject: each task keeps k rows, the
+    driver merges k*tasks — no global sort, no full collect.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(k)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+LATEST_INPUTS_SQL = """
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+ORDER BY ts DESC, event_id DESC
+LIMIT 25
+"""
+
+
+def hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time aggregation (batch twin of the
+    streaming job in streaming/windowed.py — same expression works
+    under readStream + watermark).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.col("event_type").alias("topic"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("counts"),
+            F.sum(F.col("value").cast(_VAL_DEC)).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(F.col("w.start").alias("window_start"), "topic", "counts", "total_value")
+    )
+
+
+HOURLY_WINDOW_SQL = """
+SELECT
+  time_bucket(INTERVAL '1 hour', ts) AS window_start,
+  event_type AS topic,
+  count(*) AS counts,
+  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""

@@ -20,8 +20,21 @@ from spark_app_twitter_spark.schemas import ALL_TABLES
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one synthetic table (TESTDATA.md layout)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one synthetic table (TESTDATA.md layout).
+
+    ``events.parquet`` carries TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects by default. We read nanos as long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to
+    microseconds — exactly what DuckDB does when it surfaces the same
+    column as TIMESTAMP — so both engines see identical values.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name != "events":
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    # integer division: float division would lose precision at ~1e18 ns
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

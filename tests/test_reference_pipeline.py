@@ -1,0 +1,142 @@
+"""Oracle-parity tests for the reference-surface operators
+(ingest/enrich/aggregate/serving — SURVEY §2)."""
+
+from spark_app_twitter_spark.operators import aggregates, enrich, ingest, serving
+
+from tests.parity import assert_parity
+
+
+def test_parse_events(spark, sf_dir):
+    assert_parity(
+        ingest.parse_events(spark, sf_dir), ingest.PARSE_EVENTS_SQL, sf_dir, "parse"
+    )
+
+
+def test_enrich_documents(spark, sf_dir):
+    assert_parity(
+        enrich.enrich_documents(spark, sf_dir),
+        enrich.ENRICH_DOCUMENTS_SQL,
+        sf_dir,
+        "enrich",
+    )
+
+
+def test_positivity(spark, sf_dir):
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    enriched = enrich.enrich(load_table(spark, sf_dir, "documents"))
+    assert_parity(
+        aggregates.positivity_agg(enriched),
+        aggregates.POSITIVITY_SQL,
+        sf_dir,
+        "positivity",
+    )
+
+
+def test_emotion_counts(spark, sf_dir):
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    enriched = enrich.enrich(load_table(spark, sf_dir, "documents"))
+    assert_parity(
+        aggregates.emotion_counts(enriched),
+        aggregates.EMOTION_COUNTS_SQL,
+        sf_dir,
+        "emotion_counts",
+    )
+
+
+def test_emotion_pivot(spark, sf_dir):
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    enriched = enrich.enrich(load_table(spark, sf_dir, "documents"))
+    assert_parity(
+        aggregates.emotion_pivot(enriched),
+        aggregates.EMOTION_PIVOT_SQL,
+        sf_dir,
+        "emotion_pivot",
+    )
+
+
+def test_aggregated_serving(spark, sf_dir):
+    assert_parity(
+        aggregates.aggregated_serving(spark, sf_dir),
+        aggregates.AGGREGATED_SERVING_SQL,
+        sf_dir,
+        "aggregated_serving",
+    )
+
+
+def test_dedup_first(spark, sf_dir):
+    assert_parity(
+        serving.dedup_first(spark, sf_dir), serving.DEDUP_FIRST_SQL, sf_dir, "dedup"
+    )
+
+
+def test_unpivot(spark, sf_dir):
+    assert_parity(
+        serving.unpivot_emotions(spark, sf_dir),
+        serving.UNPIVOT_EMOTIONS_SQL,
+        sf_dir,
+        "unpivot",
+    )
+
+
+def test_topic_share(spark, sf_dir):
+    assert_parity(
+        serving.topic_share(spark, sf_dir), serving.TOPIC_SHARE_SQL, sf_dir, "share"
+    )
+
+
+def test_grouping_sets(spark, sf_dir):
+    assert_parity(
+        serving.grains_grouping_sets(spark, sf_dir),
+        serving.GRAINS_GROUPING_SETS_SQL,
+        sf_dir,
+        "grains",
+    )
+
+
+def test_percentiles(spark, sf_dir):
+    assert_parity(
+        serving.value_percentiles(spark, sf_dir),
+        serving.VALUE_PERCENTILES_SQL,
+        sf_dir,
+        "percentiles",
+    )
+
+
+def test_latest_inputs(spark, sf_dir):
+    assert_parity(
+        serving.latest_inputs(spark, sf_dir),
+        serving.LATEST_INPUTS_SQL,
+        sf_dir,
+        "latest",
+    )
+
+
+def test_hourly_window(spark, sf_dir):
+    assert_parity(
+        serving.hourly_window(spark, sf_dir),
+        serving.HOURLY_WINDOW_SQL,
+        sf_dir,
+        "hourly_window",
+    )
+
+
+def test_pandas_udf_classifier_matches_catalyst(spark, sf_dir):
+    """The pluggable Pandas-UDF classifier path must agree with the
+    default Catalyst lexicon expressions."""
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.functions import text as X
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cmp = docs.select(
+        X.sentiment("text").alias("s1"),
+        X.pandas_sentiment().alias("s2"),
+        X.emotion("text").alias("e1"),
+        X.pandas_emotion().alias("e2"),
+    )
+    bad = cmp.where((F.col("s1") != F.col("s2")) | (F.col("e1") != F.col("e2")))
+    assert bad.count() == 0
