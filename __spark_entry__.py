@@ -21,9 +21,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from spark_app_twitter_spark.operators import (  # noqa: E402
     aggregates,
+    dedup,
     enrich,
     ingest,
+    multimodal,
     serving,
+    similarity,
+    textstats,
     tpch,
 )
 
@@ -70,6 +74,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_shipping_priority": tpch.q3_shipping_priority,
         "tpch_q5_local_supplier_volume": tpch.q5_local_supplier_volume,
         "tpch_top_customers_per_nation": tpch.top_customers_per_nation,
+        # LLM-data-pipeline: dedup family
+        "dedup_exact": dedup.exact_dedup,
+        "dedup_minhash_signatures": dedup.minhash_signatures,
+        "dedup_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "dedup_simhash": dedup.simhash,
+        "dedup_ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        # LLM-data-pipeline: text analysis
+        "text_token_stats": textstats.token_stats,
+        "text_lang_id": textstats.lang_id,
+        "text_doc_fingerprint": textstats.doc_fingerprint,
+        # LLM-data-pipeline: similarity search
+        "sim_knn_bruteforce": similarity.knn_bruteforce,
+        "sim_knn_lsh": similarity.knn_lsh,
+        "sim_label_centroids": similarity.label_centroids,
+        # LLM-data-pipeline: multimodal plumbing (mapInPandas decode)
+        "multimodal_media_features": multimodal.media_features,
     }
 
 
@@ -93,4 +113,16 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q3_shipping_priority": tpch.Q3_SQL,
         "tpch_q5_local_supplier_volume": tpch.Q5_SQL,
         "tpch_top_customers_per_nation": tpch.TOP_CUSTOMERS_SQL,
+        "dedup_exact": dedup.EXACT_DEDUP_SQL,
+        "dedup_minhash_signatures": dedup.MINHASH_SIGNATURES_SQL,
+        "dedup_minhash_lsh_pairs": dedup.MINHASH_LSH_PAIRS_SQL,
+        "dedup_simhash": dedup.SIMHASH_SQL,
+        "dedup_ngram_jaccard_pairs": dedup.NGRAM_JACCARD_PAIRS_SQL,
+        "text_token_stats": textstats.TOKEN_STATS_SQL,
+        "text_lang_id": textstats.LANG_ID_SQL,
+        "text_doc_fingerprint": textstats.DOC_FINGERPRINT_SQL,
+        "sim_knn_bruteforce": similarity.KNN_BRUTEFORCE_SQL,
+        "sim_knn_lsh": similarity.KNN_LSH_SQL,
+        "sim_label_centroids": similarity.LABEL_CENTROIDS_SQL,
+        "multimodal_media_features": multimodal.MEDIA_FEATURES_SQL,
     }

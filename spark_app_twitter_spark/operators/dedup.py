@@ -1,0 +1,308 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all shuffle-disciplined for 100 TB:
+
+- **exact**: hash-groupBy on md5(text) — one shuffle on the digest,
+  keep-first by doc_id (deterministic).
+- **MinHash + LSH banding**: shingle -> k minhashes -> b bands; a
+  shuffle on (band_idx, band_hash) turns the O(n^2) pair search into
+  per-bucket joins. Candidates verified with exact shingle Jaccard.
+- **SimHash**: 16-bit signature from token-hash parities; equal
+  signatures cluster near-identical token multisets. One shuffle.
+- **n-gram Jaccard (blocked)**: exact all-pairs within a blocking key
+  — the verification baseline; at scale it runs only inside LSH
+  buckets (never globally).
+
+All hashing is md5-of-string (functions/hashing.py) so the DuckDB
+oracle reproduces signatures bit-for-bit. Each Spark operator has a
+generated SQL twin built from the same Python constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_app_twitter_spark.functions.hashing import (
+    minhash_value,
+    minhash_value_sql,
+    shingles,
+    shingles_sql,
+)
+from spark_app_twitter_spark.functions.text import tokens
+from spark_app_twitter_spark.sources.parquet import load_table
+
+SHINGLE_N = 3
+NUM_HASHES = 8
+BANDS = 4  # rows per band = NUM_HASHES // BANDS = 2
+JACCARD_THRESHOLD = 0.5
+
+# Odd hex digits — used for hash-bit parity in simhash.
+_ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
+SIMHASH_BITS = 16
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on content digest, keep lowest doc_id.
+
+    groupBy(md5) would lose the survivor row; row_number keeps it.
+    At 100 TB: one shuffle on a uniform 128-bit key — no skew by
+    construction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("digest").orderBy(F.asc("doc_id"))
+    return (
+        docs.withColumn("digest", F.md5("text"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars", "digest")
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT doc_id, lang, source, n_chars, digest
+FROM (
+  SELECT doc_id, lang, source, n_chars, md5(text) AS digest,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+def _with_shingles(docs: DataFrame) -> DataFrame:
+    return docs.withColumn(
+        "sh", F.array_distinct(shingles(tokens("text"), SHINGLE_N))
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature (NUM_HASHES lexicographic-min md5s)."""
+    docs = _with_shingles(load_table(spark, sf_dir, "documents"))
+    sig_cols = [
+        minhash_value(F.col("sh"), i).alias(f"mh{i}") for i in range(NUM_HASHES)
+    ]
+    return docs.select("doc_id", *sig_cols)
+
+
+MINHASH_SIGNATURES_SQL = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct({shingles_sql("string_split(text, ' ')", SHINGLE_N)}) AS sh
+  FROM documents
+)
+SELECT doc_id,
+  {", ".join(f"{minhash_value_sql('sh', i)} AS mh{i}" for i in range(NUM_HASHES))}
+FROM sh
+"""
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via MinHash-LSH banding + exact Jaccard verify.
+
+    Plan: signature projection (map-only) -> explode to BANDS rows/doc
+    -> shuffle on (band, band_hash) -> within-bucket self-join ->
+    distinct candidate pairs -> Jaccard verify -> threshold.
+
+    At 100 TB the bucket join is the only pairwise work; banding
+    keeps buckets tiny for non-dup-heavy corpora. (Here shingle
+    arrays ride along into the verify; at scale re-join them by
+    doc_id instead to keep the banding shuffle narrow.)
+    """
+    docs = _with_shingles(load_table(spark, sf_dir, "documents"))
+    rows_per_band = NUM_HASHES // BANDS
+    sig = docs.select(
+        "doc_id",
+        "sh",
+        *[
+            minhash_value(F.col("sh"), i).alias(f"mh{i}")
+            for i in range(NUM_HASHES)
+        ],
+    )
+    bands = sig.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"mh{b * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sh", "bb.band", "bb.bh")
+    left = bands.alias("l")
+    right = bands.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.withColumn(
+            "jaccard",
+            F.round(inter.cast("double") / union.cast("double"), 6),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _minhash_lsh_sql() -> str:
+    rows_per_band = NUM_HASHES // BANDS
+    band_arms = "\nUNION ALL\n".join(
+        "SELECT doc_id, sh, "
+        f"{b} AS band, "
+        "md5("
+        + " || '|' || ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+        + ") AS bh FROM sig"
+        for b in range(BANDS)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct({shingles_sql("string_split(text, ' ')", SHINGLE_N)}) AS sh
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, sh,
+    {", ".join(f"{minhash_value_sql('sh', i)} AS mh{i}" for i in range(NUM_HASHES))}
+  FROM sh
+),
+bands AS (
+{band_arms}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b, l.sh AS sh_a, r.sh AS sh_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6) AS jaccard
+FROM cand
+WHERE round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+            / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+MINHASH_LSH_PAIRS_SQL = _minhash_lsh_sql()
+
+
+def _parity_pm1(token_expr: str, bit: int) -> str:
+    """+1/-1 from the parity of hex digit `bit` of md5(token) — SQL
+    fragment valid in both Spark SQL and DuckDB."""
+    odd = ", ".join(f"'{d}'" for d in _ODD_HEX)
+    return (
+        f"CASE WHEN substr(md5({token_expr}), {bit + 1}, 1) IN ({odd}) "
+        "THEN 1 ELSE -1 END"
+    )
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 16-bit SimHash + duplicate-cluster size.
+
+    bit_i(doc) = sign of sum over tokens of parity_i(md5(token)).
+    Equal signatures = near-identical token distributions. Map-only
+    signature computation (higher-order functions, no UDF), then one
+    shuffle to size the clusters.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bit_terms = " + ".join(
+        f"(CASE WHEN aggregate(transform(split(text, ' '), "
+        f"t -> {_parity_pm1('t', i)}), 0, (acc, x) -> acc + x) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    sig = docs.select(
+        "doc_id", F.expr(f"{bit_terms}").cast("long").alias("simhash")
+    )
+    w = Window.partitionBy("simhash")
+    return sig.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+
+
+def _simhash_sql() -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(string_split(text, ' '), "
+        f"t -> {_parity_pm1('t', i)})) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH sig AS (
+  SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM documents
+)
+SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS cluster_size
+FROM sig
+"""
+
+
+SIMHASH_SQL = _simhash_sql()
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.2
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs within a blocking key (lang).
+
+    This is the *verification* operator: blocked all-pairs compare.
+    The blocking key bounds the quadratic term; at 100 TB block by
+    LSH bucket (minhash_lsh_pairs) instead of a categorical column.
+    """
+    docs = _with_shingles(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "sh"
+    )
+    l, r = docs.alias("l"), docs.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l.lang") == F.col("r.lang"))
+        & (F.col("l.doc_id") < F.col("r.doc_id")),
+    )
+    inter = F.size(F.array_intersect("l.sh", "r.sh"))
+    union = F.size("l.sh") + F.size("r.sh") - inter
+    return (
+        pairs.select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.round(inter.cast("double") / union.cast("double"), 6).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+NGRAM_JACCARD_PAIRS_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, lang,
+         list_distinct({shingles_sql("string_split(text, ' ')", SHINGLE_N)}) AS sh
+  FROM documents
+)
+SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       round(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+             / (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))), 6) AS jaccard
+FROM sh l JOIN sh r ON l.lang = r.lang AND l.doc_id < r.doc_id
+WHERE round(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+            / (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))), 6) >= 0.2
+"""

@@ -1,0 +1,216 @@
+"""Similarity search over embedding columns (array<float>).
+
+- **Brute-force cosine top-k** — the exactness baseline: broadcast
+  the (small) query set against all candidates; per-pair math stays
+  in codegen via higher-order functions (functions/vectors.py).
+- **Random-hyperplane LSH** — the scale path: 16-bit sign buckets
+  from fixed pseudo-random hyperplanes (md5-derived ±1 weights, so
+  Spark / the oracle / offline Python all agree); candidates are
+  pairs sharing a bucket, searched per-bucket instead of globally.
+- **Label centroids** — grouped vector mean via posexplode, the
+  building block for IVF-style partitioned search.
+
+At 100 TB: brute force is O(N*Q) — viable only broadcast-side;
+LSH reduces to per-bucket work at a recall cost; IVF = centroids +
+search-nearest-cells.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_app_twitter_spark.functions.vectors import cosine, cosine_sql
+from spark_app_twitter_spark.sources.parquet import load_table
+
+N_QUERIES = 5  # vec_id < N_QUERIES form the query set
+TOP_K = 10
+N_PLANES = 8
+DIM = 64
+
+
+def _queries_and_cands(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    return q, c
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast queries x all candidates.
+
+    The cross join is BroadcastNestedLoopJoin with the tiny query
+    side broadcast — each executor scans its candidate partition
+    once; the window keeps k rows per query (rank on rounded cosine
+    with id tie-break for determinism).
+    """
+    q, c = _queries_and_cands(spark, sf_dir)
+    pairs = c.crossJoin(F.broadcast(q))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+    )
+
+
+KNN_BRUTEFORCE_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE vec_id >= {N_QUERIES}
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round({cosine_sql('qv', 'cv')}, 6) AS cos_sim
+  FROM c CROSS JOIN q
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+def _plane_weights() -> list[list[int]]:
+    """Deterministic ±1 hyperplane weights from md5(plane|dim) parity.
+
+    Computed offline in Python and inlined as literals on BOTH the
+    Spark and oracle sides — no engine hash dependence at all.
+    """
+    planes = []
+    for p in range(N_PLANES):
+        row = []
+        for d in range(DIM):
+            h = hashlib.md5(f"{p}|{d}".encode()).hexdigest()
+            row.append(1 if int(h[0], 16) % 2 == 1 else -1)
+        planes.append(row)
+    return planes
+
+
+PLANES = _plane_weights()
+
+
+def _bucket_expr_spark(vec: str) -> str:
+    """Spark SQL expr: 8-bit LSH bucket of an array<float> column."""
+    terms = []
+    for p, row in enumerate(PLANES):
+        warr = "array(" + ", ".join(str(w) for w in row) + ")"
+        dot = (
+            f"aggregate(zip_with({vec}, {warr}, (x, w) -> CAST(x AS DOUBLE) * w), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _bucket_expr_duckdb(vec: str) -> str:
+    terms = []
+    for p, row in enumerate(PLANES):
+        warr = "[" + ", ".join(str(w) for w in row) + "]"
+        dot = f"list_dot_product(CAST({vec} AS DOUBLE[]), CAST({warr} AS DOUBLE[]))"
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: candidates share the query's hyperplane-sign
+    bucket; exact cosine + top-k *within* the bucket.
+
+    The equi-join on bucket replaces the cross join — at scale this
+    shuffles both sides on an 8-bit key (use more planes + multiple
+    tables for real recall; the structure is identical).
+    """
+    q, c = _queries_and_cands(spark, sf_dir)
+    qb = q.withColumn("bucket", F.expr(_bucket_expr_spark("qv")))
+    cb = c.withColumn("bucket", F.expr(_bucket_expr_spark("cv")))
+    pairs = cb.join(F.broadcast(qb), "bucket")
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+    )
+
+
+KNN_LSH_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         {_bucket_expr_duckdb('embedding')} AS bucket
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv,
+         {_bucket_expr_duckdb('embedding')} AS bucket
+  FROM embeddings WHERE vec_id >= {N_QUERIES}
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round({cosine_sql('qv', 'cv')}, 6) AS cos_sim
+  FROM c JOIN q USING (bucket)
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, long format (label, dim, centroid value).
+
+    posexplode -> groupBy (label, dim) -> exact decimal mean cast to
+    double. Long format keeps the aggregation a plain shuffle
+    (mergeable partials) instead of driver-side vector assembly; IVF
+    search re-assembles with collect_list(dim-ordered) when needed.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    # Quantize each component to 1e-6 *before* summing: integer sums
+    # are exact and order-independent, so distributed partial
+    # aggregation cannot perturb the mean. (Both engines round the
+    # identical IEEE double v*1e6, so quantization is reproducible;
+    # a raw double sum would depend on accumulation order.)
+    q = F.round(F.col("v").cast("double") * 1e6).cast("long")
+    return exploded.groupBy("label", "dim").agg(
+        (F.sum(q).cast("double") / (F.count(F.lit(1)) * F.lit(1e6))).alias(
+            "centroid_v"
+        )
+    )
+
+
+LABEL_CENTROIDS_SQL = """
+SELECT label, dim,
+       CAST(sum(q) AS DOUBLE) / (count(*) * 1e6) AS centroid_v
+FROM (
+  SELECT label,
+         unnest(range(len(embedding))) AS dim,
+         unnest(list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))) AS q
+  FROM embeddings
+)
+GROUP BY label, dim
+"""

@@ -1,0 +1,189 @@
+"""Text-analysis operators: token stats / quality score, trigram
+language-ID, and document fingerprinting.
+
+All are map-side column math over ``documents`` (higher-order
+functions, no Python in the hot path); lang-ID additionally builds
+corpus-level trigram profiles with one aggregation + broadcast join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_app_twitter_spark.functions.text import STOPWORDS, tokens
+from spark_app_twitter_spark.sources.parquet import load_table
+
+PROFILE_TOP_K = 20  # trigrams kept per language profile
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counts, lexical diversity, stopword ratio, and a
+    composite quality score — the pre-training quality-filter stage.
+
+    Pure projection: the 100 TB plan is scan -> codegen -> write,
+    zero shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    uniq_ratio = n_uniq.cast("double") / n_tok.cast("double")
+    stop_ratio = n_stop.cast("double") / n_tok.cast("double")
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tokens"),
+        n_uniq.alias("n_uniq_tokens"),
+        F.round(sum_len.cast("double") / n_tok.cast("double"), 6).alias(
+            "avg_token_len"
+        ),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(
+            F.least(n_tok.cast("double") / F.lit(64.0), F.lit(1.0)) * 0.5
+            + uniq_ratio * 0.5,
+            6,
+        ).alias("quality_score"),
+    )
+
+
+_STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+TOKEN_STATS_SQL = f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+SELECT
+  doc_id,
+  lang,
+  len(toks) AS n_tokens,
+  len(list_distinct(toks)) AS n_uniq_tokens,
+  round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        / len(toks), 6) AS avg_token_len,
+  round(CAST(len(list_filter(toks, x -> x IN ({_STOP_IN}))) AS DOUBLE)
+        / len(toks), 6) AS stopword_ratio,
+  round(least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0) * 0.5
+        + (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5, 6)
+    AS quality_score
+FROM t
+"""
+
+
+def char_trigrams_expr() -> F.Column:
+    """Character trigrams of ``text`` (assumes length >= 3)."""
+    return F.expr(
+        "transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))"
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-profile language ID.
+
+    1. Profile build: explode char trigrams -> count per (lang,
+       trigram) -> keep top-K per lang (window rank). Aggregation
+       shrinks to |langs| * K rows — broadcastable at any corpus size.
+    2. Scoring: explode doc trigrams, broadcast-join the profiles,
+       count matches per (doc, candidate lang), argmax with
+       deterministic tie-break (count desc, lang asc).
+
+    Output: doc_id, predicted, actual, correct.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", char_trigrams_expr().alias("tri")
+    )
+    exploded = docs.select(
+        "doc_id", "lang", F.explode("tri").alias("trigram")
+    )
+    counts = exploded.groupBy("lang", "trigram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wprof = Window.partitionBy("lang").orderBy(
+        F.desc("cnt"), F.asc("trigram")
+    )
+    profile = (
+        counts.withColumn("rk", F.row_number().over(wprof))
+        .where(F.col("rk") <= PROFILE_TOP_K)
+        .select(F.col("lang").alias("cand"), "trigram")
+    )
+    scores = (
+        exploded.join(F.broadcast(profile), "trigram")
+        .groupBy("doc_id", "lang", "cand")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    wbest = Window.partitionBy("doc_id").orderBy(
+        F.desc("hits"), F.asc("cand")
+    )
+    return (
+        scores.withColumn("rk", F.row_number().over(wbest))
+        .where(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("cand").alias("predicted"),
+            F.col("lang").alias("actual"),
+            (F.col("cand") == F.col("lang")).alias("correct"),
+        )
+    )
+
+
+LANG_ID_SQL = f"""
+WITH tri AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, length(text) - 1),
+                               i -> text[i:i+2])) AS trigram
+  FROM documents
+),
+counts AS (
+  SELECT lang, trigram, count(*) AS cnt FROM tri GROUP BY lang, trigram
+),
+profile AS (
+  SELECT lang AS cand, trigram FROM (
+    SELECT *, row_number() OVER (PARTITION BY lang
+                                 ORDER BY cnt DESC, trigram ASC) AS rk
+    FROM counts
+  ) WHERE rk <= {PROFILE_TOP_K}
+),
+scores AS (
+  SELECT t.doc_id, t.lang, p.cand, count(*) AS hits
+  FROM tri t JOIN profile p ON t.trigram = p.trigram
+  GROUP BY t.doc_id, t.lang, p.cand
+)
+SELECT doc_id, cand AS predicted, lang AS actual, (cand = lang) AS correct
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY hits DESC, cand ASC) AS rk
+  FROM scores
+) WHERE rk = 1
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint: the 3 lexicographically smallest
+    md5s over char 5-gram shingles. Map-only; fingerprints support
+    containment/overlap detection downstream.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = F.array_sort(
+        F.expr(
+            "transform(sequence(1, length(text) - 4), i -> md5(substr(text, i, 5)))"
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.element_at(hashes, 1).alias("fp1"),
+        F.element_at(hashes, 2).alias("fp2"),
+        F.element_at(hashes, 3).alias("fp3"),
+    )
+
+
+DOC_FINGERPRINT_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         list_sort(list_transform(range(1, length(text) - 3),
+                                  i -> md5(text[i:i+4]))) AS hs
+  FROM documents
+)
+SELECT doc_id, hs[1] AS fp1, hs[2] AS fp2, hs[3] AS fp3 FROM h
+"""
