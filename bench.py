@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is timed as plan-build + full execution (count via a
+no-op-projection collect of aggregates would skew tiny results, so
+we use .count() on the result — forcing the complete DAG).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spark_app_twitter_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Headline set: the heaviest representative per operator family.
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_top_customers_per_nation",
+    "ingest_parse_events",
+    "agg_serving_join",
+    "serving_grains_grouping_sets",
+    "serving_hourly_window",
+    "serving_dedup_first",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "text_lang_id",
+    "sim_knn_bruteforce",
+    "sim_label_centroids",
+    "multimodal_media_features",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as ent
+
+    spark = get_spark("bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = ent.queries()
+    # JVM/codegen warmup on the smallest sf so first-query JIT cost
+    # doesn't land on a headline number
+    qs["tpch_q1_pricing_summary"](spark, "/root/testdata/sf0.001").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_val,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

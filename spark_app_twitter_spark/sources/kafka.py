@@ -1,0 +1,63 @@
+"""Kafka source/sink builders (SURVEY §2.1 S1, S7).
+
+The reference subscribes five comma-separated topics with
+``startingOffsets=latest`` and ``failOnDataLoss=false`` (reference
+``spark_app/functions/functions.py:28-35``) — loss-tolerant,
+no-replay. The engine keeps those as *options*, defaulting to
+replayable ``earliest`` so tests and backfills are deterministic.
+
+These builders only construct plans; they need the spark-sql-kafka
+connector jar and live brokers at ``start()`` time, so unit tests
+exercise the same projection via the file stream instead
+(streaming/ingest.py) — the DataFrame surface is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: str,
+    starting_offsets: str = "earliest",
+    fail_on_data_loss: bool = False,
+) -> DataFrame:
+    """Streaming Kafka source: key/value binary + topic + metadata."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topics)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", str(fail_on_data_loss).lower())
+        .load()
+    )
+
+
+def write_kafka(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic_col: str = "topic",
+    key_col: str = "key",
+    value_col: str = "value",
+):
+    """Batch Kafka producer sink (test-harness twin of the reference's
+    tweepy producer routing — ``tweepy_ingestion/utilities/
+    functions.py:41-46``): explicit key/topic/value columns."""
+    return (
+        df.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(value_col).cast("string").alias("value"),
+            F.col(topic_col).alias("topic"),
+        )
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+    )
+
+
+def tweet_key(topic: F.Column, tweet_id: F.Column) -> F.Column:
+    """The reference's message-key scheme: upper(topic[:2]) + id
+    (``tweepy_ingestion/utilities/functions.py:46``)."""
+    return F.concat(F.upper(F.substring(topic, 1, 2)), tweet_id.cast("string"))

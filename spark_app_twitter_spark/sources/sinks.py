@@ -1,0 +1,107 @@
+"""Sinks: partitioned parquet stream sink, idempotent foreachBatch
+upsert, and the (optional) MongoDB serving sink.
+
+The reference's sinks: S2 checkpointed parquet stream sink
+(``spark_app/functions/functions.py:47-54``) and S4 MongoDB append
+(``functions.py:117``). The append-only Mongo sink is why its
+dashboard must dedup on read — the engine's foreachBatch sink
+upserts by key instead, making reruns idempotent.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
+
+
+def write_partitioned_parquet_stream(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_cols: Sequence[str] = ("date", "hour"),
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """S2: exactly-once parquet datalake sink, hive-partitioned.
+
+    Exactly-once comes from checkpoint + the sink's _spark_metadata
+    commit log. ``availableNow`` drains the source and stops —
+    deterministic for tests and batch-backfill runs.
+    """
+    w: DataStreamWriter = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy(*partition_cols)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def upsert_parquet_batch(
+    batch: DataFrame, batch_id: int, path: str, keys: Sequence[str]
+) -> None:
+    """foreachBatch body: last-writer-wins upsert into a parquet
+    serving table.
+
+    Reads current state, anti-joins out rows whose key appears in
+    the incoming batch, unions, rewrites. (Parquet has no row-level
+    merge; with Delta/Iceberg this becomes a MERGE INTO and the
+    rewrite disappears — the foreachBatch contract is unchanged.)
+    Deterministic under retries: re-applying the same batch yields
+    the same table (idempotent upsert), which is exactly the
+    guarantee foreachBatch needs since a batch may be re-run.
+    """
+    spark = batch.sparkSession
+    try:
+        current = spark.read.parquet(path)
+        remaining = current.join(
+            batch.select(*keys).dropDuplicates(keys), list(keys), "left_anti"
+        )
+        out = remaining.unionByName(batch)
+    except Exception:  # first batch: table does not exist yet
+        out = batch
+    # Sever lineage before overwriting the path we just read from —
+    # a lazy plan would delete its own input mid-scan.
+    out = out.localCheckpoint(eager=True)
+    out.write.mode("overwrite").parquet(path)
+
+
+def write_upsert_stream(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    keys: Sequence[str],
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """S4 replacement: streaming upsert into the serving table via
+    foreachBatch — idempotent by key, so the dashboard's
+    dedup-on-read workaround (``streamlit/utilities/utilities.py:27``)
+    becomes unnecessary (the engine still ships it as a serving
+    query for parity)."""
+    w = (
+        df.writeStream.foreachBatch(
+            lambda b, i: upsert_parquet_batch(b, i, path, keys)
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def write_mongo_batch(df: DataFrame, uri: str, database: str, collection: str):
+    """S4 as-is (mongo-spark connector, not installed here): kept as
+    the documented integration point; import-safe, fails only at
+    ``save()`` without the connector jar."""
+    return (
+        df.write.format("mongodb")
+        .mode("append")
+        .option("spark.mongodb.write.connection.uri", uri)
+        .option("spark.mongodb.write.database", database)
+        .option("spark.mongodb.write.collection", collection)
+    )

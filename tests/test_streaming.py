@@ -1,0 +1,169 @@
+"""Structured Streaming tests: file-sourced ingest with availableNow,
+exactly-once restart, watermark dedup, and the windowed serving upsert
+(SURVEY §5.3)."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from spark_app_twitter_spark.operators.ingest import parse_tweet_stream
+from spark_app_twitter_spark.sources.parquet import read_datalake_hour
+from spark_app_twitter_spark.streaming import ingest as sing
+from spark_app_twitter_spark.streaming import windowed
+
+
+def _tweet(i: int, topic: str, created: str, text: str) -> dict:
+    return {
+        "key": f"{topic[:2].upper()}{i}",
+        "value": json.dumps(
+            {
+                "data": {"id": str(i), "created_at": created, "text": text},
+                "matching_rules": [{"id": "r1", "tag": topic}],
+            }
+        ),
+        "topic": topic,
+    }
+
+
+def _write_fixture(path: str, rows: list[dict], name: str = "part0.json"):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+FIXTURE = [
+    _tweet(1, "Zelensky", "2022-03-13T14:21:09.000Z", "fast peace talks"),
+    _tweet(2, "Putin", "2022-03-13T14:45:00.000Z", "slow big advance"),
+    _tweet(3, "Biden", "2022-03-13T15:05:30.000Z", "small fast meeting"),
+    _tweet(4, "NATO", "2022-03-14T00:10:00.000Z", "the alliance is big"),
+    # malformed JSON value -> from_json null path
+    {"key": "XX5", "value": "{not json", "topic": "NATO"},
+]
+
+
+def test_ingest_stream_partitions_and_exactly_once(spark, tmp_path):
+    src = str(tmp_path / "src")
+    lake = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    _write_fixture(src, FIXTURE)
+
+    q = sing.ingest_stream(
+        sing.read_json_stream(spark, src), lake, ckpt, available_now=True
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(lake)
+    # hive partition layout date=/hour= exists and prunes
+    assert set(out.columns) >= {"key", "created_at", "text", "topic", "date", "hour"}
+    assert out.count() == 5  # malformed row lands with null parsed fields
+    hour14 = read_datalake_hour(spark, lake, "2022-03-13", "14")
+    assert hour14.count() == 2
+    # partition-pruned scan: only the matching directory is read
+    plan = hour14._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+    # exactly-once: re-running the drained query adds nothing
+    q2 = sing.ingest_stream(
+        sing.read_json_stream(spark, src), lake, ckpt, available_now=True
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(lake).count() == 5
+
+    # new data is picked up incrementally
+    _write_fixture(
+        src,
+        [_tweet(6, "Biden", "2022-03-14T01:00:00.000Z", "a small win")],
+        name="part1.json",
+    )
+    q3 = sing.ingest_stream(
+        sing.read_json_stream(spark, src), lake, ckpt, available_now=True
+    )
+    q3.awaitTermination(120)
+    assert spark.read.parquet(lake).count() == 6
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    src = str(tmp_path / "src")
+    rows = FIXTURE[:3] + [FIXTURE[0], FIXTURE[1]]  # duplicate keys ZE1, PU2
+    _write_fixture(src, rows)
+
+    parsed = parse_tweet_stream(sing.read_json_stream(spark, src))
+    deduped = windowed.dedup_by_key(parsed, keys=["key"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT key FROM dedup_sink").collect()
+    keys = sorted(r.key for r in got)
+    assert keys == ["BI3", "PU2", "ZE1"]
+
+
+def test_hourly_serving_upsert_and_idempotence(spark, tmp_path):
+    src = str(tmp_path / "src")
+    serving = str(tmp_path / "serving")
+    ckpt = str(tmp_path / "ckpt")
+    _write_fixture(src, FIXTURE[:4])
+
+    parsed = parse_tweet_stream(sing.read_json_stream(spark, src))
+    q = windowed.run_hourly_serving(
+        parsed, serving, ckpt, available_now=True
+    )
+    q.awaitTermination(180)
+
+    table = spark.read.parquet(serving)
+    rows = {(str(r.window_start), r.topic): r for r in table.collect()}
+    # 4 tweets in 3 distinct (hour, topic) cells ... each tweet its own topic -> 4 cells
+    assert len(rows) == 4
+    z = rows[("2022-03-13 14:00:00", "Zelensky")]
+    assert z.counts == 1 and z.positivity_rate == 1.0
+    p = rows[("2022-03-13 14:00:00", "Putin")]
+    assert p.positivity_rate == 0.0
+    # emotion pivot columns fixed & filled
+    assert sum(z[e] for e in windowed.EMOTIONS) == z.counts
+
+    # replay the same source into the same serving table via a fresh
+    # checkpoint: upsert keys make it idempotent (no duplicate cells)
+    q2 = windowed.run_hourly_serving(
+        parsed, serving, str(tmp_path / "ckpt2"), available_now=True
+    )
+    q2.awaitTermination(180)
+    assert spark.read.parquet(serving).count() == 4
+
+
+def test_streaming_agg_matches_batch(spark, tmp_path):
+    """Stream(availableNow) and batch over the same input agree —
+    incremental execution must not change semantics."""
+    src = str(tmp_path / "src")
+    _write_fixture(src, FIXTURE[:4])
+
+    parsed_stream = parse_tweet_stream(sing.read_json_stream(spark, src))
+    # complete mode: emit every window regardless of watermark closure,
+    # so the comparison covers the still-open tail window too
+    q = (
+        windowed.hourly_topic_aggregate(parsed_stream)
+        .writeStream.format("memory")
+        .queryName("agg_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (str(r.window_start), r.topic): (r.positivity_rate, r.counts)
+        for r in spark.sql("SELECT * FROM agg_sink").collect()
+    }
+
+    batch_parsed = parse_tweet_stream(
+        spark.read.schema(sing.WIRE).json(src)
+    )
+    batched = {
+        (str(r.window_start), r.topic): (r.positivity_rate, r.counts)
+        for r in windowed.hourly_topic_aggregate(batch_parsed).collect()
+    }
+    assert streamed == batched
