@@ -9,7 +9,7 @@ column factory where throughput matters.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -57,3 +57,58 @@ def minhash_value_sql(shingles_expr: str, seed: int) -> str:
         f"list_min(list_transform({shingles_expr}, "
         f"s -> md5('{seed}|' || s)))"
     )
+
+
+# ---------------------------------------------------------------------------
+# Packed minhash: k components from ceil(k/4) md5 calls per shingle.
+# One 128-bit md5 is split into four independent 32-bit (8-hex-char)
+# slices; the lexicographic min of each slice is a valid minhash.
+# 4x fewer hash invocations than one-md5-per-component — this is the
+# throughput-critical inner loop of LSH dedup at corpus scale.
+#
+# Implemented as a DataFrame transform (not bare column expressions):
+# the digest arrays are materialized as their own projection step so
+# CollapseProject cannot inline — and thus recompute — the md5 pass
+# once per slice.
+# ---------------------------------------------------------------------------
+def _seeded_md5(seed: int):
+    # closure factory, NOT a default-arg lambda: a two-parameter
+    # lambda would make transform() pass (element, index) and the
+    # index column would silently replace the seed
+    return lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s))
+
+
+def _slice8(off: int):
+    return lambda d: F.substring(d, off, 8)
+
+
+def with_packed_minhash(df: DataFrame, shingle_col: str, k: int) -> DataFrame:
+    """Append minhash columns mh0..mh{k-1} (drops nothing else)."""
+    seeds = (k + 3) // 4
+    for seed in range(seeds):
+        df = df.withColumn(
+            f"_dg{seed}",
+            F.transform(F.col(shingle_col), _seeded_md5(seed)),
+        )
+    for i in range(k):
+        seed, slot = divmod(i, 4)
+        df = df.withColumn(
+            f"mh{i}",
+            F.array_min(
+                F.transform(F.col(f"_dg{seed}"), _slice8(slot * 8 + 1))
+            ),
+        )
+    return df.drop(*[f"_dg{s}" for s in range(seeds)])
+
+
+def packed_minhash_sql_cols(shingles_expr: str, k: int) -> list[str]:
+    """DuckDB twins of :func:`with_packed_minhash` (same slicing)."""
+    out: list[str] = []
+    for i in range(k):
+        seed, slot = divmod(i, 4)
+        off = slot * 8 + 1
+        out.append(
+            f"list_min(list_transform({shingles_expr}, "
+            f"s -> substr(md5('{seed}|' || s), {off}, 8))) AS mh{i}"
+        )
+    return out

@@ -24,10 +24,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_app_twitter_spark.functions.hashing import (
-    minhash_value,
-    minhash_value_sql,
+    packed_minhash_sql_cols,
     shingles,
     shingles_sql,
+    with_packed_minhash,
 )
 from spark_app_twitter_spark.functions.text import tokens
 from spark_app_twitter_spark.sources.parquet import load_table
@@ -75,13 +75,18 @@ def _with_shingles(docs: DataFrame) -> DataFrame:
     )
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hashing-heavy per-row work: spread a single-file scan to all cores
+    return load_table(spark, sf_dir, "documents", spread=True)
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc MinHash signature (NUM_HASHES lexicographic-min md5s)."""
-    docs = _with_shingles(load_table(spark, sf_dir, "documents"))
-    sig_cols = [
-        minhash_value(F.col("sh"), i).alias(f"mh{i}") for i in range(NUM_HASHES)
-    ]
-    return docs.select("doc_id", *sig_cols)
+    """Per-doc MinHash signature: NUM_HASHES lexicographic-min hash
+    slices, 4 components per md5 call (functions/hashing.py)."""
+    docs = _with_shingles(_docs_spread(spark, sf_dir))
+    return with_packed_minhash(docs, "sh", NUM_HASHES).select(
+        "doc_id", *[f"mh{i}" for i in range(NUM_HASHES)]
+    )
 
 
 MINHASH_SIGNATURES_SQL = f"""
@@ -91,7 +96,7 @@ WITH sh AS (
   FROM documents
 )
 SELECT doc_id,
-  {", ".join(f"{minhash_value_sql('sh', i)} AS mh{i}" for i in range(NUM_HASHES))}
+  {", ".join(packed_minhash_sql_cols("sh", NUM_HASHES))}
 FROM sh
 """
 
@@ -104,23 +109,17 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct candidate pairs -> Jaccard verify -> threshold.
 
     At 100 TB the bucket join is the only pairwise work; banding
-    keeps buckets tiny for non-dup-heavy corpora. (Here shingle
-    arrays ride along into the verify; at scale re-join them by
-    doc_id instead to keep the banding shuffle narrow.)
+    keeps buckets tiny for non-dup-heavy corpora.
     """
-    docs = _with_shingles(load_table(spark, sf_dir, "documents"))
+    docs = _with_shingles(_docs_spread(spark, sf_dir))
     rows_per_band = NUM_HASHES // BANDS
-    sig = docs.select(
-        "doc_id",
-        "sh",
-        *[
-            minhash_value(F.col("sh"), i).alias(f"mh{i}")
-            for i in range(NUM_HASHES)
-        ],
-    )
+    # Narrow band rows: (doc_id, band, bh) only. Shingle arrays do NOT
+    # ride through the explode/shuffle/self-join — they are re-joined
+    # afterwards for the (few) surviving candidates. At corpus scale
+    # this keeps the banding shuffle bytes ~40B/row instead of KBs.
+    sig = with_packed_minhash(docs, "sh", NUM_HASHES).drop("sh")
     bands = sig.select(
         "doc_id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -140,12 +139,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "sh", "bb.band", "bb.bh")
-    left = bands.alias("l")
-    right = bands.alias("r")
+    ).select("doc_id", "bb.band", "bb.bh")
     cand = (
-        left.join(
-            right,
+        bands.alias("l")
+        .join(
+            bands.alias("r"),
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.bh") == F.col("r.bh"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
@@ -153,15 +151,21 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("l.doc_id").alias("doc_a"),
             F.col("r.doc_id").alias("doc_b"),
-            F.col("l.sh").alias("sh_a"),
-            F.col("r.sh").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh = docs.select("doc_id", "sh")
+    verified = cand.join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+        "doc_a",
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+        "doc_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cand.withColumn(
+        verified.withColumn(
             "jaccard",
             F.round(inter.cast("double") / union.cast("double"), 6),
         )
@@ -173,7 +177,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_lsh_sql() -> str:
     rows_per_band = NUM_HASHES // BANDS
     band_arms = "\nUNION ALL\n".join(
-        "SELECT doc_id, sh, "
+        "SELECT doc_id, "
         f"{b} AS band, "
         "md5("
         + " || '|' || ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
@@ -188,21 +192,27 @@ WITH sh AS (
 ),
 sig AS (
   SELECT doc_id, sh,
-    {", ".join(f"{minhash_value_sql('sh', i)} AS mh{i}" for i in range(NUM_HASHES))}
+    {", ".join(packed_minhash_sql_cols("sh", NUM_HASHES))}
   FROM sh
 ),
 bands AS (
 {band_arms}
 ),
 cand AS (
-  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b, l.sh AS sh_a, r.sh AS sh_b
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
   FROM bands l JOIN bands r
     ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM cand c
+  JOIN sh a ON c.doc_a = a.doc_id
+  JOIN sh b ON c.doc_b = b.doc_id
 )
 SELECT doc_a, doc_b,
        round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
              / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6) AS jaccard
-FROM cand
+FROM verified
 WHERE round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6) >= {JACCARD_THRESHOLD}
 """
@@ -229,7 +239,7 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature computation (higher-order functions, no UDF), then one
     shuffle to size the clusters.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     bit_terms = " + ".join(
         f"(CASE WHEN aggregate(transform(split(text, ' '), "
         f"t -> {_parity_pm1('t', i)}), 0, (acc, x) -> acc + x) > 0 "
@@ -270,7 +280,7 @@ def ngram_jaccard_pairs(
     The blocking key bounds the quadratic term; at 100 TB block by
     LSH bucket (minhash_lsh_pairs) instead of a categorical column.
     """
-    docs = _with_shingles(load_table(spark, sf_dir, "documents")).select(
+    docs = _with_shingles(_docs_spread(spark, sf_dir)).select(
         "doc_id", "lang", "sh"
     )
     l, r = docs.alias("l"), docs.alias("r")

@@ -37,6 +37,9 @@ FEATURE_DIM = 4
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic media table: text bytes as the blob payload."""
+    # not spread: for a small table the Python-worker fan-out costs
+    # more than single-stream Arrow decode; large inputs arrive
+    # multi-file and parallelize at the scan
     docs = load_table(spark, sf_dir, "documents")
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),

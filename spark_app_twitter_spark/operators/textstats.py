@@ -24,7 +24,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure projection: the 100 TB plan is scan -> codegen -> write,
     zero shuffles.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     toks = tokens("text")
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
     n_tok = F.size(toks)
@@ -85,13 +85,14 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     1. Profile build: explode char trigrams -> count per (lang,
        trigram) -> keep top-K per lang (window rank). Aggregation
        shrinks to |langs| * K rows — broadcastable at any corpus size.
-    2. Scoring: explode doc trigrams, broadcast-join the profiles,
-       count matches per (doc, candidate lang), argmax with
-       deterministic tie-break (count desc, lang asc).
+    2. Scoring: explode doc trigrams, hash-join the broadcast profile
+       (O(1) per trigram — beats per-trigram profile scans), count
+       matches per (doc, candidate lang), argmax with deterministic
+       tie-break (hits desc, lang asc).
 
     Output: doc_id, predicted, actual, correct.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
         "doc_id", "lang", char_trigrams_expr().alias("tri")
     )
     exploded = docs.select(
@@ -164,7 +165,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5s over char 5-gram shingles. Map-only; fingerprints support
     containment/overlap detection downstream.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     hashes = F.array_sort(
         F.expr(
             "transform(sequence(1, length(text) - 4), i -> md5(substr(text, i, 5)))"

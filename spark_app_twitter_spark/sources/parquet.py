@@ -19,7 +19,9 @@ from pyspark.sql import functions as F
 from spark_app_twitter_spark.schemas import ALL_TABLES
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     """Read one synthetic table (TESTDATA.md layout).
 
     ``events.parquet`` carries TIMESTAMP(NANOS), which Spark's parquet
@@ -27,14 +29,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to
     microseconds — exactly what DuckDB does when it surfaces the same
     column as TIMESTAMP — so both engines see identical values.
+
+    ``spread=True`` repartitions to cluster width: a table that is one
+    small parquet file scans as ONE partition, serializing any
+    CPU-heavy per-row work (hashing, n-gram generation, UDF decode)
+    onto a single core. The round-robin shuffle costs one pass over a
+    small table and buys full parallelism — only use it when per-row
+    compute dominates (at real scale inputs arrive in many files and
+    this becomes a no-op by construction).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name != "events":
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    # integer division: float division would lose precision at ~1e18 ns
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        # integer division: float division would lose precision at ~1e18 ns
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = spark.read.parquet(path)
+    if spread:
+        width = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < width:
+            df = df.repartition(width)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -1,0 +1,74 @@
+"""Physical-plan assertions: pushdown, pruning, broadcast, shuffle
+discipline — the scale properties SURVEY §7 commits to."""
+
+from spark_app_twitter_spark.operators import (
+    aggregates,
+    ingest,
+    serving,
+    similarity,
+    tpch,
+)
+from spark_app_twitter_spark.plans import explain as E
+
+
+def test_q1_filter_pushed_and_columns_pruned(spark, sf_dir):
+    df = tpch.q1_pricing_summary(spark, sf_dir)
+    assert E.has_pushed_filter(df, "l_shipdate"), "shipdate filter must reach the scan"
+    scans = E.read_schema_columns(df)
+    assert scans, "expected a parquet scan"
+    read = set(scans[0])
+    assert "l_partkey" not in read and "l_orderkey" not in read, (
+        f"q1 must not read join keys it never uses: {read}"
+    )
+    assert {"l_quantity", "l_extendedprice", "l_returnflag"} <= read
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    df = tpch.q5_local_supplier_volume(spark, sf_dir)
+    assert E.has_broadcast_join(df)
+
+
+def test_parse_events_is_map_only(spark, sf_dir):
+    df = ingest.parse_events(spark, sf_dir)
+    assert E.num_shuffles(df) == 0, "pure projection must not shuffle"
+
+
+def test_parse_events_prunes_columns(spark, sf_dir):
+    df = ingest.parse_events(spark, sf_dir).select("event_id", "topic")
+    scans = E.read_schema_columns(df)
+    # user_id/value/props must be pruned when only id+topic are needed
+    assert scans and "user_id" not in set(scans[0])
+
+
+def test_serving_join_broadcasts_aggregate(spark, sf_dir):
+    df = aggregates.aggregated_serving(spark, sf_dir)
+    assert E.has_broadcast_join(df)
+
+
+def test_knn_broadcasts_queries(spark, sf_dir):
+    df = similarity.knn_bruteforce(spark, sf_dir)
+    assert E.has_broadcast_join(df)
+
+
+def test_hourly_window_single_aggregation_pass(spark, sf_dir):
+    df = serving.hourly_window(spark, sf_dir)
+    # partial + final hash aggregate around exactly one shuffle
+    assert E.num_shuffles(df) == 1
+    assert E.executed_plan(df).count("HashAggregate") == 2
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    df = serving.latest_inputs(spark, sf_dir)
+    assert "TakeOrderedAndProject" in E.executed_plan(df), (
+        "top-k must not materialize a global sort"
+    )
+
+
+def test_datalake_partition_pruning(spark, tmp_path, sf_dir):
+    from spark_app_twitter_spark.sources.parquet import read_datalake_hour
+
+    ev = ingest.parse_events(spark, sf_dir).limit(200)
+    ev.write.partitionBy("date", "hour").parquet(str(tmp_path / "lake"))
+    df = read_datalake_hour(spark, str(tmp_path / "lake"), "2024-01-01", "01")
+    plan = E.executed_plan(df)
+    assert "PartitionFilters" in plan and "date" in plan
