@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_positivity": _enriched(aggregates.positivity_agg),
         "agg_emotion_counts": _enriched(aggregates.emotion_counts),
         "agg_emotion_pivot": _enriched(aggregates.emotion_pivot),
+        "agg_emotion_share": _enriched(aggregates.emotion_share_normalized),
         "agg_serving_join": aggregates.aggregated_serving,
         # §2.5 dedup/reshape/top-k + dashboard queries (A4-A9, D1-D3, P9-P13)
         "serving_dedup_first": serving.dedup_first,
@@ -69,11 +70,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_value_percentiles": serving.value_percentiles,
         "serving_latest_inputs": serving.latest_inputs,
         "serving_hourly_window": serving.hourly_window,
+        "serving_topic_means": serving.topic_means,
+        "serving_distinct_users": serving.distinct_users,
+        "serving_sessionize": serving.sessionize,
         # TPC-H-style analytics (scan/join/agg at scale)
         "tpch_q1_pricing_summary": tpch.q1_pricing_summary,
         "tpch_q3_shipping_priority": tpch.q3_shipping_priority,
         "tpch_q5_local_supplier_volume": tpch.q5_local_supplier_volume,
         "tpch_top_customers_per_nation": tpch.top_customers_per_nation,
+        "tpch_q6_forecast_revenue": tpch.q6_forecast_revenue,
+        "tpch_customers_without_orders": tpch.customers_without_orders,
+        "tpch_promo_revenue_share": tpch.promo_revenue_share,
         # LLM-data-pipeline: dedup family
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_signatures": dedup.minhash_signatures,
@@ -101,6 +108,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_positivity": aggregates.POSITIVITY_SQL,
         "agg_emotion_counts": aggregates.EMOTION_COUNTS_SQL,
         "agg_emotion_pivot": aggregates.EMOTION_PIVOT_SQL,
+        "agg_emotion_share": aggregates.EMOTION_SHARE_SQL,
         "agg_serving_join": aggregates.AGGREGATED_SERVING_SQL,
         "serving_dedup_first": serving.DEDUP_FIRST_SQL,
         "serving_unpivot_emotions": serving.UNPIVOT_EMOTIONS_SQL,
@@ -109,10 +117,16 @@ def oracle_sql() -> dict[str, str]:
         "serving_value_percentiles": serving.VALUE_PERCENTILES_SQL,
         "serving_latest_inputs": serving.LATEST_INPUTS_SQL,
         "serving_hourly_window": serving.HOURLY_WINDOW_SQL,
+        "serving_topic_means": serving.TOPIC_MEANS_SQL,
+        "serving_distinct_users": serving.DISTINCT_USERS_SQL,
+        "serving_sessionize": serving.SESSIONIZE_SQL,
         "tpch_q1_pricing_summary": tpch.Q1_SQL,
         "tpch_q3_shipping_priority": tpch.Q3_SQL,
         "tpch_q5_local_supplier_volume": tpch.Q5_SQL,
         "tpch_top_customers_per_nation": tpch.TOP_CUSTOMERS_SQL,
+        "tpch_q6_forecast_revenue": tpch.Q6_SQL,
+        "tpch_customers_without_orders": tpch.CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "tpch_promo_revenue_share": tpch.PROMO_REVENUE_SHARE_SQL,
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
         "dedup_minhash_signatures": dedup.MINHASH_SIGNATURES_SQL,
         "dedup_minhash_lsh_pairs": dedup.MINHASH_LSH_PAIRS_SQL,

@@ -154,3 +154,33 @@ emo AS (
 )
 SELECT sent.*, emo.* FROM sent JOIN emo ON sent.topic_agg = emo.topic
 """
+
+
+def emotion_share_normalized(enriched: DataFrame, topic_col: str = "lang") -> DataFrame:
+    """A9: normalized stacked shares — each emotion's share of its
+    topic's total (Altair's stack="normalize", computed in-cluster).
+    Window over the pre-aggregated counts (|topics| x |emotions| rows).
+    """
+    from pyspark.sql import Window
+
+    counts = emotion_counts(enriched, topic_col)
+    per_topic = Window.partitionBy("topic")
+    return counts.select(
+        "topic",
+        "emotion",
+        F.round(
+            F.col("counts").cast("double") / F.sum("counts").over(per_topic), 6
+        ).alias("share"),
+    )
+
+
+EMOTION_SHARE_SQL = f"""
+{_enriched_docs_cte()},
+counts AS (
+  SELECT lang AS topic, emotion, count(*) AS counts
+  FROM enriched GROUP BY lang, emotion
+)
+SELECT topic, emotion,
+       round(CAST(counts AS DOUBLE) / sum(counts) OVER (PARTITION BY topic), 6) AS share
+FROM counts
+"""

@@ -258,3 +258,120 @@ SELECT
 FROM events
 GROUP BY 1, 2
 """
+
+
+def topic_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+A6: per-topic mean value plus the grand mean across topics
+    (the dashboard's red rule line) — one pass, the grand mean as a
+    window over the pre-aggregated frame (|topics| rows), not a
+    second scan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_topic = ev.groupBy(F.col("event_type").alias("topic")).agg(
+        F.sum(F.col("value").cast(_VAL_DEC)).alias("sum_dec"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    total = Window.partitionBy()
+    return per_topic.select(
+        "topic",
+        F.round(F.col("sum_dec").cast("double") / F.col("n"), 6).alias(
+            "avg_value"
+        ),
+        F.round(
+            F.sum("sum_dec").over(total).cast("double")
+            / F.sum("n").over(total),
+            6,
+        ).alias("grand_avg"),
+    )
+
+
+TOPIC_MEANS_SQL = """
+WITH per_topic AS (
+  SELECT event_type AS topic,
+         sum(CAST(value AS DECIMAL(12,2))) AS sum_dec,
+         count(*) AS n
+  FROM events GROUP BY event_type
+)
+SELECT topic,
+       round(CAST(sum_dec AS DOUBLE) / n, 6) AS avg_value,
+       round(CAST(sum(sum_dec) OVER () AS DOUBLE) / sum(n) OVER (), 6) AS grand_avg
+FROM per_topic
+"""
+
+
+def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(DISTINCT) per group (SURVEY §2.4 'absent but free').
+
+    Exact distinct = expand + two-phase aggregate (one extra shuffle
+    on the distinct key). The approx path (approx_count_distinct /
+    HyperLogLog, mergeable sketches, no second shuffle) is the 100 TB
+    default — exposed as the non-oracle column in unit tests only.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("event_type").alias("topic")).agg(
+        F.countDistinct("user_id").alias("unique_users"),
+        F.count(F.lit(1)).alias("counts"),
+    )
+
+
+DISTINCT_USERS_SQL = """
+SELECT event_type AS topic,
+       count(DISTINCT user_id) AS unique_users,
+       count(*) AS counts
+FROM events
+GROUP BY event_type
+"""
+
+
+SESSION_GAP_SECONDS = 1800
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) per user — the batch twin of
+    streaming session windows (streaming/windowed.py uses
+    F.session_window over the same stream).
+
+    lag -> new-session flag -> running sum = session index: two
+    window passes over one shuffle on user_id. Timestamp math in
+    integer microseconds (unix_micros/epoch_us) so both engines
+    compare exactly.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    new_sess = F.when(
+        prev.isNull() | ((us - prev) > SESSION_GAP_SECONDS * 1_000_000), 1
+    ).otherwise(0)
+    with_sess = ev.withColumn("sess_idx", F.sum(new_sess).over(wrun))
+    return with_sess.groupBy("user_id", "sess_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(_VAL_DEC)).cast("double").alias("total_value"),
+    )
+
+
+SESSIONIZE_SQL = f"""
+WITH flagged AS (
+  SELECT *,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_SECONDS} * 1000000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+  FROM flagged
+)
+SELECT user_id, sess_idx,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM sess
+GROUP BY user_id, sess_idx
+"""

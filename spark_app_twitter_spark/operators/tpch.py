@@ -237,3 +237,109 @@ WITH per_cust AS (
 SELECT n_name, c_custkey, c_name, CAST(rev_dec AS DOUBLE) AS revenue, rank
 FROM ranked WHERE rank <= 3
 """
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: potential revenue from discount changes.
+
+    The canonical pushdown showcase: all three predicates reach the
+    parquet scan (row-group min/max skipping at scale); the aggregate
+    is a single scalar — map-side partials, one tiny shuffle.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_money("l_extendedprice") * F.col("l_discount").cast(_RATE))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+Q6_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (SURVEY §2.3 'absent but free'): customers with no
+    orders in a window — left_anti keeps the probe side streaming,
+    never materializing the match.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+)
+"""
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: monthly share of revenue from PROMO parts —
+    conditional aggregation after a fact⨝dim join (part joins on a
+    shuffled key at scale; the share itself is exact decimal ratio
+    cast to double at the end).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = _money("l_extendedprice") * _one_minus("l_discount")
+    joined = l.join(p, l.l_partkey == p.p_partkey).select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+        F.col("p_type"),
+        rev.alias("rev"),
+    )
+    return (
+        joined.groupBy("month")
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev"))).alias("promo"),
+            F.sum("rev").alias("total"),
+        )
+        .select(
+            "month",
+            F.round(
+                F.coalesce(F.col("promo"), F.lit(0)).cast("double")
+                / F.col("total").cast("double"),
+                6,
+            ).alias("promo_share"),
+        )
+    )
+
+
+PROMO_REVENUE_SHARE_SQL = """
+WITH joined AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+         p_type,
+         CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT month,
+       round(CAST(coalesce(sum(CASE WHEN p_type = 'PROMO' THEN rev END), 0) AS DOUBLE)
+             / CAST(sum(rev) AS DOUBLE), 6) AS promo_share
+FROM joined
+GROUP BY month
+"""

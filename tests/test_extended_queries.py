@@ -1,0 +1,139 @@
+"""Parity tests for the extended query surface: sessionization,
+distinct counts, grand means, normalized shares, TPC-H q6/anti-join/
+promo-share — plus session-window consistency and property checks."""
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from spark_app_twitter_spark.operators import aggregates, enrich, serving, tpch
+from spark_app_twitter_spark.sources.parquet import load_table
+
+from tests.parity import assert_parity
+
+
+def test_topic_means(spark, sf_dir):
+    assert_parity(
+        serving.topic_means(spark, sf_dir), serving.TOPIC_MEANS_SQL, sf_dir, "means"
+    )
+
+
+def test_distinct_users(spark, sf_dir):
+    assert_parity(
+        serving.distinct_users(spark, sf_dir),
+        serving.DISTINCT_USERS_SQL,
+        sf_dir,
+        "distinct",
+    )
+
+
+def test_sessionize(spark, sf_dir):
+    assert_parity(
+        serving.sessionize(spark, sf_dir), serving.SESSIONIZE_SQL, sf_dir, "sessions"
+    )
+
+
+def test_sessionize_agrees_with_session_window(spark, sf_dir):
+    """lag-cumsum sessionization and Spark's built-in session_window
+    must produce the same number of sessions per user."""
+    ours = (
+        serving.sessionize(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ev = load_table(spark, sf_dir, "events")
+    builtin = (
+        ev.groupBy(
+            F.session_window("ts", f"{serving.SESSION_GAP_SECONDS} seconds"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    diff = ours.join(builtin, "user_id", "full").where(
+        ours.n.eqNullSafe(builtin.n) == False  # noqa: E712
+    )
+    assert diff.count() == 0
+
+
+def test_emotion_share(spark, sf_dir):
+    enriched = enrich.enrich(load_table(spark, sf_dir, "documents"))
+    assert_parity(
+        aggregates.emotion_share_normalized(enriched),
+        aggregates.EMOTION_SHARE_SQL,
+        sf_dir,
+        "emotion_share",
+    )
+
+
+def test_q6(spark, sf_dir):
+    assert_parity(tpch.q6_forecast_revenue(spark, sf_dir), tpch.Q6_SQL, sf_dir, "q6")
+
+
+def test_customers_without_orders(spark, sf_dir):
+    assert_parity(
+        tpch.customers_without_orders(spark, sf_dir),
+        tpch.CUSTOMERS_WITHOUT_ORDERS_SQL,
+        sf_dir,
+        "anti",
+    )
+
+
+def test_promo_share(spark, sf_dir):
+    assert_parity(
+        tpch.promo_revenue_share(spark, sf_dir),
+        tpch.PROMO_REVENUE_SHARE_SQL,
+        sf_dir,
+        "promo",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Property-based invariants (SURVEY §5.4)
+# ---------------------------------------------------------------------------
+def test_positivity_rate_bounded(spark, sf_dir):
+    enriched = enrich.enrich(load_table(spark, sf_dir, "documents"))
+    rows = aggregates.positivity_agg(enriched).collect()
+    assert rows and all(0.0 <= r.positivity_rate <= 1.0 for r in rows)
+
+
+def test_pivot_row_sums_equal_counts(spark, sf_dir):
+    from spark_app_twitter_spark.schemas import EMOTIONS
+
+    enriched = enrich.enrich(load_table(spark, sf_dir, "documents"))
+    wide = aggregates.emotion_pivot(enriched).collect()
+    base = {
+        r.topic_agg: r.counts
+        for r in aggregates.positivity_agg(enriched).collect()
+    }
+    for r in wide:
+        assert sum(r[e] for e in EMOTIONS) == base[r.topic]
+
+
+def test_shares_sum_to_one(spark, sf_dir):
+    rows = serving.topic_share(spark, sf_dir).collect()
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 5)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_unpivot_of_pivot_roundtrip(spark, rows):
+    """pivot -> unpivot returns exactly the original (key, val) counts."""
+    df = spark.createDataFrame(rows, "k string, v int")
+    vals = list(range(6))
+    wide = df.groupBy("k").pivot("v", vals).count().na.fill(0)
+    stack_args = ", ".join(f"'{v}', `{v}`" for v in vals)
+    long = wide.select(
+        "k", F.expr(f"stack(6, {stack_args}) AS (v, cnt)")
+    ).where(F.col("cnt") > 0)
+    got = {(r.k, int(r.v)): r.cnt for r in long.collect()}
+    import collections
+
+    want = collections.Counter(rows)
+    assert got == {k: c for k, c in want.items()}
