@@ -89,11 +89,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         # LLM-data-pipeline: text analysis
         "text_token_stats": textstats.token_stats,
+        "text_token_counts": textstats.token_counts,
         "text_lang_id": textstats.lang_id,
         "text_doc_fingerprint": textstats.doc_fingerprint,
         # LLM-data-pipeline: similarity search
         "sim_knn_bruteforce": similarity.knn_bruteforce,
         "sim_knn_lsh": similarity.knn_lsh,
+        "sim_knn_ivf": similarity.knn_ivf,
+        "sim_embedding_near_dup": similarity.embedding_near_dup,
         "sim_label_centroids": similarity.label_centroids,
         # LLM-data-pipeline: multimodal plumbing (mapInPandas decode)
         "multimodal_media_features": multimodal.media_features,
@@ -133,10 +136,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": dedup.SIMHASH_SQL,
         "dedup_ngram_jaccard_pairs": dedup.NGRAM_JACCARD_PAIRS_SQL,
         "text_token_stats": textstats.TOKEN_STATS_SQL,
+        "text_token_counts": textstats.TOKEN_COUNTS_SQL,
         "text_lang_id": textstats.LANG_ID_SQL,
         "text_doc_fingerprint": textstats.DOC_FINGERPRINT_SQL,
         "sim_knn_bruteforce": similarity.KNN_BRUTEFORCE_SQL,
         "sim_knn_lsh": similarity.KNN_LSH_SQL,
+        "sim_knn_ivf": similarity.KNN_IVF_SQL,
+        "sim_embedding_near_dup": similarity.EMBEDDING_NEAR_DUP_SQL,
         "sim_label_centroids": similarity.LABEL_CENTROIDS_SQL,
         "multimodal_media_features": multimodal.MEDIA_FEATURES_SQL,
     }

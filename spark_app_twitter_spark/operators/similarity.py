@@ -214,3 +214,150 @@ FROM (
 )
 GROUP BY label, dim
 """
+
+
+N_PROBE = 2
+COSINE_DUP_THRESHOLD = 0.35  # synthetic embeddings are near-orthogonal; real corpora use ~0.9
+
+
+def _centroid_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assemble per-label centroid vectors from the long-format means
+    (deterministic: dims sorted, values quantized by label_centroids)."""
+    cent = label_centroids(spark, sf_dir)
+    return cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "centroid_v"))),
+            lambda s: s["centroid_v"],
+        ).alias("cell_cv")
+    )
+
+
+_CENTROID_ARRAYS_CTE = f"""
+cent AS ({LABEL_CENTROIDS_SQL.strip()}),
+cells AS (
+  SELECT label, list(centroid_v ORDER BY dim ASC) AS cell_cv
+  FROM cent GROUP BY label
+)
+"""
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize into centroid cells, probe the
+    N_PROBE nearest cells per query, exact top-k inside them.
+
+    The scale structure: |cells| ~ sqrt(N) centroids broadcast to
+    assign every vector in one map pass; the search joins query
+    probes to candidate cells on the cell id — work is
+    candidates-in-probed-cells, not N. Recall is tunable via N_PROBE.
+    Here cells come from label centroids (deterministic); production
+    would k-means them.
+    """
+    cells = _centroid_arrays(spark, sf_dir)
+    q, c = _queries_and_cands(spark, sf_dir)
+
+    def assign(df: DataFrame, key: str, vec: str, keep: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cells)).withColumn(
+            "cell_sim", F.round(cosine(F.col(vec), F.col("cell_cv")), 6)
+        )
+        w = Window.partitionBy(key).orderBy(F.desc("cell_sim"), F.asc("label"))
+        return (
+            scored.withColumn("crk", F.row_number().over(w))
+            .where(F.col("crk") <= keep)
+            .select(key, vec, F.col("label").alias("cell"))
+        )
+
+    cand_cells = assign(c, "neighbor_id", "cv", 1)
+    probe_cells = assign(q, "query_id", "qv", N_PROBE)
+    pairs = cand_cells.join(F.broadcast(probe_cells), "cell")
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= TOP_K
+    )
+
+
+KNN_IVF_SQL = f"""
+WITH {_CENTROID_ARRAYS_CTE.strip()},
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE vec_id >= {N_QUERIES}
+),
+cand_cells AS (
+  SELECT neighbor_id, cv, cell FROM (
+    SELECT c.neighbor_id, c.cv, cells.label AS cell,
+           row_number() OVER (PARTITION BY c.neighbor_id
+                              ORDER BY round({cosine_sql('c.cv', 'cells.cell_cv')}, 6) DESC,
+                                       cells.label ASC) AS crk
+    FROM c CROSS JOIN cells
+  ) WHERE crk <= 1
+),
+probe_cells AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, cells.label AS cell,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY round({cosine_sql('q.qv', 'cells.cell_cv')}, 6) DESC,
+                                       cells.label ASC) AS crk
+    FROM q CROSS JOIN cells
+  ) WHERE crk <= {N_PROBE}
+),
+scored AS (
+  SELECT p.query_id, cc.neighbor_id,
+         round({cosine_sql('p.qv', 'cc.cv')}, 6) AS cos_sim
+  FROM cand_cells cc JOIN probe_cells p USING (cell)
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucket blocked.
+
+    The dedup-by-meaning operator: candidate pairs must share a
+    hyperplane-sign bucket (so pairwise work is per-bucket, never
+    global), then the exact cosine gate keeps pairs above threshold.
+    Same recall/cost dial as every LSH family member: more planes =
+    smaller buckets = cheaper + lower recall.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    b = emb.withColumn("bucket", F.expr(_bucket_expr_spark("v")))
+    pairs = (
+        b.alias("l")
+        .join(
+            b.alias("r"),
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("vec_a"),
+            F.col("r.vec_id").alias("vec_b"),
+            F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cos_sim"),
+        )
+    )
+    return pairs.where(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
+
+
+EMBEDDING_NEAR_DUP_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding AS v,
+         {_bucket_expr_duckdb('embedding')} AS bucket
+  FROM embeddings
+)
+SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+       round({cosine_sql('l.v', 'r.v')}, 6) AS cos_sim
+FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+WHERE round({cosine_sql('l.v', 'r.v')}, 6) >= {COSINE_DUP_THRESHOLD}
+"""

@@ -188,3 +188,37 @@ WITH h AS (
 )
 SELECT doc_id, hs[1] AS fp1, hs[2] AS fp2, hs[3] AS fp3 FROM h
 """
+
+
+# Greedy <=4-char lowercase chunks — a stand-in for BPE merges that
+# keeps token counting a pure regex (JVM-side, oracle-identical).
+BPE_CHUNK_REGEX = "[a-z]{1,4}"
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace words and BPE-ish subword
+    chunks (regexp_extract_all), plus chars-per-subword — the
+    tokens-per-document accounting a training-data pipeline budgets
+    with. Map-only."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    ws = F.size(F.split(F.col("text"), " "))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_CHUNK_REGEX), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        F.round(
+            F.col("n_chars").cast("double") / bpe.cast("double"), 6
+        ).alias("chars_per_bpe_token"),
+    )
+
+
+TOKEN_COUNTS_SQL = f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{BPE_CHUNK_REGEX}')) AS n_bpe_tokens,
+       round(CAST(n_chars AS DOUBLE)
+             / len(regexp_extract_all(text, '{BPE_CHUNK_REGEX}')), 6)
+         AS chars_per_bpe_token
+FROM documents
+"""

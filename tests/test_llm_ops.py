@@ -154,3 +154,41 @@ def test_exact_dedup_idempotent(spark, sf_dir):
         .drop("rn")
     )
     assert once.count() == again.count()
+
+
+def test_knn_ivf(spark, sf_dir):
+    assert_parity(
+        similarity.knn_ivf(spark, sf_dir), similarity.KNN_IVF_SQL, sf_dir, "knn_ivf"
+    )
+
+
+def test_knn_ivf_neighbors_are_real(spark, sf_dir):
+    """IVF results must be a subset of the candidate universe with
+    correct cosine values (spot-check against brute force scores)."""
+    bf = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in similarity.knn_bruteforce(spark, sf_dir).collect()
+    }
+    ivf = similarity.knn_ivf(spark, sf_dir).collect()
+    assert ivf
+    for r in ivf:
+        if (r.query_id, r.neighbor_id) in bf:
+            assert bf[(r.query_id, r.neighbor_id)] == r.cos_sim
+
+
+def test_embedding_near_dup(spark, sf_dir):
+    assert_parity(
+        similarity.embedding_near_dup(spark, sf_dir),
+        similarity.EMBEDDING_NEAR_DUP_SQL,
+        sf_dir,
+        "emb_dup",
+    )
+
+
+def test_token_counts(spark, sf_dir):
+    assert_parity(
+        textstats.token_counts(spark, sf_dir),
+        textstats.TOKEN_COUNTS_SQL,
+        sf_dir,
+        "token_counts",
+    )

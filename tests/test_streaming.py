@@ -167,3 +167,76 @@ def test_streaming_agg_matches_batch(spark, tmp_path):
         for r in windowed.hourly_topic_aggregate(batch_parsed).collect()
     }
     assert streamed == batched
+
+
+def test_stateful_running_stats_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState accumulates per-key state across
+    micro-batches (maxFilesPerTrigger=1 forces multiple batches)."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from spark_app_twitter_spark.streaming.stateful import running_topic_stats
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batches = [
+        [("a", 1.0), ("a", 2.0), ("b", 10.0)],
+        [("a", 3.0), ("b", 30.0), ("b", 2.0)],
+    ]
+    for i, rows in enumerate(batches):
+        with open(os.path.join(src, f"b{i}.json"), "w") as f:
+            for t, v in rows:
+                f.write(_json.dumps({"topic": t, "value": v}) + "\n")
+
+    schema = T.StructType(
+        [T.StructField("topic", T.StringType()), T.StructField("value", T.DoubleType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        running_topic_stats(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT * FROM stateful_sink ORDER BY running_count"
+    ).collect()
+    # last emission per topic must equal the full-stream aggregate
+    last = {}
+    for r in rows:
+        last[r.topic] = (r.running_count, r.running_total)
+    assert last["a"] == (3, 6.0)
+    assert last["b"] == (3, 42.0)
+    # and intermediate state was emitted too (more than one row per key)
+    assert len(rows) >= 3
+
+
+def test_salted_aggregate_matches_plain(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.functions.skew import salted_sum_count
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    val = F.col("value").cast("decimal(12,2)")
+    salted = {
+        r.event_type: (float(r.total), r.counts)
+        for r in salted_sum_count(
+            ev, ["event_type"], val, salt=8, salt_on="event_id"
+        ).collect()
+    }
+    plain = {
+        r.event_type: (float(r.total), r.counts)
+        for r in ev.groupBy("event_type")
+        .agg(F.sum(val).alias("total"), F.count(F.lit(1)).alias("counts"))
+        .collect()
+    }
+    assert salted == plain
