@@ -31,15 +31,19 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_top_customers_per_nation",
+    "tpch_q6_forecast_revenue",
+    "tpch_promo_revenue_share",
     "ingest_parse_events",
     "agg_serving_join",
     "serving_grains_grouping_sets",
     "serving_hourly_window",
     "serving_dedup_first",
+    "serving_sessionize",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash",
     "text_lang_id",
     "sim_knn_bruteforce",
+    "sim_knn_ivf",
     "sim_label_centroids",
     "multimodal_media_features",
 ]

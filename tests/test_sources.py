@@ -1,0 +1,38 @@
+"""Unit tests for source/sink helpers not covered by streaming tests."""
+
+from pyspark.sql import functions as F
+
+from spark_app_twitter_spark.sources.kafka import tweet_key
+from spark_app_twitter_spark.sources.sinks import upsert_parquet_batch
+
+
+def test_tweet_key_scheme(spark):
+    """P14: upper(topic[:2]) + id — the reference's message key."""
+    df = spark.createDataFrame(
+        [("Zelensky", 1503), ("NoFlyZone", 7)], "topic string, id long"
+    )
+    got = {
+        r.topic: r.key
+        for r in df.select(
+            "topic", tweet_key(F.col("topic"), F.col("id")).alias("key")
+        ).collect()
+    }
+    assert got == {"Zelensky": "ZE1503", "NoFlyZone": "NO7"}
+
+
+def test_upsert_parquet_batch_last_writer_wins(spark, tmp_path):
+    path = str(tmp_path / "serving")
+    b1 = spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 1, 20.0)], "k string, run int, v double"
+    )
+    upsert_parquet_batch(b1, 0, path, keys=["k"])
+    b2 = spark.createDataFrame(
+        [("b", 2, 99.0), ("c", 2, 30.0)], "k string, run int, v double"
+    )
+    upsert_parquet_batch(b2, 1, path, keys=["k"])
+    got = {r.k: (r.run, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {"a": (1, 10.0), "b": (2, 99.0), "c": (2, 30.0)}
+    # idempotent: re-applying batch 2 changes nothing
+    upsert_parquet_batch(b2, 1, path, keys=["k"])
+    again = {r.k: (r.run, r.v) for r in spark.read.parquet(path).collect()}
+    assert again == got
