@@ -55,9 +55,11 @@ def main() -> None:
     spark = get_spark("bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
     qs = ent.queries()
-    # JVM/codegen warmup on the smallest sf so first-query JIT cost
-    # doesn't land on a headline number
+    # Warmup on the smallest sf: JVM/codegen JIT + Python UDF workers
+    # (a long-lived cluster has both hot; first-touch cost should not
+    # land on a headline number)
     qs["tpch_q1_pricing_summary"](spark, "/root/testdata/sf0.001").count()
+    qs["multimodal_media_features"](spark, "/root/testdata/sf0.001").count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -111,7 +111,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the bucket join is the only pairwise work; banding
     keeps buckets tiny for non-dup-heavy corpora.
     """
-    docs = _with_shingles(_docs_spread(spark, sf_dir))
+    # Materialize the shingled docs once: three consumers (signature
+    # build + two verify joins) would otherwise each recompute
+    # tokenize+shingle. localCheckpoint here; persist(MEMORY_AND_DISK)
+    # is the same move on a real cluster.
+    docs = _with_shingles(_docs_spread(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
     rows_per_band = NUM_HASHES // BANDS
     # Narrow band rows: (doc_id, band, bh) only. Shingle arrays do NOT
     # ride through the explode/shuffle/self-join — they are re-joined
@@ -140,6 +146,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bh")
+    # A self-join evaluates its subtree twice; checkpointing the narrow
+    # band rows halves the md5 work (the dominant cost).
+    bands = bands.localCheckpoint(eager=True)
     cand = (
         bands.alias("l")
         .join(

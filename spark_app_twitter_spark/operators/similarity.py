@@ -252,7 +252,9 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Here cells come from label centroids (deterministic); production
     would k-means them.
     """
-    cells = _centroid_arrays(spark, sf_dir)
+    # |cells| rows after a full centroid aggregation: materialize once
+    # instead of recomputing the explode+groupBy for each assign()
+    cells = _centroid_arrays(spark, sf_dir).localCheckpoint(eager=True)
     q, c = _queries_and_cands(spark, sf_dir)
 
     def assign(df: DataFrame, key: str, vec: str, keep: int) -> DataFrame:

@@ -95,6 +95,11 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", spread=True).select(
         "doc_id", "lang", char_trigrams_expr().alias("tri")
     )
+    # NOTE: profile build and scoring both consume the explode; a
+    # measured localCheckpoint here LOST time in one-shot runs
+    # (materializing 1.5M rows costs more than recomputing the
+    # explode), so the plan recomputes — revisit only if trigram
+    # generation grows a heavier tokenizer.
     exploded = docs.select(
         "doc_id", "lang", F.explode("tri").alias("trigram")
     )

@@ -47,7 +47,9 @@ def load_table(
     else:
         df = spark.read.parquet(path)
     if spread:
-        width = spark.sparkContext.defaultParallelism
+        width = spread if isinstance(spread, int) and spread is not True else (
+            spark.sparkContext.defaultParallelism
+        )
         if df.rdd.getNumPartitions() < width:
             df = df.repartition(width)
     return df
