@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_topic_means": serving.topic_means,
         "serving_distinct_users": serving.distinct_users,
         "serving_sessionize": serving.sessionize,
+        "serving_rollup_value": serving.rollup_value,
+        "serving_loyal_purchasers": serving.loyal_purchasers,
         # TPC-H-style analytics (scan/join/agg at scale)
         "tpch_q1_pricing_summary": tpch.q1_pricing_summary,
         "tpch_q3_shipping_priority": tpch.q3_shipping_priority,
@@ -123,6 +125,8 @@ def oracle_sql() -> dict[str, str]:
         "serving_topic_means": serving.TOPIC_MEANS_SQL,
         "serving_distinct_users": serving.DISTINCT_USERS_SQL,
         "serving_sessionize": serving.SESSIONIZE_SQL,
+        "serving_rollup_value": serving.ROLLUP_VALUE_SQL,
+        "serving_loyal_purchasers": serving.LOYAL_PURCHASERS_SQL,
         "tpch_q1_pricing_summary": tpch.Q1_SQL,
         "tpch_q3_shipping_priority": tpch.Q3_SQL,
         "tpch_q5_local_supplier_volume": tpch.Q5_SQL,

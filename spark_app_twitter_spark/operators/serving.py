@@ -375,3 +375,58 @@ SELECT user_id, sess_idx,
 FROM sess
 GROUP BY user_id, sess_idx
 """
+
+
+def rollup_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (topic, date): hierarchical totals incl. grand
+    total — the cube/rollup family SURVEY §2.4 lists as free in
+    Spark. Same single-shuffle property as GROUPING SETS.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.col("event_type").alias("topic"),
+            F.date_format("ts", "yyyy-MM-dd").alias("date"),
+            F.col("value").cast(_VAL_DEC).alias("v"),
+        )
+        .rollup("topic", "date")
+        .agg(
+            F.count(F.lit(1)).alias("counts"),
+            F.sum("v").cast("double").alias("total_value"),
+        )
+    )
+
+
+ROLLUP_VALUE_SQL = """
+SELECT event_type AS topic,
+       strftime(ts, '%Y-%m-%d') AS date,
+       count(*) AS counts,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'))
+"""
+
+
+def loyal_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY §2.5 'absent but free'): users who
+    purchased AND clicked but never errored —
+    INTERSECT then EXCEPT of distinct user sets. Each set op is a
+    shuffle on user_id with distinct semantics.
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    def users(t: str) -> DataFrame:
+        return ev.where(F.col("event_type") == t).select("user_id").distinct()
+
+    return (
+        users("purchase").intersect(users("click")).exceptAll(users("error"))
+    )
+
+
+LOYAL_PURCHASERS_SQL = """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error'
+"""

@@ -137,3 +137,35 @@ def test_unpivot_of_pivot_roundtrip(spark, rows):
 
     want = collections.Counter(rows)
     assert got == {k: c for k, c in want.items()}
+
+
+def test_rollup_value(spark, sf_dir):
+    assert_parity(
+        serving.rollup_value(spark, sf_dir),
+        serving.ROLLUP_VALUE_SQL,
+        sf_dir,
+        "rollup",
+    )
+
+
+def test_loyal_purchasers(spark, sf_dir):
+    assert_parity(
+        serving.loyal_purchasers(spark, sf_dir),
+        serving.LOYAL_PURCHASERS_SQL,
+        sf_dir,
+        "setops",
+    )
+
+
+def test_approx_count_distinct_close_to_exact(spark, sf_dir):
+    """The 100 TB path for distinct counts: HLL sketch within 5% of
+    exact (not oracle-checked — approx is engine-specific)."""
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", 0.02).alias("approx"),
+    ).collect()
+    for r in rows:
+        assert abs(r.approx - r.exact) <= max(1, 0.05 * r.exact)
