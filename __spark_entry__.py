@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from spark_app_twitter_spark.operators import (  # noqa: E402
     aggregates,
+    asof,
     dedup,
     enrich,
     ingest,
@@ -75,6 +76,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_sessionize": serving.sessionize,
         "serving_rollup_value": serving.rollup_value,
         "serving_loyal_purchasers": serving.loyal_purchasers,
+        # temporal joins (as-of via union+window, interval range join)
+        "asof_purchases_last_click": asof.purchases_with_last_click,
+        "range_errors_near_purchases": asof.errors_near_purchases,
         # TPC-H-style analytics (scan/join/agg at scale)
         "tpch_q1_pricing_summary": tpch.q1_pricing_summary,
         "tpch_q3_shipping_priority": tpch.q3_shipping_priority,
@@ -127,6 +131,8 @@ def oracle_sql() -> dict[str, str]:
         "serving_sessionize": serving.SESSIONIZE_SQL,
         "serving_rollup_value": serving.ROLLUP_VALUE_SQL,
         "serving_loyal_purchasers": serving.LOYAL_PURCHASERS_SQL,
+        "asof_purchases_last_click": asof.PURCHASES_WITH_LAST_CLICK_SQL,
+        "range_errors_near_purchases": asof.ERRORS_NEAR_PURCHASES_SQL,
         "tpch_q1_pricing_summary": tpch.Q1_SQL,
         "tpch_q3_shipping_priority": tpch.Q3_SQL,
         "tpch_q5_local_supplier_volume": tpch.Q5_SQL,

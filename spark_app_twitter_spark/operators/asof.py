@@ -1,0 +1,160 @@
+"""As-of and range (interval) joins — the temporal-join library layer
+SURVEY §2.3 plans for stream enrichment.
+
+Spark has no native ASOF JOIN; the engine implements it with the
+union + running-last trick, which scales as a single shuffle on the
+partition key + one sorted window pass — crucially NOT as a range
+self-join (whose candidate set explodes quadratically in dense
+regions):
+
+  union(left tagged, right tagged)
+  -> window over (key) ordered by (ts, side, seq)
+  -> last(right_payload, ignoreNulls) = most recent right row <= ts
+
+The oracle twin uses DuckDB's native ASOF JOIN, so the trick is
+verified against a reference implementation of the semantics.
+
+Tie discipline: right rows sort before left rows at equal ts
+(inclusive as-of), and the right side is pre-deduped to one row per
+(key, ts) — both engines then agree even when timestamps collide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_app_twitter_spark.sources.parquet import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Generic as-of: append to each left row the ``right_cols`` of
+    the latest right row with ``right.ts <= left.ts`` (per key)."""
+    l_tag = left.withColumn("_side", F.lit(1))
+    r_tag = right.select(
+        key,
+        ts,
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    ).withColumn("_side", F.lit(0))
+    unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.asc(ts), F.asc("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = unioned.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"r_{c}")
+            for c in right_cols
+        ],
+    )
+    return enriched.where(F.col("_side") == 1).drop(
+        "_side", *[f"_r_{c}" for c in right_cols]
+    )
+
+
+def purchases_with_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase enriched with the user's most recent click at or
+    before the purchase time (+ gap in seconds)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    # one click per (user, ts): keep max event_id — removes tie
+    # ambiguity in both engines
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    # the gap needs the click's ts too: carry it as a payload column
+    clicks_with_ts = clicks.withColumn("click_ts", F.col("ts"))
+    joined = asof_join(
+        purchases,
+        clicks_with_ts,
+        key="user_id",
+        ts="ts",
+        right_cols=["click_id", "click_ts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("r_click_id").alias("click_id"),
+        F.round(
+            (F.unix_micros("ts") - F.unix_micros("r_click_ts"))
+            / F.lit(1_000_000.0),
+            3,
+        ).alias("gap_seconds"),
+    )
+
+
+PURCHASES_WITH_LAST_CLICK_SQL = """
+WITH purchases AS (
+  SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts, max(event_id) AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, p.ts,
+       c.click_id,
+       round((epoch_us(p.ts) - epoch_us(c.click_ts)) / 1000000.0, 3) AS gap_seconds
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def errors_near_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: error events within 10 minutes AFTER a
+    purchase by the same user.
+
+    Equi part (user_id) drives the join strategy — sort-merge on the
+    key with the range as a residual filter; at 100 TB add a
+    time-bucket term to the equi key so each task only sees
+    +-1-bucket neighborhoods.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    e = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id"),
+        F.col("ts").alias("error_ts"),
+    )
+    cond = (
+        (p.user_id == e.user_id)
+        & (F.unix_micros(e.error_ts) > F.unix_micros(p.purchase_ts))
+        & (
+            F.unix_micros(e.error_ts)
+            <= F.unix_micros(p.purchase_ts) + 600 * 1_000_000
+        )
+    )
+    return p.join(e, cond).select(
+        "purchase_id", "error_id", p.user_id, "purchase_ts", "error_ts"
+    )
+
+
+ERRORS_NEAR_PURCHASES_SQL = """
+SELECT p.event_id AS purchase_id,
+       e.event_id AS error_id,
+       p.user_id,
+       p.ts AS purchase_ts,
+       e.ts AS error_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON p.user_id = e.user_id
+ AND epoch_us(e.ts) > epoch_us(p.ts)
+ AND epoch_us(e.ts) <= epoch_us(p.ts) + 600 * 1000000
+"""

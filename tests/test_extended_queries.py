@@ -169,3 +169,45 @@ def test_approx_count_distinct_close_to_exact(spark, sf_dir):
     ).collect()
     for r in rows:
         assert abs(r.approx - r.exact) <= max(1, 0.05 * r.exact)
+
+
+def test_asof_join_parity(spark, sf_dir):
+    from spark_app_twitter_spark.operators import asof
+
+    assert_parity(
+        asof.purchases_with_last_click(spark, sf_dir),
+        asof.PURCHASES_WITH_LAST_CLICK_SQL,
+        sf_dir,
+        "asof",
+    )
+
+
+def test_range_join_parity(spark, sf_dir):
+    from spark_app_twitter_spark.operators import asof
+
+    assert_parity(
+        asof.errors_near_purchases(spark, sf_dir),
+        asof.ERRORS_NEAR_PURCHASES_SQL,
+        sf_dir,
+        "range",
+    )
+
+
+def test_asof_join_generic_semantics(spark):
+    """Hand-built case: inclusive as-of, per-key isolation, no-match -> null."""
+    from spark_app_twitter_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 10, "L1"), ("u1", 20, "L2"), ("u2", 5, "L3")],
+        "k string, ts long, lv string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 10, "R10"), ("u1", 15, "R15"), ("u2", 9, "R9")],
+        "k string, ts long, rv string",
+    )
+    got = {
+        r.lv: r.r_rv
+        for r in asof_join(left, right, "k", "ts", ["rv"]).collect()
+    }
+    # L1@10 matches R10 (inclusive); L2@20 matches R15; L3@5 has no prior right
+    assert got == {"L1": "R10", "L2": "R15", "L3": None}
