@@ -240,3 +240,70 @@ def test_salted_aggregate_matches_plain(spark, sf_dir):
         .collect()
     }
     assert salted == plain
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream join with watermarks + time-bound condition —
+    Spark buffers both sides' state only within the interval bound."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = [
+        {"event_id": 1, "kind": "purchase", "user_id": 7, "ts": "2024-01-01T10:00:00"},
+        {"event_id": 2, "kind": "error", "user_id": 7, "ts": "2024-01-01T10:04:00"},
+        {"event_id": 3, "kind": "error", "user_id": 7, "ts": "2024-01-01T10:20:00"},
+        {"event_id": 4, "kind": "error", "user_id": 9, "ts": "2024-01-01T10:01:00"},
+    ]
+    with open(os.path.join(src, "a.json"), "w") as fh:
+        for r in rows:
+            fh.write(_json.dumps(r) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(src)
+    purchases = (
+        stream.where(F.col("kind") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    errors = (
+        stream.where(F.col("kind") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "30 minutes")
+    )
+    joined = purchases.join(
+        errors,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") > F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 10 minutes")),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssjoin_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.purchase_id, r.error_id)
+        for r in spark.sql("SELECT * FROM ssjoin_sink").collect()
+    }
+    # only error 2 is within 10 min of purchase 1 for the same user
+    assert got == {(1, 2)}
