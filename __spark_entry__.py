@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_label_centroids": similarity.label_centroids,
         # LLM-data-pipeline: multimodal plumbing (mapInPandas decode)
         "multimodal_media_features": multimodal.media_features,
+        "multimodal_video_frames": multimodal.video_frames,
     }
 
 
@@ -155,4 +156,5 @@ def oracle_sql() -> dict[str, str]:
         "sim_embedding_near_dup": similarity.EMBEDDING_NEAR_DUP_SQL,
         "sim_label_centroids": similarity.LABEL_CENTROIDS_SQL,
         "multimodal_media_features": multimodal.MEDIA_FEATURES_SQL,
+        "multimodal_video_frames": multimodal.VIDEO_FRAMES_SQL,
     }

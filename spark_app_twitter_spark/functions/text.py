@@ -134,3 +134,29 @@ def pandas_sentiment() -> Column:
 
 def pandas_emotion() -> Column:
     return make_pandas_classifier(_lexicon_emotion_pandas)("text")
+
+
+# ---------------------------------------------------------------------------
+# Spark-SQL string forms of the classifiers (for SQLTransformer /
+# spark.sql call sites). Same semantics as the Column builders above.
+# ---------------------------------------------------------------------------
+def sentiment_sql_spark(text_expr: str = "text") -> str:
+    pos = ", ".join(f"'{w}'" for w in POSITIVE_WORDS)
+    neg = ", ".join(f"'{w}'" for w in NEGATIVE_WORDS)
+    p = (
+        f"size(filter(split({text_expr}, ' '), "
+        f"t -> array_contains(array({pos}), t)))"
+    )
+    n = (
+        f"size(filter(split({text_expr}, ' '), "
+        f"t -> array_contains(array({neg}), t)))"
+    )
+    return (
+        f"CASE WHEN {p} > {n} THEN 'positive' "
+        f"WHEN {p} < {n} THEN 'negative' ELSE 'neutral' END"
+    )
+
+
+def emotion_sql_spark(text_expr: str = "text") -> str:
+    arr = "array(" + ", ".join(f"'{e}'" for e in EMOTIONS) + ")"
+    return f"element_at({arr}, CAST(length({text_expr}) % 6 + 1 AS INT))"

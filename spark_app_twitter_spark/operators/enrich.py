@@ -47,3 +47,25 @@ SELECT
   {X.emotion_sql('text')} AS emotion
 FROM documents
 """
+
+
+def build_enrichment_pipeline():
+    """The reference composes enrichment as a ``pyspark.ml.Pipeline``
+    (DocumentAssembler -> Tokenizer -> DistilBERT, reference
+    ``spark_app/main.py:73-87``). The engine offers the same
+    fit/transform surface with SQLTransformer stages wrapping the
+    deterministic classifiers — a real model swaps in as another
+    PipelineStage without changing callers.
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import SQLTransformer
+
+    from spark_app_twitter_spark.functions.text import emotion_sql_spark, sentiment_sql_spark
+
+    sent = SQLTransformer(
+        statement=f"SELECT *, {sentiment_sql_spark('text')} AS sentiment FROM __THIS__"
+    )
+    emo = SQLTransformer(
+        statement=f"SELECT *, {emotion_sql_spark('text')} AS emotion FROM __THIS__"
+    )
+    return Pipeline(stages=[sent, emo])

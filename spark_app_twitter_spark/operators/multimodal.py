@@ -128,3 +128,66 @@ SELECT
   md5(text) AS digest
 FROM documents
 """
+
+
+N_FRAMES = 3
+
+FRAME_SCHEMA_DDL = (
+    "media_id long, frame_idx int, n_frame_bytes long, frame_digest string"
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    n_frames: int = N_FRAMES,
+) -> DataFrame:
+    """One-to-many decode: sample N_FRAMES pseudo-frames per video
+    blob (mapInPandas rows-out > rows-in — the frame-sampling shape).
+
+    A real implementation seeks keyframes with ffmpeg inside the same
+    iterator; the deterministic stand-in slices the blob into N equal
+    chunks. Non-video media pass through with zero rows — the
+    operator is a filter+flatMap in one Arrow pass.
+    """
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType.fromDDL(FRAME_SCHEMA_DDL)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "frame_idx", "n_frame_bytes", "frame_digest")}
+            for mid, kind, blob in zip(pdf["media_id"], pdf["kind"], pdf["blob"]):
+                if kind != "video":
+                    continue
+                step = max(1, len(blob) // n_frames)
+                for i in range(n_frames):
+                    chunk = bytes(blob[i * step : (i + 1) * step])
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(i)
+                    rows["n_frame_bytes"].append(len(chunk))
+                    rows["frame_digest"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "kind", "blob").mapInPandas(
+        run, schema=out_schema
+    )
+
+
+def video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(media_table(spark, sf_dir))
+
+
+# Oracle twin: the deterministic fake "frames" are substring slices of
+# the utf-8 text, reproducible in SQL (video rows are doc_id % 3 == 2).
+VIDEO_FRAMES_SQL = f"""
+WITH vids AS (
+  SELECT doc_id AS media_id, text,
+         greatest(1, octet_length(encode(text)) // {N_FRAMES}) AS step
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id,
+       CAST(i AS INT) AS frame_idx,
+       octet_length(encode(substr(text, CAST(i * step + 1 AS BIGINT), CAST(step AS BIGINT)))) AS n_frame_bytes,
+       md5(substr(text, CAST(i * step + 1 AS BIGINT), CAST(step AS BIGINT))) AS frame_digest
+FROM vids, unnest(range({N_FRAMES})) AS t(i)
+"""

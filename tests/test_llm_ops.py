@@ -192,3 +192,12 @@ def test_token_counts(spark, sf_dir):
         sf_dir,
         "token_counts",
     )
+
+
+def test_video_frames(spark, sf_dir):
+    assert_parity(
+        multimodal.video_frames(spark, sf_dir),
+        multimodal.VIDEO_FRAMES_SQL,
+        sf_dir,
+        "frames",
+    )

@@ -140,3 +140,20 @@ def test_pandas_udf_classifier_matches_catalyst(spark, sf_dir):
     )
     bad = cmp.where((F.col("s1") != F.col("s2")) | (F.col("e1") != F.col("e2")))
     assert bad.count() == 0
+
+
+def test_ml_pipeline_adapter_matches_enrich(spark, sf_dir):
+    """The pyspark.ml Pipeline surface (M2's shape) produces the same
+    labels as the direct column enrichment."""
+    from spark_app_twitter_spark.operators.enrich import build_enrichment_pipeline
+    from spark_app_twitter_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    via_pipeline = build_enrichment_pipeline().fit(docs).transform(docs)
+    via_columns = enrich.enrich(docs)
+    diff = (
+        via_pipeline.select("doc_id", "sentiment", "emotion")
+        .exceptAll(via_columns.select("doc_id", "sentiment", "emotion"))
+    )
+    assert diff.count() == 0
