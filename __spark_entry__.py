@@ -87,6 +87,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6_forecast_revenue": tpch.q6_forecast_revenue,
         "tpch_customers_without_orders": tpch.customers_without_orders,
         "tpch_promo_revenue_share": tpch.promo_revenue_share,
+        "tpch_q18_large_volume_orders": tpch.q18_large_volume_orders,
+        "tpch_q19_disjunctive_revenue": tpch.q19_disjunctive_revenue,
+        "tpch_rich_customers_vs_nation": tpch.rich_customers_vs_nation,
         # LLM-data-pipeline: dedup family
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_signatures": dedup.minhash_signatures,
@@ -141,6 +144,9 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q6_forecast_revenue": tpch.Q6_SQL,
         "tpch_customers_without_orders": tpch.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "tpch_promo_revenue_share": tpch.PROMO_REVENUE_SHARE_SQL,
+        "tpch_q18_large_volume_orders": tpch.Q18_SQL,
+        "tpch_q19_disjunctive_revenue": tpch.Q19_SQL,
+        "tpch_rich_customers_vs_nation": tpch.RICH_CUSTOMERS_SQL,
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
         "dedup_minhash_signatures": dedup.MINHASH_SIGNATURES_SQL,
         "dedup_minhash_lsh_pairs": dedup.MINHASH_LSH_PAIRS_SQL,

@@ -343,3 +343,113 @@ SELECT month,
 FROM joined
 GROUP BY month
 """
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style: OR-of-ANDs predicates across a fact⨝dim join.
+
+    Exercises disjunctive predicate normalization: Catalyst extracts
+    the common conjuncts it can push (p_size lower bound, quantity
+    range hull) to the scans and leaves the residual OR on the join.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = l.join(p, l.l_partkey == p.p_partkey)
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size").between(1, smax))
+        & (F.col("l_quantity").between(qlo, qhi))
+    )
+    cond = arm("Brand#1", 5, 1, 11) | arm("Brand#12", 10, 10, 20) | arm(
+        "Brand#23", 15, 20, 30
+    )
+    rev = _money("l_extendedprice") * _one_minus("l_discount")
+    return j.where(cond).agg(F.sum(rev).cast("double").alias("revenue"))
+
+
+Q19_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: orders whose total quantity exceeds a
+    threshold — aggregate-then-semi-join (the HAVING subquery shape).
+
+    The heavy aggregation runs once over lineitem; the qualifying key
+    set is tiny and joins back to orders/customer.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_PRICE)).alias("sum_qty_dec"))
+        .where(F.col("sum_qty_dec") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").alias("total_price"),
+            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty_dec
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 150
+)
+SELECT c_name, o_orderkey, o_orderdate,
+       o_totalprice AS total_price,
+       CAST(sum_qty_dec AS DOUBLE) AS sum_qty
+FROM big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def rich_customers_vs_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: customers with above-nation-average
+    balance. Catalyst decorrelates into an aggregate + join — the
+    subquery never executes per-row. The average is decimal-exact so
+    the > comparison is reproducible.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_corr"
+    )
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_nationkey,
+               CAST(c_acctbal AS DOUBLE) AS acctbal
+        FROM customer_corr c
+        WHERE c_acctbal > (
+          SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                 / count(*)
+          FROM customer_corr c2
+          WHERE c2.c_nationkey = c.c_nationkey
+        )
+        """
+    )
+
+
+RICH_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, c_nationkey,
+       CAST(c_acctbal AS DOUBLE) AS acctbal
+FROM customer c
+WHERE c_acctbal > (
+  SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+  FROM customer c2
+  WHERE c2.c_nationkey = c.c_nationkey
+)
+"""

@@ -15,11 +15,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
+    warehouse = str(tmp_path_factory.mktemp("warehouse"))
     s = get_spark(
         "tests",
         master="local[4]",
-        extra_conf={"spark.sql.shuffle.partitions": "4"},
+        extra_conf={
+            "spark.sql.shuffle.partitions": "4",
+            # saveAsTable targets (bucketing tests) land in tmp, not the repo
+            "spark.sql.warehouse.dir": warehouse,
+        },
     )
     yield s
     s.stop()

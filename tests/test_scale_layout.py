@@ -1,0 +1,61 @@
+"""Storage-layout scale levers: bucketed co-located joins and dynamic
+partition pruning — plan-verified."""
+
+from pyspark.sql import functions as F
+
+from spark_app_twitter_spark.plans import explain as E
+from spark_app_twitter_spark.sources.bucketing import (
+    bucketed_revenue_by_status,
+    create_bucketed_order_tables,
+)
+
+
+def test_bucketed_join_eliminates_join_shuffle(spark, sf_dir):
+    li, od = create_bucketed_order_tables(spark, sf_dir)
+    df = bucketed_revenue_by_status(spark, li, od)
+    plan = E.executed_plan(df)
+    # the join itself must not exchange either side; the single
+    # remaining shuffle belongs to the final aggregation
+    assert E.num_shuffles(df) == 1, plan
+    assert "SelectedBucketsCount: 8 out of 8" in plan
+    # and results are correct vs the unbucketed equivalent
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    want = {
+        r.o_orderstatus: (r.total_price, r.n)
+        for r in l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    got = {r.o_orderstatus: (r.total_price, r.n) for r in df.collect()}
+    assert got == want
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """A selective dim filter must prune fact partitions at runtime."""
+    from spark_app_twitter_spark.operators.ingest import parse_events
+
+    lake = str(tmp_path / "events_by_date")
+    parse_events(spark, sf_dir).write.partitionBy("date").parquet(lake)
+    fact = spark.read.parquet(lake)
+    two_dates = [r.date for r in fact.select("date").distinct().limit(2).collect()]
+    dim = spark.createDataFrame(
+        [(d, "x") for d in two_dates] + [("9999-09-09", "y")],
+        "date string, tag string",
+    )
+    joined = (
+        fact.join(dim, "date")
+        .where(F.col("tag") == "x")
+        .groupBy("topic")
+        .count()
+    )
+    plan = E.executed_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan

@@ -24,3 +24,24 @@ def test_top_customers(spark, sf_dir):
         sf_dir,
         "top_customers",
     )
+
+
+def test_q19(spark, sf_dir):
+    assert_parity(
+        tpch.q19_disjunctive_revenue(spark, sf_dir), tpch.Q19_SQL, sf_dir, "q19"
+    )
+
+
+def test_q18(spark, sf_dir):
+    assert_parity(
+        tpch.q18_large_volume_orders(spark, sf_dir), tpch.Q18_SQL, sf_dir, "q18"
+    )
+
+
+def test_rich_customers_correlated_subquery(spark, sf_dir):
+    assert_parity(
+        tpch.rich_customers_vs_nation(spark, sf_dir),
+        tpch.RICH_CUSTOMERS_SQL,
+        sf_dir,
+        "corr",
+    )
