@@ -1,0 +1,81 @@
+"""Composed pipelines — the engine's equivalent of the reference's
+``run_job`` entry points (reference ``spark_app/functions/
+functions.py:121-126``, ``spark_app/main.py:93-111``).
+
+The reference runs two coupled jobs on a hand-rolled hourly loop:
+(1) Kafka -> parquet datalake stream, restarted every hour on the
+same checkpoint; (2) an hourly batch read of the previous wall-clock
+hour -> NLP -> aggregate -> Mongo append. The engine replaces the
+loop with two *long-lived* streaming queries sharing one parsed
+stream definition — identical data products, none of the restart/
+late-data defects (SURVEY §2.8).
+
+A user of the reference maps their config 1:1::
+
+    cfg = PipelineConfig(
+        kafka_bootstrap="k1:9092,k2:9092",
+        topics="Zelensky,Putin,Biden,NATO,NoFlyZone",
+        datalake_path="s3a://bucket/raw",
+        serving_path="s3a://bucket/serving",
+        checkpoint_root="s3a://bucket/ckpt",
+    )
+    queries = run_pipeline(spark, cfg)       # two StreamingQuery handles
+    ...
+    for q in queries: q.stop()               # graceful shutdown
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from spark_app_twitter_spark.operators.ingest import parse_tweet_stream
+from spark_app_twitter_spark.sources.kafka import read_kafka_stream
+from spark_app_twitter_spark.streaming.ingest import read_json_stream
+from spark_app_twitter_spark.streaming.windowed import run_hourly_serving
+from spark_app_twitter_spark.sources.sinks import (
+    write_partitioned_parquet_stream,
+)
+
+
+@dataclass
+class PipelineConfig:
+    topics: str = "Zelensky,Putin,Biden,NATO,NoFlyZone"
+    kafka_bootstrap: str | None = None  # None -> file source (tests/dev)
+    file_source_path: str | None = None
+    datalake_path: str = "./datalake"
+    serving_path: str = "./serving"
+    checkpoint_root: str = "./checkpoints"
+    watermark: str = "10 minutes"
+    available_now: bool = False  # True: drain-and-stop (backfill/tests)
+
+
+def source_stream(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
+    if cfg.kafka_bootstrap:
+        return read_kafka_stream(spark, cfg.kafka_bootstrap, cfg.topics)
+    if not cfg.file_source_path:
+        raise ValueError("either kafka_bootstrap or file_source_path required")
+    return read_json_stream(spark, cfg.file_source_path)
+
+
+def run_pipeline(
+    spark: SparkSession, cfg: PipelineConfig
+) -> list[StreamingQuery]:
+    """Start both long-lived queries: datalake ingest + hourly serving."""
+    parsed = parse_tweet_stream(source_stream(spark, cfg))
+    ingest_q = write_partitioned_parquet_stream(
+        parsed,
+        cfg.datalake_path,
+        f"{cfg.checkpoint_root}/ingest",
+        trigger_available_now=cfg.available_now,
+    )
+    serving_q = run_hourly_serving(
+        parse_tweet_stream(source_stream(spark, cfg)),
+        cfg.serving_path,
+        f"{cfg.checkpoint_root}/serving",
+        watermark=cfg.watermark,
+        available_now=cfg.available_now,
+    )
+    return [ingest_q, serving_q]

@@ -307,3 +307,23 @@ def test_stream_stream_interval_join(spark, tmp_path):
     }
     # only error 2 is within 10 min of purchase 1 for the same user
     assert got == {(1, 2)}
+
+
+def test_run_pipeline_end_to_end(spark, tmp_path):
+    """The composed jobs surface: one config -> datalake + serving."""
+    from spark_app_twitter_spark.jobs import PipelineConfig, run_pipeline
+
+    src = str(tmp_path / "src")
+    _write_fixture(src, FIXTURE[:4])
+    cfg = PipelineConfig(
+        file_source_path=src,
+        datalake_path=str(tmp_path / "lake"),
+        serving_path=str(tmp_path / "serve"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    for q in run_pipeline(spark, cfg):
+        q.awaitTermination(180)
+    assert spark.read.parquet(cfg.datalake_path).count() == 4
+    serving_rows = spark.read.parquet(cfg.serving_path).count()
+    assert serving_rows == 4  # one cell per (topic, hour) in the fixture
