@@ -227,3 +227,39 @@ SELECT doc_id,
          AS chars_per_bpe_token
 FROM documents
 """
+
+
+# Training-data hygiene: deterministic redaction of number-like and
+# email-like spans before tokenization. Same RE2-compatible patterns
+# on both engines.
+REDACT_RULES = (
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+", "<EMAIL>"),
+    (r"[0-9]+", "<NUM>"),
+)
+
+
+def redact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing as a pure projection (chained
+    regexp_replace — codegen'd, zero shuffles), with span accounting
+    so the pipeline can report how much was redacted."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    red = F.col("text")
+    for pat, repl in REDACT_RULES:
+        red = F.regexp_replace(red, pat, repl)
+    return docs.select(
+        "doc_id",
+        red.alias("redacted"),
+        (F.length("text") - F.length(red)).alias("chars_removed"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), F.lit(0))).alias(
+            "num_spans"
+        ),
+    )
+
+
+REDACT_TEXT_SQL = """
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'), '[0-9]+', '<NUM>', 'g') AS redacted,
+       length(text) - length(regexp_replace(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'), '[0-9]+', '<NUM>', 'g')) AS chars_removed,
+       len(regexp_extract_all(text, '[0-9]+')) AS num_spans
+FROM documents
+"""

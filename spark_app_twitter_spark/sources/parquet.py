@@ -38,6 +38,9 @@ def load_table(
     compute dominates (at real scale inputs arrive in many files and
     this becomes a no-op by construction).
     """
+    # All oracle parity assumes UTC timestamp rendering; pin it here so
+    # correctness does not depend on the caller's session defaults.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -201,3 +201,12 @@ def test_video_frames(spark, sf_dir):
         sf_dir,
         "frames",
     )
+
+
+def test_redact_text(spark, sf_dir):
+    assert_parity(
+        textstats.redact_text(spark, sf_dir),
+        textstats.REDACT_TEXT_SQL,
+        sf_dir,
+        "redact",
+    )
