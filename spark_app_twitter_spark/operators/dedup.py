@@ -113,10 +113,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # Materialize the shingled docs once: three consumers (signature
     # build + two verify joins) would otherwise each recompute
-    # tokenize+shingle. localCheckpoint here; persist(MEMORY_AND_DISK)
-    # is the same move on a real cluster.
-    docs = _with_shingles(_docs_spread(spark, sf_dir)).localCheckpoint(
-        eager=True
+    # tokenize+shingle. Only (doc_id, sh) is kept — narrower blocks in
+    # the cache. localCheckpoint here; persist(MEMORY_AND_DISK) is the
+    # same move on a real cluster.
+    docs = (
+        _with_shingles(_docs_spread(spark, sf_dir))
+        .select("doc_id", "sh")
+        .localCheckpoint(eager=True)
     )
     rows_per_band = NUM_HASHES // BANDS
     # Narrow band rows: (doc_id, band, bh) only. Shingle arrays do NOT
