@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": textstats.lang_id,
         "text_doc_fingerprint": textstats.doc_fingerprint,
         "text_redact": textstats.redact_text,
+        "text_sample_stratified": textstats.sample_documents,
         # LLM-data-pipeline: similarity search
         "sim_knn_bruteforce": similarity.knn_bruteforce,
         "sim_knn_lsh": similarity.knn_lsh,
@@ -158,6 +159,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": textstats.LANG_ID_SQL,
         "text_doc_fingerprint": textstats.DOC_FINGERPRINT_SQL,
         "text_redact": textstats.REDACT_TEXT_SQL,
+        "text_sample_stratified": textstats.SAMPLE_DOCUMENTS_SQL,
         "sim_knn_bruteforce": similarity.KNN_BRUTEFORCE_SQL,
         "sim_knn_lsh": similarity.KNN_LSH_SQL,
         "sim_knn_ivf": similarity.KNN_IVF_SQL,

@@ -57,9 +57,16 @@ def main() -> None:
     qs = ent.queries()
     # Warmup on the smallest sf: JVM/codegen JIT + Python UDF workers
     # (a long-lived cluster has both hot; first-touch cost should not
-    # land on a headline number)
-    qs["tpch_q1_pricing_summary"](spark, "/root/testdata/sf0.001").count()
-    qs["multimodal_media_features"](spark, "/root/testdata/sf0.001").count()
+    # land on a headline number). The hashing/higher-order-function
+    # kernels (minhash, trigrams) JIT separately from the agg kernels
+    # — warm each family.
+    for warm in (
+        "tpch_q1_pricing_summary",
+        "multimodal_media_features",
+        "dedup_minhash_lsh_pairs",
+        "text_lang_id",
+    ):
+        qs[warm](spark, "/root/testdata/sf0.001").count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

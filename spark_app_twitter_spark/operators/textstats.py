@@ -263,3 +263,49 @@ SELECT doc_id,
        len(regexp_extract_all(text, '[0-9]+')) AS num_spans
 FROM documents
 """
+
+
+# Per-language keep rates: downsample the dominant language (a
+# standard data-mixture rebalancing move). Deterministic: a doc is
+# kept iff the first 8 hex chars of md5(doc_id) fall below
+# rate * 16^8 — reproducible on any engine, stable across runs,
+# and independent of row order (unlike df.sample).
+SAMPLE_RATES = {"en": 0.5}
+_HEX_SPAN = 16**8
+
+
+def sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based stratified sampling of the corpus.
+
+    At 100 TB: map-only (no shuffle, no RNG state), trivially
+    re-runnable — the same doc set survives every execution, which
+    is what makes downstream dedup/train-split bookkeeping sane.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(r))
+            for lang, r in SAMPLE_RATES.items()
+        ],
+        F.lit(1.0),
+    )
+    return docs.where(bucket < (rate * _HEX_SPAN).cast("long")).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+_RATE_CASE = (
+    "CASE "
+    + " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in SAMPLE_RATES.items())
+    + " ELSE 1.0 END"
+)
+
+SAMPLE_DOCUMENTS_SQL = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      < CAST(({_RATE_CASE}) * {_HEX_SPAN} AS BIGINT)
+"""

@@ -210,3 +210,30 @@ def test_redact_text(spark, sf_dir):
         sf_dir,
         "redact",
     )
+
+
+def test_sample_documents(spark, sf_dir):
+    assert_parity(
+        textstats.sample_documents(spark, sf_dir),
+        textstats.SAMPLE_DOCUMENTS_SQL,
+        sf_dir,
+        "sample",
+    )
+
+
+def test_sample_documents_is_stable_and_downsamples(spark, sf_dir):
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    full = load_table(spark, sf_dir, "documents").groupBy("lang").count()
+    kept = textstats.sample_documents(spark, sf_dir).groupBy("lang").count()
+    f = {r.lang: r["count"] for r in full.collect()}
+    k = {r.lang: r["count"] for r in kept.collect()}
+    # en roughly halved (hash-uniform), other langs untouched
+    assert 0.3 * f["en"] < k["en"] < 0.7 * f["en"]
+    for lang in f:
+        if lang != "en":
+            assert k[lang] == f[lang]
+    # deterministic: second run keeps the identical doc set
+    ids1 = sorted(r.doc_id for r in textstats.sample_documents(spark, sf_dir).collect())
+    ids2 = sorted(r.doc_id for r in textstats.sample_documents(spark, sf_dir).collect())
+    assert ids1 == ids2
