@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from spark_app_twitter_spark.operators import (  # noqa: E402
     aggregates,
     asof,
+    clustering,
     dedup,
     enrich,
     ingest,
@@ -109,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_ivf": similarity.knn_ivf,
         "sim_embedding_near_dup": similarity.embedding_near_dup,
         "sim_label_centroids": similarity.label_centroids,
+        "sim_kmeans_cells": clustering.kmeans_cells,
         # LLM-data-pipeline: multimodal plumbing (mapInPandas decode)
         "multimodal_media_features": multimodal.media_features,
         "multimodal_video_frames": multimodal.video_frames,
@@ -165,6 +167,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_knn_ivf": similarity.KNN_IVF_SQL,
         "sim_embedding_near_dup": similarity.EMBEDDING_NEAR_DUP_SQL,
         "sim_label_centroids": similarity.LABEL_CENTROIDS_SQL,
+        "sim_kmeans_cells": clustering.KMEANS_CELLS_SQL,
         "multimodal_media_features": multimodal.MEDIA_FEATURES_SQL,
         "multimodal_video_frames": multimodal.VIDEO_FRAMES_SQL,
     }

@@ -1,0 +1,133 @@
+"""Deterministic distributed k-means over embedding columns — the
+iterative-algorithm pattern, and the learned-cells upgrade for IVF
+similarity search.
+
+Design points (the ones that matter at 100 TB):
+- **Per-iteration plan truncation.** Each Lloyd iteration ends with a
+  ``localCheckpoint`` of the k centroids (a tiny relation) — without
+  it the logical plan doubles every iteration and analysis/codegen
+  time explodes long before data size matters. On a cluster the same
+  role is played by persisting or writing the centroid table.
+- **Determinism.** Init = the first k vectors by id (no RNG);
+  assignment argmin is computed as argmax(v·c - |c|²/2) rounded to
+  6dp with cell-id tie-break; new centroids quantize components to
+  1e-6 before the integer-exact mean. Every engine that follows the
+  same recipe — including the DuckDB oracle, via a generated
+  CTE-chain — lands on bit-identical clusters.
+- **Shuffle shape.** Assignment is a broadcast cross join against k
+  rows (map-side); recentering is one posexplode + groupBy(cell,dim)
+  shuffle of |N|·dim narrow rows.
+
+``pyspark.ml.clustering.KMeans`` exists but seeds its init randomly
+(kmeans||), so results are not oracle-reproducible; this module is
+the contract-friendly equivalent with the same complexity profile.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_app_twitter_spark.functions.vectors import dot
+from spark_app_twitter_spark.sources.parquet import load_table
+
+K_CELLS = 8
+ITERS = 2
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+
+def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: argmin ||v-c||² == argmax(v·c - |c|²/2)."""
+    score = F.round(
+        dot(F.col("v"), F.col("cv")) - dot(F.col("cv"), F.col("cv")) / F.lit(2.0),
+        6,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cell"))
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("score", score)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "v", "cell")
+    )
+
+
+def _recenter(assigned: DataFrame) -> DataFrame:
+    """Quantized per-cell mean, reassembled dim-ordered."""
+    exploded = assigned.select(
+        "cell", F.posexplode("v").alias("dim", "x")
+    )
+    q = F.round(F.col("x") * 1e6).cast("long")
+    means = exploded.groupBy("cell", "dim").agg(
+        (F.sum(q).cast("double") / (F.count(F.lit(1)) * F.lit(1e6))).alias("m")
+    )
+    return means.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))),
+            lambda s: s["m"],
+        ).alias("cv")
+    )
+
+
+def kmeans_cells(
+    spark: SparkSession, sf_dir: str, k: int = K_CELLS, iters: int = ITERS
+) -> DataFrame:
+    """(vec_id, cell) after `iters` Lloyd iterations from a
+    deterministic init (first k vectors)."""
+    vecs = _vecs(spark, sf_dir)
+    cents = vecs.where(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("cv")
+    )
+    for _ in range(iters):
+        assigned = _assign(vecs, cents)
+        # truncate lineage: k tiny rows, but an exponentially deep plan
+        cents = _recenter(assigned).localCheckpoint(eager=True)
+    return _assign(vecs, cents).select("vec_id", "cell")
+
+
+def _sq_dist_sql(v: str, c: str) -> str:
+    return (
+        f"round(list_dot_product({v}, {c}) "
+        f"- list_dot_product({c}, {c}) / 2.0, 6)"
+    )
+
+
+def kmeans_cells_sql(k: int = K_CELLS, iters: int = ITERS) -> str:
+    """Generated CTE chain mirroring :func:`kmeans_cells` exactly."""
+    parts = [
+        "WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        f"c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM emb WHERE vec_id < {k})",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"a{i} AS (SELECT vec_id, v, cell FROM ("
+            f"SELECT e.vec_id, e.v, c.cell, row_number() OVER ("
+            f"PARTITION BY e.vec_id ORDER BY {_sq_dist_sql('e.v', 'c.cv')} DESC, c.cell ASC) AS rk "
+            f"FROM emb e CROSS JOIN c{i} c) WHERE rk = 1)"
+        )
+        parts.append(
+            f"m{i} AS (SELECT cell, dim, CAST(sum(q) AS DOUBLE) / (count(*) * 1e6) AS m FROM ("
+            f"SELECT cell, unnest(range(len(v))) AS dim, "
+            f"unnest(list_transform(v, x -> CAST(round(x * 1e6) AS BIGINT))) AS q "
+            f"FROM a{i}) GROUP BY cell, dim)"
+        )
+        parts.append(
+            f"c{i + 1} AS (SELECT cell, list(m ORDER BY dim ASC) AS cv FROM m{i} GROUP BY cell)"
+        )
+    final = (
+        f"SELECT vec_id, cell FROM ("
+        f"SELECT e.vec_id, c.cell, row_number() OVER ("
+        f"PARTITION BY e.vec_id ORDER BY {_sq_dist_sql('e.v', 'c.cv')} DESC, c.cell ASC) AS rk "
+        f"FROM emb e CROSS JOIN c{iters} c) WHERE rk = 1"
+    )
+    return ",\n".join(parts) + "\n" + final
+
+
+KMEANS_CELLS_SQL = kmeans_cells_sql()

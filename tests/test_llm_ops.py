@@ -237,3 +237,45 @@ def test_sample_documents_is_stable_and_downsamples(spark, sf_dir):
     ids1 = sorted(r.doc_id for r in textstats.sample_documents(spark, sf_dir).collect())
     ids2 = sorted(r.doc_id for r in textstats.sample_documents(spark, sf_dir).collect())
     assert ids1 == ids2
+
+
+def test_kmeans_cells_parity(spark, sf_dir):
+    from spark_app_twitter_spark.operators import clustering
+
+    assert_parity(
+        clustering.kmeans_cells(spark, sf_dir),
+        clustering.KMEANS_CELLS_SQL,
+        sf_dir,
+        "kmeans",
+    )
+
+
+def test_kmeans_iterations_do_not_increase_sse(spark, sf_dir):
+    """Lloyd property: within-cluster SSE is non-increasing."""
+    from spark_app_twitter_spark.operators import clustering
+
+    vecs = clustering._vecs(spark, sf_dir)
+    cents = vecs.where(F.col("vec_id") < clustering.K_CELLS).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("cv")
+    )
+
+    def sse(assigned):
+        from spark_app_twitter_spark.functions.vectors import dot
+
+        d = (
+            dot(F.col("v"), F.col("v"))
+            - 2 * dot(F.col("v"), F.col("cv"))
+            + dot(F.col("cv"), F.col("cv"))
+        )
+        return assigned.agg(F.sum(d)).collect()[0][0]
+
+    a0 = clustering._assign(vecs, cents).join(cents, "cell")
+    s_prev = sse(a0)
+    for _ in range(2):
+        cents = clustering._recenter(
+            clustering._assign(vecs, cents)
+        ).localCheckpoint(eager=True)
+        a = clustering._assign(vecs, cents).join(cents, "cell")
+        s = sse(a)
+        assert s <= s_prev + 1e-6
+        s_prev = s
