@@ -72,3 +72,26 @@ def test_datalake_partition_pruning(spark, tmp_path, sf_dir):
     df = read_datalake_hour(spark, str(tmp_path / "lake"), "2024-01-01", "01")
     plan = E.executed_plan(df)
     assert "PartitionFilters" in plan and "date" in plan
+
+def test_asof_join_has_no_join_operator(spark, sf_dir):
+    """The as-of implementation must stay union+window — a range/theta
+    join here would explode at scale."""
+    from spark_app_twitter_spark.operators import asof
+
+    plan = E.executed_plan(asof.purchases_with_last_click(spark, sf_dir))
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan and "NestedLoop" not in plan
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("exact"),
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("approx"),
+    ).collect()
+    for r in rows:
+        assert abs(r.approx - r.exact) <= max(2.0, 0.05 * abs(r.exact))

@@ -327,3 +327,69 @@ def test_run_pipeline_end_to_end(spark, tmp_path):
     assert spark.read.parquet(cfg.datalake_path).count() == 4
     serving_rows = spark.read.parquet(cfg.serving_path).count()
     assert serving_rows == 4  # one cell per (topic, hour) in the fixture
+
+
+def test_late_events_dead_letter_split(spark, tmp_path):
+    """The quarantine split: events older than (batch max ts -
+    watermark) land in the dead-letter path instead of vanishing."""
+    from spark_app_twitter_spark.streaming.windowed import late_events
+
+    batch = spark.createDataFrame(
+        [
+            ("a", "2022-03-13 14:40:00"),
+            ("b", "2022-03-13 14:58:00"),
+            ("late", "2022-03-13 13:00:00"),
+        ],
+        "key string, created_at_s string",
+    ).select("key", F.col("created_at_s").cast("timestamp").alias("created_at"))
+    quarantine = str(tmp_path / "quarantine")
+    split = late_events(None, watermark="30 minutes")
+    split(batch, 0, quarantine)
+    got = [r.key for r in spark.read.parquet(quarantine).collect()]
+    assert got == ["late"]
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """Built-in session windows under a watermark (gap-merged
+    sessions finalize as the watermark passes)."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = [
+        {"user_id": 1, "ts": "2024-01-01T10:00:00", "value": 1.0},
+        {"user_id": 1, "ts": "2024-01-01T10:10:00", "value": 2.0},   # same session (gap 10m < 30m)
+        {"user_id": 1, "ts": "2024-01-01T12:00:00", "value": 4.0},   # new session
+        {"user_id": 2, "ts": "2024-01-01T10:05:00", "value": 8.0},
+    ]
+    with open(os.path.join(src, "a.json"), "w") as fh:
+        for r in rows:
+            fh.write(_json.dumps(r) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("session_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.n, r.total)
+        for r in spark.sql("SELECT user_id, n, total FROM session_sink").collect()
+    }
+    assert got == {(1, 2, 3.0), (1, 1, 4.0), (2, 1, 8.0)}
