@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18_large_volume_orders": tpch.q18_large_volume_orders,
         "tpch_q19_disjunctive_revenue": tpch.q19_disjunctive_revenue,
         "tpch_rich_customers_vs_nation": tpch.rich_customers_vs_nation,
+        "tpch_q4_order_priority": tpch.q4_order_priority,
         # LLM-data-pipeline: dedup family
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_signatures": dedup.minhash_signatures,
@@ -151,6 +152,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q18_large_volume_orders": tpch.Q18_SQL,
         "tpch_q19_disjunctive_revenue": tpch.Q19_SQL,
         "tpch_rich_customers_vs_nation": tpch.RICH_CUSTOMERS_SQL,
+        "tpch_q4_order_priority": tpch.Q4_SQL,
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
         "dedup_minhash_signatures": dedup.MINHASH_SIGNATURES_SQL,
         "dedup_minhash_lsh_pairs": dedup.MINHASH_LSH_PAIRS_SQL,

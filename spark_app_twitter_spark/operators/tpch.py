@@ -453,3 +453,37 @@ WHERE c_acctbal > (
   WHERE c2.c_nationkey = c.c_nationkey
 )
 """
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: order-priority checking — left SEMI join (EXISTS).
+
+    The semi join probes lineitem for existence only: no payload
+    columns cross the join, no row multiplication — at scale this is
+    a shuffle on orderkey where the build side stores just keys.
+    """
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    late = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_linestatus") == "F"
+    )
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_linestatus = 'F'
+  )
+GROUP BY o_orderpriority
+"""

@@ -45,3 +45,9 @@ def test_rich_customers_correlated_subquery(spark, sf_dir):
         sf_dir,
         "corr",
     )
+
+
+def test_q4_semi_join(spark, sf_dir):
+    assert_parity(
+        tpch.q4_order_priority(spark, sf_dir), tpch.Q4_SQL, sf_dir, "q4"
+    )
