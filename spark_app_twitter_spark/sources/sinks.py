@@ -105,3 +105,27 @@ def write_mongo_batch(df: DataFrame, uri: str, database: str, collection: str):
         .option("spark.mongodb.write.database", database)
         .option("spark.mongodb.write.collection", collection)
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    shard_key: str,
+    sort_cols: Sequence[str] = (),
+) -> None:
+    """Export a training corpus as exactly ``n_shards`` parquet files,
+    rows hash-distributed by ``shard_key`` and sorted inside each
+    shard.
+
+    repartition(n, key) fixes the file count and makes shard
+    membership a pure function of the key (stable across reruns —
+    loaders can resume shard-by-shard); sortWithinPartitions orders
+    rows without a global sort. At 100 TB this is the standard
+    dataloader-friendly layout: no shard exceeds its hash share, and
+    no driver-side coordination happens at all.
+    """
+    out = df.repartition(n_shards, shard_key)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    out.write.mode("overwrite").parquet(path)

@@ -36,3 +36,30 @@ def test_upsert_parquet_batch_last_writer_wins(spark, tmp_path):
     upsert_parquet_batch(b2, 1, path, keys=["k"])
     again = {r.k: (r.run, r.v) for r in spark.read.parquet(path).collect()}
     assert again == got
+
+
+def test_write_training_shards(spark, tmp_path, sf_dir):
+    import glob
+
+    from spark_app_twitter_spark.sources.parquet import load_table
+    from spark_app_twitter_spark.sources.sinks import write_training_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, n_shards=4, shard_key="doc_id", sort_cols=["doc_id"])
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) == 4
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # sorted within each shard
+    import pyarrow.parquet as pq
+
+    for f in files:
+        ids = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+        assert ids == sorted(ids)
+    # stable shard membership: rewriting yields identical row sets per file count
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(docs, out2, n_shards=4, shard_key="doc_id", sort_cols=["doc_id"])
+    a = sorted(tuple(sorted(pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist())) for f in files)
+    b = sorted(tuple(sorted(pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist())) for f in glob.glob(f"{out2}/part-*.parquet"))
+    assert a == b
