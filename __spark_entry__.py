@@ -77,6 +77,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_sessionize": serving.sessionize,
         "serving_rollup_value": serving.rollup_value,
         "serving_loyal_purchasers": serving.loyal_purchasers,
+        "serving_moving_avg_daily": serving.moving_avg_daily,
+        "serving_value_quartiles": serving.value_quartile_assignments,
+        "serving_value_histogram": serving.value_histogram,
+        "serving_cumulative_daily": serving.cumulative_daily_counts,
         # temporal joins (as-of via union+window, interval range join)
         "asof_purchases_last_click": asof.purchases_with_last_click,
         "range_errors_near_purchases": asof.errors_near_purchases,
@@ -140,6 +144,10 @@ def oracle_sql() -> dict[str, str]:
         "serving_sessionize": serving.SESSIONIZE_SQL,
         "serving_rollup_value": serving.ROLLUP_VALUE_SQL,
         "serving_loyal_purchasers": serving.LOYAL_PURCHASERS_SQL,
+        "serving_moving_avg_daily": serving.MOVING_AVG_DAILY_SQL,
+        "serving_value_quartiles": serving.VALUE_QUARTILE_ASSIGNMENTS_SQL,
+        "serving_value_histogram": serving.VALUE_HISTOGRAM_SQL,
+        "serving_cumulative_daily": serving.CUMULATIVE_DAILY_COUNTS_SQL,
         "asof_purchases_last_click": asof.PURCHASES_WITH_LAST_CLICK_SQL,
         "range_errors_near_purchases": asof.ERRORS_NEAR_PURCHASES_SQL,
         "tpch_q1_pricing_summary": tpch.Q1_SQL,

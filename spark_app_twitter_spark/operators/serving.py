@@ -430,3 +430,112 @@ SELECT user_id FROM events WHERE event_type = 'click'
 EXCEPT
 SELECT user_id FROM events WHERE event_type = 'error'
 """
+
+
+def moving_avg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily event counts per topic — the
+    trend-smoothing window every monitoring dashboard wants.
+    Aggregation first (|topics| x |days| rows), window second: the
+    sliding frame never touches raw events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("topic"),
+        F.date_trunc("day", "ts").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("counts"))
+    w = (
+        Window.partitionBy("topic")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "topic",
+        "day",
+        "counts",
+        F.round(F.avg("counts").over(w), 6).alias("ma7"),
+    )
+
+
+MOVING_AVG_DAILY_SQL = """
+WITH daily AS (
+  SELECT event_type AS topic, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS counts
+  FROM events GROUP BY 1, 2
+)
+SELECT topic, day, counts,
+       round(avg(counts) OVER (PARTITION BY topic ORDER BY day
+                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
+FROM daily
+"""
+
+
+def value_quartile_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) bucket per event within its topic (total order on
+    (value, event_id) so bucket boundaries are reproducible)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc("value"), F.asc("event_id")
+    )
+    return ev.select(
+        F.col("event_id"),
+        F.col("event_type").alias("topic"),
+        F.col("value"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+VALUE_QUARTILE_ASSIGNMENTS_SQL = """
+SELECT event_id, event_type AS topic, value,
+       ntile(4) OVER (PARTITION BY event_type
+                      ORDER BY value ASC, event_id ASC) AS quartile
+FROM events
+"""
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width binning (width 50) per topic — histogram as a
+    plain aggregation; at scale this replaces collecting values for
+    client-side histograms entirely."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_lo = (F.floor(F.col("value") / 50) * 50).cast("long")
+    return ev.groupBy(
+        F.col("event_type").alias("topic"), bin_lo.alias("bin_lo")
+    ).agg(F.count(F.lit(1)).alias("counts"))
+
+
+VALUE_HISTOGRAM_SQL = """
+SELECT event_type AS topic,
+       CAST(floor(value / 50) * 50 AS BIGINT) AS bin_lo,
+       count(*) AS counts
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def cumulative_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total of daily counts per topic (exact long sums over
+    a sorted window — the cumulative chart)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("topic"),
+        F.date_trunc("day", "ts").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("counts"))
+    w = (
+        Window.partitionBy("topic")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "topic", "day", "counts", F.sum("counts").over(w).alias("cum_counts")
+    )
+
+
+CUMULATIVE_DAILY_COUNTS_SQL = """
+WITH daily AS (
+  SELECT event_type AS topic, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS counts
+  FROM events GROUP BY 1, 2
+)
+SELECT topic, day, counts,
+       sum(counts) OVER (PARTITION BY topic ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_counts
+FROM daily
+"""

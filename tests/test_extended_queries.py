@@ -211,3 +211,39 @@ def test_asof_join_generic_semantics(spark):
     }
     # L1@10 matches R10 (inclusive); L2@20 matches R15; L3@5 has no prior right
     assert got == {"L1": "R10", "L2": "R15", "L3": None}
+
+
+def test_moving_avg_daily(spark, sf_dir):
+    assert_parity(
+        serving.moving_avg_daily(spark, sf_dir),
+        serving.MOVING_AVG_DAILY_SQL,
+        sf_dir,
+        "ma7",
+    )
+
+
+def test_value_quartiles(spark, sf_dir):
+    assert_parity(
+        serving.value_quartile_assignments(spark, sf_dir),
+        serving.VALUE_QUARTILE_ASSIGNMENTS_SQL,
+        sf_dir,
+        "ntile",
+    )
+
+
+def test_value_histogram(spark, sf_dir):
+    assert_parity(
+        serving.value_histogram(spark, sf_dir),
+        serving.VALUE_HISTOGRAM_SQL,
+        sf_dir,
+        "hist",
+    )
+
+
+def test_cumulative_daily(spark, sf_dir):
+    assert_parity(
+        serving.cumulative_daily_counts(spark, sf_dir),
+        serving.CUMULATIVE_DAILY_COUNTS_SQL,
+        sf_dir,
+        "cum",
+    )
