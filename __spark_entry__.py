@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "dedup_simhash": dedup.simhash,
         "dedup_ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "dedup_containment_pairs": dedup.containment_pairs,
+        "dedup_clusters": dedup.dedup_clusters,
         # LLM-data-pipeline: text analysis
         "text_token_stats": textstats.token_stats,
         "text_token_counts": textstats.token_counts,
@@ -166,6 +168,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh_pairs": dedup.MINHASH_LSH_PAIRS_SQL,
         "dedup_simhash": dedup.SIMHASH_SQL,
         "dedup_ngram_jaccard_pairs": dedup.NGRAM_JACCARD_PAIRS_SQL,
+        "dedup_containment_pairs": dedup.CONTAINMENT_PAIRS_SQL,
+        "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
         "text_token_stats": textstats.TOKEN_STATS_SQL,
         "text_token_counts": textstats.TOKEN_COUNTS_SQL,
         "text_lang_id": textstats.LANG_ID_SQL,

@@ -328,3 +328,143 @@ FROM sh l JOIN sh r ON l.lang = r.lang AND l.doc_id < r.doc_id
 WHERE round(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
             / (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))), 6) >= 0.2
 """
+
+
+CONTAINMENT_THRESHOLD = 0.4
+
+
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-containment: |A∩B| / |A| — catches documents
+    that are (mostly) embedded inside another (quotes, boilerplate
+    wrappers), which symmetric Jaccard under-scores. Blocked by lang
+    like the Jaccard pairs; at scale block by LSH bucket instead.
+    """
+    docs = _with_shingles(_docs_spread(spark, sf_dir)).select(
+        "doc_id", "lang", "sh"
+    )
+    l, r = docs.alias("l"), docs.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l.lang") == F.col("r.lang"))
+        & (F.col("l.doc_id") != F.col("r.doc_id")),
+    )
+    inter = F.size(F.array_intersect("l.sh", "r.sh"))
+    containment = F.round(
+        inter.cast("double") / F.size("l.sh").cast("double"), 6
+    )
+    return (
+        pairs.select(
+            F.col("l.doc_id").alias("contained_doc"),
+            F.col("r.doc_id").alias("container_doc"),
+            containment.alias("containment"),
+        )
+        .where(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )
+
+
+CONTAINMENT_PAIRS_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, lang,
+         list_distinct({shingles_sql("string_split(text, ' ')", SHINGLE_N)}) AS sh
+  FROM documents
+)
+SELECT l.doc_id AS contained_doc, r.doc_id AS container_doc,
+       round(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) / len(l.sh), 6) AS containment
+FROM sh l JOIN sh r ON l.lang = r.lang AND l.doc_id != r.doc_id
+WHERE round(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) / len(l.sh), 6) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+CC_ITERS = 3
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS -> dedup CLUSTERS via min-label propagation
+    (connected components), the step that turns pairwise similarity
+    into keep/drop decisions: every doc gets the min doc_id of its
+    component; the component representative is the survivor.
+
+    Fixed CC_ITERS label-propagation rounds (each: one join on the
+    edge list + min-aggregate — all shuffles on doc_id). A production
+    loop iterates until a convergence counter stops changing; fixed
+    rounds keep the operator oracle-reproducible, and both engines run
+    the same rounds so results agree even on non-converged graphs.
+    """
+    edges = ngram_jaccard_pairs(spark, sf_dir, threshold=0.2).select(
+        "doc_a", "doc_b"
+    )
+    # symmetric edge list
+    sym = edges.unionByName(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).localCheckpoint(eager=True)
+    labels = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(CC_ITERS):
+        neighbor_min = (
+            sym.join(labels, sym.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = (
+            labels.join(
+                neighbor_min, labels.doc_id == neighbor_min.doc_a, "left"
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)  # iterative: truncate lineage
+        )
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_survivor"),
+    )
+
+
+def _dedup_clusters_sql() -> str:
+    parts = [
+        f"""WITH sh AS (
+  SELECT doc_id, lang,
+         list_distinct({shingles_sql("string_split(text, ' ')", SHINGLE_N)}) AS sh
+  FROM documents
+),
+edges0 AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM sh l JOIN sh r ON l.lang = r.lang AND l.doc_id < r.doc_id
+  WHERE round(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+              / (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))), 6) >= 0.2
+),
+sym AS (
+  SELECT doc_a, doc_b FROM edges0
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM edges0
+),
+l0 AS (SELECT doc_id, doc_id AS label FROM documents)"""
+    ]
+    for i in range(CC_ITERS):
+        parts.append(
+            f"""n{i} AS (
+  SELECT s.doc_a, min(l.label) AS nmin
+  FROM sym s JOIN l{i} l ON s.doc_b = l.doc_id
+  GROUP BY s.doc_a
+),
+l{i + 1} AS (
+  SELECT l.doc_id, least(l.label, coalesce(n.nmin, l.label)) AS label
+  FROM l{i} l LEFT JOIN n{i} n ON l.doc_id = n.doc_a
+)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT doc_id, label AS cluster_id, doc_id = label AS is_survivor FROM l{CC_ITERS}"
+    )
+
+
+DEDUP_CLUSTERS_SQL = _dedup_clusters_sql()

@@ -279,3 +279,35 @@ def test_kmeans_iterations_do_not_increase_sse(spark, sf_dir):
         s = sse(a)
         assert s <= s_prev + 1e-6
         s_prev = s
+
+
+def test_containment_pairs(spark, sf_dir):
+    assert_parity(
+        dedup.containment_pairs(spark, sf_dir),
+        dedup.CONTAINMENT_PAIRS_SQL,
+        sf_dir,
+        "containment",
+    )
+
+
+def test_dedup_clusters_parity(spark, sf_dir):
+    assert_parity(
+        dedup.dedup_clusters(spark, sf_dir),
+        dedup.DEDUP_CLUSTERS_SQL,
+        sf_dir,
+        "clusters",
+    )
+
+
+def test_dedup_clusters_group_connected_pairs(spark, sf_dir):
+    """Every near-dup pair must land in one cluster; survivors are the
+    min doc_id of their component."""
+    pairs = dedup.ngram_jaccard_pairs(spark, sf_dir, threshold=0.2).collect()
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dedup_clusters(spark, sf_dir).collect()
+    }
+    for p in pairs:
+        assert labels[p.doc_a] == labels[p.doc_b]
+    survivors = {v for v in labels.values()}
+    assert all(labels[s] == s for s in survivors)
