@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_doc_fingerprint": textstats.doc_fingerprint,
         "text_redact": textstats.redact_text,
         "text_sample_stratified": textstats.sample_documents,
+        "text_corpus_funnel": textstats.corpus_funnel,
         # LLM-data-pipeline: similarity search
         "sim_knn_bruteforce": similarity.knn_bruteforce,
         "sim_knn_lsh": similarity.knn_lsh,
@@ -176,6 +177,7 @@ def oracle_sql() -> dict[str, str]:
         "text_doc_fingerprint": textstats.DOC_FINGERPRINT_SQL,
         "text_redact": textstats.REDACT_TEXT_SQL,
         "text_sample_stratified": textstats.SAMPLE_DOCUMENTS_SQL,
+        "text_corpus_funnel": textstats.CORPUS_FUNNEL_SQL,
         "sim_knn_bruteforce": similarity.KNN_BRUTEFORCE_SQL,
         "sim_knn_lsh": similarity.KNN_LSH_SQL,
         "sim_knn_ivf": similarity.KNN_IVF_SQL,

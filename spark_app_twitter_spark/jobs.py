@@ -79,3 +79,34 @@ def run_pipeline(
         available_now=cfg.available_now,
     )
     return [ingest_q, serving_q]
+
+
+def backfill_serving(
+    spark: SparkSession,
+    datalake_path: str,
+    serving_path: str,
+    date_from: str,
+    date_to: str,
+) -> None:
+    """Operational catch-up: rebuild serving cells for a date range
+    straight from the datalake (the reference has no such path — a
+    missed hour is simply lost, SURVEY §2.8).
+
+    Batch reuse of the streaming aggregation: hourly_topic_aggregate
+    is source-agnostic, so backfill and live stream cannot drift.
+    Partition pruning on the hive `date` column keeps the scan to the
+    requested range; the upsert keys make re-running any range
+    idempotent.
+    """
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.sources.sinks import upsert_parquet_batch
+    from spark_app_twitter_spark.streaming.windowed import (
+        hourly_topic_aggregate,
+    )
+
+    slice_ = spark.read.parquet(datalake_path).where(
+        (F.col("date") >= date_from) & (F.col("date") <= date_to)
+    )
+    agg = hourly_topic_aggregate(slice_)
+    upsert_parquet_batch(agg, -1, serving_path, keys=["window_start", "topic"])

@@ -309,3 +309,58 @@ FROM documents
 WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
       < CAST(({_RATE_CASE}) * {_HEX_SPAN} AS BIGINT)
 """
+
+
+QUALITY_THRESHOLD = 0.7
+
+
+def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus funnel in one declarative plan:
+    exact-dedup survivors ∩ quality filter ∩ stratified sample.
+
+    Each stage is the already-verified operator; composing them stays
+    one Catalyst plan — filters merge, the dedup window is the only
+    shuffle, and the sample predicate costs a md5 per row. This is
+    the query a 100 TB curation run actually executes before writing
+    training shards (sources/sinks.py write_training_shards).
+    """
+    from spark_app_twitter_spark.operators.dedup import exact_dedup
+
+    survivors = exact_dedup(spark, sf_dir).select("doc_id")
+    quality = token_stats(spark, sf_dir).where(
+        F.col("quality_score") >= QUALITY_THRESHOLD
+    )
+    sampled = sample_documents(spark, sf_dir).select("doc_id")
+    return (
+        quality.join(survivors, "doc_id")
+        .join(sampled, "doc_id")
+        .select("doc_id", "lang", "n_tokens", "quality_score")
+    )
+
+
+CORPUS_FUNNEL_SQL = f"""
+WITH survivors AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+    FROM documents
+  ) WHERE rn = 1
+),
+quality AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 64.0, 1.0) * 0.5
+               + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / len(string_split(text, ' '))) * 0.5, 6) AS quality_score
+  FROM documents
+),
+sampled AS (
+  SELECT doc_id FROM documents
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        < CAST(({_RATE_CASE}) * {_HEX_SPAN} AS BIGINT)
+)
+SELECT q.doc_id, q.lang, q.n_tokens, q.quality_score
+FROM quality q
+JOIN survivors s ON q.doc_id = s.doc_id
+JOIN sampled sa ON q.doc_id = sa.doc_id
+WHERE q.quality_score >= {QUALITY_THRESHOLD}
+"""

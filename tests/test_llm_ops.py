@@ -311,3 +311,12 @@ def test_dedup_clusters_group_connected_pairs(spark, sf_dir):
         assert labels[p.doc_a] == labels[p.doc_b]
     survivors = {v for v in labels.values()}
     assert all(labels[s] == s for s in survivors)
+
+
+def test_corpus_funnel(spark, sf_dir):
+    assert_parity(
+        textstats.corpus_funnel(spark, sf_dir),
+        textstats.CORPUS_FUNNEL_SQL,
+        sf_dir,
+        "funnel",
+    )

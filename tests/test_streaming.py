@@ -393,3 +393,30 @@ def test_streaming_session_window(spark, tmp_path):
         for r in spark.sql("SELECT user_id, n, total FROM session_sink").collect()
     }
     assert got == {(1, 2, 3.0), (1, 1, 4.0), (2, 1, 8.0)}
+
+
+def test_backfill_serving_matches_streaming(spark, tmp_path):
+    """Backfill from the datalake produces the same serving cells the
+    streaming path would — shared aggregation, no drift."""
+    from spark_app_twitter_spark.jobs import backfill_serving
+
+    src = str(tmp_path / "src")
+    lake = str(tmp_path / "lake")
+    _write_fixture(src, FIXTURE[:4])
+    q = sing.ingest_stream(
+        sing.read_json_stream(spark, src), lake, str(tmp_path / "ck1"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    serving = str(tmp_path / "serve")
+    backfill_serving(spark, lake, serving, "2022-03-13", "2022-03-14")
+    rows = {
+        (str(r.window_start), r.topic): (r.positivity_rate, r.counts)
+        for r in spark.read.parquet(serving).collect()
+    }
+    assert len(rows) == 4
+    assert rows[("2022-03-13 14:00:00", "Zelensky")] == (1.0, 1)
+    # idempotent: backfilling the same range again changes nothing
+    backfill_serving(spark, lake, serving, "2022-03-13", "2022-03-14")
+    assert spark.read.parquet(serving).count() == 4
