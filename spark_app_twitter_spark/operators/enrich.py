@@ -11,7 +11,6 @@ Pandas-UDF path hosts real models.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from spark_app_twitter_spark.functions import text as X
 from spark_app_twitter_spark.sources.parquet import load_table
