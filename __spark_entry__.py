@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_value_quartiles": serving.value_quartile_assignments,
         "serving_value_histogram": serving.value_histogram,
         "serving_cumulative_daily": serving.cumulative_daily_counts,
+        "serving_signup_purchase_funnel": serving.signup_purchase_funnel,
         # temporal joins (as-of via union+window, interval range join)
         "asof_purchases_last_click": asof.purchases_with_last_click,
         "range_errors_near_purchases": asof.errors_near_purchases,
@@ -96,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19_disjunctive_revenue": tpch.q19_disjunctive_revenue,
         "tpch_rich_customers_vs_nation": tpch.rich_customers_vs_nation,
         "tpch_q4_order_priority": tpch.q4_order_priority,
+        "tpch_q12_priority_by_status": tpch.q12_priority_by_status,
         # LLM-data-pipeline: dedup family
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_signatures": dedup.minhash_signatures,
@@ -151,6 +153,7 @@ def oracle_sql() -> dict[str, str]:
         "serving_value_quartiles": serving.VALUE_QUARTILE_ASSIGNMENTS_SQL,
         "serving_value_histogram": serving.VALUE_HISTOGRAM_SQL,
         "serving_cumulative_daily": serving.CUMULATIVE_DAILY_COUNTS_SQL,
+        "serving_signup_purchase_funnel": serving.SIGNUP_PURCHASE_FUNNEL_SQL,
         "asof_purchases_last_click": asof.PURCHASES_WITH_LAST_CLICK_SQL,
         "range_errors_near_purchases": asof.ERRORS_NEAR_PURCHASES_SQL,
         "tpch_q1_pricing_summary": tpch.Q1_SQL,
@@ -164,6 +167,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q19_disjunctive_revenue": tpch.Q19_SQL,
         "tpch_rich_customers_vs_nation": tpch.RICH_CUSTOMERS_SQL,
         "tpch_q4_order_priority": tpch.Q4_SQL,
+        "tpch_q12_priority_by_status": tpch.Q12_SQL,
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
         "dedup_minhash_signatures": dedup.MINHASH_SIGNATURES_SQL,
         "dedup_minhash_lsh_pairs": dedup.MINHASH_LSH_PAIRS_SQL,

@@ -539,3 +539,61 @@ SELECT topic, day, counts,
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_counts
 FROM daily
 """
+
+
+FUNNEL_WINDOW_SECONDS = 3600
+
+
+def signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: users who purchase within an hour of a
+    signup. Semi-join keeps only existence (no pair explosion);
+    distinct user sets give the conversion rate as one exact ratio.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("s_ts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    converted = (
+        s.join(
+            p,
+            (s.user_id == p.p_user)
+            & (F.unix_micros("p_ts") > F.unix_micros("s_ts"))
+            & (
+                F.unix_micros("p_ts")
+                <= F.unix_micros("s_ts") + FUNNEL_WINDOW_SECONDS * 1_000_000
+            ),
+            "left_semi",
+        )
+        .select("user_id")
+        .distinct()
+    )
+    signups = s.select("user_id").distinct()
+    n_s = signups.count()
+    n_c = converted.count()
+    return spark.createDataFrame(
+        [(n_s, n_c, round(n_c / n_s, 6) if n_s else 0.0)],
+        "signup_users long, converted_users long, conversion_rate double",
+    )
+
+
+SIGNUP_PURCHASE_FUNNEL_SQL = f"""
+WITH s AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'),
+conv AS (
+  SELECT DISTINCT e.user_id
+  FROM events e
+  WHERE e.event_type = 'signup'
+    AND EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+        AND epoch_us(p.ts) > epoch_us(e.ts)
+        AND epoch_us(p.ts) <= epoch_us(e.ts) + CAST({FUNNEL_WINDOW_SECONDS} AS BIGINT) * 1000000
+    )
+)
+SELECT (SELECT count(*) FROM s) AS signup_users,
+       (SELECT count(*) FROM conv) AS converted_users,
+       round(CAST((SELECT count(*) FROM conv) AS DOUBLE)
+             / (SELECT count(*) FROM s), 6) AS conversion_rate
+"""

@@ -247,3 +247,12 @@ def test_cumulative_daily(spark, sf_dir):
         sf_dir,
         "cum",
     )
+
+
+def test_signup_purchase_funnel(spark, sf_dir):
+    assert_parity(
+        serving.signup_purchase_funnel(spark, sf_dir),
+        serving.SIGNUP_PURCHASE_FUNNEL_SQL,
+        sf_dir,
+        "conv_funnel",
+    )

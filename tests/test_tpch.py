@@ -51,3 +51,9 @@ def test_q4_semi_join(spark, sf_dir):
     assert_parity(
         tpch.q4_order_priority(spark, sf_dir), tpch.Q4_SQL, sf_dir, "q4"
     )
+
+
+def test_q12(spark, sf_dir):
+    assert_parity(
+        tpch.q12_priority_by_status(spark, sf_dir), tpch.Q12_SQL, sf_dir, "q12"
+    )
