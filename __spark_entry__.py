@@ -52,8 +52,30 @@ def _enriched(fn):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordering note: the round-1 driver verified only the first 50
+    entries, so queries without a CORRECTNESS row yet (similarity /
+    multimodal / sampling / funnel families) are listed FIRST, then
+    queries whose code or oracle changed this round, then the rest.
+    """
     return {
+        # --- never driver-verified in r01 (VERDICT item 2) ---
+        "text_sample_stratified": textstats.sample_documents,
+        "text_corpus_funnel": textstats.corpus_funnel,
+        "sim_knn_bruteforce": similarity.knn_bruteforce,
+        "sim_knn_lsh": similarity.knn_lsh,
+        "sim_knn_ivf": similarity.knn_ivf,
+        "sim_embedding_near_dup": similarity.embedding_near_dup,
+        "sim_label_centroids": similarity.label_centroids,
+        "sim_kmeans_cells": clustering.kmeans_cells,
+        "multimodal_media_features": multimodal.media_features,
+        "multimodal_video_frames": multimodal.video_frames,
+        # --- changed this round (oracle casts / single-plan funnel) ---
+        "serving_sessionize": serving.sessionize,
+        "serving_cumulative_daily": serving.cumulative_daily_counts,
+        "tpch_q12_priority_by_status": tpch.q12_priority_by_status,
+        "serving_signup_purchase_funnel": serving.signup_purchase_funnel,
         # §2.2 projections/filters/scalar exprs (P1-P3, P5-P8, P10)
         "ingest_parse_events": ingest.parse_events,
         # §2.6 ML/UDF surface (M1-M2, deterministic lexicon default)
@@ -74,14 +96,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_hourly_window": serving.hourly_window,
         "serving_topic_means": serving.topic_means,
         "serving_distinct_users": serving.distinct_users,
-        "serving_sessionize": serving.sessionize,
         "serving_rollup_value": serving.rollup_value,
         "serving_loyal_purchasers": serving.loyal_purchasers,
         "serving_moving_avg_daily": serving.moving_avg_daily,
         "serving_value_quartiles": serving.value_quartile_assignments,
         "serving_value_histogram": serving.value_histogram,
-        "serving_cumulative_daily": serving.cumulative_daily_counts,
-        "serving_signup_purchase_funnel": serving.signup_purchase_funnel,
         # temporal joins (as-of via union+window, interval range join)
         "asof_purchases_last_click": asof.purchases_with_last_click,
         "range_errors_near_purchases": asof.errors_near_purchases,
@@ -97,7 +116,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19_disjunctive_revenue": tpch.q19_disjunctive_revenue,
         "tpch_rich_customers_vs_nation": tpch.rich_customers_vs_nation,
         "tpch_q4_order_priority": tpch.q4_order_priority,
-        "tpch_q12_priority_by_status": tpch.q12_priority_by_status,
         # LLM-data-pipeline: dedup family
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_signatures": dedup.minhash_signatures,
@@ -112,18 +130,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": textstats.lang_id,
         "text_doc_fingerprint": textstats.doc_fingerprint,
         "text_redact": textstats.redact_text,
-        "text_sample_stratified": textstats.sample_documents,
-        "text_corpus_funnel": textstats.corpus_funnel,
-        # LLM-data-pipeline: similarity search
-        "sim_knn_bruteforce": similarity.knn_bruteforce,
-        "sim_knn_lsh": similarity.knn_lsh,
-        "sim_knn_ivf": similarity.knn_ivf,
-        "sim_embedding_near_dup": similarity.embedding_near_dup,
-        "sim_label_centroids": similarity.label_centroids,
-        "sim_kmeans_cells": clustering.kmeans_cells,
-        # LLM-data-pipeline: multimodal plumbing (mapInPandas decode)
-        "multimodal_media_features": multimodal.media_features,
-        "multimodal_video_frames": multimodal.video_frames,
     }
 
 

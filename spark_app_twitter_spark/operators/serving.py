@@ -363,8 +363,8 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sess AS (
-  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx
   FROM flagged
 )
 SELECT user_id, sess_idx,
@@ -535,8 +535,8 @@ WITH daily AS (
   FROM events GROUP BY 1, 2
 )
 SELECT topic, day, counts,
-       sum(counts) OVER (PARTITION BY topic ORDER BY day
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_counts
+       CAST(sum(counts) OVER (PARTITION BY topic ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_counts
 FROM daily
 """
 
@@ -571,11 +571,22 @@ def signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     signups = s.select("user_id").distinct()
-    n_s = signups.count()
-    n_c = converted.count()
-    return spark.createDataFrame(
-        [(n_s, n_c, round(n_c / n_s, 6) if n_s else 0.0)],
-        "signup_users long, converted_users long, conversion_rate double",
+    # One declarative plan: both distinct sets collapse to 1-row
+    # aggregates cross-joined on the executors — no driver .count()
+    # actions, no double execution of the shared lineage.
+    n_s = signups.agg(F.count(F.lit(1)).alias("signup_users"))
+    n_c = converted.agg(F.count(F.lit(1)).alias("converted_users"))
+    return n_s.crossJoin(n_c).select(
+        "signup_users",
+        "converted_users",
+        F.coalesce(
+            F.round(
+                F.col("converted_users").cast("double")
+                / F.nullif(F.col("signup_users"), F.lit(0)),
+                6,
+            ),
+            F.lit(0.0),
+        ).alias("conversion_rate"),
     )
 
 
@@ -594,6 +605,6 @@ conv AS (
 )
 SELECT (SELECT count(*) FROM s) AS signup_users,
        (SELECT count(*) FROM conv) AS converted_users,
-       round(CAST((SELECT count(*) FROM conv) AS DOUBLE)
-             / (SELECT count(*) FROM s), 6) AS conversion_rate
+       coalesce(round(CAST((SELECT count(*) FROM conv) AS DOUBLE)
+             / NULLIF((SELECT count(*) FROM s), 0), 6), 0.0) AS conversion_rate
 """
