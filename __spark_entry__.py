@@ -71,7 +71,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_kmeans_cells": clustering.kmeans_cells,
         "multimodal_media_features": multimodal.media_features,
         "multimodal_video_frames": multimodal.video_frames,
+        # --- new this round ---
+        "dedup_simhash64_pairs": dedup.simhash64_pairs,
         # --- changed this round (oracle casts / single-plan funnel) ---
+        "dedup_simhash": dedup.simhash,
         "serving_sessionize": serving.sessionize,
         "serving_cumulative_daily": serving.cumulative_daily_counts,
         "tpch_q12_priority_by_status": tpch.q12_priority_by_status,
@@ -120,7 +123,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_signatures": dedup.minhash_signatures,
         "dedup_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
-        "dedup_simhash": dedup.simhash,
         "dedup_ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "dedup_containment_pairs": dedup.containment_pairs,
         "dedup_clusters": dedup.dedup_clusters,
@@ -178,6 +180,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_signatures": dedup.MINHASH_SIGNATURES_SQL,
         "dedup_minhash_lsh_pairs": dedup.MINHASH_LSH_PAIRS_SQL,
         "dedup_simhash": dedup.SIMHASH_SQL,
+        "dedup_simhash64_pairs": dedup.SIMHASH64_PAIRS_SQL,
         "dedup_ngram_jaccard_pairs": dedup.NGRAM_JACCARD_PAIRS_SQL,
         "dedup_containment_pairs": dedup.CONTAINMENT_PAIRS_SQL,
         "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,

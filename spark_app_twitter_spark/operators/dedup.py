@@ -37,9 +37,16 @@ NUM_HASHES = 8
 BANDS = 4  # rows per band = NUM_HASHES // BANDS = 2
 JACCARD_THRESHOLD = 0.5
 
-# Odd hex digits — used for hash-bit parity in simhash.
-_ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
-SIMHASH_BITS = 16
+# 64-bit SimHash: all 4 bits of each of md5's first 16 hex digits.
+# 4 bands x 16 bits; Hamming distance <= 3 guarantees (pigeonhole)
+# at least one identical band, so banding is recall-lossless for the
+# <=3 radius. 2^64 signature space — no mass collisions at corpus
+# scale (the round-1 16-bit version had only 65k buckets).
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 16
+SIMHASH_HAMMING_MAX = 3
+_HEX_ALPHABET = "0123456789abcdef"
 
 
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,54 +240,167 @@ WHERE round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
 MINHASH_LSH_PAIRS_SQL = _minhash_lsh_sql()
 
 
-def _parity_pm1(token_expr: str, bit: int) -> str:
-    """+1/-1 from the parity of hex digit `bit` of md5(token) — SQL
-    fragment valid in both Spark SQL and DuckDB."""
-    odd = ", ".join(f"'{d}'" for d in _ODD_HEX)
+def _pm1_spark(bit: int) -> str:
+    """+1/-1 from bit `bit` (0..63) of md5(h): hex digit bit//4,
+    intra-digit bit bit%4. `h` is the lambda var bound to a
+    precomputed md5 hex string (computed ONCE per token)."""
+    digit, j = bit // 4, bit % 4
     return (
-        f"CASE WHEN substr(md5({token_expr}), {bit + 1}, 1) IN ({odd}) "
-        "THEN 1 ELSE -1 END"
+        f"CASE WHEN (shiftright(instr('{_HEX_ALPHABET}', "
+        f"substr(h, {digit + 1}, 1)) - 1, {j}) & 1) = 1 THEN 1 ELSE -1 END"
     )
+
+
+def _pm1_duckdb(bit: int) -> str:
+    digit, j = bit // 4, bit % 4
+    return (
+        f"CASE WHEN ((strpos('{_HEX_ALPHABET}', "
+        f"h[{digit + 1}:{digit + 1}]) - 1) >> {j}) & 1 = 1 THEN 1 ELSE -1 END"
+    )
+
+
+def _band_expr_spark(b: int) -> str:
+    """16-bit band value b: each bit is the sign of the per-bit
+    token-parity sum. One aggregate per bit over the shared `hs`
+    md5 array (kept as a real column so Catalyst computes the md5
+    transform once, not per-bit)."""
+    return " + ".join(
+        f"(CASE WHEN aggregate(hs, 0, (acc, h) -> acc + "
+        f"{_pm1_spark(b * SIMHASH_BAND_BITS + j)}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BAND_BITS)
+    )
+
+
+def _band_expr_duckdb(b: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> "
+        f"{_pm1_duckdb(b * SIMHASH_BAND_BITS + j)})) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BAND_BITS)
+    )
+
+
+def _simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, b0..b3): the 64-bit SimHash as four 16-bit band ints.
+    Map-only; md5-per-token computed once via the `hs` column."""
+    docs = _docs_spread(spark, sf_dir)
+    return docs.withColumn(
+        "hs", F.expr("transform(split(text, ' '), t -> md5(t))")
+    ).select(
+        "doc_id",
+        *[
+            F.expr(_band_expr_spark(b)).cast("int").alias(f"b{b}")
+            for b in range(SIMHASH_BANDS)
+        ],
+    )
+
+
+_SIMHASH_BANDS_CTE = f"""
+hs AS (
+  SELECT doc_id, list_transform(string_split(text, ' '), t -> md5(t)) AS hs
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+    {", ".join(f"CAST({_band_expr_duckdb(b)} AS INTEGER) AS b{b}" for b in range(SIMHASH_BANDS))}
+  FROM hs
+)"""
 
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc 16-bit SimHash + duplicate-cluster size.
-
-    bit_i(doc) = sign of sum over tokens of parity_i(md5(token)).
-    Equal signatures = near-identical token distributions. Map-only
+    """Per-doc 64-bit SimHash (lowercase hex) + duplicate-cluster
+    size: equal signatures = near-identical token multisets. Map-only
     signature computation (higher-order functions, no UDF), then one
-    shuffle to size the clusters.
-    """
-    docs = _docs_spread(spark, sf_dir)
-    bit_terms = " + ".join(
-        f"(CASE WHEN aggregate(transform(split(text, ' '), "
-        f"t -> {_parity_pm1('t', i)}), 0, (acc, x) -> acc + x) > 0 "
-        f"THEN {1 << i} ELSE 0 END)"
-        for i in range(SIMHASH_BITS)
-    )
-    sig = docs.select(
-        "doc_id", F.expr(f"{bit_terms}").cast("long").alias("simhash")
+    shuffle to size the clusters. 2^64 signature space — no mass
+    false collisions at corpus scale."""
+    sig = _simhash_bands(spark, sf_dir)
+    hexsig = F.format_string(
+        "%04x" * SIMHASH_BANDS, *[F.col(f"b{b}") for b in range(SIMHASH_BANDS)]
     )
     w = Window.partitionBy("simhash")
-    return sig.withColumn("cluster_size", F.count(F.lit(1)).over(w))
-
-
-def _simhash_sql() -> str:
-    bit_terms = " + ".join(
-        f"(CASE WHEN list_sum(list_transform(string_split(text, ' '), "
-        f"t -> {_parity_pm1('t', i)})) > 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(SIMHASH_BITS)
+    return (
+        sig.select("doc_id", hexsig.alias("simhash"))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
     )
-    return f"""
-WITH sig AS (
-  SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM documents
-)
-SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS cluster_size
+
+
+SIMHASH_SQL = f"""
+WITH {_SIMHASH_BANDS_CTE}
+SELECT doc_id, printf('{"%04x" * SIMHASH_BANDS}', {", ".join(f"b{b}" for b in range(SIMHASH_BANDS))}) AS simhash,
+       count(*) OVER (PARTITION BY printf('{"%04x" * SIMHASH_BANDS}', {", ".join(f"b{b}" for b in range(SIMHASH_BANDS))})) AS cluster_size
 FROM sig
 """
 
 
-SIMHASH_SQL = _simhash_sql()
+def simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs within Hamming distance <= 3 of the 64-bit
+    SimHash, via recall-lossless band bucketing.
+
+    Pigeonhole: <= 3 differing bits touch <= 3 of the 4 bands, so
+    every qualifying pair shares at least one exact 16-bit band —
+    candidates come from a bucket join on (band_idx, band_value),
+    never an all-pairs compare. Exact popcount-of-XOR verify after.
+    At 100 TB: narrow (doc_id, 4xint) rows through one bucket
+    shuffle; work scales with bucket occupancy, not n^2.
+    """
+    sig = _simhash_bands(spark, sf_dir).localCheckpoint(eager=True)
+    bands = sig.select(
+        "doc_id",
+        *[f"b{b}" for b in range(SIMHASH_BANDS)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"b{b}").alias("bv")
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", *[f"b{b}" for b in range(SIMHASH_BANDS)], "bb.band", "bb.bv")
+    hamming = sum(
+        F.expr(f"bit_count(l.b{b} ^ r.b{b})") for b in range(SIMHASH_BANDS)
+    ).cast("int")
+    return (
+        bands.alias("l")
+        .join(
+            bands.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def _simhash64_pairs_sql() -> str:
+    band_arms = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {', '.join(f'b{b}' for b in range(SIMHASH_BANDS))}, "
+        f"{k} AS band, b{k} AS bv FROM sig"
+        for k in range(SIMHASH_BANDS)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(l.b{b}, r.b{b}))" for b in range(SIMHASH_BANDS)
+    )
+    return f"""
+WITH {_SIMHASH_BANDS_CTE},
+bands AS (
+{band_arms}
+)
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       CAST({ham} AS INTEGER) AS hamming
+FROM bands l JOIN bands r
+  ON l.band = r.band AND l.bv = r.bv AND l.doc_id < r.doc_id
+WHERE CAST({ham} AS INTEGER) <= {SIMHASH_HAMMING_MAX}
+"""
+
+
+SIMHASH64_PAIRS_SQL = _simhash64_pairs_sql()
 
 
 def ngram_jaccard_pairs(

@@ -73,9 +73,12 @@ FROM t
 
 
 def char_trigrams_expr() -> F.Column:
-    """Character trigrams of ``text`` (assumes length >= 3)."""
+    """Character trigrams of ``text``; docs shorter than 3 chars give
+    an empty array (Spark's sequence() counts DOWN when stop < start,
+    so the guard is required for parity with DuckDB's range())."""
     return F.expr(
-        "transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))"
+        "CASE WHEN length(text) < 3 THEN cast(array() as array<string>) "
+        "ELSE transform(sequence(1, length(text) - 2), i -> substr(text, i, 3)) END"
     )
 
 
@@ -173,14 +176,17 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", spread=True)
     hashes = F.array_sort(
         F.expr(
-            "transform(sequence(1, length(text) - 4), i -> md5(substr(text, i, 5)))"
+            "CASE WHEN length(text) < 5 THEN cast(array() as array<string>) "
+            "ELSE transform(sequence(1, length(text) - 4), i -> md5(substr(text, i, 5))) END"
         )
     )
+    # try_element_at: NULL (not error) past the end, matching DuckDB's
+    # hs[i] semantics when a short doc has < 3 shingles.
     return docs.select(
         "doc_id",
-        F.element_at(hashes, 1).alias("fp1"),
-        F.element_at(hashes, 2).alias("fp2"),
-        F.element_at(hashes, 3).alias("fp3"),
+        F.try_element_at(hashes, F.lit(1)).alias("fp1"),
+        F.try_element_at(hashes, F.lit(2)).alias("fp2"),
+        F.try_element_at(hashes, F.lit(3)).alias("fp3"),
     )
 
 

@@ -58,12 +58,29 @@ def upsert_parquet_batch(
     spark = batch.sparkSession
     try:
         current = spark.read.parquet(path)
+    except Exception as e:
+        # ONLY the missing-path case means "first batch". Any other
+        # read failure (permissions, corrupt footer, concurrent
+        # writer) must fail the streaming query loudly — falling
+        # through would overwrite the serving table with just this
+        # micro-batch (unbounded data loss).
+        err_class = ""
+        for attr in ("getCondition", "getErrorClass"):
+            fn = getattr(e, attr, None)
+            if callable(fn):
+                try:
+                    err_class = fn() or ""
+                    break
+                except Exception:
+                    pass
+        if "PATH_NOT_FOUND" not in err_class and "Path does not exist" not in str(e):
+            raise
+        out = batch
+    else:
         remaining = current.join(
             batch.select(*keys).dropDuplicates(keys), list(keys), "left_anti"
         )
         out = remaining.unionByName(batch)
-    except Exception:  # first batch: table does not exist yet
-        out = batch
     # Sever lineage before overwriting the path we just read from —
     # a lazy plan would delete its own input mid-scan.
     out = out.localCheckpoint(eager=True)

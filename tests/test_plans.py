@@ -45,6 +45,17 @@ def test_serving_join_broadcasts_aggregate(spark, sf_dir):
     assert E.has_broadcast_join(df)
 
 
+def test_serving_join_single_enrichment_pass(spark, sf_dir):
+    """VERDICT r01 item 4: both J1 join sides must read the persisted
+    single-pass aggregate — the enrichment projection and the shuffle
+    run once, not once per branch."""
+    df = aggregates.aggregated_serving(spark, sf_dir)
+    plan = E.executed_plan(df)
+    assert plan.count("InMemoryTableScan") == 2, (
+        "both join branches must read the cached combined aggregate"
+    )
+
+
 def test_knn_broadcasts_queries(spark, sf_dir):
     df = similarity.knn_bruteforce(spark, sf_dir)
     assert E.has_broadcast_join(df)

@@ -420,3 +420,30 @@ def test_backfill_serving_matches_streaming(spark, tmp_path):
     # idempotent: backfilling the same range again changes nothing
     backfill_serving(spark, lake, serving, "2022-03-13", "2022-03-14")
     assert spark.read.parquet(serving).count() == 4
+
+
+def test_upsert_batch_reraises_non_missing_path_errors(spark, tmp_path):
+    """ADVICE r01: only a MISSING serving table means 'first batch'.
+    A corrupt/unreadable table must raise (never silently overwrite
+    the serving state with one micro-batch)."""
+    import pytest
+    from spark_app_twitter_spark.sources.sinks import upsert_parquet_batch
+
+    batch = spark.range(3).withColumnRenamed("id", "key")
+
+    # missing path -> treated as first batch, table created
+    missing = str(tmp_path / "fresh")
+    upsert_parquet_batch(batch, 0, missing, ["key"])
+    assert spark.read.parquet(missing).count() == 3
+
+    # corrupt table (not-a-parquet footer) -> must raise, not overwrite
+    corrupt = str(tmp_path / "corrupt")
+    import os
+
+    os.makedirs(corrupt)
+    with open(os.path.join(corrupt, "part-00000.parquet"), "wb") as f:
+        f.write(b"this is not parquet")
+    with pytest.raises(Exception):
+        upsert_parquet_batch(batch, 1, corrupt, ["key"])
+    # the corrupt marker file is still there (no overwrite happened)
+    assert os.path.exists(os.path.join(corrupt, "part-00000.parquet"))
