@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video_frames": multimodal.video_frames,
         # --- new this round ---
         "dedup_simhash64_pairs": dedup.simhash64_pairs,
+        "serving_cube_value": serving.cube_value,
         # --- changed this round (oracle casts / single-plan funnel) ---
         "dedup_simhash": dedup.simhash,
         "serving_sessionize": serving.sessionize,
@@ -156,6 +157,7 @@ def oracle_sql() -> dict[str, str]:
         "serving_distinct_users": serving.DISTINCT_USERS_SQL,
         "serving_sessionize": serving.SESSIONIZE_SQL,
         "serving_rollup_value": serving.ROLLUP_VALUE_SQL,
+        "serving_cube_value": serving.CUBE_VALUE_SQL,
         "serving_loyal_purchasers": serving.LOYAL_PURCHASERS_SQL,
         "serving_moving_avg_daily": serving.MOVING_AVG_DAILY_SQL,
         "serving_value_quartiles": serving.VALUE_QUARTILE_ASSIGNMENTS_SQL,

@@ -100,13 +100,24 @@ def emotion_sql(text_expr: str = "text") -> str:
 # from the iterator form.
 # ---------------------------------------------------------------------------
 def make_pandas_classifier(
-    fn: Callable[[pd.Series], pd.Series], label_type: T.DataType = T.StringType()
+    fn: Callable[..., pd.Series],
+    label_type: T.DataType = T.StringType(),
+    init: Callable[[], object] | None = None,
 ):
+    """Arrow-batched iterator classifier UDF.
+
+    Without ``init``: ``fn(batch) -> labels`` per Arrow batch.
+    With ``init``: ``init()`` loads the model ONCE per python worker
+    task (before the batch loop — the expensive weight load is
+    amortized over every batch the worker sees), then
+    ``fn(batch, model) -> labels`` per batch.
+    """
+
     @F.pandas_udf(label_type)
     def classify(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        # model init would happen here, once per python worker
+        model = init() if init is not None else None
         for batch in batches:
-            yield fn(batch)
+            yield fn(batch, model) if init is not None else fn(batch)
 
     return classify
 

@@ -407,6 +407,37 @@ GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'))
 """
 
 
+def cube_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (topic, date): all 4 grouping combinations — the last
+    member of the §2.4 grouping family (GROUPING SETS and ROLLUP are
+    oracle-checked beside it). Still one shuffle: Spark expands the
+    grouping-set rows map-side before the exchange.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.col("event_type").alias("topic"),
+            F.date_format("ts", "yyyy-MM-dd").alias("date"),
+            F.col("value").cast(_VAL_DEC).alias("v"),
+        )
+        .cube("topic", "date")
+        .agg(
+            F.count(F.lit(1)).alias("counts"),
+            F.sum("v").cast("double").alias("total_value"),
+        )
+    )
+
+
+CUBE_VALUE_SQL = """
+SELECT event_type AS topic,
+       strftime(ts, '%Y-%m-%d') AS date,
+       count(*) AS counts,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))
+"""
+
+
 def loyal_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations (SURVEY §2.5 'absent but free'): users who
     purchased AND clicked but never errored —

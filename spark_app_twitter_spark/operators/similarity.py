@@ -220,27 +220,6 @@ N_PROBE = 2
 COSINE_DUP_THRESHOLD = 0.35  # synthetic embeddings are near-orthogonal; real corpora use ~0.9
 
 
-def _centroid_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Assemble per-label centroid vectors from the long-format means
-    (deterministic: dims sorted, values quantized by label_centroids)."""
-    cent = label_centroids(spark, sf_dir)
-    return cent.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "centroid_v"))),
-            lambda s: s["centroid_v"],
-        ).alias("cell_cv")
-    )
-
-
-_CENTROID_ARRAYS_CTE = f"""
-cent AS ({LABEL_CENTROIDS_SQL.strip()}),
-cells AS (
-  SELECT label, list(centroid_v ORDER BY dim ASC) AS cell_cv
-  FROM cent GROUP BY label
-)
-"""
-
-
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse-quantize into centroid cells, probe the
     N_PROBE nearest cells per query, exact top-k inside them.
@@ -249,23 +228,31 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign every vector in one map pass; the search joins query
     probes to candidate cells on the cell id — work is
     candidates-in-probed-cells, not N. Recall is tunable via N_PROBE.
-    Here cells come from label centroids (deterministic); production
-    would k-means them.
+    Cells are LEARNED: deterministic Lloyd k-means
+    (operators/clustering.py, fixed first-k init, quantized means) —
+    the structure a production IVF index trains, with the same
+    oracle-reproducibility as the rest of the engine.
     """
-    # |cells| rows after a full centroid aggregation: materialize once
-    # instead of recomputing the explode+groupBy for each assign()
-    cells = _centroid_arrays(spark, sf_dir).localCheckpoint(eager=True)
+    from spark_app_twitter_spark.operators.clustering import kmeans_centroids
+
+    # k tiny centroid rows after the Lloyd iterations: materialize
+    # once instead of recomputing the iteration chain per assign()
+    cells = (
+        kmeans_centroids(spark, sf_dir)
+        .select("cell", F.col("cv").alias("cell_cv"))
+        .localCheckpoint(eager=True)
+    )
     q, c = _queries_and_cands(spark, sf_dir)
 
     def assign(df: DataFrame, key: str, vec: str, keep: int) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cells)).withColumn(
             "cell_sim", F.round(cosine(F.col(vec), F.col("cell_cv")), 6)
         )
-        w = Window.partitionBy(key).orderBy(F.desc("cell_sim"), F.asc("label"))
+        w = Window.partitionBy(key).orderBy(F.desc("cell_sim"), F.asc("cell"))
         return (
             scored.withColumn("crk", F.row_number().over(w))
             .where(F.col("crk") <= keep)
-            .select(key, vec, F.col("label").alias("cell"))
+            .select(key, vec, "cell")
         )
 
     cand_cells = assign(c, "neighbor_id", "cv", 1)
@@ -284,29 +271,37 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-KNN_IVF_SQL = f"""
-WITH {_CENTROID_ARRAYS_CTE.strip()},
+def _knn_ivf_sql() -> str:
+    from spark_app_twitter_spark.operators.clustering import (
+        ITERS,
+        kmeans_centroid_ctes,
+    )
+
+    kmeans_chain = ",\n".join(kmeans_centroid_ctes())
+    return f"""
+WITH {kmeans_chain},
+cells AS (SELECT cell, cv AS cell_cv FROM c{ITERS}),
 q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}
 ),
-c AS (
+cand AS (
   SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE vec_id >= {N_QUERIES}
 ),
 cand_cells AS (
   SELECT neighbor_id, cv, cell FROM (
-    SELECT c.neighbor_id, c.cv, cells.label AS cell,
+    SELECT c.neighbor_id, c.cv, cells.cell,
            row_number() OVER (PARTITION BY c.neighbor_id
                               ORDER BY round({cosine_sql('c.cv', 'cells.cell_cv')}, 6) DESC,
-                                       cells.label ASC) AS crk
-    FROM c CROSS JOIN cells
+                                       cells.cell ASC) AS crk
+    FROM cand c CROSS JOIN cells
   ) WHERE crk <= 1
 ),
 probe_cells AS (
   SELECT query_id, qv, cell FROM (
-    SELECT q.query_id, q.qv, cells.label AS cell,
+    SELECT q.query_id, q.qv, cells.cell,
            row_number() OVER (PARTITION BY q.query_id
                               ORDER BY round({cosine_sql('q.qv', 'cells.cell_cv')}, 6) DESC,
-                                       cells.label ASC) AS crk
+                                       cells.cell ASC) AS crk
     FROM q CROSS JOIN cells
   ) WHERE crk <= {N_PROBE}
 ),
@@ -321,6 +316,9 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
   FROM scored
 ) WHERE rank <= {TOP_K}
 """
+
+
+KNN_IVF_SQL = _knn_ivf_sql()
 
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

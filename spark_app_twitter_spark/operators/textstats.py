@@ -95,8 +95,21 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: doc_id, predicted, actual, correct.
     """
-    docs = load_table(spark, sf_dir, "documents", spread=True).select(
-        "doc_id", "lang", char_trigrams_expr().alias("tri")
+    # Pre-filter docs shorter than a trigram instead of using the
+    # guarded expr: explode(empty array) drops the row anyway, the
+    # filter pushes to the scan, and the UNguarded transform keeps the
+    # explode in the fast codegen Generate path (the CASE-wrapped
+    # variant measured ~50% slower here).
+    docs = (
+        load_table(spark, sf_dir, "documents", spread=True)
+        .where(F.length("text") >= 3)
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(
+                "transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))"
+            ).alias("tri"),
+        )
     )
     # NOTE: profile build and scoring both consume the explode; a
     # measured localCheckpoint here LOST time in one-shot runs

@@ -10,6 +10,13 @@ These builders only construct plans; they need the spark-sql-kafka
 connector jar and live brokers at ``start()`` time, so unit tests
 exercise the same projection via the file stream instead
 (streaming/ingest.py) — the DataFrame surface is identical.
+
+Connector probe log (per-round check for a usable jar):
+- 2026-08-13 (round 2): no ``spark-sql-kafka`` jar in
+  ``pyspark/jars``, no ``~/.ivy2`` cache, no package network access
+  — the live Kafka path remains unexecutable in this container.
+  ``tests/test_sources.py`` asserts the builder produces the kafka
+  source plan up to the connector-resolution boundary.
 """
 
 from __future__ import annotations

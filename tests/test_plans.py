@@ -46,13 +46,18 @@ def test_serving_join_broadcasts_aggregate(spark, sf_dir):
 
 
 def test_serving_join_single_enrichment_pass(spark, sf_dir):
-    """VERDICT r01 item 4: both J1 join sides must read the persisted
-    single-pass aggregate — the enrichment projection and the shuffle
-    run once, not once per branch."""
+    """VERDICT r01 item 4: both J1 join sides must read the
+    already-materialized single-pass aggregate — the enrichment
+    projection and its shuffle ran ONCE (inside the eager
+    localCheckpoint), so the join plan contains no parquet scan and
+    no enrichment expression at all."""
     df = aggregates.aggregated_serving(spark, sf_dir)
     plan = E.executed_plan(df)
-    assert plan.count("InMemoryTableScan") == 2, (
-        "both join branches must read the cached combined aggregate"
+    assert plan.count("Scan ExistingRDD") == 2, (
+        "both join branches must read the checkpointed combined aggregate"
+    )
+    assert "Scan parquet" not in plan, (
+        "enrichment must not re-run inside the join plan"
     )
 
 

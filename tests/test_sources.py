@@ -63,3 +63,20 @@ def test_write_training_shards(spark, tmp_path, sf_dir):
     a = sorted(tuple(sorted(pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist())) for f in files)
     b = sorted(tuple(sorted(pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist())) for f in glob.glob(f"{out2}/part-*.parquet"))
     assert a == b
+
+
+def test_kafka_builder_reaches_connector_boundary(spark):
+    """Probe (round 2, 2026-08-13): no spark-sql-kafka jar ships in
+    this container, so the live path cannot run. This pins the
+    builder's behavior UP TO that boundary: the failure must be
+    connector resolution (DATA_SOURCE_NOT_FOUND), not an options or
+    plan-construction error."""
+    import pytest
+
+    from spark_app_twitter_spark.sources.kafka import read_kafka_stream
+
+    with pytest.raises(Exception) as ei:
+        read_kafka_stream(spark, "localhost:9092", "topic_a,topic_b")
+    msg = str(ei.value)
+    assert "kafka" in msg.lower()
+    assert "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg
