@@ -74,6 +74,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round ---
         "dedup_simhash64_pairs": dedup.simhash64_pairs,
         "serving_cube_value": serving.cube_value,
+        "tpch_q7_volume_shipping": tpch.q7_volume_shipping,
+        "tpch_q8_market_share": tpch.q8_market_share,
+        "tpch_q9_product_profit": tpch.q9_product_profit,
+        "tpch_q10_returned_items": tpch.q10_returned_items,
+        "tpch_q11_important_parts": tpch.q11_important_parts,
+        "tpch_q13_customer_distribution": tpch.q13_customer_distribution,
+        "tpch_q15_top_supplier": tpch.q15_top_supplier,
+        "tpch_q16_supplier_part_stats": tpch.q16_supplier_part_stats,
+        "tpch_q17_small_quantity_revenue": tpch.q17_small_quantity_revenue,
+        "tpch_q2_min_price_supplier": tpch.q2_min_price_supplier,
+        "tpch_q20_excess_share_suppliers": tpch.q20_excess_share_suppliers,
+        "tpch_q21_sole_blame_suppliers": tpch.q21_sole_blame_suppliers,
+        "tpch_q22_dormant_rich_customers": tpch.q22_dormant_rich_customers,
         # --- changed this round (oracle casts / single-plan funnel) ---
         "dedup_simhash": dedup.simhash,
         "serving_sessionize": serving.sessionize,
@@ -158,6 +171,19 @@ def oracle_sql() -> dict[str, str]:
         "serving_sessionize": serving.SESSIONIZE_SQL,
         "serving_rollup_value": serving.ROLLUP_VALUE_SQL,
         "serving_cube_value": serving.CUBE_VALUE_SQL,
+        "tpch_q7_volume_shipping": tpch.Q7_SQL,
+        "tpch_q8_market_share": tpch.Q8_SQL,
+        "tpch_q9_product_profit": tpch.Q9_SQL,
+        "tpch_q10_returned_items": tpch.Q10_SQL,
+        "tpch_q11_important_parts": tpch.Q11_SQL,
+        "tpch_q13_customer_distribution": tpch.Q13_SQL,
+        "tpch_q15_top_supplier": tpch.Q15_SQL,
+        "tpch_q16_supplier_part_stats": tpch.Q16_SQL,
+        "tpch_q17_small_quantity_revenue": tpch.Q17_SQL,
+        "tpch_q2_min_price_supplier": tpch.Q2_SQL,
+        "tpch_q20_excess_share_suppliers": tpch.Q20_SQL,
+        "tpch_q21_sole_blame_suppliers": tpch.Q21_SQL,
+        "tpch_q22_dormant_rich_customers": tpch.Q22_SQL,
         "serving_loyal_purchasers": serving.LOYAL_PURCHASERS_SQL,
         "serving_moving_avg_daily": serving.MOVING_AVG_DAILY_SQL,
         "serving_value_quartiles": serving.VALUE_QUARTILE_ASSIGNMENTS_SQL,
