@@ -111,3 +111,34 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
     ).collect()
     for r in rows:
         assert abs(r.approx - r.exact) <= max(2.0, 0.05 * abs(r.exact))
+
+
+def test_q21_existentials_become_semi_and_anti_joins(spark, sf_dir):
+    """EXISTS / NOT EXISTS must plan as semi/anti joins on the fact
+    key — never a per-row subquery execution."""
+    plan = E.executed_plan(tpch.q21_sole_blame_suppliers(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_q16_not_in_subquery_plans_as_anti_join(spark, sf_dir):
+    """NOT IN over a subquery must become a (null-aware) anti join."""
+    plan = E.executed_plan(tpch.q16_supplier_part_stats(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert E.has_pushed_filter(
+        tpch.q16_supplier_part_stats(spark, sf_dir), "p_size"
+    ), "IN-list size filter must reach the part scan"
+
+
+def test_q9_like_filter_pushed(spark, sf_dir):
+    assert E.has_pushed_filter(
+        tpch.q9_product_profit(spark, sf_dir), "widget"
+    ), "LIKE '%widget%' must push as a Contains filter"
+
+
+def test_q17_single_final_aggregation_shuffle(spark, sf_dir):
+    """The decorrelated per-part average must reuse broadcast, leaving
+    one shuffle (its own groupBy) at this size."""
+    df = tpch.q17_small_quantity_revenue(spark, sf_dir)
+    assert E.num_shuffles(df) <= 2
+    assert E.has_broadcast_join(df)
