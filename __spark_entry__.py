@@ -19,7 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from spark_app_twitter_spark.operators import (  # noqa: E402
+from spark_app_twitter_spark.operators import (
+    semdedup,  # noqa: E402
     aggregates,
     asof,
     clustering,
@@ -72,6 +73,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_media_features": multimodal.media_features,
         "multimodal_video_frames": multimodal.video_frames,
         # --- new this round ---
+        "sem_dedup": semdedup.semdedup,
+        "text_tfidf_top_terms": textstats.tfidf_top_terms,
+        "text_repetition_stats": textstats.repetition_stats,
+        "text_decontaminate": textstats.decontaminate,
         "dedup_simhash64_pairs": dedup.simhash64_pairs,
         "serving_cube_value": serving.cube_value,
         "tpch_q7_volume_shipping": tpch.q7_volume_shipping,
@@ -171,6 +176,10 @@ def oracle_sql() -> dict[str, str]:
         "serving_sessionize": serving.SESSIONIZE_SQL,
         "serving_rollup_value": serving.ROLLUP_VALUE_SQL,
         "serving_cube_value": serving.CUBE_VALUE_SQL,
+        "sem_dedup": semdedup.SEMDEDUP_SQL,
+        "text_tfidf_top_terms": textstats.TFIDF_TOP_TERMS_SQL,
+        "text_repetition_stats": textstats.REPETITION_STATS_SQL,
+        "text_decontaminate": textstats.DECONTAMINATE_SQL,
         "tpch_q7_volume_shipping": tpch.Q7_SQL,
         "tpch_q8_market_share": tpch.Q8_SQL,
         "tpch_q9_product_profit": tpch.Q9_SQL,

@@ -383,3 +383,218 @@ JOIN survivors s ON q.doc_id = s.doc_id
 JOIN sampled sa ON q.doc_id = sa.doc_id
 WHERE q.quality_score >= {QUALITY_THRESHOLD}
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 2: TF-IDF term salience, Gopher-style repetition signals, and
+# benchmark decontamination — the remaining standard stages of an
+# LLM training-data pipeline (all JVM-side; no Python UDFs).
+# ---------------------------------------------------------------------------
+
+
+TFIDF_TOP_N = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N salient terms per document by TF-IDF.
+
+    One explode -> (doc, term) counts [shuffle 1 on (doc_id, term)];
+    document frequency reuses that aggregate (one row per (doc,term)
+    -> count rows per term) [tiny shuffle 2]; N is a 1-row broadcast.
+    The idf is the raw ratio n_docs/df — no log — so the score is
+    integer arithmetic in f64 and bit-identical across engines; log
+    scaling is monotone per term and would not change the ranking.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    exploded = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = exploded.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(
+                (F.col("tf") * F.col("n_docs")).cast("double")
+                / F.col("df").cast("double"),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TFIDF_TOP_N)
+        .select("doc_id", "term", "tf", "score", F.col("rk").alias("rank"))
+    )
+
+
+TFIDF_TOP_TERMS_SQL = f"""
+WITH exploded AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM exploded GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(CAST(tf.tf * (SELECT count(*) FROM documents) AS DOUBLE)
+               / CAST(df.df AS DOUBLE), 6) AS score
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, tf, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= {TFIDF_TOP_N}
+"""
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, public
+    arXiv:2112.11446 §A1.1): duplicate word-bigram fraction and
+    top-word mass per document.
+
+    The bigram fraction is pure array math (map-only). The top-word
+    mass needs per-(doc,word) counts — one explode + aggregation,
+    re-joined to the map-side stats on doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    w = tokens("text")
+    bigrams = F.when(F.size(w) < 2, F.array().cast("array<string>")).otherwise(
+        F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 1),"
+            " i -> concat(element_at(split(text, ' '), i), ' ',"
+            " element_at(split(text, ' '), i + 1)))"
+        )
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        F.size(bigrams).alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).alias("n_uniq_bigrams"),
+    )
+    wc = (
+        docs.select("doc_id", F.explode(w).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("max_cnt"))
+    )
+    return base.join(wc, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.when(F.col("n_bigrams") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                1.0
+                - F.col("n_uniq_bigrams").cast("double")
+                / F.col("n_bigrams").cast("double"),
+                6,
+            )
+        )
+        .alias("dup_bigram_frac"),
+        F.round(
+            F.col("max_cnt").cast("double") / F.col("n_tokens").cast("double"), 6
+        ).alias("top_word_frac"),
+    )
+
+
+REPETITION_STATS_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+base AS (
+  SELECT doc_id, len(w) AS n_tokens,
+         CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+         END AS bg
+  FROM toks
+),
+bstats AS (
+  SELECT doc_id, n_tokens, len(bg) AS n_bigrams,
+         len(list_distinct(bg)) AS n_uniq_bigrams
+  FROM base
+),
+wc AS (
+  SELECT doc_id, max(cnt) AS max_cnt FROM (
+    SELECT doc_id, word, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY doc_id, word
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       CASE WHEN b.n_bigrams = 0 THEN 0.0
+            ELSE round(1.0 - CAST(b.n_uniq_bigrams AS DOUBLE)
+                           / CAST(b.n_bigrams AS DOUBLE), 6)
+       END AS dup_bigram_frac,
+       round(CAST(wc.max_cnt AS DOUBLE) / CAST(b.n_tokens AS DOUBLE), 6) AS top_word_frac
+FROM bstats b JOIN wc USING (doc_id)
+"""
+
+
+DECON_NGRAM = 4  # word n-gram width; real pipelines use 8-13 (GPT-3: 13)
+DECON_BENCH_MOD = 50  # doc_id % MOD == REM selects the held-out benchmark
+DECON_BENCH_REM = 7
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word
+    n-gram with a held-out benchmark set (the public GPT-3 appendix-C
+    method — n-gram collision against eval data).
+
+    The benchmark n-gram set aggregates to DISTINCT grams and
+    broadcasts into the probe (at 100 TB: a bloom filter of the gram
+    hashes, same shape). Per-doc grams are DISTINCT'd inside the array
+    (map-side) before the explode, so the shuffle carries no
+    within-doc duplicates. Output: contaminated doc -> #distinct
+    benchmark grams it shares.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    w = tokens("text")
+    grams = F.when(
+        F.size(w) < DECON_NGRAM, F.array().cast("array<string>")
+    ).otherwise(
+        F.expr(
+            f"transform(sequence(1, size(split(text, ' ')) - {DECON_NGRAM - 1}),"
+            f" i -> array_join(slice(split(text, ' '), i, {DECON_NGRAM}), ' '))"
+        )
+    )
+    per_doc = docs.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("g")
+    )
+    is_bench = (F.col("doc_id") % DECON_BENCH_MOD) == DECON_BENCH_REM
+    bench = per_doc.where(is_bench).select("g").distinct()
+    return (
+        per_doc.where(~is_bench)
+        .join(F.broadcast(bench), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+per_doc AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) < {DECON_NGRAM} THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(range(1, len(w) - {DECON_NGRAM} + 2),
+                             i -> array_to_string(w[i:i + {DECON_NGRAM} - 1], ' '))
+    END)) AS g
+  FROM toks
+),
+bench AS (
+  SELECT DISTINCT g FROM per_doc WHERE doc_id % {DECON_BENCH_MOD} = {DECON_BENCH_REM}
+)
+SELECT doc_id, count(*) AS n_hit_grams
+FROM per_doc
+WHERE doc_id % {DECON_BENCH_MOD} <> {DECON_BENCH_REM}
+  AND g IN (SELECT g FROM bench)
+GROUP BY doc_id
+"""

@@ -419,3 +419,93 @@ def test_simhash64_banding_recall_on_planted_near_dups(spark, tmp_path):
     assert banded == exact_pairs, (
         f"banding lost pairs: missing={exact_pairs - banded}, extra={banded - exact_pairs}"
     )
+
+
+def test_semdedup_drops_planted_duplicate_keeps_first(spark, tmp_path):
+    """A planted exact-duplicate embedding must land in the same
+    k-means cell and drop (keep=False), while its lower-id twin
+    survives — the keep-first policy."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import random
+
+    from spark_app_twitter_spark.operators import semdedup
+
+    rng = random.Random(7)
+    vecs = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(40)]
+    vecs.append(list(vecs[12]))  # vec 40 == vec 12
+    sf = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([0] * len(vecs), pa.int32()),
+            }
+        ),
+        f"{sf}/embeddings.parquet",
+    )
+    out = {r.vec_id: (r.cell, r.keep) for r in semdedup.semdedup(spark, sf).collect()}
+    assert len(out) == 41
+    assert out[40][0] == out[12][0], "identical vectors must share a cell"
+    assert out[12][1] is True, "lower-id twin must be kept"
+    assert out[40][1] is False, "higher-id duplicate must drop"
+
+
+def test_decontaminate_flags_planted_overlap(spark, tmp_path):
+    """A doc sharing a 4-gram with a benchmark doc must be flagged;
+    disjoint docs must not."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_app_twitter_spark.operators import textstats
+
+    bench_id = textstats.DECON_BENCH_REM  # 7 % 50 == 7 -> benchmark
+    texts = {
+        bench_id: "alpha beta gamma delta epsilon zeta",
+        1: "xx alpha beta gamma delta yy",          # shares a 4-gram
+        2: "one two three four five six seven",      # disjoint
+    }
+    ids = sorted(texts)
+    sf = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": [texts[i] for i in ids],
+                "lang": ["en"] * len(ids),
+                "source": ["synthetic"] * len(ids),
+                "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+            }
+        ),
+        f"{sf}/documents.parquet",
+    )
+    hits = {r.doc_id: r.n_hit_grams for r in textstats.decontaminate(spark, sf).collect()}
+    assert hits == {1: 1}, f"expected only doc 1 flagged once, got {hits}"
+
+
+def test_repetition_stats_on_known_doc(spark, tmp_path):
+    """'a b a b a' -> bigrams [ab, ba, ab, ba]: dup frac 0.5;
+    top word 'a' occurs 3/5."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_app_twitter_spark.operators import textstats
+
+    sf = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "text": ["a b a b a"],
+                "lang": ["en"],
+                "source": ["synthetic"],
+                "n_chars": pa.array([9], pa.int64()),
+            }
+        ),
+        f"{sf}/documents.parquet",
+    )
+    r = textstats.repetition_stats(spark, sf).collect()[0]
+    assert r.n_tokens == 5
+    assert r.dup_bigram_frac == 0.5
+    assert r.top_word_frac == 0.6
