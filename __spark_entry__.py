@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from spark_app_twitter_spark.operators import (
+    packing,
     semdedup,  # noqa: E402
     aggregates,
     asof,
@@ -74,6 +75,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video_frames": multimodal.video_frames,
         # --- new this round ---
         "sem_dedup": semdedup.semdedup,
+        "pack_chunk_documents": packing.chunk_documents,
+        "pack_sequences": packing.pack_sequences,
         "text_tfidf_top_terms": textstats.tfidf_top_terms,
         "text_repetition_stats": textstats.repetition_stats,
         "text_decontaminate": textstats.decontaminate,
@@ -177,6 +180,8 @@ def oracle_sql() -> dict[str, str]:
         "serving_rollup_value": serving.ROLLUP_VALUE_SQL,
         "serving_cube_value": serving.CUBE_VALUE_SQL,
         "sem_dedup": semdedup.SEMDEDUP_SQL,
+        "pack_chunk_documents": packing.CHUNK_DOCUMENTS_SQL,
+        "pack_sequences": packing.PACK_SEQUENCES_SQL,
         "text_tfidf_top_terms": textstats.TFIDF_TOP_TERMS_SQL,
         "text_repetition_stats": textstats.REPETITION_STATS_SQL,
         "text_decontaminate": textstats.DECONTAMINATE_SQL,

@@ -1,0 +1,161 @@
+"""Sequence preparation for LLM training: document chunking and
+deterministic sequence packing.
+
+Two ops every large-scale training-data pipeline runs after
+filtering/dedup, re-expressed Spark-first:
+
+- **Chunking**: split each document into overlapping fixed-width
+  token windows (the context-window prep step). Pure map-side array
+  math — scan -> codegen -> explode, zero shuffles, so it scales
+  linearly with the corpus.
+- **Packing**: concatenate docs in a deterministic order and cut at a
+  fixed token budget ("concat-then-cut", the standard pretraining
+  packing scheme). A global running sum would serialize, so docs are
+  first hash-sharded and packed WITHIN shards — each shard's cumsum
+  window is independent, which is exactly how distributed packing
+  runs at 100 TB (shard count scales with the cluster, bins stay
+  local to a shard).
+
+Reference scope note: the reference app (jmcmt87/spark_app_twitter)
+has no training-data surface; this module comes from SURVEY.md's
+LLM-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_app_twitter_spark.functions.text import tokens
+from spark_app_twitter_spark.sources.parquet import load_table
+
+CHUNK_W = 64  # tokens per chunk
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+PACK_SHARDS = 16
+PACK_BUDGET = 1024  # tokens per packed training sequence
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, chunk_id, start, n_chunk_tokens, chunk_text) — sliding
+    token windows of CHUNK_W with stride CHUNK_STRIDE; the final full
+    window is always emitted so no tail tokens are lost; docs shorter
+    than one window become a single short chunk.
+
+    Map-only: the starts array, slices and joins all run inside one
+    codegen stage; explode multiplies rows without a shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    w = tokens("text")
+    n = F.size(w)
+    starts = F.when(n <= CHUNK_W, F.array(F.lit(1))).otherwise(
+        F.array_sort(
+            F.array_union(
+                F.expr(
+                    f"sequence(1, size(split(text, ' ')) - {CHUNK_W} + 1,"
+                    f" {CHUNK_STRIDE})"
+                ),
+                F.expr(f"array(size(split(text, ' ')) - {CHUNK_W} + 1)"),
+            )
+        )
+    )
+    chunks = docs.select(
+        "doc_id",
+        w.alias("w"),
+        F.posexplode(starts).alias("chunk_id", "start"),
+    )
+    piece = F.slice(F.col("w"), F.col("start"), CHUNK_W)
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "start",
+        F.size(piece).alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+CHUNK_DOCUMENTS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+st AS (
+  SELECT doc_id, w,
+         CASE WHEN len(w) <= {CHUNK_W} THEN [CAST(1 AS BIGINT)]
+              ELSE list_sort(list_distinct(list_append(
+                     range(1, len(w) - {CHUNK_W} + 2, {CHUNK_STRIDE}),
+                     len(w) - {CHUNK_W} + 1)))
+         END AS starts
+  FROM toks
+),
+chunks AS (
+  SELECT doc_id, w,
+         unnest(list_transform(range(1, len(starts) + 1),
+                               i -> {{'cid': i - 1, 's': starts[i]}})) AS u
+  FROM st
+)
+SELECT doc_id,
+       u.cid AS chunk_id,
+       u.s AS start,
+       len(w[u.s:u.s + {CHUNK_W} - 1]) AS n_chunk_tokens,
+       array_to_string(w[u.s:u.s + {CHUNK_W} - 1], ' ') AS chunk_text
+FROM chunks
+"""
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shard, bin, offset) — concat-then-cut packing: within
+    each hash shard, docs concatenate in doc_id order and are cut
+    into PACK_BUDGET-token bins; a doc belongs to the bin where its
+    first token lands, offset is that position within the bin.
+
+    The cumulative sum is a per-shard window (running frame) — state
+    is one counter per shard partition, never global, so shards pack
+    in parallel and the plan is one shuffle on the shard key.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id",
+        F.size(tokens("text")).alias("n_tok"),
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+    )
+    win = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tok").over(win)
+    start = cum - F.col("n_tok")  # first-token offset in the shard stream
+    return docs.select(
+        "doc_id",
+        "shard",
+        F.floor(start / PACK_BUDGET).alias("bin"),
+        (start % PACK_BUDGET).alias("offset"),
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH sized AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tok,
+         doc_id % {PACK_SHARDS} AS shard
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, shard, n_tok,
+         -- CAST: DuckDB's windowed sum(BIGINT) is HUGEINT (int128);
+         -- Spark's is bigint — align before it leaks into outputs
+         CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) - n_tok AS start
+  FROM sized
+)
+SELECT doc_id, shard,
+       CAST(floor(CAST(start AS DOUBLE) / {PACK_BUDGET}) AS BIGINT) AS bin,
+       start % {PACK_BUDGET} AS offset
+FROM cum
+"""
+
+__all__ = [
+    "chunk_documents",
+    "pack_sequences",
+    "CHUNK_DOCUMENTS_SQL",
+    "PACK_SEQUENCES_SQL",
+]

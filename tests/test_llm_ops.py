@@ -509,3 +509,53 @@ def test_repetition_stats_on_known_doc(spark, tmp_path):
     assert r.n_tokens == 5
     assert r.dup_bigram_frac == 0.5
     assert r.top_word_frac == 0.6
+
+
+def test_chunking_covers_all_tokens_with_overlap(spark, sf_dir):
+    """Every document token position must fall inside >=1 chunk, and
+    consecutive chunks overlap by W - stride."""
+    from spark_app_twitter_spark.operators import packing
+
+    rows = packing.chunk_documents(spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    docs = {
+        r.doc_id: len(r.text.split(" "))
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        covered = set()
+        for r in chunks:
+            covered |= set(range(r.start, r.start + r.n_chunk_tokens))
+        assert covered == set(range(1, docs[doc_id] + 1)), f"doc {doc_id} has gaps"
+        if docs[doc_id] > packing.CHUNK_W:
+            for r in chunks[:-1]:
+                assert r.n_chunk_tokens == packing.CHUNK_W
+
+
+def test_packing_fills_bins_in_order(spark, sf_dir):
+    """Within a shard, offsets must equal the running token count mod
+    budget and bins must be non-decreasing in doc_id order."""
+    from spark_app_twitter_spark.operators import packing
+
+    out = packing.pack_sequences(spark, sf_dir).collect()
+    toks = {
+        r.doc_id: len(r.text.split(" "))
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    shards = {}
+    for r in out:
+        shards.setdefault(r.shard, []).append(r)
+    for shard, rows in shards.items():
+        rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        prev_bin = 0
+        for r in rows:
+            assert r.bin == cum // packing.PACK_BUDGET
+            assert r.offset == cum % packing.PACK_BUDGET
+            assert r.bin >= prev_bin
+            prev_bin = r.bin
+            cum += toks[r.doc_id]
