@@ -46,6 +46,13 @@ HEADLINE = [
     "sim_knn_ivf",
     "sim_label_centroids",
     "multimodal_media_features",
+    # round 2 additions: heaviest representative per new family
+    "tpch_q9_product_profit",
+    "tpch_q21_sole_blame_suppliers",
+    "sem_dedup",
+    "text_decontaminate",
+    "text_tfidf_top_terms",
+    "pack_chunk_documents",
 ]
 
 

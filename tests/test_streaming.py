@@ -447,3 +447,57 @@ def test_upsert_batch_reraises_non_missing_path_errors(spark, tmp_path):
         upsert_parquet_batch(batch, 1, corrupt, ["key"])
     # the corrupt marker file is still there (no overwrite happened)
     assert os.path.exists(os.path.join(corrupt, "part-00000.parquet"))
+
+
+def test_late_events_uses_engine_watermark_from_progress(spark, tmp_path):
+    """The production path: run a watermarked query, let the tracker
+    capture the engine-reported watermark from progress events, then
+    split a batch against THAT threshold (no per-batch max collect)."""
+    import time as _time
+
+    from spark_app_twitter_spark.streaming import ingest as sing
+    from spark_app_twitter_spark.streaming import windowed
+
+    src = str(tmp_path / "src")
+    _write_fixture(src, FIXTURE)
+    tracker = windowed.WatermarkTracker()
+    spark.streams.addListener(tracker)
+    try:
+        parsed = parse_tweet_stream(sing.read_json_stream(spark, src))
+        agg = windowed.hourly_topic_aggregate(parsed)
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        # two passes so the watermark advances past 1970 and is reported
+        q2 = (
+            agg.writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(180)
+        deadline = _time.time() + 30
+        while tracker.current() is None and _time.time() < deadline:
+            _time.sleep(0.5)
+        wm = tracker.current()
+        assert wm is not None, "listener never reported a non-epoch watermark"
+
+        batch = spark.createDataFrame(
+            [("old", "2000-01-01 00:00:00"), ("new", "2999-01-01 00:00:00")],
+            "key string, created_at_s string",
+        ).select(
+            "key", F.col("created_at_s").cast("timestamp").alias("created_at")
+        )
+        quarantine = str(tmp_path / "quarantine")
+        split = windowed.late_events(None, tracker=tracker)
+        split(batch, 0, quarantine)
+        got = [r.key for r in spark.read.parquet(quarantine).collect()]
+        assert got == ["old"], f"expected only the pre-watermark row, got {got}"
+    finally:
+        spark.streams.removeListener(tracker)
