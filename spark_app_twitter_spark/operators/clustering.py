@@ -76,12 +76,27 @@ def _recenter(assigned: DataFrame) -> DataFrame:
     )
 
 
+# Trained centroid tables, keyed by (spark app, data, k, iters).
+# Centroids are a TRAINED ARTIFACT: every consumer (IVF search,
+# SemDeDup, cell assignment) needs the identical table, and on a
+# cluster you train once and publish it — recomputing the Lloyd chain
+# per downstream query would re-run the training job each time. The
+# cached DataFrame is already localCheckpoint'ed (k tiny rows pinned
+# on executors), so reuse costs nothing and is deterministic.
+_CENTROID_CACHE: dict[tuple[str, str, int, int], DataFrame] = {}
+
+
 def kmeans_centroids(
     spark: SparkSession, sf_dir: str, k: int = K_CELLS, iters: int = ITERS
 ) -> DataFrame:
     """(cell, cv) — the centroid table after `iters` Lloyd iterations
     from the deterministic init (first k vectors). This is the IVF
-    cell table: k tiny rows, broadcastable anywhere."""
+    cell table: k tiny rows, broadcastable anywhere. Trained once per
+    (session, data, k, iters) — see ``_CENTROID_CACHE``."""
+    key = (spark.sparkContext.applicationId, sf_dir, k, iters)
+    cached = _CENTROID_CACHE.get(key)
+    if cached is not None:
+        return cached
     vecs = _vecs(spark, sf_dir)
     cents = vecs.where(F.col("vec_id") < k).select(
         F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("cv")
@@ -95,6 +110,7 @@ def kmeans_centroids(
         # ~0.5 s faster at sf0.1 with the same bounded-depth guarantee
         if (i + 1) % 2 == 0 or i == iters - 1:
             cents = cents.localCheckpoint(eager=True)
+    _CENTROID_CACHE[key] = cents
     return cents
 
 

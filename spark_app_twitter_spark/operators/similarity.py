@@ -235,12 +235,10 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from spark_app_twitter_spark.operators.clustering import kmeans_centroids
 
-    # k tiny centroid rows after the Lloyd iterations: materialize
-    # once instead of recomputing the iteration chain per assign()
-    cells = (
-        kmeans_centroids(spark, sf_dir)
-        .select("cell", F.col("cv").alias("cell_cv"))
-        .localCheckpoint(eager=True)
+    # the trained (and already-checkpointed) centroid table — a cheap
+    # projection of it feeds both assign() passes
+    cells = kmeans_centroids(spark, sf_dir).select(
+        "cell", F.col("cv").alias("cell_cv")
     )
     q, c = _queries_and_cands(spark, sf_dir)
 

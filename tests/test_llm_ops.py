@@ -559,3 +559,17 @@ def test_packing_fills_bins_in_order(spark, sf_dir):
             assert r.bin >= prev_bin
             prev_bin = r.bin
             cum += toks[r.doc_id]
+
+
+def test_kmeans_centroids_train_once_per_session(spark, sf_dir):
+    """Centroids are a trained artifact: repeated calls must return
+    the SAME materialized table (no Lloyd re-run), and consumers
+    (IVF, SemDeDup) share it."""
+    from spark_app_twitter_spark.operators import clustering
+
+    a = clustering.kmeans_centroids(spark, sf_dir)
+    b = clustering.kmeans_centroids(spark, sf_dir)
+    assert a is b
+    assert (
+        clustering.kmeans_centroids(spark, sf_dir, k=4) is not a
+    ), "different hyperparameters must train separately"

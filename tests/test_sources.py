@@ -80,3 +80,23 @@ def test_kafka_builder_reaches_connector_boundary(spark):
     msg = str(ei.value)
     assert "kafka" in msg.lower()
     assert "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg
+
+
+def test_mongo_writer_reaches_connector_boundary(spark):
+    """Probe (round 2, 2026-08-13): no mongo-spark connector jar in
+    this container. Pins the S4 builder up to that boundary: the
+    configured writer must fail at save() with connector resolution
+    (DATA_SOURCE_NOT_FOUND), not an options/plan error."""
+    import pytest
+
+    from spark_app_twitter_spark.sources.sinks import write_mongo_batch
+
+    df = spark.range(3).withColumnRenamed("id", "k")
+    writer = write_mongo_batch(
+        df, "mongodb://localhost:27017", "dash", "serving"
+    )
+    with pytest.raises(Exception) as ei:
+        writer.save()
+    msg = str(ei.value)
+    assert "mongodb" in msg.lower()
+    assert "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg
