@@ -83,7 +83,18 @@ def _recenter(assigned: DataFrame) -> DataFrame:
 # per downstream query would re-run the training job each time. The
 # cached DataFrame is already localCheckpoint'ed (k tiny rows pinned
 # on executors), so reuse costs nothing and is deterministic.
+# CONTRACT: a dataset path is immutable for the lifetime of a session
+# (true for this engine's sf_dir snapshots); if a path is rewritten
+# in-session, call clear_centroid_cache() or the next consumer reads
+# centroids trained on the old files. Entries are k-row tables — the
+# dict stays tiny even across many datasets.
 _CENTROID_CACHE: dict[tuple[str, str, int, int], DataFrame] = {}
+
+
+def clear_centroid_cache() -> None:
+    """Drop all trained centroid tables (e.g. after rewriting a
+    dataset path in-session)."""
+    _CENTROID_CACHE.clear()
 
 
 def kmeans_centroids(

@@ -410,8 +410,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = exploded.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # df (one row per vocabulary term) is NOT force-broadcast: the
+    # vocabulary grows with the corpus, so the join strategy is left
+    # to the optimizer (AQE broadcasts it while it is actually small,
+    # shuffles on term once it is not)
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n))
         .withColumn(
             "score",
@@ -464,22 +468,27 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-joined to the map-side stats on doc_id.
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    w = tokens("text")
-    bigrams = F.when(F.size(w) < 2, F.array().cast("array<string>")).otherwise(
+    # materialize the token array as a column FIRST: a split() inside
+    # the transform lambda body would re-tokenize the full text once
+    # per bigram index (O(n²) per doc); a column reference is computed
+    # once per row and read by every lambda invocation
+    toks_df = docs.select("doc_id", tokens("text").alias("w"))
+    bigrams = F.when(
+        F.size("w") < 2, F.array().cast("array<string>")
+    ).otherwise(
         F.expr(
-            "transform(sequence(1, size(split(text, ' ')) - 1),"
-            " i -> concat(element_at(split(text, ' '), i), ' ',"
-            " element_at(split(text, ' '), i + 1)))"
+            "transform(sequence(1, size(w) - 1),"
+            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
         )
     )
-    base = docs.select(
+    base = toks_df.select(
         "doc_id",
-        F.size(w).alias("n_tokens"),
+        F.size("w").alias("n_tokens"),
         F.size(bigrams).alias("n_bigrams"),
         F.size(F.array_distinct(bigrams)).alias("n_uniq_bigrams"),
     )
     wc = (
-        docs.select("doc_id", F.explode(w).alias("word"))
+        toks_df.select("doc_id", F.explode("w").alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .groupBy("doc_id")
@@ -555,16 +564,19 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark grams it shares.
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    w = tokens("text")
+    # token array as a column (not split() inside the lambda): the
+    # lambda-invariant reference is evaluated once per row, not once
+    # per gram index
+    toks_df = docs.select("doc_id", tokens("text").alias("w"))
     grams = F.when(
-        F.size(w) < DECON_NGRAM, F.array().cast("array<string>")
+        F.size("w") < DECON_NGRAM, F.array().cast("array<string>")
     ).otherwise(
         F.expr(
-            f"transform(sequence(1, size(split(text, ' ')) - {DECON_NGRAM - 1}),"
-            f" i -> array_join(slice(split(text, ' '), i, {DECON_NGRAM}), ' '))"
+            f"transform(sequence(1, size(w) - {DECON_NGRAM - 1}),"
+            f" i -> array_join(slice(w, i, {DECON_NGRAM}), ' '))"
         )
     )
-    per_doc = docs.select(
+    per_doc = toks_df.select(
         "doc_id", F.explode(F.array_distinct(grams)).alias("g")
     )
     is_bench = (F.col("doc_id") % DECON_BENCH_MOD) == DECON_BENCH_REM

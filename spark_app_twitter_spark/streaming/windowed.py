@@ -146,8 +146,11 @@ def late_events(
     def split(batch: DataFrame, _bid: int, quarantine_path: str) -> None:
         wm = tracker.current(query_id) if tracker is not None else None
         if wm is not None:
-            # engine watermark already includes the delay subtraction
-            threshold = F.to_timestamp(F.lit(wm.replace("T", " ").rstrip("Z")))
+            # engine watermark already includes the delay subtraction.
+            # The progress string is UTC ISO-8601 with a 'Z' suffix —
+            # cast keeps the offset, so the instant survives non-UTC
+            # session timezones (stripping the 'Z' would shift it).
+            threshold = F.lit(wm).cast("timestamp")
         else:
             mx = batch.agg(F.max("created_at")).collect()[0][0]
             if mx is None:
