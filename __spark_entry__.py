@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video_frames": multimodal.video_frames,
         # --- new this round ---
         "sem_dedup": semdedup.semdedup,
+        "text_bpe_pair_counts": textstats.bpe_pair_counts,
+        "sim_quantize_embeddings": similarity.quantize_embeddings,
         "pack_chunk_documents": packing.chunk_documents,
         "pack_sequences": packing.pack_sequences,
         "text_tfidf_top_terms": textstats.tfidf_top_terms,
@@ -180,6 +182,8 @@ def oracle_sql() -> dict[str, str]:
         "serving_rollup_value": serving.ROLLUP_VALUE_SQL,
         "serving_cube_value": serving.CUBE_VALUE_SQL,
         "sem_dedup": semdedup.SEMDEDUP_SQL,
+        "text_bpe_pair_counts": textstats.BPE_PAIR_COUNTS_SQL,
+        "sim_quantize_embeddings": similarity.QUANTIZE_EMBEDDINGS_SQL,
         "pack_chunk_documents": packing.CHUNK_DOCUMENTS_SQL,
         "pack_sequences": packing.PACK_SEQUENCES_SQL,
         "text_tfidf_top_terms": textstats.TFIDF_TOP_TERMS_SQL,

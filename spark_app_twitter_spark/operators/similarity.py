@@ -359,3 +359,52 @@ SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
 FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
 WHERE round({cosine_sql('l.v', 'r.v')}, 6) >= {COSINE_DUP_THRESHOLD}
 """
+
+
+QUANT_BITS_SCALE = 127  # int8 symmetric quantization
+
+
+def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    serving-export step of a vector index (4x smaller than f32, dot
+    products stay rank-faithful after per-vector rescale).
+
+    Map-only: per-vector max|x| -> scale -> round(x*127/max). The
+    scale is kept alongside so consumers can dequantize. Zero
+    shuffles; at 100 TB this is scan -> codegen -> write.
+    Zero-vectors take scale 0 and quantize to all-zeros (guarded
+    division).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    # round half-up matches DuckDB's round(); quantized values are
+    # exact small integers so parity is bit-free
+    q = F.when(amax == 0.0, F.transform(v, lambda x: F.lit(0).cast("int"))).otherwise(
+        F.transform(v, lambda x: F.round(x * QUANT_BITS_SCALE / amax).cast("int"))
+    )
+    return emb.select(
+        "vec_id",
+        F.round(amax, 6).alias("scale_max"),
+        q.alias("q8"),
+    )
+
+
+QUANTIZE_EMBEDDINGS_SQL = f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, dv,
+         list_max(list_transform(dv, x -> abs(x))) AS amax
+  FROM v
+)
+SELECT vec_id,
+       round(amax, 6) AS scale_max,
+       CASE WHEN amax = 0.0 THEN list_transform(dv, x -> 0)
+            ELSE list_transform(dv, x -> CAST(round(x * {QUANT_BITS_SCALE} / amax) AS INT))
+       END AS q8
+FROM s
+"""

@@ -610,3 +610,55 @@ WHERE doc_id % {DECON_BENCH_MOD} <> {DECON_BENCH_REM}
   AND g IN (SELECT g FROM bench)
 GROUP BY doc_id
 """
+
+
+BPE_TOP_K = 50
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent-token-pair frequencies, top-K — the inner
+    statistic of a BPE tokenizer-training step (count all symbol
+    pairs, merge the most frequent).
+
+    Map-side: each doc emits its (token_i, token_i+1) pairs from one
+    materialized token array; one partial/final hash aggregation over
+    the corpus; the top-K is a TakeOrderedAndProject. At 100 TB this
+    is the exact shape of a distributed BPE merge round — the only
+    global state is the K-row result.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks_df = docs.select(tokens("text").alias("w"))
+    pairs = F.when(
+        F.size("w") < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.expr(
+            "transform(sequence(1, size(w) - 1),"
+            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+        )
+    )
+    return (
+        toks_df.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(BPE_TOP_K)
+    )
+
+
+BPE_PAIR_COUNTS_SQL = f"""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS w FROM documents
+),
+pairs AS (
+  SELECT unnest(CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+                     ELSE list_transform(range(1, len(w)),
+                                         i -> w[i] || ' ' || w[i + 1])
+                END) AS pair
+  FROM toks
+)
+SELECT pair, count(*) AS pair_count
+FROM pairs
+GROUP BY pair
+ORDER BY pair_count DESC, pair ASC
+LIMIT {BPE_TOP_K}
+"""

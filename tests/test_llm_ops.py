@@ -573,3 +573,30 @@ def test_kmeans_centroids_train_once_per_session(spark, sf_dir):
     assert (
         clustering.kmeans_centroids(spark, sf_dir, k=4) is not a
     ), "different hyperparameters must train separately"
+
+
+def test_quantize_embeddings_zero_vector_guard(spark, tmp_path):
+    """A zero vector must quantize to all-zeros with scale 0 (no
+    division by zero), and a normal vector's max component must hit
+    ±127."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_app_twitter_spark.operators import similarity
+
+    vecs = [[0.0, 0.0, 0.0, 0.0], [0.5, -1.0, 0.25, 0.0]]
+    sf = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1], pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([0, 0], pa.int32()),
+            }
+        ),
+        f"{sf}/embeddings.parquet",
+    )
+    out = {r.vec_id: r for r in similarity.quantize_embeddings(spark, sf).collect()}
+    assert out[0].scale_max == 0.0 and out[0].q8 == [0, 0, 0, 0]
+    assert out[1].scale_max == 1.0
+    assert out[1].q8 == [64, -127, 32, 0]
