@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from spark_app_twitter_spark.operators import (
     packing,
+    retrieval,
     semdedup,  # noqa: E402
     aggregates,
     asof,
@@ -75,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video_frames": multimodal.video_frames,
         # --- new this round ---
         "sem_dedup": semdedup.semdedup,
+        "rag_retrieve": retrieval.rag_retrieve,
         "text_bpe_pair_counts": textstats.bpe_pair_counts,
         "sim_quantize_embeddings": similarity.quantize_embeddings,
         "pack_chunk_documents": packing.chunk_documents,
@@ -182,6 +184,7 @@ def oracle_sql() -> dict[str, str]:
         "serving_rollup_value": serving.ROLLUP_VALUE_SQL,
         "serving_cube_value": serving.CUBE_VALUE_SQL,
         "sem_dedup": semdedup.SEMDEDUP_SQL,
+        "rag_retrieve": retrieval.RAG_RETRIEVE_SQL,
         "text_bpe_pair_counts": textstats.BPE_PAIR_COUNTS_SQL,
         "sim_quantize_embeddings": similarity.QUANTIZE_EMBEDDINGS_SQL,
         "pack_chunk_documents": packing.CHUNK_DOCUMENTS_SQL,
