@@ -59,3 +59,45 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     )
     plan = E.executed_plan(joined)
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join: a planted 90%-hot key must make the final
+    adaptive plan mark the sort-merge join skew=true (the runtime
+    re-plan that replaces manual salting for skewed JOINS at scale;
+    functions/skew.py covers the aggregation case)."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(0, 50_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        j = left.join(right, "k")
+        je = j._jdf.queryExecution()
+        je.executedPlan().execute().count()  # finalize THIS adaptive plan
+        plan = je.executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
