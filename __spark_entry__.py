@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round ---
         "sem_dedup": semdedup.semdedup,
         "rag_retrieve": retrieval.rag_retrieve,
+        "serving_session_paths": serving.session_paths,
         "text_bpe_pair_counts": textstats.bpe_pair_counts,
         "sim_quantize_embeddings": similarity.quantize_embeddings,
         "pack_chunk_documents": packing.chunk_documents,
@@ -185,6 +186,7 @@ def oracle_sql() -> dict[str, str]:
         "serving_cube_value": serving.CUBE_VALUE_SQL,
         "sem_dedup": semdedup.SEMDEDUP_SQL,
         "rag_retrieve": retrieval.RAG_RETRIEVE_SQL,
+        "serving_session_paths": serving.SESSION_PATHS_SQL,
         "text_bpe_pair_counts": textstats.BPE_PAIR_COUNTS_SQL,
         "sim_quantize_embeddings": similarity.QUANTIZE_EMBEDDINGS_SQL,
         "pack_chunk_documents": packing.CHUNK_DOCUMENTS_SQL,

@@ -639,3 +639,74 @@ SELECT (SELECT count(*) FROM s) AS signup_users,
        coalesce(round(CAST((SELECT count(*) FROM conv) AS DOUBLE)
              / NULLIF((SELECT count(*) FROM s), 0), 6), 0.0) AS conversion_rate
 """
+
+
+PATH_TOP_K = 20
+
+
+def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K user-journey paths: the ordered event-type sequence of
+    each session (gap-based, same recipe as :func:`sessionize`),
+    counted across all sessions — the funnel-path analytics query.
+
+    The path string is built ORDER-FREE: collect_list gives no
+    ordering guarantee under distributed aggregation, so events are
+    collected as (ts, event_id, type) structs, array_sort'ed (total
+    order with the event_id tiebreak), then projected — deterministic
+    on any partitioning. One shuffle on user_id (windows + the
+    session group share it), one tiny shuffle on the path for the
+    final count, TakeOrderedAndProject for the top-K.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    new_sess = F.when(
+        prev.isNull() | ((us - prev) > SESSION_GAP_SECONDS * 1_000_000), 1
+    ).otherwise(0)
+    with_sess = ev.withColumn("sess_idx", F.sum(new_sess).over(wrun))
+    paths = with_sess.groupBy("user_id", "sess_idx").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.unix_micros("ts").alias("us"), "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(PATH_TOP_K)
+    )
+
+
+SESSION_PATHS_SQL = f"""
+WITH flagged AS (
+  SELECT *,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_SECONDS} * 1000000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx
+  FROM flagged
+),
+paths AS (
+  SELECT user_id, sess_idx,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sess GROUP BY user_id, sess_idx
+)
+SELECT path, count(*) AS n_sessions
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT {PATH_TOP_K}
+"""
