@@ -53,6 +53,8 @@ HEADLINE = [
     "text_decontaminate",
     "text_tfidf_top_terms",
     "pack_chunk_documents",
+    "rag_retrieve",
+    "serving_session_paths",
 ]
 
 
