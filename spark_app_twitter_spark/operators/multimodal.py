@@ -191,3 +191,84 @@ SELECT media_id,
        md5(substr(text, CAST(i * step + 1 AS BIGINT), CAST(step AS BIGINT))) AS frame_digest
 FROM vids, unnest(range({N_FRAMES})) AS t(i)
 """
+
+
+RESIZE_TARGET = 32  # max output side
+
+
+def fake_image_decode(blob: bytes, w: int, h: int) -> np.ndarray:
+    """Deterministic stand-in image decoder: an (h, w) uint8 grayscale
+    raster md5-stream-expanded from the blob bytes. Replace with a
+    PIL/ffmpeg-backed callable in deployments (strict_decode seam)."""
+    out = bytearray()
+    cur = blob or b"\x00"
+    while len(out) < w * h:
+        cur = hashlib.md5(cur).digest()
+        out.extend(cur)
+    return np.frombuffer(bytes(out[: w * h]), dtype=np.uint8).reshape(h, w)
+
+
+def resize_media(
+    media: DataFrame,
+    target: int = RESIZE_TARGET,
+    decoder: Callable[[bytes, int, int], np.ndarray] = fake_image_decode,
+) -> DataFrame:
+    """Nearest-neighbor resize of image blobs via ``mapInPandas``.
+
+    Batch shape: (media_id, blob, width, height) Arrow batches in,
+    (media_id, out_w, out_h, n_bytes, blob) out — the resized raster
+    re-serializes to a binary column, so downstream stages keep the
+    same blob-plus-metadata contract. Decoding and pixel math stay in
+    the Python worker (Arrow-batched); blobs never hit the driver.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "out_w": [], "out_h": [], "n_bytes": [], "blob": []}
+            for mid, blob, w, h in zip(
+                pdf["media_id"], pdf["blob"], pdf["width"], pdf["height"]
+            ):
+                img = decoder(bytes(blob), int(w), int(h))
+                th, tw = min(int(h), target), min(int(w), target)
+                ri = (np.arange(th) * int(h)) // th
+                ci = (np.arange(tw) * int(w)) // tw
+                resized = img[np.ix_(ri, ci)]
+                rows["media_id"].append(mid)
+                rows["out_w"].append(tw)
+                rows["out_h"].append(th)
+                rows["n_bytes"].append(tw * th)
+                rows["blob"].append(resized.tobytes())
+            yield pd.DataFrame(rows)
+
+    imgs = media.where(F.col("kind") == "image").select(
+        "media_id",
+        "blob",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    return imgs.mapInPandas(
+        run,
+        schema="media_id long, out_w int, out_h int, n_bytes long, blob binary",
+    )
+
+
+def resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-facing projection of :func:`resize_media`: the resized
+    dimensions/byte counts are pure metadata math the SQL twin can
+    replay; pixel content is pinned by unit test (fake decoder is
+    deterministic)."""
+    return resize_media(media_table(spark, sf_dir)).select(
+        "media_id", "out_w", "out_h", "n_bytes"
+    )
+
+
+# media_table assigns kind=image when doc_id % 3 == 0; input rasters
+# are 64x64, so every output is the full RESIZE_TARGET square.
+RESIZE_IMAGES_SQL = f"""
+SELECT doc_id AS media_id,
+       least(64, {RESIZE_TARGET}) AS out_w,
+       least(64, {RESIZE_TARGET}) AS out_h,
+       CAST(least(64, {RESIZE_TARGET}) * least(64, {RESIZE_TARGET}) AS BIGINT) AS n_bytes
+FROM documents
+WHERE doc_id % 3 = 0
+"""

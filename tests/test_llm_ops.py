@@ -600,3 +600,28 @@ def test_quantize_embeddings_zero_vector_guard(spark, tmp_path):
     assert out[0].scale_max == 0.0 and out[0].q8 == [0, 0, 0, 0]
     assert out[1].scale_max == 1.0
     assert out[1].q8 == [64, -127, 32, 0]
+
+
+def test_resize_media_nearest_neighbor_pixels(spark, sf_dir):
+    """Pixel-level pin of the resize kernel: a known 4x4 raster
+    resized to 2x2 must keep the nearest-neighbor sample points, and
+    the engine output must round-trip through the binary column."""
+    import numpy as np
+
+    from spark_app_twitter_spark.operators import multimodal
+
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+
+    def decoder(blob, w, h):
+        assert (w, h) == (4, 4)
+        return img
+
+    media = spark.createDataFrame(
+        [(1, "image", b"x", ("m", 4, 4, 0))],
+        "media_id long, kind string, blob binary, meta struct<mime:string,width:int,height:int,duration_ms:long>",
+    )
+    out = multimodal.resize_media(media, target=2, decoder=decoder).collect()[0]
+    assert (out.out_w, out.out_h, out.n_bytes) == (2, 2, 4)
+    got = np.frombuffer(out.blob, dtype=np.uint8).reshape(2, 2)
+    # rows/cols sampled at floor(i*4/2) = 0, 2
+    assert got.tolist() == [[0, 2], [8, 10]]
