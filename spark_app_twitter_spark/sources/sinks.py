@@ -146,3 +146,30 @@ def write_training_shards(
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
     out.write.mode("overwrite").parquet(path)
+
+
+def compact_parquet_table(
+    spark: SparkSession,
+    path: str,
+    n_files: int,
+    sort_cols: Sequence[str] = (),
+) -> int:
+    """Small-file compaction for an append/upsert-maintained parquet
+    table: rewrite into exactly ``n_files`` files, optionally sorted
+    within each file so min/max row-group stats support data skipping
+    on the sort columns.
+
+    The maintenance job every streaming sink eventually needs —
+    micro-batches accrete many small files, and scan cost at 100 TB
+    is dominated by file-open overhead once file count outgrows
+    task count. Returns the row count (lineage is severed before the
+    overwrite for the same read-then-rewrite-safety reason as the
+    upsert).
+    """
+    df = spark.read.parquet(path)
+    out = df.repartition(n_files)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    out = out.localCheckpoint(eager=True)
+    out.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path).count()

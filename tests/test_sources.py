@@ -100,3 +100,28 @@ def test_mongo_writer_reaches_connector_boundary(spark):
     msg = str(ei.value)
     assert "mongodb" in msg.lower()
     assert "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg
+
+
+def test_compact_parquet_table(spark, tmp_path, sf_dir):
+    """Compaction must collapse many small files into exactly N,
+    preserve every row, and sort within files when asked."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from spark_app_twitter_spark.sources.parquet import load_table
+    from spark_app_twitter_spark.sources.sinks import compact_parquet_table
+
+    path = str(tmp_path / "serving")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ev.repartition(37).write.parquet(path)
+    assert len(glob.glob(f"{path}/part-*.parquet")) == 37
+    before = ev.count()
+
+    after = compact_parquet_table(spark, path, 4, sort_cols=["event_id"])
+    files = glob.glob(f"{path}/part-*.parquet")
+    assert len(files) == 4
+    assert after == before
+    for f in files:
+        ids = pq.read_table(f, columns=["event_id"])["event_id"].to_pylist()
+        assert ids == sorted(ids), "rows must be sorted within each file"
