@@ -228,7 +228,7 @@ def resize_media(
             for mid, blob, w, h in zip(
                 pdf["media_id"], pdf["blob"], pdf["width"], pdf["height"]
             ):
-                img = decoder(bytes(blob), int(w), int(h))
+                img = decoder(bytes(blob) if blob is not None else b"", int(w), int(h))
                 th, tw = min(int(h), target), min(int(w), target)
                 ri = (np.arange(th) * int(h)) // th
                 ci = (np.arange(tw) * int(w)) // tw

@@ -30,7 +30,12 @@ from spark_app_twitter_spark.operators.similarity import knn_bruteforce
 from spark_app_twitter_spark.operators.similarity import (
     KNN_BRUTEFORCE_SQL as _KNN_SQL,
 )
-from spark_app_twitter_spark.operators.textstats import redact_text
+from spark_app_twitter_spark.operators.textstats import (
+    REDACT_RULES,
+    quality_score_expr,
+    quality_score_sql,
+    redact_sql_expr,
+)
 from spark_app_twitter_spark.sources.parquet import load_table
 
 
@@ -44,28 +49,19 @@ def rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos_sim",
         "rank",
     )
-    toks = tokens("text")
-    quality = F.round(
-        F.least(F.size(toks).cast("double") / F.lit(64.0), F.lit(1.0)) * 0.5
-        + (
-            F.size(F.array_distinct(toks)).cast("double")
-            / F.size(toks).cast("double")
-        )
-        * 0.5,
-        6,
+    red = F.col("text")
+    for pat, repl in REDACT_RULES:
+        red = F.regexp_replace(red, pat, repl)
+    # ONE documents scan provides both payload columns (quality and
+    # redacted text are map-side projections of the same row), joined
+    # once to the k-per-query hit set
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        quality_score_expr(tokens("text")).alias("quality_score"),
+        red.alias("text"),
     )
-    docs = redact_text(spark, sf_dir).select(
-        "doc_id", F.col("redacted").alias("text")
-    )
-    scored_docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", quality.alias("quality_score")
-    )
-    return (
-        hits.join(scored_docs, "doc_id")
-        .join(docs, "doc_id")
-        .select(
-            "query_id", "doc_id", "cos_sim", "rank", "quality_score", "text"
-        )
+    return hits.join(docs, "doc_id").select(
+        "query_id", "doc_id", "cos_sim", "rank", "quality_score", "text"
     )
 
 
@@ -73,25 +69,16 @@ RAG_RETRIEVE_SQL = f"""
 WITH hits AS (
 {_KNN_SQL.strip()}
 ),
-quality AS (
+docs AS (
   SELECT doc_id,
-         round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 64.0, 1.0) * 0.5
-               + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                  / len(string_split(text, ' '))) * 0.5, 6) AS quality_score
-  FROM documents
-),
-red AS (
-  SELECT doc_id,
-         regexp_replace(regexp_replace(text,
-           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
-           '[0-9]+', '<NUM>', 'g') AS text
+         {quality_score_sql("string_split(text, ' ')")} AS quality_score,
+         {redact_sql_expr("text")} AS text
   FROM documents
 )
 SELECT h.query_id, h.neighbor_id AS doc_id, h.cos_sim, h.rank,
-       q.quality_score, r.text
+       d.quality_score, d.text
 FROM hits h
-JOIN quality q ON h.neighbor_id = q.doc_id
-JOIN red r ON h.neighbor_id = r.doc_id
+JOIN docs d ON h.neighbor_id = d.doc_id
 """
 
 __all__ = ["rag_retrieve", "RAG_RETRIEVE_SQL"]

@@ -326,17 +326,9 @@ GROUP BY event_type
 SESSION_GAP_SECONDS = 1800
 
 
-def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30 min) per user — the batch twin of
-    streaming session windows (streaming/windowed.py uses
-    F.session_window over the same stream).
-
-    lag -> new-session flag -> running sum = session index: two
-    window passes over one shuffle on user_id. Timestamp math in
-    integer microseconds (unix_micros/epoch_us) so both engines
-    compare exactly.
-    """
-    ev = load_table(spark, sf_dir, "events")
+def _with_session_idx(ev: DataFrame) -> DataFrame:
+    """lag -> gap flag -> running sum = sess_idx: the ONE definition
+    of session boundaries (sessionize and session_paths share it)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     us = F.unix_micros(F.col("ts"))
@@ -344,17 +336,11 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_sess = F.when(
         prev.isNull() | ((us - prev) > SESSION_GAP_SECONDS * 1_000_000), 1
     ).otherwise(0)
-    with_sess = ev.withColumn("sess_idx", F.sum(new_sess).over(wrun))
-    return with_sess.groupBy("user_id", "sess_idx").agg(
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast(_VAL_DEC)).cast("double").alias("total_value"),
-    )
+    return ev.withColumn("sess_idx", F.sum(new_sess).over(wrun))
 
 
-SESSIONIZE_SQL = f"""
-WITH flagged AS (
+# the flagged/sess CTE pair — the SQL twin of _with_session_idx
+SESS_CTE_SQL = f"""flagged AS (
   SELECT *,
     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_SECONDS} * 1000000
@@ -366,7 +352,30 @@ sess AS (
   SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx
   FROM flagged
-)
+)"""
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) per user — the batch twin of
+    streaming session windows (streaming/windowed.py uses
+    F.session_window over the same stream).
+
+    lag -> new-session flag -> running sum = session index: two
+    window passes over one shuffle on user_id. Timestamp math in
+    integer microseconds (unix_micros/epoch_us) so both engines
+    compare exactly.
+    """
+    with_sess = _with_session_idx(load_table(spark, sf_dir, "events"))
+    return with_sess.groupBy("user_id", "sess_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(_VAL_DEC)).cast("double").alias("total_value"),
+    )
+
+
+SESSIONIZE_SQL = f"""
+WITH {SESS_CTE_SQL}
 SELECT user_id, sess_idx,
        min(ts) AS session_start,
        max(ts) AS session_end,
@@ -657,15 +666,7 @@ def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     session group share it), one tiny shuffle on the path for the
     final count, TakeOrderedAndProject for the top-K.
     """
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    us = F.unix_micros(F.col("ts"))
-    prev = F.lag(us).over(w)
-    new_sess = F.when(
-        prev.isNull() | ((us - prev) > SESSION_GAP_SECONDS * 1_000_000), 1
-    ).otherwise(0)
-    with_sess = ev.withColumn("sess_idx", F.sum(new_sess).over(wrun))
+    with_sess = _with_session_idx(load_table(spark, sf_dir, "events"))
     paths = with_sess.groupBy("user_id", "sess_idx").agg(
         F.array_join(
             F.transform(
@@ -686,19 +687,7 @@ def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SESSION_PATHS_SQL = f"""
-WITH flagged AS (
-  SELECT *,
-    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_SECONDS} * 1000000
-         THEN 1 ELSE 0 END AS new_sess
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-sess AS (
-  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx
-  FROM flagged
-),
+WITH {SESS_CTE_SQL},
 paths AS (
   SELECT user_id, sess_idx,
          string_agg(event_type, '>' ORDER BY ts, event_id) AS path

@@ -16,6 +16,46 @@ from spark_app_twitter_spark.sources.parquet import load_table
 
 PROFILE_TOP_K = 20  # trigrams kept per language profile
 
+# PII-style scrub rules applied in order (email-like spans first).
+# Same RE2-compatible patterns on both engines; the SQL twins derive
+# their regexp_replace chains from this table (redact_sql_expr).
+REDACT_RULES = (
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+", "<EMAIL>"),
+    (r"[0-9]+", "<NUM>"),
+)
+
+
+def quality_score_expr(toks: F.Column) -> F.Column:
+    """The composite quality score (length cap at 64 tokens, 50/50
+    with lexical diversity, round 6) — ONE definition, shared by
+    token_stats, the corpus funnel, and the retrieval capstone."""
+    n_tok = F.size(toks)
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok.cast(
+        "double"
+    )
+    return F.round(
+        F.least(n_tok.cast("double") / F.lit(64.0), F.lit(1.0)) * 0.5
+        + uniq_ratio * 0.5,
+        6,
+    )
+
+
+def quality_score_sql(toks: str) -> str:
+    """DuckDB twin of :func:`quality_score_expr` over a list expr."""
+    return (
+        f"round(least(CAST(len({toks}) AS DOUBLE) / 64.0, 1.0) * 0.5 "
+        f"+ (CAST(len(list_distinct({toks})) AS DOUBLE) / len({toks})) * 0.5, 6)"
+    )
+
+
+def redact_sql_expr(col: str) -> str:
+    """DuckDB chained regexp_replace derived from REDACT_RULES — the
+    SQL twins stay in lockstep with the Spark rule table."""
+    expr = col
+    for pat, repl in REDACT_RULES:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
+
 
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc token counts, lexical diversity, stopword ratio, and a
@@ -44,11 +84,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_token_len"
         ),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(
-            F.least(n_tok.cast("double") / F.lit(64.0), F.lit(1.0)) * 0.5
-            + uniq_ratio * 0.5,
-            6,
-        ).alias("quality_score"),
+        quality_score_expr(toks).alias("quality_score"),
     )
 
 
@@ -65,8 +101,7 @@ SELECT
         / len(toks), 6) AS avg_token_len,
   round(CAST(len(list_filter(toks, x -> x IN ({_STOP_IN}))) AS DOUBLE)
         / len(toks), 6) AS stopword_ratio,
-  round(least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0) * 0.5
-        + (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5, 6)
+  {quality_score_sql("toks")}
     AS quality_score
 FROM t
 """
@@ -249,14 +284,6 @@ FROM documents
 
 
 # Training-data hygiene: deterministic redaction of number-like and
-# email-like spans before tokenization. Same RE2-compatible patterns
-# on both engines.
-REDACT_RULES = (
-    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+", "<EMAIL>"),
-    (r"[0-9]+", "<NUM>"),
-)
-
-
 def redact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII-style scrubbing as a pure projection (chained
     regexp_replace — codegen'd, zero shuffles), with span accounting
@@ -275,10 +302,10 @@ def redact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-REDACT_TEXT_SQL = """
+REDACT_TEXT_SQL = f"""
 SELECT doc_id,
-       regexp_replace(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'), '[0-9]+', '<NUM>', 'g') AS redacted,
-       length(text) - length(regexp_replace(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'), '[0-9]+', '<NUM>', 'g')) AS chars_removed,
+       {redact_sql_expr("text")} AS redacted,
+       length(text) - length({redact_sql_expr("text")}) AS chars_removed,
        len(regexp_extract_all(text, '[0-9]+')) AS num_spans
 FROM documents
 """
@@ -367,9 +394,7 @@ WITH survivors AS (
 quality AS (
   SELECT doc_id, lang,
          len(string_split(text, ' ')) AS n_tokens,
-         round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 64.0, 1.0) * 0.5
-               + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                  / len(string_split(text, ' '))) * 0.5, 6) AS quality_score
+         {quality_score_sql("string_split(text, ' ')")} AS quality_score
   FROM documents
 ),
 sampled AS (

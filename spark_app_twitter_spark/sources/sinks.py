@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
 
 
@@ -172,4 +172,6 @@ def compact_parquet_table(
         out = out.sortWithinPartitions(*sort_cols)
     out = out.localCheckpoint(eager=True)
     out.write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path).count()
+    # count from the checkpointed blocks — no second scan of the
+    # just-written table
+    return out.count()
