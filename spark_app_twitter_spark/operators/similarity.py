@@ -408,3 +408,137 @@ SELECT vec_id,
        END AS q8
 FROM s
 """
+
+
+# Multi-table LSH: L independent hyperplane tables; a candidate pair
+# needs to collide in ANY table. Recall ~ 1-(1-p^k)^L for per-plane
+# agreement p — tunable without touching the plan shape.
+N_TABLES = 6
+PLANES_PER_TABLE = 4
+
+
+def _table_planes() -> list[list[list[int]]]:
+    """[table][plane][dim] ±1 weights, md5(table|plane|dim) parity —
+    same offline-literal trick as the single-table variant."""
+    tables = []
+    for t in range(N_TABLES):
+        planes = []
+        for p in range(PLANES_PER_TABLE):
+            row = []
+            for d in range(DIM):
+                h = hashlib.md5(f"{t}|{p}|{d}".encode()).hexdigest()
+                row.append(1 if int(h[0], 16) % 2 == 1 else -1)
+            planes.append(row)
+        tables.append(planes)
+    return tables
+
+
+TABLE_PLANES = _table_planes()
+
+
+def _bucket_expr_for(planes: list[list[int]], vec: str, spark_side: bool) -> str:
+    terms = []
+    for p, row in enumerate(planes):
+        if spark_side:
+            warr = "array(" + ", ".join(str(w) for w in row) + ")"
+            dot = (
+                f"aggregate(zip_with({vec}, {warr}, (x, w) -> CAST(x AS DOUBLE) * w), "
+                "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+        else:
+            warr = "[" + ", ".join(str(w) for w in row) + "]"
+            dot = f"list_dot_product(CAST({vec} AS DOUBLE[]), CAST({warr} AS DOUBLE[]))"
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _tables_expr(vec: str, spark_side: bool) -> str:
+    """Array of per-table buckets (index = table id)."""
+    buckets = ", ".join(
+        f"({_bucket_expr_for(planes, vec, spark_side)})" for planes in TABLE_PLANES
+    )
+    return f"array({buckets})" if spark_side else f"[{buckets}]"
+
+
+def knn_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table LSH ANN: candidates collide in ANY of N_TABLES
+    hash tables — the standard recall fix for sign-bucket LSH (the
+    single-table variant keeps the minimal structure; this is the
+    production shape).
+
+    Plan: each side computes its bucket ARRAY once (map-side),
+    posexplodes to (table, bucket) rows, equi-joins on the pair,
+    dedups candidate pairs, then exact-scores only the survivors.
+    Shuffle rows are (id, table, bucket) — narrow; vectors re-join
+    for scoring only on surviving candidates, exactly like the
+    MinHash-LSH banding discipline in dedup.py.
+    """
+    q, c = _queries_and_cands(spark, sf_dir)
+    qb = q.select(
+        "query_id",
+        F.posexplode(F.expr(_tables_expr("qv", True))).alias("t", "bucket"),
+    )
+    cb = c.select(
+        "neighbor_id",
+        F.posexplode(F.expr(_tables_expr("cv", True))).alias("t", "bucket"),
+    )
+    cand = qb.join(cb, ["t", "bucket"]).select("query_id", "neighbor_id").distinct()
+    scored = (
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+    )
+
+
+def _knn_lsh_multi_sql() -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         {_tables_expr('embedding', False)} AS buckets
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv,
+         {_tables_expr('embedding', False)} AS buckets
+  FROM embeddings WHERE vec_id >= {N_QUERIES}
+),
+qb AS (
+  SELECT query_id, u.t, u.b FROM (
+    SELECT query_id, unnest(list_transform(range(1, {N_TABLES} + 1),
+                                           i -> {{'t': i, 'b': buckets[i]}})) AS u
+    FROM q)
+),
+cb AS (
+  SELECT neighbor_id, u.t, u.b FROM (
+    SELECT neighbor_id, unnest(list_transform(range(1, {N_TABLES} + 1),
+                                              i -> {{'t': i, 'b': buckets[i]}})) AS u
+    FROM c)
+),
+cand AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM qb JOIN cb ON qb.t = cb.t AND qb.b = cb.b
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round({cosine_sql('q.qv', 'c.cv')}, 6) AS cos_sim
+  FROM cand JOIN q ON cand.query_id = q.query_id
+            JOIN c ON cand.neighbor_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+KNN_LSH_MULTI_SQL = _knn_lsh_multi_sql()

@@ -625,3 +625,28 @@ def test_resize_media_nearest_neighbor_pixels(spark, sf_dir):
     got = np.frombuffer(out.blob, dtype=np.uint8).reshape(2, 2)
     # rows/cols sampled at floor(i*4/2) = 0, 2
     assert got.tolist() == [[0, 2], [8, 10]]
+
+
+def test_ann_recall_floors_vs_bruteforce(spark, sf_dir):
+    """Pin the approximation quality of the ANN variants on the
+    synthetic (near-orthogonal — adversarial for LSH) embeddings:
+    IVF with 2-of-8 probes stays high; multi-table LSH must beat the
+    structural single-table variant by an order of magnitude."""
+    from spark_app_twitter_spark.operators import similarity
+
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.knn_bruteforce(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.knn_ivf(spark, sf_dir).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.knn_lsh_multi(spark, sf_dir).collect()
+    }
+    ivf_recall = len(ivf & truth) / len(truth)
+    multi_recall = len(multi & truth) / len(truth)
+    assert ivf_recall >= 0.8, f"IVF recall regressed: {ivf_recall}"
+    assert multi_recall >= 0.4, f"multi-table LSH recall regressed: {multi_recall}"
