@@ -110,3 +110,43 @@ def backfill_serving(
     )
     agg = hourly_topic_aggregate(slice_)
     upsert_parquet_batch(agg, -1, serving_path, keys=["window_start", "topic"])
+
+
+def prepare_training_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    n_shards: int = 8,
+) -> int:
+    """The LLM-data capstone JOB: documents -> survivors of the
+    corpus funnel (exact-dedup ∩ quality ∩ stratified sample) ->
+    decontaminated against the held-out benchmark -> chunked into
+    training windows -> exported as hash-stable shards. Returns the
+    chunk count written.
+
+    One composed lazy plan up to the shard write: the funnel/
+    decontamination stages are semi/anti joins on doc_id (tiny key
+    relations probe the corpus scan), chunking is the map-side
+    explode, and the export repartitions once on doc_id. Nothing
+    collects on the driver.
+    """
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.operators.packing import chunk_documents
+    from spark_app_twitter_spark.operators.textstats import (
+        corpus_funnel,
+        decontaminate,
+    )
+    from spark_app_twitter_spark.sources.sinks import write_training_shards
+
+    survivors = corpus_funnel(spark, sf_dir).select("doc_id")
+    contaminated = decontaminate(spark, sf_dir).select("doc_id")
+    chunks = (
+        chunk_documents(spark, sf_dir)
+        .join(survivors, "doc_id", "left_semi")
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    write_training_shards(
+        chunks, out_path, n_shards, "doc_id", sort_cols=["doc_id", "chunk_id"]
+    )
+    return spark.read.parquet(out_path).count()

@@ -145,7 +145,18 @@ def write_training_shards(
     out = df.repartition(n_shards, shard_key)
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
-    out.write.mode("overwrite").parquet(path)
+    # The fixed file count IS the contract: with multi-stage upstream
+    # plans, AQE's runtime coalescing can merge the explicit shard
+    # shuffle when stats are small and silently emit fewer files —
+    # pin it off for just this write.
+    spark = df.sparkSession
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        out.write.mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set(key, prev)
 
 
 def compact_parquet_table(

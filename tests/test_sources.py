@@ -125,3 +125,36 @@ def test_compact_parquet_table(spark, tmp_path, sf_dir):
     for f in files:
         ids = pq.read_table(f, columns=["event_id"])["event_id"].to_pylist()
         assert ids == sorted(ids), "rows must be sorted within each file"
+
+
+def test_prepare_training_corpus_end_to_end(spark, tmp_path, sf_dir):
+    """The composed corpus job: funnel ∩ not-contaminated, chunked,
+    sharded — written chunks must be exactly the chunks of the
+    surviving doc set."""
+    import glob
+
+    from spark_app_twitter_spark.jobs import prepare_training_corpus
+    from spark_app_twitter_spark.operators.packing import chunk_documents
+    from spark_app_twitter_spark.operators.textstats import (
+        corpus_funnel,
+        decontaminate,
+    )
+
+    out = str(tmp_path / "corpus")
+    n = prepare_training_corpus(spark, sf_dir, out, n_shards=4)
+    assert len(glob.glob(f"{out}/part-*.parquet")) == 4
+
+    keep = {r.doc_id for r in corpus_funnel(spark, sf_dir).collect()} - {
+        r.doc_id for r in decontaminate(spark, sf_dir).collect()
+    }
+    expected = [
+        r for r in chunk_documents(spark, sf_dir).collect() if r.doc_id in keep
+    ]
+    assert n == len(expected)
+    got = {
+        (r.doc_id, r.chunk_id): r.chunk_text
+        for r in spark.read.parquet(out).collect()
+    }
+    assert len(got) == n
+    for r in expected:
+        assert got[(r.doc_id, r.chunk_id)] == r.chunk_text
