@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_session_paths": serving.session_paths,
         "multimodal_resize_images": multimodal.resize_images,
         "sim_knn_lsh_multi": similarity.knn_lsh_multi,
+        "text_source_stats": textstats.source_stats,
         "text_bpe_pair_counts": textstats.bpe_pair_counts,
         "sim_quantize_embeddings": similarity.quantize_embeddings,
         "pack_chunk_documents": packing.chunk_documents,
@@ -191,6 +192,7 @@ def oracle_sql() -> dict[str, str]:
         "serving_session_paths": serving.SESSION_PATHS_SQL,
         "multimodal_resize_images": multimodal.RESIZE_IMAGES_SQL,
         "sim_knn_lsh_multi": similarity.KNN_LSH_MULTI_SQL,
+        "text_source_stats": textstats.SOURCE_STATS_SQL,
         "text_bpe_pair_counts": textstats.BPE_PAIR_COUNTS_SQL,
         "sim_quantize_embeddings": similarity.QUANTIZE_EMBEDDINGS_SQL,
         "pack_chunk_documents": packing.CHUNK_DOCUMENTS_SQL,

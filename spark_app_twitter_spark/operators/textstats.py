@@ -687,3 +687,60 @@ GROUP BY pair
 ORDER BY pair_count DESC, pair ASC
 LIMIT {BPE_TOP_K}
 """
+
+
+def source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data-mixture report: corpus share, exact mean
+    quality, and corpus-funnel survival rate — the governance table a
+    training-data pipeline publishes per ingestion source.
+
+    Mean quality uses the quantize-then-integer-sum trick (1e-6) so
+    distributed partial sums are order-independent; survival is a
+    semi-join flag aggregated conditionally (no second scan of the
+    funnel output).
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    survivors = corpus_funnel(spark, sf_dir).select("doc_id", F.lit(1).alias("kept"))
+    q = quality_score_expr(tokens("text"))
+    qq = F.round(q * 1e6).cast("long")
+    return (
+        docs.select("doc_id", "source", qq.alias("qq"))
+        .join(survivors, "doc_id", "left_outer")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum("qq").cast("double") / (F.count(F.lit(1)) * F.lit(1e6)), 6
+            ).alias("mean_quality"),
+            F.round(
+                F.sum(F.coalesce(F.col("kept"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("funnel_survival_rate"),
+        )
+    )
+
+
+def _source_stats_sql() -> str:
+    funnel = CORPUS_FUNNEL_SQL.strip()
+    return f"""
+WITH funnel_out AS (
+{funnel}
+),
+scored AS (
+  SELECT doc_id, source,
+         CAST(round({quality_score_sql("string_split(text, ' ')")} * 1e6) AS BIGINT) AS qq
+  FROM documents
+)
+SELECT s.source,
+       count(*) AS n_docs,
+       round(CAST(sum(s.qq) AS DOUBLE) / (count(*) * 1e6), 6) AS mean_quality,
+       round(CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS funnel_survival_rate
+FROM scored s
+LEFT OUTER JOIN (SELECT DISTINCT doc_id FROM funnel_out) f ON s.doc_id = f.doc_id
+GROUP BY s.source
+"""
+
+
+SOURCE_STATS_SQL = _source_stats_sql()
