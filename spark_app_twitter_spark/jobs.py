@@ -134,6 +134,8 @@ def prepare_training_corpus(
 
     from spark_app_twitter_spark.operators.packing import chunk_documents
     from spark_app_twitter_spark.operators.textstats import (
+        DECON_BENCH_MOD,
+        DECON_BENCH_REM,
         corpus_funnel,
         decontaminate,
     )
@@ -143,6 +145,10 @@ def prepare_training_corpus(
     contaminated = decontaminate(spark, sf_dir).select("doc_id")
     chunks = (
         chunk_documents(spark, sf_dir)
+        # the held-out benchmark docs themselves must NEVER train —
+        # decontaminate() flags only the TRAINING docs that overlap
+        # them, so both exclusions are needed
+        .where((F.col("doc_id") % DECON_BENCH_MOD) != DECON_BENCH_REM)
         .join(survivors, "doc_id", "left_semi")
         .join(contaminated, "doc_id", "left_anti")
     )

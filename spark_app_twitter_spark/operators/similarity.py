@@ -105,26 +105,29 @@ def _plane_weights() -> list[list[int]]:
 PLANES = _plane_weights()
 
 
-def _bucket_expr_spark(vec: str) -> str:
-    """Spark SQL expr: 8-bit LSH bucket of an array<float> column."""
+def _bucket_expr_for(planes: list[list[int]], vec: str, spark_side: bool) -> str:
     terms = []
-    for p, row in enumerate(PLANES):
-        warr = "array(" + ", ".join(str(w) for w in row) + ")"
-        dot = (
-            f"aggregate(zip_with({vec}, {warr}, (x, w) -> CAST(x AS DOUBLE) * w), "
-            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
+    for p, row in enumerate(planes):
+        if spark_side:
+            warr = "array(" + ", ".join(str(w) for w in row) + ")"
+            dot = (
+                f"aggregate(zip_with({vec}, {warr}, (x, w) -> CAST(x AS DOUBLE) * w), "
+                "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+        else:
+            warr = "[" + ", ".join(str(w) for w in row) + "]"
+            dot = f"list_dot_product(CAST({vec} AS DOUBLE[]), CAST({warr} AS DOUBLE[]))"
         terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
     return " + ".join(terms)
+
+
+def _bucket_expr_spark(vec: str) -> str:
+    """Spark SQL expr: 8-bit LSH bucket of an array<float> column."""
+    return _bucket_expr_for(PLANES, vec, spark_side=True)
 
 
 def _bucket_expr_duckdb(vec: str) -> str:
-    terms = []
-    for p, row in enumerate(PLANES):
-        warr = "[" + ", ".join(str(w) for w in row) + "]"
-        dot = f"list_dot_product(CAST({vec} AS DOUBLE[]), CAST({warr} AS DOUBLE[]))"
-        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
-    return " + ".join(terms)
+    return _bucket_expr_for(PLANES, vec, spark_side=False)
 
 
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -434,22 +437,6 @@ def _table_planes() -> list[list[list[int]]]:
 
 
 TABLE_PLANES = _table_planes()
-
-
-def _bucket_expr_for(planes: list[list[int]], vec: str, spark_side: bool) -> str:
-    terms = []
-    for p, row in enumerate(planes):
-        if spark_side:
-            warr = "array(" + ", ".join(str(w) for w in row) + ")"
-            dot = (
-                f"aggregate(zip_with({vec}, {warr}, (x, w) -> CAST(x AS DOUBLE) * w), "
-                "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-            )
-        else:
-            warr = "[" + ", ".join(str(w) for w in row) + "]"
-            dot = f"list_dot_product(CAST({vec} AS DOUBLE[]), CAST({warr} AS DOUBLE[]))"
-        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
-    return " + ".join(terms)
 
 
 def _tables_expr(vec: str, spark_side: bool) -> str:

@@ -700,7 +700,12 @@ def source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel output).
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    survivors = corpus_funnel(spark, sf_dir).select("doc_id", F.lit(1).alias("kept"))
+    survivors = (
+        corpus_funnel(spark, sf_dir)
+        .select("doc_id")
+        .distinct()  # mirror the oracle's DISTINCT guard exactly
+        .withColumn("kept", F.lit(1))
+    )
     q = quality_score_expr(tokens("text"))
     qq = F.round(q * 1e6).cast("long")
     return (

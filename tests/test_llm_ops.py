@@ -650,3 +650,25 @@ def test_ann_recall_floors_vs_bruteforce(spark, sf_dir):
     multi_recall = len(multi & truth) / len(truth)
     assert ivf_recall >= 0.8, f"IVF recall regressed: {ivf_recall}"
     assert multi_recall >= 0.4, f"multi-table LSH recall regressed: {multi_recall}"
+
+
+def test_knn_lsh_multi_parity(spark, sf_dir):
+    from spark_app_twitter_spark.operators import similarity
+
+    assert_parity(
+        similarity.knn_lsh_multi(spark, sf_dir),
+        similarity.KNN_LSH_MULTI_SQL,
+        sf_dir,
+        "sim_knn_lsh_multi",
+    )
+
+
+def test_source_stats_parity(spark, sf_dir):
+    from spark_app_twitter_spark.operators import textstats
+
+    assert_parity(
+        textstats.source_stats(spark, sf_dir),
+        textstats.SOURCE_STATS_SQL,
+        sf_dir,
+        "text_source_stats",
+    )

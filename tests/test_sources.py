@@ -136,6 +136,8 @@ def test_prepare_training_corpus_end_to_end(spark, tmp_path, sf_dir):
     from spark_app_twitter_spark.jobs import prepare_training_corpus
     from spark_app_twitter_spark.operators.packing import chunk_documents
     from spark_app_twitter_spark.operators.textstats import (
+        DECON_BENCH_MOD,
+        DECON_BENCH_REM,
         corpus_funnel,
         decontaminate,
     )
@@ -148,7 +150,9 @@ def test_prepare_training_corpus_end_to_end(spark, tmp_path, sf_dir):
         r.doc_id for r in decontaminate(spark, sf_dir).collect()
     }
     expected = [
-        r for r in chunk_documents(spark, sf_dir).collect() if r.doc_id in keep
+        r
+        for r in chunk_documents(spark, sf_dir).collect()
+        if r.doc_id in keep and r.doc_id % DECON_BENCH_MOD != DECON_BENCH_REM
     ]
     assert n == len(expected)
     got = {
@@ -158,3 +162,7 @@ def test_prepare_training_corpus_end_to_end(spark, tmp_path, sf_dir):
     assert len(got) == n
     for r in expected:
         assert got[(r.doc_id, r.chunk_id)] == r.chunk_text
+    # the held-out benchmark set must be absent from the shards
+    assert not any(
+        doc_id % DECON_BENCH_MOD == DECON_BENCH_REM for doc_id, _ in got
+    ), "benchmark docs leaked into training shards"
