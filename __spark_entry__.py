@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize_images": multimodal.resize_images,
         "sim_knn_lsh_multi": similarity.knn_lsh_multi,
         "text_source_stats": textstats.source_stats,
+        "serving_value_anomalies": serving.value_anomalies,
         "text_bpe_pair_counts": textstats.bpe_pair_counts,
         "sim_quantize_embeddings": similarity.quantize_embeddings,
         "pack_chunk_documents": packing.chunk_documents,
@@ -193,6 +194,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_resize_images": multimodal.RESIZE_IMAGES_SQL,
         "sim_knn_lsh_multi": similarity.KNN_LSH_MULTI_SQL,
         "text_source_stats": textstats.SOURCE_STATS_SQL,
+        "serving_value_anomalies": serving.VALUE_ANOMALIES_SQL,
         "text_bpe_pair_counts": textstats.BPE_PAIR_COUNTS_SQL,
         "sim_quantize_embeddings": similarity.QUANTIZE_EMBEDDINGS_SQL,
         "pack_chunk_documents": packing.CHUNK_DOCUMENTS_SQL,

@@ -699,3 +699,73 @@ GROUP BY path
 ORDER BY n_sessions DESC, path ASC
 LIMIT {PATH_TOP_K}
 """
+
+
+Z_THRESHOLD = 3.0
+
+
+def value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-topic z-score outliers (|z| > 3): the monitoring query a
+    serving pipeline runs over incoming metric values.
+
+    Moments are computed as EXACT decimal sums (sum v, sum v²) and
+    only divided in double at the end — so mean/variance are
+    order-independent under distributed partial aggregation, and the
+    z-score itself is a fixed chain of IEEE ops both engines execute
+    identically. One aggregation + one broadcast join back to rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast(_VAL_DEC)
+    moments = (
+        ev.select(F.col("event_type").alias("m_topic"), v.alias("v"))
+        .groupBy("m_topic")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s1"),
+            F.sum(F.col("v") * F.col("v")).alias("s2"),
+        )
+        .select(
+            "m_topic",
+            (F.col("s1").cast("double") / F.col("n")).alias("mean"),
+            F.sqrt(
+                F.col("s2").cast("double") / F.col("n")
+                - (F.col("s1").cast("double") / F.col("n"))
+                * (F.col("s1").cast("double") / F.col("n"))
+            ).alias("std"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(moments), ev.event_type == F.col("m_topic"))
+        .select(
+            "event_id",
+            F.col("event_type").alias("topic"),
+            F.col("value").alias("value"),
+            F.round(
+                (F.col("value").cast(_VAL_DEC).cast("double") - F.col("mean"))
+                / F.col("std"),
+                6,
+            ).alias("z"),
+        )
+        .where(F.abs(F.col("z")) > Z_THRESHOLD)
+    )
+
+
+VALUE_ANOMALIES_SQL = f"""
+WITH moments AS (
+  SELECT event_type AS m_topic,
+         count(*) AS n,
+         sum(CAST(value AS DECIMAL(12,2))) AS s1,
+         sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS s2
+  FROM events GROUP BY event_type
+),
+stats AS (
+  SELECT m_topic,
+         CAST(s1 AS DOUBLE) / n AS mean,
+         sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS std
+  FROM moments
+)
+SELECT event_id, event_type AS topic, value,
+       round((CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) - mean) / std, 6) AS z
+FROM events JOIN stats ON event_type = m_topic
+WHERE abs(round((CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) - mean) / std, 6)) > {Z_THRESHOLD}
+"""
