@@ -136,7 +136,11 @@ def kmeans_cells(
     )
 
 
-def _sq_dist_sql(v: str, c: str) -> str:
+def _centroid_score_sql(v: str, c: str) -> str:
+    """Negated-distance centroid score: v·c - |c|²/2. argmax of this
+    over centroids == argmin of squared distance (|v|² is constant
+    per vector), hence the DESC ordering at every use site — do not
+    "fix" it to ASC."""
     return (
         f"round(list_dot_product({v}, {c}) "
         f"- list_dot_product({c}, {c}) / 2.0, 6)"
@@ -154,7 +158,7 @@ def kmeans_centroid_ctes(k: int = K_CELLS, iters: int = ITERS) -> list[str]:
         parts.append(
             f"a{i} AS (SELECT vec_id, v, cell FROM ("
             f"SELECT e.vec_id, e.v, c.cell, row_number() OVER ("
-            f"PARTITION BY e.vec_id ORDER BY {_sq_dist_sql('e.v', 'c.cv')} DESC, c.cell ASC) AS rk "
+            f"PARTITION BY e.vec_id ORDER BY {_centroid_score_sql('e.v', 'c.cv')} DESC, c.cell ASC) AS rk "
             f"FROM emb e CROSS JOIN c{i} c) WHERE rk = 1)"
         )
         parts.append(
@@ -175,7 +179,7 @@ def kmeans_cells_sql(k: int = K_CELLS, iters: int = ITERS) -> str:
     final = (
         f"SELECT vec_id, cell FROM ("
         f"SELECT e.vec_id, c.cell, row_number() OVER ("
-        f"PARTITION BY e.vec_id ORDER BY {_sq_dist_sql('e.v', 'c.cv')} DESC, c.cell ASC) AS rk "
+        f"PARTITION BY e.vec_id ORDER BY {_centroid_score_sql('e.v', 'c.cv')} DESC, c.cell ASC) AS rk "
         f"FROM emb e CROSS JOIN c{iters} c) WHERE rk = 1"
     )
     return "WITH " + ",\n".join(parts) + "\n" + final

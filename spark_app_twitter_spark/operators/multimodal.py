@@ -34,6 +34,11 @@ from spark_app_twitter_spark.sources.parquet import load_table
 
 FEATURE_DIM = 4
 
+# synthetic raster shape for media_table blobs — single source of
+# truth shared with the SQL oracle twins below
+MEDIA_W = 64
+MEDIA_H = 64
+
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic media table: text bytes as the blob payload."""
@@ -51,11 +56,23 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "utf-8").alias("blob"),
         F.struct(
             F.concat(F.lit("application/x-fake-"), kind).alias("mime"),
-            F.lit(64).alias("width"),
-            F.lit(64).alias("height"),
+            F.lit(MEDIA_W).alias("width"),
+            F.lit(MEDIA_H).alias("height"),
             (F.col("n_chars") * 10).alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+# SQL re-synthesis of media_table for the DuckDB oracle (which only
+# sees the raw parquet tables): same kind rule, same meta dims.
+MEDIA_CTE_SQL = f"""
+media AS (
+  SELECT doc_id AS media_id,
+         ['image', 'audio', 'video'][(doc_id % 3) + 1] AS kind,
+         {MEDIA_W} AS width, {MEDIA_H} AS height
+  FROM documents
+)
+"""
 
 
 def strict_decode(blob: bytes, kind: str) -> np.ndarray:
@@ -262,13 +279,14 @@ def resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# media_table assigns kind=image when doc_id % 3 == 0; input rasters
-# are 64x64, so every output is the full RESIZE_TARGET square.
+# Derives out_w/out_h from the media CTE's meta dims (ADVICE r02):
+# changing MEDIA_W/MEDIA_H or the kind rule updates both engines.
 RESIZE_IMAGES_SQL = f"""
-SELECT doc_id AS media_id,
-       least(64, {RESIZE_TARGET}) AS out_w,
-       least(64, {RESIZE_TARGET}) AS out_h,
-       CAST(least(64, {RESIZE_TARGET}) * least(64, {RESIZE_TARGET}) AS BIGINT) AS n_bytes
-FROM documents
-WHERE doc_id % 3 = 0
+WITH {MEDIA_CTE_SQL}
+SELECT media_id,
+       least(width, {RESIZE_TARGET}) AS out_w,
+       least(height, {RESIZE_TARGET}) AS out_h,
+       CAST(least(width, {RESIZE_TARGET}) * least(height, {RESIZE_TARGET}) AS BIGINT) AS n_bytes
+FROM media
+WHERE kind = 'image'
 """

@@ -35,7 +35,7 @@ from spark_app_twitter_spark.operators.clustering import (
     ITERS,
     K_CELLS,
     _assign,
-    _sq_dist_sql,
+    _centroid_score_sql,
     _vecs,
     kmeans_centroid_ctes,
     kmeans_centroids,
@@ -87,7 +87,7 @@ def _semdedup_sql() -> str:
     assign = (
         f"assigned AS (SELECT vec_id, v, cell FROM ("
         f"SELECT e.vec_id, e.v, c.cell, row_number() OVER ("
-        f"PARTITION BY e.vec_id ORDER BY {_sq_dist_sql('e.v', 'c.cv')} DESC, c.cell ASC) AS rk "
+        f"PARTITION BY e.vec_id ORDER BY {_centroid_score_sql('e.v', 'c.cv')} DESC, c.cell ASC) AS rk "
         f"FROM emb e CROSS JOIN c{ITERS} c) WHERE rk = 1)"
     )
     return f"""

@@ -713,6 +713,11 @@ def value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent under distributed partial aggregation, and the
     z-score itself is a fixed chain of IEEE ops both engines execute
     identically. One aggregation + one broadcast join back to rows.
+
+    A degenerate topic (all values equal, std=0) emits no anomaly
+    rows: the divisor is nullif(std, 0) on both engines, so z is
+    NULL there rather than NaN/Inf — engine-dependent division and
+    NaN-ordering semantics never enter the comparison.
     """
     ev = load_table(spark, sf_dir, "events")
     v = F.col("value").cast(_VAL_DEC)
@@ -742,7 +747,7 @@ def value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("value"),
             F.round(
                 (F.col("value").cast(_VAL_DEC).cast("double") - F.col("mean"))
-                / F.col("std"),
+                / F.nullif(F.col("std"), F.lit(0.0)),
                 6,
             ).alias("z"),
         )
@@ -765,7 +770,7 @@ stats AS (
   FROM moments
 )
 SELECT event_id, event_type AS topic, value,
-       round((CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) - mean) / std, 6) AS z
+       round((CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) - mean) / nullif(std, 0), 6) AS z
 FROM events JOIN stats ON event_type = m_topic
-WHERE abs(round((CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) - mean) / std, 6)) > {Z_THRESHOLD}
+WHERE abs(round((CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) - mean) / nullif(std, 0), 6)) > {Z_THRESHOLD}
 """

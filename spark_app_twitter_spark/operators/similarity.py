@@ -377,6 +377,11 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles; at 100 TB this is scan -> codegen -> write.
     Zero-vectors take scale 0 and quantize to all-zeros (guarded
     division).
+
+    The codes are emitted as a comma-joined string (`q8_csv`) rather
+    than array<int>: the export row is a serialization boundary
+    anyway, and a scalar column keeps every downstream comparator
+    (including the driver's pandas canonicalizer) happy.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -389,7 +394,7 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.round(amax, 6).alias("scale_max"),
-        q.alias("q8"),
+        F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias("q8_csv"),
     )
 
 
@@ -406,9 +411,10 @@ s AS (
 )
 SELECT vec_id,
        round(amax, 6) AS scale_max,
-       CASE WHEN amax = 0.0 THEN list_transform(dv, x -> 0)
-            ELSE list_transform(dv, x -> CAST(round(x * {QUANT_BITS_SCALE} / amax) AS INT))
-       END AS q8
+       array_to_string(
+         CASE WHEN amax = 0.0 THEN list_transform(dv, x -> 0)
+              ELSE list_transform(dv, x -> CAST(round(x * {QUANT_BITS_SCALE} / amax) AS INT))
+         END, ',') AS q8_csv
 FROM s
 """
 

@@ -152,6 +152,8 @@ def late_events(
             # session timezones (stripping the 'Z' would shift it).
             threshold = F.lit(wm).cast("timestamp")
         else:
+            # deliberate driver collect: a single 1-row scalar (the
+            # batch max) per micro-batch — O(1) rows, not a data pull
             mx = batch.agg(F.max("created_at")).collect()[0][0]
             if mx is None:
                 return

@@ -597,9 +597,9 @@ def test_quantize_embeddings_zero_vector_guard(spark, tmp_path):
         f"{sf}/embeddings.parquet",
     )
     out = {r.vec_id: r for r in similarity.quantize_embeddings(spark, sf).collect()}
-    assert out[0].scale_max == 0.0 and out[0].q8 == [0, 0, 0, 0]
+    assert out[0].scale_max == 0.0 and out[0].q8_csv == "0,0,0,0"
     assert out[1].scale_max == 1.0
-    assert out[1].q8 == [64, -127, 32, 0]
+    assert out[1].q8_csv == "64,-127,32,0"
 
 
 def test_resize_media_nearest_neighbor_pixels(spark, sf_dir):

@@ -23,8 +23,6 @@ from spark_app_twitter_spark.functions.text import make_pandas_classifier
 from spark_app_twitter_spark.operators import multimodal
 from spark_app_twitter_spark.sources.parquet import load_table
 
-SF_DIR = "/root/testdata/sf0.01"
-
 LABELS = ["alpha", "beta", "gamma", "delta"]
 
 
@@ -44,7 +42,7 @@ def _char_counts(texts: pd.Series) -> np.ndarray:
     return mat
 
 
-def test_pandas_classifier_runs_numpy_model_with_init(spark, tmp_path):
+def test_pandas_classifier_runs_numpy_model_with_init(spark, sf_dir, tmp_path):
     marker_dir = str(tmp_path / "init_markers")
     os.makedirs(marker_dir)
     batch_log = str(tmp_path / "batches")
@@ -65,9 +63,10 @@ def test_pandas_classifier_runs_numpy_model_with_init(spark, tmp_path):
         return pd.Series([LABELS[i] for i in logits.argmax(axis=1)])
 
     clf = make_pandas_classifier(score, init=init)
-    docs = load_table(spark, SF_DIR, "documents").coalesce(1)
+    docs = load_table(spark, sf_dir, "documents").coalesce(1)
+    n_docs = docs.count()
     got = docs.select("doc_id", "text", clf("text").alias("label")).collect()
-    assert len(got) == 500
+    assert len(got) == n_docs
 
     # driver-side reproduction: identical labels for every row
     texts = pd.Series([r.text for r in got])
@@ -83,11 +82,11 @@ def test_pandas_classifier_runs_numpy_model_with_init(spark, tmp_path):
         int(os.path.basename(p).rsplit("-", 1)[1])
         for p in glob.glob(os.path.join(batch_log, "batch-*"))
     ]
-    assert sum(batch_sizes) == 500
+    assert sum(batch_sizes) == n_docs
     assert all(s > 1 for s in batch_sizes), f"per-row calls detected: {batch_sizes}"
 
 
-def test_extract_features_with_numpy_model_decoder(spark):
+def test_extract_features_with_numpy_model_decoder(spark, sf_dir):
     """A numpy 'embedding model' behind the decoder seam: byte
     histogram projected through a fixed matrix. Spark-side vectors
     must equal the driver-side model output bit-for-bit."""
@@ -100,7 +99,7 @@ def test_extract_features_with_numpy_model_decoder(spark):
         ).astype(np.float32)
         return hist @ proj
 
-    media = multimodal.media_table(spark, SF_DIR)
+    media = multimodal.media_table(spark, sf_dir)
     feats = (
         multimodal.extract_features(media, decoder=model_decode)
         .orderBy("media_id")
