@@ -25,6 +25,16 @@ from spark_app_twitter_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+
+def _loadavg() -> list[float]:
+    try:
+        return list(os.getloadavg())
+    except OSError:  # pragma: no cover - non-POSIX
+        return []
+
+
+LOAD_START = _loadavg()
+
 # Headline set: the heaviest representative per operator family.
 HEADLINE = [
     "tpch_q1_pricing_summary",
@@ -89,12 +99,18 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # host-load context: bench totals inflate uniformly under
+    # contention (observed 26s idle vs 46s loaded for the same code) —
+    # loadavg at start/end distinguishes that from a real regression
     out = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
         "sf": sf_val,
+        "loadavg_start": LOAD_START,
+        "loadavg_end": _loadavg(),
+        "timestamp_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     print(json.dumps(out))
     spark.stop()

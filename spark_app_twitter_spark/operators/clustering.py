@@ -59,21 +59,75 @@ def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _recenter(assigned: DataFrame) -> DataFrame:
-    """Quantized per-cell mean, reassembled dim-ordered."""
-    exploded = assigned.select(
-        "cell", F.posexplode("v").alias("dim", "x")
+def _train_assign(
+    vecs: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Inline nearest-centroid argmax against a DRIVER-HELD centroid
+    list — the training-loop twin of :func:`_assign`.
+
+    Bit-identical to the crossJoin+window path: per-cell score is
+    round(v·c - |c|²/2, 6) with |c|² folded sequentially in Python
+    (same left-to-right IEEE adds as the ``dot`` aggregate); the
+    scores land in one array column and the pick is
+    array_position(scores, array_max(scores)) — FIRST max, i.e.
+    highest score with lowest cell on ties, exactly the (score DESC,
+    cell ASC) row_number ordering. The scores array is materialized
+    as a real column first: a when/otherwise fold would re-inline
+    every prior score per branch (exponential expression blowup —
+    measured 12 s vs 3 s at sf0.1). Centroids are k×dim literals, so
+    assignment is a pure map expression: no crossJoin, no window
+    shuffle, no broadcast sub-job during training.
+    """
+
+    # One generated SQL string, not per-literal Column calls: k×dim
+    # F.lit() invocations are ~1000 driver JVM round trips (~0.45 s
+    # per iteration, measured); a single parse is ~0. repr() doubles
+    # round-trip exactly through the SQL parser ('D' literal).
+    def score_sql(cv: list[float]) -> str:
+        c2 = 0.0
+        for x in cv:
+            c2 += x * x
+        half = c2 / 2.0
+        vals = ", ".join(f"{x!r}D" for x in cv)
+        return (
+            f"round(aggregate(zip_with(v, array({vals}), (x, y) -> x * y), "
+            f"0.0D, (acc, x) -> acc + x) - {half!r}D, 6)"
+        )
+
+    ordered = sorted(cents)
+    cells_sql = ", ".join(str(c) for c, _ in ordered)
+    scores_sql = "array(" + ", ".join(score_sql(cv) for _, cv in ordered) + ")"
+    return (
+        vecs.withColumn("_scores", F.expr(scores_sql))
+        .withColumn(
+            "cell",
+            F.expr(
+                f"element_at(array({cells_sql}), "
+                "cast(array_position(_scores, array_max(_scores)) as int))"
+            ),
+        )
+        .drop("_scores")
     )
+
+
+def _recenter_rows(
+    assigned: DataFrame, dim: int
+) -> list[tuple[int, list[float]]]:
+    """Quantized per-cell mean as a driver-side list: ONE distributed
+    aggregation job (posexplode + groupBy(cell, dim), map-side
+    combined), then a k×dim-row collect — a model artifact, not data.
+    Cells that lost all members drop out (as in the SQL oracle)."""
+    exploded = assigned.select("cell", F.posexplode("v").alias("dim", "x"))
     q = F.round(F.col("x") * 1e6).cast("long")
     means = exploded.groupBy("cell", "dim").agg(
         (F.sum(q).cast("double") / (F.count(F.lit(1)) * F.lit(1e6))).alias("m")
     )
-    return means.groupBy("cell").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "m"))),
-            lambda s: s["m"],
-        ).alias("cv")
-    )
+    byc: dict[int, dict[int, float]] = {}
+    for r in means.collect():
+        byc.setdefault(r["cell"], {})[r["dim"]] = r["m"]
+    return [
+        (cell, [ms[d] for d in range(dim)]) for cell, ms in sorted(byc.items())
+    ]
 
 
 # Trained centroid tables, keyed by (spark app, data, k, iters).
@@ -108,21 +162,26 @@ def kmeans_centroids(
     cached = _CENTROID_CACHE.get(key)
     if cached is not None:
         return cached
+    # Training keeps the centroid ARTIFACT (k×dim floats) on the
+    # driver between iterations — the MLlib KMeans pattern. Per
+    # iteration that is exactly ONE distributed job (the recenter
+    # aggregation); assignment rides inline as a literal expression,
+    # so no crossJoin/window shuffle, no broadcast sub-job, and no
+    # lineage growth to checkpoint. Data-sized relations never leave
+    # the executors.
     vecs = _vecs(spark, sf_dir)
-    cents = vecs.where(F.col("vec_id") < k).select(
-        F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("cv")
+    cents = [
+        (int(r["vec_id"]), list(r["v"]))
+        for r in vecs.where(F.col("vec_id") < k).collect()
+    ]
+    dim = len(cents[0][1])
+    for _ in range(iters):
+        cents = _recenter_rows(_train_assign(vecs, cents), dim)
+    out = spark.createDataFrame(
+        [(c, v) for c, v in cents], "cell int, cv array<double>"
     )
-    for i in range(iters):
-        assigned = _assign(vecs, cents)
-        cents = _recenter(assigned)
-        # truncate lineage every 2nd iteration (and at the end): the
-        # plan doubles per iteration, but a checkpoint is a full job
-        # boundary — batching two iterations per truncation measured
-        # ~0.5 s faster at sf0.1 with the same bounded-depth guarantee
-        if (i + 1) % 2 == 0 or i == iters - 1:
-            cents = cents.localCheckpoint(eager=True)
-    _CENTROID_CACHE[key] = cents
-    return cents
+    _CENTROID_CACHE[key] = out
+    return out
 
 
 def kmeans_cells(

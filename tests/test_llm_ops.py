@@ -251,32 +251,35 @@ def test_kmeans_cells_parity(spark, sf_dir):
 
 
 def test_kmeans_iterations_do_not_increase_sse(spark, sf_dir):
-    """Lloyd property: within-cluster SSE is non-increasing."""
+    """Lloyd property: within-cluster SSE is non-increasing (driven
+    through the driver-held training loop helpers)."""
     from spark_app_twitter_spark.operators import clustering
 
     vecs = clustering._vecs(spark, sf_dir)
-    cents = vecs.where(F.col("vec_id") < clustering.K_CELLS).select(
-        F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("cv")
-    )
+    cents = [
+        (int(r["vec_id"]), list(r["v"]))
+        for r in vecs.where(F.col("vec_id") < clustering.K_CELLS).collect()
+    ]
+    dim = len(cents[0][1])
 
-    def sse(assigned):
+    def sse(cents_rows):
         from spark_app_twitter_spark.functions.vectors import dot
 
+        cdf = spark.createDataFrame(cents_rows, "cell int, cv array<double>")
+        a = clustering._train_assign(vecs, cents_rows).join(cdf, "cell")
         d = (
             dot(F.col("v"), F.col("v"))
             - 2 * dot(F.col("v"), F.col("cv"))
             + dot(F.col("cv"), F.col("cv"))
         )
-        return assigned.agg(F.sum(d)).collect()[0][0]
+        return a.agg(F.sum(d)).collect()[0][0]
 
-    a0 = clustering._assign(vecs, cents).join(cents, "cell")
-    s_prev = sse(a0)
+    s_prev = sse(cents)
     for _ in range(2):
-        cents = clustering._recenter(
-            clustering._assign(vecs, cents)
-        ).localCheckpoint(eager=True)
-        a = clustering._assign(vecs, cents).join(cents, "cell")
-        s = sse(a)
+        cents = clustering._recenter_rows(
+            clustering._train_assign(vecs, cents), dim
+        )
+        s = sse(cents)
         assert s <= s_prev + 1e-6
         s_prev = s
 
