@@ -94,6 +94,32 @@ def main() -> None:
         fn(spark, SF_DIR).count()
         times[name] = round(time.perf_counter() - t0, 3)
 
+    # Non-headline: REAL numpy models through both seams at bench
+    # scale (VERDICT r02 item 4) — proves "model under load", kept
+    # out of the headline total because the oracle queries use the
+    # deterministic lexicon models.
+    from spark_app_twitter_spark.functions import models
+    from spark_app_twitter_spark.functions.text import make_pandas_classifier
+    from spark_app_twitter_spark.operators import multimodal
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    model_times: dict[str, float] = {}
+    clf = make_pandas_classifier(
+        models.ngram_logistic_scorer, init=models.ngram_logistic_model
+    )
+    t0 = time.perf_counter()
+    load_table(spark, SF_DIR, "documents", spread=True).select(
+        "doc_id", clf("text").alias("label")
+    ).count()
+    model_times["ngram_logistic_classifier"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    multimodal.resize_media(
+        multimodal.media_table(spark, SF_DIR),
+        decoder=models.bilinear_decode,
+        resampler=models.bilinear_resize,
+    ).count()
+    model_times["bilinear_resize"] = round(time.perf_counter() - t0, 3)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -107,6 +133,7 @@ def main() -> None:
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "model_seconds": model_times,
         "sf": sf_val,
         "loadavg_start": LOAD_START,
         "loadavg_end": _loadavg(),

@@ -229,14 +229,21 @@ def resize_media(
     media: DataFrame,
     target: int = RESIZE_TARGET,
     decoder: Callable[[bytes, int, int], np.ndarray] = fake_image_decode,
+    resampler: Callable[[np.ndarray, int, int], np.ndarray] | None = None,
 ) -> DataFrame:
-    """Nearest-neighbor resize of image blobs via ``mapInPandas``.
+    """Resize of image blobs via ``mapInPandas``.
 
     Batch shape: (media_id, blob, width, height) Arrow batches in,
     (media_id, out_w, out_h, n_bytes, blob) out — the resized raster
     re-serializes to a binary column, so downstream stages keep the
     same blob-plus-metadata contract. Decoding and pixel math stay in
     the Python worker (Arrow-batched); blobs never hit the driver.
+
+    ``resampler(img, tw, th)`` is the interpolation seam (e.g.
+    ``functions.models.bilinear_resize`` for real bilinear math);
+    default is deterministic nearest-neighbor index picking. Output
+    pixels are re-quantized to uint8 so n_bytes == tw*th regardless
+    of the resampler's working dtype.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -247,9 +254,14 @@ def resize_media(
             ):
                 img = decoder(bytes(blob) if blob is not None else b"", int(w), int(h))
                 th, tw = min(int(h), target), min(int(w), target)
-                ri = (np.arange(th) * int(h)) // th
-                ci = (np.arange(tw) * int(w)) // tw
-                resized = img[np.ix_(ri, ci)]
+                if resampler is not None:
+                    resized = resampler(img, tw, th)
+                else:
+                    ri = (np.arange(th) * int(h)) // th
+                    ci = (np.arange(tw) * int(w)) // tw
+                    resized = img[np.ix_(ri, ci)]
+                if resized.dtype != np.uint8:
+                    resized = np.clip(np.rint(resized), 0, 255).astype(np.uint8)
                 rows["media_id"].append(mid)
                 rows["out_w"].append(tw)
                 rows["out_h"].append(th)
