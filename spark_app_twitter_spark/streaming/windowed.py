@@ -136,15 +136,24 @@ def late_events(
 
     With a :class:`WatermarkTracker`, the threshold is the watermark
     the ENGINE reported for the previous micro-batch — identical to
-    what the stateful operators used to evict. Without one (or before
-    the first progress event) it falls back to re-deriving
+    what the stateful operators used to evict; before the first
+    reported watermark the engine's own watermark is still epoch, so
+    NOTHING is late and the split is a no-op (quarantining by any
+    other rule there would disagree with what the aggregation
+    actually dropped). Without a tracker it falls back to re-deriving
     (batch max event time - delay); the fallback's ``max()`` is a
     bounded 1-row aggregate but executes the batch lineage once more,
     which is why the tracker path is the production one.
     """
 
     def split(batch: DataFrame, _bid: int, quarantine_path: str) -> None:
-        wm = tracker.current(query_id) if tracker is not None else None
+        if tracker is not None:
+            wm = tracker.current(query_id)
+            if wm is None:
+                # engine watermark is still epoch: nothing is late yet
+                return
+        else:
+            wm = None
         if wm is not None:
             # engine watermark already includes the delay subtraction.
             # The progress string is UTC ISO-8601 with a 'Z' suffix —

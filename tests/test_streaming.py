@@ -501,3 +501,119 @@ def test_late_events_uses_engine_watermark_from_progress(spark, tmp_path):
         assert got == ["old"], f"expected only the pre-watermark row, got {got}"
     finally:
         spark.streams.removeListener(tracker)
+
+
+def test_late_event_quarantined_and_aggregate_matches_on_time_batch(
+    spark, tmp_path
+):
+    """End-to-end watermark-drop parity (VERDICT r02 item 8): a late
+    event (1) lands in quarantine via the tracker-thresholded split
+    and (2) is absent from the streaming serving table, which must
+    equal the BATCH aggregate over on-time rows only for every
+    finalized window."""
+    import time as _time
+
+    src = str(tmp_path / "src")
+    serving = str(tmp_path / "serving")
+    quarantine = str(tmp_path / "quarantine")
+    ck_s = str(tmp_path / "ck_serving")
+    ck_q = str(tmp_path / "ck_quarantine")
+
+    tracker = windowed.WatermarkTracker()
+    spark.streams.addListener(tracker)
+    try:
+        def serve_once():
+            q = windowed.run_hourly_serving(
+                parse_tweet_stream(sing.read_json_stream(spark, src)),
+                serving, ck_s, available_now=True,
+            )
+            q.awaitTermination(180)
+
+        def quarantine_once():
+            parsed = parse_tweet_stream(sing.read_json_stream(spark, src))
+            split = windowed.late_events(None, tracker=tracker)
+            q = (
+                parsed.writeStream.foreachBatch(
+                    lambda b, bid: split(b, bid, quarantine)
+                )
+                .option("checkpointLocation", ck_q)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        # batch 1: three on-time events across two hours. The
+        # quarantine consumer runs first, as it would when both
+        # queries start together: engine watermark still epoch -> no-op
+        _write_fixture(src, FIXTURE[:3])
+        quarantine_once()
+        assert not os.path.exists(quarantine)
+        serve_once()
+        # re-run so the engine reports the advanced watermark (14:55:30)
+        serve_once()
+        deadline = _time.time() + 30
+        while tracker.current() is None and _time.time() < deadline:
+            _time.sleep(0.5)
+        assert tracker.current() is not None
+
+        # batch 2: one late event (13:00, window already finalized)
+        # and one on-time event (15:30)
+        _write_fixture(
+            src,
+            [
+                _tweet(7, "Putin", "2022-03-13T13:00:00.000Z", "slow retreat"),
+                _tweet(8, "NATO", "2022-03-13T15:30:00.000Z", "fast summit"),
+            ],
+            name="part1.json",
+        )
+        quarantine_once()
+        serve_once()
+        # batch 3: a far-future event pushes the watermark past every
+        # earlier window so they all finalize into the serving table
+        _write_fixture(
+            src,
+            [_tweet(9, "Biden", "2022-03-13T18:00:00.000Z", "a big deal")],
+            name="part2.json",
+        )
+        serve_once()
+        serve_once()  # extra pass: flush windows the last watermark passed
+
+        # (1) quarantine holds exactly the late event
+        q_keys = [r.key for r in spark.read.parquet(quarantine).collect()]
+        assert q_keys == ["PU7"], f"quarantine mismatch: {q_keys}"
+
+        # (2) serving == batch aggregate over ON-TIME rows. The
+        # upsert sink re-emits updated cells per micro-batch, so every
+        # window (finalized or still open) must match the batch twin —
+        # EXCEPT the late row's 13:00 window, which the watermarked
+        # aggregation dropped before it ever reached the sink.
+        lake = parse_tweet_stream(sing.read_json_stream(spark, src))
+        # batch replay of the same parse over the same files
+        import json as _json
+        from pyspark.sql import types as T
+
+        raw = spark.read.schema(
+            T.StructType(
+                [
+                    T.StructField("key", T.StringType()),
+                    T.StructField("value", T.StringType()),
+                    T.StructField("topic", T.StringType()),
+                ]
+            )
+        ).json(src)
+        from spark_app_twitter_spark.operators.ingest import parse_tweet_stream as pts
+
+        on_time = pts(raw).where(F.col("key") != "PU7")
+        expected = {
+            (str(r.window_start), r.topic): (r.positivity_rate, r.counts)
+            for r in windowed.hourly_topic_aggregate(on_time).collect()
+        }
+        got = {
+            (str(r.window_start), r.topic): (r.positivity_rate, r.counts)
+            for r in spark.read.parquet(serving).collect()
+        }
+        assert got == expected, f"serving={got}\nexpected={expected}"
+        # the late 13:00 window never appears
+        assert not any(k[0].startswith("2022-03-13 13:") for k in got)
+    finally:
+        spark.streams.removeListener(tracker)
