@@ -142,3 +142,46 @@ def test_q17_single_final_aggregation_shuffle(spark, sf_dir):
     df = tpch.q17_small_quantity_revenue(spark, sf_dir)
     assert E.num_shuffles(df) <= 2
     assert E.has_broadcast_join(df)
+
+
+def test_rag_retrieve_no_cartesian_single_query_shuffle(spark, sf_dir):
+    """VERDICT r02 item 9: the RAG capstone must stay ANN-shaped —
+    query side broadcast (no cartesian), one shuffle keyed on
+    query_id for the top-k window."""
+    from spark_app_twitter_spark.operators import retrieval
+
+    df = retrieval.rag_retrieve(spark, sf_dir)
+    plan = E.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert E.has_broadcast_join(df), "query side must broadcast"
+    assert E.num_shuffles(df) == 1
+    assert plan.count("Exchange hashpartitioning(query_id") == 1
+
+
+def test_session_paths_single_user_shuffle(spark, sf_dir):
+    """Sessionization + path build must reuse ONE user_id shuffle
+    (windows and the session group share it); the only other
+    exchange is the tiny path count."""
+    from spark_app_twitter_spark.operators import serving as sv
+
+    df = sv.session_paths(spark, sf_dir)
+    plan = E.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, (
+        "windows + session aggregation must share one user_id shuffle"
+    )
+    assert E.num_shuffles(df) == 2  # user_id + final path count
+
+
+def test_sem_dedup_cell_bucketed_join(spark, sf_dir):
+    """SemDeDup's pair scan must be an equi-join bucketed on the
+    k-means cell — never an all-pairs product."""
+    from spark_app_twitter_spark.operators import semdedup
+
+    df = semdedup.semdedup(spark, sf_dir)
+    plan = E.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning(cell") == 2, (
+        "both self-join sides must shuffle on the cell key"
+    )
