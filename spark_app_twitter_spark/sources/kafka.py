@@ -17,12 +17,36 @@ Connector probe log (per-round check for a usable jar):
   — the live Kafka path remains unexecutable in this container.
   ``tests/test_sources.py`` asserts the builder produces the kafka
   source plan up to the connector-resolution boundary.
+- 2026-08-13 (round 3): ``spark.jars.packages org.apache.spark:
+  spark-sql-kafka-0-10_2.13:4.1.2`` attempted — ivy resolution
+  fails with ``unresolved dependency: ... not found`` in ~3 s (no
+  Maven network). The option surface the connector would receive is
+  now a pure dict (``kafka_source_options`` / ``kafka_sink_options``)
+  pinned by contract tests instead.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def kafka_source_options(
+    bootstrap_servers: str,
+    topics: str,
+    starting_offsets: str = "earliest",
+    fail_on_data_loss: bool = False,
+) -> dict[str, str]:
+    """The EXACT option dict the kafka source receives — single
+    source of truth shared by :func:`read_kafka_stream` and the
+    connector contract test (reference option surface:
+    ``spark_app/functions/functions.py:28-35``)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topics,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": str(fail_on_data_loss).lower(),
+    }
 
 
 def read_kafka_stream(
@@ -35,12 +59,18 @@ def read_kafka_stream(
     """Streaming Kafka source: key/value binary + topic + metadata."""
     return (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topics)
-        .option("startingOffsets", starting_offsets)
-        .option("failOnDataLoss", str(fail_on_data_loss).lower())
+        .options(
+            **kafka_source_options(
+                bootstrap_servers, topics, starting_offsets, fail_on_data_loss
+            )
+        )
         .load()
     )
+
+
+def kafka_sink_options(bootstrap_servers: str) -> dict[str, str]:
+    """Producer-side option dict (single source of truth, as above)."""
+    return {"kafka.bootstrap.servers": bootstrap_servers}
 
 
 def write_kafka(
@@ -60,7 +90,7 @@ def write_kafka(
             F.col(topic_col).alias("topic"),
         )
         .write.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .options(**kafka_sink_options(bootstrap_servers))
     )
 
 

@@ -111,6 +111,18 @@ def write_upsert_stream(
     return w.start()
 
 
+def mongo_write_options(uri: str, database: str, collection: str) -> dict[str, str]:
+    """The EXACT option dict the mongo-spark connector receives —
+    single source of truth shared by :func:`write_mongo_batch` and
+    the connector contract test (reference surface:
+    ``spark_app/functions/functions.py:117``)."""
+    return {
+        "spark.mongodb.write.connection.uri": uri,
+        "spark.mongodb.write.database": database,
+        "spark.mongodb.write.collection": collection,
+    }
+
+
 def write_mongo_batch(df: DataFrame, uri: str, database: str, collection: str):
     """S4 as-is (mongo-spark connector, not installed here): kept as
     the documented integration point; import-safe, fails only at
@@ -118,9 +130,7 @@ def write_mongo_batch(df: DataFrame, uri: str, database: str, collection: str):
     return (
         df.write.format("mongodb")
         .mode("append")
-        .option("spark.mongodb.write.connection.uri", uri)
-        .option("spark.mongodb.write.database", database)
-        .option("spark.mongodb.write.collection", collection)
+        .options(**mongo_write_options(uri, database, collection))
     )
 
 

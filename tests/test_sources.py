@@ -166,3 +166,45 @@ def test_prepare_training_corpus_end_to_end(spark, tmp_path, sf_dir):
     assert not any(
         doc_id % DECON_BENCH_MOD == DECON_BENCH_REM for doc_id, _ in got
     ), "benchmark docs leaked into training shards"
+
+
+def test_kafka_option_contract_matches_reference_surface():
+    """VERDICT r02 item 7: with no connector jar or network in this
+    container (dated probe in sources/kafka.py), pin the EXACT
+    option dict the connector receives. The reference subscribes
+    comma-separated topics with loss-tolerant latest offsets
+    (spark_app/functions/functions.py:28-35); the engine defaults to
+    replayable earliest but must emit the same keys."""
+    from spark_app_twitter_spark.sources.kafka import (
+        kafka_sink_options,
+        kafka_source_options,
+    )
+
+    opts = kafka_source_options(
+        "broker1:9092,broker2:9092", "t_biden,t_nato", "latest", False
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "t_biden,t_nato",
+        "startingOffsets": "latest",
+        "failOnDataLoss": "false",
+    }
+    # engine defaults: replayable + loss-strictness stays explicit
+    d = kafka_source_options("b:9092", "t")
+    assert d["startingOffsets"] == "earliest"
+    assert d["failOnDataLoss"] == "false"
+    assert kafka_sink_options("b:9092") == {"kafka.bootstrap.servers": "b:9092"}
+
+
+def test_mongo_option_contract_matches_reference_surface():
+    """Same contract pin for the mongo-spark write surface
+    (reference spark_app/functions/functions.py:117)."""
+    from spark_app_twitter_spark.sources.sinks import mongo_write_options
+
+    assert mongo_write_options(
+        "mongodb://localhost:27017", "dash", "serving"
+    ) == {
+        "spark.mongodb.write.connection.uri": "mongodb://localhost:27017",
+        "spark.mongodb.write.database": "dash",
+        "spark.mongodb.write.collection": "serving",
+    }
