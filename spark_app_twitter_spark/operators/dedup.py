@@ -588,3 +588,145 @@ l{i + 1} AS (
 
 
 DEDUP_CLUSTERS_SQL = _dedup_clusters_sql()
+
+
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality audit: for every LSH candidate pair, the
+    MinHash similarity ESTIMATE (matching signature slots / k) next
+    to the exact shingle Jaccard — the query you run before trusting
+    a signature size k at corpus scale (E[est] = J; the audit shows
+    the spread you actually get at k=8).
+
+    Same banding plan as minhash_lsh_pairs up to the candidate set;
+    the signature re-join carries k small ints per row, the shingle
+    re-join only the surviving pairs.
+    """
+    docs = (
+        _with_shingles(_docs_spread(spark, sf_dir))
+        .select("doc_id", "sh")
+        .localCheckpoint(eager=True)
+    )
+    sig = with_packed_minhash(docs, "sh", NUM_HASHES).drop("sh")
+    rows_per_band = NUM_HASHES // BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"mh{b * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bh")
+    cand = (
+        bands.alias("l")
+        .join(
+            bands.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    )
+    with_sig = cand.join(sa, "doc_a").join(sb, "doc_b")
+    est = with_sig.select(
+        "doc_a",
+        "doc_b",
+        F.round(matches.cast("double") / NUM_HASHES, 6).alias("est_jaccard"),
+    )
+    sh = docs
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        est.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.round(inter.cast("double") / union.cast("double"), 6).alias(
+                "true_jaccard"
+            ),
+        )
+    )
+
+
+def _minhash_jaccard_estimate_sql() -> str:
+    rows_per_band = NUM_HASHES // BANDS
+    band_arms = "\nUNION ALL\n".join(
+        "SELECT doc_id, "
+        f"{b} AS band, "
+        "md5("
+        + " || '|' || ".join(
+            f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        + ") AS bh FROM sig"
+        for b in range(BANDS)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+        for i in range(NUM_HASHES)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct({shingles_sql("string_split(text, ' ')", SHINGLE_N)}) AS sh
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, sh,
+    {", ".join(packed_minhash_sql_cols("sh", NUM_HASHES))}
+  FROM sh
+),
+bands AS (
+{band_arms}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       round(CAST(({match_sum}) AS DOUBLE) / {NUM_HASHES}, 6) AS est_jaccard,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS true_jaccard
+FROM cand c
+JOIN sig a ON c.doc_a = a.doc_id
+JOIN sig b ON c.doc_b = b.doc_id
+"""
+
+
+MINHASH_JACCARD_ESTIMATE_SQL = _minhash_jaccard_estimate_sql()

@@ -302,3 +302,47 @@ SELECT media_id,
 FROM media
 WHERE kind = 'image'
 """
+
+
+AUDIO_CHUNK_MS = 5000
+
+
+def audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window chunking of audio media: each clip becomes
+    ceil(duration/5s) rows of (chunk_idx, start_ms, end_ms) — the
+    segmentation step before a transcription/embedding model runs
+    per-chunk. Pure metadata math: generate + explode, map-only (no
+    blob decode; the chunk boundaries travel with the blob refs).
+    """
+    aud = media_table(spark, sf_dir).where(F.col("kind") == "audio")
+    n = F.ceil(
+        F.col("meta.duration_ms").cast("double") / F.lit(AUDIO_CHUNK_MS)
+    ).cast("int")
+    chunk = F.explode(F.sequence(F.lit(0), n - 1)).alias("chunk_idx")
+    return (
+        aud.where(F.col("meta.duration_ms") > 0)
+        .select("media_id", F.col("meta.duration_ms").alias("dur"), chunk)
+        .select(
+            "media_id",
+            "chunk_idx",
+            (F.col("chunk_idx").cast("long") * AUDIO_CHUNK_MS).alias("start_ms"),
+            F.least(
+                (F.col("chunk_idx").cast("long") + 1) * AUDIO_CHUNK_MS,
+                F.col("dur").cast("long"),
+            ).alias("end_ms"),
+        )
+    )
+
+
+AUDIO_CHUNKS_SQL = f"""
+WITH aud AS (
+  SELECT doc_id AS media_id, n_chars * 10 AS dur
+  FROM documents
+  WHERE doc_id % 3 = 1 AND n_chars * 10 > 0
+)
+SELECT media_id,
+       CAST(i AS INT) AS chunk_idx,
+       CAST(i * {AUDIO_CHUNK_MS} AS BIGINT) AS start_ms,
+       least(CAST((i + 1) * {AUDIO_CHUNK_MS} AS BIGINT), CAST(dur AS BIGINT)) AS end_ms
+FROM aud, unnest(range(CAST(ceil(CAST(dur AS DOUBLE) / {AUDIO_CHUNK_MS}) AS BIGINT))) AS t(i)
+"""

@@ -774,3 +774,46 @@ SELECT event_id, event_type AS topic, value,
 FROM events JOIN stats ON event_type = m_topic
 WHERE abs(round((CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) - mean) / nullif(std, 0), 6)) > {Z_THRESHOLD}
 """
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention matrix: users grouped by first-activity
+    date, counted (distinct) at each day offset they return.
+
+    Two aggregations, both keyed tightly: the cohort derivation is a
+    (user_id) min — one shuffle that at scale is a map-side-combined
+    2-column exchange; the matrix itself groups the (user, day)
+    distinct pairs, so the second exchange carries at most
+    |users| x |active days| narrow rows. No windows, no joins except
+    the broadcast-sized cohort table re-join.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    cohorts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.dropDuplicates(["user_id", "day"])
+        .join(cohorts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+RETENTION_COHORTS_SQL = """
+WITH ev AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+cohorts AS (
+  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id
+)
+SELECT c.cohort_day,
+       date_diff('day', c.cohort_day, e.day) AS day_offset,
+       count(DISTINCT e.user_id) AS n_users
+FROM ev e JOIN cohorts c ON e.user_id = c.user_id
+GROUP BY 1, 2
+"""

@@ -749,3 +749,96 @@ GROUP BY s.source
 
 
 SOURCE_STATS_SQL = _source_stats_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round 3: split assignment + sequence-length distribution — the two
+# bookkeeping queries every training run derives before sharding.
+# ---------------------------------------------------------------------------
+
+# md5(doc_id) bucket in [0, 100): <80 train, <90 val, else test.
+# Hash-based (not random): the same doc lands in the same split on
+# every engine, every run, any partitioning — the property that
+# makes decontamination and eval holdout auditable at 100 TB.
+SPLIT_BOUNDS = (("train", 80), ("val", 90), ("test", 100))
+
+
+def train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment + per-split tallies.
+
+    Map-only bucket assignment (one md5 per row, no RNG state, no
+    shuffle until the 3-row aggregate); at scale the aggregation is
+    the only exchange and carries |splits| rows per partition.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    split = F.when(bucket < SPLIT_BOUNDS[0][1], SPLIT_BOUNDS[0][0]).otherwise(
+        F.when(bucket < SPLIT_BOUNDS[1][1], SPLIT_BOUNDS[1][0]).otherwise(
+            SPLIT_BOUNDS[2][0]
+        )
+    )
+    toks = F.size(F.split(F.col("text"), " "))
+    return (
+        docs.select(split.alias("split"), toks.alias("n_tokens"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+TRAIN_SPLIT_SQL = f"""
+WITH b AS (
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+           AS bucket,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+)
+SELECT CASE WHEN bucket < {SPLIT_BOUNDS[0][1]} THEN '{SPLIT_BOUNDS[0][0]}'
+            WHEN bucket < {SPLIT_BOUNDS[1][1]} THEN '{SPLIT_BOUNDS[1][0]}'
+            ELSE '{SPLIT_BOUNDS[2][0]}' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM b
+GROUP BY 1
+"""
+
+
+LEN_BUCKET_WIDTH = 16  # tokens per histogram bucket
+
+
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution in fixed 16-token buckets — the
+    input to packing/batch-shape planning (how much padding would a
+    given max_seq_len waste?). Integer bucket math, one aggregation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    # pure integer bucket math (n - n % w): no double division anywhere
+    lo = toks.cast("long") - toks.cast("long") % F.lit(LEN_BUCKET_WIDTH)
+    return (
+        docs.select(lo.alias("bucket_lo"), toks.alias("n_tokens"))
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+LENGTH_HISTOGRAM_SQL = f"""
+WITH t AS (
+  SELECT len(string_split(text, ' ')) AS n_tokens FROM documents
+)
+SELECT (n_tokens // {LEN_BUCKET_WIDTH}) * {LEN_BUCKET_WIDTH} AS bucket_lo,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM t
+GROUP BY 1
+"""

@@ -675,3 +675,105 @@ def test_source_stats_parity(spark, sf_dir):
         sf_dir,
         "text_source_stats",
     )
+
+
+def test_train_split_parity(spark, sf_dir):
+    from spark_app_twitter_spark.operators import textstats as ts
+
+    assert_parity(
+        ts.train_split(spark, sf_dir), ts.TRAIN_SPLIT_SQL, sf_dir, "split"
+    )
+
+
+def test_train_split_is_stable_partition(spark, sf_dir):
+    """Every doc lands in exactly one split and the tallies cover the
+    corpus (no doc dropped or double-counted)."""
+    from spark_app_twitter_spark.operators import textstats as ts
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    rows = ts.train_split(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    by = {r.split: r.n_docs for r in rows}
+    assert by.get("train", 0) > by.get("test", 0)
+
+
+def test_length_histogram_parity(spark, sf_dir):
+    from spark_app_twitter_spark.operators import textstats as ts
+
+    assert_parity(
+        ts.length_histogram(spark, sf_dir),
+        ts.LENGTH_HISTOGRAM_SQL,
+        sf_dir,
+        "lenhist",
+    )
+
+
+def test_knn_quantized_parity_and_recall(spark, sf_dir):
+    """Quantized top-k matches its oracle exactly (integer scores)
+    and tracks the float brute-force ranking closely."""
+    from spark_app_twitter_spark.operators import similarity as sim
+
+    assert_parity(
+        sim.knn_quantized(spark, sf_dir), sim.KNN_QUANTIZED_SQL, sf_dir, "knnq"
+    )
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.knn_bruteforce(spark, sf_dir).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.knn_quantized(spark, sf_dir).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.8, f"int8 rerank lost too much recall: {recall}"
+
+
+def test_retention_cohorts_parity(spark, sf_dir):
+    from spark_app_twitter_spark.operators import serving as sv
+
+    assert_parity(
+        sv.retention_cohorts(spark, sf_dir),
+        sv.RETENTION_COHORTS_SQL,
+        sf_dir,
+        "cohorts",
+    )
+
+
+def test_audio_chunks_parity_and_coverage(spark, sf_dir):
+    """Chunks tile each clip exactly: start at 0, end at duration,
+    no gaps or overlaps."""
+    from spark_app_twitter_spark.operators import multimodal as mm
+
+    assert_parity(
+        mm.audio_chunks(spark, sf_dir), mm.AUDIO_CHUNKS_SQL, sf_dir, "audio"
+    )
+    rows = mm.audio_chunks(spark, sf_dir).collect()
+    by_media: dict[int, list] = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    for mid, chunks in by_media.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert chunks[0].start_ms == 0
+        for a, b in zip(chunks, chunks[1:]):
+            assert a.end_ms == b.start_ms, f"gap in media {mid}"
+        assert all(c.end_ms > c.start_ms for c in chunks)
+
+
+def test_minhash_estimate_tracks_true_jaccard(spark, sf_dir):
+    """Parity plus the estimator property: |est - true| bounded for
+    k=8 signatures on candidate pairs."""
+    from spark_app_twitter_spark.operators import dedup as dd
+
+    assert_parity(
+        dd.minhash_jaccard_estimate(spark, sf_dir),
+        dd.MINHASH_JACCARD_ESTIMATE_SQL,
+        sf_dir,
+        "mh_est",
+    )
+    rows = dd.minhash_jaccard_estimate(spark, sf_dir).collect()
+    assert rows, "LSH produced no candidate pairs at this sf"
+    for r in rows:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert abs(r.est_jaccard - r.true_jaccard) <= 0.5  # k=8 spread bound
