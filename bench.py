@@ -65,6 +65,10 @@ HEADLINE = [
     "pack_chunk_documents",
     "rag_retrieve",
     "serving_session_paths",
+    # round 3 additions: heaviest representative per new family
+    "sim_knn_quantized",
+    "serving_retention_cohorts",
+    "dedup_minhash_jaccard_est",
 ]
 
 
