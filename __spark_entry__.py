@@ -128,8 +128,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_retention_cohorts": serving.retention_cohorts,
         "multimodal_audio_chunks": multimodal.audio_chunks,
         # ---- driver verification window ends at 50 entries ----
+        # (below: rotate into the window in round 4)
         "serving_value_anomalies": serving.value_anomalies,
         "dedup_minhash_jaccard_est": dedup.minhash_jaccard_estimate,
+        "serving_props_stats": serving.props_stats,
+        "serving_weekly_active": serving.weekly_active,
         # --- 4. freshly attested green in r02, code unchanged since ---
         "text_sample_stratified": textstats.sample_documents,
         "text_corpus_funnel": textstats.corpus_funnel,
@@ -277,4 +280,6 @@ def oracle_sql() -> dict[str, str]:
         "serving_retention_cohorts": serving.RETENTION_COHORTS_SQL,
         "multimodal_audio_chunks": multimodal.AUDIO_CHUNKS_SQL,
         "dedup_minhash_jaccard_est": dedup.MINHASH_JACCARD_ESTIMATE_SQL,
+        "serving_props_stats": serving.PROPS_STATS_SQL,
+        "serving_weekly_active": serving.WEEKLY_ACTIVE_SQL,
     }

@@ -817,3 +817,91 @@ SELECT c.cohort_day,
 FROM ev e JOIN cohorts c ON e.user_id = c.user_id
 GROUP BY 1, 2
 """
+
+
+def props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload analytics: extract the JSON ``props.k``
+    metric and aggregate per topic — the P-family pattern (reference
+    parses tweet JSON with from_json; here the payload column is
+    JSON-per-row). Extraction is a map-side get_json_object; exact
+    integer sums divide to double once at the end.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select(F.col("event_type").alias("topic"), k.alias("k"))
+        .groupBy("topic")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.max("k").alias("k_max"),
+            F.round(F.sum("k").cast("double") / F.count(F.lit(1)), 6).alias(
+                "k_avg"
+            ),
+        )
+    )
+
+
+PROPS_STATS_SQL = """
+SELECT event_type AS topic,
+       count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+       round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+             / count(*), 6) AS k_avg
+FROM events
+GROUP BY event_type
+"""
+
+
+WAU_WINDOW_DAYS = 7
+
+
+def weekly_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + trailing-7-day WAU per day.
+
+    Distinct (user, day) pairs first (one shuffle, map-side
+    combined), then the pair table joins the tiny broadcast day list
+    on a 7-day range — count-distinct-over-window without window
+    count-distinct (unsupported), and the join fan-out is bounded at
+    7 rows per pair regardless of corpus size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select("user_id", F.to_date("ts").alias("day")).dropDuplicates(
+        ["user_id", "day"]
+    )
+    days = pairs.select("day").dropDuplicates(["day"]).select(
+        F.col("day").alias("d")
+    )
+    ranged = pairs.join(
+        F.broadcast(days),
+        (F.col("day") <= F.col("d"))
+        & (F.col("day") > F.date_sub(F.col("d"), WAU_WINDOW_DAYS)),
+    )
+    wau = ranged.groupBy("d").agg(F.count_distinct("user_id").alias("wau"))
+    dau = pairs.groupBy(F.col("day").alias("d")).agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    return (
+        dau.join(wau, "d")
+        .select(F.col("d").alias("day"), "dau", "wau")
+    )
+
+
+WEEKLY_ACTIVE_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+days AS (SELECT DISTINCT day AS d FROM pairs),
+wau AS (
+  SELECT d, count(DISTINCT user_id) AS wau
+  FROM pairs JOIN days
+    ON day <= d AND day > d - INTERVAL {WAU_WINDOW_DAYS} DAY
+  GROUP BY d
+),
+dau AS (
+  SELECT day AS d, count(DISTINCT user_id) AS dau FROM pairs GROUP BY day
+)
+SELECT dau.d AS day, dau.dau, wau.wau
+FROM dau JOIN wau ON dau.d = wau.d
+"""
