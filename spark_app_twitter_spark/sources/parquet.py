@@ -15,6 +15,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from spark_app_twitter_spark.schemas import ALL_TABLES
 
@@ -45,8 +46,13 @@ def load_table(
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        # integer division: float division would lose precision at ~1e18 ns
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # The driver testdata stores TIMESTAMP(NANOS), surfaced as a
+        # long under nanosAsLong — convert ONLY then. A re-exported
+        # events table (engine-written parquet, e.g. tools/stress.py)
+        # already carries a real timestamp column.
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            # integer division: float division would lose precision at ~1e18 ns
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         df = spark.read.parquet(path)
     if spread:

@@ -1,0 +1,201 @@
+#!/usr/bin/env python
+"""Scale-trajectory stress harness: replicate the sf0.1 tables R times
+with key-shifting (default R=10 ≈ sf1) into a tmp dir, then time the
+headline operator families against the scaled data.
+
+Purpose: the correctness gate runs at sf0.01; this answers the scale
+question directly — do the plans hold when the fact table is 6M rows
+and the corpus is 50k near-duplicate-heavy documents? Near-linear
+per-family scaling here is the evidence that the same plans survive
+the next 100x on a real cluster (shuffles stay keyed, joins stay
+broadcast/bucketed, nothing driver-side grows with data).
+
+Replication details (all deterministic):
+- lineitem/orders/customer: key-shift l_orderkey/o_orderkey,
+  o_custkey/c_custkey by replica*stride so joins stay consistent and
+  cardinalities really grow (no accidental 10x duplicate joins).
+- documents: doc_id shift + two replica-specific tokens appended —
+  replicas become NEAR-duplicates (jaccard ~0.9), deliberately
+  stressing the LSH candidate path the way a crawl with mirrored
+  pages would.
+- embeddings: vec_id shift, vectors unchanged (exact-duplicate
+  vectors stress the near-dup/cell paths).
+- events: event_id/user_id shift; ts shifted by replica days.
+
+Run: python tools/stress.py [R]   (writes one JSON line, like bench.py)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from spark_app_twitter_spark.session import get_spark  # noqa: E402
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+OUT_ROOT = "/tmp/spark_graft_stress"
+
+STRESS_QUERIES = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_top_customers_per_nation",
+    "serving_sessionize",
+    "text_lang_id",
+    "text_tfidf_top_terms",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "sem_dedup",
+    "sim_knn_quantized",
+    "text_train_split",
+]
+
+
+def build(spark, repl: int) -> str:
+    out = os.path.join(OUT_ROOT, f"r{repl}")
+    marker = os.path.join(out, "_BUILT")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    def load(t):
+        from spark_app_twitter_spark.sources.parquet import load_table
+
+        return load_table(spark, SRC, t)
+
+    def reps(df, build_one):
+        return [build_one(df, i) for i in range(repl)]
+
+    def write(name, parts):
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.coalesce(8).write.mode("overwrite").parquet(
+            os.path.join(out, f"{name}.parquet")
+        )
+
+    okey = 10_000_000  # > max l_orderkey at sf0.1
+    ckey = 1_000_000
+    write(
+        "lineitem",
+        reps(
+            load("lineitem"),
+            lambda df, i: df.withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.lit(i * okey)
+            ),
+        ),
+    )
+    write(
+        "orders",
+        reps(
+            load("orders"),
+            lambda df, i: df.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(i * okey)
+            ).withColumn("o_custkey", F.col("o_custkey") + F.lit(i * ckey)),
+        ),
+    )
+    write(
+        "customer",
+        reps(
+            load("customer"),
+            lambda df, i: df.withColumn(
+                "c_custkey", F.col("c_custkey") + F.lit(i * ckey)
+            ),
+        ),
+    )
+    write(
+        "documents",
+        reps(
+            load("documents"),
+            lambda df, i: df.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(i * ckey)
+            ).withColumn(
+                "text",
+                F.concat(F.col("text"), F.lit(f" w{i} x{(i * 7) % 97}")),
+            ),
+        ),
+    )
+    write(
+        "embeddings",
+        reps(
+            load("embeddings"),
+            lambda df, i: df.withColumn(
+                "vec_id", F.col("vec_id") + F.lit(i * ckey)
+            ),
+        ),
+    )
+    write(
+        "events",
+        reps(
+            load("events"),
+            lambda df, i: df.withColumn(
+                "event_id", F.col("event_id") + F.lit(i * ckey)
+            )
+            .withColumn("user_id", F.col("user_id") + F.lit(i * ckey))
+            .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {i} DAY")),
+        ),
+    )
+    for t in ("region", "nation", "supplier", "part"):
+        shutil.copy(
+            os.path.join(SRC, f"{t}.parquet"), os.path.join(out, f"{t}.parquet")
+        )
+    with open(marker, "w") as fh:
+        fh.write("1")
+    return out
+
+
+def main() -> None:
+    import __spark_entry__ as ent
+
+    repl = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("stress", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+    sf_dir = build(spark, repl)
+    build_s = round(time.perf_counter() - t0, 1)
+
+    qs = ent.queries()
+    # warm the kernel families at the original scale
+    for warm in ("tpch_q1_pricing_summary", "dedup_minhash_lsh_pairs",
+                 "text_lang_id", "sim_knn_quantized"):
+        qs[warm](spark, "/root/testdata/sf0.001").count()
+
+    base, scaled = {}, {}
+    for name in STRESS_QUERIES:
+        t0 = time.perf_counter()
+        qs[name](spark, SRC).count()
+        base[name] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        n = qs[name](spark, sf_dir).count()
+        scaled[name] = round(time.perf_counter() - t0, 2)
+        print(
+            f"  {name}: {base[name]}s -> {scaled[name]}s "
+            f"({scaled[name] / max(base[name], 0.01):.1f}x, {n} rows)",
+            file=sys.stderr,
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "stress_10x",
+                "replication": repl,
+                "build_sec": build_s,
+                "base_sec": base,
+                "scaled_sec": scaled,
+                "loadavg": list(os.getloadavg()),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
