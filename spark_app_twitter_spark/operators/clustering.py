@@ -25,14 +25,43 @@ the contract-friendly equivalent with the same complexity profile.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+import math
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_app_twitter_spark.functions.vectors import dot
 from spark_app_twitter_spark.sources.parquet import load_table
 
-K_CELLS = 8
+K_CELLS = 8  # floor; the default cell count adapts to corpus size
 ITERS = 2
+
+
+def cells_for(n: int) -> int:
+    """Default cell count for an n-vector corpus: max(K_CELLS, ⌈√n⌉).
+
+    k ∝ √n is the balance point for every consumer of the cell table:
+    SemDeDup's intra-cell pairwise work is Σ|cell|² ≈ n²/k = n^1.5,
+    assignment cost is n·k = n^1.5, and IVF probe work stays a fixed
+    fraction of the corpus (probes scale with k). A FIXED k is the
+    scale trap — at 10× the data each cell holds 10× the vectors and
+    pairwise stages grow 100×. ⌈√n⌉ is exact in IEEE double for any
+    corpus size that fits in a BIGINT, so the DuckDB oracle's
+    ceil(sqrt(count(*))) lands on the identical k."""
+    return max(K_CELLS, math.ceil(math.sqrt(n)))
+
+
+# Corpus sizes, keyed by (spark app, data dir) — one count job per
+# dataset per session, shared by every adaptive-k consumer.
+_N_CACHE: dict[tuple[str, str], int] = {}
+
+
+def corpus_size(spark: SparkSession, sf_dir: str) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    n = _N_CACHE.get(key)
+    if n is None:
+        n = load_table(spark, sf_dir, "embeddings").count()
+        _N_CACHE[key] = n
+    return n
 
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -43,12 +72,29 @@ def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: argmin ||v-c||² == argmax(v·c - |c|²/2)."""
+# Above this many centroids the unrolled literal expression stops
+# being the right physical plan — parse + codegen cost grows with
+# k×dim while the broadcast-join path stays flat — so assignment
+# switches to the windowed broadcast formulation. ⌈√n⌉ crosses this
+# at n ≈ 1M vectors per dataset.
+LITERAL_ASSIGN_MAX_K = 1024
+
+
+def _broadcast_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment as a broadcast crossJoin + window
+    (argmin ||v-c||² == argmax(v·c - |c|²/2)) — the big-k formulation,
+    and the shape the SQL oracle mirrors. Bit-identical to
+    :func:`_train_assign` (same rounded score, same DESC/ASC
+    tie-break); :func:`test-suite <tests.test_llm_ops>` pins the
+    equivalence."""
+    from spark_app_twitter_spark.functions.vectors import dot
+
     score = F.round(
         dot(F.col("v"), F.col("cv")) - dot(F.col("cv"), F.col("cv")) / F.lit(2.0),
         6,
     )
+    from pyspark.sql import Window
+
     w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cell"))
     return (
         vecs.crossJoin(F.broadcast(cents))
@@ -59,13 +105,32 @@ def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def assign_cells(
+    spark: SparkSession, vecs: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """(vec_id, v, cell): nearest-centroid assignment, picking the
+    physical strategy by k — inline literal expression while the plan
+    stays small (shuffle-free map, no broadcast sub-job), broadcast
+    crossJoin + window beyond ``LITERAL_ASSIGN_MAX_K``. Both paths
+    are bit-identical."""
+    if len(cents) <= LITERAL_ASSIGN_MAX_K:
+        return _train_assign(vecs, cents)
+    cdf = spark.createDataFrame(
+        [(c, v) for c, v in cents], "cell int, cv array<double>"
+    )
+    return _broadcast_assign(vecs, cdf)
+
+
 def _train_assign(
     vecs: DataFrame, cents: list[tuple[int, list[float]]]
 ) -> DataFrame:
-    """Inline nearest-centroid argmax against a DRIVER-HELD centroid
-    list — the training-loop twin of :func:`_assign`.
+    """Inline nearest-centroid assignment (argmin ||v-c||² ==
+    argmax(v·c - |c|²/2)) against a DRIVER-HELD centroid list.
 
-    Bit-identical to the crossJoin+window path: per-cell score is
+    Bit-identical to the crossJoin+window formulation the SQL oracle
+    uses (row_number over score DESC, cell ASC — see
+    :func:`kmeans_cells_sql`; the parity tests pin the equivalence):
+    per-cell score is
     round(v·c - |c|²/2, 6) with |c|² folded sequentially in Python
     (same left-to-right IEEE adds as the ``dot`` aggregate); the
     scores land in one array column and the pick is
@@ -130,45 +195,51 @@ def _recenter_rows(
     ]
 
 
-# Trained centroid tables, keyed by (spark app, data, k, iters).
+# Trained centroids, keyed by (spark app, data, k, iters).
 # Centroids are a TRAINED ARTIFACT: every consumer (IVF search,
 # SemDeDup, cell assignment) needs the identical table, and on a
 # cluster you train once and publish it — recomputing the Lloyd chain
-# per downstream query would re-run the training job each time. The
-# cached DataFrame is already localCheckpoint'ed (k tiny rows pinned
-# on executors), so reuse costs nothing and is deterministic.
+# per downstream query would re-run the training job each time.
+# Two caches: the driver-held row list (k×dim floats — lets consumers
+# assign via the inline literal-expression path with no crossJoin /
+# window shuffle) and the DataFrame view for broadcast-join consumers.
 # CONTRACT: a dataset path is immutable for the lifetime of a session
 # (true for this engine's sf_dir snapshots); if a path is rewritten
 # in-session, call clear_centroid_cache() or the next consumer reads
 # centroids trained on the old files. Entries are k-row tables — the
-# dict stays tiny even across many datasets.
-_CENTROID_CACHE: dict[tuple[str, str, int, int], DataFrame] = {}
+# dicts stay tiny even across many datasets.
+_CentKey = tuple[str, str, int, int]
+_CENTROID_CACHE: dict[_CentKey, DataFrame] = {}
+_CENTROID_ROWS_CACHE: dict[_CentKey, list[tuple[int, list[float]]]] = {}
 
 
 def clear_centroid_cache() -> None:
     """Drop all trained centroid tables (e.g. after rewriting a
     dataset path in-session)."""
     _CENTROID_CACHE.clear()
+    _CENTROID_ROWS_CACHE.clear()
+    _N_CACHE.clear()
 
 
-def kmeans_centroids(
-    spark: SparkSession, sf_dir: str, k: int = K_CELLS, iters: int = ITERS
-) -> DataFrame:
-    """(cell, cv) — the centroid table after `iters` Lloyd iterations
-    from the deterministic init (first k vectors). This is the IVF
-    cell table: k tiny rows, broadcastable anywhere. Trained once per
-    (session, data, k, iters) — see ``_CENTROID_CACHE``."""
+def kmeans_centroid_rows(
+    spark: SparkSession, sf_dir: str, k: int | None = None, iters: int = ITERS
+) -> list[tuple[int, list[float]]]:
+    """The trained centroid artifact as a driver-held [(cell, vector)]
+    list — the form consumers need for shuffle-free inline assignment
+    (:func:`_train_assign`). Trains once per (session, data, k, iters).
+
+    Training keeps the artifact (k×dim floats) on the driver between
+    iterations — the MLlib KMeans pattern. Per iteration that is
+    exactly ONE distributed job (the recenter aggregation); assignment
+    rides inline as a literal expression, so no crossJoin/window
+    shuffle, no broadcast sub-job, and no lineage growth to
+    checkpoint. Data-sized relations never leave the executors."""
+    if k is None:
+        k = cells_for(corpus_size(spark, sf_dir))
     key = (spark.sparkContext.applicationId, sf_dir, k, iters)
-    cached = _CENTROID_CACHE.get(key)
+    cached = _CENTROID_ROWS_CACHE.get(key)
     if cached is not None:
         return cached
-    # Training keeps the centroid ARTIFACT (k×dim floats) on the
-    # driver between iterations — the MLlib KMeans pattern. Per
-    # iteration that is exactly ONE distributed job (the recenter
-    # aggregation); assignment rides inline as a literal expression,
-    # so no crossJoin/window shuffle, no broadcast sub-job, and no
-    # lineage growth to checkpoint. Data-sized relations never leave
-    # the executors.
     vecs = _vecs(spark, sf_dir)
     cents = [
         (int(r["vec_id"]), list(r["v"]))
@@ -176,7 +247,27 @@ def kmeans_centroids(
     ]
     dim = len(cents[0][1])
     for _ in range(iters):
-        cents = _recenter_rows(_train_assign(vecs, cents), dim)
+        cents = _recenter_rows(assign_cells(spark, vecs, cents), dim)
+    _CENTROID_ROWS_CACHE[key] = cents
+    return cents
+
+
+def kmeans_centroids(
+    spark: SparkSession, sf_dir: str, k: int | None = None, iters: int = ITERS
+) -> DataFrame:
+    """(cell, cv) — the centroid table after `iters` Lloyd iterations
+    from the deterministic init (first k vectors). This is the IVF
+    cell table: k tiny rows, broadcastable anywhere. Trained once per
+    (session, data, k, iters) — see ``_CENTROID_CACHE``. k defaults to
+    :func:`cells_for` (⌈√n⌉) so cell populations stay bounded as the
+    corpus grows."""
+    if k is None:
+        k = cells_for(corpus_size(spark, sf_dir))
+    key = (spark.sparkContext.applicationId, sf_dir, k, iters)
+    cached = _CENTROID_CACHE.get(key)
+    if cached is not None:
+        return cached
+    cents = kmeans_centroid_rows(spark, sf_dir, k, iters)
     out = spark.createDataFrame(
         [(c, v) for c, v in cents], "cell int, cv array<double>"
     )
@@ -185,14 +276,17 @@ def kmeans_centroids(
 
 
 def kmeans_cells(
-    spark: SparkSession, sf_dir: str, k: int = K_CELLS, iters: int = ITERS
+    spark: SparkSession, sf_dir: str, k: int | None = None, iters: int = ITERS
 ) -> DataFrame:
     """(vec_id, cell) after `iters` Lloyd iterations from a
-    deterministic init (first k vectors)."""
+    deterministic init (first k vectors). Assignment reuses the
+    driver-held artifact through the inline literal-expression path —
+    a pure map over the vectors, no crossJoin, no window shuffle
+    (bit-identical to :func:`_assign`, see :func:`_train_assign`)."""
     vecs = _vecs(spark, sf_dir)
-    return _assign(vecs, kmeans_centroids(spark, sf_dir, k, iters)).select(
-        "vec_id", "cell"
-    )
+    return assign_cells(
+        spark, vecs, kmeans_centroid_rows(spark, sf_dir, k, iters)
+    ).select("vec_id", "cell")
 
 
 def _centroid_score_sql(v: str, c: str) -> str:
@@ -206,13 +300,30 @@ def _centroid_score_sql(v: str, c: str) -> str:
     )
 
 
-def kmeans_centroid_ctes(k: int = K_CELLS, iters: int = ITERS) -> list[str]:
+def kmeans_centroid_ctes(
+    k: int | None = None, iters: int = ITERS
+) -> list[str]:
     """CTE chain (no WITH keyword) ending at ``c{iters}`` = the final
-    centroid table — shared by the kmeans oracle and the IVF oracle."""
+    centroid table — shared by the kmeans oracle and the IVF oracle.
+
+    ``k=None`` (the default) mirrors :func:`cells_for`: a ``kp`` CTE
+    computes ``greatest(K_CELLS, ceil(sqrt(count(*))))`` so the oracle
+    adapts its cell count to the corpus exactly like the Spark side —
+    both run IEEE-double sqrt on the same integer, so k is identical."""
     parts = [
         "emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
-        f"c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM emb WHERE vec_id < {k})",
     ]
+    if k is None:
+        parts.append(
+            f"kp AS (SELECT greatest({K_CELLS}, "
+            "CAST(ceil(sqrt(count(*))) AS INT)) AS k FROM embeddings)"
+        )
+        k_sql = "(SELECT k FROM kp)"
+    else:
+        k_sql = str(k)
+    parts.append(
+        f"c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM emb WHERE vec_id < {k_sql})"
+    )
     for i in range(iters):
         parts.append(
             f"a{i} AS (SELECT vec_id, v, cell FROM ("
@@ -232,7 +343,7 @@ def kmeans_centroid_ctes(k: int = K_CELLS, iters: int = ITERS) -> list[str]:
     return parts
 
 
-def kmeans_cells_sql(k: int = K_CELLS, iters: int = ITERS) -> str:
+def kmeans_cells_sql(k: int | None = None, iters: int = ITERS) -> str:
     """Generated CTE chain mirroring :func:`kmeans_cells` exactly."""
     parts = kmeans_centroid_ctes(k, iters)
     final = (

@@ -34,11 +34,11 @@ from spark_app_twitter_spark.functions.vectors import cosine, cosine_sql
 from spark_app_twitter_spark.operators.clustering import (
     ITERS,
     K_CELLS,
-    _assign,
     _centroid_score_sql,
     _vecs,
+    assign_cells,
     kmeans_centroid_ctes,
-    kmeans_centroids,
+    kmeans_centroid_rows,
 )
 
 SEM_DUP_THRESHOLD = 0.40  # synthetic embeddings are near-orthogonal; real corpora use ~0.95
@@ -49,13 +49,14 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a lower vec_id exists.
 
     Plan shape: the assigned relation (vec_id, v, cell) is
-    materialized once (it closes over the iterative k-means lineage
-    and feeds both sides of the self-join); the self-join shuffles on
-    the cell id — narrow rows, bounded cells. The drop set is tiny
-    and left-joins back for the keep flag.
+    materialized once (assignment is a shuffle-free map against the
+    driver-held trained centroids, and the checkpoint feeds both
+    sides of the self-join); the self-join shuffles on the cell id —
+    narrow rows, bounded cells. The drop set is tiny and left-joins
+    back for the keep flag.
     """
-    assigned = _assign(
-        _vecs(spark, sf_dir), kmeans_centroids(spark, sf_dir)
+    assigned = assign_cells(
+        spark, _vecs(spark, sf_dir), kmeans_centroid_rows(spark, sf_dir)
     ).localCheckpoint(eager=True)
     a = assigned.select(
         F.col("vec_id").alias("a_id"), F.col("v").alias("a_v"), "cell"

@@ -219,8 +219,21 @@ GROUP BY label, dim
 """
 
 
-N_PROBE = 2
+N_PROBE = 2  # floor; effective probes track the adaptive cell count
+PROBE_FRACTION = 4  # probe ~1/4 of the cells
 COSINE_DUP_THRESHOLD = 0.35  # synthetic embeddings are near-orthogonal; real corpora use ~0.9
+
+
+def n_probes_for(k: int) -> int:
+    """Probe count for a k-cell index: max(N_PROBE, ⌈k/4⌉).
+
+    With the adaptive cell count (k ∝ √n) a FIXED probe count would
+    shrink the probed fraction — and hence recall — as the corpus
+    grows; pinning probes to a fixed ~25% of cells keeps recall stable
+    while still cutting candidate work 4× vs exhaustive search."""
+    import math
+
+    return max(N_PROBE, math.ceil(k / PROBE_FRACTION))
 
 
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -236,13 +249,18 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the structure a production IVF index trains, with the same
     oracle-reproducibility as the rest of the engine.
     """
-    from spark_app_twitter_spark.operators.clustering import kmeans_centroids
+    from spark_app_twitter_spark.operators.clustering import (
+        cells_for,
+        corpus_size,
+        kmeans_centroids,
+    )
 
     # the trained (and already-checkpointed) centroid table — a cheap
     # projection of it feeds both assign() passes
     cells = kmeans_centroids(spark, sf_dir).select(
         "cell", F.col("cv").alias("cell_cv")
     )
+    n_probe = n_probes_for(cells_for(corpus_size(spark, sf_dir)))
     q, c = _queries_and_cands(spark, sf_dir)
 
     def assign(df: DataFrame, key: str, vec: str, keep: int) -> DataFrame:
@@ -257,7 +275,7 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     cand_cells = assign(c, "neighbor_id", "cv", 1)
-    probe_cells = assign(q, "query_id", "qv", N_PROBE)
+    probe_cells = assign(q, "query_id", "qv", n_probe)
     pairs = cand_cells.join(F.broadcast(probe_cells), "cell")
     scored = pairs.select(
         "query_id",
@@ -304,7 +322,7 @@ probe_cells AS (
                               ORDER BY round({cosine_sql('q.qv', 'cells.cell_cv')}, 6) DESC,
                                        cells.cell ASC) AS crk
     FROM q CROSS JOIN cells
-  ) WHERE crk <= {N_PROBE}
+  ) WHERE crk <= (SELECT greatest({N_PROBE}, CAST(ceil(k / {PROBE_FRACTION}.0) AS INT)) FROM kp)
 ),
 scored AS (
   SELECT p.query_id, cc.neighbor_id,

@@ -250,6 +250,42 @@ def test_kmeans_cells_parity(spark, sf_dir):
     )
 
 
+def test_assignment_paths_bit_identical(spark, sf_dir):
+    """The two nearest-centroid physical strategies — inline literal
+    expression (small k) and broadcast crossJoin + window (big k,
+    beyond LITERAL_ASSIGN_MAX_K) — must assign every vector to the
+    same cell, or the big-k switchover would silently change results."""
+    from spark_app_twitter_spark.operators import clustering
+
+    vecs = clustering._vecs(spark, sf_dir)
+    cents = clustering.kmeans_centroid_rows(spark, sf_dir)
+    lit = {
+        r.vec_id: r.cell
+        for r in clustering._train_assign(vecs, cents).select("vec_id", "cell").collect()
+    }
+    cdf = spark.createDataFrame(
+        [(c, v) for c, v in cents], "cell int, cv array<double>"
+    )
+    bcast = {
+        r.vec_id: r.cell
+        for r in clustering._broadcast_assign(vecs, cdf).select("vec_id", "cell").collect()
+    }
+    assert lit == bcast
+
+
+def test_semdedup_parity(spark, sf_dir):
+    """Full-corpus parity for the SemDeDup oracle — exercises the
+    adaptive-k (kp scalar subquery) centroid chain end to end."""
+    from spark_app_twitter_spark.operators import semdedup
+
+    assert_parity(
+        semdedup.semdedup(spark, sf_dir),
+        semdedup.SEMDEDUP_SQL,
+        sf_dir,
+        "semdedup",
+    )
+
+
 def test_kmeans_iterations_do_not_increase_sse(spark, sf_dir):
     """Lloyd property: within-cluster SSE is non-increasing (driven
     through the driver-held training loop helpers)."""
@@ -633,8 +669,9 @@ def test_resize_media_nearest_neighbor_pixels(spark, sf_dir):
 def test_ann_recall_floors_vs_bruteforce(spark, sf_dir):
     """Pin the approximation quality of the ANN variants on the
     synthetic (near-orthogonal — adversarial for LSH) embeddings:
-    IVF with 2-of-8 probes stays high; multi-table LSH must beat the
-    structural single-table variant by an order of magnitude."""
+    IVF probing ~25% of the adaptive cell count stays high;
+    multi-table LSH must beat the structural single-table variant
+    by an order of magnitude."""
     from spark_app_twitter_spark.operators import similarity
 
     truth = {

@@ -182,6 +182,11 @@ def test_sem_dedup_cell_bucketed_join(spark, sf_dir):
     plan = E.executed_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert plan.count("Exchange hashpartitioning(cell") == 2, (
-        "both self-join sides must shuffle on the cell key"
-    )
+    # The pair scan must be an EQUI-join keyed on cell; the physical
+    # strategy is Spark's call — broadcast-hash at test scale (the
+    # checkpointed assigned relation is tiny), shuffle on the cell key
+    # once stats exceed the broadcast threshold.
+    assert (
+        "BroadcastHashJoin [cell" in plan
+        or plan.count("Exchange hashpartitioning(cell") == 2
+    ), "pair scan must equi-join on the cell key"
