@@ -67,12 +67,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     When editing, append new queries to the front section and demote
     whatever the previous round just re-attested.
 
-    Round 3 rotation: positions 51-89 of round 2 (attested r01, code
-    edited since) lead; then this round's changed queries (quantize
-    fix, centroid-training rewrite consumers, resize-oracle rewrite);
-    then the six new round-3 queries. serving_value_anomalies sits at
-    51: its round-3 edit (nullif guard) is output-identical at sf0.01
-    and it holds a green r02 row.
+    Round 3 rotation: stale-r01 serving/asof/tpch/dedup/text entries
+    lead; then this round's changed queries (quantize fix, adaptive-k
+    clustering consumers, resize-oracle rewrite); then every
+    never-driver-verified round-3 query — an unverified new query is
+    strictly worse than a two-round-old green row on unchanged code,
+    so five stable TPC-H entries (plan-test-covered, tpch.py
+    untouched this round except top_customers) and
+    serving_value_anomalies (round-3 nullif guard is output-identical
+    at sf0.01; green r02 row) wait just past the window for round 4.
     """
     return {
         # --- 1. attested in r01 only; modules edited in round 2 ---
@@ -98,11 +101,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5_local_supplier_volume": tpch.q5_local_supplier_volume,
         "tpch_top_customers_per_nation": tpch.top_customers_per_nation,
         "tpch_q6_forecast_revenue": tpch.q6_forecast_revenue,
-        "tpch_customers_without_orders": tpch.customers_without_orders,
-        "tpch_promo_revenue_share": tpch.promo_revenue_share,
-        "tpch_q18_large_volume_orders": tpch.q18_large_volume_orders,
-        "tpch_q19_disjunctive_revenue": tpch.q19_disjunctive_revenue,
-        "tpch_rich_customers_vs_nation": tpch.rich_customers_vs_nation,
         "tpch_q4_order_priority": tpch.q4_order_priority,
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_signatures": dedup.minhash_signatures,
@@ -127,12 +125,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_quantized": similarity.knn_quantized,
         "serving_retention_cohorts": serving.retention_cohorts,
         "multimodal_audio_chunks": multimodal.audio_chunks,
-        # ---- driver verification window ends at 50 entries ----
-        # (below: rotate into the window in round 4)
-        "serving_value_anomalies": serving.value_anomalies,
         "dedup_minhash_jaccard_est": dedup.minhash_jaccard_estimate,
         "serving_props_stats": serving.props_stats,
         "serving_weekly_active": serving.weekly_active,
+        "text_quality_rules": textstats.quality_rules,
+        "text_common_ngrams": textstats.common_ngrams,
+        "sim_embedding_dim_stats": similarity.embedding_dim_stats,
+        # ---- driver verification window ends at 50 entries ----
+        # (below: rotate into the window in round 4)
+        "serving_value_anomalies": serving.value_anomalies,
+        "tpch_customers_without_orders": tpch.customers_without_orders,
+        "tpch_promo_revenue_share": tpch.promo_revenue_share,
+        "tpch_q18_large_volume_orders": tpch.q18_large_volume_orders,
+        "tpch_q19_disjunctive_revenue": tpch.q19_disjunctive_revenue,
+        "tpch_rich_customers_vs_nation": tpch.rich_customers_vs_nation,
         # --- 4. freshly attested green in r02, code unchanged since ---
         "text_sample_stratified": textstats.sample_documents,
         "text_corpus_funnel": textstats.corpus_funnel,
@@ -282,4 +288,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_jaccard_est": dedup.MINHASH_JACCARD_ESTIMATE_SQL,
         "serving_props_stats": serving.PROPS_STATS_SQL,
         "serving_weekly_active": serving.WEEKLY_ACTIVE_SQL,
+        "text_quality_rules": textstats.QUALITY_RULES_SQL,
+        "text_common_ngrams": textstats.COMMON_NGRAMS_SQL,
+        "sim_embedding_dim_stats": similarity.EMBEDDING_DIM_STATS_SQL,
     }

@@ -659,3 +659,46 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 
 
 KNN_LSH_MULTI_SQL = _knn_lsh_multi_sql()
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics over the embedding column:
+    (dim, n_vecs, mean_v, min_v, max_v) — the model-diagnostics pass
+    that catches dead dimensions (constant value), scale drift
+    between embedding-model versions, and normalization bugs before
+    an index is built over the corpus.
+
+    posexplode -> groupBy(dim): one narrow shuffle of (dim, value)
+    rows, mergeable partials, |dims| output rows. Mean uses the
+    engine-wide exact trick — quantize to 1e-6 integers before the
+    sum (order-independent), divide once at the end.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(F.posexplode("embedding").alias("dim", "v"))
+    xd = F.col("v").cast("double")
+    q = F.round(xd * 1e6).cast("long")
+    return exploded.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (F.sum(q).cast("double") / (F.count(F.lit(1)) * F.lit(1e6))).alias(
+            "mean_v"
+        ),
+        F.round(F.min(xd), 6).alias("min_v"),
+        F.round(F.max(xd), 6).alias("max_v"),
+    )
+
+
+EMBEDDING_DIM_STATS_SQL = """
+SELECT dim,
+       count(*) AS n_vecs,
+       CAST(sum(q) AS DOUBLE) / (count(*) * 1e6) AS mean_v,
+       round(min(x), 6) AS min_v,
+       round(max(x), 6) AS max_v
+FROM (
+  SELECT unnest(range(len(embedding))) AS dim,
+         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x,
+         unnest(list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))) AS q
+  FROM embeddings
+)
+GROUP BY dim
+"""

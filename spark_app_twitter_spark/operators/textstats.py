@@ -842,3 +842,154 @@ SELECT (n_tokens // {LEN_BUCKET_WIDTH}) * {LEN_BUCKET_WIDTH} AS bucket_lo,
 FROM t
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule-based quality filter (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", public arXiv:2112.11446 §A1.1): a
+# battery of NAMED per-document rules, each reported as its own
+# boolean so downstream mixture reports can attribute removal to a
+# rule — unlike the scalar quality_score, which ranks but cannot
+# explain. Thresholds are tuned to the synthetic corpus shape; real
+# pipelines tune per source.
+QR_MIN_WORDS = 20
+QR_MAX_WORDS = 1000
+QR_MIN_MEAN_WLEN = 3.0
+QR_MAX_MEAN_WLEN = 10.0
+QR_MIN_STOPWORDS = 2
+QR_MAX_TOP_WORD_FRAC = 0.20
+
+
+def quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc named quality rules + the composite verdict.
+
+    Pure projection (scan -> codegen -> write, zero shuffles at any
+    scale): every rule is array math over the token list. The mode
+    count (most frequent token) is O(|distinct| * n) per row via
+    nested higher-order functions — bounded by the row, never a
+    shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    d = docs.select("doc_id", tokens("text").alias("w"))
+    n = F.size("w")
+    nd = n.cast("double")
+    mean_wlen = F.round(
+        F.expr(
+            "aggregate(transform(w, x -> length(x)), 0, (a, x) -> a + x)"
+        ).cast("double")
+        / nd,
+        6,
+    )
+    top_frac = F.round(
+        F.expr(
+            "array_max(transform(array_distinct(w),"
+            " x -> size(filter(w, y -> y = x))))"
+        ).cast("double")
+        / nd,
+        6,
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter("w", lambda t: F.array_contains(stop_arr, t)))
+    out = d.select(
+        "doc_id",
+        n.alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        top_frac.alias("top_word_frac"),
+        n_stop.alias("n_stop"),
+    )
+    ok_n = (F.col("n_words") >= QR_MIN_WORDS) & (
+        F.col("n_words") <= QR_MAX_WORDS
+    )
+    ok_wlen = (F.col("mean_word_len") >= QR_MIN_MEAN_WLEN) & (
+        F.col("mean_word_len") <= QR_MAX_MEAN_WLEN
+    )
+    ok_stop = F.col("n_stop") >= QR_MIN_STOPWORDS
+    ok_rep = F.col("top_word_frac") <= QR_MAX_TOP_WORD_FRAC
+    return out.select(
+        "*",
+        ok_n.alias("ok_n_words"),
+        ok_wlen.alias("ok_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        ok_rep.alias("ok_repetition"),
+        (ok_n & ok_wlen & ok_stop & ok_rep).alias("passes"),
+    )
+
+
+QUALITY_RULES_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+               / len(w), 6) AS mean_word_len,
+         round(CAST(list_max(list_transform(list_distinct(w),
+                    x -> len(list_filter(w, y -> y = x)))) AS DOUBLE)
+               / len(w), 6) AS top_word_frac,
+         len(list_filter(w, x -> x IN ({_STOP_IN}))) AS n_stop
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, top_word_frac, n_stop,
+       n_words BETWEEN {QR_MIN_WORDS} AND {QR_MAX_WORDS} AS ok_n_words,
+       mean_word_len BETWEEN {QR_MIN_MEAN_WLEN} AND {QR_MAX_MEAN_WLEN} AS ok_word_len,
+       n_stop >= {QR_MIN_STOPWORDS} AS ok_stopwords,
+       top_word_frac <= {QR_MAX_TOP_WORD_FRAC} AS ok_repetition,
+       (n_words BETWEEN {QR_MIN_WORDS} AND {QR_MAX_WORDS})
+         AND (mean_word_len BETWEEN {QR_MIN_MEAN_WLEN} AND {QR_MAX_MEAN_WLEN})
+         AND n_stop >= {QR_MIN_STOPWORDS}
+         AND top_word_frac <= {QR_MAX_TOP_WORD_FRAC} AS passes
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus-boilerplate detector: word n-grams ranked by DOCUMENT
+# frequency (each doc votes once per distinct gram). High-df grams
+# are shared boilerplate (headers, footers, license blurbs) — the
+# things line-dedup pipelines (CCNet, RefinedWeb) strip before
+# training. Same narrow explode shape as decontaminate; the final
+# top-k is a TakeOrderedAndProject, never a global sort.
+BOILER_NGRAM = 3
+BOILER_TOP_K = 20
+
+
+def common_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k word n-grams by document frequency: (g, doc_freq)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks_df = docs.select("doc_id", tokens("text").alias("w"))
+    grams = F.when(
+        F.size("w") < BOILER_NGRAM, F.array().cast("array<string>")
+    ).otherwise(
+        F.expr(
+            f"transform(sequence(1, size(w) - {BOILER_NGRAM - 1}),"
+            f" i -> array_join(slice(w, i, {BOILER_NGRAM}), ' '))"
+        )
+    )
+    per_doc = toks_df.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("g")
+    )
+    return (
+        per_doc.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("g"))
+        .limit(BOILER_TOP_K)
+    )
+
+
+COMMON_NGRAMS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+per_doc AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) < {BOILER_NGRAM} THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(range(1, len(w) - {BOILER_NGRAM} + 2),
+                             i -> array_to_string(w[i:i + {BOILER_NGRAM} - 1], ' '))
+    END)) AS g
+  FROM toks
+)
+SELECT g, count(*) AS doc_freq
+FROM per_doc
+GROUP BY g
+ORDER BY doc_freq DESC, g ASC
+LIMIT {BOILER_TOP_K}
+"""

@@ -814,3 +814,75 @@ def test_minhash_estimate_tracks_true_jaccard(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.est_jaccard <= 1.0
         assert abs(r.est_jaccard - r.true_jaccard) <= 0.5  # k=8 spread bound
+
+
+def test_quality_rules_parity(spark, sf_dir):
+    assert_parity(
+        textstats.quality_rules(spark, sf_dir),
+        textstats.QUALITY_RULES_SQL,
+        sf_dir,
+        "quality_rules",
+    )
+
+
+def test_quality_rules_discriminate(spark, sf_dir):
+    """The rule battery must actually split the corpus (a filter that
+    passes or fails everything is a no-op), and the composite verdict
+    must equal the conjunction of the named rules."""
+    rows = textstats.quality_rules(spark, sf_dir).collect()
+    n_pass = sum(1 for r in rows if r.passes)
+    assert 0 < n_pass < len(rows)
+    for r in rows:
+        assert r.passes == (
+            r.ok_n_words and r.ok_word_len and r.ok_stopwords and r.ok_repetition
+        )
+
+
+def test_common_ngrams_parity(spark, sf_dir):
+    assert_parity(
+        textstats.common_ngrams(spark, sf_dir),
+        textstats.COMMON_NGRAMS_SQL,
+        sf_dir,
+        "common_ngrams",
+    )
+
+
+def test_common_ngrams_df_is_doc_frequency(spark, sf_dir):
+    """doc_freq counts DOCUMENTS containing the gram (distinct per
+    doc), never occurrences — verify against a direct recount for the
+    top gram."""
+    top = textstats.common_ngrams(spark, sf_dir).collect()
+    assert len(top) == textstats.BOILER_TOP_K
+    assert all(
+        top[i].doc_freq >= top[i + 1].doc_freq for i in range(len(top) - 1)
+    )
+    g = top[0].g
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.where(F.col("text").contains(g)).count()
+    # containment is a superset of tokenized-gram membership only when
+    # the gram crosses token boundaries exactly; equality holds on
+    # whitespace corpora
+    assert top[0].doc_freq == n_docs
+
+
+def test_embedding_dim_stats_parity(spark, sf_dir):
+    assert_parity(
+        similarity.embedding_dim_stats(spark, sf_dir),
+        similarity.EMBEDDING_DIM_STATS_SQL,
+        sf_dir,
+        "dim_stats",
+    )
+
+
+def test_embedding_dim_stats_shape(spark, sf_dir):
+    """One row per dimension, every vector counted, min <= mean <= max."""
+    rows = similarity.embedding_dim_stats(spark, sf_dir).collect()
+    assert len(rows) == similarity.DIM
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    for r in rows:
+        assert r.n_vecs == n
+        assert r.min_v <= r.mean_v <= r.max_v
