@@ -236,6 +236,56 @@ def n_probes_for(k: int) -> int:
     return max(N_PROBE, math.ceil(k / PROBE_FRACTION))
 
 
+def _inline_nearest_cell(
+    df: DataFrame, key: str, vec: str, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Argmax-cosine cell per row against DRIVER-HELD centroids as a
+    pure map expression — the IVF-search twin of
+    ``clustering._train_assign`` (same scores-array + first-max
+    argmax, so ties resolve to the lowest cell exactly like the
+    ``row_number() OVER (ORDER BY cell_sim DESC, cell ASC)``
+    formulation the SQL oracle keeps). Eliminates the candidate-side
+    crossJoin + window shuffle: with k ~ sqrt(N) cells the window
+    state was k rows per candidate, all shuffled; this is zero-shuffle
+    scoring in codegen. |v| is materialized once (`_nv`) so the k
+    per-cell scores share it instead of re-deriving the fold."""
+    import math
+
+    ordered = sorted(cents)
+
+    def cos_sql(cv: list[float]) -> str:
+        c2 = 0.0
+        for x in cv:
+            c2 += x * x
+        nc = math.sqrt(c2)
+        vals = ", ".join(f"{x!r}D" for x in cv)
+        return (
+            f"round(aggregate(zip_with({vec}, array({vals}), "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x) "
+            f"/ (_nv * {nc!r}D), 6)"
+        )
+
+    cells_sql = ", ".join(str(c) for c, _ in ordered)
+    scores_sql = "array(" + ", ".join(cos_sql(cv) for _, cv in ordered) + ")"
+    nv_sql = (
+        f"sqrt(aggregate(zip_with({vec}, {vec}, "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"0.0D, (acc, x) -> acc + x))"
+    )
+    return (
+        df.withColumn("_nv", F.expr(nv_sql))
+        .withColumn("_scores", F.expr(scores_sql))
+        .withColumn(
+            "cell",
+            F.expr(
+                f"element_at(array({cells_sql}), "
+                "cast(array_position(_scores, array_max(_scores)) as int))"
+            ),
+        )
+        .select(key, vec, "cell")
+    )
+
+
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse-quantize into centroid cells, probe the
     N_PROBE nearest cells per query, exact top-k inside them.
@@ -250,16 +300,23 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-reproducibility as the rest of the engine.
     """
     from spark_app_twitter_spark.operators.clustering import (
+        LITERAL_ASSIGN_MAX_K,
         cells_for,
         corpus_size,
+        kmeans_centroid_rows,
         kmeans_centroids,
     )
 
-    # the trained (and already-checkpointed) centroid table — a cheap
-    # projection of it feeds both assign() passes
+    # the trained centroid artifact: driver rows feed the inline
+    # candidate assignment; the DataFrame view feeds the (tiny)
+    # probe-side broadcast window
+    cents_rows = kmeans_centroid_rows(spark, sf_dir)
     cells = kmeans_centroids(spark, sf_dir).select(
         "cell", F.col("cv").alias("cell_cv")
     )
+    # probe count derives from the REQUESTED k (the oracle's kp CTE),
+    # not the surviving-cell count — a Lloyd cell that loses all its
+    # members must not change how many cells a query probes
     n_probe = n_probes_for(cells_for(corpus_size(spark, sf_dir)))
     q, c = _queries_and_cands(spark, sf_dir)
 
@@ -274,7 +331,13 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(key, vec, "cell")
         )
 
-    cand_cells = assign(c, "neighbor_id", "cv", 1)
+    # Candidate side (the data-sized one): shuffle-free inline argmax
+    # while k keeps the unrolled expression small; windowed broadcast
+    # beyond that. Probe side is |queries| rows — the window is free.
+    if len(cents_rows) <= LITERAL_ASSIGN_MAX_K:
+        cand_cells = _inline_nearest_cell(c, "neighbor_id", "cv", cents_rows)
+    else:
+        cand_cells = assign(c, "neighbor_id", "cv", 1)
     probe_cells = assign(q, "query_id", "qv", n_probe)
     pairs = cand_cells.join(F.broadcast(probe_cells), "cell")
     scored = pairs.select(
