@@ -190,3 +190,46 @@ def test_sem_dedup_cell_bucketed_join(spark, sf_dir):
         "BroadcastHashJoin [cell" in plan
         or plan.count("Exchange hashpartitioning(cell") == 2
     ), "pair scan must equi-join on the cell key"
+
+
+def test_quality_rules_is_map_only(spark, sf_dir):
+    """The rule battery is per-row array math — no shuffle beyond the
+    deliberate spread repartition for single-row-group inputs."""
+    from spark_app_twitter_spark.operators import textstats
+
+    df = textstats.quality_rules(spark, sf_dir)
+    plan = E.executed_plan(df)
+    assert E.num_shuffles(df) <= 1  # only the spread RoundRobin
+    assert "hashpartitioning" not in plan, (
+        "no keyed shuffle belongs in a pure projection"
+    )
+
+
+def test_common_ngrams_topk_never_global_sorts(spark, sf_dir):
+    """Top-k by doc frequency must be TakeOrderedAndProject over a
+    partially-aggregated relation — a global Sort would materialize
+    every distinct gram on one node at corpus scale."""
+    from spark_app_twitter_spark.operators import textstats
+
+    df = textstats.common_ngrams(spark, sf_dir)
+    plan = E.executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan, "top-k must not global-sort"
+    assert plan.count("HashAggregate") >= 2, (
+        "gram counting must partial-aggregate map-side"
+    )
+
+
+def test_ivf_candidate_assignment_shuffle_free(spark, sf_dir):
+    """The data-sized candidate side of knn_ivf must carry NO window
+    shuffle: inline literal argmax scoring, with the only exchanges
+    belonging to the tiny probe-side window and the final top-k."""
+    from spark_app_twitter_spark.operators import similarity
+
+    df = similarity.knn_ivf(spark, sf_dir)
+    plan = E.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    # neighbor_id-keyed window == the old per-candidate shuffle shape
+    assert "hashpartitioning(neighbor_id" not in plan, (
+        "candidate cell assignment must not shuffle on neighbor_id"
+    )

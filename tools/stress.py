@@ -54,6 +54,7 @@ STRESS_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "sem_dedup",
+    "sim_knn_ivf",
     "sim_knn_quantized",
     "text_train_split",
 ]
