@@ -860,16 +860,11 @@ QR_MIN_STOPWORDS = 2
 QR_MAX_TOP_WORD_FRAC = 0.20
 
 
-def quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc named quality rules + the composite verdict.
-
-    Pure projection (scan -> codegen -> write, zero shuffles at any
-    scale): every rule is array math over the token list. The mode
-    count (most frequent token) is O(|distinct| * n) per row via
-    nested higher-order functions — bounded by the row, never a
-    shuffle.
-    """
-    docs = load_table(spark, sf_dir, "documents", spread=True)
+def quality_rules_frame(docs: DataFrame) -> DataFrame:
+    """Rule battery over any (doc_id, text) frame — batch OR
+    streaming: a stateless projection drops into a readStream
+    pipeline unchanged (no watermark, no state), which is where a
+    quality filter actually runs in a streaming ingest."""
     d = docs.select("doc_id", tokens("text").alias("w"))
     n = F.size("w")
     nd = n.cast("double")
@@ -912,6 +907,20 @@ def quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_stop.alias("ok_stopwords"),
         ok_rep.alias("ok_repetition"),
         (ok_n & ok_wlen & ok_stop & ok_rep).alias("passes"),
+    )
+
+
+def quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc named quality rules + the composite verdict.
+
+    Pure projection (scan -> codegen -> write, zero shuffles at any
+    scale): every rule is array math over the token list. The mode
+    count (most frequent token) is O(|distinct| * n) per row via
+    nested higher-order functions — bounded by the row, never a
+    shuffle.
+    """
+    return quality_rules_frame(
+        load_table(spark, sf_dir, "documents", spread=True)
     )
 
 

@@ -617,3 +617,48 @@ def test_late_event_quarantined_and_aggregate_matches_on_time_batch(
         assert not any(k[0].startswith("2022-03-13 13:") for k in got)
     finally:
         spark.streams.removeListener(tracker)
+
+
+def test_streaming_quality_rules_matches_batch(spark, tmp_path):
+    """A quality filter runs inside the streaming ingest in a real
+    pipeline; the rule battery is a stateless projection, so it must
+    drop into readStream unchanged and agree with batch row-for-row."""
+    from spark_app_twitter_spark.operators import textstats
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    docs = [
+        {"doc_id": 1, "text": "the quick brown fox jumps over a lazy dog " * 3},
+        {"doc_id": 2, "text": "spam spam spam spam spam"},  # repetition + short
+        # passes every rule: 32 words, two stopwords, all-distinct
+        # vocabulary (top_word_frac 1/32), mean word length ~5.4
+        {"doc_id": 3, "text": "the a " + " ".join(f"word{i}" for i in range(30))},
+    ]
+    with open(os.path.join(src, "p0.json"), "w") as f:
+        for d in docs:
+            f.write(json.dumps(d) + "\n")
+    schema = "doc_id long, text string"
+
+    stream = spark.readStream.schema(schema).json(src)
+    q = (
+        textstats.quality_rules_frame(stream)
+        .writeStream.format("memory")
+        .queryName("qr_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r.doc_id: tuple(r) for r in spark.sql("SELECT * FROM qr_sink").collect()
+    }
+    batched = {
+        r.doc_id: tuple(r)
+        for r in textstats.quality_rules_frame(
+            spark.read.schema(schema).json(src)
+        ).collect()
+    }
+    assert streamed == batched
+    # the fixture is built to split: doc 2 fails, doc 3 passes
+    assert not streamed[2][-1]
+    assert streamed[3][-1]
