@@ -72,7 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     clustering consumers, resize-oracle rewrite); then every
     never-driver-verified round-3 query — an unverified new query is
     strictly worse than a two-round-old green row on unchanged code,
-    so five stable TPC-H entries (plan-test-covered, tpch.py
+    so seven stable TPC-H entries (plan-test-covered, tpch.py
     untouched this round except top_customers) and
     serving_value_anomalies (round-3 nullif guard is output-identical
     at sf0.01; green r02 row) wait just past the window for round 4.
@@ -100,8 +100,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_shipping_priority": tpch.q3_shipping_priority,
         "tpch_q5_local_supplier_volume": tpch.q5_local_supplier_volume,
         "tpch_top_customers_per_nation": tpch.top_customers_per_nation,
-        "tpch_q6_forecast_revenue": tpch.q6_forecast_revenue,
-        "tpch_q4_order_priority": tpch.q4_order_priority,
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_signatures": dedup.minhash_signatures,
         "dedup_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
@@ -131,8 +129,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_rules": textstats.quality_rules,
         "text_common_ngrams": textstats.common_ngrams,
         "sim_embedding_dim_stats": similarity.embedding_dim_stats,
+        "dedup_incremental": dedup.incremental_dedup,
+        "text_token_budget_sample": textstats.token_budget_sample,
         # ---- driver verification window ends at 50 entries ----
         # (below: rotate into the window in round 4)
+        "tpch_q6_forecast_revenue": tpch.q6_forecast_revenue,
+        "tpch_q4_order_priority": tpch.q4_order_priority,
         "serving_value_anomalies": serving.value_anomalies,
         "tpch_customers_without_orders": tpch.customers_without_orders,
         "tpch_promo_revenue_share": tpch.promo_revenue_share,
@@ -291,4 +293,6 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_rules": textstats.QUALITY_RULES_SQL,
         "text_common_ngrams": textstats.COMMON_NGRAMS_SQL,
         "sim_embedding_dim_stats": similarity.EMBEDDING_DIM_STATS_SQL,
+        "dedup_incremental": dedup.INCREMENTAL_DEDUP_SQL,
+        "text_token_budget_sample": textstats.TOKEN_BUDGET_SAMPLE_SQL,
     }

@@ -108,33 +108,16 @@ FROM sh
 """
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs via MinHash-LSH banding + exact Jaccard verify.
+def _band_rows(docs: DataFrame) -> DataFrame:
+    """Narrow LSH band rows (doc_id, band, bh) from shingled docs.
 
-    Plan: signature projection (map-only) -> explode to BANDS rows/doc
-    -> shuffle on (band, band_hash) -> within-bucket self-join ->
-    distinct candidate pairs -> Jaccard verify -> threshold.
-
-    At 100 TB the bucket join is the only pairwise work; banding
-    keeps buckets tiny for non-dup-heavy corpora.
-    """
-    # Materialize the shingled docs once: three consumers (signature
-    # build + two verify joins) would otherwise each recompute
-    # tokenize+shingle. Only (doc_id, sh) is kept — narrower blocks in
-    # the cache. localCheckpoint here; persist(MEMORY_AND_DISK) is the
-    # same move on a real cluster.
-    docs = (
-        _with_shingles(_docs_spread(spark, sf_dir))
-        .select("doc_id", "sh")
-        .localCheckpoint(eager=True)
-    )
+    Shingle arrays do NOT ride through the explode/shuffle/join —
+    they are re-joined afterwards for the (few) surviving candidates.
+    At corpus scale this keeps the banding shuffle bytes ~40B/row
+    instead of KBs."""
     rows_per_band = NUM_HASHES // BANDS
-    # Narrow band rows: (doc_id, band, bh) only. Shingle arrays do NOT
-    # ride through the explode/shuffle/self-join — they are re-joined
-    # afterwards for the (few) surviving candidates. At corpus scale
-    # this keeps the banding shuffle bytes ~40B/row instead of KBs.
     sig = with_packed_minhash(docs, "sh", NUM_HASHES).drop("sh")
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -156,6 +139,29 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bh")
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via MinHash-LSH banding + exact Jaccard verify.
+
+    Plan: signature projection (map-only) -> explode to BANDS rows/doc
+    -> shuffle on (band, band_hash) -> within-bucket self-join ->
+    distinct candidate pairs -> Jaccard verify -> threshold.
+
+    At 100 TB the bucket join is the only pairwise work; banding
+    keeps buckets tiny for non-dup-heavy corpora.
+    """
+    # Materialize the shingled docs once: three consumers (signature
+    # build + two verify joins) would otherwise each recompute
+    # tokenize+shingle. Only (doc_id, sh) is kept — narrower blocks in
+    # the cache. localCheckpoint here; persist(MEMORY_AND_DISK) is the
+    # same move on a real cluster.
+    docs = (
+        _with_shingles(_docs_spread(spark, sf_dir))
+        .select("doc_id", "sh")
+        .localCheckpoint(eager=True)
+    )
+    bands = _band_rows(docs)
     # A self-join evaluates its subtree twice; checkpointing the narrow
     # band rows halves the md5 work (the dominant cost).
     bands = bands.localCheckpoint(eager=True)
@@ -730,3 +736,115 @@ JOIN sig b ON c.doc_b = b.doc_id
 
 
 MINHASH_JACCARD_ESTIMATE_SQL = _minhash_jaccard_estimate_sql()
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: "today's crawl" probes the existing corpus.
+# The production shape for a continuously-fed corpus: the index
+# side's band table is a PUBLISHED artifact (built once, bucketed on
+# (band, bh)); each arriving batch builds only its own band rows and
+# joins into it — pairwise work scales with the BATCH, never the
+# corpus, and the corpus is only re-touched to verify survivors.
+# doc_id % 10 == 9 plays the arriving batch here.
+INC_BATCH_MOD = 10
+INC_BATCH_REM = 9
+
+
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(new_id, index_id, jaccard): arriving docs that near-duplicate
+    an existing index doc — the admission filter an incremental
+    pipeline runs before appending a batch to the corpus."""
+    docs = (
+        _with_shingles(_docs_spread(spark, sf_dir))
+        .select("doc_id", "sh")
+        .localCheckpoint(eager=True)
+    )
+    bands = _band_rows(docs).localCheckpoint(eager=True)
+    is_new = (F.col("doc_id") % INC_BATCH_MOD) == INC_BATCH_REM
+    new_b = bands.where(is_new)
+    idx_b = bands.where(~is_new)
+    cand = (
+        new_b.alias("n")
+        .join(
+            idx_b.alias("i"),
+            (F.col("n.band") == F.col("i.band"))
+            & (F.col("n.bh") == F.col("i.bh")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"),
+            F.col("i.doc_id").alias("index_id"),
+        )
+        .dropDuplicates(["new_id", "index_id"])
+    )
+    sh = docs
+    verified = cand.join(
+        sh.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_n")),
+        "new_id",
+    ).join(
+        sh.select(
+            F.col("doc_id").alias("index_id"), F.col("sh").alias("sh_i")
+        ),
+        "index_id",
+    )
+    inter = F.size(F.array_intersect("sh_n", "sh_i"))
+    union = F.size("sh_n") + F.size("sh_i") - inter
+    return (
+        verified.withColumn(
+            "jaccard",
+            F.round(inter.cast("double") / union.cast("double"), 6),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("new_id", "index_id", "jaccard")
+    )
+
+
+def _incremental_dedup_sql() -> str:
+    rows_per_band = NUM_HASHES // BANDS
+    band_arms = "\nUNION ALL\n".join(
+        "SELECT doc_id, "
+        f"{b} AS band, "
+        "md5("
+        + " || '|' || ".join(
+            f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        + ") AS bh FROM sig"
+        for b in range(BANDS)
+    )
+    new_pred = f"doc_id % {INC_BATCH_MOD} = {INC_BATCH_REM}"
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct({shingles_sql("string_split(text, ' ')", SHINGLE_N)}) AS sh
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, sh,
+    {", ".join(packed_minhash_sql_cols("sh", NUM_HASHES))}
+  FROM sh
+),
+bands AS (
+{band_arms}
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS index_id
+  FROM bands n JOIN bands i
+    ON n.band = i.band AND n.bh = i.bh
+  WHERE n.doc_id % {INC_BATCH_MOD} = {INC_BATCH_REM}
+    AND NOT (i.doc_id % {INC_BATCH_MOD} = {INC_BATCH_REM})
+),
+verified AS (
+  SELECT c.new_id, c.index_id, a.sh AS sh_n, b.sh AS sh_i
+  FROM cand c
+  JOIN sh a ON c.new_id = a.doc_id
+  JOIN sh b ON c.index_id = b.doc_id
+)
+SELECT new_id, index_id,
+       round(CAST(len(list_intersect(sh_n, sh_i)) AS DOUBLE)
+             / (len(sh_n) + len(sh_i) - len(list_intersect(sh_n, sh_i))), 6) AS jaccard
+FROM verified
+WHERE round(CAST(len(list_intersect(sh_n, sh_i)) AS DOUBLE)
+            / (len(sh_n) + len(sh_i) - len(list_intersect(sh_n, sh_i))), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+INCREMENTAL_DEDUP_SQL = _incremental_dedup_sql()

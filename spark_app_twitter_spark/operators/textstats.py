@@ -1002,3 +1002,58 @@ GROUP BY g
 ORDER BY doc_freq DESC, g ASC
 LIMIT {BOILER_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture sampling: every training run mixes sources
+# under a token budget ("x billion tokens of source A"). The
+# deterministic recipe: order each source's docs by a content-free
+# hash (so the sample is unbiased and replayable), take the running
+# token total, keep docs that START under the budget (guarantees at
+# least one doc per shard and makes kept-set membership independent
+# of later docs). Budgets are per (source, shard): a single global
+# cumsum per source would serialize the corpus through one window
+# partition at 100 TB — sharding by doc_id keeps every window
+# partition executor-sized and independent; raise MIX_SHARDS with
+# the corpus and split the budget across shards.
+MIX_SHARDS = 4
+SHARD_TOKEN_BUDGET = 200
+
+
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, shard, n_tokens, cum_tokens, kept) — the
+    audit view of budgeted mixture sampling: every doc with its
+    running total and survival verdict."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        (F.col("doc_id") % MIX_SHARDS).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("source", "shard").orderBy("h", "doc_id")
+    cum = F.sum("n_tokens").over(w).cast("long")
+    return base.select(
+        "doc_id",
+        "source",
+        "shard",
+        "n_tokens",
+        cum.alias("cum_tokens"),
+        ((cum - F.col("n_tokens")) < SHARD_TOKEN_BUDGET).alias("kept"),
+    )
+
+
+TOKEN_BUDGET_SAMPLE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h,
+         CAST(doc_id % {MIX_SHARDS} AS INT) AS shard
+  FROM documents
+)
+SELECT doc_id, source, shard, n_tokens,
+       CAST(sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY h, doc_id) AS BIGINT) AS cum_tokens,
+       (CAST(sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY h, doc_id) AS BIGINT) - n_tokens)
+         < {SHARD_TOKEN_BUDGET} AS kept
+FROM t
+"""

@@ -886,3 +886,73 @@ def test_embedding_dim_stats_shape(spark, sf_dir):
     for r in rows:
         assert r.n_vecs == n
         assert r.min_v <= r.mean_v <= r.max_v
+
+
+def test_incremental_dedup_parity(spark, sf_dir):
+    assert_parity(
+        dedup.incremental_dedup(spark, sf_dir),
+        dedup.INCREMENTAL_DEDUP_SQL,
+        sf_dir,
+        "incr_dedup",
+    )
+
+
+def test_incremental_dedup_flags_planted_batch_dup(spark, tmp_path):
+    """A new-batch doc that copies an index doc must be flagged
+    against it; a novel new-batch doc must pass clean. Pair direction
+    is always new -> index (no index-index or new-new pairs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = {
+        # index docs (doc_id % 10 != 9)
+        "doc_id": [1, 2, 19, 29],
+        "text": [
+            base,
+            "one two three four five six seven eight nine ten",
+            base + " lambda",  # near-copy of doc 1, in the NEW batch
+            "totally novel words nothing shared with any index doc here",
+        ],
+        "lang": ["en"] * 4,
+        "source": ["s"] * 4,
+        "n_chars": [len(base), 47, len(base) + 7, 55],
+    }
+    sf = str(tmp_path)
+    pq.write_table(pa.table(rows), f"{sf}/documents.parquet")
+    got = dedup.incremental_dedup(spark, sf).collect()
+    assert {(r.new_id, r.index_id) for r in got} == {(19, 1)}
+    assert all(r.jaccard >= dedup.JACCARD_THRESHOLD for r in got)
+
+
+def test_token_budget_sample_parity(spark, sf_dir):
+    assert_parity(
+        textstats.token_budget_sample(spark, sf_dir),
+        textstats.TOKEN_BUDGET_SAMPLE_SQL,
+        sf_dir,
+        "token_budget",
+    )
+
+
+def test_token_budget_sample_budget_semantics(spark, sf_dir):
+    """Within every (source, shard): kept docs are a prefix of the
+    hash order, each kept doc STARTS under the budget, at least one
+    doc is kept, and the verdict is independent of later docs."""
+    rows = textstats.token_budget_sample(spark, sf_dir).collect()
+    by_part: dict = {}
+    for r in rows:
+        by_part.setdefault((r.source, r.shard), []).append(r)
+    assert 0 < sum(r.kept for r in rows) < len(rows)
+    for part in by_part.values():
+        part.sort(key=lambda r: r.cum_tokens)
+        assert part[0].kept, "first doc of a shard must always be kept"
+        seen_drop = False
+        for r in part:
+            starts_under = (
+                r.cum_tokens - r.n_tokens < textstats.SHARD_TOKEN_BUDGET
+            )
+            assert r.kept == starts_under
+            if not r.kept:
+                seen_drop = True
+            else:
+                assert not seen_drop, "kept set must be a prefix"
