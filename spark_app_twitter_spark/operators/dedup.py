@@ -108,17 +108,23 @@ FROM sh
 """
 
 
-def _band_rows(docs: DataFrame) -> DataFrame:
+def _band_rows(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Narrow LSH band rows (doc_id, band, bh) from shingled docs.
 
-    Shingle arrays do NOT ride through the explode/shuffle/join —
-    they are re-joined afterwards for the (few) surviving candidates.
-    At corpus scale this keeps the banding shuffle bytes ~40B/row
-    instead of KBs."""
+    By default shingle arrays do NOT ride through the explode/
+    shuffle/join — they are re-joined afterwards for the (few)
+    surviving candidates, keeping the banding shuffle bytes ~40B/row
+    instead of KBs at corpus scale. ``keep`` retains extra columns
+    through the explode for callers that cannot re-join (the
+    streaming admission filter — a re-join there would be a
+    stream-stream self-join)."""
     rows_per_band = NUM_HASHES // BANDS
-    sig = with_packed_minhash(docs, "sh", NUM_HASHES).drop("sh")
+    sig = with_packed_minhash(docs, "sh", NUM_HASHES)
+    if "sh" not in keep:
+        sig = sig.drop("sh")
     return sig.select(
         "doc_id",
+        *keep,
         F.explode(
             F.array(
                 *[
@@ -138,7 +144,7 @@ def _band_rows(docs: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bh")
+    ).select("doc_id", *keep, "bb.band", "bb.bh")
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -848,3 +854,51 @@ WHERE round(CAST(len(list_intersect(sh_n, sh_i)) AS DOUBLE)
 
 
 INCREMENTAL_DEDUP_SQL = _incremental_dedup_sql()
+
+
+def incremental_dedup_stream(
+    new_docs: DataFrame, index_docs: DataFrame
+) -> DataFrame:
+    """Streaming admission filter: `new_docs` is a STREAM of arriving
+    (doc_id, text) rows; `index_docs` is the static published corpus.
+    Returns (new_id, index_id, jaccard) pairs for arriving docs that
+    near-duplicate the index — the stream-static join form of
+    :func:`incremental_dedup`.
+
+    Streaming-safe by construction: shingling/banding are stateless
+    projections, the band join is stream-static (no watermark
+    needed), and the only state is the final dropDuplicates on the
+    (bounded, duplicate-heavy-only) verified pairs. The stream side
+    carries its shingle array through the band explode — a deliberate
+    width-for-statelessness trade: re-joining shingles would make it
+    a stream-stream self-join, which needs watermark alignment for
+    no benefit at micro-batch sizes.
+    """
+    idx = (
+        _with_shingles(index_docs)
+        .select("doc_id", "sh")
+        .localCheckpoint(eager=True)
+    )
+    idx_bands = _band_rows(idx).select(
+        F.col("doc_id").alias("index_id"), "band", "bh"
+    )
+    new_sh = _with_shingles(new_docs).select("doc_id", "sh")
+    new_bands = _band_rows(new_sh, keep=("sh",)).select(
+        F.col("doc_id").alias("new_id"), "band", "bh",
+        F.col("sh").alias("sh_n"),
+    )
+    cand = new_bands.join(idx_bands, ["band", "bh"]).join(
+        idx.select(F.col("doc_id").alias("index_id"), F.col("sh").alias("sh_i")),
+        "index_id",
+    )
+    inter = F.size(F.array_intersect("sh_n", "sh_i"))
+    union = F.size("sh_n") + F.size("sh_i") - inter
+    return (
+        cand.withColumn(
+            "jaccard",
+            F.round(inter.cast("double") / union.cast("double"), 6),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("new_id", "index_id", "jaccard")
+        .dropDuplicates(["new_id", "index_id"])
+    )

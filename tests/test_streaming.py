@@ -662,3 +662,71 @@ def test_streaming_quality_rules_matches_batch(spark, tmp_path):
     # the fixture is built to split: doc 2 fails, doc 3 passes
     assert not streamed[2][-1]
     assert streamed[3][-1]
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
+    """Stream-static join form of the incremental admission filter:
+    arriving docs stream against the static published index; pairs
+    must equal the batch operator's on the same data split."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_app_twitter_spark.operators import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    all_rows = {
+        "doc_id": [1, 2, 19, 29, 39],
+        "text": [
+            base,
+            "one two three four five six seven eight nine ten",
+            base + " lambda",  # new batch: near-dup of index doc 1
+            "totally novel words nothing shared with any index doc here",
+            # new batch: near-dup of index doc 2
+            "one two three four five six seven eight nine ten extra",
+        ],
+        "lang": ["en"] * 5,
+        "source": ["s"] * 5,
+        "n_chars": [10] * 5,
+    }
+    sf = str(tmp_path / "pq")
+    os.makedirs(sf)
+    pq.write_table(pa.table(all_rows), f"{sf}/documents.parquet")
+    batch_pairs = {
+        (r.new_id, r.index_id, r.jaccard)
+        for r in dedup.incremental_dedup(spark, sf).collect()
+    }
+    assert len(batch_pairs) >= 2, "fixture must plant batch dups"
+
+    # stream the new batch (doc_id % 10 == 9) from a json dir; the
+    # index is the static remainder read from the parquet corpus
+    src = str(tmp_path / "newdocs")
+    os.makedirs(src)
+    with open(os.path.join(src, "p0.json"), "w") as f:
+        for i, d in enumerate(all_rows["doc_id"]):
+            if d % dedup.INC_BATCH_MOD == dedup.INC_BATCH_REM:
+                f.write(
+                    json.dumps({"doc_id": d, "text": all_rows["text"][i]})
+                    + "\n"
+                )
+    new_stream = spark.readStream.schema("doc_id long, text string").json(src)
+    index_docs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .where(
+            F.col("doc_id") % dedup.INC_BATCH_MOD != dedup.INC_BATCH_REM
+        )
+        .select("doc_id", "text")
+    )
+    q = (
+        dedup.incremental_dedup_stream(new_stream, index_docs)
+        .writeStream.format("memory")
+        .queryName("incr_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r.new_id, r.index_id, r.jaccard)
+        for r in spark.sql("SELECT * FROM incr_sink").collect()
+    }
+    assert streamed == batch_pairs
