@@ -76,16 +76,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     untouched this round except top_customers) and
     serving_value_anomalies (round-3 nullif guard is output-identical
     at sf0.01; green r02 row) wait just past the window for round 4.
+    Late-round-3 additions (dup_span, bigram_lm, weighted_sample,
+    ngram_diversity, embedding_covariance) displace tpch q1/q3/q5 +
+    serving latest_inputs/unpivot — all five locally parity-tested
+    every CI run (test_tpch.py / test_reference_pipeline.py), so the
+    deferred driver row costs the least there.
     """
     return {
         # --- 1. attested in r01 only; modules edited in round 2 ---
         "agg_serving_join": aggregates.aggregated_serving,
         "serving_dedup_first": serving.dedup_first,
-        "serving_unpivot_emotions": serving.unpivot_emotions,
         "serving_topic_share": serving.topic_share,
         "serving_grains_grouping_sets": serving.grains_grouping_sets,
         "serving_value_percentiles": serving.value_percentiles,
-        "serving_latest_inputs": serving.latest_inputs,
         "serving_hourly_window": serving.hourly_window,
         "serving_topic_means": serving.topic_means,
         "serving_distinct_users": serving.distinct_users,
@@ -96,9 +99,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_value_histogram": serving.value_histogram,
         "asof_purchases_last_click": asof.purchases_with_last_click,
         "range_errors_near_purchases": asof.errors_near_purchases,
-        "tpch_q1_pricing_summary": tpch.q1_pricing_summary,
-        "tpch_q3_shipping_priority": tpch.q3_shipping_priority,
-        "tpch_q5_local_supplier_volume": tpch.q5_local_supplier_volume,
         "tpch_top_customers_per_nation": tpch.top_customers_per_nation,
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_signatures": dedup.minhash_signatures,
@@ -131,8 +131,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_embedding_dim_stats": similarity.embedding_dim_stats,
         "dedup_incremental": dedup.incremental_dedup,
         "text_token_budget_sample": textstats.token_budget_sample,
+        "dedup_span_stats": dedup.dup_span_stats,
+        "text_bigram_lm_score": textstats.bigram_lm_score,
+        "text_weighted_sample": textstats.weighted_sample,
+        "text_ngram_diversity": textstats.ngram_diversity,
+        "sim_embedding_covariance": similarity.embedding_covariance,
         # ---- driver verification window ends at 50 entries ----
         # (below: rotate into the window in round 4)
+        "tpch_q1_pricing_summary": tpch.q1_pricing_summary,
+        "tpch_q3_shipping_priority": tpch.q3_shipping_priority,
+        "tpch_q5_local_supplier_volume": tpch.q5_local_supplier_volume,
+        "serving_latest_inputs": serving.latest_inputs,
+        "serving_unpivot_emotions": serving.unpivot_emotions,
         "tpch_q6_forecast_revenue": tpch.q6_forecast_revenue,
         "tpch_q4_order_priority": tpch.q4_order_priority,
         "serving_value_anomalies": serving.value_anomalies,
@@ -295,4 +305,9 @@ def oracle_sql() -> dict[str, str]:
         "sim_embedding_dim_stats": similarity.EMBEDDING_DIM_STATS_SQL,
         "dedup_incremental": dedup.INCREMENTAL_DEDUP_SQL,
         "text_token_budget_sample": textstats.TOKEN_BUDGET_SAMPLE_SQL,
+        "dedup_span_stats": dedup.DUP_SPAN_STATS_SQL,
+        "text_bigram_lm_score": textstats.BIGRAM_LM_SCORE_SQL,
+        "text_weighted_sample": textstats.WEIGHTED_SAMPLE_SQL,
+        "text_ngram_diversity": textstats.NGRAM_DIVERSITY_SQL,
+        "sim_embedding_covariance": similarity.EMBEDDING_COVARIANCE_SQL,
     }

@@ -902,3 +902,93 @@ def incremental_dedup_stream(
         .select("new_id", "index_id", "jaccard")
         .dropDuplicates(["new_id", "index_id"])
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplication signal (Lee et al. 2021, "Deduplicating
+# Training Data Makes Language Models Better"): instead of a suffix
+# array, hash every W-word sliding window; a window is *duplicated*
+# when its hash occurs >= 2 times corpus-wide (any doc, multiplicity
+# counted — a span repeated inside one doc is still memorizable).
+DUP_SPAN_W = 8
+
+
+def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-span statistics:
+    (doc_id, n_windows, n_dup_windows, dup_frac).
+
+    The per-doc fraction of W-word windows that also occur elsewhere
+    is the filter signal exact-substring dedup acts on. Scale shape:
+    one explode to narrow (doc_id, window-hash) rows; the global
+    window count is a groupBy(wh) with map-side combine; only the
+    *duplicated* hashes (a small set on real corpora) flow into the
+    membership join; per-doc totals aggregate pre-join. No pairwise
+    joins, no suffix array — cost is O(total tokens).
+    """
+    docs = _docs_spread(spark, sf_dir)
+    wins = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                shingles(tokens("text"), DUP_SPAN_W), lambda s: F.md5(s)
+            )
+        ).alias("wh"),
+    )
+    n_win = wins.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    dup_hashes = (
+        wins.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("wh")
+    )
+    n_dup = (
+        wins.join(dup_hashes, "wh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    nw = F.coalesce("n_windows", F.lit(0)).cast("long")
+    ndw = F.coalesce("n_dup_windows", F.lit(0)).cast("long")
+    return (
+        docs.select("doc_id")
+        .join(n_win, "doc_id", "left")
+        .join(n_dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            nw.alias("n_windows"),
+            ndw.alias("n_dup_windows"),
+            F.when(
+                nw > 0,
+                F.round(ndw.cast("double") / nw.cast("double"), 6),
+            ).alias("dup_frac"),
+        )
+    )
+
+
+DUP_SPAN_STATS_SQL = f"""
+WITH wins AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           {shingles_sql("string_split(text, ' ')", DUP_SPAN_W)},
+           s -> md5(s))) AS wh
+  FROM documents
+),
+n_win AS (SELECT doc_id, count(*) AS n_windows FROM wins GROUP BY doc_id),
+dup_hashes AS (
+  SELECT wh FROM wins GROUP BY wh HAVING count(*) >= 2
+),
+n_dup AS (
+  SELECT w.doc_id, count(*) AS n_dup_windows
+  FROM wins w JOIN dup_hashes USING (wh)
+  GROUP BY w.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n_win.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(n_dup.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CASE WHEN COALESCE(n_win.n_windows, 0) > 0
+            THEN round(CAST(COALESCE(n_dup.n_dup_windows, 0) AS DOUBLE)
+                       / n_win.n_windows, 6)
+       END AS dup_frac
+FROM documents d
+LEFT JOIN n_win USING (doc_id)
+LEFT JOIN n_dup USING (doc_id)
+"""

@@ -765,3 +765,94 @@ FROM (
 )
 GROUP BY dim
 """
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding columns:
+    (i, j, n_vecs, cov) for 0 <= i <= j < dim — the diagnostics pass
+    behind whitening, PCA pre-checks, and detecting correlated /
+    redundant dimensions before building an index.
+
+    Scale shape: each row emits its d(d+1)/2 quantized products via
+    one JVM-side nested transform + explode; map-side partial
+    aggregation collapses EVERY partition to <= d(d+1)/2 rows before
+    the shuffle, so shuffle bytes are O(partitions * dim^2) and
+    independent of corpus size. Per-dim mean sums ride the same
+    pattern (|dim| rows), joined broadcast. At dim >~ 2048 switch to
+    a blocked Gram-matrix aggregation instead of explode.
+
+    Determinism: elements quantized to 1e-6 integers, all sums exact
+    (decimal); ONE identical IEEE chain at the end — no float round,
+    so no cross-engine tie to break.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.select(
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS LONG))"
+        ).alias("q")
+    )
+    pairs = qv.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(q) - 1), i ->"
+                " transform(sequence(i, size(q) - 1), j ->"
+                " struct(i AS i, j AS j,"
+                " element_at(q, i + 1) * element_at(q, j + 1) AS p))))"
+            )
+        ).alias("s")
+    )
+    agg = pairs.groupBy(
+        F.col("s.i").alias("i"), F.col("s.j").alias("j")
+    ).agg(
+        F.sum(F.col("s.p").cast("decimal(38,0)")).alias("sp"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+    dims = qv.select(
+        F.posexplode("q").alias("dim", "qx")
+    ).groupBy("dim").agg(
+        F.sum(F.col("qx").cast("decimal(38,0)")).alias("sd")
+    )
+    mi = dims.select(F.col("dim").alias("i"), F.col("sd").alias("si"))
+    mj = dims.select(F.col("dim").alias("j"), F.col("sd").alias("sj"))
+    n = F.col("n_vecs").cast("double")
+    cov = (
+        F.col("sp").cast("double") / n
+        - (F.col("si").cast("double") / n) * (F.col("sj").cast("double") / n)
+    ) / F.lit(1e12)
+    return (
+        agg.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select("i", "j", "n_vecs", cov.alias("cov"))
+    )
+
+
+EMBEDDING_COVARIANCE_SQL = """
+WITH qv AS (
+  SELECT list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS q
+  FROM embeddings
+),
+pl AS (
+  SELECT unnest(flatten(list_transform(range(1, len(q) + 1), i ->
+           list_transform(range(i, len(q) + 1), j ->
+             {'i': i - 1, 'j': j - 1, 'p': q[i] * q[j]})))) AS s
+  FROM qv
+),
+agg AS (
+  SELECT s.i AS i, s.j AS j, sum(s.p) AS sp, count(*) AS n_vecs
+  FROM pl GROUP BY s.i, s.j
+),
+m AS (
+  SELECT dim, sum(qx) AS sd
+  FROM (SELECT unnest(range(len(q))) AS dim, unnest(q) AS qx FROM qv)
+  GROUP BY dim
+)
+SELECT a.i, a.j, a.n_vecs,
+       (CAST(a.sp AS DOUBLE) / CAST(a.n_vecs AS DOUBLE)
+        - (CAST(mi.sd AS DOUBLE) / CAST(a.n_vecs AS DOUBLE))
+          * (CAST(mj.sd AS DOUBLE) / CAST(a.n_vecs AS DOUBLE))) / 1e12 AS cov
+FROM agg a
+JOIN m mi ON a.i = mi.dim
+JOIN m mj ON a.j = mj.dim
+"""

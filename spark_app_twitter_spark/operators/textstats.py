@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from spark_app_twitter_spark.functions.hashing import shingles, shingles_sql
 from spark_app_twitter_spark.functions.text import STOPWORDS, tokens
 from spark_app_twitter_spark.sources.parquet import load_table
 
@@ -1056,4 +1057,260 @@ SELECT doc_id, source, shard, n_tokens,
        (CAST(sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY h, doc_id) AS BIGINT) - n_tokens)
          < {SHARD_TOKEN_BUDGET} AS kept
 FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus bigram LM score: the perplexity-proxy quality filter. A
+# KenLM-style filter scores each doc under a language model trained
+# on a trusted corpus; here the model IS the corpus bigram table
+# with add-one smoothing p(w2|w1) = (c(w1 w2) + 1) / (c(w1 .) + V),
+# V = context-vocabulary size, and each doc is scored by the mean
+# probability of its bigrams — garbled / out-of-distribution text
+# scores low. The smoothing is load-bearing: unsmoothed, a one-off
+# bigram in a one-off context scores a perfect 1/1 and garbage
+# outscores fluent text. Probabilities are quantized to integer
+# micro-probs (1e-6) BEFORE the per-doc sum so both engines add
+# exact integers; one IEEE division at the end.
+LM_SCALE = 1_000_000
+
+
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, lm_score) — mean corpus-bigram probability
+    per doc; null score for docs with < 2 tokens.
+
+    Scale shape: the trained model is |bigram vocab| rows — orders of
+    magnitude smaller than the corpus — so the scoring join
+    broadcasts it (falls back to a hash join on the bigram key when
+    the vocabulary outgrows the driver). The doc side is one explode
+    + one groupBy(doc_id) with map-side combine; model training is
+    two chained aggs over the same exploded rows.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    bi = docs.select(
+        "doc_id", F.explode(shingles(tokens("text"), 2)).alias("bg")
+    )
+    model = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    uni = (
+        model.select(F.split("bg", " ").getItem(0).alias("w1"), "c12")
+        .groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
+    )
+    # V = context-vocabulary size: a 1-row aggregate, broadcast into
+    # the model via crossJoin (never a shuffle).
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    # round-half-up of (c12+1)/(c1+V) in micro units, EXACT integer
+    # form (2a+b) div 2b — a double round here ties differently
+    # across engines when the rational lands on .5 exactly.
+    # 2*(c12+1)*1e6 stays under long range up to ~4.6e12 occurrences
+    # of one bigram.
+    modelq = (
+        model.withColumn("w1", F.split("bg", " ").getItem(0))
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            F.expr(
+                f"(2 * (c12 + 1) * {LM_SCALE} + (c1 + v))"
+                f" div (2 * (c1 + v))"
+            ).alias("q"),
+        )
+    )
+    scored = (
+        bi.join(F.broadcast(modelq), "bg")
+        .groupBy("doc_id")
+        .agg(F.sum("q").alias("sq"), F.count(F.lit(1)).alias("nb"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("nb", F.lit(0)).cast("long").alias("n_bigrams"),
+            # mean micro-prob, again exact-integer half-up, THEN one
+            # cast+division for display — engines agree bit-for-bit
+            F.when(
+                F.col("nb") > 0,
+                F.expr("(2 * sq + nb) div (2 * nb)").cast("double")
+                / F.lit(float(LM_SCALE)),
+            ).alias("lm_score"),
+        )
+    )
+
+
+BIGRAM_LM_SCORE_SQL = f"""
+WITH bi AS (
+  SELECT doc_id, unnest({shingles_sql("string_split(text, ' ')", 2)}) AS bg
+  FROM documents
+),
+model AS (SELECT bg, count(*) AS c12 FROM bi GROUP BY bg),
+uni AS (
+  SELECT string_split(bg, ' ')[1] AS w1, sum(c12) AS c1
+  FROM model GROUP BY w1
+),
+vocab AS (SELECT count(*) AS v FROM uni),
+mq AS (
+  SELECT bg,
+         CAST((2 * (c12 + 1) * {LM_SCALE} + (c1 + v))
+              // (2 * (c1 + v)) AS BIGINT) AS q
+  FROM model JOIN uni ON string_split(model.bg, ' ')[1] = uni.w1
+  CROSS JOIN vocab
+),
+sc AS (
+  SELECT doc_id, CAST(sum(q) AS BIGINT) AS sq, count(*) AS nb
+  FROM bi JOIN mq USING (bg) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams,
+       CASE WHEN sc.nb > 0
+            THEN CAST((2 * sc.sq + sc.nb) // (2 * sc.nb) AS DOUBLE)
+                 / {LM_SCALE}.0
+       END AS lm_score
+FROM documents d
+LEFT JOIN sc USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Integer-weighted sampling: Efraimidis-Spirakis priority sampling
+# needs u^(1/w) (float pow — engine-divergence risk); for integer
+# weights the same selection law falls out of "give each doc w
+# independent hash draws and keep its minimum": P(doc wins) scales
+# with w, and the whole computation is md5 + lexicographic min —
+# bit-exact on both engines.
+WS_TOP_K = 10  # small enough to be selective at sf0.01 source sizes
+WS_TIER_HI = 60  # >= this many tokens -> weight 3
+WS_TIER_MID = 30  # >= this many tokens -> weight 2
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K docs per source under token-count weights:
+    (source, doc_id, weight, pri, rank). Longer docs carry more
+    training signal, so they get more draws.
+
+    Scale shape: the draw array is built per-row JVM-side (weight <=
+    3, no explode); ranking is one window per source with an early
+    rank cutoff (TakeOrdered-style state). For giant sources, shard
+    the window exactly like token_budget_sample.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    n_tok = F.size(tokens("text"))
+    weight = (
+        F.when(n_tok >= WS_TIER_HI, 3)
+        .when(n_tok >= WS_TIER_MID, 2)
+        .otherwise(1)
+    )
+    pri = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), F.col("weight")),
+            lambda i: F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    i.cast("string"),
+                )
+            ),
+        )
+    )
+    base = docs.select(
+        "source", "doc_id", weight.alias("weight")
+    ).withColumn("pri", pri)
+    w = Window.partitionBy("source").orderBy(F.asc("pri"), F.asc("doc_id"))
+    return (
+        base.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= WS_TOP_K)
+        .select("source", "doc_id", "weight", "pri", "rank")
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH base AS (
+  SELECT source, doc_id,
+         CASE WHEN len(string_split(text, ' ')) >= {WS_TIER_HI} THEN 3
+              WHEN len(string_split(text, ' ')) >= {WS_TIER_MID} THEN 2
+              ELSE 1 END AS weight
+  FROM documents
+),
+drawn AS (
+  SELECT source, doc_id, weight,
+         list_min(list_transform(range(1, weight + 1),
+           i -> md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)))) AS pri
+  FROM base
+)
+SELECT source, doc_id, weight, pri, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY pri ASC, doc_id ASC) AS rank
+  FROM drawn
+) WHERE rank <= {WS_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# N-gram diversity (type-token ratios) per source: collapsing
+# diversity is the first symptom of template/boilerplate flooding in
+# a crawl source — distinct/total ratios at the unigram and bigram
+# level are the standard dashboard numbers.
+
+
+def ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_unigrams, u_unigrams, unigram_ttr, n_bigrams,
+    u_bigrams, bigram_ttr) — totals, distincts, and type-token
+    ratios per source.
+
+    Scale shape: two explode->groupBy passes (unigrams, bigrams),
+    each a narrow (source, gram) shuffle with partial aggregation;
+    count(DISTINCT) rewrites to a two-stage expand — at extreme
+    cardinality swap in approx_count_distinct and accept the
+    documented tolerance. Final join is |sources| rows, broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    uni = (
+        docs.select("source", F.explode(tokens("text")).alias("g"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_unigrams"),
+            F.count_distinct("g").alias("u_unigrams"),
+        )
+    )
+    bi = (
+        docs.select(
+            "source", F.explode(shingles(tokens("text"), 2)).alias("g")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.count_distinct("g").alias("u_bigrams"),
+        )
+    )
+    ttr = lambda u, n: F.round(  # noqa: E731
+        F.col(u).cast("double") / F.col(n).cast("double"), 6
+    )
+    return uni.join(F.broadcast(bi), "source").select(
+        "source",
+        "n_unigrams",
+        "u_unigrams",
+        ttr("u_unigrams", "n_unigrams").alias("unigram_ttr"),
+        "n_bigrams",
+        "u_bigrams",
+        ttr("u_bigrams", "n_bigrams").alias("bigram_ttr"),
+    )
+
+
+NGRAM_DIVERSITY_SQL = f"""
+WITH uni AS (
+  SELECT source, count(*) AS n_unigrams, count(DISTINCT g) AS u_unigrams
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS g FROM documents)
+  GROUP BY source
+),
+bi AS (
+  SELECT source, count(*) AS n_bigrams, count(DISTINCT g) AS u_bigrams
+  FROM (SELECT source, unnest({shingles_sql("string_split(text, ' ')", 2)}) AS g
+        FROM documents)
+  GROUP BY source
+)
+SELECT source, n_unigrams, u_unigrams,
+       round(CAST(u_unigrams AS DOUBLE) / n_unigrams, 6) AS unigram_ttr,
+       n_bigrams, u_bigrams,
+       round(CAST(u_bigrams AS DOUBLE) / n_bigrams, 6) AS bigram_ttr
+FROM uni JOIN bi USING (source)
 """

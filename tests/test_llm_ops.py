@@ -956,3 +956,145 @@ def test_token_budget_sample_budget_semantics(spark, sf_dir):
                 seen_drop = True
             else:
                 assert not seen_drop, "kept set must be a prefix"
+
+
+def test_dup_span_stats_parity(spark, sf_dir):
+    assert_parity(
+        dedup.dup_span_stats(spark, sf_dir),
+        dedup.DUP_SPAN_STATS_SQL,
+        sf_dir,
+        "dup_span",
+    )
+
+
+def test_dup_span_stats_planted(spark, tmp_path):
+    """Two docs sharing an 8-word span both get dup windows; a doc
+    with entirely unique windows gets zero; a doc shorter than the
+    window contributes no windows and a null fraction."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    span = "one two three four five six seven eight"
+    rows = {
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            span + " tail1 tail2",
+            "head1 head2 " + span,
+            "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10",
+            "short doc",
+        ],
+        "lang": ["en"] * 4,
+        "source": ["s"] * 4,
+        "n_chars": [10] * 4,
+    }
+    pq.write_table(pa.table(rows), f"{tmp_path}/documents.parquet")
+    got = {r.doc_id: r for r in dedup.dup_span_stats(spark, str(tmp_path)).collect()}
+    assert got[1].n_dup_windows >= 1 and got[2].n_dup_windows >= 1
+    assert got[3].n_dup_windows == 0 and got[3].dup_frac == 0.0
+    assert got[4].n_windows == 0 and got[4].dup_frac is None
+
+
+def test_bigram_lm_score_parity(spark, sf_dir):
+    assert_parity(
+        textstats.bigram_lm_score(spark, sf_dir),
+        textstats.BIGRAM_LM_SCORE_SQL,
+        sf_dir,
+        "bigram_lm",
+    )
+
+
+def test_bigram_lm_score_discriminates(spark, tmp_path):
+    """A doc repeating the corpus-dominant bigrams must outscore a
+    doc whose bigrams are one-off (the garbled-text signature)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    common = "the cat sat on the mat"
+    rows = {
+        "doc_id": [1, 2, 3, 4],
+        "text": [common, common, common, "zx qv wk jn pl rt"],
+        "lang": ["en"] * 4,
+        "source": ["s"] * 4,
+        "n_chars": [10] * 4,
+    }
+    pq.write_table(pa.table(rows), f"{tmp_path}/documents.parquet")
+    got = {
+        r.doc_id: r.lm_score
+        for r in textstats.bigram_lm_score(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == got[2] == got[3] > got[4]
+
+
+def test_weighted_sample_parity(spark, sf_dir):
+    assert_parity(
+        textstats.weighted_sample(spark, sf_dir),
+        textstats.WEIGHTED_SAMPLE_SQL,
+        sf_dir,
+        "weighted_sample",
+    )
+
+
+def test_weighted_sample_weight_lifts_selection(spark, sf_dir):
+    """Deterministic statistical property on the fixed corpus: docs
+    with weight >= 2 must be overrepresented in the sample relative
+    to their corpus share (that's the point of the weights), and
+    every rank run must be the contiguous 1..k prefix per source."""
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    sample = textstats.weighted_sample(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    ).collect()
+    heavy_corpus = sum(1 for d in docs if d.n_tok >= textstats.WS_TIER_MID)
+    share_corpus = heavy_corpus / len(docs)
+    heavy_sample = sum(1 for r in sample if r.weight >= 2)
+    share_sample = heavy_sample / len(sample)
+    assert share_sample > share_corpus
+    by_source: dict = {}
+    for r in sample:
+        by_source.setdefault(r.source, []).append(r.rank)
+    for src, ranks in by_source.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), src
+
+
+def test_ngram_diversity_parity(spark, sf_dir):
+    assert_parity(
+        textstats.ngram_diversity(spark, sf_dir),
+        textstats.NGRAM_DIVERSITY_SQL,
+        sf_dir,
+        "ngram_diversity",
+    )
+
+
+def test_ngram_diversity_bounds(spark, sf_dir):
+    rows = textstats.ngram_diversity(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.u_unigrams <= r.n_unigrams
+        assert 0 < r.u_bigrams <= r.n_bigrams
+        assert 0.0 < r.unigram_ttr <= 1.0
+        assert 0.0 < r.bigram_ttr <= 1.0
+        # bigrams are strictly more distinctive than unigrams
+        assert r.u_bigrams >= r.u_unigrams
+
+
+def test_embedding_covariance_parity(spark, sf_dir):
+    assert_parity(
+        similarity.embedding_covariance(spark, sf_dir),
+        similarity.EMBEDDING_COVARIANCE_SQL,
+        sf_dir,
+        "embedding_cov",
+    )
+
+
+def test_embedding_covariance_shape_and_diagonal(spark, sf_dir):
+    """Upper triangle only, d*(d+1)/2 entries, every diagonal entry
+    is a variance and therefore non-negative."""
+    rows = similarity.embedding_covariance(spark, sf_dir).collect()
+    dims = {r.i for r in rows} | {r.j for r in rows}
+    d = len(dims)
+    assert len(rows) == d * (d + 1) // 2
+    assert all(r.i <= r.j for r in rows)
+    diag = [r.cov for r in rows if r.i == r.j]
+    assert len(diag) == d
+    assert all(v >= 0.0 for v in diag)
