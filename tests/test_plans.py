@@ -233,3 +233,61 @@ def test_ivf_candidate_assignment_shuffle_free(spark, sf_dir):
     assert "hashpartitioning(neighbor_id" not in plan, (
         "candidate cell assignment must not shuffle on neighbor_id"
     )
+
+
+def test_dup_span_stats_bucketed_not_pairwise(spark, sf_dir):
+    """The exact-substring signal must stay count-and-join shaped:
+    window hashes partial-aggregate map-side, membership is an
+    equi-join on the hash — never any pairwise product."""
+    from spark_app_twitter_spark.operators import dedup
+
+    df = dedup.dup_span_stats(spark, sf_dir)
+    plan = E.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2, (
+        "window-hash counting must partial-aggregate map-side"
+    )
+
+
+def test_bigram_lm_model_join_broadcasts(spark, sf_dir):
+    """Scoring must hash-join the (small) model side broadcast; the
+    only nested-loop is the deliberate 1-row vocab-size scalar."""
+    from spark_app_twitter_spark.operators import textstats
+
+    df = textstats.bigram_lm_score(spark, sf_dir)
+    plan = E.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert E.has_broadcast_join(df), "model must broadcast into scoring"
+    # the 1-row vocab scalar may appear as a broadcast nested loop —
+    # anything larger must not
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_weighted_sample_single_source_shuffle(spark, sf_dir):
+    """Draws are built per-row JVM-side (no explode/join); the only
+    keyed shuffle is the per-source ranking window."""
+    from spark_app_twitter_spark.operators import textstats
+
+    df = textstats.weighted_sample(spark, sf_dir)
+    plan = E.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan, "weighted sampling needs no join at all"
+    assert plan.count("Exchange hashpartitioning(source") == 1
+    assert E.num_shuffles(df) <= 2  # spread RoundRobin + source window
+
+
+def test_embedding_covariance_partials_collapse(spark, sf_dir):
+    """The pair aggregation must partial-aggregate (each partition
+    collapses to <= d(d+1)/2 rows pre-shuffle); mean sums join
+    broadcast; nothing pairwise-joins the data."""
+    from spark_app_twitter_spark.operators import similarity
+
+    df = similarity.embedding_covariance(spark, sf_dir)
+    plan = E.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert E.has_broadcast_join(df), "per-dim mean sums must broadcast"
+    assert plan.count("HashAggregate") >= 2, (
+        "pair products must partial-aggregate before the shuffle"
+    )
