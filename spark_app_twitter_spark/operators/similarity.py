@@ -785,7 +785,9 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (decimal); ONE identical IEEE chain at the end — no float round,
     so no cross-engine tie to break.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    # d(d+1)/2 products per row dominate the scan: spread the
+    # single-row-group file across cores before the explode
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     qv = emb.select(
         F.expr(
             "transform(embedding,"
