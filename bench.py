@@ -69,6 +69,11 @@ HEADLINE = [
     "sim_knn_quantized",
     "serving_retention_cohorts",
     "dedup_minhash_jaccard_est",
+    # late round 3: exact-substring signal, corpus LM filter,
+    # covariance diagnostics
+    "dedup_span_stats",
+    "text_bigram_lm_score",
+    "sim_embedding_covariance",
 ]
 
 
