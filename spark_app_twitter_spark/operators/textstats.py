@@ -1075,6 +1075,39 @@ FROM t
 LM_SCALE = 1_000_000
 
 
+def _bigram_modelq(bi: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Train the add-one bigram model from exploded (doc_id, bg)
+    rows: returns (modelq: (bg, q micro-prob), vocab: 1-row (v)).
+
+    q is the round-half-up of (c12+1)/(c1+V) in micro units, in
+    EXACT integer form (2a+b) div 2b — a double round here ties
+    differently across engines when the rational lands on .5
+    exactly. 2*(c12+1)*1e6 stays under long range up to ~4.6e12
+    occurrences of one bigram. V (context-vocabulary size) is a
+    1-row aggregate, broadcast in via crossJoin (never a shuffle).
+    """
+    model = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    uni = (
+        model.select(F.split("bg", " ").getItem(0).alias("w1"), "c12")
+        .groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    modelq = (
+        model.withColumn("w1", F.split("bg", " ").getItem(0))
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            F.expr(
+                f"(2 * (c12 + 1) * {LM_SCALE} + (c1 + v))"
+                f" div (2 * (c1 + v))"
+            ).alias("q"),
+        )
+    )
+    return modelq, vocab
+
+
 def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_bigrams, lm_score) — mean corpus-bigram probability
     per doc; null score for docs with < 2 tokens.
@@ -1090,32 +1123,7 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = docs.select(
         "doc_id", F.explode(shingles(tokens("text"), 2)).alias("bg")
     )
-    model = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
-    uni = (
-        model.select(F.split("bg", " ").getItem(0).alias("w1"), "c12")
-        .groupBy("w1")
-        .agg(F.sum("c12").alias("c1"))
-    )
-    # V = context-vocabulary size: a 1-row aggregate, broadcast into
-    # the model via crossJoin (never a shuffle).
-    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
-    # round-half-up of (c12+1)/(c1+V) in micro units, EXACT integer
-    # form (2a+b) div 2b — a double round here ties differently
-    # across engines when the rational lands on .5 exactly.
-    # 2*(c12+1)*1e6 stays under long range up to ~4.6e12 occurrences
-    # of one bigram.
-    modelq = (
-        model.withColumn("w1", F.split("bg", " ").getItem(0))
-        .join(uni, "w1")
-        .crossJoin(F.broadcast(vocab))
-        .select(
-            "bg",
-            F.expr(
-                f"(2 * (c12 + 1) * {LM_SCALE} + (c1 + v))"
-                f" div (2 * (c1 + v))"
-            ).alias("q"),
-        )
-    )
+    modelq, _ = _bigram_modelq(bi)
     scored = (
         bi.join(F.broadcast(modelq), "bg")
         .groupBy("doc_id")
@@ -1314,3 +1322,72 @@ SELECT source, n_unigrams, u_unigrams,
        round(CAST(u_bigrams AS DOUBLE) / n_bigrams, 6) AS bigram_ttr
 FROM uni JOIN bi USING (source)
 """
+
+
+def bigram_lm_model(spark: SparkSession, sf_dir: str) -> tuple[dict, int]:
+    """Collect the trained bigram model driver-side:
+    ({bigram: micro_prob}, V). This is the 'published artifact' step
+    — the same role as shipping a KenLM binary to scorer workers.
+    The dict is |bigram vocab|-sized (bounded by vocabulary, not
+    corpus rows), so collecting it is safe at any corpus scale where
+    a KenLM-style filter would fit in worker memory at all.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    bi = docs.select(
+        "doc_id", F.explode(shingles(tokens("text"), 2)).alias("bg")
+    )
+    modelq, vocab = _bigram_modelq(bi)
+    model = {r["bg"]: r["q"] for r in modelq.collect()}
+    return model, vocab.collect()[0]["v"]
+
+
+def make_lm_pandas_scorer(model: dict, v: int):
+    """Arrow-batched scorer column over the published micro-prob
+    table — the deployable form of :func:`bigram_lm_score` for
+    streams and enrichment pipelines (same seam as
+    functions/text.make_pandas_classifier).
+
+    Bigrams the model never saw score the context-free add-one floor
+    1/V (exact-integer half-up, like training). Docs with < 2 tokens
+    score null. On docs drawn from the training corpus every bigram
+    is in-model, so output equals the Catalyst/oracle batch operator
+    bit-for-bit (tested).
+    """
+    import pandas as pd
+
+    from pyspark.sql import functions as SF
+
+    q_floor = (2 * LM_SCALE + v) // (2 * v)
+
+    # no type hints: module-level `from __future__ import annotations`
+    # stringifies them and the locally-imported `pd` name can't be
+    # resolved by pyspark's hint parser; hint-less defaults to SCALAR
+    @SF.pandas_udf("double")
+    def score(texts):
+        def one(t):
+            if t is None:
+                return None
+            w = t.split(" ")
+            if len(w) < 2:
+                return None
+            qs = [
+                model.get(f"{a} {b}", q_floor) for a, b in zip(w, w[1:])
+            ]
+            sq, nb = sum(qs), len(qs)
+            # same exact-integer half-up mean as the batch operator
+            return ((2 * sq + nb) // (2 * nb)) / LM_SCALE
+
+        return pd.Series(
+            [one(t) for t in texts], dtype="float64", index=texts.index
+        )
+
+    return score
+
+
+def lm_score_frame(docs: DataFrame, model: dict, v: int) -> DataFrame:
+    """(doc_id, lm_score) over ANY (doc_id, text) frame — batch or
+    stream. Stateless projection: no watermark, no state store, safe
+    in append mode; the model rides executor-side via the UDF
+    closure (Spark broadcasts it with the serialized task)."""
+    scorer = make_lm_pandas_scorer(model, v)
+    return docs.select("doc_id", scorer(F.col("text")).alias("lm_score"))

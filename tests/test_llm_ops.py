@@ -1098,3 +1098,23 @@ def test_embedding_covariance_shape_and_diagonal(spark, sf_dir):
     diag = [r.cov for r in rows if r.i == r.j]
     assert len(diag) == d
     assert all(v >= 0.0 for v in diag)
+
+
+def test_lm_pandas_scorer_matches_catalyst_batch(spark, sf_dir):
+    """The deployable pandas scorer over the collected model must
+    reproduce the Catalyst/oracle batch operator bit-for-bit on the
+    training corpus (every bigram in-model there)."""
+    model, v = textstats.bigram_lm_model(spark, sf_dir)
+    assert model and v > 0
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    frame = {
+        r.doc_id: r.lm_score
+        for r in textstats.lm_score_frame(docs, model, v).collect()
+    }
+    batch = {
+        r.doc_id: r.lm_score
+        for r in textstats.bigram_lm_score(spark, sf_dir).collect()
+    }
+    assert frame == batch

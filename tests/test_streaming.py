@@ -730,3 +730,47 @@ def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM incr_sink").collect()
     }
     assert streamed == batch_pairs
+
+
+def test_streaming_lm_gate_matches_batch(spark, tmp_path, sf_dir):
+    """The LM quality gate as a stream: score arriving docs with the
+    published (collected) bigram model — stateless append-mode
+    projection — and match the batch scorer on the same rows."""
+    from spark_app_twitter_spark.operators import textstats
+
+    model, v = textstats.bigram_lm_model(spark, sf_dir)
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    rows = [
+        {"doc_id": 1, "text": "the cat sat on the mat"},
+        {"doc_id": 2, "text": "zx qv wk jn pl rt"},
+        {"doc_id": 3, "text": "single"},
+    ]
+    with open(os.path.join(src, "p0.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    q = (
+        textstats.lm_score_frame(stream, model, v)
+        .writeStream.format("memory")
+        .queryName("lm_gate_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r.doc_id: r.lm_score
+        for r in spark.sql("SELECT * FROM lm_gate_sink").collect()
+    }
+    batch_docs = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], "doc_id long, text string"
+    )
+    batch = {
+        r.doc_id: r.lm_score
+        for r in textstats.lm_score_frame(batch_docs, model, v).collect()
+    }
+    assert streamed == batch
+    assert streamed[3] is None  # < 2 tokens
+    # unseen bigrams floor at 1/V: garbled doc scores at most that
+    assert streamed[2] is not None and streamed[2] <= (1.0 / v) + 1e-9
