@@ -57,6 +57,11 @@ STRESS_QUERIES = [
     "sim_knn_ivf",
     "sim_knn_quantized",
     "text_train_split",
+    # late round 3: dup-span counting join at 10x duplicate-heavy
+    # data, LM model growth, covariance's fixed d(d+1)/2 output
+    "dedup_span_stats",
+    "text_bigram_lm_score",
+    "sim_embedding_covariance",
 ]
 
 
