@@ -118,10 +118,19 @@ def _band_rows(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     through the explode for callers that cannot re-join (the
     streaming admission filter — a re-join there would be a
     stream-stream self-join)."""
-    rows_per_band = NUM_HASHES // BANDS
     sig = with_packed_minhash(docs, "sh", NUM_HASHES)
     if "sh" not in keep:
         sig = sig.drop("sh")
+    return _bands_from_sig(sig, keep)
+
+
+def _bands_from_sig(sig: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """Band-explode an already-built minhash signature frame.
+
+    Split out of :func:`_band_rows` so callers that also need the raw
+    signatures (the Jaccard-estimate audit) can checkpoint ``sig``
+    once and derive both views without recomputing minhashes."""
+    rows_per_band = NUM_HASHES // BANDS
     return sig.select(
         "doc_id",
         *keep,
@@ -618,30 +627,17 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "sh")
         .localCheckpoint(eager=True)
     )
-    sig = with_packed_minhash(docs, "sh", NUM_HASHES).drop("sh")
-    rows_per_band = NUM_HASHES // BANDS
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col(f"mh{b * rows_per_band + r}")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bh"),
-                    )
-                    for b in range(BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bh")
+    # Checkpoint the signatures once: the band view, sa, and sb below
+    # all derive from them — without this the self-join + two signature
+    # re-joins would recompute the minhash projection four times.
+    sig = (
+        with_packed_minhash(docs, "sh", NUM_HASHES)
+        .drop("sh")
+        .localCheckpoint(eager=True)
+    )
+    # Same checkpoint-before-self-join move as minhash_lsh_pairs: the
+    # narrow band rows are evaluated twice by the join subtrees.
+    bands = _bands_from_sig(sig).localCheckpoint(eager=True)
     cand = (
         bands.alias("l")
         .join(
@@ -857,7 +853,10 @@ INCREMENTAL_DEDUP_SQL = _incremental_dedup_sql()
 
 
 def incremental_dedup_stream(
-    new_docs: DataFrame, index_docs: DataFrame
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    event_time_col: str | None = None,
+    watermark_delay: str = "10 minutes",
 ) -> DataFrame:
     """Streaming admission filter: `new_docs` is a STREAM of arriving
     (doc_id, text) rows; `index_docs` is the static published corpus.
@@ -866,13 +865,24 @@ def incremental_dedup_stream(
     :func:`incremental_dedup`.
 
     Streaming-safe by construction: shingling/banding are stateless
-    projections, the band join is stream-static (no watermark
-    needed), and the only state is the final dropDuplicates on the
-    (bounded, duplicate-heavy-only) verified pairs. The stream side
-    carries its shingle array through the band explode — a deliberate
-    width-for-statelessness trade: re-joining shingles would make it
-    a stream-stream self-join, which needs watermark alignment for
-    no benefit at micro-batch sizes.
+    projections and the band join is stream-static (no watermark
+    needed for the join). The only stateful op is the final pair
+    dedup, and its state policy is the caller's choice:
+
+    - ``event_time_col=None`` (default): plain ``dropDuplicates`` —
+      state grows with the TOTAL number of flagged pairs over the
+      stream's lifetime. Fine for bounded replays and tests; a
+      long-lived production stream should bound it.
+    - ``event_time_col="ts"``: applies ``withWatermark(ts, delay)``
+      on the stream side and uses ``dropDuplicatesWithinWatermark``,
+      so pair state is evicted once older than the watermark delay —
+      bounded state for indefinite runs (a pair re-arriving after the
+      delay is re-emitted, the standard within-watermark trade).
+
+    The stream side carries its shingle array through the band
+    explode — a deliberate width-for-statelessness trade: re-joining
+    shingles would make it a stream-stream self-join, which needs
+    watermark alignment for no benefit at micro-batch sizes.
     """
     idx = (
         _with_shingles(index_docs)
@@ -882,10 +892,13 @@ def incremental_dedup_stream(
     idx_bands = _band_rows(idx).select(
         F.col("doc_id").alias("index_id"), "band", "bh"
     )
-    new_sh = _with_shingles(new_docs).select("doc_id", "sh")
-    new_bands = _band_rows(new_sh, keep=("sh",)).select(
+    keep_ts = (event_time_col,) if event_time_col else ()
+    if event_time_col:
+        new_docs = new_docs.withWatermark(event_time_col, watermark_delay)
+    new_sh = _with_shingles(new_docs).select("doc_id", "sh", *keep_ts)
+    new_bands = _band_rows(new_sh, keep=("sh", *keep_ts)).select(
         F.col("doc_id").alias("new_id"), "band", "bh",
-        F.col("sh").alias("sh_n"),
+        F.col("sh").alias("sh_n"), *keep_ts,
     )
     cand = new_bands.join(idx_bands, ["band", "bh"]).join(
         idx.select(F.col("doc_id").alias("index_id"), F.col("sh").alias("sh_i")),
@@ -893,15 +906,19 @@ def incremental_dedup_stream(
     )
     inter = F.size(F.array_intersect("sh_n", "sh_i"))
     union = F.size("sh_n") + F.size("sh_i") - inter
-    return (
+    verified = (
         cand.withColumn(
             "jaccard",
             F.round(inter.cast("double") / union.cast("double"), 6),
         )
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("new_id", "index_id", "jaccard")
-        .dropDuplicates(["new_id", "index_id"])
+        .select("new_id", "index_id", "jaccard", *keep_ts)
     )
+    if event_time_col:
+        return verified.dropDuplicatesWithinWatermark(
+            ["new_id", "index_id"]
+        ).drop(event_time_col)
+    return verified.dropDuplicates(["new_id", "index_id"])
 
 
 # ---------------------------------------------------------------------------

@@ -845,7 +845,9 @@ def props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 PROPS_STATS_SQL = """
 SELECT event_type AS topic,
        count(*) AS n,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       -- DuckDB sum(BIGINT) widens to HUGEINT (float64 via pandas); cast
+       -- back so the value hash matches Spark's LongType sum.
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
        round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
              / count(*), 6) AS k_avg

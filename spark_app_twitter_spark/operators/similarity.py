@@ -538,10 +538,13 @@ def knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         idot("q8", "q8").alias("cn2"),
     )
     d = idot("qq", "cq")
-    score = (
-        F.signum(d.cast("double"))
-        * (d * d).cast("double")
-        / (F.col("qn2") * F.col("cn2")).cast("double")
+    # Zero-norm guard: an all-zero embedding quantizes to all-zero codes
+    # (qn2 or cn2 = 0) and 0/0 = NaN, which sorts greatest in both
+    # engines — a zero vector would rank as every query's top neighbor.
+    # Pin those scores to -2.0, below the sign·cos² range [-1, 1].
+    denom = (F.col("qn2") * F.col("cn2")).cast("double")
+    score = F.when(denom == 0.0, F.lit(-2.0)).otherwise(
+        F.signum(d.cast("double")) * (d * d).cast("double") / denom
     )
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id", "neighbor_id", score.alias("qcos2")
@@ -570,7 +573,10 @@ c AS (
 ),
 scored AS (
   SELECT query_id, neighbor_id,
-         sign(d) * CAST(d * d AS DOUBLE) / CAST(qn2 * cn2 AS DOUBLE) AS qcos2
+         CASE WHEN qn2 * cn2 = 0
+              THEN -2.0
+              ELSE sign(d) * CAST(d * d AS DOUBLE) / CAST(qn2 * cn2 AS DOUBLE)
+         END AS qcos2
   FROM (
     SELECT query_id, neighbor_id, qn2, cn2,
            CAST(list_dot_product(CAST(qq AS DOUBLE[]), CAST(cq AS DOUBLE[])) AS BIGINT) AS d

@@ -858,12 +858,28 @@ def test_common_ngrams_df_is_doc_frequency(spark, sf_dir):
     )
     g = top[0].g
     from spark_app_twitter_spark.sources.parquet import load_table
+    from spark_app_twitter_spark.functions.text import tokens
 
+    # Recount via tokenized-gram membership, not text.contains(): a
+    # substring match can cross token boundaries (e.g. inside a longer
+    # token), which would make the equality corpus-shape-dependent.
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.where(F.col("text").contains(g)).count()
-    # containment is a superset of tokenized-gram membership only when
-    # the gram crosses token boundaries exactly; equality holds on
-    # whitespace corpora
+    n = textstats.BOILER_NGRAM
+    # same short-doc guard as common_ngrams: sequence(1, stop) with
+    # stop < 1 would generate a DESCENDING sequence, not an empty one
+    grams = F.when(
+        F.size("w") < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.expr(
+            f"transform(sequence(1, size(w) - {n - 1}),"
+            f" i -> array_join(slice(w, i, {n}), ' '))"
+        )
+    )
+    n_docs = (
+        docs.select(tokens("text").alias("w"))
+        .where(F.array_contains(grams, g))
+        .count()
+    )
     assert top[0].doc_freq == n_docs
 
 
