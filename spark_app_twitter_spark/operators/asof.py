@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from spark_app_twitter_spark.functions.timeutil import epoch_us
+
 from spark_app_twitter_spark.sources.parquet import load_table
 
 
@@ -89,7 +91,7 @@ def purchases_with_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.col("r_click_id").alias("click_id"),
         F.round(
-            (F.unix_micros("ts") - F.unix_micros("r_click_ts"))
+            (epoch_us("ts") - epoch_us("r_click_ts"))
             / F.lit(1_000_000.0),
             3,
         ).alias("gap_seconds"),
@@ -135,10 +137,10 @@ def errors_near_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cond = (
         (p.user_id == e.user_id)
-        & (F.unix_micros(e.error_ts) > F.unix_micros(p.purchase_ts))
+        & (epoch_us(e.error_ts) > epoch_us(p.purchase_ts))
         & (
-            F.unix_micros(e.error_ts)
-            <= F.unix_micros(p.purchase_ts) + 600 * 1_000_000
+            epoch_us(e.error_ts)
+            <= epoch_us(p.purchase_ts) + 600 * 1_000_000
         )
     )
     return p.join(e, cond).select(

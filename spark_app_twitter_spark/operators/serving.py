@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from spark_app_twitter_spark.functions.timeutil import epoch_us
+
 from spark_app_twitter_spark.operators.aggregates import emotion_pivot
 from spark_app_twitter_spark.operators.enrich import enrich
 from spark_app_twitter_spark.schemas import EMOTIONS
@@ -331,7 +333,7 @@ def _with_session_idx(ev: DataFrame) -> DataFrame:
     of session boundaries (sessionize and session_paths share it)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    us = F.unix_micros(F.col("ts"))
+    us = epoch_us(F.col("ts"))
     prev = F.lag(us).over(w)
     new_sess = F.when(
         prev.isNull() | ((us - prev) > SESSION_GAP_SECONDS * 1_000_000), 1
@@ -600,10 +602,10 @@ def signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(
             p,
             (s.user_id == p.p_user)
-            & (F.unix_micros("p_ts") > F.unix_micros("s_ts"))
+            & (epoch_us("p_ts") > epoch_us("s_ts"))
             & (
-                F.unix_micros("p_ts")
-                <= F.unix_micros("s_ts") + FUNNEL_WINDOW_SECONDS * 1_000_000
+                epoch_us("p_ts")
+                <= epoch_us("s_ts") + FUNNEL_WINDOW_SECONDS * 1_000_000
             ),
             "left_semi",
         )
@@ -671,7 +673,7 @@ def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.transform(
                 F.array_sort(
-                    F.collect_list(F.struct(F.unix_micros("ts").alias("us"), "event_id", "event_type"))
+                    F.collect_list(F.struct(epoch_us("ts").alias("us"), "event_id", "event_type"))
                 ),
                 lambda s: s["event_type"],
             ),
