@@ -732,6 +732,89 @@ def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
     assert streamed == batch_pairs
 
 
+def test_streaming_incremental_dedup_watermarked_matches_batch(
+    spark, tmp_path
+):
+    """Watermarked branch of the admission filter: event_time_col +
+    dropDuplicatesWithinWatermark. The watermark must propagate
+    through the shingle/band projections and the stream-static join,
+    the emitted pairs must equal the batch operator's, and the output
+    schema must NOT carry the event-time column."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_app_twitter_spark.operators import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    all_rows = {
+        "doc_id": [1, 2, 19, 29, 39],
+        "text": [
+            base,
+            "one two three four five six seven eight nine ten",
+            base + " lambda",
+            "totally novel words nothing shared with any index doc here",
+            "one two three four five six seven eight nine ten extra",
+        ],
+        "lang": ["en"] * 5,
+        "source": ["s"] * 5,
+        "n_chars": [10] * 5,
+    }
+    sf = str(tmp_path / "pq")
+    os.makedirs(sf)
+    pq.write_table(pa.table(all_rows), f"{sf}/documents.parquet")
+    batch_pairs = {
+        (r.new_id, r.index_id, r.jaccard)
+        for r in dedup.incremental_dedup(spark, sf).collect()
+    }
+    assert len(batch_pairs) >= 2, "fixture must plant batch dups"
+
+    src = str(tmp_path / "newdocs")
+    os.makedirs(src)
+    with open(os.path.join(src, "p0.json"), "w") as f:
+        for i, d in enumerate(all_rows["doc_id"]):
+            if d % dedup.INC_BATCH_MOD == dedup.INC_BATCH_REM:
+                f.write(
+                    json.dumps(
+                        {
+                            "doc_id": d,
+                            "text": all_rows["text"][i],
+                            "event_ts": f"2024-01-01T00:0{d % 10}:00Z",
+                        }
+                    )
+                    + "\n"
+                )
+    new_stream = spark.readStream.schema(
+        "doc_id long, text string, event_ts timestamp"
+    ).json(src)
+    index_docs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .where(
+            F.col("doc_id") % dedup.INC_BATCH_MOD != dedup.INC_BATCH_REM
+        )
+        .select("doc_id", "text")
+    )
+    out = dedup.incremental_dedup_stream(
+        new_stream,
+        index_docs,
+        event_time_col="event_ts",
+        watermark_delay="5 minutes",
+    )
+    assert out.columns == ["new_id", "index_id", "jaccard"]
+    q = (
+        out.writeStream.format("memory")
+        .queryName("incr_wm_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r.new_id, r.index_id, r.jaccard)
+        for r in spark.sql("SELECT * FROM incr_wm_sink").collect()
+    }
+    assert streamed == batch_pairs
+
+
 def test_streaming_lm_gate_matches_batch(spark, tmp_path, sf_dir):
     """The LM quality gate as a stream: score arriving docs with the
     published (collected) bigram model — stateless append-mode
