@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_value_histogram": serving.value_histogram,
         "asof_purchases_last_click": asof.purchases_with_last_click,
         "range_errors_near_purchases": asof.errors_near_purchases,
+        "range_clicks_near_errors": asof.clicks_near_errors,
         "tpch_top_customers_per_nation": tpch.top_customers_per_nation,
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_signatures": dedup.minhash_signatures,
@@ -256,6 +257,7 @@ def oracle_sql() -> dict[str, str]:
         "serving_signup_purchase_funnel": serving.SIGNUP_PURCHASE_FUNNEL_SQL,
         "asof_purchases_last_click": asof.PURCHASES_WITH_LAST_CLICK_SQL,
         "range_errors_near_purchases": asof.ERRORS_NEAR_PURCHASES_SQL,
+        "range_clicks_near_errors": asof.CLICKS_NEAR_ERRORS_SQL,
         "tpch_q1_pricing_summary": tpch.Q1_SQL,
         "tpch_q3_shipping_priority": tpch.Q3_SQL,
         "tpch_q5_local_supplier_volume": tpch.Q5_SQL,

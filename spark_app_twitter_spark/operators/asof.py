@@ -160,3 +160,78 @@ JOIN (SELECT * FROM events WHERE event_type = 'error') e
  AND epoch_us(e.ts) > epoch_us(p.ts)
  AND epoch_us(e.ts) <= epoch_us(p.ts) + 600 * 1000000
 """
+
+
+# ---------------------------------------------------------------------------
+# Keyless (global) range join with time-bucket blocking.
+#
+# errors_near_purchases has user_id as an equi key, so Spark gets a
+# hash/sort-merge join for free and the range is a residual filter.
+# When there is NO equi key — "how many clicks happened anywhere on
+# the site within +-60 s of each error?" — a naive range join is a
+# cartesian product with a filter: O(|errors| * |clicks|) candidates,
+# a scale-killer. The standard fix is to MANUFACTURE an equi key from
+# the range itself: bucket time into windows exactly as wide as the
+# range radius W. Any click within +-W of an error then lives in the
+# error's bucket or one of its two neighbors, so exploding the probe
+# side to {b-1, b, b+1} and equi-joining on bucket finds every true
+# pair while bounding candidates to ~3x the events of one bucket —
+# shuffle-partitionable, AQE-skew-splittable (a "hot minute" is just
+# a hot key), and independent of total data size per task.
+
+BURST_RADIUS_US = 60 * 1_000_000  # +-60 s
+
+
+def clicks_near_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every error event: how many clicks (and how many distinct
+    clicking users) happened within +-60 s, across ALL users.
+
+    Plan shape: clicks bucket once (floor(us/W)); errors explode to
+    their 3 candidate buckets; equi-join on bucket; exact |dt| <= W
+    residual filter; per-error aggregate. A click inside the radius
+    matches in exactly ONE of the three probe buckets, so no pair
+    dedup is needed before counting.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = F.lit(BURST_RADIUS_US)
+    err = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        epoch_us("ts").alias("e_us"),
+    )
+    err_b = err.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.floor(F.col("e_us") / w) - 1,
+                F.floor(F.col("e_us") / w),
+                F.floor(F.col("e_us") / w) + 1,
+            )
+        ),
+    )
+    clk = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        epoch_us("ts").alias("c_us"),
+        F.floor(epoch_us("ts") / w).alias("bucket"),
+    )
+    hit = F.abs(F.col("c_us") - F.col("e_us")) <= w
+    return (
+        err_b.join(clk, "bucket", "left")
+        .groupBy("error_id")
+        .agg(
+            F.sum(F.when(hit, 1).otherwise(0)).alias("n_nearby_clicks"),
+            F.countDistinct(F.when(hit, F.col("c_user"))).alias(
+                "n_nearby_users"
+            ),
+        )
+    )
+
+
+CLICKS_NEAR_ERRORS_SQL = f"""
+SELECT e.event_id AS error_id,
+       count(c.event_id) AS n_nearby_clicks,
+       count(DISTINCT c.user_id) AS n_nearby_users
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON abs(epoch_us(c.ts) - epoch_us(e.ts)) <= {BURST_RADIUS_US}
+GROUP BY e.event_id
+"""

@@ -256,3 +256,45 @@ def test_signup_purchase_funnel(spark, sf_dir):
         sf_dir,
         "conv_funnel",
     )
+
+
+def test_keyless_range_join_parity(spark, sf_dir):
+    from spark_app_twitter_spark.operators import asof
+
+    assert_parity(
+        asof.clicks_near_errors(spark, sf_dir),
+        asof.CLICKS_NEAR_ERRORS_SQL,
+        sf_dir,
+        "keyless_range",
+    )
+
+
+def test_keyless_range_join_bucketing_is_lossless(spark, sf_dir):
+    """The 3-bucket explode must find exactly the pairs a naive
+    (cartesian+filter) range join finds, including radius-boundary
+    hits — the blocking is a plan optimization, not an approximation."""
+    from spark_app_twitter_spark.operators import asof
+    from spark_app_twitter_spark.functions.timeutil import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), epoch_us("ts").alias("e_us")
+    )
+    clk = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), epoch_us("ts").alias("c_us")
+    )
+    naive = (
+        err.crossJoin(clk)
+        .where(F.abs(F.col("c_us") - F.col("e_us")) <= asof.BURST_RADIUS_US)
+        .groupBy("error_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_nearby_clicks"),
+            F.countDistinct("c_user").alias("n_nearby_users"),
+        )
+    )
+    bucketed = {
+        r.error_id: (r.n_nearby_clicks, r.n_nearby_users)
+        for r in asof.clicks_near_errors(spark, sf_dir).collect()
+    }
+    for r in naive.collect():
+        assert bucketed[r.error_id] == (r.n_nearby_clicks, r.n_nearby_users)
