@@ -137,6 +137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_weighted_sample": textstats.weighted_sample,
         "text_ngram_diversity": textstats.ngram_diversity,
         "sim_embedding_covariance": similarity.embedding_covariance,
+        "text_bpe_train_merges": textstats.bpe_train_merges,
+        "sim_embedding_pca": similarity.embedding_pca_project,
         # ---- driver verification window ends at 50 entries ----
         # (below: rotate into the window in round 4)
         "tpch_q1_pricing_summary": tpch.q1_pricing_summary,

@@ -864,3 +864,98 @@ FROM agg a
 JOIN m mi ON a.i = mi.dim
 JOIN m mj ON a.j = mj.dim
 """
+
+
+# ---------------------------------------------------------------------------
+# PCA projection: covariance -> driver-side eigendecomposition of the
+# DIM x DIM matrix -> broadcast components -> JVM-side projection.
+PCA_COMPONENTS = 2
+
+
+def _pca_components(spark: SparkSession, sf_dir: str, k: int):
+    """Top-k principal axes (and the per-dim means) of the embedding
+    corpus. The eigendecomposition runs on the DRIVER over the
+    DIM x DIM covariance matrix — deliberately: covariance is the
+    distributed reduction (shuffle bytes O(partitions * dim^2),
+    independent of corpus size, see embedding_covariance); the eig of
+    a 64x64 symmetric matrix is microseconds of numpy and is model
+    state, exactly like the k-means centroids the IVF index trains.
+
+    Determinism: covariance is exact (quantized integer sums), and
+    each eigenvector's sign is canonicalized so its largest-magnitude
+    coordinate is positive (first index on ties) — numpy's sign
+    choice is implementation-defined, the canonical form is not.
+    """
+    import numpy as np
+
+    cov_rows = embedding_covariance(spark, sf_dir).collect()
+    d = max(r.j for r in cov_rows) + 1
+    cov = np.zeros((d, d))
+    for r in cov_rows:
+        cov[r.i, r.j] = r.cov
+        cov[r.j, r.i] = r.cov
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        pivot = int(np.argmax(np.abs(np.round(v, 9))))
+        if v[pivot] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    # per-dim means (for centering), from the same exact-sum pattern
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    sums = (
+        emb.select(
+            F.posexplode(
+                F.expr(
+                    "transform(embedding,"
+                    " x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS LONG))"
+                )
+            ).alias("dim", "qx")
+        )
+        .groupBy("dim")
+        .agg(
+            F.sum(F.col("qx").cast("decimal(38,0)")).alias("sd"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    means = [0.0] * d
+    for r in sums:
+        means[r.dim] = float(r.sd) / (float(r.n) * 1e6)
+    return comps, means
+
+
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding onto the corpus's top principal axes:
+    (vec_id, pc1, pc2) — the dimensionality-reduction / whitening
+    front half of embedding visualization, outlier pruning, and
+    cheap pre-filters before exact cosine.
+
+    The projection itself is one broadcast-literal dot product per
+    component, zip_with/aggregate JVM-side over the scan — no shuffle
+    at all after the (bounded) covariance reduction that trains the
+    axes. Iterative/eig training step means no single-statement SQL
+    oracle; unit tests pin parity against numpy PCA on the collected
+    corpus and the variance ordering property.
+    """
+    comps, means = _pca_components(spark, sf_dir, PCA_COMPONENTS)
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    centered = F.expr(
+        "transform(embedding, (x, i) ->"
+        " CAST(x AS DOUBLE) - element_at(_pca_means, i + 1))"
+    )
+    out = emb.withColumn(
+        "_pca_means", F.array(*[F.lit(m) for m in means])
+    ).withColumn("_c", centered)
+    cols = [F.col("vec_id")]
+    for ci, comp in enumerate(comps):
+        axis = F.array(*[F.lit(x) for x in comp])
+        proj = F.aggregate(
+            F.zip_with(F.col("_c"), axis, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append(F.round(proj, 6).alias(f"pc{ci + 1}"))
+    return out.select(*cols)

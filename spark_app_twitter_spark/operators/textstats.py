@@ -1391,3 +1391,133 @@ def lm_score_frame(docs: DataFrame, model: dict, v: int) -> DataFrame:
     closure (Spark broadcasts it with the serialized task)."""
     scorer = make_lm_pandas_scorer(model, v)
     return docs.select("doc_id", scorer(F.col("text")).alias("lm_score"))
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich et al. 2016, "Neural Machine
+# Translation of Rare Words with Subword Units"): iteratively merge
+# the most frequent adjacent symbol pair, starting from characters
+# with an explicit end-of-word marker.
+BPE_EOW = "</w>"
+BPE_MERGE_ROUNDS = 8
+
+
+def _bpe_merge_pair(sym: F.Column, left: str, right: str) -> F.Column:
+    """Greedy left-to-right non-overlapping merge of (left, right)
+    adjacency in a symbol array — one aggregate fold, JVM-side.
+
+    State is (out, carry): carry holds the previous unconsumed
+    symbol; when (carry, s) == (left, right) the concatenated merge
+    is emitted and carry resets, so "a a a" under (a, a) becomes
+    ["aa", "a"] exactly like reference BPE's leftmost-first scan.
+    """
+    merged = F.lit(left + right)
+
+    def step(acc, s):
+        out, carry = acc["out"], acc["carry"]
+        return (
+            F.when(
+                carry.isNull(),
+                F.struct(out.alias("out"), s.alias("carry")),
+            )
+            .when(
+                (carry == F.lit(left)) & (s == F.lit(right)),
+                F.struct(
+                    F.concat(out, F.array(merged)).alias("out"),
+                    F.lit(None).cast("string").alias("carry"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(out, F.array(carry)).alias("out"),
+                    s.alias("carry"),
+                )
+            )
+        )
+
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("carry"),
+    )
+    return F.aggregate(
+        sym,
+        init,
+        step,
+        lambda acc: F.when(
+            acc["carry"].isNull(), acc["out"]
+        ).otherwise(F.concat(acc["out"], F.array(acc["carry"]))),
+    )
+
+
+def bpe_train_merges_frame(
+    docs: DataFrame, n_merges: int = BPE_MERGE_ROUNDS
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merge rules from a corpus.
+
+    Distributed shape (the standard scale-out BPE recipe): ONE corpus
+    scan builds the (word, freq) vocabulary table; every merge round
+    after that runs over the VOCABULARY (distinct words), not the
+    corpus — pair counts are an explode + freq-weighted hash
+    aggregate, the argmax is a 1-row TakeOrderedAndProject collected
+    to the driver (the merge rule IS driver state, like a trained
+    model), and the merge itself is a JVM-side fold over each symbol
+    array. localCheckpoint truncates the per-round lineage so round k
+    does not replay folds 0..k-1 from the scan.
+
+    Determinism: argmax ties break on (count desc, left asc, right
+    asc). Returns (merge_rank, left, right, pair_count).
+    """
+    spark = docs.sparkSession
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "freq",
+            F.concat(
+                F.split("word", ""), F.array(F.lit(BPE_EOW))
+            ).alias("sym"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    adj = F.when(
+        F.size("sym") < 2,
+        F.array().cast("array<struct<l:string,r:string>>"),
+    ).otherwise(
+        F.expr(
+            "transform(sequence(1, size(sym) - 1), i ->"
+            " struct(element_at(sym, i) AS l,"
+            " element_at(sym, i + 1) AS r))"
+        )
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        top = (
+            vocab.select("freq", F.explode(adj).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, c = top[0]["l"], top[0]["r"], top[0]["c"]
+        merges.append((rank, l, r, c))
+        vocab = vocab.withColumn(
+            "sym", _bpe_merge_pair(F.col("sym"), l, r)
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_count bigint"
+    )
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-rule induction over the documents corpus — the
+    tokenizer-training operator of the LLM-data pipeline. Iterative
+    (argmax-then-merge loop), so no single-statement SQL oracle; the
+    driver records the rows-only check and the unit tests pin the
+    reference-algorithm fixture from the BPE paper."""
+    return bpe_train_merges_frame(
+        load_table(spark, sf_dir, "documents", spread=True)
+    )

@@ -86,6 +86,54 @@ def hourly_topic_aggregate(
     )
 
 
+SESSION_GAP = "30 minutes"
+
+
+def session_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    gap: str = SESSION_GAP,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Gap-based session aggregation as a STREAM: F.session_window
+    merges events closer than ``gap`` into one growing window per
+    key; the watermark closes and emits a session once no on-time
+    event can extend it. State per key is one open window — the
+    bounded-state streaming twin of the batch lag-cumsum sessionize
+    (operators/serving.py), and the two agree on session boundaries
+    up to the built-in's half-open rule (a gap of EXACTLY ``gap``
+    starts a new session in both: lag-cumsum flags ``> gap`` with
+    integer-second gaps only at micro-precision, measure-zero on
+    event data; the equivalence test drives both on the same rows).
+
+    Works identically in batch mode (session_window is batch-legal),
+    which is how the parity test pins stream == batch == lag-cumsum.
+    """
+    df = events
+    # watermarks reject TIMESTAMP_NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE);
+    # widen once so stream and batch run the identical plan
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    w = F.session_window(F.col(ts_col), gap)
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(w.alias("sw"), F.col(key))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+        .select(
+            key,
+            "first_ts",
+            "last_ts",
+            "n_events",
+        )
+    )
+
+
 class WatermarkTracker(StreamingQueryListener):
     """StreamingQueryListener that records the ENGINE's watermark from
     query-progress events, so dead-letter routing compares against the

