@@ -34,6 +34,7 @@ from spark_app_twitter_spark.operators import (
     similarity,
     textstats,
     tpch,
+    training,
 )
 
 
@@ -139,6 +140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_embedding_covariance": similarity.embedding_covariance,
         "text_bpe_train_merges": textstats.bpe_train_merges,
         "sim_embedding_pca": similarity.embedding_pca_project,
+        "text_train_lang_lr": training.train_lang_lr,
         # ---- driver verification window ends at 50 entries ----
         # (below: rotate into the window in round 4)
         "tpch_q1_pricing_summary": tpch.q1_pricing_summary,

@@ -1,6 +1,8 @@
 """Oracle-parity + unit tests for the LLM-data-pipeline operators:
 dedup family, text analysis, similarity search, multimodal plumbing."""
 
+import os
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -1238,3 +1240,107 @@ def test_embedding_pca_matches_numpy(spark, sf_dir):
     # pc1 explains at least as much variance as pc2
     p = np.array([got[v] for v in ids])
     assert p[:, 0].var() >= p[:, 1].var() - 1e-9
+
+
+def _numpy_lr_replica(rows, iters, rate):
+    """Bit-exact numpy/python replica of train_lang_lr_weights: same
+    quantization (floor(x*1e6+0.5) features/sigmoid, 1e-9 weights),
+    same sequential fold order."""
+    import math
+
+    from spark_app_twitter_spark.functions.text import STOPWORDS
+    from spark_app_twitter_spark.operators import training as tr
+
+    feats = []
+    for lang, text in rows:
+        toks = text.split(" ")
+        n = float(len(toks))
+        sl = 0.0
+        for t in toks:
+            sl += float(len(t))
+        f = [
+            1.0,
+            min(n / 64.0, 1.0),
+            len(set(toks)) / n,
+            sum(1 for t in toks if t in STOPWORDS) / n,
+            (sl / n) / 10.0,
+        ]
+        fq = [math.floor(x * tr._Q_F + 0.5) for x in f]
+        feats.append((1 if lang == "en" else 0, fq))
+    dims = len(tr.LR_FEATURES)
+    w = [0.0] * dims
+    n_docs = len(feats)
+    for _ in range(iters):
+        g = [0] * dims
+        for y, fq in feats:
+            z = 0.0
+            for j in range(dims):
+                z = z + w[j] * (fq[j] / float(tr._Q_F))
+            p = 1.0 / (1.0 + math.exp(-z))
+            pq = math.floor(p * tr._Q_F + 0.5)
+            err = pq - y * tr._Q_F
+            for j in range(dims):
+                g[j] += err * fq[j]
+        for j in range(dims):
+            step = rate * (g[j] / (float(tr._Q_F) * tr._Q_F)) / n_docs
+            wj = w[j] - step
+            w[j] = int(wj * tr._Q_W + (0.5 if wj >= 0 else -0.5)) / tr._Q_W
+    return w
+
+
+def test_train_lang_lr_matches_numpy_replica(spark, sf_dir):
+    from spark_app_twitter_spark.operators import training as tr
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    w, n_docs, n_correct = tr.train_lang_lr_weights(docs)
+    rows = [(r.lang, r.text) for r in docs.select("lang", "text").collect()]
+    expect = _numpy_lr_replica(rows, tr.LR_ITERS, tr.LR_RATE)
+    assert w == expect, f"\nspark {w}\nnumpy {expect}"
+    # learned model must beat the majority class on its own training set
+    n_en = sum(1 for lang, _ in rows if lang == "en")
+    majority = max(n_en, n_docs - n_en) / n_docs
+    assert n_correct / n_docs >= majority
+
+
+def test_lr_score_frame_streaming_matches_batch(spark, tmp_path, sf_dir):
+    """Deployment form: published weights score a stream exactly like
+    the batch frame (stateless append projection)."""
+    import json as _json
+
+    from spark_app_twitter_spark.operators import training as tr
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    w, _, _ = tr.train_lang_lr_weights(docs)
+    rows = [
+        {"doc_id": 1, "lang": "en", "text": "the cat sat on the mat"},
+        {"doc_id": 2, "lang": "zh", "text": "zx qv wk jn pl rt"},
+    ]
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    with open(os.path.join(src, "p0.json"), "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    schema = "doc_id long, lang string, text string"
+    stream = spark.readStream.schema(schema).json(src)
+    q = (
+        tr.lr_score_frame(stream, w)
+        .writeStream.format("memory")
+        .queryName("lr_gate_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r.doc_id: r.lr_score
+        for r in spark.sql("SELECT * FROM lr_gate_sink").collect()
+    }
+    batch = {
+        r.doc_id: r.lr_score
+        for r in tr.lr_score_frame(
+            spark.read.schema(schema).json(src), w
+        ).collect()
+    }
+    assert streamed == batch and len(streamed) == 2
