@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_train_merges": textstats.bpe_train_merges,
         "sim_embedding_pca": similarity.embedding_pca_project,
         "text_train_lang_lr": training.train_lang_lr,
+        "text_bpe_encode": textstats.bpe_encode,
         # ---- driver verification window ends at 50 entries ----
         # (below: rotate into the window in round 4)
         "tpch_q1_pricing_summary": tpch.q1_pricing_summary,

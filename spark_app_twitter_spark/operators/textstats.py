@@ -1521,3 +1521,62 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges_frame(
         load_table(spark, sf_dir, "documents", spread=True)
     )
+
+
+def bpe_encode_frame(
+    docs: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Apply learned BPE merges: (doc_id, n_words, n_subwords,
+    subword_ratio) — the deployment form of :func:`bpe_train_merges`
+    (train once, publish the merge list, encode anywhere, including a
+    stream: stateless projection + one small join).
+
+    Scale shape: encoding is computed once per DISTINCT word (the
+    vocabulary trick — the merge folds run over |vocab| rows, not
+    |corpus| tokens) and joined back onto per-doc word counts. The
+    merge list itself is driver state applied as chained JVM-side
+    folds in rank order, exactly the reference BPE apply loop.
+    """
+    with_words = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("word")
+    )
+    word_counts = with_words.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    vocab = word_counts.select("word").distinct().withColumn(
+        "sym",
+        F.concat(F.split("word", ""), F.array(F.lit(BPE_EOW))),
+    )
+    for left, right in merges:
+        vocab = vocab.withColumn(
+            "sym", _bpe_merge_pair(F.col("sym"), left, right)
+        )
+    encoded = vocab.select("word", F.size("sym").alias("n_sub"))
+    return (
+        word_counts.join(encoded, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_words"),
+            F.sum(F.col("n") * F.col("n_sub")).alias("n_subwords"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_subwords",
+            F.round(
+                F.col("n_subwords").cast("double")
+                / F.col("n_words").cast("double"),
+                6,
+            ).alias("subword_ratio"),
+        )
+    )
+
+
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-encode over the documents corpus: the end-to-end
+    tokenizer pipeline (learn merges, measure per-doc subword
+    inflation). Iterative training upstream means no SQL oracle;
+    tests pin the encode fold on the reference fixture."""
+    m = bpe_train_merges(spark, sf_dir).orderBy("merge_rank").collect()
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return bpe_encode_frame(docs, [(r.left, r.right) for r in m])

@@ -1344,3 +1344,41 @@ def test_lr_score_frame_streaming_matches_batch(spark, tmp_path, sf_dir):
         ).collect()
     }
     assert streamed == batch and len(streamed) == 2
+
+
+def test_bpe_encode_reference_fixture(spark):
+    """Encoding with the paper fixture's learned merges: 'newest'
+    collapses to one subword, 'lower' to [low, e, r, </w>]."""
+    from spark_app_twitter_spark.operators import textstats
+
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "lower"), (3, "newest")],
+        "doc_id long, text string",
+    )
+    merges = [
+        (r.left, r.right)
+        for r in textstats.bpe_train_merges_frame(docs, 8)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    got = {
+        r.doc_id: (r.n_words, r.n_subwords, r.subword_ratio)
+        for r in textstats.bpe_encode_frame(docs, merges).collect()
+    }
+    # lower -> low,e,r,</w> = 4; newest -> newest</w> = 1
+    assert got[2] == (1, 4, 4.0)
+    assert got[3] == (1, 1, 1.0)
+    # doc1: low x5 -> (low,</w>)=2 each; lower x2 -> 4; newest x6 -> 1;
+    # widest x3 -> w,i,d,est</w> = 4
+    assert got[1] == (16, 5 * 2 + 2 * 4 + 6 * 1 + 3 * 4, (36) / 16.0)
+
+
+def test_bpe_encode_corpus_smoke(spark, sf_dir):
+    from spark_app_twitter_spark.operators import textstats
+
+    rows = textstats.bpe_encode(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows[:50]:
+        assert r.n_subwords >= r.n_words  # merges never cross words
+        assert r.subword_ratio >= 1.0
