@@ -291,3 +291,70 @@ def test_embedding_covariance_partials_collapse(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2, (
         "pair products must partial-aggregate before the shuffle"
     )
+
+
+def test_keyless_range_join_is_bucketed_equi(spark, sf_dir):
+    """The keyless +-60s range join must plan as an EQUI join on the
+    manufactured bucket key — never a cartesian/nested-loop product.
+    Probe-side explode appears as a Generate of the 3-bucket array."""
+    from spark_app_twitter_spark.operators import asof
+
+    df = asof.clicks_near_errors(spark, sf_dir)
+    plan = E.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan, "probe side must explode buckets"
+    assert "bucket" in plan
+
+
+def test_pca_projection_is_map_only_after_training(spark, sf_dir):
+    """Trained axes are broadcast LITERALS: the projection itself must
+    be a shuffle-free scan -> project pipeline (only the RoundRobin
+    scan-spread is allowed)."""
+    from spark_app_twitter_spark.operators import similarity
+
+    df = similarity.embedding_pca_project(spark, sf_dir)
+    plan = E.executed_plan(df)
+    assert "Join" not in plan, "projection must not join"
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert plan.count("Exchange rangepartitioning") == 0
+
+
+def test_bpe_encode_folds_run_on_vocabulary(spark, sf_dir):
+    """The merge folds must execute over the DISTINCT-word relation:
+    the plan joins words back to docs (one equi join), with no
+    cartesian and no per-corpus-token fold."""
+    from spark_app_twitter_spark.operators import textstats
+
+    df = textstats.bpe_encode(spark, sf_dir)
+    plan = E.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_lr_training_iteration_is_dim_bounded(spark, sf_dir):
+    """One GD iteration's gradient job: the aggregate keys on dim, so
+    partial aggregation collapses every partition to <= |dims| rows
+    before the shuffle, and nothing joins."""
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.operators import training
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    feats = training._doc_features(
+        load_table(spark, sf_dir, "documents")
+    )
+    pq = training._sigmoid_q(F.lit(0.0))
+    contrib = feats.withColumn("pq", pq).select(
+        F.posexplode("fq").alias("dim", "fj"),
+        (F.col("pq") - F.col("y") * training._Q_F).alias("err"),
+    )
+    grad = contrib.groupBy("dim").agg(
+        F.sum((F.col("err") * F.col("fj")).cast("decimal(38,0)")).alias("g")
+    )
+    plan = E.executed_plan(grad)
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2, "must partial-aggregate"
+    assert E.num_shuffles(grad) == 1
