@@ -62,6 +62,15 @@ STRESS_QUERIES = [
     "dedup_span_stats",
     "text_bigram_lm_score",
     "sim_embedding_covariance",
+    # round 5: keyless bucketed range join (candidates must scale
+    # with events-per-bucket, not corpus^2), BPE training (rounds run
+    # over the vocabulary, which barely grows under replication), LR
+    # training (per-iteration shuffle is |dims| rows at any scale),
+    # PCA projection (map-only after a bounded covariance reduction)
+    "range_clicks_near_errors",
+    "text_bpe_train_merges",
+    "text_train_lang_lr",
+    "sim_embedding_pca",
 ]
 
 
