@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_encode": textstats.bpe_encode,
         "text_train_lang_lr": training.train_lang_lr,
         "sim_embedding_pca": similarity.embedding_pca_project,
+        "serving_session_window_stats": serving.session_window_stats,
         # --- 4. last driver-attested r01/r02 (r3+r4 re-checked the
         # same first-50, so this tail aged two extra rounds) ---
         "tpch_q1_pricing_summary": tpch.q1_pricing_summary,
@@ -134,8 +135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunk_documents": packing.chunk_documents,
         "pack_sequences": packing.pack_sequences,
         "dedup_simhash64_pairs": dedup.simhash64_pairs,
-        "dedup_simhash": dedup.simhash,
         # ---- driver verification window ends at 50 entries ----
+        "dedup_simhash": dedup.simhash,  # demoted for session_window_stats; local parity test every CI run
         # --- 5. stale but lowest-risk: modules untouched since their
         # green row AND re-proved by local oracle-parity tests every CI
         # run (test_reference_pipeline.py / test_tpch.py); first in
@@ -226,6 +227,7 @@ def oracle_sql() -> dict[str, str]:
         "serving_topic_means": serving.TOPIC_MEANS_SQL,
         "serving_distinct_users": serving.DISTINCT_USERS_SQL,
         "serving_sessionize": serving.SESSIONIZE_SQL,
+        "serving_session_window_stats": serving.SESSION_WINDOW_STATS_SQL,
         "serving_rollup_value": serving.ROLLUP_VALUE_SQL,
         "serving_cube_value": serving.CUBE_VALUE_SQL,
         "sem_dedup": semdedup.SEMDEDUP_SQL,

@@ -388,6 +388,58 @@ GROUP BY user_id, sess_idx
 """
 
 
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via Spark's BUILT-IN ``F.session_window``
+    (the operator the streaming twin ``streaming/windowed.py
+    session_stats`` runs with a watermark) — oracle-paired so the
+    built-in's merge semantics are value-hash-checked, not just
+    equivalence-tested against the lag-cumsum plan.
+
+    Boundary rule pinned exactly: session_window merges events with
+    gap STRICTLY LESS than the duration (a Δ of exactly 30 min opens
+    a new session), so the SQL twin flags new sessions on
+    ``>= gap`` — one tick off :data:`SESS_CTE_SQL`'s ``>``. One
+    shuffle on user_id, sessions aggregate inside the same hash
+    aggregation (no window pass at all).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_SECONDS} seconds"),
+            "user_id",
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+SESSION_WINDOW_STATS_SQL = f"""
+WITH flagged AS (
+  SELECT *,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {SESSION_GAP_SECONDS} * 1000000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events
+FROM sess
+GROUP BY user_id, sess_idx
+"""
+
+
 def rollup_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (topic, date): hierarchical totals incl. grand
     total — the cube/rollup family SURVEY §2.4 lists as free in

@@ -298,3 +298,12 @@ def test_keyless_range_join_bucketing_is_lossless(spark, sf_dir):
     }
     for r in naive.collect():
         assert bucketed[r.error_id] == (r.n_nearby_clicks, r.n_nearby_users)
+
+
+def test_session_window_stats_parity(spark, sf_dir):
+    assert_parity(
+        serving.session_window_stats(spark, sf_dir),
+        serving.SESSION_WINDOW_STATS_SQL,
+        sf_dir,
+        "session_window_stats",
+    )
