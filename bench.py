@@ -74,6 +74,13 @@ HEADLINE = [
     "dedup_span_stats",
     "text_bigram_lm_score",
     "sim_embedding_covariance",
+    # round 5 additions: keyless bucketed range join, built-in
+    # session windows (oracle-paired), BPE corpus encode, PCA
+    # projection (training ops report under model_seconds)
+    "range_clicks_near_errors",
+    "serving_session_window_stats",
+    "text_bpe_encode",
+    "sim_embedding_pca",
 ]
 
 
@@ -140,6 +147,18 @@ def main() -> None:
         resampler=models.bilinear_resize,
     ).count()
     model_times["bilinear_resize"] = round(time.perf_counter() - t0, 3)
+
+    # distributed TRAINING ops (round 5): like the IVF index build,
+    # these produce published artifacts — timed here, not in the
+    # headline query latencies
+    from spark_app_twitter_spark.operators import textstats, training
+
+    t0 = time.perf_counter()
+    textstats.bpe_train_merges(spark, SF_DIR).count()
+    model_times["bpe_train_merges"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    training.train_lang_lr(spark, SF_DIR).count()
+    model_times["lr_train"] = round(time.perf_counter() - t0, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -1512,14 +1512,50 @@ def bpe_train_merges_frame(
     )
 
 
+# Trained merge lists, keyed by (spark app, data dir, rounds) — the
+# same published-artifact discipline as clustering's centroid cache:
+# a tokenizer is trained once per corpus and every consumer (encode,
+# streaming gates) applies the SAME rules. Entries are K-tuples of
+# string pairs — tiny. Same immutable-path contract as the centroid
+# cache (clustering.clear_centroid_cache's caveat applies).
+_MERGES_CACHE: dict[tuple[str, str, int], list[tuple[str, str, int]]] = {}
+
+
+def clear_merges_cache() -> None:
+    _MERGES_CACHE.clear()
+
+
+def bpe_trained_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGE_ROUNDS
+) -> list[tuple[str, str, int]]:
+    """The trained merge artifact as a driver-held list, trained once
+    per (session, corpus, rounds)."""
+    key = (spark.sparkContext.applicationId, sf_dir, n_merges)
+    cached = _MERGES_CACHE.get(key)
+    if cached is None:
+        rows = (
+            bpe_train_merges_frame(
+                load_table(spark, sf_dir, "documents", spread=True),
+                n_merges,
+            )
+            .orderBy("merge_rank")
+            .collect()
+        )
+        cached = [(r.left, r.right, r.pair_count) for r in rows]
+        _MERGES_CACHE[key] = cached
+    return cached
+
+
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge-rule induction over the documents corpus — the
     tokenizer-training operator of the LLM-data pipeline. Iterative
     (argmax-then-merge loop), so no single-statement SQL oracle; the
     driver records the rows-only check and the unit tests pin the
     reference-algorithm fixture from the BPE paper."""
-    return bpe_train_merges_frame(
-        load_table(spark, sf_dir, "documents", spread=True)
+    merges = bpe_trained_merges(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "merge_rank int, left string, right string, pair_count bigint",
     )
 
 
@@ -1577,6 +1613,6 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer pipeline (learn merges, measure per-doc subword
     inflation). Iterative training upstream means no SQL oracle;
     tests pin the encode fold on the reference fixture."""
-    m = bpe_train_merges(spark, sf_dir).orderBy("merge_rank").collect()
+    merges = bpe_trained_merges(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    return bpe_encode_frame(docs, [(r.left, r.right) for r in m])
+    return bpe_encode_frame(docs, [(l, r) for l, r, _ in merges])
