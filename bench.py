@@ -115,6 +115,16 @@ def main() -> None:
     clustering.kmeans_centroid_rows(spark, SF_DIR)
     ivf_train_seconds = round(time.perf_counter() - t0, 3)
 
+    # BPE merges are the same kind of publish-once artifact: train
+    # (and time) the tokenizer BEFORE the headline loop so
+    # text_bpe_encode measures the apply path, not a retrain
+    from spark_app_twitter_spark.operators import textstats as _ts
+
+    model_times: dict[str, float] = {}
+    t0 = time.perf_counter()
+    _ts.bpe_train_merges(spark, SF_DIR).count()
+    model_times["bpe_train_merges"] = round(time.perf_counter() - t0, 3)
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
@@ -131,7 +141,6 @@ def main() -> None:
     from spark_app_twitter_spark.operators import multimodal
     from spark_app_twitter_spark.sources.parquet import load_table
 
-    model_times: dict[str, float] = {}
     clf = make_pandas_classifier(
         models.ngram_logistic_scorer, init=models.ngram_logistic_model
     )
@@ -151,11 +160,8 @@ def main() -> None:
     # distributed TRAINING ops (round 5): like the IVF index build,
     # these produce published artifacts — timed here, not in the
     # headline query latencies
-    from spark_app_twitter_spark.operators import textstats, training
+    from spark_app_twitter_spark.operators import training
 
-    t0 = time.perf_counter()
-    textstats.bpe_train_merges(spark, SF_DIR).count()
-    model_times["bpe_train_merges"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
     training.train_lang_lr(spark, SF_DIR).count()
     model_times["lr_train"] = round(time.perf_counter() - t0, 3)
