@@ -159,3 +159,49 @@ __all__ = [
     "CHUNK_DOCUMENTS_SQL",
     "PACK_SEQUENCES_SQL",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus shuffle: the "global shuffle before training"
+# step. Order-by-random would be irreproducible and a full sort;
+# instead every doc gets a hash-derived (shard, position) — the same
+# corpus always shuffles identically, any engine can verify the
+# layout, and at scale the sort is per-shard (range-partition on
+# shard, sort within partitions), never a single global order.
+SHUFFLE_SHARDS = 16
+
+
+def shuffle_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shard, position): the deterministic training-shuffle
+    layout. shard = first md5 hex digit (exactly SHUFFLE_SHARDS=16
+    uniform buckets); position = rank of the full md5 within the
+    shard (tie-broken by doc_id, so the order is total and
+    engine-independent).
+
+    Plan shape: one hash shuffle on shard + an in-partition
+    row_number — no global sort. Writing would be
+    .repartition("shard").sortWithinPartitions(...): each output
+    file is one shard in shuffled order.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    okey = F.md5(F.col("doc_id").cast("string"))
+    # first hex digit of the SAME md5 -> a perfect 0..15 shard id on
+    # any engine (instr into the hex alphabet; crc32 isn't portable)
+    sid = F.instr(F.lit("0123456789abcdef"), F.substring(okey, 1, 1)) - 1
+    w = Window.partitionBy("shard").orderBy(okey.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("shard", sid.cast("int"))
+        .withColumn("position", F.row_number().over(w))
+        .select("doc_id", "shard", "position")
+    )
+
+
+SHUFFLE_EXPORT_SQL = """
+SELECT doc_id,
+       CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INTEGER) AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+         ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+       ) AS INTEGER) AS position
+FROM documents
+"""

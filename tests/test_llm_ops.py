@@ -1382,3 +1382,33 @@ def test_bpe_encode_corpus_smoke(spark, sf_dir):
     for r in rows[:50]:
         assert r.n_subwords >= r.n_words  # merges never cross words
         assert r.subword_ratio >= 1.0
+
+
+def test_shuffle_export_parity(spark, sf_dir):
+    from spark_app_twitter_spark.operators import packing
+
+    assert_parity(
+        packing.shuffle_export(spark, sf_dir),
+        packing.SHUFFLE_EXPORT_SQL,
+        sf_dir,
+        "shuffle_export",
+    )
+
+
+def test_shuffle_export_layout_properties(spark, sf_dir):
+    """Positions are dense 1..n per shard, shards cover 0..15, and
+    the layout is reproducible run-to-run (pure hash derivation)."""
+    from spark_app_twitter_spark.operators import packing
+
+    rows = packing.shuffle_export(spark, sf_dir).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.position)
+    assert set(by_shard) <= set(range(16))
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    again = {
+        (r.doc_id, r.shard, r.position)
+        for r in packing.shuffle_export(spark, sf_dir).collect()
+    }
+    assert again == {(r.doc_id, r.shard, r.position) for r in rows}
