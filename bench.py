@@ -81,6 +81,7 @@ HEADLINE = [
     "serving_session_window_stats",
     "text_bpe_encode",
     "sim_embedding_pca",
+    "pack_shuffle_export",
 ]
 
 
