@@ -218,3 +218,44 @@ SELECT topic, emotion,
        round(CAST(counts AS DOUBLE) / sum(counts) OVER (PARTITION BY topic), 6) AS share
 FROM counts
 """
+
+
+def salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe grouped totals via the two-phase salted aggregation
+    (functions/skew.py): per-event_type sum/count over events, with
+    the hot key's rows spread across 16 salt buckets in phase 1 and a
+    |keys| x 16-row merge in phase 2.
+
+    This is the AGGREGATION-side skew tool (AQE's skew-join split
+    handles joins; tests/test_scale_layout.py pins that one). Salting
+    is semantics-neutral for algebraic aggregates, and the value sums
+    run in DECIMAL so the two-phase reassociation is exact — which is
+    what lets a DuckDB single-phase oracle hash-match the salted
+    plan. Salt bucket derives deterministically from event_id, but
+    ANY bucketing yields identical output; determinism here is about
+    reproducible partials, not the result.
+    """
+    from spark_app_twitter_spark.functions.skew import salted_sum_count
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_sum_count(
+        ev,
+        ["event_type"],
+        F.col("value").cast("decimal(12,2)"),
+        salt=16,
+        salt_on="event_id",
+    )
+    return out.select(
+        "event_type",
+        F.col("total").cast("double").alias("total_value"),
+        "counts",
+    )
+
+
+SALTED_EVENT_TOTALS_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+       count(*) AS counts
+FROM events
+GROUP BY event_type
+"""

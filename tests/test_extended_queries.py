@@ -307,3 +307,14 @@ def test_session_window_stats_parity(spark, sf_dir):
         sf_dir,
         "session_window_stats",
     )
+
+
+def test_salted_event_totals_parity(spark, sf_dir):
+    from spark_app_twitter_spark.operators import aggregates
+
+    assert_parity(
+        aggregates.salted_event_totals(spark, sf_dir),
+        aggregates.SALTED_EVENT_TOTALS_SQL,
+        sf_dir,
+        "salted_totals",
+    )

@@ -358,3 +358,17 @@ def test_lr_training_iteration_is_dim_bounded(spark, sf_dir):
     assert "Join" not in plan
     assert plan.count("HashAggregate") >= 2, "must partial-aggregate"
     assert E.num_shuffles(grad) == 1
+
+
+def test_salted_totals_two_phase_shape(spark, sf_dir):
+    """The salted aggregation must shuffle twice — once on
+    (event_type, _salt), once on event_type — with partial
+    aggregation before each, and never join."""
+    from spark_app_twitter_spark.operators import aggregates
+
+    df = aggregates.salted_event_totals(spark, sf_dir)
+    plan = E.executed_plan(df)
+    assert "Join" not in plan
+    assert "_salt" in plan, "phase-1 grouping must include the salt"
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("HashAggregate") >= 4  # partial+final per phase
