@@ -928,6 +928,12 @@ JOIN m mj ON a.j = mj.dim
 PCA_COMPONENTS = 2
 
 
+# Trained PCA axes, keyed by (spark app, data dir, k) — the same
+# publish-once artifact discipline as the centroid and BPE-merge
+# caches (and the same immutable-path contract).
+_PCA_CACHE: dict[tuple[str, str, int], tuple[list, list]] = {}
+
+
 def _pca_components(spark: SparkSession, sf_dir: str, k: int):
     """Top-k principal axes (and the per-dim means) of the embedding
     corpus. The eigendecomposition runs on the DRIVER over the
@@ -944,6 +950,10 @@ def _pca_components(spark: SparkSession, sf_dir: str, k: int):
     """
     import numpy as np
 
+    key = (spark.sparkContext.applicationId, sf_dir, k)
+    cached = _PCA_CACHE.get(key)
+    if cached is not None:
+        return cached
     cov_rows = embedding_covariance(spark, sf_dir).collect()
     d = max(r.j for r in cov_rows) + 1
     cov = np.zeros((d, d))
@@ -980,6 +990,7 @@ def _pca_components(spark: SparkSession, sf_dir: str, k: int):
     means = [0.0] * d
     for r in sums:
         means[r.dim] = float(r.sd) / (float(r.n) * 1e6)
+    _PCA_CACHE[key] = (comps, means)
     return comps, means
 
 
