@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_session_window_stats": serving.session_window_stats,
         "pack_shuffle_export": packing.shuffle_export,
         "agg_salted_event_totals": aggregates.salted_event_totals,
+        "serving_hourly_gapfill": serving.hourly_gapfill,
         # --- 4. last driver-attested r01/r02 (r3+r4 re-checked the
         # same first-50, so this tail aged two extra rounds) ---
         "tpch_q1_pricing_summary": tpch.q1_pricing_summary,
@@ -134,8 +135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_media_features": multimodal.media_features,
         "multimodal_video_frames": multimodal.video_frames,
         "rag_retrieve": retrieval.rag_retrieve,
-        "pack_chunk_documents": packing.chunk_documents,
         # ---- driver verification window ends at 50 entries ----
+        "pack_chunk_documents": packing.chunk_documents,  # demoted: function unchanged, local parity test
         "pack_sequences": packing.pack_sequences,  # demoted: function unchanged, local parity test
         # demoted for round-5 additions; modules untouched + local
         # parity tests every CI run
@@ -234,6 +235,7 @@ def oracle_sql() -> dict[str, str]:
         "serving_session_window_stats": serving.SESSION_WINDOW_STATS_SQL,
         "pack_shuffle_export": packing.SHUFFLE_EXPORT_SQL,
         "agg_salted_event_totals": aggregates.SALTED_EVENT_TOTALS_SQL,
+        "serving_hourly_gapfill": serving.HOURLY_GAPFILL_SQL,
         "serving_rollup_value": serving.ROLLUP_VALUE_SQL,
         "serving_cube_value": serving.CUBE_VALUE_SQL,
         "sem_dedup": semdedup.SEMDEDUP_SQL,

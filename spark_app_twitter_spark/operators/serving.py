@@ -961,3 +961,86 @@ dau AS (
 SELECT dau.d AS day, dau.dau, wau.wau
 FROM dau JOIN wau ON dau.d = wau.d
 """
+
+
+def hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularized hourly series per event_type: generate the full
+    hour spine between the corpus's min and max hour, zero-fill
+    missing count cells, and forward-fill the last observed hourly
+    mean value — the resample/ffill step every time-series consumer
+    (dashboards, feature windows, anomaly baselines) needs before
+    treating event data as a regular grid.
+
+    Scale shape: the raw scan collapses to |hours|x|types| aggregate
+    rows BEFORE any spine work; the spine itself is one explode of a
+    1-row sequence (bounded: hours in range), cross-joined against
+    the broadcast distinct-type set; the forward fill is one window
+    per type over the bounded grid. Nothing downstream of the first
+    aggregation scales with the corpus.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = ev.groupBy(
+        hour.alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("counts"),
+        F.round(
+            F.sum(F.col("value").cast(_VAL_DEC)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("avg_value"),
+    )
+    spine = (
+        ev.agg(
+            F.min(hour).alias("h0"), F.max(hour).alias("h1")
+        )
+        .select(
+            F.explode(
+                F.expr("sequence(h0, h1, INTERVAL 1 HOUR)")
+            ).alias("hour")
+        )
+    )
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce(F.col("counts"), F.lit(0)).alias("counts"),
+            F.last("avg_value", ignorenulls=True)
+            .over(w)
+            .alias("avg_value_ffill"),
+        )
+    )
+
+
+HOURLY_GAPFILL_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         count(*) AS counts,
+         round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_value
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT min(date_trunc('hour', ts)) AS h0, max(date_trunc('hour', ts)) AS h1
+  FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+grid AS (SELECT s.hour, t.event_type FROM spine s CROSS JOIN types t)
+SELECT g.hour, g.event_type,
+       coalesce(h.counts, 0) AS counts,
+       last_value(h.avg_value IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value_ffill
+FROM grid g
+LEFT JOIN hourly h ON g.hour = h.hour AND g.event_type = h.event_type
+"""

@@ -318,3 +318,31 @@ def test_salted_event_totals_parity(spark, sf_dir):
         sf_dir,
         "salted_totals",
     )
+
+
+def test_hourly_gapfill_parity(spark, sf_dir):
+    assert_parity(
+        serving.hourly_gapfill(spark, sf_dir),
+        serving.HOURLY_GAPFILL_SQL,
+        sf_dir,
+        "hourly_gapfill",
+    )
+
+
+def test_hourly_gapfill_is_dense_grid(spark, sf_dir):
+    """Every (hour, type) cell exists exactly once between the corpus
+    bounds, and ffill never leaves a null after the first observation."""
+    rows = serving.hourly_gapfill(spark, sf_dir).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    n_hours = {t: len(v) for t, v in by_type.items()}
+    assert len(set(n_hours.values())) == 1, "all types share the spine"
+    for t, v in by_type.items():
+        v.sort(key=lambda r: r.hour)
+        seen = False
+        for r in v:
+            if r.avg_value_ffill is not None:
+                seen = True
+            elif seen:
+                raise AssertionError(f"null after first obs: {t} {r.hour}")
