@@ -1412,3 +1412,40 @@ def test_shuffle_export_layout_properties(spark, sf_dir):
         for r in packing.shuffle_export(spark, sf_dir).collect()
     }
     assert again == {(r.doc_id, r.shard, r.position) for r in rows}
+
+
+def test_pagerank_matches_python_replica(spark, sf_dir):
+    """Integer-unit PageRank: the distributed result must be
+    bit-identical to a pure-Python replica of the same recipe
+    (float-division + truncation mirrored exactly), and the rank
+    mass must stay within floor-leak distance of 1."""
+    from spark_app_twitter_spark.operators import dedup, graph
+
+    got = {
+        r.doc_id: r.rank
+        for r in graph.pagerank_near_dup(spark, sf_dir).collect()
+    }
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(spark, sf_dir).collect()
+    ]
+    assert pairs, "fixture corpora plant near-dups"
+    edges = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    nodes = sorted({s for s, _ in edges})
+    n = len(nodes)
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    rq = {v: graph.PR_Q // n for v in nodes}
+    teleport = (15 * graph.PR_Q // 100) // n
+    for _ in range(graph.PR_ITERS):
+        s = {v: 0 for v in nodes}
+        for src, dst in edges:
+            s[dst] += int(rq[src] / deg[src])
+        rq = {v: int(teleport + 85 * s[v] / 100) for v in nodes}
+    expect = {v: round(rq[v] / graph.PR_Q, 9) for v in nodes}
+    assert got == expect
+    total = sum(got.values())
+    assert 0.9 <= total <= 1.0 + 1e-9
+    # every participant of a pair is ranked
+    assert set(got) == set(nodes)
