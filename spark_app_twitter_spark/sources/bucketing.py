@@ -65,3 +65,70 @@ def bucketed_revenue_by_status(
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout keys: multi-dimensional data clustering.
+#
+# Sorting by ONE column makes parquet row-group min/max stats prune
+# that column's predicates and nothing else. Interleaving the bits of
+# two bucketized dimensions into a Morton key and sorting by IT keeps
+# rows close in BOTH dimensions, so row groups carry tight min/max
+# ranges for user-scoped AND time-scoped scans — the layout trick
+# behind Delta/Iceberg OPTIMIZE ZORDER, expressed as plain columnar
+# bit math any engine can verify.
+ZORDER_BITS = 8  # 8 bits per dimension -> 16-bit Morton key
+
+
+def zorder_expr_sql(a: str, b: str, bits: int = ZORDER_BITS) -> str:
+    """Portable SQL for the Morton interleave of two pre-bucketized
+    integer expressions in [0, 2^bits): bit i of ``a`` lands at 2i,
+    bit i of ``b`` at 2i+1. Plain &, >>, << — identical text runs on
+    Spark and DuckDB."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_id, u_bucket, t_bucket, z): the Morton layout key for
+    events over (user, hour-of-corpus) — the write path is then
+    ``.repartitionByRange("z").sortWithinPartitions("z")`` so both
+    user-scoped and time-window scans prune row groups.
+
+    Buckets: user_id mod 256 (uniform synthetic ids) and hour index
+    since the corpus epoch mod 256. Pure map-side bit math — the key
+    computation adds zero shuffles to the write job.
+    """
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.functions.timeutil import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    u = "CAST(pmod(user_id, 256) AS BIGINT)"
+    hour_idx = "CAST(floor(_eus / 3600000000) AS BIGINT)"
+    t = f"CAST(pmod({hour_idx}, 256) AS BIGINT)"
+    return (
+        ev.withColumn("_eus", epoch_us("ts"))
+        .selectExpr(
+            "event_id",
+            f"{u} AS u_bucket",
+            f"{t} AS t_bucket",
+            f"CAST({zorder_expr_sql(u, t)} AS BIGINT) AS z",
+        )
+    )
+
+
+ZORDER_EVENTS_SQL = f"""
+WITH b AS (
+  SELECT event_id,
+         CAST(user_id % 256 AS BIGINT) AS u_bucket,
+         CAST(floor(epoch_us(ts) / 3600000000) % 256 AS BIGINT) AS t_bucket
+  FROM events
+)
+SELECT event_id, u_bucket, t_bucket,
+       CAST({zorder_expr_sql('u_bucket', 't_bucket')} AS BIGINT) AS z
+FROM b
+"""

@@ -101,3 +101,39 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_zorder_key_parity(spark, sf_dir):
+    from spark_app_twitter_spark.sources import bucketing
+    from tests.parity import assert_parity
+
+    assert_parity(
+        bucketing.zorder_events(spark, sf_dir),
+        bucketing.ZORDER_EVENTS_SQL,
+        sf_dir,
+        "zorder",
+    )
+
+
+def test_zorder_locality_beats_single_column_sort(spark, sf_dir):
+    """The point of the Morton key: sorting by z must cluster BOTH
+    dimensions. Measured as mean |Δu_bucket| + |Δt_bucket| between
+    consecutive rows, z-order must beat sorting by t alone on the u
+    dimension and by u alone on the t dimension."""
+    from spark_app_twitter_spark.sources import bucketing
+
+    rows = bucketing.zorder_events(spark, sf_dir).collect()
+
+    def mean_step(ordered, dim):
+        vals = [getattr(r, dim) for r in ordered]
+        return sum(abs(a - b) for a, b in zip(vals, vals[1:])) / (
+            len(vals) - 1
+        )
+
+    by_z = sorted(rows, key=lambda r: (r.z, r.event_id))
+    by_t = sorted(rows, key=lambda r: (r.t_bucket, r.event_id))
+    by_u = sorted(rows, key=lambda r: (r.u_bucket, r.event_id))
+    # u-locality: z-sorted must beat t-sorted (which scatters u)
+    assert mean_step(by_z, "u_bucket") < mean_step(by_t, "u_bucket")
+    # t-locality: z-sorted must beat u-sorted (which scatters t)
+    assert mean_step(by_z, "t_bucket") < mean_step(by_u, "t_bucket")
