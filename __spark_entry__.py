@@ -73,13 +73,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round 5 rotation: round 4 did NOT rotate (r03 and r04 checked the
     identical first-50), so the tail aged two extra rounds. This
     round's window: the two r04 reds fixed by the epoch_us/NTZ repair
-    lead, then the three serving queries whose functions were
-    rewritten by that repair, then the five round-5 additions, then
-    43 of the r01/r02-attested tail. 14 stale entries still don't
-    fit; the ones deferred (agg_* family, ingest/enrich, eight plain
-    TPC-H) are exactly those whose modules are untouched since their
-    green row AND which re-prove themselves against the DuckDB oracle
-    in every local CI run — they go first in round 6.
+    lead, then the three serving queries whose functions that repair
+    rewrote, then the ELEVEN round-5 additions (each individually
+    driver-contract-verified at sf0.01+sf0.1 this round), then 34 of
+    the r01/r02-attested tail. 20 stale entries don't fit; every
+    deferred entry (agg_* family, ingest/enrich, eight plain TPC-H,
+    simhash/simhash64, pack chunk/sequences, rag_retrieve,
+    video_frames — marked inline) has an untouched implementation
+    AND a local DuckDB-oracle parity test that runs in every CI
+    sweep; they head the round-6 window.
     """
     return {
         # --- 1. red in r04, fixed this round (TIMESTAMP_NTZ epoch_us) ---
