@@ -71,6 +71,14 @@ STRESS_QUERIES = [
     "text_bpe_train_merges",
     "text_train_lang_lr",
     "sim_embedding_pca",
+    # late round 5: regular-grid resample, skew-safe agg, layout
+    # keys, shuffle layout, dup-graph centrality, session windows
+    "serving_hourly_gapfill",
+    "agg_salted_event_totals",
+    "layout_zorder_events",
+    "pack_shuffle_export",
+    "graph_pagerank_near_dup",
+    "serving_session_window_stats",
 ]
 
 
