@@ -53,6 +53,10 @@ def pagerank_frame(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # clean corpus: no verified pairs -> empty rank table, not a
+        # ZeroDivisionError on the driver
+        return nodes.withColumn("rank_q", F.lit(0).cast("long"))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ed = edges.join(deg, "src").localCheckpoint(eager=True)
     ranks = nodes.withColumn("rank_q", F.lit(PR_Q // n_nodes))

@@ -395,10 +395,11 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     built-in's merge semantics are value-hash-checked, not just
     equivalence-tested against the lag-cumsum plan.
 
-    Boundary rule pinned exactly: session_window merges events with
-    gap STRICTLY LESS than the duration (a Δ of exactly 30 min opens
-    a new session), so the SQL twin flags new sessions on
-    ``>= gap`` — one tick off :data:`SESS_CTE_SQL`'s ``>``. One
+    Boundary rule pinned exactly (verified empirically: two events
+    EXACTLY 30 min apart produce ONE session): session_window merges
+    events up to and including a gap of the full duration, i.e. a
+    new session opens only on ``> gap`` — the same rule as
+    :data:`SESS_CTE_SQL`, and the SQL twin uses the same ``>``. One
     shuffle on user_id, sessions aggregate inside the same hash
     aggregation (no window pass at all).
     """
@@ -421,7 +422,7 @@ SESSION_WINDOW_STATS_SQL = f"""
 WITH flagged AS (
   SELECT *,
     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {SESSION_GAP_SECONDS} * 1000000
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_SECONDS} * 1000000
          THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

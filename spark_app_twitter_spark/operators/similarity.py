@@ -236,19 +236,14 @@ def n_probes_for(k: int) -> int:
     return max(N_PROBE, math.ceil(k / PROBE_FRACTION))
 
 
-def _inline_nearest_cell(
-    df: DataFrame, key: str, vec: str, cents: list[tuple[int, list[float]]]
-) -> DataFrame:
-    """Argmax-cosine cell per row against DRIVER-HELD centroids as a
-    pure map expression — the IVF-search twin of
-    ``clustering._train_assign`` (same scores-array + first-max
-    argmax, so ties resolve to the lowest cell exactly like the
-    ``row_number() OVER (ORDER BY cell_sim DESC, cell ASC)``
-    formulation the SQL oracle keeps). Eliminates the candidate-side
-    crossJoin + window shuffle: with k ~ sqrt(N) cells the window
-    state was k rows per candidate, all shuffled; this is zero-shuffle
-    scoring in codegen. |v| is materialized once (`_nv`) so the k
-    per-cell scores share it instead of re-deriving the fold."""
+def _cell_score_sql(
+    vec: str, cents: list[tuple[int, list[float]]]
+) -> tuple[str, str, str]:
+    """(nv_sql, scores_sql, cells_sql): the shared score-array builder
+    for inline cell assignment. ONE definition of the rounded cosine
+    and the cell ordering, so the candidate argmax and the probe
+    top-n can never drift apart (their bit-identical tie-break is
+    what keeps knn_ivf oracle-green)."""
     import math
 
     ordered = sorted(cents)
@@ -272,6 +267,23 @@ def _inline_nearest_cell(
         f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
         f"0.0D, (acc, x) -> acc + x))"
     )
+    return nv_sql, scores_sql, cells_sql
+
+
+def _inline_nearest_cell(
+    df: DataFrame, key: str, vec: str, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Argmax-cosine cell per row against DRIVER-HELD centroids as a
+    pure map expression — the IVF-search twin of
+    ``clustering._train_assign`` (same scores-array + first-max
+    argmax, so ties resolve to the lowest cell exactly like the
+    ``row_number() OVER (ORDER BY cell_sim DESC, cell ASC)``
+    formulation the SQL oracle keeps). Eliminates the candidate-side
+    crossJoin + window shuffle: with k ~ sqrt(N) cells the window
+    state was k rows per candidate, all shuffled; this is zero-shuffle
+    scoring in codegen. |v| is materialized once (`_nv`) so the k
+    per-cell scores share it instead of re-deriving the fold."""
+    nv_sql, scores_sql, cells_sql = _cell_score_sql(vec, cents)
     return (
         df.withColumn("_nv", F.expr(nv_sql))
         .withColumn("_scores", F.expr(scores_sql))
@@ -300,29 +312,7 @@ def _inline_top_cells(
     comparator the window formulation uses, slice ``keep``, explode.
     Zero shuffle, no broadcast sub-job — probing is part of the same
     codegen stage as the query scan."""
-    import math
-
-    ordered = sorted(cents)
-
-    def cos_sql(cv: list[float]) -> str:
-        c2 = 0.0
-        for x in cv:
-            c2 += x * x
-        nc = math.sqrt(c2)
-        vals = ", ".join(f"{x!r}D" for x in cv)
-        return (
-            f"round(aggregate(zip_with({vec}, array({vals}), "
-            f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x) "
-            f"/ (_nv * {nc!r}D), 6)"
-        )
-
-    cells_sql = ", ".join(str(c) for c, _ in ordered)
-    scores_sql = "array(" + ", ".join(cos_sql(cv) for _, cv in ordered) + ")"
-    nv_sql = (
-        f"sqrt(aggregate(zip_with({vec}, {vec}, "
-        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        f"0.0D, (acc, x) -> acc + x))"
-    )
+    nv_sql, scores_sql, cells_sql = _cell_score_sql(vec, cents)
     top_sql = (
         f"slice(array_sort(zip_with(_scores, array({cells_sql}), "
         "(s, c) -> struct(s AS s, c AS c)), "
@@ -829,6 +819,31 @@ GROUP BY dim
 """
 
 
+_QUANT_EMBED_EXPR = (
+    "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS LONG))"
+)
+
+
+def _quantized_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One column ``q``: the 1e-6-quantized integer embedding — THE
+    shared front end of covariance and PCA training (one definition,
+    so the two can never drift and break exact-centering parity)."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    return emb.select(F.expr(_QUANT_EMBED_EXPR).alias("q"))
+
+
+def _dim_sums(qv: DataFrame) -> DataFrame:
+    """(dim, sd, n): exact per-dimension integer sums + count."""
+    return (
+        qv.select(F.posexplode("q").alias("dim", "qx"))
+        .groupBy("dim")
+        .agg(
+            F.sum(F.col("qx").cast("decimal(38,0)")).alias("sd"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper-triangle covariance matrix of the embedding columns:
     (i, j, n_vecs, cov) for 0 <= i <= j < dim — the diagnostics pass
@@ -849,13 +864,7 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # d(d+1)/2 products per row dominate the scan: spread the
     # single-row-group file across cores before the explode
-    emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    qv = emb.select(
-        F.expr(
-            "transform(embedding,"
-            " x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS LONG))"
-        ).alias("q")
-    )
+    qv = _quantized_vectors(spark, sf_dir)
     pairs = qv.select(
         F.explode(
             F.expr(
@@ -872,11 +881,7 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("s.p").cast("decimal(38,0)")).alias("sp"),
         F.count(F.lit(1)).alias("n_vecs"),
     )
-    dims = qv.select(
-        F.posexplode("q").alias("dim", "qx")
-    ).groupBy("dim").agg(
-        F.sum(F.col("qx").cast("decimal(38,0)")).alias("sd")
-    )
+    dims = _dim_sums(qv)
     mi = dims.select(F.col("dim").alias("i"), F.col("sd").alias("si"))
     mj = dims.select(F.col("dim").alias("j"), F.col("sd").alias("sj"))
     n = F.col("n_vecs").cast("double")
@@ -934,6 +939,13 @@ PCA_COMPONENTS = 2
 _PCA_CACHE: dict[tuple[str, str, int], tuple[list, list]] = {}
 
 
+def clear_pca_cache() -> None:
+    """Drop trained PCA axes (e.g. after rewriting a dataset path
+    in-session) — the parallel of clustering.clear_centroid_cache
+    and textstats.clear_merges_cache."""
+    _PCA_CACHE.clear()
+
+
 def _pca_components(spark: SparkSession, sf_dir: str, k: int):
     """Top-k principal axes (and the per-dim means) of the embedding
     corpus. The eigendecomposition runs on the DRIVER over the
@@ -969,24 +981,11 @@ def _pca_components(spark: SparkSession, sf_dir: str, k: int):
         if v[pivot] < 0:
             v = -v
         comps.append([float(x) for x in v])
-    # per-dim means (for centering), from the same exact-sum pattern
-    emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    sums = (
-        emb.select(
-            F.posexplode(
-                F.expr(
-                    "transform(embedding,"
-                    " x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS LONG))"
-                )
-            ).alias("dim", "qx")
-        )
-        .groupBy("dim")
-        .agg(
-            F.sum(F.col("qx").cast("decimal(38,0)")).alias("sd"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .collect()
-    )
+    # per-dim means (for centering): the SAME _dim_sums reduction the
+    # covariance uses — shared definition, no copy-paste drift. (A
+    # second bounded job, but d rows vs the d(d+1)/2-row covariance
+    # reduction that dominates.)
+    sums = _dim_sums(_quantized_vectors(spark, sf_dir)).collect()
     means = [0.0] * d
     for r in sums:
         means[r.dim] = float(r.sd) / (float(r.n) * 1e6)

@@ -102,10 +102,10 @@ def session_stats(
     event can extend it. State per key is one open window — the
     bounded-state streaming twin of the batch lag-cumsum sessionize
     (operators/serving.py), and the two agree on session boundaries
-    up to the built-in's half-open rule (a gap of EXACTLY ``gap``
-    starts a new session in both: lag-cumsum flags ``> gap`` with
-    integer-second gaps only at micro-precision, measure-zero on
-    event data; the equivalence test drives both on the same rows).
+    exactly: a gap of EXACTLY ``gap`` MERGES in both (verified
+    empirically for session_window; lag-cumsum opens a new session
+    only on ``> gap``), so stream, batch, and the lag-cumsum plan
+    share one boundary rule with no measure-zero caveat.
 
     Works identically in batch mode (session_window is batch-legal),
     which is how the parity test pins stream == batch == lag-cumsum.

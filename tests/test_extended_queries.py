@@ -346,3 +346,39 @@ def test_hourly_gapfill_is_dense_grid(spark, sf_dir):
                 seen = True
             elif seen:
                 raise AssertionError(f"null after first obs: {t} {r.hour}")
+
+
+def test_session_window_exact_gap_merges(spark):
+    """Regression for the boundary rule (caught in round-5 review):
+    two events EXACTLY gap apart must land in ONE session — for the
+    built-in session_window, the lag-cumsum recipe, and the oracle's
+    > rule alike."""
+    import datetime
+
+    from spark_app_twitter_spark.operators.serving import (
+        SESSION_GAP_SECONDS,
+        _with_session_idx,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    df = spark.createDataFrame(
+        [
+            (1, 1, t0),
+            (2, 1, t0 + datetime.timedelta(seconds=SESSION_GAP_SECONDS)),
+            (3, 1, t0 + datetime.timedelta(seconds=2 * SESSION_GAP_SECONDS + 1)),
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    builtin = (
+        df.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_SECONDS} seconds"),
+            "user_id",
+        )
+        .count()
+        .count()
+    )
+    assert builtin == 2, "exact gap must MERGE; gap+1s must split"
+    lagcum = (
+        _with_session_idx(df).select("sess_idx").distinct().count()
+    )
+    assert lagcum == 2
