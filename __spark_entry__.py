@@ -70,41 +70,113 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     When editing, append new queries to the front section and demote
     whatever the previous round just re-attested.
 
-    Round 5 rotation: round 4 did NOT rotate (r03 and r04 checked the
-    identical first-50), so the tail aged two extra rounds. This
-    round's window: the two r04 reds fixed by the epoch_us/NTZ repair
-    lead, then the three serving queries whose functions that repair
-    rewrote, then the ELEVEN round-5 additions (each individually
-    driver-contract-verified at sf0.01+sf0.1 this round), then 34 of
-    the r01/r02-attested tail. 20 stale entries don't fit; every
-    deferred entry (agg_* family, ingest/enrich, eight plain TPC-H,
-    simhash/simhash64, pack chunk/sequences, rag_retrieve,
-    video_frames — marked inline) has an untouched implementation
-    AND a local DuckDB-oracle parity test that runs in every CI
-    sweep; they head the round-6 window.
+    Round 6 rotation (executes VERDICT r05 item 1): the 20 entries
+    whose last driver row dated r01/r02 lead, then the six entries
+    changed this round (the five ex-``no_oracle`` queries that now
+    carry literal-artifact DuckDB twins — see oracles.py — plus the
+    sem_dedup bounded-cell scale fix), then r04-attested fill. After
+    this window runs, every registry entry's driver attestation is
+    at most two rounds old. The demoted r04 remainder heads the
+    round-7 window; the 45 r05-fresh entries sit last. Every
+    deferred entry keeps a local DuckDB-oracle parity test in CI.
     """
     return {
-        # --- 1. red in r04, fixed this round (TIMESTAMP_NTZ epoch_us) ---
-        "asof_purchases_last_click": asof.purchases_with_last_click,
-        "range_errors_near_purchases": asof.errors_near_purchases,
-        # --- 2. functions rewritten this round (epoch_us over NTZ) ---
-        "serving_sessionize": serving.sessionize,
-        "serving_session_paths": serving.session_paths,
-        "serving_signup_purchase_funnel": serving.signup_purchase_funnel,
-        # --- 3. new in round 5 ---
-        "range_clicks_near_errors": asof.clicks_near_errors,
+        # --- 1. last driver-attested r01/r02 — the 20-entry stale tail
+        # VERDICT r05 told this round to promote; re-attests the
+        # reference-core pipeline (SURVEY 2.2 P1-P3, 2.4 A1-A3/A9,
+        # 2.6 M1-M2) plus eight plain TPC-H against current code ---
+        "agg_positivity": _enriched(aggregates.positivity_agg),
+        "agg_emotion_counts": _enriched(aggregates.emotion_counts),
+        "agg_emotion_pivot": _enriched(aggregates.emotion_pivot),
+        "agg_emotion_share": _enriched(aggregates.emotion_share_normalized),
+        "ingest_parse_events": ingest.parse_events,
+        "enrich_documents": enrich.enrich_documents,
+        "tpch_q4_order_priority": tpch.q4_order_priority,
+        "tpch_q10_returned_items": tpch.q10_returned_items,
+        "tpch_q12_priority_by_status": tpch.q12_priority_by_status,
+        "tpch_q13_customer_distribution": tpch.q13_customer_distribution,
+        "tpch_q15_top_supplier": tpch.q15_top_supplier,
+        "tpch_q18_large_volume_orders": tpch.q18_large_volume_orders,
+        "tpch_q22_dormant_rich_customers": tpch.q22_dormant_rich_customers,
+        "tpch_customers_without_orders": tpch.customers_without_orders,
+        "dedup_simhash": dedup.simhash,
+        "dedup_simhash64_pairs": dedup.simhash64_pairs,
+        "pack_chunk_documents": packing.chunk_documents,
+        "pack_sequences": packing.pack_sequences,
+        "rag_retrieve": retrieval.rag_retrieve,
+        "multimodal_video_frames": multimodal.video_frames,
+        # --- 2. changed this round: the five ex-no_oracle queries now
+        # carrying literal-artifact DuckDB twins (oracles.py), the
+        # pagerank integer-div repair, and the sem_dedup bounded-cell
+        # scale fix ---
         "text_bpe_train_merges": textstats.bpe_train_merges,
         "text_bpe_encode": textstats.bpe_encode,
         "text_train_lang_lr": training.train_lang_lr,
         "sim_embedding_pca": similarity.embedding_pca_project,
+        "graph_pagerank_near_dup": graph.pagerank_near_dup,
+        "sem_dedup": semdedup.semdedup,
+        # --- 3. r04-attested fill (oldest remaining attestations) ---
+        "agg_serving_join": aggregates.aggregated_serving,
+        "serving_dedup_first": serving.dedup_first,
+        "serving_topic_share": serving.topic_share,
+        "serving_grains_grouping_sets": serving.grains_grouping_sets,
+        "serving_value_percentiles": serving.value_percentiles,
+        "serving_hourly_window": serving.hourly_window,
+        "serving_topic_means": serving.topic_means,
+        "serving_distinct_users": serving.distinct_users,
+        "serving_rollup_value": serving.rollup_value,
+        "serving_loyal_purchasers": serving.loyal_purchasers,
+        "serving_moving_avg_daily": serving.moving_avg_daily,
+        "serving_value_quartiles": serving.value_quartile_assignments,
+        "serving_value_histogram": serving.value_histogram,
+        "tpch_top_customers_per_nation": tpch.top_customers_per_nation,
+        "dedup_exact": dedup.exact_dedup,
+        "dedup_minhash_signatures": dedup.minhash_signatures,
+        "dedup_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "dedup_ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "dedup_containment_pairs": dedup.containment_pairs,
+        "dedup_clusters": dedup.dedup_clusters,
+        "text_token_stats": textstats.token_stats,
+        "text_token_counts": textstats.token_counts,
+        "text_lang_id": textstats.lang_id,
+        "text_doc_fingerprint": textstats.doc_fingerprint,
+        # ---- driver verification window ends at 50 entries ----
+        # --- 4. r04-attested remainder, next in line for round 7 ---
+        "text_redact": textstats.redact_text,
+        "sim_quantize_embeddings": similarity.quantize_embeddings,
+        "multimodal_resize_images": multimodal.resize_images,
+        "sim_knn_ivf": similarity.knn_ivf,
+        "sim_kmeans_cells": clustering.kmeans_cells,
+        "text_train_split": textstats.train_split,
+        "text_length_histogram": textstats.length_histogram,
+        "sim_knn_quantized": similarity.knn_quantized,
+        "serving_retention_cohorts": serving.retention_cohorts,
+        "multimodal_audio_chunks": multimodal.audio_chunks,
+        "dedup_minhash_jaccard_est": dedup.minhash_jaccard_estimate,
+        "serving_props_stats": serving.props_stats,
+        "serving_weekly_active": serving.weekly_active,
+        "text_quality_rules": textstats.quality_rules,
+        "text_common_ngrams": textstats.common_ngrams,
+        "sim_embedding_dim_stats": similarity.embedding_dim_stats,
+        "dedup_incremental": dedup.incremental_dedup,
+        "text_token_budget_sample": textstats.token_budget_sample,
+        "dedup_span_stats": dedup.dup_span_stats,
+        "text_bigram_lm_score": textstats.bigram_lm_score,
+        "text_weighted_sample": textstats.weighted_sample,
+        "text_ngram_diversity": textstats.ngram_diversity,
+        "sim_embedding_covariance": similarity.embedding_covariance,
+        # --- 5. freshly attested green in r05, unchanged since ---
+        "asof_purchases_last_click": asof.purchases_with_last_click,
+        "range_errors_near_purchases": asof.errors_near_purchases,
+        "serving_sessionize": serving.sessionize,
+        "serving_session_paths": serving.session_paths,
+        "serving_signup_purchase_funnel": serving.signup_purchase_funnel,
+        "range_clicks_near_errors": asof.clicks_near_errors,
         "serving_session_window_stats": serving.session_window_stats,
         "pack_shuffle_export": packing.shuffle_export,
         "agg_salted_event_totals": aggregates.salted_event_totals,
         "serving_hourly_gapfill": serving.hourly_gapfill,
-        "graph_pagerank_near_dup": graph.pagerank_near_dup,
         "layout_zorder_events": layout.zorder_events,
-        # --- 4. last driver-attested r01/r02 (r3+r4 re-checked the
-        # same first-50, so this tail aged two extra rounds) ---
         "tpch_q1_pricing_summary": tpch.q1_pricing_summary,
         "tpch_q3_shipping_priority": tpch.q3_shipping_priority,
         "tpch_q5_local_supplier_volume": tpch.q5_local_supplier_volume,
@@ -139,88 +211,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_label_centroids": similarity.label_centroids,
         "sim_knn_lsh_multi": similarity.knn_lsh_multi,
         "multimodal_media_features": multimodal.media_features,
-        # ---- driver verification window ends at 50 entries ----
-        "multimodal_video_frames": multimodal.video_frames,  # demoted: module unchanged, local parity test
-        "rag_retrieve": retrieval.rag_retrieve,  # demoted: module unchanged, local parity test
-        "pack_chunk_documents": packing.chunk_documents,  # demoted: function unchanged, local parity test
-        "pack_sequences": packing.pack_sequences,  # demoted: function unchanged, local parity test
-        # demoted for round-5 additions; modules untouched + local
-        # parity tests every CI run
-        "dedup_simhash64_pairs": dedup.simhash64_pairs,
-        "dedup_simhash": dedup.simhash,
-        # --- 5. stale but lowest-risk: modules untouched since their
-        # green row AND re-proved by local oracle-parity tests every CI
-        # run (test_reference_pipeline.py / test_tpch.py); first in
-        # line for round 6 ---
-        "agg_positivity": _enriched(aggregates.positivity_agg),
-        "agg_emotion_counts": _enriched(aggregates.emotion_counts),
-        "agg_emotion_pivot": _enriched(aggregates.emotion_pivot),
-        "agg_emotion_share": _enriched(aggregates.emotion_share_normalized),
-        "ingest_parse_events": ingest.parse_events,
-        "enrich_documents": enrich.enrich_documents,
-        "tpch_q4_order_priority": tpch.q4_order_priority,
-        "tpch_q10_returned_items": tpch.q10_returned_items,
-        "tpch_q12_priority_by_status": tpch.q12_priority_by_status,
-        "tpch_q13_customer_distribution": tpch.q13_customer_distribution,
-        "tpch_q15_top_supplier": tpch.q15_top_supplier,
-        "tpch_q18_large_volume_orders": tpch.q18_large_volume_orders,
-        "tpch_q22_dormant_rich_customers": tpch.q22_dormant_rich_customers,
-        "tpch_customers_without_orders": tpch.customers_without_orders,
-        # --- 6. freshly attested green in r03+r04, unchanged since ---
-        "agg_serving_join": aggregates.aggregated_serving,
-        "serving_dedup_first": serving.dedup_first,
-        "serving_topic_share": serving.topic_share,
-        "serving_grains_grouping_sets": serving.grains_grouping_sets,
-        "serving_value_percentiles": serving.value_percentiles,
-        "serving_hourly_window": serving.hourly_window,
-        "serving_topic_means": serving.topic_means,
-        "serving_distinct_users": serving.distinct_users,
-        "serving_rollup_value": serving.rollup_value,
-        "serving_loyal_purchasers": serving.loyal_purchasers,
-        "serving_moving_avg_daily": serving.moving_avg_daily,
-        "serving_value_quartiles": serving.value_quartile_assignments,
-        "serving_value_histogram": serving.value_histogram,
-        "tpch_top_customers_per_nation": tpch.top_customers_per_nation,
-        "dedup_exact": dedup.exact_dedup,
-        "dedup_minhash_signatures": dedup.minhash_signatures,
-        "dedup_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
-        "dedup_ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
-        "dedup_containment_pairs": dedup.containment_pairs,
-        "dedup_clusters": dedup.dedup_clusters,
-        "text_token_stats": textstats.token_stats,
-        "text_token_counts": textstats.token_counts,
-        "text_lang_id": textstats.lang_id,
-        "text_doc_fingerprint": textstats.doc_fingerprint,
-        "text_redact": textstats.redact_text,
-        "sim_quantize_embeddings": similarity.quantize_embeddings,
-        "multimodal_resize_images": multimodal.resize_images,
-        "sim_knn_ivf": similarity.knn_ivf,
-        "sim_kmeans_cells": clustering.kmeans_cells,
-        "sem_dedup": semdedup.semdedup,
-        "text_train_split": textstats.train_split,
-        "text_length_histogram": textstats.length_histogram,
-        "sim_knn_quantized": similarity.knn_quantized,
-        "serving_retention_cohorts": serving.retention_cohorts,
-        "multimodal_audio_chunks": multimodal.audio_chunks,
-        "dedup_minhash_jaccard_est": dedup.minhash_jaccard_estimate,
-        "serving_props_stats": serving.props_stats,
-        "serving_weekly_active": serving.weekly_active,
-        "text_quality_rules": textstats.quality_rules,
-        "text_common_ngrams": textstats.common_ngrams,
-        "sim_embedding_dim_stats": similarity.embedding_dim_stats,
-        "dedup_incremental": dedup.incremental_dedup,
-        "text_token_budget_sample": textstats.token_budget_sample,
-        "dedup_span_stats": dedup.dup_span_stats,
-        "text_bigram_lm_score": textstats.bigram_lm_score,
-        "text_weighted_sample": textstats.weighted_sample,
-        "text_ngram_diversity": textstats.ngram_diversity,
-        "sim_embedding_covariance": similarity.embedding_covariance,
     }
+
+
+def _trained_oracles() -> dict[str, str]:
+    """Literal-artifact twins for the iteratively-trained operators
+    (see spark_app_twitter_spark/oracles.py): an independent pure
+    Python/DuckDB replica trains the artifact (PCA axes, LR weights,
+    BPE merges, PageRank mass) at oracle-build time against the
+    driver's comparison corpus and embeds it as SQL literals; the
+    deployment half (projection / scoring / encode fold / scaling)
+    stays real SQL over the tables. Omitted — falling back to the
+    driver's weaker rows-only check — only if the canonical corpus
+    is unreadable in this environment."""
+    from spark_app_twitter_spark import oracles
+
+    try:
+        return {
+            "text_bpe_train_merges": oracles.bpe_train_merges_sql(),
+            "text_bpe_encode": oracles.bpe_encode_sql(),
+            "text_train_lang_lr": oracles.train_lang_lr_sql(),
+            "sim_embedding_pca": oracles.embedding_pca_sql(),
+            "graph_pagerank_near_dup": oracles.pagerank_near_dup_sql(),
+        }
+    except Exception:
+        return {}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query."""
     return {
+        **_trained_oracles(),
         "ingest_parse_events": ingest.PARSE_EVENTS_SQL,
         "enrich_documents": enrich.ENRICH_DOCUMENTS_SQL,
         "agg_positivity": aggregates.POSITIVITY_SQL,

@@ -5,10 +5,14 @@ The driver's parquet fixtures carry plain ``timestamp[us]`` columns
 and ``F.unix_micros`` rejects NTZ input outright
 (DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE).  Every temporal operator
 goes through :func:`epoch_us` instead, which widens NTZ to TIMESTAMP
-first (a no-op on TIMESTAMP columns).  With the session timezone at
-UTC the result is bit-identical to DuckDB's ``epoch_us`` on the same
-naive column, and every engine use is a difference or comparison, so
-the values stay consistent under any session timezone.
+first (a no-op on TIMESTAMP columns).  Correctness REQUIRES the UTC
+session timezone the app pins (session.py / the driver recipe set
+``spark.sql.session.timeZone=UTC``): the NTZ→TIMESTAMP cast
+reinterprets the naive value in the session zone, and under a DST
+timezone that mapping is not a uniform offset (ambiguous/skipped
+local times), so even differences and range comparisons could shift
+across DST transitions.  At UTC the result is bit-identical to
+DuckDB's ``epoch_us`` on the same naive column.
 """
 
 from __future__ import annotations

@@ -13,10 +13,11 @@ Lloyd k-means / label propagation / GD).
 
 Determinism (cross-engine and cross-partitioning): all rank mass is
 INTEGER micro-units (Q = 1e12 per unit mass). Per-edge contributions
-use integer floor division r//deg, the damping update is integer
-(15% teleport + 85% of summed contributions, floored) — sums of
-integers are order-independent, so the distributed result is
-bit-identical to the pure-Python replica pinned in tests. Floor
+use true integer floor division (SQL ``div``, r // deg), the damping
+update is integer (15% teleport + 85% of summed contributions via
+``div``) — sums of integers are order-independent, so the distributed
+result is bit-identical to the pure-Python // replica pinned in tests
+and to the literal-artifact DuckDB oracle (oracles.py). Floor
 division leaks ≤ deg ulps of mass per node per round — a relative
 error ~1e-9, irrelevant to ranking and identical on every engine.
 """
@@ -66,7 +67,10 @@ def pagerank_frame(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
             ranks, ed.src == ranks.node
         ).select(
             F.col("dst").alias("node"),
-            (F.col("rank_q") / F.col("deg")).cast("long").alias("c"),
+            # true integer floor division (``div``), not a truncated
+            # double quotient: for deg above ~2^52/rank the correctly
+            # rounded double r/deg can land on floor(t)+1
+            F.expr("rank_q div deg").alias("c"),
         )
         summed = contribs.groupBy("node").agg(
             F.sum(F.col("c").cast("decimal(38,0)")).alias("s")
@@ -75,13 +79,11 @@ def pagerank_frame(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
             nodes.join(summed, "node", "left")
             .select(
                 "node",
-                (
-                    F.lit(teleport)
-                    + (85 * F.coalesce(F.col("s"), F.lit(0)).cast("long"))
-                    / 100
-                )
-                .cast("long")
-                .alias("rank_q"),
+                F.expr(
+                    f"CAST({teleport}"
+                    " + (85 * coalesce(CAST(s AS LONG), 0L)) div 100"
+                    " AS LONG)"
+                ).alias("rank_q"),
             )
             .localCheckpoint(eager=True)
         )
@@ -91,9 +93,11 @@ def pagerank_frame(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
 def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, rank): PageRank centrality of every document that
     participates in at least one verified near-dup pair — the
-    canonical-selection score. Iterative, so no single-statement SQL
-    oracle; tests pin bit-parity against a pure-Python replica and
-    the rank-mass invariant."""
+    canonical-selection score. Iterative, so not single-statement
+    SQL — the driver oracle (oracles.pagerank_near_dup_sql) replays
+    the all-integer rank loop in a sequential replica over the
+    hash-green LSH-pair SQL and embeds the exact micro-unit ranks;
+    tests pin the same replica and the rank-mass invariant."""
     ranks = pagerank_frame(_dup_edges(spark, sf_dir))
     return ranks.select(
         F.col("node").alias("doc_id"),

@@ -4,10 +4,13 @@ deduplication" — public arXiv:2303.09540).
 
 The trick that makes embedding dedup tractable at corpus scale:
 instead of all-pairs cosine over N documents (O(N²)), k-means the
-embeddings into cells and compare ONLY within a cell — O(Σ|cell|²),
-and each cell's pairwise block is an independent task. Rising corpus
-size is absorbed by raising k (cells stay bounded), and a pathological
-mega-cell can be salted further by LSH bucket inside the cell.
+embeddings into cells and compare ONLY within a cell, and each cell's
+pairwise block is an independent task. Rising corpus size is absorbed
+by raising k (k ∝ √n keeps training/assignment at n^1.5), and the
+pairwise stage is bounded LINEAR by the per-cell candidate cap
+(``SEM_CANDIDATE_CAP``): each vector checks only the cap lowest-id
+members of its cell, so Σ min(|cell|, CAP)·|cell| <= n·CAP and a
+pathological mega-cell cannot blow up the stage.
 
 Pipeline here (all deterministic, oracle-replayable):
   1. cells <- Lloyd k-means (operators/clustering.py: fixed first-k
@@ -43,23 +46,46 @@ from spark_app_twitter_spark.operators.clustering import (
 
 SEM_DUP_THRESHOLD = 0.40  # synthetic embeddings are near-orthogonal; real corpora use ~0.95
 
+# Per-cell candidate bound (VERDICT r05: the k=√n adaptive cell count
+# balances assignment vs pairwise cost at n^1.5 each, but lets the
+# intra-cell pairwise stage grow superlinearly). Each vector compares
+# only against the SEM_CANDIDATE_CAP lowest-id members of its cell,
+# so total pairwise work is Σ min(|cell|, CAP)·|cell| <= n·CAP —
+# LINEAR in corpus size — and a pathological mega-cell is bounded by
+# construction. 64 exceeds every observed cell at the test scales
+# (max 35 @ sf0.01, 56 @ sf0.1), so small-SF results are unchanged;
+# at 100 TB the cap is the scale valve, trading recall on >64-member
+# cells exactly like the paper's cluster approximation trades recall
+# against all-pairs.
+SEM_CANDIDATE_CAP = 64
+
 
 def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, cell, keep) — keep=false iff a same-cell near-dup with
-    a lower vec_id exists.
+    """(vec_id, cell, keep) — keep=false iff a same-cell near-dup
+    ANCHOR (one of the cell's SEM_CANDIDATE_CAP lowest-id members)
+    with a lower vec_id exists.
 
     Plan shape: the assigned relation (vec_id, v, cell) is
     materialized once (assignment is a shuffle-free map against the
     driver-held trained centroids, and the checkpoint feeds both
     sides of the self-join); the self-join shuffles on the cell id —
-    narrow rows, bounded cells. The drop set is tiny and left-joins
-    back for the keep flag.
+    narrow rows, cells bounded by the candidate cap on the build
+    side. The drop set is tiny and left-joins back for the keep flag.
     """
+    from pyspark.sql import Window
+
     assigned = assign_cells(
         spark, _vecs(spark, sf_dir), kmeans_centroid_rows(spark, sf_dir)
     ).localCheckpoint(eager=True)
-    a = assigned.select(
-        F.col("vec_id").alias("a_id"), F.col("v").alias("a_v"), "cell"
+    anchor_rank = F.row_number().over(
+        Window.partitionBy("cell").orderBy(F.asc("vec_id"))
+    )
+    a = (
+        assigned.withColumn("arank", anchor_rank)
+        .where(F.col("arank") <= SEM_CANDIDATE_CAP)
+        .select(
+            F.col("vec_id").alias("a_id"), F.col("v").alias("a_v"), "cell"
+        )
     )
     b = assigned.select(
         F.col("vec_id").alias("b_id"), F.col("v").alias("b_v"), "cell"
@@ -94,9 +120,16 @@ def _semdedup_sql() -> str:
     return f"""
 WITH {kmeans_chain},
 {assign},
+anchors AS (
+  SELECT vec_id, v, cell
+  FROM (SELECT vec_id, v, cell, row_number() OVER (
+          PARTITION BY cell ORDER BY vec_id ASC) AS arank
+        FROM assigned)
+  WHERE arank <= {SEM_CANDIDATE_CAP}
+),
 dups AS (
   SELECT DISTINCT b.vec_id AS dup_id
-  FROM assigned a JOIN assigned b
+  FROM anchors a JOIN assigned b
     ON a.cell = b.cell AND a.vec_id < b.vec_id
   WHERE round({cosine_sql('a.v', 'b.v')}, 6) > {SEM_DUP_THRESHOLD}
 )
@@ -107,4 +140,10 @@ FROM assigned LEFT OUTER JOIN dups ON assigned.vec_id = dup_id
 
 SEMDEDUP_SQL = _semdedup_sql()
 
-__all__ = ["semdedup", "SEMDEDUP_SQL", "SEM_DUP_THRESHOLD", "K_CELLS"]
+__all__ = [
+    "semdedup",
+    "SEMDEDUP_SQL",
+    "SEM_DUP_THRESHOLD",
+    "SEM_CANDIDATE_CAP",
+    "K_CELLS",
+]

@@ -1002,9 +1002,12 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     The projection itself is one broadcast-literal dot product per
     component, zip_with/aggregate JVM-side over the scan — no shuffle
     at all after the (bounded) covariance reduction that trains the
-    axes. Iterative/eig training step means no single-statement SQL
-    oracle; unit tests pin parity against numpy PCA on the collected
-    corpus and the variance ordering property.
+    axes. The eig training step is not single-statement SQL — the
+    driver oracle (oracles.embedding_pca_sql) trains its own axes
+    from DuckDB's exact integer sums + the same numpy eigh and emits
+    the projection as real SQL with literal axes; unit tests pin
+    parity against numpy PCA on the collected corpus and the
+    variance ordering property.
     """
     comps, means = _pca_components(spark, sf_dir, PCA_COMPONENTS)
     emb = load_table(spark, sf_dir, "embeddings", spread=True)

@@ -1466,6 +1466,18 @@ def bpe_train_merges_frame(
 
     Determinism: argmax ties break on (count desc, left asc, right
     asc). Returns (merge_rank, left, right, pair_count).
+
+    SCOPE BOUNDARY (documented, deliberate): each merge is one
+    driver-coordinated Spark job (argmax collect -> fold), so
+    training cost is n_merges sequential jobs over the vocabulary —
+    right for the O(10²) merges this engine trains and for the
+    measured flat-in-corpus-size per-round cost (10x data: 0.9x,
+    30x: 0.6x — vocabulary-bounded), but NOT the loop shape for a
+    production 32k-merge tokenizer. That needs batch-merging of
+    disjoint pairs per round (each round can safely apply every
+    selected pair that shares no symbol with a higher-count pair) or
+    a specialized trainer outside the engine; the published merge
+    ARTIFACT plugs back in identically either way.
     """
     spark = docs.sparkSession
     vocab = (
@@ -1549,9 +1561,12 @@ def bpe_trained_merges(
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge-rule induction over the documents corpus — the
     tokenizer-training operator of the LLM-data pipeline. Iterative
-    (argmax-then-merge loop), so no single-statement SQL oracle; the
-    driver records the rows-only check and the unit tests pin the
-    reference-algorithm fixture from the BPE paper."""
+    (argmax-then-merge loop), so not single-statement SQL — the
+    driver oracle is a literal-artifact twin (oracles.py): a
+    sequential pure-Python replica trains the same merges over
+    DuckDB-tokenized word counts and the gate hash-compares the two
+    artifacts; unit tests additionally pin the reference-algorithm
+    fixture from the BPE paper."""
     merges = bpe_trained_merges(spark, sf_dir)
     return spark.createDataFrame(
         [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
@@ -1611,8 +1626,11 @@ def bpe_encode_frame(
 def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-then-encode over the documents corpus: the end-to-end
     tokenizer pipeline (learn merges, measure per-doc subword
-    inflation). Iterative training upstream means no SQL oracle;
-    tests pin the encode fold on the reference fixture."""
+    inflation). Driver oracle: replica-trained merge rules embedded
+    as literals into generated SQL whose window-function merge
+    stages reproduce the greedy-leftmost fold over the corpus
+    (oracles.bpe_encode_sql); tests pin the encode fold on the
+    reference fixture and adversarial run-parity words."""
     merges = bpe_trained_merges(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents", spread=True)
     return bpe_encode_frame(docs, [(l, r) for l, r, _ in merges])

@@ -142,9 +142,11 @@ def train_lang_lr_weights(
 def train_lang_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained classifier as a table: (feature, weight,
     train_accuracy) — the published model artifact. Iterative
-    (GD loop), so no single-statement SQL oracle; unit tests pin
-    bit-parity against a numpy replica of the same recipe and an
-    accuracy floor above the majority class."""
+    (GD loop), so not single-statement SQL — the driver oracle is a
+    literal-artifact twin (oracles.train_lang_lr_sql): a sequential
+    replica of the same integer-gradient recipe reproduces the
+    weights bit-for-bit; unit tests pin the replica and an accuracy
+    floor above the majority class."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     w, n_docs, n_correct = train_lang_lr_weights(docs)
     acc = round(n_correct / n_docs, 6)

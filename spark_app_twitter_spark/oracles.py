@@ -1,0 +1,464 @@
+"""Literal-artifact DuckDB oracles for the iteratively-trained
+operators (PCA projection, LR training, BPE train/encode, PageRank).
+
+Problem these solve: the driver's correctness gate compares each
+registered Spark query against a single ANSI-SQL string run by DuckDB
+over the same parquet tables. Training loops (eigendecomposition,
+gradient descent, merge-rule argmax, power iteration) are not
+single-statement SQL — so those five queries previously recorded the
+weaker ``no_oracle`` rows-only check.
+
+Pattern (the same published-model-artifact discipline as
+``clustering.kmeans_cells_sql``): each oracle here is GENERATED at
+``oracle_sql()`` time by an INDEPENDENT replica of the training
+recipe — pure Python / numpy over data read with DuckDB, sharing no
+Spark code path — and the trained artifact (axes, weights, merge
+rules, ranks) is embedded into the emitted SQL as literals. The
+deployment half of each operator (projection, scoring, encode fold,
+rank scaling) stays real SQL over the corpus, so the driver's
+hash-compare exercises the full distributed computation against a
+sequential reference implementation.
+
+Scope/caveat (documented, deliberate): artifacts are data-dependent,
+so the SQL is trained on the corpus the driver compares at —
+``ORACLE_SF_DIR`` (default ``/root/testdata/sf0.01``, overridable via
+``SPARK_GRAFT_ORACLE_SF_DIR``). Comparing the generated SQL against a
+different corpus is a train/serve mismatch and will (correctly)
+hash-mismatch. Exactness rests on the engine's quantized-integer
+reduction discipline: every distributed sum the replicas mirror is an
+integer sum (order-independent), so replica == Spark bit-for-bit; the
+only cross-library float surface is ``exp()`` (pinned by
+``tests/test_llm_ops.py``'s bit-parity tests).
+
+Reference parity: the reference app publishes its trained-model
+outputs as static artifacts too (spark_app/functions/functions.py
+loads pretrained pipelines); this module is the same train-once /
+serve-anywhere seam expressed for the correctness gate.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+ORACLE_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+)
+
+BPE_EOW = "</w>"
+
+# (oracle name, sf_dir) -> generated SQL; artifacts are deterministic
+# per corpus so regeneration is pure waste.
+_SQL_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _duck(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    return con
+
+
+def _s(lit: str) -> str:
+    """SQL single-quoted string literal."""
+    return "'" + lit.replace("'", "''") + "'"
+
+
+def _f(x: float) -> str:
+    """Round-trip double literal (repr is shortest-exact)."""
+    return repr(float(x))
+
+
+# ---------------------------------------------------------------- BPE
+
+
+def _merge_word(sym: list[str], left: str, right: str) -> list[str]:
+    """Greedy leftmost non-overlapping pair merge — the pure-Python
+    mirror of textstats._bpe_merge_pair's (out, carry) fold."""
+    out: list[str] = []
+    carry: str | None = None
+    for s in sym:
+        if carry is None:
+            carry = s
+        elif carry == left and s == right:
+            out.append(left + right)
+            carry = None
+        else:
+            out.append(carry)
+            carry = s
+    if carry is not None:
+        out.append(carry)
+    return out
+
+
+def _word_syms(word: str) -> list[str]:
+    # F.split(word, "") yields [''] for the empty string (Java regex
+    # split), and DuckDB string_split(word, '') agrees; mirror both.
+    chars = list(word) if word else [""]
+    return chars + [BPE_EOW]
+
+
+def replica_bpe_merges(
+    sf_dir: str, n_merges: int = 8
+) -> list[tuple[str, str, int]]:
+    """Sequential replica of textstats.bpe_train_merges_frame: DuckDB
+    tokenizes (same string_split-on-space), Python runs the
+    argmax-then-merge loop. All pair counts are exact integers; ties
+    break (count desc, left asc, right asc) — code-point order equals
+    Spark's UTF-8 binary order."""
+    con = _duck(sf_dir)
+    freqs = con.execute(
+        "SELECT word, count(*) AS freq FROM ("
+        "SELECT unnest(string_split(text, ' ')) AS word FROM documents"
+        ") GROUP BY word"
+    ).fetchall()
+    vocab = [(int(f), _word_syms(w)) for w, f in freqs]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for freq, sym in vocab:
+            for a, b in zip(sym, sym[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+        if not counts:
+            break
+        (left, right), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((left, right, c))
+        vocab = [
+            (freq, _merge_word(sym, left, right)) for freq, sym in vocab
+        ]
+    return merges
+
+
+def bpe_train_merges_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Literal-artifact twin of textstats.bpe_train_merges."""
+    key = ("bpe_train_merges", sf_dir)
+    if key not in _SQL_CACHE:
+        rows = ", ".join(
+            f"(CAST({i} AS INTEGER), {_s(l)}, {_s(r)}, CAST({c} AS BIGINT))"
+            for i, (l, r, c) in enumerate(replica_bpe_merges(sf_dir))
+        )
+        _SQL_CACHE[key] = (
+            "SELECT * FROM (VALUES "
+            + rows
+            + ') AS t(merge_rank, "left", "right", pair_count)'
+        )
+    return _SQL_CACHE[key]
+
+
+def _merge_stage_sql(k: int, left: str, right: str) -> str:
+    """One merge round over the vocab CTE v{k} -> v{k+1}: explode the
+    symbol list with ordinality, mark greedy-leftmost matches via
+    window functions, drop consumed rows, regroup in order.
+
+    left != right: adjacent matches are impossible (they would force
+    left == right), so every match merges and the row AFTER a match
+    is consumed.  left == right: matches live inside maximal runs of
+    the symbol; greedy-leftmost pairs occupy even offsets, odd
+    offsets are consumed (gaps-and-islands for the run id)."""
+    merged = _s(left + right)
+    if left != right:
+        return f"""e{k} AS (
+  SELECT word, generate_subscripts(sym, 1) AS i, unnest(sym) AS s FROM v{k}
+),
+f{k} AS (
+  SELECT word, i, s,
+         coalesce(s = {_s(left)}
+                  AND lead(s) OVER (PARTITION BY word ORDER BY i) = {_s(right)},
+                  false) AS m
+  FROM e{k}
+),
+g{k} AS (
+  SELECT word, i, s, m,
+         coalesce(lag(m) OVER (PARTITION BY word ORDER BY i), false) AS cons
+  FROM f{k}
+),
+v{k + 1} AS (
+  SELECT word, list(CASE WHEN m THEN {merged} ELSE s END ORDER BY i) AS sym
+  FROM g{k} WHERE NOT cons GROUP BY word
+)"""
+    return f"""e{k} AS (
+  SELECT word, generate_subscripts(sym, 1) AS i, unnest(sym) AS s FROM v{k}
+),
+f{k} AS (
+  SELECT word, i, s, (s = {_s(left)}) AS a,
+         i - row_number() OVER (PARTITION BY word, (s = {_s(left)}) ORDER BY i) AS grp
+  FROM e{k}
+),
+g{k} AS (
+  SELECT word, i, s, a,
+         i - min(i) OVER (PARTITION BY word, a, grp) AS p,
+         count(*) OVER (PARTITION BY word, a, grp) AS kr
+  FROM f{k}
+),
+v{k + 1} AS (
+  SELECT word,
+         list(CASE WHEN a AND p % 2 = 0 AND p < kr - 1 THEN {merged} ELSE s END
+              ORDER BY i) AS sym
+  FROM g{k} WHERE NOT (a AND p % 2 = 1) GROUP BY word
+)"""
+
+
+def bpe_encode_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Twin of textstats.bpe_encode: merge rules are the trained
+    artifact (from the sequential replica); tokenization, the
+    per-distinct-word merge folds, and the join-back aggregation are
+    all real SQL over the corpus."""
+    key = ("bpe_encode", sf_dir)
+    if key in _SQL_CACHE:
+        return _SQL_CACHE[key]
+    merges = replica_bpe_merges(sf_dir)
+    stages = ",\n".join(
+        _merge_stage_sql(k, l, r) for k, (l, r, _) in enumerate(merges)
+    )
+    n = len(merges)
+    _SQL_CACHE[key] = f"""WITH wc AS (
+  SELECT doc_id, word, count(*) AS n
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY doc_id, word
+),
+v0 AS (
+  SELECT word, list_append(string_split(word, ''), '{BPE_EOW}') AS sym
+  FROM (SELECT DISTINCT word FROM wc)
+),
+{stages},
+enc AS (SELECT word, len(sym) AS n_sub FROM v{n})
+SELECT wc.doc_id,
+       CAST(sum(wc.n) AS BIGINT) AS n_words,
+       CAST(sum(wc.n * enc.n_sub) AS BIGINT) AS n_subwords,
+       round(CAST(sum(wc.n * enc.n_sub) AS DOUBLE)
+             / CAST(sum(wc.n) AS DOUBLE), 6) AS subword_ratio
+FROM wc JOIN enc USING (word)
+GROUP BY wc.doc_id"""
+    return _SQL_CACHE[key]
+
+
+# ----------------------------------------------------------------- LR
+
+
+def replica_lang_lr(
+    sf_dir: str, iters: int, rate: float
+) -> tuple[list[float], float]:
+    """Sequential replica of training.train_lang_lr_weights — same
+    quantization (floor(x*1e6+0.5) features/sigmoid, 1e-9 weights),
+    same left-to-right fold order; returns (weights, accuracy)."""
+    from spark_app_twitter_spark.functions.text import STOPWORDS
+
+    q_f = 1_000_000
+    q_w = 1_000_000_000
+    con = _duck(sf_dir)
+    rows = con.execute("SELECT lang, text FROM documents").fetchall()
+    feats: list[tuple[int, list[int]]] = []
+    for lang, text in rows:
+        toks = text.split(" ")
+        n = float(len(toks))
+        sl = 0.0
+        for t in toks:
+            sl += float(len(t))
+        f = [
+            1.0,
+            min(n / 64.0, 1.0),
+            len(set(toks)) / n,
+            sum(1 for t in toks if t in STOPWORDS) / n,
+            (sl / n) / 10.0,
+        ]
+        fq = [math.floor(x * q_f + 0.5) for x in f]
+        feats.append((1 if lang == "en" else 0, fq))
+    dims = len(feats[0][1])
+    w = [0.0] * dims
+    n_docs = len(feats)
+
+    def pq_of(fq: list[int]) -> int:
+        z = 0.0
+        for j in range(dims):
+            z = z + w[j] * (fq[j] / float(q_f))
+        p = 1.0 / (1.0 + math.exp(-z))
+        return math.floor(p * q_f + 0.5)
+
+    for _ in range(iters):
+        g = [0] * dims
+        for y, fq in feats:
+            err = pq_of(fq) - y * q_f
+            for j in range(dims):
+                g[j] += err * fq[j]
+        for j in range(dims):
+            step = rate * (g[j] / (float(q_f) * q_f)) / n_docs
+            wj = w[j] - step
+            w[j] = int(wj * q_w + (0.5 if wj >= 0 else -0.5)) / q_w
+    n_correct = sum(
+        1
+        for y, fq in feats
+        if (pq_of(fq) >= q_f // 2 and y == 1)
+        or (pq_of(fq) < q_f // 2 and y == 0)
+    )
+    return w, round(n_correct / n_docs, 6)
+
+
+def train_lang_lr_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Literal-artifact twin of training.train_lang_lr."""
+    key = ("train_lang_lr", sf_dir)
+    if key not in _SQL_CACHE:
+        from spark_app_twitter_spark.operators.training import (
+            LR_FEATURES,
+            LR_ITERS,
+            LR_RATE,
+        )
+
+        w, acc = replica_lang_lr(sf_dir, LR_ITERS, LR_RATE)
+        rows = ", ".join(
+            f"({_s(name)}, CAST({_f(wj)} AS DOUBLE),"
+            f" CAST({_f(acc)} AS DOUBLE))"
+            for name, wj in zip(LR_FEATURES, w)
+        )
+        _SQL_CACHE[key] = (
+            "SELECT * FROM (VALUES "
+            + rows
+            + ") AS t(feature, weight, train_accuracy)"
+        )
+    return _SQL_CACHE[key]
+
+
+# ---------------------------------------------------------------- PCA
+
+
+def replica_pca(
+    sf_dir: str, k: int
+) -> tuple[list[list[float]], list[float]]:
+    """Sequential replica of similarity._pca_components: exact
+    integer sums from DuckDB, the operator's own IEEE chain for
+    cov/means, the same numpy eigh + sign canonicalization."""
+    import numpy as np
+
+    con = _duck(sf_dir)
+    q = (
+        "list_transform(embedding,"
+        " x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
+    )
+    sums = con.execute(
+        f"SELECT dim, sum(qx) AS sd, count(*) AS n FROM ("
+        f"SELECT unnest(range(len(q))) AS dim, unnest(q) AS qx "
+        f"FROM (SELECT {q} AS q FROM embeddings)) GROUP BY dim"
+    ).fetchall()
+    d = max(r[0] for r in sums) + 1
+    prods = con.execute(
+        f"SELECT s['i'] AS i, s['j'] AS j, sum(s['p']) AS sp, count(*) AS n "
+        f"FROM (SELECT unnest(flatten(list_transform(range(1, len(q) + 1), i -> "
+        f"list_transform(range(i, len(q) + 1), j -> "
+        f"{{'i': i - 1, 'j': j - 1, 'p': q[i] * q[j]}})))) AS s "
+        f"FROM (SELECT {q} AS q FROM embeddings)) GROUP BY i, j"
+    ).fetchall()
+    sd = {dim: int(s) for dim, s, _ in sums}
+    n = float(sums[0][2])
+    cov = np.zeros((d, d))
+    for i, j, sp, _ in prods:
+        # the operator's exact chain: (sp/n - (si/n)*(sj/n)) / 1e12
+        c = (float(int(sp)) / n - (float(sd[i]) / n) * (float(sd[j]) / n)) / 1e12
+        cov[i, j] = c
+        cov[j, i] = c
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        pivot = int(np.argmax(np.abs(np.round(v, 9))))
+        if v[pivot] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    means = [float(sd[dim]) / (n * 1e6) for dim in range(d)]
+    return comps, means
+
+
+def embedding_pca_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Twin of similarity.embedding_pca_project: literal trained axes
+    and means, real per-row projection SQL whose chained additions
+    reproduce the Spark fold's left-to-right double summation."""
+    key = ("embedding_pca", sf_dir)
+    if key in _SQL_CACHE:
+        return _SQL_CACHE[key]
+    from spark_app_twitter_spark.operators.similarity import PCA_COMPONENTS
+
+    comps, means = replica_pca(sf_dir, PCA_COMPONENTS)
+    cols = ["vec_id"]
+    for ci, comp in enumerate(comps):
+        terms = "0.0"
+        for i in range(len(means)):
+            terms += (
+                f" + (CAST(embedding[{i + 1}] AS DOUBLE) - {_f(means[i])})"
+                f" * {_f(comp[i])}"
+            )
+        cols.append(f"round({terms}, 6) AS pc{ci + 1}")
+    _SQL_CACHE[key] = "SELECT " + ",\n       ".join(cols) + " FROM embeddings"
+    return _SQL_CACHE[key]
+
+
+# ----------------------------------------------------------- PageRank
+
+
+def replica_pagerank(sf_dir: str) -> list[tuple[int, int]]:
+    """Sequential replica of graph.pagerank_near_dup: edges from the
+    (hash-green) MinHash-LSH pair oracle SQL, then the operator's own
+    all-integer rank loop — floor division throughout, so the result
+    is bit-identical regardless of engine or iteration order."""
+    from spark_app_twitter_spark.operators.dedup import MINHASH_LSH_PAIRS_SQL
+    from spark_app_twitter_spark.operators.graph import PR_ITERS, PR_Q
+
+    con = _duck(sf_dir)
+    pairs = con.execute(MINHASH_LSH_PAIRS_SQL).fetchall()
+    edges: list[tuple[int, int]] = []
+    for a, b, _ in pairs:
+        edges.append((int(a), int(b)))
+        edges.append((int(b), int(a)))
+    nodes = sorted({s for s, _ in edges})
+    n = len(nodes)
+    if n == 0:
+        return []
+    deg: dict[int, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    ranks = {v: PR_Q // n for v in nodes}
+    teleport = (15 * PR_Q // 100) // n
+    for _ in range(PR_ITERS):
+        summed: dict[int, int] = {}
+        for s, t in edges:
+            summed[t] = summed.get(t, 0) + ranks[s] // deg[s]
+        ranks = {
+            v: teleport + (85 * summed.get(v, 0)) // 100 for v in nodes
+        }
+    return [(v, ranks[v]) for v in nodes]
+
+
+def pagerank_near_dup_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Literal-artifact twin of graph.pagerank_near_dup; the final
+    micro-unit -> double scaling and round stay in SQL so DuckDB's
+    round seam (proven across the registry) does the tie-breaking."""
+    key = ("pagerank_near_dup", sf_dir)
+    if key in _SQL_CACHE:
+        return _SQL_CACHE[key]
+    from spark_app_twitter_spark.operators.graph import PR_Q
+
+    ranks = replica_pagerank(sf_dir)
+    if not ranks:
+        sql = (
+            "SELECT CAST(NULL AS BIGINT) AS doc_id,"
+            ' CAST(NULL AS DOUBLE) AS "rank" WHERE false'
+        )
+    else:
+        rows = ", ".join(
+            f"(CAST({v} AS BIGINT), CAST({rq} AS BIGINT))" for v, rq in ranks
+        )
+        sql = (
+            "SELECT doc_id, round(CAST(rank_q AS DOUBLE) / "
+            + _f(float(PR_Q))
+            + ', 9) AS "rank" FROM (VALUES '
+            + rows
+            + ") AS t(doc_id, rank_q)"
+        )
+    _SQL_CACHE[key] = sql
+    return _SQL_CACHE[key]

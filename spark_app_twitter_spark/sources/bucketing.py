@@ -94,12 +94,15 @@ def zorder_expr_sql(a: str, b: str, bits: int = ZORDER_BITS) -> str:
 
 def zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(event_id, u_bucket, t_bucket, z): the Morton layout key for
-    events over (user, hour-of-corpus) — the write path is then
+    events over (user, hour) — the write path is then
     ``.repartitionByRange("z").sortWithinPartitions("z")`` so both
     user-scoped and time-window scans prune row groups.
 
-    Buckets: user_id mod 256 (uniform synthetic ids) and hour index
-    since the corpus epoch mod 256. Pure map-side bit math — the key
+    Buckets: user_id mod 256 (uniform synthetic ids) and the hour
+    index since the UNIX epoch mod 256 (``floor(epoch_us/3.6e9)`` —
+    absolute, not corpus-relative, so the key of a row never changes
+    as new data arrives and incremental writes stay consistent with
+    the existing layout). Pure map-side bit math — the key
     computation adds zero shuffles to the write job.
     """
     from pyspark.sql import functions as F

@@ -23,6 +23,11 @@ Connector probe log (per-round check for a usable jar):
   Maven network). The option surface the connector would receive is
   now a pure dict (``kafka_source_options`` / ``kafka_sink_options``)
   pinned by contract tests instead.
+- 2026-08-13 (round 6): re-probed ``spark.jars.packages
+  org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2`` — ivy
+  resolution still has no network; spark-submit aborts in ~2.5 s
+  (JAVA_GATEWAY_EXITED before port handoff). Status unchanged:
+  option surface + file-stream twin remain the tested path.
 """
 
 from __future__ import annotations

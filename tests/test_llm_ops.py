@@ -288,6 +288,32 @@ def test_semdedup_parity(spark, sf_dir):
     )
 
 
+def test_semdedup_candidate_cap_bites_and_stays_parity(
+    spark, sf_dir, monkeypatch
+):
+    """Scale valve (VERDICT r05): with a cap smaller than the
+    biggest cell, the anchor restriction must (a) change the result
+    — proving the bound is live — and (b) keep Spark and the
+    regenerated SQL twin bit-identical under the capped semantics.
+    Also pins the containment direction: capping can only turn
+    keep=false into keep=true, never drop extra vectors."""
+    from spark_app_twitter_spark.operators import semdedup
+
+    full = {
+        r.vec_id: r.keep for r in semdedup.semdedup(spark, sf_dir).collect()
+    }
+    monkeypatch.setattr(semdedup, "SEM_CANDIDATE_CAP", 2)
+    capped_df = semdedup.semdedup(spark, sf_dir)
+    assert_parity(
+        capped_df, semdedup._semdedup_sql(), sf_dir, "semdedup_cap2"
+    )
+    capped = {r.vec_id: r.keep for r in capped_df.collect()}
+    assert capped != full, "cap=2 must restrict the candidate set"
+    dropped_full = {v for v, k in full.items() if not k}
+    dropped_capped = {v for v, k in capped.items() if not k}
+    assert dropped_capped <= dropped_full
+
+
 def test_kmeans_iterations_do_not_increase_sse(spark, sf_dir):
     """Lloyd property: within-cluster SSE is non-increasing (driven
     through the driver-held training loop helpers)."""
@@ -1418,8 +1444,8 @@ def test_shuffle_export_layout_properties(spark, sf_dir):
 def test_pagerank_matches_python_replica(spark, sf_dir):
     """Integer-unit PageRank: the distributed result must be
     bit-identical to a pure-Python replica of the same recipe
-    (float-division + truncation mirrored exactly), and the rank
-    mass must stay within floor-leak distance of 1."""
+    (integer floor division throughout), and the rank mass must
+    stay within floor-leak distance of 1."""
     from spark_app_twitter_spark.operators import dedup, graph
 
     got = {
@@ -1442,8 +1468,8 @@ def test_pagerank_matches_python_replica(spark, sf_dir):
     for _ in range(graph.PR_ITERS):
         s = {v: 0 for v in nodes}
         for src, dst in edges:
-            s[dst] += int(rq[src] / deg[src])
-        rq = {v: int(teleport + 85 * s[v] / 100) for v in nodes}
+            s[dst] += rq[src] // deg[src]
+        rq = {v: teleport + (85 * s[v]) // 100 for v in nodes}
     expect = {v: round(rq[v] / graph.PR_Q, 9) for v in nodes}
     assert got == expect
     total = sum(got.values())

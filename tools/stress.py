@@ -180,6 +180,12 @@ def main() -> None:
     import __spark_entry__ as ent
 
     repl = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    # optional: names after R restrict the run (e.g. the newest
+    # families at 100x, where the full sweep would be hours)
+    names = sys.argv[2:] or STRESS_QUERIES
+    unknown = [n for n in names if n not in STRESS_QUERIES]
+    if unknown:
+        raise SystemExit(f"not stress queries: {unknown}")
     spark = get_spark("stress", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.perf_counter()
@@ -193,7 +199,7 @@ def main() -> None:
         qs[warm](spark, "/root/testdata/sf0.001").count()
 
     base, scaled = {}, {}
-    for name in STRESS_QUERIES:
+    for name in names:
         t0 = time.perf_counter()
         qs[name](spark, SRC).count()
         base[name] = round(time.perf_counter() - t0, 2)
@@ -208,7 +214,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "stress_10x",
+                "metric": f"stress_{repl}x",
                 "replication": repl,
                 "build_sec": build_s,
                 "base_sec": base,

@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate: run every (or the
+first N) registry queries against their DuckDB oracles at sf0.01 and
+report BAD counts. This is the pre-flight for __spark_entry__'s
+rotation window — run it after any registry or operator change.
+
+Usage: python tools/sweep.py [N]   (N = check only the first N
+registry entries, e.g. 50 for the driver's window; default: all)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "tests"))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SWEEP_SF_DIR", "/root/testdata/sf0.01")
+
+
+def main() -> int:
+    limit = int(sys.argv[1]) if len(sys.argv) > 1 else None
+
+    import __spark_entry__ as entry
+    from parity import assert_parity
+    from spark_app_twitter_spark.session import get_spark
+
+    spark = get_spark("sweep")
+    rows = entry.entry(spark).count()
+    print(f"entry rows: {rows}", flush=True)
+    q = entry.queries()
+    o = entry.oracle_sql()
+    names = list(q)[:limit] if limit else list(q)
+    bad = []
+    for name in names:
+        t0 = time.time()
+        try:
+            if name in o:
+                assert_parity(q[name](spark, SF_DIR), o[name], SF_DIR, name)
+                status = "ok"
+            else:
+                n = q[name](spark, SF_DIR).count()
+                status = f"rows-only ({n})"
+        except Exception as e:  # noqa: BLE001 — report, keep sweeping
+            status = f"BAD {str(e)[:300]}"
+            bad.append(name)
+        print(f"  {name}: {status} [{time.time() - t0:.1f}s]", flush=True)
+    print(f"checked {len(names)} BAD: {len(bad)}")
+    for name in bad:
+        print(f"  BAD {name}")
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
