@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from spark_app_twitter_spark.sources import bucketing as layout
 from spark_app_twitter_spark.operators import (
     graph,
+    sketches,
     packing,
     retrieval,
     semdedup,  # noqa: E402
@@ -37,6 +38,7 @@ from spark_app_twitter_spark.operators import (
     textstats,
     tpch,
     training,
+    versioning,
 )
 
 
@@ -74,11 +76,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     whose last driver row dated r01/r02 lead, then the six entries
     changed this round (the five ex-``no_oracle`` queries that now
     carry literal-artifact DuckDB twins — see oracles.py — plus the
-    sem_dedup bounded-cell scale fix), then r04-attested fill. After
-    this window runs, every registry entry's driver attestation is
-    at most two rounds old. The demoted r04 remainder heads the
-    round-7 window; the 45 r05-fresh entries sit last. Every
-    deferred entry keeps a local DuckDB-oracle parity test in CI.
+    sem_dedup bounded-cell scale fix), then the FIVE round-6
+    additions (inverted index, nearest-event join, corpus delta,
+    mixture planner, deterministic HLL), then r04-attested fill.
+    After this window runs, every registry entry's driver
+    attestation is at most two rounds old. The demoted r04
+    remainder (led by the five fill entries this window displaced)
+    heads the round-7 window; the 45 r05-fresh entries sit last.
+    Every deferred entry keeps a local DuckDB-oracle parity test in
+    CI.
     """
     return {
         # --- 1. last driver-attested r01/r02 — the 20-entry stale tail
@@ -115,6 +121,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_embedding_pca": similarity.embedding_pca_project,
         "graph_pagerank_near_dup": graph.pagerank_near_dup,
         "sem_dedup": semdedup.semdedup,
+        # --- 2b. new in round 6 ---
+        "retrieval_inverted_index": retrieval.build_inverted_index,
+        "asof_nearest_click": asof.nearest_click_to_purchase,
+        "versioning_corpus_delta": versioning.corpus_delta,
+        "text_mixture_plan": textstats.mixture_plan,
+        "sketch_hll_daily_users": sketches.hll_daily_users,
         # --- 3. r04-attested fill (oldest remaining attestations) ---
         "agg_serving_join": aggregates.aggregated_serving,
         "serving_dedup_first": serving.dedup_first,
@@ -135,13 +147,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "dedup_ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "dedup_containment_pairs": dedup.containment_pairs,
+        # ---- driver verification window ends at 50 entries ----
+        # --- 4. r04-attested remainder, next in line for round 7 ---
         "dedup_clusters": dedup.dedup_clusters,
         "text_token_stats": textstats.token_stats,
         "text_token_counts": textstats.token_counts,
         "text_lang_id": textstats.lang_id,
         "text_doc_fingerprint": textstats.doc_fingerprint,
-        # ---- driver verification window ends at 50 entries ----
-        # --- 4. r04-attested remainder, next in line for round 7 ---
         "text_redact": textstats.redact_text,
         "sim_quantize_embeddings": similarity.quantize_embeddings,
         "multimodal_resize_images": multimodal.resize_images,
@@ -242,6 +254,11 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query."""
     return {
         **_trained_oracles(),
+        "retrieval_inverted_index": retrieval.BUILD_INVERTED_INDEX_SQL,
+        "asof_nearest_click": asof.NEAREST_CLICK_TO_PURCHASE_SQL,
+        "versioning_corpus_delta": versioning.CORPUS_DELTA_SQL,
+        "text_mixture_plan": textstats.MIXTURE_PLAN_SQL,
+        "sketch_hll_daily_users": sketches.HLL_DAILY_USERS_SQL,
         "ingest_parse_events": ingest.PARSE_EVENTS_SQL,
         "enrich_documents": enrich.ENRICH_DOCUMENTS_SQL,
         "agg_positivity": aggregates.POSITIVITY_SQL,

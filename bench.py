@@ -82,6 +82,13 @@ HEADLINE = [
     "text_bpe_encode",
     "sim_embedding_pca",
     "pack_shuffle_export",
+    # round 6 additions: inverted-index build (term-keyed caps),
+    # bidirectional nearest-event join, snapshot delta, mixture plan
+    "retrieval_inverted_index",
+    "asof_nearest_click",
+    "versioning_corpus_delta",
+    "text_mixture_plan",
+    "sketch_hll_daily_users",
 ]
 
 

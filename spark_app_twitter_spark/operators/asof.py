@@ -235,3 +235,112 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON abs(epoch_us(c.ts) - epoch_us(e.ts)) <= {BURST_RADIUS_US}
 GROUP BY e.event_id
 """
+
+
+def nearest_click_to_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bidirectional nearest-neighbor temporal join: each purchase
+    enriched with the user's click CLOSEST in time, before OR after
+    (attribution when the click can trail the conversion —
+    post-purchase confirmation clicks, clock-skewed client logs).
+
+    Scale shape: the as-of union+window trick run in BOTH directions
+    over ONE shuffle on the key — a forward pass (last click <= ts)
+    and a backward pass (first click >= ts) are two sorted window
+    evaluations of the same partitioning, then a map-side argmin
+    picks the closer side. The naive formulation is a per-user range
+    self-join whose candidates blow up quadratically on active
+    users; this stays |purchases| + |clicks| rows per key.
+
+    Ties: equidistant prev/next resolve to the EARLIER click; clicks
+    are pre-deduped to one per (user, ts) by max event_id, so both
+    engines see identical candidates. gap_seconds is SIGNED
+    (negative = click preceded the purchase).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("_r_click_id"))
+        .withColumn("_r_click_ts", F.col("ts"))
+    )
+    l_tag = purchases.withColumn("_side", F.lit(1))
+    r_tag = clicks.withColumn("_side", F.lit(0))
+    unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    # right rows sort before left at equal ts in BOTH directions, so
+    # an exactly-simultaneous click is visible to each pass (gap 0)
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.asc("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = (
+        unioned.select(
+            "*",
+            F.last("_r_click_id", ignorenulls=True)
+            .over(w_prev)
+            .alias("prev_id"),
+            F.last("_r_click_ts", ignorenulls=True)
+            .over(w_prev)
+            .alias("prev_ts"),
+            F.last("_r_click_id", ignorenulls=True)
+            .over(w_next)
+            .alias("next_id"),
+            F.last("_r_click_ts", ignorenulls=True)
+            .over(w_next)
+            .alias("next_ts"),
+        )
+        .where(F.col("_side") == 1)
+    )
+    d_prev = epoch_us("ts") - epoch_us("prev_ts")
+    d_next = epoch_us("next_ts") - epoch_us("ts")
+    take_prev = F.col("prev_id").isNotNull() & (
+        F.col("next_id").isNull() | (d_prev <= d_next)
+    )
+    click_id = F.when(take_prev, F.col("prev_id")).otherwise(
+        F.col("next_id")
+    )
+    click_ts = F.when(take_prev, F.col("prev_ts")).otherwise(
+        F.col("next_ts")
+    )
+    return enriched.select(
+        "event_id",
+        "user_id",
+        "ts",
+        click_id.alias("click_id"),
+        F.round(
+            (epoch_us(click_ts) - epoch_us("ts")) / F.lit(1_000_000.0), 3
+        ).alias("gap_seconds"),
+    )
+
+
+NEAREST_CLICK_TO_PURCHASE_SQL = """
+WITH purchases AS (
+  SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+cand AS (
+  SELECT p.event_id, p.user_id, p.ts, c.click_id, c.click_ts,
+         row_number() OVER (
+           PARTITION BY p.event_id
+           ORDER BY abs(epoch_us(c.click_ts) - epoch_us(p.ts)) ASC,
+                    c.click_ts ASC) AS rk
+  FROM purchases p LEFT JOIN clicks c ON p.user_id = c.user_id
+)
+SELECT event_id, user_id, ts, click_id,
+       round((epoch_us(click_ts) - epoch_us(ts)) / 1000000.0, 3)
+         AS gap_seconds
+FROM cand WHERE rk = 1
+"""

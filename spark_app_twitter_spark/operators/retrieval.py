@@ -81,4 +81,69 @@ FROM hits h
 JOIN docs d ON h.neighbor_id = d.doc_id
 """
 
-__all__ = ["rag_retrieve", "RAG_RETRIEVE_SQL"]
+# Posting-list truncation: keep a term's POSTING_CAP lowest doc ids.
+# The cap is what makes index build scale-safe — a stopword's posting
+# list is the corpus, and an uncapped collect would hold it in one
+# aggregation buffer. df stays EXACT (counted before the cap).
+POSTING_CAP = 1000
+
+
+def build_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, df, postings): the sparse-retrieval index build — exact
+    document frequency plus the sorted posting list (lowest
+    ``POSTING_CAP`` doc ids) per distinct term. The BM25/keyword
+    half of a hybrid RAG stack, and the exact-match complement of
+    the ANN index.
+
+    Scale shape: one explode to (term, doc_id), distinct, then a
+    single per-term pass — row_number over (term ORDER BY doc_id)
+    ranks postings so the cap is applied WITHOUT materializing the
+    full list (no unbounded collect_set; the aggregation buffer
+    holds at most POSTING_CAP ids per term), and df counts the
+    pre-cap pairs in the same aggregation. Both shuffles are keyed
+    on the term — no skew beyond natural stopword weight, which the
+    cap bounds on the output side.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    pairs = docs.select(
+        F.explode(tokens("text")).alias("term"), "doc_id"
+    ).distinct()
+    rn = F.row_number().over(
+        Window.partitionBy("term").orderBy(F.asc("doc_id"))
+    )
+    return (
+        pairs.withColumn("rn", rn)
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("rn") <= POSTING_CAP, F.col("doc_id"))
+                )
+            ).alias("postings"),
+        )
+    )
+
+
+BUILD_INVERTED_INDEX_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT term, doc_id
+  FROM (SELECT unnest(string_split(text, ' ')) AS term, doc_id
+        FROM documents)
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS df,
+       (list(doc_id ORDER BY doc_id ASC))[:{POSTING_CAP}] AS postings
+FROM pairs
+GROUP BY term
+"""
+
+__all__ = [
+    "rag_retrieve",
+    "RAG_RETRIEVE_SQL",
+    "build_inverted_index",
+    "BUILD_INVERTED_INDEX_SQL",
+    "POSTING_CAP",
+]

@@ -753,6 +753,92 @@ SOURCE_STATS_SQL = _source_stats_sql()
 
 
 # ---------------------------------------------------------------------------
+# Data-mixture planner: per-source sampling multipliers toward a
+# target mix — the knob a pretraining run turns to up/down-weight
+# sources (the LLaMA/Pile-style mixture table), computed from exact
+# token counts so the plan is auditable.
+# ---------------------------------------------------------------------------
+
+# Target-weight rule (engine-portable, no external config table):
+# even-numbered sources get 2x the weight of odd-numbered ones.
+# Swap for a broadcast config dimension in production; the plan
+# shape is identical.
+_MIX_WEIGHT_SQL = (
+    "CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0"
+    " THEN 2.0 ELSE 1.0 END"
+)
+
+
+def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_tokens, token_share, target_share,
+    multiplier): the sampling multiplier that moves each source from
+    its actual token share to the target mix. multiplier > 1 means
+    oversample (repeat epochs), < 1 subsample.
+
+    Scale shape: one scan aggregates exact per-source token counts
+    (map-side combine to |sources| rows); the grand totals are a
+    1-row aggregate of THAT tiny relation, joined back by broadcast
+    cross join. No second corpus scan, no window over the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    per_src = (
+        docs.select(
+            "source", F.size(tokens("text")).cast("long").alias("n_tok")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        # Spark parses the 2.0/1.0 literals as DECIMAL; DuckDB as
+        # DOUBLE — pin the shared expression to double
+        .withColumn("w", F.expr(_MIX_WEIGHT_SQL).cast("double"))
+        # |sources| rows: materialize so the totals branch aggregates
+        # THIS relation instead of re-scanning the corpus
+        .localCheckpoint(eager=True)
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("tot_tokens"), F.sum("w").alias("tot_w")
+    )
+    share = F.col("n_tokens").cast("double") / F.col("tot_tokens").cast(
+        "double"
+    )
+    target = F.col("w") / F.col("tot_w")
+    return per_src.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(target, 6).alias("target_share"),
+        F.round(target / share, 6).alias("multiplier"),
+    )
+
+
+MIXTURE_PLAN_SQL = f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         {_MIX_WEIGHT_SQL} AS w
+  FROM documents GROUP BY source
+),
+totals AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+         CAST(sum(w) AS DOUBLE) AS tot_w
+  FROM per_src
+)
+SELECT source, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE), 6)
+         AS token_share,
+       round(w / tot_w, 6) AS target_share,
+       round((w / tot_w)
+             / (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)), 6)
+         AS multiplier
+FROM per_src CROSS JOIN totals
+"""
+
+
+# ---------------------------------------------------------------------------
 # Round 3: split assignment + sequence-length distribution — the two
 # bookkeeping queries every training run derives before sharding.
 # ---------------------------------------------------------------------------

@@ -1,0 +1,102 @@
+"""Corpus snapshot versioning — the incremental-pipeline diff.
+
+A production training-data pipeline never reprocesses 100 TB from
+scratch: each crawl/delivery is diffed against the published snapshot
+and only added/changed documents flow through the (expensive) enrich
+-> dedup -> filter stages, while removals propagate as tombstones.
+This module computes that diff as a co-partitioned join of content
+fingerprints — the one-shuffle shape that stays cheap at any corpus
+size because both sides hash-partition on the immutable doc_id.
+
+The engine has no second physical snapshot to diff against, so the
+operator derives both sides from the documents table with fixed,
+engine-portable rules (modular arithmetic on doc_id) — the derivation
+IS part of the contract and the DuckDB oracle replays it:
+
+  old snapshot: every doc except doc_id % 11 == 0 (the previous
+    crawl hadn't discovered those yet -> they diff as ADDED);
+  new snapshot: every doc except doc_id % 17 == 0 (dropped since ->
+    REMOVED), with text amended for doc_id % 13 == 0 (re-crawled
+    content -> CHANGED).
+
+Reference scope note: the reference app reprocesses its full Mongo
+collection per batch (spark_app/functions/functions.py write path);
+snapshot diffing is the SURVEY LLM-pipeline mandate's incremental
+upgrade of that pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_app_twitter_spark.sources.parquet import load_table
+
+# Derivation moduli — shared by the Spark operator and the SQL twin.
+_ADD_MOD = 11  # absent from the old snapshot
+_DEL_MOD = 17  # absent from the new snapshot
+_CHG_MOD = 13  # re-crawled (text amended) in the new snapshot
+_CHG_SUFFIX = " rev2"
+
+
+def corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, status, old_fp, new_fp) for every document whose
+    state differs between the two derived snapshots — status in
+    ('added', 'removed', 'changed'); unchanged docs are filtered out
+    so the output is the WORK LIST, not the corpus.
+
+    Plan shape: each side is one projection to (doc_id, md5(text)) —
+    fingerprints travel, text does not — then a single full-outer
+    join keyed on doc_id. No window, no skew (doc_id is unique), and
+    the filter to differing rows happens before any downstream
+    consumer, so the expensive stages only ever see the delta.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    old = docs.where(
+        F.pmod(F.col("doc_id"), F.lit(_ADD_MOD)) != 0
+    ).select("doc_id", F.md5(F.col("text")).alias("old_fp"))
+    new_text = F.when(
+        F.pmod(F.col("doc_id"), F.lit(_CHG_MOD)) == 0,
+        F.concat(F.col("text"), F.lit(_CHG_SUFFIX)),
+    ).otherwise(F.col("text"))
+    new = docs.where(
+        F.pmod(F.col("doc_id"), F.lit(_DEL_MOD)) != 0
+    ).select("doc_id", F.md5(new_text).alias("new_fp"))
+    joined = old.join(new, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("status", status)
+        .where(F.col("status").isNotNull())
+        .select("doc_id", "status", "old_fp", "new_fp")
+    )
+
+
+CORPUS_DELTA_SQL = f"""
+WITH old AS (
+  SELECT doc_id, md5(text) AS old_fp FROM documents
+  WHERE doc_id % {_ADD_MOD} != 0
+),
+new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % {_CHG_MOD} = 0
+                  THEN text || '{_CHG_SUFFIX}' ELSE text END) AS new_fp
+  FROM documents WHERE doc_id % {_DEL_MOD} != 0
+),
+joined AS (
+  SELECT coalesce(old.doc_id, new.doc_id) AS doc_id, old_fp, new_fp
+  FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+)
+SELECT doc_id,
+       CASE WHEN old_fp IS NULL THEN 'added'
+            WHEN new_fp IS NULL THEN 'removed'
+            WHEN old_fp != new_fp THEN 'changed' END AS status,
+       old_fp, new_fp
+FROM joined
+WHERE old_fp IS NULL OR new_fp IS NULL OR old_fp != new_fp
+"""
+
+__all__ = ["corpus_delta", "CORPUS_DELTA_SQL"]

@@ -382,3 +382,121 @@ def test_session_window_exact_gap_merges(spark):
         _with_session_idx(df).select("sess_idx").distinct().count()
     )
     assert lagcum == 2
+
+
+# --------------------------------------------------------------- round 6
+
+
+def test_inverted_index_parity_and_cap(spark, sf_dir):
+    """Posting lists match the SQL twin; df is exact and postings
+    are sorted, unique, and capped."""
+    from spark_app_twitter_spark.operators import retrieval
+
+    df = retrieval.build_inverted_index(spark, sf_dir)
+    assert_parity(
+        df, retrieval.BUILD_INVERTED_INDEX_SQL, sf_dir, "inverted_index"
+    )
+    for r in df.collect():
+        p = list(r.postings)
+        assert p == sorted(set(p))
+        assert len(p) == min(r.df, retrieval.POSTING_CAP)
+
+
+def test_nearest_click_parity_and_nearest_property(spark, sf_dir):
+    """Window-pass nearest-neighbor join matches the per-purchase
+    argmin oracle, and no other click of the same user is closer
+    than the one chosen (spot-checked via the naive join)."""
+    from spark_app_twitter_spark.operators import asof
+
+    out = asof.nearest_click_to_purchase(spark, sf_dir)
+    assert_parity(
+        out, asof.NEAREST_CLICK_TO_PURCHASE_SQL, sf_dir, "nearest_click"
+    )
+    got = {r.event_id: r.gap_seconds for r in out.collect()}
+    assert got, "fixture has purchases"
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    from spark_app_twitter_spark.functions.timeutil import epoch_us
+
+    best = (
+        purchases.join(clicks, "user_id")
+        .groupBy("event_id")
+        .agg(
+            F.min(F.abs(epoch_us("cts") - epoch_us("ts"))).alias("d_us")
+        )
+    )
+    for r in best.collect():
+        # gap_seconds is rounded to ms; compare within half an ms
+        assert abs(abs(got[r.event_id]) * 1_000_000 - r.d_us) <= 500, (
+            r.event_id
+        )
+
+
+def test_corpus_delta_parity_and_statuses(spark, sf_dir):
+    """Snapshot diff matches the SQL twin and classifies the derived
+    add/remove/change moduli correctly (a doc hit by several rules
+    resolves in added > removed > changed priority)."""
+    from spark_app_twitter_spark.operators import versioning
+
+    df = versioning.corpus_delta(spark, sf_dir)
+    assert_parity(df, versioning.CORPUS_DELTA_SQL, sf_dir, "corpus_delta")
+    rows = {r.doc_id: r.status for r in df.collect()}
+    assert set(rows.values()) == {"added", "removed", "changed"}
+    for doc_id, status in rows.items():
+        if doc_id % 11 == 0:
+            expect = "added" if doc_id % 17 != 0 else None
+        elif doc_id % 17 == 0:
+            expect = "removed"
+        else:
+            expect = "changed" if doc_id % 13 == 0 else None
+        assert status == expect, (doc_id, status, expect)
+
+
+def test_mixture_plan_parity_and_mass_balance(spark, sf_dir):
+    """Mixture multipliers match the SQL twin; shares each sum to ~1
+    and multiplier * token_share reproduces target_share."""
+    from spark_app_twitter_spark.operators import textstats
+
+    df = textstats.mixture_plan(spark, sf_dir)
+    assert_parity(df, textstats.MIXTURE_PLAN_SQL, sf_dir, "mixture_plan")
+    rows = df.collect()
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.target_share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert abs(r.multiplier * r.token_share - r.target_share) < 1e-4
+
+
+def test_hll_daily_users_parity_and_accuracy(spark, sf_dir):
+    """Deterministic HLL: bit-exact twin parity, rel-err ceiling
+    (m=256 -> sigma ~6.5%, ceiling 3-4 sigma), and the mergeable
+    property: sketching two halves and merging bucket maxima gives
+    the same estimate as sketching everything."""
+    from spark_app_twitter_spark.operators import sketches
+
+    df = sketches.hll_daily_users(spark, sf_dir)
+    assert_parity(df, sketches.HLL_DAILY_USERS_SQL, sf_dir, "hll_daily")
+    rows = df.collect()
+    assert rows
+    assert max(r.rel_err for r in rows) < 0.25
+    # merge property at the register level: max(rho) over a union of
+    # disjoint halves == max(rho) over the whole (trivially true for
+    # max, but run through the real pipeline to pin the plumbing)
+    ev = load_table(spark, sf_dir, "events")
+    whole = {(r.day, r.hll_estimate) for r in rows}
+    halves = ev.where(F.col("event_id") % 2 == 0).unionByName(
+        ev.where(F.col("event_id") % 2 == 1)
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        halves.write.mode("overwrite").parquet(f"{td}/events.parquet")
+        again = {
+            (r.day, r.hll_estimate)
+            for r in sketches.hll_daily_users(spark, td).collect()
+        }
+    assert again == whole

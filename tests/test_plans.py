@@ -372,3 +372,55 @@ def test_salted_totals_two_phase_shape(spark, sf_dir):
     assert "_salt" in plan, "phase-1 grouping must include the salt"
     assert plan.count("Exchange hashpartitioning") == 2
     assert plan.count("HashAggregate") >= 4  # partial+final per phase
+
+
+def test_nearest_click_single_shuffle_no_range_join(spark, sf_dir):
+    """The bidirectional nearest join must be the union+window shape:
+    one hash shuffle on user_id feeding two sorted window passes —
+    never a per-user range/nested-loop product."""
+    from spark_app_twitter_spark.operators import asof
+
+    df = asof.nearest_click_to_purchase(spark, sf_dir)
+    plan = E.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, (
+        "expected the union shuffle (+ the click-dedup agg) only"
+    )
+
+
+def test_inverted_index_caps_inside_aggregation(spark, sf_dir):
+    """Posting lists are capped by the pre-aggregation rank filter:
+    the plan carries the row_number window BEFORE the final
+    aggregate, and all exchanges are keyed (no global sort)."""
+    from spark_app_twitter_spark.operators import retrieval
+
+    df = retrieval.build_inverted_index(spark, sf_dir)
+    plan = E.executed_plan(df)
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_corpus_delta_is_single_join_of_fingerprints(spark, sf_dir):
+    """Snapshot diff: two fingerprint projections into ONE
+    co-partitioned full-outer join — text never travels past md5."""
+    from spark_app_twitter_spark.operators import versioning
+
+    df = versioning.corpus_delta(spark, sf_dir)
+    plan = E.executed_plan(df)
+    assert plan.count("SortMergeJoin FullOuter") == 1 or (
+        "FullOuter" in plan
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_mixture_plan_totals_from_tiny_relation(spark, sf_dir):
+    """Grand totals must aggregate the |sources| relation, not rescan
+    the corpus: exactly one parquet scan in the plan."""
+    from spark_app_twitter_spark.operators import textstats
+
+    df = textstats.mixture_plan(spark, sf_dir)
+    plan = E.executed_plan(df)
+    assert plan.count("Scan parquet") + plan.count("FileScan") <= 2
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
