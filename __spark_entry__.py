@@ -76,9 +76,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     whose last driver row dated r01/r02 lead, then the six entries
     changed this round (the five ex-``no_oracle`` queries that now
     carry literal-artifact DuckDB twins — see oracles.py — plus the
-    sem_dedup bounded-cell scale fix), then the FIVE round-6
+    sem_dedup bounded-cell scale fix), then the NINE round-6
     additions (inverted index, nearest-event join, corpus delta,
-    mixture planner, deterministic HLL), then r04-attested fill.
+    mixture planner, deterministic HLL, bloom decontamination,
+    incremental stats maintenance, batched BPE, two-level k-means),
+    then r04-attested fill.
     After this window runs, every registry entry's driver
     attestation is at most two rounds old. The demoted r04
     remainder (led by the five fill entries this window displaced)
@@ -127,6 +129,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioning_corpus_delta": versioning.corpus_delta,
         "text_mixture_plan": textstats.mixture_plan,
         "sketch_hll_daily_users": sketches.hll_daily_users,
+        "text_decontaminate_bloom": textstats.decontaminate_bloom,
+        "versioning_incremental_stats": versioning.incremental_source_stats,
+        "text_bpe_train_batched": textstats.bpe_train_merges_batched,
+        "sim_kmeans_cells_2level": clustering.kmeans_cells_2level,
         # --- 3. r04-attested fill (oldest remaining attestations) ---
         "agg_serving_join": aggregates.aggregated_serving,
         "serving_dedup_first": serving.dedup_first,
@@ -143,12 +149,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_value_histogram": serving.value_histogram,
         "tpch_top_customers_per_nation": tpch.top_customers_per_nation,
         "dedup_exact": dedup.exact_dedup,
+        # ---- driver verification window ends at 50 entries ----
+        # --- 4. r04-attested remainder, next in line for round 7 ---
         "dedup_minhash_signatures": dedup.minhash_signatures,
         "dedup_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "dedup_ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "dedup_containment_pairs": dedup.containment_pairs,
-        # ---- driver verification window ends at 50 entries ----
-        # --- 4. r04-attested remainder, next in line for round 7 ---
         "dedup_clusters": dedup.dedup_clusters,
         "text_token_stats": textstats.token_stats,
         "text_token_counts": textstats.token_counts,
@@ -245,6 +251,7 @@ def _trained_oracles() -> dict[str, str]:
             "text_train_lang_lr": oracles.train_lang_lr_sql(),
             "sim_embedding_pca": oracles.embedding_pca_sql(),
             "graph_pagerank_near_dup": oracles.pagerank_near_dup_sql(),
+            "text_bpe_train_batched": oracles.bpe_train_merges_batched_sql(),
         }
     except Exception:
         return {}
@@ -259,6 +266,9 @@ def oracle_sql() -> dict[str, str]:
         "versioning_corpus_delta": versioning.CORPUS_DELTA_SQL,
         "text_mixture_plan": textstats.MIXTURE_PLAN_SQL,
         "sketch_hll_daily_users": sketches.HLL_DAILY_USERS_SQL,
+        "text_decontaminate_bloom": textstats.DECONTAMINATE_BLOOM_SQL,
+        "versioning_incremental_stats": versioning.INCREMENTAL_SOURCE_STATS_SQL,
+        "sim_kmeans_cells_2level": clustering.KMEANS_CELLS_2LEVEL_SQL,
         "ingest_parse_events": ingest.PARSE_EVENTS_SQL,
         "enrich_documents": enrich.ENRICH_DOCUMENTS_SQL,
         "agg_positivity": aggregates.POSITIVITY_SQL,

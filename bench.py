@@ -89,6 +89,9 @@ HEADLINE = [
     "versioning_corpus_delta",
     "text_mixture_plan",
     "sketch_hll_daily_users",
+    "text_decontaminate_bloom",
+    "versioning_incremental_stats",
+    "sim_kmeans_cells_2level",
 ]
 
 
@@ -140,6 +143,18 @@ def main() -> None:
     t0 = time.perf_counter()
     _sim._pca_components(spark, SF_DIR, _sim.PCA_COMPONENTS)
     model_times["pca_train"] = round(time.perf_counter() - t0, 3)
+
+    # two-level cells reuse the coarse centroid artifact: warm it so
+    # the headline number measures assignment + fine training, not
+    # the coarse Lloyd a production pipeline trains once
+    from spark_app_twitter_spark.operators import clustering as _cl
+
+    t0 = time.perf_counter()
+    k1, _ = _cl.levels_for(_cl.corpus_size(spark, SF_DIR))
+    _cl.kmeans_centroid_rows(spark, SF_DIR, k=k1)
+    model_times["coarse_centroids_train"] = round(
+        time.perf_counter() - t0, 3
+    )
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -356,3 +356,183 @@ def kmeans_cells_sql(k: int | None = None, iters: int = ITERS) -> str:
 
 
 KMEANS_CELLS_SQL = kmeans_cells_sql()
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical (two-level) cells — the production path past the flat
+# trainer's n*k assignment wall.
+# ---------------------------------------------------------------------------
+
+
+def levels_for(n: int) -> tuple[int, int]:
+    """(K1, K2): coarse and per-cell fine counts for an n-vector
+    corpus. K1 = ceil(sqrt(cells_for(n))) coarse cells, K2 =
+    ceil(K/K1) fine cells under each — total cells ~= cells_for(n),
+    but every assignment scores only K1 + K2 ~= 2*sqrt(K) centroids
+    instead of K. At n = 1e10 (the 100 TB corpus): flat k = 1e5
+    means 1e5 scores per vector; two-level means ~650."""
+    k = cells_for(n)
+    k1 = max(2, math.ceil(math.sqrt(k)))
+    return k1, max(1, math.ceil(k / k1))
+
+
+def _fine_assign(
+    members: DataFrame, fdf: DataFrame
+) -> DataFrame:
+    """(vec_id, v, coarse, fine): nearest FINE centroid within each
+    vector's coarse cell — broadcast join keyed on coarse, so a
+    vector scores only its own cell's K2 centroids. Same rounded
+    score / DESC, fine ASC tie discipline as the flat assigners."""
+    from pyspark.sql import Window
+
+    from spark_app_twitter_spark.functions.vectors import dot
+
+    score = F.round(
+        dot(F.col("v"), F.col("fv"))
+        - dot(F.col("fv"), F.col("fv")) / F.lit(2.0),
+        6,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_fs"), F.asc("fine"))
+    return (
+        members.join(F.broadcast(fdf), "coarse")
+        .withColumn("_fs", score)
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("vec_id", "v", "coarse", "fine")
+    )
+
+
+def kmeans_cells_2level(
+    spark: SparkSession, sf_dir: str, iters: int = ITERS
+) -> DataFrame:
+    """(vec_id, coarse, cell): hierarchical cell assignment — coarse
+    Lloyd over K1 centroids (the flat trainer reused at k = K1),
+    then per-coarse-cell fine Lloyd over K2 centroids, global cell
+    id = coarse * K2 + fine.
+
+    Why it exists: the flat trainer's per-vector assignment cost is
+    k scores; with k = sqrt(n) that is the n^1.5 term BASELINE.md
+    flags as SemDeDup's and IVF's remaining boundary. Here every
+    vector scores K1 + iters*K2 ~= 2*sqrt(k) centroids — n^1.25
+    total — and the same tree generalizes to more levels.
+
+    Training discipline is the flat recipe at both levels (first-k
+    init by vec_id — per coarse cell for the fine level — rounded
+    dot-product argmax with lowest-id tie-break, quantized exact
+    recenter, iters Lloyd rounds, empty cells drop), so the DuckDB
+    twin replays the whole tree as generated CTEs; fine-centroid
+    state between iterations is a K1*K2-row driver artifact, exactly
+    like the flat centroid cache.
+    """
+    from pyspark.sql import Window
+
+    n = corpus_size(spark, sf_dir)
+    k1, k2 = levels_for(n)
+    coarse_rows = kmeans_centroid_rows(spark, sf_dir, k=k1)
+    members = assign_cells(spark, _vecs(spark, sf_dir), coarse_rows).select(
+        "vec_id", "v", F.col("cell").alias("coarse")
+    ).localCheckpoint(eager=True)
+    # fine init: the first k2 members (by vec_id) of each coarse cell
+    rn = F.row_number().over(
+        Window.partitionBy("coarse").orderBy(F.asc("vec_id"))
+    )
+    fdf = (
+        members.withColumn("_rn", rn)
+        .where(F.col("_rn") <= k2)
+        .select(
+            "coarse", (F.col("_rn") - 1).alias("fine"), F.col("v").alias("fv")
+        )
+    )
+    dim = len(coarse_rows[0][1])
+    for _ in range(iters):
+        assigned = _fine_assign(members, fdf)
+        exploded = assigned.select(
+            "coarse", "fine", F.posexplode("v").alias("dim", "x")
+        )
+        q = F.round(F.col("x") * 1e6).cast("long")
+        means = (
+            exploded.groupBy("coarse", "fine", "dim")
+            .agg(
+                (
+                    F.sum(q).cast("double")
+                    / (F.count(F.lit(1)) * F.lit(1e6))
+                ).alias("m")
+            )
+            .collect()
+        )
+        byc: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            byc.setdefault((r["coarse"], r["fine"]), {})[r["dim"]] = r["m"]
+        rows = [
+            (c, f, [ms[d] for d in range(dim)])
+            for (c, f), ms in sorted(byc.items())
+        ]
+        fdf = spark.createDataFrame(
+            rows, "coarse int, fine int, fv array<double>"
+        )
+    return _fine_assign(members, fdf).select(
+        "vec_id",
+        "coarse",
+        (F.col("coarse") * k2 + F.col("fine")).cast("int").alias("cell"),
+    )
+
+
+def kmeans_cells_2level_sql(
+    n: int | None = None, iters: int = ITERS
+) -> str:
+    """Generated CTE chain replaying the full two-level tree in
+    DuckDB. ``n=None`` derives K1/K2 from count(*) scalar subqueries
+    exactly like the Spark side derives them from corpus_size."""
+    if n is None:
+        k_expr = f"greatest({K_CELLS}, ceil(sqrt(count(*))))"
+        k1_expr = f"greatest(2, ceil(sqrt({k_expr})))"
+        k1_sql = f"(SELECT CAST({k1_expr} AS INT) FROM embeddings)"
+        k2_sql = (
+            f"(SELECT CAST(ceil({k_expr} / {k1_expr}) AS INT)"
+            " FROM embeddings)"
+        )
+    else:
+        k1, k2 = levels_for(n)
+        k1_sql, k2_sql = str(k1), str(k2)
+    parts = kmeans_centroid_ctes(k="__K1__", iters=iters)
+    parts = [p.replace("__K1__", k1_sql) for p in parts]
+    parts.append(
+        f"ca AS (SELECT vec_id, v, coarse FROM ("
+        f"SELECT e.vec_id, e.v, c.cell AS coarse, row_number() OVER ("
+        f"PARTITION BY e.vec_id ORDER BY {_centroid_score_sql('e.v', 'c.cv')} DESC, c.cell ASC) AS rk "
+        f"FROM emb e CROSS JOIN c{iters} c) WHERE rk = 1)"
+    )
+    parts.append(
+        f"f0 AS (SELECT coarse, rn - 1 AS fine, v AS fv FROM ("
+        f"SELECT coarse, v, row_number() OVER ("
+        f"PARTITION BY coarse ORDER BY vec_id ASC) AS rn FROM ca)"
+        f" WHERE rn <= {k2_sql})"
+    )
+    for i in range(iters):
+        parts.append(
+            f"a{i}f AS (SELECT vec_id, v, coarse, fine FROM ("
+            f"SELECT m.vec_id, m.v, m.coarse, f.fine, row_number() OVER ("
+            f"PARTITION BY m.vec_id ORDER BY {_centroid_score_sql('m.v', 'f.fv')} DESC, f.fine ASC) AS rk "
+            f"FROM ca m JOIN f{i} f ON m.coarse = f.coarse) WHERE rk = 1)"
+        )
+        parts.append(
+            f"m{i}f AS (SELECT coarse, fine, dim, "
+            f"CAST(sum(qx) AS DOUBLE) / (count(*) * 1e6) AS m FROM ("
+            f"SELECT coarse, fine, unnest(range(len(v))) AS dim, "
+            f"unnest(list_transform(v, x -> CAST(round(x * 1e6) AS BIGINT))) AS qx "
+            f"FROM a{i}f) GROUP BY coarse, fine, dim)"
+        )
+        parts.append(
+            f"f{i + 1} AS (SELECT coarse, fine, list(m ORDER BY dim ASC) AS fv "
+            f"FROM m{i}f GROUP BY coarse, fine)"
+        )
+    final = (
+        f"SELECT vec_id, coarse, CAST(coarse * {k2_sql} + fine AS INT) AS cell FROM ("
+        f"SELECT m.vec_id, m.coarse, f.fine, row_number() OVER ("
+        f"PARTITION BY m.vec_id ORDER BY {_centroid_score_sql('m.v', 'f.fv')} DESC, f.fine ASC) AS rk "
+        f"FROM ca m JOIN f{iters} f ON m.coarse = f.coarse) WHERE rk = 1"
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+KMEANS_CELLS_2LEVEL_SQL = kmeans_cells_2level_sql()

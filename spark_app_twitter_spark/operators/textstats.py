@@ -615,6 +615,164 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bloom prefilter geometry: 2^16 bits packed into 32-bit words
+# (DuckDB's BIGINT left-shift checks overflow at bit 63, so words
+# stay 32-bit on both engines), K=4 positions from disjoint 16-bit
+# md5 chunks. At the reference benchmark sizes the filter is ~8 KiB
+# — the thing you BROADCAST at 100 TB instead of the gram set.
+BLOOM_BITS = 1 << 16
+BLOOM_K = 4
+
+
+def _bloom_positions_spark(g):
+    return F.array(
+        *[
+            F.conv(F.substring(F.md5(g), 1 + 4 * i, 4), 16, 10).cast("long")
+            for i in range(BLOOM_K)
+        ]
+    )
+
+
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with a distributed-built Bloom prefilter —
+    the 100 TB shape :func:`decontaminate`'s docstring promises:
+    build an ~8 KiB bit table from the benchmark grams (bit_or
+    aggregation, <= 2^11 word rows), broadcast IT instead of the
+    gram set, prune the corpus to bloom candidates, then exact-verify
+    only the survivors. Output (doc_id, n_candidates, n_hit_grams)
+    makes the pruning auditable: n_hit_grams counts true benchmark
+    grams among candidates — identical to :func:`decontaminate`'s
+    count because a Bloom filter has no false negatives (pinned by
+    test), while n_candidates - n_hit_grams is the false-positive
+    spill the exact verify pays for.
+
+    Determinism: positions are md5-chunk integers, the filter build
+    is a bit_or (order-free), membership is integer bit math — the
+    DuckDB twin replays all of it bit-for-bit.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks_df = docs.select("doc_id", tokens("text").alias("w"))
+    grams = F.when(
+        F.size("w") < DECON_NGRAM, F.array().cast("array<string>")
+    ).otherwise(
+        F.expr(
+            f"transform(sequence(1, size(w) - {DECON_NGRAM - 1}),"
+            f" i -> array_join(slice(w, i, {DECON_NGRAM}), ' '))"
+        )
+    )
+    per_doc = toks_df.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("g")
+    )
+    is_bench = (F.col("doc_id") % DECON_BENCH_MOD) == DECON_BENCH_REM
+    bench = per_doc.where(is_bench).select("g").distinct()
+    bench_words = (
+        bench.select(
+            F.explode(_bloom_positions_spark(F.col("g"))).alias("pos")
+        )
+        .select(
+            F.shiftright("pos", 5).alias("idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos & 31 AS INT))")
+            .alias("m"),
+        )
+        .groupBy("idx")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+    probe = per_doc.where(~is_bench).select(
+        "doc_id",
+        "g",
+        F.explode(_bloom_positions_spark(F.col("g"))).alias("pos"),
+    )
+    checked = probe.join(
+        F.broadcast(bench_words), F.shiftright("pos", 5) == F.col("idx"),
+        "left",
+    ).select(
+        "doc_id",
+        "g",
+        F.coalesce(
+            F.expr(
+                "(shiftright(bits, CAST(pos & 31 AS INT)) & 1)"
+            ),
+            F.lit(0),
+        ).alias("hit"),
+    )
+    cand = (
+        checked.groupBy("doc_id", "g")
+        .agg(F.min("hit").alias("all_hit"))
+        .where(F.col("all_hit") == 1)
+    )
+    exact = (
+        cand.join(F.broadcast(bench), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+    return (
+        cand.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_candidates"))
+        .join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_candidates",
+            F.coalesce("n_hit_grams", F.lit(0).cast("long")).alias(
+                "n_hit_grams"
+            ),
+        )
+    )
+
+
+def _bloom_pos_sql(g: str, i: int) -> str:
+    return f"CAST(('0x' || substr(md5({g}), {1 + 4 * i}, 4)) AS BIGINT)"
+
+
+DECONTAMINATE_BLOOM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+per_doc AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) < {DECON_NGRAM} THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(range(1, len(w) - {DECON_NGRAM} + 2),
+                             i -> array_to_string(w[i:i + {DECON_NGRAM} - 1], ' '))
+    END)) AS g
+  FROM toks
+),
+bench AS (
+  SELECT DISTINCT g FROM per_doc
+  WHERE doc_id % {DECON_BENCH_MOD} = {DECON_BENCH_REM}
+),
+bench_pos AS (
+  SELECT unnest([{", ".join(_bloom_pos_sql("g", i) for i in range(BLOOM_K))}]) AS pos
+  FROM bench
+),
+bench_words AS (
+  SELECT pos >> 5 AS idx, bit_or(CAST(1 AS BIGINT) << CAST(pos & 31 AS INT)) AS bits
+  FROM bench_pos GROUP BY idx
+),
+probe AS (
+  SELECT doc_id, g,
+         unnest([{", ".join(_bloom_pos_sql("g", i) for i in range(BLOOM_K))}]) AS pos
+  FROM per_doc WHERE doc_id % {DECON_BENCH_MOD} <> {DECON_BENCH_REM}
+),
+checked AS (
+  SELECT doc_id, g,
+         coalesce((bits >> CAST(pos & 31 AS INT)) & 1, 0) AS hit
+  FROM probe LEFT JOIN bench_words ON (pos >> 5) = idx
+),
+cand AS (
+  SELECT doc_id, g FROM checked GROUP BY doc_id, g HAVING min(hit) = 1
+),
+exact AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+  FROM cand SEMI JOIN bench USING (g)
+  GROUP BY doc_id
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       coalesce(any_value(e.n_hit_grams), 0) AS n_hit_grams
+FROM cand c LEFT JOIN exact e ON c.doc_id = e.doc_id
+GROUP BY c.doc_id
+"""
+
+
 DECONTAMINATE_SQL = f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -1608,6 +1766,98 @@ def bpe_train_merges_frame(
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_count bigint"
     )
+
+
+BPE_BATCH = 4  # disjoint merges applied per driver round (batched trainer)
+
+
+def bpe_train_merges_batched_frame(
+    docs: DataFrame,
+    n_merges: int = BPE_MERGE_ROUNDS,
+    batch: int = BPE_BATCH,
+) -> DataFrame:
+    """Batched BPE trainer — the loop shape that lifts
+    :func:`bpe_train_merges_frame`'s one-driver-job-per-merge
+    boundary (VERDICT r05 item 7): each round runs ONE pair-count
+    job, then greedily selects up to ``batch`` pairs in count order
+    whose symbols are pairwise DISJOINT (a pair is skipped this
+    round if it shares a symbol with an earlier selection — merging
+    "e r" invalidates the counted occurrences of "r x", so only
+    non-interacting merges ride one count). Driver rounds drop from
+    n_merges to ~n_merges/batch — the difference between 32k
+    sequential jobs and a schedulable training run.
+
+    The artifact is a DIFFERENT (documented) variant of sequential
+    BPE: counts within a batch are pre-batch counts. Selection and
+    application order is deterministic (count desc, left asc, right
+    asc; folds applied in selection order), so the sequential-replica
+    oracle reproduces it bit-for-bit.
+    """
+    spark = docs.sparkSession
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "freq",
+            F.concat(
+                F.split("word", ""), F.array(F.lit(BPE_EOW))
+            ).alias("sym"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    adj = F.when(
+        F.size("sym") < 2,
+        F.array().cast("array<struct<l:string,r:string>>"),
+    ).otherwise(
+        F.expr(
+            "transform(sequence(1, size(sym) - 1), i ->"
+            " struct(element_at(sym, i) AS l,"
+            " element_at(sym, i + 1) AS r))"
+        )
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    while len(merges) < n_merges:
+        top = (
+            vocab.select("freq", F.explode(adj).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(batch * 8)
+            .collect()
+        )
+        if not top:
+            break
+        used: set[str] = set()
+        picked: list[tuple[str, str, int]] = []
+        for row in top:
+            if len(picked) >= batch or len(merges) + len(picked) >= n_merges:
+                break
+            if row["l"] in used or row["r"] in used:
+                continue
+            picked.append((row["l"], row["r"], int(row["c"])))
+            used.update((row["l"], row["r"]))
+        if not picked:
+            break
+        for left, right, c in picked:
+            merges.append((len(merges), left, right, c))
+            vocab = vocab.withColumn(
+                "sym", _bpe_merge_pair(F.col("sym"), left, right)
+            )
+        vocab = vocab.localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_count bigint"
+    )
+
+
+def bpe_train_merges_batched(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batched-variant tokenizer training over the documents corpus;
+    driver oracle is a literal-artifact twin from the sequential
+    replica (oracles.bpe_train_merges_batched_sql)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return bpe_train_merges_batched_frame(docs)
 
 
 # Trained merge lists, keyed by (spark app, data dir, rounds) — the

@@ -99,4 +99,132 @@ FROM joined
 WHERE old_fp IS NULL OR new_fp IS NULL OR old_fp != new_fp
 """
 
-__all__ = ["corpus_delta", "CORPUS_DELTA_SQL"]
+def incremental_source_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(source, n_docs, n_tokens) for the NEW snapshot, computed
+    INCREMENTALLY: aggregate the old snapshot once (the published
+    base table a real pipeline already has), then apply only the
+    delta's adjustments — added docs contribute (+1, +tokens),
+    removed (-1, -tokens), changed (0, new - old tokens).
+
+    The DuckDB oracle recomputes the same stats from scratch over
+    the new snapshot, so the hash-match IS the proof that
+    incremental maintenance equals full recomputation — the property
+    that lets a 100 TB pipeline keep governance tables current by
+    scanning only the delta (here |delta| ~ 15% of the corpus;
+    in production ~0.1%/day).
+
+    Plan shape: one old-snapshot aggregation (map-side combine to
+    |sources| rows), one delta-only token projection, one tiny merge
+    join keyed on source. The new snapshot is never scanned whole.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    old = docs.where(F.pmod(F.col("doc_id"), F.lit(_ADD_MOD)) != 0)
+    base = old.groupBy("source").agg(
+        F.count(F.lit(1)).alias("b_docs"),
+        F.sum(n_tok).alias("b_tokens"),
+    )
+    # delta rows with old/new token counts, derived ONLY for docs
+    # whose state differs (the corpus_delta work list)
+    in_old = F.pmod(F.col("doc_id"), F.lit(_ADD_MOD)) != 0
+    in_new = F.pmod(F.col("doc_id"), F.lit(_DEL_MOD)) != 0
+    changed = F.pmod(F.col("doc_id"), F.lit(_CHG_MOD)) == 0
+    new_text = F.when(
+        changed, F.concat(F.col("text"), F.lit(_CHG_SUFFIX))
+    ).otherwise(F.col("text"))
+    new_tok = F.size(F.split(new_text, " ")).cast("long")
+    status = (
+        F.when(~in_old & in_new, F.lit("added"))
+        .when(in_old & ~in_new, F.lit("removed"))
+        .when(in_old & in_new & changed, F.lit("changed"))
+    )
+    delta = docs.withColumn("status", status).where(
+        F.col("status").isNotNull()
+    )
+    adj = delta.groupBy("source").agg(
+        F.sum(
+            F.when(F.col("status") == "added", F.lit(1))
+            .when(F.col("status") == "removed", F.lit(-1))
+            .otherwise(F.lit(0))
+        ).alias("d_docs"),
+        F.sum(
+            F.when(F.col("status") == "added", new_tok)
+            .when(F.col("status") == "removed", -n_tok)
+            .otherwise(new_tok - n_tok)
+        ).alias("d_tokens"),
+    )
+    merged = base.join(adj, "source", "full_outer").select(
+        "source",
+        (F.coalesce("b_docs", F.lit(0)) + F.coalesce("d_docs", F.lit(0)))
+        .cast("long")
+        .alias("n_docs"),
+        (
+            F.coalesce("b_tokens", F.lit(0))
+            + F.coalesce("d_tokens", F.lit(0))
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return merged.where(F.col("n_docs") > 0)
+
+
+INCREMENTAL_SOURCE_STATS_SQL = f"""
+WITH new_snapshot AS (
+  SELECT source,
+         CASE WHEN doc_id % {_CHG_MOD} = 0
+              THEN text || '{_CHG_SUFFIX}' ELSE text END AS text
+  FROM documents WHERE doc_id % {_DEL_MOD} != 0
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+FROM new_snapshot
+GROUP BY source
+"""
+
+
+def corpus_delta_stream(
+    new_docs: DataFrame, old_snapshot: DataFrame
+) -> DataFrame:
+    """Streaming CDC half of :func:`corpus_delta`: ``new_docs`` is
+    the live STREAM of crawled/delivered documents (doc_id, text),
+    ``old_snapshot`` the static published corpus. Emits
+    (doc_id, status, old_fp, new_fp) with status in
+    ('added', 'changed') as documents arrive — the admission gate
+    that lets the expensive enrich/dedup/filter stages subscribe to
+    the delta instead of re-reading the corpus.
+
+    Removals are deliberately NOT detectable here: a stream carries
+    arrivals, and absence is not an event — tombstones stay the
+    batch diff's job (the two operators share fingerprint semantics,
+    pinned by the stream==batch test).
+
+    Streaming-safe by construction: fingerprinting is a stateless
+    projection, the join is stream-static left-outer (no watermark,
+    no state store), and unchanged docs are filtered before the sink
+    — append mode, zero state growth.
+    """
+    old = old_snapshot.select(
+        "doc_id", F.md5(F.col("text")).alias("old_fp")
+    )
+    new = new_docs.select("doc_id", F.md5(F.col("text")).alias("new_fp"))
+    joined = new.join(old, "doc_id", "left_outer")
+    status = F.when(F.col("old_fp").isNull(), F.lit("added")).when(
+        F.col("old_fp") != F.col("new_fp"), F.lit("changed")
+    )
+    return (
+        joined.withColumn("status", status)
+        .where(F.col("status").isNotNull())
+        .select("doc_id", "status", "old_fp", "new_fp")
+    )
+
+
+__all__ = [
+    "corpus_delta",
+    "corpus_delta_stream",
+    "incremental_source_stats",
+    "CORPUS_DELTA_SQL",
+    "INCREMENTAL_SOURCE_STATS_SQL",
+]

@@ -240,6 +240,65 @@ GROUP BY wc.doc_id"""
     return _SQL_CACHE[key]
 
 
+def replica_bpe_merges_batched(
+    sf_dir: str, n_merges: int = 8, batch: int = 4
+) -> list[tuple[str, str, int]]:
+    """Sequential replica of textstats.bpe_train_merges_batched_frame:
+    one count pass per round, greedy disjoint-symbol selection in
+    (count desc, left, right) order, folds applied in pick order."""
+    con = _duck(sf_dir)
+    freqs = con.execute(
+        "SELECT word, count(*) AS freq FROM ("
+        "SELECT unnest(string_split(text, ' ')) AS word FROM documents"
+        ") GROUP BY word"
+    ).fetchall()
+    vocab = [(int(f), _word_syms(w)) for w, f in freqs]
+    merges: list[tuple[str, str, int]] = []
+    while len(merges) < n_merges:
+        counts: dict[tuple[str, str], int] = {}
+        for freq, sym in vocab:
+            for a, b in zip(sym, sym[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+        if not counts:
+            break
+        top = sorted(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[: batch * 8]
+        used: set[str] = set()
+        picked: list[tuple[str, str, int]] = []
+        for (left, right), c in top:
+            if len(picked) >= batch or len(merges) + len(picked) >= n_merges:
+                break
+            if left in used or right in used:
+                continue
+            picked.append((left, right, c))
+            used.update((left, right))
+        if not picked:
+            break
+        for left, right, c in picked:
+            merges.append((left, right, c))
+            vocab = [
+                (freq, _merge_word(sym, left, right)) for freq, sym in vocab
+            ]
+    return merges
+
+
+def bpe_train_merges_batched_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Literal-artifact twin of textstats.bpe_train_merges_batched."""
+    key = ("bpe_train_merges_batched", sf_dir)
+    if key not in _SQL_CACHE:
+        rows = ", ".join(
+            f"(CAST({i} AS INTEGER), {_s(l)}, {_s(r)}, CAST({c} AS BIGINT))"
+            for i, (l, r, c) in enumerate(replica_bpe_merges_batched(sf_dir))
+        )
+        _SQL_CACHE[key] = (
+            "SELECT * FROM (VALUES "
+            + rows
+            + ') AS t(merge_rank, "left", "right", pair_count)'
+        )
+    return _SQL_CACHE[key]
+
+
 # ----------------------------------------------------------------- LR
 
 

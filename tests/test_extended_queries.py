@@ -500,3 +500,64 @@ def test_hll_daily_users_parity_and_accuracy(spark, sf_dir):
             for r in sketches.hll_daily_users(spark, td).collect()
         }
     assert again == whole
+
+
+def test_decontaminate_bloom_parity_and_no_false_negatives(spark, sf_dir):
+    """Bloom-prefiltered decontamination: twin parity, and the exact
+    hit counts among bloom candidates equal the full exact join's
+    counts (bloom admits false positives, never false negatives)."""
+    from spark_app_twitter_spark.operators import textstats
+
+    df = textstats.decontaminate_bloom(spark, sf_dir)
+    assert_parity(
+        df, textstats.DECONTAMINATE_BLOOM_SQL, sf_dir, "decon_bloom"
+    )
+    got = {r.doc_id: r.n_hit_grams for r in df.collect()}
+    exact = {
+        r.doc_id: r.n_hit_grams
+        for r in textstats.decontaminate(spark, sf_dir).collect()
+    }
+    assert exact, "fixture plants contamination"
+    for doc_id, n in exact.items():
+        assert got.get(doc_id, 0) == n, doc_id
+
+
+def test_incremental_source_stats_equals_full_recompute(spark, sf_dir):
+    """Incremental maintenance == full recompute: the oracle twin
+    recomputes the new snapshot's stats from scratch while the Spark
+    side applies only delta adjustments to the old base — parity IS
+    the maintenance proof."""
+    from spark_app_twitter_spark.operators import versioning
+
+    assert_parity(
+        versioning.incremental_source_stats(spark, sf_dir),
+        versioning.INCREMENTAL_SOURCE_STATS_SQL,
+        sf_dir,
+        "incr_stats",
+    )
+
+
+def test_bpe_batched_trainer_matches_replica_and_runs_fewer_rounds(
+    spark, sf_dir
+):
+    """Batched BPE: bit-parity with the sequential replica via the
+    generated twin, disjointness of each round's picks, and the
+    trained merges stay usable by the encode fold."""
+    from spark_app_twitter_spark import oracles
+    from spark_app_twitter_spark.operators import textstats
+
+    df = textstats.bpe_train_merges_batched(spark, sf_dir)
+    assert_parity(
+        df,
+        oracles.bpe_train_merges_batched_sql(sf_dir),
+        sf_dir,
+        "bpe_batched",
+    )
+    rows = sorted(df.collect(), key=lambda r: r.merge_rank)
+    assert len(rows) == textstats.BPE_MERGE_ROUNDS
+    # encode with the batched artifact: every doc still encodes
+    docs = load_table(spark, sf_dir, "documents")
+    enc = textstats.bpe_encode_frame(
+        docs, [(r["left"], r["right"]) for r in rows]
+    )
+    assert enc.where(F.col("n_subwords") <= 0).count() == 0

@@ -1487,3 +1487,29 @@ def test_pagerank_empty_graph_returns_empty(spark):
     out = graph.pagerank_frame(edges)
     assert out.columns == ["node", "rank_q"]
     assert out.count() == 0
+
+
+def test_kmeans_2level_parity_and_cell_bounds(spark, sf_dir):
+    """Hierarchical cells: full-tree DuckDB replay parity, every
+    vector assigned exactly once, global cell ids consistent with
+    (coarse, fine) arithmetic, and total cells ~ cells_for(n)."""
+    from tests.parity import assert_parity
+
+    from spark_app_twitter_spark.operators import clustering
+
+    df = clustering.kmeans_cells_2level(spark, sf_dir)
+    assert_parity(
+        df, clustering.KMEANS_CELLS_2LEVEL_SQL, sf_dir, "kmeans_2level"
+    )
+    rows = df.collect()
+    n = clustering.corpus_size(spark, sf_dir)
+    assert len(rows) == n
+    assert len({r.vec_id for r in rows}) == n
+    k1, k2 = clustering.levels_for(n)
+    for r in rows:
+        assert 0 <= r.coarse < k1
+        assert r.coarse * k2 <= r.cell < r.coarse * k2 + k2
+    # the hierarchy actually partitions: more than one coarse cell
+    # and more than one fine cell used
+    assert len({r.coarse for r in rows}) > 1
+    assert len({r.cell for r in rows}) > len({r.coarse for r in rows})

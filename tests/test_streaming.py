@@ -912,3 +912,61 @@ def test_streaming_session_windows_match_batch_sessionize(
         for r in serving.sessionize(spark, sf_dir).collect()
     }
     assert batched == lagcum
+
+
+def test_streaming_corpus_delta_matches_batch(spark, tmp_path, sf_dir):
+    """CDC stream: the streamed added/changed rows must equal the
+    batch corpus_delta's added+changed set (removals are batch-only
+    — absence is not an event), and the sink stays append-mode with
+    zero state."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.operators import versioning
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    batch = {
+        (r.doc_id, r.status)
+        for r in versioning.corpus_delta(spark, sf_dir).collect()
+        if r.status != "removed"
+    }
+    assert batch, "derivation plants adds and changes"
+
+    docs = load_table(spark, sf_dir, "documents")
+    old_snapshot = docs.where(
+        F.pmod(F.col("doc_id"), F.lit(versioning._ADD_MOD)) != 0
+    ).select("doc_id", "text")
+    new_rows = (
+        docs.where(F.pmod(F.col("doc_id"), F.lit(versioning._DEL_MOD)) != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(versioning._CHG_MOD)) == 0,
+                F.concat(F.col("text"), F.lit(versioning._CHG_SUFFIX)),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .collect()
+    )
+    src = str(tmp_path / "arrivals")
+    os.makedirs(src)
+    with open(os.path.join(src, "p0.json"), "w") as f:
+        for r in new_rows:
+            f.write(_json.dumps({"doc_id": r.doc_id, "text": r.text}) + "\n")
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    q = (
+        versioning.corpus_delta_stream(stream, old_snapshot)
+        .writeStream.format("memory")
+        .queryName("cdc_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r.doc_id, r.status)
+        for r in spark.sql("SELECT * FROM cdc_sink").collect()
+    }
+    assert streamed == batch
