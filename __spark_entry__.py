@@ -76,11 +76,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     whose last driver row dated r01/r02 lead, then the six entries
     changed this round (the five ex-``no_oracle`` queries that now
     carry literal-artifact DuckDB twins — see oracles.py — plus the
-    sem_dedup bounded-cell scale fix), then the NINE round-6
+    sem_dedup bounded-cell scale fix), then the THIRTEEN round-6
     additions (inverted index, nearest-event join, corpus delta,
     mixture planner, deterministic HLL, bloom decontamination,
-    incremental stats maintenance, batched BPE, two-level k-means),
-    then r04-attested fill.
+    incremental stats maintenance, batched BPE, two-level k-means,
+    segment-level paragraph dedup, count-min heavy hitters,
+    compaction planner, key-skew report), then r04-attested fill.
     After this window runs, every registry entry's driver
     attestation is at most two rounds old. The demoted r04
     remainder (led by the five fill entries this window displaced)
@@ -133,6 +134,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioning_incremental_stats": versioning.incremental_source_stats,
         "text_bpe_train_batched": textstats.bpe_train_merges_batched,
         "sim_kmeans_cells_2level": clustering.kmeans_cells_2level,
+        # --- 2c. added later in round 6: segment-level corpus dedup,
+        # count-min heavy hitters, compaction planner, skew report ---
+        "dedup_paragraphs": dedup.paragraph_dedup,
+        "sketch_cms_top_terms": sketches.cms_top_terms,
+        "layout_compaction_plan": layout.compaction_plan,
+        "diag_key_skew": aggregates.key_skew_report,
         # --- 3. r04-attested fill (oldest remaining attestations) ---
         "agg_serving_join": aggregates.aggregated_serving,
         "serving_dedup_first": serving.dedup_first,
@@ -145,12 +152,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_rollup_value": serving.rollup_value,
         "serving_loyal_purchasers": serving.loyal_purchasers,
         "serving_moving_avg_daily": serving.moving_avg_daily,
+        # ---- driver verification window ends at 50 entries ----
+        # --- 4. r04-attested remainder, next in line for round 7 ---
         "serving_value_quartiles": serving.value_quartile_assignments,
         "serving_value_histogram": serving.value_histogram,
         "tpch_top_customers_per_nation": tpch.top_customers_per_nation,
         "dedup_exact": dedup.exact_dedup,
-        # ---- driver verification window ends at 50 entries ----
-        # --- 4. r04-attested remainder, next in line for round 7 ---
         "dedup_minhash_signatures": dedup.minhash_signatures,
         "dedup_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "dedup_ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -269,6 +276,10 @@ def oracle_sql() -> dict[str, str]:
         "text_decontaminate_bloom": textstats.DECONTAMINATE_BLOOM_SQL,
         "versioning_incremental_stats": versioning.INCREMENTAL_SOURCE_STATS_SQL,
         "sim_kmeans_cells_2level": clustering.KMEANS_CELLS_2LEVEL_SQL,
+        "dedup_paragraphs": dedup.PARAGRAPH_DEDUP_SQL,
+        "sketch_cms_top_terms": sketches.CMS_TOP_TERMS_SQL,
+        "layout_compaction_plan": layout.COMPACTION_PLAN_SQL,
+        "diag_key_skew": aggregates.KEY_SKEW_REPORT_SQL,
         "ingest_parse_events": ingest.PARSE_EVENTS_SQL,
         "enrich_documents": enrich.ENRICH_DOCUMENTS_SQL,
         "agg_positivity": aggregates.POSITIVITY_SQL,

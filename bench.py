@@ -92,6 +92,10 @@ HEADLINE = [
     "text_decontaminate_bloom",
     "versioning_incremental_stats",
     "sim_kmeans_cells_2level",
+    # late round 6: segment-level dedup (heaviest of the four new
+    # ops — corpus-wide digest shuffle), CMS heavy hitters
+    "dedup_paragraphs",
+    "sketch_cms_top_terms",
 ]
 
 

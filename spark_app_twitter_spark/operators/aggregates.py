@@ -259,3 +259,76 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+SKEW_TOPK = 10
+
+
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, cnt, share_pct, skew_x, suggested_salt): the skew
+    diagnostic that decides when an operator needs the salted path —
+    the SKEW_TOPK hottest shuffle keys with each key's row share and
+    its skew factor vs the mean key (cnt * n_keys / total rows).
+    ``suggested_salt`` = ceil(skew_x) is the phase-1 bucket count
+    that would level that key back to ~mean-sized partitions
+    (functions/skew.py consumes it).
+
+    Scale shape: per-key counts are one map-side-combined shuffle on
+    the key under diagnosis; the corpus-wide denominators are a
+    1-row aggregate broadcast over the top-k rows (bounded
+    crossJoin). Nothing here touches payload columns.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = per_key.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    skew = (
+        F.col("cnt").cast("double")
+        * F.col("n_keys").cast("double")
+        / F.col("n_rows").cast("double")
+    )
+    return (
+        per_key.crossJoin(F.broadcast(totals))
+        .select(
+            "user_id",
+            "cnt",
+            F.round(
+                F.col("cnt").cast("double")
+                / F.col("n_rows").cast("double")
+                * 100.0,
+                6,
+            ).alias("share_pct"),
+            F.round(skew, 4).alias("skew_x"),
+            F.greatest(F.lit(1).cast("long"), F.ceil(skew)).alias(
+                "suggested_salt"
+            ),
+        )
+        .orderBy(F.desc("cnt"), F.asc("user_id"))
+        .limit(SKEW_TOPK)
+    )
+
+
+KEY_SKEW_REPORT_SQL = f"""
+WITH per_key AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY user_id
+),
+totals AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_keys
+  FROM per_key
+)
+SELECT user_id, cnt,
+       round(CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) * 100.0, 6)
+         AS share_pct,
+       round(CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+             / CAST(n_rows AS DOUBLE), 4) AS skew_x,
+       greatest(CAST(1 AS BIGINT),
+                CAST(ceil(CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+                          / CAST(n_rows AS DOUBLE)) AS BIGINT))
+         AS suggested_salt
+FROM per_key, totals
+ORDER BY cnt DESC, user_id ASC
+LIMIT {SKEW_TOPK}
+"""

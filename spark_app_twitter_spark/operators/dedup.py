@@ -1009,3 +1009,74 @@ FROM documents d
 LEFT JOIN n_win USING (doc_id)
 LEFT JOIN n_dup USING (doc_id)
 """
+
+
+# Paragraph-granular dedup: documents are cut into fixed SEG_WORDS-word
+# segments (this corpus has no newline structure, so fixed windows
+# stand in for '\n\n' paragraphs) and duplicate segments are dropped
+# corpus-wide, keeping the first occurrence in (doc_id, seg_idx)
+# order — the CCNet/RefinedWeb line-level dedup shape, one level
+# finer than exact_dedup's whole-document digest.
+SEG_WORDS = 20
+
+
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, source, n_segments, n_dropped): per-doc result
+    of corpus-wide segment-level keep-first dedup.
+
+    Scale shape: segments are narrow (doc_id, seg_idx, md5) rows —
+    the segment text itself never rides the shuffle. Keep-first is
+    the same single-shuffle window-on-digest discipline as
+    :func:`exact_dedup` (uniform 128-bit key, no skew); the per-doc
+    rollup re-shuffles on doc_id only. Cost is O(total words), no
+    pairwise work anywhere.
+    """
+    docs = _docs_spread(spark, sf_dir)
+    segs = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.posexplode(
+            F.expr(
+                "transform("
+                f" sequence(0, int(ceil(size(split(text, ' ')) / {SEG_WORDS}.0)) - 1),"
+                f" i -> md5(concat_ws(' ', slice(split(text, ' '), i * {SEG_WORDS} + 1, {SEG_WORDS}))))"
+            )
+        ).alias("seg_idx", "digest"),
+    )
+    w = Window.partitionBy("digest").orderBy(F.asc("doc_id"), F.asc("seg_idx"))
+    ranked = segs.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id", "lang", "source").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+    )
+
+
+PARAGRAPH_DEDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, source, string_split(text, ' ') AS w FROM documents
+),
+segs AS (
+  SELECT doc_id, lang, source,
+         unnest(list_transform(
+           range(0, CAST(ceil(len(w) / {SEG_WORDS}.0) AS BIGINT)),
+           i -> {{'seg_idx': i,
+                  'digest': md5(array_to_string(
+                    w[i * {SEG_WORDS} + 1:i * {SEG_WORDS} + {SEG_WORDS}],
+                    ' '))}})) AS u
+  FROM toks
+),
+ranked AS (
+  SELECT doc_id, lang, source, u.seg_idx AS seg_idx, u.digest AS digest,
+         row_number() OVER (PARTITION BY u.digest
+                            ORDER BY doc_id ASC, u.seg_idx ASC) AS rn
+  FROM segs
+)
+SELECT doc_id, lang, source,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM ranked
+GROUP BY doc_id, lang, source
+"""

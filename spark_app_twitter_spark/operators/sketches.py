@@ -162,4 +162,119 @@ SELECT exact.day, n_exact,
 FROM exact JOIN fin ON exact.day = fin.day
 """
 
-__all__ = ["hll_daily_users", "HLL_DAILY_USERS_SQL", "HLL_M"]
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005, public): mergeable
+# frequency sketch for heavy-hitter ("trending term") queries. Same
+# exact-parity discipline as the HLL above: both engines derive the
+# CMS_D row hashes from md5(j || ':' || term), so the sketch — and
+# therefore every estimate — is bit-identical and hash-matchable.
+CMS_D = 4  # hash rows; P(overestimate > 2eN/w) <= 2^-D
+CMS_W = 512  # buckets per row; overestimate bound ~ 2N/w
+CMS_TOPK = 20
+
+
+def cms_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, n_exact, cms_estimate, overestimate): the CMS_TOPK
+    heaviest terms by sketch estimate, with the exact occurrence
+    count as the audit column (estimate >= exact always, by CMS
+    construction).
+
+    Scale shape: the sketch build explodes each token occurrence to
+    CMS_D cells, but the groupBy key space is only D*W = 2048 cells,
+    so map-side partial aggregation collapses every partition to
+    <= 2048 rows before the shuffle — sketch cost is independent of
+    corpus size, which is the whole point vs the exact branch's
+    vocabulary-keyed shuffle. The estimate join broadcasts the
+    2048-row sketch; candidate enumeration is vocabulary-bounded
+    (production would feed a sampled candidate set instead).
+    """
+    from spark_app_twitter_spark.functions.text import tokens
+    from spark_app_twitter_spark.sources.parquet import load_table as _lt
+
+    occ = _lt(spark, sf_dir, "documents", spread=True).select(
+        F.explode(tokens("text")).alias("term")
+    )
+    js = F.array(*[F.lit(j) for j in range(CMS_D)])
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("j").cast("string"), F.lit(":"), F.col("term")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    cells = (
+        occ.select("term", F.explode(js).alias("j"))
+        .select("j", F.pmod(h, F.lit(CMS_W)).alias("cell"))
+        .groupBy("j", "cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cand = occ.groupBy("term").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = (
+        cand.select("term", "n_exact", F.explode(js).alias("j"))
+        .withColumn("cell", F.pmod(h, F.lit(CMS_W)))
+        .join(F.broadcast(cells), ["j", "cell"])
+        .groupBy("term", "n_exact")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return (
+        est.select(
+            "term",
+            "n_exact",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("n_exact")).alias("overestimate"),
+        )
+        .orderBy(F.desc("cms_estimate"), F.asc("term"))
+        .limit(CMS_TOPK)
+    )
+
+
+CMS_TOP_TERMS_SQL = f"""
+WITH occ AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+hashed AS (
+  SELECT term, j,
+         CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || term), 1, 15))
+              AS BIGINT) % {CMS_W} AS cell
+  FROM occ, (SELECT unnest(range(0, {CMS_D})) AS j)
+),
+cells AS (
+  SELECT j, cell, CAST(count(*) AS BIGINT) AS c
+  FROM hashed GROUP BY j, cell
+),
+cand AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n_exact FROM occ GROUP BY term
+),
+cand_cells AS (
+  SELECT cand.term, cand.n_exact, j,
+         CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || cand.term),
+                              1, 15)) AS BIGINT) % {CMS_W} AS cell
+  FROM cand, (SELECT unnest(range(0, {CMS_D})) AS j)
+)
+SELECT cc.term, cc.n_exact,
+       min(cells.c) AS cms_estimate,
+       min(cells.c) - cc.n_exact AS overestimate
+FROM cand_cells cc
+JOIN cells ON cells.j = cc.j AND cells.cell = cc.cell
+GROUP BY cc.term, cc.n_exact
+ORDER BY cms_estimate DESC, term ASC
+LIMIT {CMS_TOPK}
+"""
+
+__all__ = [
+    "hll_daily_users",
+    "HLL_DAILY_USERS_SQL",
+    "HLL_M",
+    "cms_top_terms",
+    "CMS_TOP_TERMS_SQL",
+    "CMS_D",
+    "CMS_W",
+    "CMS_TOPK",
+]

