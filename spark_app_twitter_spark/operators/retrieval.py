@@ -140,9 +140,68 @@ FROM pairs
 GROUP BY term
 """
 
+def rag_retrieve_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`rag_retrieve` with the IVF index as stage 1 — the
+    SCALE path of the retrieval capstone. Brute-force cosine scores
+    every (query, candidate) pair, so the serving cost grows with
+    the corpus; swapping in similarity.knn_ivf bounds stage 1 to the
+    candidates inside each query's probed cells (trained-centroid
+    assignment, broadcast probes) while stage 2 — the payload join,
+    quality score, and PII redaction — is unchanged and still only
+    touches the k surviving rows per query.
+
+    Same output contract as rag_retrieve; hits differ only where IVF
+    recall differs from exact (tests pin the recall floor on
+    knn_ivf itself)."""
+    from spark_app_twitter_spark.operators.similarity import knn_ivf
+
+    hits = knn_ivf(spark, sf_dir).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        "cos_sim",
+        "rank",
+    )
+    red = F.col("text")
+    for pat, repl in REDACT_RULES:
+        red = F.regexp_replace(red, pat, repl)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        quality_score_expr(tokens("text")).alias("quality_score"),
+        red.alias("text"),
+    )
+    return hits.join(docs, "doc_id").select(
+        "query_id", "doc_id", "cos_sim", "rank", "quality_score", "text"
+    )
+
+
+def _rag_retrieve_ivf_sql() -> str:
+    from spark_app_twitter_spark.operators.similarity import KNN_IVF_SQL
+
+    return f"""
+WITH hits AS (
+{KNN_IVF_SQL.strip()}
+),
+docs AS (
+  SELECT doc_id,
+         {quality_score_sql("string_split(text, ' ')")} AS quality_score,
+         {redact_sql_expr("text")} AS text
+  FROM documents
+)
+SELECT h.query_id, h.neighbor_id AS doc_id, h.cos_sim, h.rank,
+       d.quality_score, d.text
+FROM hits h
+JOIN docs d ON h.neighbor_id = d.doc_id
+"""
+
+
+RAG_RETRIEVE_IVF_SQL = _rag_retrieve_ivf_sql()
+
+
 __all__ = [
     "rag_retrieve",
     "RAG_RETRIEVE_SQL",
+    "rag_retrieve_ivf",
+    "RAG_RETRIEVE_IVF_SQL",
     "build_inverted_index",
     "BUILD_INVERTED_INDEX_SQL",
     "POSTING_CAP",

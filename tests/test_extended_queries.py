@@ -657,3 +657,20 @@ def test_key_skew_report_parity_and_semantics(spark, sf_dir):
     for r in rows:
         assert r.suggested_salt >= 1
         assert 0 < r.share_pct <= 100
+
+
+def test_rag_retrieve_ivf_parity_and_contract(spark, sf_dir):
+    """Two-stage retrieval (IVF recall -> payload join) must match
+    its oracle and keep rag_retrieve's output contract."""
+    from spark_app_twitter_spark.operators import retrieval
+
+    df = retrieval.rag_retrieve_ivf(spark, sf_dir)
+    assert_parity(df, retrieval.RAG_RETRIEVE_IVF_SQL, sf_dir, "rag_ivf")
+    assert df.columns == [
+        "query_id",
+        "doc_id",
+        "cos_sim",
+        "rank",
+        "quality_score",
+        "text",
+    ]

@@ -79,6 +79,26 @@ STRESS_QUERIES = [
     "pack_shuffle_export",
     "graph_pagerank_near_dup",
     "serving_session_window_stats",
+    # round 6: sparse index build (term-keyed, posting cap bounds
+    # output), nearest-event join, snapshot delta, mixture planner
+    # (|sources|-bounded), HLL (cell-bounded shuffle), bloom-gated
+    # decontamination, delta-only stats maintenance, batched BPE,
+    # two-level k-means (2n*sqrt(k) assignment), segment dedup
+    # (words-linear), CMS (2048-cell shuffle), compaction planner
+    # (listing-row window), skew report (key-keyed counts)
+    "retrieval_inverted_index",
+    "asof_nearest_click",
+    "versioning_corpus_delta",
+    "text_mixture_plan",
+    "sketch_hll_daily_users",
+    "text_decontaminate_bloom",
+    "versioning_incremental_stats",
+    "text_bpe_train_batched",
+    "sim_kmeans_cells_2level",
+    "dedup_paragraphs",
+    "sketch_cms_top_terms",
+    "layout_compaction_plan",
+    "diag_key_skew",
 ]
 
 
