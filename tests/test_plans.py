@@ -424,3 +424,69 @@ def test_mixture_plan_totals_from_tiny_relation(spark, sf_dir):
     plan = E.executed_plan(df)
     assert plan.count("Scan parquet") + plan.count("FileScan") <= 2
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_paragraph_dedup_single_digest_shuffle_no_pairs(spark, sf_dir):
+    """Segment dedup is the exact-dedup discipline one level down:
+    digest-keyed window + doc rollup, never a pairwise join."""
+    from spark_app_twitter_spark.operators import dedup
+
+    df = dedup.paragraph_dedup(spark, sf_dir)
+    plan = E.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan, "dedup must not join anything"
+    assert plan.count("Exchange hashpartitioning") == 2, (
+        "one shuffle on digest (window), one on the doc rollup"
+    )
+
+
+def test_cms_sketch_broadcast_and_partial_agg(spark, sf_dir):
+    """The 2048-cell sketch must reach the estimate join as a
+    broadcast, and the cell aggregation must map-side combine
+    (partial_count before the exchange)."""
+    from spark_app_twitter_spark.operators import sketches
+
+    df = sketches.cms_top_terms(spark, sf_dir)
+    plan = E.executed_plan(df)
+    assert "BroadcastHashJoin" in plan, "sketch join must broadcast"
+    assert "partial_count" in plan, "cell counts must combine map-side"
+    assert "CartesianProduct" not in plan
+
+
+def test_compaction_plan_windows_per_source(spark, sf_dir):
+    """The running-sum window must partition by source — a global
+    (unpartitioned) window would serialize the listing."""
+    from spark_app_twitter_spark.sources import bucketing
+
+    df = bucketing.compaction_plan(spark, sf_dir)
+    plan = E.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    # a keyless window emits 'Exchange SinglePartition' feeding Window
+    import re
+
+    win_idx = plan.find("Window")
+    assert win_idx != -1
+    assert not re.search(r"Exchange SinglePartition[^\n]*\n[^\n]*Window", plan), (
+        "window must not collapse to a single partition"
+    )
+
+
+def test_key_skew_report_broadcasts_totals(spark, sf_dir):
+    """The 1-row totals aggregate rides a broadcast nested-loop over
+    the per-key counts; the only hash exchange is the key count."""
+    from spark_app_twitter_spark.operators import aggregates
+
+    df = aggregates.key_skew_report(spark, sf_dir)
+    plan = E.executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rag_retrieve_ivf_no_cartesian(spark, sf_dir):
+    """The IVF-backed retrieval must keep stage 1's bounded shape:
+    no cartesian anywhere, payload join on the k-per-query hit set."""
+    from spark_app_twitter_spark.operators import retrieval
+
+    df = retrieval.rag_retrieve_ivf(spark, sf_dir)
+    plan = E.executed_plan(df)
+    assert "CartesianProduct" not in plan
