@@ -1080,3 +1080,105 @@ SELECT doc_id, lang, source,
 FROM ranked
 GROUP BY doc_id, lang, source
 """
+
+
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_a, src_b, n_shared, overlap): the cross-source duplicate
+    matrix — for every unordered source pair, how many SEG_WORDS-word
+    segment digests (:func:`paragraph_dedup`'s granularity) both
+    sources carry, and the Jaccard of their digest sets. The
+    governance rollup that answers "is source B just a mirror of
+    source A?" before paying for mirror-source crawling or training.
+    (Segment granularity, not whole-document: mirrors rewrap and
+    truncate, so shared paragraphs are the durable signal.)
+
+    Scale shape: everything is keyed on the segment digest. The
+    candidate join self-joins the DISTINCT (digest, source) pairs, so
+    per-digest group size is bounded by |sources| (not by how many
+    times a segment is duplicated) — a boilerplate paragraph copied a
+    million times inside one source still contributes ONE row per
+    side. The final rollup is a |sources|^2-bounded aggregate.
+    """
+    ds = (
+        _docs_spread(spark, sf_dir)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform("
+                    f" sequence(0, int(ceil(size(split(text, ' ')) / {SEG_WORDS}.0)) - 1),"
+                    f" i -> md5(concat_ws(' ', slice(split(text, ' '), i * {SEG_WORDS} + 1, {SEG_WORDS}))))"
+                )
+            ).alias("digest"),
+        )
+        .select("digest", "source")
+        .distinct()
+    )
+    per_source = ds.groupBy("source").agg(F.count(F.lit(1)).alias("n_digests"))
+    a = ds.alias("a")
+    b = ds.alias("b")
+    shared = (
+        a.join(b, "digest")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = per_source.select(
+        F.col("source").alias("src_a"), F.col("n_digests").alias("na")
+    )
+    nb = per_source.select(
+        F.col("source").alias("src_b"), F.col("n_digests").alias("nb")
+    )
+    return (
+        shared.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("overlap"),
+        )
+    )
+
+
+SOURCE_OVERLAP_SQL = f"""
+WITH toks AS (
+  SELECT source, string_split(text, ' ') AS w FROM documents
+),
+segs AS (
+  SELECT source,
+         unnest(list_transform(
+           range(0, CAST(ceil(len(w) / {SEG_WORDS}.0) AS BIGINT)),
+           i -> md5(array_to_string(
+             w[i * {SEG_WORDS} + 1:i * {SEG_WORDS} + {SEG_WORDS}], ' '))))
+           AS digest
+  FROM toks
+),
+ds AS (
+  SELECT DISTINCT digest, source FROM segs
+),
+per_source AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_digests FROM ds GROUP BY source
+),
+shared AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM ds a JOIN ds b ON a.digest = b.digest AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT src_a, src_b, n_shared,
+       round(CAST(n_shared AS DOUBLE)
+             / CAST(na.n_digests + nb.n_digests - n_shared AS DOUBLE), 6)
+         AS overlap
+FROM shared
+JOIN per_source na ON na.source = shared.src_a
+JOIN per_source nb ON nb.source = shared.src_b
+"""

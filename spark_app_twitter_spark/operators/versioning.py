@@ -228,3 +228,72 @@ __all__ = [
     "CORPUS_DELTA_SQL",
     "INCREMENTAL_SOURCE_STATS_SQL",
 ]
+
+
+# Release gate: a (event_type, day, hour) cell may only be published
+# if at least ANON_K distinct users contribute to it — the classic
+# k-anonymity small-cell suppression every governance review asks for
+# before an aggregate leaves the platform.
+ANON_K = 5
+
+
+def k_anonymous_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, day, hour, n_rows, n_users, suppressed): the
+    hourly activity rollup with small-cell suppression — cells whose
+    distinct-user support is below ANON_K keep the suppressed flag
+    and NULL measures (counts themselves can identify when support
+    is tiny), cells at or above it publish real values.
+
+    Scale shape: one grouped aggregation on the release key with
+    map-side partial count; the distinct-user count is the only
+    expansion (count_distinct shuffles the (key, user) pairs once).
+    Suppression is a map-side projection of the aggregate — no
+    second pass over the data.
+    """
+    from spark_app_twitter_spark.functions.timeutil import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    g = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.floor(
+                F.pmod(epoch_us("ts"), F.lit(86400000000)) / F.lit(3600000000)
+            )
+            .cast("int")
+            .alias("hour"),
+            "user_id",
+        )
+        .groupBy("event_type", "day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("raw_rows"),
+            F.count_distinct("user_id").alias("raw_users"),
+        )
+    )
+    sup = F.col("raw_users") < F.lit(ANON_K)
+    return g.select(
+        "event_type",
+        "day",
+        "hour",
+        F.when(~sup, F.col("raw_rows")).alias("n_rows"),
+        F.when(~sup, F.col("raw_users")).alias("n_users"),
+        sup.alias("suppressed"),
+    )
+
+
+K_ANONYMOUS_RELEASE_SQL = f"""
+WITH g AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(floor((epoch_us(ts) % 86400000000) / 3600000000.0) AS INT)
+           AS hour,
+         CAST(count(*) AS BIGINT) AS raw_rows,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS raw_users
+  FROM events
+  GROUP BY 1, 2, 3
+)
+SELECT event_type, day, hour,
+       CASE WHEN raw_users >= {ANON_K} THEN raw_rows END AS n_rows,
+       CASE WHEN raw_users >= {ANON_K} THEN raw_users END AS n_users,
+       raw_users < {ANON_K} AS suppressed
+FROM g
+"""

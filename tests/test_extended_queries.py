@@ -674,3 +674,65 @@ def test_rag_retrieve_ivf_parity_and_contract(spark, sf_dir):
         "quality_score",
         "text",
     ]
+
+
+def test_source_overlap_parity_and_symmetric_bound(spark, sf_dir):
+    from spark_app_twitter_spark.operators import dedup
+
+    df = dedup.source_overlap(spark, sf_dir)
+    assert_parity(df, dedup.SOURCE_OVERLAP_SQL, sf_dir, "source_overlap")
+    rows = df.collect()
+    assert rows, "synthetic corpus must share some segments"
+    for r in rows:
+        assert r.src_a < r.src_b  # unordered pairs emitted once
+        assert 0 < r.overlap <= 1
+
+
+def test_source_overlap_detects_planted_mirror(spark, tmp_path):
+    """A source that mirrors another's paragraphs must dominate the
+    overlap matrix."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_app_twitter_spark.operators import dedup
+
+    seg_a = " ".join(f"a{i}" for i in range(dedup.SEG_WORDS))
+    seg_b = " ".join(f"b{i}" for i in range(dedup.SEG_WORDS))
+    rows = {
+        "doc_id": [1, 2, 3],
+        "text": [seg_a + " " + seg_b, seg_a + " " + seg_b, "novel text"],
+        "lang": ["en"] * 3,
+        "source": ["orig", "mirror", "other"],
+        "n_chars": [1] * 3,
+    }
+    sf = str(tmp_path / "pq")
+    os.makedirs(sf)
+    pq.write_table(pa.table(rows), f"{sf}/documents.parquet")
+    got = {
+        (r.src_a, r.src_b): (r.n_shared, r.overlap)
+        for r in dedup.source_overlap(spark, sf).collect()
+    }
+    assert got == {("mirror", "orig"): (2, 1.0)}  # both 20-word segs
+
+
+def test_k_anonymous_release_parity_and_suppression(spark, sf_dir):
+    from spark_app_twitter_spark.operators import versioning
+
+    df = versioning.k_anonymous_release(spark, sf_dir)
+    assert_parity(
+        df, versioning.K_ANONYMOUS_RELEASE_SQL, sf_dir, "k_anon"
+    )
+    # both branches exercise at the driver-gate SF (sf0.001 is too
+    # sparse to publish any hourly cell at k=5)
+    rows = versioning.k_anonymous_release(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    pub = [r for r in rows if not r.suppressed]
+    sup = [r for r in rows if r.suppressed]
+    assert pub and sup, "fixture must exercise both branches"
+    for r in pub:
+        assert r.n_users >= versioning.ANON_K
+    for r in sup:
+        assert r.n_rows is None and r.n_users is None
