@@ -41,6 +41,30 @@ _HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
 _LC_TABLE = [HLL_M * math.log(HLL_M / v) for v in range(1, HLL_M + 1)]
 
 
+def hll_sketch(ev: DataFrame) -> DataFrame:
+    """(day, bucket, mrho): the per-day 256-register sketch from a
+    (day, user_id) frame — batch OR streaming. The only aggregate is
+    max(rho), the mergeable-sketch operation, so the same expression
+    is correct across partitions (map-side combine), across
+    micro-batches (streaming state merge), and across separately
+    built sketches unioned and re-maxed (cross-dataset merge —
+    tests pin all three)."""
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    reg = ev.select(
+        "day",
+        F.pmod(h, F.lit(HLL_M)).alias("bucket"),
+        (h / F.lit(HLL_M)).cast("long").alias("w"),
+    ).withColumn(
+        "rho",
+        F.when(F.col("w") == 0, F.lit(53)).otherwise(
+            F.lit(53) - F.length(F.bin(F.col("w")))
+        ),
+    )
+    return reg.groupBy("day", "bucket").agg(F.max("rho").alias("mrho"))
+
+
 def hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(day, n_exact, hll_estimate, rel_err): per-day distinct users
     estimated from a 256-bucket HLL sketch, with the exact count
@@ -56,20 +80,7 @@ def hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"), "user_id"
     )
-    h = F.conv(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
-    ).cast("long")
-    reg = ev.select(
-        "day",
-        F.pmod(h, F.lit(HLL_M)).alias("bucket"),
-        (h / F.lit(HLL_M)).cast("long").alias("w"),
-    ).withColumn(
-        "rho",
-        F.when(F.col("w") == 0, F.lit(53)).otherwise(
-            F.lit(53) - F.length(F.bin(F.col("w")))
-        ),
-    )
-    sk = reg.groupBy("day", "bucket").agg(F.max("rho").alias("mrho"))
+    sk = hll_sketch(ev)
     per_day = sk.groupBy("day").agg(
         F.count(F.lit(1)).alias("n_buckets"),
         F.sum(
@@ -269,6 +280,7 @@ LIMIT {CMS_TOPK}
 """
 
 __all__ = [
+    "hll_sketch",
     "hll_daily_users",
     "HLL_DAILY_USERS_SQL",
     "HLL_M",

@@ -970,3 +970,80 @@ def test_streaming_corpus_delta_matches_batch(spark, tmp_path, sf_dir):
         for r in spark.sql("SELECT * FROM cdc_sink").collect()
     }
     assert streamed == batch
+
+
+def test_streaming_hll_sketch_matches_batch(spark, tmp_path, sf_dir):
+    """Mergeable-sketch property under Structured Streaming: the
+    (day, bucket) -> max(rho) registers accumulated across
+    micro-batches (complete mode, availableNow) must be bit-equal to
+    the batch sketch over the same events — max IS the state merge,
+    so sketch equality proves cross-batch mergeability."""
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.operators import sketches
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    ev_batch = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    batch_sketch = {
+        (str(r.day), r.bucket): r.mrho
+        for r in sketches.hll_sketch(ev_batch).collect()
+    }
+
+    # stream the same events through a rate-limited parquet source so
+    # the aggregation really merges across multiple micro-batches
+    src = str(tmp_path / "ev")
+    load_table(spark, sf_dir, "events").select(
+        "ts", "user_id"
+    ).repartition(8).write.parquet(src)
+    stream = (
+        spark.readStream.schema("ts timestamp_ntz, user_id long")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .select(F.to_date("ts").alias("day"), "user_id")
+    )
+    q = (
+        sketches.hll_sketch(stream)
+        .writeStream.format("memory")
+        .queryName("hll_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (str(r.day), r.bucket): r.mrho
+        for r in spark.sql("SELECT * FROM hll_sink").collect()
+    }
+    assert streamed == batch_sketch
+
+
+def test_hll_sketch_union_merge_property(spark, sf_dir):
+    """Two half-corpus sketches unioned and re-maxed must equal the
+    full-corpus sketch — the cross-dataset merge a sketch store
+    relies on."""
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.operators import sketches
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id", "event_id"
+    )
+    full = sketches.hll_sketch(ev.select("day", "user_id"))
+    a = sketches.hll_sketch(
+        ev.where(F.col("event_id") % 2 == 0).select("day", "user_id")
+    )
+    b = sketches.hll_sketch(
+        ev.where(F.col("event_id") % 2 == 1).select("day", "user_id")
+    )
+    merged = (
+        a.unionByName(b)
+        .groupBy("day", "bucket")
+        .agg(F.max("mrho").alias("mrho"))
+    )
+    diff = full.alias("f").join(
+        merged.alias("m"), ["day", "bucket"], "full"
+    ).where(F.col("f.mrho").eqNullSafe(F.col("m.mrho")) == False)  # noqa: E712
+    assert diff.count() == 0
