@@ -736,3 +736,30 @@ def test_k_anonymous_release_parity_and_suppression(spark, sf_dir):
         assert r.n_users >= versioning.ANON_K
     for r in sup:
         assert r.n_rows is None and r.n_users is None
+
+
+def test_paragraph_dedup_mass_conservation(spark, sf_dir):
+    """Corpus-wide invariant: dropped segments == total segments
+    minus distinct segment digests (every duplicate beyond the first
+    occurrence is dropped, nothing else)."""
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.operators import dedup
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    out = dedup.paragraph_dedup(spark, sf_dir).agg(
+        F.sum("n_segments").alias("total"), F.sum("n_dropped").alias("dropped")
+    ).collect()[0]
+    segs = load_table(spark, sf_dir, "documents").select(
+        F.explode(
+            F.expr(
+                "transform("
+                f" sequence(0, int(ceil(size(split(text, ' ')) / {dedup.SEG_WORDS}.0)) - 1),"
+                f" i -> md5(concat_ws(' ', slice(split(text, ' '), i * {dedup.SEG_WORDS} + 1, {dedup.SEG_WORDS}))))"
+            )
+        ).alias("digest")
+    )
+    n_total = segs.count()
+    n_distinct = segs.distinct().count()
+    assert out.total == n_total
+    assert out.dropped == n_total - n_distinct

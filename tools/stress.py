@@ -99,6 +99,11 @@ STRESS_QUERIES = [
     "sketch_cms_top_terms",
     "layout_compaction_plan",
     "diag_key_skew",
+    # late round 6: source-pair overlap (|sources|^2-bounded rollup),
+    # k-anonymity gate (release-key agg), IVF-backed retrieval
+    "dedup_source_overlap",
+    "versioning_k_anonymous",
+    "retrieval_rag_ivf",
 ]
 
 
