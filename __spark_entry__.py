@@ -76,14 +76,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     whose last driver row dated r01/r02 lead, then the six entries
     changed this round (the five ex-``no_oracle`` queries that now
     carry literal-artifact DuckDB twins — see oracles.py — plus the
-    sem_dedup bounded-cell scale fix), then the SIXTEEN round-6
+    sem_dedup bounded-cell scale fix), then the SEVENTEEN round-6
     additions (inverted index, nearest-event join, corpus delta,
     mixture planner, deterministic HLL, bloom decontamination,
     incremental stats maintenance, batched BPE, two-level k-means,
     segment-level paragraph dedup, count-min heavy hitters,
     compaction planner, key-skew report, IVF-backed two-stage RAG
     retrieval, cross-source segment-overlap matrix, k-anonymous
-    release gate), then r04-attested fill.
+    release gate, mixture epoch-expansion), then r04-attested fill.
     After this window runs, every registry entry's driver
     attestation is at most two rounds old. The demoted r04
     remainder (led by the five fill entries this window displaced)
@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_rag_ivf": retrieval.rag_retrieve_ivf,
         "dedup_source_overlap": dedup.source_overlap,
         "versioning_k_anonymous": versioning.k_anonymous_release,
+        "text_mixture_apply": textstats.mixture_apply,
         # --- 3. r04-attested fill (oldest remaining attestations) ---
         "agg_serving_join": aggregates.aggregated_serving,
         "serving_dedup_first": serving.dedup_first,
@@ -153,8 +154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_value_percentiles": serving.value_percentiles,
         "serving_hourly_window": serving.hourly_window,
         "serving_topic_means": serving.topic_means,
-        "serving_distinct_users": serving.distinct_users,
         # ---- driver verification window ends at 50 entries ----
+        "serving_distinct_users": serving.distinct_users,
         "serving_rollup_value": serving.rollup_value,
         "serving_loyal_purchasers": serving.loyal_purchasers,
         "serving_moving_avg_daily": serving.moving_avg_daily,
@@ -288,6 +289,7 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_rag_ivf": retrieval.RAG_RETRIEVE_IVF_SQL,
         "dedup_source_overlap": dedup.SOURCE_OVERLAP_SQL,
         "versioning_k_anonymous": versioning.K_ANONYMOUS_RELEASE_SQL,
+        "text_mixture_apply": textstats.MIXTURE_APPLY_SQL,
         "ingest_parse_events": ingest.PARSE_EVENTS_SQL,
         "enrich_documents": enrich.ENRICH_DOCUMENTS_SQL,
         "agg_positivity": aggregates.POSITIVITY_SQL,

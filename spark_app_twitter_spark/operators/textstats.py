@@ -1970,3 +1970,112 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = bpe_trained_merges(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents", spread=True)
     return bpe_encode_frame(docs, [(l, r) for l, r, _ in merges])
+
+
+# 2^60 — the md5-prefix draw's denominator (shared with weighted /
+# stratified sampling): u = h / 2^60 is a deterministic unit-interval
+# draw both engines compute bit-identically.
+_EPOCH_DRAW_DENOM = 1 << 60
+
+
+def mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, epoch): the mixture plan MATERIALIZED — every
+    document repeated floor(multiplier) times, plus one more epoch
+    for the deterministic fraction of docs whose md5 unit-draw falls
+    below the fractional part (so each source's expected doc mass
+    hits its target share exactly; subsampled sources keep only the
+    draw-selected fraction). This is the stage between
+    :func:`mixture_plan` and sequence packing in a training-data
+    export.
+
+    Scale shape: the per-source multipliers are a |sources|-row
+    broadcast joined onto one corpus scan; epoch expansion is a
+    map-side explode of sequence(1, n_epochs) — output rows scale
+    with the requested token budget, never quadratically.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    per_src = (
+        docs.select(
+            "source", F.size(tokens("text")).cast("long").alias("n_tok")
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("n_tokens"))
+        .withColumn("w", F.expr(_MIX_WEIGHT_SQL).cast("double"))
+        .localCheckpoint(eager=True)
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("tot_tokens"), F.sum("w").alias("tot_w")
+    )
+    mult = (F.col("w") / F.col("tot_w")) / (
+        F.col("n_tokens").cast("double") / F.col("tot_tokens").cast("double")
+    )
+    src_mult = per_src.crossJoin(F.broadcast(totals)).select(
+        "source", mult.alias("mult")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(_EPOCH_DRAW_DENOM)
+    )
+    n_epochs = (
+        F.floor(F.col("mult"))
+        + F.when(u < F.col("mult") - F.floor(F.col("mult")), 1).otherwise(0)
+    ).cast("long")
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(src_mult), "source")
+        .withColumn("n_epochs", n_epochs)
+        .where(F.col("n_epochs") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("n_epochs"))
+            ).alias("epoch"),
+        )
+    )
+
+
+MIXTURE_APPLY_SQL = f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         {_MIX_WEIGHT_SQL} AS w
+  FROM documents GROUP BY source
+),
+totals AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+         CAST(sum(w) AS DOUBLE) AS tot_w
+  FROM per_src
+),
+src_mult AS (
+  SELECT source,
+         (w / tot_w)
+           / (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)) AS mult
+  FROM per_src CROSS JOIN totals
+),
+d AS (
+  SELECT doc_id, documents.source, mult,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch'),
+                              1, 15)) AS BIGINT)
+           / {float(_EPOCH_DRAW_DENOM)!r} AS u
+  FROM documents JOIN src_mult ON src_mult.source = documents.source
+),
+e AS (
+  SELECT doc_id, source,
+         CAST(floor(mult)
+              + CASE WHEN u < mult - floor(mult) THEN 1 ELSE 0 END
+              AS BIGINT) AS n_epochs
+  FROM d
+)
+SELECT doc_id, source,
+       CAST(unnest(range(1, n_epochs + 1)) AS BIGINT) AS epoch
+FROM e WHERE n_epochs >= 1
+"""

@@ -763,3 +763,44 @@ def test_paragraph_dedup_mass_conservation(spark, sf_dir):
     n_distinct = segs.distinct().count()
     assert out.total == n_total
     assert out.dropped == n_total - n_distinct
+
+
+def test_mixture_apply_parity_and_epoch_semantics(spark, sf_dir):
+    """Epoch expansion must match the oracle AND respect the plan:
+    every oversampled source emits >= floor(mult) epochs per doc,
+    and per-doc epochs are dense 1..n."""
+    from spark_app_twitter_spark.operators import textstats
+
+    df = textstats.mixture_apply(spark, sf_dir)
+    assert_parity(df, textstats.MIXTURE_APPLY_SQL, sf_dir, "mix_apply")
+    per_doc = (
+        df.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("epoch").alias("lo"),
+            F.max("epoch").alias("hi"),
+        )
+        .collect()
+    )
+    for r in per_doc:
+        assert (r.lo, r.hi) == (1, r.n)  # dense epochs
+    plan = {
+        r.source: r.multiplier
+        for r in textstats.mixture_plan(spark, sf_dir).collect()
+    }
+    got = {
+        r.source: r.avg_epochs
+        for r in df.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .join(
+            textstats.mixture_plan(spark, sf_dir).select("source", "n_docs"),
+            "source",
+        )
+        .select(
+            "source", (F.col("rows") / F.col("n_docs")).alias("avg_epochs")
+        )
+        .collect()
+    }
+    for src, m in plan.items():
+        if src in got:
+            assert abs(got[src] - m) <= 0.5  # draw variance bound
