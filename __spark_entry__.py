@@ -266,7 +266,15 @@ def _trained_oracles() -> dict[str, str]:
             "graph_pagerank_near_dup": oracles.pagerank_near_dup_sql(),
             "text_bpe_train_batched": oracles.bpe_train_merges_batched_sql(),
         }
-    except Exception:
+    except Exception as e:  # pragma: no cover - environment guard
+        # the downgrade to rows-only must never be silent: a bug in
+        # oracles.py would otherwise masquerade as six green checks
+        print(
+            f"WARNING: literal-artifact oracle generation failed "
+            f"({type(e).__name__}: {e}); six queries fall back to "
+            f"rows-only checks",
+            file=sys.stderr,
+        )
         return {}
 
 

@@ -175,23 +175,40 @@ def _train_assign(
     )
 
 
+def _recenter_rows_keyed(
+    assigned: DataFrame, dim: int, keys: tuple[str, ...]
+) -> list[tuple]:
+    """Quantized per-group mean as a driver-side list: ONE distributed
+    aggregation job (posexplode + groupBy(*keys, dim), map-side
+    combined), then a |groups|×dim-row collect — a model artifact,
+    not data. Groups that lost all members drop out (as in the SQL
+    oracles). THE determinism-critical recenter core — every Lloyd
+    level (flat cells, two-level fine cells) must go through this
+    one definition of the 1e6 quantization, or engine and oracle
+    drift apart. Returns rows ``(*key_values, mean_vector)`` sorted
+    by key."""
+    exploded = assigned.select(
+        *keys, F.posexplode("v").alias("dim", "x")
+    )
+    q = F.round(F.col("x") * 1e6).cast("long")
+    means = exploded.groupBy(*keys, "dim").agg(
+        (F.sum(q).cast("double") / (F.count(F.lit(1)) * F.lit(1e6))).alias("m")
+    )
+    byc: dict[tuple, dict[int, float]] = {}
+    for r in means.collect():
+        byc.setdefault(tuple(r[k] for k in keys), {})[r["dim"]] = r["m"]
+    return [
+        (*kv, [ms[d] for d in range(dim)]) for kv, ms in sorted(byc.items())
+    ]
+
+
 def _recenter_rows(
     assigned: DataFrame, dim: int
 ) -> list[tuple[int, list[float]]]:
-    """Quantized per-cell mean as a driver-side list: ONE distributed
-    aggregation job (posexplode + groupBy(cell, dim), map-side
-    combined), then a k×dim-row collect — a model artifact, not data.
-    Cells that lost all members drop out (as in the SQL oracle)."""
-    exploded = assigned.select("cell", F.posexplode("v").alias("dim", "x"))
-    q = F.round(F.col("x") * 1e6).cast("long")
-    means = exploded.groupBy("cell", "dim").agg(
-        (F.sum(q).cast("double") / (F.count(F.lit(1)) * F.lit(1e6))).alias("m")
-    )
-    byc: dict[int, dict[int, float]] = {}
-    for r in means.collect():
-        byc.setdefault(r["cell"], {})[r["dim"]] = r["m"]
+    """Flat-trainer recenter: see :func:`_recenter_rows_keyed`."""
     return [
-        (cell, [ms[d] for d in range(dim)]) for cell, ms in sorted(byc.items())
+        (cell, v)
+        for cell, v in _recenter_rows_keyed(assigned, dim, ("cell",))
     ]
 
 
@@ -446,27 +463,7 @@ def kmeans_cells_2level(
     dim = len(coarse_rows[0][1])
     for _ in range(iters):
         assigned = _fine_assign(members, fdf)
-        exploded = assigned.select(
-            "coarse", "fine", F.posexplode("v").alias("dim", "x")
-        )
-        q = F.round(F.col("x") * 1e6).cast("long")
-        means = (
-            exploded.groupBy("coarse", "fine", "dim")
-            .agg(
-                (
-                    F.sum(q).cast("double")
-                    / (F.count(F.lit(1)) * F.lit(1e6))
-                ).alias("m")
-            )
-            .collect()
-        )
-        byc: dict[tuple[int, int], dict[int, float]] = {}
-        for r in means:
-            byc.setdefault((r["coarse"], r["fine"]), {})[r["dim"]] = r["m"]
-        rows = [
-            (c, f, [ms[d] for d in range(dim)])
-            for (c, f), ms in sorted(byc.items())
-        ]
+        rows = _recenter_rows_keyed(assigned, dim, ("coarse", "fine"))
         fdf = spark.createDataFrame(
             rows, "coarse int, fine int, fv array<double>"
         )

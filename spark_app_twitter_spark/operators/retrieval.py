@@ -39,11 +39,14 @@ from spark_app_twitter_spark.operators.textstats import (
 from spark_app_twitter_spark.sources.parquet import load_table
 
 
-def rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(query_id, doc_id, cos_sim, rank, quality_score, text) for the
-    top-k neighbors of each query vector, with redacted payload text.
-    """
-    hits = knn_bruteforce(spark, sf_dir).select(
+def _payload_join(spark: SparkSession, sf_dir: str, knn_hits) -> DataFrame:
+    """Stage 2 of both retrieval variants — ONE documents scan
+    provides both payload columns (quality and redacted text are
+    map-side projections of the same row), joined once to the
+    k-per-query hit set. A single definition so a redaction-rule or
+    output-contract change can never reach one variant and miss the
+    other."""
+    hits = knn_hits.select(
         "query_id",
         F.col("neighbor_id").alias("doc_id"),
         "cos_sim",
@@ -52,9 +55,6 @@ def rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     red = F.col("text")
     for pat, repl in REDACT_RULES:
         red = F.regexp_replace(red, pat, repl)
-    # ONE documents scan provides both payload columns (quality and
-    # redacted text are map-side projections of the same row), joined
-    # once to the k-per-query hit set
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         quality_score_expr(tokens("text")).alias("quality_score"),
@@ -65,9 +65,12 @@ def rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-RAG_RETRIEVE_SQL = f"""
+def _rag_sql(knn_sql: str) -> str:
+    """Shared SQL tail of both retrieval twins (mirrors
+    :func:`_payload_join`)."""
+    return f"""
 WITH hits AS (
-{_KNN_SQL.strip()}
+{knn_sql.strip()}
 ),
 docs AS (
   SELECT doc_id,
@@ -80,6 +83,16 @@ SELECT h.query_id, h.neighbor_id AS doc_id, h.cos_sim, h.rank,
 FROM hits h
 JOIN docs d ON h.neighbor_id = d.doc_id
 """
+
+
+def rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, cos_sim, rank, quality_score, text) for the
+    top-k neighbors of each query vector, with redacted payload text.
+    """
+    return _payload_join(spark, sf_dir, knn_bruteforce(spark, sf_dir))
+
+
+RAG_RETRIEVE_SQL = _rag_sql(_KNN_SQL)
 
 # Posting-list truncation: keep a term's POSTING_CAP lowest doc ids.
 # The cap is what makes index build scale-safe — a stopword's posting
@@ -155,43 +168,13 @@ def rag_retrieve_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     knn_ivf itself)."""
     from spark_app_twitter_spark.operators.similarity import knn_ivf
 
-    hits = knn_ivf(spark, sf_dir).select(
-        "query_id",
-        F.col("neighbor_id").alias("doc_id"),
-        "cos_sim",
-        "rank",
-    )
-    red = F.col("text")
-    for pat, repl in REDACT_RULES:
-        red = F.regexp_replace(red, pat, repl)
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        quality_score_expr(tokens("text")).alias("quality_score"),
-        red.alias("text"),
-    )
-    return hits.join(docs, "doc_id").select(
-        "query_id", "doc_id", "cos_sim", "rank", "quality_score", "text"
-    )
+    return _payload_join(spark, sf_dir, knn_ivf(spark, sf_dir))
 
 
 def _rag_retrieve_ivf_sql() -> str:
     from spark_app_twitter_spark.operators.similarity import KNN_IVF_SQL
 
-    return f"""
-WITH hits AS (
-{KNN_IVF_SQL.strip()}
-),
-docs AS (
-  SELECT doc_id,
-         {quality_score_sql("string_split(text, ' ')")} AS quality_score,
-         {redact_sql_expr("text")} AS text
-  FROM documents
-)
-SELECT h.query_id, h.neighbor_id AS doc_id, h.cos_sim, h.rank,
-       d.quality_score, d.text
-FROM hits h
-JOIN docs d ON h.neighbor_id = d.doc_id
-"""
+    return _rag_sql(KNN_IVF_SQL)
 
 
 RAG_RETRIEVE_IVF_SQL = _rag_retrieve_ivf_sql()

@@ -52,10 +52,14 @@ def hll_sketch(ev: DataFrame) -> DataFrame:
     h = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
     ).cast("long")
+    # w MUST be integer math: h is a 60-bit prefix, and double
+    # division rounds integers above 2^53 (h = 2^59-32 would round to
+    # 2^59 and shift rho by one vs DuckDB's exact `h // 256`) —
+    # shiftright(h, 8) is the exact `h div 256` the docstring claims
     reg = ev.select(
         "day",
         F.pmod(h, F.lit(HLL_M)).alias("bucket"),
-        (h / F.lit(HLL_M)).cast("long").alias("w"),
+        F.shiftright(h, 8).alias("w"),
     ).withColumn(
         "rho",
         F.when(F.col("w") == 0, F.lit(53)).otherwise(

@@ -927,11 +927,25 @@ _MIX_WEIGHT_SQL = (
 )
 
 
-def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(source, n_docs, n_tokens, token_share, target_share,
-    multiplier): the sampling multiplier that moves each source from
-    its actual token share to the target mix. multiplier > 1 means
-    oversample (repeat epochs), < 1 subsample.
+# The two shared expressions of the mixture family — ONE definition
+# each so plan and apply can never drift apart (functions, not
+# module-level Columns: Column construction needs a live session):
+def _mix_share():
+    return F.col("n_tokens").cast("double") / F.col("tot_tokens").cast(
+        "double"
+    )
+
+
+def _mix_target():
+    return F.col("w") / F.col("tot_w")
+
+
+def _mixture_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_tokens, w, tot_tokens, tot_w): the
+    per-source stats crossed with the corpus totals — the single
+    shared input of :func:`mixture_plan` (which rounds shares for
+    reporting) and :func:`mixture_apply` (which materializes the
+    unrounded multiplier).
 
     Scale shape: one scan aggregates exact per-source token counts
     (map-side combine to |sources| rows); the grand totals are a
@@ -958,22 +972,30 @@ def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = per_src.agg(
         F.sum("n_tokens").alias("tot_tokens"), F.sum("w").alias("tot_w")
     )
-    share = F.col("n_tokens").cast("double") / F.col("tot_tokens").cast(
-        "double"
-    )
-    target = F.col("w") / F.col("tot_w")
-    return per_src.crossJoin(F.broadcast(totals)).select(
+    return per_src.crossJoin(F.broadcast(totals))
+
+
+def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_tokens, token_share, target_share,
+    multiplier): the sampling multiplier that moves each source from
+    its actual token share to the target mix. multiplier > 1 means
+    oversample (repeat epochs), < 1 subsample.
+
+    See :func:`_mixture_frame` for the shared plan shape.
+    """
+    return _mixture_frame(spark, sf_dir).select(
         "source",
         "n_docs",
         "n_tokens",
-        F.round(share, 6).alias("token_share"),
-        F.round(target, 6).alias("target_share"),
-        F.round(target / share, 6).alias("multiplier"),
+        F.round(_mix_share(), 6).alias("token_share"),
+        F.round(_mix_target(), 6).alias("target_share"),
+        F.round(_mix_target() / _mix_share(), 6).alias("multiplier"),
     )
 
 
-MIXTURE_PLAN_SQL = f"""
-WITH per_src AS (
+# shared CTEs of the mixture family's SQL twins (mirrors
+# _mixture_frame — edit HERE and both oracles move together)
+_MIXTURE_CTES = f"""per_src AS (
   SELECT source,
          CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
@@ -984,7 +1006,10 @@ totals AS (
   SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
          CAST(sum(w) AS DOUBLE) AS tot_w
   FROM per_src
-)
+)"""
+
+MIXTURE_PLAN_SQL = f"""
+WITH {_MIXTURE_CTES}
 SELECT source, n_docs, n_tokens,
        round(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE), 6)
          AS token_share,
@@ -1994,23 +2019,8 @@ def mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the requested token budget, never quadratically.
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    per_src = (
-        docs.select(
-            "source", F.size(tokens("text")).cast("long").alias("n_tok")
-        )
-        .groupBy("source")
-        .agg(F.sum("n_tok").alias("n_tokens"))
-        .withColumn("w", F.expr(_MIX_WEIGHT_SQL).cast("double"))
-        .localCheckpoint(eager=True)
-    )
-    totals = per_src.agg(
-        F.sum("n_tokens").alias("tot_tokens"), F.sum("w").alias("tot_w")
-    )
-    mult = (F.col("w") / F.col("tot_w")) / (
-        F.col("n_tokens").cast("double") / F.col("tot_tokens").cast("double")
-    )
-    src_mult = per_src.crossJoin(F.broadcast(totals)).select(
-        "source", mult.alias("mult")
+    src_mult = _mixture_frame(spark, sf_dir).select(
+        "source", (_mix_target() / _mix_share()).alias("mult")
     )
     u = (
         F.conv(
@@ -2044,17 +2054,7 @@ def mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MIXTURE_APPLY_SQL = f"""
-WITH per_src AS (
-  SELECT source,
-         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
-         {_MIX_WEIGHT_SQL} AS w
-  FROM documents GROUP BY source
-),
-totals AS (
-  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
-         CAST(sum(w) AS DOUBLE) AS tot_w
-  FROM per_src
-),
+WITH {_MIXTURE_CTES},
 src_mult AS (
   SELECT source,
          (w / tot_w)

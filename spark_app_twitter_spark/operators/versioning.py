@@ -221,15 +221,6 @@ def corpus_delta_stream(
     )
 
 
-__all__ = [
-    "corpus_delta",
-    "corpus_delta_stream",
-    "incremental_source_stats",
-    "CORPUS_DELTA_SQL",
-    "INCREMENTAL_SOURCE_STATS_SQL",
-]
-
-
 # Release gate: a (event_type, day, hour) cell may only be published
 # if at least ANON_K distinct users contribute to it — the classic
 # k-anonymity small-cell suppression every governance review asks for
@@ -297,3 +288,14 @@ SELECT event_type, day, hour,
        raw_users < {ANON_K} AS suppressed
 FROM g
 """
+
+__all__ = [
+    "corpus_delta",
+    "corpus_delta_stream",
+    "incremental_source_stats",
+    "k_anonymous_release",
+    "ANON_K",
+    "CORPUS_DELTA_SQL",
+    "INCREMENTAL_SOURCE_STATS_SQL",
+    "K_ANONYMOUS_RELEASE_SQL",
+]

@@ -104,6 +104,23 @@ def _word_syms(word: str) -> list[str]:
     return chars + [BPE_EOW]
 
 
+def _word_freq_vocab(sf_dir: str) -> list[tuple[int, tuple[str, ...]]]:
+    """(freq, symbol-tuple) per distinct word — the shared trainer
+    input of both BPE replicas. ONE copy of the DuckDB tokenization
+    mirror (string_split-on-space must track functions/text.tokens);
+    the connection is closed after the fetch."""
+    con = _duck(sf_dir)
+    try:
+        freqs = con.execute(
+            "SELECT word, count(*) AS freq FROM ("
+            "SELECT unnest(string_split(text, ' ')) AS word FROM documents"
+            ") GROUP BY word"
+        ).fetchall()
+    finally:
+        con.close()
+    return [(int(f), _word_syms(w)) for w, f in freqs]
+
+
 def replica_bpe_merges(
     sf_dir: str, n_merges: int = 8
 ) -> list[tuple[str, str, int]]:
@@ -112,13 +129,7 @@ def replica_bpe_merges(
     argmax-then-merge loop. All pair counts are exact integers; ties
     break (count desc, left asc, right asc) — code-point order equals
     Spark's UTF-8 binary order."""
-    con = _duck(sf_dir)
-    freqs = con.execute(
-        "SELECT word, count(*) AS freq FROM ("
-        "SELECT unnest(string_split(text, ' ')) AS word FROM documents"
-        ") GROUP BY word"
-    ).fetchall()
-    vocab = [(int(f), _word_syms(w)) for w, f in freqs]
+    vocab = _word_freq_vocab(sf_dir)
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         counts: dict[tuple[str, str], int] = {}
@@ -246,13 +257,7 @@ def replica_bpe_merges_batched(
     """Sequential replica of textstats.bpe_train_merges_batched_frame:
     one count pass per round, greedy disjoint-symbol selection in
     (count desc, left, right) order, folds applied in pick order."""
-    con = _duck(sf_dir)
-    freqs = con.execute(
-        "SELECT word, count(*) AS freq FROM ("
-        "SELECT unnest(string_split(text, ' ')) AS word FROM documents"
-        ") GROUP BY word"
-    ).fetchall()
-    vocab = [(int(f), _word_syms(w)) for w, f in freqs]
+    vocab = _word_freq_vocab(sf_dir)
     merges: list[tuple[str, str, int]] = []
     while len(merges) < n_merges:
         counts: dict[tuple[str, str], int] = {}
@@ -313,7 +318,10 @@ def replica_lang_lr(
     q_f = 1_000_000
     q_w = 1_000_000_000
     con = _duck(sf_dir)
-    rows = con.execute("SELECT lang, text FROM documents").fetchall()
+    try:
+        rows = con.execute("SELECT lang, text FROM documents").fetchall()
+    finally:
+        con.close()
     feats: list[tuple[int, list[int]]] = []
     for lang, text in rows:
         toks = text.split(" ")
@@ -413,6 +421,7 @@ def replica_pca(
         f"{{'i': i - 1, 'j': j - 1, 'p': q[i] * q[j]}})))) AS s "
         f"FROM (SELECT {q} AS q FROM embeddings)) GROUP BY i, j"
     ).fetchall()
+    con.close()
     sd = {dim: int(s) for dim, s, _ in sums}
     n = float(sums[0][2])
     cov = np.zeros((d, d))
@@ -469,7 +478,10 @@ def replica_pagerank(sf_dir: str) -> list[tuple[int, int]]:
     from spark_app_twitter_spark.operators.graph import PR_ITERS, PR_Q
 
     con = _duck(sf_dir)
-    pairs = con.execute(MINHASH_LSH_PAIRS_SQL).fetchall()
+    try:
+        pairs = con.execute(MINHASH_LSH_PAIRS_SQL).fetchall()
+    finally:
+        con.close()
     edges: list[tuple[int, int]] = []
     for a, b, _ in pairs:
         edges.append((int(a), int(b)))

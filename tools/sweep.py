@@ -19,6 +19,10 @@ sys.path.insert(0, ROOT)
 sys.path.insert(0, os.path.join(ROOT, "tests"))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SWEEP_SF_DIR", "/root/testdata/sf0.01")
+# the literal-artifact oracles (oracles.py) train their replica on
+# ORACLE_SF_DIR — keep it aligned with the corpus being swept, or
+# every trained-artifact query is a deliberate train/serve mismatch
+os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", SF_DIR)
 
 
 def main() -> int:
