@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_source_overlap": dedup.source_overlap,
         "versioning_k_anonymous": versioning.k_anonymous_release,
         "text_mixture_apply": textstats.mixture_apply,
+        "sketch_hist_quantiles": sketches.hist_quantiles,
         # --- 3. r04-attested fill (oldest remaining attestations) ---
         "agg_serving_join": aggregates.aggregated_serving,
         "serving_dedup_first": serving.dedup_first,
@@ -153,8 +154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_grains_grouping_sets": serving.grains_grouping_sets,
         "serving_value_percentiles": serving.value_percentiles,
         "serving_hourly_window": serving.hourly_window,
-        "serving_topic_means": serving.topic_means,
         # ---- driver verification window ends at 50 entries ----
+        "serving_topic_means": serving.topic_means,
         "serving_distinct_users": serving.distinct_users,
         "serving_rollup_value": serving.rollup_value,
         "serving_loyal_purchasers": serving.loyal_purchasers,
@@ -298,6 +299,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_source_overlap": dedup.SOURCE_OVERLAP_SQL,
         "versioning_k_anonymous": versioning.K_ANONYMOUS_RELEASE_SQL,
         "text_mixture_apply": textstats.MIXTURE_APPLY_SQL,
+        "sketch_hist_quantiles": sketches.HIST_QUANTILES_SQL,
         "ingest_parse_events": ingest.PARSE_EVENTS_SQL,
         "enrich_documents": enrich.ENRICH_DOCUMENTS_SQL,
         "agg_positivity": aggregates.POSITIVITY_SQL,

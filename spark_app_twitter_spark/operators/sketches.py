@@ -294,3 +294,142 @@ __all__ = [
     "CMS_W",
     "CMS_TOPK",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram quantile sketch — the third leg of the sketch
+# family (HLL = distinct, CMS = frequency, this = distribution).
+# Mergeable (histograms add), deterministic (bucket math is the same
+# integer/double chain on both engines), error bounded by bucket
+# width (max-min)/HIST_B rather than by rank — the trade every
+# histogram-percentile dashboard (e.g. Prometheus) makes.
+HIST_B = 1024
+HIST_PS = (0.5, 0.95, 0.99)
+
+
+def hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n, width, p50_est, p95_est, p99_est): per-type
+    quantile estimates read off a HIST_B-bucket equi-width histogram
+    of ``value`` — each estimate is the upper edge of the first
+    bucket whose cumulative count reaches p*n, so the true quantile
+    lies within one bucket width below it.
+
+    Scale shape: pass 1 is a |types|-row min/max/count aggregate
+    (broadcast back); pass 2 buckets every row map-side and
+    aggregates to at most |types| * HIST_B rows — like the HLL, the
+    shuffle is sketch-sized, not data-sized, and partial aggregation
+    combines map-side. The quantile read-off is a window over the
+    |types| * HIST_B sketch, never over data rows.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    b = F.least(
+        F.lit(HIST_B),
+        F.greatest(
+            F.lit(1),
+            (
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * F.lit(HIST_B)
+                )
+                + F.lit(1)
+            ).cast("int"),
+        ),
+    )
+    hist = (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_type", "lo", "hi", "n", b.alias("b"))
+        .groupBy("event_type", "lo", "hi", "n", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql import Window
+
+    cum = F.sum("c").over(
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_cum = hist.withColumn("cum", cum)
+    width = (F.col("hi") - F.col("lo")) / F.lit(HIST_B)
+    agg_exprs = []
+    for p in HIST_PS:
+        tag = f"p{int(p * 100)}_est"
+        first_b = F.min(
+            F.when(
+                F.col("cum")
+                >= F.lit(p) * F.col("n").cast("double"),
+                F.col("b"),
+            )
+        )
+        agg_exprs.append(
+            F.round(
+                F.first("lo")
+                + first_b.cast("double")
+                * (F.first("hi") - F.first("lo"))
+                / F.lit(HIST_B),
+                6,
+            ).alias(tag)
+        )
+    return (
+        with_cum.groupBy("event_type")
+        .agg(
+            F.first("n").alias("n"),
+            F.round(F.first(width), 6).alias("width"),
+            *agg_exprs,
+        )
+    )
+
+
+def _hist_q_sql() -> str:
+    est_cols = []
+    for p in HIST_PS:
+        tag = f"p{int(p * 100)}_est"
+        est_cols.append(
+            f"round(any_value(lo) + CAST(min(CASE WHEN cum >= {p!r} *"
+            f" CAST(n AS DOUBLE) THEN b END) AS DOUBLE)"
+            f" * (any_value(hi) - any_value(lo)) / {HIST_B}, 6) AS {tag}"
+        )
+    cols = ",\n       ".join(est_cols)
+    return f"""
+WITH stats AS (
+  SELECT event_type, min(value) AS lo, max(value) AS hi,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type
+),
+hist AS (
+  SELECT e.event_type, lo, hi, n,
+         least({HIST_B}, greatest(1,
+           CAST(floor((value - lo) / (hi - lo) * {HIST_B}) + 1 AS INT)))
+           AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events e JOIN stats ON stats.event_type = e.event_type
+  GROUP BY e.event_type, lo, hi, n, b
+),
+with_cum AS (
+  SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY b
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS cum
+  FROM hist
+)
+SELECT event_type,
+       any_value(n) AS n,
+       round((any_value(hi) - any_value(lo)) / {HIST_B}, 6) AS width,
+       {cols}
+FROM with_cum
+GROUP BY event_type
+"""
+
+
+HIST_QUANTILES_SQL = _hist_q_sql()
+
+__all__ += [
+    "hist_quantiles",
+    "HIST_QUANTILES_SQL",
+    "HIST_B",
+    "HIST_PS",
+]

@@ -804,3 +804,67 @@ def test_mixture_apply_parity_and_epoch_semantics(spark, sf_dir):
     for src, m in plan.items():
         if src in got:
             assert abs(got[src] - m) <= 0.5  # draw variance bound
+
+
+def test_hist_quantiles_parity_and_error_bound(spark, sf_dir):
+    """The histogram quantile sketch must hash-match its twin AND
+    land within one bucket width of the exact quantile (the sketch's
+    documented error bound)."""
+    from spark_app_twitter_spark.operators import sketches
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    import math
+
+    df = sketches.hist_quantiles(spark, sf_dir)
+    assert_parity(df, sketches.HIST_QUANTILES_SQL, sf_dir, "histq")
+    # the sketch's guarantee is vs the ORDER STATISTIC the cum >= p*n
+    # rule selects (the interpolated percentile may sit below the
+    # k-1th..kth gap): est = upper edge of that value's bucket, so
+    # os_k lies in (est - width, est]
+    by_type: dict = {}
+    for row in (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .collect()
+    ):
+        by_type.setdefault(row.event_type, []).append(row.value)
+    for r in df.collect():
+        vals = sorted(by_type[r.event_type])
+        for p, est in ((0.5, r.p50_est), (0.95, r.p95_est), (0.99, r.p99_est)):
+            k = max(1, math.ceil(p * len(vals)))
+            os_k = vals[k - 1]
+            assert est - r.width - 1e-6 <= os_k <= est + 1e-6, (
+                f"{r.event_type} p{p}: est {est} width {r.width} os {os_k}"
+            )
+
+
+def test_registry_has_no_duplicate_keys_and_full_oracle_cover():
+    """The registry dict is a rotation schedule — a duplicate key
+    silently drops the earlier entry (Python keeps the last), which
+    once nearly shrank the driver window unnoticed. Pin it with an
+    AST check, and pin that every query has an oracle twin."""
+    import ast
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py")
+    tree = ast.parse(open(path).read())
+    for node in ast.walk(tree):
+        if isinstance(node, ast.FunctionDef) and node.name in (
+            "queries",
+            "oracle_sql",
+        ):
+            for sub in ast.walk(node):
+                if isinstance(sub, ast.Dict):
+                    keys = [
+                        k.value
+                        for k in sub.keys
+                        if isinstance(k, ast.Constant)
+                    ]
+                    dupes = {k for k in keys if keys.count(k) > 1}
+                    assert not dupes, (node.name, dupes)
+    import __spark_entry__ as ent
+
+    q, o = ent.queries(), ent.oracle_sql()
+    assert set(o) <= set(q), "orphan oracle entries"
+    missing = [n for n in q if n not in o]
+    assert not missing, f"queries without an oracle twin: {missing}"
