@@ -93,9 +93,12 @@ HEADLINE = [
     "versioning_incremental_stats",
     "sim_kmeans_cells_2level",
     # late round 6: segment-level dedup (heaviest of the four new
-    # ops — corpus-wide digest shuffle), CMS heavy hitters
+    # ops — corpus-wide digest shuffle), CMS heavy hitters, the
+    # histogram quantile sketch, and the IVF-backed retrieval path
     "dedup_paragraphs",
     "sketch_cms_top_terms",
+    "sketch_hist_quantiles",
+    "retrieval_rag_ivf",
 ]
 
 

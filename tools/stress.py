@@ -104,6 +104,8 @@ STRESS_QUERIES = [
     "dedup_source_overlap",
     "versioning_k_anonymous",
     "retrieval_rag_ivf",
+    "text_mixture_apply",
+    "sketch_hist_quantiles",
 ]
 
 
