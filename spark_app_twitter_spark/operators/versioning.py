@@ -289,11 +289,109 @@ SELECT event_type, day, hour,
 FROM g
 """
 
+
+def maintain_source_stats_stream(
+    delta_docs: DataFrame,
+    old_snapshot: DataFrame,
+    log_path: str,
+):
+    """Streaming governance maintenance: subscribe the source-stats
+    table to the CDC stream. ``delta_docs`` is the live stream of
+    arriving documents (doc_id, source, text); ``old_snapshot`` the
+    static published corpus (doc_id, text). Each micro-batch writes
+    its per-source adjustment rows (+1/+tokens for added docs,
+    0/(new-old) for changed, unchanged arrivals contribute nothing)
+    into ``log_path`` PARTITIONED BY BATCH ID with overwrite — so a
+    retried batch rewrites the same directory instead of
+    double-applying increments. That makes the log, and therefore the
+    derived stats, exactly-once under foreachBatch's at-least-once
+    replays — the CDC-log-plus-compaction shape, not a mutable
+    counter.
+
+    Returns the writeStream builder (caller starts it with a
+    checkpoint). Read the current stats with
+    :func:`source_stats_from_log`.
+    """
+    old = old_snapshot.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("old_fp"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("old_tok"),
+    )
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        new = df.select(
+            "doc_id",
+            "source",
+            F.md5(F.col("text")).alias("new_fp"),
+            F.size(F.split(F.col("text"), " "))
+            .cast("long")
+            .alias("new_tok"),
+        )
+        j = new.join(old, "doc_id", "left_outer")
+        added = F.col("old_fp").isNull()
+        changed = F.col("old_fp") != F.col("new_fp")
+        adj = (
+            j.where(added | changed)
+            .groupBy("source")
+            .agg(
+                F.sum(F.when(added, 1).otherwise(0))
+                .cast("long")
+                .alias("d_docs"),
+                F.sum(
+                    F.when(added, F.col("new_tok")).otherwise(
+                        F.col("new_tok") - F.col("old_tok")
+                    )
+                )
+                .cast("long")
+                .alias("d_tokens"),
+            )
+        )
+        # overwrite of the batch's OWN directory = replay-idempotent
+        adj.write.mode("overwrite").parquet(
+            f"{log_path}/batch_id={batch_id}"
+        )
+
+    return delta_docs.writeStream.foreachBatch(write_batch)
+
+
+def source_stats_from_log(
+    spark: SparkSession, old_snapshot: DataFrame, log_path: str
+) -> DataFrame:
+    """(source, n_docs, n_tokens): the governance table compacted
+    from base + CDC adjustment log — never rescans the new corpus.
+    Base aggregates the published snapshot once; the log is
+    |batches| x |sources| tiny rows."""
+    base = (
+        old_snapshot.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("d_docs"),
+            F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias(
+                "d_tokens"
+            ),
+        )
+        .select("source", "d_docs", "d_tokens")
+    )
+    log = spark.read.parquet(log_path).select(
+        "source", "d_docs", "d_tokens"
+    )
+    return (
+        base.unionByName(log)
+        .groupBy("source")
+        .agg(
+            F.sum("d_docs").cast("long").alias("n_docs"),
+            F.sum("d_tokens").cast("long").alias("n_tokens"),
+        )
+        .where(F.col("n_docs") > 0)
+    )
+
+
 __all__ = [
     "corpus_delta",
     "corpus_delta_stream",
     "incremental_source_stats",
     "k_anonymous_release",
+    "maintain_source_stats_stream",
+    "source_stats_from_log",
     "ANON_K",
     "CORPUS_DELTA_SQL",
     "INCREMENTAL_SOURCE_STATS_SQL",

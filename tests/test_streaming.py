@@ -1047,3 +1047,88 @@ def test_hll_sketch_union_merge_property(spark, sf_dir):
         merged.alias("m"), ["day", "bucket"], "full"
     ).where(F.col("f.mrho").eqNullSafe(F.col("m.mrho")) == False)  # noqa: E712
     assert diff.count() == 0
+
+
+def test_streaming_stats_maintenance_matches_full_recompute(
+    spark, tmp_path, sf_dir
+):
+    """The CDC-log stats pipeline end-to-end: stream the new-snapshot
+    docs in several micro-batches through maintain_source_stats_stream,
+    then source_stats_from_log must equal a from-scratch aggregation
+    of the new snapshot — and re-running the stream from a fresh
+    checkpoint (same batches) must leave the stats unchanged
+    (replay-idempotent log)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.operators import versioning
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    # old snapshot / new snapshot via the corpus_delta derivation
+    old = docs.where(F.col("doc_id") % 11 != 0).select(
+        "doc_id", "source", "text"
+    )
+    new = docs.where(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat("text", F.lit(" rev2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    # NOTE: the stream carries arrivals only — removals (in old, not
+    # in new) stay a batch job, so the expected table is old MINUS
+    # nothing here; stream the NEW snapshot and compare against
+    # base(old) + arrivals, i.e. stats over (old ∪ new-arrivals)
+    src = str(tmp_path / "arrivals")
+    new.repartition(4).write.json(src)
+    stream = spark.readStream.schema(
+        "doc_id long, source string, text string"
+    ).option("maxFilesPerTrigger", 1).json(src)
+    log_path = str(tmp_path / "log")
+
+    def run(checkpoint: str) -> None:
+        q = (
+            versioning.maintain_source_stats_stream(stream, old, log_path)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run(str(tmp_path / "ck1"))
+    got1 = {
+        r.source: (r.n_docs, r.n_tokens)
+        for r in versioning.source_stats_from_log(
+            spark, old, log_path
+        ).collect()
+    }
+    # expected: old corpus updated with every arrival (added+changed)
+    expected_df = (
+        old.join(new.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(new)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " ")).cast("long")).alias(
+                "n_tokens"
+            ),
+        )
+    )
+    expected = {
+        r.source: (r.n_docs, r.n_tokens) for r in expected_df.collect()
+    }
+    assert got1 == expected
+    # replay from a fresh checkpoint: same batch ids, same dirs — the
+    # log must not double-apply
+    run(str(tmp_path / "ck2"))
+    got2 = {
+        r.source: (r.n_docs, r.n_tokens)
+        for r in versioning.source_stats_from_log(
+            spark, old, log_path
+        ).collect()
+    }
+    assert got2 == expected
