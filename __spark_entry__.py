@@ -76,14 +76,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     whose last driver row dated r01/r02 lead, then the six entries
     changed this round (the five ex-``no_oracle`` queries that now
     carry literal-artifact DuckDB twins — see oracles.py — plus the
-    sem_dedup bounded-cell scale fix), then the SEVENTEEN round-6
+    sem_dedup bounded-cell scale fix), then the TWENTY-ONE round-6
     additions (inverted index, nearest-event join, corpus delta,
     mixture planner, deterministic HLL, bloom decontamination,
     incremental stats maintenance, batched BPE, two-level k-means,
     segment-level paragraph dedup, count-min heavy hitters,
     compaction planner, key-skew report, IVF-backed two-stage RAG
     retrieval, cross-source segment-overlap matrix, k-anonymous
-    release gate, mixture epoch-expansion), then r04-attested fill.
+    release gate, mixture epoch-expansion, histogram quantile
+    sketch, keep-best cluster representatives, two-level SemDeDup),
+    then r04-attested fill.
     After this window runs, every registry entry's driver
     attestation is at most two rounds old. The demoted r04
     remainder (led by the five fill entries this window displaced)
@@ -147,14 +149,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioning_k_anonymous": versioning.k_anonymous_release,
         "text_mixture_apply": textstats.mixture_apply,
         "sketch_hist_quantiles": sketches.hist_quantiles,
+        "dedup_cluster_best": dedup.cluster_best_representatives,
+        "sem_dedup_2level": semdedup.semdedup_2level,
         # --- 3. r04-attested fill (oldest remaining attestations) ---
         "agg_serving_join": aggregates.aggregated_serving,
         "serving_dedup_first": serving.dedup_first,
         "serving_topic_share": serving.topic_share,
         "serving_grains_grouping_sets": serving.grains_grouping_sets,
+        # ---- driver verification window ends at 50 entries ----
         "serving_value_percentiles": serving.value_percentiles,
         "serving_hourly_window": serving.hourly_window,
-        # ---- driver verification window ends at 50 entries ----
         "serving_topic_means": serving.topic_means,
         "serving_distinct_users": serving.distinct_users,
         "serving_rollup_value": serving.rollup_value,
@@ -300,6 +304,8 @@ def oracle_sql() -> dict[str, str]:
         "versioning_k_anonymous": versioning.K_ANONYMOUS_RELEASE_SQL,
         "text_mixture_apply": textstats.MIXTURE_APPLY_SQL,
         "sketch_hist_quantiles": sketches.HIST_QUANTILES_SQL,
+        "dedup_cluster_best": dedup.CLUSTER_BEST_REPRESENTATIVES_SQL,
+        "sem_dedup_2level": semdedup.SEMDEDUP_2LEVEL_SQL,
         "ingest_parse_events": ingest.PARSE_EVENTS_SQL,
         "enrich_documents": enrich.ENRICH_DOCUMENTS_SQL,
         "agg_positivity": aggregates.POSITIVITY_SQL,

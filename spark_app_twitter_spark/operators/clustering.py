@@ -474,12 +474,14 @@ def kmeans_cells_2level(
     )
 
 
-def kmeans_cells_2level_sql(
+def kmeans_cells_2level_ctes(
     n: int | None = None, iters: int = ITERS
-) -> str:
+) -> tuple[list, str]:
     """Generated CTE chain replaying the full two-level tree in
-    DuckDB. ``n=None`` derives K1/K2 from count(*) scalar subqueries
-    exactly like the Spark side derives them from corpus_size."""
+    DuckDB, returned as (cte_parts, final_select) so consumers
+    (semdedup_2level) can compose further stages. ``n=None`` derives
+    K1/K2 from count(*) scalar subqueries exactly like the Spark
+    side derives them from corpus_size."""
     if n is None:
         k_expr = f"greatest({K_CELLS}, ceil(sqrt(count(*))))"
         k1_expr = f"greatest(2, ceil(sqrt({k_expr})))"
@@ -529,6 +531,13 @@ def kmeans_cells_2level_sql(
         f"PARTITION BY m.vec_id ORDER BY {_centroid_score_sql('m.v', 'f.fv')} DESC, f.fine ASC) AS rk "
         f"FROM ca m JOIN f{iters} f ON m.coarse = f.coarse) WHERE rk = 1"
     )
+    return parts, final
+
+
+def kmeans_cells_2level_sql(
+    n: int | None = None, iters: int = ITERS
+) -> str:
+    parts, final = kmeans_cells_2level_ctes(n, iters)
     return "WITH " + ",\n".join(parts) + "\n" + final
 
 

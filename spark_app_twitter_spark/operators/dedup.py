@@ -1182,3 +1182,79 @@ FROM shared
 JOIN per_source na ON na.source = shared.src_a
 JOIN per_source nb ON nb.source = shared.src_b
 """
+
+
+def cluster_best_representatives(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(cluster_id, rep_doc_id, rep_quality, n_members): the KEEP-BEST
+    refinement of :func:`dedup_clusters` — instead of surviving the
+    lowest doc_id, each near-dup cluster keeps its highest
+    quality-score member (tie-break lowest doc_id). This is what
+    production dedup actually ships: among near-identical crawls,
+    keep the cleanest copy, not the first-crawled one.
+
+    Scale shape: the cluster labels come from the fixed-round CC (one
+    doc_id-keyed shuffle per round), quality is a map-side projection
+    of one documents scan, and the argmax is a window over
+    (cluster_id) — group sizes are near-dup cluster sizes, bounded in
+    practice by the LSH candidate generation that feeds CC.
+    """
+    from spark_app_twitter_spark.functions.text import tokens as _toks
+    from spark_app_twitter_spark.operators.textstats import (
+        quality_score_expr,
+    )
+
+    labels = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    quality = load_table(spark, sf_dir, "documents").select(
+        "doc_id", quality_score_expr(_toks("text")).alias("q")
+    )
+    scored = labels.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("q"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias(
+                "rep_doc_id"
+            ),
+            F.min(F.when(F.col("rn") == 1, F.col("q"))).alias(
+                "rep_quality"
+            ),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+
+
+def _cluster_best_sql() -> str:
+    from spark_app_twitter_spark.operators.textstats import (
+        quality_score_sql,
+    )
+
+    clusters = DEDUP_CLUSTERS_SQL.strip()
+    return f"""
+WITH clusters AS (
+{clusters}
+),
+quality AS (
+  SELECT doc_id, {quality_score_sql("string_split(text, ' ')")} AS q
+  FROM documents
+),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, q.q,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.q DESC, c.doc_id ASC) AS rn
+  FROM clusters c JOIN quality q USING (doc_id)
+)
+SELECT cluster_id,
+       min(CASE WHEN rn = 1 THEN doc_id END) AS rep_doc_id,
+       min(CASE WHEN rn = 1 THEN q END) AS rep_quality,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM ranked
+GROUP BY cluster_id
+"""
+
+
+CLUSTER_BEST_REPRESENTATIVES_SQL = _cluster_best_sql()

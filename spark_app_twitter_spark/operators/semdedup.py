@@ -76,11 +76,20 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow rows, cells bounded by the candidate cap on the build
     side. The drop set is tiny and left-joins back for the keep flag.
     """
-    from pyspark.sql import Window
-
     assigned = assign_cells(
         spark, _vecs(spark, sf_dir), kmeans_centroid_rows(spark, sf_dir)
     ).localCheckpoint(eager=True)
+    return _keep_first_within(assigned)
+
+
+def _keep_first_within(assigned: DataFrame) -> DataFrame:
+    """The capped intra-cell keep-first stage shared by both cell
+    assignments (flat and two-level): anchors are each cell's
+    SEM_CANDIDATE_CAP lowest-id members; a vector drops iff an anchor
+    with a lower id is within SEM_DUP_THRESHOLD cosine. ONE
+    definition — the linear-bound discipline must not fork."""
+    from pyspark.sql import Window
+
     anchor_rank = F.row_number().over(
         Window.partitionBy("cell").orderBy(F.asc("vec_id"))
     )
@@ -144,9 +153,70 @@ FROM assigned LEFT OUTER JOIN dups ON assigned.vec_id = dup_id
 
 SEMDEDUP_SQL = _semdedup_sql()
 
+def semdedup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell, keep): :func:`semdedup` with the hierarchical
+    two-level cell assignment — the answer to the flat variant's
+    documented n*k (k = sqrt(n)) training/assignment boundary: every
+    vector scores ~2*sqrt(k) centroids instead of k
+    (clustering.kmeans_cells_2level), and the pairwise stage is the
+    SAME capped keep-first self-join, still bounded by
+    Σ min(|cell|, CAP)·|cell| <= n·CAP. Cell boundaries differ from
+    the flat variant (finer tree, same discipline), so survivors may
+    differ — this is the documented scale-path trade, verified by
+    its own full-tree DuckDB replay oracle.
+    """
+    from spark_app_twitter_spark.operators.clustering import (
+        kmeans_cells_2level,
+    )
+
+    cells = kmeans_cells_2level(spark, sf_dir).select("vec_id", "cell")
+    assigned = (
+        cells.join(_vecs(spark, sf_dir), "vec_id")
+        .select("vec_id", "v", "cell")
+        .localCheckpoint(eager=True)
+    )
+    return _keep_first_within(assigned)
+
+
+def _semdedup_2level_sql() -> str:
+    from spark_app_twitter_spark.operators.clustering import (
+        kmeans_cells_2level_ctes,
+    )
+
+    parts, final = kmeans_cells_2level_ctes()
+    chain = ",\n".join(parts)
+    return f"""
+WITH {chain},
+cells2 AS ({final}),
+assigned AS (
+  SELECT c.vec_id, e.v, c.cell FROM cells2 c JOIN emb e USING (vec_id)
+),
+anchors AS (
+  SELECT vec_id, v, cell
+  FROM (SELECT vec_id, v, cell, row_number() OVER (
+          PARTITION BY cell ORDER BY vec_id ASC) AS arank
+        FROM assigned)
+  WHERE arank <= {SEM_CANDIDATE_CAP}
+),
+dups AS (
+  SELECT DISTINCT b.vec_id AS dup_id
+  FROM anchors a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round({cosine_sql('a.v', 'b.v')}, 6) > {SEM_DUP_THRESHOLD}
+)
+SELECT assigned.vec_id, assigned.cell, dup_id IS NULL AS keep
+FROM assigned LEFT OUTER JOIN dups ON assigned.vec_id = dup_id
+"""
+
+
+SEMDEDUP_2LEVEL_SQL = _semdedup_2level_sql()
+
+
 __all__ = [
     "semdedup",
     "SEMDEDUP_SQL",
+    "semdedup_2level",
+    "SEMDEDUP_2LEVEL_SQL",
     "SEM_DUP_THRESHOLD",
     "SEM_CANDIDATE_CAP",
     "K_CELLS",

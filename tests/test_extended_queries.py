@@ -868,3 +868,51 @@ def test_registry_has_no_duplicate_keys_and_full_oracle_cover():
     assert set(o) <= set(q), "orphan oracle entries"
     missing = [n for n in q if n not in o]
     assert not missing, f"queries without an oracle twin: {missing}"
+
+
+def test_cluster_best_representatives_parity_and_keep_best(spark, sf_dir):
+    """Keep-best must match its oracle, and every representative must
+    carry its cluster's max quality score."""
+    from spark_app_twitter_spark.operators import dedup, textstats
+    from spark_app_twitter_spark.functions.text import tokens
+
+    df = dedup.cluster_best_representatives(spark, sf_dir)
+    assert_parity(
+        df, dedup.CLUSTER_BEST_REPRESENTATIVES_SQL, sf_dir, "keepbest"
+    )
+    labels = dedup.dedup_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    quality = load_table(spark, sf_dir, "documents").select(
+        "doc_id", textstats.quality_score_expr(tokens("text")).alias("q")
+    )
+    maxq = (
+        labels.join(quality, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.max("q").alias("mq"))
+    )
+    bad = df.join(maxq, "cluster_id").where(
+        F.col("rep_quality") != F.col("mq")
+    )
+    assert bad.count() == 0
+
+
+def test_semdedup_2level_parity_and_shared_discipline(spark, sf_dir):
+    """The two-level scale path must match its full-tree oracle, and
+    both variants must agree on the corpus-wide keep RATE order of
+    magnitude (same threshold, same cap — only cell boundaries
+    differ)."""
+    from spark_app_twitter_spark.operators import semdedup
+
+    df2 = semdedup.semdedup_2level(spark, sf_dir)
+    assert_parity(df2, semdedup.SEMDEDUP_2LEVEL_SQL, sf_dir, "semd2")
+    flat_kept = (
+        semdedup.semdedup(spark, sf_dir).where("keep").count()
+    )
+    two_kept = df2.where("keep").count()
+    total = df2.count()
+    assert two_kept <= total
+    # identical threshold/cap: dropped counts must be within 3x
+    flat_dropped = max(1, total - flat_kept)
+    two_dropped = max(1, total - two_kept)
+    assert 1 / 3 <= flat_dropped / two_dropped <= 3

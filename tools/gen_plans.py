@@ -59,6 +59,10 @@ SHOWCASE = [
     ("layout_compaction_plan", "per-source running-sum window over listing rows, never data rows"),
     ("diag_key_skew", "key-count shuffle + 1-row totals broadcast + top-k"),
     ("retrieval_rag_ivf", "IVF-bounded stage 1 + k-per-query payload join (scale path of rag_retrieve)"),
+    ("sketch_hist_quantiles", "|types|x1024 histogram shuffle; quantile read-off windows the sketch, not data"),
+    ("text_mixture_apply", "|sources| multiplier broadcast + map-side epoch explode"),
+    ("dedup_source_overlap", "distinct (digest, source) self-join bounded by |sources| per digest"),
+    ("versioning_k_anonymous", "one release-key aggregation; suppression is a map-side projection"),
 ]
 
 
