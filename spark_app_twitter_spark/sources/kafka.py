@@ -28,6 +28,9 @@ Connector probe log (per-round check for a usable jar):
   resolution still has no network; spark-submit aborts in ~2.5 s
   (JAVA_GATEWAY_EXITED before port handoff). Status unchanged:
   option surface + file-stream twin remain the tested path.
+- 2026-08-14 (round 6, continued): direct curl to repo1.maven.org
+  fails DNS resolution (exit 6) — no package network; no new jar in
+  ``pyspark/jars``. Status unchanged.
 """
 
 from __future__ import annotations

@@ -106,6 +106,14 @@ STRESS_QUERIES = [
     "retrieval_rag_ivf",
     "text_mixture_apply",
     "sketch_hist_quantiles",
+    # NOT listed: dedup_cluster_best — it consumes dedup_clusters'
+    # connected components, and the stress fixture's deliberate
+    # 30-way near-dup replication makes every doc a 30-clique
+    # (~65M verified pairs at 30x), the same fixture-quadratic
+    # growth documented for pagerank; a 30x attempt ran >18 min
+    # before being cut. Real-corpus scaling rides on the LSH pair
+    # volume, which the minhash_lsh_pairs stress entry measures.
+    "sem_dedup_2level",
 ]
 
 
