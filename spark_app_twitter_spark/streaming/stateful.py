@@ -68,3 +68,72 @@ def running_topic_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Second stateful shape: per-row admission decisions against per-key
+# running state (vs running_topic_stats' per-key aggregate output).
+# The training-data use: admit arriving documents per source until
+# that source's token budget is spent — the streaming half of
+# textstats.token_budget_sample, with the cumulative token count as
+# checkpointed state instead of a window over a static corpus.
+
+ADMIT_STATE_SCHEMA = T.StructType(
+    [T.StructField("used_tokens", T.LongType())]
+)
+
+ADMIT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_tok", T.LongType()),
+        T.StructField("admitted", T.BooleanType()),
+    ]
+)
+
+
+def _admit_factory(budget: int):
+    def admit(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (used,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            # deterministic within-batch order: ascending doc_id
+            pdf = pdf.sort_values("doc_id")
+            toks = (
+                pdf["text"].str.split(" ").map(len).astype("int64")
+            )
+            admitted = []
+            for t in toks:
+                ok = used + int(t) <= budget
+                if ok:
+                    used += int(t)
+                admitted.append(ok)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "source": key[0],
+                    "n_tok": toks,
+                    "admitted": admitted,
+                }
+            )
+        state.update((used,))
+
+    return admit
+
+
+def token_budget_admission(docs: DataFrame, budget: int) -> DataFrame:
+    """Streaming docs (doc_id, source, text) -> one admission row per
+    doc: admitted=true while the source's cumulative admitted tokens
+    stay within ``budget``. State is ONE long per source —
+    checkpointed, so restarts resume the budget, and replays of a
+    committed batch recompute the same decisions (within-batch order
+    is pinned to doc_id ascending).
+    """
+    return docs.groupBy("source").applyInPandasWithState(
+        _admit_factory(budget),
+        outputStructType=ADMIT_OUTPUT_SCHEMA,
+        stateStructType=ADMIT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

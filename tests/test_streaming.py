@@ -1132,3 +1132,83 @@ def test_streaming_stats_maintenance_matches_full_recompute(
         ).collect()
     }
     assert got2 == expected
+
+
+def test_streaming_token_budget_admission_matches_prefix(
+    spark, tmp_path, sf_dir
+):
+    """Stateful budget admission across micro-batches must equal the
+    batch prefix rule: per source, docs admitted in doc_id order
+    while the running token sum stays within budget — state carries
+    the spent budget between batches."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.streaming.stateful import (
+        token_budget_admission,
+    )
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    budget = 800
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    # files sorted by doc_id so arrival order == doc_id order per
+    # source (the operator's documented determinism precondition)
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    rows = sorted(docs.collect(), key=lambda r: r.doc_id)
+    n_files = 4
+    per = (len(rows) + n_files - 1) // n_files
+    import json as _json
+
+    for i in range(n_files):
+        with open(os.path.join(src, f"p{i:02d}.json"), "w") as f:
+            for r in rows[i * per : (i + 1) * per]:
+                f.write(
+                    _json.dumps(
+                        {
+                            "doc_id": r.doc_id,
+                            "source": r.source,
+                            "text": r.text,
+                        }
+                    )
+                    + "\n"
+                )
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        token_budget_admission(stream, budget)
+        .writeStream.format("memory")
+        .queryName("admit_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.doc_id: r.admitted
+        for r in spark.sql("SELECT * FROM admit_sink").collect()
+    }
+    # batch replica of the prefix rule
+    expected = {}
+    spent: dict = {}
+    for r in rows:
+        t = len(r.text.split(" "))
+        ok = spent.get(r.source, 0) + t <= budget
+        if ok:
+            spent[r.source] = spent.get(r.source, 0) + t
+        expected[r.doc_id] = ok
+    assert got == expected
+    # every source admitted at least one doc and rejected at least one
+    # (budget chosen to split the sf0.001 corpus)
+    adm = spark.sql(
+        "SELECT source, sum(CASE WHEN admitted THEN 1 ELSE 0 END) a,"
+        " sum(CASE WHEN admitted THEN 0 ELSE 1 END) r"
+        " FROM admit_sink GROUP BY source"
+    ).collect()
+    assert any(x.a > 0 for x in adm) and any(x.r > 0 for x in adm)
