@@ -490,3 +490,27 @@ def test_rag_retrieve_ivf_no_cartesian(spark, sf_dir):
     df = retrieval.rag_retrieve_ivf(spark, sf_dir)
     plan = E.executed_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_semdedup_2level_no_cartesian_cell_keyed(spark, sf_dir):
+    """The two-level pairwise stage must stay a cell-keyed equi-join
+    (the linear-bound cap discipline) — no cartesian anywhere."""
+    from spark_app_twitter_spark.operators import semdedup
+
+    df = semdedup.semdedup_2level(spark, sf_dir)
+    plan = E.executed_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_cluster_best_quality_is_single_scan_projection(spark, sf_dir):
+    """Keep-best adds ONE documents scan (the quality projection) on
+    top of the CC labels; the argmax is a cluster-keyed window, not
+    a join against a sorted global ranking."""
+    from spark_app_twitter_spark.operators import dedup
+
+    df = dedup.cluster_best_representatives(spark, sf_dir)
+    plan = E.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan, (
+        "no global sort — the ranking is per-cluster"
+    )

@@ -63,6 +63,8 @@ SHOWCASE = [
     ("text_mixture_apply", "|sources| multiplier broadcast + map-side epoch explode"),
     ("dedup_source_overlap", "distinct (digest, source) self-join bounded by |sources| per digest"),
     ("versioning_k_anonymous", "one release-key aggregation; suppression is a map-side projection"),
+    ("sem_dedup_2level", "two-level cell assign (~2*sqrt(k) scores/vector) + shared capped keep-first"),
+    ("dedup_cluster_best", "CC labels + quality argmax window per cluster (keep-best survivor)"),
 ]
 
 
