@@ -76,7 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     whose last driver row dated r01/r02 lead, then the six entries
     changed this round (the five ex-``no_oracle`` queries that now
     carry literal-artifact DuckDB twins — see oracles.py — plus the
-    sem_dedup bounded-cell scale fix), then the TWENTY-ONE round-6
+    sem_dedup bounded-cell scale fix), then the TWENTY round-6
     additions (inverted index, nearest-event join, corpus delta,
     mixture planner, deterministic HLL, bloom decontamination,
     incremental stats maintenance, batched BPE, two-level k-means,

@@ -422,7 +422,19 @@ def _fine_assign(
 def kmeans_cells_2level(
     spark: SparkSession, sf_dir: str, iters: int = ITERS
 ) -> DataFrame:
-    """(vec_id, coarse, cell): hierarchical cell assignment — coarse
+    """(vec_id, coarse, cell): the oracle-facing projection of
+    :func:`kmeans_cells_2level_assigned` (which also carries the
+    vector so consumers like semdedup_2level need no second
+    embeddings scan)."""
+    return kmeans_cells_2level_assigned(spark, sf_dir, iters).select(
+        "vec_id", "coarse", "cell"
+    )
+
+
+def kmeans_cells_2level_assigned(
+    spark: SparkSession, sf_dir: str, iters: int = ITERS
+) -> DataFrame:
+    """(vec_id, v, coarse, cell): hierarchical cell assignment — coarse
     Lloyd over K1 centroids (the flat trainer reused at k = K1),
     then per-coarse-cell fine Lloyd over K2 centroids, global cell
     id = coarse * K2 + fine.
@@ -469,6 +481,7 @@ def kmeans_cells_2level(
         )
     return _fine_assign(members, fdf).select(
         "vec_id",
+        "v",
         "coarse",
         (F.col("coarse") * k2 + F.col("fine")).cast("int").alias("cell"),
     )

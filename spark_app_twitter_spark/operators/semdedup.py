@@ -166,12 +166,13 @@ def semdedup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
     its own full-tree DuckDB replay oracle.
     """
     from spark_app_twitter_spark.operators.clustering import (
-        kmeans_cells_2level,
+        kmeans_cells_2level_assigned,
     )
 
-    cells = kmeans_cells_2level(spark, sf_dir).select("vec_id", "cell")
+    # the assignment already carries the vector — no second
+    # embeddings scan / vec_id join (review finding)
     assigned = (
-        cells.join(_vecs(spark, sf_dir), "vec_id")
+        kmeans_cells_2level_assigned(spark, sf_dir)
         .select("vec_id", "v", "cell")
         .localCheckpoint(eager=True)
     )

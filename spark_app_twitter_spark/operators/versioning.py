@@ -27,7 +27,7 @@ upgrade of that pattern.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_app_twitter_spark.sources.parquet import load_table
@@ -299,23 +299,24 @@ def maintain_source_stats_stream(
     table to the CDC stream. ``delta_docs`` is the live stream of
     arriving documents (doc_id, source, text); ``old_snapshot`` the
     static published corpus (doc_id, text). Each micro-batch writes
-    its per-source adjustment rows (+1/+tokens for added docs,
-    0/(new-old) for changed, unchanged arrivals contribute nothing)
-    into ``log_path`` PARTITIONED BY BATCH ID with overwrite — so a
-    retried batch rewrites the same directory instead of
-    double-applying increments. That makes the log, and therefore the
-    derived stats, exactly-once under foreachBatch's at-least-once
-    replays — the CDC-log-plus-compaction shape, not a mutable
-    counter.
+    the batch's added/changed DOC-LEVEL rows
+    (doc_id, source, new_tok) into ``log_path`` PARTITIONED BY BATCH
+    ID with overwrite. Idempotence comes in two layers:
+
+    - replay of the SAME batch overwrites its own directory (no
+      double-apply under foreachBatch's at-least-once replays);
+    - the log is doc-level state, not increments, and
+      :func:`source_stats_from_log` compacts it LAST-WRITER-WINS per
+      doc_id — so a document redelivered in a later batch, or
+      updated twice, contributes its latest state exactly once
+      (increments would double-apply on redelivery; this is why the
+      log carries states, not adjustments).
 
     Returns the writeStream builder (caller starts it with a
-    checkpoint). Read the current stats with
-    :func:`source_stats_from_log`.
+    checkpoint).
     """
     old = old_snapshot.select(
-        "doc_id",
-        F.md5(F.col("text")).alias("old_fp"),
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("old_tok"),
+        "doc_id", F.md5(F.col("text")).alias("old_fp")
     )
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
@@ -328,28 +329,14 @@ def maintain_source_stats_stream(
             .alias("new_tok"),
         )
         j = new.join(old, "doc_id", "left_outer")
-        added = F.col("old_fp").isNull()
-        changed = F.col("old_fp") != F.col("new_fp")
-        adj = (
-            j.where(added | changed)
-            .groupBy("source")
-            .agg(
-                F.sum(F.when(added, 1).otherwise(0))
-                .cast("long")
-                .alias("d_docs"),
-                F.sum(
-                    F.when(added, F.col("new_tok")).otherwise(
-                        F.col("new_tok") - F.col("old_tok")
-                    )
-                )
-                .cast("long")
-                .alias("d_tokens"),
-            )
+        changed = (
+            F.col("old_fp").isNull()
+            | (F.col("old_fp") != F.col("new_fp"))
         )
         # overwrite of the batch's OWN directory = replay-idempotent
-        adj.write.mode("overwrite").parquet(
-            f"{log_path}/batch_id={batch_id}"
-        )
+        j.where(changed).select("doc_id", "source", "new_tok").write.mode(
+            "overwrite"
+        ).parquet(f"{log_path}/batch_id={batch_id}")
 
     return delta_docs.writeStream.foreachBatch(write_batch)
 
@@ -358,30 +345,37 @@ def source_stats_from_log(
     spark: SparkSession, old_snapshot: DataFrame, log_path: str
 ) -> DataFrame:
     """(source, n_docs, n_tokens): the governance table compacted
-    from base + CDC adjustment log — never rescans the new corpus.
-    Base aggregates the published snapshot once; the log is
-    |batches| x |sources| tiny rows."""
-    base = (
-        old_snapshot.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("d_docs"),
-            F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias(
-                "d_tokens"
-            ),
-        )
-        .select("source", "d_docs", "d_tokens")
+    from base + doc-level CDC log — never rescans the new corpus
+    text. Per doc the LATEST log entry wins (highest batch_id, the
+    directory partition column), base rows are shadowed by any log
+    entry for the same doc, and an empty or not-yet-created log
+    yields base-only stats instead of failing."""
+    base = old_snapshot.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("new_tok"),
     )
-    log = spark.read.parquet(log_path).select(
-        "source", "d_docs", "d_tokens"
-    )
-    return (
-        base.unionByName(log)
-        .groupBy("source")
-        .agg(
-            F.sum("d_docs").cast("long").alias("n_docs"),
-            F.sum("d_tokens").cast("long").alias("n_tokens"),
+    try:
+        log = spark.read.schema(
+            "doc_id long, source string, new_tok long, batch_id long"
+        ).parquet(log_path)
+        w = Window.partitionBy("doc_id").orderBy(F.desc("batch_id"))
+        latest = (
+            log.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("doc_id", "source", "new_tok")
         )
-        .where(F.col("n_docs") > 0)
+        if latest.isEmpty():
+            current = base
+        else:
+            current = base.join(
+                latest.select("doc_id"), "doc_id", "left_anti"
+            ).unionByName(latest)
+    except Exception:  # log dir absent: stream has not committed yet
+        current = base
+    return current.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("new_tok").cast("long").alias("n_tokens"),
     )
 
 

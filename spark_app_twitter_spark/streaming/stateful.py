@@ -97,27 +97,37 @@ def _admit_factory(budget: int):
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (used,) = state.get if state.exists else (0,)
-        for pdf in pdfs:
-            # deterministic within-batch order: ascending doc_id
-            pdf = pdf.sort_values("doc_id")
-            toks = (
-                pdf["text"].str.split(" ").map(len).astype("int64")
-            )
-            admitted = []
-            for t in toks:
-                ok = used + int(t) <= budget
-                if ok:
-                    used += int(t)
-                admitted.append(ok)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "source": key[0],
-                    "n_tok": toks,
-                    "admitted": admitted,
-                }
-            )
+        # Arrow hands a group as MULTIPLE chunks in arbitrary row
+        # order; sorting each chunk alone would charge the budget in
+        # chunk order, not doc order. Concatenate the group's batch
+        # slice first, then sort ONCE — the buffer is one key's rows
+        # within one micro-batch (the unit the state contract already
+        # holds in memory), not the stream.
+        whole = pd.concat(list(pdfs), ignore_index=True)
+        whole = whole.sort_values("doc_id")
+        toks = (
+            whole["text"]
+            .fillna("")  # null text counts like F.split('') (one
+            # empty token) instead of crashing the query
+            .str.split(" ")
+            .map(len)
+            .astype("int64")
+        )
+        admitted = []
+        for t in toks:
+            ok = used + int(t) <= budget
+            if ok:
+                used += int(t)
+            admitted.append(ok)
         state.update((used,))
+        yield pd.DataFrame(
+            {
+                "doc_id": whole["doc_id"].astype("int64"),
+                "source": key[0],
+                "n_tok": toks,
+                "admitted": admitted,
+            }
+        )
 
     return admit
 

@@ -1132,6 +1132,46 @@ def test_streaming_stats_maintenance_matches_full_recompute(
         ).collect()
     }
     assert got2 == expected
+    # REDELIVERY + second update in a later batch: re-emit a subset
+    # (some unchanged — must not double-count; some with new text —
+    # latest state must win). Continue on ck1 so only the new file
+    # forms a new batch.
+    redeliver = [r for r in new.orderBy("doc_id").limit(10).collect()]
+    import json as _json2
+
+    with open(os.path.join(src, "zz_redelivery.json"), "w") as f:
+        for i, r in enumerate(redeliver):
+            text = r.text + " rev3" if i % 2 == 0 else r.text
+            f.write(
+                _json2.dumps(
+                    {"doc_id": r.doc_id, "source": r.source, "text": text}
+                )
+                + "\n"
+            )
+    run(str(tmp_path / "ck1"))
+    got3 = {
+        r.source: (r.n_docs, r.n_tokens)
+        for r in versioning.source_stats_from_log(
+            spark, old, log_path
+        ).collect()
+    }
+    latest_text = {}
+    for r in new.collect():
+        latest_text[(r.doc_id, r.source)] = r.text
+    for i, r in enumerate(redeliver):
+        if i % 2 == 0:
+            latest_text[(r.doc_id, r.source)] = r.text + " rev3"
+    exp3: dict = {}
+    for (doc_id, source), text in latest_text.items():
+        d, t = exp3.get(source, (0, 0))
+        exp3[source] = (d + 1, t + len(text.split(" ")))
+    # old-corpus docs not re-arrived keep their base contribution
+    arrived = {doc_id for doc_id, _ in latest_text}
+    for r in old.collect():
+        if r.doc_id not in arrived:
+            d, t = exp3.get(r.source, (0, 0))
+            exp3[r.source] = (d + 1, t + len(r.text.split(" ")))
+    assert got3 == exp3
 
 
 def test_streaming_token_budget_admission_matches_prefix(
