@@ -151,12 +151,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hist_quantiles": sketches.hist_quantiles,
         "dedup_cluster_best": dedup.cluster_best_representatives,
         "sem_dedup_2level": semdedup.semdedup_2level,
+        "sim_ivf_index_append": similarity.ivf_index_append,
+        "sim_embedding_drift": similarity.embedding_drift,
         # --- 3. r04-attested fill (oldest remaining attestations) ---
         "agg_serving_join": aggregates.aggregated_serving,
         "serving_dedup_first": serving.dedup_first,
+        # ---- driver verification window ends at 50 entries ----
         "serving_topic_share": serving.topic_share,
         "serving_grains_grouping_sets": serving.grains_grouping_sets,
-        # ---- driver verification window ends at 50 entries ----
         "serving_value_percentiles": serving.value_percentiles,
         "serving_hourly_window": serving.hourly_window,
         "serving_topic_means": serving.topic_means,
@@ -306,6 +308,8 @@ def oracle_sql() -> dict[str, str]:
         "sketch_hist_quantiles": sketches.HIST_QUANTILES_SQL,
         "dedup_cluster_best": dedup.CLUSTER_BEST_REPRESENTATIVES_SQL,
         "sem_dedup_2level": semdedup.SEMDEDUP_2LEVEL_SQL,
+        "sim_ivf_index_append": similarity.IVF_INDEX_APPEND_SQL,
+        "sim_embedding_drift": similarity.EMBEDDING_DRIFT_SQL,
         "ingest_parse_events": ingest.PARSE_EVENTS_SQL,
         "enrich_documents": enrich.ENRICH_DOCUMENTS_SQL,
         "agg_positivity": aggregates.POSITIVITY_SQL,

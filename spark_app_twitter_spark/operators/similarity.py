@@ -1028,3 +1028,152 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cols.append(F.round(proj, 6).alias(f"pc{ci + 1}"))
     return out.select(*cols)
+
+
+# Incremental index maintenance: new arrivals (the corpus_delta
+# "added" modulus, vec_id % 11 == 0) are assigned with the PUBLISHED
+# centroids — production retrains offline on a cadence and appends
+# online, because retraining per arrival would re-shuffle the corpus.
+IVF_APPEND_MOD = 11
+
+
+def ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cell, n_old, n_new, growth_pct): the IVF index freshness
+    report after appending the delta — existing members vs arrivals
+    per cell, with the growth ratio that tells the maintainer when a
+    cell is hot enough to warrant the offline retrain.
+
+    Scale shape: assignment is the trained-artifact literal map (no
+    shuffle on the data side, identical to knn_ivf's candidate
+    path); the rollup is |cells| rows. The delta never triggers
+    retraining — that is the operator's contract, not an omission.
+    """
+    from spark_app_twitter_spark.operators.clustering import (
+        _vecs,
+        assign_cells,
+        kmeans_centroid_rows,
+    )
+
+    assigned = assign_cells(
+        spark, _vecs(spark, sf_dir), kmeans_centroid_rows(spark, sf_dir)
+    )
+    is_new = F.pmod(F.col("vec_id"), F.lit(IVF_APPEND_MOD)) == 0
+    out = assigned.groupBy("cell").agg(
+        F.sum(F.when(~is_new, 1).otherwise(0)).cast("long").alias("n_old"),
+        F.sum(F.when(is_new, 1).otherwise(0)).cast("long").alias("n_new"),
+    )
+    return out.select(
+        "cell",
+        "n_old",
+        "n_new",
+        F.when(
+            F.col("n_old") > 0,
+            F.round(
+                F.col("n_new").cast("double")
+                / F.col("n_old").cast("double")
+                * 100.0,
+                4,
+            ),
+        ).alias("growth_pct"),
+    )
+
+
+def _ivf_index_append_sql() -> str:
+    from spark_app_twitter_spark.operators.clustering import (
+        ITERS,
+        _centroid_score_sql,
+        kmeans_centroid_ctes,
+    )
+
+    kmeans_chain = ",\n".join(kmeans_centroid_ctes())
+    return f"""
+WITH {kmeans_chain},
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell, row_number() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY {_centroid_score_sql('e.v', 'c.cv')} DESC, c.cell ASC) AS rk
+    FROM emb e CROSS JOIN c{ITERS} c
+  ) WHERE rk = 1
+),
+rolled AS (
+  SELECT cell,
+         CAST(sum(CASE WHEN vec_id % {IVF_APPEND_MOD} != 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_old,
+         CAST(sum(CASE WHEN vec_id % {IVF_APPEND_MOD} = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_new
+  FROM assigned GROUP BY cell
+)
+SELECT cell, n_old, n_new,
+       CASE WHEN n_old > 0
+            THEN round(CAST(n_new AS DOUBLE) / CAST(n_old AS DOUBLE) * 100.0,
+                       4)
+       END AS growth_pct
+FROM rolled
+"""
+
+
+IVF_INDEX_APPEND_SQL = _ivf_index_append_sql()
+
+
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(dim, mean_old, mean_new, shift): per-dimension mean shift
+    between the published corpus and the arriving delta (the
+    IVF_APPEND_MOD cohorts) — the drift monitor that catches an
+    embedding-model version change before stale centroids silently
+    degrade recall. A nonzero corpus-wide shift profile is the
+    retrain trigger :func:`ivf_index_append`'s growth report cannot
+    see (growth counts vectors; drift sees the space move).
+
+    Same exact-mean discipline as embedding_dim_stats: quantized
+    integer sums per (dim, cohort) — one narrow shuffle, 2*|dims|
+    aggregate rows, map-side combined.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_new = F.pmod(F.col("vec_id"), F.lit(IVF_APPEND_MOD)) == 0
+    exploded = emb.select(
+        is_new.alias("is_new"), F.posexplode("embedding").alias("dim", "v")
+    )
+    q = F.round(F.col("v").cast("double") * 1e6).cast("long")
+    per = exploded.groupBy("dim", "is_new").agg(
+        (F.sum(q).cast("double") / (F.count(F.lit(1)) * F.lit(1e6))).alias(
+            "mean_v"
+        )
+    )
+    old = per.where(~F.col("is_new")).select(
+        "dim", F.col("mean_v").alias("mean_old")
+    )
+    new = per.where(F.col("is_new")).select(
+        "dim", F.col("mean_v").alias("mean_new")
+    )
+    # raw IEEE values, NOT rounded: both engines produce bit-identical
+    # quantized-sum divisions, while round() at a half-ulp boundary
+    # can disagree across engines (observed at dim 16, 6th decimal)
+    return old.join(new, "dim").select(
+        "dim",
+        "mean_old",
+        "mean_new",
+        (F.col("mean_new") - F.col("mean_old")).alias("shift"),
+    )
+
+
+EMBEDDING_DRIFT_SQL = f"""
+WITH per AS (
+  SELECT dim, is_new,
+         CAST(sum(q) AS DOUBLE) / (count(*) * 1e6) AS mean_v
+  FROM (
+    SELECT vec_id % {IVF_APPEND_MOD} = 0 AS is_new,
+           unnest(range(len(embedding))) AS dim,
+           unnest(list_transform(embedding,
+                  x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))) AS q
+    FROM embeddings
+  )
+  GROUP BY dim, is_new
+)
+SELECT o.dim,
+       o.mean_v AS mean_old,
+       n.mean_v AS mean_new,
+       n.mean_v - o.mean_v AS shift
+FROM per o JOIN per n ON o.dim = n.dim
+WHERE NOT o.is_new AND n.is_new
+"""

@@ -916,3 +916,27 @@ def test_semdedup_2level_parity_and_shared_discipline(spark, sf_dir):
     flat_dropped = max(1, total - flat_kept)
     two_dropped = max(1, total - two_kept)
     assert 1 / 3 <= flat_dropped / two_dropped <= 3
+
+
+def test_ivf_index_append_parity_and_conservation(spark, sf_dir):
+    """The index append report must match its oracle and conserve
+    the corpus: old + new member counts sum to |embeddings|."""
+    from spark_app_twitter_spark.operators import similarity
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    df = similarity.ivf_index_append(spark, sf_dir)
+    assert_parity(df, similarity.IVF_INDEX_APPEND_SQL, sf_dir, "append")
+    tot = df.agg(F.sum(F.col("n_old") + F.col("n_new"))).collect()[0][0]
+    assert tot == load_table(spark, sf_dir, "embeddings").count()
+
+
+def test_embedding_drift_parity_and_dims(spark, sf_dir):
+    from spark_app_twitter_spark.operators import similarity
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    df = similarity.embedding_drift(spark, sf_dir)
+    assert_parity(df, similarity.EMBEDDING_DRIFT_SQL, sf_dir, "drift")
+    dim = len(
+        load_table(spark, sf_dir, "embeddings").first()["embedding"]
+    )
+    assert df.count() == dim
