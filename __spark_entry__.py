@@ -76,7 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     whose last driver row dated r01/r02 lead, then the six entries
     changed this round (the five ex-``no_oracle`` queries that now
     carry literal-artifact DuckDB twins — see oracles.py — plus the
-    sem_dedup bounded-cell scale fix), then the TWENTY round-6
+    sem_dedup bounded-cell scale fix), then the TWENTY-TWO round-6
     additions (inverted index, nearest-event join, corpus delta,
     mixture planner, deterministic HLL, bloom decontamination,
     incremental stats maintenance, batched BPE, two-level k-means,
@@ -84,8 +84,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     compaction planner, key-skew report, IVF-backed two-stage RAG
     retrieval, cross-source segment-overlap matrix, k-anonymous
     release gate, mixture epoch-expansion, histogram quantile
-    sketch, keep-best cluster representatives, two-level SemDeDup),
-    then r04-attested fill.
+    sketch, keep-best cluster representatives, two-level SemDeDup,
+    incremental IVF index append, embedding drift monitor), then
+    r04-attested fill.
     After this window runs, every registry entry's driver
     attestation is at most two rounds old. The demoted r04
     remainder (led by the five fill entries this window displaced)

@@ -114,6 +114,8 @@ STRESS_QUERIES = [
     # before being cut. Real-corpus scaling rides on the LSH pair
     # volume, which the minhash_lsh_pairs stress entry measures.
     "sem_dedup_2level",
+    "sim_ivf_index_append",
+    "sim_embedding_drift",
 ]
 
 
