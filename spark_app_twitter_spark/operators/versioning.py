@@ -27,6 +27,7 @@ upgrade of that pattern.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -371,7 +372,7 @@ def source_stats_from_log(
             current = base.join(
                 latest.select("doc_id"), "doc_id", "left_anti"
             ).unionByName(latest)
-    except Exception:  # log dir absent: stream has not committed yet
+    except AnalysisException:  # log dir absent: no batch committed yet
         current = base
     return current.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
