@@ -76,7 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     whose last driver row dated r01/r02 lead, then the six entries
     changed this round (the five ex-``no_oracle`` queries that now
     carry literal-artifact DuckDB twins — see oracles.py — plus the
-    sem_dedup bounded-cell scale fix), then the TWENTY-TWO round-6
+    sem_dedup bounded-cell scale fix), then the TWENTY-FOUR round-6
     additions (inverted index, nearest-event join, corpus delta,
     mixture planner, deterministic HLL, bloom decontamination,
     incremental stats maintenance, batched BPE, two-level k-means,
@@ -85,8 +85,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     retrieval, cross-source segment-overlap matrix, k-anonymous
     release gate, mixture epoch-expansion, histogram quantile
     sketch, keep-best cluster representatives, two-level SemDeDup,
-    incremental IVF index append, embedding drift monitor), then
-    r04-attested fill.
+    incremental IVF index append, embedding drift monitor, packing
+    efficiency report, cluster-size histogram), then r04-attested
+    fill.
     After this window runs, every registry entry's driver
     attestation is at most two rounds old. The demoted r04
     remainder (led by the five fill entries this window displaced)
@@ -154,10 +155,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sem_dedup_2level": semdedup.semdedup_2level,
         "sim_ivf_index_append": similarity.ivf_index_append,
         "sim_embedding_drift": similarity.embedding_drift,
+        "pack_efficiency": packing.pack_efficiency,
+        "dedup_cluster_sizes": dedup.cluster_size_histogram,
         # --- 3. r04-attested fill (oldest remaining attestations) ---
+        # ---- driver verification window ends at 50 entries ----
         "agg_serving_join": aggregates.aggregated_serving,
         "serving_dedup_first": serving.dedup_first,
-        # ---- driver verification window ends at 50 entries ----
         "serving_topic_share": serving.topic_share,
         "serving_grains_grouping_sets": serving.grains_grouping_sets,
         "serving_value_percentiles": serving.value_percentiles,
@@ -311,6 +314,8 @@ def oracle_sql() -> dict[str, str]:
         "sem_dedup_2level": semdedup.SEMDEDUP_2LEVEL_SQL,
         "sim_ivf_index_append": similarity.IVF_INDEX_APPEND_SQL,
         "sim_embedding_drift": similarity.EMBEDDING_DRIFT_SQL,
+        "pack_efficiency": packing.PACK_EFFICIENCY_SQL,
+        "dedup_cluster_sizes": dedup.CLUSTER_SIZE_HISTOGRAM_SQL,
         "ingest_parse_events": ingest.PARSE_EVENTS_SQL,
         "enrich_documents": enrich.ENRICH_DOCUMENTS_SQL,
         "agg_positivity": aggregates.POSITIVITY_SQL,

@@ -1258,3 +1258,48 @@ GROUP BY cluster_id
 
 
 CLUSTER_BEST_REPRESENTATIVES_SQL = _cluster_best_sql()
+
+
+def cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cluster_size, n_clusters, n_docs): the governance view of the
+    near-dup graph — how many clusters exist at each size and how
+    much of the corpus they hold. Size-1 clusters are unique docs;
+    the heavy tail is what dedup will remove, so this table IS the
+    expected-savings estimate a pipeline owner reads before paying
+    for the dedup pass.
+
+    Two |corpus|-keyed aggregations over the CC labels (cluster ->
+    size, size -> counts) — the histogram is at most |corpus| rows
+    in theory, a few dozen in practice.
+    """
+    labels = dedup_clusters(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size"))
+        .cast("long")
+        .alias("n_docs"),
+    )
+
+
+def _cluster_size_histogram_sql() -> str:
+    clusters = DEDUP_CLUSTERS_SQL.strip()
+    return f"""
+WITH clusters AS (
+{clusters}
+),
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM clusters GROUP BY cluster_id
+)
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(count(*) * cluster_size AS BIGINT) AS n_docs
+FROM sizes
+GROUP BY cluster_size
+"""
+
+
+CLUSTER_SIZE_HISTOGRAM_SQL = _cluster_size_histogram_sql()

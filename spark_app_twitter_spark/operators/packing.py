@@ -153,11 +153,96 @@ SELECT doc_id, shard,
 FROM cum
 """
 
+def pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(shard, n_docs, total_tokens, n_bins, fill_pct,
+    n_boundary_crossers): the packing-efficiency report for
+    :func:`pack_sequences` — per shard, how full the PACK_BUDGET
+    bins are (the token-waste metric every training export tracks)
+    and how many docs straddle a bin boundary (candidates for
+    truncation/rollover handling downstream).
+
+    Same single shard-keyed window as the packer itself, then a
+    |shards|-row rollup — the report costs one aggregation over the
+    already-planned packing frame, not a second corpus pass.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id",
+        F.size(tokens("text")).alias("n_tok"),
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+    )
+    win = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tok").over(win) - F.col("n_tok")
+    crosses = (start % PACK_BUDGET) + F.col("n_tok") > PACK_BUDGET
+    per = docs.withColumn("crosses", crosses).groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("crosses"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_boundary_crossers"),
+    )
+    n_bins = (
+        F.floor((F.col("total_tokens") - 1) / PACK_BUDGET) + 1
+    ).cast("long")
+    return per.select(
+        "shard",
+        "n_docs",
+        "total_tokens",
+        n_bins.alias("n_bins"),
+        F.round(
+            F.col("total_tokens").cast("double")
+            / (n_bins * F.lit(PACK_BUDGET)).cast("double")
+            * 100.0,
+            4,
+        ).alias("fill_pct"),
+        "n_boundary_crossers",
+    )
+
+
+PACK_EFFICIENCY_SQL = f"""
+WITH sized AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tok,
+         doc_id % {PACK_SHARDS} AS shard
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, shard, n_tok,
+         CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) - n_tok AS start
+  FROM sized
+),
+per AS (
+  SELECT shard,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         CAST(sum(CASE WHEN (start % {PACK_BUDGET}) + n_tok > {PACK_BUDGET}
+                       THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boundary_crossers
+  FROM cum GROUP BY shard
+)
+SELECT shard, n_docs, total_tokens,
+       CAST(floor((total_tokens - 1) / {PACK_BUDGET}) + 1 AS BIGINT)
+         AS n_bins,
+       round(CAST(total_tokens AS DOUBLE)
+             / CAST((floor((total_tokens - 1) / {PACK_BUDGET}) + 1)
+                    * {PACK_BUDGET} AS DOUBLE) * 100.0, 4) AS fill_pct,
+       n_boundary_crossers
+FROM per
+"""
+
+
 __all__ = [
     "chunk_documents",
     "pack_sequences",
+    "pack_efficiency",
     "CHUNK_DOCUMENTS_SQL",
     "PACK_SEQUENCES_SQL",
+    "PACK_EFFICIENCY_SQL",
 ]
 
 

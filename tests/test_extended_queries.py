@@ -940,3 +940,31 @@ def test_embedding_drift_parity_and_dims(spark, sf_dir):
         load_table(spark, sf_dir, "embeddings").first()["embedding"]
     )
     assert df.count() == dim
+
+
+def test_pack_efficiency_parity_and_bounds(spark, sf_dir):
+    from spark_app_twitter_spark.operators import packing
+
+    df = packing.pack_efficiency(spark, sf_dir)
+    assert_parity(df, packing.PACK_EFFICIENCY_SQL, sf_dir, "packeff")
+    for r in df.collect():
+        assert 0 < r.fill_pct <= 100
+        assert r.n_boundary_crossers <= r.n_docs
+        # n_bins is the exact ceil of total/budget
+        assert (
+            r.n_bins
+            == (r.total_tokens + packing.PACK_BUDGET - 1)
+            // packing.PACK_BUDGET
+        )
+
+
+def test_cluster_size_histogram_parity_and_mass(spark, sf_dir):
+    from spark_app_twitter_spark.operators import dedup
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    df = dedup.cluster_size_histogram(spark, sf_dir)
+    assert_parity(
+        df, dedup.CLUSTER_SIZE_HISTOGRAM_SQL, sf_dir, "csize"
+    )
+    tot = df.agg(F.sum("n_docs")).collect()[0][0]
+    assert tot == load_table(spark, sf_dir, "documents").count()
