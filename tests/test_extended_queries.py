@@ -968,3 +968,45 @@ def test_cluster_size_histogram_parity_and_mass(spark, sf_dir):
     )
     tot = df.agg(F.sum("n_docs")).collect()[0][0]
     assert tot == load_table(spark, sf_dir, "documents").count()
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=1,
+            max_size=30,
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_paragraph_dedup_randomized_corpus_parity(spark, tmp_path_factory, docs):
+    """Randomized corpora (hypothesis): segment dedup must match the
+    DuckDB twin on ANY word-list corpus, not just the shipped
+    fixtures — catching slice/ceil edge cases (short docs, exact
+    multiples of SEG_WORDS, all-identical docs) the fixed tests
+    might miss."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_app_twitter_spark.operators import dedup
+
+    rows = {
+        "doc_id": list(range(len(docs))),
+        "text": [" ".join(words) for words in docs],
+        "lang": ["en"] * len(docs),
+        "source": ["s"] * len(docs),
+        "n_chars": [1] * len(docs),
+    }
+    sf = str(tmp_path_factory.mktemp("pq"))
+    pq.write_table(pa.table(rows), os.path.join(sf, "documents.parquet"))
+    assert_parity(
+        dedup.paragraph_dedup(spark, sf),
+        dedup.PARAGRAPH_DEDUP_SQL,
+        sf,
+        "rand_paragraph",
+    )
