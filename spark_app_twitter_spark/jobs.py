@@ -156,3 +156,91 @@ def prepare_training_corpus(
         chunks, out_path, n_shards, "doc_id", sort_cols=["doc_id", "chunk_id"]
     )
     return spark.read.parquet(out_path).count()
+
+
+def prepare_training_corpus_v2(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    n_shards: int = 8,
+) -> dict:
+    """The round-6 pipeline composed end-to-end — what a modern
+    training-data build actually runs, each stage one of the
+    engine's oracle-verified operators:
+
+      1. segment-level paragraph dedup: drop docs that are mostly
+         recycled segments (> half their segments already seen);
+      2. near-dup clusters -> KEEP-BEST survivor per cluster
+         (highest quality score, not lowest id);
+      3. Bloom-prefiltered benchmark decontamination (drop docs with
+         any true benchmark-gram hit);
+      4. mixture epoch expansion to the target source shares;
+      5. deterministic shuffle-shard export (epoch rides along, so a
+         doc's repeats land in different shards).
+
+    Returns counts per stage — the funnel report a pipeline owner
+    reads. Every stage is a semi/anti join of tiny key relations
+    against one corpus scan; nothing collects driver-side.
+    """
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.operators.dedup import (
+        cluster_best_representatives,
+        paragraph_dedup,
+    )
+    from spark_app_twitter_spark.operators.textstats import (
+        decontaminate_bloom,
+        mixture_apply,
+    )
+    from spark_app_twitter_spark.sources.sinks import write_training_shards
+
+    # 1. mostly-recycled docs out (strictly more dropped than kept
+    # segments)
+    seg = paragraph_dedup(spark, sf_dir)
+    seg_keep = seg.where(
+        F.col("n_dropped") * 2 <= F.col("n_segments")
+    ).select("doc_id")
+    # 2. near-dup clusters: keep each cluster's best representative
+    reps = cluster_best_representatives(spark, sf_dir).select(
+        F.col("rep_doc_id").alias("doc_id")
+    )
+    # 3. decontamination: any true benchmark-gram hit disqualifies
+    contaminated = (
+        decontaminate_bloom(spark, sf_dir)
+        .where(F.col("n_hit_grams") > 0)
+        .select("doc_id")
+    )
+    # 4. epoch expansion (doc_id repeated per epoch)
+    epochs = mixture_apply(spark, sf_dir)
+    survivors = (
+        epochs.join(seg_keep, "doc_id", "left_semi")
+        .join(reps, "doc_id", "left_semi")
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    # 5. shuffled shard export: hash over (doc_id, epoch) so repeats
+    # of a doc scatter across shards
+    keyed = survivors.withColumn(
+        "shuffle_key",
+        F.md5(
+            F.concat_ws(":", F.col("doc_id"), F.col("epoch"))
+        ),
+    )
+    write_training_shards(
+        keyed,
+        out_path,
+        n_shards,
+        "shuffle_key",
+        sort_cols=["shuffle_key"],
+    )
+    written = spark.read.parquet(out_path)
+    return {
+        "corpus": seg.count(),
+        "after_segment_gate": seg_keep.count(),
+        "cluster_representatives": reps.count(),
+        "contaminated": contaminated.count(),
+        "epoch_rows": epochs.count(),
+        "written_rows": written.count(),
+        "distinct_docs_written": written.select("doc_id")
+        .distinct()
+        .count(),
+    }

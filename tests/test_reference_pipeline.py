@@ -157,3 +157,51 @@ def test_ml_pipeline_adapter_matches_enrich(spark, sf_dir):
         .exceptAll(via_columns.select("doc_id", "sentiment", "emotion"))
     )
     assert diff.count() == 0
+
+
+def test_prepare_training_corpus_v2_funnel(spark, tmp_path, sf_dir):
+    """The round-6 capstone: every stage filters as specified, the
+    export is complete (written rows == surviving epoch rows) and
+    deterministic (two runs produce identical shard contents)."""
+    from spark_app_twitter_spark import jobs
+
+    out1 = str(tmp_path / "v2a")
+    r = jobs.prepare_training_corpus_v2(spark, sf_dir, out1, n_shards=4)
+    assert r["after_segment_gate"] <= r["corpus"]
+    assert r["cluster_representatives"] <= r["corpus"]
+    assert r["written_rows"] > 0
+    assert r["distinct_docs_written"] <= r["written_rows"]
+    # no contaminated doc may appear in the export
+    from spark_app_twitter_spark.operators.textstats import (
+        decontaminate_bloom,
+    )
+    from pyspark.sql import functions as F
+
+    bad = (
+        spark.read.parquet(out1)
+        .join(
+            decontaminate_bloom(spark, sf_dir).where(
+                F.col("n_hit_grams") > 0
+            ),
+            "doc_id",
+            "left_semi",
+        )
+        .count()
+    )
+    assert bad == 0
+    # determinism: a second run writes identical rows
+    out2 = str(tmp_path / "v2b")
+    jobs.prepare_training_corpus_v2(spark, sf_dir, out2, n_shards=4)
+    a = {
+        tuple(x)
+        for x in spark.read.parquet(out1)
+        .select("doc_id", "epoch", "shuffle_key")
+        .collect()
+    }
+    b = {
+        tuple(x)
+        for x in spark.read.parquet(out2)
+        .select("doc_id", "epoch", "shuffle_key")
+        .collect()
+    }
+    assert a == b
