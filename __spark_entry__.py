@@ -76,7 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     whose last driver row dated r01/r02 lead, then the six entries
     changed this round (the five ex-``no_oracle`` queries that now
     carry literal-artifact DuckDB twins — see oracles.py — plus the
-    sem_dedup bounded-cell scale fix), then the TWENTY-FOUR round-6
+    sem_dedup bounded-cell scale fix), then the TWENTY-FIVE round-6
     additions (inverted index, nearest-event join, corpus delta,
     mixture planner, deterministic HLL, bloom decontamination,
     incremental stats maintenance, batched BPE, two-level k-means,
@@ -86,8 +86,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     release gate, mixture epoch-expansion, histogram quantile
     sketch, keep-best cluster representatives, two-level SemDeDup,
     incremental IVF index append, embedding drift monitor, packing
-    efficiency report, cluster-size histogram), then r04-attested
-    fill.
+    efficiency report, cluster-size histogram, paragraph-dedup
+    rewrite), then r04-attested fill.
     After this window runs, every registry entry's driver
     attestation is at most two rounds old. The demoted r04
     remainder (led by the five fill entries this window displaced)
@@ -156,9 +156,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_index_append": similarity.ivf_index_append,
         "sim_embedding_drift": similarity.embedding_drift,
         "pack_efficiency": packing.pack_efficiency,
+        "dedup_paragraphs_rewrite": dedup.paragraph_dedup_rewrite,
+        # ---- driver verification window ends at 50 entries ----
+        # (51 round-6 entries compete for 50 slots; cluster_sizes — a
+        # pure rollup of the r04-attested dedup_clusters with its own
+        # local parity test — waits for round 7)
         "dedup_cluster_sizes": dedup.cluster_size_histogram,
         # --- 3. r04-attested fill (oldest remaining attestations) ---
-        # ---- driver verification window ends at 50 entries ----
         "agg_serving_join": aggregates.aggregated_serving,
         "serving_dedup_first": serving.dedup_first,
         "serving_topic_share": serving.topic_share,
@@ -316,6 +320,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_embedding_drift": similarity.EMBEDDING_DRIFT_SQL,
         "pack_efficiency": packing.PACK_EFFICIENCY_SQL,
         "dedup_cluster_sizes": dedup.CLUSTER_SIZE_HISTOGRAM_SQL,
+        "dedup_paragraphs_rewrite": dedup.PARAGRAPH_DEDUP_REWRITE_SQL,
         "ingest_parse_events": ingest.PARSE_EVENTS_SQL,
         "enrich_documents": enrich.ENRICH_DOCUMENTS_SQL,
         "agg_positivity": aggregates.POSITIVITY_SQL,

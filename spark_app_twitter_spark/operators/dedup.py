@@ -1303,3 +1303,80 @@ GROUP BY cluster_size
 
 
 CLUSTER_SIZE_HISTOGRAM_SQL = _cluster_size_histogram_sql()
+
+
+def paragraph_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_kept, new_text): the MATERIALIZING half of
+    :func:`paragraph_dedup` — each document rewritten with its
+    corpus-duplicated segments removed (keep-first order), which is
+    the Lee-et-al-style dedup ACTION at paragraph granularity, not
+    just the report. Documents reduced to zero segments drop out
+    entirely (their content lives on in the first-occurrence docs).
+
+    Scale shape: the keep-first decision is the same digest-keyed
+    window; the rewrite needs the segment TEXT through that shuffle
+    (unavoidable — the output is text), then one doc_id-keyed
+    aggregation reassembles survivors in seg_idx order via
+    sort_array(collect_list(struct)) — per-doc buffers bounded by
+    document length, never corpus-sized.
+    """
+    docs = _docs_spread(spark, sf_dir)
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform("
+                f" sequence(0, int(ceil(size(split(text, ' ')) / {SEG_WORDS}.0)) - 1),"
+                f" i -> concat_ws(' ', slice(split(text, ' '), i * {SEG_WORDS} + 1, {SEG_WORDS})))"
+            )
+        ).alias("seg_idx", "seg"),
+    ).withColumn("digest", F.md5("seg"))
+    w = Window.partitionBy("digest").orderBy(F.asc("doc_id"), F.asc("seg_idx"))
+    kept = segs.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("seg_idx", "seg"))
+                ),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("new_text"),
+    )
+
+
+PARAGRAPH_DEDUP_REWRITE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+segs AS (
+  SELECT doc_id, u.seg_idx AS seg_idx, u.seg AS seg,
+         md5(u.seg) AS digest
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(0, CAST(ceil(len(w) / {SEG_WORDS}.0) AS BIGINT)),
+             i -> {{'seg_idx': i,
+                    'seg': array_to_string(
+                      w[i * {SEG_WORDS} + 1:i * {SEG_WORDS} + {SEG_WORDS}],
+                      ' ')}})) AS u
+    FROM toks
+  )
+),
+kept AS (
+  SELECT doc_id, seg_idx, seg
+  FROM (SELECT *, row_number() OVER (PARTITION BY digest
+                                     ORDER BY doc_id ASC, seg_idx ASC) AS rn
+        FROM segs)
+  WHERE rn = 1
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       string_agg(seg, ' ' ORDER BY seg_idx ASC) AS new_text
+FROM kept
+GROUP BY doc_id
+"""

