@@ -116,6 +116,8 @@ STRESS_QUERIES = [
     "sem_dedup_2level",
     "sim_ivf_index_append",
     "sim_embedding_drift",
+    "pack_efficiency",
+    "dedup_paragraphs_rewrite",
 ]
 
 
