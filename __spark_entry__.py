@@ -158,10 +158,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_efficiency": packing.pack_efficiency,
         "dedup_paragraphs_rewrite": dedup.paragraph_dedup_rewrite,
         # ---- driver verification window ends at 50 entries ----
-        # (51 round-6 entries compete for 50 slots; cluster_sizes — a
-        # pure rollup of the r04-attested dedup_clusters with its own
-        # local parity test — waits for round 7)
+        # (round-6 entries exceed the 50 slots; these two — pure
+        # compositions of already-attested queries, each with a local
+        # parity test in CI — head the round-7 window)
         "dedup_cluster_sizes": dedup.cluster_size_histogram,
+        "sim_ann_recall_audit": similarity.ann_recall_audit,
         # --- 3. r04-attested fill (oldest remaining attestations) ---
         "agg_serving_join": aggregates.aggregated_serving,
         "serving_dedup_first": serving.dedup_first,
@@ -321,6 +322,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_efficiency": packing.PACK_EFFICIENCY_SQL,
         "dedup_cluster_sizes": dedup.CLUSTER_SIZE_HISTOGRAM_SQL,
         "dedup_paragraphs_rewrite": dedup.PARAGRAPH_DEDUP_REWRITE_SQL,
+        "sim_ann_recall_audit": similarity.ANN_RECALL_AUDIT_SQL,
         "ingest_parse_events": ingest.PARSE_EVENTS_SQL,
         "enrich_documents": enrich.ENRICH_DOCUMENTS_SQL,
         "agg_positivity": aggregates.POSITIVITY_SQL,

@@ -1177,3 +1177,61 @@ SELECT o.dim,
 FROM per o JOIN per n ON o.dim = n.dim
 WHERE NOT o.is_new AND n.is_new
 """
+
+
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, n_exact, n_hit, recall): per-query recall@k of the
+    IVF index against exact brute-force — the ANN quality audit as a
+    first-class QUERY (not just a test assertion), so a pipeline can
+    alert on recall regressions after every index rebuild. Both
+    sides are deterministic, so the audit itself is oracle-checkable.
+
+    Scale note: this is an AUDIT — production runs it over a sampled
+    query set (here the fixed query cohort), because the exact side
+    scores the corpus per query by construction. The IVF side stays
+    candidate-bounded; the join is k-rows-per-query tiny.
+    """
+    exact = knn_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = knn_ivf(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("hit_id")
+    )
+    joined = exact.join(
+        approx,
+        (exact.query_id == approx.query_id)
+        & (exact.neighbor_id == approx.hit_id),
+        "left_outer",
+    ).select(exact.query_id, "neighbor_id", "hit_id")
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("hit_id").alias("n_hit"),
+        F.round(
+            F.count("hit_id").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("recall"),
+    )
+
+
+def _ann_recall_audit_sql() -> str:
+    return f"""
+WITH exact AS (
+{KNN_BRUTEFORCE_SQL.strip()}
+),
+approx AS (
+{KNN_IVF_SQL.strip()}
+)
+SELECT e.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+       round(CAST(count(a.neighbor_id) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM exact e
+LEFT OUTER JOIN approx a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+ANN_RECALL_AUDIT_SQL = _ann_recall_audit_sql()

@@ -1032,3 +1032,19 @@ def test_paragraph_dedup_rewrite_parity_and_consistency(spark, sf_dir):
     # fully-recycled docs drop out of the rewrite but stay in the
     # report
     assert set(report) >= {r.doc_id for r in df.collect()}
+
+
+def test_ann_recall_audit_parity_and_floor(spark, sf_dir):
+    from spark_app_twitter_spark.operators import similarity
+
+    df = similarity.ann_recall_audit(spark, sf_dir)
+    assert_parity(
+        df, similarity.ANN_RECALL_AUDIT_SQL, sf_dir, "recall_audit"
+    )
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.recall <= 1
+        assert r.n_hit <= r.n_exact
+    avg = sum(r.recall for r in rows) / len(rows)
+    assert avg >= 0.8, f"IVF avg recall collapsed: {avg}"

@@ -65,6 +65,10 @@ SHOWCASE = [
     ("versioning_k_anonymous", "one release-key aggregation; suppression is a map-side projection"),
     ("sem_dedup_2level", "two-level cell assign (~2*sqrt(k) scores/vector) + shared capped keep-first"),
     ("dedup_cluster_best", "CC labels + quality argmax window per cluster (keep-best survivor)"),
+    ("sim_ivf_index_append", "published-centroid literal assignment + |cells| rollup (no retrain)"),
+    ("sim_embedding_drift", "(dim, cohort)-keyed quantized sums: 2*|dims| aggregate rows"),
+    ("pack_efficiency", "one shard-keyed window + |shards| rollup over the packing frame"),
+    ("dedup_paragraphs_rewrite", "digest-keyed keep-first + per-doc sort_array reassembly"),
 ]
 
 
