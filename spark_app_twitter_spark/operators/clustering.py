@@ -228,6 +228,7 @@ def _recenter_rows(
 _CentKey = tuple[str, str, int, int]
 _CENTROID_CACHE: dict[_CentKey, DataFrame] = {}
 _CENTROID_ROWS_CACHE: dict[_CentKey, list[tuple[int, list[float]]]] = {}
+_FINE_CENTROID_CACHE: dict[tuple, list[tuple]] = {}
 
 
 def clear_centroid_cache() -> None:
@@ -235,6 +236,7 @@ def clear_centroid_cache() -> None:
     dataset path in-session)."""
     _CENTROID_CACHE.clear()
     _CENTROID_ROWS_CACHE.clear()
+    _FINE_CENTROID_CACHE.clear()
     _N_CACHE.clear()
 
 
@@ -461,6 +463,17 @@ def kmeans_cells_2level_assigned(
     members = assign_cells(spark, _vecs(spark, sf_dir), coarse_rows).select(
         "vec_id", "v", F.col("cell").alias("coarse")
     ).localCheckpoint(eager=True)
+    # fine centroids are a trained artifact exactly like the flat
+    # cache: train once per (session, data, k1, k2, iters) — every
+    # consumer (the registry query, semdedup_2level, future 2-level
+    # search) shares one training run
+    fkey = (spark.sparkContext.applicationId, sf_dir, k1, k2, iters)
+    cached_rows = _FINE_CENTROID_CACHE.get(fkey)
+    if cached_rows is not None:
+        fdf = spark.createDataFrame(
+            cached_rows, "coarse int, fine int, fv array<double>"
+        )
+        return _final_2level_select(members, fdf, k2)
     # fine init: the first k2 members (by vec_id) of each coarse cell
     rn = F.row_number().over(
         Window.partitionBy("coarse").orderBy(F.asc("vec_id"))
@@ -473,12 +486,19 @@ def kmeans_cells_2level_assigned(
         )
     )
     dim = len(coarse_rows[0][1])
+    rows = None
     for _ in range(iters):
         assigned = _fine_assign(members, fdf)
         rows = _recenter_rows_keyed(assigned, dim, ("coarse", "fine"))
         fdf = spark.createDataFrame(
             rows, "coarse int, fine int, fv array<double>"
         )
+    if rows is not None:
+        _FINE_CENTROID_CACHE[fkey] = rows
+    return _final_2level_select(members, fdf, k2)
+
+
+def _final_2level_select(members: DataFrame, fdf: DataFrame, k2: int) -> DataFrame:
     return _fine_assign(members, fdf).select(
         "vec_id",
         "v",
