@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parity test in CI — head the round-7 window)
         "dedup_cluster_sizes": dedup.cluster_size_histogram,
         "sim_ann_recall_audit": similarity.ann_recall_audit,
+        "sim_embedding_outliers": similarity.embedding_outliers,
         # --- 3. r04-attested fill (oldest remaining attestations) ---
         "agg_serving_join": aggregates.aggregated_serving,
         "serving_dedup_first": serving.dedup_first,
@@ -323,6 +324,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_sizes": dedup.CLUSTER_SIZE_HISTOGRAM_SQL,
         "dedup_paragraphs_rewrite": dedup.PARAGRAPH_DEDUP_REWRITE_SQL,
         "sim_ann_recall_audit": similarity.ANN_RECALL_AUDIT_SQL,
+        "sim_embedding_outliers": similarity.EMBEDDING_OUTLIERS_SQL,
         "ingest_parse_events": ingest.PARSE_EVENTS_SQL,
         "enrich_documents": enrich.ENRICH_DOCUMENTS_SQL,
         "agg_positivity": aggregates.POSITIVITY_SQL,

@@ -1235,3 +1235,74 @@ GROUP BY e.query_id
 
 
 ANN_RECALL_AUDIT_SQL = _ann_recall_audit_sql()
+
+
+# Far-from-centroid gate: vectors whose own-cell centroid cosine
+# falls below this are curation outliers (mislabeled / OOD / noise
+# candidates — the CLIP-filtering shape). Chosen below the corpus's
+# p25 (~0.29 at the test SFs) so the flag discriminates.
+OUTLIER_SIM = 0.25
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell, centroid_sim, is_outlier): every vector scored
+    against ITS OWN cell centroid — the distance-to-prototype signal
+    data curation prunes on (far-from-every-cluster points are noise
+    or out-of-distribution, the complement of SemDeDup's
+    too-close-to-something points).
+
+    Scale shape: assignment is the cached trained-centroid literal
+    map; the centroid re-join broadcasts the |cells|-row table; the
+    scoring is map-side vector math. No pairwise work at all.
+    """
+    from spark_app_twitter_spark.operators.clustering import (
+        _vecs,
+        assign_cells,
+        kmeans_centroid_rows,
+        kmeans_centroids,
+    )
+
+    assigned = assign_cells(
+        spark, _vecs(spark, sf_dir), kmeans_centroid_rows(spark, sf_dir)
+    )
+    cents = kmeans_centroids(spark, sf_dir).select(
+        "cell", F.col("cv").alias("ccv")
+    )
+    sim = F.round(cosine(F.col("v"), F.col("ccv")), 6)
+    return (
+        assigned.join(F.broadcast(cents), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            sim.alias("centroid_sim"),
+            (sim < F.lit(OUTLIER_SIM)).alias("is_outlier"),
+        )
+    )
+
+
+def _embedding_outliers_sql() -> str:
+    from spark_app_twitter_spark.operators.clustering import (
+        ITERS,
+        _centroid_score_sql,
+        kmeans_centroid_ctes,
+    )
+
+    kmeans_chain = ",\n".join(kmeans_centroid_ctes())
+    return f"""
+WITH {kmeans_chain},
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell, row_number() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY {_centroid_score_sql('e.v', 'c.cv')} DESC, c.cell ASC) AS rk
+    FROM emb e CROSS JOIN c{ITERS} c
+  ) WHERE rk = 1
+)
+SELECT a.vec_id, a.cell,
+       round({cosine_sql('a.v', 'c.cv')}, 6) AS centroid_sim,
+       round({cosine_sql('a.v', 'c.cv')}, 6) < {OUTLIER_SIM} AS is_outlier
+FROM assigned a JOIN c{ITERS} c ON a.cell = c.cell
+"""
+
+
+EMBEDDING_OUTLIERS_SQL = _embedding_outliers_sql()

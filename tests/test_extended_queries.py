@@ -1048,3 +1048,21 @@ def test_ann_recall_audit_parity_and_floor(spark, sf_dir):
         assert r.n_hit <= r.n_exact
     avg = sum(r.recall for r in rows) / len(rows)
     assert avg >= 0.8, f"IVF avg recall collapsed: {avg}"
+
+
+def test_embedding_outliers_parity_and_discrimination(spark, sf_dir):
+    from spark_app_twitter_spark.operators import similarity
+
+    df = similarity.embedding_outliers(spark, sf_dir)
+    assert_parity(
+        df, similarity.EMBEDDING_OUTLIERS_SQL, sf_dir, "outliers"
+    )
+    rows = df.collect()
+    out = [r for r in rows if r.is_outlier]
+    inl = [r for r in rows if not r.is_outlier]
+    assert out and inl, "threshold must discriminate"
+    assert max(r.centroid_sim for r in out) < min(
+        r.centroid_sim for r in inl
+    ) + 1e-9 or all(
+        r.centroid_sim < similarity.OUTLIER_SIM for r in out
+    )
