@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_sizes": dedup.cluster_size_histogram,
         "sim_ann_recall_audit": similarity.ann_recall_audit,
         "sim_embedding_outliers": similarity.embedding_outliers,
+        "layout_zorder_skipping": layout.zorder_skipping_stats,
         # --- 3. r04-attested fill (oldest remaining attestations) ---
         "agg_serving_join": aggregates.aggregated_serving,
         "serving_dedup_first": serving.dedup_first,
@@ -325,6 +326,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_paragraphs_rewrite": dedup.PARAGRAPH_DEDUP_REWRITE_SQL,
         "sim_ann_recall_audit": similarity.ANN_RECALL_AUDIT_SQL,
         "sim_embedding_outliers": similarity.EMBEDDING_OUTLIERS_SQL,
+        "layout_zorder_skipping": layout.ZORDER_SKIPPING_STATS_SQL,
         "ingest_parse_events": ingest.PARSE_EVENTS_SQL,
         "enrich_documents": enrich.ENRICH_DOCUMENTS_SQL,
         "agg_positivity": aggregates.POSITIVITY_SQL,

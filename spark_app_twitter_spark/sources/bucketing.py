@@ -203,3 +203,100 @@ SELECT source, shard,
 FROM listed
 GROUP BY source, shard
 """
+
+
+# Data-skipping audit: group the Z-ordered layout into row-group-
+# sized runs and measure, for representative predicates, how many
+# groups a min/max-pruning reader skips. The predicates are fixed
+# literals so the audit is oracle-checkable.
+ZSKIP_GROUP_SHIFT = 4  # 2^16 z values -> 4096 groups of 16
+_ZSKIP_PREDICATES = [
+    # (name, u_lo, u_hi, t_lo, t_hi) over the 0..255 bucket spaces
+    ("user_slice", 10, 20, 0, 255),
+    ("time_slice", 0, 255, 40, 50),
+    ("point_range", 100, 120, 100, 120),
+]
+
+
+def zorder_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(predicate, n_groups, n_skipped, skip_pct): for each audit
+    predicate, the fraction of Z-run row groups a min/max reader
+    prunes — the measurement that justifies the Z-order write
+    layout (a linear (user, time) sort skips well on ONE dimension;
+    Morton runs skip on both).
+
+    Scale shape: per-group min/max is one keyed aggregation on the
+    group id (map-side combined, |groups| = 4096 rows out); each
+    predicate is then a map over THAT tiny relation. The data never
+    sorts globally — group membership is z >> shift, a pure map, and
+    a real writer would already have rows range-partitioned by z.
+    """
+    from pyspark.sql import functions as F
+
+    z = zorder_events(spark, sf_dir)
+    groups = (
+        z.withColumn("zg", F.shiftright("z", ZSKIP_GROUP_SHIFT))
+        .groupBy("zg")
+        .agg(
+            F.min("u_bucket").alias("u_lo"),
+            F.max("u_bucket").alias("u_hi"),
+            F.min("t_bucket").alias("t_lo"),
+            F.max("t_bucket").alias("t_hi"),
+        )
+    )
+    out = None
+    for name, ulo, uhi, tlo, thi in _ZSKIP_PREDICATES:
+        # a group is skippable iff its min/max box misses the box
+        skipped = (
+            (F.col("u_hi") < ulo)
+            | (F.col("u_lo") > uhi)
+            | (F.col("t_hi") < tlo)
+            | (F.col("t_lo") > thi)
+        )
+        row = groups.agg(
+            F.lit(name).alias("predicate"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(F.when(skipped, 1).otherwise(0))
+            .cast("long")
+            .alias("n_skipped"),
+            F.round(
+                F.sum(F.when(skipped, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                * 100.0,
+                4,
+            ).alias("skip_pct"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _zskip_sql() -> str:
+    selects = []
+    for name, ulo, uhi, tlo, thi in _ZSKIP_PREDICATES:
+        selects.append(f"""
+SELECT '{name}' AS predicate,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN u_hi < {ulo} OR u_lo > {uhi}
+                      OR t_hi < {tlo} OR t_lo > {thi}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+       round(CAST(sum(CASE WHEN u_hi < {ulo} OR u_lo > {uhi}
+                            OR t_hi < {tlo} OR t_lo > {thi}
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) * 100.0, 4) AS skip_pct
+FROM groups""")
+    union = "\nUNION ALL\n".join(s.strip() for s in selects)
+    return f"""
+WITH zkeys AS (
+{ZORDER_EVENTS_SQL.strip()}
+),
+groups AS (
+  SELECT z // {1 << ZSKIP_GROUP_SHIFT} AS zg,
+         min(u_bucket) AS u_lo, max(u_bucket) AS u_hi,
+         min(t_bucket) AS t_lo, max(t_bucket) AS t_hi
+  FROM zkeys GROUP BY zg
+)
+{union}
+"""
+
+
+ZORDER_SKIPPING_STATS_SQL = _zskip_sql()

@@ -1066,3 +1066,18 @@ def test_embedding_outliers_parity_and_discrimination(spark, sf_dir):
     ) + 1e-9 or all(
         r.centroid_sim < similarity.OUTLIER_SIM for r in out
     )
+
+
+def test_zorder_skipping_parity_and_effectiveness(spark, sf_dir):
+    """The skipping audit must match its oracle AND show the layout
+    actually skips: every audit predicate prunes > 50% of groups."""
+    from spark_app_twitter_spark.sources import bucketing
+
+    df = bucketing.zorder_skipping_stats(spark, sf_dir)
+    assert_parity(
+        df, bucketing.ZORDER_SKIPPING_STATS_SQL, sf_dir, "zskip"
+    )
+    for r in df.collect():
+        assert r.skip_pct > 50, f"{r.predicate} skips only {r.skip_pct}%"
+        # (at tiny SFs a narrow predicate may legitimately skip ALL
+        # groups — no residual-read assertion)
