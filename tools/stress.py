@@ -118,6 +118,11 @@ STRESS_QUERIES = [
     "sim_embedding_drift",
     "pack_efficiency",
     "dedup_paragraphs_rewrite",
+    "sim_embedding_outliers",
+    "layout_zorder_skipping",
+    # NOT listed: sim_ann_recall_audit — its exact side scores the
+    # corpus per query by construction (the operator's docstring
+    # documents the sampled-query audit pattern at scale).
 ]
 
 
