@@ -76,7 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     whose last driver row dated r01/r02 lead, then the six entries
     changed this round (the five ex-``no_oracle`` queries that now
     carry literal-artifact DuckDB twins — see oracles.py — plus the
-    sem_dedup bounded-cell scale fix), then the TWENTY-FIVE round-6
+    sem_dedup bounded-cell scale fix), then the TWENTY-EIGHT round-6
     additions (inverted index, nearest-event join, corpus delta,
     mixture planner, deterministic HLL, bloom decontamination,
     incremental stats maintenance, batched BPE, two-level k-means,
@@ -87,7 +87,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sketch, keep-best cluster representatives, two-level SemDeDup,
     incremental IVF index append, embedding drift monitor, packing
     efficiency report, cluster-size histogram, paragraph-dedup
-    rewrite), then r04-attested fill.
+    rewrite, ANN recall audit, far-from-centroid outlier gate,
+    Z-order data-skipping audit), then r04-attested fill.
     After this window runs, every registry entry's driver
     attestation is at most two rounds old. The demoted r04
     remainder (led by the five fill entries this window displaced)
@@ -158,9 +159,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_efficiency": packing.pack_efficiency,
         "dedup_paragraphs_rewrite": dedup.paragraph_dedup_rewrite,
         # ---- driver verification window ends at 50 entries ----
-        # (round-6 entries exceed the 50 slots; these two — pure
-        # compositions of already-attested queries, each with a local
-        # parity test in CI — head the round-7 window)
+        # (round-6 entries exceed the 50 slots; these FOUR post-window
+        # entries — compositions/audits over already-attested queries,
+        # each with a local parity test in CI — head the round-7
+        # window together with layout_zorder_skipping below)
         "dedup_cluster_sizes": dedup.cluster_size_histogram,
         "sim_ann_recall_audit": similarity.ann_recall_audit,
         "sim_embedding_outliers": similarity.embedding_outliers,

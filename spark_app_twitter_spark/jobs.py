@@ -194,24 +194,31 @@ def prepare_training_corpus_v2(
     )
     from spark_app_twitter_spark.sources.sinks import write_training_shards
 
+    # Each stage frame is checkpointed: the export AND the funnel
+    # counts below both consume it, and without the pin each count
+    # would replay the stage's full lineage (CC rounds, bloom build,
+    # segment shuffle) a second time.
     # 1. mostly-recycled docs out (strictly more dropped than kept
     # segments)
-    seg = paragraph_dedup(spark, sf_dir)
+    seg = paragraph_dedup(spark, sf_dir).localCheckpoint(eager=True)
     seg_keep = seg.where(
         F.col("n_dropped") * 2 <= F.col("n_segments")
     ).select("doc_id")
     # 2. near-dup clusters: keep each cluster's best representative
-    reps = cluster_best_representatives(spark, sf_dir).select(
-        F.col("rep_doc_id").alias("doc_id")
+    reps = (
+        cluster_best_representatives(spark, sf_dir)
+        .select(F.col("rep_doc_id").alias("doc_id"))
+        .localCheckpoint(eager=True)
     )
     # 3. decontamination: any true benchmark-gram hit disqualifies
     contaminated = (
         decontaminate_bloom(spark, sf_dir)
         .where(F.col("n_hit_grams") > 0)
         .select("doc_id")
+        .localCheckpoint(eager=True)
     )
     # 4. epoch expansion (doc_id repeated per epoch)
-    epochs = mixture_apply(spark, sf_dir)
+    epochs = mixture_apply(spark, sf_dir).localCheckpoint(eager=True)
     survivors = (
         epochs.join(seg_keep, "doc_id", "left_semi")
         .join(reps, "doc_id", "left_semi")

@@ -319,6 +319,21 @@ def _centroid_score_sql(v: str, c: str) -> str:
     )
 
 
+def kmeans_assigned_cte(select_cols: str = "vec_id, v, cell") -> str:
+    """The canonical nearest-centroid assignment CTE BODY (no name):
+    row_number over (Euclidean centroid score DESC, cell ASC) against
+    the final ``c{ITERS}`` table — ONE definition for every oracle
+    that replays cell assignment (semdedup, embedding outliers), so a
+    tie-break or score change cannot de-synchronize a twin."""
+    return (
+        f"SELECT {select_cols} FROM ("
+        f"SELECT e.vec_id, e.v, c.cell, row_number() OVER ("
+        f"PARTITION BY e.vec_id "
+        f"ORDER BY {_centroid_score_sql('e.v', 'c.cv')} DESC, c.cell ASC) AS rk "
+        f"FROM emb e CROSS JOIN c{ITERS} c) WHERE rk = 1"
+    )
+
+
 def kmeans_centroid_ctes(
     k: int | None = None, iters: int = ITERS
 ) -> list[str]:

@@ -101,38 +101,31 @@ FROM chunks
 """
 
 
-def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shard, bin, offset) — concat-then-cut packing: within
-    each hash shard, docs concatenate in doc_id order and are cut
-    into PACK_BUDGET-token bins; a doc belongs to the bin where its
-    first token lands, offset is that position within the bin.
-
-    The cumulative sum is a per-shard window (running frame) — state
-    is one counter per shard partition, never global, so shards pack
-    in parallel and the plan is one shuffle on the shard key.
-    """
-    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+def _sized_sharded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tok, shard): the packer's input projection — ONE
+    definition of tokenization and sharding for pack_sequences AND
+    pack_efficiency, so the efficiency report can never describe a
+    different packing than the one shipped."""
+    return load_table(spark, sf_dir, "documents", spread=True).select(
         "doc_id",
         F.size(tokens("text")).alias("n_tok"),
         (F.col("doc_id") % PACK_SHARDS).alias("shard"),
     )
+
+
+def _shard_start(n_tok_col: str = "n_tok"):
+    """Running first-token offset within the shard stream (shared
+    window of both packer consumers)."""
     win = (
         Window.partitionBy("shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum("n_tok").over(win)
-    start = cum - F.col("n_tok")  # first-token offset in the shard stream
-    return docs.select(
-        "doc_id",
-        "shard",
-        F.floor(start / PACK_BUDGET).alias("bin"),
-        (start % PACK_BUDGET).alias("offset"),
-    )
+    return F.sum(n_tok_col).over(win) - F.col(n_tok_col)
 
 
-PACK_SEQUENCES_SQL = f"""
-WITH sized AS (
+# shared SQL CTEs (mirror of the two helpers above)
+_PACK_CTES = f"""sized AS (
   SELECT doc_id,
          len(string_split(text, ' ')) AS n_tok,
          doc_id % {PACK_SHARDS} AS shard
@@ -146,7 +139,31 @@ cum AS (
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               AS BIGINT) - n_tok AS start
   FROM sized
-)
+)"""
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shard, bin, offset) — concat-then-cut packing: within
+    each hash shard, docs concatenate in doc_id order and are cut
+    into PACK_BUDGET-token bins; a doc belongs to the bin where its
+    first token lands, offset is that position within the bin.
+
+    The cumulative sum is a per-shard window (running frame) — state
+    is one counter per shard partition, never global, so shards pack
+    in parallel and the plan is one shuffle on the shard key.
+    """
+    docs = _sized_sharded_docs(spark, sf_dir)
+    start = _shard_start()
+    return docs.select(
+        "doc_id",
+        "shard",
+        F.floor(start / PACK_BUDGET).alias("bin"),
+        (start % PACK_BUDGET).alias("offset"),
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH {_PACK_CTES}
 SELECT doc_id, shard,
        CAST(floor(CAST(start AS DOUBLE) / {PACK_BUDGET}) AS BIGINT) AS bin,
        start % {PACK_BUDGET} AS offset
@@ -165,17 +182,8 @@ def pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     |shards|-row rollup — the report costs one aggregation over the
     already-planned packing frame, not a second corpus pass.
     """
-    docs = load_table(spark, sf_dir, "documents", spread=True).select(
-        "doc_id",
-        F.size(tokens("text")).alias("n_tok"),
-        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
-    )
-    win = (
-        Window.partitionBy("shard")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    start = F.sum("n_tok").over(win) - F.col("n_tok")
+    docs = _sized_sharded_docs(spark, sf_dir)
+    start = _shard_start()
     crosses = (start % PACK_BUDGET) + F.col("n_tok") > PACK_BUDGET
     per = docs.withColumn("crosses", crosses).groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -203,19 +211,7 @@ def pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PACK_EFFICIENCY_SQL = f"""
-WITH sized AS (
-  SELECT doc_id,
-         len(string_split(text, ' ')) AS n_tok,
-         doc_id % {PACK_SHARDS} AS shard
-  FROM documents
-),
-cum AS (
-  SELECT doc_id, shard, n_tok,
-         CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              AS BIGINT) - n_tok AS start
-  FROM sized
-),
+WITH {_PACK_CTES},
 per AS (
   SELECT shard,
          CAST(count(*) AS BIGINT) AS n_docs,

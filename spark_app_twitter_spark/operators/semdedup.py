@@ -124,12 +124,11 @@ def _keep_first_within(assigned: DataFrame) -> DataFrame:
 
 def _semdedup_sql() -> str:
     kmeans_chain = ",\n".join(kmeans_centroid_ctes())
-    assign = (
-        f"assigned AS (SELECT vec_id, v, cell FROM ("
-        f"SELECT e.vec_id, e.v, c.cell, row_number() OVER ("
-        f"PARTITION BY e.vec_id ORDER BY {_centroid_score_sql('e.v', 'c.cv')} DESC, c.cell ASC) AS rk "
-        f"FROM emb e CROSS JOIN c{ITERS} c) WHERE rk = 1)"
+    from spark_app_twitter_spark.operators.clustering import (
+        kmeans_assigned_cte,
     )
+
+    assign = f"assigned AS ({kmeans_assigned_cte()})"
     return f"""
 WITH {kmeans_chain},
 {assign},

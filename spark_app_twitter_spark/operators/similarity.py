@@ -1031,10 +1031,12 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Incremental index maintenance: new arrivals (the corpus_delta
-# "added" modulus, vec_id % 11 == 0) are assigned with the PUBLISHED
-# centroids — production retrains offline on a cadence and appends
-# online, because retraining per arrival would re-shuffle the corpus.
-IVF_APPEND_MOD = 11
+# "added" cohort — the SAME modulus versioning.ADDED_MOD uses, so
+# the CDC delta and these reports slice identical arrivals) are
+# assigned with the PUBLISHED centroids — production retrains
+# offline on a cadence and appends online, because retraining per
+# arrival would re-shuffle the corpus.
+from spark_app_twitter_spark.operators.versioning import ADDED_MOD as IVF_APPEND_MOD  # noqa: E501
 
 
 def ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1043,19 +1045,25 @@ def ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     per cell, with the growth ratio that tells the maintainer when a
     cell is hot enough to warrant the offline retrain.
 
-    Scale shape: assignment is the trained-artifact literal map (no
-    shuffle on the data side, identical to knn_ivf's candidate
-    path); the rollup is |cells| rows. The delta never triggers
-    retraining — that is the operator's contract, not an omission.
+    The audited index IS knn_ivf's: the same CANDIDATE set (query
+    vectors excluded) assigned by the same argmax-COSINE literal map
+    (``_inline_nearest_cell`` — assign_cells' Euclidean score would
+    describe a different index once Lloyd centroids have unequal
+    norms). Scale shape: shuffle-free scoring, |cells|-row rollup.
+    The delta never triggers retraining — that is the operator's
+    contract, not an omission.
     """
     from spark_app_twitter_spark.operators.clustering import (
-        _vecs,
-        assign_cells,
         kmeans_centroid_rows,
     )
 
-    assigned = assign_cells(
-        spark, _vecs(spark, sf_dir), kmeans_centroid_rows(spark, sf_dir)
+    _, cands = _queries_and_cands(spark, sf_dir)
+    cands = cands.select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.transform("cv", lambda x: x.cast("double")).alias("v"),
+    )
+    assigned = _inline_nearest_cell(
+        cands, "vec_id", "v", kmeans_centroid_rows(spark, sf_dir)
     )
     is_new = F.pmod(F.col("vec_id"), F.lit(IVF_APPEND_MOD)) == 0
     out = assigned.groupBy("cell").agg(
@@ -1081,7 +1089,6 @@ def ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_index_append_sql() -> str:
     from spark_app_twitter_spark.operators.clustering import (
         ITERS,
-        _centroid_score_sql,
         kmeans_centroid_ctes,
     )
 
@@ -1092,8 +1099,9 @@ assigned AS (
   SELECT vec_id, cell FROM (
     SELECT e.vec_id, c.cell, row_number() OVER (
       PARTITION BY e.vec_id
-      ORDER BY {_centroid_score_sql('e.v', 'c.cv')} DESC, c.cell ASC) AS rk
+      ORDER BY round({cosine_sql('e.v', 'c.cv')}, 6) DESC, c.cell ASC) AS rk
     FROM emb e CROSS JOIN c{ITERS} c
+    WHERE e.vec_id >= {N_QUERIES}
   ) WHERE rk = 1
 ),
 rolled AS (
@@ -1283,21 +1291,14 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _embedding_outliers_sql() -> str:
     from spark_app_twitter_spark.operators.clustering import (
         ITERS,
-        _centroid_score_sql,
+        kmeans_assigned_cte,
         kmeans_centroid_ctes,
     )
 
     kmeans_chain = ",\n".join(kmeans_centroid_ctes())
     return f"""
 WITH {kmeans_chain},
-assigned AS (
-  SELECT vec_id, v, cell FROM (
-    SELECT e.vec_id, e.v, c.cell, row_number() OVER (
-      PARTITION BY e.vec_id
-      ORDER BY {_centroid_score_sql('e.v', 'c.cv')} DESC, c.cell ASC) AS rk
-    FROM emb e CROSS JOIN c{ITERS} c
-  ) WHERE rk = 1
-)
+assigned AS ({kmeans_assigned_cte()})
 SELECT a.vec_id, a.cell,
        round({cosine_sql('a.v', 'c.cv')}, 6) AS centroid_sim,
        round({cosine_sql('a.v', 'c.cv')}, 6) < {OUTLIER_SIM} AS is_outlier

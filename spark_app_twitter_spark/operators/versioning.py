@@ -34,7 +34,11 @@ from pyspark.sql import functions as F
 from spark_app_twitter_spark.sources.parquet import load_table
 
 # Derivation moduli — shared by the Spark operator and the SQL twin.
-_ADD_MOD = 11  # absent from the old snapshot
+# ADDED_MOD is public: similarity's index-append/drift cohorts slice
+# "arrivals" on the same rule, so the CDC delta and the index
+# maintenance reports always describe the same cohort.
+ADDED_MOD = 11  # absent from the old snapshot
+_ADD_MOD = ADDED_MOD
 _DEL_MOD = 17  # absent from the new snapshot
 _CHG_MOD = 13  # re-crawled (text amended) in the new snapshot
 _CHG_SUFFIX = " rev2"
@@ -350,7 +354,11 @@ def source_stats_from_log(
     text. Per doc the LATEST log entry wins (highest batch_id, the
     directory partition column), base rows are shadowed by any log
     entry for the same doc, and an empty or not-yet-created log
-    yields base-only stats instead of failing."""
+    yields base-only stats instead of failing (AnalysisException —
+    absent path — only; a read racing a concurrent batch REPLAY's
+    directory overwrite can still fail mid-scan with a runtime
+    error, which callers should retry rather than have it silently
+    degrade to stale base-only numbers)."""
     base = old_snapshot.select(
         "doc_id",
         "source",
@@ -387,6 +395,7 @@ __all__ = [
     "k_anonymous_release",
     "maintain_source_stats_stream",
     "source_stats_from_log",
+    "ADDED_MOD",
     "ANON_K",
     "CORPUS_DELTA_SQL",
     "INCREMENTAL_SOURCE_STATS_SQL",

@@ -243,6 +243,10 @@ def zorder_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("t_bucket").alias("t_lo"),
             F.max("t_bucket").alias("t_hi"),
         )
+        # ONE corpus pass: the per-predicate aggregates below replay
+        # this frame, so pin the 4096-row result instead of
+        # re-scanning events once per predicate
+        .localCheckpoint(eager=True)
     )
     out = None
     for name, ulo, uhi, tlo, thi in _ZSKIP_PREDICATES:
