@@ -208,3 +208,59 @@ def test_mongo_option_contract_matches_reference_surface():
         "spark.mongodb.write.database": "dash",
         "spark.mongodb.write.collection": "serving",
     }
+
+
+def test_datalake_schema_evolution_merge(spark, tmp_path):
+    """A datalake whose schema evolved (a column added in later
+    batches) must read as the UNION schema with nulls for the old
+    files — the mergeSchema contract an always-on ingest pipeline
+    relies on when a producer adds a field."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+
+    base = str(tmp_path / "lake")
+    os.makedirs(f"{base}/day=1")
+    os.makedirs(f"{base}/day=2")
+    pq.write_table(
+        pa.table({"id": [1, 2], "value": [10.0, 20.0]}),
+        f"{base}/day=1/part0.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {"id": [3], "value": [30.0], "quality": [0.9]}
+        ),
+        f"{base}/day=2/part0.parquet",
+    )
+    df = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(df.columns) == {"id", "value", "quality", "day"}
+    rows = {r.id: (r.value, r.quality) for r in df.collect()}
+    assert rows[1] == (10.0, None)  # old files: added column is null
+    assert rows[3] == (30.0, 0.9)
+
+
+def test_ingest_tolerates_corrupt_json_records(spark, tmp_path):
+    """PERMISSIVE-mode ingest: malformed lines land in the corrupt
+    column instead of failing the job — the contract a streaming
+    ingest needs when an upstream producer ships a bad payload."""
+    import os
+
+    src = str(tmp_path / "raw")
+    os.makedirs(src)
+    with open(f"{src}/p0.json", "w") as f:
+        f.write('{"event_id": 1, "payload": "ok"}\n')
+        f.write("{this is not json\n")
+        f.write('{"event_id": 2, "payload": "also ok"}\n')
+    df = (
+        spark.read.schema(
+            "event_id long, payload string, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(src)
+    )
+    rows = df.collect()
+    good = [r for r in rows if r.event_id is not None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert {r.event_id for r in good} == {1, 2}
+    assert len(bad) == 1 and "not json" in bad[0]._corrupt_record
