@@ -699,6 +699,11 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         checked.groupBy("doc_id", "g")
         .agg(F.min("hit").alias("all_hit"))
         .where(F.col("all_hit") == 1)
+        # TWO consumers (candidate counts + exact verify) — pin the
+        # small survivor set or the whole bloom probe lineage runs
+        # twice (PLANSTATS flagged this as the registry's deepest
+        # plan: 14 shuffles, halved by this checkpoint)
+        .localCheckpoint(eager=True)
     )
     exact = (
         cand.join(F.broadcast(bench), "g", "left_semi")
