@@ -1113,6 +1113,11 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("digest", "source")
         .distinct()
+        # THREE consumers (per-source totals + both self-join sides):
+        # pin the distinct pairs or the segment explode + distinct
+        # shuffle replays three times (same dual-consumer pattern
+        # PLANSTATS exposed in decontaminate_bloom)
+        .localCheckpoint(eager=True)
     )
     per_source = ds.groupBy("source").agg(F.count(F.lit(1)).alias("n_digests"))
     a = ds.alias("a")
