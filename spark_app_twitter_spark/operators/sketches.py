@@ -189,6 +189,39 @@ CMS_W = 512  # buckets per row; overestimate bound ~ 2N/w
 CMS_TOPK = 20
 
 
+def _cms_hash():
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("j").cast("string"), F.lit(":"), F.col("term")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def cms_cells(occ: DataFrame) -> DataFrame:
+    """(j, cell, c): the D*W count-min sketch from a stream OR batch
+    of term occurrences. Cell sums ADD — the mergeable operation —
+    so the same expression aggregates across partitions (map-side
+    combine), across micro-batches (streaming state), and across
+    separately built sketches summed cell-wise (tests pin
+    stream==batch equality)."""
+    js = F.array(*[F.lit(j) for j in range(CMS_D)])
+    h = _cms_hash()
+    return (
+        occ.select("term", F.explode(js).alias("j"))
+        .select("j", F.pmod(h, F.lit(CMS_W)).alias("cell"))
+        .groupBy("j", "cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 def cms_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(term, n_exact, cms_estimate, overestimate): the CMS_TOPK
     heaviest terms by sketch estimate, with the exact occurrence
@@ -211,25 +244,8 @@ def cms_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(tokens("text")).alias("term")
     )
     js = F.array(*[F.lit(j) for j in range(CMS_D)])
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("j").cast("string"), F.lit(":"), F.col("term")
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
-    cells = (
-        occ.select("term", F.explode(js).alias("j"))
-        .select("j", F.pmod(h, F.lit(CMS_W)).alias("cell"))
-        .groupBy("j", "cell")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    h = _cms_hash()
+    cells = cms_cells(occ)
     cand = occ.groupBy("term").agg(F.count(F.lit(1)).alias("n_exact"))
     est = (
         cand.select("term", "n_exact", F.explode(js).alias("j"))
@@ -289,6 +305,7 @@ __all__ = [
     "HLL_DAILY_USERS_SQL",
     "HLL_M",
     "cms_top_terms",
+    "cms_cells",
     "CMS_TOP_TERMS_SQL",
     "CMS_D",
     "CMS_W",

@@ -1252,3 +1252,45 @@ def test_streaming_token_budget_admission_matches_prefix(
         " FROM admit_sink GROUP BY source"
     ).collect()
     assert any(x.a > 0 for x in adm) and any(x.r > 0 for x in adm)
+
+
+def test_streaming_cms_sketch_matches_batch(spark, tmp_path, sf_dir):
+    """The count-min cells accumulated across micro-batches (complete
+    mode, availableNow) must equal the batch sketch — sums ARE the
+    state merge, the trending-terms path of the reference domain."""
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.functions.text import tokens
+    from spark_app_twitter_spark.operators import sketches
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    occ_batch = load_table(spark, sf_dir, "documents").select(
+        F.explode(tokens("text")).alias("term")
+    )
+    batch_cells = {
+        (r.j, r.cell): r.c for r in sketches.cms_cells(occ_batch).collect()
+    }
+    src = str(tmp_path / "docs")
+    load_table(spark, sf_dir, "documents").select("doc_id", "text").repartition(
+        6
+    ).write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .select(F.explode(tokens("text")).alias("term"))
+    )
+    q = (
+        sketches.cms_cells(stream)
+        .writeStream.format("memory")
+        .queryName("cms_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r.j, r.cell): r.c
+        for r in spark.sql("SELECT * FROM cms_sink").collect()
+    }
+    assert streamed == batch_cells
