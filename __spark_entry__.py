@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_recall_audit": similarity.ann_recall_audit,
         "sim_embedding_outliers": similarity.embedding_outliers,
         "layout_zorder_skipping": layout.zorder_skipping_stats,
+        "serving_trending_topics": serving.trending_topics,
         # --- 3. r04-attested fill (oldest remaining attestations) ---
         "agg_serving_join": aggregates.aggregated_serving,
         "serving_dedup_first": serving.dedup_first,
@@ -329,6 +330,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_ann_recall_audit": similarity.ANN_RECALL_AUDIT_SQL,
         "sim_embedding_outliers": similarity.EMBEDDING_OUTLIERS_SQL,
         "layout_zorder_skipping": layout.ZORDER_SKIPPING_STATS_SQL,
+        "serving_trending_topics": serving.TRENDING_TOPICS_SQL,
         "ingest_parse_events": ingest.PARSE_EVENTS_SQL,
         "enrich_documents": enrich.ENRICH_DOCUMENTS_SQL,
         "agg_positivity": aggregates.POSITIVITY_SQL,

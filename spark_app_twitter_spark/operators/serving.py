@@ -1045,3 +1045,56 @@ SELECT g.hour, g.event_type,
 FROM grid g
 LEFT JOIN hourly h ON g.hour = h.hour AND g.event_type = h.event_type
 """
+
+
+def trending_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, topic, counts, prev_counts, delta, trend_rank): the
+    TREND query the reference app exists for — per day, topics
+    ranked by RISE over the previous day (trending = accelerating,
+    not merely large; a perennially-big topic with flat volume ranks
+    below a small one doubling). First-day rows rank against a zero
+    baseline.
+
+    Scale shape: one grouped aggregation to the |days| x |topics|
+    frame, then lag + rank windows OVER THAT tiny frame — the same
+    pre-aggregate-then-window discipline as topic_share; the raw
+    table never sees a window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        F.col("event_type").alias("topic"),
+    ).agg(F.count(F.lit(1)).alias("counts"))
+    lagw = Window.partitionBy("topic").orderBy("day")
+    with_prev = daily.withColumn(
+        "prev_counts",
+        F.coalesce(F.lag("counts").over(lagw), F.lit(0)).cast("long"),
+    ).withColumn("delta", (F.col("counts") - F.col("prev_counts")).cast("long"))
+    rankw = Window.partitionBy("day").orderBy(
+        F.desc("delta"), F.asc("topic")
+    )
+    return with_prev.withColumn(
+        "trend_rank", F.row_number().over(rankw)
+    )
+
+
+TRENDING_TOPICS_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type AS topic,
+         CAST(count(*) AS BIGINT) AS counts
+  FROM events GROUP BY 1, 2
+),
+with_prev AS (
+  SELECT day, topic, counts,
+         CAST(COALESCE(lag(counts) OVER (PARTITION BY topic
+                                         ORDER BY day), 0) AS BIGINT)
+           AS prev_counts
+  FROM daily
+)
+SELECT day, topic, counts, prev_counts,
+       CAST(counts - prev_counts AS BIGINT) AS delta,
+       row_number() OVER (PARTITION BY day
+                          ORDER BY counts - prev_counts DESC, topic ASC)
+         AS trend_rank
+FROM with_prev
+"""

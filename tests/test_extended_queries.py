@@ -1094,3 +1094,24 @@ def test_zorder_skipping_parity_and_effectiveness(spark, sf_dir):
         assert r.skip_pct > 50, f"{r.predicate} skips only {r.skip_pct}%"
         # (at tiny SFs a narrow predicate may legitimately skip ALL
         # groups — no residual-read assertion)
+
+
+def test_trending_topics_parity_and_semantics(spark, sf_dir):
+    """The trend query must match its oracle, rank by RISE (not raw
+    volume), and have dense ranks per day."""
+    from spark_app_twitter_spark.operators import serving
+
+    df = serving.trending_topics(spark, sf_dir)
+    assert_parity(df, serving.TRENDING_TOPICS_SQL, sf_dir, "trending")
+    by_day: dict = {}
+    for r in df.collect():
+        by_day.setdefault(str(r.day), []).append(r)
+    for day, rows in by_day.items():
+        rows.sort(key=lambda r: r.trend_rank)
+        assert [r.trend_rank for r in rows] == list(
+            range(1, len(rows) + 1)
+        )
+        deltas = [r.delta for r in rows]
+        assert deltas == sorted(deltas, reverse=True)
+        for r in rows:
+            assert r.delta == r.counts - r.prev_counts
