@@ -1047,6 +1047,37 @@ LEFT JOIN hourly h ON g.hour = h.hour AND g.event_type = h.event_type
 """
 
 
+def _trend_rank(daily: DataFrame) -> DataFrame:
+    """The trend core shared by the raw-events query and the
+    serving-table read: lag over days per topic, rank by rise."""
+    lagw = Window.partitionBy("topic").orderBy("day")
+    with_prev = daily.withColumn(
+        "prev_counts",
+        F.coalesce(F.lag("counts").over(lagw), F.lit(0)).cast("long"),
+    ).withColumn(
+        "delta", (F.col("counts") - F.col("prev_counts")).cast("long")
+    )
+    rankw = Window.partitionBy("day").orderBy(
+        F.desc("delta"), F.asc("topic")
+    )
+    return with_prev.withColumn(
+        "trend_rank", F.row_number().over(rankw)
+    )
+
+
+def trending_from_serving(hourly: DataFrame) -> DataFrame:
+    """Trend read over the PUBLISHED hourly serving table — how the
+    dashboard computes :func:`trending_topics` without touching raw
+    events (the reference's EP3 read path): roll the (window_start,
+    topic, counts) cells to days, then the shared lag/rank core.
+    Input is |hours| x |topics| rows, so every window here operates
+    on a pre-aggregated frame."""
+    daily = hourly.groupBy(
+        F.to_date("window_start").alias("day"), "topic"
+    ).agg(F.sum("counts").cast("long").alias("counts"))
+    return _trend_rank(daily)
+
+
 def trending_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(day, topic, counts, prev_counts, delta, trend_rank): the
     TREND query the reference app exists for — per day, topics
@@ -1065,17 +1096,7 @@ def trending_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("day"),
         F.col("event_type").alias("topic"),
     ).agg(F.count(F.lit(1)).alias("counts"))
-    lagw = Window.partitionBy("topic").orderBy("day")
-    with_prev = daily.withColumn(
-        "prev_counts",
-        F.coalesce(F.lag("counts").over(lagw), F.lit(0)).cast("long"),
-    ).withColumn("delta", (F.col("counts") - F.col("prev_counts")).cast("long"))
-    rankw = Window.partitionBy("day").orderBy(
-        F.desc("delta"), F.asc("topic")
-    )
-    return with_prev.withColumn(
-        "trend_rank", F.row_number().over(rankw)
-    )
+    return _trend_rank(daily)
 
 
 TRENDING_TOPICS_SQL = """

@@ -1294,3 +1294,52 @@ def test_streaming_cms_sketch_matches_batch(spark, tmp_path, sf_dir):
         for r in spark.sql("SELECT * FROM cms_sink").collect()
     }
     assert streamed == batch_cells
+
+
+def test_trending_read_from_streamed_serving_table(spark, tmp_path):
+    """The reference's full story end-to-end: tweets stream through
+    the hourly serving upsert, and the dashboard's TRENDING read
+    over the published serving table must equal the same trend
+    computed directly on the raw tweets — stream -> serving ->
+    trend with no raw-event access on the read path."""
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.operators.serving import (
+        trending_from_serving,
+    )
+    from spark_app_twitter_spark.streaming import (
+        ingest as sing,
+        windowed,
+    )
+    from spark_app_twitter_spark.streaming.ingest import (
+        parse_tweet_stream,
+    )
+
+    rows = [
+        _tweet(1, "NATO", "2022-03-13T10:00:00.000Z", "day one small"),
+        _tweet(2, "NATO", "2022-03-13T11:00:00.000Z", "day one again"),
+        _tweet(3, "Putin", "2022-03-13T12:00:00.000Z", "slow advance"),
+        # day 2: NATO flat (2), Putin triples -> Putin trends
+        _tweet(4, "NATO", "2022-03-14T09:00:00.000Z", "day two"),
+        _tweet(5, "NATO", "2022-03-14T10:30:00.000Z", "day two more"),
+        _tweet(6, "Putin", "2022-03-14T08:00:00.000Z", "fast moves"),
+        _tweet(7, "Putin", "2022-03-14T09:15:00.000Z", "fast again"),
+        _tweet(8, "Putin", "2022-03-14T21:40:00.000Z", "big fast push"),
+    ]
+    src = str(tmp_path / "src")
+    _write_fixture(src, rows)
+    serving_path = str(tmp_path / "serving")
+    parsed = parse_tweet_stream(sing.read_json_stream(spark, src))
+    q = windowed.run_hourly_serving(
+        parsed, serving_path, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(180)
+
+    table = spark.read.parquet(serving_path)
+    got = {
+        (str(r.day), r.topic): (r.counts, r.delta, r.trend_rank)
+        for r in trending_from_serving(table).collect()
+    }
+    assert got[("2022-03-14", "Putin")] == (3, 2, 1)  # riser ranks 1st
+    assert got[("2022-03-14", "NATO")] == (2, 0, 2)  # flat ranks below
+    assert got[("2022-03-13", "NATO")] == (2, 2, 1)  # day-1 zero base
