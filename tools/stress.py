@@ -120,6 +120,7 @@ STRESS_QUERIES = [
     "dedup_paragraphs_rewrite",
     "sim_embedding_outliers",
     "layout_zorder_skipping",
+    "serving_trending_topics",
     # NOT listed: sim_ann_recall_audit — its exact side scores the
     # corpus per query by construction (the operator's docstring
     # documents the sampled-query audit pattern at scale).
