@@ -72,35 +72,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     When editing, append new queries to the front section and demote
     whatever the previous round just re-attested.
 
-    Round 6 rotation (executes VERDICT r05 item 1): the 20 entries
-    whose last driver row dated r01/r02 lead, then the six entries
-    changed this round (the five ex-``no_oracle`` queries that now
-    carry literal-artifact DuckDB twins — see oracles.py — plus the
-    sem_dedup bounded-cell scale fix), then the TWENTY-EIGHT round-6
-    additions (inverted index, nearest-event join, corpus delta,
-    mixture planner, deterministic HLL, bloom decontamination,
-    incremental stats maintenance, batched BPE, two-level k-means,
-    segment-level paragraph dedup, count-min heavy hitters,
-    compaction planner, key-skew report, IVF-backed two-stage RAG
-    retrieval, cross-source segment-overlap matrix, k-anonymous
-    release gate, mixture epoch-expansion, histogram quantile
-    sketch, keep-best cluster representatives, two-level SemDeDup,
-    incremental IVF index append, embedding drift monitor, packing
-    efficiency report, cluster-size histogram, paragraph-dedup
-    rewrite, ANN recall audit, far-from-centroid outlier gate,
-    Z-order data-skipping audit), then r04-attested fill.
-    After this window runs, every registry entry's driver
-    attestation is at most two rounds old. The demoted r04
-    remainder (led by the five fill entries this window displaced)
-    heads the round-7 window; the 45 r05-fresh entries sit last.
-    Every deferred entry keeps a local DuckDB-oracle parity test in
-    CI.
+    Round 7 rotation (executes VERDICT r06 items 1-2): the six
+    entries with NO driver attestation lead — the repaired inverted
+    index (now emitting a gate-canonicalizable csv postings column)
+    plus the five post-window round-6 additions. Then the entries
+    whose code changed THIS round: the two-level IVF family (VERDICT
+    item 3 — knn_ivf, rag_ivf, index append, and the 2-level k-means
+    whose fine assignment is now an inline coarse-dispatched map)
+    and the sem_dedup promotion (item 4 — ``sem_dedup`` is now the
+    two-level path; the flat trainer stays registered as the
+    explicit ``sem_dedup_flat`` small-n variant). Then the r04
+    remainder per the documented schedule (the 11 serving entries +
+    27 of the 35 remaining r04 rows fill the window; the 8 displaced
+    rows head round 8). The r05/r06-fresh entries sit last. Every
+    deferred entry keeps a local DuckDB-oracle parity test in CI.
     """
     return {
-        # --- 1. last driver-attested r01/r02 — the 20-entry stale tail
-        # VERDICT r05 told this round to promote; re-attests the
-        # reference-core pipeline (SURVEY 2.2 P1-P3, 2.4 A1-A3/A9,
-        # 2.6 M1-M2) plus eight plain TPC-H against current code ---
+        # --- 1. round-7 head: the six never-driver-attested entries
+        # (VERDICT r06 item 2), led by the repaired inverted index
+        # (item 1: postings serialized to csv so the gate
+        # canonicalizer can sort the column) ---
+        "retrieval_inverted_index": retrieval.inverted_index,
+        "dedup_cluster_sizes": dedup.cluster_size_histogram,
+        "sim_ann_recall_audit": similarity.ann_recall_audit,
+        "sim_embedding_outliers": similarity.embedding_outliers,
+        "layout_zorder_skipping": layout.zorder_skipping_stats,
+        "serving_trending_topics": serving.trending_topics,
+        # --- 2. changed this round: every consumer of the two-level
+        # trained index (VERDICT item 3) and the sem_dedup promotion
+        # (item 4) ---
+        "sem_dedup": semdedup.semdedup,
+        "sem_dedup_flat": semdedup.semdedup_flat,
+        "sim_knn_ivf": similarity.knn_ivf,
+        "retrieval_rag_ivf": retrieval.rag_retrieve_ivf,
+        "sim_ivf_index_append": similarity.ivf_index_append,
+        "sim_kmeans_cells_2level": clustering.kmeans_cells_2level,
+        # --- 3. r04-attested fill (oldest remaining attestations) ---
+        "agg_serving_join": aggregates.aggregated_serving,
+        "serving_dedup_first": serving.dedup_first,
+        "serving_topic_share": serving.topic_share,
+        "serving_grains_grouping_sets": serving.grains_grouping_sets,
+        "serving_value_percentiles": serving.value_percentiles,
+        "serving_hourly_window": serving.hourly_window,
+        "serving_topic_means": serving.topic_means,
+        "serving_distinct_users": serving.distinct_users,
+        "serving_rollup_value": serving.rollup_value,
+        "serving_loyal_purchasers": serving.loyal_purchasers,
+        "serving_moving_avg_daily": serving.moving_avg_daily,
+        # --- 4. r04-attested remainder (first 27 complete the
+        # 50-slot window; the rest head round 8) ---
+        "serving_value_quartiles": serving.value_quartile_assignments,
+        "serving_value_histogram": serving.value_histogram,
+        "tpch_top_customers_per_nation": tpch.top_customers_per_nation,
+        "dedup_exact": dedup.exact_dedup,
+        "dedup_minhash_signatures": dedup.minhash_signatures,
+        "dedup_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "dedup_ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "dedup_containment_pairs": dedup.containment_pairs,
+        "dedup_clusters": dedup.dedup_clusters,
+        "text_token_stats": textstats.token_stats,
+        "text_token_counts": textstats.token_counts,
+        "text_lang_id": textstats.lang_id,
+        "text_doc_fingerprint": textstats.doc_fingerprint,
+        "text_redact": textstats.redact_text,
+        "sim_quantize_embeddings": similarity.quantize_embeddings,
+        "multimodal_resize_images": multimodal.resize_images,
+        "sim_kmeans_cells": clustering.kmeans_cells,
+        "text_train_split": textstats.train_split,
+        "text_length_histogram": textstats.length_histogram,
+        "sim_knn_quantized": similarity.knn_quantized,
+        "serving_retention_cohorts": serving.retention_cohorts,
+        "multimodal_audio_chunks": multimodal.audio_chunks,
+        "dedup_minhash_jaccard_est": dedup.minhash_jaccard_estimate,
+        "serving_props_stats": serving.props_stats,
+        "serving_weekly_active": serving.weekly_active,
+        "text_quality_rules": textstats.quality_rules,
+        "text_common_ngrams": textstats.common_ngrams,
+        # ---- driver verification window ends at 50 entries ----
+        # (r04 remainder continues; these eight head the round-8
+        # window, each with a local parity test in CI)
+        "sim_embedding_dim_stats": similarity.embedding_dim_stats,
+        "dedup_incremental": dedup.incremental_dedup,
+        "text_token_budget_sample": textstats.token_budget_sample,
+        "dedup_span_stats": dedup.dup_span_stats,
+        "text_bigram_lm_score": textstats.bigram_lm_score,
+        "text_weighted_sample": textstats.weighted_sample,
+        "text_ngram_diversity": textstats.ngram_diversity,
+        "sim_embedding_covariance": similarity.embedding_covariance,
+        # --- 5. freshly attested green in r05/r06, unchanged since ---
         "agg_positivity": _enriched(aggregates.positivity_agg),
         "agg_emotion_counts": _enriched(aggregates.emotion_counts),
         "agg_emotion_pivot": _enriched(aggregates.emotion_pivot),
@@ -121,18 +180,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": packing.pack_sequences,
         "rag_retrieve": retrieval.rag_retrieve,
         "multimodal_video_frames": multimodal.video_frames,
-        # --- 2. changed this round: the five ex-no_oracle queries now
-        # carrying literal-artifact DuckDB twins (oracles.py), the
-        # pagerank integer-div repair, and the sem_dedup bounded-cell
-        # scale fix ---
         "text_bpe_train_merges": textstats.bpe_train_merges,
         "text_bpe_encode": textstats.bpe_encode,
         "text_train_lang_lr": training.train_lang_lr,
         "sim_embedding_pca": similarity.embedding_pca_project,
         "graph_pagerank_near_dup": graph.pagerank_near_dup,
-        "sem_dedup": semdedup.semdedup,
-        # --- 2b. new in round 6 ---
-        "retrieval_inverted_index": retrieval.build_inverted_index,
         "asof_nearest_click": asof.nearest_click_to_purchase,
         "versioning_corpus_delta": versioning.corpus_delta,
         "text_mixture_plan": textstats.mixture_plan,
@@ -140,84 +192,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate_bloom": textstats.decontaminate_bloom,
         "versioning_incremental_stats": versioning.incremental_source_stats,
         "text_bpe_train_batched": textstats.bpe_train_merges_batched,
-        "sim_kmeans_cells_2level": clustering.kmeans_cells_2level,
-        # --- 2c. added later in round 6: segment-level corpus dedup,
-        # count-min heavy hitters, compaction planner, skew report ---
         "dedup_paragraphs": dedup.paragraph_dedup,
         "sketch_cms_top_terms": sketches.cms_top_terms,
         "layout_compaction_plan": layout.compaction_plan,
         "diag_key_skew": aggregates.key_skew_report,
-        "retrieval_rag_ivf": retrieval.rag_retrieve_ivf,
         "dedup_source_overlap": dedup.source_overlap,
         "versioning_k_anonymous": versioning.k_anonymous_release,
         "text_mixture_apply": textstats.mixture_apply,
         "sketch_hist_quantiles": sketches.hist_quantiles,
         "dedup_cluster_best": dedup.cluster_best_representatives,
-        "sem_dedup_2level": semdedup.semdedup_2level,
-        "sim_ivf_index_append": similarity.ivf_index_append,
         "sim_embedding_drift": similarity.embedding_drift,
         "pack_efficiency": packing.pack_efficiency,
         "dedup_paragraphs_rewrite": dedup.paragraph_dedup_rewrite,
-        # ---- driver verification window ends at 50 entries ----
-        # (round-6 entries exceed the 50 slots; these FOUR post-window
-        # entries — compositions/audits over already-attested queries,
-        # each with a local parity test in CI — head the round-7
-        # window together with layout_zorder_skipping below)
-        "dedup_cluster_sizes": dedup.cluster_size_histogram,
-        "sim_ann_recall_audit": similarity.ann_recall_audit,
-        "sim_embedding_outliers": similarity.embedding_outliers,
-        "layout_zorder_skipping": layout.zorder_skipping_stats,
-        "serving_trending_topics": serving.trending_topics,
-        # --- 3. r04-attested fill (oldest remaining attestations) ---
-        "agg_serving_join": aggregates.aggregated_serving,
-        "serving_dedup_first": serving.dedup_first,
-        "serving_topic_share": serving.topic_share,
-        "serving_grains_grouping_sets": serving.grains_grouping_sets,
-        "serving_value_percentiles": serving.value_percentiles,
-        "serving_hourly_window": serving.hourly_window,
-        "serving_topic_means": serving.topic_means,
-        "serving_distinct_users": serving.distinct_users,
-        "serving_rollup_value": serving.rollup_value,
-        "serving_loyal_purchasers": serving.loyal_purchasers,
-        "serving_moving_avg_daily": serving.moving_avg_daily,
-        # --- 4. r04-attested remainder, next in line for round 7 ---
-        "serving_value_quartiles": serving.value_quartile_assignments,
-        "serving_value_histogram": serving.value_histogram,
-        "tpch_top_customers_per_nation": tpch.top_customers_per_nation,
-        "dedup_exact": dedup.exact_dedup,
-        "dedup_minhash_signatures": dedup.minhash_signatures,
-        "dedup_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
-        "dedup_ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
-        "dedup_containment_pairs": dedup.containment_pairs,
-        "dedup_clusters": dedup.dedup_clusters,
-        "text_token_stats": textstats.token_stats,
-        "text_token_counts": textstats.token_counts,
-        "text_lang_id": textstats.lang_id,
-        "text_doc_fingerprint": textstats.doc_fingerprint,
-        "text_redact": textstats.redact_text,
-        "sim_quantize_embeddings": similarity.quantize_embeddings,
-        "multimodal_resize_images": multimodal.resize_images,
-        "sim_knn_ivf": similarity.knn_ivf,
-        "sim_kmeans_cells": clustering.kmeans_cells,
-        "text_train_split": textstats.train_split,
-        "text_length_histogram": textstats.length_histogram,
-        "sim_knn_quantized": similarity.knn_quantized,
-        "serving_retention_cohorts": serving.retention_cohorts,
-        "multimodal_audio_chunks": multimodal.audio_chunks,
-        "dedup_minhash_jaccard_est": dedup.minhash_jaccard_estimate,
-        "serving_props_stats": serving.props_stats,
-        "serving_weekly_active": serving.weekly_active,
-        "text_quality_rules": textstats.quality_rules,
-        "text_common_ngrams": textstats.common_ngrams,
-        "sim_embedding_dim_stats": similarity.embedding_dim_stats,
-        "dedup_incremental": dedup.incremental_dedup,
-        "text_token_budget_sample": textstats.token_budget_sample,
-        "dedup_span_stats": dedup.dup_span_stats,
-        "text_bigram_lm_score": textstats.bigram_lm_score,
-        "text_weighted_sample": textstats.weighted_sample,
-        "text_ngram_diversity": textstats.ngram_diversity,
-        "sim_embedding_covariance": similarity.embedding_covariance,
-        # --- 5. freshly attested green in r05, unchanged since ---
         "asof_purchases_last_click": asof.purchases_with_last_click,
         "range_errors_near_purchases": asof.errors_near_purchases,
         "serving_sessionize": serving.sessionize,
@@ -303,7 +289,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query."""
     return {
         **_trained_oracles(),
-        "retrieval_inverted_index": retrieval.BUILD_INVERTED_INDEX_SQL,
+        "retrieval_inverted_index": retrieval.INVERTED_INDEX_SQL,
         "asof_nearest_click": asof.NEAREST_CLICK_TO_PURCHASE_SQL,
         "versioning_corpus_delta": versioning.CORPUS_DELTA_SQL,
         "text_mixture_plan": textstats.MIXTURE_PLAN_SQL,
@@ -321,7 +307,7 @@ def oracle_sql() -> dict[str, str]:
         "text_mixture_apply": textstats.MIXTURE_APPLY_SQL,
         "sketch_hist_quantiles": sketches.HIST_QUANTILES_SQL,
         "dedup_cluster_best": dedup.CLUSTER_BEST_REPRESENTATIVES_SQL,
-        "sem_dedup_2level": semdedup.SEMDEDUP_2LEVEL_SQL,
+        "sem_dedup_flat": semdedup.SEMDEDUP_FLAT_SQL,
         "sim_ivf_index_append": similarity.IVF_INDEX_APPEND_SQL,
         "sim_embedding_drift": similarity.EMBEDDING_DRIFT_SQL,
         "pack_efficiency": packing.PACK_EFFICIENCY_SQL,

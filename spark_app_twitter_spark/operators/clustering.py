@@ -121,6 +121,28 @@ def assign_cells(
     return _broadcast_assign(vecs, cdf)
 
 
+def euclid_score_literal_sql(vec: str, cv: list[float]) -> str:
+    """round(vec·cv - |cv|²/2, 6) against one DRIVER-HELD centroid as
+    a single SQL-parsed expression — the literal twin of
+    :func:`_centroid_score_sql`, shared by every inline assigner
+    (flat train, fine dispatch, IVF probe) so the rounded score can
+    never fork. |cv|² is folded sequentially in Python (same
+    left-to-right IEEE adds as the ``dot`` aggregate). One generated
+    SQL string, not per-literal Column calls: k×dim ``F.lit()``
+    invocations are ~1000 driver JVM round trips (~0.45 s per
+    iteration, measured); a single parse is ~0. repr() doubles
+    round-trip exactly through the SQL parser ('D' literal)."""
+    c2 = 0.0
+    for x in cv:
+        c2 += x * x
+    half = c2 / 2.0
+    vals = ", ".join(f"{x!r}D" for x in cv)
+    return (
+        f"round(aggregate(zip_with({vec}, array({vals}), (x, y) -> x * y), "
+        f"0.0D, (acc, x) -> acc + x) - {half!r}D, 6)"
+    )
+
+
 def _train_assign(
     vecs: DataFrame, cents: list[tuple[int, list[float]]]
 ) -> DataFrame:
@@ -144,24 +166,13 @@ def _train_assign(
     shuffle, no broadcast sub-job during training.
     """
 
-    # One generated SQL string, not per-literal Column calls: k×dim
-    # F.lit() invocations are ~1000 driver JVM round trips (~0.45 s
-    # per iteration, measured); a single parse is ~0. repr() doubles
-    # round-trip exactly through the SQL parser ('D' literal).
-    def score_sql(cv: list[float]) -> str:
-        c2 = 0.0
-        for x in cv:
-            c2 += x * x
-        half = c2 / 2.0
-        vals = ", ".join(f"{x!r}D" for x in cv)
-        return (
-            f"round(aggregate(zip_with(v, array({vals}), (x, y) -> x * y), "
-            f"0.0D, (acc, x) -> acc + x) - {half!r}D, 6)"
-        )
-
     ordered = sorted(cents)
     cells_sql = ", ".join(str(c) for c, _ in ordered)
-    scores_sql = "array(" + ", ".join(score_sql(cv) for _, cv in ordered) + ")"
+    scores_sql = (
+        "array("
+        + ", ".join(euclid_score_literal_sql("v", cv) for _, cv in ordered)
+        + ")"
+    )
     return (
         vecs.withColumn("_scores", F.expr(scores_sql))
         .withColumn(
@@ -410,6 +421,86 @@ def levels_for(n: int) -> tuple[int, int]:
     return k1, max(1, math.ceil(k / k1))
 
 
+def _inline_fine_assign(
+    members: DataFrame, fine_rows: list[tuple[int, int, list[float]]]
+) -> DataFrame:
+    """(vec_id, v, coarse, fine): nearest FINE centroid within each
+    vector's coarse cell, as a coarse-DISPATCHED pure map expression
+    against DRIVER-HELD fine centroids — the shuffle-free twin of
+    :func:`_fine_assign` (same rounded score, same first-max ==
+    (score DESC, fine ASC) tie-break; fine ids are sorted ascending
+    per coarse so array_position's first max is the lowest id).
+
+    The CASE on ``coarse`` means each row EVALUATES only its own
+    cell's K2 scores (K1 for the coarse step + K2 here ≈ 2·√k work
+    per vector), while expression SIZE is the full K1·K2×dim literal
+    table — the same parse-cost envelope as the flat inline assigner,
+    governed by the same ``LITERAL_ASSIGN_MAX_K`` switch. This keeps
+    the data-sized side of every two-level consumer (semdedup, IVF
+    candidate assignment, outlier scoring) free of per-vector window
+    shuffles."""
+    by_coarse: dict[int, list[tuple[int, list[float]]]] = {}
+    for co, fi, fv in sorted(fine_rows):
+        by_coarse.setdefault(co, []).append((fi, fv))
+    score_branches = []
+    fine_branches = []
+    for co, fs in sorted(by_coarse.items()):
+        scores = ", ".join(
+            euclid_score_literal_sql("v", fv) for _, fv in fs
+        )
+        fines = ", ".join(str(fi) for fi, _ in fs)
+        score_branches.append(f"WHEN {co} THEN array({scores})")
+        fine_branches.append(f"WHEN {co} THEN array({fines})")
+    fs_sql = "CASE coarse " + " ".join(score_branches) + " END"
+    ff_sql = "CASE coarse " + " ".join(fine_branches) + " END"
+    return (
+        members.withColumn("_fs", F.expr(fs_sql))
+        .withColumn(
+            "fine",
+            F.expr(
+                f"element_at({ff_sql}, "
+                "cast(array_position(_fs, array_max(_fs)) as int))"
+            ),
+        )
+        .select("vec_id", "v", "coarse", "fine")
+    )
+
+
+def inline_top_cells_euclid(
+    df: DataFrame,
+    key: str,
+    vec: str,
+    cents: list[tuple[int, list[float]]],
+    keep: int,
+) -> DataFrame:
+    """(key, vec, cell) × top-``keep`` cells per row by the Euclidean
+    centroid score — the PROBE-side generalization of the inline
+    assigner: score all centroids in one literal array (shared
+    sub-expressions, zero shuffle), sort (score DESC, cell ASC) via
+    a struct comparator, slice ``keep``, explode. Mirrors the
+    ``row_number() OVER (ORDER BY score DESC, cell ASC)``
+    formulation the SQL oracles keep."""
+    ordered = sorted(cents)
+    cells_sql = ", ".join(str(c) for c, _ in ordered)
+    scores_sql = (
+        "array("
+        + ", ".join(euclid_score_literal_sql(vec, cv) for _, cv in ordered)
+        + ")"
+    )
+    top_sql = (
+        f"slice(array_sort(zip_with(_scores, array({cells_sql}), "
+        "(s, c) -> struct(s AS s, c AS c)), "
+        "(a, b) -> CASE WHEN a.s > b.s THEN -1 WHEN a.s < b.s THEN 1 "
+        "WHEN a.c < b.c THEN -1 WHEN a.c > b.c THEN 1 ELSE 0 END), "
+        f"1, {keep})"
+    )
+    return (
+        df.withColumn("_scores", F.expr(scores_sql))
+        .select(key, vec, F.explode(F.expr(top_sql)).alias("_sc"))
+        .select(key, vec, F.col("_sc.c").alias("cell"))
+    )
+
+
 def _fine_assign(
     members: DataFrame, fdf: DataFrame
 ) -> DataFrame:
@@ -470,56 +561,116 @@ def kmeans_cells_2level_assigned(
     state between iterations is a K1*K2-row driver artifact, exactly
     like the flat centroid cache.
     """
-    from pyspark.sql import Window
-
     n = corpus_size(spark, sf_dir)
     k1, k2 = levels_for(n)
     coarse_rows = kmeans_centroid_rows(spark, sf_dir, k=k1)
     members = assign_cells(spark, _vecs(spark, sf_dir), coarse_rows).select(
         "vec_id", "v", F.col("cell").alias("coarse")
     ).localCheckpoint(eager=True)
-    # fine centroids are a trained artifact exactly like the flat
-    # cache: train once per (session, data, k1, k2, iters) — every
-    # consumer (the registry query, semdedup_2level, future 2-level
-    # search) shares one training run
+    rows = kmeans_fine_centroid_rows(spark, sf_dir, iters, members=members)
+    return _final_2level_select(spark, members, rows, k2)
+
+
+def kmeans_fine_centroid_rows(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = ITERS,
+    members: DataFrame | None = None,
+) -> list[tuple[int, int, list[float]]]:
+    """The trained FINE-centroid artifact as driver-held
+    [(coarse, fine, vector)] rows — trained once per (session, data,
+    k1, k2, iters) exactly like the flat centroid cache; every
+    consumer (the 2-level registry query, semdedup, IVF candidate
+    assignment and probes, outlier scoring) shares one training run.
+    ``members`` lets a caller that already holds the checkpointed
+    coarse assignment skip recomputing it on a cache miss."""
+    n = corpus_size(spark, sf_dir)
+    k1, k2 = levels_for(n)
     fkey = (spark.sparkContext.applicationId, sf_dir, k1, k2, iters)
-    cached_rows = _FINE_CENTROID_CACHE.get(fkey)
-    if cached_rows is not None:
-        fdf = spark.createDataFrame(
-            cached_rows, "coarse int, fine int, fv array<double>"
-        )
-        return _final_2level_select(members, fdf, k2)
+    cached = _FINE_CENTROID_CACHE.get(fkey)
+    if cached is not None:
+        return cached
+    coarse_rows = kmeans_centroid_rows(spark, sf_dir, k=k1)
+    if members is None:
+        members = assign_cells(
+            spark, _vecs(spark, sf_dir), coarse_rows
+        ).select("vec_id", "v", F.col("cell").alias("coarse"))
     # fine init: the first k2 members (by vec_id) of each coarse cell
+    # — ≤ k1·k2 rows, an artifact-bounded collect (one window pass at
+    # TRAIN time only; trained assignment afterwards is the inline
+    # shuffle-free path)
+    from pyspark.sql import Window
+
     rn = F.row_number().over(
         Window.partitionBy("coarse").orderBy(F.asc("vec_id"))
     )
-    fdf = (
-        members.withColumn("_rn", rn)
+    rows = [
+        (r["coarse"], r["_rn"] - 1, list(r["v"]))
+        for r in members.withColumn("_rn", rn)
         .where(F.col("_rn") <= k2)
-        .select(
-            "coarse", (F.col("_rn") - 1).alias("fine"), F.col("v").alias("fv")
-        )
-    )
+        .collect()
+    ]
     dim = len(coarse_rows[0][1])
-    rows = None
     for _ in range(iters):
-        assigned = _fine_assign(members, fdf)
-        rows = _recenter_rows_keyed(assigned, dim, ("coarse", "fine"))
-        fdf = spark.createDataFrame(
-            rows, "coarse int, fine int, fv array<double>"
-        )
-    if rows is not None:
-        _FINE_CENTROID_CACHE[fkey] = rows
-    return _final_2level_select(members, fdf, k2)
+        assigned = _assign_fine(spark, members, rows)
+        rows = [
+            (co, fi, fv)
+            for co, fi, fv in _recenter_rows_keyed(
+                assigned, dim, ("coarse", "fine")
+            )
+        ]
+    _FINE_CENTROID_CACHE[fkey] = rows
+    return rows
 
 
-def _final_2level_select(members: DataFrame, fdf: DataFrame, k2: int) -> DataFrame:
-    return _fine_assign(members, fdf).select(
+def _assign_fine(
+    spark: SparkSession,
+    members: DataFrame,
+    rows: list[tuple[int, int, list[float]]],
+) -> DataFrame:
+    """Fine assignment, picking the physical strategy by total fine
+    count exactly like :func:`assign_cells` — inline coarse-dispatched
+    map while the literal table stays small, broadcast join + window
+    beyond. Both paths are bit-identical."""
+    if len(rows) <= LITERAL_ASSIGN_MAX_K:
+        return _inline_fine_assign(members, rows)
+    fdf = spark.createDataFrame(
+        rows, "coarse int, fine int, fv array<double>"
+    )
+    return _fine_assign(members, fdf)
+
+
+def _final_2level_select(
+    spark: SparkSession,
+    members: DataFrame,
+    rows: list[tuple[int, int, list[float]]],
+    k2: int,
+) -> DataFrame:
+    return _assign_fine(spark, members, rows).select(
         "vec_id",
         "v",
         "coarse",
         (F.col("coarse") * k2 + F.col("fine")).cast("int").alias("cell"),
     )
+
+
+def levels_sql(n: int | None = None) -> tuple[str, str]:
+    """(k1_sql, k2_sql): the SQL twins of :func:`levels_for` —
+    scalar subqueries over count(*) when ``n`` is None (both engines
+    run IEEE-double sqrt/ceil on the same integer, so K1/K2 are
+    identical), plain literals otherwise. Shared by every oracle that
+    replays the two-level tree (kmeans, semdedup, IVF probes)."""
+    if n is None:
+        k_expr = f"greatest({K_CELLS}, ceil(sqrt(count(*))))"
+        k1_expr = f"greatest(2, ceil(sqrt({k_expr})))"
+        k1_sql = f"(SELECT CAST({k1_expr} AS INT) FROM embeddings)"
+        k2_sql = (
+            f"(SELECT CAST(ceil({k_expr} / {k1_expr}) AS INT)"
+            " FROM embeddings)"
+        )
+        return k1_sql, k2_sql
+    k1, k2 = levels_for(n)
+    return str(k1), str(k2)
 
 
 def kmeans_cells_2level_ctes(
@@ -530,17 +681,7 @@ def kmeans_cells_2level_ctes(
     (semdedup_2level) can compose further stages. ``n=None`` derives
     K1/K2 from count(*) scalar subqueries exactly like the Spark
     side derives them from corpus_size."""
-    if n is None:
-        k_expr = f"greatest({K_CELLS}, ceil(sqrt(count(*))))"
-        k1_expr = f"greatest(2, ceil(sqrt({k_expr})))"
-        k1_sql = f"(SELECT CAST({k1_expr} AS INT) FROM embeddings)"
-        k2_sql = (
-            f"(SELECT CAST(ceil({k_expr} / {k1_expr}) AS INT)"
-            " FROM embeddings)"
-        )
-    else:
-        k1, k2 = levels_for(n)
-        k1_sql, k2_sql = str(k1), str(k2)
+    k1_sql, k2_sql = levels_sql(n)
     parts = kmeans_centroid_ctes(k="__K1__", iters=iters)
     parts = [p.replace("__K1__", k1_sql) for p in parts]
     parts.append(

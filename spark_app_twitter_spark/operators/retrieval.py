@@ -140,6 +140,23 @@ def build_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-facing projection of :func:`build_inverted_index`:
+    (term, df, postings_csv) with the posting list serialized to a
+    comma-joined string. The driver's oracle harness canonicalizes
+    results by sorting every column in pandas, and an
+    ``array<bigint>`` column is unhashable there (the r06 red gate
+    row) — so the REGISTERED query emits only scalar columns while
+    library callers keep the typed array via build_inverted_index."""
+    return build_inverted_index(spark, sf_dir).select(
+        "term",
+        "df",
+        F.array_join(F.col("postings").cast("array<string>"), ",").alias(
+            "postings_csv"
+        ),
+    )
+
+
 BUILD_INVERTED_INDEX_SQL = f"""
 WITH pairs AS (
   SELECT DISTINCT term, doc_id
@@ -149,6 +166,20 @@ WITH pairs AS (
 SELECT term,
        CAST(count(*) AS BIGINT) AS df,
        (list(doc_id ORDER BY doc_id ASC))[:{POSTING_CAP}] AS postings
+FROM pairs
+GROUP BY term
+"""
+
+INVERTED_INDEX_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT term, doc_id
+  FROM (SELECT unnest(string_split(text, ' ')) AS term, doc_id
+        FROM documents)
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS df,
+       array_to_string((list(doc_id ORDER BY doc_id ASC))[:{POSTING_CAP}],
+                       ',') AS postings_csv
 FROM pairs
 GROUP BY term
 """
@@ -187,5 +218,7 @@ __all__ = [
     "RAG_RETRIEVE_IVF_SQL",
     "build_inverted_index",
     "BUILD_INVERTED_INDEX_SQL",
+    "inverted_index",
+    "INVERTED_INDEX_SQL",
     "POSTING_CAP",
 ]

@@ -236,155 +236,88 @@ def n_probes_for(k: int) -> int:
     return max(N_PROBE, math.ceil(k / PROBE_FRACTION))
 
 
-def _cell_score_sql(
-    vec: str, cents: list[tuple[int, list[float]]]
-) -> tuple[str, str, str]:
-    """(nv_sql, scores_sql, cells_sql): the shared score-array builder
-    for inline cell assignment. ONE definition of the rounded cosine
-    and the cell ordering, so the candidate argmax and the probe
-    top-n can never drift apart (their bit-identical tie-break is
-    what keeps knn_ivf oracle-green)."""
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN over the TWO-LEVEL trained index (VERDICT r06
+    item 3): coarse-quantize into K1 Lloyd cells, fine-quantize each
+    into K2 sub-cells (clustering.kmeans_cells_2level_assigned — the
+    same trained artifact semdedup and the registry query share),
+    probe the nearest fine cells per query, exact top-k inside them.
+
+    Why two-level: the flat index's train AND candidate-assignment
+    cost is n·k scores with k = √n — the n^1.5 wall BASELINE.md
+    flagged (49.2× at 100×). Here every vector scores K1 + K2 ≈ 2√k
+    centroids (coarse inline argmax, then a coarse-DISPATCHED inline
+    fine argmax — both pure map expressions, no shuffle on the
+    data-sized side), and training is shared through the session
+    centroid caches.
+
+    Probing is hierarchical too: top-P1 coarse cells per query
+    (P1 = ⌈K1/4⌉, the flat probe fraction at the coarse level), then
+    the top n_probe = max(2, ⌈K1·K2/4⌉) FINE cells among them — the
+    probed fraction of the index stays ~25% like the flat variant,
+    so recall holds while per-query scoring drops from k to
+    K1 + P1·K2 centroids. Assignment geometry is the trainer's
+    (Euclidean argmin); the final candidate scoring stays exact
+    cosine.
+    """
     import math
 
-    ordered = sorted(cents)
-
-    def cos_sql(cv: list[float]) -> str:
-        c2 = 0.0
-        for x in cv:
-            c2 += x * x
-        nc = math.sqrt(c2)
-        vals = ", ".join(f"{x!r}D" for x in cv)
-        return (
-            f"round(aggregate(zip_with({vec}, array({vals}), "
-            f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x) "
-            f"/ (_nv * {nc!r}D), 6)"
-        )
-
-    cells_sql = ", ".join(str(c) for c, _ in ordered)
-    scores_sql = "array(" + ", ".join(cos_sql(cv) for _, cv in ordered) + ")"
-    nv_sql = (
-        f"sqrt(aggregate(zip_with({vec}, {vec}, "
-        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        f"0.0D, (acc, x) -> acc + x))"
+    from spark_app_twitter_spark.operators.clustering import (
+        corpus_size,
+        inline_top_cells_euclid,
+        kmeans_cells_2level_assigned,
+        kmeans_centroid_rows,
+        kmeans_fine_centroid_rows,
+        levels_for,
     )
-    return nv_sql, scores_sql, cells_sql
 
+    n = corpus_size(spark, sf_dir)
+    k1, k2 = levels_for(n)
+    # index side: the shared two-level assignment (cached trained
+    # artifact; inline shuffle-free scoring on the data-sized side)
+    assigned = kmeans_cells_2level_assigned(spark, sf_dir)
+    cand_cells = assigned.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "cell"
+    )
+    # probe side: both centroid levels are driver-held artifacts;
+    # coarse probe is an inline sorted-slice, the fine probe ranks
+    # only the P1·K2 fine centroids of the probed coarse cells
+    # (per-query bounded window over a broadcast join)
+    coarse_rows = kmeans_centroid_rows(spark, sf_dir, k=k1)
+    fine_rows = kmeans_fine_centroid_rows(spark, sf_dir)
+    p1 = max(1, math.ceil(k1 / PROBE_FRACTION))
+    n_probe = n_probes_for(k1 * k2)
+    q = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < N_QUERIES
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    )
+    probe_coarse = inline_top_cells_euclid(
+        q, "query_id", "qv", coarse_rows, p1
+    ).withColumnRenamed("cell", "coarse")
+    fdf = spark.createDataFrame(
+        fine_rows, "coarse int, fine int, fv array<double>"
+    )
+    from spark_app_twitter_spark.functions.vectors import dot
 
-def _inline_nearest_cell(
-    df: DataFrame, key: str, vec: str, cents: list[tuple[int, list[float]]]
-) -> DataFrame:
-    """Argmax-cosine cell per row against DRIVER-HELD centroids as a
-    pure map expression — the IVF-search twin of
-    ``clustering._train_assign`` (same scores-array + first-max
-    argmax, so ties resolve to the lowest cell exactly like the
-    ``row_number() OVER (ORDER BY cell_sim DESC, cell ASC)``
-    formulation the SQL oracle keeps). Eliminates the candidate-side
-    crossJoin + window shuffle: with k ~ sqrt(N) cells the window
-    state was k rows per candidate, all shuffled; this is zero-shuffle
-    scoring in codegen. |v| is materialized once (`_nv`) so the k
-    per-cell scores share it instead of re-deriving the fold."""
-    nv_sql, scores_sql, cells_sql = _cell_score_sql(vec, cents)
-    return (
-        df.withColumn("_nv", F.expr(nv_sql))
-        .withColumn("_scores", F.expr(scores_sql))
+    fscore = F.round(
+        dot(F.col("qv"), F.col("fv"))
+        - dot(F.col("fv"), F.col("fv")) / F.lit(2.0),
+        6,
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.desc("_fs"), F.asc("cell"))
+    probe_cells = (
+        probe_coarse.join(F.broadcast(fdf), "coarse")
         .withColumn(
             "cell",
-            F.expr(
-                f"element_at(array({cells_sql}), "
-                "cast(array_position(_scores, array_max(_scores)) as int))"
-            ),
+            (F.col("coarse") * k2 + F.col("fine")).cast("int"),
         )
-        .select(key, vec, "cell")
+        .withColumn("_fs", fscore)
+        .withColumn("prk", F.row_number().over(pw))
+        .where(F.col("prk") <= n_probe)
+        .select("query_id", "qv", "cell")
     )
-
-
-def _inline_top_cells(
-    df: DataFrame,
-    key: str,
-    vec: str,
-    cents: list[tuple[int, list[float]]],
-    keep: int,
-) -> DataFrame:
-    """Top-``keep`` cells per row as a pure map expression — the
-    multi-cell generalization of :func:`_inline_nearest_cell` for the
-    PROBE side: score all k cells (shared ``_nv``), sort the
-    (score, cell) struct array with the exact (score DESC, cell ASC)
-    comparator the window formulation uses, slice ``keep``, explode.
-    Zero shuffle, no broadcast sub-job — probing is part of the same
-    codegen stage as the query scan."""
-    nv_sql, scores_sql, cells_sql = _cell_score_sql(vec, cents)
-    top_sql = (
-        f"slice(array_sort(zip_with(_scores, array({cells_sql}), "
-        "(s, c) -> struct(s AS s, c AS c)), "
-        "(a, b) -> CASE WHEN a.s > b.s THEN -1 WHEN a.s < b.s THEN 1 "
-        "WHEN a.c < b.c THEN -1 WHEN a.c > b.c THEN 1 ELSE 0 END), "
-        f"1, {keep})"
-    )
-    return (
-        df.withColumn("_nv", F.expr(nv_sql))
-        .withColumn("_scores", F.expr(scores_sql))
-        .select(key, vec, F.explode(F.expr(top_sql)).alias("_sc"))
-        .select(key, vec, F.col("_sc.c").alias("cell"))
-    )
-
-
-def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse-quantize into centroid cells, probe the
-    N_PROBE nearest cells per query, exact top-k inside them.
-
-    The scale structure: |cells| ~ sqrt(N) centroids broadcast to
-    assign every vector in one map pass; the search joins query
-    probes to candidate cells on the cell id — work is
-    candidates-in-probed-cells, not N. Recall is tunable via N_PROBE.
-    Cells are LEARNED: deterministic Lloyd k-means
-    (operators/clustering.py, fixed first-k init, quantized means) —
-    the structure a production IVF index trains, with the same
-    oracle-reproducibility as the rest of the engine.
-    """
-    from spark_app_twitter_spark.operators.clustering import (
-        LITERAL_ASSIGN_MAX_K,
-        cells_for,
-        corpus_size,
-        kmeans_centroid_rows,
-        kmeans_centroids,
-    )
-
-    # the trained centroid artifact: driver rows feed the inline
-    # candidate assignment; the DataFrame view feeds the (tiny)
-    # probe-side broadcast window
-    cents_rows = kmeans_centroid_rows(spark, sf_dir)
-    cells = kmeans_centroids(spark, sf_dir).select(
-        "cell", F.col("cv").alias("cell_cv")
-    )
-    # probe count derives from the REQUESTED k (the oracle's kp CTE),
-    # not the surviving-cell count — a Lloyd cell that loses all its
-    # members must not change how many cells a query probes
-    n_probe = n_probes_for(cells_for(corpus_size(spark, sf_dir)))
-    q, c = _queries_and_cands(spark, sf_dir)
-
-    def assign(df: DataFrame, key: str, vec: str, keep: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cells)).withColumn(
-            "cell_sim", F.round(cosine(F.col(vec), F.col("cell_cv")), 6)
-        )
-        w = Window.partitionBy(key).orderBy(F.desc("cell_sim"), F.asc("cell"))
-        return (
-            scored.withColumn("crk", F.row_number().over(w))
-            .where(F.col("crk") <= keep)
-            .select(key, vec, "cell")
-        )
-
-    # Both sides shuffle-free while k keeps the unrolled expression
-    # small (inline argmax for candidates, inline sorted-slice for
-    # probes — measured 6x over the broadcast+window formulation,
-    # which remains the big-k path); windowed broadcast beyond that.
-    if len(cents_rows) <= LITERAL_ASSIGN_MAX_K:
-        cand_cells = _inline_nearest_cell(c, "neighbor_id", "cv", cents_rows)
-        probe_cells = _inline_top_cells(
-            q, "query_id", "qv", cents_rows, n_probe
-        )
-    else:
-        cand_cells = assign(c, "neighbor_id", "cv", 1)
-        probe_cells = assign(q, "query_id", "qv", n_probe)
     pairs = cand_cells.join(F.broadcast(probe_cells), "cell")
     scored = pairs.select(
         "query_id",
@@ -402,36 +335,55 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _knn_ivf_sql() -> str:
     from spark_app_twitter_spark.operators.clustering import (
         ITERS,
-        kmeans_centroid_ctes,
+        _centroid_score_sql,
+        kmeans_cells_2level_ctes,
+        levels_sql,
     )
 
-    kmeans_chain = ",\n".join(kmeans_centroid_ctes())
+    parts, _final = kmeans_cells_2level_ctes()
+    chain = ",\n".join(parts)
+    k1_sql, k2_sql = levels_sql()
+    p1_sql = (
+        f"greatest(1, CAST(ceil({k1_sql} / {PROBE_FRACTION}.0) AS INT))"
+    )
+    n_probe_sql = (
+        f"greatest({N_PROBE}, "
+        f"CAST(ceil({k1_sql} * {k2_sql} / {PROBE_FRACTION}.0) AS INT))"
+    )
     return f"""
-WITH {kmeans_chain},
-cells AS (SELECT cell, cv AS cell_cv FROM c{ITERS}),
-q AS (
-  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}
-),
-cand AS (
-  SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE vec_id >= {N_QUERIES}
-),
+WITH {chain},
 cand_cells AS (
-  SELECT neighbor_id, cv, cell FROM (
-    SELECT c.neighbor_id, c.cv, cells.cell,
-           row_number() OVER (PARTITION BY c.neighbor_id
-                              ORDER BY round({cosine_sql('c.cv', 'cells.cell_cv')}, 6) DESC,
-                                       cells.cell ASC) AS crk
-    FROM cand c CROSS JOIN cells
-  ) WHERE crk <= 1
+  SELECT vec_id AS neighbor_id, v AS cv,
+         CAST(coarse * {k2_sql} + fine AS INT) AS cell FROM (
+    SELECT m.vec_id, m.v, m.coarse, f.fine,
+           row_number() OVER (PARTITION BY m.vec_id
+                              ORDER BY {_centroid_score_sql('m.v', 'f.fv')} DESC,
+                                       f.fine ASC) AS rk
+    FROM ca m JOIN f{ITERS} f ON m.coarse = f.coarse
+    WHERE m.vec_id >= {N_QUERIES}
+  ) WHERE rk = 1
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < {N_QUERIES}
+),
+probe_coarse AS (
+  SELECT query_id, qv, coarse FROM (
+    SELECT q.query_id, q.qv, c.cell AS coarse,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_centroid_score_sql('q.qv', 'c.cv')} DESC,
+                                       c.cell ASC) AS crk
+    FROM q CROSS JOIN c{ITERS} c
+  ) WHERE crk <= {p1_sql}
 ),
 probe_cells AS (
   SELECT query_id, qv, cell FROM (
-    SELECT q.query_id, q.qv, cells.cell,
-           row_number() OVER (PARTITION BY q.query_id
-                              ORDER BY round({cosine_sql('q.qv', 'cells.cell_cv')}, 6) DESC,
-                                       cells.cell ASC) AS crk
-    FROM q CROSS JOIN cells
-  ) WHERE crk <= (SELECT greatest({N_PROBE}, CAST(ceil(k / {PROBE_FRACTION}.0) AS INT)) FROM kp)
+    SELECT pc.query_id, pc.qv,
+           CAST(pc.coarse * {k2_sql} + f.fine AS INT) AS cell,
+           row_number() OVER (PARTITION BY pc.query_id
+                              ORDER BY {_centroid_score_sql('pc.qv', 'f.fv')} DESC,
+                                       CAST(pc.coarse * {k2_sql} + f.fine AS INT) ASC) AS prk
+    FROM probe_coarse pc JOIN f{ITERS} f ON pc.coarse = f.coarse
+  ) WHERE prk <= {n_probe_sql}
 ),
 scored AS (
   SELECT p.query_id, cc.neighbor_id,
@@ -1046,24 +998,19 @@ def ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell is hot enough to warrant the offline retrain.
 
     The audited index IS knn_ivf's: the same CANDIDATE set (query
-    vectors excluded) assigned by the same argmax-COSINE literal map
-    (``_inline_nearest_cell`` — assign_cells' Euclidean score would
-    describe a different index once Lloyd centroids have unequal
-    norms). Scale shape: shuffle-free scoring, |cells|-row rollup.
-    The delta never triggers retraining — that is the operator's
-    contract, not an omission.
+    vectors excluded) assigned by the same shared TWO-LEVEL trained
+    artifact (clustering.kmeans_cells_2level_assigned — coarse-then-
+    fine inline Euclidean maps; VERDICT r06 item 3 made that the
+    index every IVF consumer reads). Scale shape: shuffle-free
+    scoring, |cells|-row rollup. The delta never triggers retraining
+    — that is the operator's contract, not an omission.
     """
     from spark_app_twitter_spark.operators.clustering import (
-        kmeans_centroid_rows,
+        kmeans_cells_2level_assigned,
     )
 
-    _, cands = _queries_and_cands(spark, sf_dir)
-    cands = cands.select(
-        F.col("neighbor_id").alias("vec_id"),
-        F.transform("cv", lambda x: x.cast("double")).alias("v"),
-    )
-    assigned = _inline_nearest_cell(
-        cands, "vec_id", "v", kmeans_centroid_rows(spark, sf_dir)
+    assigned = kmeans_cells_2level_assigned(spark, sf_dir).where(
+        F.col("vec_id") >= N_QUERIES
     )
     is_new = F.pmod(F.col("vec_id"), F.lit(IVF_APPEND_MOD)) == 0
     out = assigned.groupBy("cell").agg(
@@ -1089,19 +1036,23 @@ def ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_index_append_sql() -> str:
     from spark_app_twitter_spark.operators.clustering import (
         ITERS,
-        kmeans_centroid_ctes,
+        _centroid_score_sql,
+        kmeans_cells_2level_ctes,
+        levels_sql,
     )
 
-    kmeans_chain = ",\n".join(kmeans_centroid_ctes())
+    parts, _final = kmeans_cells_2level_ctes()
+    chain = ",\n".join(parts)
+    _, k2_sql = levels_sql()
     return f"""
-WITH {kmeans_chain},
+WITH {chain},
 assigned AS (
-  SELECT vec_id, cell FROM (
-    SELECT e.vec_id, c.cell, row_number() OVER (
-      PARTITION BY e.vec_id
-      ORDER BY round({cosine_sql('e.v', 'c.cv')}, 6) DESC, c.cell ASC) AS rk
-    FROM emb e CROSS JOIN c{ITERS} c
-    WHERE e.vec_id >= {N_QUERIES}
+  SELECT vec_id, CAST(coarse * {k2_sql} + fine AS INT) AS cell FROM (
+    SELECT m.vec_id, m.coarse, f.fine, row_number() OVER (
+      PARTITION BY m.vec_id
+      ORDER BY {_centroid_score_sql('m.v', 'f.fv')} DESC, f.fine ASC) AS rk
+    FROM ca m JOIN f{ITERS} f ON m.coarse = f.coarse
+    WHERE m.vec_id >= {N_QUERIES}
   ) WHERE rk = 1
 ),
 rolled AS (
@@ -1259,22 +1210,26 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     or out-of-distribution, the complement of SemDeDup's
     too-close-to-something points).
 
-    Scale shape: assignment is the cached trained-centroid literal
-    map; the centroid re-join broadcasts the |cells|-row table; the
+    The cells are the TWO-LEVEL trained index (VERDICT r06 item 3 —
+    the same shared artifact knn_ivf and semdedup consume), so the
+    cold path trains 2√k-per-vector, not the flat n·k. Scale shape:
+    assignment is the cached coarse-then-fine inline map; the
+    centroid re-join broadcasts the |cells|-row fine table; the
     scoring is map-side vector math. No pairwise work at all.
     """
     from spark_app_twitter_spark.operators.clustering import (
-        _vecs,
-        assign_cells,
-        kmeans_centroid_rows,
-        kmeans_centroids,
+        corpus_size,
+        kmeans_cells_2level_assigned,
+        kmeans_fine_centroid_rows,
+        levels_for,
     )
 
-    assigned = assign_cells(
-        spark, _vecs(spark, sf_dir), kmeans_centroid_rows(spark, sf_dir)
-    )
-    cents = kmeans_centroids(spark, sf_dir).select(
-        "cell", F.col("cv").alias("ccv")
+    _, k2 = levels_for(corpus_size(spark, sf_dir))
+    assigned = kmeans_cells_2level_assigned(spark, sf_dir)
+    fine_rows = kmeans_fine_centroid_rows(spark, sf_dir)
+    cents = spark.createDataFrame(
+        [(int(co * k2 + fi), fv) for co, fi, fv in fine_rows],
+        "cell int, ccv array<double>",
     )
     sim = F.round(cosine(F.col("v"), F.col("ccv")), 6)
     return (
@@ -1291,18 +1246,31 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _embedding_outliers_sql() -> str:
     from spark_app_twitter_spark.operators.clustering import (
         ITERS,
-        kmeans_assigned_cte,
-        kmeans_centroid_ctes,
+        _centroid_score_sql,
+        kmeans_cells_2level_ctes,
+        levels_sql,
     )
 
-    kmeans_chain = ",\n".join(kmeans_centroid_ctes())
+    parts, final = kmeans_cells_2level_ctes()
+    chain = ",\n".join(parts)
+    _, k2_sql = levels_sql()
     return f"""
-WITH {kmeans_chain},
-assigned AS ({kmeans_assigned_cte()})
+WITH {chain},
+assigned AS (
+  SELECT vec_id, v, coarse, fine,
+         CAST(coarse * {k2_sql} + fine AS INT) AS cell FROM (
+    SELECT m.vec_id, m.v, m.coarse, f.fine,
+           row_number() OVER (PARTITION BY m.vec_id
+                              ORDER BY {_centroid_score_sql('m.v', 'f.fv')} DESC,
+                                       f.fine ASC) AS rk
+    FROM ca m JOIN f{ITERS} f ON m.coarse = f.coarse
+  ) WHERE rk = 1
+)
 SELECT a.vec_id, a.cell,
-       round({cosine_sql('a.v', 'c.cv')}, 6) AS centroid_sim,
-       round({cosine_sql('a.v', 'c.cv')}, 6) < {OUTLIER_SIM} AS is_outlier
-FROM assigned a JOIN c{ITERS} c ON a.cell = c.cell
+       round({cosine_sql('a.v', 'f.fv')}, 6) AS centroid_sim,
+       round({cosine_sql('a.v', 'f.fv')}, 6) < {OUTLIER_SIM} AS is_outlier
+FROM assigned a JOIN f{ITERS} f
+  ON a.coarse = f.coarse AND a.fine = f.fine
 """
 
 

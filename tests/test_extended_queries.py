@@ -400,6 +400,15 @@ def test_inverted_index_parity_and_cap(spark, sf_dir):
         p = list(r.postings)
         assert p == sorted(set(p))
         assert len(p) == min(r.df, retrieval.POSTING_CAP)
+    # the REGISTERED (gate-facing) variant serializes postings to a
+    # scalar csv column — the driver canonicalizer cannot sort array
+    # columns (r06 red row); its twin must match too
+    assert_parity(
+        retrieval.inverted_index(spark, sf_dir),
+        retrieval.INVERTED_INDEX_SQL,
+        sf_dir,
+        "inverted_index_csv",
+    )
 
 
 def test_nearest_click_parity_and_nearest_property(spark, sf_dir):
