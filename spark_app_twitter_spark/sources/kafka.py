@@ -31,6 +31,13 @@ Connector probe log (per-round check for a usable jar):
 - 2026-08-14 (round 6, continued): direct curl to repo1.maven.org
   fails DNS resolution (exit 6) — no package network; no new jar in
   ``pyspark/jars``. Status unchanged.
+- 2026-08-14 (round 7): re-probed — still no ``*kafka*`` jar in
+  ``pyspark/jars``, no ``~/.ivy2`` cache, curl to repo1.maven.org
+  still DNS-fails (exit 6). Mitigation widened: a second BUILT-IN
+  streaming source (``rate-micro-batch``) now drives the identical
+  ingest projection end-to-end (streaming/ingest.py
+  ``read_rate_wire_stream``), so the projection is exercised by two
+  independent source implementations, not just the file stream.
 """
 
 from __future__ import annotations

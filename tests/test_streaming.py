@@ -1343,3 +1343,56 @@ def test_trending_read_from_streamed_serving_table(spark, tmp_path):
     assert got[("2022-03-14", "Putin")] == (3, 2, 1)  # riser ranks 1st
     assert got[("2022-03-14", "NATO")] == (2, 0, 2)  # flat ranks below
     assert got[("2022-03-13", "NATO")] == (2, 2, 1)  # day-1 zero base
+
+
+def test_rate_source_drives_ingest_projection(spark, tmp_path):
+    """Round-7 Kafka-probe mitigation: a SECOND built-in streaming
+    source (rate-micro-batch) must drive the identical ingest
+    projection end-to-end — source swaps, plan doesn't. The batch
+    twin of the wire synthesis pins exact values (key scheme, topic
+    round-robin, payload parse) so the streaming half only has to
+    prove the source runs through the same plan."""
+    topics = ("Zelensky", "Putin", "Biden", "NATO", "NoFlyZone")
+
+    # batch twin: deterministic ticks -> wire -> projection
+    ticks = spark.range(10).select(
+        F.to_timestamp(F.lit("2022-03-13 14:21:09")).alias("timestamp"),
+        F.col("id").alias("value"),
+    )
+    wire = sing.synthetic_wire(ticks, topics)
+    out = {r["key"]: r for r in parse_tweet_stream(wire).collect()}
+    assert len(out) == 10
+    # value=0 -> topic Zelensky, key ZE0; value=6 -> topic Putin, PU6
+    assert out["ZE0"]["topic"] == "Zelensky"
+    assert out["PU6"]["topic"] == "Putin"
+    assert out["ZE0"]["text"] == "synthetic tweet 0"
+    assert out["ZE0"]["date"] == "2022-03-13"
+    assert out["ZE0"]["hour"] == "14"
+
+    # streaming smoke: the rate source feeds the same projection
+    lake = str(tmp_path / "rate_lake")
+    ckpt = str(tmp_path / "rate_ckpt")
+    q = sing.ingest_stream(
+        sing.read_rate_wire_stream(spark, topics, rows_per_batch=50),
+        lake,
+        ckpt,
+    )
+    try:
+        # one processed micro-batch is enough; processAllAvailable
+        # would never return (a rate source generates forever), so
+        # poll the sink's commit progress instead
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if any(
+                p["sink"]["numOutputRows"] > 0 for p in q.recentProgress
+            ):
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = spark.read.parquet(lake)
+    assert rows.count() >= 50
+    got = rows.where(F.col("key") == "ZE0").collect()
+    assert len(got) == 1 and got[0]["topic"] == "Zelensky"
