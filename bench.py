@@ -124,13 +124,16 @@ def main() -> None:
     # IVF index build is an OFFLINE step in production — centroids are
     # trained once and published, then every search serves against
     # them (clustering.py session cache = the published artifact).
-    # Time it separately so headline numbers measure query latency,
-    # not index construction; the build cost stays visible in the
-    # artifact as ivf_train_seconds.
+    # Since round 7 the published index is the TWO-LEVEL tree
+    # (coarse k1 + per-cell fine centroids — what knn_ivf, rag_ivf,
+    # index append, outliers, and sem_dedup all read); train it here
+    # so headline numbers measure query latency, not index
+    # construction; the build cost stays visible in the artifact as
+    # ivf_train_seconds.
     from spark_app_twitter_spark.operators import clustering
 
     t0 = time.perf_counter()
-    clustering.kmeans_centroid_rows(spark, SF_DIR)
+    clustering.kmeans_fine_centroid_rows(spark, SF_DIR)
     ivf_train_seconds = round(time.perf_counter() - t0, 3)
 
     # BPE merges are the same kind of publish-once artifact: train
@@ -151,17 +154,8 @@ def main() -> None:
     _sim._pca_components(spark, SF_DIR, _sim.PCA_COMPONENTS)
     model_times["pca_train"] = round(time.perf_counter() - t0, 3)
 
-    # two-level cells reuse the coarse centroid artifact: warm it so
-    # the headline number measures assignment + fine training, not
-    # the coarse Lloyd a production pipeline trains once
-    from spark_app_twitter_spark.operators import clustering as _cl
-
-    t0 = time.perf_counter()
-    k1, _ = _cl.levels_for(_cl.corpus_size(spark, SF_DIR))
-    _cl.kmeans_centroid_rows(spark, SF_DIR, k=k1)
-    model_times["coarse_centroids_train"] = round(
-        time.perf_counter() - t0, 3
-    )
+    # (the coarse centroid artifact is trained inside
+    # kmeans_fine_centroid_rows above — no separate warm needed)
 
     times: dict[str, float] = {}
     for name in HEADLINE:

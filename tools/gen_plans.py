@@ -31,13 +31,13 @@ SHOWCASE = [
     ("asof_purchases_last_click", "union + single sorted window (no range join)"),
     ("tpch_q21_sole_blame_suppliers", "EXISTS/NOT EXISTS rewritten to semi+anti joins"),
     ("tpch_q16_supplier_part_stats", "null-aware NOT IN anti join + distinct agg"),
-    ("sem_dedup", "k-means cells -> intra-cell self-join -> keep-first"),
+    ("sem_dedup", "two-level cell assign (inline coarse + coarse-dispatched fine, ~2*sqrt(k) scores/vector) + capped keep-first"),
     ("text_decontaminate", "distinct-gram explode + broadcast semi join"),
     ("rag_retrieve", "ANN top-k -> tiny-key payload join -> map-side quality/redaction"),
     ("serving_session_paths", "one shared user_id shuffle for windows + session agg"),
     ("text_quality_rules", "per-rule array math, map-only"),
     ("text_common_ngrams", "doc-frequency partial agg + TakeOrderedAndProject"),
-    ("sim_knn_ivf", "inline literal candidate scoring, no window shuffle on the data side"),
+    ("sim_knn_ivf", "two-level index: inline hierarchical candidate assign (no data-side window), hierarchical probe"),
     ("dedup_span_stats", "window-hash partial agg + equi-join membership, no pairwise scan"),
     ("text_bigram_lm_score", "broadcast model join, 1-row vocab scalar, map-side doc agg"),
     ("text_weighted_sample", "join-free per-row draws + one per-source ranking shuffle"),
@@ -53,7 +53,7 @@ SHOWCASE = [
     ("text_mixture_plan", "per-source partial agg; totals broadcast from the tiny relation"),
     ("sketch_hll_daily_users", "register map + bucket-max partial agg: |days|*256 shuffle rows"),
     ("text_decontaminate_bloom", "broadcast 8 KiB bit table prunes the corpus before the exact join"),
-    ("sim_kmeans_cells_2level", "coarse literal assign + per-cell broadcast fine assign: 2*sqrt(k) scores/vector"),
+    ("sim_kmeans_cells_2level", "coarse inline assign + coarse-dispatched inline fine assign: 2*sqrt(k) scores/vector, zero data-side shuffle"),
     ("dedup_paragraphs", "segment digests: one window shuffle + doc rollup, no joins at all"),
     ("sketch_cms_top_terms", "2048-cell partial agg + broadcast sketch join for estimates"),
     ("layout_compaction_plan", "per-source running-sum window over listing rows, never data rows"),
@@ -63,7 +63,7 @@ SHOWCASE = [
     ("text_mixture_apply", "|sources| multiplier broadcast + map-side epoch explode"),
     ("dedup_source_overlap", "distinct (digest, source) self-join bounded by |sources| per digest"),
     ("versioning_k_anonymous", "one release-key aggregation; suppression is a map-side projection"),
-    ("sem_dedup_2level", "two-level cell assign (~2*sqrt(k) scores/vector) + shared capped keep-first"),
+    ("sem_dedup_flat", "flat small-n variant: k-means cells -> intra-cell self-join -> keep-first"),
     ("dedup_cluster_best", "CC labels + quality argmax window per cluster (keep-best survivor)"),
     ("sim_ivf_index_append", "published-centroid literal assignment + |cells| rollup (no retrain)"),
     ("sim_embedding_drift", "(dim, cohort)-keyed quantized sums: 2*|dims| aggregate rows"),
