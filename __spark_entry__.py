@@ -107,6 +107,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_rag_ivf": retrieval.rag_retrieve_ivf,
         "sim_ivf_index_append": similarity.ivf_index_append,
         "sim_kmeans_cells_2level": clustering.kmeans_cells_2level,
+        # --- 2b. new in round 7: contrastive-pair mining over the ANN
+        # result; per-source tokenizer-efficiency scorecard; the
+        # IVF + int8-prerank + float-rerank serving composition ---
+        "sim_contrastive_pairs": similarity.contrastive_pairs,
+        "text_bpe_compression": textstats.bpe_compression,
+        "sim_knn_ivf_quantized": similarity.knn_ivf_quantized,
         # --- 3. r04-attested fill (oldest remaining attestations) ---
         "agg_serving_join": aggregates.aggregated_serving,
         "serving_dedup_first": serving.dedup_first,
@@ -145,12 +151,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_chunks": multimodal.audio_chunks,
         "dedup_minhash_jaccard_est": dedup.minhash_jaccard_estimate,
         "serving_props_stats": serving.props_stats,
+        # ---- driver verification window ends at 50 entries ----
+        # (r04 remainder continues; these eleven head the round-8
+        # window, each with a local parity test in CI)
         "serving_weekly_active": serving.weekly_active,
         "text_quality_rules": textstats.quality_rules,
         "text_common_ngrams": textstats.common_ngrams,
-        # ---- driver verification window ends at 50 entries ----
-        # (r04 remainder continues; these eight head the round-8
-        # window, each with a local parity test in CI)
         "sim_embedding_dim_stats": similarity.embedding_dim_stats,
         "dedup_incremental": dedup.incremental_dedup,
         "text_token_budget_sample": textstats.token_budget_sample,
@@ -272,6 +278,7 @@ def _trained_oracles() -> dict[str, str]:
             "sim_embedding_pca": oracles.embedding_pca_sql(),
             "graph_pagerank_near_dup": oracles.pagerank_near_dup_sql(),
             "text_bpe_train_batched": oracles.bpe_train_merges_batched_sql(),
+            "text_bpe_compression": oracles.bpe_compression_sql(),
         }
     except Exception as e:  # pragma: no cover - environment guard
         # the downgrade to rows-only must never be silent: a bug in
@@ -317,6 +324,8 @@ def oracle_sql() -> dict[str, str]:
         "sim_embedding_outliers": similarity.EMBEDDING_OUTLIERS_SQL,
         "layout_zorder_skipping": layout.ZORDER_SKIPPING_STATS_SQL,
         "serving_trending_topics": serving.TRENDING_TOPICS_SQL,
+        "sim_contrastive_pairs": similarity.CONTRASTIVE_PAIRS_SQL,
+        "sim_knn_ivf_quantized": similarity.KNN_IVF_QUANTIZED_SQL,
         "ingest_parse_events": ingest.PARSE_EVENTS_SQL,
         "enrich_documents": enrich.ENRICH_DOCUMENTS_SQL,
         "agg_positivity": aggregates.POSITIVITY_SQL,

@@ -99,6 +99,11 @@ HEADLINE = [
     "sketch_cms_top_terms",
     "sketch_hist_quantiles",
     "retrieval_rag_ivf",
+    # round 7 additions: the IVF+int8+rerank serving composition,
+    # contrastive pair mining, tokenizer-efficiency scorecard
+    "sim_knn_ivf_quantized",
+    "sim_contrastive_pairs",
+    "text_bpe_compression",
 ]
 
 

@@ -260,6 +260,24 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Euclidean argmin); the final candidate scoring stays exact
     cosine.
     """
+    q = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < N_QUERIES
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    )
+    return knn_ivf_search(spark, sf_dir, q)
+
+
+def ivf_probe_pairs(
+    spark: SparkSession, sf_dir: str, q: DataFrame
+) -> DataFrame:
+    """(query_id, qv, neighbor_id, cv): each query joined to every
+    candidate in its probed fine cells — the CANDIDATE-GENERATION
+    stage every IVF search variant shares (exact-cosine knn_ivf,
+    the int8-scored knn_ivf_quantized, streaming serve). ``q`` must
+    carry (query_id, qv array<double>). All index state comes from
+    the session artifact caches — searching never retrains."""
     import math
 
     from spark_app_twitter_spark.operators.clustering import (
@@ -287,12 +305,6 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     fine_rows = kmeans_fine_centroid_rows(spark, sf_dir)
     p1 = max(1, math.ceil(k1 / PROBE_FRACTION))
     n_probe = n_probes_for(k1 * k2)
-    q = load_table(spark, sf_dir, "embeddings").where(
-        F.col("vec_id") < N_QUERIES
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
-    )
     probe_coarse = inline_top_cells_euclid(
         q, "query_id", "qv", coarse_rows, p1
     ).withColumnRenamed("cell", "coarse")
@@ -318,7 +330,19 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("prk") <= n_probe)
         .select("query_id", "qv", "cell")
     )
-    pairs = cand_cells.join(F.broadcast(probe_cells), "cell")
+    return cand_cells.join(F.broadcast(probe_cells), "cell").select(
+        "query_id", "qv", "neighbor_id", "cv"
+    )
+
+
+def knn_ivf_search(
+    spark: SparkSession, sf_dir: str, q: DataFrame
+) -> DataFrame:
+    """The SERVE half of :func:`knn_ivf`, factored so any query frame
+    (the registry's fixed cohort, an ad-hoc batch, or a streaming
+    micro-batch via foreachBatch) searches the same published
+    two-level index: probed candidates -> exact cosine -> top-k."""
+    pairs = ivf_probe_pairs(spark, sf_dir, q)
     scored = pairs.select(
         "query_id",
         "neighbor_id",
@@ -332,7 +356,11 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_ivf_sql() -> str:
+def _ivf_pairs_sql() -> str:
+    """The shared WITH-chain of every IVF search twin, ending at a
+    ``pairs`` CTE (query_id, qv, neighbor_id, cv) — mirrors
+    :func:`ivf_probe_pairs` exactly; variants append their scoring
+    tail."""
     from spark_app_twitter_spark.operators.clustering import (
         ITERS,
         _centroid_score_sql,
@@ -385,10 +413,19 @@ probe_cells AS (
     FROM probe_coarse pc JOIN f{ITERS} f ON pc.coarse = f.coarse
   ) WHERE prk <= {n_probe_sql}
 ),
-scored AS (
-  SELECT p.query_id, cc.neighbor_id,
-         round({cosine_sql('p.qv', 'cc.cv')}, 6) AS cos_sim
+pairs AS (
+  SELECT p.query_id, p.qv, cc.neighbor_id, cc.cv
   FROM cand_cells cc JOIN probe_cells p USING (cell)
+)"""
+
+
+def _knn_ivf_sql() -> str:
+    return f"""
+{_ivf_pairs_sql()},
+scored AS (
+  SELECT query_id, neighbor_id,
+         round({cosine_sql('qv', 'cv')}, 6) AS cos_sim
+  FROM pairs
 )
 SELECT query_id, neighbor_id, cos_sim, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
@@ -477,10 +514,10 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q8_col() -> F.Column:
-    """int8 code array for the ``embedding`` column (shared rule with
-    :func:`quantize_embeddings`)."""
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+def _q8_of(col: F.Column) -> F.Column:
+    """int8 code array for any float/double array column (the one
+    quantization rule, shared with :func:`quantize_embeddings`)."""
+    v = F.transform(col, lambda x: x.cast("double"))
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
     return F.when(
         amax == 0.0, F.transform(v, lambda x: F.lit(0).cast("int"))
@@ -489,14 +526,28 @@ def _q8_col() -> F.Column:
     )
 
 
-_Q8_LIST_SQL = f"""
-CASE WHEN list_max(list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> abs(x))) = 0.0
-     THEN list_transform(embedding, x -> 0)
-     ELSE list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+def _q8_col() -> F.Column:
+    """int8 code array for the ``embedding`` column."""
+    return _q8_of(F.col("embedding"))
+
+
+def _q8_list_sql_for(col: str) -> str:
+    """DuckDB int8-code list for any float/double array column —
+    the one quantization rule (shared with :func:`_q8_col`), so the
+    brute-force and IVF quantized twins can never drift."""
+    dv = f"list_transform({col}, x -> CAST(x AS DOUBLE))"
+    amax = f"list_max(list_transform({dv}, x -> abs(x)))"
+    return f"""
+CASE WHEN {amax} = 0.0
+     THEN list_transform({col}, x -> 0)
+     ELSE list_transform({dv},
                          x -> CAST(round(x * {QUANT_BITS_SCALE} /
-                              list_max(list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> abs(x)))) AS INT))
+                              {amax}) AS INT))
 END
 """
+
+
+_Q8_LIST_SQL = _q8_list_sql_for("embedding")
 
 
 def knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -587,6 +638,131 @@ SELECT query_id, neighbor_id, qcos2, rank FROM (
   FROM scored
 ) WHERE rank <= {TOP_K}
 """
+
+
+# int8 pre-rank survivor count: the float rerank touches only this
+# many candidates per query. 3k keeps the exact top-k safe against
+# quantization rank noise (measured: int8-vs-float rank inversions
+# sit well inside a 3x margin at the test SFs).
+RERANK_M = 3 * TOP_K
+
+
+def knn_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production vector-serving shape (IVF-PQ structure):
+    two-level IVF probing bounds the candidate set, an int8 integer
+    dot pre-ranks it (4x smaller scans, SIMD-friendly — the
+    memory-bandwidth stage), and exact float cosine reranks only the
+    RERANK_M survivors per query. Composes the engine's published
+    artifacts end-to-end: trained two-level cells + the symmetric
+    int8 quantization rule.
+
+    Per-query cost at scale: (K1 + P1·K2 centroid scores) +
+    (candidates-in-probed-cells int8 dots) + (RERANK_M float dots) —
+    the float math never touches more than RERANK_M rows, which is
+    the property that lets a serving tier keep the f32 vectors in
+    cold storage. Output contract matches knn_ivf; hits differ only
+    where int8 pre-rank noise differs from exact inside the probe
+    set (the rerank margin absorbs it at the test SFs).
+    """
+    q = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < N_QUERIES
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    )
+    pairs = ivf_probe_pairs(spark, sf_dir, q)
+
+    def idot(a: str, b: str) -> F.Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    quant = pairs.select(
+        "query_id",
+        "qv",
+        "neighbor_id",
+        "cv",
+        _q8_of(F.col("qv")).alias("qq"),
+        _q8_of(F.col("cv")).alias("cq"),
+    ).select(
+        "query_id",
+        "qv",
+        "neighbor_id",
+        "cv",
+        idot("qq", "cq").alias("d"),
+        idot("qq", "qq").alias("qn2"),
+        idot("cq", "cq").alias("cn2"),
+    )
+    # same sign·cos² comparator (and zero-norm guard) as knn_quantized
+    denom = (F.col("qn2") * F.col("cn2")).cast("double")
+    qcos2 = F.when(denom == 0.0, F.lit(-2.0)).otherwise(
+        F.signum(F.col("d").cast("double"))
+        * (F.col("d") * F.col("d")).cast("double")
+        / denom
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        F.desc("qcos2"), F.asc("neighbor_id")
+    )
+    survivors = (
+        quant.withColumn("qcos2", qcos2)
+        .withColumn("prerank", F.row_number().over(pw))
+        .where(F.col("prerank") <= RERANK_M)
+    )
+    rw = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        survivors.select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(rw))
+        .where(F.col("rank") <= TOP_K)
+    )
+
+
+def _knn_ivf_quantized_sql() -> str:
+    qq = _q8_list_sql_for("qv").strip()
+    cq = _q8_list_sql_for("cv").strip()
+    i = (
+        lambda a, b: f"CAST(list_dot_product(CAST({a} AS DOUBLE[]), "
+        f"CAST({b} AS DOUBLE[])) AS BIGINT)"
+    )
+    return f"""
+{_ivf_pairs_sql()},
+quant AS (
+  SELECT query_id, qv, neighbor_id, cv,
+         {i('qq', 'cq')} AS d, {i('qq', 'qq')} AS qn2, {i('cq', 'cq')} AS cn2
+  FROM (SELECT query_id, qv, neighbor_id, cv,
+               {qq} AS qq, {cq} AS cq
+        FROM pairs)
+),
+survivors AS (
+  SELECT query_id, qv, neighbor_id, cv FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY qcos2 DESC, neighbor_id ASC) AS prerank
+    FROM (SELECT *, CASE WHEN qn2 * cn2 = 0 THEN -2.0
+                         ELSE sign(d) * CAST(d * d AS DOUBLE)
+                              / CAST(qn2 * cn2 AS DOUBLE)
+                    END AS qcos2
+          FROM quant)
+  ) WHERE prerank <= {RERANK_M}
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT query_id, neighbor_id,
+         round({cosine_sql('qv', 'cv')}, 6) AS cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round({cosine_sql('qv', 'cv')}, 6) DESC,
+                                     neighbor_id ASC) AS rank
+  FROM survivors
+) WHERE rank <= {TOP_K}
+"""
+
+
+KNN_IVF_QUANTIZED_SQL = _knn_ivf_quantized_sql()
 
 
 QUANTIZE_EMBEDDINGS_SQL = f"""
@@ -1275,3 +1451,75 @@ FROM assigned a JOIN f{ITERS} f
 
 
 EMBEDDING_OUTLIERS_SQL = _embedding_outliers_sql()
+
+
+# Hard-negative band floor: a rank>1 neighbor this close to the query
+# is a HARD negative (confusable, high training signal); anything
+# farther is an easy negative the miner drops. Set just below the
+# corpus's rank>1 median (~0.29 at the test SFs) so the gate
+# discriminates. Real corpora tune this against their sim histogram.
+HARD_NEG_FLOOR = 0.28
+
+
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, pos_id, pos_sim, neg_id, neg_sim, neg_rank, margin):
+    contrastive-training pair mining over the ANN result — for each
+    query, the top-1 neighbor is the POSITIVE and every other
+    retrieved neighbor inside the hard band (cos >= HARD_NEG_FLOOR)
+    is a HARD NEGATIVE, with the pos-neg margin the loss would see.
+    This is the data-engine half of training an embedding model
+    (contrastive/InfoNCE mining from an index), built ON the already
+    published retrieval result rather than a second corpus pass.
+
+    Scale shape: the input is the k-rows-per-query ANN table (tiny by
+    construction); the positive is attached with one first-value
+    window over that table and the band filter is a map. No
+    corpus-sized work beyond the ANN stage itself.
+
+    Reference scope note: the reference app has no training surface;
+    this extends SURVEY.md's LLM-pipeline mandate (similarity-search
+    family) to the pair-mining consumer.
+    """
+    knn = knn_bruteforce(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(F.asc("rank"))
+    with_pos = knn.select(
+        "query_id",
+        F.first("neighbor_id").over(w).alias("pos_id"),
+        F.first("cos_sim").over(w).alias("pos_sim"),
+        F.col("neighbor_id").alias("neg_id"),
+        F.col("cos_sim").alias("neg_sim"),
+        F.col("rank").alias("neg_rank"),
+    )
+    return with_pos.where(
+        (F.col("neg_rank") > 1) & (F.col("neg_sim") >= HARD_NEG_FLOOR)
+    ).select(
+        "query_id",
+        "pos_id",
+        "pos_sim",
+        "neg_id",
+        "neg_sim",
+        "neg_rank",
+        F.round(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
+    )
+
+
+CONTRASTIVE_PAIRS_SQL = f"""
+WITH knn AS (
+{KNN_BRUTEFORCE_SQL.strip()}
+),
+with_pos AS (
+  SELECT query_id,
+         first_value(neighbor_id) OVER (PARTITION BY query_id
+                                        ORDER BY rank ASC) AS pos_id,
+         first_value(cos_sim) OVER (PARTITION BY query_id
+                                    ORDER BY rank ASC) AS pos_sim,
+         neighbor_id AS neg_id,
+         cos_sim AS neg_sim,
+         rank AS neg_rank
+  FROM knn
+)
+SELECT query_id, pos_id, pos_sim, neg_id, neg_sim, neg_rank,
+       round(pos_sim - neg_sim, 6) AS margin
+FROM with_pos
+WHERE neg_rank > 1 AND neg_sim >= {HARD_NEG_FLOOR}
+"""

@@ -2002,6 +2002,37 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_frame(docs, [(l, r) for l, r, _ in merges])
 
 
+def bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_chars, n_subwords, chars_per_token): the
+    tokenizer-efficiency scorecard per source — characters of raw
+    text bought per BPE token. The metric a curation pipeline reads
+    before fixing a data mixture or tokenizer: a source whose
+    chars_per_token is far below the corpus norm is expensive to
+    train on (boilerplate, non-target scripts, noise inflate its
+    token bill).
+
+    Composes the published artifacts: the trained merge list encodes
+    per DISTINCT word (the vocabulary trick — |vocab| fold rows, not
+    |corpus| tokens), and the rollup joins the per-doc encode result
+    back to the documents scan's (source, n_chars) projection — one
+    extra |sources|-row aggregation on top of the encode plan.
+    """
+    merges = bpe_trained_merges(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    enc = bpe_encode_frame(docs, [(l, r) for l, r, _ in merges])
+    per_doc = docs.select("doc_id", "source", "n_chars").join(enc, "doc_id")
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("n_subwords").alias("n_subwords"),
+        F.round(
+            F.sum("n_chars").cast("double")
+            / F.sum("n_subwords").cast("double"),
+            6,
+        ).alias("chars_per_token"),
+    )
+
+
 # 2^60 — the md5-prefix draw's denominator (shared with weighted /
 # stratified sampling): u = h / 2^60 is a deterministic unit-interval
 # draw both engines compute bit-identically.

@@ -288,6 +288,27 @@ def replica_bpe_merges_batched(
     return merges
 
 
+def bpe_compression_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Twin of textstats.bpe_compression: wraps the full encode twin
+    (trained-artifact merge folds and all) as a CTE and rolls the
+    per-doc result up to the per-source chars-per-token scorecard."""
+    key = ("bpe_compression", sf_dir)
+    if key in _SQL_CACHE:
+        return _SQL_CACHE[key]
+    _SQL_CACHE[key] = f"""WITH enc_docs AS (
+{bpe_encode_sql(sf_dir)}
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(d.n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(e.n_subwords) AS BIGINT) AS n_subwords,
+       round(CAST(sum(d.n_chars) AS DOUBLE)
+             / CAST(sum(e.n_subwords) AS DOUBLE), 6) AS chars_per_token
+FROM enc_docs e JOIN documents d USING (doc_id)
+GROUP BY d.source"""
+    return _SQL_CACHE[key]
+
+
 def bpe_train_merges_batched_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     """Literal-artifact twin of textstats.bpe_train_merges_batched."""
     key = ("bpe_train_merges_batched", sf_dir)

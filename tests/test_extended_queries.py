@@ -1124,3 +1124,77 @@ def test_trending_topics_parity_and_semantics(spark, sf_dir):
         assert deltas == sorted(deltas, reverse=True)
         for r in rows:
             assert r.delta == r.counts - r.prev_counts
+
+
+# --------------------------------------------------------------- round 7
+
+
+def test_contrastive_pairs_parity_and_mining_semantics(spark, sf_dir):
+    """Hard-negative mining matches the SQL twin; every row's
+    positive is the query's rank-1 neighbor, negatives come from
+    ranks > 1 inside the hard band, and the margin is pos - neg."""
+    from spark_app_twitter_spark.operators import similarity
+
+    df = similarity.contrastive_pairs(spark, sf_dir)
+    assert_parity(
+        df, similarity.CONTRASTIVE_PAIRS_SQL, sf_dir, "contrastive_pairs"
+    )
+    rows = df.collect()
+    assert rows, "hard band must not be empty at the test SF"
+    top1 = {
+        r.query_id: (r.neighbor_id, r.cos_sim)
+        for r in similarity.knn_bruteforce(spark, sf_dir)
+        .where(F.col("rank") == 1)
+        .collect()
+    }
+    for r in rows:
+        assert (r.pos_id, r.pos_sim) == top1[r.query_id]
+        assert r.neg_rank > 1
+        assert r.neg_sim >= similarity.HARD_NEG_FLOOR
+        assert abs(r.margin - round(r.pos_sim - r.neg_sim, 6)) < 1e-9
+
+
+def test_bpe_compression_parity_and_consistency(spark, sf_dir):
+    """Per-source chars-per-token matches the trained-artifact twin,
+    and the rollup conserves the per-doc encode sums exactly."""
+    from spark_app_twitter_spark import oracles
+    from spark_app_twitter_spark.operators import textstats
+
+    df = textstats.bpe_compression(spark, sf_dir)
+    assert_parity(
+        df, oracles.bpe_compression_sql(sf_dir), sf_dir, "bpe_compression"
+    )
+    total_sub = sum(r.n_subwords for r in df.collect())
+    enc_sub = (
+        textstats.bpe_encode(spark, sf_dir)
+        .agg(F.sum("n_subwords"))
+        .collect()[0][0]
+    )
+    assert total_sub == enc_sub
+
+
+def test_knn_ivf_quantized_parity_and_recall(spark, sf_dir):
+    """IVF + int8 pre-rank + float rerank matches its twin; recall vs
+    exact brute force stays at the IVF floor (the rerank margin must
+    absorb int8 rank noise inside the probe set)."""
+    from spark_app_twitter_spark.operators import similarity
+
+    df = similarity.knn_ivf_quantized(spark, sf_dir)
+    assert_parity(
+        df, similarity.KNN_IVF_QUANTIZED_SQL, sf_dir, "knn_ivf_quantized"
+    )
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.knn_bruteforce(spark, sf_dir).collect()
+    }
+    got = {(r.query_id, r.neighbor_id) for r in df.collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.8, f"IVF+int8 recall regressed: {recall}"
+    # and the int8 stage must not lose what plain IVF finds, beyond
+    # the documented rerank margin: hit sets agree on >= 90%
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.knn_ivf(spark, sf_dir).collect()
+    }
+    agree = len(got & ivf) / len(ivf)
+    assert agree >= 0.9, f"int8 pre-rank dropped IVF hits: {agree}"

@@ -1396,3 +1396,55 @@ def test_rate_source_drives_ingest_projection(spark, tmp_path):
     assert rows.count() >= 50
     got = rows.where(F.col("key") == "ZE0").collect()
     assert len(got) == 1 and got[0]["topic"] == "Zelensky"
+
+
+def test_streaming_ann_serving_matches_batch(spark, tmp_path, sf_dir):
+    """Streaming ANN serving (foreachBatch against the published
+    two-level index) answers a streamed query cohort EXACTLY like the
+    batch search — the stream==batch discipline applied to the
+    retrieval capstone. Queries arrive as two separate files (two
+    micro-batch candidates); the union of per-batch answers must
+    equal the batch result for the same cohort."""
+    import json as _json
+
+    from spark_app_twitter_spark.operators import similarity
+    from spark_app_twitter_spark.streaming import annserve
+
+    qdir = str(tmp_path / "queries")
+    os.makedirs(qdir)
+    cohort = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where(F.col("vec_id") < similarity.N_QUERIES)
+        .collect()
+    )
+    for i, half in enumerate((cohort[:2], cohort[2:])):
+        with open(os.path.join(qdir, f"q{i}.json"), "w") as fh:
+            for r in half:
+                fh.write(
+                    _json.dumps(
+                        {
+                            "query_id": r.vec_id,
+                            "qv": [float(x) for x in r.embedding],
+                        }
+                    )
+                    + "\n"
+                )
+    out = str(tmp_path / "answers")
+    q = annserve.serve_knn_stream(
+        spark,
+        annserve.read_query_stream(spark, qdir),
+        sf_dir,
+        out,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in similarity.knn_ivf(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0

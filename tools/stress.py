@@ -118,6 +118,12 @@ STRESS_QUERIES = [
     # its 65.5x-at-100x trajectory is the documented reason it was
     # demoted, so only re-measure it at small multiples)
     "sem_dedup_flat",
+    # round 7: IVF+int8 serving composition (candidate-bounded +
+    # RERANK_M-bounded float math), ANN-bounded pair mining,
+    # vocabulary-bounded compression scorecard
+    "sim_knn_ivf_quantized",
+    "sim_contrastive_pairs",
+    "text_bpe_compression",
     "sim_ivf_index_append",
     "sim_embedding_drift",
     "pack_efficiency",
