@@ -1167,6 +1167,105 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 from spark_app_twitter_spark.operators.versioning import ADDED_MOD as IVF_APPEND_MOD  # noqa: E501
 
 
+def ivf_index_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cell, coarse, fine, n_members, centroid_q6_csv): the published
+    two-level index AS A TABLE — what an offline index-build job
+    writes and every serving tier (batch knn_ivf, streaming annserve,
+    the append monitor) reads. One row per surviving fine cell: the
+    flattened cell id, its tree coordinates, its member count from
+    the candidate assignment, and the centroid quantized to 1e-6
+    integer components (csv of exact integers — floats don't
+    round-trip identically through two engines' string formatters,
+    round(x*1e6) BIGINTs do).
+
+    Scale shape: the centroid side is the k-row driver artifact; the
+    member count is one cell-keyed rollup of the shared assignment.
+    """
+    from spark_app_twitter_spark.operators.clustering import (
+        corpus_size,
+        kmeans_cells_2level_assigned,
+        kmeans_fine_centroid_rows,
+        levels_for,
+    )
+
+    _, k2 = levels_for(corpus_size(spark, sf_dir))
+    counts = (
+        kmeans_cells_2level_assigned(spark, sf_dir)
+        .where(F.col("vec_id") >= N_QUERIES)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+    import math
+
+    def q6(x: float) -> int:
+        # half-AWAY-from-zero on the identical double, matching the
+        # SQL twin's round() — Python's built-in round() is
+        # half-to-even and would disagree on exact .5 boundaries
+        return int(math.floor(abs(x) * 1e6 + 0.5)) * (1 if x >= 0 else -1)
+
+    fine_rows = kmeans_fine_centroid_rows(spark, sf_dir)
+    cents = spark.createDataFrame(
+        [
+            (
+                int(co * k2 + fi),
+                int(co),
+                int(fi),
+                ",".join(str(q6(x)) for x in fv),
+            )
+            for co, fi, fv in fine_rows
+        ],
+        "cell int, coarse int, fine int, centroid_q6_csv string",
+    )
+    # left join: a fine cell can survive training yet hold only query
+    # vectors — export it with 0 members rather than dropping it
+    return cents.join(F.broadcast(counts), "cell", "left_outer").select(
+        "cell",
+        "coarse",
+        "fine",
+        F.coalesce(F.col("n_members"), F.lit(0)).cast("long").alias(
+            "n_members"
+        ),
+        "centroid_q6_csv",
+    )
+
+
+def _ivf_index_export_sql() -> str:
+    from spark_app_twitter_spark.operators.clustering import (
+        ITERS,
+        _centroid_score_sql,
+        kmeans_cells_2level_ctes,
+        levels_sql,
+    )
+
+    parts, _final = kmeans_cells_2level_ctes()
+    chain = ",\n".join(parts)
+    _, k2_sql = levels_sql()
+    return f"""
+WITH {chain},
+counts AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n_members FROM (
+    SELECT CAST(m.coarse * {k2_sql} + f.fine AS INT) AS cell,
+           row_number() OVER (PARTITION BY m.vec_id
+                              ORDER BY {_centroid_score_sql('m.v', 'f.fv')} DESC,
+                                       f.fine ASC) AS rk
+    FROM ca m JOIN f{ITERS} f ON m.coarse = f.coarse
+    WHERE m.vec_id >= {N_QUERIES}
+  ) WHERE rk = 1 GROUP BY cell
+)
+SELECT CAST(f.coarse * {k2_sql} + f.fine AS INT) AS cell,
+       f.coarse, f.fine,
+       COALESCE(c.n_members, 0) AS n_members,
+       array_to_string(list_transform(f.fv,
+           x -> CAST(round(x * 1e6) AS BIGINT)), ',') AS centroid_q6_csv
+FROM f{ITERS} f
+LEFT OUTER JOIN counts c
+  ON CAST(f.coarse * {k2_sql} + f.fine AS INT) = c.cell
+"""
+
+
+IVF_INDEX_EXPORT_SQL = _ivf_index_export_sql()
+
+
 def ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(cell, n_old, n_new, growth_pct): the IVF index freshness
     report after appending the delta — existing members vs arrivals

@@ -1198,3 +1198,26 @@ def test_knn_ivf_quantized_parity_and_recall(spark, sf_dir):
     }
     agree = len(got & ivf) / len(ivf)
     assert agree >= 0.9, f"int8 pre-rank dropped IVF hits: {agree}"
+
+
+def test_ivf_index_export_parity_and_conservation(spark, sf_dir):
+    """The published index table matches the full-tree twin; member
+    counts conserve the candidate corpus; every cell id encodes its
+    (coarse, fine) coordinates."""
+    from spark_app_twitter_spark.operators import similarity
+    from spark_app_twitter_spark.operators.clustering import (
+        corpus_size,
+        levels_for,
+    )
+
+    df = similarity.ivf_index_export(spark, sf_dir)
+    assert_parity(
+        df, similarity.IVF_INDEX_EXPORT_SQL, sf_dir, "ivf_index_export"
+    )
+    rows = df.collect()
+    n = corpus_size(spark, sf_dir)
+    _, k2 = levels_for(n)
+    assert sum(r.n_members for r in rows) == n - similarity.N_QUERIES
+    for r in rows:
+        assert r.cell == r.coarse * k2 + r.fine
+        assert all(p.lstrip("-").isdigit() for p in r.centroid_q6_csv.split(","))

@@ -38,6 +38,7 @@ SHOWCASE = [
     ("text_quality_rules", "per-rule array math, map-only"),
     ("text_common_ngrams", "doc-frequency partial agg + TakeOrderedAndProject"),
     ("sim_knn_ivf", "two-level index: inline hierarchical candidate assign (no data-side window), hierarchical probe"),
+    ("sim_knn_ivf_quantized", "IVF probe bounds candidates, int8 integer-dot pre-rank, float rerank of RERANK_M survivors"),
     ("dedup_span_stats", "window-hash partial agg + equi-join membership, no pairwise scan"),
     ("text_bigram_lm_score", "broadcast model join, 1-row vocab scalar, map-side doc agg"),
     ("text_weighted_sample", "join-free per-row draws + one per-source ranking shuffle"),

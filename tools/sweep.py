@@ -4,8 +4,10 @@ first N) registry queries against their DuckDB oracles at sf0.01 and
 report BAD counts. This is the pre-flight for __spark_entry__'s
 rotation window — run it after any registry or operator change.
 
-Usage: python tools/sweep.py [N]   (N = check only the first N
-registry entries, e.g. 50 for the driver's window; default: all)
+Usage: python tools/sweep.py [N | A:B]   (N = check only the first N
+registry entries, e.g. 50 for the driver's window; A:B = the
+[A, B) slice of the registry order, for chunking the slow sf0.1
+sweeps; default: all)
 """
 
 from __future__ import annotations
@@ -26,7 +28,13 @@ os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", SF_DIR)
 
 
 def main() -> int:
-    limit = int(sys.argv[1]) if len(sys.argv) > 1 else None
+    start, limit = 0, None
+    if len(sys.argv) > 1:
+        if ":" in sys.argv[1]:
+            a, b = sys.argv[1].split(":")
+            start, limit = int(a), int(b)
+        else:
+            limit = int(sys.argv[1])
 
     import __spark_entry__ as entry
     from parity import assert_parity
@@ -37,7 +45,13 @@ def main() -> int:
     print(f"entry rows: {rows}", flush=True)
     q = entry.queries()
     o = entry.oracle_sql()
-    names = list(q)[:limit] if limit else list(q)
+    # names whose DUCKDB oracle is intractable at the swept SF
+    # (quadratic list ops, re-inlined iterative CTE chains) — the
+    # Spark side still runs and row-counts; full value parity for
+    # them is pinned at sf0.01 every sweep
+    for name in os.environ.get("SPARK_GRAFT_SWEEP_ROWS_ONLY", "").split(","):
+        o.pop(name.strip(), None)
+    names = list(q)[start:limit]
     bad = []
     for name in names:
         t0 = time.time()
