@@ -1167,6 +1167,186 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 from spark_app_twitter_spark.operators.versioning import ADDED_MOD as IVF_APPEND_MOD  # noqa: E501
 
 
+def ivf_probe_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_probe_budget, n_exact, n_reachable, recall): the
+    recall-vs-cost CURVE of the two-level index — for every probe
+    budget p up to the default, the fraction of exact top-k hits
+    whose cell a query would reach probing only its p best fine
+    cells. ann_recall_audit answers "is recall OK at the default?";
+    this is the TUNING artifact that says what the next probe buys —
+    what an index operator reads before trading latency for recall.
+
+    Scale shape: the exact side is the sampled-cohort audit (same
+    contract as ann_recall_audit); everything else is k-rows-per-
+    query joins plus a |budgets| x |hits| explode — all bounded by
+    the audit cohort, never the corpus.
+    """
+    import math
+
+    from spark_app_twitter_spark.operators.clustering import (
+        corpus_size,
+        inline_top_cells_euclid,
+        kmeans_cells_2level_assigned,
+        kmeans_centroid_rows,
+        kmeans_fine_centroid_rows,
+        levels_for,
+    )
+
+    n = corpus_size(spark, sf_dir)
+    k1, k2 = levels_for(n)
+    n_probe = n_probes_for(k1 * k2)
+    p1 = max(1, math.ceil(k1 / PROBE_FRACTION))
+    exact = knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    cand = (
+        kmeans_cells_2level_assigned(spark, sf_dir)
+        .where(F.col("vec_id") >= N_QUERIES)
+        .select(F.col("vec_id").alias("neighbor_id"), "cell")
+    )
+    # the probe RANKING (prk kept, unfiltered): same coarse top-p1 +
+    # fine ordering discipline as ivf_probe_pairs
+    q = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < N_QUERIES
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    )
+    coarse_rows = kmeans_centroid_rows(spark, sf_dir, k=k1)
+    fine_rows = kmeans_fine_centroid_rows(spark, sf_dir)
+    probe_coarse = inline_top_cells_euclid(
+        q, "query_id", "qv", coarse_rows, p1
+    ).withColumnRenamed("cell", "coarse")
+    fdf = spark.createDataFrame(
+        fine_rows, "coarse int, fine int, fv array<double>"
+    )
+    from spark_app_twitter_spark.functions.vectors import dot
+
+    fscore = F.round(
+        dot(F.col("qv"), F.col("fv"))
+        - dot(F.col("fv"), F.col("fv")) / F.lit(2.0),
+        6,
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.desc("_fs"), F.asc("cell"))
+    probes = (
+        probe_coarse.join(F.broadcast(fdf), "coarse")
+        .withColumn("cell", (F.col("coarse") * k2 + F.col("fine")).cast("int"))
+        .withColumn("_fs", fscore)
+        .withColumn("prk", F.row_number().over(pw))
+        .select("query_id", "cell", "prk")
+    )
+    hits = exact.join(cand, "neighbor_id").join(
+        probes, ["query_id", "cell"], "left_outer"
+    )
+    budgets = spark.range(1, n_probe + 1).select(
+        F.col("id").cast("int").alias("n_probe_budget")
+    )
+    return (
+        hits.crossJoin(F.broadcast(budgets))
+        .groupBy("n_probe_budget")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(
+                F.when(F.col("prk") <= F.col("n_probe_budget"), 1).otherwise(0)
+            ).cast("long").alias("n_reachable"),
+        )
+        .select(
+            "n_probe_budget",
+            "n_exact",
+            "n_reachable",
+            F.round(
+                F.col("n_reachable").cast("double")
+                / F.col("n_exact").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+def _ivf_probe_sensitivity_sql() -> str:
+    from spark_app_twitter_spark.operators.clustering import (
+        ITERS,
+        _centroid_score_sql,
+        kmeans_cells_2level_ctes,
+        levels_sql,
+    )
+
+    parts, _final = kmeans_cells_2level_ctes()
+    chain = ",\n".join(parts)
+    k1_sql, k2_sql = levels_sql()
+    p1_sql = (
+        f"greatest(1, CAST(ceil({k1_sql} / {PROBE_FRACTION}.0) AS INT))"
+    )
+    n_probe_sql = (
+        f"greatest({N_PROBE}, "
+        f"CAST(ceil({k1_sql} * {k2_sql} / {PROBE_FRACTION}.0) AS INT))"
+    )
+    return f"""
+WITH {chain},
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT e.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({cosine_sql('e.v', 'c.v')}, 6) DESC,
+                                       c.vec_id ASC) AS rank
+    FROM emb e JOIN emb c ON e.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+  ) WHERE rank <= {TOP_K}
+),
+cand AS (
+  SELECT vec_id AS neighbor_id,
+         CAST(coarse * {k2_sql} + fine AS INT) AS cell FROM (
+    SELECT m.vec_id, m.coarse, f.fine,
+           row_number() OVER (PARTITION BY m.vec_id
+                              ORDER BY {_centroid_score_sql('m.v', 'f.fv')} DESC,
+                                       f.fine ASC) AS rk
+    FROM ca m JOIN f{ITERS} f ON m.coarse = f.coarse
+    WHERE m.vec_id >= {N_QUERIES}
+  ) WHERE rk = 1
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < {N_QUERIES}
+),
+probe_coarse AS (
+  SELECT query_id, qv, coarse FROM (
+    SELECT q.query_id, q.qv, c.cell AS coarse,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_centroid_score_sql('q.qv', 'c.cv')} DESC,
+                                       c.cell ASC) AS crk
+    FROM q CROSS JOIN c{ITERS} c
+  ) WHERE crk <= {p1_sql}
+),
+probes AS (
+  SELECT query_id, cell, prk FROM (
+    SELECT pc.query_id,
+           CAST(pc.coarse * {k2_sql} + f.fine AS INT) AS cell,
+           row_number() OVER (PARTITION BY pc.query_id
+                              ORDER BY {_centroid_score_sql('pc.qv', 'f.fv')} DESC,
+                                       CAST(pc.coarse * {k2_sql} + f.fine AS INT) ASC) AS prk
+    FROM probe_coarse pc JOIN f{ITERS} f ON pc.coarse = f.coarse
+  )
+),
+hits AS (
+  SELECT e.query_id, p.prk
+  FROM exact e
+  JOIN cand c ON e.neighbor_id = c.neighbor_id
+  LEFT OUTER JOIN probes p
+    ON e.query_id = p.query_id AND c.cell = p.cell
+),
+budgets AS (
+  SELECT CAST(unnest(range(1, {n_probe_sql} + 1)) AS INT) AS n_probe_budget
+)
+SELECT b.n_probe_budget,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN h.prk <= b.n_probe_budget THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_reachable,
+       round(CAST(sum(CASE WHEN h.prk <= b.n_probe_budget THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM hits h CROSS JOIN budgets b
+GROUP BY b.n_probe_budget
+"""
+
+
+IVF_PROBE_SENSITIVITY_SQL = _ivf_probe_sensitivity_sql()
+
+
 def ivf_index_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(cell, coarse, fine, n_members, centroid_q6_csv): the published
     two-level index AS A TABLE — what an offline index-build job

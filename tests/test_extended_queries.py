@@ -1221,3 +1221,27 @@ def test_ivf_index_export_parity_and_conservation(spark, sf_dir):
     for r in rows:
         assert r.cell == r.coarse * k2 + r.fine
         assert all(p.lstrip("-").isdigit() for p in r.centroid_q6_csv.split(","))
+
+
+def test_ivf_probe_sensitivity_parity_and_monotonicity(spark, sf_dir):
+    """The recall-vs-probe-budget curve matches its twin, is
+    monotonically non-decreasing in the budget, and its value at the
+    default budget agrees with ann_recall_audit's aggregate recall."""
+    from spark_app_twitter_spark.operators import similarity
+
+    df = similarity.ivf_probe_sensitivity(spark, sf_dir)
+    assert_parity(
+        df,
+        similarity.IVF_PROBE_SENSITIVITY_SQL,
+        sf_dir,
+        "ivf_probe_sensitivity",
+    )
+    rows = sorted(df.collect(), key=lambda r: r.n_probe_budget)
+    assert rows
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_reachable >= a.n_reachable
+        assert a.n_exact == b.n_exact
+    audit = similarity.ann_recall_audit(spark, sf_dir).collect()
+    agg_recall = sum(r.n_hit for r in audit) / sum(r.n_exact for r in audit)
+    # reachability at the full budget upper-bounds served recall
+    assert rows[-1].recall >= agg_recall - 1e-9

@@ -131,9 +131,10 @@ STRESS_QUERIES = [
     "sim_embedding_outliers",
     "layout_zorder_skipping",
     "serving_trending_topics",
-    # NOT listed: sim_ann_recall_audit — its exact side scores the
-    # corpus per query by construction (the operator's docstring
-    # documents the sampled-query audit pattern at scale).
+    # NOT listed: sim_ann_recall_audit and sim_ivf_probe_sensitivity
+    # — their exact sides score the corpus per query by construction
+    # (the operators' docstrings document the sampled-query audit
+    # pattern at scale).
 ]
 
 
