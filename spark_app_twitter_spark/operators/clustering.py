@@ -472,6 +472,7 @@ def inline_top_cells_euclid(
     vec: str,
     cents: list[tuple[int, list[float]]],
     keep: int,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(key, vec, cell) × top-``keep`` cells per row by the Euclidean
     centroid score — the PROBE-side generalization of the inline
@@ -496,8 +497,8 @@ def inline_top_cells_euclid(
     )
     return (
         df.withColumn("_scores", F.expr(scores_sql))
-        .select(key, vec, F.explode(F.expr(top_sql)).alias("_sc"))
-        .select(key, vec, F.col("_sc.c").alias("cell"))
+        .select(key, vec, *carry, F.explode(F.expr(top_sql)).alias("_sc"))
+        .select(key, vec, *carry, F.col("_sc.c").alias("cell"))
     )
 
 

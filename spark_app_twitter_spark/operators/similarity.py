@@ -270,14 +270,26 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ivf_probe_pairs(
-    spark: SparkSession, sf_dir: str, q: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    q: DataFrame,
+    cand_prep=None,
+    carry_query_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(query_id, qv, neighbor_id, cv): each query joined to every
-    candidate in its probed fine cells — the CANDIDATE-GENERATION
-    stage every IVF search variant shares (exact-cosine knn_ivf,
-    the int8-scored knn_ivf_quantized, streaming serve). ``q`` must
-    carry (query_id, qv array<double>). All index state comes from
-    the session artifact caches — searching never retrains."""
+    """(query_id, qv, neighbor_id, cv, ...): each query joined to
+    every candidate in its probed fine cells — the CANDIDATE-
+    GENERATION stage every IVF search variant shares (exact-cosine
+    knn_ivf, the int8-scored knn_ivf_quantized, streaming serve).
+    ``q`` must carry (query_id, qv array<double>). All index state
+    comes from the session artifact caches — searching never
+    retrains.
+
+    ``cand_prep`` (DataFrame -> DataFrame) derives per-CANDIDATE
+    columns BEFORE the pair join — the hook that keeps index-side
+    state (e.g. int8 codes) computed once per vector instead of once
+    per (query, candidate) pair, exactly like a real index stores
+    codes alongside ids. ``carry_query_cols`` names extra ``q``
+    columns to thread through the probe machinery the same way."""
     import math
 
     from spark_app_twitter_spark.operators.clustering import (
@@ -297,6 +309,8 @@ def ivf_probe_pairs(
     cand_cells = assigned.where(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "cell"
     )
+    if cand_prep is not None:
+        cand_cells = cand_prep(cand_cells)
     # probe side: both centroid levels are driver-held artifacts;
     # coarse probe is an inline sorted-slice, the fine probe ranks
     # only the P1·K2 fine centroids of the probed coarse cells
@@ -306,7 +320,7 @@ def ivf_probe_pairs(
     p1 = max(1, math.ceil(k1 / PROBE_FRACTION))
     n_probe = n_probes_for(k1 * k2)
     probe_coarse = inline_top_cells_euclid(
-        q, "query_id", "qv", coarse_rows, p1
+        q, "query_id", "qv", coarse_rows, p1, carry=carry_query_cols
     ).withColumnRenamed("cell", "coarse")
     fdf = spark.createDataFrame(
         fine_rows, "coarse int, fine int, fv array<double>"
@@ -328,11 +342,9 @@ def ivf_probe_pairs(
         .withColumn("_fs", fscore)
         .withColumn("prk", F.row_number().over(pw))
         .where(F.col("prk") <= n_probe)
-        .select("query_id", "qv", "cell")
+        .select("query_id", "qv", *carry_query_cols, "cell")
     )
-    return cand_cells.join(F.broadcast(probe_cells), "cell").select(
-        "query_id", "qv", "neighbor_id", "cv"
-    )
+    return cand_cells.join(F.broadcast(probe_cells), "cell").drop("cell")
 
 
 def knn_ivf_search(
@@ -664,14 +676,6 @@ def knn_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     where int8 pre-rank noise differs from exact inside the probe
     set (the rerank margin absorbs it at the test SFs).
     """
-    q = load_table(spark, sf_dir, "embeddings").where(
-        F.col("vec_id") < N_QUERIES
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
-    )
-    pairs = ivf_probe_pairs(spark, sf_dir, q)
-
     def idot(a: str, b: str) -> F.Column:
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
@@ -679,21 +683,36 @@ def knn_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
+    # codes + norms are derived ONCE PER VECTOR on each side of the
+    # pair join (the index stores its candidates' codes; serving
+    # quantizes each query once) — never per (query, candidate) pair
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+        )
+        .withColumn("qq", _q8_of(F.col("qv")))
+        .withColumn("qn2", idot("qq", "qq"))
+    )
+    pairs = ivf_probe_pairs(
+        spark,
+        sf_dir,
+        q,
+        cand_prep=lambda c: c.withColumn(
+            "cq", _q8_of(F.col("cv"))
+        ).withColumn("cn2", idot("cq", "cq")),
+        carry_query_cols=("qq", "qn2"),
+    )
     quant = pairs.select(
         "query_id",
         "qv",
         "neighbor_id",
         "cv",
-        _q8_of(F.col("qv")).alias("qq"),
-        _q8_of(F.col("cv")).alias("cq"),
-    ).select(
-        "query_id",
-        "qv",
-        "neighbor_id",
-        "cv",
         idot("qq", "cq").alias("d"),
-        idot("qq", "qq").alias("qn2"),
-        idot("cq", "cq").alias("cn2"),
+        "qn2",
+        "cn2",
     )
     # same sign·cos² comparator (and zero-norm guard) as knn_quantized
     denom = (F.col("qn2") * F.col("cn2")).cast("double")
