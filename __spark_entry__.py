@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_ivf_quantized": similarity.knn_ivf_quantized,
         "sim_ivf_index_export": similarity.ivf_index_export,
         "sim_ivf_probe_sensitivity": similarity.ivf_probe_sensitivity,
+        "dedup_split_leakage": dedup.split_leakage,
         # --- 3. r04-attested fill (oldest remaining attestations) ---
         "agg_serving_join": aggregates.aggregated_serving,
         "serving_dedup_first": serving.dedup_first,
@@ -150,10 +151,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_length_histogram": textstats.length_histogram,
         "sim_knn_quantized": similarity.knn_quantized,
         "serving_retention_cohorts": serving.retention_cohorts,
-        "multimodal_audio_chunks": multimodal.audio_chunks,
         # ---- driver verification window ends at 50 entries ----
-        # (r04 remainder continues; these thirteen head the round-8
+        # (r04 remainder continues; these fourteen head the round-8
         # window, each with a local parity test in CI)
+        "multimodal_audio_chunks": multimodal.audio_chunks,
         "dedup_minhash_jaccard_est": dedup.minhash_jaccard_estimate,
         "serving_props_stats": serving.props_stats,
         "serving_weekly_active": serving.weekly_active,
@@ -330,6 +331,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_knn_ivf_quantized": similarity.KNN_IVF_QUANTIZED_SQL,
         "sim_ivf_index_export": similarity.IVF_INDEX_EXPORT_SQL,
         "sim_ivf_probe_sensitivity": similarity.IVF_PROBE_SENSITIVITY_SQL,
+        "dedup_split_leakage": dedup.SPLIT_LEAKAGE_SQL,
         "ingest_parse_events": ingest.PARSE_EVENTS_SQL,
         "enrich_documents": enrich.ENRICH_DOCUMENTS_SQL,
         "agg_positivity": aggregates.POSITIVITY_SQL,

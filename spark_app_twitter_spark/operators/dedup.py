@@ -1385,3 +1385,101 @@ SELECT doc_id,
 FROM kept
 GROUP BY doc_id
 """
+
+
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(split, n_docs, n_leaked, leak_pct): for each EVALUATION split
+    (val/test under the deterministic md5-bucket assignment —
+    textstats.split_expr), how many of its documents have a verified
+    near-duplicate in TRAIN. The eval-contamination audit a training
+    pipeline must pass before trusting its held-out numbers: an eval
+    doc whose near-twin was trained on measures memorization, not
+    generalization.
+
+    Composes the published pieces: the LSH-banded + Jaccard-verified
+    pair set (minhash_lsh_pairs — the only pairwise work, already
+    bucket-bounded) and the split rule as a pure map on each pair
+    side. The rollup is |splits| rows; no new corpus-sized stage.
+    """
+    from spark_app_twitter_spark.operators.textstats import split_expr
+
+    pairs = minhash_lsh_pairs(spark, sf_dir).select(
+        "doc_a",
+        "doc_b",
+        split_expr(F.col("doc_a")).alias("split_a"),
+        split_expr(F.col("doc_b")).alias("split_b"),
+    )
+    leaked = (
+        pairs.where(
+            (F.col("split_a") == "train") & (F.col("split_b") != "train")
+        )
+        .select(F.col("doc_b").alias("doc_id"), F.col("split_b").alias("split"))
+        .unionByName(
+            pairs.where(
+                (F.col("split_b") == "train") & (F.col("split_a") != "train")
+            ).select(
+                F.col("doc_a").alias("doc_id"),
+                F.col("split_a").alias("split"),
+            )
+        )
+        .distinct()
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_leaked"))
+    )
+    totals = (
+        load_table(spark, sf_dir, "documents")
+        .select(split_expr(F.col("doc_id")).alias("split"))
+        .where(F.col("split") != "train")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return totals.join(leaked, "split", "left_outer").select(
+        "split",
+        "n_docs",
+        F.coalesce(F.col("n_leaked"), F.lit(0)).cast("long").alias("n_leaked"),
+        F.round(
+            F.coalesce(F.col("n_leaked"), F.lit(0)).cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("leak_pct"),
+    )
+
+
+def _split_leakage_sql() -> str:
+    from spark_app_twitter_spark.operators.textstats import split_case_sql
+
+    return f"""
+WITH pairs AS (
+{MINHASH_LSH_PAIRS_SQL.strip()}
+),
+sided AS (
+  SELECT doc_a, doc_b,
+         {split_case_sql("doc_a")} AS split_a,
+         {split_case_sql("doc_b")} AS split_b
+  FROM pairs
+),
+leaked AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS n_leaked FROM (
+    SELECT DISTINCT doc_id, split FROM (
+      SELECT doc_b AS doc_id, split_b AS split FROM sided
+      WHERE split_a = 'train' AND split_b != 'train'
+      UNION ALL
+      SELECT doc_a AS doc_id, split_a AS split FROM sided
+      WHERE split_b = 'train' AND split_a != 'train'
+    )
+  ) GROUP BY split
+),
+totals AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS n_docs FROM (
+    SELECT {split_case_sql("doc_id")} AS split FROM documents
+  ) WHERE split != 'train' GROUP BY split
+)
+SELECT t.split, t.n_docs,
+       COALESCE(l.n_leaked, 0) AS n_leaked,
+       round(CAST(COALESCE(l.n_leaked, 0) AS DOUBLE)
+             / CAST(t.n_docs AS DOUBLE), 6) AS leak_pct
+FROM totals t LEFT OUTER JOIN leaked l ON t.split = l.split
+"""
+
+
+SPLIT_LEAKAGE_SQL = _split_leakage_sql()

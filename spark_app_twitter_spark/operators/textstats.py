@@ -1038,6 +1038,34 @@ FROM per_src CROSS JOIN totals
 SPLIT_BOUNDS = (("train", 80), ("val", 90), ("test", 100))
 
 
+def split_expr(doc_id: F.Column) -> F.Column:
+    """Deterministic split assignment for a doc id — ONE definition
+    of the md5-bucket rule, shared by the tally query and every
+    consumer that needs per-doc split membership (the leakage
+    audit). No RNG state, no shuffle: a pure map expression."""
+    bucket = (
+        F.conv(F.substring(F.md5(doc_id.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return F.when(bucket < SPLIT_BOUNDS[0][1], SPLIT_BOUNDS[0][0]).otherwise(
+        F.when(bucket < SPLIT_BOUNDS[1][1], SPLIT_BOUNDS[1][0]).otherwise(
+            SPLIT_BOUNDS[2][0]
+        )
+    )
+
+
+def split_case_sql(id_sql: str) -> str:
+    """DuckDB twin of :func:`split_expr`."""
+    return (
+        f"CASE WHEN CAST(('0x' || substr(md5(CAST({id_sql} AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+        f" < {SPLIT_BOUNDS[0][1]} THEN '{SPLIT_BOUNDS[0][0]}'"
+        f" WHEN CAST(('0x' || substr(md5(CAST({id_sql} AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+        f" < {SPLIT_BOUNDS[1][1]} THEN '{SPLIT_BOUNDS[1][0]}'"
+        f" ELSE '{SPLIT_BOUNDS[2][0]}' END"
+    )
+
+
 def train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment + per-split tallies.
 
@@ -1046,17 +1074,7 @@ def train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only exchange and carries |splits| rows per partition.
     """
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-        ).cast("long")
-        % 100
-    )
-    split = F.when(bucket < SPLIT_BOUNDS[0][1], SPLIT_BOUNDS[0][0]).otherwise(
-        F.when(bucket < SPLIT_BOUNDS[1][1], SPLIT_BOUNDS[1][0]).otherwise(
-            SPLIT_BOUNDS[2][0]
-        )
-    )
+    split = split_expr(F.col("doc_id"))
     toks = F.size(F.split(F.col("text"), " "))
     return (
         docs.select(split.alias("split"), toks.alias("n_tokens"))

@@ -1513,3 +1513,41 @@ def test_kmeans_2level_parity_and_cell_bounds(spark, sf_dir):
     # and more than one fine cell used
     assert len({r.coarse for r in rows}) > 1
     assert len({r.cell for r in rows}) > len({r.coarse for r in rows})
+
+
+def test_split_leakage_parity_and_planted_leak(spark, sf_dir, tmp_path):
+    """The eval-contamination audit matches its twin at the test SF,
+    and a PLANTED near-duplicate straddling the train/val boundary is
+    counted as a leak while an eval doc with no train twin is not.
+    (ids chosen by the md5-bucket rule: 1,2,3 -> train; 16 -> val;
+    8 -> test.)"""
+    from tests.parity import assert_parity
+
+    from spark_app_twitter_spark.operators import dedup
+
+    assert_parity(
+        dedup.split_leakage(spark, sf_dir),
+        dedup.SPLIT_LEAKAGE_SQL,
+        sf_dir,
+        "split_leakage",
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    rows = [
+        (1, base + "one extra"),          # train
+        (16, base + "one other"),         # val — near-dup of train doc 1
+        (2, "totally different words about unrelated topics entirely"),
+        (8, "yet another disjoint document with its own vocabulary"),  # test, clean
+    ]
+    sf = str(tmp_path / "leak")
+    import os
+
+    os.makedirs(sf)
+    spark.createDataFrame(
+        [(i, t, "en", "srcA", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+    out = {r.split: r for r in dedup.split_leakage(spark, sf).collect()}
+    assert out["val"].n_leaked == 1 and out["val"].n_docs == 1
+    assert out["test"].n_leaked == 0 and out["test"].n_docs == 1
+    assert out["val"].leak_pct == 1.0

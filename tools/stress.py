@@ -124,6 +124,10 @@ STRESS_QUERIES = [
     "sim_knn_ivf_quantized",
     "sim_contrastive_pairs",
     "text_bpe_compression",
+    # split-leakage rides on the minhash pair volume (the stress
+    # fixture's near-dup replicas straddle split boundaries by
+    # construction), so its ratio tracks minhash_lsh_pairs
+    "dedup_split_leakage",
     "sim_ivf_index_append",
     "sim_embedding_drift",
     "pack_efficiency",
