@@ -353,12 +353,26 @@ def knn_ivf_search(
     """The SERVE half of :func:`knn_ivf`, factored so any query frame
     (the registry's fixed cohort, an ad-hoc batch, or a streaming
     micro-batch via foreachBatch) searches the same published
-    two-level index: probed candidates -> exact cosine -> top-k."""
+    two-level index: probed candidates -> exact cosine -> top-k.
+
+    Zero-norm guard: a zero query vector has no cosine direction and
+    under Spark's ANSI mode the bare division THROWS
+    (divideByZeroError) — a single bad vector in a streaming
+    micro-batch would kill the query. Degenerate pairs score -2.0
+    (below the cosine range), so the serve path fails SOFT and
+    deterministically; the registered cohort has no zero vectors, so
+    the oracle twin is unaffected."""
+    from spark_app_twitter_spark.functions.vectors import dot, norm
+
     pairs = ivf_probe_pairs(spark, sf_dir, q)
+    den = norm(F.col("qv")) * norm(F.col("cv"))
+    cos = F.when(den == 0.0, F.lit(-2.0)).otherwise(
+        F.round(dot(F.col("qv"), F.col("cv")) / den, 6)
+    )
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        cos.alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")

@@ -514,3 +514,44 @@ def test_cluster_best_quality_is_single_scan_projection(spark, sf_dir):
     assert "Exchange rangepartitioning" not in plan, (
         "no global sort — the ranking is per-cluster"
     )
+
+
+# --------------------------------------------------------------- round 7
+
+
+def test_ivf_quantized_candidate_side_shuffle_free(spark, sf_dir):
+    """The IVF+int8 composition keeps the same data-side discipline
+    as knn_ivf: no cartesian product, no per-candidate window
+    shuffle; the only windows are the per-query-bounded pre-rank and
+    rerank (partitioned on query_id over the probed candidate set)."""
+    from spark_app_twitter_spark.operators import similarity
+
+    df = similarity.knn_ivf_quantized(spark, sf_dir)
+    plan = E.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(neighbor_id" not in plan, (
+        "candidate cell assignment must not shuffle on neighbor_id"
+    )
+
+
+def test_contrastive_pairs_windows_only_over_ann_result(spark, sf_dir):
+    """Pair mining must do no corpus-sized pairwise work of its own —
+    no cartesian beyond the ANN stage's broadcast loop, and every
+    window keyed on query_id (the k-rows-per-query frame)."""
+    from spark_app_twitter_spark.operators import similarity
+
+    df = similarity.contrastive_pairs(spark, sf_dir)
+    plan = E.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(neighbor_id" not in plan
+
+
+def test_split_leakage_no_new_pairwise_stage(spark, sf_dir):
+    """The leakage audit adds only maps and |splits|-row rollups on
+    top of the LSH pair set: no cartesian, no broadcast nested loop."""
+    from spark_app_twitter_spark.operators import dedup
+
+    df = dedup.split_leakage(spark, sf_dir)
+    plan = E.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

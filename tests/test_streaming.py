@@ -1448,3 +1448,23 @@ def test_streaming_ann_serving_matches_batch(spark, tmp_path, sf_dir):
         for r in similarity.knn_ivf(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_ann_serving_zero_vector_query_is_deterministic(spark, sf_dir):
+    """Degenerate serve input: a zero query vector has no defined
+    cosine direction, and Spark 4's ANSI mode turns the bare division
+    into a task-killing divideByZeroError (found by this test; the
+    serve path now pins degenerate scores to -2.0). The path must
+    return exactly TOP_K rows with the deterministic neighbor_id
+    tie-break, identically on every run — fail SOFT, never kill the
+    streaming query."""
+    from spark_app_twitter_spark.operators import similarity
+
+    z = spark.createDataFrame(
+        [(9999, [0.0] * 64)], "query_id long, qv array<double>"
+    )
+    a = similarity.knn_ivf_search(spark, sf_dir, z).collect()
+    b = similarity.knn_ivf_search(spark, sf_dir, z).collect()
+    assert len(a) == similarity.TOP_K
+    assert [r.neighbor_id for r in a] == [r.neighbor_id for r in b]
+    assert [r.rank for r in a] == list(range(1, similarity.TOP_K + 1))
