@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_index_export": similarity.ivf_index_export,
         "sim_ivf_probe_sensitivity": similarity.ivf_probe_sensitivity,
         "dedup_split_leakage": dedup.split_leakage,
+        "sim_embedding_sanity": similarity.embedding_sanity,
         # --- 3. r04-attested fill (oldest remaining attestations) ---
         "agg_serving_join": aggregates.aggregated_serving,
         "serving_dedup_first": serving.dedup_first,
@@ -150,10 +151,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_train_split": textstats.train_split,
         "text_length_histogram": textstats.length_histogram,
         "sim_knn_quantized": similarity.knn_quantized,
-        "serving_retention_cohorts": serving.retention_cohorts,
         # ---- driver verification window ends at 50 entries ----
-        # (r04 remainder continues; these fourteen head the round-8
+        # (r04 remainder continues; these fifteen head the round-8
         # window, each with a local parity test in CI)
+        "serving_retention_cohorts": serving.retention_cohorts,
         "multimodal_audio_chunks": multimodal.audio_chunks,
         "dedup_minhash_jaccard_est": dedup.minhash_jaccard_estimate,
         "serving_props_stats": serving.props_stats,
@@ -332,6 +333,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_ivf_index_export": similarity.IVF_INDEX_EXPORT_SQL,
         "sim_ivf_probe_sensitivity": similarity.IVF_PROBE_SENSITIVITY_SQL,
         "dedup_split_leakage": dedup.SPLIT_LEAKAGE_SQL,
+        "sim_embedding_sanity": similarity.EMBEDDING_SANITY_SQL,
         "ingest_parse_events": ingest.PARSE_EVENTS_SQL,
         "enrich_documents": enrich.ENRICH_DOCUMENTS_SQL,
         "agg_positivity": aggregates.POSITIVITY_SQL,

@@ -1835,3 +1835,66 @@ SELECT query_id, pos_id, pos_sim, neg_id, neg_sim, neg_rank,
 FROM with_pos
 WHERE neg_rank > 1 AND neg_sim >= {HARD_NEG_FLOOR}
 """
+
+
+def embedding_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, n_vecs, n_zero_norm, n_nonfinite, n_wrong_dim,
+    n_clean): the input-validation gate for the whole vector family —
+    counts, per label cohort, the degenerate rows that break
+    downstream math: zero-norm vectors (no cosine direction; under
+    ANSI mode a bare division THROWS — the failure mode the serve
+    path guards), non-finite components (NaN/Inf poison every fold),
+    and wrong-dimension arrays (zip_with silently truncates). A
+    pipeline runs this BEFORE training cells or serving an index;
+    nonzero counts route rows to quarantine instead of killing a
+    1000-executor job mid-shuffle.
+
+    Scale shape: one pure-map pass over the embeddings scan, one
+    |labels|-row rollup. No vector math beyond per-row folds.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dv = F.transform("embedding", lambda x: x.cast("double"))
+    zero = F.array_max(F.transform(dv, lambda x: F.abs(x))) == 0.0
+    nonfinite = F.exists(
+        dv, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    )
+    wrong_dim = F.size("embedding") != DIM
+    flagged = emb.select(
+        "label",
+        zero.alias("z"),
+        nonfinite.alias("nf"),
+        wrong_dim.alias("wd"),
+    )
+    cnt = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("long")  # noqa: E731
+    return flagged.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        cnt("z").alias("n_zero_norm"),
+        cnt("nf").alias("n_nonfinite"),
+        cnt("wd").alias("n_wrong_dim"),
+        F.sum(
+            F.when(~F.col("z") & ~F.col("nf") & ~F.col("wd"), 1).otherwise(0)
+        ).cast("long").alias("n_clean"),
+    )
+
+
+EMBEDDING_SANITY_SQL = f"""
+WITH flagged AS (
+  SELECT label,
+         list_max(list_transform(embedding,
+             x -> abs(CAST(x AS DOUBLE)))) = 0.0 AS z,
+         len(list_filter(embedding,
+             x -> isnan(CAST(x AS DOUBLE))
+                  OR isinf(CAST(x AS DOUBLE)))) > 0 AS nf,
+         len(embedding) != {DIM} AS wd
+  FROM embeddings
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN z THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+       CAST(sum(CASE WHEN nf THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+       CAST(sum(CASE WHEN wd THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
+       CAST(sum(CASE WHEN NOT z AND NOT nf AND NOT wd THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clean
+FROM flagged
+GROUP BY label
+"""

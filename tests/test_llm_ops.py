@@ -1551,3 +1551,41 @@ def test_split_leakage_parity_and_planted_leak(spark, sf_dir, tmp_path):
     assert out["val"].n_leaked == 1 and out["val"].n_docs == 1
     assert out["test"].n_leaked == 0 and out["test"].n_docs == 1
     assert out["val"].leak_pct == 1.0
+
+
+def test_embedding_sanity_parity_and_planted_degenerates(
+    spark, sf_dir, tmp_path
+):
+    """The vector-input gate matches its twin (clean corpus: every
+    row counts as clean), and planted zero-norm / NaN / wrong-dim
+    vectors land in the right buckets."""
+    from tests.parity import assert_parity
+
+    from spark_app_twitter_spark.operators import similarity
+
+    df = similarity.embedding_sanity(spark, sf_dir)
+    assert_parity(
+        df, similarity.EMBEDDING_SANITY_SQL, sf_dir, "embedding_sanity"
+    )
+    agg = df.agg(
+        F.sum("n_vecs").alias("n"), F.sum("n_clean").alias("c")
+    ).collect()[0]
+    assert agg.n == agg.c, "driver fixture must be fully clean"
+
+    import os
+
+    sf = str(tmp_path / "san")
+    os.makedirs(sf)
+    rows = [
+        (1, [1.0] * 64, 0),            # clean
+        (2, [0.0] * 64, 0),            # zero norm
+        (3, [float("nan")] + [1.0] * 63, 1),  # non-finite
+        (4, [1.0] * 10, 1),            # wrong dim
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    out = {r.label: r for r in similarity.embedding_sanity(spark, sf).collect()}
+    assert out[0].n_zero_norm == 1 and out[0].n_clean == 1
+    assert out[1].n_nonfinite == 1 and out[1].n_wrong_dim == 1
+    assert out[1].n_clean == 0

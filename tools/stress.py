@@ -128,6 +128,7 @@ STRESS_QUERIES = [
     # fixture's near-dup replicas straddle split boundaries by
     # construction), so its ratio tracks minhash_lsh_pairs
     "dedup_split_leakage",
+    "sim_embedding_sanity",
     "sim_ivf_index_append",
     "sim_embedding_drift",
     "pack_efficiency",
