@@ -81,11 +81,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     whose fine assignment is now an inline coarse-dispatched map)
     and the sem_dedup promotion (item 4 — ``sem_dedup`` is now the
     two-level path; the flat trainer stays registered as the
-    explicit ``sem_dedup_flat`` small-n variant). Then the r04
-    remainder per the documented schedule (the 11 serving entries +
-    27 of the 35 remaining r04 rows fill the window; the 8 displaced
-    rows head round 8). The r05/r06-fresh entries sit last. Every
-    deferred entry keeps a local DuckDB-oracle parity test in CI.
+    explicit ``sem_dedup_flat`` small-n variant). The seven
+    operators ADDED this round (contrastive mining, tokenizer
+    scorecard, quantized IVF, index export, probe sensitivity,
+    split leakage, embedding sanity) follow in section 2b. Then the
+    r04 remainder per the documented schedule: the 11 serving
+    entries + 20 of the 35 remaining r04 rows fill the window; the
+    15 displaced rows (marked at the window boundary below) head
+    round 8. The r05/r06-fresh entries sit last. Every deferred
+    entry keeps a local DuckDB-oracle parity test in CI.
     """
     return {
         # --- 1. round-7 head: the six never-driver-attested entries

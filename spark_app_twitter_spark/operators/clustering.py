@@ -593,9 +593,15 @@ def kmeans_fine_centroid_rows(
         return cached
     coarse_rows = kmeans_centroid_rows(spark, sf_dir, k=k1)
     if members is None:
+        # checkpoint like the assigned-path caller does: the init
+        # collect plus every Lloyd iteration re-reads this frame, and
+        # without lineage truncation each would replay the corpus
+        # scan + coarse scoring (ITERS+1 redundant passes)
         members = assign_cells(
             spark, _vecs(spark, sf_dir), coarse_rows
-        ).select("vec_id", "v", F.col("cell").alias("coarse"))
+        ).select(
+            "vec_id", "v", F.col("cell").alias("coarse")
+        ).localCheckpoint(eager=True)
     # fine init: the first k2 members (by vec_id) of each coarse cell
     # — ≤ k1·k2 rows, an artifact-bounded collect (one window pass at
     # TRAIN time only; trained assignment afterwards is the inline

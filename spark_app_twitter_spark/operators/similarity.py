@@ -290,19 +290,13 @@ def ivf_probe_pairs(
     per (query, candidate) pair, exactly like a real index stores
     codes alongside ids. ``carry_query_cols`` names extra ``q``
     columns to thread through the probe machinery the same way."""
-    import math
-
     from spark_app_twitter_spark.operators.clustering import (
         corpus_size,
-        inline_top_cells_euclid,
         kmeans_cells_2level_assigned,
-        kmeans_centroid_rows,
-        kmeans_fine_centroid_rows,
         levels_for,
     )
 
-    n = corpus_size(spark, sf_dir)
-    k1, k2 = levels_for(n)
+    k1, k2 = levels_for(corpus_size(spark, sf_dir))
     # index side: the shared two-level assignment (cached trained
     # artifact; inline shuffle-free scoring on the data-sized side)
     assigned = kmeans_cells_2level_assigned(spark, sf_dir)
@@ -311,14 +305,42 @@ def ivf_probe_pairs(
     )
     if cand_prep is not None:
         cand_cells = cand_prep(cand_cells)
-    # probe side: both centroid levels are driver-held artifacts;
-    # coarse probe is an inline sorted-slice, the fine probe ranks
-    # only the P1·K2 fine centroids of the probed coarse cells
-    # (per-query bounded window over a broadcast join)
+    probe_cells = (
+        probe_rank(spark, sf_dir, q, carry_query_cols=carry_query_cols)
+        .where(F.col("prk") <= n_probes_for(k1 * k2))
+        .select("query_id", "qv", *carry_query_cols, "cell")
+    )
+    return cand_cells.join(F.broadcast(probe_cells), "cell").drop("cell")
+
+
+def probe_rank(
+    spark: SparkSession,
+    sf_dir: str,
+    q: DataFrame,
+    carry_query_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(query_id, qv, ..., cell, prk): every query's fine cells
+    ranked by the probe discipline, UNFILTERED — the ONE definition
+    of probe ordering (coarse top-P1 inline sorted-slice, then the
+    Euclidean fine score with the (score DESC, cell ASC) tie-break),
+    shared by the search path (which keeps prk <= n_probe) and the
+    sensitivity audit (which reads the whole ranking). Both centroid
+    levels are driver-held artifacts; the only exchange is the
+    per-query-bounded prk window."""
+    import math
+
+    from spark_app_twitter_spark.operators.clustering import (
+        corpus_size,
+        inline_top_cells_euclid,
+        kmeans_centroid_rows,
+        kmeans_fine_centroid_rows,
+        levels_for,
+    )
+
+    k1, k2 = levels_for(corpus_size(spark, sf_dir))
     coarse_rows = kmeans_centroid_rows(spark, sf_dir, k=k1)
     fine_rows = kmeans_fine_centroid_rows(spark, sf_dir)
     p1 = max(1, math.ceil(k1 / PROBE_FRACTION))
-    n_probe = n_probes_for(k1 * k2)
     probe_coarse = inline_top_cells_euclid(
         q, "query_id", "qv", coarse_rows, p1, carry=carry_query_cols
     ).withColumnRenamed("cell", "coarse")
@@ -333,7 +355,7 @@ def ivf_probe_pairs(
         6,
     )
     pw = Window.partitionBy("query_id").orderBy(F.desc("_fs"), F.asc("cell"))
-    probe_cells = (
+    return (
         probe_coarse.join(F.broadcast(fdf), "coarse")
         .withColumn(
             "cell",
@@ -341,10 +363,22 @@ def ivf_probe_pairs(
         )
         .withColumn("_fs", fscore)
         .withColumn("prk", F.row_number().over(pw))
-        .where(F.col("prk") <= n_probe)
-        .select("query_id", "qv", *carry_query_cols, "cell")
+        .select("query_id", "qv", *carry_query_cols, "cell", "prk")
     )
-    return cand_cells.join(F.broadcast(probe_cells), "cell").drop("cell")
+
+
+def guarded_cosine(a: F.Column, b: F.Column) -> F.Column:
+    """round(cosine, 6) with the zero-norm guard every SERVE path
+    must share: a zero vector has no cosine direction and under
+    Spark's ANSI mode the bare division THROWS (divideByZeroError) —
+    degenerate pairs score -2.0 (below the cosine range) so serving
+    fails SOFT and deterministically instead of killing the query."""
+    from spark_app_twitter_spark.functions.vectors import dot, norm
+
+    den = norm(a) * norm(b)
+    return F.when(den == 0.0, F.lit(-2.0)).otherwise(
+        F.round(dot(a, b) / den, 6)
+    )
 
 
 def knn_ivf_search(
@@ -355,24 +389,15 @@ def knn_ivf_search(
     micro-batch via foreachBatch) searches the same published
     two-level index: probed candidates -> exact cosine -> top-k.
 
-    Zero-norm guard: a zero query vector has no cosine direction and
-    under Spark's ANSI mode the bare division THROWS
-    (divideByZeroError) — a single bad vector in a streaming
-    micro-batch would kill the query. Degenerate pairs score -2.0
-    (below the cosine range), so the serve path fails SOFT and
-    deterministically; the registered cohort has no zero vectors, so
-    the oracle twin is unaffected."""
-    from spark_app_twitter_spark.functions.vectors import dot, norm
-
+    Degenerate inputs fail SOFT via :func:`guarded_cosine` (a zero
+    vector in a streaming micro-batch must not kill the query); the
+    registered cohort has no zero vectors, so the oracle twin is
+    unaffected."""
     pairs = ivf_probe_pairs(spark, sf_dir, q)
-    den = norm(F.col("qv")) * norm(F.col("cv"))
-    cos = F.when(den == 0.0, F.lit(-2.0)).otherwise(
-        F.round(dot(F.col("qv"), F.col("cv")) / den, 6)
-    )
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        cos.alias("cos_sim"),
+        guarded_cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
@@ -750,7 +775,11 @@ def knn_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         survivors.select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            # guarded: the int8 pre-rank deliberately lets zero-norm
+            # pairs SURVIVE at -2.0 (fail soft), so the rerank must
+            # carry the same guard or ANSI mode kills the query on
+            # the exact rows the pre-rank spared
+            guarded_cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(rw))
         .where(F.col("rank") <= TOP_K)
@@ -1214,58 +1243,29 @@ def ivf_probe_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     query joins plus a |budgets| x |hits| explode — all bounded by
     the audit cohort, never the corpus.
     """
-    import math
-
     from spark_app_twitter_spark.operators.clustering import (
         corpus_size,
-        inline_top_cells_euclid,
         kmeans_cells_2level_assigned,
-        kmeans_centroid_rows,
-        kmeans_fine_centroid_rows,
         levels_for,
     )
 
-    n = corpus_size(spark, sf_dir)
-    k1, k2 = levels_for(n)
+    k1, k2 = levels_for(corpus_size(spark, sf_dir))
     n_probe = n_probes_for(k1 * k2)
-    p1 = max(1, math.ceil(k1 / PROBE_FRACTION))
     exact = knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
     cand = (
         kmeans_cells_2level_assigned(spark, sf_dir)
         .where(F.col("vec_id") >= N_QUERIES)
         .select(F.col("vec_id").alias("neighbor_id"), "cell")
     )
-    # the probe RANKING (prk kept, unfiltered): same coarse top-p1 +
-    # fine ordering discipline as ivf_probe_pairs
+    # the shared probe RANKING (probe_rank — the one definition the
+    # search path also consumes), prk kept unfiltered
     q = load_table(spark, sf_dir, "embeddings").where(
         F.col("vec_id") < N_QUERIES
     ).select(
         F.col("vec_id").alias("query_id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
     )
-    coarse_rows = kmeans_centroid_rows(spark, sf_dir, k=k1)
-    fine_rows = kmeans_fine_centroid_rows(spark, sf_dir)
-    probe_coarse = inline_top_cells_euclid(
-        q, "query_id", "qv", coarse_rows, p1
-    ).withColumnRenamed("cell", "coarse")
-    fdf = spark.createDataFrame(
-        fine_rows, "coarse int, fine int, fv array<double>"
-    )
-    from spark_app_twitter_spark.functions.vectors import dot
-
-    fscore = F.round(
-        dot(F.col("qv"), F.col("fv"))
-        - dot(F.col("fv"), F.col("fv")) / F.lit(2.0),
-        6,
-    )
-    pw = Window.partitionBy("query_id").orderBy(F.desc("_fs"), F.asc("cell"))
-    probes = (
-        probe_coarse.join(F.broadcast(fdf), "coarse")
-        .withColumn("cell", (F.col("coarse") * k2 + F.col("fine")).cast("int"))
-        .withColumn("_fs", fscore)
-        .withColumn("prk", F.row_number().over(pw))
-        .select("query_id", "cell", "prk")
-    )
+    probes = probe_rank(spark, sf_dir, q).select("query_id", "cell", "prk")
     hits = exact.join(cand, "neighbor_id").join(
         probes, ["query_id", "cell"], "left_outer"
     )

@@ -1379,15 +1379,16 @@ def test_rate_source_drives_ingest_projection(spark, tmp_path):
     )
     try:
         # one processed micro-batch is enough; processAllAvailable
-        # would never return (a rate source generates forever), so
-        # poll the sink's commit progress instead
+        # would never return (a rate source generates forever). Poll
+        # numInputRows: the v1 parquet FileStreamSink reports
+        # numOutputRows = -1 in every progress entry, so the output
+        # counter would never fire — a progress entry with input rows
+        # is only emitted AFTER its batch (and sink commit) completes.
         import time
 
-        deadline = time.time() + 60
+        deadline = time.time() + 120
         while time.time() < deadline:
-            if any(
-                p["sink"]["numOutputRows"] > 0 for p in q.recentProgress
-            ):
+            if any(p["numInputRows"] > 0 for p in q.recentProgress):
                 break
             time.sleep(0.5)
     finally:

@@ -34,7 +34,10 @@ def main() -> int:
             a, b = sys.argv[1].split(":")
             start, limit = int(a), int(b)
         else:
-            limit = int(sys.argv[1])
+            # 0 keeps its historic meaning: sweep EVERYTHING (a falsy
+            # limit must never silently produce an empty false-green
+            # pre-flight)
+            limit = int(sys.argv[1]) or None
 
     import __spark_entry__ as entry
     from parity import assert_parity
