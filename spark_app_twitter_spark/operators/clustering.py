@@ -661,6 +661,36 @@ def _final_2level_select(
     )
 
 
+def kmeans_2level_assigned_cte(
+    select_cols: str = "vec_id, v, cell",
+    where: str = "",
+    iters: int = ITERS,
+    n: int | None = None,
+) -> str:
+    """The canonical TWO-LEVEL candidate-assignment CTE BODY (no
+    name): nearest fine centroid within each vector's coarse cell —
+    row_number over (fine score DESC, fine ASC) against ``ca`` and
+    ``f{iters}`` from :func:`kmeans_cells_2level_ctes`, with the
+    flattened ``cell = coarse * K2 + fine`` available to
+    ``select_cols``. ONE definition for every oracle that replays
+    the two-level assignment (IVF pairs/sensitivity/export/append,
+    outliers) — the same role :func:`kmeans_assigned_cte` plays for
+    the flat level, so a tie-break or score change cannot
+    de-synchronize a twin. ``where`` filters the member rows (e.g.
+    ``m.vec_id >= 5``) before ranking."""
+    _, k2_sql = levels_sql(n)
+    where_sql = f" WHERE {where}" if where else ""
+    return (
+        f"SELECT {select_cols} FROM ("
+        f"SELECT m.vec_id, m.v, m.coarse, f.fine, "
+        f"CAST(m.coarse * {k2_sql} + f.fine AS INT) AS cell, "
+        f"row_number() OVER (PARTITION BY m.vec_id "
+        f"ORDER BY {_centroid_score_sql('m.v', 'f.fv')} DESC, f.fine ASC) AS rk "
+        f"FROM ca m JOIN f{iters} f ON m.coarse = f.coarse{where_sql}"
+        f") WHERE rk = 1"
+    )
+
+
 def levels_sql(n: int | None = None) -> tuple[str, str]:
     """(k1_sql, k2_sql): the SQL twins of :func:`levels_for` —
     scalar subqueries over count(*) when ``n`` is None (both engines

@@ -170,18 +170,14 @@ FROM pairs
 GROUP BY term
 """
 
+# the gate-facing twin WRAPS the library twin — one definition of
+# tokenization / df / the posting cap, one extra projection
 INVERTED_INDEX_SQL = f"""
-WITH pairs AS (
-  SELECT DISTINCT term, doc_id
-  FROM (SELECT unnest(string_split(text, ' ')) AS term, doc_id
-        FROM documents)
+WITH idx AS (
+{BUILD_INVERTED_INDEX_SQL.strip()}
 )
-SELECT term,
-       CAST(count(*) AS BIGINT) AS df,
-       array_to_string((list(doc_id ORDER BY doc_id ASC))[:{POSTING_CAP}],
-                       ',') AS postings_csv
-FROM pairs
-GROUP BY term
+SELECT term, df, array_to_string(postings, ',') AS postings_csv
+FROM idx
 """
 
 def rag_retrieve_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -260,13 +260,21 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Euclidean argmin); the final candidate scoring stays exact
     cosine.
     """
-    q = load_table(spark, sf_dir, "embeddings").where(
-        F.col("vec_id") < N_QUERIES
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    return knn_ivf_search(spark, sf_dir, _query_frame(spark, sf_dir))
+
+
+def _query_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, qv array<double>): the registered query cohort —
+    ONE definition of the cohort rule (vec_id < N_QUERIES, double
+    cast) for every IVF consumer."""
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+        )
     )
-    return knn_ivf_search(spark, sf_dir, q)
 
 
 def ivf_probe_pairs(
@@ -415,6 +423,7 @@ def _ivf_pairs_sql() -> str:
     from spark_app_twitter_spark.operators.clustering import (
         ITERS,
         _centroid_score_sql,
+        kmeans_2level_assigned_cte,
         kmeans_cells_2level_ctes,
         levels_sql,
     )
@@ -429,19 +438,13 @@ def _ivf_pairs_sql() -> str:
         f"greatest({N_PROBE}, "
         f"CAST(ceil({k1_sql} * {k2_sql} / {PROBE_FRACTION}.0) AS INT))"
     )
+    cand_cells = kmeans_2level_assigned_cte(
+        "vec_id AS neighbor_id, v AS cv, cell",
+        where=f"m.vec_id >= {N_QUERIES}",
+    )
     return f"""
 WITH {chain},
-cand_cells AS (
-  SELECT vec_id AS neighbor_id, v AS cv,
-         CAST(coarse * {k2_sql} + fine AS INT) AS cell FROM (
-    SELECT m.vec_id, m.v, m.coarse, f.fine,
-           row_number() OVER (PARTITION BY m.vec_id
-                              ORDER BY {_centroid_score_sql('m.v', 'f.fv')} DESC,
-                                       f.fine ASC) AS rk
-    FROM ca m JOIN f{ITERS} f ON m.coarse = f.coarse
-    WHERE m.vec_id >= {N_QUERIES}
-  ) WHERE rk = 1
-),
+cand_cells AS ({cand_cells}),
 q AS (
   SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < {N_QUERIES}
 ),
@@ -726,12 +729,7 @@ def knn_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair join (the index stores its candidates' codes; serving
     # quantizes each query once) — never per (query, candidate) pair
     q = (
-        load_table(spark, sf_dir, "embeddings")
-        .where(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
-        )
+        _query_frame(spark, sf_dir)
         .withColumn("qq", _q8_of(F.col("qv")))
         .withColumn("qn2", idot("qq", "qq"))
     )
@@ -793,14 +791,27 @@ def _knn_ivf_quantized_sql() -> str:
         lambda a, b: f"CAST(list_dot_product(CAST({a} AS DOUBLE[]), "
         f"CAST({b} AS DOUBLE[])) AS BIGINT)"
     )
+    # codes + norms per VECTOR side (distinct queries / candidates),
+    # never per pair — the same cost contract the Spark path keeps
+    # via cand_prep/carry_query_cols
     return f"""
 {_ivf_pairs_sql()},
+qcodes AS (
+  SELECT query_id, qq, {i('qq', 'qq')} AS qn2
+  FROM (SELECT query_id, {qq} AS qq
+        FROM (SELECT DISTINCT query_id, qv FROM pairs))
+),
+ccodes AS (
+  SELECT neighbor_id, cq, {i('cq', 'cq')} AS cn2
+  FROM (SELECT neighbor_id, {cq} AS cq
+        FROM (SELECT DISTINCT neighbor_id, cv FROM pairs))
+),
 quant AS (
-  SELECT query_id, qv, neighbor_id, cv,
-         {i('qq', 'cq')} AS d, {i('qq', 'qq')} AS qn2, {i('cq', 'cq')} AS cn2
-  FROM (SELECT query_id, qv, neighbor_id, cv,
-               {qq} AS qq, {cq} AS cq
-        FROM pairs)
+  SELECT p.query_id, p.qv, p.neighbor_id, p.cv,
+         {i('qc.qq', 'cc.cq')} AS d, qc.qn2, cc.cn2
+  FROM pairs p
+  JOIN qcodes qc USING (query_id)
+  JOIN ccodes cc USING (neighbor_id)
 ),
 survivors AS (
   SELECT query_id, qv, neighbor_id, cv FROM (
@@ -1259,13 +1270,9 @@ def ivf_probe_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the shared probe RANKING (probe_rank — the one definition the
     # search path also consumes), prk kept unfiltered
-    q = load_table(spark, sf_dir, "embeddings").where(
-        F.col("vec_id") < N_QUERIES
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
-    )
-    probes = probe_rank(spark, sf_dir, q).select("query_id", "cell", "prk")
+    probes = probe_rank(
+        spark, sf_dir, _query_frame(spark, sf_dir)
+    ).select("query_id", "cell", "prk")
     hits = exact.join(cand, "neighbor_id").join(
         probes, ["query_id", "cell"], "left_outer"
     )
@@ -1298,6 +1305,7 @@ def _ivf_probe_sensitivity_sql() -> str:
     from spark_app_twitter_spark.operators.clustering import (
         ITERS,
         _centroid_score_sql,
+        kmeans_2level_assigned_cte,
         kmeans_cells_2level_ctes,
         levels_sql,
     )
@@ -1312,6 +1320,9 @@ def _ivf_probe_sensitivity_sql() -> str:
         f"greatest({N_PROBE}, "
         f"CAST(ceil({k1_sql} * {k2_sql} / {PROBE_FRACTION}.0) AS INT))"
     )
+    cand = kmeans_2level_assigned_cte(
+        "vec_id AS neighbor_id, cell", where=f"m.vec_id >= {N_QUERIES}"
+    )
     return f"""
 WITH {chain},
 exact AS (
@@ -1323,17 +1334,7 @@ exact AS (
     FROM emb e JOIN emb c ON e.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
   ) WHERE rank <= {TOP_K}
 ),
-cand AS (
-  SELECT vec_id AS neighbor_id,
-         CAST(coarse * {k2_sql} + fine AS INT) AS cell FROM (
-    SELECT m.vec_id, m.coarse, f.fine,
-           row_number() OVER (PARTITION BY m.vec_id
-                              ORDER BY {_centroid_score_sql('m.v', 'f.fv')} DESC,
-                                       f.fine ASC) AS rk
-    FROM ca m JOIN f{ITERS} f ON m.coarse = f.coarse
-    WHERE m.vec_id >= {N_QUERIES}
-  ) WHERE rk = 1
-),
+cand AS ({cand}),
 q AS (
   SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < {N_QUERIES}
 ),
@@ -1408,13 +1409,18 @@ def ivf_index_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n_members"))
     )
-    import math
+    from decimal import ROUND_HALF_UP, Decimal
 
     def q6(x: float) -> int:
-        # half-AWAY-from-zero on the identical double, matching the
-        # SQL twin's round() — Python's built-in round() is
-        # half-to-even and would disagree on exact .5 boundaries
-        return int(math.floor(abs(x) * 1e6 + 0.5)) * (1 if x >= 0 else -1)
+        # half-AWAY-from-zero on the EXACT value of the double,
+        # matching both the SQL twin's round() and Spark's
+        # F.round (BigDecimal HALF_UP). Neither Python round()
+        # (half-to-even) nor floor(abs(v)+0.5) (the +0.5 can round
+        # UP in floating point for v one ulp below .5) agrees on
+        # boundary values; Decimal(double) is exact so this does.
+        return int(
+            Decimal(x * 1e6).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        )
 
     fine_rows = kmeans_fine_centroid_rows(spark, sf_dir)
     cents = spark.createDataFrame(
@@ -1445,7 +1451,7 @@ def ivf_index_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_index_export_sql() -> str:
     from spark_app_twitter_spark.operators.clustering import (
         ITERS,
-        _centroid_score_sql,
+        kmeans_2level_assigned_cte,
         kmeans_cells_2level_ctes,
         levels_sql,
     )
@@ -1453,17 +1459,14 @@ def _ivf_index_export_sql() -> str:
     parts, _final = kmeans_cells_2level_ctes()
     chain = ",\n".join(parts)
     _, k2_sql = levels_sql()
+    member_cells = kmeans_2level_assigned_cte(
+        "cell", where=f"m.vec_id >= {N_QUERIES}"
+    )
     return f"""
 WITH {chain},
 counts AS (
-  SELECT cell, CAST(count(*) AS BIGINT) AS n_members FROM (
-    SELECT CAST(m.coarse * {k2_sql} + f.fine AS INT) AS cell,
-           row_number() OVER (PARTITION BY m.vec_id
-                              ORDER BY {_centroid_score_sql('m.v', 'f.fv')} DESC,
-                                       f.fine ASC) AS rk
-    FROM ca m JOIN f{ITERS} f ON m.coarse = f.coarse
-    WHERE m.vec_id >= {N_QUERIES}
-  ) WHERE rk = 1 GROUP BY cell
+  SELECT cell, CAST(count(*) AS BIGINT) AS n_members
+  FROM ({member_cells}) GROUP BY cell
 )
 SELECT CAST(f.coarse * {k2_sql} + f.fine AS INT) AS cell,
        f.coarse, f.fine,
@@ -1523,26 +1526,18 @@ def ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivf_index_append_sql() -> str:
     from spark_app_twitter_spark.operators.clustering import (
-        ITERS,
-        _centroid_score_sql,
+        kmeans_2level_assigned_cte,
         kmeans_cells_2level_ctes,
-        levels_sql,
     )
 
     parts, _final = kmeans_cells_2level_ctes()
     chain = ",\n".join(parts)
-    _, k2_sql = levels_sql()
+    assigned = kmeans_2level_assigned_cte(
+        "vec_id, cell", where=f"m.vec_id >= {N_QUERIES}"
+    )
     return f"""
 WITH {chain},
-assigned AS (
-  SELECT vec_id, CAST(coarse * {k2_sql} + fine AS INT) AS cell FROM (
-    SELECT m.vec_id, m.coarse, f.fine, row_number() OVER (
-      PARTITION BY m.vec_id
-      ORDER BY {_centroid_score_sql('m.v', 'f.fv')} DESC, f.fine ASC) AS rk
-    FROM ca m JOIN f{ITERS} f ON m.coarse = f.coarse
-    WHERE m.vec_id >= {N_QUERIES}
-  ) WHERE rk = 1
-),
+assigned AS ({assigned}),
 rolled AS (
   SELECT cell,
          CAST(sum(CASE WHEN vec_id % {IVF_APPEND_MOD} != 0 THEN 1 ELSE 0 END)
@@ -1734,26 +1729,16 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _embedding_outliers_sql() -> str:
     from spark_app_twitter_spark.operators.clustering import (
         ITERS,
-        _centroid_score_sql,
+        kmeans_2level_assigned_cte,
         kmeans_cells_2level_ctes,
-        levels_sql,
     )
 
     parts, final = kmeans_cells_2level_ctes()
     chain = ",\n".join(parts)
-    _, k2_sql = levels_sql()
+    assigned = kmeans_2level_assigned_cte("vec_id, v, coarse, fine, cell")
     return f"""
 WITH {chain},
-assigned AS (
-  SELECT vec_id, v, coarse, fine,
-         CAST(coarse * {k2_sql} + fine AS INT) AS cell FROM (
-    SELECT m.vec_id, m.v, m.coarse, f.fine,
-           row_number() OVER (PARTITION BY m.vec_id
-                              ORDER BY {_centroid_score_sql('m.v', 'f.fv')} DESC,
-                                       f.fine ASC) AS rk
-    FROM ca m JOIN f{ITERS} f ON m.coarse = f.coarse
-  ) WHERE rk = 1
-)
+assigned AS ({assigned})
 SELECT a.vec_id, a.cell,
        round({cosine_sql('a.v', 'f.fv')}, 6) AS centroid_sim,
        round({cosine_sql('a.v', 'f.fv')}, 6) < {OUTLIER_SIM} AS is_outlier
@@ -1780,13 +1765,16 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieved neighbor inside the hard band (cos >= HARD_NEG_FLOOR)
     is a HARD NEGATIVE, with the pos-neg margin the loss would see.
     This is the data-engine half of training an embedding model
-    (contrastive/InfoNCE mining from an index), built ON the already
-    published retrieval result rather than a second corpus pass.
+    (contrastive/InfoNCE mining from an index).
 
-    Scale shape: the input is the k-rows-per-query ANN table (tiny by
-    construction); the positive is attached with one first-value
-    window over that table and the band filter is a map. No
-    corpus-sized work beyond the ANN stage itself.
+    Scale shape: the mining itself is one first-value window + a map
+    over the k-rows-per-query retrieval table — bounded by whatever
+    produces that table. The REGISTERED variant mines the EXACT
+    brute-force top-k over the sampled query cohort (the same
+    corpus-scoring audit contract as ann_recall_audit — exactness
+    matters when the pairs train a model); a production pipeline
+    mining at full query volume swaps :func:`knn_ivf_search` in as
+    stage 1 and this stage is unchanged.
 
     Reference scope note: the reference app has no training surface;
     this extends SURVEY.md's LLM-pipeline mandate (similarity-search

@@ -119,7 +119,9 @@ STRESS_QUERIES = [
     # demoted, so only re-measure it at small multiples)
     "sem_dedup_flat",
     # round 7: IVF+int8 serving composition (candidate-bounded +
-    # RERANK_M-bounded float math), ANN-bounded pair mining,
+    # RERANK_M-bounded float math), contrastive pair mining (its
+    # registered stage 1 is the EXACT sampled-cohort top-k, so the
+    # trajectory tracks brute force over the fixed query set),
     # vocabulary-bounded compression scorecard
     "sim_knn_ivf_quantized",
     "sim_contrastive_pairs",
