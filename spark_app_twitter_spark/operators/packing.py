@@ -286,3 +286,77 @@ SELECT doc_id,
        ) AS INTEGER) AS position
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Shard manifest: the integrity record a training-data export ships
+# with its shards — (counts, token totals, id range, content digest)
+# per shard — so a consumer can verify a transfer and a re-run can
+# prove bit-identical output without re-reading the data.
+MANIFEST_SHARDS = PACK_SHARDS
+
+
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(shard, n_docs, n_tokens, min_doc_id, max_doc_id, digest): the
+    per-shard manifest of the deterministic hash-sharded export
+    (shuffle_export's shard scheme).
+
+    The digest chains per-doc md5(text) in shard order (order key =
+    md5(doc_id), shuffle_export's key), so ANY change to a shard's
+    membership, order, or payload changes its digest — the manifest a
+    downstream trainer checks before touching the data.
+
+    Scale shape: one map-side projection computes (shard, order key,
+    doc md5, token count); everything reduces in a single
+    groupBy(shard). The ordered digest concat holds one 32-char hash
+    per doc in the shard's aggregation buffer — bounded by the
+    shard-size target, which at 100 TB is a CONSTANT (shard count is
+    chosen as corpus_bytes / target_shard_bytes; here pinned to
+    MANIFEST_SHARDS for the synthetic corpus), exactly the per-file
+    checksum cost any export writer already pays.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    okey = F.md5(F.col("doc_id").cast("string"))
+    sid = F.instr(F.lit("0123456789abcdef"), F.substring(okey, 1, 1)) - 1
+    rows = docs.select(
+        sid.cast("int").alias("shard"),
+        okey.alias("okey"),
+        "doc_id",
+        F.md5(F.col("text")).alias("h"),
+        F.size(tokens("text")).cast("long").alias("nt"),
+    )
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("okey", F.col("doc_id"), F.col("h")))
+        ),
+        lambda s: s.getField("h"),
+    )
+    return rows.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("n_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.md5(F.concat_ws("", ordered)).alias("digest"),
+    )
+
+
+SHARD_MANIFEST_SQL = """
+WITH rows_ AS (
+  SELECT CAST(instr('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+              AS INTEGER) AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS okey,
+         doc_id,
+         md5(text) AS h,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+  FROM documents
+)
+SELECT shard,
+       count(*) AS n_docs,
+       sum(nt) AS n_tokens,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id,
+       md5(string_agg(h, '' ORDER BY okey ASC, doc_id ASC)) AS digest
+FROM rows_
+GROUP BY shard
+"""

@@ -180,6 +180,179 @@ SELECT term, df, array_to_string(postings, ',') AS postings_csv
 FROM idx
 """
 
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval — the scoring half of the keyword/hybrid RAG
+# stack whose index half is build_inverted_index above. Okapi BM25
+# (Robertson & Walker; the Lucene idf variant ln(1 + (N-df+.5)/(df+.5))
+# so idf is never negative).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_N_QUERIES = 4  # doc_id < BM25_N_QUERIES seed the query set
+BM25_Q_TERMS = 4  # first alphabetical distinct terms of the seed doc
+BM25_TOP_K = 10
+_BM25_SCALE = 1_000_000  # micro-units: integer per-doc sums
+
+
+def bm25_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, bm25, rank): Okapi BM25 top-k per query.
+
+    Queries are derived deterministically from the corpus: for each
+    seed doc (doc_id < BM25_N_QUERIES), the query is its first
+    BM25_Q_TERMS alphabetical distinct tokens — a reproducible
+    stand-in for user keyword queries.
+
+    Scale shape: the per-(doc, term) tf table is one explode + one
+    groupBy; the tiny (query, term) set broadcasts into it, so only
+    rows matching SOME query term survive into scoring — the corpus
+    never shuffles on anything but its own (doc_id, term) combine.
+    df per term is counted on the surviving rows (exact: tf rows are
+    per-doc distinct already). Doc length is a map-side groupBy;
+    corpus scalars (N, total token count) are a 1-row broadcast
+    cross join. Per-(doc, term) scores are quantized to integer
+    micro-units BEFORE the per-doc sum (bigram_lm_score's idiom) so
+    the reduction is order-independent and engine-exact; ranking
+    ties break on doc_id.
+
+    Reference scope note: the reference app has no retrieval surface
+    (SURVEY.md §2.9 mandates the LLM-pipeline families); this is the
+    sparse complement of rag_retrieve's dense path.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+
+    # deterministic query set: 1 row per (query_id, term)
+    qterms = (
+        docs.where(F.col("doc_id") < BM25_N_QUERIES)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(
+                F.slice(
+                    F.array_sort(F.array_distinct(tokens("text"))),
+                    1,
+                    BM25_Q_TERMS,
+                )
+            ).alias("term"),
+        )
+        .distinct()
+    )
+
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    scalars = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens("text"))).alias("n_tokens"),
+    )
+
+    hits = tf.join(F.broadcast(qterms.select("term").distinct()), "term")
+    df_per_term = hits.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+
+    scored = (
+        hits.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_per_term), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scalars))
+    )
+    n, dfc, tfc = (
+        F.col("n_docs").cast("double"),
+        F.col("df").cast("double"),
+        F.col("tf").cast("double"),
+    )
+    idf = F.log(F.lit(1.0) + (n - dfc + F.lit(0.5)) / (dfc + F.lit(0.5)))
+    dl_norm = (
+        F.lit(1.0)
+        - F.lit(BM25_B)
+        + F.lit(BM25_B)
+        * F.col("dl").cast("double")
+        * n
+        / F.col("n_tokens").cast("double")
+    )
+    term_score = (
+        idf
+        * tfc
+        * F.lit(BM25_K1 + 1.0)
+        / (tfc + F.lit(BM25_K1) * dl_norm)
+    )
+    micro = F.floor(
+        term_score * F.lit(float(_BM25_SCALE)) + F.lit(0.5)
+    ).cast("long")
+    per_doc = (
+        scored.select("query_id", "doc_id", micro.alias("micro"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("micro").alias("sm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sm"), F.asc("doc_id")
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= BM25_TOP_K)
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("sm").cast("double") / F.lit(float(_BM25_SCALE))).alias(
+                "bm25"
+            ),
+            "rank",
+        )
+    )
+
+
+BM25_RETRIEVE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+qterms AS (
+  SELECT DISTINCT doc_id AS query_id, unnest(
+           list_sort(list_distinct(string_split(text, ' ')))[:{BM25_Q_TERMS}]
+         ) AS term
+  FROM documents WHERE doc_id < {BM25_N_QUERIES}
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+scalars AS (
+  SELECT count(*) AS n_docs, sum(len(string_split(text, ' '))) AS n_tokens
+  FROM documents
+),
+hits AS (
+  SELECT tf.* FROM tf JOIN (SELECT DISTINCT term FROM qterms) q USING (term)
+),
+df_per_term AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
+scored AS (
+  SELECT q.query_id, h.doc_id,
+         CAST(floor(
+           ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                    / (CAST(df AS DOUBLE) + 0.5))
+           * CAST(tf AS DOUBLE) * {BM25_K1 + 1.0}
+           / (CAST(tf AS DOUBLE) + {BM25_K1} *
+              (1.0 - {BM25_B} + {BM25_B} * CAST(dl AS DOUBLE)
+               * CAST(n_docs AS DOUBLE) / CAST(n_tokens AS DOUBLE)))
+           * {_BM25_SCALE}.0 + 0.5) AS BIGINT) AS micro
+  FROM hits h
+  JOIN qterms q USING (term)
+  JOIN df_per_term USING (term)
+  JOIN dl ON h.doc_id = dl.doc_id
+  CROSS JOIN scalars
+),
+per_doc AS (
+  SELECT query_id, doc_id, sum(micro) AS sm
+  FROM scored GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id,
+       CAST(sm AS DOUBLE) / {_BM25_SCALE}.0 AS bm25, rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sm DESC, doc_id ASC) AS rank
+  FROM per_doc
+) WHERE rank <= {BM25_TOP_K}
+"""
+
+
 def rag_retrieve_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`rag_retrieve` with the IVF index as stage 1 — the
     SCALE path of the retrieval capstone. Brute-force cosine scores

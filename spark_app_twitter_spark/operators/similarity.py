@@ -1886,3 +1886,167 @@ SELECT label,
 FROM flagged
 GROUP BY label
 """
+
+
+# ---------------------------------------------------------------------------
+# Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+# Parallel Corpus Mining with Multilingual Sentence Embeddings" — the
+# LASER/CCMatrix selection rule): candidate translation pairs are
+# mutual nearest neighbors across two language groups, scored by the
+# ratio of their cosine to the mean cosine of each side's k nearest
+# neighbors. The margin denominator punishes "hub" vectors that are
+# close to everything.
+BITEXT_MARGIN_K = 4  # neighborhood size for the margin denominator
+BITEXT_MIN_MARGIN = 1.0  # keep pairs closer than their neighborhoods
+_BITEXT_SCALE = 1_000_000  # micro-units for the exact-integer margin
+
+
+def bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_id, tgt_id, cos_sim, margin): mutual-top-1 cross-lingual
+    pairs between English docs (src) and non-English docs (tgt), with
+    the ratio-margin score, margin >= BITEXT_MIN_MARGIN.
+
+    Group membership joins embeddings to documents.lang on the
+    vec_id == doc_id contract (retrieval.py's convention). The
+    registered query scores all src x tgt pairs exactly — the gate's
+    oracle semantics; at corpus scale the pair stage composes with
+    the trained two-level IVF index exactly as knn_ivf does (score
+    only candidates inside probed cells; the margin means are then
+    over the candidate neighborhoods, CCMatrix's practical variant).
+
+    Plan shape: the smaller group broadcasts into the larger
+    (BroadcastNestedLoopJoin — each executor scans its resident
+    partition once); both directions' ranks and margin means come
+    from TWO window passes over the SAME scored relation (no second
+    cross join); the mutual filter is a self-semi-join on the
+    (src, tgt) key. Ranking ties break on vec_id (knn convention).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    tagged = emb.join(docs, "vec_id")
+    src = tagged.where(F.col("lang") == "en").select(
+        F.col("vec_id").alias("src_id"), F.col("embedding").alias("sv")
+    )
+    tgt = tagged.where(F.col("lang") != "en").select(
+        F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("tv")
+    )
+    scored = tgt.crossJoin(F.broadcast(src)).select(
+        "src_id",
+        "tgt_id",
+        F.round(cosine(F.col("sv"), F.col("tv")), 6).alias("cos_sim"),
+    )
+    wf = Window.partitionBy("src_id").orderBy(
+        F.desc("cos_sim"), F.asc("tgt_id")
+    )
+    wb = Window.partitionBy("tgt_id").orderBy(
+        F.desc("cos_sim"), F.asc("src_id")
+    )
+    ranked = scored.select(
+        "src_id",
+        "tgt_id",
+        "cos_sim",
+        F.row_number().over(wf).alias("fr"),
+        F.row_number().over(wb).alias("br"),
+    )
+    # margin in exact integer micro-units (bigram_lm_score's idiom):
+    # cos_sim is already 6dp-rounded, so cos_micro is an exact bigint;
+    # margin = cos / ((fm_sum/kf + bm_sum/kb) / 2)
+    #        = 2*cos*kf*kb / (fm_sum*kb + bm_sum*kf)  — an integer
+    # rational, rounded half-up by one integer division, so the
+    # variable-order float average can never flip the 6th decimal.
+    micro = F.round(F.col("cos_sim") * F.lit(1e6), 0).cast("long")
+    fwd_mean = (
+        ranked.where(F.col("fr") <= BITEXT_MARGIN_K)
+        .groupBy("src_id")
+        .agg(
+            F.sum(micro).alias("fm_sum"),
+            F.count(F.lit(1)).alias("kf"),
+        )
+    )
+    bwd_mean = (
+        ranked.where(F.col("br") <= BITEXT_MARGIN_K)
+        .groupBy("tgt_id")
+        .agg(
+            F.sum(micro).alias("bm_sum"),
+            F.count(F.lit(1)).alias("kb"),
+        )
+    )
+    num = 2 * micro * F.col("kf") * F.col("kb")
+    den = F.col("fm_sum") * F.col("kb") + F.col("bm_sum") * F.col("kf")
+    margin = (
+        F.expr(
+            f"(2 * (2 * cast(round(cos_sim * 1e6, 0) as bigint) * kf * kb)"
+            f" * {_BITEXT_SCALE} + (fm_sum * kb + bm_sum * kf))"
+            f" div (2 * (fm_sum * kb + bm_sum * kf))"
+        ).cast("double")
+        / F.lit(float(_BITEXT_SCALE))
+    )
+    return (
+        ranked.where((F.col("fr") == 1) & (F.col("br") == 1))
+        .join(fwd_mean, "src_id")
+        .join(bwd_mean, "tgt_id")
+        .where((den > 0) & (num > 0))
+        .select(
+            "src_id",
+            "tgt_id",
+            "cos_sim",
+            margin.alias("margin"),
+        )
+        .where(F.col("margin") >= BITEXT_MIN_MARGIN)
+    )
+
+
+BITEXT_MINING_SQL = f"""
+WITH tagged AS (
+  SELECT e.vec_id, e.embedding, d.lang
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+),
+src AS (
+  SELECT vec_id AS src_id, embedding AS sv FROM tagged WHERE lang = 'en'
+),
+tgt AS (
+  SELECT vec_id AS tgt_id, embedding AS tv FROM tagged WHERE lang != 'en'
+),
+ranked AS (
+  SELECT src_id, tgt_id, cos_sim,
+         row_number() OVER (PARTITION BY src_id
+                            ORDER BY cos_sim DESC, tgt_id ASC) AS fr,
+         row_number() OVER (PARTITION BY tgt_id
+                            ORDER BY cos_sim DESC, src_id ASC) AS br
+  FROM (
+    SELECT src_id, tgt_id,
+           round({cosine_sql('sv', 'tv')}, 6) AS cos_sim
+    FROM tgt CROSS JOIN src
+  )
+),
+fwd_mean AS (
+  SELECT src_id,
+         sum(CAST(round(cos_sim * 1e6, 0) AS BIGINT)) AS fm_sum,
+         count(*) AS kf
+  FROM ranked WHERE fr <= {BITEXT_MARGIN_K} GROUP BY src_id
+),
+bwd_mean AS (
+  SELECT tgt_id,
+         sum(CAST(round(cos_sim * 1e6, 0) AS BIGINT)) AS bm_sum,
+         count(*) AS kb
+  FROM ranked WHERE br <= {BITEXT_MARGIN_K} GROUP BY tgt_id
+),
+margins AS (
+  SELECT r.src_id, r.tgt_id, r.cos_sim,
+         CAST(
+           (2 * (2 * CAST(round(r.cos_sim * 1e6, 0) AS BIGINT) * kf * kb)
+              * {_BITEXT_SCALE} + (fm_sum * kb + bm_sum * kf))
+           // (2 * (fm_sum * kb + bm_sum * kf))
+         AS DOUBLE) / {_BITEXT_SCALE}.0 AS margin
+  FROM ranked r
+  JOIN fwd_mean USING (src_id)
+  JOIN bwd_mean USING (tgt_id)
+  WHERE fr = 1 AND br = 1
+    AND (fm_sum * kb + bm_sum * kf) > 0
+    AND (2 * CAST(round(r.cos_sim * 1e6, 0) AS BIGINT) * kf * kb) > 0
+)
+SELECT src_id, tgt_id, cos_sim, margin
+FROM margins WHERE margin >= {BITEXT_MIN_MARGIN}
+"""

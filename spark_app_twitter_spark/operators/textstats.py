@@ -2133,3 +2133,116 @@ SELECT doc_id, source,
        CAST(unnest(range(1, n_epochs + 1)) AS BIGINT) AS epoch
 FROM e WHERE n_epochs >= 1
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score every document
+# by how much more likely its hashed-unigram features are under a
+# TARGET distribution (here: the English subset, standing in for a
+# high-quality target corpus) than under the raw-source distribution.
+# Sampling proportional to exp(log_weight) is importance resampling;
+# the weight itself is the reusable artifact this operator emits.
+DSIR_BUCKETS = 128  # hashed feature space (the paper uses 10^4)
+_DSIR_SCALE = 1_000_000  # micro-units: integer per-doc log-weight sums
+
+
+def _dsir_bucket(term: F.Column) -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(term), 1, 8), 16, 10).cast("long")
+        % DSIR_BUCKETS
+    )
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, dsir_logw): per-doc DSIR log importance
+    weight — sum over tokens of log p_target(bucket) / p_source(bucket)
+    with add-half smoothing, target = lang='en' docs, source = the
+    full corpus.
+
+    Scale shape: the feature profile is DSIR_BUCKETS rows built by ONE
+    groupBy over the exploded tokens (target counts ride the same
+    aggregation as a conditional sum); corpus totals are a 1-row agg
+    over that profile. Scoring broadcasts the profile + totals into
+    the token stream and reduces per doc_id with map-side combine —
+    the corpus shuffles once, keyed on doc_id. Per-bucket log-ratios
+    are quantized to integer micro-units BEFORE the per-doc sum
+    (bigram_lm_score's idiom), so the reduction is order-independent
+    and engine-exact.
+
+    Reference scope note: no reference analogue; SURVEY.md §2.9's
+    training-data-pipeline mandate (quality-driven corpus selection).
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("long").alias("is_t"),
+        F.explode(tokens("text")).alias("term"),
+    ).select("doc_id", "is_t", _dsir_bucket(F.col("term")).alias("b"))
+
+    prof = toks.groupBy("b").agg(
+        F.sum("is_t").alias("ct"), F.count(F.lit(1)).alias("cs")
+    )
+    totals = prof.agg(
+        F.sum("ct").alias("tt"), F.sum("cs").alias("ts")
+    )
+    scored = prof.crossJoin(F.broadcast(totals))
+    # add-half smoothing via exact-integer operands; fixed 4-term ln
+    # expression order so both engines evaluate identically
+    lnq = (
+        F.log((2 * F.col("ct") + 1).cast("double"))
+        + F.log((2 * F.col("ts") + F.lit(DSIR_BUCKETS)).cast("double"))
+        - F.log((2 * F.col("cs") + 1).cast("double"))
+        - F.log((2 * F.col("tt") + F.lit(DSIR_BUCKETS)).cast("double"))
+    )
+    lr = scored.select(
+        "b",
+        F.floor(lnq * F.lit(float(_DSIR_SCALE)) + F.lit(0.5))
+        .cast("long")
+        .alias("lr_micro"),
+    )
+    return (
+        toks.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr_micro").alias("sm"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("sm").cast("double") / F.lit(float(_DSIR_SCALE))).alias(
+                "dsir_logw"
+            ),
+        )
+    )
+
+
+DSIR_WEIGHTS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+         CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % {DSIR_BUCKETS} AS b
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+        FROM documents)
+),
+prof AS (
+  SELECT b, sum(is_t) AS ct, count(*) AS cs FROM toks GROUP BY b
+),
+totals AS (SELECT sum(ct) AS tt, sum(cs) AS ts FROM prof),
+lr AS (
+  SELECT b,
+         CAST(floor(
+           (ln(CAST(2 * ct + 1 AS DOUBLE))
+            + ln(CAST(2 * ts + {DSIR_BUCKETS} AS DOUBLE))
+            - ln(CAST(2 * cs + 1 AS DOUBLE))
+            - ln(CAST(2 * tt + {DSIR_BUCKETS} AS DOUBLE)))
+           * {_DSIR_SCALE}.0 + 0.5) AS BIGINT) AS lr_micro
+  FROM prof CROSS JOIN totals
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(lr_micro) AS DOUBLE) / {_DSIR_SCALE}.0 AS dsir_logw
+FROM toks JOIN lr USING (b)
+GROUP BY doc_id
+"""

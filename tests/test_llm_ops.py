@@ -1589,3 +1589,142 @@ def test_embedding_sanity_parity_and_planted_degenerates(
     assert out[0].n_zero_norm == 1 and out[0].n_clean == 1
     assert out[1].n_nonfinite == 1 and out[1].n_wrong_dim == 1
     assert out[1].n_clean == 0
+
+
+def test_bm25_parity_and_ranking_properties(spark, sf_dir, tmp_path):
+    """BM25 retrieval matches its twin, ranks are dense and ordered
+    by score, and on a planted corpus the term-stuffed short doc
+    outranks a longer doc with one occurrence."""
+    import os
+
+    from tests.parity import assert_parity
+
+    from spark_app_twitter_spark.operators import retrieval
+
+    df = retrieval.bm25_retrieve(spark, sf_dir)
+    assert_parity(df, retrieval.BM25_RETRIEVE_SQL, sf_dir, "bm25")
+
+    rows = df.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, hits in per_q.items():
+        hits.sort(key=lambda r: r.rank)
+        assert [r.rank for r in hits] == list(range(1, len(hits) + 1))
+        scores = [r.bm25 for r in hits]
+        assert scores == sorted(scores, reverse=True)
+        assert all(s > 0 for s in scores)
+
+    # planted: doc 0's query is its own distinct terms; a doc
+    # repeating those terms in a SHORT body must beat a long doc
+    # that mentions one of them once among much filler
+    planted = [
+        (0, "apple banana apple banana"),
+        (4, "apple apple banana banana apple"),
+        (5, "apple " + "filler " * 60 + "unrelated tail words"),
+        (6, "cherry date elderberry fig grape"),
+    ]
+    sf = str(tmp_path / "bm25")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        [(i, t, "en", "srcA", len(t)) for i, t in planted],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+    out = retrieval.bm25_retrieve(spark, sf)
+    q0 = {r.doc_id: r for r in out.where("query_id = 0").collect()}
+    assert 6 not in q0  # no query term -> never retrieved
+    assert q0[4].bm25 > q0[5].bm25
+
+
+def test_dsir_parity_and_target_direction(spark, sf_dir):
+    """DSIR weights match the twin; the English (target) subset's
+    mean log-weight exceeds the non-English subset's — the defining
+    property of an importance weight toward an English target."""
+    from pyspark.sql import functions as F
+
+    from tests.parity import assert_parity
+
+    from spark_app_twitter_spark.operators import textstats
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    df = textstats.dsir_weights(spark, sf_dir)
+    assert_parity(df, textstats.DSIR_WEIGHTS_SQL, sf_dir, "dsir_weights")
+
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    means = dict(
+        df.join(langs, "doc_id")
+        .groupBy(F.col("lang") == "en")
+        .agg(F.avg("dsir_logw"))
+        .collect()
+    )
+    assert means[True] > means[False]
+
+
+def test_bitext_parity_and_mutual_top1(spark, sf_dir):
+    """Bitext pairs match the twin; every pair is mutual-top-1 (no
+    src or tgt repeats), sides come from the right language groups,
+    and margins clear the threshold."""
+    from tests.parity import assert_parity
+
+    from spark_app_twitter_spark.operators import similarity
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    df = similarity.bitext_mining(spark, sf_dir)
+    assert_parity(df, similarity.BITEXT_MINING_SQL, sf_dir, "bitext")
+
+    rows = df.collect()
+    assert rows, "mined zero pairs on the synthetic corpus"
+    srcs = [r.src_id for r in rows]
+    tgts = [r.tgt_id for r in rows]
+    assert len(set(srcs)) == len(srcs)
+    assert len(set(tgts)) == len(tgts)
+    assert all(r.margin >= similarity.BITEXT_MIN_MARGIN for r in rows)
+    langs = {
+        r.doc_id: r.lang
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    assert all(langs[s] == "en" for s in srcs)
+    assert all(langs[t] != "en" for t in tgts)
+
+
+def test_shard_manifest_parity_and_integrity(spark, sf_dir, tmp_path):
+    """The manifest matches its twin, accounts for every doc exactly
+    once, and is content-sensitive: editing ONE doc's text changes
+    that doc's shard digest and no other."""
+    import os
+
+    from tests.parity import assert_parity
+
+    from spark_app_twitter_spark.operators import packing
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    df = packing.shard_manifest(spark, sf_dir)
+    assert_parity(df, packing.SHARD_MANIFEST_SQL, sf_dir, "shard_manifest")
+
+    rows = df.collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert len({r.shard for r in rows}) == len(rows) <= packing.MANIFEST_SHARDS
+
+    base = load_table(spark, sf_dir, "documents")
+    sf2 = str(tmp_path / "edited")
+    os.makedirs(sf2)
+    from pyspark.sql import functions as F
+
+    base.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 7, F.concat(F.col("text"), F.lit(" x")))
+        .otherwise(F.col("text")),
+    ).write.parquet(f"{sf2}/documents.parquet")
+    before = {r.shard: r.digest for r in rows}
+    after = {
+        r.shard: r.digest
+        for r in packing.shard_manifest(spark, sf2).collect()
+    }
+    import hashlib
+
+    hit = int(hashlib.md5(b"7").hexdigest()[0], 16)
+    assert after[hit] != before[hit]
+    assert all(after[s] == before[s] for s in before if s != hit)
