@@ -86,22 +86,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     scorecard, quantized IVF, index export, probe sensitivity,
     split leakage, embedding sanity) follow in section 2b. Then the
     r04 remainder per the documented schedule: the 11 serving
-    entries + 16 of the 35 remaining r04 rows fill the window; the
-    19 displaced rows (marked at the window boundary below) head
+    entries + 13 of the 35 remaining r04 rows fill the window; the
+    22 displaced rows (marked at the window boundary below) head
     round 8. The r05/r06-fresh entries sit last. Every deferred
     entry keeps a local DuckDB-oracle parity test in CI.
 
-    Round-7 continuation: section 0 (four new never-attested
-    operators — BM25, DSIR, bitext mining, shard manifest) leads.
+    Round-7 continuation: section 0 (seven new never-attested
+    operators — BM25, DSIR, bitext mining, shard manifest, then
+    hybrid RRF fusion, the matryoshka truncation audit, and the
+    corpus data card) leads.
     """
     return {
         # --- 0. added in the round-7 continuation (never attested):
         # sparse BM25 retrieval, DSIR importance weights, margin-based
-        # bitext mining, and the training-shard manifest ---
+        # bitext mining, the training-shard manifest, BM25+dense RRF
+        # fusion, the matryoshka-truncation recall audit, and the
+        # per-source corpus data card ---
         "retrieval_bm25": retrieval.bm25_retrieve,
         "text_dsir_weights": textstats.dsir_weights,
         "sim_bitext_mining": similarity.bitext_mining,
         "pack_shard_manifest": packing.shard_manifest,
+        "retrieval_hybrid_rrf": retrieval.hybrid_rrf,
+        "sim_matryoshka_recall": similarity.matryoshka_recall,
+        "text_corpus_datacard": textstats.corpus_datacard,
         # --- 1. round-7 head: the six never-driver-attested entries
         # (VERDICT r06 item 2), led by the repaired inverted index
         # (item 1: postings serialized to csv so the gate
@@ -158,14 +165,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": textstats.token_counts,
         "text_lang_id": textstats.lang_id,
         "text_doc_fingerprint": textstats.doc_fingerprint,
+        # ---- driver verification window ends at 50 entries ----
+        # (r04 remainder continues; these twenty-two — the seven
+        # below displaced by the section-0 additions plus the
+        # original fifteen — head the round-8 window, each with a
+        # local parity test in CI)
         "text_redact": textstats.redact_text,
         "sim_quantize_embeddings": similarity.quantize_embeddings,
         "multimodal_resize_images": multimodal.resize_images,
-        # ---- driver verification window ends at 50 entries ----
-        # (r04 remainder continues; these nineteen — the four below
-        # displaced by the section-0 additions plus the original
-        # fifteen — head the round-8 window, each with a local
-        # parity test in CI)
         "sim_kmeans_cells": clustering.kmeans_cells,
         "text_train_split": textstats.train_split,
         "text_length_histogram": textstats.length_histogram,
@@ -320,6 +327,9 @@ def oracle_sql() -> dict[str, str]:
         "text_dsir_weights": textstats.DSIR_WEIGHTS_SQL,
         "sim_bitext_mining": similarity.BITEXT_MINING_SQL,
         "pack_shard_manifest": packing.SHARD_MANIFEST_SQL,
+        "retrieval_hybrid_rrf": retrieval.HYBRID_RRF_SQL,
+        "sim_matryoshka_recall": similarity.MATRYOSHKA_RECALL_SQL,
+        "text_corpus_datacard": textstats.CORPUS_DATACARD_SQL,
         "retrieval_inverted_index": retrieval.INVERTED_INDEX_SQL,
         "asof_nearest_click": asof.NEAREST_CLICK_TO_PURCHASE_SQL,
         "versioning_corpus_delta": versioning.CORPUS_DELTA_SQL,

@@ -380,6 +380,142 @@ def _rag_retrieve_ivf_sql() -> str:
 RAG_RETRIEVE_IVF_SQL = _rag_retrieve_ivf_sql()
 
 
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion (Cormack, Clarke &
+# Buettcher 2009) of the sparse BM25 ranking and a dense cosine
+# ranking over the SAME query cohort — the standard first-stage
+# fusion of a keyword+vector RAG stack.
+RRF_K = 60  # the canonical RRF damping constant
+RRF_TOP_K = 10
+
+
+def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, sparse_rank, dense_rank, rrf, rank): RRF
+    fusion of bm25_retrieve's keyword ranking and a dense cosine
+    ranking, both over the seed cohort (doc_id < BM25_N_QUERIES;
+    vec_id == doc_id contract). A doc retrieved by either side gets
+    rrf = sum over sides of 1/(RRF_K + rank); absent sides
+    contribute 0 and surface as NULL rank columns.
+
+    Scale shape: both inputs are already top-k-bounded (k rows per
+    query), so the fusion itself — one full-outer join on
+    (query_id, doc_id) plus one window — touches at most 2k rows per
+    query no matter the corpus size; the cost lives in the two
+    retrievers, each independently swappable for its scale variant
+    (IVF for dense, pruned impact-ordered postings for sparse).
+    Determinism: 1/(RRF_K+rank) is the same two IEEE-double ops in
+    both engines and the two-term sum has a fixed order (sparse +
+    dense), so the 6dp-rounded score is engine-exact; ranking ties
+    break on doc_id.
+
+    Reference scope note: no reference analogue (SURVEY.md §2.9
+    retrieval family) — the fusion consumer of bm25_retrieve and
+    rag_retrieve's dense stage.
+    """
+    from pyspark.sql import Window
+
+    from spark_app_twitter_spark.functions.vectors import cosine
+
+    sparse = bm25_retrieve(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("sparse_rank")
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < BM25_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.where(F.col("vec_id") >= BM25_N_QUERIES).select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("cv")
+    )
+    wd = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("doc_id")
+    )
+    dense = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+        .withColumn("dense_rank", F.row_number().over(wd))
+        .where(F.col("dense_rank") <= BM25_TOP_K)
+        .select("query_id", "doc_id", "dense_rank")
+    )
+
+    fused = sparse.join(dense, ["query_id", "doc_id"], "full_outer")
+    rrf = F.round(
+        F.coalesce(
+            F.lit(1.0) / (F.lit(RRF_K) + F.col("sparse_rank")).cast("double"),
+            F.lit(0.0),
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(RRF_K) + F.col("dense_rank")).cast("double"),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf"), F.asc("doc_id")
+    )
+    return (
+        fused.select(
+            "query_id", "doc_id", "sparse_rank", "dense_rank", rrf.alias("rrf")
+        )
+        .withColumn("rank", F.row_number().over(wf))
+        .where(F.col("rank") <= RRF_TOP_K)
+    )
+
+
+def _hybrid_rrf_sql() -> str:
+    from spark_app_twitter_spark.functions.vectors import cosine_sql
+
+    return f"""
+WITH sparse AS (
+  SELECT query_id, doc_id, rank AS sparse_rank
+  FROM ({BM25_RETRIEVE_SQL})
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < {BM25_N_QUERIES}
+),
+c AS (
+  SELECT vec_id AS doc_id, embedding AS cv FROM embeddings
+  WHERE vec_id >= {BM25_N_QUERIES}
+),
+dense AS (
+  SELECT query_id, doc_id, dense_rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, doc_id ASC
+                             ) AS dense_rank
+    FROM (
+      SELECT query_id, doc_id,
+             round({cosine_sql('qv', 'cv')}, 6) AS cos_sim
+      FROM c CROSS JOIN q
+    )
+  ) WHERE dense_rank <= {BM25_TOP_K}
+),
+fused AS (
+  SELECT query_id, doc_id, sparse_rank, dense_rank,
+         round(coalesce(CAST(1.0 AS DOUBLE)
+                        / CAST({RRF_K} + sparse_rank AS DOUBLE), 0.0)
+               + coalesce(CAST(1.0 AS DOUBLE)
+                          / CAST({RRF_K} + dense_rank AS DOUBLE), 0.0),
+               6) AS rrf
+  FROM sparse FULL JOIN dense USING (query_id, doc_id)
+)
+SELECT query_id, doc_id, sparse_rank, dense_rank, rrf, rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf DESC, doc_id ASC) AS rank
+  FROM fused
+) WHERE rank <= {RRF_TOP_K}
+"""
+
+
+HYBRID_RRF_SQL = _hybrid_rrf_sql()
+
+
 __all__ = [
     "rag_retrieve",
     "RAG_RETRIEVE_SQL",
@@ -390,4 +526,8 @@ __all__ = [
     "inverted_index",
     "INVERTED_INDEX_SQL",
     "POSTING_CAP",
+    "bm25_retrieve",
+    "BM25_RETRIEVE_SQL",
+    "hybrid_rrf",
+    "HYBRID_RRF_SQL",
 ]

@@ -2050,3 +2050,124 @@ margins AS (
 SELECT src_id, tgt_id, cos_sim, margin
 FROM margins WHERE margin >= {BITEXT_MIN_MARGIN}
 """
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation audit (Kusupati et al. 2022, "Matryoshka
+# Representation Learning"): serving stacks cut embedding storage and
+# ANN cost by keeping only a PREFIX of each vector's dimensions. This
+# operator measures exactly what that costs: recall@k of the
+# truncated-prefix brute-force ranking against the full-dimension
+# ranking, per query and per k.
+MATRYOSHKA_DIM = 32  # prefix length audited (full DIM = 64)
+MATRYOSHKA_KS = (1, 5, 10)
+
+
+def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, k, n_overlap, recall): per-query overlap between the
+    MATRYOSHKA_DIM-prefix cosine top-k and the full-dimension cosine
+    top-k, for each audit depth k in MATRYOSHKA_KS — the go/no-go
+    table for serving truncated embeddings.
+
+    Scale shape: both rankings are the broadcast-query brute-force
+    shape (knn_bruteforce), each bounded to TOP_K rows per query
+    before the audit join, so the join + the k-explode touch at most
+    TOP_K rows per query regardless of corpus size; the grid
+    right-join makes zero-overlap rows explicit rather than absent.
+    At corpus scale both rankings swap for their IVF variants and
+    this audit stage is unchanged (ann_recall_audit's contract).
+    Ranking ties break on neighbor_id (knn convention); recall is an
+    exact small-integer ratio.
+    """
+    q, c = _queries_and_cands(spark, sf_dir)
+    wt = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    trunc = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine(
+                    F.slice(F.col("qv"), 1, MATRYOSHKA_DIM),
+                    F.slice(F.col("cv"), 1, MATRYOSHKA_DIM),
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .withColumn("trank", F.row_number().over(wt))
+        .where(F.col("trank") <= TOP_K)
+        .select("query_id", "neighbor_id", "trank")
+    )
+    full = knn_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("frank")
+    )
+    ks = F.explode(
+        F.array(*[F.lit(k) for k in MATRYOSHKA_KS])
+    ).alias("k")
+    overlap = (
+        full.join(trunc, ["query_id", "neighbor_id"])
+        .select("query_id", "frank", "trank", ks)
+        .where((F.col("frank") <= F.col("k")) & (F.col("trank") <= F.col("k")))
+        .groupBy("query_id", "k")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    grid = (
+        q.select("query_id")
+        .select("query_id", ks)
+    )
+    return grid.join(overlap, ["query_id", "k"], "left").select(
+        "query_id",
+        "k",
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias(
+            "n_overlap"
+        ),
+        F.round(
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double")
+            / F.col("k").cast("double"),
+            6,
+        ).alias("recall"),
+    )
+
+
+MATRYOSHKA_RECALL_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+  WHERE vec_id >= {N_QUERIES}
+),
+trunc AS (
+  SELECT query_id, neighbor_id, trank FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id ASC
+                             ) AS trank
+    FROM (
+      SELECT query_id, neighbor_id,
+             round({cosine_sql(f'qv[1:{MATRYOSHKA_DIM}]', f'cv[1:{MATRYOSHKA_DIM}]')}, 6) AS cos_sim
+      FROM c CROSS JOIN q
+    )
+  ) WHERE trank <= {TOP_K}
+),
+full_ AS (
+  SELECT query_id, neighbor_id, rank AS frank FROM ({KNN_BRUTEFORCE_SQL})
+),
+ks AS (SELECT unnest([{", ".join(str(k) for k in MATRYOSHKA_KS)}]) AS k),
+overlap AS (
+  SELECT query_id, k, count(*) AS n_overlap
+  FROM full_ JOIN trunc USING (query_id, neighbor_id)
+  CROSS JOIN ks
+  WHERE frank <= k AND trank <= k
+  GROUP BY query_id, k
+),
+grid AS (SELECT query_id, k FROM q CROSS JOIN ks)
+SELECT query_id, k,
+       CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(CAST(coalesce(n_overlap, 0) AS DOUBLE) / CAST(k AS DOUBLE),
+             6) AS recall
+FROM grid LEFT JOIN overlap USING (query_id, k)
+"""

@@ -2246,3 +2246,95 @@ SELECT doc_id,
 FROM toks JOIN lr USING (b)
 GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus data card: the one-page per-source summary a dataset release
+# ships (Gebru et al., "Datasheets for Datasets") — volume, token
+# mass, language mix, and the central document length — computed in
+# one pass so refreshing the card costs one scan, not one job per
+# statistic.
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_tokens, n_chars, n_langs, pct_en,
+    median_tokens): the per-source corpus data card.
+
+    median_tokens is the LOWER median (the (n+1)//2-th doc by
+    (token count, doc_id) order) so the statistic is an integer a
+    SQL engine reproduces exactly — no midpoint-average float.
+
+    Scale shape: one map-side projection computes the per-doc
+    measures; ONE shuffle keyed on source carries both the window
+    (median position) and the aggregation. Source cardinality is
+    small (it is a partition-grade column), so the result is
+    dashboard-sized; a skewed mega-source only widens one
+    partition's sort, which AQE splits.
+
+    Reference scope note: no reference analogue; SURVEY.md §2.9's
+    corpus-reporting mandate (the release-gate summary over
+    `documents`).
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    per_doc = docs.select(
+        "source",
+        "lang",
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("nt"),
+        F.length("text").cast("long").alias("nc"),
+    )
+    w = Window.partitionBy("source").orderBy(F.asc("nt"), F.asc("doc_id"))
+    wc = Window.partitionBy("source")
+    ranked = per_doc.select(
+        "source",
+        "lang",
+        "nt",
+        "nc",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("n_tokens"),
+        F.sum("nc").alias("n_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(
+            F.lit(100.0)
+            * F.sum((F.col("lang") == "en").cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            2,
+        ).alias("pct_en"),
+        F.max(
+            F.when(
+                F.col("rn")
+                == ((F.col("cnt") + F.lit(1)) / F.lit(2)).cast("long"),
+                F.col("nt"),
+            )
+        ).alias("median_tokens"),
+    )
+
+
+CORPUS_DATACARD_SQL = """
+WITH per_doc AS (
+  SELECT source, lang, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+         CAST(length(text) AS BIGINT) AS nc
+  FROM documents
+),
+ranked AS (
+  SELECT source, lang, nt, nc,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY nt ASC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY source) AS cnt
+  FROM per_doc
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(nt) AS n_tokens,
+       sum(nc) AS n_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       round(CAST(100.0 AS DOUBLE)
+             * CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 2) AS pct_en,
+       max(CASE WHEN rn = (cnt + 1) // 2 THEN nt END) AS median_tokens
+FROM ranked
+GROUP BY source
+"""

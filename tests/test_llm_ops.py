@@ -1728,3 +1728,114 @@ def test_shard_manifest_parity_and_integrity(spark, sf_dir, tmp_path):
     hit = int(hashlib.md5(b"7").hexdigest()[0], 16)
     assert after[hit] != before[hit]
     assert all(after[s] == before[s] for s in before if s != hit)
+
+
+def test_hybrid_rrf_parity_and_fusion_properties(spark, sf_dir):
+    """RRF fusion matches its twin; every fused row came from at
+    least one retriever, scores equal the closed-form RRF sum of the
+    surviving rank columns, and ranks descend by score."""
+    from tests.parity import assert_parity
+
+    from spark_app_twitter_spark.operators import retrieval
+
+    df = retrieval.hybrid_rrf(spark, sf_dir)
+    assert_parity(df, retrieval.HYBRID_RRF_SQL, sf_dir, "hybrid_rrf")
+
+    rows = df.collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+        assert r.sparse_rank is not None or r.dense_rank is not None
+        expect = (
+            (1.0 / (retrieval.RRF_K + r.sparse_rank) if r.sparse_rank else 0.0)
+            + (1.0 / (retrieval.RRF_K + r.dense_rank) if r.dense_rank else 0.0)
+        )
+        assert abs(r.rrf - expect) < 1e-6
+    for q, hits in per_q.items():
+        assert len(hits) <= retrieval.RRF_TOP_K
+        hits.sort(key=lambda r: r.rank)
+        assert [r.rank for r in hits] == list(range(1, len(hits) + 1))
+        scores = [r.rrf for r in hits]
+        assert scores == sorted(scores, reverse=True)
+        # a doc in BOTH lists always beats the best single-list doc
+        both = [r for r in hits if r.sparse_rank and r.dense_rank]
+        single = [r for r in hits if not (r.sparse_rank and r.dense_rank)]
+        if both and single:
+            assert max(r.rrf for r in both) >= max(r.rrf for r in single)
+
+
+def test_matryoshka_recall_parity_nesting_and_lossless_prefix(
+    spark, sf_dir, tmp_path
+):
+    """The truncation audit matches its twin, emits the full
+    (query, k) grid with nested-overlap monotonicity, and reports
+    recall 1.0 when the tail dimensions carry no information."""
+    import os
+
+    from tests.parity import assert_parity
+
+    from spark_app_twitter_spark.operators import similarity
+
+    df = similarity.matryoshka_recall(spark, sf_dir)
+    assert_parity(df, similarity.MATRYOSHKA_RECALL_SQL, sf_dir, "matryoshka")
+
+    rows = df.collect()
+    assert len(rows) == similarity.N_QUERIES * len(similarity.MATRYOSHKA_KS)
+    per_q = {}
+    for r in rows:
+        assert 0 <= r.n_overlap <= r.k
+        assert abs(r.recall - r.n_overlap / r.k) < 1e-6
+        per_q.setdefault(r.query_id, {})[r.k] = r.n_overlap
+    for q, by_k in per_q.items():
+        ks = sorted(by_k)
+        for a, b in zip(ks, ks[1:]):
+            assert by_k[a] <= by_k[b]  # nested top-k sets
+
+    # planted: vectors living entirely in the first MATRYOSHKA_DIM
+    # dims -> truncation is lossless -> recall 1.0 everywhere
+    import random
+
+    rng = random.Random(7)
+    sf2 = str(tmp_path / "losslss")
+    os.makedirs(sf2)
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(similarity.MATRYOSHKA_DIM)]
+            + [0.0] * (similarity.DIM - similarity.MATRYOSHKA_DIM))
+        for i in range(20)
+    ]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>"
+    ).write.parquet(f"{sf2}/embeddings.parquet")
+    out = similarity.matryoshka_recall(spark, sf2).collect()
+    assert all(r.recall == 1.0 for r in out)
+
+
+def test_corpus_datacard_parity_and_accounting(spark, sf_dir):
+    """The data card matches its twin, accounts for every document,
+    and its medians/percentages agree with a direct per-source
+    recomputation."""
+    from tests.parity import assert_parity
+
+    from spark_app_twitter_spark.operators import textstats
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    df = textstats.corpus_datacard(spark, sf_dir)
+    assert_parity(df, textstats.CORPUS_DATACARD_SQL, sf_dir, "datacard")
+
+    rows = {r.source: r for r in df.collect()}
+    docs = load_table(spark, sf_dir, "documents").collect()
+    assert sum(r.n_docs for r in rows.values()) == len(docs)
+    by_src = {}
+    for d in docs:
+        by_src.setdefault(d.source, []).append(d)
+    for src, ds in by_src.items():
+        r = rows[src]
+        assert r.n_docs == len(ds)
+        assert 0.0 <= r.pct_en <= 100.0
+        assert r.n_langs == len({d.lang for d in ds})
+        counts = sorted(
+            (len(d.text.split(" ")), d.doc_id) for d in ds
+        )
+        lower_median = counts[(len(counts) + 1) // 2 - 1][0]
+        assert r.median_tokens == lower_median
