@@ -138,10 +138,27 @@ STRESS_QUERIES = [
     "sim_embedding_outliers",
     "layout_zorder_skipping",
     "serving_trending_topics",
+    # round-7 continuation: sparse BM25 (explode + doc_id-keyed
+    # combine, query terms broadcast), DSIR (one profile groupBy +
+    # one doc_id-keyed reduce), shard manifest (one shard-keyed
+    # reduce), hybrid RRF (two k-bounded retrievers + k-bounded
+    # fusion), matryoshka audit (two broadcast-query brute rankings
+    # over the fixed 5-query cohort), datacard (one source-keyed
+    # pass)
+    "retrieval_bm25",
+    "text_dsir_weights",
+    "pack_shard_manifest",
+    "retrieval_hybrid_rrf",
+    "sim_matryoshka_recall",
+    "text_corpus_datacard",
     # NOT listed: sim_ann_recall_audit and sim_ivf_probe_sensitivity
     # — their exact sides score the corpus per query by construction
     # (the operators' docstrings document the sampled-query audit
-    # pattern at scale).
+    # pattern at scale). sim_bitext_mining is the same class: its
+    # registered variant scores all src x tgt pairs exactly (the
+    # gate-oracle contract), so replication grows it quadratically
+    # by construction; the docstring documents the IVF-bucketed
+    # candidate composition as the corpus-scale path.
 ]
 
 
