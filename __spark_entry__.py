@@ -86,22 +86,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     scorecard, quantized IVF, index export, probe sensitivity,
     split leakage, embedding sanity) follow in section 2b. Then the
     r04 remainder per the documented schedule: the 11 serving
-    entries + 13 of the 35 remaining r04 rows fill the window; the
-    22 displaced rows (marked at the window boundary below) head
+    entries + 12 of the 35 remaining r04 rows fill the window; the
+    23 displaced rows (marked at the window boundary below) head
     round 8. The r05/r06-fresh entries sit last. Every deferred
     entry keeps a local DuckDB-oracle parity test in CI.
 
-    Round-7 continuation: section 0 (seven new never-attested
+    Round-7 continuation: section 0 (eight new never-attested
     operators — BM25, DSIR, bitext mining, shard manifest, then
-    hybrid RRF fusion, the matryoshka truncation audit, and the
-    corpus data card) leads.
+    hybrid RRF fusion, the matryoshka truncation audit, the corpus
+    data card, and the temperature-scaled mixture) leads.
     """
     return {
         # --- 0. added in the round-7 continuation (never attested):
         # sparse BM25 retrieval, DSIR importance weights, margin-based
         # bitext mining, the training-shard manifest, BM25+dense RRF
-        # fusion, the matryoshka-truncation recall audit, and the
-        # per-source corpus data card ---
+        # fusion, the matryoshka-truncation recall audit, the
+        # per-source corpus data card, and the temperature-scaled
+        # mixture plan ---
         "retrieval_bm25": retrieval.bm25_retrieve,
         "text_dsir_weights": textstats.dsir_weights,
         "sim_bitext_mining": similarity.bitext_mining,
@@ -109,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_hybrid_rrf": retrieval.hybrid_rrf,
         "sim_matryoshka_recall": similarity.matryoshka_recall,
         "text_corpus_datacard": textstats.corpus_datacard,
+        "text_mixture_temperature": textstats.mixture_temperature,
         # --- 1. round-7 head: the six never-driver-attested entries
         # (VERDICT r06 item 2), led by the repaired inverted index
         # (item 1: postings serialized to csv so the gate
@@ -164,12 +166,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": textstats.token_stats,
         "text_token_counts": textstats.token_counts,
         "text_lang_id": textstats.lang_id,
-        "text_doc_fingerprint": textstats.doc_fingerprint,
         # ---- driver verification window ends at 50 entries ----
-        # (r04 remainder continues; these twenty-two — the seven
+        # (r04 remainder continues; these twenty-three — the eight
         # below displaced by the section-0 additions plus the
         # original fifteen — head the round-8 window, each with a
         # local parity test in CI)
+        "text_doc_fingerprint": textstats.doc_fingerprint,
         "text_redact": textstats.redact_text,
         "sim_quantize_embeddings": similarity.quantize_embeddings,
         "multimodal_resize_images": multimodal.resize_images,
@@ -330,6 +332,7 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_hybrid_rrf": retrieval.HYBRID_RRF_SQL,
         "sim_matryoshka_recall": similarity.MATRYOSHKA_RECALL_SQL,
         "text_corpus_datacard": textstats.CORPUS_DATACARD_SQL,
+        "text_mixture_temperature": textstats.MIXTURE_TEMPERATURE_SQL,
         "retrieval_inverted_index": retrieval.INVERTED_INDEX_SQL,
         "asof_nearest_click": asof.NEAREST_CLICK_TO_PURCHASE_SQL,
         "versioning_corpus_delta": versioning.CORPUS_DELTA_SQL,

@@ -2338,3 +2338,84 @@ SELECT source,
 FROM ranked
 GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture (the multilingual sampling rule of mT5 /
+# XLM-R): sample source s proportional to p_s^alpha, alpha < 1, so
+# rare sources are up-weighted and head sources flattened WITHOUT a
+# hand-set weight table — the closed-form complement of
+# mixture_plan's config-weight rule.
+MIX_TEMP_ALPHA = 0.5
+_MIX_TEMP_SCALE = 1_000_000
+
+
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_tokens, token_share, temp_share,
+    multiplier): per-source temperature-scaled sampling plan —
+    temp_share = p^alpha / sum(p^alpha) over exact token shares,
+    multiplier the epoch factor moving a source from its natural
+    share to the tempered one (monotone DECREASING in share for
+    alpha < 1: the flattening is the point).
+
+    Scale shape: identical to mixture_plan — ONE corpus scan
+    combines to |sources| rows; the tempered normalizer is a 1-row
+    agg over those rows, broadcast back. p^alpha is quantized to
+    integer micro-units BEFORE the normalizing sum (bigram_lm_score's
+    idiom) so the |sources|-term reduction is order-independent and
+    engine-exact despite libm pow.
+
+    Reference scope note: no reference analogue; SURVEY.md §2.9's
+    mixture family (the temperature knob next to mixture_plan's
+    weight-table knob).
+    """
+    base = _mixture_frame(spark, sf_dir).select(
+        "source", "n_docs", "n_tokens", "tot_tokens"
+    )
+    share = F.col("n_tokens").cast("double") / F.col("tot_tokens").cast(
+        "double"
+    )
+    pw = F.floor(
+        F.pow(share, F.lit(MIX_TEMP_ALPHA)) * F.lit(float(_MIX_TEMP_SCALE))
+        + F.lit(0.5)
+    ).cast("long")
+    p = base.select(
+        "source", "n_docs", "n_tokens", share.alias("share"), pw.alias("pw")
+    )
+    tot = p.agg(F.sum("pw").alias("tot_pw"))
+    temp_share = F.col("pw").cast("double") / F.col("tot_pw").cast("double")
+    return p.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("share"), 6).alias("token_share"),
+        F.round(temp_share, 6).alias("temp_share"),
+        F.round(temp_share / F.col("share"), 6).alias("multiplier"),
+    )
+
+
+MIXTURE_TEMPERATURE_SQL = f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM per_src),
+p AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE) AS share,
+         CAST(floor(
+           pow(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE),
+               {MIX_TEMP_ALPHA})
+           * {_MIX_TEMP_SCALE}.0 + 0.5) AS BIGINT) AS pw
+  FROM per_src CROSS JOIN tot
+),
+t2 AS (SELECT CAST(sum(pw) AS BIGINT) AS tot_pw FROM p)
+SELECT source, n_docs, n_tokens,
+       round(share, 6) AS token_share,
+       round(CAST(pw AS DOUBLE) / CAST(tot_pw AS DOUBLE), 6) AS temp_share,
+       round((CAST(pw AS DOUBLE) / CAST(tot_pw AS DOUBLE)) / share, 6)
+         AS multiplier
+FROM p CROSS JOIN t2
+"""

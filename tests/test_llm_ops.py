@@ -1839,3 +1839,32 @@ def test_corpus_datacard_parity_and_accounting(spark, sf_dir):
         )
         lower_median = counts[(len(counts) + 1) // 2 - 1][0]
         assert r.median_tokens == lower_median
+
+
+def test_mixture_temperature_parity_and_flattening(spark, sf_dir):
+    """The tempered mixture matches its twin; temp shares sum to ~1;
+    and for alpha < 1 the multiplier is monotone DECREASING in token
+    share — rare sources up-weighted, head sources flattened."""
+    from tests.parity import assert_parity
+
+    from spark_app_twitter_spark.operators import textstats
+
+    df = textstats.mixture_temperature(spark, sf_dir)
+    assert_parity(
+        df, textstats.MIXTURE_TEMPERATURE_SQL, sf_dir, "mixture_temp"
+    )
+
+    rows = sorted(df.collect(), key=lambda r: r.token_share)
+    assert len(rows) > 1
+    assert abs(sum(r.temp_share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-4
+    for a, b in zip(rows, rows[1:]):
+        if a.token_share < b.token_share:
+            assert a.multiplier >= b.multiplier
+    # below-average-share sources oversample, above-average flatten
+    mean_share = 1.0 / len(rows)
+    for r in rows:
+        if r.token_share < mean_share * 0.8:
+            assert r.multiplier > 1.0
+        if r.token_share > mean_share * 1.25:
+            assert r.multiplier < 1.0

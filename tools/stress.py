@@ -144,13 +144,14 @@ STRESS_QUERIES = [
     # reduce), hybrid RRF (two k-bounded retrievers + k-bounded
     # fusion), matryoshka audit (two broadcast-query brute rankings
     # over the fixed 5-query cohort), datacard (one source-keyed
-    # pass)
+    # pass), tempered mixture (|sources|-row plan)
     "retrieval_bm25",
     "text_dsir_weights",
     "pack_shard_manifest",
     "retrieval_hybrid_rrf",
     "sim_matryoshka_recall",
     "text_corpus_datacard",
+    "text_mixture_temperature",
     # NOT listed: sim_ann_recall_audit and sim_ivf_probe_sensitivity
     # — their exact sides score the corpus per query by construction
     # (the operators' docstrings document the sampled-query audit
