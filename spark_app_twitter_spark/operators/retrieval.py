@@ -201,10 +201,10 @@ def bm25_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     BM25_Q_TERMS alphabetical distinct tokens — a reproducible
     stand-in for user keyword queries.
 
-    Scale shape: the per-(doc, term) tf table is one explode + one
-    groupBy; the tiny (query, term) set broadcasts into it, so only
-    rows matching SOME query term survive into scoring — the corpus
-    never shuffles on anything but its own (doc_id, term) combine.
+    Scale shape: the tiny (query, term) set broadcasts into the
+    exploded token stream BEFORE the tf combine, so the (doc, term)
+    shuffle carries only query-term rows — the sole corpus-wide
+    reduction is the per-doc length count, keyed on doc_id alone.
     df per term is counted on the surviving rows (exact: tf rows are
     per-doc distinct already). Doc length is a map-side groupBy;
     corpus scalars (N, total token count) are a 1-row broadcast
@@ -238,16 +238,21 @@ def bm25_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    tf = toks.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     scalars = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(tokens("text"))).alias("n_tokens"),
     )
 
-    hits = tf.join(F.broadcast(qterms.select("term").distinct()), "term")
+    # broadcast term filter BEFORE the tf combine: the (doc, term)
+    # shuffle carries only query-term rows, not the whole corpus
+    # vocabulary (the per-doc dl count above is the only corpus-wide
+    # reduction, and its key is just doc_id)
+    hits = (
+        toks.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
     df_per_term = hits.groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
     )
