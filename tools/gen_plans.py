@@ -70,6 +70,10 @@ SHOWCASE = [
     ("sim_embedding_drift", "(dim, cohort)-keyed quantized sums: 2*|dims| aggregate rows"),
     ("pack_efficiency", "one shard-keyed window + |shards| rollup over the packing frame"),
     ("dedup_paragraphs_rewrite", "digest-keyed keep-first + per-doc sort_array reassembly"),
+    ("retrieval_bm25", "broadcast query-term filter BELOW the tf combine; doc-length count is the only corpus-wide reduction"),
+    ("retrieval_hybrid_rrf", "two k-bounded retrievers; fusion full-outer join touches <=2k rows/query"),
+    ("text_dsir_weights", "128-bucket profile broadcast into the token stream; one doc_id-keyed reduce"),
+    ("pack_shard_manifest", "single shard-keyed reduce carrying ordered digest chains"),
 ]
 
 
