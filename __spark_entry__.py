@@ -86,15 +86,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     scorecard, quantized IVF, index export, probe sensitivity,
     split leakage, embedding sanity) follow in section 2b. Then the
     r04 remainder per the documented schedule: the 11 serving
-    entries + 12 of the 35 remaining r04 rows fill the window; the
-    23 displaced rows (marked at the window boundary below) head
+    entries + 10 of the 35 remaining r04 rows fill the window; the
+    25 displaced rows (marked at the window boundary below) head
     round 8. The r05/r06-fresh entries sit last. Every deferred
     entry keeps a local DuckDB-oracle parity test in CI.
 
-    Round-7 continuation: section 0 (eight new never-attested
+    Round-7 continuation: section 0 (ten new never-attested
     operators — BM25, DSIR, bitext mining, shard manifest, then
     hybrid RRF fusion, the matryoshka truncation audit, the corpus
-    data card, and the temperature-scaled mixture) leads.
+    data card, the temperature-scaled mixture, duplicate-aware
+    weighted sampling, and CCNet perplexity buckets) leads.
     """
     return {
         # --- 0. added in the round-7 continuation (never attested):
@@ -111,6 +112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_matryoshka_recall": similarity.matryoshka_recall,
         "text_corpus_datacard": textstats.corpus_datacard,
         "text_mixture_temperature": textstats.mixture_temperature,
+        "dedup_weighted_sample": dedup.weighted_sample,
+        "text_perplexity_buckets": textstats.perplexity_buckets,
         # --- 1. round-7 head: the six never-driver-attested entries
         # (VERDICT r06 item 2), led by the repaired inverted index
         # (item 1: postings serialized to csv so the gate
@@ -164,13 +167,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment_pairs": dedup.containment_pairs,
         "dedup_clusters": dedup.dedup_clusters,
         "text_token_stats": textstats.token_stats,
-        "text_token_counts": textstats.token_counts,
-        "text_lang_id": textstats.lang_id,
         # ---- driver verification window ends at 50 entries ----
-        # (r04 remainder continues; these twenty-three — the eight
+        # (r04 remainder continues; these twenty-five — the ten
         # below displaced by the section-0 additions plus the
         # original fifteen — head the round-8 window, each with a
         # local parity test in CI)
+        "text_token_counts": textstats.token_counts,
+        "text_lang_id": textstats.lang_id,
         "text_doc_fingerprint": textstats.doc_fingerprint,
         "text_redact": textstats.redact_text,
         "sim_quantize_embeddings": similarity.quantize_embeddings,
@@ -333,6 +336,8 @@ def oracle_sql() -> dict[str, str]:
         "sim_matryoshka_recall": similarity.MATRYOSHKA_RECALL_SQL,
         "text_corpus_datacard": textstats.CORPUS_DATACARD_SQL,
         "text_mixture_temperature": textstats.MIXTURE_TEMPERATURE_SQL,
+        "dedup_weighted_sample": dedup.WEIGHTED_SAMPLE_SQL,
+        "text_perplexity_buckets": textstats.PERPLEXITY_BUCKETS_SQL,
         "retrieval_inverted_index": retrieval.INVERTED_INDEX_SQL,
         "asof_nearest_click": asof.NEAREST_CLICK_TO_PURCHASE_SQL,
         "versioning_corpus_delta": versioning.CORPUS_DELTA_SQL,

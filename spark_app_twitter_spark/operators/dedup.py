@@ -1483,3 +1483,67 @@ FROM totals t LEFT OUTER JOIN leaked l ON t.split = l.split
 
 
 SPLIT_LEAKAGE_SQL = _split_leakage_sql()
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-aware downsampling (the RefinedWeb/Gopher alternative to
+# hard dedup): instead of dropping all-but-one copy, keep each member
+# of an exact-duplicate group with probability 1/group_size, so the
+# EXPECTED mass of every distinct document is one copy but no single
+# "survivor" choice biases which copy's metadata wins.
+_WSAMPLE_DENOM = 1 << 60
+_WSAMPLE_SALT = ":wsample"
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, digest, group_size, kept): every doc with its
+    exact-duplicate group size and the deterministic 1/group_size
+    keep decision (kept = md5-derived integer draw below
+    DENOM // group_size — pure bigint compare, engine-exact, no
+    float probability anywhere).
+
+    Scale shape: ONE shuffle keyed on the uniform content digest
+    computes group sizes (map-side combine), broadcast-free; the
+    draw and compare are map-side projections. Contrast with
+    exact_dedup's keep-first window: same shuffle key, but this
+    variant needs no per-group ordering — a count suffices, so skew
+    cannot serialize a window sort.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    sized = docs.withColumn("digest", F.md5("text")).withColumn(
+        "group_size",
+        F.count(F.lit(1)).over(Window.partitionBy("digest")),
+    )
+    draw = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_WSAMPLE_SALT))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return sized.select(
+        "doc_id",
+        "source",
+        "digest",
+        F.col("group_size").cast("long").alias("group_size"),
+        (
+            draw
+            < F.expr(f"cast({_WSAMPLE_DENOM} as bigint) div group_size")
+        ).alias("kept"),
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH sized AS (
+  SELECT doc_id, source, md5(text) AS digest,
+         CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+           AS group_size
+  FROM documents
+)
+SELECT doc_id, source, digest, group_size,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{_WSAMPLE_SALT.replace("'", "''")}'), 1, 15)) AS BIGINT)
+         < (CAST({_WSAMPLE_DENOM} AS BIGINT) // group_size) AS kept
+FROM sized
+"""

@@ -1868,3 +1868,59 @@ def test_mixture_temperature_parity_and_flattening(spark, sf_dir):
             assert r.multiplier > 1.0
         if r.token_share > mean_share * 1.25:
             assert r.multiplier < 1.0
+
+
+def test_weighted_sample_parity_and_expected_mass(spark, sf_dir, tmp_path):
+    """Duplicate-aware sampling matches its twin; singletons are
+    always kept; and on a planted corpus of one 8-copy group the
+    kept count is small (expected 1) while every distinct doc's
+    group accounting is exact."""
+    import os
+
+    from tests.parity import assert_parity
+
+    from spark_app_twitter_spark.operators import dedup
+
+    df = dedup.weighted_sample(spark, sf_dir)
+    assert_parity(df, dedup.WEIGHTED_SAMPLE_SQL, sf_dir, "wsample")
+
+    rows = df.collect()
+    for r in rows:
+        if r.group_size == 1:
+            assert r.kept  # draw < DENOM // 1 always (draw is 60-bit)
+
+    planted = [(i, "same text eight times") for i in range(8)] + [
+        (i, f"unique text {i}") for i in range(8, 20)
+    ]
+    sf2 = str(tmp_path / "wsample")
+    os.makedirs(sf2)
+    spark.createDataFrame(
+        [(i, t, "en", "srcA", len(t)) for i, t in planted],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf2}/documents.parquet")
+    out = dedup.weighted_sample(spark, sf2).collect()
+    dup = [r for r in out if r.group_size == 8]
+    assert len(dup) == 8
+    assert sum(r.kept for r in dup) <= 3  # expected 1 of 8
+    singles = [r for r in out if r.group_size == 1]
+    assert len(singles) == 12 and all(r.kept for r in singles)
+
+
+def test_perplexity_buckets_parity_and_thirds(spark, sf_dir):
+    """The CCNet split matches its twin: three buckets, balanced doc
+    counts (ntile), and strictly ordered score ranges
+    head >= middle >= tail."""
+    from tests.parity import assert_parity
+
+    from spark_app_twitter_spark.operators import textstats
+
+    df = textstats.perplexity_buckets(spark, sf_dir)
+    assert_parity(df, textstats.PERPLEXITY_BUCKETS_SQL, sf_dir, "pplx")
+
+    rows = {r.bucket: r for r in df.collect()}
+    assert set(rows) == set(textstats.PPLX_BUCKETS)
+    counts = [rows[b].n_docs for b in textstats.PPLX_BUCKETS]
+    assert max(counts) - min(counts) <= 1  # ntile balance
+    assert rows["head"].min_score >= rows["middle"].max_score
+    assert rows["middle"].min_score >= rows["tail"].max_score
+    assert all(r.n_bigrams > 0 for r in rows.values())

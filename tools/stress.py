@@ -152,6 +152,12 @@ STRESS_QUERIES = [
     "sim_matryoshka_recall",
     "text_corpus_datacard",
     "text_mixture_temperature",
+    # duplicate-aware sampling (one digest-keyed count + map-side
+    # draw), CCNet buckets (vocab-bounded LM scoring + a (score,
+    # doc_id)-pair total sort — the documented approx-quantile swap
+    # point at corpus scale)
+    "dedup_weighted_sample",
+    "text_perplexity_buckets",
     # NOT listed: sim_ann_recall_audit and sim_ivf_probe_sensitivity
     # — their exact sides score the corpus per query by construction
     # (the operators' docstrings document the sampled-query audit
@@ -279,13 +285,29 @@ def main() -> None:
                  "text_lang_id", "sim_knn_quantized"):
         qs[warm](spark, "/root/testdata/sf0.001").count()
 
+    # default measurement is .count() (comparable with every prior
+    # round's numbers). count() lets Catalyst PRUNE work that doesn't
+    # affect cardinality — notably unique-keyed left joins (join
+    # elimination), which makes e.g. bigram_lm_score's scoring branch
+    # vanish from the measured plan. SPARK_GRAFT_STRESS_NOOP=1
+    # switches to a noop-sink write that materializes every output
+    # column — the honest number for such queries; results carry
+    # "measure": "noop" so the two modes are never mixed in a table.
+    noop = os.environ.get("SPARK_GRAFT_STRESS_NOOP") == "1"
+
+    def run(df) -> int:
+        if noop:
+            df.write.mode("overwrite").format("noop").save()
+            return -1
+        return df.count()
+
     base, scaled = {}, {}
     for name in names:
         t0 = time.perf_counter()
-        qs[name](spark, SRC).count()
+        run(qs[name](spark, SRC))
         base[name] = round(time.perf_counter() - t0, 2)
         t0 = time.perf_counter()
-        n = qs[name](spark, sf_dir).count()
+        n = run(qs[name](spark, sf_dir))
         scaled[name] = round(time.perf_counter() - t0, 2)
         print(
             f"  {name}: {base[name]}s -> {scaled[name]}s "
@@ -300,6 +322,7 @@ def main() -> None:
                 "build_sec": build_s,
                 "base_sec": base,
                 "scaled_sec": scaled,
+                "measure": "noop" if noop else "count",
                 "loadavg": list(os.getloadavg()),
             }
         )
