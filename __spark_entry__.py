@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from spark_app_twitter_spark.sources import bucketing as layout
 from spark_app_twitter_spark.operators import (
     graph,
+    unigram,
     sketches,
     packing,
     retrieval,
@@ -86,8 +87,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     scorecard, quantized IVF, index export, probe sensitivity,
     split leakage, embedding sanity) follow in section 2b. Then the
     r04 remainder per the documented schedule: the 11 serving
-    entries + 10 of the 35 remaining r04 rows fill the window; the
-    25 displaced rows (marked at the window boundary below) head
+    entries + 8 of the 35 remaining r04 rows fill the window; the
+    27 displaced rows (marked at the window boundary below) head
     round 8. The r05/r06-fresh entries sit last. Every deferred
     entry keeps a local DuckDB-oracle parity test in CI.
 
@@ -95,7 +96,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     operators — BM25, DSIR, bitext mining, shard manifest, then
     hybrid RRF fusion, the matryoshka truncation audit, the corpus
     data card, the temperature-scaled mixture, duplicate-aware
-    weighted sampling, and CCNet perplexity buckets) leads.
+    weighted sampling, CCNet perplexity buckets, and the unigram-LM
+    tokenizer train/encode pair) leads.
     """
     return {
         # --- 0. added in the round-7 continuation (never attested):
@@ -114,6 +116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_mixture_temperature": textstats.mixture_temperature,
         "dedup_weighted_sample": dedup.weighted_sample,
         "text_perplexity_buckets": textstats.perplexity_buckets,
+        "text_unigram_train": unigram.unigram_train,
+        "text_unigram_encode": unigram.unigram_encode,
         # --- 1. round-7 head: the six never-driver-attested entries
         # (VERDICT r06 item 2), led by the repaired inverted index
         # (item 1: postings serialized to csv so the gate
@@ -165,13 +169,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "dedup_ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "dedup_containment_pairs": dedup.containment_pairs,
-        "dedup_clusters": dedup.dedup_clusters,
-        "text_token_stats": textstats.token_stats,
         # ---- driver verification window ends at 50 entries ----
-        # (r04 remainder continues; these twenty-five — the ten
+        # (r04 remainder continues; these twenty-seven — the twelve
         # below displaced by the section-0 additions plus the
         # original fifteen — head the round-8 window, each with a
         # local parity test in CI)
+        "dedup_clusters": dedup.dedup_clusters,
+        "text_token_stats": textstats.token_stats,
         "text_token_counts": textstats.token_counts,
         "text_lang_id": textstats.lang_id,
         "text_doc_fingerprint": textstats.doc_fingerprint,
@@ -311,6 +315,8 @@ def _trained_oracles() -> dict[str, str]:
             "graph_pagerank_near_dup": oracles.pagerank_near_dup_sql(),
             "text_bpe_train_batched": oracles.bpe_train_merges_batched_sql(),
             "text_bpe_compression": oracles.bpe_compression_sql(),
+            "text_unigram_train": oracles.unigram_train_sql(),
+            "text_unigram_encode": oracles.unigram_encode_sql(),
         }
     except Exception as e:  # pragma: no cover - environment guard
         # the downgrade to rows-only must never be silent: a bug in

@@ -554,3 +554,145 @@ def pagerank_near_dup_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
         )
     _SQL_CACHE[key] = sql
     return _SQL_CACHE[key]
+
+
+# ---------------------------------------------------------- unigram LM
+# Sequential replica of operators/unigram.py's EM trainer. Constants
+# re-declared (the replica shares no engine code path); keep in sync
+# with operators/unigram.py.
+UG_MAX_PIECE = 4
+UG_SEED_K = 200
+UG_EM_ROUNDS = 2
+UG_SCALE = 1_000_000
+
+
+def _ug_words(sf_dir: str) -> dict[str, int]:
+    con = _duck(sf_dir)
+    rows = con.execute(
+        "SELECT word, count(*) FROM (SELECT unnest(string_split(text, ' '))"
+        " AS word FROM documents) GROUP BY word"
+    ).fetchall()
+    return {w: int(c) for w, c in rows}
+
+
+def _ug_mstep(counts: dict[str, int], vocab: list[str]) -> dict[str, int]:
+    total = sum(counts.get(p, 0) for p in vocab)
+    denom = total + len(vocab)
+    return {
+        p: math.floor(
+            (math.log(counts.get(p, 0) + 1) - math.log(denom)) * UG_SCALE
+        )
+        for p in vocab
+    }
+
+
+def _ug_viterbi(word: str, logp: dict[str, int]) -> list[str]:
+    n = len(word)
+    if n == 0:
+        return []
+    neg_inf = -(1 << 60)
+    floor_score = min(logp.values(), default=-UG_SCALE) - UG_SCALE
+    best = [neg_inf] * (n + 1)
+    back = [0] * (n + 1)
+    best[0] = 0
+    for i in range(1, n + 1):
+        for ln in range(1, min(UG_MAX_PIECE, i) + 1):
+            piece = word[i - ln : i]
+            score = logp.get(piece)
+            if score is None:
+                if ln > 1:
+                    continue
+                score = floor_score
+            cand = best[i - ln] + score
+            if cand > best[i]:
+                best[i] = cand
+                back[i] = ln
+    seg: list[str] = []
+    i = n
+    while i > 0:
+        seg.append(word[i - back[i] : i])
+        i -= back[i]
+    seg.reverse()
+    return seg
+
+
+def replica_unigram(sf_dir: str) -> list[tuple[str, int, int]]:
+    """[(piece, em_count, logp_micro)] — the trained artifact,
+    sequentially: substring-count seeding (all chars + top-K
+    multi-char, ties piece asc), then UG_EM_ROUNDS of Viterbi
+    E-step / add-one M-step over the word-frequency table."""
+    words = _ug_words(sf_dir)
+    cand: dict[str, int] = {}
+    for w, f in words.items():
+        for ln in range(1, UG_MAX_PIECE + 1):
+            for i in range(len(w) - ln + 1):
+                p = w[i : i + ln]
+                cand[p] = cand.get(p, 0) + f
+    chars = [(p, c) for p, c in cand.items() if len(p) == 1]
+    multi = sorted(
+        ((p, c) for p, c in cand.items() if len(p) > 1),
+        key=lambda t: (-t[1], t[0]),
+    )[:UG_SEED_K]
+    seed = sorted(chars + multi)
+    vocab = [p for p, _ in seed]
+    logp = _ug_mstep(dict(seed), vocab)
+    counts: dict[str, int] = {}
+    for _ in range(UG_EM_ROUNDS):
+        counts = {}
+        for w, f in words.items():
+            for p in _ug_viterbi(w, logp):
+                counts[p] = counts.get(p, 0) + f
+        logp = _ug_mstep(counts, vocab)
+    return [(p, counts.get(p, 0), logp[p]) for p in vocab]
+
+
+def unigram_train_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    key = ("unigram_train", sf_dir)
+    if key not in _SQL_CACHE:
+        art = replica_unigram(sf_dir)
+        vals = ",\n  ".join(
+            f"({_s(p)}, {c}, {lp})" for p, c, lp in art
+        )
+        _SQL_CACHE[key] = f"""
+SELECT piece, CAST(em_count AS BIGINT) AS em_count,
+       CAST(logp_micro AS BIGINT) AS logp_micro
+FROM (VALUES
+  {vals}
+) AS t(piece, em_count, logp_micro)
+"""
+    return _SQL_CACHE[key]
+
+
+def unigram_encode_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Literal per-word encoding relation (sequential Viterbi under
+    the replica-trained probabilities) + the relational half (join,
+    doc rollup) as real SQL over the corpus."""
+    key = ("unigram_encode", sf_dir)
+    if key not in _SQL_CACHE:
+        art = replica_unigram(sf_dir)
+        logp = {p: lp for p, _, lp in art}
+        words = _ug_words(sf_dir)
+        vals = ",\n  ".join(
+            f"({_s(w)}, {len(_ug_viterbi(w, logp))})" for w in sorted(words)
+        )
+        _SQL_CACHE[key] = f"""
+WITH enc(word, np) AS (VALUES
+  {vals}
+),
+wc AS (
+  SELECT doc_id, word, count(*) AS n
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+  GROUP BY doc_id, word
+)
+SELECT doc_id,
+       CAST(sum(n) AS BIGINT) AS n_words,
+       CAST(sum(n * np) AS BIGINT) AS n_pieces,
+       CASE WHEN sum(n * np) > 0
+            THEN round(CAST(sum(n * length(word)) AS DOUBLE)
+                       / CAST(sum(n * np) AS DOUBLE), 6)
+       END AS chars_per_piece
+FROM wc JOIN enc USING (word)
+GROUP BY doc_id
+"""
+    return _SQL_CACHE[key]

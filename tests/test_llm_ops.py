@@ -1924,3 +1924,113 @@ def test_perplexity_buckets_parity_and_thirds(spark, sf_dir):
     assert rows["head"].min_score >= rows["middle"].max_score
     assert rows["middle"].min_score >= rows["tail"].max_score
     assert all(r.n_bigrams > 0 for r in rows.values())
+
+
+def test_unigram_train_parity_and_em_properties(spark, sf_dir):
+    """The distributed unigram-LM trainer bit-matches the sequential
+    replica; the vocabulary contains every corpus character; probs
+    are a valid (sub-)distribution; and EM mass concentrates on
+    pieces actually used by Viterbi."""
+    from tests.parity import assert_parity
+
+    from spark_app_twitter_spark import oracles
+    from spark_app_twitter_spark.operators import unigram
+
+    df = unigram.unigram_train(spark, sf_dir)
+    assert_parity(df, oracles.unigram_train_sql(sf_dir), sf_dir, "ug_train")
+
+    rows = df.collect()
+    vocab = {r.piece for r in rows}
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    text = " ".join(
+        r.text for r in load_table(spark, sf_dir, "documents").collect()
+    )
+    corpus_chars = set(text.replace(" ", ""))
+    assert corpus_chars <= vocab
+    import math
+
+    total_p = sum(math.exp(r.logp_micro / 1e6) for r in rows)
+    assert total_p <= 1.001
+    used = [r for r in rows if r.em_count > 0]
+    unused = [r for r in rows if r.em_count == 0]
+    assert used
+    if unused:
+        assert min(r.logp_micro for r in used) >= max(
+            r.logp_micro for r in unused
+        )
+
+
+def test_unigram_viterbi_optimality_bruteforce():
+    """The integer DP returns a maximum-score segmentation: verified
+    against exhaustive enumeration on short words, including the
+    shortest-piece tie rule."""
+    import itertools
+
+    from spark_app_twitter_spark.operators.unigram import (
+        UNIGRAM_MAX_PIECE,
+        _viterbi_pieces,
+    )
+
+    logp = {
+        "a": -100, "b": -100, "c": -100, "ab": -150, "bc": -90,
+        "abc": -260, "abca": -200,
+    }
+
+    def all_segs(word):
+        n = len(word)
+        for cuts in itertools.product([0, 1], repeat=max(n - 1, 0)):
+            seg, start = [], 0
+            for i, c in enumerate(cuts, 1):
+                if c:
+                    seg.append(word[start:i]); start = i
+            seg.append(word[start:])
+            if all(
+                len(p) <= UNIGRAM_MAX_PIECE and p in logp for p in seg
+            ):
+                yield seg
+
+    for word in ["abc", "abca", "abcabc", "bcbc", "aabb"]:
+        got = _viterbi_pieces(word, logp)
+        assert "".join(got) == word
+        best = max(sum(logp[p] for p in s) for s in all_segs(word))
+        assert sum(logp[p] for p in got) == best
+    # tie rule: "bc"+"a" vs shortest-piece preference is score-driven;
+    # equal-score alternatives keep the SHORTEST final piece
+    tie = {"a": -100, "b": -100, "ab": -200}
+    assert _viterbi_pieces("ab", tie) == ["a", "b"]
+
+
+def test_unigram_encode_parity_and_planted_compression(
+    spark, sf_dir, tmp_path
+):
+    """Encoding matches the literal-twin oracle; and on a planted
+    corpus dominated by one repeated 4-gram, that 4-gram becomes a
+    piece so its words encode far below character length."""
+    import os
+
+    from tests.parity import assert_parity
+
+    from spark_app_twitter_spark import oracles
+    from spark_app_twitter_spark.operators import unigram
+
+    df = unigram.unigram_encode(spark, sf_dir)
+    assert_parity(df, oracles.unigram_encode_sql(sf_dir), sf_dir, "ug_enc")
+    for r in df.collect():
+        assert r.n_pieces >= 1
+        assert r.chars_per_piece is None or r.chars_per_piece >= 1.0
+
+    planted = [(i, "wxyz wxyzwxyz qq") for i in range(12)] + [
+        (12, "qq wx yz")
+    ]
+    sf2 = str(tmp_path / "ug")
+    os.makedirs(sf2)
+    spark.createDataFrame(
+        [(i, t, "en", "srcA", len(t)) for i, t in planted],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf2}/documents.parquet")
+    art = {p: lp for p, _, lp in unigram.unigram_trained(spark, sf2)}
+    assert "wxyz" in art
+    from spark_app_twitter_spark.operators.unigram import _viterbi_pieces
+
+    assert _viterbi_pieces("wxyzwxyz", art) == ["wxyz", "wxyz"]

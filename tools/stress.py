@@ -153,11 +153,16 @@ STRESS_QUERIES = [
     "text_corpus_datacard",
     "text_mixture_temperature",
     # duplicate-aware sampling (one digest-keyed count + map-side
-    # draw), CCNet buckets (vocab-bounded LM scoring + a (score,
-    # doc_id)-pair total sort — the documented approx-quantile swap
-    # point at corpus scale)
+    # draw), CCNet buckets (vocab-bounded LM scoring + per-SCORE
+    # span placement — no global sort; boundary-crossing scores
+    # alone rank their members)
     "dedup_weighted_sample",
     "text_perplexity_buckets",
+    # unigram-LM tokenizer: EM rounds run the Viterbi UDF over
+    # DISTINCT WORDS (vocabulary-bounded, like the BPE trainer);
+    # encode joins the per-word artifact back via broadcast
+    "text_unigram_train",
+    "text_unigram_encode",
     # NOT listed: sim_ann_recall_audit and sim_ivf_probe_sensitivity
     # — their exact sides score the corpus per query by construction
     # (the operators' docstrings document the sampled-query audit
