@@ -104,6 +104,14 @@ HEADLINE = [
     "sim_knn_ivf_quantized",
     "sim_contrastive_pairs",
     "text_bpe_compression",
+    # round-7 continuation: heaviest representative per new family —
+    # sparse BM25 + its RRF fusion, DSIR importance scoring, CCNet
+    # perplexity split (rides LM scoring), unigram-LM corpus encode
+    "retrieval_bm25",
+    "retrieval_hybrid_rrf",
+    "text_dsir_weights",
+    "text_perplexity_buckets",
+    "text_unigram_encode",
 ]
 
 
