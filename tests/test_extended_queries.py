@@ -1245,3 +1245,70 @@ def test_ivf_probe_sensitivity_parity_and_monotonicity(spark, sf_dir):
     agg_recall = sum(r.n_hit for r in audit) / sum(r.n_exact for r in audit)
     # reachability at the full budget upper-bounds served recall
     assert rows[-1].recall >= agg_recall - 1e-9
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    word=st.text(alphabet="abcd", min_size=0, max_size=9),
+    vocab=st.dictionaries(
+        st.text(alphabet="abcd", min_size=1, max_size=4),
+        st.integers(min_value=-3_000_000, max_value=-1),
+        min_size=1,
+        max_size=25,
+    ),
+)
+def test_unigram_viterbi_engine_replica_agree_randomized(word, vocab):
+    """The engine's Arrow-side DP and the oracle's independently
+    written sequential DP must return the IDENTICAL segmentation on
+    arbitrary words and score tables — including dead-end fallbacks,
+    ties, and the shortest-piece tie rule. Any drift between the two
+    implementations is a gate hash-mismatch waiting to happen."""
+    from spark_app_twitter_spark import oracles
+    from spark_app_twitter_spark.operators import unigram
+
+    # both sides guarantee totality only when every char is scored
+    logp = dict(vocab)
+    for ch in set(word):
+        logp.setdefault(ch, -2_500_000)
+    got_engine = unigram._viterbi_pieces(word, logp)
+    got_replica = oracles._ug_viterbi(word, logp)
+    assert got_engine == got_replica
+    assert "".join(got_engine) == word
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    word=st.text(alphabet="ab", min_size=1, max_size=8),
+    vocab=st.dictionaries(
+        st.text(alphabet="ab", min_size=1, max_size=4),
+        st.integers(min_value=-3_000_000, max_value=-1),
+        min_size=1,
+        max_size=12,
+    ),
+)
+def test_unigram_viterbi_optimal_randomized(word, vocab):
+    """DP score equals the exhaustive-enumeration optimum on every
+    random (word, score-table) pair."""
+    import itertools
+
+    from spark_app_twitter_spark.operators import unigram
+
+    logp = dict(vocab)
+    for ch in set(word):
+        logp.setdefault(ch, -2_500_000)
+    got = unigram._viterbi_pieces(word, logp)
+    n = len(word)
+    best = None
+    for cuts in itertools.product([0, 1], repeat=n - 1):
+        seg, start = [], 0
+        for i, c in enumerate(cuts, 1):
+            if c:
+                seg.append(word[start:i])
+                start = i
+        seg.append(word[start:])
+        if all(len(p) <= unigram.UNIGRAM_MAX_PIECE and p in logp for p in seg):
+            s = sum(logp[p] for p in seg)
+            if best is None or s > best:
+                best = s
+    assert best is not None
+    assert sum(logp[p] for p in got) == best
