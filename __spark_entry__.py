@@ -87,8 +87,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     scorecard, quantized IVF, index export, probe sensitivity,
     split leakage, embedding sanity) follow in section 2b. Then the
     r04 remainder per the documented schedule: the 11 serving
-    entries + 8 of the 35 remaining r04 rows fill the window; the
-    27 displaced rows (marked at the window boundary below) head
+    entries + 7 of the 35 remaining r04 rows fill the window; the
+    28 displaced rows (marked at the window boundary below) head
     round 8. The r05/r06-fresh entries sit last. Every deferred
     entry keeps a local DuckDB-oracle parity test in CI.
 
@@ -96,8 +96,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     operators — BM25, DSIR, bitext mining, shard manifest, then
     hybrid RRF fusion, the matryoshka truncation audit, the corpus
     data card, the temperature-scaled mixture, duplicate-aware
-    weighted sampling, CCNet perplexity buckets, and the unigram-LM
-    tokenizer train/encode pair) leads.
+    weighted sampling, CCNet perplexity buckets, the unigram-LM
+    tokenizer train/encode pair, and the DP count release) leads.
     """
     return {
         # --- 0. added in the round-7 continuation (never attested):
@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_perplexity_buckets": textstats.perplexity_buckets,
         "text_unigram_train": unigram.unigram_train,
         "text_unigram_encode": unigram.unigram_encode,
+        "versioning_dp_counts": versioning.dp_released_counts,
         # --- 1. round-7 head: the six never-driver-attested entries
         # (VERDICT r06 item 2), led by the repaired inverted index
         # (item 1: postings serialized to csv so the gate
@@ -168,12 +169,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_signatures": dedup.minhash_signatures,
         "dedup_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "dedup_ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
-        "dedup_containment_pairs": dedup.containment_pairs,
         # ---- driver verification window ends at 50 entries ----
-        # (r04 remainder continues; these twenty-seven — the twelve
-        # below displaced by the section-0 additions plus the
-        # original fifteen — head the round-8 window, each with a
-        # local parity test in CI)
+        # (r04 remainder continues; these twenty-eight — the
+        # thirteen below displaced by the section-0 additions plus
+        # the original fifteen — head the round-8 window, each with
+        # a local parity test in CI)
+        "dedup_containment_pairs": dedup.containment_pairs,
         "dedup_clusters": dedup.dedup_clusters,
         "text_token_stats": textstats.token_stats,
         "text_token_counts": textstats.token_counts,
@@ -344,6 +345,7 @@ def oracle_sql() -> dict[str, str]:
         "text_mixture_temperature": textstats.MIXTURE_TEMPERATURE_SQL,
         "dedup_weighted_sample": dedup.WEIGHTED_SAMPLE_SQL,
         "text_perplexity_buckets": textstats.PERPLEXITY_BUCKETS_SQL,
+        "versioning_dp_counts": versioning.DP_COUNTS_SQL,
         "retrieval_inverted_index": retrieval.INVERTED_INDEX_SQL,
         "asof_nearest_click": asof.NEAREST_CLICK_TO_PURCHASE_SQL,
         "versioning_corpus_delta": versioning.CORPUS_DELTA_SQL,

@@ -401,3 +401,114 @@ __all__ = [
     "INCREMENTAL_SOURCE_STATS_SQL",
     "K_ANONYMOUS_RELEASE_SQL",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private count release (truncated discrete Laplace /
+# two-sided geometric — Ghosh, Roughgarden & Sundararajan 2012's
+# universally-optimal count mechanism, truncated at DP_NOISE_MAX):
+# the privacy-family complement of k_anonymous_release. Suppression
+# hides small cells; DP noise protects EVERY cell's exact count.
+DP_EPS = 1.0  # epsilon (count queries have sensitivity 1)
+DP_NOISE_MAX = 64  # truncation bound (mass beyond is renormalized)
+_DP_DENOM = 1 << 60
+_DP_SALT = ":dp"
+
+
+def _dp_thresholds() -> list[tuple[int, int, int]]:
+    """[(noise, lo, hi)] half-open integer intervals partitioning
+    [0, 2^60): a 60-bit uniform draw landing in [lo, hi) yields that
+    noise value. Enumeration order 0, +1, -1, +2, -2, ... with the
+    truncated tail renormalized; thresholds are data-independent
+    CONSTANTS (same table inlined in the SQL twin), so both engines
+    map draws identically with pure integer compares — no float
+    noise math ever runs data-side.
+    """
+    import math
+
+    alpha = math.exp(-DP_EPS)
+    p0 = (1 - alpha) / (1 + alpha)
+    probs: list[tuple[int, float]] = [(0, p0)]
+    for k in range(1, DP_NOISE_MAX + 1):
+        pk = p0 * alpha**k
+        probs.append((k, pk))
+        probs.append((-k, pk))
+    total = sum(p for _, p in probs)
+    out: list[tuple[int, int, int]] = []
+    acc, lo = 0.0, 0
+    for k, p in probs:
+        acc += p / total
+        hi = min(int(acc * _DP_DENOM), _DP_DENOM)
+        out.append((k, lo, hi))
+        lo = hi
+    k_last, lo_last, _ = out[-1]
+    out[-1] = (k_last, lo_last, _DP_DENOM)
+    return out
+
+
+def dp_released_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, lang, released): per-(source, lang) document counts
+    released under epsilon=DP_EPS discrete-Laplace noise, clamped at
+    zero. The noise draw is a deterministic md5 unit draw keyed on
+    the release cell (the engine's seeded-randomness idiom:
+    reproducible pipelines re-release identical tables; rotate the
+    salt to re-randomize).
+
+    Scale shape: ONE grouped count on the release key; the noise map
+    is a broadcast range-join of the 2*DP_NOISE_MAX+1-row constant
+    threshold table against the |cells| aggregate rows — never
+    against data rows. Everything after the count is cell-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    draw = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("source"), F.lit("|"), F.col("lang"), F.lit(_DP_SALT)
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    th = spark.createDataFrame(
+        _dp_thresholds(), "noise int, lo long, hi long"
+    )
+    return (
+        g.withColumn("draw", draw)
+        .join(
+            F.broadcast(th),
+            (F.col("draw") >= F.col("lo")) & (F.col("draw") < F.col("hi")),
+        )
+        .select(
+            "source",
+            "lang",
+            F.greatest(
+                F.col("n") + F.col("noise"), F.lit(0).cast("long")
+            ).alias("released"),
+        )
+    )
+
+
+def _dp_counts_sql() -> str:
+    vals = ",\n  ".join(f"({k}, {lo}, {hi})" for k, lo, hi in _dp_thresholds())
+    return f"""
+WITH g AS (
+  SELECT source, lang, count(*) AS n,
+         CAST(('0x' || substr(md5(source || '|' || lang || '{_DP_SALT}'),
+                              1, 15)) AS BIGINT) AS draw
+  FROM documents GROUP BY source, lang
+),
+th(noise, lo, hi) AS (VALUES
+  {vals}
+)
+SELECT source, lang,
+       greatest(n + noise, CAST(0 AS BIGINT)) AS released
+FROM g JOIN th ON draw >= lo AND draw < hi
+"""
+
+
+DP_COUNTS_SQL = _dp_counts_sql()

@@ -2034,3 +2034,40 @@ def test_unigram_encode_parity_and_planted_compression(
     from spark_app_twitter_spark.operators.unigram import _viterbi_pieces
 
     assert _viterbi_pieces("wxyzwxyz", art) == ["wxyz", "wxyz"]
+
+
+def test_dp_counts_parity_noise_bound_and_determinism(spark, sf_dir):
+    """The DP release matches its twin; every released count is
+    within the truncation bound of the true count and never
+    negative; the deterministic draw makes re-releases identical;
+    and the fixed corpus exhibits actual nonzero noise."""
+    from pyspark.sql import functions as F
+
+    from tests.parity import assert_parity
+
+    from spark_app_twitter_spark.operators import versioning
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    df = versioning.dp_released_counts(spark, sf_dir)
+    assert_parity(df, versioning.DP_COUNTS_SQL, sf_dir, "dp_counts")
+
+    true = {
+        (r.source, r.lang): r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rel = {(r.source, r.lang): r.released for r in df.collect()}
+    assert set(rel) == set(true)
+    deltas = []
+    for k, v in rel.items():
+        assert v >= 0
+        assert abs(v - true[k]) <= versioning.DP_NOISE_MAX
+        deltas.append(v - true[k])
+    assert any(d != 0 for d in deltas), "noise never fired on fixture"
+    rel2 = {
+        (r.source, r.lang): r.released
+        for r in versioning.dp_released_counts(spark, sf_dir).collect()
+    }
+    assert rel2 == rel

@@ -163,6 +163,9 @@ STRESS_QUERIES = [
     # encode joins the per-word artifact back via broadcast
     "text_unigram_train",
     "text_unigram_encode",
+    # DP count release: one release-key count + a 129-row constant
+    # threshold broadcast against CELLS, never data rows
+    "versioning_dp_counts",
     # NOT listed: sim_ann_recall_audit and sim_ivf_probe_sensitivity
     # — their exact sides score the corpus per query by construction
     # (the operators' docstrings document the sampled-query audit
