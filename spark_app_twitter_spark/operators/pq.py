@@ -1,0 +1,393 @@
+"""Product quantization (Jégou, Douze & Schmid 2011, "Product
+Quantization for Nearest Neighbor Search"): split each DIM-dim
+vector into PQ_M subvectors, train an independent PQ_K-centroid
+codebook per subspace (Lloyd), encode every vector as PQ_M small
+codes, and answer queries with asymmetric distance computation (ADC)
+— per-query lookup tables replace float vector math with integer
+adds. The compression complement of the int8 scalar quantization in
+similarity.py (PQ: 64 floats -> 8 codes; int8: 64 floats -> 64
+bytes).
+
+Engine discipline (clustering.py's Lloyd contract, reused verbatim):
+- deterministic init (subvectors of the first PQ_K vec_ids);
+- assignment via the shared rounded score v·c - |c|²/2 (argmax ==
+  argmin distance), inline literal expressions DISPATCHED on the
+  subspace index — a pure map, no crossJoin/window shuffle during
+  training;
+- recentering through clustering._recenter_rows_keyed's quantized
+  1e6 integer sums (order-independent, engine-exact);
+- every oracle below REPLAYS the full training as a generated SQL
+  CTE chain (kmeans_cells_sql's pattern) — no literal artifacts.
+
+Scale shape: training is ONE distributed job per Lloyd iteration
+over the narrow (vec_id, m, sv) relation (M·n rows of SUBDIM
+doubles); the codebook is an M×K×SUBDIM driver artifact. Encoding
+is a map-side projection. ADC search joins the per-query
+(m, cell) -> integer-score lookup table (M·K rows per query,
+broadcast) onto the codes relation and reduces per (query, vector)
+— float math never touches the database side at serve time, the
+entire point of PQ at 100 TB.
+
+Reference scope note: the reference app has no vector surface;
+SURVEY.md §2.9's similarity-search mandate (compression family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_app_twitter_spark.operators.clustering import (
+    _recenter_rows_keyed,
+    euclid_score_literal_sql,
+)
+from spark_app_twitter_spark.operators.similarity import DIM, N_QUERIES
+from spark_app_twitter_spark.sources.parquet import load_table
+
+PQ_M = 8  # subspaces
+PQ_SUBDIM = DIM // PQ_M
+PQ_K = 16  # centroids per subspace (4-bit codes)
+PQ_ITERS = 3
+PQ_TOP_K = 10
+_PQ_SCALE = 1_000_000
+
+
+def _subvecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, v): the narrow subvector relation — each vector
+    exploded into PQ_M rows of PQ_SUBDIM doubles. Column named ``v``
+    so clustering's shared recenter core applies unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    subs = F.array(
+        *[
+            F.slice(F.col("embedding"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
+            for m in range(PQ_M)
+        ]
+    )
+    return emb.select(
+        "vec_id", F.posexplode(subs).alias("m", "sv")
+    ).select(
+        "vec_id",
+        "m",
+        F.expr("transform(sv, x -> cast(x as double))").alias("v"),
+    )
+
+
+def _pq_assign(
+    subs: DataFrame, cents: list[tuple[int, int, list[float]]]
+) -> DataFrame:
+    """(vec_id, m, v, cell): nearest centroid WITHIN each row's
+    subspace — an m-dispatched inline literal expression (the
+    _inline_fine_assign idiom): per subspace, scores land in an
+    array column and the pick is first-max == (score DESC, cell ASC),
+    bit-identical to the SQL twin's row_number ordering."""
+    by_m: dict[int, list[tuple[int, list[float]]]] = {}
+    for m, cell, cv in cents:
+        by_m.setdefault(m, []).append((cell, cv))
+    branches = []
+    for m in sorted(by_m):
+        ordered = sorted(by_m[m])
+        scores = ", ".join(
+            euclid_score_literal_sql("v", cv) for _, cv in ordered
+        )
+        cells = ", ".join(str(c) for c, _ in ordered)
+        branches.append(
+            f"WHEN {m} THEN named_struct("
+            f"'scores', array({scores}), 'cells', array({cells}))"
+        )
+    dispatch = "CASE m " + " ".join(branches) + " END"
+    return (
+        subs.withColumn("_d", F.expr(dispatch))
+        .withColumn(
+            "cell",
+            F.expr(
+                "element_at(_d.cells, cast(array_position("
+                "_d.scores, array_max(_d.scores)) as int))"
+            ),
+        )
+        .drop("_d")
+    )
+
+
+_PQ_CODEBOOK_CACHE: dict[tuple[str, str], list[tuple[int, int, list[float]]]] = {}
+
+
+def clear_pq_cache() -> None:
+    _PQ_CODEBOOK_CACHE.clear()
+
+
+def pq_codebook_rows(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, int, list[float]]]:
+    """The trained codebook [(m, cell, centroid)] — PQ_M independent
+    Lloyd runs driven as ONE distributed job per iteration over the
+    shared subvector relation (the per-subspace trainings ride the
+    same aggregation, keyed (m, cell)). Trains once per
+    (session, corpus); same immutable-path contract as the k-means
+    centroid cache."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PQ_CODEBOOK_CACHE.get(key)
+    if cached is None:
+        subs = _subvecs(spark, sf_dir).localCheckpoint(eager=True)
+        cents = [
+            (int(r["m"]), int(r["vec_id"]), list(r["v"]))
+            for r in subs.where(F.col("vec_id") < PQ_K).collect()
+        ]
+        for _ in range(PQ_ITERS):
+            # recenter under a renamed subspace key: the shared core
+            # aliases its mean column "m", which would collide with
+            # the subspace index and silently return indices as
+            # centroid coordinates
+            assigned = _pq_assign(subs, cents).select(
+                F.col("m").alias("sub_m"), "cell", "v"
+            )
+            cents = [
+                (m, cell, v)
+                for m, cell, v in _recenter_rows_keyed(
+                    assigned, PQ_SUBDIM, ("sub_m", "cell")
+                )
+            ]
+        _PQ_CODEBOOK_CACHE[key] = cents
+        cached = cents
+    return cached
+
+
+def pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(m, cell, cv_csv): the trained product-quantization codebook,
+    centroids serialized as 1e-6-quantized integer csv (the
+    ivf_index_export publication format). The oracle REPLAYS the
+    whole training as a SQL CTE chain — init, every assignment, every
+    quantized recenter — so the gate checks the distributed Lloyd
+    against a from-scratch relational re-derivation."""
+    rows = pq_codebook_rows(spark, sf_dir)
+    df = spark.createDataFrame(
+        rows, "m int, cell int, cv array<double>"
+    )
+    return df.select(
+        "m",
+        "cell",
+        F.expr(
+            "concat_ws(',', transform(cv, x ->"
+            " cast(round(x * 1e6) as bigint)))"
+        ).alias("cv_csv"),
+    )
+
+
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, codes_csv, score_sum_micro): every vector's PQ code
+    word (one code per subspace, m order) plus the integer sum of its
+    per-subspace assignment scores — the monotone stand-in for
+    (negated) reconstruction error, exact across engines because each
+    6dp-rounded score quantizes to micro units BEFORE the PQ_M-term
+    sum. Encoding is a map-side projection against the driver-held
+    codebook."""
+    subs = _subvecs(spark, sf_dir)
+    cents = pq_codebook_rows(spark, sf_dir)
+    assigned = _pq_assign(subs, cents)
+    scored = assigned.withColumn(
+        "_score", _assigned_score_col(cents)
+    ).select(
+        "vec_id",
+        "m",
+        "cell",
+        F.expr("cast(round(_score * 1e6) as bigint)").alias("s_micro"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.expr(
+                "concat_ws(',', transform(array_sort(collect_list("
+                "struct(m, cell))), p -> cast(p.cell as string)))"
+            ).alias("codes_csv"),
+            F.sum("s_micro").alias("score_sum_micro"),
+        )
+    )
+
+
+def _assigned_score_col(
+    cents: list[tuple[int, int, list[float]]]
+) -> F.Column:
+    """Rounded score of a row's subvector against its ASSIGNED
+    centroid — an (m, cell)-dispatched literal expression."""
+    by_m: dict[int, list[tuple[int, list[float]]]] = {}
+    for m, cell, cv in cents:
+        by_m.setdefault(m, []).append((cell, cv))
+    branches = []
+    for m in sorted(by_m):
+        inner = " ".join(
+            f"WHEN {cell} THEN {euclid_score_literal_sql('v', cv)}"
+            for cell, cv in sorted(by_m[m])
+        )
+        branches.append(f"WHEN {m} THEN (CASE cell {inner} END)")
+    return F.expr("CASE m " + " ".join(branches) + " END")
+
+
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, adc_micro, rank): asymmetric-distance
+    top-k — each query's subvectors score the codebook ONCE into an
+    (m, cell) -> integer lookup table (PQ_M·PQ_K rows per query,
+    broadcast), and every database vector's approximate score is the
+    sum of PQ_M table lookups over its codes. Ranking ties break on
+    neighbor_id (knn convention); query cohort and database split
+    follow similarity.py (vec_id < N_QUERIES vs the rest).
+
+    At 100 TB: the codes relation is 8 bytes/vector, the lut
+    broadcast is constant-size, and serve-time math is integer adds
+    — no float vector ops touch the database side.
+    """
+    cents = pq_codebook_rows(spark, sf_dir)
+    subs = _subvecs(spark, sf_dir)
+    codes = _pq_assign(
+        subs.where(F.col("vec_id") >= N_QUERIES), cents
+    ).select(F.col("vec_id").alias("neighbor_id"), "m", "cell")
+    cdf = spark.createDataFrame(
+        cents, "m int, cell int, cv array<double>"
+    )
+    qsubs = subs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "m", "v"
+    )
+    lut = qsubs.join(cdf, "m").select(
+        "query_id",
+        "m",
+        "cell",
+        F.expr(
+            "cast(round(round(aggregate(zip_with(v, cv, (x, y) -> x * y),"
+            " 0.0D, (acc, x) -> acc + x)"
+            " - aggregate(zip_with(cv, cv, (x, y) -> x * y), 0.0D,"
+            " (acc, x) -> acc + x) / 2.0, 6) * 1e6) as bigint)"
+        ).alias("s_micro"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "cell"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("s_micro").alias("adc_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_micro"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= PQ_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------- SQL
+def _pq_score_sql(v: str, c: str) -> str:
+    """The shared rounded subspace score, DuckDB form."""
+    return (
+        f"round(list_dot_product({v}, {c}) "
+        f"- list_dot_product({c}, {c}) / 2.0, 6)"
+    )
+
+
+def _pq_ctes() -> list[str]:
+    """CTE chain (no WITH) ending at ``pc{PQ_ITERS}`` = the trained
+    codebook — the full Lloyd replay, kmeans_centroid_ctes' pattern
+    keyed by (m, cell)."""
+    parts = [
+        "emb AS (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        f"sub AS (SELECT vec_id, CAST(ms.m AS INT) AS m,"
+        f" v[ms.m * {PQ_SUBDIM} + 1 : (ms.m + 1) * {PQ_SUBDIM}] AS v"
+        f" FROM emb, (SELECT unnest(range({PQ_M})) AS m) ms)",
+        f"pc0 AS (SELECT m, CAST(vec_id AS INT) AS cell, v AS cv"
+        f" FROM sub WHERE vec_id < {PQ_K})",
+    ]
+    for i in range(PQ_ITERS):
+        parts.append(
+            f"pa{i} AS (SELECT vec_id, m, v, cell FROM ("
+            f"SELECT s.vec_id, s.m, s.v, c.cell, row_number() OVER ("
+            f"PARTITION BY s.vec_id, s.m"
+            f" ORDER BY {_pq_score_sql('s.v', 'c.cv')} DESC, c.cell ASC)"
+            f" AS rk FROM sub s JOIN pc{i} c USING (m)) WHERE rk = 1)"
+        )
+        parts.append(
+            f"pm{i} AS (SELECT m, cell, dim,"
+            f" CAST(sum(q) AS DOUBLE) / (count(*) * 1e6) AS mu FROM ("
+            f"SELECT m, cell, unnest(range(len(v))) AS dim,"
+            f" unnest(list_transform(v, x -> CAST(round(x * 1e6) AS BIGINT)))"
+            f" AS q FROM pa{i}) GROUP BY m, cell, dim)"
+        )
+        parts.append(
+            f"pc{i + 1} AS (SELECT m, cell, list(mu ORDER BY dim ASC) AS cv"
+            f" FROM pm{i} GROUP BY m, cell)"
+        )
+    return parts
+
+
+def _final_assign_cte() -> str:
+    """Assignment of every subvector against the FINAL codebook."""
+    return (
+        f"pa_fin AS (SELECT vec_id, m, v, cell FROM ("
+        f"SELECT s.vec_id, s.m, s.v, c.cell, row_number() OVER ("
+        f"PARTITION BY s.vec_id, s.m"
+        f" ORDER BY {_pq_score_sql('s.v', 'c.cv')} DESC, c.cell ASC) AS rk"
+        f" FROM sub s JOIN pc{PQ_ITERS} c USING (m)) WHERE rk = 1)"
+    )
+
+
+def _pq_train_sql() -> str:
+    parts = _pq_ctes()
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT m, cell, array_to_string(list_transform(cv,"
+        f" x -> CAST(round(x * 1e6) AS BIGINT)), ',') AS cv_csv"
+        f" FROM pc{PQ_ITERS}"
+    )
+
+
+def _pq_encode_sql() -> str:
+    parts = _pq_ctes() + [_final_assign_cte()]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT vec_id,
+       string_agg(cell, ',' ORDER BY m ASC) AS codes_csv,
+       CAST(sum(s_micro) AS BIGINT) AS score_sum_micro
+FROM (
+  SELECT a.vec_id, a.m, a.cell,
+         CAST(round({_pq_score_sql('a.v', 'c.cv')} * 1e6) AS BIGINT)
+           AS s_micro
+  FROM pa_fin a JOIN pc{PQ_ITERS} c ON a.m = c.m AND a.cell = c.cell
+)
+GROUP BY vec_id
+"""
+    )
+
+
+def _knn_pq_sql() -> str:
+    parts = _pq_ctes() + [_final_assign_cte()]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+codes AS (SELECT vec_id AS neighbor_id, m, cell FROM pa_fin
+          WHERE vec_id >= {N_QUERIES}),
+lut AS (
+  SELECT s.vec_id AS query_id, s.m, c.cell,
+         CAST(round({_pq_score_sql('s.v', 'c.cv')} * 1e6) AS BIGINT)
+           AS s_micro
+  FROM sub s JOIN pc{PQ_ITERS} c USING (m)
+  WHERE s.vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         CAST(sum(s_micro) AS BIGINT) AS adc_micro
+  FROM codes JOIN lut USING (m, cell)
+  GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, adc_micro, rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_micro DESC,
+                                        neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {PQ_TOP_K}
+"""
+    )
+
+
+PQ_TRAIN_SQL = _pq_train_sql()
+PQ_ENCODE_SQL = _pq_encode_sql()
+KNN_PQ_SQL = _knn_pq_sql()

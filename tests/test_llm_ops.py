@@ -2071,3 +2071,101 @@ def test_dp_counts_parity_noise_bound_and_determinism(spark, sf_dir):
         for r in versioning.dp_released_counts(spark, sf_dir).collect()
     }
     assert rel2 == rel
+
+
+def test_pq_train_parity_and_codebook_shape(spark, sf_dir):
+    """The distributed PQ Lloyd training matches the full SQL
+    replay; the codebook has PQ_M x (<= PQ_K) centroids of PQ_SUBDIM
+    quantized coordinates each."""
+    from tests.parity import assert_parity
+
+    from spark_app_twitter_spark.operators import pq
+
+    df = pq.pq_train(spark, sf_dir)
+    assert_parity(df, pq.PQ_TRAIN_SQL, sf_dir, "pq_train")
+
+    rows = df.collect()
+    by_m = {}
+    for r in rows:
+        by_m.setdefault(r.m, []).append(r)
+        assert len(r.cv_csv.split(",")) == pq.PQ_SUBDIM
+        assert 0 <= r.cell < pq.PQ_K
+    assert set(by_m) == set(range(pq.PQ_M))
+    for m, cells in by_m.items():
+        assert 1 < len(cells) <= pq.PQ_K
+
+
+def test_pq_encode_parity_and_code_bounds(spark, sf_dir):
+    """Encoding matches the twin; every vector gets exactly PQ_M
+    codes, each inside the codebook range."""
+    from tests.parity import assert_parity
+
+    from spark_app_twitter_spark.operators import pq
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    df = pq.pq_encode(spark, sf_dir)
+    assert_parity(df, pq.PQ_ENCODE_SQL, sf_dir, "pq_encode")
+
+    rows = df.collect()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n
+    for r in rows:
+        codes = [int(x) for x in r.codes_csv.split(",")]
+        assert len(codes) == pq.PQ_M
+        assert all(0 <= c < pq.PQ_K for c in codes)
+
+
+def test_knn_pq_adc_parity_and_recall_floor(spark, sf_dir):
+    """ADC search matches the twin; ranks are dense per query; and
+    recall@10 against the exact euclidean-score ranking clears a
+    conservative floor. (The synthetic embeddings are unstructured —
+    the worst case for PQ — so the floor is deliberately low; the
+    parity check, not the recall, is the correctness gate.)"""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tests.parity import assert_parity
+
+    from spark_app_twitter_spark.functions.vectors import dot
+    from spark_app_twitter_spark.operators import pq
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    df = pq.knn_pq_adc(spark, sf_dir)
+    assert_parity(df, pq.KNN_PQ_SQL, sf_dir, "knn_pq")
+
+    adc = {}
+    for r in df.collect():
+        adc.setdefault(r.query_id, []).append(r)
+    for q, hits in adc.items():
+        hits.sort(key=lambda r: r.rank)
+        assert [r.rank for r in hits] == list(range(1, len(hits) + 1))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < pq.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cs = emb.where(F.col("vec_id") >= pq.N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    score = F.round(
+        dot(F.col("qv"), F.col("cv")) - dot(F.col("cv"), F.col("cv")) / 2, 6
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("s"), F.asc("neighbor_id")
+    )
+    exact = (
+        cs.crossJoin(F.broadcast(qs))
+        .select("query_id", "neighbor_id", score.alias("s"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= pq.PQ_TOP_K)
+        .collect()
+    )
+    ex = {}
+    for r in exact:
+        ex.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(ex[q] & {r.neighbor_id for r in adc[q]}) / pq.PQ_TOP_K
+        for q in ex
+    ]
+    assert sum(recalls) / len(recalls) >= 0.15
+    assert all(r >= 0.1 for r in recalls)

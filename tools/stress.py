@@ -166,6 +166,12 @@ STRESS_QUERIES = [
     # DP count release: one release-key count + a 129-row constant
     # threshold broadcast against CELLS, never data rows
     "versioning_dp_counts",
+    # PQ family: training is one job/iteration over the narrow
+    # (vec_id, m, subvector) relation; encode is a map-side literal
+    # dispatch; ADC joins a constant-size lut onto the codes
+    "sim_pq_train",
+    "sim_pq_encode",
+    "sim_knn_pq_adc",
     # NOT listed: sim_ann_recall_audit and sim_ivf_probe_sensitivity
     # — their exact sides score the corpus per query by construction
     # (the operators' docstrings document the sampled-query audit
