@@ -536,3 +536,154 @@ __all__ = [
     "hybrid_rrf",
     "HYBRID_RRF_SQL",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Incremental index maintenance: the posting-list delta between the
+# two corpus snapshots versioning.corpus_delta derives — the indexer
+# half of a CDC pipeline (corpus delta -> re-tokenize ONLY delta
+# docs -> merge posting changes into the published index). Terms in
+# unchanged documents never re-tokenize; cost is bounded by the
+# delta size, not the corpus.
+def index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, n_added, n_removed, df_delta): per-term posting
+    changes between the old and new snapshots (versioning.py's
+    derived snapshot rules), restricted to terms whose document
+    membership actually moved.
+
+    Scale shape: the delta doc set comes from corpus_delta's
+    fingerprint join (text never travels); ONLY those docs'
+    old/new texts explode into distinct (term, doc_id) membership
+    rows, and the (term, doc_id)-keyed full-outer join + term rollup
+    touch delta-sized relations end to end. A 'changed' doc's
+    surviving terms appear on both sides and cancel — only real
+    membership moves reach the aggregate.
+
+    Reference scope note: composes the SURVEY §2.9 retrieval family
+    (build_inverted_index) with the versioning family's CDC contract.
+    """
+    from spark_app_twitter_spark.operators.versioning import (
+        _ADD_MOD,
+        _CHG_MOD,
+        _CHG_SUFFIX,
+        _DEL_MOD,
+        corpus_delta,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    delta = corpus_delta(spark, sf_dir).select("doc_id", "status")
+    ddocs = docs.join(F.broadcast(delta), "doc_id")
+
+    old_side = ddocs.where(
+        F.col("status").isin("removed", "changed")
+        & (F.pmod(F.col("doc_id"), F.lit(_ADD_MOD)) != 0)
+    ).select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("term")
+    )
+    new_text = F.when(
+        F.pmod(F.col("doc_id"), F.lit(_CHG_MOD)) == 0,
+        F.concat(F.col("text"), F.lit(_CHG_SUFFIX)),
+    ).otherwise(F.col("text"))
+    new_side = ddocs.where(
+        F.col("status").isin("added", "changed")
+        & (F.pmod(F.col("doc_id"), F.lit(_DEL_MOD)) != 0)
+    ).select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(new_text, " "))).alias("term"),
+    )
+    o = old_side.withColumn("in_old", F.lit(1))
+    n = new_side.withColumn("in_new", F.lit(1))
+    moved = o.join(n, ["doc_id", "term"], "full_outer")
+    return (
+        moved.groupBy("term")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("in_new").isNotNull() & F.col("in_old").isNull(), 1
+                ).otherwise(0)
+            ).alias("n_added"),
+            F.sum(
+                F.when(
+                    F.col("in_old").isNotNull() & F.col("in_new").isNull(), 1
+                ).otherwise(0)
+            ).alias("n_removed"),
+        )
+        .where((F.col("n_added") > 0) | (F.col("n_removed") > 0))
+        .select(
+            "term",
+            "n_added",
+            "n_removed",
+            (F.col("n_added") - F.col("n_removed")).alias("df_delta"),
+        )
+    )
+
+
+def _index_delta_sql() -> str:
+    from spark_app_twitter_spark.operators.versioning import (
+        _ADD_MOD,
+        _CHG_MOD,
+        _CHG_SUFFIX,
+        _DEL_MOD,
+    )
+
+    return f"""
+WITH old_fp AS (
+  SELECT doc_id, md5(text) AS old_fp FROM documents
+  WHERE doc_id % {_ADD_MOD} != 0
+),
+new_fp AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % {_CHG_MOD} = 0
+                  THEN text || '{_CHG_SUFFIX}' ELSE text END) AS new_fp
+  FROM documents WHERE doc_id % {_DEL_MOD} != 0
+),
+delta AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.old_fp IS NULL THEN 'added'
+              WHEN n.new_fp IS NULL THEN 'removed'
+              WHEN o.old_fp != n.new_fp THEN 'changed'
+         END AS status
+  FROM old_fp o FULL JOIN new_fp n ON o.doc_id = n.doc_id
+),
+dd AS (
+  SELECT d.doc_id, d.status, doc.text
+  FROM delta d JOIN documents doc ON d.doc_id = doc.doc_id
+  WHERE d.status IS NOT NULL
+),
+old_side AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+  FROM dd WHERE status IN ('removed', 'changed')
+    AND doc_id % {_ADD_MOD} != 0
+),
+new_side AS (
+  SELECT doc_id,
+         unnest(list_distinct(string_split(
+           CASE WHEN doc_id % {_CHG_MOD} = 0
+                THEN text || '{_CHG_SUFFIX}' ELSE text END, ' '))) AS term
+  FROM dd WHERE status IN ('added', 'changed')
+    AND doc_id % {_DEL_MOD} != 0
+),
+moved AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         COALESCE(o.term, n.term) AS term,
+         o.doc_id IS NOT NULL AS in_old,
+         n.doc_id IS NOT NULL AS in_new
+  FROM old_side o
+  FULL JOIN new_side n ON o.doc_id = n.doc_id AND o.term = n.term
+)
+SELECT term,
+       CAST(sum(CASE WHEN in_new AND NOT in_old THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_added,
+       CAST(sum(CASE WHEN in_old AND NOT in_new THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN in_new AND NOT in_old THEN 1 ELSE 0 END)
+            - sum(CASE WHEN in_old AND NOT in_new THEN 1 ELSE 0 END)
+            AS BIGINT) AS df_delta
+FROM moved
+GROUP BY term
+HAVING sum(CASE WHEN in_new AND NOT in_old THEN 1 ELSE 0 END) > 0
+    OR sum(CASE WHEN in_old AND NOT in_new THEN 1 ELSE 0 END) > 0
+"""
+
+
+INDEX_DELTA_SQL = _index_delta_sql()

@@ -2169,3 +2169,65 @@ def test_knn_pq_adc_parity_and_recall_floor(spark, sf_dir):
     ]
     assert sum(recalls) / len(recalls) >= 0.15
     assert all(r >= 0.1 for r in recalls)
+
+
+def test_index_delta_parity_and_consistency_with_full_rebuild(
+    spark, sf_dir
+):
+    """The incremental posting delta matches its twin AND agrees
+    with the ground truth a full rebuild of both snapshots gives:
+    for every term, df(new snapshot) - df(old snapshot) ==
+    df_delta. The delta path only re-tokenizes delta docs, so this
+    pins incremental == full-recompute semantics."""
+    from pyspark.sql import functions as F
+
+    from tests.parity import assert_parity
+
+    from spark_app_twitter_spark.operators import retrieval
+    from spark_app_twitter_spark.operators.versioning import (
+        _ADD_MOD,
+        _CHG_MOD,
+        _CHG_SUFFIX,
+        _DEL_MOD,
+    )
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    df = retrieval.index_delta(spark, sf_dir)
+    assert_parity(df, retrieval.INDEX_DELTA_SQL, sf_dir, "index_delta")
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def df_of(side):
+        if side == "old":
+            d = docs.where(F.pmod("doc_id", F.lit(_ADD_MOD)) != 0).select(
+                "doc_id", F.col("text").alias("t")
+            )
+        else:
+            t = F.when(
+                F.pmod("doc_id", F.lit(_CHG_MOD)) == 0,
+                F.concat(F.col("text"), F.lit(_CHG_SUFFIX)),
+            ).otherwise(F.col("text"))
+            d = docs.where(F.pmod("doc_id", F.lit(_DEL_MOD)) != 0).select(
+                "doc_id", t.alias("t")
+            )
+        return {
+            r.term: r.df
+            for r in d.select(
+                F.explode(F.array_distinct(F.split("t", " "))).alias("term"),
+                "doc_id",
+            )
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .collect()
+        }
+
+    old_df, new_df = df_of("old"), df_of("new")
+    got = {r.term: r for r in df.collect()}
+    terms = set(old_df) | set(new_df)
+    for t in terms:
+        truth = new_df.get(t, 0) - old_df.get(t, 0)
+        delta = got[t].df_delta if t in got else 0
+        assert delta == truth, (t, delta, truth)
+    for t, r in got.items():
+        assert r.n_added >= 0 and r.n_removed >= 0
+        assert r.n_added + r.n_removed > 0

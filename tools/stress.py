@@ -172,6 +172,9 @@ STRESS_QUERIES = [
     "sim_pq_train",
     "sim_pq_encode",
     "sim_knn_pq_adc",
+    # incremental index maintenance: only DELTA docs re-tokenize;
+    # the (term, doc)-keyed join touches delta-sized relations
+    "retrieval_index_delta",
     # NOT listed: sim_ann_recall_audit and sim_ivf_probe_sensitivity
     # — their exact sides score the corpus per query by construction
     # (the operators' docstrings document the sampled-query audit
