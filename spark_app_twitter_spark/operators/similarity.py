@@ -2171,3 +2171,72 @@ SELECT query_id, k,
              6) AS recall
 FROM grid LEFT JOIN overlap USING (query_id, k)
 """
+
+
+# ---------------------------------------------------------------------------
+# Index maintenance planning: which published cells have outgrown
+# their neighborhood and should split at the next index build. The
+# third leg of the maintenance story (ivf_index_append watches
+# growth, retrieval.index_delta maintains the sparse index, this
+# plans the dense one). All math is exact integer rationals —
+# mean-population comparisons never touch floats.
+REBAL_NUM, REBAL_DEN = 3, 2  # split cells above 1.5x mean population
+
+
+def ivf_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cell, coarse, fine, n_members, target_subcells): every
+    published index cell whose population exceeds REBAL_NUM/REBAL_DEN
+    times the mean, with the sub-cell count (ceil(n/mean)) the next
+    build should split it into.
+
+    Scale shape: reads the published index TABLE (ivf_index_export's
+    |cells|-row artifact), so planning cost is index-sized, not
+    corpus-sized; the mean is a 1-row broadcast. Condition and
+    target use integer cross-multiplication (n*count*DEN >
+    NUM*total; ceil via (n*count + total - 1) div total) — exact in
+    both engines.
+    """
+    idx = ivf_index_export(spark, sf_dir).select(
+        "cell", "coarse", "fine", "n_members"
+    )
+    tot = idx.agg(
+        F.sum("n_members").alias("total"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    j = idx.crossJoin(F.broadcast(tot))
+    overfull = (
+        F.col("n_members") * F.col("n_cells") * F.lit(REBAL_DEN)
+        > F.lit(REBAL_NUM) * F.col("total")
+    )
+    target = F.expr(
+        "(n_members * n_cells + total - 1) div total"
+    ).cast("int")
+    return j.where(overfull).select(
+        "cell",
+        "coarse",
+        "fine",
+        "n_members",
+        target.alias("target_subcells"),
+    )
+
+
+def _ivf_rebalance_sql() -> str:
+    return f"""
+WITH idx AS (
+  SELECT cell, coarse, fine, n_members
+  FROM ({IVF_INDEX_EXPORT_SQL})
+),
+tot AS (
+  SELECT CAST(sum(n_members) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_cells
+  FROM idx
+)
+SELECT cell, coarse, fine, n_members,
+       CAST((n_members * n_cells + total - 1) // total AS INTEGER)
+         AS target_subcells
+FROM idx CROSS JOIN tot
+WHERE n_members * n_cells * {REBAL_DEN} > {REBAL_NUM} * total
+"""
+
+
+IVF_REBALANCE_SQL = _ivf_rebalance_sql()

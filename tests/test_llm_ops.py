@@ -2231,3 +2231,32 @@ def test_index_delta_parity_and_consistency_with_full_rebuild(
     for t, r in got.items():
         assert r.n_added >= 0 and r.n_removed >= 0
         assert r.n_added + r.n_removed > 0
+
+
+def test_ivf_rebalance_plan_parity_and_threshold_semantics(spark, sf_dir):
+    """The rebalance plan matches its twin; exactly the cells above
+    REBAL_NUM/REBAL_DEN x mean population are flagged; and every
+    target respects ceil(n * n_cells / total)."""
+    from tests.parity import assert_parity
+
+    from spark_app_twitter_spark.operators import similarity
+
+    df = similarity.ivf_rebalance_plan(spark, sf_dir)
+    assert_parity(df, similarity.IVF_REBALANCE_SQL, sf_dir, "rebal")
+
+    idx = {
+        r.cell: r.n_members
+        for r in similarity.ivf_index_export(spark, sf_dir).collect()
+    }
+    total, n_cells = sum(idx.values()), len(idx)
+    flagged = {r.cell: r for r in df.collect()}
+    for cell, n in idx.items():
+        should = n * n_cells * similarity.REBAL_DEN > (
+            similarity.REBAL_NUM * total
+        )
+        assert (cell in flagged) == should
+        if should:
+            r = flagged[cell]
+            assert r.n_members == n
+            assert r.target_subcells == -(-n * n_cells // total)
+            assert r.target_subcells >= 2

@@ -175,6 +175,9 @@ STRESS_QUERIES = [
     # incremental index maintenance: only DELTA docs re-tokenize;
     # the (term, doc)-keyed join touches delta-sized relations
     "retrieval_index_delta",
+    # rebalance planning reads the |cells|-row published index, not
+    # the corpus; the mean is a 1-row broadcast
+    "sim_ivf_rebalance_plan",
     # NOT listed: sim_ann_recall_audit and sim_ivf_probe_sensitivity
     # — their exact sides score the corpus per query by construction
     # (the operators' docstrings document the sampled-query audit
