@@ -74,6 +74,9 @@ SHOWCASE = [
     ("retrieval_hybrid_rrf", "two k-bounded retrievers; fusion full-outer join touches <=2k rows/query"),
     ("text_dsir_weights", "128-bucket profile broadcast into the token stream; one doc_id-keyed reduce"),
     ("pack_shard_manifest", "single shard-keyed reduce carrying ordered digest chains"),
+    ("sim_knn_pq_adc", "constant-size integer lut broadcast onto 8-byte codes; no float math on the database side"),
+    ("retrieval_index_delta", "delta docs only: fingerprint join gates the re-tokenize; (term, doc)-keyed full outer is delta-sized"),
+    ("text_perplexity_buckets", "exact terciles with NO global sort: per-score spans + boundary-only tie ranks"),
 ]
 
 
