@@ -112,6 +112,10 @@ HEADLINE = [
     "text_dsir_weights",
     "text_perplexity_buckets",
     "text_unigram_encode",
+    # late continuation: PQ serving search (train under
+    # model_seconds-like cold share), CDC index maintenance
+    "sim_knn_pq_adc",
+    "retrieval_index_delta",
 ]
 
 
