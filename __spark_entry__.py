@@ -88,8 +88,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     scorecard, quantized IVF, index export, probe sensitivity,
     split leakage, embedding sanity) follow in section 2b. Then the
     r04 remainder per the documented schedule: the 11 serving
-    entries + 2 of the 35 remaining r04 rows fill the window; the
-    33 displaced rows (marked at the window boundary below) head
+    entries + 1 of the 35 remaining r04 rows fill the window; the
+    34 displaced rows (marked at the window boundary below) head
     round 8. The r05/r06-fresh entries sit last. Every deferred
     entry keeps a local DuckDB-oracle parity test in CI.
 
@@ -101,8 +101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tokenizer train/encode pair, the DP count release, and the
     product-quantization family — codebook train, encode, and ADC
     search, each with a full Lloyd-replay SQL twin — and the
-    incremental inverted-index delta and IVF rebalance planner)
-    leads.
+    incremental inverted-index delta, IVF rebalance planner, and
+    Zipf corpus-shape fit) leads.
     """
     return {
         # --- 0. added in the round-7 continuation (never attested):
@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_pq_adc": pq.knn_pq_adc,
         "retrieval_index_delta": retrieval.index_delta,
         "sim_ivf_rebalance_plan": similarity.ivf_rebalance_plan,
+        "text_zipf_fit": textstats.zipf_fit,
         # --- 1. round-7 head: the six never-driver-attested entries
         # (VERDICT r06 item 2), led by the repaired inverted index
         # (item 1: postings serialized to csv so the gate
@@ -173,12 +174,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- 4. r04-attested remainder (first 27 complete the
         # 50-slot window; the rest head round 8) ---
         "serving_value_quartiles": serving.value_quartile_assignments,
-        "serving_value_histogram": serving.value_histogram,
         # ---- driver verification window ends at 50 entries ----
-        # (r04 remainder continues; these thirty-three — the
-        # eighteen below displaced by the section-0 additions plus
+        # (r04 remainder continues; these thirty-four — the
+        # nineteen below displaced by the section-0 additions plus
         # the original fifteen — head the round-8 window, each with
         # a local parity test in CI)
+        "serving_value_histogram": serving.value_histogram,
         "tpch_top_customers_per_nation": tpch.top_customers_per_nation,
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_signatures": dedup.minhash_signatures,
@@ -361,6 +362,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_knn_pq_adc": pq.KNN_PQ_SQL,
         "retrieval_index_delta": retrieval.INDEX_DELTA_SQL,
         "sim_ivf_rebalance_plan": similarity.IVF_REBALANCE_SQL,
+        "text_zipf_fit": textstats.ZIPF_FIT_SQL,
         "retrieval_inverted_index": retrieval.INVERTED_INDEX_SQL,
         "asof_nearest_click": asof.NEAREST_CLICK_TO_PURCHASE_SQL,
         "versioning_corpus_delta": versioning.CORPUS_DELTA_SQL,

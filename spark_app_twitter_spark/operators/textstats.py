@@ -2551,3 +2551,108 @@ SELECT (['head', 'middle', 'tail'])[t] AS bucket,
 FROM tiled
 GROUP BY t
 """
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit: least-squares slope of the log-log term frequency-rank
+# curve over the top ZIPF_TOP_N terms — the standard corpus-health
+# diagnostic (natural language sits near slope -1; synthetic,
+# template-heavy, or boilerplate-polluted corpora drift away).
+ZIPF_TOP_N = 1000
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_terms, slope, intercept, r2): closed-form OLS of
+    ln(freq) on ln(rank) over the top-N term frequencies.
+
+    Scale shape: term counting is one explode + one term-keyed
+    combine; the top-N cut is a TakeOrderedAndProject (ranking ties
+    break on term asc so the cohort is deterministic); the
+    regression reduces N (x, y) pairs to five sums. Per-pair ln()
+    values are rounded to 6dp BEFORE the sums so engine float-sum
+    ordering cannot move the 6dp-rounded outputs; the sums
+    themselves are doubles over N <= 1000 well-scaled terms — far
+    inside the 6dp guard band (pinned by the gate row).
+
+    Reference scope note: no reference analogue; SURVEY §2.9 corpus
+    reporting (datacard's vocabulary-shape complement).
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("term"))
+    xm = F.round(F.log(F.col("rank").cast("double")) * F.lit(1e6)).cast(
+        "long"
+    )
+    ym = F.round(F.log(F.col("c").cast("double")) * F.lit(1e6)).cast("long")
+    top = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ZIPF_TOP_N)
+        .select(xm.alias("xm"), ym.alias("ym"))
+    )
+    s = top.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum("xm").cast("double") / F.lit(1e6)).alias("sx"),
+        (F.sum("ym").cast("double") / F.lit(1e6)).alias("sy"),
+        (F.sum(F.col("xm") * F.col("xm")).cast("double") / F.lit(1e12)).alias(
+            "sxx"
+        ),
+        (F.sum(F.col("ym") * F.col("ym")).cast("double") / F.lit(1e12)).alias(
+            "syy"
+        ),
+        (F.sum(F.col("xm") * F.col("ym")).cast("double") / F.lit(1e12)).alias(
+            "sxy"
+        ),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    r_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    r_den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round((r_num / r_den) * (r_num / r_den), 6).alias("r2"),
+    )
+
+
+ZIPF_FIT_SQL = f"""
+WITH counts AS (
+  SELECT term, count(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY term
+),
+top AS (
+  SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS xm,
+         CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS ym
+  FROM (SELECT c, row_number() OVER (ORDER BY c DESC, term ASC) AS rank
+        FROM counts)
+  WHERE rank <= {ZIPF_TOP_N}
+),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(xm) AS DOUBLE) / 1e6 AS sx,
+         CAST(sum(ym) AS DOUBLE) / 1e6 AS sy,
+         CAST(sum(xm * xm) AS DOUBLE) / 1e12 AS sxx,
+         CAST(sum(ym * ym) AS DOUBLE) / 1e12 AS syy,
+         CAST(sum(xm * ym) AS DOUBLE) / 1e12 AS sxy
+  FROM top
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+             6) AS intercept,
+       round(((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx)
+              * (n * syy - sy * sy)))
+             * ((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx)
+                * (n * syy - sy * sy))), 6) AS r2
+FROM s
+"""

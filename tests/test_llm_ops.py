@@ -2260,3 +2260,34 @@ def test_ivf_rebalance_plan_parity_and_threshold_semantics(spark, sf_dir):
             assert r.n_members == n
             assert r.target_subcells == -(-n * n_cells // total)
             assert r.target_subcells >= 2
+
+
+def test_zipf_fit_parity_and_regression_sanity(spark, sf_dir, tmp_path):
+    """The Zipf fit matches its twin; r2 is a valid coefficient; and
+    a planted perfectly-Zipfian corpus (freq proportional to 1/rank)
+    recovers slope ~= -1 with high r2."""
+    import os
+
+    from tests.parity import assert_parity
+
+    from spark_app_twitter_spark.operators import textstats
+
+    df = textstats.zipf_fit(spark, sf_dir)
+    assert_parity(df, textstats.ZIPF_FIT_SQL, sf_dir, "zipf")
+
+    row = df.collect()[0]
+    assert 0.0 <= row.r2 <= 1.0
+    assert row.n_terms > 1
+
+    words = []
+    for rank in range(1, 41):
+        words += [f"w{rank:02d}"] * max(1, round(400 / rank))
+    sf2 = str(tmp_path / "zipf")
+    os.makedirs(sf2)
+    spark.createDataFrame(
+        [(0, " ".join(words), "en", "srcA", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf2}/documents.parquet")
+    planted = textstats.zipf_fit(spark, sf2).collect()[0]
+    assert -1.1 < planted.slope < -0.9
+    assert planted.r2 > 0.98

@@ -178,6 +178,8 @@ STRESS_QUERIES = [
     # rebalance planning reads the |cells|-row published index, not
     # the corpus; the mean is a 1-row broadcast
     "sim_ivf_rebalance_plan",
+    # Zipf fit: term-keyed combine + top-N cut + five bigint sums
+    "text_zipf_fit",
     # NOT listed: sim_ann_recall_audit and sim_ivf_probe_sensitivity
     # — their exact sides score the corpus per query by construction
     # (the operators' docstrings document the sampled-query audit
