@@ -88,8 +88,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     scorecard, quantized IVF, index export, probe sensitivity,
     split leakage, embedding sanity) follow in section 2b. Then the
     r04 remainder per the documented schedule: the 11 serving
-    entries + 1 of the 35 remaining r04 rows fill the window; the
-    34 displaced rows (marked at the window boundary below) head
+    entries + 0 of the 35 remaining r04 rows fill the window; the
+    35 displaced rows (marked at the window boundary below) head
     round 8. The r05/r06-fresh entries sit last. Every deferred
     entry keeps a local DuckDB-oracle parity test in CI.
 
@@ -102,7 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     product-quantization family — codebook train, encode, and ADC
     search, each with a full Lloyd-replay SQL twin — and the
     incremental inverted-index delta, IVF rebalance planner, and
-    Zipf corpus-shape fit) leads.
+    Zipf corpus-shape fit and unigram vocabulary prune) leads.
     """
     return {
         # --- 0. added in the round-7 continuation (never attested):
@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_index_delta": retrieval.index_delta,
         "sim_ivf_rebalance_plan": similarity.ivf_rebalance_plan,
         "text_zipf_fit": textstats.zipf_fit,
+        "text_unigram_prune": unigram.unigram_prune,
         # --- 1. round-7 head: the six never-driver-attested entries
         # (VERDICT r06 item 2), led by the repaired inverted index
         # (item 1: postings serialized to csv so the gate
@@ -173,12 +174,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_moving_avg_daily": serving.moving_avg_daily,
         # --- 4. r04-attested remainder (first 27 complete the
         # 50-slot window; the rest head round 8) ---
-        "serving_value_quartiles": serving.value_quartile_assignments,
         # ---- driver verification window ends at 50 entries ----
-        # (r04 remainder continues; these thirty-four — the
-        # nineteen below displaced by the section-0 additions plus
+        # (r04 remainder continues; these thirty-five — the
+        # twenty below displaced by the section-0 additions plus
         # the original fifteen — head the round-8 window, each with
         # a local parity test in CI)
+        "serving_value_quartiles": serving.value_quartile_assignments,
         "serving_value_histogram": serving.value_histogram,
         "tpch_top_customers_per_nation": tpch.top_customers_per_nation,
         "dedup_exact": dedup.exact_dedup,
@@ -329,6 +330,7 @@ def _trained_oracles() -> dict[str, str]:
             "text_bpe_compression": oracles.bpe_compression_sql(),
             "text_unigram_train": oracles.unigram_train_sql(),
             "text_unigram_encode": oracles.unigram_encode_sql(),
+            "text_unigram_prune": oracles.unigram_prune_sql(),
         }
     except Exception as e:  # pragma: no cover - environment guard
         # the downgrade to rows-only must never be silent: a bug in

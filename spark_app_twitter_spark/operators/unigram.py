@@ -284,3 +284,55 @@ def unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_piece"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary pruning (the SentencePiece reduction schedule, one
+# round): after EM, keep every character plus only the multi-char
+# pieces that earned EM mass — top UNIGRAM_PRUNE_KEEP by
+# (em_count desc, piece asc) among count > 0 — then one more EM
+# round over the pruned vocabulary so the survivors' probabilities
+# absorb the dropped pieces' mass.
+UNIGRAM_PRUNE_KEEP = 100
+
+_PRUNED_CACHE: dict[tuple[str, str], list[tuple[str, int, int]]] = {}
+
+
+def clear_pruned_cache() -> None:
+    _PRUNED_CACHE.clear()
+
+
+def unigram_pruned(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[str, int, int]]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PRUNED_CACHE.get(key)
+    if cached is None:
+        full = unigram_trained(spark, sf_dir)
+        chars = [p for p, _, _ in full if len(p) == 1]
+        multi = sorted(
+            ((p, c) for p, c, _ in full if len(p) > 1 and c > 0),
+            key=lambda t: (-t[1], t[0]),
+        )[:UNIGRAM_PRUNE_KEEP]
+        vocab = sorted(chars + [p for p, _ in multi])
+        logp = _mstep(
+            {p: c for p, c, _ in full if p in set(vocab)}, vocab
+        )
+        vocab_df = _word_freqs(spark, sf_dir).localCheckpoint(eager=True)
+        counts = _estep_counts(vocab_df, logp)
+        logp = _mstep(counts, vocab)
+        cached = [(p, counts.get(p, 0), logp[p]) for p in vocab]
+        _PRUNED_CACHE[key] = cached
+    return cached
+
+
+def unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(piece, em_count, logp_micro): the PRUNED unigram vocabulary
+    after one reduction round — chars + the UNIGRAM_PRUNE_KEEP
+    highest-mass multi-char pieces, re-estimated with one further EM
+    round. Same literal-artifact oracle discipline as
+    unigram_train (independent sequential replica)."""
+    art = unigram_pruned(spark, sf_dir)
+    return spark.createDataFrame(
+        art, "piece string, em_count bigint, logp_micro bigint"
+    )

@@ -696,3 +696,42 @@ FROM wc JOIN enc USING (word)
 GROUP BY doc_id
 """
     return _SQL_CACHE[key]
+
+
+UG_PRUNE_KEEP = 100
+
+
+def replica_unigram_pruned(sf_dir: str) -> list[tuple[str, int, int]]:
+    """Sequential replica of the one-round vocabulary prune: chars +
+    top-K EM-mass multi-char survivors, then one further EM round."""
+    full = replica_unigram(sf_dir)
+    chars = [p for p, _, _ in full if len(p) == 1]
+    multi = sorted(
+        ((p, c) for p, c, _ in full if len(p) > 1 and c > 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:UG_PRUNE_KEEP]
+    vocab = sorted(chars + [p for p, _ in multi])
+    keep = set(vocab)
+    logp = _ug_mstep({p: c for p, c, _ in full if p in keep}, vocab)
+    words = _ug_words(sf_dir)
+    counts: dict[str, int] = {}
+    for w, f in words.items():
+        for p in _ug_viterbi(w, logp):
+            counts[p] = counts.get(p, 0) + f
+    logp = _ug_mstep(counts, vocab)
+    return [(p, counts.get(p, 0), logp[p]) for p in vocab]
+
+
+def unigram_prune_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    key = ("unigram_prune", sf_dir)
+    if key not in _SQL_CACHE:
+        art = replica_unigram_pruned(sf_dir)
+        vals = ",\n  ".join(f"({_s(p)}, {c}, {lp})" for p, c, lp in art)
+        _SQL_CACHE[key] = f"""
+SELECT piece, CAST(em_count AS BIGINT) AS em_count,
+       CAST(logp_micro AS BIGINT) AS logp_micro
+FROM (VALUES
+  {vals}
+) AS t(piece, em_count, logp_micro)
+"""
+    return _SQL_CACHE[key]

@@ -2291,3 +2291,26 @@ def test_zipf_fit_parity_and_regression_sanity(spark, sf_dir, tmp_path):
     planted = textstats.zipf_fit(spark, sf2).collect()[0]
     assert -1.1 < planted.slope < -0.9
     assert planted.r2 > 0.98
+
+
+def test_unigram_prune_parity_and_reduction_properties(spark, sf_dir):
+    """The pruned vocabulary matches its sequential-replica twin;
+    every character survives; the multi-char vocabulary shrinks to
+    at most UNIGRAM_PRUNE_KEEP survivors, all of which carried EM
+    mass in the full model."""
+    from tests.parity import assert_parity
+
+    from spark_app_twitter_spark import oracles
+    from spark_app_twitter_spark.operators import unigram
+
+    df = unigram.unigram_prune(spark, sf_dir)
+    assert_parity(df, oracles.unigram_prune_sql(sf_dir), sf_dir, "ug_prune")
+
+    pruned = {r.piece: r for r in df.collect()}
+    full = {p: c for p, c, _ in unigram.unigram_trained(spark, sf_dir)}
+    chars_full = {p for p in full if len(p) == 1}
+    assert chars_full <= set(pruned)
+    multi = [p for p in pruned if len(p) > 1]
+    assert len(multi) <= unigram.UNIGRAM_PRUNE_KEEP
+    assert all(full[p] > 0 for p in multi)
+    assert len(pruned) < len(full)

@@ -180,6 +180,7 @@ STRESS_QUERIES = [
     "sim_ivf_rebalance_plan",
     # Zipf fit: term-keyed combine + top-N cut + five bigint sums
     "text_zipf_fit",
+    "text_unigram_prune",
     # NOT listed: sim_ann_recall_audit and sim_ivf_probe_sensitivity
     # — their exact sides score the corpus per query by construction
     # (the operators' docstrings document the sampled-query audit
