@@ -171,6 +171,19 @@ def main() -> None:
     _sim._pca_components(spark, SF_DIR, _sim.PCA_COMPONENTS)
     model_times["pca_train"] = round(time.perf_counter() - t0, 3)
 
+    # PQ codebook and unigram piece table: publish-once artifacts on
+    # the same contract — train here so sim_knn_pq_adc /
+    # text_unigram_encode headline rows measure the SERVE path
+    from spark_app_twitter_spark.operators import pq as _pq
+    from spark_app_twitter_spark.operators import unigram as _ug
+
+    t0 = time.perf_counter()
+    _pq.pq_codebook_rows(spark, SF_DIR)
+    model_times["pq_codebook_train"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    _ug.unigram_trained(spark, SF_DIR)
+    model_times["unigram_em_train"] = round(time.perf_counter() - t0, 3)
+
     # (the coarse centroid artifact is trained inside
     # kmeans_fine_centroid_rows above — no separate warm needed)
 
