@@ -88,8 +88,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     scorecard, quantized IVF, index export, probe sensitivity,
     split leakage, embedding sanity) follow in section 2b. Then the
     r04 remainder per the documented schedule: the 11 serving
-    entries + 0 of the 35 remaining r04 rows fill the window; the
-    35 displaced rows (marked at the window boundary below) head
+    entries fill the window (all 35 remaining r04 rows now deferred;
+    the 36 displaced rows (marked at the window boundary below) head
     round 8. The r05/r06-fresh entries sit last. Every deferred
     entry keeps a local DuckDB-oracle parity test in CI.
 
@@ -102,7 +102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     product-quantization family — codebook train, encode, and ADC
     search, each with a full Lloyd-replay SQL twin — and the
     incremental inverted-index delta, IVF rebalance planner, and
-    Zipf corpus-shape fit and unigram vocabulary prune) leads.
+    Zipf corpus-shape fit, unigram vocabulary prune, and lang-ID
+    evaluation metrics) leads.
     """
     return {
         # --- 0. added in the round-7 continuation (never attested):
@@ -131,6 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_rebalance_plan": similarity.ivf_rebalance_plan,
         "text_zipf_fit": textstats.zipf_fit,
         "text_unigram_prune": unigram.unigram_prune,
+        "text_langid_metrics": textstats.langid_metrics,
         # --- 1. round-7 head: the six never-driver-attested entries
         # (VERDICT r06 item 2), led by the repaired inverted index
         # (item 1: postings serialized to csv so the gate
@@ -171,14 +173,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_distinct_users": serving.distinct_users,
         "serving_rollup_value": serving.rollup_value,
         "serving_loyal_purchasers": serving.loyal_purchasers,
-        "serving_moving_avg_daily": serving.moving_avg_daily,
-        # --- 4. r04-attested remainder (first 27 complete the
-        # 50-slot window; the rest head round 8) ---
         # ---- driver verification window ends at 50 entries ----
-        # (r04 remainder continues; these thirty-five — the
-        # twenty below displaced by the section-0 additions plus
-        # the original fifteen — head the round-8 window, each with
-        # a local parity test in CI)
+        # --- 4. r04-attested remainder: all thirty-six displaced
+        # rows (the twenty-one below pushed out by the section-0
+        # additions plus the original fifteen) head the round-8
+        # window, each with a local parity test in CI ---
+        "serving_moving_avg_daily": serving.moving_avg_daily,
         "serving_value_quartiles": serving.value_quartile_assignments,
         "serving_value_histogram": serving.value_histogram,
         "tpch_top_customers_per_nation": tpch.top_customers_per_nation,
@@ -365,6 +365,7 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_index_delta": retrieval.INDEX_DELTA_SQL,
         "sim_ivf_rebalance_plan": similarity.IVF_REBALANCE_SQL,
         "text_zipf_fit": textstats.ZIPF_FIT_SQL,
+        "text_langid_metrics": textstats.LANGID_METRICS_SQL,
         "retrieval_inverted_index": retrieval.INVERTED_INDEX_SQL,
         "asof_nearest_click": asof.NEAREST_CLICK_TO_PURCHASE_SQL,
         "versioning_corpus_delta": versioning.CORPUS_DELTA_SQL,

@@ -2656,3 +2656,101 @@ SELECT CAST(n AS BIGINT) AS n_terms,
                 * (n * syy - sy * sy))), 6) AS r2
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# Classifier evaluation: per-language precision / recall / F1 of the
+# trigram-profile language-ID against the labeled corpus — the eval
+# table any production classifier ships with (lang_id itself only
+# emits per-doc correctness).
+def langid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_true, n_pred, tp, precision, recall, f1): one row per
+    language appearing as truth or prediction. All inputs are exact
+    integer counts off ONE pass over lang_id's per-doc output; the
+    ratios are single divisions of exact bigints (engine-identical
+    IEEE ops), rounded 6dp. Zero denominators yield NULL, not 0 — an
+    unpredicted language has undefined precision.
+
+    Scale shape: lang_id's scoring is profile-broadcast (|langs|*K
+    artifact); this adds two |langs|-keyed rollups and one
+    |langs|-row outer join — dashboard-sized end to end.
+    """
+    # two rollup branches read the per-doc predictions — checkpoint
+    # so the profile-broadcast scoring runs once (3 narrow columns
+    # per doc; the survivor-set idiom)
+    pred = (
+        lang_id(spark, sf_dir)
+        .select("doc_id", "predicted", "actual")
+        .localCheckpoint(eager=False)
+    )
+    by_true = pred.groupBy(F.col("actual").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(
+            (F.col("predicted") == F.col("actual")).cast("long")
+        ).alias("tp"),
+    )
+    by_pred = pred.groupBy(F.col("predicted").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    j = by_true.join(by_pred, "lang", "full_outer").select(
+        "lang",
+        F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+        F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+        F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+    )
+    precision = F.when(
+        F.col("n_pred") > 0,
+        F.round(F.col("tp").cast("double") / F.col("n_pred").cast("double"), 6),
+    )
+    recall = F.when(
+        F.col("n_true") > 0,
+        F.round(F.col("tp").cast("double") / F.col("n_true").cast("double"), 6),
+    )
+    f1 = F.when(
+        (F.col("tp") > 0),
+        F.round(
+            F.lit(2.0)
+            * F.col("tp").cast("double")
+            / (F.col("n_pred") + F.col("n_true")).cast("double"),
+            6,
+        ),
+    )
+    return j.select(
+        "lang",
+        "n_true",
+        "n_pred",
+        "tp",
+        precision.alias("precision"),
+        recall.alias("recall"),
+        f1.alias("f1"),
+    )
+
+
+LANGID_METRICS_SQL = f"""
+WITH pred AS (
+  SELECT doc_id, predicted, actual FROM ({LANG_ID_SQL})
+),
+by_true AS (
+  SELECT actual AS lang, count(*) AS n_true,
+         sum(CASE WHEN predicted = actual THEN 1 ELSE 0 END) AS tp
+  FROM pred GROUP BY actual
+),
+by_pred AS (
+  SELECT predicted AS lang, count(*) AS n_pred FROM pred GROUP BY predicted
+)
+SELECT COALESCE(t.lang, p.lang) AS lang,
+       CAST(COALESCE(n_true, 0) AS BIGINT) AS n_true,
+       CAST(COALESCE(n_pred, 0) AS BIGINT) AS n_pred,
+       CAST(COALESCE(tp, 0) AS BIGINT) AS tp,
+       CASE WHEN COALESCE(n_pred, 0) > 0
+            THEN round(CAST(COALESCE(tp, 0) AS DOUBLE)
+                       / CAST(n_pred AS DOUBLE), 6) END AS precision,
+       CASE WHEN COALESCE(n_true, 0) > 0
+            THEN round(CAST(COALESCE(tp, 0) AS DOUBLE)
+                       / CAST(n_true AS DOUBLE), 6) END AS recall,
+       CASE WHEN COALESCE(tp, 0) > 0
+            THEN round(2.0 * CAST(tp AS DOUBLE)
+                       / CAST(COALESCE(n_pred, 0) + COALESCE(n_true, 0)
+                              AS DOUBLE), 6) END AS f1
+FROM by_true t FULL JOIN by_pred p ON t.lang = p.lang
+"""

@@ -2314,3 +2314,32 @@ def test_unigram_prune_parity_and_reduction_properties(spark, sf_dir):
     assert len(multi) <= unigram.UNIGRAM_PRUNE_KEEP
     assert all(full[p] > 0 for p in multi)
     assert len(pruned) < len(full)
+
+
+def test_langid_metrics_parity_and_exact_recount(spark, sf_dir):
+    """The eval table matches its twin and agrees with a direct
+    recount of lang_id's per-doc output: tp/n_true/n_pred exact,
+    micro-averaged tp identical from both margins."""
+    from tests.parity import assert_parity
+
+    from spark_app_twitter_spark.operators import textstats
+
+    df = textstats.langid_metrics(spark, sf_dir)
+    assert_parity(df, textstats.LANGID_METRICS_SQL, sf_dir, "langid_m")
+
+    preds = textstats.lang_id(spark, sf_dir).collect()
+    rows = {r.lang: r for r in df.collect()}
+    n_true, n_pred, tp = {}, {}, {}
+    for p in preds:
+        n_true[p.actual] = n_true.get(p.actual, 0) + 1
+        n_pred[p.predicted] = n_pred.get(p.predicted, 0) + 1
+        if p.actual == p.predicted:
+            tp[p.actual] = tp.get(p.actual, 0) + 1
+    for lang, r in rows.items():
+        assert r.n_true == n_true.get(lang, 0)
+        assert r.n_pred == n_pred.get(lang, 0)
+        assert r.tp == tp.get(lang, 0)
+        if r.precision is not None and r.recall is not None and r.f1:
+            expect_f1 = 2 * r.tp / (r.n_pred + r.n_true)
+            assert abs(r.f1 - expect_f1) < 1e-6
+    assert sum(r.tp for r in rows.values()) == sum(tp.values())

@@ -181,6 +181,9 @@ STRESS_QUERIES = [
     # Zipf fit: term-keyed combine + top-N cut + five bigint sums
     "text_zipf_fit",
     "text_unigram_prune",
+    # lang-ID eval: rides lang_id's broadcast-profile scoring +
+    # two |langs|-keyed rollups
+    "text_langid_metrics",
     # NOT listed: sim_ann_recall_audit and sim_ivf_probe_sensitivity
     # — their exact sides score the corpus per query by construction
     # (the operators' docstrings document the sampled-query audit
