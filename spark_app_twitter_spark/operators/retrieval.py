@@ -217,11 +217,7 @@ def bm25_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY.md §2.9 mandates the LLM-pipeline families); this is the
     sparse complement of rag_retrieve's dense path.
     """
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
-
     # deterministic query set: 1 row per (query_id, term)
     qterms = (
         docs.where(F.col("doc_id") < BM25_N_QUERIES)
@@ -237,6 +233,23 @@ def bm25_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    return bm25_search(spark, sf_dir, qterms)
+
+
+def bm25_search(
+    spark: SparkSession, sf_dir: str, qterms: DataFrame
+) -> DataFrame:
+    """The BM25 scoring core against an ARBITRARY (query_id, term)
+    relation — the seam the streaming keyword server
+    (streaming/bm25serve.py) answers micro-batches through.
+    bm25_retrieve is this core applied to the corpus-derived query
+    set; the plan shape (broadcast term filter below the tf combine,
+    doc_id-keyed length count, micro-unit integer sums) is identical
+    for both callers."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
 
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     scalars = docs.agg(

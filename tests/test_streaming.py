@@ -1469,3 +1469,60 @@ def test_ann_serving_zero_vector_query_is_deterministic(spark, sf_dir):
     assert len(a) == similarity.TOP_K
     assert [r.neighbor_id for r in a] == [r.neighbor_id for r in b]
     assert [r.rank for r in a] == list(range(1, similarity.TOP_K + 1))
+
+
+def test_streaming_bm25_serving_matches_batch(spark, tmp_path, sf_dir):
+    """Streaming keyword serving (foreachBatch through the shared
+    bm25_search core) answers a streamed query cohort EXACTLY like
+    the registered batch query — the stream==batch discipline
+    applied to the sparse retrieval path. The cohort is the batch
+    query's own corpus-derived term sets, split across two files
+    (two micro-batch candidates)."""
+    import json as _json
+
+    from spark_app_twitter_spark.operators import retrieval
+    from spark_app_twitter_spark.streaming import bm25serve
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cohort = (
+        docs.where(F.col("doc_id") < retrieval.BM25_N_QUERIES)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.slice(
+                F.array_sort(F.array_distinct(F.split("text", " "))),
+                1,
+                retrieval.BM25_Q_TERMS,
+            ).alias("terms"),
+        )
+        .collect()
+    )
+    qdir = str(tmp_path / "kqueries")
+    os.makedirs(qdir)
+    for i, half in enumerate((cohort[:2], cohort[2:])):
+        with open(os.path.join(qdir, f"q{i}.json"), "w") as fh:
+            for r in half:
+                fh.write(
+                    _json.dumps(
+                        {"query_id": r.query_id, "terms": list(r.terms)}
+                    )
+                    + "\n"
+                )
+    out = str(tmp_path / "kanswers")
+    q = bm25serve.serve_bm25_stream(
+        spark,
+        bm25serve.read_keyword_stream(spark, qdir),
+        sf_dir,
+        out,
+        str(tmp_path / "kckpt"),
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.query_id, r.doc_id, r.bm25, r.rank)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.query_id, r.doc_id, r.bm25, r.rank)
+        for r in retrieval.bm25_retrieve(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
