@@ -103,7 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     search, each with a full Lloyd-replay SQL twin — and the
     incremental inverted-index delta, IVF rebalance planner, and
     Zipf corpus-shape fit, unigram vocabulary prune, and lang-ID
-    evaluation metrics) leads.
+    evaluation metrics and curriculum shard ordering) leads.
     """
     return {
         # --- 0. added in the round-7 continuation (never attested):
@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_zipf_fit": textstats.zipf_fit,
         "text_unigram_prune": unigram.unigram_prune,
         "text_langid_metrics": textstats.langid_metrics,
+        "pack_curriculum_shards": packing.curriculum_shards,
         # --- 1. round-7 head: the six never-driver-attested entries
         # (VERDICT r06 item 2), led by the repaired inverted index
         # (item 1: postings serialized to csv so the gate
@@ -172,12 +173,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_topic_means": serving.topic_means,
         "serving_distinct_users": serving.distinct_users,
         "serving_rollup_value": serving.rollup_value,
-        "serving_loyal_purchasers": serving.loyal_purchasers,
         # ---- driver verification window ends at 50 entries ----
         # --- 4. r04-attested remainder: all thirty-six displaced
         # rows (the twenty-one below pushed out by the section-0
         # additions plus the original fifteen) head the round-8
         # window, each with a local parity test in CI ---
+        "serving_loyal_purchasers": serving.loyal_purchasers,
         "serving_moving_avg_daily": serving.moving_avg_daily,
         "serving_value_quartiles": serving.value_quartile_assignments,
         "serving_value_histogram": serving.value_histogram,
@@ -366,6 +367,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_ivf_rebalance_plan": similarity.IVF_REBALANCE_SQL,
         "text_zipf_fit": textstats.ZIPF_FIT_SQL,
         "text_langid_metrics": textstats.LANGID_METRICS_SQL,
+        "pack_curriculum_shards": packing.CURRICULUM_SHARDS_SQL,
         "retrieval_inverted_index": retrieval.INVERTED_INDEX_SQL,
         "asof_nearest_click": asof.NEAREST_CLICK_TO_PURCHASE_SQL,
         "versioning_corpus_delta": versioning.CORPUS_DELTA_SQL,

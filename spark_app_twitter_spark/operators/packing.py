@@ -360,3 +360,84 @@ SELECT shard,
 FROM rows_
 GROUP BY shard
 """
+
+
+# ---------------------------------------------------------------------------
+# Curriculum shard ordering: rank the export's shards by mean
+# document quality so a curriculum-learning run can consume them
+# easy/clean-first (or reverse) — the data-ordering knob BETWEEN
+# mixture sampling and sequence packing.
+def curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(shard, n_docs, mean_quality_micro, curriculum_pos): every
+    export shard (shuffle_export's deterministic hash scheme, the
+    shard_manifest's population) with its mean document quality in
+    exact integer micro-units and its 1-based curriculum position
+    (highest quality first; ties break on shard id).
+
+    Scale shape: ONE corpus scan computes (shard, quality micro) per
+    doc map-side; one shard-keyed reduce yields |shards| rows; the
+    ranking window runs over that constant-size relation. The mean
+    is floor((2*sum + n) / (2*n)) — the engine's half-up integer
+    rational, order-independent and engine-exact.
+    """
+    from spark_app_twitter_spark.functions.text import tokens as _tokens
+    from spark_app_twitter_spark.operators.textstats import (
+        quality_score_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    sid = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        )
+        - 1
+    )
+    qmicro = F.round(quality_score_expr(_tokens("text")) * F.lit(1e6)).cast(
+        "long"
+    )
+    per_shard = (
+        docs.select(sid.cast("int").alias("shard"), qmicro.alias("q"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("(2 * sum(q) + count(*)) div (2 * count(*))").alias(
+                "mean_quality_micro"
+            ),
+        )
+    )
+    w = Window.orderBy(F.desc("mean_quality_micro"), F.asc("shard"))
+    return per_shard.select(
+        "shard",
+        "n_docs",
+        "mean_quality_micro",
+        F.row_number().over(w).alias("curriculum_pos"),
+    )
+
+
+def _curriculum_shards_sql() -> str:
+    from spark_app_twitter_spark.operators.textstats import quality_score_sql
+
+    return f"""
+WITH per_doc AS (
+  SELECT CAST(instr('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+              AS INTEGER) AS shard,
+         CAST(round({quality_score_sql("string_split(text, ' ')")} * 1e6)
+              AS BIGINT) AS q
+  FROM documents
+),
+per_shard AS (
+  SELECT shard, count(*) AS n_docs,
+         CAST((2 * sum(q) + count(*)) // (2 * count(*)) AS BIGINT)
+           AS mean_quality_micro
+  FROM per_doc GROUP BY shard
+)
+SELECT shard, n_docs, mean_quality_micro,
+       CAST(row_number() OVER (ORDER BY mean_quality_micro DESC,
+                               shard ASC) AS INTEGER) AS curriculum_pos
+FROM per_shard
+"""
+
+
+CURRICULUM_SHARDS_SQL = _curriculum_shards_sql()

@@ -2343,3 +2343,48 @@ def test_langid_metrics_parity_and_exact_recount(spark, sf_dir):
             expect_f1 = 2 * r.tp / (r.n_pred + r.n_true)
             assert abs(r.f1 - expect_f1) < 1e-6
     assert sum(r.tp for r in rows.values()) == sum(tp.values())
+
+
+def test_curriculum_shards_parity_and_ordering(spark, sf_dir):
+    """Curriculum ordering matches its twin: positions are a dense
+    permutation ordered by descending mean quality, shard population
+    agrees with the manifest, and the mean is the exact half-up
+    integer rational of the per-doc micro scores."""
+    from pyspark.sql import functions as F
+
+    from tests.parity import assert_parity
+
+    from spark_app_twitter_spark.operators import packing
+    from spark_app_twitter_spark.operators.textstats import (
+        quality_score_expr,
+    )
+    from spark_app_twitter_spark.functions.text import tokens
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    df = packing.curriculum_shards(spark, sf_dir)
+    assert_parity(df, packing.CURRICULUM_SHARDS_SQL, sf_dir, "curriculum")
+
+    rows = sorted(df.collect(), key=lambda r: r.curriculum_pos)
+    assert [r.curriculum_pos for r in rows] == list(range(1, len(rows) + 1))
+    means = [r.mean_quality_micro for r in rows]
+    assert means == sorted(means, reverse=True)
+
+    manifest = {r.shard: r.n_docs for r in packing.shard_manifest(
+        spark, sf_dir).collect()}
+    assert {r.shard: r.n_docs for r in rows} == manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        ((F.instr(F.lit("0123456789abcdef"),
+                  F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1))
+          - 1).cast("int")).alias("shard"),
+        F.round(quality_score_expr(tokens("text")) * 1e6).cast("long")
+        .alias("q"),
+    ).collect()
+    by_shard = {}
+    for r in per_doc:
+        by_shard.setdefault(r.shard, []).append(r.q)
+    for r in rows:
+        qs = by_shard[r.shard]
+        expect = (2 * sum(qs) + len(qs)) // (2 * len(qs))
+        assert r.mean_quality_micro == expect

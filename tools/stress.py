@@ -184,6 +184,9 @@ STRESS_QUERIES = [
     # lang-ID eval: rides lang_id's broadcast-profile scoring +
     # two |langs|-keyed rollups
     "text_langid_metrics",
+    # curriculum ordering: map-side shard+quality, one shard-keyed
+    # reduce, |shards|-row ranking window
+    "pack_curriculum_shards",
     # NOT listed: sim_ann_recall_audit and sim_ivf_probe_sensitivity
     # — their exact sides score the corpus per query by construction
     # (the operators' docstrings document the sampled-query audit
