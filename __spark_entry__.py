@@ -103,7 +103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     search, each with a full Lloyd-replay SQL twin — and the
     incremental inverted-index delta, IVF rebalance planner, and
     Zipf corpus-shape fit, unigram vocabulary prune, and lang-ID
-    evaluation metrics and curriculum shard ordering) leads.
+    evaluation metrics, curriculum shard ordering, and the
+    embedding isotropy spectrum) leads.
     """
     return {
         # --- 0. added in the round-7 continuation (never attested):
@@ -134,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_prune": unigram.unigram_prune,
         "text_langid_metrics": textstats.langid_metrics,
         "pack_curriculum_shards": packing.curriculum_shards,
+        "sim_embedding_isotropy": similarity.embedding_isotropy,
         # --- 1. round-7 head: the six never-driver-attested entries
         # (VERDICT r06 item 2), led by the repaired inverted index
         # (item 1: postings serialized to csv so the gate
@@ -172,12 +174,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_hourly_window": serving.hourly_window,
         "serving_topic_means": serving.topic_means,
         "serving_distinct_users": serving.distinct_users,
-        "serving_rollup_value": serving.rollup_value,
         # ---- driver verification window ends at 50 entries ----
         # --- 4. r04-attested remainder: all thirty-six displaced
         # rows (the twenty-one below pushed out by the section-0
         # additions plus the original fifteen) head the round-8
         # window, each with a local parity test in CI ---
+        "serving_rollup_value": serving.rollup_value,
         "serving_loyal_purchasers": serving.loyal_purchasers,
         "serving_moving_avg_daily": serving.moving_avg_daily,
         "serving_value_quartiles": serving.value_quartile_assignments,
@@ -332,6 +334,7 @@ def _trained_oracles() -> dict[str, str]:
             "text_unigram_train": oracles.unigram_train_sql(),
             "text_unigram_encode": oracles.unigram_encode_sql(),
             "text_unigram_prune": oracles.unigram_prune_sql(),
+            "sim_embedding_isotropy": oracles.embedding_isotropy_sql(),
         }
     except Exception as e:  # pragma: no cover - environment guard
         # the downgrade to rows-only must never be silent: a bug in

@@ -2240,3 +2240,54 @@ WHERE n_members * n_cells * {REBAL_DEN} > {REBAL_NUM} * total
 
 
 IVF_REBALANCE_SQL = _ivf_rebalance_sql()
+
+
+# ---------------------------------------------------------------------------
+# Isotropy diagnostic (Mu & Viswanath 2018, "All-but-the-Top"):
+# anisotropic embedding spaces — variance concentrated in a few
+# directions — degrade cosine-based retrieval. This reports how the
+# corpus's variance spreads over the eigenspectrum of the EXACT
+# covariance (embedding_covariance's quantized-integer reduction).
+def embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_dims, trace_micro, top_eig_micro, top_share,
+    effective_rank): one-row spectrum summary — total variance and
+    the top eigenvalue in 1e-6 units, the top direction's variance
+    share, and the effective rank exp(H(p)) of the normalized
+    eigenvalue distribution (n_dims = perfectly isotropic, 1 = all
+    variance on one axis).
+
+    Scale shape: the ONLY distributed work is the covariance
+    reduction (shuffle bytes O(partitions * dim^2), corpus-size
+    independent); the d x d eigendecomposition is driver model
+    state, exactly the PCA trainer's contract. Oracle: a sequential
+    replica recomputes the identical exact-integer covariance and
+    the same numpy eigh — literal-artifact twin (oracles.py).
+    """
+    import math as _math
+
+    import numpy as np
+
+    cov_rows = embedding_covariance(spark, sf_dir).collect()
+    d = max(r.j for r in cov_rows) + 1
+    cov = np.zeros((d, d))
+    for r in cov_rows:
+        cov[r.i, r.j] = r.cov
+        cov[r.j, r.i] = r.cov
+    vals = np.linalg.eigvalsh(cov)
+    pos = [float(v) for v in vals if v > 0]
+    trace = sum(pos)
+    top = max(pos)
+    ps = [v / trace for v in pos]
+    ent = -sum(p * _math.log(p) for p in ps if p > 0)
+    row = (
+        d,
+        int(_math.floor(trace * 1e6 + 0.5)),
+        int(_math.floor(top * 1e6 + 0.5)),
+        round(top / trace, 6),
+        round(_math.exp(ent), 6),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_dims int, trace_micro bigint, top_eig_micro bigint,"
+        " top_share double, effective_rank double",
+    )

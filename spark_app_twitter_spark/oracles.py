@@ -735,3 +735,70 @@ FROM (VALUES
 ) AS t(piece, em_count, logp_micro)
 """
     return _SQL_CACHE[key]
+
+
+def replica_isotropy(sf_dir: str) -> tuple:
+    """Sequential replica of similarity.embedding_isotropy: the same
+    exact-integer covariance (replica_pca's reduction) and the same
+    numpy eigvalsh + spectrum summary."""
+    import math as _math
+
+    import numpy as np
+
+    con = _duck(sf_dir)
+    q = (
+        "list_transform(embedding,"
+        " x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
+    )
+    sums = con.execute(
+        f"SELECT dim, sum(qx) AS sd, count(*) AS n FROM ("
+        f"SELECT unnest(range(len(q))) AS dim, unnest(q) AS qx "
+        f"FROM (SELECT {q} AS q FROM embeddings)) GROUP BY dim"
+    ).fetchall()
+    d = max(r[0] for r in sums) + 1
+    n = sums[0][2]
+    mean_q = [0.0] * d
+    for dim, sd, _n in sums:
+        mean_q[dim] = float(sd) / float(_n)
+    prods = con.execute(
+        "SELECT i, j, sum(p) FROM ("
+        "SELECT a.dim AS i, b.dim AS j, a.qx * b.qx AS p, a.rid FROM ("
+        "SELECT rid, unnest(range(len(q))) AS dim, unnest(q) AS qx FROM ("
+        f"SELECT row_number() OVER () AS rid, {q} AS q FROM embeddings)) a "
+        "JOIN ("
+        "SELECT rid, unnest(range(len(q))) AS dim, unnest(q) AS qx FROM ("
+        f"SELECT row_number() OVER () AS rid, {q} AS q FROM embeddings)) b "
+        "USING (rid) WHERE a.dim <= b.dim) GROUP BY i, j"
+    ).fetchall()
+    cov = np.zeros((d, d))
+    for i, j, sp in prods:
+        c = (float(sp) / n - mean_q[i] * mean_q[j]) / 1e12
+        cov[i][j] = c
+        cov[j][i] = c
+    vals = np.linalg.eigvalsh(cov)
+    pos = [float(v) for v in vals if v > 0]
+    trace = sum(pos)
+    top = max(pos)
+    ps = [v / trace for v in pos]
+    ent = -sum(p * math.log(p) for p in ps if p > 0)
+    return (
+        d,
+        int(math.floor(trace * 1e6 + 0.5)),
+        int(math.floor(top * 1e6 + 0.5)),
+        round(top / trace, 6),
+        round(math.exp(ent), 6),
+    )
+
+
+def embedding_isotropy_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    key = ("isotropy", sf_dir)
+    if key not in _SQL_CACHE:
+        d, tr, te, share, erank = replica_isotropy(sf_dir)
+        _SQL_CACHE[key] = f"""
+SELECT CAST({d} AS INTEGER) AS n_dims,
+       CAST({tr} AS BIGINT) AS trace_micro,
+       CAST({te} AS BIGINT) AS top_eig_micro,
+       CAST({_f(share)} AS DOUBLE) AS top_share,
+       CAST({_f(erank)} AS DOUBLE) AS effective_rank
+"""
+    return _SQL_CACHE[key]

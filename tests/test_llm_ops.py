@@ -2388,3 +2388,43 @@ def test_curriculum_shards_parity_and_ordering(spark, sf_dir):
         qs = by_shard[r.shard]
         expect = (2 * sum(qs) + len(qs)) // (2 * len(qs))
         assert r.mean_quality_micro == expect
+
+
+def test_embedding_isotropy_parity_and_planted_anisotropy(
+    spark, sf_dir, tmp_path
+):
+    """The spectrum summary matches its sequential replica; bounds
+    hold (1/n <= top_share <= 1, 1 <= effective_rank <= n_dims); and
+    a planted one-direction corpus collapses effective rank toward 1
+    while the near-isotropic synthetic corpus sits near n_dims."""
+    import os
+    import random
+
+    from tests.parity import assert_parity
+
+    from spark_app_twitter_spark import oracles
+    from spark_app_twitter_spark.operators import similarity
+
+    df = similarity.embedding_isotropy(spark, sf_dir)
+    assert_parity(
+        df, oracles.embedding_isotropy_sql(sf_dir), sf_dir, "isotropy"
+    )
+    r = df.collect()[0]
+    assert 1.0 / r.n_dims <= r.top_share <= 1.0
+    assert 1.0 <= r.effective_rank <= r.n_dims
+    assert r.effective_rank > r.n_dims * 0.5  # synthetic ~isotropic
+
+    rng = random.Random(3)
+    sf2 = str(tmp_path / "aniso")
+    os.makedirs(sf2)
+    vecs = []
+    for i in range(50):
+        a = rng.uniform(-1, 1)
+        v = [a * 10.0] + [rng.uniform(-0.01, 0.01) for _ in range(63)]
+        vecs.append((i, v))
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>"
+    ).write.parquet(f"{sf2}/embeddings.parquet")
+    p = similarity.embedding_isotropy(spark, sf2).collect()[0]
+    assert p.top_share > 0.99
+    assert p.effective_rank < 2.0

@@ -187,6 +187,9 @@ STRESS_QUERIES = [
     # curriculum ordering: map-side shard+quality, one shard-keyed
     # reduce, |shards|-row ranking window
     "pack_curriculum_shards",
+    # isotropy = the covariance reduction + a driver-side 64x64 eig
+    # (model state); trajectory tracks sim_embedding_covariance
+    "sim_embedding_isotropy",
     # NOT listed: sim_ann_recall_audit and sim_ivf_probe_sensitivity
     # — their exact sides score the corpus per query by construction
     # (the operators' docstrings document the sampled-query audit
