@@ -104,7 +104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     incremental inverted-index delta, IVF rebalance planner, and
     Zipf corpus-shape fit, unigram vocabulary prune, and lang-ID
     evaluation metrics, curriculum shard ordering, and the
-    embedding isotropy spectrum) leads.
+    embedding isotropy spectrum and the IVF-bucketed bitext scale
+    path with its full index-replay twin) leads.
     """
     return {
         # --- 0. added in the round-7 continuation (never attested):
@@ -136,6 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid_metrics": textstats.langid_metrics,
         "pack_curriculum_shards": packing.curriculum_shards,
         "sim_embedding_isotropy": similarity.embedding_isotropy,
+        "sim_bitext_mining_ivf": similarity.bitext_mining_ivf,
         # --- 1. round-7 head: the six never-driver-attested entries
         # (VERDICT r06 item 2), led by the repaired inverted index
         # (item 1: postings serialized to csv so the gate
@@ -173,12 +175,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_value_percentiles": serving.value_percentiles,
         "serving_hourly_window": serving.hourly_window,
         "serving_topic_means": serving.topic_means,
-        "serving_distinct_users": serving.distinct_users,
         # ---- driver verification window ends at 50 entries ----
         # --- 4. r04-attested remainder: all thirty-six displaced
         # rows (the twenty-one below pushed out by the section-0
         # additions plus the original fifteen) head the round-8
         # window, each with a local parity test in CI ---
+        "serving_distinct_users": serving.distinct_users,
         "serving_rollup_value": serving.rollup_value,
         "serving_loyal_purchasers": serving.loyal_purchasers,
         "serving_moving_avg_daily": serving.moving_avg_daily,
@@ -371,6 +373,7 @@ def oracle_sql() -> dict[str, str]:
         "text_zipf_fit": textstats.ZIPF_FIT_SQL,
         "text_langid_metrics": textstats.LANGID_METRICS_SQL,
         "pack_curriculum_shards": packing.CURRICULUM_SHARDS_SQL,
+        "sim_bitext_mining_ivf": similarity.BITEXT_MINING_IVF_SQL,
         "retrieval_inverted_index": retrieval.INVERTED_INDEX_SQL,
         "asof_nearest_click": asof.NEAREST_CLICK_TO_PURCHASE_SQL,
         "versioning_corpus_delta": versioning.CORPUS_DELTA_SQL,

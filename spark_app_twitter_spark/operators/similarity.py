@@ -415,11 +415,14 @@ def knn_ivf_search(
     )
 
 
-def _ivf_pairs_sql() -> str:
+def _ivf_pairs_sql(q_body: str | None = None) -> str:
     """The shared WITH-chain of every IVF search twin, ending at a
     ``pairs`` CTE (query_id, qv, neighbor_id, cv) — mirrors
     :func:`ivf_probe_pairs` exactly; variants append their scoring
-    tail."""
+    tail. ``q_body`` overrides the query-cohort CTE body (default:
+    the registered vec_id < N_QUERIES cohort) — the seam the
+    bitext-IVF twin uses to make ENGLISH DOCS the query side while
+    the probe/candidate machinery stays the shared definition."""
     from spark_app_twitter_spark.operators.clustering import (
         ITERS,
         _centroid_score_sql,
@@ -442,11 +445,16 @@ def _ivf_pairs_sql() -> str:
         "vec_id AS neighbor_id, v AS cv, cell",
         where=f"m.vec_id >= {N_QUERIES}",
     )
+    if q_body is None:
+        q_body = (
+            f"SELECT vec_id AS query_id, v AS qv FROM emb"
+            f" WHERE vec_id < {N_QUERIES}"
+        )
     return f"""
 WITH {chain},
 cand_cells AS ({cand_cells}),
 q AS (
-  SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < {N_QUERIES}
+  {q_body}
 ),
 probe_coarse AS (
   SELECT query_id, qv, coarse FROM (
@@ -1937,6 +1945,14 @@ def bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tgt_id",
         F.round(cosine(F.col("sv"), F.col("tv")), 6).alias("cos_sim"),
     )
+    return _bitext_margins(scored)
+
+
+def _bitext_margins(scored: DataFrame) -> DataFrame:
+    """Stage 2 of both bitext variants — mutual-top-1 + ratio margin
+    over an arbitrary (src_id, tgt_id, cos_sim) pair relation. ONE
+    definition so the exact (all-pairs) and IVF-bucketed variants
+    can never diverge on ranking, tie-break, or margin arithmetic."""
     wf = Window.partitionBy("src_id").orderBy(
         F.desc("cos_sim"), F.asc("tgt_id")
     )
@@ -1998,28 +2014,18 @@ def bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BITEXT_MINING_SQL = f"""
-WITH tagged AS (
-  SELECT e.vec_id, e.embedding, d.lang
-  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
-),
-src AS (
-  SELECT vec_id AS src_id, embedding AS sv FROM tagged WHERE lang = 'en'
-),
-tgt AS (
-  SELECT vec_id AS tgt_id, embedding AS tv FROM tagged WHERE lang != 'en'
-),
+def _bitext_tail_sql(scored_body: str) -> str:
+    """Margin/mutual-top-1 SQL tail over an arbitrary scored-pair
+    body — the twin of :func:`_bitext_margins`, shared by the exact
+    and IVF-bucketed oracles."""
+    return f"""
 ranked AS (
   SELECT src_id, tgt_id, cos_sim,
          row_number() OVER (PARTITION BY src_id
                             ORDER BY cos_sim DESC, tgt_id ASC) AS fr,
          row_number() OVER (PARTITION BY tgt_id
                             ORDER BY cos_sim DESC, src_id ASC) AS br
-  FROM (
-    SELECT src_id, tgt_id,
-           round({cosine_sql('sv', 'tv')}, 6) AS cos_sim
-    FROM tgt CROSS JOIN src
-  )
+  FROM ({scored_body})
 ),
 fwd_mean AS (
   SELECT src_id,
@@ -2049,6 +2055,24 @@ margins AS (
 )
 SELECT src_id, tgt_id, cos_sim, margin
 FROM margins WHERE margin >= {BITEXT_MIN_MARGIN}
+"""
+
+
+BITEXT_MINING_SQL = f"""
+WITH tagged AS (
+  SELECT e.vec_id, e.embedding, d.lang
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+),
+src AS (
+  SELECT vec_id AS src_id, embedding AS sv FROM tagged WHERE lang = 'en'
+),
+tgt AS (
+  SELECT vec_id AS tgt_id, embedding AS tv FROM tagged WHERE lang != 'en'
+),
+{_bitext_tail_sql(
+    "SELECT src_id, tgt_id, round(" + cosine_sql("sv", "tv")
+    + ", 6) AS cos_sim FROM tgt CROSS JOIN src"
+).strip()}
 """
 
 
@@ -2291,3 +2315,67 @@ def embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dims int, trace_micro bigint, top_eig_micro bigint,"
         " top_share double, effective_rank double",
     )
+
+
+def bitext_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_id, tgt_id, cos_sim, margin): the CORPUS-SCALE path of
+    bitext_mining — candidate pairs come from the published
+    two-level IVF index (each English query scores only the
+    non-English vectors inside its probed cells) instead of the
+    exact all-pairs cross join; margins and the mutual-top-1 rule
+    run over the candidate neighborhoods (the CCMatrix practical
+    variant) through the SAME stage-2 definition as the exact
+    variant.
+
+    Cohort note (both engines identical): the index's candidate side
+    excludes vec_id < N_QUERIES by the shared ivf_probe_pairs
+    contract, so those few ids never appear as targets; sources are
+    ALL English docs. The oracle replays the full index train +
+    probe + candidate generation (the knn_ivf discipline) and then
+    the shared margin tail.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    langs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    q = (
+        emb.join(langs, "vec_id")
+        .where(F.col("lang") == "en")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+        )
+    )
+    pairs = ivf_probe_pairs(spark, sf_dir, q)
+    nonen = langs.where(F.col("lang") != "en").select(
+        F.col("vec_id").alias("neighbor_id")
+    )
+    scored = pairs.join(F.broadcast(nonen), "neighbor_id", "left_semi").select(
+        F.col("query_id").alias("src_id"),
+        F.col("neighbor_id").alias("tgt_id"),
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    return _bitext_margins(scored)
+
+
+def _bitext_mining_ivf_sql() -> str:
+    q_body = (
+        "SELECT e.vec_id AS query_id, e.v AS qv FROM emb e"
+        " JOIN documents d ON e.vec_id = d.doc_id WHERE d.lang = 'en'"
+    )
+    scored = (
+        "SELECT p.query_id AS src_id, p.neighbor_id AS tgt_id,"
+        f" round({cosine_sql('p.qv', 'p.cv')}, 6) AS cos_sim"
+        " FROM pairs p JOIN documents d ON p.neighbor_id = d.doc_id"
+        " WHERE d.lang != 'en'"
+    )
+    return (
+        _ivf_pairs_sql(q_body)
+        + ",\nscored0 AS (\n  "
+        + scored
+        + "\n),\n"
+        + _bitext_tail_sql("SELECT * FROM scored0").strip()
+    )
+
+
+BITEXT_MINING_IVF_SQL = _bitext_mining_ivf_sql()

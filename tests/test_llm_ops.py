@@ -2428,3 +2428,47 @@ def test_embedding_isotropy_parity_and_planted_anisotropy(
     p = similarity.embedding_isotropy(spark, sf2).collect()[0]
     assert p.top_share > 0.99
     assert p.effective_rank < 2.0
+
+
+def test_bitext_ivf_parity_and_exact_agreement(spark, sf_dir):
+    """The IVF-bucketed bitext variant matches its full index-replay
+    twin; structural properties hold (mutual-top-1 within the
+    candidate graph, language-group membership, margins above the
+    threshold); and a strong majority of the EXACT variant's mined
+    pairs survive — the recall cost of probing, not a different
+    algorithm."""
+    from tests.parity import assert_parity
+
+    from spark_app_twitter_spark.operators import similarity
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    df = similarity.bitext_mining_ivf(spark, sf_dir)
+    assert_parity(
+        df, similarity.BITEXT_MINING_IVF_SQL, sf_dir, "bitext_ivf"
+    )
+
+    rows = df.collect()
+    assert rows
+    srcs = [r.src_id for r in rows]
+    tgts = [r.tgt_id for r in rows]
+    assert len(set(srcs)) == len(srcs)
+    assert len(set(tgts)) == len(tgts)
+    assert all(r.margin >= similarity.BITEXT_MIN_MARGIN for r in rows)
+    langs = {
+        r.doc_id: r.lang
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    assert all(langs[s] == "en" for s in srcs)
+    assert all(langs[t] != "en" for t in tgts)
+
+    exact = {
+        (r.src_id, r.tgt_id)
+        for r in similarity.bitext_mining(spark, sf_dir).collect()
+        if r.tgt_id >= similarity.N_QUERIES  # ivf candidate contract
+    }
+    got = {(r.src_id, r.tgt_id) for r in rows}
+    assert exact, "exact variant mined nothing comparable"
+    overlap = len(exact & got) / len(exact)
+    assert overlap >= 0.5, f"ivf recalled only {overlap:.0%} of exact pairs"

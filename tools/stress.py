@@ -197,7 +197,15 @@ STRESS_QUERIES = [
     # registered variant scores all src x tgt pairs exactly (the
     # gate-oracle contract), so replication grows it quadratically
     # by construction; the docstring documents the IVF-bucketed
-    # candidate composition as the corpus-scale path.
+    # candidate composition as the corpus-scale path —
+    # sim_bitext_mining_ivf IS that composition (registered r7
+    # continuation), and probing cuts the scored pair volume by the
+    # probe fraction (~4x), but mining pairs BETWEEN two
+    # corpus-sized language groups is inherently
+    # O(|src| x |tgt| x probe_fraction): the fixture grows both
+    # sides, so full-multiple stress is quadratic by construction
+    # for it too (measured 3x below); the win is structure a
+    # cluster parallelizes, not single-box sublinearity.
 ]
 
 
