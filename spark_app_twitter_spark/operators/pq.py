@@ -49,7 +49,7 @@ PQ_SUBDIM = DIM // PQ_M
 PQ_K = 16  # centroids per subspace (4-bit codes)
 PQ_ITERS = 3
 PQ_TOP_K = 10
-_PQ_SCALE = 1_000_000
+_PQ_SCALE = 1_000_000  # micro-units of every integer score in this module
 
 
 def _subvecs(spark: SparkSession, sf_dir: str) -> DataFrame:
