@@ -116,7 +116,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mixture plan ---
         "retrieval_bm25": retrieval.bm25_retrieve,
         "text_dsir_weights": textstats.dsir_weights,
-        "sim_bitext_mining": similarity.bitext_mining,
+        # VERDICT r07 item 2: the scale path (IVF-bucketed candidates)
+        # is the default; the all-pairs variant is the explicit exact twin
+        "sim_bitext_mining": similarity.bitext_mining_ivf,
         "pack_shard_manifest": packing.shard_manifest,
         "retrieval_hybrid_rrf": retrieval.hybrid_rrf,
         "sim_matryoshka_recall": similarity.matryoshka_recall,
@@ -137,7 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid_metrics": textstats.langid_metrics,
         "pack_curriculum_shards": packing.curriculum_shards,
         "sim_embedding_isotropy": similarity.embedding_isotropy,
-        "sim_bitext_mining_ivf": similarity.bitext_mining_ivf,
+        "sim_bitext_mining_exact": similarity.bitext_mining,
         # --- 1. round-7 head: the six never-driver-attested entries
         # (VERDICT r06 item 2), led by the repaired inverted index
         # (item 1: postings serialized to csv so the gate
@@ -356,7 +358,7 @@ def oracle_sql() -> dict[str, str]:
         **_trained_oracles(),
         "retrieval_bm25": retrieval.BM25_RETRIEVE_SQL,
         "text_dsir_weights": textstats.DSIR_WEIGHTS_SQL,
-        "sim_bitext_mining": similarity.BITEXT_MINING_SQL,
+        "sim_bitext_mining": similarity.BITEXT_MINING_IVF_SQL,
         "pack_shard_manifest": packing.SHARD_MANIFEST_SQL,
         "retrieval_hybrid_rrf": retrieval.HYBRID_RRF_SQL,
         "sim_matryoshka_recall": similarity.MATRYOSHKA_RECALL_SQL,
@@ -373,7 +375,7 @@ def oracle_sql() -> dict[str, str]:
         "text_zipf_fit": textstats.ZIPF_FIT_SQL,
         "text_langid_metrics": textstats.LANGID_METRICS_SQL,
         "pack_curriculum_shards": packing.CURRICULUM_SHARDS_SQL,
-        "sim_bitext_mining_ivf": similarity.BITEXT_MINING_IVF_SQL,
+        "sim_bitext_mining_exact": similarity.BITEXT_MINING_SQL,
         "retrieval_inverted_index": retrieval.INVERTED_INDEX_SQL,
         "asof_nearest_click": asof.NEAREST_CLICK_TO_PURCHASE_SQL,
         "versioning_corpus_delta": versioning.CORPUS_DELTA_SQL,

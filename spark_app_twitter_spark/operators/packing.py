@@ -353,7 +353,7 @@ WITH rows_ AS (
 )
 SELECT shard,
        count(*) AS n_docs,
-       sum(nt) AS n_tokens,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
        min(doc_id) AS min_doc_id,
        max(doc_id) AS max_doc_id,
        md5(string_agg(h, '' ORDER BY okey ASC, doc_id ASC)) AS digest

@@ -1915,12 +1915,14 @@ def bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ratio-margin score, margin >= BITEXT_MIN_MARGIN.
 
     Group membership joins embeddings to documents.lang on the
-    vec_id == doc_id contract (retrieval.py's convention). The
-    registered query scores all src x tgt pairs exactly — the gate's
-    oracle semantics; at corpus scale the pair stage composes with
-    the trained two-level IVF index exactly as knn_ivf does (score
-    only candidates inside probed cells; the margin means are then
-    over the candidate neighborhoods, CCMatrix's practical variant).
+    vec_id == doc_id contract (retrieval.py's convention). This is
+    the EXPLICIT EXACT variant (registered ``sim_bitext_mining_exact``
+    since r8, the sem_dedup_flat demotion pattern): it scores all
+    src x tgt pairs, which broadcasts an entire language half — fine
+    for small-n audits, fatal at corpus scale. The registered default
+    ``sim_bitext_mining`` is :func:`bitext_mining_ivf`, which draws
+    candidates from the probed IVF cells (CCMatrix's practical
+    variant) and shares this function's stage-2 margin definition.
 
     Plan shape: the smaller group broadcasts into the larger
     (BroadcastNestedLoopJoin — each executor scans its resident
@@ -2319,7 +2321,8 @@ def embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bitext_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(src_id, tgt_id, cos_sim, margin): the CORPUS-SCALE path of
-    bitext_mining — candidate pairs come from the published
+    bitext mining and the registered default ``sim_bitext_mining``
+    since r8 (VERDICT r07 item 2) — candidate pairs come from the published
     two-level IVF index (each English query scores only the
     non-English vectors inside its probed cells) instead of the
     exact all-pairs cross join; margins and the mutual-top-1 rule

@@ -2339,8 +2339,8 @@ ranked AS (
 )
 SELECT source,
        count(*) AS n_docs,
-       sum(nt) AS n_tokens,
-       sum(nc) AS n_chars,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       CAST(sum(nc) AS BIGINT) AS n_chars,
        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
        round(CAST(100.0 AS DOUBLE)
              * CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)

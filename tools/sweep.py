@@ -27,6 +27,35 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SWEEP_SF_DIR", "/root/testdata/sf0.01")
 os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", SF_DIR)
 
 
+def _lint_oracle_dtypes(oracle_sqls: dict) -> None:
+    """Reject HUGEINT-class columns in any oracle's final projection.
+
+    DuckDB widens sum(BIGINT) to int128, which the driver's pandas
+    canonicalizer turns into float64 — a guaranteed value-hash
+    mismatch against Spark's int64 even with identical values (the
+    r6/r7 red class). DESCRIBE binds without executing, so the whole
+    registry lints in seconds before the sweep spends any Spark time.
+    """
+    import duckdb
+
+    con = duckdb.connect()
+    tables = ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_DIR}/{t}.parquet')")
+    bad = []
+    for name, sql in oracle_sqls.items():
+        for cname, ctype, *_ in con.execute(f"DESCRIBE {sql}").fetchall():
+            if any(b in ctype.upper() for b in ("HUGEINT", "INT128")):
+                bad.append((name, cname, ctype))
+    con.close()
+    if bad:
+        raise SystemExit(f"oracle dtype lint FAILED (uncast widening "
+                         f"in final projection): {bad}")
+    print(f"oracle dtype lint: {len(oracle_sqls)} oracles clean", flush=True)
+
+
 def main() -> int:
     start, limit = 0, None
     if len(sys.argv) > 1:
@@ -43,6 +72,7 @@ def main() -> int:
     from parity import assert_parity
     from spark_app_twitter_spark.session import get_spark
 
+    _lint_oracle_dtypes(entry.oracle_sql())
     spark = get_spark("sweep")
     rows = entry.entry(spark).count()
     print(f"entry rows: {rows}", flush=True)
