@@ -108,6 +108,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     path with its full index-replay twin) leads.
     """
     return {
+        # --- R8-0. added or rerouted in round 8 (VERDICT r07 items
+        # 3-4): the O(n) cluster-routed near-dup family — capped pair
+        # emission (star-from-representative above CLIQUE_CAP-member
+        # LSH buckets), cluster membership for every doc, the
+        # cluster-routed leakage audit (dedup_split_leakage now
+        # catches transitive contamination; the direct-pair variant
+        # stays as the explicit exact twin), and PageRank whose edge
+        # list is now the capped relation ---
+        "dedup_lsh_clusters": dedup.lsh_clusters,
+        "dedup_minhash_lsh_pairs_capped": dedup.minhash_lsh_pairs_capped,
+        "dedup_split_leakage_pairs": dedup.split_leakage_pairs,
         # --- 0. added in the round-7 continuation (never attested):
         # sparse BM25 retrieval, DSIR importance weights, margin-based
         # bitext mining, the training-shard manifest, BM25+dense RRF
@@ -356,6 +367,9 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query."""
     return {
         **_trained_oracles(),
+        "dedup_lsh_clusters": dedup.LSH_CLUSTERS_SQL,
+        "dedup_minhash_lsh_pairs_capped": dedup.MINHASH_LSH_PAIRS_CAPPED_SQL,
+        "dedup_split_leakage_pairs": dedup.SPLIT_LEAKAGE_PAIRS_SQL,
         "retrieval_bm25": retrieval.BM25_RETRIEVE_SQL,
         "text_dsir_weights": textstats.DSIR_WEIGHTS_SQL,
         "sim_bitext_mining": similarity.BITEXT_MINING_IVF_SQL,

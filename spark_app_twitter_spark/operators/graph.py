@@ -27,15 +27,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_app_twitter_spark.operators.dedup import minhash_lsh_pairs
+from spark_app_twitter_spark.operators.dedup import minhash_lsh_pairs_capped
 
 PR_ITERS = 10
 PR_Q = 1_000_000_000_000  # integer mass units per unit rank
 
 
 def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetrized (src, dst) edges from the verified LSH pairs."""
-    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    """Symmetrized (src, dst) edges from the verified LSH pairs —
+    the CAPPED relation since r8 (VERDICT r07 item 4): a k-member
+    duplicate clique contributes k-1 star edges instead of C(k, 2),
+    so edge volume (the iteration cost driver) is O(n * BANDS); the
+    clique's mass concentrates on its representative, which is
+    exactly the canonical-selection signal PageRank is here for."""
+    pairs = minhash_lsh_pairs_capped(spark, sf_dir).select("doc_a", "doc_b")
     fwd = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )

@@ -492,15 +492,17 @@ def embedding_pca_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
 
 def replica_pagerank(sf_dir: str) -> list[tuple[int, int]]:
     """Sequential replica of graph.pagerank_near_dup: edges from the
-    (hash-green) MinHash-LSH pair oracle SQL, then the operator's own
+    (hash-green) CAPPED MinHash-LSH pair oracle SQL, then the operator's own
     all-integer rank loop — floor division throughout, so the result
     is bit-identical regardless of engine or iteration order."""
-    from spark_app_twitter_spark.operators.dedup import MINHASH_LSH_PAIRS_SQL
+    from spark_app_twitter_spark.operators.dedup import (
+        MINHASH_LSH_PAIRS_CAPPED_SQL,
+    )
     from spark_app_twitter_spark.operators.graph import PR_ITERS, PR_Q
 
     con = _duck(sf_dir)
     try:
-        pairs = con.execute(MINHASH_LSH_PAIRS_SQL).fetchall()
+        pairs = con.execute(MINHASH_LSH_PAIRS_CAPPED_SQL).fetchall()
     finally:
         con.close()
     edges: list[tuple[int, int]] = []

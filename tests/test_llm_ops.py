@@ -1454,7 +1454,7 @@ def test_pagerank_matches_python_replica(spark, sf_dir):
     }
     pairs = [
         (r.doc_a, r.doc_b)
-        for r in dedup.minhash_lsh_pairs(spark, sf_dir).collect()
+        for r in dedup.minhash_lsh_pairs_capped(spark, sf_dir).collect()
     ]
     assert pairs, "fixture corpora plant near-dups"
     edges = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
@@ -2472,3 +2472,118 @@ def test_bitext_ivf_parity_and_exact_agreement(spark, sf_dir):
     assert exact, "exact variant mined nothing comparable"
     overlap = len(exact & got) / len(exact)
     assert overlap >= 0.5, f"ivf recalled only {overlap:.0%} of exact pairs"
+
+
+def test_capped_pairs_equal_exact_below_clique_cap(spark, sf_dir):
+    """On a corpus whose LSH buckets all stay within CLIQUE_CAP
+    members (the sf fixtures), the capped relation IS the exact
+    relation — capping only engages on oversized duplicate cliques."""
+    from spark_app_twitter_spark.operators import dedup
+
+    exact = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.minhash_lsh_pairs(spark, sf_dir).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.minhash_lsh_pairs_capped(spark, sf_dir).collect()
+    }
+    assert exact == capped and exact
+
+
+def _write_clique_chain_corpus(sf: str) -> None:
+    """20-member exact-dup clique (ids 100-119), a transitive chain
+    1 ~ 2 ~ 3 with 1 !~ 3, and an unrelated singleton 4."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    u = [f"u{i}" for i in range(12)]
+    texts = {
+        i: "dup dup words exactly the same for every clique member here"
+        for i in range(100, 120)
+    }
+    texts[1] = " ".join(u[:9] + ["a1", "a2", "a3"])
+    texts[2] = " ".join(u)
+    texts[3] = " ".join(["c1", "c2", "c3"] + u[3:])
+    texts[4] = "totally different words nothing shared with anything else at all"
+    ids = sorted(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": [texts[i] for i in ids],
+                "lang": ["en"] * len(ids),
+                "source": ["synthetic"] * len(ids),
+                "n_chars": pa.array(
+                    [len(texts[i]) for i in ids], pa.int64()
+                ),
+            }
+        ),
+        f"{sf}/documents.parquet",
+    )
+
+
+def test_capped_pairs_linear_on_planted_clique(spark, tmp_path):
+    """VERDICT r07 item 3: a k-member duplicate clique emits C(k, 2)
+    rows from the exact relation but only the k-1 star edges from the
+    capped one — O(n) output — while cluster membership is identical,
+    and a transitive near-dup chain lands in ONE cluster even though
+    its endpoints never pair directly."""
+    from spark_app_twitter_spark.operators import dedup
+
+    sf = str(tmp_path)
+    _write_clique_chain_corpus(sf)
+
+    exact = dedup.minhash_lsh_pairs(spark, sf).collect()
+    capped = dedup.minhash_lsh_pairs_capped(spark, sf).collect()
+    # clique: C(20,2)=190 exact vs 19 star edges; chain adds (1,2),(2,3)
+    assert len(exact) == 192
+    assert len(capped) == 21
+    star = {(r.doc_a, r.doc_b) for r in capped if r.doc_a >= 100}
+    assert star == {(100, b) for b in range(101, 120)}
+    # capped ⊆ exact with identical verified jaccard values
+    ej = {(r.doc_a, r.doc_b): r.jaccard for r in exact}
+    for r in capped:
+        assert ej[(r.doc_a, r.doc_b)] == r.jaccard
+
+    cl = {r.doc_id: r for r in dedup.lsh_clusters(spark, sf).collect()}
+    assert {cl[i].cluster_id for i in range(100, 120)} == {100}
+    assert cl[1].cluster_id == cl[2].cluster_id == cl[3].cluster_id == 1
+    assert cl[4].cluster_id == 4 and cl[4].is_survivor
+    survivors = {i for i, r in cl.items() if r.is_survivor}
+    assert survivors == {1, 4, 100}
+
+    # parity of all three on the adversarial fixture, both engines
+    from tests.parity import assert_parity
+
+    assert_parity(
+        dedup.minhash_lsh_pairs_capped(spark, sf),
+        dedup.MINHASH_LSH_PAIRS_CAPPED_SQL,
+        sf,
+        "capped_clique",
+    )
+    assert_parity(
+        dedup.lsh_clusters(spark, sf),
+        dedup.LSH_CLUSTERS_SQL,
+        sf,
+        "clusters_clique",
+    )
+
+
+def test_cluster_leakage_supersets_direct_pair_leakage(spark, sf_dir):
+    """The cluster-routed audit counts every doc the direct-pair
+    variant counts (a verified pair IS a shared cluster) — plus any
+    transitive contamination on top."""
+    from spark_app_twitter_spark.operators import dedup
+
+    by_cluster = {
+        r.split: r.n_leaked
+        for r in dedup.split_leakage(spark, sf_dir).collect()
+    }
+    by_pairs = {
+        r.split: r.n_leaked
+        for r in dedup.split_leakage_pairs(spark, sf_dir).collect()
+    }
+    assert set(by_cluster) == set(by_pairs)
+    for split, n in by_pairs.items():
+        assert by_cluster[split] >= n

@@ -575,3 +575,14 @@ def test_default_bitext_registration_is_ivf_bucketed(spark, sf_dir):
     plan = E.executed_plan(q["sim_bitext_mining"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_clusters_capped_and_bucket_joined(spark, sf_dir):
+    """The O(n) cluster chain must stay bucket-joined: no cartesian,
+    no broadcast nested loop, and the candidate join keyed on the
+    (band, bh) bucket exactly like the exact pair relation."""
+    from spark_app_twitter_spark.operators import dedup
+
+    plan = E.executed_plan(dedup.lsh_clusters(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -126,9 +126,14 @@ STRESS_QUERIES = [
     "sim_knn_ivf_quantized",
     "sim_contrastive_pairs",
     "text_bpe_compression",
-    # split-leakage rides on the minhash pair volume (the stress
-    # fixture's near-dup replicas straddle split boundaries by
-    # construction), so its ratio tracks minhash_lsh_pairs
+    # round 8 (VERDICT r07 items 3-4): the capped pair relation and
+    # the cluster chain are O(n)-output by construction — their
+    # trajectories are the evidence the near-dup family no longer
+    # rides the fixture's quadratic clique growth; split leakage is
+    # cluster-routed now, so it tracks lsh_clusters, not the exact
+    # pair volume
+    "dedup_minhash_lsh_pairs_capped",
+    "dedup_lsh_clusters",
     "dedup_split_leakage",
     "sim_embedding_sanity",
     "sim_ivf_index_append",
