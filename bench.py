@@ -211,6 +211,17 @@ def main() -> None:
         "doc_id", clf("text").alias("label")
     ).count()
     model_times["ngram_logistic_classifier"] = round(time.perf_counter() - t0, 3)
+    # transformer-class emotion head (VERDICT r07 item 5): the
+    # reference's DistilBERT capability class through the same seam
+    tclf = make_pandas_classifier(
+        models.transformer_emotion_scorer,
+        init=models.transformer_emotion_model,
+    )
+    t0 = time.perf_counter()
+    load_table(spark, SF_DIR, "documents", spread=True).select(
+        "doc_id", tclf("text").alias("label")
+    ).count()
+    model_times["transformer_emotion_head"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
     multimodal.resize_media(
         multimodal.media_table(spark, SF_DIR),
