@@ -38,6 +38,19 @@ Connector probe log (per-round check for a usable jar):
   ingest projection end-to-end (streaming/ingest.py
   ``read_rate_wire_stream``), so the projection is exercised by two
   independent source implementations, not just the file stream.
+- 2026-08-14 (round 8): still no jar / Maven network. NEW: the
+  boundary itself is now crossed — PySpark 4's Python Data Source
+  API hosts a wire twin (``kafka_pysource.py``) exposing the real
+  connector's 7-column schema and validating the exact option
+  contract; ``read_kafka_stream(..., fmt=PY_KAFKA_FORMAT)`` — this
+  builder, same code — resolves, analyzes, and runs micro-batches
+  end-to-end through the ingest projection, with deterministic
+  replay (readBetweenOffsets) pinned by test. Spark RESERVES the
+  literal name ``kafka`` (registerPython fails with
+  DATA_SOURCE_ALREADY_EXISTS — the JVM lookup special-cases it for
+  the deploy hint), so the twin registers as ``kafka-wire``; the
+  connector-lookup boundary error for ``format("kafka")`` stays
+  pinned separately.
 """
 
 from __future__ import annotations
@@ -70,10 +83,16 @@ def read_kafka_stream(
     topics: str,
     starting_offsets: str = "earliest",
     fail_on_data_loss: bool = False,
+    fmt: str = "kafka",
 ) -> DataFrame:
-    """Streaming Kafka source: key/value binary + topic + metadata."""
+    """Streaming Kafka source: key/value binary + topic + metadata.
+
+    ``fmt`` defaults to the real connector; tests pass
+    ``kafka_pysource.PY_KAFKA_FORMAT`` to run the SAME builder
+    against the registered Python wire twin (same options, same
+    7-column wire schema, real micro-batch execution)."""
     return (
-        spark.readStream.format("kafka")
+        spark.readStream.format(fmt)
         .options(
             **kafka_source_options(
                 bootstrap_servers, topics, starting_offsets, fail_on_data_loss
