@@ -119,9 +119,38 @@ HEADLINE = [
 ]
 
 
+# Bench hygiene (VERDICT r07 item 7): headline totals inflate
+# uniformly under host contention (documented signature: r5 66 s vs
+# 38 s idle for identical code), so gate the run on a quiet host —
+# wait, bounded, for the 1-minute loadavg to decay below LOAD_GATE,
+# and ANNOTATE the artifact either way so a contended number is
+# never mistaken for a regression. Note loadavg is a LAGGING
+# indicator (worklog: a run started at loadavg 9.4 that was the
+# decayed tail of its own predecessor measured clean), so the
+# annotation records both the gate verdict and the waited seconds.
+LOAD_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_LOADGATE", "2.0"))
+LOAD_WAIT_MAX = int(os.environ.get("SPARK_GRAFT_BENCH_LOADWAIT", "180"))
+
+
+def _await_quiet_host() -> dict:
+    waited = 0
+    load1 = _loadavg()[0]
+    while load1 > LOAD_GATE and waited < LOAD_WAIT_MAX:
+        time.sleep(10)
+        waited += 10
+        load1 = _loadavg()[0]
+    return {
+        "gate": LOAD_GATE,
+        "waited_sec": waited,
+        "load1_at_measure": load1,
+        "contended": load1 > LOAD_GATE,
+    }
+
+
 def main() -> None:
     import __spark_entry__ as ent
 
+    load_gate = _await_quiet_host()
     spark = get_spark("bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
     qs = ent.queries()
@@ -257,6 +286,7 @@ def main() -> None:
         "sf": sf_val,
         "loadavg_start": LOAD_START,
         "loadavg_end": _loadavg(),
+        "load_gate": load_gate,
         "timestamp_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     print(json.dumps(out))
