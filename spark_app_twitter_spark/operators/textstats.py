@@ -2266,8 +2266,10 @@ GROUP BY doc_id
 # one pass so refreshing the card costs one scan, not one job per
 # statistic.
 def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(source, n_docs, n_tokens, n_chars, n_langs, pct_en,
-    median_tokens): the per-source corpus data card.
+    """(source, n_docs, n_tokens, n_chars, n_langs, pct_en_bp,
+    median_tokens): the per-source corpus data card. pct_en_bp is
+    the English share in integer BASIS POINTS (floor of 10000 *
+    en/total) — the micro-unit idiom, exact on every engine.
 
     median_tokens is the LOWER median (the (n+1)//2-th doc by
     (token count, doc_id) order) so the statistic is an integer a
@@ -2307,12 +2309,11 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nt").alias("n_tokens"),
         F.sum("nc").alias("n_chars"),
         F.countDistinct("lang").alias("n_langs"),
-        F.round(
-            F.lit(100.0)
-            * F.sum((F.col("lang") == "en").cast("long")).cast("double")
-            / F.count(F.lit(1)).cast("double"),
-            2,
-        ).alias("pct_en"),
+        # integer basis points (floor), the micro-unit idiom — no
+        # float rounding seam between engines (VERDICT r07 item 8)
+        F.expr(
+            "(10000 * sum(CAST(lang = 'en' AS LONG))) div count(*)"
+        ).alias("pct_en_bp"),
         F.max(
             F.when(
                 F.col("rn")
@@ -2342,9 +2343,8 @@ SELECT source,
        CAST(sum(nt) AS BIGINT) AS n_tokens,
        CAST(sum(nc) AS BIGINT) AS n_chars,
        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-       round(CAST(100.0 AS DOUBLE)
-             * CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
-             / CAST(count(*) AS DOUBLE), 2) AS pct_en,
+       CAST((10000 * sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS pct_en_bp,
        max(CASE WHEN rn = (cnt + 1) // 2 THEN nt END) AS median_tokens
 FROM ranked
 GROUP BY source

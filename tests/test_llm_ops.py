@@ -1832,7 +1832,8 @@ def test_corpus_datacard_parity_and_accounting(spark, sf_dir):
     for src, ds in by_src.items():
         r = rows[src]
         assert r.n_docs == len(ds)
-        assert 0.0 <= r.pct_en <= 100.0
+        en = sum(1 for d in ds if d.lang == "en")
+        assert r.pct_en_bp == (10000 * en) // len(ds)
         assert r.n_langs == len({d.lang for d in ds})
         counts = sorted(
             (len(d.text.split(" ")), d.doc_id) for d in ds
