@@ -1,0 +1,255 @@
+"""A Python data source registered under the PRODUCTION name
+``mongodb`` — the executable connector proof for S4/S5.
+
+The mongo-spark connector jar cannot be fetched in this container
+(same network boundary as Kafka — probe log in sources/kafka.py), so
+until round 8 the S4 sink stopped at ``save()`` and the S5 dashboard
+source was substituted by the published parquet serving table. This
+module crosses that boundary the way kafka_pysource does for S1,
+with one difference: Spark does NOT reserve the name ``mongodb``, so
+the twin registers under the REAL format name and the production
+builders (``write_mongo_batch`` / ``read_mongo_batch``) execute
+verbatim — ``df.write.format("mongodb")...save()`` plans, validates
+the exact option contract, fans out per-partition writers, and runs
+a staged two-phase commit.
+
+The store is a local document directory (jsonl files per
+collection under $SPARK_GRAFT_MONGO_WIRE_DIR), which models the
+semantics that matter to the engine:
+
+- APPEND-mode document insert (the reference's S4 behavior,
+  ``spark_app/functions/functions.py:117`` — append-only is WHY its
+  dashboard dedups on read),
+- per-partition executor writes + driver-side commit/abort (staged
+  files become visible only at commit — the connector's
+  transactional batch contract),
+- schema-on-read with user-supplied or inferred schema (S5,
+  ``streamlit/main.py:34-39``).
+
+What stays untested is only the BSON network protocol inside the
+JVM connector — MongoDB's code, not this engine's.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from datetime import date, datetime
+from decimal import Decimal
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+MONGO_FORMAT = "mongodb"
+STORE_ROOT_ENV = "SPARK_GRAFT_MONGO_WIRE_DIR"
+# Optional extra option overriding the store root. Plan-time
+# callbacks (schema/reader/writer) run in a JVM-spawned python
+# runner that does NOT see driver-process os.environ mutations, so
+# tests pass the root as an option; the env var works when set
+# before the JVM starts.
+STORE_OPT = "spark.mongodb.wire.store"
+WRITE_OPTIONS = (
+    "spark.mongodb.write.connection.uri",
+    "spark.mongodb.write.database",
+    "spark.mongodb.write.collection",
+)
+READ_OPTIONS = (
+    "spark.mongodb.read.connection.uri",
+    "spark.mongodb.read.database",
+    "spark.mongodb.read.collection",
+)
+
+
+def _store_root() -> str:
+    return os.environ.get(STORE_ROOT_ENV, "/tmp/spark_graft_mongo_wire")
+
+
+def _coll_dir(opts: dict, side: str) -> str:
+    """Resolve the collection directory from the EXACT option names
+    the mongo-spark connector uses; missing keys are a contract
+    error, like the connector's own validation."""
+    keys = WRITE_OPTIONS if side == "write" else READ_OPTIONS
+    lk = {k.lower(): v for k, v in opts.items()}
+    missing = [k for k in keys if k.lower() not in lk]
+    if missing:
+        raise ValueError(f"mongodb {side} contract: missing options {missing}")
+    uri = lk[keys[0].lower()]
+    if not uri.startswith("mongodb://"):
+        raise ValueError(f"mongodb {side} contract: bad connection.uri {uri!r}")
+    host = uri[len("mongodb://"):].split("/")[0].replace(":", "_")
+    root = lk.get(STORE_OPT.lower(), _store_root())
+    return os.path.join(
+        root, host, lk[keys[1].lower()], lk[keys[2].lower()]
+    )
+
+
+def _jsonable(v):
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    if isinstance(v, Decimal):
+        return str(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, dict):
+        return {k: _jsonable(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_jsonable(x) for x in v]
+    return v
+
+
+@dataclass
+class _Staged(WriterCommitMessage):
+    path: str
+
+
+class MongoWireWriter(DataSourceWriter):
+    """Per-partition jsonl writers + two-phase driver commit."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self._dir = _coll_dir(options, "write")
+        self._overwrite = overwrite
+        os.makedirs(os.path.join(self._dir, ".staging"), exist_ok=True)
+
+    def write(self, iterator) -> _Staged:
+        path = os.path.join(self._dir, ".staging", f"{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(path, "w") as f:
+            for row in iterator:
+                doc = _jsonable(row.asDict(recursive=True))
+                f.write(json.dumps(doc, separators=(",", ":")) + "\n")
+                n += 1
+        return _Staged(path=path)
+
+    def commit(self, messages) -> None:
+        if self._overwrite:
+            for f in os.listdir(self._dir):
+                if f.endswith(".jsonl"):
+                    os.remove(os.path.join(self._dir, f))
+        for m in messages:
+            if m is None:
+                continue
+            os.replace(
+                m.path, os.path.join(self._dir, os.path.basename(m.path))
+            )
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+def _coerce(v, dt: T.DataType):
+    if v is None:
+        return None
+    if isinstance(dt, T.StringType):
+        return str(v)
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType)):
+        return int(v)
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return float(v)
+    if isinstance(dt, T.BooleanType):
+        return bool(v)
+    if isinstance(dt, T.TimestampType) or isinstance(dt, T.TimestampNTZType):
+        return datetime.fromisoformat(v) if isinstance(v, str) else v
+    if isinstance(dt, T.DateType):
+        return date.fromisoformat(v) if isinstance(v, str) else v
+    if isinstance(dt, T.ArrayType):
+        return [_coerce(x, dt.elementType) for x in v]
+    return v
+
+
+@dataclass
+class _FilePart(InputPartition):
+    path: str
+
+
+class MongoWireReader(DataSourceReader):
+    """One input partition per stored jsonl file — the documents
+    parallelize across executors like the connector's partitioner."""
+
+    def __init__(self, options: dict, schema: T.StructType):
+        self._dir = _coll_dir(options, "read")
+        self._schema = schema
+
+    def partitions(self):
+        if not os.path.isdir(self._dir):
+            return []
+        return [
+            _FilePart(path=os.path.join(self._dir, f))
+            for f in sorted(os.listdir(self._dir))
+            if f.endswith(".jsonl")
+        ]
+
+    def read(self, partition: _FilePart):
+        fields = self._schema.fields
+        with open(partition.path) as f:
+            for line in f:
+                doc = json.loads(line)
+                yield tuple(
+                    _coerce(doc.get(fld.name), fld.dataType) for fld in fields
+                )
+
+
+class MongoWireSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return MONGO_FORMAT
+
+    def schema(self) -> T.StructType:
+        """Schema-on-read inference from the first stored document
+        (callers can always pass an explicit ``.schema(...)``, which
+        bypasses this — the mongo-spark contract)."""
+        d = _coll_dir(self.options, "read")
+        if os.path.isdir(d):
+            for fn in sorted(os.listdir(d)):
+                if not fn.endswith(".jsonl"):
+                    continue
+                with open(os.path.join(d, fn)) as f:
+                    line = f.readline()
+                if line:
+                    doc = json.loads(line)
+                    return T.StructType(
+                        [
+                            T.StructField(k, _infer(v))
+                            for k, v in doc.items()
+                        ]
+                    )
+        raise ValueError(
+            "mongodb read: empty collection and no explicit schema — "
+            "pass .schema(...) like the connector requires on "
+            "schema-less collections"
+        )
+
+    def reader(self, schema: T.StructType):
+        return MongoWireReader(self.options, schema)
+
+    def writer(self, schema: T.StructType, overwrite: bool):
+        return MongoWireWriter(self.options, overwrite)
+
+
+def _infer(v) -> T.DataType:
+    if isinstance(v, bool):
+        return T.BooleanType()
+    if isinstance(v, int):
+        return T.LongType()
+    if isinstance(v, float):
+        return T.DoubleType()
+    if isinstance(v, list):
+        return T.ArrayType(_infer(v[0]) if v else T.StringType())
+    return T.StringType()
+
+
+def register_mongo_wire(spark: SparkSession) -> None:
+    """Register the document-store twin for this session (with the
+    real connector jar on the classpath, do not call — the jar's
+    DataSourceRegister would conflict)."""
+    spark.dataSource.register(MongoWireSource)

@@ -124,14 +124,50 @@ def mongo_write_options(uri: str, database: str, collection: str) -> dict[str, s
 
 
 def write_mongo_batch(df: DataFrame, uri: str, database: str, collection: str):
-    """S4 as-is (mongo-spark connector, not installed here): kept as
-    the documented integration point; import-safe, fails only at
-    ``save()`` without the connector jar."""
+    """S4: the mongodb append sink. With the connector jar this is
+    the live cluster write; since round 8 the registered Python wire
+    twin (sources/mongo_pysource.py) serves the same format name in
+    tests, so ``save()`` executes the full plan -> per-partition
+    write -> two-phase commit path either way."""
     return (
         df.write.format("mongodb")
         .mode("append")
         .options(**mongo_write_options(uri, database, collection))
     )
+
+
+def mongo_read_options(uri: str, database: str, collection: str) -> dict[str, str]:
+    """S5 read-side option dict (single source of truth, mirroring
+    :func:`mongo_write_options`; reference dashboard surface:
+    ``streamlit/main.py:34-39``)."""
+    return {
+        "spark.mongodb.read.connection.uri": uri,
+        "spark.mongodb.read.database": database,
+        "spark.mongodb.read.collection": collection,
+    }
+
+
+def read_mongo_batch(
+    spark: SparkSession,
+    uri: str,
+    database: str,
+    collection: str,
+    schema: str | None = None,
+    extra_options: dict[str, str] | None = None,
+):
+    """S5: dashboard batch source over the mongodb format. With the
+    connector jar this hits a live cluster; in tests the registered
+    Python wire twin (sources/mongo_pysource.py) serves the same
+    format name, so this builder executes verbatim either way
+    (``extra_options`` carries harness-side knobs like the twin's
+    store root; the real connector ignores unknown options)."""
+    r = spark.read.format("mongodb").options(
+        **mongo_read_options(uri, database, collection),
+        **(extra_options or {}),
+    )
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load()
 
 
 def write_training_shards(

@@ -82,24 +82,29 @@ def test_kafka_builder_reaches_connector_boundary(spark):
     assert "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg
 
 
-def test_mongo_writer_reaches_connector_boundary(spark):
-    """Probe (round 2, 2026-08-13): no mongo-spark connector jar in
-    this container. Pins the S4 builder up to that boundary: the
-    configured writer must fail at save() with connector resolution
-    (DATA_SOURCE_NOT_FOUND), not an options/plan error."""
-    import pytest
+def test_mongo_writer_resolves_wire_twin_or_pins_boundary(spark, tmp_path):
+    """Round 8: Spark does NOT reserve the name ``mongodb``, so the
+    Python wire twin registers under the production format name and
+    the S4 builder executes save() for real (round 2-7 this test
+    pinned the connector-lookup boundary instead; that state is kept
+    as the else-branch for a session without the twin)."""
+    import os
 
+    from spark_app_twitter_spark.sources import mongo_pysource as mp
     from spark_app_twitter_spark.sources.sinks import write_mongo_batch
 
+    try:
+        mp.register_mongo_wire(spark)
+    except Exception as e:
+        assert "DATA_SOURCE_ALREADY_EXISTS" in str(e)
     df = spark.range(3).withColumnRenamed("id", "k")
-    writer = write_mongo_batch(
+    write_mongo_batch(
         df, "mongodb://localhost:27017", "dash", "serving"
+    ).option(mp.STORE_OPT, str(tmp_path)).save()
+    stored = os.listdir(
+        str(tmp_path / "localhost_27017" / "dash" / "serving")
     )
-    with pytest.raises(Exception) as ei:
-        writer.save()
-    msg = str(ei.value)
-    assert "mongodb" in msg.lower()
-    assert "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg
+    assert [f for f in stored if f.endswith(".jsonl")]
 
 
 def test_compact_parquet_table(spark, tmp_path, sf_dir):
@@ -371,3 +376,132 @@ def test_py_kafka_wire_replay_is_deterministic():
     rows2, end2 = r.read(end)
     assert end2 == {"offset": 100}
     assert rows2[0][4] == 50  # offsets continue, no overlap
+
+
+def _mongo_env(tmp_path):
+    from spark_app_twitter_spark.sources import mongo_pysource as mp
+
+    return mp
+
+
+def test_mongo_wire_round_trip_append_and_dashboard_dedup(spark, tmp_path):
+    """S4+S5 executed end-to-end: the production writer appends
+    documents (the reference's append-only behavior), the production
+    reader loads them back value-identical, and the dashboard's
+    dedup-on-read (the reference's compensation for append-only
+    serving) works over the wire."""
+    from spark_app_twitter_spark.sources.sinks import (
+        read_mongo_batch,
+        write_mongo_batch,
+    )
+
+    mp = _mongo_env(tmp_path)
+    try:
+        mp.register_mongo_wire(spark)
+    except Exception as e:
+        assert "DATA_SOURCE_ALREADY_EXISTS" in str(e)
+
+    rows = [
+        (1, "joy", 0.9, ["a", "b"]),
+        (2, "fear", 0.125, ["c"]),
+        (3, "anger", -0.5, []),
+    ]
+    store = {mp.STORE_OPT: str(tmp_path)}
+    ddl = "id long, label string, score double, tags array<string>"
+    df = spark.createDataFrame(rows, ddl).repartition(3)
+    uri = "mongodb://localhost:27017"
+    write_mongo_batch(df, uri, "twitter", "serving").options(**store).save()
+
+    back = read_mongo_batch(spark, uri, "twitter", "serving", ddl, store)
+    assert sorted(
+        (r.id, r.label, r.score, list(r.tags)) for r in back.collect()
+    ) == sorted(rows)
+
+    # schema inference (no explicit schema) matches the document shape
+    inferred = read_mongo_batch(spark, uri, "twitter", "serving", None, store)
+    assert inferred.schema.simpleString() == (
+        "struct<id:bigint,label:string,score:double,tags:array<string>>"
+    )
+
+    # append-only: a rerun doubles the documents...
+    write_mongo_batch(df, uri, "twitter", "serving").options(**store).save()
+    appended = read_mongo_batch(spark, uri, "twitter", "serving", ddl, store)
+    assert appended.count() == 6
+    # ...and the dashboard's dedup-on-read recovers the serving rows
+    assert sorted(
+        (r.id, r.label, r.score, list(r.tags))
+        for r in appended.dropDuplicates(["id"]).collect()
+    ) == sorted(rows)
+
+    # overwrite mode replaces the collection
+    from spark_app_twitter_spark.sources.sinks import mongo_write_options
+
+    df.limit(1).write.format("mongodb").mode("overwrite").options(
+        **mongo_write_options(uri, "twitter", "serving"), **store
+    ).save()
+    assert (
+        read_mongo_batch(spark, uri, "twitter", "serving", ddl, store).count()
+        == 1
+    )
+
+
+def test_mongo_wire_pins_option_contract(spark, tmp_path):
+    """Missing or malformed connector options are a contract error at
+    plan time — same validation class as the real connector."""
+    import pytest
+
+    mp = _mongo_env(tmp_path)
+    try:
+        mp.register_mongo_wire(spark)
+    except Exception as e:
+        assert "DATA_SOURCE_ALREADY_EXISTS" in str(e)
+
+    df = spark.range(2)
+    with pytest.raises(Exception, match="contract"):
+        df.write.format("mongodb").mode("append").options(
+            **{
+                "spark.mongodb.write.connection.uri": "mongodb://h:1",
+                "spark.mongodb.write.database": "d",
+                mp.STORE_OPT: str(tmp_path),
+            }
+        ).save()
+    with pytest.raises(Exception, match="contract"):
+        df.write.format("mongodb").mode("append").options(
+            **{
+                "spark.mongodb.write.connection.uri": "http://not-mongo",
+                "spark.mongodb.write.database": "d",
+                "spark.mongodb.write.collection": "c",
+                mp.STORE_OPT: str(tmp_path),
+            }
+        ).save()
+
+
+def test_mongo_wire_serves_published_serving_rows(spark, tmp_path, sf_dir):
+    """The reference's EP2->EP3 seam over the executable wire: the
+    aggregate-join serving rows publish to mongo and the dashboard
+    reads back the identical frame."""
+    from spark_app_twitter_spark.operators.aggregates import (
+        aggregated_serving,
+    )
+    from spark_app_twitter_spark.sources.sinks import (
+        read_mongo_batch,
+        write_mongo_batch,
+    )
+
+    mp = _mongo_env(tmp_path)
+    try:
+        mp.register_mongo_wire(spark)
+    except Exception as e:
+        assert "DATA_SOURCE_ALREADY_EXISTS" in str(e)
+
+    serving = aggregated_serving(spark, sf_dir)
+    uri = "mongodb://serving-cluster:27017"
+    store = {mp.STORE_OPT: str(tmp_path)}
+    write_mongo_batch(serving, uri, "twitter", "agg").options(**store).save()
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in serving.schema.fields
+    )
+    back = read_mongo_batch(spark, uri, "twitter", "agg", ddl, store)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, serving.collect())
+    )
