@@ -119,6 +119,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_clusters": dedup.lsh_clusters,
         "dedup_minhash_lsh_pairs_capped": dedup.minhash_lsh_pairs_capped,
         "dedup_split_leakage_pairs": dedup.split_leakage_pairs,
+        # cluster-routed SimHash (the MinHash family's complement),
+        # tokenizer-budget OOV curve, BM25 pseudo-relevance feedback,
+        # PII incidence dashboard, train->eval n-gram memorization
+        "dedup_simhash_clusters": dedup.simhash_clusters,
+        "text_vocab_coverage": textstats.vocab_coverage,
+        "retrieval_query_expansion": retrieval.query_expansion,
+        "text_pii_stats": textstats.pii_stats,
+        "text_ngram_novelty": textstats.ngram_novelty,
         # --- 0. added in the round-7 continuation (never attested):
         # sparse BM25 retrieval, DSIR importance weights, margin-based
         # bitext mining, the training-shard manifest, BM25+dense RRF
@@ -370,6 +378,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_clusters": dedup.LSH_CLUSTERS_SQL,
         "dedup_minhash_lsh_pairs_capped": dedup.MINHASH_LSH_PAIRS_CAPPED_SQL,
         "dedup_split_leakage_pairs": dedup.SPLIT_LEAKAGE_PAIRS_SQL,
+        "dedup_simhash_clusters": dedup.SIMHASH_CLUSTERS_SQL,
+        "text_vocab_coverage": textstats.VOCAB_COVERAGE_SQL,
+        "retrieval_query_expansion": retrieval.QUERY_EXPANSION_SQL,
+        "text_pii_stats": textstats.PII_STATS_SQL,
+        "text_ngram_novelty": textstats.NGRAM_NOVELTY_SQL,
         "retrieval_bm25": retrieval.BM25_RETRIEVE_SQL,
         "text_dsir_weights": textstats.DSIR_WEIGHTS_SQL,
         "sim_bitext_mining": similarity.BITEXT_MINING_IVF_SQL,

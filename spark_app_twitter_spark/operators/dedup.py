@@ -385,6 +385,83 @@ MINHASH_LSH_PAIRS_CAPPED_SQL = (
 )
 
 
+def _cc_propagate(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame
+) -> DataFrame:
+    """(doc_id, cluster_id, is_survivor) for EVERY document via
+    CC_ITERS min-label propagation rounds over a (doc_a, doc_b) edge
+    relation — the shared connected-components tail of the cluster
+    operators (one definition: LSH, SimHash, and n-gram clusters can
+    never diverge on the propagation rule). All shuffles are keyed on
+    doc_id; localCheckpoint truncates the iterative lineage."""
+    sym = pairs.select("doc_a", "doc_b").unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).localCheckpoint(eager=True)
+    labels = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(CC_ITERS):
+        neighbor_min = (
+            sym.join(labels, sym.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = (
+            labels.join(
+                neighbor_min, labels.doc_id == neighbor_min.doc_a, "left"
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_survivor"),
+    )
+
+
+def _cc_sql_parts(pairs_cte: str = "pairs") -> list[str]:
+    """sym + l0..lN CTE parts of the shared propagation tail; close
+    the chain with ``_cc_sql_final()``."""
+    parts = [
+        f"""sym AS (
+  SELECT doc_a, doc_b FROM {pairs_cte}
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM {pairs_cte}
+),
+l0 AS (SELECT doc_id, doc_id AS label FROM documents)"""
+    ]
+    for i in range(CC_ITERS):
+        parts.append(
+            f"""n{i} AS (
+  SELECT s.doc_a, min(l.label) AS nmin
+  FROM sym s JOIN l{i} l ON s.doc_b = l.doc_id
+  GROUP BY s.doc_a
+),
+l{i + 1} AS (
+  SELECT l.doc_id, least(l.label, coalesce(n.nmin, l.label)) AS label
+  FROM l{i} l LEFT JOIN n{i} n ON l.doc_id = n.doc_a
+)"""
+        )
+    return parts
+
+
+def _cc_sql_final() -> str:
+    return (
+        f"\nSELECT doc_id, label AS cluster_id, doc_id = label AS is_survivor"
+        f" FROM l{CC_ITERS}"
+    )
+
+
 def lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, cluster_id, is_survivor): near-dup CLUSTER membership
     for EVERY document — the O(n) relation real pipelines consume
@@ -634,6 +711,97 @@ WHERE CAST({ham} AS INTEGER) <= {SIMHASH_HAMMING_MAX}
 
 
 SIMHASH64_PAIRS_SQL = _simhash64_pairs_sql()
+
+
+def simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id, is_survivor): near-dup CLUSTER membership
+    from the SimHash signal — the O(n)-output complement of
+    simhash64_pairs, exactly as lsh_clusters is for the MinHash
+    family. Candidates come from the same recall-lossless 16-bit band
+    buckets, but buckets larger than CLIQUE_CAP emit only the star
+    from their smallest doc_id (a bucket that large IS a duplicate
+    clique); Hamming <= SIMHASH_HAMMING_MAX verifies each candidate
+    edge, and the shared CC_ITERS min-label tail labels every doc.
+    """
+    sig = _simhash_bands(spark, sf_dir).localCheckpoint(eager=True)
+    bands = sig.select(
+        "doc_id",
+        *[f"b{b}" for b in range(SIMHASH_BANDS)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"b{b}").alias("bv")
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id", *[f"b{b}" for b in range(SIMHASH_BANDS)], "bb.band", "bb.bv"
+    )
+    w = Window.partitionBy("band", "bv")
+    ranked = bands.select(
+        "*",
+        F.row_number().over(w.orderBy("doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    )
+    hamming = sum(
+        F.expr(f"bit_count(l.b{b} ^ r.b{b})") for b in range(SIMHASH_BANDS)
+    ).cast("int")
+    pairs = (
+        ranked.alias("l")
+        .join(
+            ranked.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col("l.doc_id") < F.col("r.doc_id"))
+            & ((F.col("l.cnt") <= CLIQUE_CAP) | (F.col("l.rn") == 1)),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return _cc_propagate(spark, sf_dir, pairs)
+
+
+def _simhash_clusters_sql() -> str:
+    band_arms = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {', '.join(f'b{b}' for b in range(SIMHASH_BANDS))}, "
+        f"{k} AS band, b{k} AS bv FROM sig"
+        for k in range(SIMHASH_BANDS)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(l.b{b}, r.b{b}))" for b in range(SIMHASH_BANDS)
+    )
+    head = f"""
+WITH {_SIMHASH_BANDS_CTE},
+bands AS (
+{band_arms}
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY band, bv ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY band, bv) AS cnt
+  FROM bands
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM ranked l JOIN ranked r
+    ON l.band = r.band AND l.bv = r.bv AND l.doc_id < r.doc_id
+   AND (l.cnt <= {CLIQUE_CAP} OR l.rn = 1)
+  WHERE CAST({ham} AS INTEGER) <= {SIMHASH_HAMMING_MAX}
+)"""
+    return (
+        ",\n".join([head] + _cc_sql_parts("pairs")) + _cc_sql_final()
+    )
+
+
+SIMHASH_CLUSTERS_SQL = _simhash_clusters_sql()
 
 
 def ngram_jaccard_pairs(

