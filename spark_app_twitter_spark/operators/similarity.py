@@ -2382,3 +2382,92 @@ def _bitext_mining_ivf_sql() -> str:
 
 
 BITEXT_MINING_IVF_SQL = _bitext_mining_ivf_sql()
+
+
+def kmeans_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cell, coarse, fine, n_members, mean_sim_micro, min_sim_micro,
+    n_outliers): the per-cell QUALITY audit of the published two-level
+    index — how tight each cell is around its centroid (mean and
+    worst member cosine, integer micro-units; floor-div mean so the
+    statistic is engine-exact) and how many members fall below the
+    OUTLIER_SIM pruning line. The table an index-maintenance job
+    reads next to ivf_rebalance_plan: rebalance splits the OVERFULL
+    cells, this flags the INCOHERENT ones (retrain or probe wider).
+
+    Scale shape: identical to embedding_outliers (cached inline
+    assignment + broadcast |cells|-row centroid join + map-side
+    scoring) with one cell-keyed rollup on top; output is
+    index-sized.
+    """
+    from spark_app_twitter_spark.operators.clustering import (
+        corpus_size,
+        kmeans_cells_2level_assigned,
+        kmeans_fine_centroid_rows,
+        levels_for,
+    )
+
+    _, k2 = levels_for(corpus_size(spark, sf_dir))
+    assigned = kmeans_cells_2level_assigned(spark, sf_dir)
+    fine_rows = kmeans_fine_centroid_rows(spark, sf_dir)
+    cents = spark.createDataFrame(
+        [
+            (int(co * k2 + fi), int(co), int(fi), fv)
+            for co, fi, fv in fine_rows
+        ],
+        "cell int, coarse int, fine int, ccv array<double>",
+    )
+    sim_micro = F.round(
+        F.round(cosine(F.col("v"), F.col("ccv")), 6) * F.lit(1e6)
+    ).cast("long")
+    return (
+        assigned.select("cell", "v")
+        .join(F.broadcast(cents), "cell")
+        .select(
+            "cell",
+            "coarse",
+            "fine",
+            sim_micro.alias("sm"),
+        )
+        .groupBy("cell", "coarse", "fine")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.expr("sum(sm) div count(*)").alias("mean_sim_micro"),
+            F.min("sm").alias("min_sim_micro"),
+            F.sum(
+                (F.col("sm") < F.lit(int(OUTLIER_SIM * 1e6))).cast("long")
+            ).alias("n_outliers"),
+        )
+    )
+
+
+def _kmeans_quality_sql() -> str:
+    from spark_app_twitter_spark.operators.clustering import (
+        ITERS,
+        kmeans_2level_assigned_cte,
+        kmeans_cells_2level_ctes,
+    )
+
+    parts, final = kmeans_cells_2level_ctes()
+    chain = ",\n".join(parts)
+    assigned = kmeans_2level_assigned_cte("vec_id, v, coarse, fine, cell")
+    sm = f"CAST(round(round({cosine_sql('a.v', 'f.fv')}, 6) * 1e6) AS BIGINT)"
+    return f"""
+WITH {chain},
+assigned AS ({assigned}),
+scored AS (
+  SELECT a.cell, a.coarse, a.fine, {sm} AS sm
+  FROM assigned a JOIN f{ITERS} f
+    ON a.coarse = f.coarse AND a.fine = f.fine
+)
+SELECT cell, coarse, fine,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(sm) // count(*) AS BIGINT) AS mean_sim_micro,
+       CAST(min(sm) AS BIGINT) AS min_sim_micro,
+       CAST(sum(CASE WHEN sm < {int(OUTLIER_SIM * 1e6)} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM scored
+GROUP BY cell, coarse, fine
+"""
+
+
+KMEANS_QUALITY_SQL = _kmeans_quality_sql()

@@ -2859,9 +2859,18 @@ def pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     share of docs carrying ANY match, in integer basis points.
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
+    return pii_group_counts(docs, "source")
+
+
+def pii_group_counts(df: DataFrame, group: str) -> DataFrame:
+    """The shared PII aggregation over any (group, text) frame — one
+    definition for the batch report (pii_stats over sources) and the
+    streaming monitor (streaming/piimonitor.py over wire topics).
+    Works unchanged on streaming DataFrames (map-side span counts +
+    one grouped aggregation Spark keeps as managed state)."""
     email_pat, num_pat = REDACT_RULES[0][0], REDACT_RULES[1][0]
-    per_doc = docs.select(
-        "source",
+    per_doc = df.select(
+        F.col(group),
         F.size(
             F.regexp_extract_all(F.col("text"), F.lit(email_pat), F.lit(0))
         ).alias("ne"),
@@ -2869,7 +2878,7 @@ def pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.col("text"), F.lit(num_pat), F.lit(0))
         ).alias("nn"),
     )
-    return per_doc.groupBy("source").agg(
+    return per_doc.groupBy(group).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum((F.col("ne") > 0).cast("long")).alias("docs_with_email"),
         F.sum("ne").cast("long").alias("email_spans"),

@@ -1526,3 +1526,119 @@ def test_streaming_bm25_serving_matches_batch(spark, tmp_path, sf_dir):
         for r in retrieval.bm25_retrieve(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_pii_monitor_matches_batch(spark, tmp_path):
+    """The per-topic PII counters accumulated across micro-batches
+    (complete mode, availableNow) equal the batch aggregation over
+    the same wire rows — one shared definition
+    (textstats.pii_group_counts), two execution modes."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.streaming.ingest import WIRE
+    from spark_app_twitter_spark.streaming.piimonitor import (
+        pii_topic_counts,
+    )
+
+    topics = ["economy", "covid"]
+    rows = []
+    for i in range(60):
+        text = f"tweet {i}"
+        if i % 3 == 0:
+            text += f" mail user{i}@example.com"
+        if i % 4 == 0:
+            text += " call 555 0000"
+        rows.append(
+            {
+                "key": f"K{i}",
+                "value": json.dumps(
+                    {
+                        "data": {
+                            "created_at": "2023-11-14T22:13:20.000Z",
+                            "text": text,
+                        }
+                    }
+                ),
+                "topic": topics[i % 2],
+            }
+        )
+    src = str(tmp_path / "wire")
+    import os
+
+    os.makedirs(src)
+    # several files so the stream really runs multiple micro-batches
+    for part in range(4):
+        with open(f"{src}/part{part}.json", "w") as f:
+            for r in rows[part::4]:
+                f.write(json.dumps(r) + "\n")
+
+    batch = {
+        r.topic: tuple(r)[1:]
+        for r in pii_topic_counts(
+            spark.read.schema(WIRE).json(src)
+        ).collect()
+    }
+    stream = (
+        spark.readStream.schema(WIRE)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        pii_topic_counts(stream)
+        .writeStream.format("memory")
+        .queryName("pii_monitor_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        r.topic: tuple(r)[1:]
+        for r in spark.sql("SELECT * FROM pii_monitor_t").collect()
+    }
+    assert streamed == batch
+    assert set(streamed) == set(topics)
+    # the planted spans were actually counted
+    assert sum(v[2] for v in streamed.values()) == 20  # email spans
+    assert all(v[0] == 30 for v in streamed.values())
+
+
+def test_pii_monitor_over_kafka_wire_source(spark):
+    """End-to-end: the monitor consumes the kafka-wire Python data
+    source (the production builder path) and reports per-topic
+    counters for every subscribed topic."""
+    import time
+
+    from spark_app_twitter_spark.sources import kafka_pysource as kp
+    from spark_app_twitter_spark.sources.kafka import read_kafka_stream
+    from spark_app_twitter_spark.streaming.piimonitor import monitor_stream
+
+    try:
+        kp.register_py_kafka(spark)
+    except Exception as e:
+        assert "DATA_SOURCE_ALREADY_EXISTS" in str(e)
+    wire = read_kafka_stream(
+        spark, "b:9092", "economy,covid,war", fmt=kp.PY_KAFKA_FORMAT
+    ).selectExpr(
+        "CAST(key AS STRING) key", "CAST(value AS STRING) value", "topic"
+    )
+    q = monitor_stream(wire, queryName="pii_monitor_k")
+    total = 0
+    try:
+        for _ in range(240):
+            got = spark.sql(
+                "SELECT sum(n_docs) s FROM pii_monitor_k"
+            ).collect()
+            total = got[0].s or 0
+            if total >= 100:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert total >= 100
+    topics = {
+        r.topic for r in spark.sql("SELECT topic FROM pii_monitor_k").collect()
+    }
+    assert topics == {"economy", "covid", "war"}
