@@ -129,6 +129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngram_novelty": textstats.ngram_novelty,
         # index-quality audit off the shared two-level artifact
         "sim_kmeans_quality": similarity.kmeans_quality,
+        # ordered conversion funnel over events (one user_id exchange)
+        "serving_funnel_conversion": serving.funnel_conversion,
         # --- 0. added in the round-7 continuation (never attested):
         # sparse BM25 retrieval, DSIR importance weights, margin-based
         # bitext mining, the training-shard manifest, BM25+dense RRF
@@ -386,6 +388,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_stats": textstats.PII_STATS_SQL,
         "text_ngram_novelty": textstats.NGRAM_NOVELTY_SQL,
         "sim_kmeans_quality": similarity.KMEANS_QUALITY_SQL,
+        "serving_funnel_conversion": serving.FUNNEL_CONVERSION_SQL,
         "retrieval_bm25": retrieval.BM25_RETRIEVE_SQL,
         "text_dsir_weights": textstats.DSIR_WEIGHTS_SQL,
         "sim_bitext_mining": similarity.BITEXT_MINING_IVF_SQL,

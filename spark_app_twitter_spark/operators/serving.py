@@ -1119,3 +1119,122 @@ SELECT day, topic, counts, prev_counts,
          AS trend_rank
 FROM with_prev
 """
+
+
+# ---------------------------------------------------------------------------
+# Ordered conversion funnel: view -> click -> purchase, each stage
+# required to happen AT OR AFTER the user's entry into the previous
+# stage (min-ts semantics, so a click before any view doesn't count).
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(stage, stage_order, n_users, conversion_bp): how many users
+    reach each funnel stage in order, and the stage-over-previous
+    conversion rate in integer basis points (floor; the first stage
+    is 10000 by definition; NULL when the previous stage is empty).
+
+    Scale shape: the three stage timestamps are CHAINED window
+    minima over the SAME user_id partitioning — Catalyst plans one
+    Exchange on user_id and evaluates the windows in sequence inside
+    it; the tally is a |stages|-row rollup of the per-user frame. No
+    joins, no second corpus scan.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_us("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id")
+    mv = F.min(
+        F.when(F.col("event_type") == FUNNEL_STAGES[0], F.col("us"))
+    ).over(w)
+    step1 = ev.withColumn("mv", mv)
+    mc = F.min(
+        F.when(
+            (F.col("event_type") == FUNNEL_STAGES[1])
+            & (F.col("us") >= F.col("mv")),
+            F.col("us"),
+        )
+    ).over(w)
+    step2 = step1.withColumn("mc", mc)
+    mp = F.min(
+        F.when(
+            (F.col("event_type") == FUNNEL_STAGES[2])
+            & (F.col("us") >= F.col("mc")),
+            F.col("us"),
+        )
+    ).over(w)
+    per_user = (
+        step2.withColumn("mp", mp)
+        .select("user_id", "mv", "mc", "mp")
+        .distinct()
+    )
+    tally = per_user.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("mv").isNotNull().cast("long")).alias("n_view"),
+        F.sum(F.col("mc").isNotNull().cast("long")).alias("n_click"),
+        F.sum(F.col("mp").isNotNull().cast("long")).alias("n_purchase"),
+    )
+    return tally.selectExpr(
+        f"""stack(3,
+          '{FUNNEL_STAGES[0]}', 1, n_view,
+            CASE WHEN n_view > 0 THEN CAST(10000 AS BIGINT) END,
+          '{FUNNEL_STAGES[1]}', 2, n_click,
+            CASE WHEN n_view > 0
+                 THEN (10000 * n_click) div n_view END,
+          '{FUNNEL_STAGES[2]}', 3, n_purchase,
+            CASE WHEN n_click > 0
+                 THEN (10000 * n_purchase) div n_click END
+        ) AS (stage, stage_order, n_users, conversion_bp)"""
+    )
+
+
+FUNNEL_CONVERSION_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+),
+s1 AS (
+  SELECT *, min(CASE WHEN event_type = '{FUNNEL_STAGES[0]}' THEN us END)
+              OVER (PARTITION BY user_id) AS mv
+  FROM ev
+),
+s2 AS (
+  SELECT *, min(CASE WHEN event_type = '{FUNNEL_STAGES[1]}'
+                      AND us >= mv THEN us END)
+              OVER (PARTITION BY user_id) AS mc
+  FROM s1
+),
+s3 AS (
+  SELECT *, min(CASE WHEN event_type = '{FUNNEL_STAGES[2]}'
+                      AND us >= mc THEN us END)
+              OVER (PARTITION BY user_id) AS mp
+  FROM s2
+),
+per_user AS (SELECT DISTINCT user_id, mv, mc, mp FROM s3),
+tally AS (
+  SELECT CAST(sum(CASE WHEN mv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_view,
+         CAST(sum(CASE WHEN mc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_click,
+         CAST(sum(CASE WHEN mp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_purchase
+  FROM per_user
+)
+SELECT stage, stage_order, n_users, conversion_bp FROM (
+  SELECT '{FUNNEL_STAGES[0]}' AS stage, 1 AS stage_order,
+         n_view AS n_users,
+         CASE WHEN n_view > 0 THEN CAST(10000 AS BIGINT) END
+           AS conversion_bp
+  FROM tally
+  UNION ALL
+  SELECT '{FUNNEL_STAGES[1]}', 2, n_click,
+         CASE WHEN n_view > 0
+              THEN CAST((10000 * n_click) // n_view AS BIGINT) END
+  FROM tally
+  UNION ALL
+  SELECT '{FUNNEL_STAGES[2]}', 3, n_purchase,
+         CASE WHEN n_click > 0
+              THEN CAST((10000 * n_purchase) // n_click AS BIGINT) END
+  FROM tally
+)
+"""

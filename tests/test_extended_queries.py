@@ -1312,3 +1312,69 @@ def test_unigram_viterbi_optimal_randomized(word, vocab):
                 best = s
     assert best is not None
     assert sum(logp[p] for p in got) == best
+
+
+def test_funnel_conversion_respects_stage_order(spark, tmp_path):
+    """The funnel is ORDERED: a click before the user's first view
+    doesn't count, a purchase without a qualifying click doesn't
+    count, and conversion basis points follow the stage-over-previous
+    arithmetic."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_app_twitter_spark.operators import serving
+    from tests.parity import assert_parity
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    rows = [  # (event_id, ts, user_id, event_type)
+        (1, ts(1), 1, "view"), (2, ts(2), 1, "click"),
+        (3, ts(3), 1, "purchase"),
+        (4, ts(1), 2, "click"), (5, ts(2), 2, "view"),  # click too early
+        (6, ts(1), 3, "view"), (7, ts(2), 3, "purchase"),  # no click
+        (8, ts(1), 4, "error"),  # never enters
+        (9, ts(1), 5, "purchase"), (10, ts(2), 5, "view"),
+        (11, ts(3), 5, "click"), (12, ts(4), 5, "purchase"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": [r[3] for r in rows],
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": ["{}"] * len(rows),
+            }
+        ),
+        f"{tmp_path}/events.parquet",
+    )
+    sf = str(tmp_path)
+    assert_parity(
+        serving.funnel_conversion(spark, sf),
+        serving.FUNNEL_CONVERSION_SQL,
+        sf,
+        "funnel_planted",
+    )
+    out = {r.stage: r for r in serving.funnel_conversion(spark, sf).collect()}
+    assert out["view"].n_users == 4 and out["view"].conversion_bp == 10000
+    assert out["click"].n_users == 2
+    assert out["click"].conversion_bp == (10000 * 2) // 4
+    assert out["purchase"].n_users == 2
+    assert out["purchase"].conversion_bp == 10000
+
+
+def test_funnel_single_user_shuffle(spark, sf_dir):
+    """The three chained stage windows must share ONE user_id
+    exchange — no joins, no repeated corpus scans."""
+    from spark_app_twitter_spark.operators import serving
+    from spark_app_twitter_spark.plans import explain as E
+
+    plan = E.executed_plan(serving.funnel_conversion(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "Join" not in plan or "SortMergeJoin" not in plan

@@ -135,6 +135,18 @@ STRESS_QUERIES = [
     "dedup_minhash_lsh_pairs_capped",
     "dedup_lsh_clusters",
     "dedup_split_leakage",
+    # round-8 additions: SimHash clusters (same capped-bucket shape),
+    # vocabulary-bounded coverage curve, digest-keyed n-gram novelty,
+    # PRF double-pass BM25 (both passes term-broadcast), map-side PII
+    # rollup, index-sized k-means quality audit, single-exchange
+    # funnel
+    "dedup_simhash_clusters",
+    "text_vocab_coverage",
+    "text_ngram_novelty",
+    "retrieval_query_expansion",
+    "text_pii_stats",
+    "sim_kmeans_quality",
+    "serving_funnel_conversion",
     "sim_embedding_sanity",
     "sim_ivf_index_append",
     "sim_embedding_drift",
