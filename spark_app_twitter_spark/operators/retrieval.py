@@ -750,7 +750,14 @@ def query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("r") <= FB_TERMS)
         .select("query_id", "term")
     )
-    expanded = qterms.unionByName(expansion).distinct()
+    # materialize the tiny expanded-query relation (<= |queries| *
+    # (BM25_Q_TERMS + FB_TERMS) rows): without the checkpoint, pass
+    # 2's plan re-inlines pass 1's ENTIRE DAG under every reference
+    # to the expansion (measured 82 shuffles / 68 scans in
+    # PLANSTATS); with it, pass 2 is one fresh bm25_search plan
+    expanded = (
+        qterms.unionByName(expansion).distinct().localCheckpoint(eager=True)
+    )
     return bm25_search(spark, sf_dir, expanded)
 
 
