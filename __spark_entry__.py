@@ -72,7 +72,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       2. entries changed or added this round,
       3. everything else (freshly attested last round), last.
     When editing, append new queries to the front section and demote
-    whatever the previous round just re-attested.
+    whatever the previous round just re-attested. Since round 8 the
+    window is stated EXPLICITLY as _R8_WINDOW (applied by reordering
+    the dict below at return time) — the section comments document
+    provenance, the list documents the contract.
 
     Round 7 rotation (executes VERDICT r06 items 1-2): the six
     entries with NO driver attestation lead — the repaired inverted
@@ -107,7 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     embedding isotropy spectrum and the IVF-bucketed bitext scale
     path with its full index-replay twin) leads.
     """
-    return {
+    q = {
         # --- R8-0. added or rerouted in round 8 (VERDICT r07 items
         # 3-4): the O(n) cluster-routed near-dup family — capped pair
         # emission (star-from-representative above CLIQUE_CAP-member
@@ -335,6 +338,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_lsh_multi": similarity.knn_lsh_multi,
         "multimodal_media_features": multimodal.media_features,
     }
+    ordered = {name: q.pop(name) for name in _R8_WINDOW}
+    ordered.update(q)
+    return ordered
+
+
+# The round-8 driver verification window (VERDICT r07 + the rotation
+# contract): the 11 never-attested round-8 operators, the 5 whose
+# code or oracle changed this round, then 34 of the 39 displaced
+# r04-attested rows. The 5 rows still deferred (dedup_span_stats,
+# text_bigram_lm_score, text_weighted_sample, text_ngram_diversity,
+# sim_embedding_covariance) head the round-9 window; each keeps a
+# local DuckDB parity test in CI and is sweep-green at sf0.01.
+_R8_WINDOW = (
+    "dedup_lsh_clusters",
+    "dedup_minhash_lsh_pairs_capped",
+    "dedup_split_leakage_pairs",
+    "dedup_simhash_clusters",
+    "text_vocab_coverage",
+    "retrieval_query_expansion",
+    "text_pii_stats",
+    "text_ngram_novelty",
+    "sim_kmeans_quality",
+    "serving_funnel_conversion",
+    "sim_bitext_mining_exact",
+    "sim_bitext_mining",
+    "dedup_split_leakage",
+    "graph_pagerank_near_dup",
+    "pack_shard_manifest",
+    "text_corpus_datacard",
+    "serving_distinct_users",
+    "serving_rollup_value",
+    "serving_loyal_purchasers",
+    "serving_moving_avg_daily",
+    "serving_value_quartiles",
+    "serving_value_histogram",
+    "tpch_top_customers_per_nation",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_containment_pairs",
+    "dedup_clusters",
+    "text_token_stats",
+    "text_token_counts",
+    "text_lang_id",
+    "text_doc_fingerprint",
+    "text_redact",
+    "sim_quantize_embeddings",
+    "multimodal_resize_images",
+    "sim_kmeans_cells",
+    "text_train_split",
+    "text_length_histogram",
+    "sim_knn_quantized",
+    "serving_retention_cohorts",
+    "multimodal_audio_chunks",
+    "dedup_minhash_jaccard_est",
+    "serving_props_stats",
+    "serving_weekly_active",
+    "text_quality_rules",
+    "text_common_ngrams",
+    "sim_embedding_dim_stats",
+    "dedup_incremental",
+    "text_token_budget_sample",
+)
 
 
 def _trained_oracles() -> dict[str, str]:
