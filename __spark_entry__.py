@@ -134,6 +134,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_kmeans_quality": similarity.kmeans_quality,
         # ordered conversion funnel over events (one user_id exchange)
         "serving_funnel_conversion": serving.funnel_conversion,
+        # late round 8: source-priority survivor election over the
+        # cluster relation, sparse self-retrieval eval, KMV sketch
+        # set operations (the intersection-capable distinct sketch)
+        "dedup_cluster_survivors_by_source": dedup.cluster_survivors_by_source,
+        "retrieval_bm25_eval": retrieval.bm25_eval,
+        "sketch_kmv_source_overlap": sketches.kmv_source_overlap,
         # --- 0. added in the round-7 continuation (never attested):
         # sparse BM25 retrieval, DSIR importance weights, margin-based
         # bitext mining, the training-shard manifest, BM25+dense RRF
@@ -344,12 +350,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # The round-8 driver verification window (VERDICT r07 + the rotation
-# contract): the 11 never-attested round-8 operators, the 5 whose
-# code or oracle changed this round, then 34 of the 39 displaced
-# r04-attested rows. The 5 rows still deferred (dedup_span_stats,
-# text_bigram_lm_score, text_weighted_sample, text_ngram_diversity,
-# sim_embedding_covariance) head the round-9 window; each keeps a
-# local DuckDB parity test in CI and is sweep-green at sf0.01.
+# contract): the 14 never-attested round-8 operators, the 5 whose
+# code or oracle changed this round, then 31 of the 39 displaced
+# r04-attested rows. The 8 rows still deferred (sim_embedding_dim_
+# stats, dedup_incremental, text_token_budget_sample,
+# dedup_span_stats, text_bigram_lm_score, text_weighted_sample,
+# text_ngram_diversity, sim_embedding_covariance) head the round-9
+# window; each keeps a local DuckDB parity test in CI and is
+# sweep-green at sf0.01.
 _R8_WINDOW = (
     "dedup_lsh_clusters",
     "dedup_minhash_lsh_pairs_capped",
@@ -367,6 +375,9 @@ _R8_WINDOW = (
     "graph_pagerank_near_dup",
     "pack_shard_manifest",
     "text_corpus_datacard",
+    "dedup_cluster_survivors_by_source",
+    "retrieval_bm25_eval",
+    "sketch_kmv_source_overlap",
     "serving_distinct_users",
     "serving_rollup_value",
     "serving_loyal_purchasers",
@@ -398,9 +409,6 @@ _R8_WINDOW = (
     "serving_weekly_active",
     "text_quality_rules",
     "text_common_ngrams",
-    "sim_embedding_dim_stats",
-    "dedup_incremental",
-    "text_token_budget_sample",
 )
 
 
@@ -456,6 +464,9 @@ def oracle_sql() -> dict[str, str]:
         "text_ngram_novelty": textstats.NGRAM_NOVELTY_SQL,
         "sim_kmeans_quality": similarity.KMEANS_QUALITY_SQL,
         "serving_funnel_conversion": serving.FUNNEL_CONVERSION_SQL,
+        "dedup_cluster_survivors_by_source": dedup.CLUSTER_SURVIVORS_SQL,
+        "retrieval_bm25_eval": retrieval.BM25_EVAL_SQL,
+        "sketch_kmv_source_overlap": sketches.KMV_SOURCE_OVERLAP_SQL,
         "retrieval_bm25": retrieval.BM25_RETRIEVE_SQL,
         "text_dsir_weights": textstats.DSIR_WEIGHTS_SQL,
         "sim_bitext_mining": similarity.BITEXT_MINING_IVF_SQL,

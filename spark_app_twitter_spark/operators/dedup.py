@@ -2007,3 +2007,89 @@ SELECT doc_id, source, digest, group_size,
          < (CAST({_WSAMPLE_DENOM} AS BIGINT) // group_size) AS kept
 FROM sized
 """
+
+
+# ---------------------------------------------------------------------------
+# Source-priority survivor election (the RefinedWeb "prefer curated
+# over crawl" rule): when a near-dup cluster spans sources, keep the
+# member from the most-trusted source, not the arbitrary min-id.
+# Deployments configure the priority list; unknown sources rank last.
+SOURCE_PRIORITY = ("src2", "src5", "src0")  # most-trusted first
+
+
+def cluster_survivors_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(cluster_id, survivor_doc_id, survivor_source, n_members,
+    n_sources): one row per near-dup cluster (lsh_clusters — the O(n)
+    capped relation), with the survivor elected by (source priority,
+    doc_id) instead of dedup_clusters' min-id rule.
+
+    Scale shape: one doc_id-keyed join of the cluster relation to the
+    documents projection, then one cluster-keyed window+rollup —
+    everything stays on the two keys the chain already shuffles on.
+    """
+    prio = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(i))
+            for i, s in enumerate(SOURCE_PRIORITY)
+        ],
+        F.lit(len(SOURCE_PRIORITY)),
+    )
+    members = lsh_clusters(spark, sf_dir).join(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source"),
+        "doc_id",
+    ).select("cluster_id", "doc_id", "source", prio.alias("prio"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.asc("prio"), F.asc("doc_id")
+    )
+    return (
+        members.withColumn("rn", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias(
+                "survivor_doc_id"
+            ),
+            F.max(F.when(F.col("rn") == 1, F.col("source"))).alias(
+                "survivor_source"
+            ),
+            F.count(F.lit(1)).alias("n_members"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+    )
+
+
+def _cluster_survivors_sql() -> str:
+    prio = "CASE " + " ".join(
+        f"WHEN source = '{s}' THEN {i}"
+        for i, s in enumerate(SOURCE_PRIORITY)
+    ) + f" ELSE {len(SOURCE_PRIORITY)} END"
+    parts = _lsh_clusters_sql_parts() + [
+        f"""clusters AS (
+  SELECT doc_id, label AS cluster_id FROM l{CC_ITERS}
+),
+members AS (
+  SELECT c.cluster_id, c.doc_id, d.source, {prio} AS prio
+  FROM clusters c JOIN documents d USING (doc_id)
+),
+ranked_m AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY prio ASC, doc_id ASC) AS rn
+  FROM members
+)"""
+    ]
+    return (
+        ",\n".join(parts)
+        + """
+SELECT cluster_id,
+       max(CASE WHEN rn = 1 THEN doc_id END) AS survivor_doc_id,
+       max(CASE WHEN rn = 1 THEN source END) AS survivor_source,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM ranked_m
+GROUP BY cluster_id
+"""
+    )
+
+
+CLUSTER_SURVIVORS_SQL = _cluster_survivors_sql()

@@ -845,3 +845,52 @@ eq AS (
 {_bm25_score_sql("eq", "2", BM25_TOP_K)}
 SELECT query_id, doc_id, bm25, rank FROM ranked2
 """
+
+
+def bm25_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, self_rank, rr_micro, hit_at_1): the sparse
+    retrieval sanity audit — each seed query's terms came from one
+    document, so that document IS the relevant answer; its rank in
+    the BM25 ranking (NULL when outside top-k) gives reciprocal rank
+    in exact integer micro-units (1e6 div rank). The sparse
+    complement of sim_ann_recall_audit: a retrieval stack change that
+    drops self-rank broke tokenization, scoring, or ranking.
+
+    Scale shape: the full ranking is the shared bm25_search plan; the
+    audit adds a filter to |queries| rows and a broadcast join back
+    to the |queries|-row cohort — audit cost is cohort-sized.
+    """
+    hits = bm25_retrieve(spark, sf_dir).where(
+        F.col("doc_id") == F.col("query_id")
+    )
+    cohort = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < BM25_N_QUERIES)
+        .select(F.col("doc_id").alias("query_id"))
+    )
+    return cohort.join(
+        F.broadcast(hits.select("query_id", "rank")), "query_id", "left"
+    ).select(
+        "query_id",
+        F.col("rank").cast("int").alias("self_rank"),
+        F.expr("CAST(1000000 div rank AS BIGINT)").alias("rr_micro"),
+        F.coalesce(F.col("rank") == 1, F.lit(False)).alias("hit_at_1"),
+    )
+
+
+BM25_EVAL_SQL = f"""
+WITH ranking AS (
+{BM25_RETRIEVE_SQL.strip()}
+),
+self_hits AS (
+  SELECT query_id, rank FROM ranking WHERE doc_id = query_id
+),
+cohort AS (
+  SELECT doc_id AS query_id FROM documents WHERE doc_id < {BM25_N_QUERIES}
+)
+SELECT c.query_id,
+       CAST(s.rank AS INTEGER) AS self_rank,
+       CAST(1000000 // s.rank AS BIGINT) AS rr_micro,
+       COALESCE(s.rank = 1, false) AS hit_at_1
+FROM cohort c LEFT JOIN self_hits s USING (query_id)
+"""

@@ -450,3 +450,159 @@ __all__ += [
     "HIST_B",
     "HIST_PS",
 ]
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch + set operations: unlike
+# HLL, a KMV sketch supports INTERSECTION estimates (Beyer et al.
+# 2007), so cross-source overlap can be estimated from K-row
+# sketches instead of dedup_source_overlap's exact digest join — the
+# sketch-sized path for wide source matrices. All integer: hashes
+# are 56-bit md5 prefixes, estimates use floor division, the
+# jaccard numerator is an exact count over the union sketch.
+KMV_K = 64
+_KMV_HEX = 14  # 56-bit hash space: (K-1)*SPACE stays inside int64
+KMV_SPACE = 16 ** _KMV_HEX
+
+
+def kmv_source_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, h, rn): each source's K smallest distinct 56-bit text
+    hashes — the mergeable sketch relation (K rows per source)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    h = F.conv(F.substring(F.md5(F.col("text")), 1, _KMV_HEX), 16, 10).cast(
+        "long"
+    )
+    hs = docs.select("source", h.alias("h")).distinct()
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.asc("h"))
+    )
+    return hs.withColumn("rn", rn).where(F.col("rn") <= KMV_K)
+
+
+def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source_a, source_b, m, kth, n_both, est_union,
+    est_jaccard_micro, est_intersection): KMV set-operation estimates
+    for every source pair (a < b). The union sketch is the m <= K
+    smallest hashes of the two sketches combined; when m < K both
+    sources were fully sketched and the estimates are exact counts.
+
+    Scale shape: the corpus contributes ONE distinct + one
+    source-keyed rank pass (the sketch build); everything pairwise
+    runs on |sources|^2 * K sketch rows — independent of corpus
+    size, which is the point.
+    """
+    from pyspark.sql import Window
+
+    sk = kmv_source_sketches(spark, sf_dir).localCheckpoint(eager=True)
+    sources = sk.select("source").distinct()
+    pairlist = (
+        sources.select(F.col("source").alias("source_a"))
+        .join(
+            sources.select(F.col("source").alias("source_b")),
+            F.col("source_a") < F.col("source_b"),
+        )
+    )
+    exp = pairlist.join(
+        F.broadcast(sk.select(F.col("source").alias("s"), "h")),
+        (F.col("s") == F.col("source_a")) | (F.col("s") == F.col("source_b")),
+    )
+    byh = exp.groupBy("source_a", "source_b", "h").agg(
+        F.max((F.col("s") == F.col("source_a")).cast("int")).alias("in_a"),
+        F.max((F.col("s") == F.col("source_b")).cast("int")).alias("in_b"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("source_a", "source_b").orderBy(F.asc("h"))
+    )
+    agg = (
+        byh.withColumn("rn", rn)
+        .where(F.col("rn") <= KMV_K)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.max("h").alias("kth"),
+            F.sum(
+                ((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long")
+            ).alias("n_both"),
+        )
+    )
+    est_union = F.expr(
+        f"CASE WHEN m < {KMV_K} THEN m"
+        f" ELSE CAST({KMV_K - 1} AS BIGINT) * {KMV_SPACE} div kth END"
+    )
+    return agg.select(
+        "source_a",
+        "source_b",
+        "m",
+        "kth",
+        "n_both",
+        est_union.alias("est_union"),
+        F.expr("(1000000 * n_both) div m").alias("est_jaccard_micro"),
+    ).withColumn(
+        "est_intersection",
+        F.expr(
+            "CAST(floor(CAST(n_both AS DECIMAL(38,0)) * est_union / m)"
+            " AS BIGINT)"
+        ),
+    )
+
+
+KMV_SOURCE_OVERLAP_SQL = f"""
+WITH hs AS (
+  SELECT DISTINCT source,
+         CAST(('0x' || substr(md5(text), 1, {_KMV_HEX})) AS BIGINT) AS h
+  FROM documents
+),
+sk AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rn
+    FROM hs
+  ) WHERE rn <= {KMV_K}
+),
+srcs AS (SELECT DISTINCT source FROM sk),
+pairlist AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM srcs a JOIN srcs b ON a.source < b.source
+),
+byh AS (
+  SELECT p.source_a, p.source_b, s.h,
+         max(CASE WHEN s.source = p.source_a THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN s.source = p.source_b THEN 1 ELSE 0 END) AS in_b
+  FROM pairlist p JOIN sk s
+    ON s.source = p.source_a OR s.source = p.source_b
+  GROUP BY p.source_a, p.source_b, s.h
+),
+agg AS (
+  SELECT source_a, source_b,
+         CAST(count(*) AS BIGINT) AS m,
+         max(h) AS kth,
+         CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_both
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY source_a, source_b
+                                 ORDER BY h ASC) AS rn
+    FROM byh
+  ) WHERE rn <= {KMV_K}
+  GROUP BY source_a, source_b
+)
+SELECT source_a, source_b, m, kth, n_both,
+       CASE WHEN m < {KMV_K} THEN m
+            ELSE CAST({KMV_K - 1} AS BIGINT) * {KMV_SPACE} // kth
+       END AS est_union,
+       CAST((1000000 * n_both) // m AS BIGINT) AS est_jaccard_micro,
+       CAST(floor(CAST(n_both AS HUGEINT)
+                  * (CASE WHEN m < {KMV_K} THEN m
+                     ELSE CAST({KMV_K - 1} AS BIGINT) * {KMV_SPACE} // kth
+                     END) / m) AS BIGINT) AS est_intersection
+FROM agg
+"""
+
+__all__ += [
+    "KMV_K",
+    "KMV_SPACE",
+    "kmv_source_sketches",
+    "kmv_source_overlap",
+    "KMV_SOURCE_OVERLAP_SQL",
+]

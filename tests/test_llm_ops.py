@@ -2818,3 +2818,139 @@ def test_ngram_novelty_planted_copy_and_fresh(spark, tmp_path):
     assert v.total_ngrams == 13 + 8
     assert v.seen_ngrams == 13  # only the copied doc's grams
     assert v.novelty_bp == 10000 - (10000 * 13) // 21
+
+
+def test_cluster_survivors_prefer_priority_source(spark, tmp_path):
+    """A near-dup cluster spanning sources keeps the member from the
+    most-trusted source (SOURCE_PRIORITY), not the min doc_id; ties
+    inside a priority tier break on doc_id; singletons survive as
+    themselves."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_app_twitter_spark.operators import dedup
+    from tests.parity import assert_parity
+
+    dup = "same words repeated for the whole near dup cluster here today"
+    rows = [
+        (1, dup, "src9"),       # lowest id, UNTRUSTED source
+        (2, dup, "src5"),       # second-priority source -> survivor
+        (3, dup, "src9"),
+        (4, "a totally different document", "src9"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": [r[1] for r in rows],
+                "lang": ["en"] * len(rows),
+                "source": [r[2] for r in rows],
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    sf = str(tmp_path)
+    assert_parity(
+        dedup.cluster_survivors_by_source(spark, sf),
+        dedup.CLUSTER_SURVIVORS_SQL,
+        sf,
+        "survivors_planted",
+    )
+    out = {
+        r.cluster_id: r
+        for r in dedup.cluster_survivors_by_source(spark, sf).collect()
+    }
+    c = out[1]  # min-label cluster id is 1; survivor is NOT doc 1
+    assert c.survivor_doc_id == 2 and c.survivor_source == "src5"
+    assert c.n_members == 3 and c.n_sources == 2
+    assert out[4].survivor_doc_id == 4 and out[4].n_members == 1
+
+
+def test_bm25_eval_self_rank_on_distinctive_corpus(spark, tmp_path):
+    """When each seed doc has DISTINCTIVE vocabulary, self-retrieval
+    must put it at rank 1 with reciprocal rank 1e6 — and on shared
+    vocabulary the audit degrades honestly (NULL rank) rather than
+    erroring."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_app_twitter_spark.operators import retrieval
+    from tests.parity import assert_parity
+
+    rows = [(i, " ".join(f"uniq{i}w{j}" for j in range(8))) for i in range(4)]
+    rows += [(10 + i, "generic filler words all over") for i in range(6)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": [r[1] for r in rows],
+                "lang": ["en"] * len(rows),
+                "source": ["synthetic"] * len(rows),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    sf = str(tmp_path)
+    assert_parity(
+        retrieval.bm25_eval(spark, sf),
+        retrieval.BM25_EVAL_SQL,
+        sf,
+        "bm25_eval_planted",
+    )
+    out = {r.query_id: r for r in retrieval.bm25_eval(spark, sf).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    for r in out.values():
+        assert r.self_rank == 1 and r.rr_micro == 1_000_000 and r.hit_at_1
+
+
+def test_kmv_overlap_exact_below_k_and_jaccard(spark, tmp_path):
+    """Below the sketch size every estimate is EXACT: two sources
+    sharing 5 of their 20 distinct texts report union 35,
+    intersection 5, jaccard floor(5e6/35); disjoint sources report
+    zero overlap."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_app_twitter_spark.operators import sketches
+    from tests.parity import assert_parity
+
+    texts_a = [f"doc a number {i}" for i in range(20)]
+    texts_b = texts_a[:5] + [f"doc b number {i}" for i in range(15)]
+    texts_c = [f"doc c number {i}" for i in range(10)]
+    rows, did = [], 0
+    for src, texts in (("sa", texts_a), ("sb", texts_b), ("sc", texts_c)):
+        for t in texts:
+            rows.append((did, t, src))
+            did += 1
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": [r[1] for r in rows],
+                "lang": ["en"] * len(rows),
+                "source": [r[2] for r in rows],
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    sf = str(tmp_path)
+    assert_parity(
+        sketches.kmv_source_overlap(spark, sf),
+        sketches.KMV_SOURCE_OVERLAP_SQL,
+        sf,
+        "kmv_planted",
+    )
+    out = {
+        (r.source_a, r.source_b): r
+        for r in sketches.kmv_source_overlap(spark, sf).collect()
+    }
+    ab = out[("sa", "sb")]
+    assert ab.m == 35 and ab.est_union == 35
+    assert ab.n_both == 5 and ab.est_intersection == 5
+    assert ab.est_jaccard_micro == (1_000_000 * 5) // 35
+    ac = out[("sa", "sc")]
+    assert ac.n_both == 0 and ac.est_intersection == 0
+    assert ac.est_union == 30
