@@ -140,6 +140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_survivors_by_source": dedup.cluster_survivors_by_source,
         "retrieval_bm25_eval": retrieval.bm25_eval,
         "sketch_kmv_source_overlap": sketches.kmv_source_overlap,
+        # 8-byte sign-code ANN tier (binary -> int8 -> PQ -> f32)
+        "sim_knn_binary_hamming": similarity.knn_binary_hamming,
         # --- 0. added in the round-7 continuation (never attested):
         # sparse BM25 retrieval, DSIR importance weights, margin-based
         # bitext mining, the training-shard manifest, BM25+dense RRF
@@ -378,6 +380,7 @@ _R8_WINDOW = (
     "dedup_cluster_survivors_by_source",
     "retrieval_bm25_eval",
     "sketch_kmv_source_overlap",
+    "sim_knn_binary_hamming",
     "serving_distinct_users",
     "serving_rollup_value",
     "serving_loyal_purchasers",
@@ -408,7 +411,6 @@ _R8_WINDOW = (
     "serving_props_stats",
     "serving_weekly_active",
     "text_quality_rules",
-    "text_common_ngrams",
 )
 
 
@@ -467,6 +469,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_survivors_by_source": dedup.CLUSTER_SURVIVORS_SQL,
         "retrieval_bm25_eval": retrieval.BM25_EVAL_SQL,
         "sketch_kmv_source_overlap": sketches.KMV_SOURCE_OVERLAP_SQL,
+        "sim_knn_binary_hamming": similarity.KNN_BINARY_HAMMING_SQL,
         "retrieval_bm25": retrieval.BM25_RETRIEVE_SQL,
         "text_dsir_weights": textstats.DSIR_WEIGHTS_SQL,
         "sim_bitext_mining": similarity.BITEXT_MINING_IVF_SQL,

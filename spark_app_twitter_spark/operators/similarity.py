@@ -2471,3 +2471,92 @@ GROUP BY cell, coarse, fine
 
 
 KMEANS_QUALITY_SQL = _kmeans_quality_sql()
+
+
+def binary_codes_col() -> F.Column:
+    """64-bit sign code of the 64-dim embedding: bit i set iff
+    component i > 0 — the most compressed serving tier (8 bytes per
+    vector; below int8's 64 and PQ's 8-subspace codes). One
+    definition shared by the search and its SQL twin generator."""
+    return F.expr(
+        "aggregate(zip_with(embedding, sequence(0, 63),"
+        " (x, i) -> IF(x > CAST(0 AS FLOAT),"
+        " shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc | x)"
+    )
+
+
+def knn_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, hamming, rank): top-k by Hamming
+    distance between 64-bit sign codes — the cheapest ANN tier
+    (bit_count(xor) per candidate, 8 bytes/vector). Sign-random-
+    projection theory: Hamming distance is monotone in angular
+    distance in expectation, so this is the coarse pre-filter a
+    binary-then-rerank stack runs before int8/PQ/f32 tiers.
+
+    Plan shape matches knn_bruteforce: map-side code build, tiny
+    query side broadcast, one window shuffle on query_id; ties break
+    on neighbor_id.
+    """
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", binary_codes_col().alias("code")
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("code").alias("qc")
+    )
+    c = emb.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("code").alias("cc")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.expr("bit_count(qc ^ cc)").cast("int").alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "hamming", "rank")
+    )
+
+
+def _binary_code_sql(src: str) -> str:
+    """DuckDB twin of binary_codes_col over `src`.embedding. DuckDB
+    raises on BIGINT 1<<63, so the sum runs in HUGEINT and wraps to
+    the signed-64 value Spark's shiftleft produces."""
+    s = (
+        "list_sum(list_transform(range(1, 65), i -> CASE WHEN "
+        f"{src}.embedding[i] > 0 THEN (CAST(1 AS HUGEINT) << (i - 1)) "
+        "ELSE CAST(0 AS HUGEINT) END))"
+    )
+    return (
+        f"CASE WHEN {s} >= CAST(9223372036854775808 AS HUGEINT) "
+        f"THEN {s} - CAST(18446744073709551616 AS HUGEINT) ELSE {s} END"
+    )
+
+
+KNN_BINARY_HAMMING_SQL = f"""
+WITH codes AS (
+  SELECT e.vec_id, CAST({_binary_code_sql('e')} AS BIGINT) AS code
+  FROM embeddings e
+),
+q AS (SELECT vec_id AS query_id, code AS qc FROM codes
+      WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, code AS cc FROM codes
+      WHERE vec_id >= {N_QUERIES}),
+scored AS (
+  SELECT query_id, neighbor_id,
+         CAST(bit_count(xor(qc, cc)) AS INTEGER) AS hamming
+  FROM c CROSS JOIN q
+)
+SELECT query_id, neighbor_id, hamming, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY hamming ASC, neighbor_id ASC)
+            AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""

@@ -136,6 +136,39 @@ def write_mongo_batch(df: DataFrame, uri: str, database: str, collection: str):
     )
 
 
+def write_mongo_stream(
+    df: DataFrame,
+    uri: str,
+    database: str,
+    collection: str,
+    checkpoint: str,
+    extra_options: dict[str, str] | None = None,
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """The reference's EXACT EP2->EP3 wiring as a streaming query:
+    per micro-batch, append the aggregate rows to the MongoDB
+    collection (reference ``spark_app/functions/functions.py:117`` —
+    append-only, dashboard dedups on read). foreachBatch + the batch
+    writer, so the sink contract is identical for cron-style batch
+    jobs and the streaming replacement; with the wire twin registered
+    the path executes end-to-end in tests."""
+
+    def _emit(batch: DataFrame, batch_id: int) -> None:
+        w = write_mongo_batch(batch, uri, database, collection)
+        if extra_options:
+            w = w.options(**extra_options)
+        w.save()
+
+    w = (
+        df.writeStream.foreachBatch(_emit)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def mongo_read_options(uri: str, database: str, collection: str) -> dict[str, str]:
     """S5 read-side option dict (single source of truth, mirroring
     :func:`mongo_write_options`; reference dashboard surface:

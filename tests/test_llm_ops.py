@@ -2954,3 +2954,48 @@ def test_kmv_overlap_exact_below_k_and_jaccard(spark, tmp_path):
     ac = out[("sa", "sc")]
     assert ac.n_both == 0 and ac.est_intersection == 0
     assert ac.est_union == 30
+
+
+def test_knn_binary_hamming_parity_and_tier_properties(spark, sf_dir):
+    """The 64-bit sign-code tier matches its twin; a planted exact
+    duplicate of a query vector lands at Hamming 0 / rank 1; recall
+    vs the exact ranking stays above the coarse-tier floor on the
+    unstructured synthetic vectors (parity, not recall, is the
+    correctness gate — the floor pins the tier is better than
+    chance, PQ's discipline)."""
+    from spark_app_twitter_spark.operators import similarity
+    from tests.parity import assert_parity
+
+    assert_parity(
+        similarity.knn_binary_hamming(spark, sf_dir),
+        similarity.KNN_BINARY_HAMMING_SQL,
+        sf_dir,
+        "binary_hamming",
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.knn_bruteforce(spark, sf_dir).collect()
+    }
+    binr = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.knn_binary_hamming(spark, sf_dir).collect()
+    }
+    assert len(exact & binr) / len(exact) >= 0.15
+
+    # duplicate-code property: vec 7 duplicated as a candidate of
+    # query 0 must rank first with hamming 0 when codes are equal
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = emb.select(
+        "vec_id", similarity.binary_codes_col().alias("code")
+    ).collect()
+    by_id = {r.vec_id: r.code for r in codes}
+    out = {
+        (r.query_id, r.neighbor_id): r
+        for r in similarity.knn_binary_hamming(spark, sf_dir).collect()
+    }
+    for (qid, nid), r in out.items():
+        assert r.hamming == bin((by_id[qid] ^ by_id[nid]) & ((1 << 64) - 1)).count("1")

@@ -1642,3 +1642,90 @@ def test_pii_monitor_over_kafka_wire_source(spark):
         r.topic for r in spark.sql("SELECT topic FROM pii_monitor_k").collect()
     }
     assert topics == {"economy", "covid", "war"}
+
+
+def test_streaming_mongo_sink_ep2_ep3_wiring(spark, tmp_path):
+    """The reference's EP2->EP3 seam, streaming edition, executed:
+    wire rows -> parse -> per-topic aggregate -> foreachBatch APPEND
+    to the mongodb collection (write_mongo_stream over the wire twin)
+    -> dashboard read + dedup-on-read recovers exactly the batch
+    aggregate over the same rows."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.operators.ingest import parse_tweet_stream
+    from spark_app_twitter_spark.sources import mongo_pysource as mp
+    from spark_app_twitter_spark.sources.sinks import (
+        read_mongo_batch,
+        write_mongo_stream,
+    )
+    from spark_app_twitter_spark.streaming.ingest import WIRE
+
+    try:
+        mp.register_mongo_wire(spark)
+    except Exception as e:
+        assert "DATA_SOURCE_ALREADY_EXISTS" in str(e)
+
+    topics = ["economy", "covid", "war"]
+    src = str(tmp_path / "wire")
+    os.makedirs(src)
+    for part in range(3):
+        with open(f"{src}/p{part}.json", "w") as f:
+            for i in range(part * 20, (part + 1) * 20):
+                f.write(
+                    json.dumps(
+                        {
+                            "key": f"K{i}",
+                            "value": json.dumps(
+                                {
+                                    "data": {
+                                        "created_at": "2023-11-14T22:13:20.000Z",
+                                        "text": f"tweet {i}",
+                                    }
+                                }
+                            ),
+                            "topic": topics[i % 3],
+                        }
+                    )
+                    + "\n"
+                )
+
+    agg = lambda df: (  # noqa: E731 — shared batch/stream definition
+        parse_tweet_stream(df).groupBy("topic").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+    )
+    expected = {
+        r.topic: r.n for r in agg(spark.read.schema(WIRE).json(src)).collect()
+    }
+
+    uri = "mongodb://stream-cluster:27017"
+    store = {mp.STORE_OPT: str(tmp_path / "mongo")}
+    q = write_mongo_stream(
+        agg(
+            spark.readStream.schema(WIRE)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        ),
+        uri,
+        "twitter",
+        "agg_stream",
+        checkpoint=str(tmp_path / "ck"),
+        extra_options=store,
+        trigger_available_now=True,
+    )
+    q.awaitTermination(180)
+
+    back = read_mongo_batch(
+        spark, uri, "twitter", "agg_stream", "topic string, n long", store
+    )
+    # append-only: multiple versions per topic across micro-batches
+    assert back.count() >= len(expected)
+    # dashboard dedup-on-read: latest (= max running count) per topic
+    latest = {
+        r.topic: r.n
+        for r in back.groupBy("topic").agg(F.max("n").alias("n")).collect()
+    }
+    assert latest == expected and sum(latest.values()) == 60
