@@ -1238,3 +1238,86 @@ SELECT stage, stage_order, n_users, conversion_bp FROM (
   FROM tally
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window anomaly flags over the hourly event series — the
+# ops-dashboard alert complement of trending_topics. All-integer
+# 3-sigma rule via cross-multiplication, so the flag is bit-exact on
+# every engine (no stddev float seam).
+ANOM_W = 24  # trailing observed-hour window
+
+
+def hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, hour_ts, n, trail_n, is_anomaly): per event type
+    and hour, the event count and whether it sits more than 3
+    trailing standard deviations from the trailing-ANOM_W mean.
+    Exact integers: |x - s/c| > 3*sigma is evaluated as
+    (c*x - s)^2 > 9*(c*ssq - s^2) — both sides integer, no float
+    math. Hours are flagged only with a FULL trailing window
+    (trail_n = ANOM_W of the preceding OBSERVED hours; a series with
+    gaps compares against the last 24 observed points, the
+    ops-dashboard convention for sparse series).
+
+    Scale shape: one (event_type, hour) count (the only corpus-sized
+    reduce), then windows over the |types| x |hours| series — the
+    rollup relation, not events.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hour_ts"),
+    )
+    hourly = ev.groupBy("event_type", "hour_ts").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(-ANOM_W, -1)
+    )
+    trail = hourly.select(
+        "event_type",
+        "hour_ts",
+        "n",
+        F.count(F.lit(1)).over(w).alias("c"),
+        F.sum("n").over(w).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("ssq"),
+    )
+    # integer multiply, NOT **2: pow routes through double and loses
+    # exactness above 2^53, silently diverging from the twin's
+    # integer arithmetic on high-volume hours
+    dev = F.col("c") * F.col("n") - F.col("s")
+    lhs = dev * dev
+    rhs = F.lit(9) * (F.col("c") * F.col("ssq") - F.col("s") * F.col("s"))
+    return trail.select(
+        "event_type",
+        "hour_ts",
+        "n",
+        F.col("c").cast("long").alias("trail_n"),
+        (
+            (F.col("c") == ANOM_W)
+            & (lhs.cast("long") > rhs.cast("long"))
+        ).alias("is_anomaly"),
+    )
+
+
+HOURLY_ANOMALIES_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+trail AS (
+  SELECT event_type, hour_ts, n,
+         CAST(count(*) OVER tw AS BIGINT) AS c,
+         CAST(sum(n) OVER tw AS BIGINT) AS s,
+         CAST(sum(n * n) OVER tw AS BIGINT) AS ssq
+  FROM hourly
+  WINDOW tw AS (PARTITION BY event_type ORDER BY hour_ts
+                ROWS BETWEEN {ANOM_W} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour_ts, n, c AS trail_n,
+       c = {ANOM_W} AND (c * n - s) * (c * n - s) > 9 * (c * ssq - s * s)
+         AS is_anomaly
+FROM trail
+"""

