@@ -147,6 +147,16 @@ STRESS_QUERIES = [
     "text_pii_stats",
     "sim_kmeans_quality",
     "serving_funnel_conversion",
+    # late round 8: survivor election (cluster-chain + one doc join),
+    # cohort-sized sparse eval, sketch-sized KMV set ops, 8-byte
+    # binary ANN tier (brute over codes: same broadcast-query shape
+    # as knn_bruteforce but 8 bytes/candidate), rollup-sized anomaly
+    # windows
+    "dedup_cluster_survivors_by_source",
+    "retrieval_bm25_eval",
+    "sketch_kmv_source_overlap",
+    "sim_knn_binary_hamming",
+    "serving_hourly_anomalies",
     "sim_embedding_sanity",
     "sim_ivf_index_append",
     "sim_embedding_drift",
