@@ -144,6 +144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_binary_hamming": similarity.knn_binary_hamming,
         # all-integer 3-sigma alerting over the hourly series
         "serving_hourly_anomalies": serving.hourly_anomalies,
+        # closing round 8: dynamic-batching padding-waste audit
+        "pack_length_buckets": packing.length_buckets,
         # --- 0. added in the round-7 continuation (never attested):
         # sparse BM25 retrieval, DSIR importance weights, margin-based
         # bitext mining, the training-shard manifest, BM25+dense RRF
@@ -356,11 +358,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # The round-8 driver verification window (VERDICT r07 + the rotation
 # contract): the 16 never-attested round-8 operators, the 5 whose
 # code or oracle changed this round, then 29 of the 39 displaced
-# r04-attested rows. The 10 rows still deferred (text_common_ngrams,
+# r04-attested rows. The rows still deferred (text_common_ngrams,
 # text_quality_rules, sim_embedding_dim_stats, dedup_incremental,
 # text_token_budget_sample, dedup_span_stats, text_bigram_lm_score,
-# text_weighted_sample, text_ngram_diversity,
-# sim_embedding_covariance) head the round-9 window; each keeps a
+# text_weighted_sample, text_ngram_diversity, sim_embedding_covariance,
+# plus one r04 row displaced per closing-r8 addition, tail-first:
+# serving_weekly_active, ...) head the round-9 window; each keeps a
 # local DuckDB parity test in CI and is sweep-green at sf0.01.
 _R8_WINDOW = (
     "dedup_lsh_clusters",
@@ -384,6 +387,7 @@ _R8_WINDOW = (
     "sketch_kmv_source_overlap",
     "sim_knn_binary_hamming",
     "serving_hourly_anomalies",
+    "pack_length_buckets",
     "serving_distinct_users",
     "serving_rollup_value",
     "serving_loyal_purchasers",
@@ -412,7 +416,6 @@ _R8_WINDOW = (
     "multimodal_audio_chunks",
     "dedup_minhash_jaccard_est",
     "serving_props_stats",
-    "serving_weekly_active",
 )
 
 
@@ -473,6 +476,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_kmv_source_overlap": sketches.KMV_SOURCE_OVERLAP_SQL,
         "sim_knn_binary_hamming": similarity.KNN_BINARY_HAMMING_SQL,
         "serving_hourly_anomalies": serving.HOURLY_ANOMALIES_SQL,
+        "pack_length_buckets": packing.LENGTH_BUCKETS_SQL,
         "retrieval_bm25": retrieval.BM25_RETRIEVE_SQL,
         "text_dsir_weights": textstats.DSIR_WEIGHTS_SQL,
         "sim_bitext_mining": similarity.BITEXT_MINING_IVF_SQL,

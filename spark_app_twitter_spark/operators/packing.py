@@ -441,3 +441,68 @@ FROM per_shard
 
 
 CURRICULUM_SHARDS_SQL = _curriculum_shards_sql()
+
+
+def length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket_cap, n_docs, total_tokens, padded_tokens, waste_bp) —
+    the dynamic-batching audit: docs bucketed by next-power-of-two
+    token length, with the padding waste a fixed-shape batcher would
+    pay per bucket (``padded - total`` as integer basis points of the
+    padded volume). Training exports use this to pick bucket
+    boundaries; a large waste_bp in a hot bucket means wasted FLOPs.
+
+    Scale shape: map-side length + bit-math bucket assignment, then
+    ONE reduce over at most ~40 bucket keys — output is
+    O(log(max_len)) regardless of corpus size. The power-of-two cap
+    is integer bit arithmetic (length of the binary representation),
+    not float log2, so bucket edges are engine-exact.
+
+    Reference scope note: no reference analogue; SURVEY.md §2.9
+    training-data-pipeline mandate (sequence batching efficiency).
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    n = F.size(tokens("text"))
+    sized = docs.select(
+        F.when(n <= 1, F.lit(1).cast("long"))
+        .otherwise(F.expr("shiftleft(1L, length(bin(size(split(text, ' ')) - 1)))"))
+        .alias("bucket_cap"),
+        n.cast("long").alias("n_tok"),
+    )
+    agg = sized.groupBy("bucket_cap").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+    )
+    padded = F.col("bucket_cap") * F.col("n_docs")
+    # integer DIV, not float /: basis points are exact on every engine
+    return agg.select(
+        "bucket_cap",
+        "n_docs",
+        "total_tokens",
+        padded.alias("padded_tokens"),
+        F.expr(
+            "(bucket_cap * n_docs - total_tokens) * 10000L"
+            " DIV (bucket_cap * n_docs)"
+        ).alias("waste_bp"),
+    )
+
+
+LENGTH_BUCKETS_SQL = """
+WITH sized AS (
+  SELECT CASE WHEN len(string_split(text, ' ')) <= 1 THEN CAST(1 AS BIGINT)
+              ELSE CAST(1 AS BIGINT)
+                   << length(bin(len(string_split(text, ' ')) - 1)) END
+           AS bucket_cap,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+agg AS (
+  SELECT bucket_cap, count(*) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS total_tokens
+  FROM sized GROUP BY bucket_cap
+)
+SELECT bucket_cap, n_docs, total_tokens,
+       bucket_cap * n_docs AS padded_tokens,
+       (bucket_cap * n_docs - total_tokens) * 10000
+         // (bucket_cap * n_docs) AS waste_bp
+FROM agg
+"""

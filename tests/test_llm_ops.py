@@ -2999,3 +2999,22 @@ def test_knn_binary_hamming_parity_and_tier_properties(spark, sf_dir):
     }
     for (qid, nid), r in out.items():
         assert r.hamming == bin((by_id[qid] ^ by_id[nid]) & ((1 << 64) - 1)).count("1")
+
+
+def test_length_buckets_parity_and_invariants(spark, sf_dir):
+    """Bucket caps are powers of two covering every doc; padded volume
+    dominates the real volume; waste basis points stay in [0, 10000)."""
+    from tests.parity import assert_parity
+    from spark_app_twitter_spark.operators import packing
+
+    df = packing.length_buckets(spark, sf_dir)
+    rows = df.collect()
+    assert rows, "no buckets"
+    for r in rows:
+        assert r.bucket_cap & (r.bucket_cap - 1) == 0  # power of two
+        assert r.padded_tokens == r.bucket_cap * r.n_docs
+        assert r.total_tokens <= r.padded_tokens
+        # every doc in a bucket is longer than the next bucket down
+        assert r.total_tokens > (r.bucket_cap // 2) * (r.n_docs - 1)
+        assert 0 <= r.waste_bp < 10000
+    assert_parity(df, packing.LENGTH_BUCKETS_SQL, sf_dir, "length_buckets")
