@@ -144,8 +144,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_binary_hamming": similarity.knn_binary_hamming,
         # all-integer 3-sigma alerting over the hourly series
         "serving_hourly_anomalies": serving.hourly_anomalies,
-        # closing round 8: dynamic-batching padding-waste audit
+        # closing round 8: dynamic-batching padding-waste audit,
+        # per-source domain-shift KL score
         "pack_length_buckets": packing.length_buckets,
+        "text_source_kl": textstats.source_kl,
         # --- 0. added in the round-7 continuation (never attested):
         # sparse BM25 retrieval, DSIR importance weights, margin-based
         # bitext mining, the training-shard manifest, BM25+dense RRF
@@ -388,6 +390,7 @@ _R8_WINDOW = (
     "sim_knn_binary_hamming",
     "serving_hourly_anomalies",
     "pack_length_buckets",
+    "text_source_kl",
     "serving_distinct_users",
     "serving_rollup_value",
     "serving_loyal_purchasers",
@@ -415,7 +418,6 @@ _R8_WINDOW = (
     "serving_retention_cohorts",
     "multimodal_audio_chunks",
     "dedup_minhash_jaccard_est",
-    "serving_props_stats",
 )
 
 
@@ -477,6 +479,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_knn_binary_hamming": similarity.KNN_BINARY_HAMMING_SQL,
         "serving_hourly_anomalies": serving.HOURLY_ANOMALIES_SQL,
         "pack_length_buckets": packing.LENGTH_BUCKETS_SQL,
+        "text_source_kl": textstats.SOURCE_KL_SQL,
         "retrieval_bm25": retrieval.BM25_RETRIEVE_SQL,
         "text_dsir_weights": textstats.DSIR_WEIGHTS_SQL,
         "sim_bitext_mining": similarity.BITEXT_MINING_IVF_SQL,

@@ -3019,3 +3019,107 @@ SELECT t.split, t.n_docs,
               // c.total_ngrams AS BIGINT) END AS novelty_bp
 FROM totals t LEFT OUTER JOIN counts c ON t.split = c.split
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-source distribution shift: KL(source || corpus) over the unigram
+# token distribution — the domain-shift score a mixture designer reads
+# before weighting sources (cf. DoReMi / DSIR domain reweighting).
+
+_KL_SCALE = 1_000_000  # micro-nats: quantize ln BEFORE the weighted sum
+
+
+def source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_tokens, n_terms, kl_nats): KL divergence of each
+    source's unigram distribution from the corpus-wide distribution,
+    in nats. ``sum_w p_sw * ln(p_sw / p_cw)`` with
+    ``p_sw = c_sw / C_s`` and ``p_cw = c_w / C``; no smoothing is
+    needed because every source term occurs in the corpus.
+
+    Engine-exactness: the per-term log-ratio is quantized to integer
+    micro-nats (fixed 4-term ln order, the dsir_weights idiom), the
+    weighted sum runs over exact integers (``c_sw * lr_micro``,
+    accumulated as DECIMAL so a 100-TB source cannot overflow int64),
+    and only the FINAL projection divides — one double op on each
+    engine, bit-identical.
+
+    Scale shape: one corpus-sized shuffle keyed (source, term) with
+    map-side combine; everything after is vocabulary-bounded (the
+    corpus-count reduce, the term-keyed join) or |sources|-bounded
+    (broadcast totals). Output is |sources| rows.
+
+    Reference scope note: no reference analogue; SURVEY.md §2.9
+    training-data-pipeline mandate (mixture design / domain shift).
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    st = docs.select("source", F.explode(tokens("text")).alias("term"))
+    cs = st.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c_st"))
+    cw = cs.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    tot_s = cs.groupBy("source").agg(F.sum("c_st").alias("c_s"))
+    tot = tot_s.agg(F.sum("c_s").alias("c"))
+    lnr = (
+        F.log(F.col("c_st").cast("double"))
+        + F.log(F.col("c").cast("double"))
+        - F.log(F.col("c_s").cast("double"))
+        - F.log(F.col("c_t").cast("double"))
+    )
+    contrib = (
+        cs.join(cw, "term")
+        .join(F.broadcast(tot_s), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "c_s",
+            (
+                F.col("c_st")
+                * F.floor(lnr * F.lit(float(_KL_SCALE)) + F.lit(0.5)).cast("long")
+            )
+            .cast("decimal(38,0)")
+            .alias("w_micro"),
+        )
+    )
+    return (
+        contrib.groupBy("source")
+        .agg(
+            F.max("c_s").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("w_micro").alias("sm"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_terms",
+            (
+                F.col("sm").cast("double")
+                / (F.col("n_tokens").cast("double") * F.lit(float(_KL_SCALE)))
+            ).alias("kl_nats"),
+        )
+    )
+
+
+SOURCE_KL_SQL = f"""
+WITH st AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+),
+cs AS (
+  SELECT source, term, count(*) AS c_st FROM st GROUP BY source, term
+),
+cw AS (SELECT term, CAST(sum(c_st) AS BIGINT) AS c_t FROM cs GROUP BY term),
+tot_s AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS c_s
+          FROM cs GROUP BY source),
+tot AS (SELECT CAST(sum(c_s) AS BIGINT) AS c FROM tot_s),
+contrib AS (
+  SELECT cs.source, tot_s.c_s,
+         cs.c_st * CAST(floor(
+           (ln(CAST(cs.c_st AS DOUBLE)) + ln(CAST(tot.c AS DOUBLE))
+            - ln(CAST(tot_s.c_s AS DOUBLE)) - ln(CAST(cw.c_t AS DOUBLE)))
+           * {_KL_SCALE}.0 + 0.5) AS BIGINT) AS w_micro
+  FROM cs JOIN cw USING (term) JOIN tot_s USING (source) CROSS JOIN tot
+)
+SELECT source,
+       CAST(max(c_s) AS BIGINT) AS n_tokens,
+       count(*) AS n_terms,
+       CAST(sum(w_micro) AS DOUBLE)
+         / (CAST(max(c_s) AS DOUBLE) * {_KL_SCALE}.0) AS kl_nats
+FROM contrib GROUP BY source
+"""

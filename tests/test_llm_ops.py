@@ -3018,3 +3018,26 @@ def test_length_buckets_parity_and_invariants(spark, sf_dir):
         assert r.total_tokens > (r.bucket_cap // 2) * (r.n_docs - 1)
         assert 0 <= r.waste_bp < 10000
     assert_parity(df, packing.LENGTH_BUCKETS_SQL, sf_dir, "length_buckets")
+
+
+def test_source_kl_parity_and_gibbs(spark, sf_dir):
+    """KL(source || corpus) is ~non-negative (Gibbs; micro-nat
+    quantization can dip a hair below zero) and finite for every
+    source; token mass is conserved across the per-source rows."""
+    from tests.parity import assert_parity
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    df = textstats.source_kl(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.kl_nats > -1e-5, r
+        assert r.kl_nats < 5.0, r
+        assert r.n_terms <= r.n_tokens
+    total = sum(r.n_tokens for r in rows)
+    docs = load_table(spark, sf_dir, "documents")
+    expected = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("n")
+    ).collect()[0].n
+    assert total == expected
+    assert_parity(df, textstats.SOURCE_KL_SQL, sf_dir, "source_kl")
