@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-source domain-shift KL score
         "pack_length_buckets": packing.length_buckets,
         "text_source_kl": textstats.source_kl,
+        # map-only MOSS winnowing fingerprint index
+        "text_winnowing": textstats.winnowing,
         # --- 0. added in the round-7 continuation (never attested):
         # sparse BM25 retrieval, DSIR importance weights, margin-based
         # bitext mining, the training-shard manifest, BM25+dense RRF
@@ -391,6 +393,7 @@ _R8_WINDOW = (
     "serving_hourly_anomalies",
     "pack_length_buckets",
     "text_source_kl",
+    "text_winnowing",
     "serving_distinct_users",
     "serving_rollup_value",
     "serving_loyal_purchasers",
@@ -417,7 +420,6 @@ _R8_WINDOW = (
     "sim_knn_quantized",
     "serving_retention_cohorts",
     "multimodal_audio_chunks",
-    "dedup_minhash_jaccard_est",
 )
 
 
@@ -480,6 +482,7 @@ def oracle_sql() -> dict[str, str]:
         "serving_hourly_anomalies": serving.HOURLY_ANOMALIES_SQL,
         "pack_length_buckets": packing.LENGTH_BUCKETS_SQL,
         "text_source_kl": textstats.SOURCE_KL_SQL,
+        "text_winnowing": textstats.WINNOWING_SQL,
         "retrieval_bm25": retrieval.BM25_RETRIEVE_SQL,
         "text_dsir_weights": textstats.DSIR_WEIGHTS_SQL,
         "sim_bitext_mining": similarity.BITEXT_MINING_IVF_SQL,

@@ -3123,3 +3123,77 @@ SELECT source,
          / (CAST(max(c_s) AS DOUBLE) * {_KL_SCALE}.0) AS kl_nats
 FROM contrib GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (Schleimer/Wilkerson/Aiken, MOSS): guaranteed-detection
+# fingerprint selection — every shared substring of length
+# WINNOW_W + WINNOW_K - 1 between two docs shares at least one
+# selected fingerprint. Complements doc_fingerprint (which keeps a
+# fixed 3 hashes/doc): winnowing keeps ~2/(w+1) of positions, enough
+# for local plagiarism / copy-span detection, not just whole-doc.
+
+WINNOW_K = 5  # char shingle width (matches doc_fingerprint)
+WINNOW_W = 8  # winnowing window over consecutive shingle hashes
+
+
+def winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp_pos, fp_hash): the winnowed fingerprint index —
+    per window of WINNOW_W consecutive 5-gram md5s, the minimum
+    (hash, position) pair; consecutive windows selecting the same
+    shingle collapse via distinct. Ties break to the smallest
+    position by encoding pos into the compared string (md5 || '|' ||
+    zero-padded pos), so selection is total-ordered and engine-exact.
+
+    Scale shape: map-ONLY — shingle hashes, per-window minima and the
+    distinct all run as array expressions inside one codegen stage;
+    explode multiplies rows without a shuffle. Output is the
+    fingerprint index itself (~2/(w+1) of character positions), the
+    input to any downstream bucket-join on fp_hash.
+
+    Reference scope note: no reference analogue; SURVEY.md §2.9
+    training-data-pipeline mandate (document fingerprinting).
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    hs = F.expr(
+        f"transform(sequence(1, length(text) - {WINNOW_K - 1}),"
+        f" i -> concat(md5(substr(text, i, {WINNOW_K})), '|',"
+        f"             lpad(cast(i as string), 10, '0')))"
+    )
+    fps = F.expr(
+        f"array_distinct(transform("
+        f"  sequence(1, greatest(size(hs) - {WINNOW_W - 1}, 1)),"
+        f"  j -> array_min(slice(hs, j, {WINNOW_W}))))"
+    )
+    return (
+        docs.where(F.length("text") >= WINNOW_K)
+        .select("doc_id", hs.alias("hs"))
+        .select("doc_id", F.explode(fps).alias("fp"))
+        .select(
+            "doc_id",
+            F.expr("cast(substring(fp, 34, 10) as bigint)").alias("fp_pos"),
+            F.expr("substring(fp, 1, 32)").alias("fp_hash"),
+        )
+    )
+
+
+WINNOWING_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) - {WINNOW_K - 1} + 1),
+           i -> md5(text[i:i+{WINNOW_K - 1}]) || '|' ||
+                lpad(CAST(i AS VARCHAR), 10, '0')) AS hs
+  FROM documents WHERE length(text) >= {WINNOW_K}
+),
+w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(hs) - {WINNOW_W - 1}, 1) + 1),
+           j -> list_min(hs[j:j+{WINNOW_W - 1}]))) AS fps
+  FROM h
+)
+SELECT doc_id,
+       CAST(substr(fp, 34, 10) AS BIGINT) AS fp_pos,
+       substr(fp, 1, 32) AS fp_hash
+FROM w, unnest(fps) AS t(fp)
+"""

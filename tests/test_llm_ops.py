@@ -3041,3 +3041,50 @@ def test_source_kl_parity_and_gibbs(spark, sf_dir):
     ).collect()[0].n
     assert total == expected
     assert_parity(df, textstats.SOURCE_KL_SQL, sf_dir, "source_kl")
+
+
+def test_winnowing_parity_and_guarantee(spark, sf_dir):
+    """Winnowing's detection guarantee: any shared substring of
+    length >= W + K - 1 yields at least one shared fingerprint hash;
+    density stays near the theoretical 2/(w+1)."""
+    from tests.parity import assert_parity
+
+    df = textstats.winnowing(spark, sf_dir)
+    assert_parity(df, textstats.WINNOWING_SQL, sf_dir, "winnowing")
+
+
+def test_winnowing_planted_copy_detected(spark, tmp_path):
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(7)
+    alpha = "abcdefghij "
+    shared = "the quick brown fox jumps"  # 25 chars >= W+K-1 = 12
+    mk = lambda: "".join(rng.choice(alpha) for _ in range(80))
+    texts = [mk() + shared + mk(), mk(), shared + mk(), mk()]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["s0"] * len(texts),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    fps = textstats.winnowing(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp_hash)
+    # guarantee: the two docs sharing the substring share a hash
+    assert by_doc[0] & by_doc[2]
+    # non-copied docs share nothing (random vs english alphabets)
+    assert not (by_doc[1] & by_doc[3]) or texts[1] == texts[3]
+    # density: ~2/(w+1) of shingle positions, never more than 1/1
+    n_sh = sum(max(len(t) - textstats.WINNOW_K + 1, 0) for t in texts)
+    assert len(fps) <= n_sh
+    assert len(fps) >= n_sh * 2 // (textstats.WINNOW_W + 1) // 2
