@@ -150,6 +150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_source_kl": textstats.source_kl,
         # map-only MOSS winnowing fingerprint index
         "text_winnowing": textstats.winnowing,
+        # the faiss-standard serving config: IVF shortlist + PQ-ADC
+        "sim_knn_ivf_pq": pq.knn_ivf_pq,
         # --- 0. added in the round-7 continuation (never attested):
         # sparse BM25 retrieval, DSIR importance weights, margin-based
         # bitext mining, the training-shard manifest, BM25+dense RRF
@@ -394,6 +396,7 @@ _R8_WINDOW = (
     "pack_length_buckets",
     "text_source_kl",
     "text_winnowing",
+    "sim_knn_ivf_pq",
     "serving_distinct_users",
     "serving_rollup_value",
     "serving_loyal_purchasers",
@@ -419,7 +422,6 @@ _R8_WINDOW = (
     "text_length_histogram",
     "sim_knn_quantized",
     "serving_retention_cohorts",
-    "multimodal_audio_chunks",
 )
 
 
@@ -483,6 +485,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_length_buckets": packing.LENGTH_BUCKETS_SQL,
         "text_source_kl": textstats.SOURCE_KL_SQL,
         "text_winnowing": textstats.WINNOWING_SQL,
+        "sim_knn_ivf_pq": pq.KNN_IVF_PQ_SQL,
         "retrieval_bm25": retrieval.BM25_RETRIEVE_SQL,
         "text_dsir_weights": textstats.DSIR_WEIGHTS_SQL,
         "sim_bitext_mining": similarity.BITEXT_MINING_IVF_SQL,

@@ -239,23 +239,7 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = _pq_assign(
         subs.where(F.col("vec_id") >= N_QUERIES), cents
     ).select(F.col("vec_id").alias("neighbor_id"), "m", "cell")
-    cdf = spark.createDataFrame(
-        cents, "m int, cell int, cv array<double>"
-    )
-    qsubs = subs.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "m", "v"
-    )
-    lut = qsubs.join(cdf, "m").select(
-        "query_id",
-        "m",
-        "cell",
-        F.expr(
-            "cast(round(round(aggregate(zip_with(v, cv, (x, y) -> x * y),"
-            " 0.0D, (acc, x) -> acc + x)"
-            " - aggregate(zip_with(cv, cv, (x, y) -> x * y), 0.0D,"
-            " (acc, x) -> acc + x) / 2.0, 6) * 1e6) as bigint)"
-        ).alias("s_micro"),
-    )
+    lut = _adc_lut(spark, cents, subs)
     scored = (
         codes.join(F.broadcast(lut), ["m", "cell"])
         .groupBy("query_id", "neighbor_id")
@@ -267,6 +251,87 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= PQ_TOP_K)
+    )
+
+
+def _adc_lut(
+    spark: SparkSession,
+    cents: list[tuple[int, int, list[float]]],
+    subs: DataFrame,
+) -> DataFrame:
+    """(query_id, m, cell, s_micro): the per-query ADC lookup table —
+    each query subvector scored against every codebook centroid,
+    6dp-rounded then micro-quantized (PQ_M·PQ_K rows per query, the
+    constant-size broadcast both ADC consumers share)."""
+    cdf = spark.createDataFrame(cents, "m int, cell int, cv array<double>")
+    qsubs = subs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "m", "v"
+    )
+    return qsubs.join(cdf, "m").select(
+        "query_id",
+        "m",
+        "cell",
+        F.expr(
+            "cast(round(round(aggregate(zip_with(v, cv, (x, y) -> x * y),"
+            " 0.0D, (acc, x) -> acc + x)"
+            " - aggregate(zip_with(cv, cv, (x, y) -> x * y), 0.0D,"
+            " (acc, x) -> acc + x) / 2.0, 6) * 1e6) as bigint)"
+        ).alias("s_micro"),
+    )
+
+
+def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, adc_micro, rank): IVF-PQ — the
+    faiss-standard serving configuration. The two-level IVF index
+    bounds WHICH vectors each query scores (probed fine cells via
+    similarity.ivf_probe_pairs, the exact candidate machinery every
+    IVF variant shares), and PQ-ADC bounds HOW each candidate is
+    scored (PQ_M integer table lookups against the per-query
+    broadcast LUT, no float math on the database side).
+
+    At 100 TB this is the config a real deployment runs: the index
+    side stores 8-byte code words + a cell id per vector, a query
+    touches ~1/PROBE_FRACTION of cells, and candidate scoring is
+    integer adds — the IVF tier caps candidate COUNT, the PQ tier
+    caps per-candidate COST. Both artifacts are the session-cached
+    trained indexes (coarse/fine centroids; PQ codebook), so search
+    never retrains.
+
+    Oracle: full double replay — the IVF probe chain and the PQ
+    Lloyd chain composed in one WITH (they share only the identical
+    ``emb`` CTE), candidates restricted to probed cells, ADC summed
+    per surviving pair.
+    """
+    from spark_app_twitter_spark.operators.similarity import (
+        _query_frame,
+        ivf_probe_pairs,
+    )
+
+    cents = pq_codebook_rows(spark, sf_dir)
+    subs = _subvecs(spark, sf_dir)
+    codes = _pq_assign(
+        subs.where(F.col("vec_id") >= N_QUERIES), cents
+    ).select(F.col("vec_id").alias("neighbor_id"), "m", "cell")
+    # candidate pairs from the probed IVF cells; vectors dropped on
+    # BOTH sides before the join — only ids flow into ADC scoring
+    cand = ivf_probe_pairs(
+        spark,
+        sf_dir,
+        _query_frame(spark, sf_dir),
+        cand_prep=lambda cc: cc.drop("cv"),
+    ).select("query_id", "neighbor_id")
+    lut = _adc_lut(spark, cents, subs)
+    scored = (
+        cand.join(codes, "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "m", "cell"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("s_micro").alias("adc_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_micro"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= PQ_TOP_K
     )
 
 
@@ -391,3 +456,49 @@ FROM (
 PQ_TRAIN_SQL = _pq_train_sql()
 PQ_ENCODE_SQL = _pq_encode_sql()
 KNN_PQ_SQL = _knn_pq_sql()
+
+
+def _knn_ivf_pq_sql() -> str:
+    """IVF probe chain + PQ Lloyd chain composed in one WITH; the
+    chains share only the byte-identical ``emb`` CTE, which the PQ
+    side therefore drops."""
+    from spark_app_twitter_spark.operators.similarity import _ivf_pairs_sql
+
+    pq_parts = _pq_ctes()
+    assert pq_parts[0].startswith("emb AS"), "pq chain layout changed"
+    return (
+        _ivf_pairs_sql()
+        + ",\n"
+        + ",\n".join(pq_parts[1:] + [_final_assign_cte()])
+        + f""",
+codes AS (SELECT vec_id AS neighbor_id, m, cell FROM pa_fin
+          WHERE vec_id >= {N_QUERIES}),
+cand AS (SELECT query_id, neighbor_id FROM pairs),
+lut AS (
+  SELECT s.vec_id AS query_id, s.m, c.cell,
+         CAST(round({_pq_score_sql('s.v', 'c.cv')} * 1e6) AS BIGINT)
+           AS s_micro
+  FROM sub s JOIN pc{PQ_ITERS} c USING (m)
+  WHERE s.vec_id < {N_QUERIES}
+),
+adc AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         CAST(sum(l.s_micro) AS BIGINT) AS adc_micro
+  FROM cand cd
+  JOIN codes co USING (neighbor_id)
+  JOIN lut l ON l.query_id = cd.query_id
+            AND l.m = co.m AND l.cell = co.cell
+  GROUP BY cd.query_id, cd.neighbor_id
+)
+SELECT query_id, neighbor_id, adc_micro, rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_micro DESC,
+                                        neighbor_id ASC) AS rank
+  FROM adc
+) WHERE rank <= {PQ_TOP_K}
+"""
+    )
+
+
+KNN_IVF_PQ_SQL = _knn_ivf_pq_sql()

@@ -3088,3 +3088,39 @@ def test_winnowing_planted_copy_detected(spark, tmp_path):
     n_sh = sum(max(len(t) - textstats.WINNOW_K + 1, 0) for t in texts)
     assert len(fps) <= n_sh
     assert len(fps) >= n_sh * 2 // (textstats.WINNOW_W + 1) // 2
+
+
+def test_knn_ivf_pq_parity_scores_and_shortlist(spark, sf_dir):
+    """IVF-PQ matches its composed double-replay twin; ranks are
+    dense; every pair it scores carries EXACTLY the same adc_micro as
+    the shortlist-free ADC search (the IVF tier may only change WHICH
+    pairs are scored, never a score); and the probed shortlist keeps
+    a solid majority of full-ADC top-10 (synthetic unstructured
+    embeddings — the parity check is the correctness gate)."""
+    from spark_app_twitter_spark.operators import pq
+
+    df = pq.knn_ivf_pq(spark, sf_dir)
+    assert_parity(df, pq.KNN_IVF_PQ_SQL, sf_dir, "knn_ivf_pq")
+
+    ours = df.collect()
+    by_q = {}
+    for r in ours:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, hits in by_q.items():
+        hits.sort(key=lambda r: r.rank)
+        assert [r.rank for r in hits] == list(range(1, len(hits) + 1))
+
+    full = {
+        (r.query_id, r.neighbor_id): r.adc_micro
+        for r in pq.knn_pq_adc(spark, sf_dir).collect()
+    }
+    scored_same = [
+        full[(r.query_id, r.neighbor_id)] == r.adc_micro
+        for r in ours
+        if (r.query_id, r.neighbor_id) in full
+    ]
+    assert scored_same and all(scored_same)
+    overlap = sum(
+        1 for r in ours if (r.query_id, r.neighbor_id) in full
+    ) / len(full)
+    assert overlap >= 0.5, overlap
