@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnowing": textstats.winnowing,
         # the faiss-standard serving config: IVF shortlist + PQ-ADC
         "sim_knn_ivf_pq": pq.knn_ivf_pq,
+        # the LM ranker complementing BM25 (Dirichlet smoothing)
+        "retrieval_query_likelihood": retrieval.query_likelihood,
         # --- 0. added in the round-7 continuation (never attested):
         # sparse BM25 retrieval, DSIR importance weights, margin-based
         # bitext mining, the training-shard manifest, BM25+dense RRF
@@ -397,6 +399,7 @@ _R8_WINDOW = (
     "text_source_kl",
     "text_winnowing",
     "sim_knn_ivf_pq",
+    "retrieval_query_likelihood",
     "serving_distinct_users",
     "serving_rollup_value",
     "serving_loyal_purchasers",
@@ -421,7 +424,6 @@ _R8_WINDOW = (
     "text_train_split",
     "text_length_histogram",
     "sim_knn_quantized",
-    "serving_retention_cohorts",
 )
 
 
@@ -486,6 +488,7 @@ def oracle_sql() -> dict[str, str]:
         "text_source_kl": textstats.SOURCE_KL_SQL,
         "text_winnowing": textstats.WINNOWING_SQL,
         "sim_knn_ivf_pq": pq.KNN_IVF_PQ_SQL,
+        "retrieval_query_likelihood": retrieval.QUERY_LIKELIHOOD_SQL,
         "retrieval_bm25": retrieval.BM25_RETRIEVE_SQL,
         "text_dsir_weights": textstats.DSIR_WEIGHTS_SQL,
         "sim_bitext_mining": similarity.BITEXT_MINING_IVF_SQL,

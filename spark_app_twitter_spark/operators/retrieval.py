@@ -894,3 +894,175 @@ SELECT c.query_id,
        COALESCE(s.rank = 1, false) AS hit_at_1
 FROM cohort c LEFT JOIN self_hits s USING (query_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Query-likelihood retrieval (Ponte & Croft 1998; Zhai & Lafferty
+# 2001 Dirichlet smoothing): the language-model ranker that predates
+# and complements BM25 — score(q, d) = sum_w log p(w | d) with
+# p(w|d) = (tf + MU * cf_w / C) / (dl + MU).
+
+QL_MU = 200.0  # Dirichlet pseudo-count (corpus docs are short)
+
+
+def query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, ql, rank): Dirichlet-smoothed query log-
+    likelihood top-k over the shared seed query set. Candidates are
+    docs with >= 1 query-term hit (inverted-index semantics — a doc
+    with zero hits scores strictly below any candidate differing
+    only in tf, so top-k is unaffected in practice and the plan
+    never scores the full corpus per query).
+
+    The textbook decomposition keeps every per-row log engine-exact:
+      score = sum_hits log(1 + tf*C/(MU*cf_w))        (per doc-term)
+            + |q| * log(MU/(dl+MU))                   (per doc)
+            + sum_w log(cf_w/C)                       (per query)
+    Each log quantizes to integer micro-units BEFORE its sum (the
+    bm25_search idiom); the per-doc term multiplies an integer count
+    by ONE quantized log, so the whole score is an exact integer
+    until the final division.
+
+    Scale shape identical to bm25_search: broadcast term filter
+    under the tf combine, doc_id-keyed length reduce, constant-size
+    broadcast scalars; ranking is the per-query-bounded window.
+
+    Reference scope note: no reference analogue; SURVEY.md §2.9
+    retrieval mandate (sparse family, second ranker).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    qterms = _seed_query_terms(docs)
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    scalars = docs.agg(
+        F.sum(F.size(tokens("text"))).alias("n_tokens")
+    )
+    hits = (
+        toks.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    cf = hits.groupBy("term").agg(F.sum("tf").alias("cf"))
+
+    tfc, cfc, ct = (
+        F.col("tf").cast("double"),
+        F.col("cf").cast("double"),
+        F.col("n_tokens").cast("double"),
+    )
+    hit_micro = F.floor(
+        F.log(F.lit(1.0) + tfc * ct / (F.lit(QL_MU) * cfc))
+        * F.lit(float(_BM25_SCALE))
+        + F.lit(0.5)
+    ).cast("long")
+    s1 = (
+        hits.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(cf), "term")
+        .crossJoin(F.broadcast(scalars))
+        .select("query_id", "doc_id", hit_micro.alias("micro"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("micro").alias("s1"))
+    )
+    qconst = (
+        qterms.join(F.broadcast(cf), "term")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "query_id",
+            F.floor(
+                F.log(cfc / ct) * F.lit(float(_BM25_SCALE)) + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("micro"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("micro").alias("s3"), F.count(F.lit(1)).alias("nq"))
+    )
+    dl_micro = F.floor(
+        F.log(
+            F.lit(QL_MU) / (F.col("dl").cast("double") + F.lit(QL_MU))
+        )
+        * F.lit(float(_BM25_SCALE))
+        + F.lit(0.5)
+    ).cast("long")
+    per_doc = (
+        s1.join(dl, "doc_id")
+        .join(F.broadcast(qconst), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("s1") + F.col("nq") * dl_micro + F.col("s3")).alias("sm"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sm"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= BM25_TOP_K)
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("sm").cast("double") / F.lit(float(_BM25_SCALE))).alias(
+                "ql"
+            ),
+            "rank",
+        )
+    )
+
+
+QUERY_LIKELIHOOD_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+qterms AS (
+  SELECT DISTINCT doc_id AS query_id, unnest(
+           list_sort(list_distinct(string_split(text, ' ')))[:{BM25_Q_TERMS}]
+         ) AS term
+  FROM documents WHERE doc_id < {BM25_N_QUERIES}
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+scalars AS (
+  SELECT sum(len(string_split(text, ' '))) AS n_tokens FROM documents
+),
+hits AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks JOIN (SELECT DISTINCT term FROM qterms) q USING (term)
+  GROUP BY doc_id, term
+),
+cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM hits GROUP BY term),
+s1 AS (
+  SELECT q.query_id, h.doc_id,
+         sum(CAST(floor(
+           ln(1.0 + CAST(tf AS DOUBLE) * CAST(n_tokens AS DOUBLE)
+                    / ({QL_MU} * CAST(cf AS DOUBLE)))
+           * {_BM25_SCALE}.0 + 0.5) AS BIGINT)) AS s1
+  FROM hits h
+  JOIN qterms q USING (term)
+  JOIN cf USING (term)
+  CROSS JOIN scalars
+  GROUP BY q.query_id, h.doc_id
+),
+qconst AS (
+  SELECT query_id,
+         sum(CAST(floor(
+           ln(CAST(cf AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+           * {_BM25_SCALE}.0 + 0.5) AS BIGINT)) AS s3,
+         count(*) AS nq
+  FROM qterms JOIN cf USING (term) CROSS JOIN scalars
+  GROUP BY query_id
+),
+per_doc AS (
+  SELECT s1.query_id, s1.doc_id,
+         s1.s1 + qc.nq * CAST(floor(
+           ln({QL_MU} / (CAST(dl AS DOUBLE) + {QL_MU}))
+           * {_BM25_SCALE}.0 + 0.5) AS BIGINT) + qc.s3 AS sm
+  FROM s1 JOIN dl ON s1.doc_id = dl.doc_id
+  JOIN qconst qc ON s1.query_id = qc.query_id
+)
+SELECT query_id, doc_id,
+       CAST(sm AS DOUBLE) / {_BM25_SCALE}.0 AS ql, rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sm DESC, doc_id ASC) AS rank
+  FROM per_doc
+) WHERE rank <= {BM25_TOP_K}
+"""

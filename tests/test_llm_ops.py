@@ -3124,3 +3124,64 @@ def test_knn_ivf_pq_parity_scores_and_shortlist(spark, sf_dir):
         1 for r in ours if (r.query_id, r.neighbor_id) in full
     ) / len(full)
     assert overlap >= 0.5, overlap
+
+
+def test_query_likelihood_parity_and_lm_semantics(spark, sf_dir):
+    """Dirichlet QL matches its twin; scores are log-probabilities
+    (strictly negative); ranks are dense. (No self-retrieval claim:
+    the length prior legitimately prefers short term-dense docs over
+    the seed doc itself — see the planted test below.)"""
+    from spark_app_twitter_spark.operators import retrieval
+
+    df = retrieval.query_likelihood(spark, sf_dir)
+    assert_parity(df, retrieval.QUERY_LIKELIHOOD_SQL, sf_dir, "qlike")
+    rows = df.collect()
+    by_q = {}
+    for r in rows:
+        assert r.ql < 0.0, r
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, hits in by_q.items():
+        hits.sort(key=lambda r: r.rank)
+        assert [r.rank for r in hits] == list(range(1, len(hits) + 1))
+
+
+def test_query_likelihood_planted_relevance(spark, tmp_path):
+    """A doc saturated with the query's terms must outrank everything
+    for that query (tf dominance), and a doc with zero hits is never
+    a candidate."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_app_twitter_spark.operators import retrieval
+
+    texts = [
+        "aa bb cc dd aa bb cc dd aa bb",   # seed 0: its own best match
+        "ee ff gg hh ii jj kk ll mm nn",   # seed 1
+        "oo pp qq rr ss tt uu vv ww xx",   # seed 2
+        "yy zz ab cd ef gh ij kl mn op",   # seed 3
+        "aa zz qq ef noise noise noise noise noise noise",
+        "unrelated words only here nothing shared at all with seeds",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["s0"] * len(texts),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    sf = str(tmp_path)
+    assert_parity(
+        retrieval.query_likelihood(spark, sf),
+        retrieval.QUERY_LIKELIHOOD_SQL,
+        sf,
+        "qlike_planted",
+    )
+    rows = retrieval.query_likelihood(spark, sf).collect()
+    top1 = {r.query_id: r.doc_id for r in rows if r.rank == 1}
+    assert top1[0] == 0  # tf-saturated self doc wins its own query
+    assert all(r.doc_id != 5 for r in rows)  # zero-hit doc never ranked
