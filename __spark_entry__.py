@@ -154,6 +154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_ivf_pq": pq.knn_ivf_pq,
         # the LM ranker complementing BM25 (Dirichlet smoothing)
         "retrieval_query_likelihood": retrieval.query_likelihood,
+        # within-session Markov transition matrix (basis points)
+        "serving_event_transitions": serving.event_transitions,
         # --- 0. added in the round-7 continuation (never attested):
         # sparse BM25 retrieval, DSIR importance weights, margin-based
         # bitext mining, the training-shard manifest, BM25+dense RRF
@@ -400,6 +402,7 @@ _R8_WINDOW = (
     "text_winnowing",
     "sim_knn_ivf_pq",
     "retrieval_query_likelihood",
+    "serving_event_transitions",
     "serving_distinct_users",
     "serving_rollup_value",
     "serving_loyal_purchasers",
@@ -423,7 +426,6 @@ _R8_WINDOW = (
     "sim_kmeans_cells",
     "text_train_split",
     "text_length_histogram",
-    "sim_knn_quantized",
 )
 
 
@@ -489,6 +491,7 @@ def oracle_sql() -> dict[str, str]:
         "text_winnowing": textstats.WINNOWING_SQL,
         "sim_knn_ivf_pq": pq.KNN_IVF_PQ_SQL,
         "retrieval_query_likelihood": retrieval.QUERY_LIKELIHOOD_SQL,
+        "serving_event_transitions": serving.EVENT_TRANSITIONS_SQL,
         "retrieval_bm25": retrieval.BM25_RETRIEVE_SQL,
         "text_dsir_weights": textstats.DSIR_WEIGHTS_SQL,
         "sim_bitext_mining": similarity.BITEXT_MINING_IVF_SQL,

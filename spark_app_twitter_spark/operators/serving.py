@@ -1321,3 +1321,58 @@ SELECT event_type, hour_ts, n, c AS trail_n,
          AS is_anomaly
 FROM trail
 """
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(from_type, to_type, n, p_bp): the first-order Markov
+    transition matrix over WITHIN-SESSION consecutive event pairs —
+    the behavioral model behind next-action prediction and funnel
+    diagnostics. Row-normalized probabilities in integer basis
+    points (n * 10000 // row_total, exact on every engine).
+
+    Session boundaries come from the ONE shared definition
+    (:func:`_with_session_idx`), so a transition never spans the
+    30-minute gap. Plan: the same single user_id shuffle the session
+    family rides (lag over (user_id, sess_idx)), then a reduce onto
+    at most |event_types|^2 keys — output is corpus-independent.
+    """
+    with_sess = _with_session_idx(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id", "sess_idx").orderBy("ts", "event_id")
+    pairs = (
+        with_sess.withColumn("from_type", F.lag("event_type").over(w))
+        .where(F.col("from_type").isNotNull())
+        .select("from_type", F.col("event_type").alias("to_type"))
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # row total over the tiny |types|^2 relation; integer DIV keeps
+    # the basis points exact on every engine
+    return counts.withColumn(
+        "row_total", F.sum("n").over(Window.partitionBy("from_type"))
+    ).select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("CAST((n * 10000L) DIV row_total AS BIGINT)").alias("p_bp"),
+    )
+
+
+EVENT_TRANSITIONS_SQL = f"""
+WITH {SESS_CTE_SQL},
+pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id, sess_idx
+                               ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM sess
+),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM pairs WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       CAST((n * 10000) // sum(n) OVER (PARTITION BY from_type)
+            AS BIGINT) AS p_bp
+FROM counts
+"""

@@ -1433,3 +1433,24 @@ def test_hourly_anomalies_flags_planted_spike(spark, tmp_path):
     spike = out[24]
     assert spike.n == 50 and spike.trail_n == serving.ANOM_W
     assert spike.is_anomaly  # zero-variance window, any deviation flags
+
+
+def test_event_transitions_parity_and_stochasticity(spark, sf_dir):
+    """Transition matrix matches the twin; each row's basis points
+    sum to 10000 within the floor slack; transition mass conserves:
+    sum n == total events - total sessions (one lost pair per
+    session head)."""
+    from tests.parity import assert_parity
+
+    df = serving.event_transitions(spark, sf_dir)
+    assert_parity(df, serving.EVENT_TRANSITIONS_SQL, sf_dir, "transitions")
+    rows = df.collect()
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r)
+    for ft, rs in by_from.items():
+        bp = sum(r.p_bp for r in rs)
+        assert 10000 - len(rs) < bp <= 10000, (ft, bp)
+    n_events = load_table(spark, sf_dir, "events").count()
+    n_sessions = serving.sessionize(spark, sf_dir).count()
+    assert sum(r.n for r in rows) == n_events - n_sessions
