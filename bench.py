@@ -116,6 +116,16 @@ HEADLINE = [
     # model_seconds-like cold share), CDC index maintenance
     "sim_knn_pq_adc",
     "retrieval_index_delta",
+    # closing round 8: IVF-PQ serving (both artifacts pre-train
+    # under model_seconds, so this measures the shortlist+ADC serve
+    # path), the Dirichlet LM ranker, map-only winnowing, and the
+    # (source, term)-shuffled KL score — heaviest four of the six
+    # closing ops (length_buckets and event_transitions ride plans
+    # already represented)
+    "sim_knn_ivf_pq",
+    "retrieval_query_likelihood",
+    "text_winnowing",
+    "text_source_kl",
 ]
 
 

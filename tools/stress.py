@@ -233,6 +233,18 @@ STRESS_QUERIES = [
     # sides, so full-multiple stress is quadratic by construction
     # for it too (measured 3x below); the win is structure a
     # cluster parallelizes, not single-box sublinearity.
+    # closing round 8: O(log max_len)-output padding audit, one
+    # (source, term) shuffle then vocab-bounded KL, map-only
+    # winnowing (explode without exchange), IVF-shortlisted integer
+    # ADC (candidate-bounded like knn_ivf_quantized), QL ranking
+    # (bm25_search's broadcast-term-filter plan), session-riding
+    # |types|^2 transition rollup
+    "pack_length_buckets",
+    "text_source_kl",
+    "text_winnowing",
+    "sim_knn_ivf_pq",
+    "retrieval_query_likelihood",
+    "serving_event_transitions",
 ]
 
 
