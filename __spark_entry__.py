@@ -156,6 +156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_query_likelihood": retrieval.query_likelihood,
         # within-session Markov transition matrix (basis points)
         "serving_event_transitions": serving.event_transitions,
+        # MOSS detection: pairs sharing winnowed fingerprints
+        "dedup_winnowing_pairs": textstats.winnowing_pairs,
         # --- 0. added in the round-7 continuation (never attested):
         # sparse BM25 retrieval, DSIR importance weights, margin-based
         # bitext mining, the training-shard manifest, BM25+dense RRF
@@ -403,6 +405,7 @@ _R8_WINDOW = (
     "sim_knn_ivf_pq",
     "retrieval_query_likelihood",
     "serving_event_transitions",
+    "dedup_winnowing_pairs",
     "serving_distinct_users",
     "serving_rollup_value",
     "serving_loyal_purchasers",
@@ -425,7 +428,6 @@ _R8_WINDOW = (
     "multimodal_resize_images",
     "sim_kmeans_cells",
     "text_train_split",
-    "text_length_histogram",
 )
 
 
@@ -492,6 +494,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_knn_ivf_pq": pq.KNN_IVF_PQ_SQL,
         "retrieval_query_likelihood": retrieval.QUERY_LIKELIHOOD_SQL,
         "serving_event_transitions": serving.EVENT_TRANSITIONS_SQL,
+        "dedup_winnowing_pairs": textstats.WINNOWING_PAIRS_SQL,
         "retrieval_bm25": retrieval.BM25_RETRIEVE_SQL,
         "text_dsir_weights": textstats.DSIR_WEIGHTS_SQL,
         "sim_bitext_mining": similarity.BITEXT_MINING_IVF_SQL,

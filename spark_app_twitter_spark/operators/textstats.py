@@ -3197,3 +3197,65 @@ SELECT doc_id,
        substr(fp, 1, 32) AS fp_hash
 FROM w, unnest(fps) AS t(fp)
 """
+
+
+# Winnowing consumer: MOSS's detection query — doc pairs sharing
+# enough SELECTED fingerprints are copy-span candidates. High-df
+# fingerprints (boilerplate phrases) are dropped before pairing,
+# both because they are uninformative (MOSS does the same) and
+# because it caps per-bucket pair emission — the minhash CLIQUE_CAP
+# discipline, so output cannot go quadratic on common-phrase hashes.
+
+WINNOW_DF_CAP = 16  # drop fingerprints occurring in more docs
+WINNOW_MIN_SHARED = 2  # pairs must share at least this many
+
+
+def winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, shared_fps): candidate copy pairs — docs
+    sharing >= WINNOW_MIN_SHARED distinct winnowed fingerprints,
+    counted over informative hashes only (document frequency <=
+    WINNOW_DF_CAP). All-integer, engine-exact.
+
+    Scale shape: one fp_hash-keyed distinct + df filter, then the
+    per-bucket self-join emits at most C(WINNOW_DF_CAP, 2) pairs per
+    surviving hash — bucketed, never all-pairs, the same emission
+    bound as the capped MinHash relation. The final pair reduce is
+    keyed on (doc_a, doc_b).
+    """
+    fps = (
+        winnowing(spark, sf_dir)
+        .select("doc_id", "fp_hash")
+        .distinct()
+    )
+    df_ok = (
+        fps.groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= WINNOW_DF_CAP)
+        .select("fp_hash")
+    )
+    keep = fps.join(df_ok, "fp_hash")
+    a = keep.select("fp_hash", F.col("doc_id").alias("doc_a"))
+    b = keep.select("fp_hash", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "fp_hash")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= WINNOW_MIN_SHARED)
+    )
+
+
+WINNOWING_PAIRS_SQL = f"""
+WITH fps_all AS ({WINNOWING_SQL}),
+fps AS (SELECT DISTINCT doc_id, fp_hash FROM fps_all),
+df_ok AS (
+  SELECT fp_hash FROM fps GROUP BY fp_hash
+  HAVING count(*) <= {WINNOW_DF_CAP}
+),
+keep AS (SELECT f.doc_id, f.fp_hash FROM fps f JOIN df_ok USING (fp_hash))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+FROM keep a JOIN keep b
+  ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {WINNOW_MIN_SHARED}
+"""

@@ -3185,3 +3185,22 @@ def test_query_likelihood_planted_relevance(spark, tmp_path):
     top1 = {r.query_id: r.doc_id for r in rows if r.rank == 1}
     assert top1[0] == 0  # tf-saturated self doc wins its own query
     assert all(r.doc_id != 5 for r in rows)  # zero-hit doc never ranked
+
+
+def test_winnowing_pairs_parity_and_emission_bound(spark, sf_dir):
+    """Pair detection matches the twin; shared counts never exceed
+    either doc's own informative-fingerprint budget; the planted
+    copy pair from the winnowing guarantee surfaces here too."""
+    from tests.parity import assert_parity
+
+    df = textstats.winnowing_pairs(spark, sf_dir)
+    assert_parity(df, textstats.WINNOWING_PAIRS_SQL, sf_dir, "wpairs")
+    rows = df.collect()
+    assert rows
+    per_doc = {}
+    for r in textstats.winnowing(spark, sf_dir).collect():
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + 1
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert textstats.WINNOW_MIN_SHARED <= r.shared_fps
+        assert r.shared_fps <= min(per_doc[r.doc_a], per_doc[r.doc_b])
