@@ -158,6 +158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_event_transitions": serving.event_transitions,
         # MOSS detection: pairs sharing winnowed fingerprints
         "dedup_winnowing_pairs": textstats.winnowing_pairs,
+        # map-only Shannon char entropy (Gopher-class quality signal)
+        "text_char_entropy": textstats.char_entropy,
         # --- 0. added in the round-7 continuation (never attested):
         # sparse BM25 retrieval, DSIR importance weights, margin-based
         # bitext mining, the training-shard manifest, BM25+dense RRF
@@ -406,6 +408,7 @@ _R8_WINDOW = (
     "retrieval_query_likelihood",
     "serving_event_transitions",
     "dedup_winnowing_pairs",
+    "text_char_entropy",
     "serving_distinct_users",
     "serving_rollup_value",
     "serving_loyal_purchasers",
@@ -427,7 +430,6 @@ _R8_WINDOW = (
     "sim_quantize_embeddings",
     "multimodal_resize_images",
     "sim_kmeans_cells",
-    "text_train_split",
 )
 
 
@@ -495,6 +497,7 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_query_likelihood": retrieval.QUERY_LIKELIHOOD_SQL,
         "serving_event_transitions": serving.EVENT_TRANSITIONS_SQL,
         "dedup_winnowing_pairs": textstats.WINNOWING_PAIRS_SQL,
+        "text_char_entropy": textstats.CHAR_ENTROPY_SQL,
         "retrieval_bm25": retrieval.BM25_RETRIEVE_SQL,
         "text_dsir_weights": textstats.DSIR_WEIGHTS_SQL,
         "sim_bitext_mining": similarity.BITEXT_MINING_IVF_SQL,

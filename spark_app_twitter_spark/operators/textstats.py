@@ -3259,3 +3259,77 @@ FROM keep a JOIN keep b
 GROUP BY a.doc_id, b.doc_id
 HAVING count(*) >= {WINNOW_MIN_SHARED}
 """
+
+
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_chars_obs, n_distinct_chars, entropy_nats): per-doc
+    Shannon character entropy — the Gopher-class quality signal that
+    separates natural prose (~2-4 nats) from boilerplate/binary
+    spew (near 0 / near log alphabet). Identity
+    ``H = (1/n) * sum_c c * (ln n - ln c)`` keeps it engine-exact:
+    each distinct char's (ln n - ln c) quantizes to integer
+    micro-nats, the weighted sum is pure integers, and only the
+    final projection divides.
+
+    Scale shape: map-ONLY — the char list, distinct, per-char counts
+    and the integer fold all run as array expressions inside one
+    codegen stage (O(distinct_chars x len) per doc, no explode, no
+    shuffle). Output is one row per doc.
+
+    Reference scope note: no reference analogue; SURVEY.md §2.9
+    quality-scoring mandate.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return (
+        docs.where(F.length("text") >= 1)
+        .withColumn(
+            "cs",
+            F.expr("transform(sequence(1, length(text)), i -> substr(text, i, 1))"),
+        )
+        .withColumn(
+            "s",
+            F.expr(
+                "aggregate(transform(array_distinct(cs),"
+                " c -> size(filter(cs, x -> x = c))),"
+                " 0L, (acc, c) -> acc + c * cast(floor("
+                "(ln(cast(size(cs) as double)) - ln(cast(c as double)))"
+                " * 1000000.0 + 0.5) as bigint))"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.expr("cast(size(cs) as bigint)").alias("n_chars_obs"),
+            F.expr("cast(size(array_distinct(cs)) as bigint)").alias(
+                "n_distinct_chars"
+            ),
+            F.expr(
+                "cast(s as double) / (cast(size(cs) as double) * 1000000.0)"
+            ).alias("entropy_nats"),
+        )
+    )
+
+
+CHAR_ENTROPY_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1),
+                        i -> substr(text, i, 1)) AS cs
+  FROM documents WHERE length(text) >= 1
+),
+s AS (
+  SELECT doc_id, cs,
+         CAST(list_sum(list_transform(
+           list_transform(list_distinct(cs),
+                          c -> len(list_filter(cs, x -> x = c))),
+           c -> c * CAST(floor(
+             (ln(CAST(len(cs) AS DOUBLE)) - ln(CAST(c AS DOUBLE)))
+             * 1000000.0 + 0.5) AS BIGINT))) AS BIGINT) AS s
+  FROM c
+)
+SELECT doc_id,
+       CAST(len(cs) AS BIGINT) AS n_chars_obs,
+       CAST(len(list_distinct(cs)) AS BIGINT) AS n_distinct_chars,
+       CAST(s AS DOUBLE) / (CAST(len(cs) AS DOUBLE) * 1000000.0)
+         AS entropy_nats
+FROM s
+"""

@@ -3204,3 +3204,48 @@ def test_winnowing_pairs_parity_and_emission_bound(spark, sf_dir):
         assert r.doc_a < r.doc_b
         assert textstats.WINNOW_MIN_SHARED <= r.shared_fps
         assert r.shared_fps <= min(per_doc[r.doc_a], per_doc[r.doc_b])
+
+
+def test_char_entropy_parity_and_bounds(spark, sf_dir):
+    """Entropy matches the twin and obeys information bounds:
+    0 <= H <= ln(n_distinct) (+ micro-quantization slack); a planted
+    single-char doc scores ~0."""
+    import math
+
+    from tests.parity import assert_parity
+
+    df = textstats.char_entropy(spark, sf_dir)
+    assert_parity(df, textstats.CHAR_ENTROPY_SQL, sf_dir, "entropy")
+    for r in df.collect():
+        assert -1e-6 <= r.entropy_nats <= math.log(r.n_distinct_chars) + 1e-6
+        if r.n_distinct_chars == 1:
+            assert abs(r.entropy_nats) < 1e-6
+
+
+def test_char_entropy_planted_extremes(spark, tmp_path):
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = ["aaaaaaaaaa", "abcdefghij", "aabbccddee"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(3), pa.int64()),
+                "text": texts,
+                "lang": ["en"] * 3,
+                "source": ["s0"] * 3,
+                "n_chars": pa.array([10] * 3, pa.int64()),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    out = {
+        r.doc_id: r.entropy_nats
+        for r in textstats.char_entropy(spark, str(tmp_path)).collect()
+    }
+    assert abs(out[0] - 0.0) < 1e-6
+    assert abs(out[1] - math.log(10)) < 1e-5
+    assert abs(out[2] - math.log(5)) < 1e-5
+    assert out[0] < out[2] < out[1]
