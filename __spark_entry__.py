@@ -160,6 +160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnowing_pairs": textstats.winnowing_pairs,
         # map-only Shannon char entropy (Gopher-class quality signal)
         "text_char_entropy": textstats.char_entropy,
+        # CRM RFM quintile segmentation over purchases
+        "serving_rfm_scores": serving.rfm_scores,
         # --- 0. added in the round-7 continuation (never attested):
         # sparse BM25 retrieval, DSIR importance weights, margin-based
         # bitext mining, the training-shard manifest, BM25+dense RRF
@@ -409,6 +411,7 @@ _R8_WINDOW = (
     "serving_event_transitions",
     "dedup_winnowing_pairs",
     "text_char_entropy",
+    "serving_rfm_scores",
     "serving_distinct_users",
     "serving_rollup_value",
     "serving_loyal_purchasers",
@@ -429,7 +432,6 @@ _R8_WINDOW = (
     "text_redact",
     "sim_quantize_embeddings",
     "multimodal_resize_images",
-    "sim_kmeans_cells",
 )
 
 
@@ -498,6 +500,7 @@ def oracle_sql() -> dict[str, str]:
         "serving_event_transitions": serving.EVENT_TRANSITIONS_SQL,
         "dedup_winnowing_pairs": textstats.WINNOWING_PAIRS_SQL,
         "text_char_entropy": textstats.CHAR_ENTROPY_SQL,
+        "serving_rfm_scores": serving.RFM_SCORES_SQL,
         "retrieval_bm25": retrieval.BM25_RETRIEVE_SQL,
         "text_dsir_weights": textstats.DSIR_WEIGHTS_SQL,
         "sim_bitext_mining": similarity.BITEXT_MINING_IVF_SQL,

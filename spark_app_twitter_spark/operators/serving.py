@@ -1376,3 +1376,85 @@ SELECT from_type, to_type, n,
             AS BIGINT) AS p_bp
 FROM counts
 """
+
+
+def rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, recency_days, frequency, monetary, r_score, f_score,
+    m_score, rfm): the classic CRM segmentation — per purchasing
+    user, days since last purchase (vs the corpus max ts), purchase
+    count, and exact decimal-summed spend, each quintiled into 1-5
+    with 5 = best (most recent / most frequent / highest spend).
+    ``rfm`` is the composite r*100 + f*10 + m.
+
+    Determinism: every ntile runs over a TOTAL order (metric then
+    user_id), so bucket edges are engine-exact; monetary sums in
+    DECIMAL before the double cast. Scale shape: one user_id-keyed
+    reduce over purchase rows; the three quintile windows run on the
+    |users|-sized aggregate, not on events. (Unpartitioned ntile
+    serializes at extreme |users| — the documented swap is
+    percentile_approx edges + a map-side bucket join, same answer
+    contract.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase")
+    mx = p.agg(F.max(epoch_us(F.col("ts"))).alias("mx"))
+    per_user = (
+        p.groupBy("user_id")
+        .agg(
+            F.max(epoch_us(F.col("ts"))).alias("last_us"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("value").cast(_VAL_DEC)).cast("double").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.expr("CAST((mx - last_us) DIV 86400000000L AS BIGINT)").alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary",
+        )
+    )
+    r = F.ntile(5).over(
+        Window.orderBy(F.desc("recency_days"), F.asc("user_id"))
+    )
+    f5 = F.ntile(5).over(Window.orderBy(F.asc("frequency"), F.asc("user_id")))
+    m = F.ntile(5).over(Window.orderBy(F.asc("monetary"), F.asc("user_id")))
+    return per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r.alias("r_score"),
+        f5.alias("f_score"),
+        m.alias("m_score"),
+    ).withColumn(
+        "rfm",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).cast(
+            "int"
+        ),
+    )
+
+
+RFM_SCORES_SQL = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+mx AS (SELECT max(epoch_us(ts)) AS mx FROM p),
+per_user AS (
+  SELECT user_id,
+         CAST((mx - max(epoch_us(ts))) // 86400000000 AS BIGINT)
+           AS recency_days,
+         count(*) AS frequency,
+         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+  FROM p CROSS JOIN mx
+  GROUP BY user_id, mx
+)
+SELECT user_id, recency_days, frequency, monetary,
+       ntile(5) OVER (ORDER BY recency_days DESC, user_id ASC) AS r_score,
+       ntile(5) OVER (ORDER BY frequency ASC, user_id ASC) AS f_score,
+       ntile(5) OVER (ORDER BY monetary ASC, user_id ASC) AS m_score,
+       CAST(ntile(5) OVER (ORDER BY recency_days DESC, user_id ASC) * 100
+            + ntile(5) OVER (ORDER BY frequency ASC, user_id ASC) * 10
+            + ntile(5) OVER (ORDER BY monetary ASC, user_id ASC)
+            AS INTEGER) AS rfm
+FROM per_user
+"""

@@ -245,6 +245,16 @@ STRESS_QUERIES = [
     "sim_knn_ivf_pq",
     "retrieval_query_likelihood",
     "serving_event_transitions",
+    # winnowing consumer: df-capped fp buckets bound pair emission
+    # (C(WINNOW_DF_CAP, 2) per surviving hash) — the near-dup
+    # emission discipline; note replication pushes shared boilerplate
+    # hashes ABOVE the cap, so the surviving informative-pair volume
+    # can shrink as the corpus grows
+    "dedup_winnowing_pairs",
+    # map-only per-doc projection: count() prunes the WHOLE entropy
+    # computation (no explode/filter depends on it) — measure with
+    # SPARK_GRAFT_STRESS_NOOP=1 only
+    "text_char_entropy",
 ]
 
 
