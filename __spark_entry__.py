@@ -162,6 +162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_char_entropy": textstats.char_entropy,
         # CRM RFM quintile segmentation over purchases
         "serving_rfm_scores": serving.rfm_scores,
+        # triangle census / clustering coefficient of the dup graph
+        "graph_triangle_count": graph.triangle_count,
         # --- 0. added in the round-7 continuation (never attested):
         # sparse BM25 retrieval, DSIR importance weights, margin-based
         # bitext mining, the training-shard manifest, BM25+dense RRF
@@ -412,6 +414,7 @@ _R8_WINDOW = (
     "dedup_winnowing_pairs",
     "text_char_entropy",
     "serving_rfm_scores",
+    "graph_triangle_count",
     "serving_distinct_users",
     "serving_rollup_value",
     "serving_loyal_purchasers",
@@ -431,7 +434,6 @@ _R8_WINDOW = (
     "text_doc_fingerprint",
     "text_redact",
     "sim_quantize_embeddings",
-    "multimodal_resize_images",
 )
 
 
@@ -501,6 +503,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_winnowing_pairs": textstats.WINNOWING_PAIRS_SQL,
         "text_char_entropy": textstats.CHAR_ENTROPY_SQL,
         "serving_rfm_scores": serving.RFM_SCORES_SQL,
+        "graph_triangle_count": graph._triangle_count_sql(),
         "retrieval_bm25": retrieval.BM25_RETRIEVE_SQL,
         "text_dsir_weights": textstats.DSIR_WEIGHTS_SQL,
         "sim_bitext_mining": similarity.BITEXT_MINING_IVF_SQL,

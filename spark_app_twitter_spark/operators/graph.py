@@ -108,3 +108,102 @@ def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"),
         F.round(F.col("rank_q").cast("double") / PR_Q, 9).alias("rank"),
     )
+
+
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_nodes, n_edges, n_triangles, n_wedges, closure_bp): global
+    triangle census of the near-dup graph — the graph-shape
+    diagnostic that separates mirror-CLIQUES (high closure) from
+    chain/template drift (low closure). closure_bp is the global
+    clustering coefficient 3*T / wedges in integer basis points.
+
+    All-integer: triangles enumerate via the ORIENTED join (each
+    undirected triangle a<b<c counted exactly once — the standard
+    distributed triangle algorithm); wedges come from the degree
+    FORMULA sum C(deg, 2), never enumeration, so a mega-clique's
+    star representation costs its degree, not degree^2. Edge input
+    is the capped relation (star emission above CLIQUE_CAP), the
+    same O(n) bound PageRank rides; the star orientation (the
+    representative is the bucket minimum, so star edges all point
+    OUT of it) keeps the path join's per-node in x out product small.
+
+    Reference scope note: no reference analogue; SURVEY.md §2.9
+    near-dup graph analytics (pagerank_near_dup's diagnostic
+    sibling).
+    """
+    e = minhash_lsh_pairs_capped(spark, sf_dir).select("doc_a", "doc_b")
+    e = e.localCheckpoint(eager=True)  # three self-references below
+    paths = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.doc_b") == F.col("e2.doc_a"))
+        .select(
+            F.col("e1.doc_a").alias("a"),
+            F.col("e1.doc_b").alias("b"),
+            F.col("e2.doc_b").alias("c"),
+        )
+    )
+    tri = paths.join(
+        e.alias("e3"),
+        (F.col("a") == F.col("e3.doc_a")) & (F.col("c") == F.col("e3.doc_b")),
+    )
+    deg = (
+        e.select(F.col("doc_a").alias("node"))
+        .unionAll(e.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.expr("CAST(sum(deg) DIV 2 AS BIGINT)").alias("n_edges"),
+        F.expr("CAST(sum(deg * (deg - 1L) DIV 2) AS BIGINT)").alias(
+            "n_wedges"
+        ),
+    )
+    tcount = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return stats.crossJoin(F.broadcast(tcount)).select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        "n_wedges",
+        F.expr(
+            "CASE WHEN n_wedges > 0 THEN"
+            " CAST((3L * n_triangles * 10000L) DIV n_wedges AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("closure_bp"),
+    )
+
+
+TRIANGLE_COUNT_SQL = f"""
+WITH pairs AS ({{capped_pairs}}),
+e AS (SELECT doc_a, doc_b FROM pairs),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e1.doc_b = e2.doc_a
+  JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT doc_a AS node FROM e UNION ALL SELECT doc_b AS node FROM e
+  ) GROUP BY node
+),
+stats AS (
+  SELECT count(*) AS n_nodes,
+         CAST(sum(deg) // 2 AS BIGINT) AS n_edges,
+         CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+)
+SELECT n_nodes, n_edges, n_triangles, n_wedges,
+       CASE WHEN n_wedges > 0
+            THEN CAST((3 * n_triangles * 10000) // n_wedges AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS closure_bp
+FROM stats CROSS JOIN tri
+"""
+
+
+def _triangle_count_sql() -> str:
+    from spark_app_twitter_spark.operators.dedup import (
+        MINHASH_LSH_PAIRS_CAPPED_SQL,
+    )
+
+    return TRIANGLE_COUNT_SQL.format(capped_pairs=MINHASH_LSH_PAIRS_CAPPED_SQL)

@@ -255,6 +255,9 @@ STRESS_QUERIES = [
     # computation (no explode/filter depends on it) — measure with
     # SPARK_GRAFT_STRESS_NOOP=1 only
     "text_char_entropy",
+    # one purchase-filtered user_id reduce; ntile windows on the
+    # |users| aggregate only
+    "serving_rfm_scores",
 ]
 
 
