@@ -258,6 +258,9 @@ STRESS_QUERIES = [
     # one purchase-filtered user_id reduce; ntile windows on the
     # |users| aggregate only
     "serving_rfm_scores",
+    # oriented path join over the capped O(n) edge relation; wedges
+    # by degree formula — rides the lsh band shuffle
+    "graph_triangle_count",
 ]
 
 
