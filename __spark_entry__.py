@@ -164,6 +164,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_rfm_scores": serving.rfm_scores,
         # triangle census / clustering coefficient of the dup graph
         "graph_triangle_count": graph.triangle_count,
+        # map-only all-integer Flesch readability
+        "text_readability": textstats.readability,
+        # top-K adjacent-bigram PMI collocations
+        "text_pmi_collocations": textstats.pmi_collocations,
         # --- 0. added in the round-7 continuation (never attested):
         # sparse BM25 retrieval, DSIR importance weights, margin-based
         # bitext mining, the training-shard manifest, BM25+dense RRF
@@ -504,6 +508,8 @@ def oracle_sql() -> dict[str, str]:
         "text_char_entropy": textstats.CHAR_ENTROPY_SQL,
         "serving_rfm_scores": serving.RFM_SCORES_SQL,
         "graph_triangle_count": graph._triangle_count_sql(),
+        "text_readability": textstats.READABILITY_SQL,
+        "text_pmi_collocations": textstats.PMI_COLLOCATIONS_SQL,
         "retrieval_bm25": retrieval.BM25_RETRIEVE_SQL,
         "text_dsir_weights": textstats.DSIR_WEIGHTS_SQL,
         "sim_bitext_mining": similarity.BITEXT_MINING_IVF_SQL,

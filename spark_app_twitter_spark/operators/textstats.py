@@ -3333,3 +3333,188 @@ SELECT doc_id,
          AS entropy_nats
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# Readability: Flesch reading ease with a deterministic vowel-group
+# syllable heuristic, in ALL-INTEGER milli-points so both engines
+# agree bit-for-bit. Map-only (zero exchanges): at 100 TB this is an
+# embarrassingly-parallel scan a cluster splits by input block.
+
+
+def readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_words, n_sentences, n_syllables, flesch_milli):
+    per-document Flesch reading ease, defined all-integer.
+
+    The metric is Flesch's 206.835 - 1.015*(W/S) - 84.6*(Y/W),
+    scaled to milli-points and computed with INTEGER floor division
+    so there is no float in the pipeline at all:
+    ``206835 - (1015*W) DIV max(S,1) - (84600*Y) DIV max(W,1)``.
+    Syllables are vowel GROUPS (``[aeiouy]+`` runs, the classic
+    heuristic); sentences are ``[.!?]+`` runs floored at one.
+
+    Scale shape: map-only projection — no shuffle, no join; output
+    is one row per document and the three regexp counts are
+    whole-stage-codegen JVM expressions.
+
+    Reference scope note: no reference analogue; SURVEY.md §2.9
+    quality-scoring mandate (the readability axis of corpus QA).
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.greatest(
+            F.regexp_count("text", F.lit(r"[.!?]+")), F.lit(1)
+        ).cast("long").alias("n_sentences"),
+        F.regexp_count(F.lower("text"), F.lit(r"[aeiouy]+"))
+        .cast("long")
+        .alias("n_syllables"),
+    ).select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr(
+            "CAST(206835 - (1015 * n_words) DIV n_sentences"
+            " - (84600 * n_syllables) DIV greatest(n_words, 1)"
+            " AS BIGINT)"
+        ).alias("flesch_milli"),
+    )
+
+
+READABILITY_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS BIGINT) AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS BIGINT) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CAST(206835 - (1015 * n_words) // n_sentences
+            - (84600 * n_syllables) // greatest(n_words, 1)
+            AS BIGINT) AS flesch_milli
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations: the corpus's most-associated adjacent word pairs.
+# One (w1, w2) shuffle with map-side combine; unigram joins are
+# vocabulary-bounded and run on the min-count SURVIVORS only; the
+# final cut is a TakeOrderedAndProject (top-K, never a full sort).
+
+PMI_MIN_PAIR = 3  # drop hapax pairs before any join
+PMI_TOP = 50
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w1, w2, c_pair, pmi_micro): top-``PMI_TOP`` adjacent-bigram
+    collocations by pointwise mutual information, quantized to
+    integer micro-nats (the source_kl / dsir idiom).
+
+    PMI uses the bigram joint against unigram marginals:
+    ``ln(c12) + ln(U) + ln(U) - ln(B) - ln(c1) - ln(c2)`` in that
+    FIXED evaluation order (c12/B joint, c/U marginals, U = total
+    tokens, B = total bigrams), floored to micro-nats before any
+    aggregation so both engines do identical double ops.
+
+    Scale shape: bigram pairs are built map-side with ``zip_with``
+    over each doc's token array (no self-join); the only
+    corpus-sized exchange is the (w1, w2) combine. The min-count
+    filter lands BEFORE the two unigram joins, so the join input is
+    the survivor set, and the unigram side is vocabulary-bounded.
+    Top-K via orderBy(...).limit — TakeOrderedAndProject, no global
+    sort at scale.
+
+    Reference scope note: no reference analogue; SURVEY.md §2.9
+    text-analysis mandate (collocation / phrase mining).
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    t = docs.select(tokens("text").alias("t"))
+    pairs = t.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, greatest(size(t) - 1, 0)),"
+                " slice(t, 2, greatest(size(t) - 1, 0)),"
+                " (x, y) -> struct(x AS w1, y AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_pair"))
+    uni = t.select(F.explode("t").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c_w")
+    )
+    totals = uni.agg(
+        F.sum("c_w").alias("u_tot"),
+        # B = U - n_docs_with_tokens is corpus-dependent; derive B
+        # exactly as the sum of per-doc max(len-1, 0)
+    )
+    b_tot = t.agg(
+        F.sum(F.greatest(F.size("t") - F.lit(1), F.lit(0))).alias("b_tot")
+    )
+    lr = (
+        F.log(F.col("c_pair").cast("double"))
+        + F.log(F.col("u_tot").cast("double"))
+        + F.log(F.col("u_tot").cast("double"))
+        - F.log(F.col("b_tot").cast("double"))
+        - F.log(F.col("c1").cast("double"))
+        - F.log(F.col("c2").cast("double"))
+    )
+    return (
+        c12.where(F.col("c_pair") >= PMI_MIN_PAIR)
+        .join(
+            F.broadcast(uni.selectExpr("w AS w1", "c_w AS c1")), "w1"
+        )
+        .join(
+            F.broadcast(uni.selectExpr("w AS w2", "c_w AS c2")), "w2"
+        )
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(b_tot))
+        .select(
+            "w1",
+            "w2",
+            "c_pair",
+            F.floor(lr * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+        .orderBy(F.desc("pmi_micro"), "w1", "w2")
+        .limit(PMI_TOP)
+    )
+
+
+PMI_COLLOCATIONS_SQL = f"""
+WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+pairs AS (
+  SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p FROM t
+),
+c12 AS (
+  SELECT p[1] AS w1, p[2] AS w2, count(*) AS c_pair
+  FROM pairs GROUP BY 1, 2
+),
+uni AS (
+  SELECT w, count(*) AS c_w
+  FROM (SELECT unnest(t) AS w FROM t) GROUP BY w
+),
+tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS u_tot FROM uni),
+bt AS (SELECT CAST(sum(greatest(len(t) - 1, 0)) AS BIGINT) AS b_tot
+       FROM t)
+SELECT c12.w1, c12.w2, CAST(c_pair AS BIGINT) AS c_pair,
+       CAST(floor(
+         (ln(CAST(c_pair AS DOUBLE)) + ln(CAST(u_tot AS DOUBLE))
+          + ln(CAST(u_tot AS DOUBLE)) - ln(CAST(b_tot AS DOUBLE))
+          - ln(CAST(u1.c_w AS DOUBLE)) - ln(CAST(u2.c_w AS DOUBLE)))
+         * 1000000.0 + 0.5) AS BIGINT) AS pmi_micro
+FROM c12
+JOIN uni u1 ON u1.w = c12.w1
+JOIN uni u2 ON u2.w = c12.w2
+CROSS JOIN tot CROSS JOIN bt
+WHERE c_pair >= {PMI_MIN_PAIR}
+ORDER BY pmi_micro DESC, c12.w1, c12.w2
+LIMIT {PMI_TOP}
+"""

@@ -3303,3 +3303,88 @@ def test_triangle_count_planted_graph(spark):
     wedges = sum(r["count"] * (r["count"] - 1) // 2 for r in deg.collect())
     assert wedges == 5
     assert (3 * 1 * 10000) // wedges == 6000
+
+
+def test_readability_parity_and_planted_docs(spark, sf_dir, tmp_path):
+    """Flesch matches the twin at the shared corpus, and the
+    all-integer formula reproduces hand-computed values on planted
+    docs (known word/sentence/vowel-group counts)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.parity import assert_parity
+
+    df = textstats.readability(spark, sf_dir)
+    assert_parity(df, textstats.READABILITY_SQL, sf_dir, "readability")
+
+    # "the cat sat. it ran!" -> W=5, S=2, Y=5 (e,a,a,i,a)
+    # flesch_milli = 206835 - (1015*5)//2 - (84600*5)//5 = 119698
+    texts = ["the cat sat. it ran!", "zzz zzz", ""]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(3), pa.int64()),
+                "text": texts,
+                "lang": ["en"] * 3,
+                "source": ["s0"] * 3,
+                "n_chars": pa.array(
+                    [len(t) for t in texts], pa.int64()
+                ),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    out = {
+        r.doc_id: r for r in textstats.readability(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert (out[0].n_words, out[0].n_sentences, out[0].n_syllables) == (
+        5, 2, 5,
+    )
+    assert out[0].flesch_milli == 206835 - (1015 * 5) // 2 - 84600
+    # no vowels at all: syllable term vanishes, sentence floor kicks in
+    assert out[1].n_syllables == 0
+    assert out[1].flesch_milli == 206835 - (1015 * 2) // 1
+    # split("") yields one empty token: W=1, Y=0
+    assert out[2].n_words == 1
+
+
+def test_pmi_collocations_parity_and_association_order(spark, sf_dir, tmp_path):
+    """Top-K PMI matches the twin, and a planted always-adjacent pair
+    out-scores an independent pair on the same corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.parity import assert_parity
+
+    df = textstats.pmi_collocations(spark, sf_dir)
+    assert_parity(
+        df, textstats.PMI_COLLOCATIONS_SQL, sf_dir, "pmi"
+    )
+    assert df.count() <= textstats.PMI_TOP
+
+    # "left right" always adjacent; "noise" fills independent mass
+    texts = ["left right noise qq", "qq left right noise",
+             "noise qq left right", "left right qq noise"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": texts,
+                "lang": ["en"] * 4,
+                "source": ["s0"] * 4,
+                "n_chars": pa.array(
+                    [len(t) for t in texts], pa.int64()
+                ),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    rows = {
+        (r.w1, r.w2): r.pmi_micro
+        for r in textstats.pmi_collocations(spark, str(tmp_path)).collect()
+    }
+    assert ("left", "right") in rows
+    # the deterministic pair dominates every other surviving pair
+    assert rows[("left", "right")] == max(rows.values())
