@@ -168,6 +168,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_readability": textstats.readability,
         # top-K adjacent-bigram PMI collocations
         "text_pmi_collocations": textstats.pmi_collocations,
+        # degree histogram of the near-dup graph (capped relation)
+        "graph_degree_stats": graph.degree_stats,
+        # deterministic synchronous LPA communities over the dup graph
+        "graph_label_propagation": graph.label_propagation,
         # --- 0. added in the round-7 continuation (never attested):
         # sparse BM25 retrieval, DSIR importance weights, margin-based
         # bitext mining, the training-shard manifest, BM25+dense RRF
@@ -510,6 +514,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_triangle_count": graph._triangle_count_sql(),
         "text_readability": textstats.READABILITY_SQL,
         "text_pmi_collocations": textstats.PMI_COLLOCATIONS_SQL,
+        "graph_degree_stats": graph._degree_stats_sql(),
+        "graph_label_propagation": graph._label_propagation_sql(),
         "retrieval_bm25": retrieval.BM25_RETRIEVE_SQL,
         "text_dsir_weights": textstats.DSIR_WEIGHTS_SQL,
         "sim_bitext_mining": similarity.BITEXT_MINING_IVF_SQL,

@@ -207,3 +207,167 @@ def _triangle_count_sql() -> str:
     )
 
     return TRIANGLE_COUNT_SQL.format(capped_pairs=MINHASH_LSH_PAIRS_CAPPED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Degree histogram: the graph-shape profile of near-duplication.
+# One node-keyed reduce over the capped O(n) edge relation, then a
+# |distinct-degrees|-sized rollup — dashboard output.
+
+
+def degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(deg, n_nodes, share_bp): how many documents participate in
+    the near-dup graph at each degree, with the share of graph nodes
+    in integer basis points.
+
+    The degree spectrum separates corpus pathologies at a glance:
+    mirror cliques surface as a CLIQUE_CAP-degree spike on the star
+    representative and degree-1 mass on its satellites; template
+    drift spreads as a low-degree tail.
+
+    Scale shape: degrees ride the same capped relation as PageRank /
+    triangles (star emission keeps it O(n)); the histogram reduce
+    lands on |distinct degrees| keys — bounded by CLIQUE_CAP x BANDS,
+    corpus-independent. All-integer output.
+    """
+    e = minhash_lsh_pairs_capped(spark, sf_dir).select("doc_a", "doc_b")
+    deg = (
+        e.select(F.col("doc_a").alias("node"))
+        .unionAll(e.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    hist = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("n_nodes"))
+    tot = deg.agg(F.count(F.lit(1)).alias("n_tot"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "deg",
+            "n_nodes",
+            F.expr("CAST((n_nodes * 10000L) DIV n_tot AS BIGINT)").alias(
+                "share_bp"
+            ),
+        )
+    )
+
+
+DEGREE_STATS_SQL = """
+WITH pairs AS ({capped_pairs}),
+e AS (SELECT doc_a, doc_b FROM pairs),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT doc_a AS node FROM e UNION ALL SELECT doc_b AS node FROM e
+  ) GROUP BY node
+),
+tot AS (SELECT count(*) AS n_tot FROM deg)
+SELECT deg, count(*) AS n_nodes,
+       CAST((count(*) * 10000) // max(n_tot) AS BIGINT) AS share_bp
+FROM deg CROSS JOIN tot GROUP BY deg
+"""
+
+
+def _degree_stats_sql() -> str:
+    from spark_app_twitter_spark.operators.dedup import (
+        MINHASH_LSH_PAIRS_CAPPED_SQL,
+    )
+
+    return DEGREE_STATS_SQL.format(capped_pairs=MINHASH_LSH_PAIRS_CAPPED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Synchronous label propagation: near-dup COMMUNITIES beyond
+# connected components. CC (dedup_clusters) merges everything a
+# transitive chain touches; LPA keeps densely-linked cores together
+# while letting thin bridges separate — the community signal a
+# template-vs-mirror triage wants. Deterministic: synchronous
+# rounds, votes tie-break (count DESC, label ASC), so the result is
+# partitioning-independent and replayable as a fixed SQL CTE chain.
+
+LPA_ITERS = 4
+
+
+def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, community): synchronous label-propagation communities
+    over the capped near-dup graph, ``LPA_ITERS`` rounds.
+
+    Every node starts as its own label; each round every node adopts
+    the most frequent label among its NEIGHBORS (count DESC, label
+    ASC tie-break — deterministic, unlike textbook random-order LPA).
+    A star clique converges to its representative's label in one
+    round; a chain of near-dups fragments instead of collapsing, the
+    behavioral difference from connected components.
+
+    Scale shape: each round is one edges-to-labels shuffle (the
+    capped O(n) relation) + one (node, label) combine + a node-keyed
+    window on the |nodes|-sized vote table; ``localCheckpoint``
+    truncates lineage per round (the PageRank discipline). No
+    driver-side collect.
+    """
+    from pyspark.sql import Window
+
+    e = _dup_edges(spark, sf_dir).localCheckpoint(eager=True)
+    labels = (
+        e.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.desc("c"), F.asc("label")
+    )
+    for _ in range(LPA_ITERS):
+        votes = (
+            e.join(labels, e.dst == labels.node)
+            .select(F.col("src").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("community")
+    )
+
+
+def _label_propagation_sql() -> str:
+    """Replay the fixed synchronous rounds as a DuckDB CTE chain over
+    the hash-green capped-pairs SQL — same vote, same tie-break."""
+    from spark_app_twitter_spark.operators.dedup import (
+        MINHASH_LSH_PAIRS_CAPPED_SQL,
+    )
+
+    rounds = []
+    prev = "l0"
+    for i in range(1, LPA_ITERS + 1):
+        rounds.append(
+            f"""v{i} AS (
+  SELECT e.src AS node, {prev}.label, count(*) AS c
+  FROM e JOIN {prev} ON e.dst = {prev}.node
+  GROUP BY e.src, {prev}.label
+),
+l{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, label)
+             AS rnn
+    FROM v{i}
+  ) WHERE rnn = 1
+)"""
+        )
+        prev = f"l{i}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH pairs AS ({MINHASH_LSH_PAIRS_CAPPED_SQL}),
+e0 AS (SELECT doc_a, doc_b FROM pairs),
+e AS (
+  SELECT doc_a AS src, doc_b AS dst FROM e0
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM e0
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+{chain}
+SELECT node AS doc_id, label AS community FROM {prev}
+"""

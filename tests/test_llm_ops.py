@@ -3388,3 +3388,57 @@ def test_pmi_collocations_parity_and_association_order(spark, sf_dir, tmp_path):
     assert ("left", "right") in rows
     # the deterministic pair dominates every other surviving pair
     assert rows[("left", "right")] == max(rows.values())
+
+
+def test_degree_stats_parity_and_mass(spark, sf_dir):
+    """Degree histogram matches the twin; node mass adds up and the
+    basis-point shares never exceed the whole."""
+    from spark_app_twitter_spark.operators import dedup, graph
+
+    from tests.parity import assert_parity
+
+    df = graph.degree_stats(spark, sf_dir)
+    assert_parity(df, graph._degree_stats_sql(), sf_dir, "degstats")
+    rows = df.collect()
+    e = dedup.minhash_lsh_pairs_capped(spark, sf_dir)
+    n_nodes = (
+        e.select(F.col("doc_a").alias("n"))
+        .unionAll(e.select(F.col("doc_b").alias("n")))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_nodes for r in rows) == n_nodes
+    assert sum(r.share_bp for r in rows) <= 10000  # floor-division slack
+
+
+def test_label_propagation_parity_and_cc_refinement(spark, sf_dir):
+    """LPA matches its CTE-replay twin, labels come from inside the
+    graph, and every community sits INSIDE one connected component
+    (labels only travel along edges — LPA refines CC, never crosses)."""
+    from spark_app_twitter_spark.operators import dedup, graph
+
+    from tests.parity import assert_parity
+
+    df = graph.label_propagation(spark, sf_dir)
+    assert_parity(df, graph._label_propagation_sql(), sf_dir, "lpa")
+    out = df.collect()
+    nodes = {r.doc_id for r in out}
+    comms = {r.community for r in out}
+    assert comms <= nodes
+    # true components via union-find on the (test-scale) edge list:
+    # labels only travel along edges, so no community may span two
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    edges = dedup.minhash_lsh_pairs_capped(spark, sf_dir).collect()
+    for r in edges:
+        parent[find(r.doc_a)] = find(r.doc_b)
+    roots: dict = {}
+    for r in out:
+        roots.setdefault(r.community, set()).add(find(r.doc_id))
+    assert all(len(v) == 1 for v in roots.values())
