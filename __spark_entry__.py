@@ -172,6 +172,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_stats": graph.degree_stats,
         # deterministic synchronous LPA communities over the dup graph
         "graph_label_propagation": graph.label_propagation,
+        # within-session event-type association lift
+        "serving_item_cooccurrence": serving.item_cooccurrence,
+        # positional-postings exact phrase match
+        "retrieval_phrase_search": retrieval.phrase_search,
         # --- 0. added in the round-7 continuation (never attested):
         # sparse BM25 retrieval, DSIR importance weights, margin-based
         # bitext mining, the training-shard manifest, BM25+dense RRF
@@ -516,6 +520,8 @@ def oracle_sql() -> dict[str, str]:
         "text_pmi_collocations": textstats.PMI_COLLOCATIONS_SQL,
         "graph_degree_stats": graph._degree_stats_sql(),
         "graph_label_propagation": graph._label_propagation_sql(),
+        "serving_item_cooccurrence": serving.ITEM_COOCCURRENCE_SQL,
+        "retrieval_phrase_search": retrieval.PHRASE_SEARCH_SQL,
         "retrieval_bm25": retrieval.BM25_RETRIEVE_SQL,
         "text_dsir_weights": textstats.DSIR_WEIGHTS_SQL,
         "sim_bitext_mining": similarity.BITEXT_MINING_IVF_SQL,

@@ -1066,3 +1066,102 @@ FROM (
   FROM per_doc
 ) WHERE rank <= {BM25_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact phrase search over positional postings — the "quoted query"
+# half of keyword retrieval that bag-of-words BM25 cannot answer.
+
+PHRASE_QUERIES = (
+    ("key", "agg"),
+    ("order", "fast"),
+    ("the", "line"),
+    ("data", "column"),
+)
+
+
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(phrase, n_docs, n_hits): exact adjacent-bigram phrase
+    occurrence counts for the fixed ``PHRASE_QUERIES`` set, via
+    positional postings.
+
+    The classic positional-index plan: tokenize with positions,
+    keep ONLY postings whose term appears in some query phrase (a
+    literal IN filter the scanner applies map-side, so the corpus
+    never shuffles whole), then self-join first-word postings to
+    second-word postings on (doc_id, pos + 1). n_docs distincts over
+    matched docs; n_hits counts every occurrence.
+
+    Scale shape: the join input is term-filtered (|query terms| of
+    the vocabulary), keyed (doc_id, pos) — no skew beyond the query
+    terms' own document frequency; the final reduce lands on
+    |phrases| keys. Phrases that never occur still emit a zero row
+    (left join from the literal phrase table), so the output is
+    constant-shape.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    terms = sorted({w for p in PHRASE_QUERIES for w in p})
+    post = (
+        docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "term"))
+        .where(F.col("term").isin(terms))
+    )
+    phrases = spark.createDataFrame(
+        [(f"{a} {b}", a, b) for a, b in PHRASE_QUERIES],
+        "phrase string, w1 string, w2 string",
+    )
+    p1 = post.selectExpr("doc_id", "pos", "term AS w1")
+    p2 = post.selectExpr("doc_id", "pos - 1 AS pos", "term AS w2")
+    hits = (
+        F.broadcast(phrases)
+        .join(p1, "w1")
+        .join(p2, ["w2", "doc_id", "pos"])
+        .groupBy("phrase")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+    )
+    return (
+        phrases.select("phrase")
+        .join(hits, "phrase", "left")
+        .select(
+            "phrase",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        )
+    )
+
+
+def _phrase_search_sql() -> str:
+    values = ", ".join(
+        f"('{a} {b}', '{a}', '{b}')" for a, b in PHRASE_QUERIES
+    )
+    terms = ", ".join(
+        f"'{w}'" for w in sorted({w for p in PHRASE_QUERIES for w in p})
+    )
+    return f"""
+WITH phrases(phrase, w1, w2) AS (VALUES {values}),
+toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+post AS (
+  SELECT doc_id, unnest(ts) AS term,
+         unnest(range(0, len(ts))) AS pos
+  FROM toks
+),
+fpost AS (SELECT * FROM post WHERE term IN ({terms})),
+hits AS (
+  SELECT phrase, count(DISTINCT p1.doc_id) AS n_docs,
+         count(*) AS n_hits
+  FROM phrases
+  JOIN fpost p1 ON p1.term = phrases.w1
+  JOIN fpost p2 ON p2.term = phrases.w2
+             AND p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+  GROUP BY phrase
+)
+SELECT phrases.phrase,
+       CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs,
+       CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits
+FROM phrases LEFT JOIN hits USING (phrase)
+"""
+
+
+PHRASE_SEARCH_SQL = _phrase_search_sql()

@@ -1458,3 +1458,101 @@ SELECT user_id, recency_days, frequency, monetary,
             AS INTEGER) AS rfm
 FROM per_user
 """
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence: which event types happen together in
+# a session, beyond what their independent rates explain. The
+# association signal behind "users who X also Y" — all-integer lift.
+
+
+def item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(type_a, type_b, n_sessions, lift_micro): for each unordered
+    event-type pair, the number of sessions containing BOTH, and the
+    lift ``P(a,b) / (P(a) * P(b))`` over sessions in integer
+    micro-units: ``(n_ab * S * 1_000_000) DIV (n_a * n_b)``.
+
+    Lift > 1e6 means the pair co-occurs more than independence
+    predicts (a real association rule); < 1e6 means the types repel
+    (e.g. error-then-churn sessions never purchase).
+
+    Scale shape: session membership distincts on (user_id, sess_idx,
+    event_type) — riding the session family's single user_id
+    exchange; the pair join is keyed on the session id and each side
+    holds at most |event_types| rows per session, so the join output
+    is bounded by |types|^2 per session and the final reduce lands on
+    at most |types|^2 keys. Marginals broadcast. Output is
+    corpus-independent.
+    """
+    with_sess = _with_session_idx(load_table(spark, sf_dir, "events"))
+    membership = (
+        with_sess.select("user_id", "sess_idx", "event_type")
+        .distinct()
+        .localCheckpoint(eager=True)  # three consumers below
+    )
+    s_tot = membership.select("user_id", "sess_idx").distinct().count()
+    marg = membership.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    a = membership.selectExpr(
+        "user_id", "sess_idx", "event_type AS type_a"
+    )
+    b = membership.selectExpr(
+        "user_id", "sess_idx", "event_type AS type_b"
+    )
+    pairs = a.join(b, ["user_id", "sess_idx"]).where(
+        F.col("type_a") < F.col("type_b")
+    )
+    co = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    return (
+        co.join(
+            F.broadcast(marg.selectExpr("event_type AS type_a", "n_t AS n_a")),
+            "type_a",
+        )
+        .join(
+            F.broadcast(marg.selectExpr("event_type AS type_b", "n_t AS n_b")),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_sessions",
+            # decimal(38,0) intermediates: n_ab * S * 1e6 overflows
+            # int64 once sessions pass ~1e8 — the 100-TB regime
+            F.expr(
+                f"CAST(CAST(n_sessions AS DECIMAL(38,0)) * {s_tot}"
+                " * 1000000 DIV (CAST(n_a AS DECIMAL(38,0)) * n_b)"
+                " AS BIGINT)"
+            ).alias("lift_micro"),
+        )
+    )
+
+
+ITEM_COOCCURRENCE_SQL = f"""
+WITH {SESS_CTE_SQL},
+membership AS (
+  SELECT DISTINCT user_id, sess_idx, event_type FROM sess
+),
+s_tot AS (SELECT count(*) AS s FROM
+          (SELECT DISTINCT user_id, sess_idx FROM membership)),
+marg AS (SELECT event_type, count(*) AS n_t FROM membership
+         GROUP BY event_type),
+co AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n_sessions
+  FROM membership a
+  JOIN membership b USING (user_id, sess_idx)
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_sessions,
+       CAST(CAST(n_sessions AS HUGEINT) * s * 1000000
+            // (CAST(ma.n_t AS HUGEINT) * mb.n_t) AS BIGINT)
+         AS lift_micro
+FROM co
+JOIN marg ma ON ma.event_type = co.type_a
+JOIN marg mb ON mb.event_type = co.type_b
+CROSS JOIN s_tot
+"""

@@ -3442,3 +3442,62 @@ def test_label_propagation_parity_and_cc_refinement(spark, sf_dir):
     for r in out:
         roots.setdefault(r.community, set()).add(find(r.doc_id))
     assert all(len(v) == 1 for v in roots.values())
+
+
+def test_item_cooccurrence_parity_and_bounds(spark, sf_dir):
+    """Lift matches the twin; co-occurrence counts are bounded by the
+    smaller marginal; output stays |types|^2-bounded."""
+    from spark_app_twitter_spark.operators import serving
+
+    from tests.parity import assert_parity
+
+    df = serving.item_cooccurrence(spark, sf_dir)
+    assert_parity(df, serving.ITEM_COOCCURRENCE_SQL, sf_dir, "cooc")
+    rows = df.collect()
+    types = {r.type_a for r in rows} | {r.type_b for r in rows}
+    assert len(rows) <= len(types) * (len(types) - 1) // 2
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert r.n_sessions >= 1
+        assert r.lift_micro >= 0
+
+
+def test_phrase_search_parity_and_planted_counts(spark, sf_dir, tmp_path):
+    """Phrase hits match the twin, and planted adjacent / gapped /
+    boundary occurrences count exactly (adjacency, not bag-of-words)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_app_twitter_spark.operators import retrieval
+
+    from tests.parity import assert_parity
+
+    df = retrieval.phrase_search(spark, sf_dir)
+    assert_parity(df, retrieval.PHRASE_SEARCH_SQL, sf_dir, "phrase")
+    assert df.count() == len(retrieval.PHRASE_QUERIES)
+
+    texts = [
+        "key agg key agg zz",       # two adjacent hits
+        "key zz agg",               # gapped -> NOT a phrase hit
+        "agg key",                  # reversed -> no hit
+        "order fast order",         # one hit, wraparound not counted
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": texts,
+                "lang": ["en"] * 4,
+                "source": ["s0"] * 4,
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    out = {
+        r.phrase: (r.n_docs, r.n_hits)
+        for r in retrieval.phrase_search(spark, str(tmp_path)).collect()
+    }
+    assert out["key agg"] == (1, 2)
+    assert out["order fast"] == (1, 1)
+    assert out["the line"] == (0, 0)
