@@ -176,6 +176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_item_cooccurrence": serving.item_cooccurrence,
         # positional-postings exact phrase match
         "retrieval_phrase_search": retrieval.phrase_search,
+        # interpolated Kneser-Ney bigram LM scoring
+        "text_kn_bigram_score": textstats.kn_bigram_score,
         # --- 0. added in the round-7 continuation (never attested):
         # sparse BM25 retrieval, DSIR importance weights, margin-based
         # bitext mining, the training-shard manifest, BM25+dense RRF
@@ -522,6 +524,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_label_propagation": graph._label_propagation_sql(),
         "serving_item_cooccurrence": serving.ITEM_COOCCURRENCE_SQL,
         "retrieval_phrase_search": retrieval.PHRASE_SEARCH_SQL,
+        "text_kn_bigram_score": textstats.KN_BIGRAM_SCORE_SQL,
         "retrieval_bm25": retrieval.BM25_RETRIEVE_SQL,
         "text_dsir_weights": textstats.DSIR_WEIGHTS_SQL,
         "sim_bitext_mining": similarity.BITEXT_MINING_IVF_SQL,

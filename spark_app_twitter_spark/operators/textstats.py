@@ -3518,3 +3518,119 @@ WHERE c_pair >= {PMI_MIN_PAIR}
 ORDER BY pmi_micro DESC, c12.w1, c12.w2
 LIMIT {PMI_TOP}
 """
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram scoring — the LM-quality signal
+# with the smoothing that actually ships in n-gram LMs (vs the
+# add-one baseline of bigram_lm_score). Absolute discount D = 3/4
+# kept as an exact rational so the whole model stays integer.
+
+
+def kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, kn_score): mean interpolated Kneser-Ney
+    bigram probability per document, micro-quantized.
+
+    For every OBSERVED bigram (c12 >= 1, so the discounted term
+    never clips): ``p = (c12 - D)/c1 + D * N1f(w1)/c1 * Pcont(w2)``
+    with D = 3/4, ``Pcont(w2) = N1b(w2) / T`` — N1f counts distinct
+    continuations of the context, N1b distinct left contexts of the
+    word, T the bigram-type total. Over a common denominator the
+    probability is the exact rational
+    ``((4*c12 - 3)*T + 3*N1f*N1b) / (4*T*c1)``, rounded half-up to
+    micro-units in EXACT integer form ((2a+b) div 2b); decimal(38,0)
+    intermediates keep the products safe far past int64.
+
+    Scale shape: identical to bigram_lm_score — one corpus explode,
+    the model table is |bigram vocab| rows (checkpointed once; four
+    branches read it: c12, the context and continuation aggregates,
+    and the type total), scoring is a broadcast join + one
+    doc_id-keyed combine.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    bi = docs.select(
+        "doc_id", F.explode(shingles(tokens("text"), 2)).alias("bg")
+    )
+    model = (
+        bi.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .withColumn("w1", F.split("bg", " ").getItem(0))
+        .withColumn("w2", F.split("bg", " ").getItem(1))
+        .localCheckpoint(eager=False)
+    )
+    ctx = model.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    cont = model.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    types = model.agg(F.count(F.lit(1)).alias("t"))
+    modelq = (
+        model.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "bg",
+            F.expr(
+                f"""CAST((2 * (CAST(4 * c12 - 3 AS DECIMAL(38,0)) * t
+                     + 3 * CAST(n1f AS DECIMAL(38,0)) * n1b)
+                     * {LM_SCALE} + CAST(4 AS DECIMAL(38,0)) * t * c1)
+                 div (2 * CAST(4 AS DECIMAL(38,0)) * t * c1)
+                 AS BIGINT)"""
+            ).alias("q"),
+        )
+    )
+    scored = (
+        bi.join(F.broadcast(modelq), "bg")
+        .groupBy("doc_id")
+        .agg(F.sum("q").alias("sq"), F.count(F.lit(1)).alias("nb"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("nb", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.when(
+                F.col("nb") > 0,
+                F.expr("(2 * sq + nb) div (2 * nb)").cast("double")
+                / F.lit(float(LM_SCALE)),
+            ).alias("kn_score"),
+        )
+    )
+
+
+KN_BIGRAM_SCORE_SQL = f"""
+WITH bi AS (
+  SELECT doc_id, unnest({shingles_sql("string_split(text, ' ')", 2)}) AS bg
+  FROM documents
+),
+model AS (
+  SELECT bg, string_split(bg, ' ')[1] AS w1,
+         string_split(bg, ' ')[2] AS w2, count(*) AS c12
+  FROM bi GROUP BY bg
+),
+ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1f
+        FROM model GROUP BY w1),
+cont AS (SELECT w2, count(*) AS n1b FROM model GROUP BY w2),
+types AS (SELECT count(*) AS t FROM model),
+mq AS (
+  SELECT bg,
+         CAST((2 * (CAST(4 * c12 - 3 AS HUGEINT) * t
+                    + 3 * CAST(n1f AS HUGEINT) * n1b)
+               * {LM_SCALE} + CAST(4 AS HUGEINT) * t * c1)
+              // (2 * CAST(4 AS HUGEINT) * t * c1) AS BIGINT) AS q
+  FROM model JOIN ctx USING (w1) JOIN cont USING (w2)
+  CROSS JOIN types
+),
+sc AS (
+  SELECT doc_id, CAST(sum(q) AS BIGINT) AS sq, count(*) AS nb
+  FROM bi JOIN mq USING (bg) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bigrams,
+       CASE WHEN sc.nb > 0
+            THEN CAST((2 * sc.sq + sc.nb) // (2 * sc.nb) AS DOUBLE)
+                 / {LM_SCALE}.0
+       END AS kn_score
+FROM documents d
+LEFT JOIN sc USING (doc_id)
+"""

@@ -3501,3 +3501,41 @@ def test_phrase_search_parity_and_planted_counts(spark, sf_dir, tmp_path):
     assert out["key agg"] == (1, 2)
     assert out["order fast"] == (1, 1)
     assert out["the line"] == (0, 0)
+
+
+def test_kn_bigram_parity_and_smoothing_properties(spark, sf_dir, tmp_path):
+    """KN matches the twin; per-doc scores are valid probabilities;
+    and on a planted corpus the KN probability of a frequent bigram
+    exceeds that of a rare one in the same context (discounting
+    reorders only mass, not rank within a context)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.parity import assert_parity
+
+    df = textstats.kn_bigram_score(spark, sf_dir)
+    assert_parity(df, textstats.KN_BIGRAM_SCORE_SQL, sf_dir, "knbg")
+    for r in df.collect():
+        if r.n_bigrams > 0:
+            assert 0.0 < r.kn_score <= 1.0 + 1e-9
+
+    # context "a": "a b" x3, "a c" x1 -> doc of "a b" repeats must
+    # outscore doc of "a c" repeats (same context, higher count)
+    texts = ["a b a b a b a c", "a b a b", "a c a c"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(3), pa.int64()),
+                "text": texts,
+                "lang": ["en"] * 3,
+                "source": ["s0"] * 3,
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    out = {
+        r.doc_id: r.kn_score
+        for r in textstats.kn_bigram_score(spark, str(tmp_path)).collect()
+    }
+    assert out[1] > out[2]
