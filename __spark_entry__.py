@@ -178,6 +178,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_phrase_search": retrieval.phrase_search,
         # interpolated Kneser-Ney bigram LM scoring
         "text_kn_bigram_score": textstats.kn_bigram_score,
+        # MMR-diversified top-k rerank (fixed greedy steps)
+        "sim_mmr_rerank": similarity.mmr_rerank,
+        # monthly DAU/MAU engagement stickiness
+        "serving_stickiness": serving.stickiness,
         # --- 0. added in the round-7 continuation (never attested):
         # sparse BM25 retrieval, DSIR importance weights, margin-based
         # bitext mining, the training-shard manifest, BM25+dense RRF
@@ -525,6 +529,8 @@ def oracle_sql() -> dict[str, str]:
         "serving_item_cooccurrence": serving.ITEM_COOCCURRENCE_SQL,
         "retrieval_phrase_search": retrieval.PHRASE_SEARCH_SQL,
         "text_kn_bigram_score": textstats.KN_BIGRAM_SCORE_SQL,
+        "sim_mmr_rerank": similarity.MMR_RERANK_SQL,
+        "serving_stickiness": serving.STICKINESS_SQL,
         "retrieval_bm25": retrieval.BM25_RETRIEVE_SQL,
         "text_dsir_weights": textstats.DSIR_WEIGHTS_SQL,
         "sim_bitext_mining": similarity.BITEXT_MINING_IVF_SQL,

@@ -1556,3 +1556,71 @@ JOIN marg ma ON ma.event_type = co.type_a
 JOIN marg mb ON mb.event_type = co.type_b
 CROSS JOIN s_tot
 """
+
+
+# ---------------------------------------------------------------------------
+# DAU/MAU stickiness — the engagement ratio every growth dashboard
+# tracks. All-integer basis points; two distinct-aggs that share one
+# scan.
+
+
+def stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(month, n_days, mau, dau_avg_bp_of_mau): monthly engagement
+    stickiness — the mean daily-active count as a share of
+    monthly-active users, in integer basis points:
+    ``(sum_of_daily_distincts * 10000) DIV (n_days * mau)``.
+
+    Exact distincts, not sketches: the HLL variant exists as
+    sketch_hll_daily_users; this is the closing-the-books number.
+
+    Scale shape: one (month, day, user) distinct — a single exchange
+    keyed on the natural reporting grain — feeding both the per-day
+    counts and (via a second distinct on the already-deduplicated
+    relation) the monthly distinct; output is |months| rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mdu = (
+        ev.select(
+            F.date_format("ts", "yyyy-MM").alias("month"),
+            F.to_date("ts").alias("day"),
+            "user_id",
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # two aggregates read it
+    )
+    daily = mdu.groupBy("month").agg(
+        F.countDistinct("day").alias("n_days"),
+        F.count(F.lit(1)).alias("sum_dau"),
+    )
+    mau = mdu.select("month", "user_id").distinct().groupBy("month").agg(
+        F.count(F.lit(1)).alias("mau")
+    )
+    return daily.join(mau, "month").select(
+        "month",
+        "n_days",
+        "mau",
+        F.expr(
+            "CAST((sum_dau * 10000L) DIV (n_days * mau) AS BIGINT)"
+        ).alias("dau_avg_bp_of_mau"),
+    )
+
+
+STICKINESS_SQL = """
+WITH mdu AS (
+  SELECT DISTINCT strftime(ts, '%Y-%m') AS month,
+         CAST(ts AS DATE) AS day, user_id
+  FROM events
+),
+daily AS (
+  SELECT month, count(DISTINCT day) AS n_days, count(*) AS sum_dau
+  FROM mdu GROUP BY month
+),
+mau AS (
+  SELECT month, count(*) AS mau
+  FROM (SELECT DISTINCT month, user_id FROM mdu) GROUP BY month
+)
+SELECT month, n_days, mau,
+       CAST((sum_dau * 10000) // (n_days * mau) AS BIGINT)
+         AS dau_avg_bp_of_mau
+FROM daily JOIN mau USING (month)
+"""

@@ -2560,3 +2560,199 @@ SELECT query_id, neighbor_id, hamming, rank FROM (
   FROM scored
 ) WHERE rank <= {TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Maximal Marginal Relevance rerank (Carbonell & Goldstein): the
+# diversified top-k a retrieval serving layer returns when the raw
+# neighbor list is redundant (near-dup corpus => near-dup results).
+# Greedy selection replayed as FIXED relational steps — both engines
+# run the identical integer recurrence, no UDF, no driver loop state.
+
+MMR_M = 20  # shortlist per query entering the rerank
+MMR_K = 5  # diversified picks per query
+MMR_LAMBDA10 = 7  # lambda = 0.7, kept as exact tenths
+
+
+def _mmr_cand(spark: SparkSession, sf_dir: str):
+    """Shortlist (query_id, neighbor_id, rel_micro) and its pairwise
+    similarity table (query_id, a, b, sim_micro), all integer-micro
+    quantized (floor(cos*1e6+0.5))."""
+    q, c = _queries_and_cands(spark, sf_dir)
+    rel = F.floor(
+        cosine(F.col("qv"), F.col("cv")) * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rel_micro"), F.asc("neighbor_id")
+    )
+    cand = (
+        c.crossJoin(F.broadcast(q))
+        .select("query_id", "neighbor_id", rel.alias("rel_micro"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= MMR_M)
+        .drop("rn")
+        .localCheckpoint(eager=False)
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    ce = cand.join(emb, "neighbor_id").select(
+        "query_id", "neighbor_id", "cv"
+    )
+    sim = F.floor(
+        cosine(F.col("av"), F.col("bv")) * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
+    pairs = (
+        ce.selectExpr("query_id", "neighbor_id AS a", "cv AS av")
+        .join(
+            ce.selectExpr("query_id", "neighbor_id AS b", "cv AS bv"),
+            "query_id",
+        )
+        .where(F.col("a") != F.col("b"))
+        .select("query_id", "a", "b", sim.alias("sim_micro"))
+        .localCheckpoint(eager=False)
+    )
+    return cand, pairs
+
+
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, mmr_rank, rel_micro): MMR-diversified
+    top-``MMR_K`` over the exact-cosine ``MMR_M`` shortlist.
+
+    Greedy recurrence, integer throughout: pick 1 maximizes
+    ``7 * rel_micro``; pick t maximizes
+    ``7 * rel_micro - 3 * max_{s in S} sim_micro(d, s)`` (lambda =
+    0.7 in exact tenths), neighbor_id ascending on ties. Fixed
+    ``MMR_K`` relational steps — the LPA/PageRank fixed-round
+    discipline — so the DuckDB twin replays the identical chain.
+
+    Scale shape: everything after the brute shortlist is k-bounded —
+    the pair table is MMR_M^2 rows per query, each step is a window
+    over at most MMR_M rows per query. The shortlist itself is the
+    knn_bruteforce plan (broadcast queries, one window); swap in the
+    IVF shortlist for the 100-TB path without touching the rerank.
+    """
+    cand, pairs = _mmr_cand(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("mmr"), F.asc("neighbor_id")
+    )
+    sel = (
+        cand.withColumn("mmr", F.lit(MMR_LAMBDA10) * F.col("rel_micro"))
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("query_id", "neighbor_id", F.lit(1).alias("mmr_rank"))
+    )
+    for t in range(2, MMR_K + 1):
+        remaining = cand.join(sel, ["query_id", "neighbor_id"], "left_anti")
+        pen = (
+            pairs.join(
+                sel.selectExpr("query_id", "neighbor_id AS b"),
+                ["query_id", "b"],
+            )
+            .groupBy("query_id", F.col("a").alias("neighbor_id"))
+            .agg(F.max("sim_micro").alias("pen"))
+        )
+        step = (
+            remaining.join(pen, ["query_id", "neighbor_id"])
+            .withColumn(
+                "mmr",
+                F.lit(MMR_LAMBDA10) * F.col("rel_micro")
+                - F.lit(10 - MMR_LAMBDA10) * F.col("pen"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+            .select("query_id", "neighbor_id", F.lit(t).alias("mmr_rank"))
+        )
+        sel = sel.unionByName(step)
+    return (
+        sel.join(cand, ["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("mmr_rank").cast("int").alias("mmr_rank"),
+            "rel_micro",
+        )
+    )
+
+
+def _mmr_rerank_sql() -> str:
+    steps = []
+    prev_sel = "s1"
+    for t in range(2, MMR_K + 1):
+        steps.append(
+            f"""sel{t-1} AS ({' UNION ALL '.join(f'SELECT * FROM s{i}' for i in range(1, t))}),
+pen{t} AS (
+  SELECT p.query_id, p.a AS neighbor_id, max(p.sim_micro) AS pen
+  FROM pairs p JOIN sel{t-1} s
+    ON s.query_id = p.query_id AND s.neighbor_id = p.b
+  GROUP BY p.query_id, p.a
+),
+s{t} AS (
+  SELECT query_id, neighbor_id, {t} AS mmr_rank FROM (
+    SELECT c.query_id, c.neighbor_id,
+           row_number() OVER (
+             PARTITION BY c.query_id
+             ORDER BY {MMR_LAMBDA10} * c.rel_micro
+                      - {10 - MMR_LAMBDA10} * pen.pen DESC,
+                      c.neighbor_id) AS rn
+    FROM cand c
+    JOIN pen{t} pen USING (query_id, neighbor_id)
+    WHERE NOT EXISTS (SELECT 1 FROM sel{t-1} s
+                      WHERE s.query_id = c.query_id
+                        AND s.neighbor_id = c.neighbor_id)
+  ) WHERE rn = 1
+)"""
+        )
+        prev_sel = f"s{t}"
+    chain = ",\n".join(steps)
+    union_all = " UNION ALL ".join(
+        f"SELECT * FROM s{i}" for i in range(1, MMR_K + 1)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+  WHERE vec_id >= {N_QUERIES}
+),
+cand AS (
+  SELECT query_id, neighbor_id, rel_micro FROM (
+    SELECT query_id, neighbor_id,
+           CAST(floor({cosine_sql('qv', 'cv')} * 1000000.0 + 0.5)
+                AS BIGINT) AS rel_micro,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY CAST(floor({cosine_sql('qv', 'cv')} * 1000000.0
+                           + 0.5) AS BIGINT) DESC, neighbor_id) AS rn
+    FROM c CROSS JOIN q
+  ) WHERE rn <= {MMR_M}
+),
+pairs AS (
+  SELECT ca.query_id, ca.neighbor_id AS a, cb.neighbor_id AS b,
+         CAST(floor({cosine_sql('ea.embedding', 'eb.embedding')}
+              * 1000000.0 + 0.5) AS BIGINT) AS sim_micro
+  FROM cand ca
+  JOIN cand cb ON ca.query_id = cb.query_id
+              AND ca.neighbor_id <> cb.neighbor_id
+  JOIN embeddings ea ON ea.vec_id = ca.neighbor_id
+  JOIN embeddings eb ON eb.vec_id = cb.neighbor_id
+),
+s1 AS (
+  SELECT query_id, neighbor_id, 1 AS mmr_rank FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel_micro DESC, neighbor_id) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+{chain}
+SELECT sel.query_id, sel.neighbor_id,
+       CAST(sel.mmr_rank AS INT) AS mmr_rank, cand.rel_micro
+FROM ({union_all}) sel
+JOIN cand USING (query_id, neighbor_id)
+"""
+
+
+MMR_RERANK_SQL = _mmr_rerank_sql()

@@ -3539,3 +3539,45 @@ def test_kn_bigram_parity_and_smoothing_properties(spark, sf_dir, tmp_path):
         for r in textstats.kn_bigram_score(spark, str(tmp_path)).collect()
     }
     assert out[1] > out[2]
+
+
+def test_mmr_rerank_parity_and_diversification(spark, sf_dir):
+    """MMR matches its fixed-step CTE twin; pick 1 is the raw top-1;
+    every later pick's PENALIZED score was maximal at its step (spot
+    check: picks are distinct, ranks dense, all from the shortlist)."""
+    from spark_app_twitter_spark.operators import similarity
+
+    from tests.parity import assert_parity
+
+    df = similarity.mmr_rerank(spark, sf_dir)
+    assert_parity(df, similarity.MMR_RERANK_SQL, sf_dir, "mmr")
+    rows = df.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == similarity.N_QUERIES
+    brute = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in similarity.knn_bruteforce(spark, sf_dir).collect()
+    }
+    for qid, picks in by_q.items():
+        assert sorted(p.mmr_rank for p in picks) == list(
+            range(1, similarity.MMR_K + 1)
+        )
+        assert len({p.neighbor_id for p in picks}) == similarity.MMR_K
+        top1 = next(p for p in picks if p.mmr_rank == 1)
+        assert top1.neighbor_id == brute[(qid, 1)]
+
+
+def test_stickiness_parity_and_ratio_bounds(spark, sf_dir):
+    """Stickiness matches the twin and sits in (0, 10000]: mean DAU
+    can never exceed MAU, and every month with events has users."""
+    from spark_app_twitter_spark.operators import serving
+
+    from tests.parity import assert_parity
+
+    df = serving.stickiness(spark, sf_dir)
+    assert_parity(df, serving.STICKINESS_SQL, sf_dir, "stick")
+    for r in df.collect():
+        assert 0 < r.dau_avg_bp_of_mau <= 10000
+        assert r.mau >= 1 and r.n_days >= 1

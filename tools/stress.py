@@ -261,6 +261,28 @@ STRESS_QUERIES = [
     # oriented path join over the capped O(n) edge relation; wedges
     # by degree formula — rides the lsh band shuffle
     "graph_triangle_count",
+    # map-only regexp projection (noop-measure: count prunes it all)
+    "text_readability",
+    # one bigram shuffle + vocab-bounded joins + top-K
+    "text_pmi_collocations",
+    # node-keyed reduce on capped edges -> |degrees|-row histogram
+    "graph_degree_stats",
+    # 4 synchronous rounds: edges join + vote combine per round
+    "graph_label_propagation",
+    # session-membership distinct + |types|^2-bounded pair join
+    "serving_item_cooccurrence",
+    # term-filtered positional postings + (doc,pos) self-join
+    # (noop-measure: constant 4-row output is count-prunable)
+    "retrieval_phrase_search",
+    # KN model train + broadcast scoring (noop-measure: the
+    # unique-keyed doc left join is the bigram_lm_score class)
+    "text_kn_bigram_score",
+    # brute shortlist + k-bounded fixed greedy steps (noop-measure:
+    # constant 25-row final join is count-prunable)
+    "sim_mmr_rerank",
+    # one (month, day, user) distinct + |months|-row join (noop:
+    # unique-keyed month join is count-prunable)
+    "serving_stickiness",
 ]
 
 
