@@ -392,15 +392,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # The round-8 driver verification window (VERDICT r07 + the rotation
-# contract): the 16 never-attested round-8 operators, the 5 whose
-# code or oracle changed this round, then 29 of the 39 displaced
-# r04-attested rows. The rows still deferred (text_common_ngrams,
-# text_quality_rules, sim_embedding_dim_stats, dedup_incremental,
-# text_token_budget_sample, dedup_span_stats, text_bigram_lm_score,
-# text_weighted_sample, text_ngram_diversity, sim_embedding_covariance,
-# plus one r04 row displaced per closing-r8 addition, tail-first:
-# serving_weekly_active, ...) head the round-9 window; each keeps a
-# local DuckDB parity test in CI and is sweep-green at sf0.01.
+# contract): ALL 35 never-attested round-8 operators, the 5 whose
+# code or oracle changed this round, then 10 of the displaced
+# r04-attested rows. Every registry entry is now driver-attested in
+# some round once this window runs. The r04 rows displaced to make
+# room (dedup_ngram_jaccard_pairs, dedup_containment_pairs,
+# dedup_clusters, text_token_stats, text_token_counts, text_lang_id,
+# text_doc_fingerprint, text_redact, sim_quantize_embeddings, plus
+# the earlier deferrals: text_common_ngrams, text_quality_rules,
+# sim_embedding_dim_stats, dedup_incremental, text_token_budget_sample,
+# dedup_span_stats, text_bigram_lm_score, text_weighted_sample,
+# text_ngram_diversity, sim_embedding_covariance, serving_weekly_active,
+# ...) head the round-9 window; each keeps a local DuckDB parity test
+# in CI and is sweep-green at sf0.01.
 _R8_WINDOW = (
     "dedup_lsh_clusters",
     "dedup_minhash_lsh_pairs_capped",
@@ -443,15 +447,15 @@ _R8_WINDOW = (
     "dedup_exact",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_containment_pairs",
-    "dedup_clusters",
-    "text_token_stats",
-    "text_token_counts",
-    "text_lang_id",
-    "text_doc_fingerprint",
-    "text_redact",
-    "sim_quantize_embeddings",
+    "text_readability",
+    "text_pmi_collocations",
+    "graph_degree_stats",
+    "graph_label_propagation",
+    "serving_item_cooccurrence",
+    "retrieval_phrase_search",
+    "text_kn_bigram_score",
+    "sim_mmr_rerank",
+    "serving_stickiness",
 )
 
 
