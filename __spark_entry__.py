@@ -182,6 +182,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_mmr_rerank": similarity.mmr_rerank,
         # monthly DAU/MAU engagement stickiness
         "serving_stickiness": serving.stickiness,
+        # greedy farthest-point k-center coreset selection
+        "sim_coreset_kcenter": similarity.coreset_kcenter,
+        # chunk-fingerprint near-dup over the binary blob column
+        "multimodal_chunk_dedup": multimodal.chunk_dedup,
+        # Lorenz decile concentration of per-user activity
+        "serving_power_users": serving.power_users,
         # --- 0. added in the round-7 continuation (never attested):
         # sparse BM25 retrieval, DSIR importance weights, margin-based
         # bitext mining, the training-shard manifest, BM25+dense RRF
@@ -535,6 +541,9 @@ def oracle_sql() -> dict[str, str]:
         "text_kn_bigram_score": textstats.KN_BIGRAM_SCORE_SQL,
         "sim_mmr_rerank": similarity.MMR_RERANK_SQL,
         "serving_stickiness": serving.STICKINESS_SQL,
+        "sim_coreset_kcenter": similarity.CORESET_KCENTER_SQL,
+        "multimodal_chunk_dedup": multimodal.CHUNK_DEDUP_SQL,
+        "serving_power_users": serving.POWER_USERS_SQL,
         "retrieval_bm25": retrieval.BM25_RETRIEVE_SQL,
         "text_dsir_weights": textstats.DSIR_WEIGHTS_SQL,
         "sim_bitext_mining": similarity.BITEXT_MINING_IVF_SQL,

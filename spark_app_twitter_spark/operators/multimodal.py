@@ -346,3 +346,93 @@ SELECT media_id,
        least(CAST((i + 1) * {AUDIO_CHUNK_MS} AS BIGINT), CAST(dur AS BIGINT)) AS end_ms
 FROM aud, unnest(range(CAST(ceil(CAST(dur AS DOUBLE) / {AUDIO_CHUNK_MS}) AS BIGINT))) AS t(i)
 """
+
+
+# ---------------------------------------------------------------------------
+# Chunk-fingerprint near-dup over the BINARY blob column — the
+# content-defined-chunking dedup backup/CDC systems run, applied to
+# media blobs: media pairs sharing >= CHUNK_MIN_SHARED fixed-size
+# chunk digests are near-duplicate payload candidates (partial
+# overlap that whole-blob digests miss).
+
+CHUNK_BYTES = 64  # fixed chunk width
+CHUNK_MAX_DF = 16  # drop digests present in more medias (boilerplate)
+CHUNK_MIN_SHARED = 2  # pair evidence threshold
+
+
+def chunk_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, digest): distinct md5 digests of the blob's
+    fixed-64-byte chunks — all byte math on the BinaryType column
+    (``substring``/``md5`` accept binary natively; nothing leaves the
+    JVM). One row per distinct (media, chunk content)."""
+    m = media_table(spark, sf_dir).select("media_id", "blob")
+    n = F.greatest(
+        F.ceil(F.length("blob") / F.lit(CHUNK_BYTES)).cast("int"), F.lit(1)
+    )
+    return (
+        m.select(
+            "media_id",
+            "blob",
+            F.explode(F.sequence(F.lit(0), n - 1)).alias("i"),
+        )
+        .select(
+            "media_id",
+            F.md5(
+                F.expr(
+                    f"substring(blob, i * {CHUNK_BYTES} + 1, {CHUNK_BYTES})"
+                )
+            ).alias("digest"),
+        )
+        .distinct()
+    )
+
+
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_a, media_b, shared_chunks): media pairs sharing at
+    least ``CHUNK_MIN_SHARED`` distinct chunk digests, after dropping
+    digests whose document frequency exceeds ``CHUNK_MAX_DF``.
+
+    Scale shape: the exact-dedup discipline — digest-keyed buckets,
+    never all-pairs. The DF cap bounds per-digest fan-out at
+    CHUNK_MAX_DF^2 pair emissions (ubiquitous chunks are boilerplate,
+    not dup evidence — the same reasoning as LSH band caps), so the
+    pair relation is O(n_chunks * MAX_DF), linear in corpus bytes.
+    """
+    ch = chunk_digests(spark, sf_dir)
+    df = ch.groupBy("digest").agg(F.count(F.lit(1)).alias("df"))
+    ok = ch.join(df.where(F.col("df") <= CHUNK_MAX_DF), "digest")
+    return (
+        ok.select("digest", F.col("media_id").alias("media_a"))
+        .join(
+            ok.select("digest", F.col("media_id").alias("media_b")),
+            "digest",
+        )
+        .where(F.col("media_a") < F.col("media_b"))
+        .groupBy("media_a", "media_b")
+        .agg(F.count(F.lit(1)).alias("shared_chunks"))
+        .where(F.col("shared_chunks") >= CHUNK_MIN_SHARED)
+    )
+
+
+# Oracle twin: blobs are utf-8 text (ASCII in the driver corpus, so
+# byte slicing == char slicing — the same equivalence VIDEO_FRAMES_SQL
+# rests on); digests replay as md5 over the text slices.
+CHUNK_DEDUP_SQL = f"""
+WITH chunks AS (
+  SELECT DISTINCT doc_id AS media_id,
+         md5(substr(text, CAST(i * {CHUNK_BYTES} + 1 AS BIGINT),
+                    {CHUNK_BYTES})) AS digest
+  FROM documents,
+       unnest(range(greatest(CAST(ceil(octet_length(encode(text))
+                    / {CHUNK_BYTES}.0) AS BIGINT), 1))) AS t(i)
+),
+ok AS (
+  SELECT media_id, digest FROM chunks
+  QUALIFY count(*) OVER (PARTITION BY digest) <= {CHUNK_MAX_DF}
+)
+SELECT a.media_id AS media_a, b.media_id AS media_b,
+       CAST(count(*) AS BIGINT) AS shared_chunks
+FROM ok a JOIN ok b ON a.digest = b.digest AND a.media_id < b.media_id
+GROUP BY 1, 2
+HAVING count(*) >= {CHUNK_MIN_SHARED}
+"""

@@ -1624,3 +1624,79 @@ SELECT month, n_days, mau,
          AS dau_avg_bp_of_mau
 FROM daily JOIN mau USING (month)
 """
+
+
+# ---------------------------------------------------------------------------
+# Power-user concentration (Lorenz deciles) — "what share of activity
+# do the top-10% users drive": the engagement-concentration table
+# behind every Pareto/whale analysis.
+
+
+def power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(decile, n_users, n_events, share_bp, cum_share_bp): users
+    ranked by event count into activity deciles (decile 1 = heaviest,
+    ntile over the total order count desc then user_id), each
+    decile's share of all events and the running Lorenz cumulative,
+    both in integer basis points (floor).
+
+    Scale shape: one user_id-keyed reduce over events, then the
+    decile window runs on the |users|-sized aggregate — the
+    rfm_scores discipline (the documented extreme-|users| swap is
+    percentile_approx edges + a map-side bucket join). The decile
+    relation is 10 rows; the cumulative window is constant-size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    dec = F.ntile(10).over(
+        Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+    )
+    tot = per_user.agg(F.sum("n_events").alias("tot"))
+    by_dec = (
+        per_user.withColumn("decile", dec)
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+    cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        by_dec.crossJoin(F.broadcast(tot))
+        .withColumn("cum_events", F.sum("n_events").over(cum))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_users",
+            "n_events",
+            F.expr("CAST((n_events * 10000L) DIV tot AS BIGINT)").alias(
+                "share_bp"
+            ),
+            F.expr("CAST((cum_events * 10000L) DIV tot AS BIGINT)").alias(
+                "cum_share_bp"
+            ),
+        )
+    )
+
+
+POWER_USERS_SQL = """
+WITH per_user AS (
+  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+),
+tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS tot FROM per_user),
+dec AS (
+  SELECT user_id, n_events,
+         ntile(10) OVER (ORDER BY n_events DESC, user_id) AS decile
+  FROM per_user
+),
+by_dec AS (
+  SELECT decile, count(*) AS n_users,
+         CAST(sum(n_events) AS BIGINT) AS n_events
+  FROM dec GROUP BY decile
+)
+SELECT CAST(decile AS INT) AS decile, n_users, n_events,
+       CAST((n_events * 10000) // tot AS BIGINT) AS share_bp,
+       CAST((sum(n_events) OVER (ORDER BY decile) * 10000) // tot
+            AS BIGINT) AS cum_share_bp
+FROM by_dec CROSS JOIN tot
+"""

@@ -2756,3 +2756,139 @@ JOIN cand USING (query_id, neighbor_id)
 
 
 MMR_RERANK_SQL = _mmr_rerank_sql()
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset (farthest-point traversal, Gonzalez 1985):
+# the corpus-level diverse-subset selection a curation pipeline runs
+# to pick representative documents for labeling / eval / seeding —
+# the 2-approximation to the k-center cover. Complements MMR (which
+# diversifies one query's shortlist); this diversifies the corpus.
+
+CORESET_K = 8  # centers to select
+
+
+def _cos_dist_micro(a: F.Column, b: F.Column) -> F.Column:
+    """Integer-micro cosine distance: 1e6 - floor(cos * 1e6 + 0.5)."""
+    return (
+        F.lit(1000000)
+        - F.floor(cosine(a, b) * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    ).cast("long")
+
+
+def coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pick_rank, vec_id, dist_micro): greedy farthest-point k-center
+    selection over the full embedding table. Pick 1 is the lowest
+    vec_id (deterministic seed); pick t is the point maximizing its
+    integer-micro cosine distance to the nearest already-selected
+    center (ties to the lowest vec_id). ``dist_micro`` is that
+    covering distance at selection time (0 for the seed) — the
+    monotone non-increasing sequence whose last value bounds the
+    k-center cover radius.
+
+    Scale shape: the standard incremental farthest-point recurrence —
+    the per-point state is ONE running min-distance, updated each
+    round by a 1-row broadcast join (map-side, no data shuffle), and
+    each pick is a distributed top-1 (TakeOrderedAndProject), never a
+    single-partition global window. K passes over N rows total;
+    lineage is truncated per round with lazy localCheckpoint. The
+    DuckDB twin replays the identical fixed CTE chain.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    seed = emb.orderBy(F.asc("vec_id")).limit(1)
+    st = (
+        emb.crossJoin(
+            F.broadcast(seed.select(F.col("embedding").alias("sv")))
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            _cos_dist_micro(F.col("embedding"), F.col("sv")).alias("mind"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    picks = seed.select(
+        F.lit(1).cast("int").alias("pick_rank"),
+        "vec_id",
+        F.lit(0).cast("long").alias("dist_micro"),
+    )
+    for t in range(2, CORESET_K + 1):
+        new = (
+            st.join(F.broadcast(picks.select("vec_id")), "vec_id", "left_anti")
+            .orderBy(F.desc("mind"), F.asc("vec_id"))
+            .limit(1)
+            .select(
+                F.lit(t).cast("int").alias("pick_rank"),
+                "vec_id",
+                F.col("mind").cast("long").alias("dist_micro"),
+            )
+        )
+        picks = picks.unionByName(new).localCheckpoint(eager=False)
+        if t == CORESET_K:
+            break
+        center = emb.join(
+            F.broadcast(new.select("vec_id")), "vec_id"
+        ).select(F.col("embedding").alias("sv"))
+        st = (
+            st.crossJoin(F.broadcast(center))
+            .select(
+                "vec_id",
+                "embedding",
+                F.least(
+                    F.col("mind"),
+                    _cos_dist_micro(F.col("embedding"), F.col("sv")),
+                ).alias("mind"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return picks
+
+
+def _coreset_kcenter_sql() -> str:
+    def d(a: str, b: str) -> str:
+        return (
+            f"(1000000 - CAST(floor({cosine_sql(a, b)} * 1000000.0 + 0.5) "
+            f"AS BIGINT))"
+        )
+
+    ctes = [
+        "e AS (SELECT vec_id, embedding FROM embeddings)",
+        "p1 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1)",
+        f"""st1 AS (
+  SELECT e.vec_id, e.embedding, {d('e.embedding', 'p1.embedding')} AS mind
+  FROM e CROSS JOIN p1
+)""",
+    ]
+    for t in range(2, CORESET_K + 1):
+        prior = " UNION ALL ".join(
+            f"SELECT vec_id FROM p{i}" for i in range(1, t)
+        )
+        ctes.append(
+            f"""p{t} AS (
+  SELECT vec_id, embedding, mind FROM st{t-1}
+  WHERE vec_id NOT IN ({prior})
+  ORDER BY mind DESC, vec_id LIMIT 1
+)"""
+        )
+        if t == CORESET_K:
+            break
+        ctes.append(
+            f"""st{t} AS (
+  SELECT s.vec_id, s.embedding,
+         least(s.mind, {d('s.embedding', f'p{t}.embedding')}) AS mind
+  FROM st{t-1} s CROSS JOIN p{t}
+)"""
+        )
+    finals = [
+        "SELECT CAST(1 AS INT) AS pick_rank, vec_id, "
+        "CAST(0 AS BIGINT) AS dist_micro FROM p1"
+    ] + [
+        f"SELECT CAST({t} AS INT), vec_id, CAST(mind AS BIGINT) FROM p{t}"
+        for t in range(2, CORESET_K + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+CORESET_KCENTER_SQL = _coreset_kcenter_sql()

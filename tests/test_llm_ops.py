@@ -3581,3 +3581,65 @@ def test_stickiness_parity_and_ratio_bounds(spark, sf_dir):
     for r in df.collect():
         assert 0 < r.dau_avg_bp_of_mau <= 10000
         assert r.mau >= 1 and r.n_days >= 1
+
+
+def test_coreset_kcenter_parity_and_cover_properties(spark, sf_dir):
+    """k-center matches its fixed-chain twin; picks are distinct with
+    dense ranks; the covering distance is monotone non-increasing
+    (the greedy invariant the 2-approximation proof rests on)."""
+    from spark_app_twitter_spark.operators import similarity
+
+    from tests.parity import assert_parity
+
+    df = similarity.coreset_kcenter(spark, sf_dir)
+    assert_parity(df, similarity.CORESET_KCENTER_SQL, sf_dir, "kcenter")
+    rows = sorted(df.collect(), key=lambda r: r.pick_rank)
+    assert [r.pick_rank for r in rows] == list(
+        range(1, similarity.CORESET_K + 1)
+    )
+    assert len({r.vec_id for r in rows}) == similarity.CORESET_K
+    assert rows[0].dist_micro == 0
+    dists = [r.dist_micro for r in rows[1:]]
+    assert dists == sorted(dists, reverse=True)
+    assert all(d > 0 for d in dists)
+
+
+def test_chunk_dedup_parity_and_digest_evidence(spark, sf_dir):
+    """Chunk dedup matches the twin; every pair's shared count is
+    >= the threshold and is reproducible from the digest relation."""
+    from spark_app_twitter_spark.operators import multimodal
+
+    from tests.parity import assert_parity
+
+    df = multimodal.chunk_dedup(spark, sf_dir)
+    assert_parity(df, multimodal.CHUNK_DEDUP_SQL, sf_dir, "chunkdd")
+    pairs = df.collect()
+    digests = {}
+    for r in multimodal.chunk_digests(spark, sf_dir).collect():
+        digests.setdefault(r.media_id, set()).add(r.digest)
+    for p in pairs:
+        assert p.media_a < p.media_b
+        assert p.shared_chunks >= multimodal.CHUNK_MIN_SHARED
+        # shared count never exceeds the raw digest intersection
+        # (the DF cap can only remove evidence, not add it)
+        assert p.shared_chunks <= len(
+            digests[p.media_a] & digests[p.media_b]
+        )
+
+
+def test_power_users_parity_and_lorenz_invariants(spark, sf_dir):
+    """Decile table matches the twin; users and events both total;
+    the Lorenz cumulative is monotone and ends within floor slack of
+    10000; decile 1 (heaviest) has the max per-decile share."""
+    from spark_app_twitter_spark.operators import serving
+
+    from tests.parity import assert_parity
+
+    df = serving.power_users(spark, sf_dir)
+    assert_parity(df, serving.POWER_USERS_SQL, sf_dir, "pareto")
+    rows = sorted(df.collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    cums = [r.cum_share_bp for r in rows]
+    assert cums == sorted(cums)
+    assert 10000 - 10 <= cums[-1] <= 10000
+    assert rows[0].share_bp == max(r.share_bp for r in rows)
