@@ -371,3 +371,89 @@ l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
 {chain}
 SELECT node AS doc_id, label AS community FROM {prev}
 """
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling: the densest-region filter. A node is in the k-core
+# if it survives iterated removal of nodes with degree < k — the
+# standard "which duplicate neighborhoods are DENSE (template farms,
+# mirror rings) vs incidental" cut, and the preprocessing step most
+# graph pipelines run before community detection.
+
+KCORE_K = 2  # minimum surviving degree (cycle-preserving core)
+KCORE_ITERS = 4  # synchronous peel rounds (monotone from above)
+
+
+def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, degree): nodes of the capped near-dup graph still
+    alive after ``KCORE_ITERS`` synchronous peels at ``KCORE_K``,
+    with their degree in the surviving subgraph.
+
+    Fixed-round discipline (LPA/PageRank): each round computes
+    degrees with one src-keyed reduce over the alive edge relation,
+    then drops every edge touching a below-threshold endpoint (two
+    semi-joins against the |keep|-sized node list). Round count is
+    fixed so the DuckDB twin replays the identical chain; peeling is
+    monotone, so R rounds give the exact k-core on any graph whose
+    peel depth is <= R and a sound over-approximation otherwise.
+
+    Scale shape: edge volume is the capped O(n) relation; every
+    round's cost is one reduce + two hash joins on it. No driver
+    state.
+    """
+    alive = _dup_edges(spark, sf_dir).localCheckpoint(eager=True)
+    for _ in range(KCORE_ITERS):
+        keep = (
+            alive.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= KCORE_K)
+            .select("src")
+        )
+        alive = (
+            alive.join(keep, "src")
+            .join(keep.select(F.col("src").alias("dst")), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        alive.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.col("src").alias("doc_id"), "degree")
+    )
+
+
+def _kcore_sql() -> str:
+    from spark_app_twitter_spark.operators.dedup import (
+        MINHASH_LSH_PAIRS_CAPPED_SQL,
+    )
+
+    rounds = []
+    prev = "e"
+    for i in range(1, KCORE_ITERS + 1):
+        rounds.append(
+            f"""k{i} AS (
+  SELECT src FROM {prev} GROUP BY src HAVING count(*) >= {KCORE_K}
+),
+e{i} AS (
+  SELECT a.src, a.dst FROM {prev} a
+  JOIN k{i} s ON s.src = a.src
+  JOIN k{i} d ON d.src = a.dst
+)"""
+        )
+        prev = f"e{i}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH pairs AS ({MINHASH_LSH_PAIRS_CAPPED_SQL}),
+e0 AS (SELECT doc_a, doc_b FROM pairs),
+e AS (
+  SELECT doc_a AS src, doc_b AS dst FROM e0
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM e0
+),
+{chain}
+SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS degree
+FROM {prev} GROUP BY src
+"""
+
+
+KCORE_SQL = _kcore_sql()

@@ -3643,3 +3643,23 @@ def test_power_users_parity_and_lorenz_invariants(spark, sf_dir):
     assert cums == sorted(cums)
     assert 10000 - 10 <= cums[-1] <= 10000
     assert rows[0].share_bp == max(r.share_bp for r in rows)
+
+
+def test_kcore_parity_and_peel_invariants(spark, sf_dir):
+    """k-core matches its fixed-chain twin; every survivor's degree
+    meets the threshold (the defining invariant after convergent
+    peeling) and survivors form a subgraph of the input edges."""
+    from spark_app_twitter_spark.operators import dedup, graph
+
+    from tests.parity import assert_parity
+
+    df = graph.kcore(spark, sf_dir)
+    assert_parity(df, graph.KCORE_SQL, sf_dir, "kcore")
+    rows = df.collect()
+    assert all(r.degree >= graph.KCORE_K for r in rows)
+    nodes = {r.doc_id for r in rows}
+    pair_nodes = set()
+    for p in dedup.minhash_lsh_pairs_capped(spark, sf_dir).collect():
+        pair_nodes.add(p.doc_a)
+        pair_nodes.add(p.doc_b)
+    assert nodes <= pair_nodes

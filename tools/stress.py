@@ -283,6 +283,17 @@ STRESS_QUERIES = [
     # one (month, day, user) distinct + |months|-row join (noop:
     # unique-keyed month join is count-prunable)
     "serving_stickiness",
+    # K passes over N rows, 1-row broadcast join each + top-1 picks
+    # (noop: the K-row pick stack is count-prunable)
+    "sim_coreset_kcenter",
+    # digest-keyed chunk buckets, DF-capped pair emission
+    "multimodal_chunk_dedup",
+    # user-keyed reduce + ntile on the |users| aggregate (noop: the
+    # 10-row final is count-prunable)
+    "serving_power_users",
+    # fixed peel rounds: per-round degree reduce + two semi-joins on
+    # the capped edge relation
+    "graph_kcore",
 ]
 
 
