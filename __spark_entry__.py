@@ -190,6 +190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_power_users": serving.power_users,
         # fixed-round k-core peeling of the near-dup graph
         "graph_kcore": graph.kcore,
+        # dedup operating-point curve: pairs + drops per threshold
+        "dedup_threshold_yield": dedup.threshold_yield,
         # --- 0. added in the round-7 continuation (never attested):
         # sparse BM25 retrieval, DSIR importance weights, margin-based
         # bitext mining, the training-shard manifest, BM25+dense RRF
@@ -547,6 +549,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_chunk_dedup": multimodal.CHUNK_DEDUP_SQL,
         "serving_power_users": serving.POWER_USERS_SQL,
         "graph_kcore": graph.KCORE_SQL,
+        "dedup_threshold_yield": dedup.THRESHOLD_YIELD_SQL,
         "retrieval_bm25": retrieval.BM25_RETRIEVE_SQL,
         "text_dsir_weights": textstats.DSIR_WEIGHTS_SQL,
         "sim_bitext_mining": similarity.BITEXT_MINING_IVF_SQL,

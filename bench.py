@@ -126,6 +126,16 @@ HEADLINE = [
     "retrieval_query_likelihood",
     "text_winnowing",
     "text_source_kl",
+    # round-8 second continuation: heaviest representative per new
+    # family — synchronous LPA over the capped near-dup edges, the
+    # corpus bigram-PMI shuffle, MMR rerank (brute shortlist +
+    # k-bounded greedy), farthest-point coreset (K passes over N),
+    # and the binary chunk-digest dedup
+    "graph_label_propagation",
+    "text_pmi_collocations",
+    "sim_mmr_rerank",
+    "sim_coreset_kcenter",
+    "multimodal_chunk_dedup",
 ]
 
 

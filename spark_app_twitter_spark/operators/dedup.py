@@ -2093,3 +2093,71 @@ GROUP BY cluster_id
 
 
 CLUSTER_SURVIVORS_SQL = _cluster_survivors_sql()
+
+
+# ---------------------------------------------------------------------------
+# Dedup threshold yield curve — the operating-point audit run before
+# committing a near-dup threshold at corpus scale: for each candidate
+# threshold, how many verified pairs qualify and how many documents
+# the keep-lowest rule would drop. (Transitive-closure yield is the
+# clusters query; this is the pairwise curve used to PICK the
+# threshold.)
+
+YIELD_THRESHOLDS_PCT = (50, 60, 70, 80, 90)
+
+
+def threshold_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(threshold_pct, n_pairs, n_docs_dropped): for each candidate
+    Jaccard threshold, the count of LSH-candidate pairs whose EXACT
+    shingle Jaccard meets it, and the distinct documents the
+    keep-lowest-doc_id rule would drop (pairs are doc_a < doc_b, so
+    the drop side is doc_b).
+
+    Scale shape: rides the banded LSH candidate relation (never
+    all-pairs) already verified by minhash_jaccard_estimate; the
+    threshold fan-out is a constant |thresholds| multiplier on the
+    candidate rows and the output is a fixed |thresholds|-row table
+    (absent thresholds filled with zeros, so the curve is always
+    complete).
+    """
+    pairs = minhash_jaccard_estimate(spark, sf_dir).select(
+        "doc_b", "true_jaccard"
+    )
+    tdf = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t) for t in YIELD_THRESHOLDS_PCT])
+        ).alias("threshold_pct")
+    )
+    agg = (
+        pairs.crossJoin(F.broadcast(tdf))
+        .where(F.col("true_jaccard") * 100 >= F.col("threshold_pct"))
+        .groupBy("threshold_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("doc_b").alias("n_docs_dropped"),
+        )
+    )
+    return tdf.join(agg, "threshold_pct", "left").select(
+        F.col("threshold_pct").cast("int").alias("threshold_pct"),
+        F.coalesce(F.col("n_pairs"), F.lit(0).cast("long")).alias("n_pairs"),
+        F.coalesce(F.col("n_docs_dropped"), F.lit(0).cast("long")).alias(
+            "n_docs_dropped"
+        ),
+    )
+
+
+THRESHOLD_YIELD_SQL = f"""
+WITH est AS ({MINHASH_JACCARD_ESTIMATE_SQL}),
+th AS (SELECT unnest({list(YIELD_THRESHOLDS_PCT)}) AS threshold_pct),
+agg AS (
+  SELECT th.threshold_pct,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_dropped
+  FROM est JOIN th ON est.true_jaccard * 100 >= th.threshold_pct
+  GROUP BY 1
+)
+SELECT CAST(th.threshold_pct AS INT) AS threshold_pct,
+       coalesce(agg.n_pairs, CAST(0 AS BIGINT)) AS n_pairs,
+       coalesce(agg.n_docs_dropped, CAST(0 AS BIGINT)) AS n_docs_dropped
+FROM th LEFT JOIN agg USING (threshold_pct)
+"""

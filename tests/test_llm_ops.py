@@ -3663,3 +3663,24 @@ def test_kcore_parity_and_peel_invariants(spark, sf_dir):
         pair_nodes.add(p.doc_a)
         pair_nodes.add(p.doc_b)
     assert nodes <= pair_nodes
+
+
+def test_threshold_yield_parity_and_monotone_curve(spark, sf_dir):
+    """Yield curve matches the twin; pairs and drops are monotone
+    non-increasing in the threshold (a higher bar can only qualify
+    fewer pairs); drops never exceed pairs; curve is complete."""
+    from spark_app_twitter_spark.operators import dedup
+
+    from tests.parity import assert_parity
+
+    df = dedup.threshold_yield(spark, sf_dir)
+    assert_parity(df, dedup.THRESHOLD_YIELD_SQL, sf_dir, "yield")
+    rows = sorted(df.collect(), key=lambda r: r.threshold_pct)
+    assert [r.threshold_pct for r in rows] == list(
+        dedup.YIELD_THRESHOLDS_PCT
+    )
+    pair_counts = [r.n_pairs for r in rows]
+    drop_counts = [r.n_docs_dropped for r in rows]
+    assert pair_counts == sorted(pair_counts, reverse=True)
+    assert drop_counts == sorted(drop_counts, reverse=True)
+    assert all(d <= p for d, p in zip(drop_counts, pair_counts))
