@@ -2108,20 +2108,28 @@ YIELD_THRESHOLDS_PCT = (50, 60, 70, 80, 90)
 
 def threshold_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(threshold_pct, n_pairs, n_docs_dropped): for each candidate
-    Jaccard threshold, the count of LSH-candidate pairs whose EXACT
+    Jaccard threshold, the count of CAPPED near-dup pairs whose exact
     shingle Jaccard meets it, and the distinct documents the
     keep-lowest-doc_id rule would drop (pairs are doc_a < doc_b, so
     the drop side is doc_b).
 
-    Scale shape: rides the banded LSH candidate relation (never
-    all-pairs) already verified by minhash_jaccard_estimate; the
-    threshold fan-out is a constant |thresholds| multiplier on the
-    candidate rows and the output is a fixed |thresholds|-row table
-    (absent thresholds filled with zeros, so the curve is always
-    complete).
+    Deliberately computed over :func:`minhash_lsh_pairs_capped` —
+    the SAME O(n)-output relation clusters/leakage/PageRank consume —
+    so the curve describes the graph the dedup pipeline actually
+    acts on (all thresholds sit at or above the relation's
+    JACCARD_THRESHOLD=0.5 verify gate, so nothing is pre-filtered
+    away). The uncapped pairwise curve is recoverable from the
+    explicitly-exact pairs variant when clique-level resolution is
+    worth its quadratic output.
+
+    Scale shape: rides the capped banded relation (never all-pairs,
+    O(n * BANDS) verification volume); the threshold fan-out is a
+    constant |thresholds| multiplier and the output is a fixed
+    |thresholds|-row table (absent thresholds zero-filled, so the
+    curve is always complete).
     """
-    pairs = minhash_jaccard_estimate(spark, sf_dir).select(
-        "doc_b", "true_jaccard"
+    pairs = minhash_lsh_pairs_capped(spark, sf_dir).select(
+        "doc_b", F.col("jaccard").alias("true_jaccard")
     )
     tdf = spark.range(1).select(
         F.explode(
@@ -2147,13 +2155,13 @@ def threshold_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 THRESHOLD_YIELD_SQL = f"""
-WITH est AS ({MINHASH_JACCARD_ESTIMATE_SQL}),
+WITH est AS ({MINHASH_LSH_PAIRS_CAPPED_SQL}),
 th AS (SELECT unnest({list(YIELD_THRESHOLDS_PCT)}) AS threshold_pct),
 agg AS (
   SELECT th.threshold_pct,
          CAST(count(*) AS BIGINT) AS n_pairs,
          CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_dropped
-  FROM est JOIN th ON est.true_jaccard * 100 >= th.threshold_pct
+  FROM est JOIN th ON est.jaccard * 100 >= th.threshold_pct
   GROUP BY 1
 )
 SELECT CAST(th.threshold_pct AS INT) AS threshold_pct,

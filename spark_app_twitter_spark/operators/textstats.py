@@ -3634,3 +3634,94 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN sc USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Rare-token ratio — the OCR-garbage / mojibake signal: documents
+# dominated by corpus-rare tokens are overwhelmingly scanner noise,
+# bad encodings, or boilerplate IDs, not language. Complements
+# quality_rules (doc-local) with a corpus-RELATIVE signal. Rarity is
+# relative (document frequency <= RARE_DF_PCT% of the corpus), so the
+# signal is scale-invariant: the same operator tuned to 0.01% is the
+# production OCR filter.
+
+RARE_DF_PCT = 10  # "rare" = term's doc frequency <= this % of docs
+
+
+def rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, n_rare, rare_bp): per document, whitespace
+    token count, the number of token OCCURRENCES whose term appears
+    in at most ``RARE_DF_PCT`` percent of documents corpus-wide
+    (integer-exact: ``df * 100 <= n_docs * RARE_DF_PCT``), and their
+    share in integer basis points (floor).
+
+    Scale shape: one (doc, term) map-side combine (occurrence counts
+    ride it, so no row-per-token shuffle), one term-keyed DF reduce
+    on the distinct (doc, term) relation, one term-keyed join to tag
+    rarity (vocab is corpus-sized — a shuffle join, not a broadcast),
+    then one doc-keyed reduce. Every exchange is keyed; nothing is
+    all-pairs and nothing collects.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    dt = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    ).localCheckpoint(eager=False)  # DF reduce + tag join both read it
+    df = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tagged = (
+        dt.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "cnt",
+            F.when(
+                F.col("df") * 100 <= F.col("n_docs") * RARE_DF_PCT,
+                F.col("cnt"),
+            )
+            .otherwise(F.lit(0))
+            .alias("rare_cnt"),
+        )
+    )
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum("rare_cnt").alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_rare",
+            F.expr("CAST((n_rare * 10000L) DIV n_tokens AS BIGINT)").alias(
+                "rare_bp"
+            ),
+        )
+    )
+
+
+RARE_TOKEN_RATIO_SQL = f"""
+WITH dt AS (
+  SELECT doc_id, term, count(*) AS cnt FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+    FROM documents
+  ) GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+tagged AS (
+  SELECT dt.doc_id, dt.cnt,
+         CASE WHEN df.df * 100 <= nd.n_docs * {RARE_DF_PCT}
+              THEN dt.cnt ELSE 0 END AS rare_cnt
+  FROM dt JOIN df USING (term) CROSS JOIN nd
+)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       CAST(sum(rare_cnt) AS BIGINT) AS n_rare,
+       CAST((CAST(sum(rare_cnt) AS BIGINT) * 10000)
+            // CAST(sum(cnt) AS BIGINT) AS BIGINT) AS rare_bp
+FROM tagged GROUP BY doc_id
+"""

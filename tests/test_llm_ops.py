@@ -3684,3 +3684,22 @@ def test_threshold_yield_parity_and_monotone_curve(spark, sf_dir):
     assert pair_counts == sorted(pair_counts, reverse=True)
     assert drop_counts == sorted(drop_counts, reverse=True)
     assert all(d <= p for d, p in zip(drop_counts, pair_counts))
+
+
+def test_rare_token_ratio_parity_and_df_semantics(spark, sf_dir):
+    """Rare-token ratio matches the twin; every document appears
+    exactly once; rare counts never exceed token counts; the basis-
+    point share replays from the two counts; at least one document
+    carries a non-zero signal (the fixture has sub-10%-DF terms)."""
+    from spark_app_twitter_spark.operators import textstats
+
+    from tests.parity import assert_parity
+
+    df = textstats.rare_token_ratio(spark, sf_dir)
+    assert_parity(df, textstats.RARE_TOKEN_RATIO_SQL, sf_dir, "rare")
+    rows = df.collect()
+    assert len({r.doc_id for r in rows}) == len(rows)
+    for r in rows:
+        assert 0 <= r.n_rare <= r.n_tokens
+        assert r.rare_bp == (r.n_rare * 10000) // r.n_tokens
+    assert any(r.n_rare > 0 for r in rows)

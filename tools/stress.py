@@ -294,6 +294,12 @@ STRESS_QUERIES = [
     # fixed peel rounds: per-round degree reduce + two semi-joins on
     # the capped edge relation
     "graph_kcore",
+    # banded candidate relation x constant threshold fan-out (noop:
+    # the fixed 5-row zero-filled curve is count-prunable)
+    "dedup_threshold_yield",
+    # (doc, term) combine + term-keyed DF reduce + term join +
+    # doc reduce — all keyed exchanges
+    "text_rare_token_ratio",
 ]
 
 
