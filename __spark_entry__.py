@@ -194,6 +194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_threshold_yield": dedup.threshold_yield,
         # corpus-relative rare-token share (OCR/mojibake signal)
         "text_rare_token_ratio": textstats.rare_token_ratio,
+        # all-vectors within-cell top-k neighbor graph
+        "sim_knn_graph": similarity.knn_graph,
         # --- 0. added in the round-7 continuation (never attested):
         # sparse BM25 retrieval, DSIR importance weights, margin-based
         # bitext mining, the training-shard manifest, BM25+dense RRF
@@ -553,6 +555,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": graph.KCORE_SQL,
         "dedup_threshold_yield": dedup.THRESHOLD_YIELD_SQL,
         "text_rare_token_ratio": textstats.RARE_TOKEN_RATIO_SQL,
+        "sim_knn_graph": similarity.KNN_GRAPH_SQL,
         "retrieval_bm25": retrieval.BM25_RETRIEVE_SQL,
         "text_dsir_weights": textstats.DSIR_WEIGHTS_SQL,
         "sim_bitext_mining": similarity.BITEXT_MINING_IVF_SQL,

@@ -2892,3 +2892,108 @@ def _coreset_kcenter_sql() -> str:
 
 
 CORESET_KCENTER_SQL = _coreset_kcenter_sql()
+
+
+# ---------------------------------------------------------------------------
+# k-NN graph construction — the all-vectors neighbor graph (every
+# vector gets its top-k within-cell neighbors), the building block
+# under graph-based ANN indexes (HNSW layer 0 / NN-descent seeds),
+# embedding-cluster dedup, and label propagation over semantic
+# neighborhoods. Unlike the knn_* serving queries (which score the
+# fixed query set), this emits an edge list for the WHOLE corpus.
+
+KNN_GRAPH_K = 5  # neighbors per vector
+KNN_GRAPH_CAP = 64  # per-cell candidate anchors (the SemDeDup bound)
+
+
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, neighbor_id, cos_sim, rank): each vector's top-k
+    cosine neighbors among its two-level k-means cell's
+    ``KNN_GRAPH_CAP`` lowest-id members (itself excluded), rank 1 =
+    closest, ties broken by ascending neighbor id. Vectors whose
+    cell has no other anchor emit no edges.
+
+    Scale shape: the SemDeDup linear bound — candidate volume is
+    Σ min(|cell|, CAP)·|cell| <= n·CAP, one cell-keyed shuffle, and
+    the per-vector window runs over <= CAP rows. The cap trades
+    recall only on >CAP-member cells (none at the test scales); at
+    corpus scale it is the same valve the paper's cluster
+    approximation uses. Assignment is the shared two-level inline
+    argmax (no data-side shuffle, plan-guarded in knn_ivf).
+    """
+    from spark_app_twitter_spark.operators.clustering import (
+        kmeans_cells_2level_assigned,
+    )
+
+    assigned = (
+        kmeans_cells_2level_assigned(spark, sf_dir)
+        .select("vec_id", "v", "cell")
+        .localCheckpoint(eager=True)
+    )
+    anchors = (
+        assigned.withColumn(
+            "arank",
+            F.row_number().over(
+                Window.partitionBy("cell").orderBy(F.asc("vec_id"))
+            ),
+        )
+        .where(F.col("arank") <= KNN_GRAPH_CAP)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("nv"),
+            "cell",
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        assigned.join(anchors, "cell")
+        .where(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round(cosine(F.col("v"), F.col("nv")), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KNN_GRAPH_K)
+    )
+
+
+def _knn_graph_sql() -> str:
+    from spark_app_twitter_spark.operators.clustering import (
+        kmeans_cells_2level_ctes,
+    )
+
+    parts, final = kmeans_cells_2level_ctes()
+    chain = ",\n".join(parts)
+    return f"""
+WITH {chain},
+cells2 AS ({final}),
+assigned AS (
+  SELECT c.vec_id, e.v, c.cell FROM cells2 c JOIN emb e USING (vec_id)
+),
+anchors AS (
+  SELECT vec_id AS neighbor_id, v AS nv, cell
+  FROM (SELECT vec_id, v, cell, row_number() OVER (
+          PARTITION BY cell ORDER BY vec_id ASC) AS arank
+        FROM assigned)
+  WHERE arank <= {KNN_GRAPH_CAP}
+),
+scored AS (
+  SELECT b.vec_id, a.neighbor_id,
+         round({cosine_sql('b.v', 'a.nv')}, 6) AS cos_sim
+  FROM assigned b JOIN anchors a
+    ON a.cell = b.cell AND a.neighbor_id <> b.vec_id
+)
+SELECT vec_id, neighbor_id, cos_sim, rank FROM (
+  SELECT vec_id, neighbor_id, cos_sim,
+         CAST(row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {KNN_GRAPH_K}
+"""
+
+
+KNN_GRAPH_SQL = _knn_graph_sql()

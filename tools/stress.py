@@ -300,6 +300,9 @@ STRESS_QUERIES = [
     # (doc, term) combine + term-keyed DF reduce + term join +
     # doc reduce — all keyed exchanges
     "text_rare_token_ratio",
+    # SemDeDup-bound candidate volume (<= n*CAP), one cell-keyed
+    # shuffle, per-vector window over <= CAP rows
+    "sim_knn_graph",
 ]
 
 
