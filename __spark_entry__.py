@@ -196,6 +196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rare_token_ratio": textstats.rare_token_ratio,
         # all-vectors within-cell top-k neighbor graph
         "sim_knn_graph": similarity.knn_graph,
+        # two-partition (cells + LSH buckets) multi-probe kNN graph
+        "sim_knn_graph_multiprobe": similarity.knn_graph_multiprobe,
         # --- 0. added in the round-7 continuation (never attested):
         # sparse BM25 retrieval, DSIR importance weights, margin-based
         # bitext mining, the training-shard manifest, BM25+dense RRF
@@ -556,6 +558,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_threshold_yield": dedup.THRESHOLD_YIELD_SQL,
         "text_rare_token_ratio": textstats.RARE_TOKEN_RATIO_SQL,
         "sim_knn_graph": similarity.KNN_GRAPH_SQL,
+        "sim_knn_graph_multiprobe": similarity.KNN_GRAPH_MULTIPROBE_SQL,
         "retrieval_bm25": retrieval.BM25_RETRIEVE_SQL,
         "text_dsir_weights": textstats.DSIR_WEIGHTS_SQL,
         "sim_bitext_mining": similarity.BITEXT_MINING_IVF_SQL,

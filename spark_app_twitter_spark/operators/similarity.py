@@ -2997,3 +2997,129 @@ SELECT vec_id, neighbor_id, cos_sim, rank FROM (
 
 
 KNN_GRAPH_SQL = _knn_graph_sql()
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe k-NN graph: union the candidates from TWO independent
+# space partitions — the two-level k-means cells and the hyperplane
+# sign buckets — then score once and keep top-k. Cell-only graphs
+# cannot link vectors across a cell boundary no matter how close
+# they are; a second, independently-drawn partition restores exactly
+# those edges (the multi-table LSH / multi-probe IVF recall argument)
+# while keeping candidate volume at the sum of two linear bounds.
+
+
+def knn_graph_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, neighbor_id, cos_sim, rank): top-``KNN_GRAPH_K``
+    neighbors per vector over the UNION of its cell's and its
+    hyperplane-bucket's ``KNN_GRAPH_CAP`` lowest-id anchors.
+
+    Candidate volume is <= n*CAP per partition (the SemDeDup bound,
+    twice); the union dedups on the pair key before the single
+    scoring pass, so no pair is scored twice. Per-vector results
+    dominate the single-partition graph pointwise: the candidate set
+    is a superset of knn_graph's (verified in tests).
+    """
+    from spark_app_twitter_spark.operators.clustering import (
+        kmeans_cells_2level_assigned,
+    )
+
+    assigned = (
+        kmeans_cells_2level_assigned(spark, sf_dir)
+        .select("vec_id", "v", "cell")
+        .withColumn("bucket", F.expr(_bucket_expr_spark("v")))
+        .localCheckpoint(eager=True)
+    )
+
+    def part_pairs(key: str) -> DataFrame:
+        anchors = (
+            assigned.withColumn(
+                "arank",
+                F.row_number().over(
+                    Window.partitionBy(key).orderBy(F.asc("vec_id"))
+                ),
+            )
+            .where(F.col("arank") <= KNN_GRAPH_CAP)
+            .select(F.col("vec_id").alias("neighbor_id"), key)
+        )
+        return (
+            assigned.select("vec_id", key)
+            .join(anchors, key)
+            .where(F.col("vec_id") != F.col("neighbor_id"))
+            .select("vec_id", "neighbor_id")
+        )
+
+    cands = part_pairs("cell").unionByName(part_pairs("bucket")).distinct()
+    ev = assigned.select("vec_id", "v")
+    scored = (
+        cands.join(ev, "vec_id")
+        .join(
+            ev.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("v").alias("nv"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round(cosine(F.col("v"), F.col("nv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= KNN_GRAPH_K
+    )
+
+
+def _knn_graph_multiprobe_sql() -> str:
+    from spark_app_twitter_spark.operators.clustering import (
+        kmeans_cells_2level_ctes,
+    )
+
+    parts, final = kmeans_cells_2level_ctes()
+    chain = ",\n".join(parts)
+
+    def part_sql(key: str) -> str:
+        return f"""
+  SELECT b.vec_id, a.vec_id AS neighbor_id
+  FROM assigned b
+  JOIN (SELECT vec_id, {key} FROM (
+          SELECT vec_id, {key}, row_number() OVER (
+            PARTITION BY {key} ORDER BY vec_id ASC) AS arank
+          FROM assigned)
+        WHERE arank <= {KNN_GRAPH_CAP}) a
+    ON a.{key} = b.{key} AND a.vec_id <> b.vec_id"""
+
+    return f"""
+WITH {chain},
+cells2 AS ({final}),
+assigned AS (
+  SELECT c.vec_id, e.v, c.cell,
+         {_bucket_expr_duckdb('e.v')} AS bucket
+  FROM cells2 c JOIN emb e USING (vec_id)
+),
+cands AS (
+  SELECT DISTINCT vec_id, neighbor_id FROM ({part_sql('cell')}
+  UNION ALL{part_sql('bucket')})
+),
+scored AS (
+  SELECT cd.vec_id, cd.neighbor_id,
+         round({cosine_sql('ev.v', 'en.v')}, 6) AS cos_sim
+  FROM cands cd
+  JOIN assigned ev ON ev.vec_id = cd.vec_id
+  JOIN assigned en ON en.vec_id = cd.neighbor_id
+)
+SELECT vec_id, neighbor_id, cos_sim, rank FROM (
+  SELECT vec_id, neighbor_id, cos_sim,
+         CAST(row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {KNN_GRAPH_K}
+"""
+
+
+KNN_GRAPH_MULTIPROBE_SQL = _knn_graph_multiprobe_sql()

@@ -3738,3 +3738,31 @@ def test_knn_graph_parity_and_neighborhood_invariants(spark, sf_dir):
         assert scores == sorted(scores, reverse=True)
         for e in edges:
             assert cell_of[e.neighbor_id] == cell_of[vid]
+
+
+def test_knn_graph_multiprobe_parity_and_dominance(spark, sf_dir):
+    """Multi-probe graph matches its twin; per-vector best scores
+    DOMINATE the single-partition graph pointwise (its candidate set
+    is a superset), and at least one edge crosses a cell boundary
+    via the bucket partition when the fixtures allow it."""
+    from spark_app_twitter_spark.operators import similarity
+
+    from tests.parity import assert_parity
+
+    df = similarity.knn_graph_multiprobe(spark, sf_dir)
+    assert_parity(
+        df, similarity.KNN_GRAPH_MULTIPROBE_SQL, sf_dir, "knnmp"
+    )
+    mp_best = {
+        r.vec_id: r.cos_sim for r in df.collect() if r.rank == 1
+    }
+    cell_best = {
+        r.vec_id: r.cos_sim
+        for r in similarity.knn_graph(spark, sf_dir).collect()
+        if r.rank == 1
+    }
+    # every vector with a cell edge also has a multiprobe edge, at
+    # least as good
+    for vid, s in cell_best.items():
+        assert vid in mp_best
+        assert mp_best[vid] >= s

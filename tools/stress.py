@@ -303,6 +303,9 @@ STRESS_QUERIES = [
     # SemDeDup-bound candidate volume (<= n*CAP), one cell-keyed
     # shuffle, per-vector window over <= CAP rows
     "sim_knn_graph",
+    # two linear candidate bounds (cells + buckets), pair-key dedup,
+    # one scoring pass
+    "sim_knn_graph_multiprobe",
 ]
 
 
