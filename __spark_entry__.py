@@ -198,6 +198,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_graph": similarity.knn_graph,
         # two-partition (cells + LSH buckets) multi-probe kNN graph
         "sim_knn_graph_multiprobe": similarity.knn_graph_multiprobe,
+        # dedup governance: mean quality all/survivors/dropped
+        "dedup_quality_lift": dedup.quality_lift,
+        # daily new-vs-returning active-user split
+        "serving_new_vs_returning": serving.new_vs_returning,
         # --- 0. added in the round-7 continuation (never attested):
         # sparse BM25 retrieval, DSIR importance weights, margin-based
         # bitext mining, the training-shard manifest, BM25+dense RRF
@@ -559,6 +563,8 @@ def oracle_sql() -> dict[str, str]:
         "text_rare_token_ratio": textstats.RARE_TOKEN_RATIO_SQL,
         "sim_knn_graph": similarity.KNN_GRAPH_SQL,
         "sim_knn_graph_multiprobe": similarity.KNN_GRAPH_MULTIPROBE_SQL,
+        "dedup_quality_lift": dedup.QUALITY_LIFT_SQL,
+        "serving_new_vs_returning": serving.NEW_VS_RETURNING_SQL,
         "retrieval_bm25": retrieval.BM25_RETRIEVE_SQL,
         "text_dsir_weights": textstats.DSIR_WEIGHTS_SQL,
         "sim_bitext_mining": similarity.BITEXT_MINING_IVF_SQL,

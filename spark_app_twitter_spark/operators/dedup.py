@@ -2169,3 +2169,91 @@ SELECT CAST(th.threshold_pct AS INT) AS threshold_pct,
        coalesce(agg.n_docs_dropped, CAST(0 AS BIGINT)) AS n_docs_dropped
 FROM th LEFT JOIN agg USING (threshold_pct)
 """
+
+
+# ---------------------------------------------------------------------------
+# Dedup quality lift — the governance number that justifies (or
+# indicts) a dedup stage: does removing near-duplicates RAISE the
+# surviving corpus's mean quality? Three-cohort comparison (all /
+# survivors / dropped) in integer micro units.
+
+
+def quality_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cohort, n_docs, mean_q_micro): mean composite quality score
+    (textstats.quality_score_expr, in exact integer micro: floor of
+    sum(round(q * 1e6)) / n) for the whole corpus, the near-dup
+    cluster survivors, and the dropped documents.
+
+    Scale shape: one map-side quality projection joined doc_id-keyed
+    to the O(n) lsh_clusters relation; two grouped aggregates (one
+    2-key, one grand-total) over the same joined scan; output is a
+    fixed 3-row table.
+    """
+    from spark_app_twitter_spark.operators.textstats import (
+        quality_score_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.round(quality_score_expr(F.split("text", " ")) * F.lit(1e6))
+        .cast("long")
+        .alias("qq"),
+    )
+    j = scored.join(
+        lsh_clusters(spark, sf_dir).select("doc_id", "is_survivor"),
+        "doc_id",
+    ).localCheckpoint(eager=False)  # both aggregates read it
+    by = j.groupBy("is_survivor").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("qq").alias("sq")
+    )
+    cohorts = by.select(
+        F.when(F.col("is_survivor"), F.lit("survivors"))
+        .otherwise(F.lit("dropped"))
+        .alias("cohort"),
+        "n_docs",
+        "sq",
+    ).unionByName(
+        j.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("qq").alias("sq")
+        ).select(F.lit("all").alias("cohort"), "n_docs", "sq")
+    )
+    return cohorts.select(
+        "cohort",
+        "n_docs",
+        F.expr("CAST(sq DIV n_docs AS BIGINT)").alias("mean_q_micro"),
+    )
+
+
+def _quality_lift_sql() -> str:
+    from spark_app_twitter_spark.operators.textstats import (
+        quality_score_sql,
+    )
+
+    qq = (
+        f"CAST(round({quality_score_sql('string_split(text, chr(32))')}"
+        f" * 1e6) AS BIGINT)"
+    )
+    return f"""
+WITH clusters AS ({LSH_CLUSTERS_SQL}),
+scored AS (
+  SELECT doc_id, {qq} AS qq FROM documents
+),
+j AS (
+  SELECT s.qq, c.is_survivor
+  FROM scored s JOIN clusters c USING (doc_id)
+),
+by_c AS (
+  SELECT CASE WHEN is_survivor THEN 'survivors' ELSE 'dropped' END
+           AS cohort,
+         count(*) AS n_docs, CAST(sum(qq) AS BIGINT) AS sq
+  FROM j GROUP BY 1
+  UNION ALL
+  SELECT 'all', count(*), CAST(sum(qq) AS BIGINT) FROM j
+)
+SELECT cohort, n_docs, CAST(sq // n_docs AS BIGINT) AS mean_q_micro
+FROM by_c
+"""
+
+
+QUALITY_LIFT_SQL = _quality_lift_sql()

@@ -1700,3 +1700,59 @@ SELECT CAST(decile AS INT) AS decile, n_users, n_events,
             AS BIGINT) AS cum_share_bp
 FROM by_dec CROSS JOIN tot
 """
+
+
+# ---------------------------------------------------------------------------
+# New vs returning daily actives — the growth-accounting split every
+# engagement dashboard leads with.
+
+
+def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, new_users, returning_users): per calendar day, active
+    users seen for the first time that day vs users active on an
+    earlier day too. new + returning = that day's DAU.
+
+    Scale shape: one (day, user) distinct, one user_id-keyed min
+    reduce for the first-seen day, one user_id join back, one
+    day-keyed reduce — every exchange keyed, output |days| rows.
+    """
+    du = (
+        load_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)  # first-seen + join both read it
+    )
+    first = du.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        du.join(first, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(
+                F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("new_users"),
+            F.sum(
+                F.when(F.col("day") != F.col("first_day"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("returning_users"),
+        )
+    )
+
+
+NEW_VS_RETURNING_SQL = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+first AS (
+  SELECT user_id, min(day) AS first_day FROM du GROUP BY user_id
+)
+SELECT day,
+       CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS new_users,
+       CAST(sum(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS returning_users
+FROM du JOIN first USING (user_id)
+GROUP BY day
+"""

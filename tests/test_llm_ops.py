@@ -3766,3 +3766,58 @@ def test_knn_graph_multiprobe_parity_and_dominance(spark, sf_dir):
     for vid, s in cell_best.items():
         assert vid in mp_best
         assert mp_best[vid] >= s
+
+
+def test_quality_lift_parity_and_cohort_accounting(spark, sf_dir):
+    """Quality lift matches the twin; the three cohorts account
+    exactly (all = survivors + dropped, both in docs and in summed
+    micro-quality up to the floor of each mean)."""
+    from spark_app_twitter_spark.operators import dedup
+
+    from tests.parity import assert_parity
+
+    df = dedup.quality_lift(spark, sf_dir)
+    assert_parity(df, dedup.QUALITY_LIFT_SQL, sf_dir, "qlift")
+    rows = {r.cohort: r for r in df.collect()}
+    assert set(rows) == {"all", "survivors", "dropped"}
+    assert (
+        rows["all"].n_docs
+        == rows["survivors"].n_docs + rows["dropped"].n_docs
+    )
+    for r in rows.values():
+        assert 0 <= r.mean_q_micro <= 1_000_000
+
+
+def test_new_vs_returning_parity_and_dau_identity(spark, sf_dir):
+    """Split matches the twin; per-day new+returning equals the
+    day's distinct actives; the first day is all-new; every user is
+    new exactly once across the horizon."""
+    from spark_app_twitter_spark.operators import serving
+
+    from tests.parity import assert_parity
+
+    df = serving.new_vs_returning(spark, sf_dir)
+    assert_parity(df, serving.NEW_VS_RETURNING_SQL, sf_dir, "nvr")
+    rows = sorted(df.collect(), key=lambda r: r.day)
+    assert rows[0].returning_users == 0
+    from spark_app_twitter_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    dau = {
+        r.day: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.new_users for r in rows) == n_users
+    for r in rows:
+        assert r.new_users + r.returning_users == dau[r.day]

@@ -306,6 +306,11 @@ STRESS_QUERIES = [
     # two linear candidate bounds (cells + buckets), pair-key dedup,
     # one scoring pass
     "sim_knn_graph_multiprobe",
+    # quality projection + doc_id join to the O(n) cluster relation
+    # (noop: fixed 3-row output is count-prunable)
+    "dedup_quality_lift",
+    # (day, user) distinct + user-keyed first-seen reduce + day reduce
+    "serving_new_vs_returning",
 ]
 
 
