@@ -586,3 +586,71 @@ def test_lsh_clusters_capped_and_bucket_joined(spark, sf_dir):
     plan = E.executed_plan(dedup.lsh_clusters(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --------------------------------------------------- round 8 continuation
+
+
+def test_coreset_kcenter_zero_data_shuffle(spark, sf_dir):
+    """Farthest-point traversal must never shuffle the data side:
+    every round is a 1-row broadcast join (map-side min-dist update)
+    plus a distributed top-1, and the per-round checkpoints truncate
+    to a plan with NO exchanges at all."""
+    from spark_app_twitter_spark.operators import similarity
+
+    df = similarity.coreset_kcenter(spark, sf_dir)
+    plan = E.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert E.num_shuffles(df) == 0
+
+
+def test_chunk_dedup_digest_keyed_no_allpairs(spark, sf_dir):
+    """Chunk dedup is the exact-dedup discipline: every exchange is
+    keyed on the digest or the media id — no cartesian, no broadcast
+    nested loop, no corpus-pairwise stage."""
+    from spark_app_twitter_spark.operators import multimodal
+
+    df = multimodal.chunk_dedup(spark, sf_dir)
+    plan = E.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(digest" in plan
+
+
+def test_kcore_rounds_checkpointed_single_live_exchange(spark, sf_dir):
+    """Per-round localCheckpoint must truncate the peel lineage: the
+    final composed plan carries only the last degree reduce (one
+    src-keyed exchange), not the whole round chain."""
+    from spark_app_twitter_spark.operators import graph
+
+    df = graph.kcore(spark, sf_dir)
+    plan = E.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert E.num_shuffles(df) == 1
+    assert "hashpartitioning(src" in plan
+
+
+def test_power_users_reduces_on_user_before_windows(spark, sf_dir):
+    """The decile table aggregates events user_id-keyed FIRST; the
+    ntile/cumulative windows and the grand-total broadcast run on the
+    |users|-sized (then 10-row) aggregates only."""
+    from spark_app_twitter_spark.operators import serving
+
+    df = serving.power_users(spark, sf_dir)
+    plan = E.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_knn_graph_cell_keyed_and_vector_windowed(spark, sf_dir):
+    """The kNN graph's only exchanges are the cell-keyed candidate
+    join and the per-vector (<= CAP rows) top-k window — never a
+    cartesian or an unkeyed pairwise stage."""
+    from spark_app_twitter_spark.operators import similarity
+
+    df = similarity.knn_graph(spark, sf_dir)
+    plan = E.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(cell" in plan
+    assert "hashpartitioning(vec_id" in plan
