@@ -2574,25 +2574,34 @@ MMR_K = 5  # diversified picks per query
 MMR_LAMBDA10 = 7  # lambda = 0.7, kept as exact tenths
 
 
-def _mmr_cand(spark: SparkSession, sf_dir: str):
-    """Shortlist (query_id, neighbor_id, rel_micro) and its pairwise
-    similarity table (query_id, a, b, sim_micro), all integer-micro
-    quantized (floor(cos*1e6+0.5))."""
-    q, c = _queries_and_cands(spark, sf_dir)
-    rel = F.floor(
+def _mmr_rel_micro() -> F.Column:
+    return F.floor(
         cosine(F.col("qv"), F.col("cv")) * F.lit(1000000.0) + F.lit(0.5)
     ).cast("long")
+
+
+def _mmr_shortlist(pairs: DataFrame) -> DataFrame:
+    """Top-MMR_M shortlist (query_id, neighbor_id, rel_micro) from
+    any (query_id, qv, neighbor_id, cv) candidate frame — the seam
+    that lets the brute and IVF shortlists share everything after
+    candidate generation."""
     w = Window.partitionBy("query_id").orderBy(
         F.desc("rel_micro"), F.asc("neighbor_id")
     )
-    cand = (
-        c.crossJoin(F.broadcast(q))
-        .select("query_id", "neighbor_id", rel.alias("rel_micro"))
+    return (
+        pairs.select(
+            "query_id", "neighbor_id", _mmr_rel_micro().alias("rel_micro")
+        )
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= MMR_M)
         .drop("rn")
         .localCheckpoint(eager=False)
     )
+
+
+def _mmr_pairs(spark: SparkSession, sf_dir: str, cand: DataFrame):
+    """The shortlist's pairwise similarity table (query_id, a, b,
+    sim_micro) — M^2 rows per query, integer-micro quantized."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
     )
@@ -2602,7 +2611,7 @@ def _mmr_cand(spark: SparkSession, sf_dir: str):
     sim = F.floor(
         cosine(F.col("av"), F.col("bv")) * F.lit(1000000.0) + F.lit(0.5)
     ).cast("long")
-    pairs = (
+    return (
         ce.selectExpr("query_id", "neighbor_id AS a", "cv AS av")
         .join(
             ce.selectExpr("query_id", "neighbor_id AS b", "cv AS bv"),
@@ -2612,7 +2621,14 @@ def _mmr_cand(spark: SparkSession, sf_dir: str):
         .select("query_id", "a", "b", sim.alias("sim_micro"))
         .localCheckpoint(eager=False)
     )
-    return cand, pairs
+
+
+def _mmr_cand(spark: SparkSession, sf_dir: str):
+    """Brute-shortlist variant: broadcast queries x all candidates
+    (the knn_bruteforce plan), then the shared pair table."""
+    q, c = _queries_and_cands(spark, sf_dir)
+    cand = _mmr_shortlist(c.crossJoin(F.broadcast(q)))
+    return cand, _mmr_pairs(spark, sf_dir, cand)
 
 
 def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2633,6 +2649,12 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF shortlist for the 100-TB path without touching the rerank.
     """
     cand, pairs = _mmr_cand(spark, sf_dir)
+    return _mmr_greedy(cand, pairs)
+
+
+def _mmr_greedy(cand: DataFrame, pairs: DataFrame) -> DataFrame:
+    """The fixed-step integer greedy shared by every shortlist
+    source (brute, IVF)."""
     w = Window.partitionBy("query_id").orderBy(
         F.desc("mmr"), F.asc("neighbor_id")
     )
@@ -2675,15 +2697,17 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _mmr_rerank_sql() -> str:
+def _mmr_steps_sql(pairs_name: str = "pairs") -> tuple[str, str]:
+    """(chain, union_all) of the fixed greedy CTE steps, run against
+    a shortlist CTE named ``cand`` and a pairwise-similarity CTE
+    named ``pairs_name`` — shared by the brute and IVF twins."""
     steps = []
-    prev_sel = "s1"
     for t in range(2, MMR_K + 1):
         steps.append(
             f"""sel{t-1} AS ({' UNION ALL '.join(f'SELECT * FROM s{i}' for i in range(1, t))}),
 pen{t} AS (
   SELECT p.query_id, p.a AS neighbor_id, max(p.sim_micro) AS pen
-  FROM pairs p JOIN sel{t-1} s
+  FROM {pairs_name} p JOIN sel{t-1} s
     ON s.query_id = p.query_id AND s.neighbor_id = p.b
   GROUP BY p.query_id, p.a
 ),
@@ -2703,11 +2727,15 @@ s{t} AS (
   ) WHERE rn = 1
 )"""
         )
-        prev_sel = f"s{t}"
     chain = ",\n".join(steps)
     union_all = " UNION ALL ".join(
         f"SELECT * FROM s{i}" for i in range(1, MMR_K + 1)
     )
+    return chain, union_all
+
+
+def _mmr_rerank_sql() -> str:
+    chain, union_all = _mmr_steps_sql()
     return f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings
@@ -2756,6 +2784,69 @@ JOIN cand USING (query_id, neighbor_id)
 
 
 MMR_RERANK_SQL = _mmr_rerank_sql()
+
+
+def mmr_rerank_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR over the IVF-PROBED shortlist — the 100-TB serving path:
+    instead of the brute shortlist's full candidate scan per query,
+    candidates come from the probed fine cells of the shared
+    two-level index (ivf_probe_pairs, the same stage knn_ivf serves
+    from), then the IDENTICAL fixed greedy runs. Same columns, same
+    recurrence; results may differ from the exact variant only where
+    probing excludes a true top-M neighbor (the standard IVF recall
+    trade, audited by sim_ann_recall_audit)."""
+    cand = _mmr_shortlist(
+        ivf_probe_pairs(spark, sf_dir, _query_frame(spark, sf_dir))
+    )
+    return _mmr_greedy(cand, _mmr_pairs(spark, sf_dir, cand))
+
+
+def _mmr_rerank_ivf_sql() -> str:
+    # cand/npairs are MATERIALIZED: the greedy chain references cand
+    # in every step, and DuckDB re-inlines plain CTEs — on top of the
+    # full two-level Lloyd replay that inlining is exponential.
+    chain, union_all = _mmr_steps_sql(pairs_name="npairs")
+    return f"""
+{_ivf_pairs_sql()},
+cand AS MATERIALIZED (
+  SELECT query_id, neighbor_id, rel_micro FROM (
+    SELECT query_id, neighbor_id,
+           CAST(floor({cosine_sql('qv', 'cv')} * 1000000.0 + 0.5)
+                AS BIGINT) AS rel_micro,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY CAST(floor({cosine_sql('qv', 'cv')} * 1000000.0
+                           + 0.5) AS BIGINT) DESC, neighbor_id) AS rn
+    FROM pairs
+  ) WHERE rn <= {MMR_M}
+),
+npairs AS MATERIALIZED (
+  SELECT ca.query_id, ca.neighbor_id AS a, cb.neighbor_id AS b,
+         CAST(floor({cosine_sql('ea.embedding', 'eb.embedding')}
+              * 1000000.0 + 0.5) AS BIGINT) AS sim_micro
+  FROM cand ca
+  JOIN cand cb ON ca.query_id = cb.query_id
+              AND ca.neighbor_id <> cb.neighbor_id
+  JOIN embeddings ea ON ea.vec_id = ca.neighbor_id
+  JOIN embeddings eb ON eb.vec_id = cb.neighbor_id
+),
+s1 AS (
+  SELECT query_id, neighbor_id, 1 AS mmr_rank FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel_micro DESC, neighbor_id) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+{chain}
+SELECT sel.query_id, sel.neighbor_id,
+       CAST(sel.mmr_rank AS INT) AS mmr_rank, cand.rel_micro
+FROM ({union_all}) sel
+JOIN cand USING (query_id, neighbor_id)
+"""
+
+
+MMR_RERANK_IVF_SQL = _mmr_rerank_ivf_sql()
 
 
 # ---------------------------------------------------------------------------

@@ -3821,3 +3821,33 @@ def test_new_vs_returning_parity_and_dau_identity(spark, sf_dir):
     assert sum(r.new_users for r in rows) == n_users
     for r in rows:
         assert r.new_users + r.returning_users == dau[r.day]
+
+
+def test_mmr_rerank_ivf_parity_and_shortlist_containment(spark, sf_dir):
+    """IVF-shortlist MMR matches its full-replay twin; picks per
+    query are distinct with dense ranks; every pick is inside the
+    query's probed candidate set (the recall trade is the probe's,
+    never the rerank's)."""
+    from spark_app_twitter_spark.operators import similarity
+
+    from tests.parity import assert_parity
+
+    df = similarity.mmr_rerank_ivf(spark, sf_dir)
+    assert_parity(df, similarity.MMR_RERANK_IVF_SQL, sf_dir, "mmrivf")
+    by_q = {}
+    for r in df.collect():
+        by_q.setdefault(r.query_id, []).append(r)
+    probed = {}
+    for r in (
+        similarity.ivf_probe_pairs(
+            spark, sf_dir, similarity._query_frame(spark, sf_dir)
+        )
+        .select("query_id", "neighbor_id")
+        .collect()
+    ):
+        probed.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for qid, picks in by_q.items():
+        assert sorted(p.mmr_rank for p in picks) == list(
+            range(1, similarity.MMR_K + 1)
+        )
+        assert {p.neighbor_id for p in picks} <= probed[qid]

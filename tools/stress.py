@@ -311,6 +311,9 @@ STRESS_QUERIES = [
     "dedup_quality_lift",
     # (day, user) distinct + user-keyed first-seen reduce + day reduce
     "serving_new_vs_returning",
+    # probed-cell shortlist + the same k-bounded greedy (noop:
+    # constant 25-row final is count-prunable)
+    "sim_mmr_rerank_ivf",
 ]
 
 
