@@ -430,11 +430,15 @@ def _kcore_sql() -> str:
     rounds = []
     prev = "e"
     for i in range(1, KCORE_ITERS + 1):
+        # e{i}/k{i} MATERIALIZED: each round references the previous
+        # edge relation twice (degree + both endpoint semi-joins);
+        # DuckDB re-inlines plain CTEs, making R rounds exponential
+        # over the capped-pairs chain without the hint.
         rounds.append(
-            f"""k{i} AS (
+            f"""k{i} AS MATERIALIZED (
   SELECT src FROM {prev} GROUP BY src HAVING count(*) >= {KCORE_K}
 ),
-e{i} AS (
+e{i} AS MATERIALIZED (
   SELECT a.src, a.dst FROM {prev} a
   JOIN k{i} s ON s.src = a.src
   JOIN k{i} d ON d.src = a.dst

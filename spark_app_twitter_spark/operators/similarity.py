@@ -2944,10 +2944,13 @@ def _coreset_kcenter_sql() -> str:
             f"AS BIGINT))"
         )
 
+    # st{t} CTEs are MATERIALIZED: each is referenced by both the
+    # next pick and the next state update, and DuckDB re-inlines
+    # plain CTEs — without the hint the chain re-executes 2^K times.
     ctes = [
         "e AS (SELECT vec_id, embedding FROM embeddings)",
         "p1 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1)",
-        f"""st1 AS (
+        f"""st1 AS MATERIALIZED (
   SELECT e.vec_id, e.embedding, {d('e.embedding', 'p1.embedding')} AS mind
   FROM e CROSS JOIN p1
 )""",
@@ -2966,7 +2969,7 @@ def _coreset_kcenter_sql() -> str:
         if t == CORESET_K:
             break
         ctes.append(
-            f"""st{t} AS (
+            f"""st{t} AS MATERIALIZED (
   SELECT s.vec_id, s.embedding,
          least(s.mind, {d('s.embedding', f'p{t}.embedding')}) AS mind
   FROM st{t-1} s CROSS JOIN p{t}
