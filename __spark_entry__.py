@@ -204,6 +204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_new_vs_returning": serving.new_vs_returning,
         # MMR rerank over the IVF-probed shortlist (the scale path)
         "sim_mmr_rerank_ivf": similarity.mmr_rerank_ivf,
+        # signup->purchase conversion-latency quartiles
+        "serving_time_to_convert": serving.time_to_convert,
         # --- 0. added in the round-7 continuation (never attested):
         # sparse BM25 retrieval, DSIR importance weights, margin-based
         # bitext mining, the training-shard manifest, BM25+dense RRF
@@ -568,6 +570,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_quality_lift": dedup.QUALITY_LIFT_SQL,
         "serving_new_vs_returning": serving.NEW_VS_RETURNING_SQL,
         "sim_mmr_rerank_ivf": similarity.MMR_RERANK_IVF_SQL,
+        "serving_time_to_convert": serving.TIME_TO_CONVERT_SQL,
         "retrieval_bm25": retrieval.BM25_RETRIEVE_SQL,
         "text_dsir_weights": textstats.DSIR_WEIGHTS_SQL,
         "sim_bitext_mining": similarity.BITEXT_MINING_IVF_SQL,

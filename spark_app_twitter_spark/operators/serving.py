@@ -1756,3 +1756,73 @@ SELECT day,
 FROM du JOIN first USING (user_id)
 GROUP BY day
 """
+
+
+# ---------------------------------------------------------------------------
+# Time-to-convert — the latency distribution of the signup->purchase
+# funnel: not just WHO converts (signup_purchase_funnel) but HOW
+# LONG conversion takes, the number that prices onboarding friction.
+
+
+def time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_converted, p25_s, p50_s, p75_s, max_s): exact quartiles and
+    max of per-user conversion latency in whole seconds — first
+    purchase at-or-after the user's FIRST signup, minus that signup.
+
+    Scale shape: two user_id-keyed min-reduces (first signup; first
+    qualifying purchase via a user_id equi-join that carries only
+    epoch integers), then one single-row exact-percentile aggregate
+    over the |converted-users| relation (percentile_approx at
+    unbounded scale, same call shape — the value_percentiles note).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(epoch_us(F.col("ts"))).alias("s_us"))
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", epoch_us(F.col("ts")).alias("p_us")
+    )
+    conv = (
+        s.join(p, "user_id")
+        .where(F.col("p_us") >= F.col("s_us"))
+        .groupBy("user_id", "s_us")
+        .agg(F.min("p_us").alias("p_us"))
+        .select(
+            F.expr("CAST((p_us - s_us) DIV 1000000L AS BIGINT)").alias(
+                "delta_s"
+            )
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(delta_s, 0.25)"), 6).alias("p25_s"),
+        F.round(F.expr("percentile(delta_s, 0.5)"), 6).alias("p50_s"),
+        F.round(F.expr("percentile(delta_s, 0.75)"), 6).alias("p75_s"),
+        F.max("delta_s").alias("max_s"),
+    )
+
+
+TIME_TO_CONVERT_SQL = """
+WITH s AS (
+  SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS s_us
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+  FROM events WHERE event_type = 'purchase'
+),
+conv AS (
+  SELECT CAST((min(p.p_us) - s.s_us) // 1000000 AS BIGINT) AS delta_s
+  FROM s JOIN p USING (user_id)
+  WHERE p.p_us >= s.s_us
+  GROUP BY s.user_id, s.s_us
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       round(quantile_cont(delta_s, 0.25), 6) AS p25_s,
+       round(quantile_cont(delta_s, 0.50), 6) AS p50_s,
+       round(quantile_cont(delta_s, 0.75), 6) AS p75_s,
+       CAST(max(delta_s) AS BIGINT) AS max_s
+FROM conv
+"""

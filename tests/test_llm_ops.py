@@ -3851,3 +3851,24 @@ def test_mmr_rerank_ivf_parity_and_shortlist_containment(spark, sf_dir):
             range(1, similarity.MMR_K + 1)
         )
         assert {p.neighbor_id for p in picks} <= probed[qid]
+
+
+def test_time_to_convert_parity_and_funnel_consistency(spark, sf_dir):
+    """Latency quartiles match the twin; quartiles are ordered and
+    bounded by max; the converted-user count is >= the 1-hour
+    funnel's (every within-an-hour converter converts eventually)."""
+    from spark_app_twitter_spark.operators import serving
+
+    from tests.parity import assert_parity
+
+    df = serving.time_to_convert(spark, sf_dir)
+    assert_parity(df, serving.TIME_TO_CONVERT_SQL, sf_dir, "ttc")
+    r = df.collect()[0]
+    assert 0 <= r.p25_s <= r.p50_s <= r.p75_s <= r.max_s
+    funnel = serving.signup_purchase_funnel(spark, sf_dir).collect()
+    converted_1h = next(
+        (x.n_users for x in funnel if getattr(x, "stage", "") == "converted"),
+        None,
+    )
+    if converted_1h is not None:
+        assert r.n_converted >= converted_1h

@@ -314,6 +314,9 @@ STRESS_QUERIES = [
     # probed-cell shortlist + the same k-bounded greedy (noop:
     # constant 25-row final is count-prunable)
     "sim_mmr_rerank_ivf",
+    # two user-keyed min reduces + one single-row percentile agg
+    # (noop: 1-row final is count-prunable)
+    "serving_time_to_convert",
 ]
 
 
