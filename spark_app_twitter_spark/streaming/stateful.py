@@ -147,3 +147,58 @@ def token_budget_admission(docs: DataFrame, budget: int) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Third stateful shape: per-key FIRST-SEEN detection — the streaming
+# half of serving.new_vs_returning. State is one string (the user's
+# first active day); each (user, day) touch emits whether that day is
+# the user's first. With day-ordered arrival (the micro-batch replay
+# contract) the stream's per-day new/returning counts equal the batch
+# query exactly; out-of-order arrival shifts "new" to the earliest
+# SEEN day — the documented watermark-less trade.
+
+FIRST_SEEN_STATE_SCHEMA = T.StructType(
+    [T.StructField("first_day", T.StringType())]
+)
+
+FIRST_SEEN_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("day", T.StringType()),
+        T.StructField("is_new", T.BooleanType()),
+    ]
+)
+
+
+def _first_seen(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    first = state.get[0] if state.exists else None
+    whole = pd.concat(list(pdfs), ignore_index=True)
+    days = sorted(set(whole["day"].astype(str)))
+    out = {"user_id": [], "day": [], "is_new": []}
+    for d in days:
+        if first is None:
+            first = d
+        out["user_id"].append(int(key[0]))
+        out["day"].append(d)
+        out["is_new"].append(d == first)
+    state.update((first,))
+    yield pd.DataFrame(out)
+
+
+def first_seen_users(events: DataFrame) -> DataFrame:
+    """Streaming events (user_id long, day string) -> one row per
+    (user, day) touched per micro-batch with the new/returning
+    verdict. State is ONE string per user — checkpointed, so
+    restarts keep every user's first-seen day and replays of a
+    committed batch re-emit identical verdicts.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _first_seen,
+        outputStructType=FIRST_SEEN_OUTPUT_SCHEMA,
+        stateStructType=FIRST_SEEN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

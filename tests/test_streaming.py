@@ -1729,3 +1729,80 @@ def test_streaming_mongo_sink_ep2_ep3_wiring(spark, tmp_path):
         for r in back.groupBy("topic").agg(F.max("n").alias("n")).collect()
     }
     assert latest == expected and sum(latest.values()) == 60
+
+
+def test_stateful_first_seen_matches_batch_new_vs_returning(
+    spark, sf_dir, tmp_path
+):
+    """The streaming first-seen detector, replayed day-ordered over
+    the events corpus (one micro-batch per day), aggregates to
+    exactly serving.new_vs_returning's per-day split."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from spark_app_twitter_spark.operators import serving
+    from spark_app_twitter_spark.sources.parquet import load_table
+    from spark_app_twitter_spark.streaming.stateful import first_seen_users
+
+    du = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("user_id"),
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .distinct()
+        .collect()
+    )
+    by_day = {}
+    for r in du:
+        by_day.setdefault(r.day, []).append(r.user_id)
+    src = str(tmp_path / "days")
+    _os.makedirs(src)
+    import time as _time
+
+    base = int(_time.time()) - 86400
+    for i, d in enumerate(sorted(by_day)):
+        path = _os.path.join(src, f"b{i:03d}.json")
+        with open(path, "w") as f:
+            for u in by_day[d]:
+                f.write(_json.dumps({"user_id": u, "day": d}) + "\n")
+        # FileStreamSource orders micro-batches by MODIFICATION TIME,
+        # not name — files written in one fast loop share an mtime and
+        # arrive in undefined order; pin strictly increasing mtimes so
+        # the replay is day-ordered (the contract the detector states)
+        _os.utime(path, (base + i, base + i))
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("day", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        first_seen_users(stream)
+        .writeStream.format("memory")
+        .queryName("first_seen_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = {}
+    for r in spark.sql("SELECT * FROM first_seen_sink").collect():
+        n, ret = streamed.get(r.day, (0, 0))
+        streamed[r.day] = (
+            (n + 1, ret) if r.is_new else (n, ret + 1)
+        )
+    batch = {
+        r.day.strftime("%Y-%m-%d"): (r.new_users, r.returning_users)
+        for r in serving.new_vs_returning(spark, sf_dir).collect()
+    }
+    assert streamed == batch
