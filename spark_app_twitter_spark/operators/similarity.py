@@ -3217,3 +3217,119 @@ SELECT vec_id, neighbor_id, cos_sim, rank FROM (
 
 
 KNN_GRAPH_MULTIPROBE_SQL = _knn_graph_multiprobe_sql()
+
+
+# ---------------------------------------------------------------------------
+# One NN-descent round (Dong et al. 2011) over the multi-probe graph:
+# "a neighbor of my neighbor is probably my neighbor". Candidates =
+# current edges  ∪  reversed edges  ∪  2-hop paths through the union
+# graph; score once; keep top-k. Each round multiplies candidate
+# volume by at most k (2-hop fan-out is k^2 per vector, k·n total
+# new pairs), and recall can only improve — per-vector results
+# dominate the input graph pointwise (asserted in tests).
+
+
+def knn_graph_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, neighbor_id, cos_sim, rank): top-``KNN_GRAPH_K``
+    after one NN-descent round seeded by the multi-probe graph.
+
+    Scale shape: the seed graph is n*k rows; reversal is a column
+    swap; the 2-hop expansion is one self-join keyed on the shared
+    middle vertex (<= n*k^2 candidate rows); pair-key dedup, then
+    ONE scoring pass (two vec_id-keyed embedding joins) and the
+    per-vector top-k window. No stage touches more than n*k^2 rows
+    — corpus-linear for fixed k.
+    """
+    seed = (
+        knn_graph_multiprobe(spark, sf_dir)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    undirected = seed.unionByName(
+        seed.select(
+            F.col("neighbor_id").alias("vec_id"),
+            F.col("vec_id").alias("neighbor_id"),
+        )
+    )
+    two_hop = (
+        undirected.selectExpr("vec_id", "neighbor_id AS mid")
+        .join(
+            undirected.selectExpr(
+                "vec_id AS mid", "neighbor_id AS neighbor_id"
+            ),
+            "mid",
+        )
+        .select("vec_id", "neighbor_id")
+    )
+    cands = (
+        undirected.unionByName(two_hop)
+        .where(F.col("vec_id") != F.col("neighbor_id"))
+        .distinct()
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    scored = (
+        cands.join(emb, "vec_id")
+        .join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("v").alias("nv"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round(cosine(F.col("v"), F.col("nv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= KNN_GRAPH_K
+    )
+
+
+def _knn_graph_refine_sql() -> str:
+    # seed MATERIALIZED: referenced four times (two union branches,
+    # both sides of the 2-hop join) on top of the full Lloyd replay —
+    # plain-CTE inlining would re-run the whole multiprobe chain each
+    # time (the coreset/k-core lesson).
+    mp = KNN_GRAPH_MULTIPROBE_SQL.strip()
+    return f"""
+WITH seed AS MATERIALIZED (
+  SELECT vec_id, neighbor_id FROM ({mp})
+),
+undirected AS MATERIALIZED (
+  SELECT vec_id, neighbor_id FROM seed
+  UNION ALL
+  SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM seed
+),
+cands AS (
+  SELECT DISTINCT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id FROM undirected
+    UNION ALL
+    SELECT a.vec_id, b.neighbor_id
+    FROM undirected a JOIN undirected b ON a.neighbor_id = b.vec_id
+  ) WHERE vec_id <> neighbor_id
+),
+scored AS (
+  SELECT cd.vec_id, cd.neighbor_id,
+         round({cosine_sql('ev.embedding', 'en.embedding')}, 6) AS cos_sim
+  FROM cands cd
+  JOIN embeddings ev ON ev.vec_id = cd.vec_id
+  JOIN embeddings en ON en.vec_id = cd.neighbor_id
+)
+SELECT vec_id, neighbor_id, cos_sim, rank FROM (
+  SELECT vec_id, neighbor_id, cos_sim,
+         CAST(row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {KNN_GRAPH_K}
+"""
+
+
+KNN_GRAPH_REFINE_SQL = _knn_graph_refine_sql()

@@ -317,6 +317,9 @@ STRESS_QUERIES = [
     # two user-keyed min reduces + one single-row percentile agg
     # (noop: 1-row final is count-prunable)
     "serving_time_to_convert",
+    # seed graph + mid-keyed 2-hop self-join (<= n*k^2 rows) + one
+    # scoring pass
+    "sim_knn_graph_refine",
 ]
 
 
