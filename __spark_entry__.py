@@ -430,7 +430,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # dedup_span_stats, text_bigram_lm_score, text_weighted_sample,
 # text_ngram_diversity, sim_embedding_covariance, serving_weekly_active,
 # ...) head the round-9 window; each keeps a local DuckDB parity test
-# in CI and is sweep-green at sf0.01.
+# in CI and is sweep-green at sf0.01. The operators added AFTER this
+# rotation (registry positions 50+: sim_coreset_kcenter,
+# multimodal_chunk_dedup, serving_power_users, graph_kcore,
+# dedup_threshold_yield, text_rare_token_ratio, sim_knn_graph,
+# sim_knn_graph_multiprobe, dedup_quality_lift,
+# serving_new_vs_returning, sim_mmr_rerank_ivf,
+# serving_time_to_convert, sim_knn_graph_refine) join them at the
+# head of the round-9 window — every one is parity-tested in CI and
+# sweep-green at sf0.01 AND sf0.1 this round.
 _R8_WINDOW = (
     "dedup_lsh_clusters",
     "dedup_minhash_lsh_pairs_capped",
