@@ -77,6 +77,11 @@ SHOWCASE = [
     ("sim_knn_pq_adc", "constant-size integer lut broadcast onto 8-byte codes; no float math on the database side"),
     ("retrieval_index_delta", "delta docs only: fingerprint join gates the re-tokenize; (term, doc)-keyed full outer is delta-sized"),
     ("text_perplexity_buckets", "exact terciles with NO global sort: per-score spans + boundary-only tie ranks"),
+    ("sim_coreset_kcenter", "farthest-point traversal: 1-row broadcast min-dist updates + distributed top-1 picks — composes to ZERO exchanges"),
+    ("sim_knn_graph", "all-vectors top-k: cell-keyed candidate join under the SemDeDup linear cap + per-vector window"),
+    ("sim_mmr_rerank", "brute shortlist then k-bounded fixed greedy: every post-shortlist stage touches <= M^2 rows/query"),
+    ("multimodal_chunk_dedup", "binary chunk digests: digest-keyed buckets with DF cap, the exact-dedup discipline on blobs"),
+    ("graph_kcore", "fixed peel rounds: per-round degree reduce + two semi-joins, lineage truncated to ONE live exchange"),
 ]
 
 
