@@ -208,6 +208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_time_to_convert": serving.time_to_convert,
         # one NN-descent round over the multi-probe kNN graph
         "sim_knn_graph_refine": similarity.knn_graph_refine,
+        # delta maintenance: post-update top-k for touched cells only
+        "sim_knn_graph_delta": similarity.knn_graph_delta,
         # --- 0. added in the round-7 continuation (never attested):
         # sparse BM25 retrieval, DSIR importance weights, margin-based
         # bitext mining, the training-shard manifest, BM25+dense RRF
@@ -582,6 +584,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_mmr_rerank_ivf": similarity.MMR_RERANK_IVF_SQL,
         "serving_time_to_convert": serving.TIME_TO_CONVERT_SQL,
         "sim_knn_graph_refine": similarity.KNN_GRAPH_REFINE_SQL,
+        "sim_knn_graph_delta": similarity.KNN_GRAPH_DELTA_SQL,
         "retrieval_bm25": retrieval.BM25_RETRIEVE_SQL,
         "text_dsir_weights": textstats.DSIR_WEIGHTS_SQL,
         "sim_bitext_mining": similarity.BITEXT_MINING_IVF_SQL,

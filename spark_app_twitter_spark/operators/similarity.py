@@ -3024,6 +3024,12 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "v", "cell")
         .localCheckpoint(eager=True)
     )
+    return _cell_topk(assigned)
+
+
+def _cell_topk(assigned: DataFrame) -> DataFrame:
+    """The within-cell top-k core over any (vec_id, v, cell) frame —
+    shared by the full build and the delta-maintenance variant."""
     anchors = (
         assigned.withColumn(
             "arank",
@@ -3333,3 +3339,104 @@ SELECT vec_id, neighbor_id, cos_sim, rank FROM (
 
 
 KNN_GRAPH_REFINE_SQL = _knn_graph_refine_sql()
+
+
+# ---------------------------------------------------------------------------
+# Delta maintenance of the kNN graph — the CDC discipline
+# (retrieval_index_delta's) applied to graph construction: when a
+# batch of NEW vectors arrives, only the cells they land in can have
+# changed edges, so the update recomputes the within-cell top-k for
+# touched cells only and leaves every other cell's edges untouched.
+# The index (trained centroids) is fixed; membership updates.
+
+DELTA_NEW_TENTHS = 9  # vec_id * 10 >= (max_id + 1) * 9  =>  "new"
+
+
+def _graph_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_app_twitter_spark.operators.clustering import (
+        kmeans_cells_2level_assigned,
+    )
+
+    return (
+        kmeans_cells_2level_assigned(spark, sf_dir)
+        .select("vec_id", "v", "cell")
+        .localCheckpoint(eager=True)
+    )
+
+
+def knn_graph_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, neighbor_id, cos_sim, rank): the UPDATE SET a kNN
+    graph store applies when the newest tenth of vectors (integer
+    rule: ``vec_id * 10 >= (max_id + 1) * DELTA_NEW_TENTHS``)
+    arrives — the post-update within-cell top-k for every vector in
+    a cell touched by a new vector. Cells no new vector lands in are
+    untouched (their stored edges remain exactly valid — pinned in
+    tests via the merge==rebuild identity).
+
+    Scale shape: delta-sized — assignment of the new batch is the
+    shared inline two-level argmax; the |touched cells| membership
+    semi-join and the top-k recompute run only over touched cells
+    (<= |delta| cells), so update cost tracks the batch, not the
+    corpus.
+    """
+    assigned = _graph_assigned(spark, sf_dir)
+    mx = assigned.agg(F.max("vec_id").alias("mx"))
+    flagged = assigned.crossJoin(F.broadcast(mx)).withColumn(
+        "is_new",
+        F.col("vec_id") * 10 >= (F.col("mx") + 1) * DELTA_NEW_TENTHS,
+    )
+    touched = (
+        flagged.where(F.col("is_new")).select("cell").distinct()
+    )
+    sub = flagged.join(F.broadcast(touched), "cell").select(
+        "vec_id", "v", "cell"
+    )
+    return _cell_topk(sub)
+
+
+def _knn_graph_delta_sql() -> str:
+    from spark_app_twitter_spark.operators.clustering import (
+        kmeans_cells_2level_ctes,
+    )
+
+    parts, final = kmeans_cells_2level_ctes()
+    chain = ",\n".join(parts)
+    return f"""
+WITH {chain},
+cells2 AS ({final}),
+assigned AS MATERIALIZED (
+  SELECT c.vec_id, e.v, c.cell FROM cells2 c JOIN emb e USING (vec_id)
+),
+mx AS (SELECT max(vec_id) AS mx FROM assigned),
+touched AS (
+  SELECT DISTINCT cell FROM assigned CROSS JOIN mx
+  WHERE vec_id * 10 >= (mx + 1) * {DELTA_NEW_TENTHS}
+),
+sub AS (
+  SELECT vec_id, v, cell FROM assigned
+  WHERE cell IN (SELECT cell FROM touched)
+),
+anchors AS (
+  SELECT vec_id AS neighbor_id, v AS nv, cell
+  FROM (SELECT vec_id, v, cell, row_number() OVER (
+          PARTITION BY cell ORDER BY vec_id ASC) AS arank
+        FROM sub)
+  WHERE arank <= {KNN_GRAPH_CAP}
+),
+scored AS (
+  SELECT b.vec_id, a.neighbor_id,
+         round({cosine_sql('b.v', 'a.nv')}, 6) AS cos_sim
+  FROM sub b JOIN anchors a
+    ON a.cell = b.cell AND a.neighbor_id <> b.vec_id
+)
+SELECT vec_id, neighbor_id, cos_sim, rank FROM (
+  SELECT vec_id, neighbor_id, cos_sim,
+         CAST(row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {KNN_GRAPH_K}
+"""
+
+
+KNN_GRAPH_DELTA_SQL = _knn_graph_delta_sql()

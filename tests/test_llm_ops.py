@@ -3901,3 +3901,40 @@ def test_knn_graph_refine_parity_and_recall_dominance(spark, sf_dir):
     # on the duplicate-heavy fixtures at least some vectors must find
     # a strictly closer neighbor through the 2-hop expansion
     assert improved > 0 or ref_best == seed_best
+
+
+def test_knn_graph_delta_parity_and_merge_equals_rebuild(spark, sf_dir):
+    """Delta maintenance matches its twin, and applying it is exact:
+    (old-graph rows for vectors in untouched cells) + (delta rows)
+    is IDENTICAL to rebuilding the full graph from scratch."""
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.operators import similarity
+
+    from tests.parity import assert_parity
+
+    delta = similarity.knn_graph_delta(spark, sf_dir)
+    assert_parity(delta, similarity.KNN_GRAPH_DELTA_SQL, sf_dir, "knndelta")
+
+    assigned = similarity._graph_assigned(spark, sf_dir)
+    mx = assigned.agg(F.max("vec_id")).collect()[0][0]
+    rows = assigned.select("vec_id", "cell").collect()
+    cell_of = {r.vec_id: r.cell for r in rows}
+    new_ids = {
+        v
+        for v in cell_of
+        if v * 10 >= (mx + 1) * similarity.DELTA_NEW_TENTHS
+    }
+    touched = {cell_of[v] for v in new_ids}
+    old_graph = similarity._cell_topk(
+        assigned.where(
+            F.col("vec_id") * 10
+            < (F.lit(mx) + 1) * similarity.DELTA_NEW_TENTHS
+        )
+    ).collect()
+    merged = sorted(
+        [tuple(r) for r in old_graph if cell_of[r.vec_id] not in touched]
+        + [tuple(r) for r in delta.collect()]
+    )
+    full = sorted(tuple(r) for r in similarity.knn_graph(spark, sf_dir).collect())
+    assert merged == full

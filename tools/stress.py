@@ -320,6 +320,9 @@ STRESS_QUERIES = [
     # seed graph + mid-keyed 2-hop self-join (<= n*k^2 rows) + one
     # scoring pass
     "sim_knn_graph_refine",
+    # touched-cell membership semi-join + top-k over touched cells
+    # only — update cost tracks the delta batch
+    "sim_knn_graph_delta",
 ]
 
 
