@@ -3938,3 +3938,188 @@ def test_knn_graph_delta_parity_and_merge_equals_rebuild(spark, sf_dir):
     )
     full = sorted(tuple(r) for r in similarity.knn_graph(spark, sf_dir).collect())
     assert merged == full
+
+
+def _write_embeddings(spark, vecs):
+    """Write hypothesis-generated vectors as an embeddings table in a
+    fresh dir (per-example: hypothesis forbids reusing the
+    function-scoped tmp_path across examples)."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="hypemb_")
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    return d
+
+
+def _pycos(a, b):
+    import math
+
+    # identical op order to functions.vectors: left-fold dot, then
+    # sqrt norms — IEEE doubles, so results are bit-equal
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        dot += float(x) * float(y)
+    for x in a:
+        na += float(x) * float(x)
+    for y in b:
+        nb += float(y) * float(y)
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+from hypothesis import given as _given, settings as _settings
+from hypothesis import strategies as _st
+
+_VEC = _st.lists(
+    _st.integers(min_value=-5, max_value=5), min_size=4, max_size=4
+).filter(lambda v: any(x != 0 for x in v))
+
+
+@_settings(max_examples=6, deadline=None)
+@_given(_st.lists(_VEC, min_size=2, max_size=12))
+def test_coreset_kcenter_matches_pure_python_greedy(spark, vecs):
+    """Third independent implementation: the Spark farthest-point
+    traversal equals a sequential pure-Python greedy on arbitrary
+    small integer corpora (floor-micro distances, lowest-id ties)."""
+    import math
+
+    from spark_app_twitter_spark.operators import similarity
+
+    d = _write_embeddings(spark, vecs)
+    got = sorted(
+        tuple(r) for r in similarity.coreset_kcenter(spark, d).collect()
+    )
+
+    def dmic(a, b):
+        return 1000000 - math.floor(_pycos(a, b) * 1000000.0 + 0.5)
+
+    picks = [(1, 0, 0)]
+    mind = {i: dmic(v, vecs[0]) for i, v in enumerate(vecs)}
+    chosen = {0}
+    for t in range(2, similarity.CORESET_K + 1):
+        rest = [i for i in range(len(vecs)) if i not in chosen]
+        if not rest:
+            break
+        best = max(rest, key=lambda i: (mind[i], -i))
+        picks.append((t, best, mind[best]))
+        chosen.add(best)
+        if t == similarity.CORESET_K:
+            break
+        for i, v in enumerate(vecs):
+            mind[i] = min(mind[i], dmic(v, vecs[best]))
+    assert got == sorted(picks)
+
+
+@_settings(max_examples=6, deadline=None)
+@_given(_st.lists(_VEC, min_size=7, max_size=14))
+def test_mmr_rerank_matches_pure_python_greedy(spark, vecs):
+    """Third independent implementation for MMR: brute shortlist +
+    integer greedy replicated sequentially in Python on arbitrary
+    small corpora (vec_id < N_QUERIES are queries, rest candidates)."""
+    import math
+
+    from spark_app_twitter_spark.operators import similarity
+
+    d = _write_embeddings(spark, vecs)
+    got = sorted(
+        tuple(r) for r in similarity.mmr_rerank(spark, d).collect()
+    )
+
+    nq = similarity.N_QUERIES
+    lam = similarity.MMR_LAMBDA10
+    want = []
+    for qid in range(min(nq, len(vecs))):
+        qv = vecs[qid]
+        rel = {
+            i: math.floor(_pycos(qv, vecs[i]) * 1000000.0 + 0.5)
+            for i in range(nq, len(vecs))
+        }
+        short = sorted(rel, key=lambda i: (-rel[i], i))[: similarity.MMR_M]
+        sim = {
+            (a, b): math.floor(
+                _pycos(vecs[a], vecs[b]) * 1000000.0 + 0.5
+            )
+            for a in short
+            for b in short
+            if a != b
+        }
+        sel = []
+        for t in range(1, similarity.MMR_K + 1):
+            rest = [i for i in short if i not in sel]
+            if not rest:
+                break
+            if t == 1:
+                score = {i: lam * rel[i] for i in rest}
+            else:
+                score = {
+                    i: lam * rel[i]
+                    - (10 - lam) * max(sim[(i, s)] for s in sel)
+                    for i in rest
+                }
+            best = min(rest, key=lambda i: (-score[i], i))
+            sel.append(best)
+            want.append((qid, best, t, rel[best]))
+    assert got == sorted(want)
+
+
+@_settings(max_examples=6, deadline=None)
+@_given(
+    _st.lists(
+        _st.text(
+            alphabet="ab cd",  # tiny alphabet forces shared chunks
+            min_size=1,
+            max_size=300,
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_chunk_dedup_matches_pure_python(spark, texts):
+    """Third independent implementation for chunk dedup: python md5
+    chunking + DF cap + pair counting on arbitrary small corpora."""
+    import hashlib
+    import tempfile
+
+    from spark_app_twitter_spark.operators import multimodal
+
+    d = tempfile.mkdtemp(prefix="hypdoc_")
+    spark.createDataFrame(
+        [
+            (i, t, "en", "src0", len(t))
+            for i, t in enumerate(texts)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = sorted(
+        tuple(r) for r in multimodal.chunk_dedup(spark, d).collect()
+    )
+
+    C = multimodal.CHUNK_BYTES
+    digests = {}
+    for i, t in enumerate(texts):
+        b = t.encode()
+        n = max(-(-len(b) // C), 1)
+        digests[i] = {
+            hashlib.md5(b[j * C : (j + 1) * C]).hexdigest()
+            for j in range(n)
+        }
+    df = {}
+    for i, ds in digests.items():
+        for g in ds:
+            df[g] = df.get(g, 0) + 1
+    ok = {
+        i: {g for g in ds if df[g] <= multimodal.CHUNK_MAX_DF}
+        for i, ds in digests.items()
+    }
+    want = []
+    for a in ok:
+        for b in ok:
+            if a < b:
+                shared = len(ok[a] & ok[b])
+                if shared >= multimodal.CHUNK_MIN_SHARED:
+                    want.append((a, b, shared))
+    assert got == sorted(want)
