@@ -4123,3 +4123,125 @@ def test_chunk_dedup_matches_pure_python(spark, texts):
                 if shared >= multimodal.CHUNK_MIN_SHARED:
                     want.append((a, b, shared))
     assert got == sorted(want)
+
+
+def _write_events(spark, rows):
+    """rows: list of (user_id, day_offset 0..59, event_type)."""
+    import datetime
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="hypev_")
+    base = datetime.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [
+            (
+                i,
+                base + datetime.timedelta(days=off, hours=i % 24),
+                int(u),
+                et,
+                1.0,
+                "{}",
+            )
+            for i, (u, off, et) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    return d
+
+
+@_settings(max_examples=6, deadline=None)
+@_given(
+    _st.lists(
+        _st.tuples(
+            _st.integers(0, 15),
+            _st.integers(0, 40),
+            _st.sampled_from(["click", "view"]),
+        ),
+        min_size=10,
+        max_size=60,
+    )
+)
+def test_power_users_matches_pure_python_ntile(spark, rows):
+    """Pure-python replica of the decile table: standard ntile
+    semantics (first n%10 buckets one row larger) over the total
+    order (count desc, user_id asc), floor basis points."""
+    from spark_app_twitter_spark.operators import serving
+
+    d = _write_events(spark, rows)
+    got = sorted(tuple(r) for r in serving.power_users(spark, d).collect())
+
+    import collections
+
+    cnt = collections.Counter(u for u, _, _ in rows)
+    order = sorted(cnt, key=lambda u: (-cnt[u], u))
+    n = len(order)
+    tot = sum(cnt.values())
+    base, extra = divmod(n, 10)
+    want, pos, cum = [], 0, 0
+    for dec in range(1, 11):
+        size = base + (1 if dec <= extra else 0)
+        users = order[pos : pos + size]
+        pos += size
+        if not users:
+            continue
+        ev = sum(cnt[u] for u in users)
+        cum += ev
+        want.append(
+            (
+                dec,
+                len(users),
+                ev,
+                (ev * 10000) // tot,
+                (cum * 10000) // tot,
+            )
+        )
+    assert got == sorted(want)
+
+
+@_settings(max_examples=6, deadline=None)
+@_given(
+    _st.lists(
+        _st.tuples(
+            _st.integers(0, 9),
+            _st.integers(0, 59),
+            _st.sampled_from(["click"]),
+        ),
+        min_size=5,
+        max_size=50,
+    )
+)
+def test_stickiness_matches_pure_python(spark, rows):
+    """Pure-python replica of DAU/MAU stickiness over generated
+    multi-month event sets."""
+    import datetime
+
+    from spark_app_twitter_spark.operators import serving
+
+    d = _write_events(spark, rows)
+    got = sorted(tuple(r) for r in serving.stickiness(spark, d).collect())
+
+    base = datetime.date(2024, 1, 1)
+    mdu = {
+        (
+            (base + datetime.timedelta(days=off)).strftime("%Y-%m"),
+            base + datetime.timedelta(days=off),
+            u,
+        )
+        for u, off, _ in rows
+    }
+    months = sorted({m for m, _, _ in mdu})
+    want = []
+    for m in months:
+        days = {d_ for mm, d_, _ in mdu if mm == m}
+        sum_dau = sum(1 for mm, _, _ in mdu if mm == m)
+        mau = len({u for mm, _, u in mdu if mm == m})
+        want.append(
+            (
+                m,
+                len(days),
+                mau,
+                (sum_dau * 10000) // (len(days) * mau),
+            )
+        )
+    assert got == sorted(want)
