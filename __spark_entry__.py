@@ -210,6 +210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_graph_refine": similarity.knn_graph_refine,
         # delta maintenance: post-update top-k for touched cells only
         "sim_knn_graph_delta": similarity.knn_graph_delta,
+        # nearest-centroid classifier confusion matrix
+        "sim_centroid_classifier_eval": similarity.centroid_classifier_eval,
         # --- 0. added in the round-7 continuation (never attested):
         # sparse BM25 retrieval, DSIR importance weights, margin-based
         # bitext mining, the training-shard manifest, BM25+dense RRF
@@ -585,6 +587,7 @@ def oracle_sql() -> dict[str, str]:
         "serving_time_to_convert": serving.TIME_TO_CONVERT_SQL,
         "sim_knn_graph_refine": similarity.KNN_GRAPH_REFINE_SQL,
         "sim_knn_graph_delta": similarity.KNN_GRAPH_DELTA_SQL,
+        "sim_centroid_classifier_eval": similarity.CENTROID_CLASSIFIER_EVAL_SQL,
         "retrieval_bm25": retrieval.BM25_RETRIEVE_SQL,
         "text_dsir_weights": textstats.DSIR_WEIGHTS_SQL,
         "sim_bitext_mining": similarity.BITEXT_MINING_IVF_SQL,

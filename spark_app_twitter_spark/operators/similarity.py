@@ -3440,3 +3440,111 @@ SELECT vec_id, neighbor_id, cos_sim, rank FROM (
 
 
 KNN_GRAPH_DELTA_SQL = _knn_graph_delta_sql()
+
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid classifier evaluation — the Rocchio-style baseline
+# every embedding-quality audit starts from: assign each vector to
+# its closest LABEL centroid (exact quantized means, the
+# label_centroids artifact) and report the confusion matrix. If this
+# cheap classifier can't separate the labels, the embeddings won't
+# carry a downstream model either.
+
+
+def centroid_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(true_label, pred_label, n): resubstitution confusion matrix
+    of the nearest-centroid classifier over the label_centroids
+    means.
+
+    Determinism: per-dim products quantize to integer micro BEFORE
+    the (vector, label) sum — integer sums are order-independent, so
+    the distributed dot product is exact; the label argmax divides
+    two engine-identical doubles (int dot / sqrt of int sum-square)
+    and ties break to the lowest label.
+
+    Scale shape: the scoring relation is |vectors| x dims x |labels|
+    rows, collapsed by map-side partial aggregation on (vec, label);
+    the centroid table (|labels| x dims) broadcasts; output is at
+    most |labels|^2 rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select("vec_id", "true_label", "dim", F.col("v").cast("double").alias("v"))
+    cent = label_centroids(spark, sf_dir).select(
+        F.col("label").alias("cand_label"), "dim", "centroid_v"
+    )
+    normc = cent.groupBy("cand_label").agg(
+        F.sqrt(
+            F.sum(
+                F.round(
+                    F.col("centroid_v") * F.col("centroid_v") * F.lit(1e6)
+                ).cast("long")
+            ).cast("double")
+        ).alias("norm_c")
+    )
+    dotq = (
+        ex.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "true_label", "cand_label")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("v") * F.col("centroid_v") * F.lit(1e6)
+                ).cast("long")
+            ).alias("dotq")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("score"), F.asc("cand_label")
+    )
+    pred = (
+        dotq.join(F.broadcast(normc), "cand_label")
+        .withColumn(
+            "score", F.col("dotq").cast("double") / F.col("norm_c")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("true_label", F.col("cand_label").alias("pred_label"))
+    )
+    return pred.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+CENTROID_CLASSIFIER_EVAL_SQL = f"""
+WITH cent AS MATERIALIZED ({LABEL_CENTROIDS_SQL.strip()}),
+ex AS (
+  SELECT vec_id, label AS true_label,
+         unnest(range(len(embedding))) AS dim,
+         CAST(embedding[CAST(unnest(range(len(embedding))) AS INT) + 1]
+              AS DOUBLE) AS v
+  FROM embeddings
+),
+normc AS (
+  SELECT label AS cand_label,
+         sqrt(CAST(sum(CAST(round(centroid_v * centroid_v * 1e6)
+                           AS BIGINT)) AS DOUBLE)) AS norm_c
+  FROM cent GROUP BY label
+),
+dotq AS (
+  SELECT ex.vec_id, ex.true_label, cent.label AS cand_label,
+         CAST(sum(CAST(round(ex.v * cent.centroid_v * 1e6) AS BIGINT))
+              AS BIGINT) AS dotq
+  FROM ex JOIN cent USING (dim)
+  GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT true_label, cand_label AS pred_label FROM (
+    SELECT d.true_label, d.cand_label,
+           row_number() OVER (
+             PARTITION BY d.vec_id
+             ORDER BY CAST(d.dotq AS DOUBLE) / n.norm_c DESC,
+                      d.cand_label) AS rn
+    FROM dotq d JOIN normc n USING (cand_label)
+  ) WHERE rn = 1
+)
+SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n
+FROM pred GROUP BY 1, 2
+"""

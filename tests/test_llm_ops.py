@@ -4245,3 +4245,26 @@ def test_stickiness_matches_pure_python(spark, rows):
             )
         )
     assert got == sorted(want)
+
+
+def test_centroid_classifier_eval_parity_and_accounting(spark, sf_dir):
+    """Confusion matrix matches the twin; cells total to the vector
+    count; accuracy beats the 1/|labels| chance floor (labels carry
+    signal in the fixtures); predictions use only valid labels."""
+    from spark_app_twitter_spark.operators import similarity
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    from tests.parity import assert_parity
+
+    df = similarity.centroid_classifier_eval(spark, sf_dir)
+    assert_parity(
+        df, similarity.CENTROID_CLASSIFIER_EVAL_SQL, sf_dir, "ccls"
+    )
+    rows = df.collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_vec = emb.count()
+    labels = {r.label for r in emb.select("label").distinct().collect()}
+    assert sum(r.n for r in rows) == n_vec
+    assert {r.pred_label for r in rows} <= labels
+    acc = sum(r.n for r in rows if r.true_label == r.pred_label) / n_vec
+    assert acc > 1.5 / len(labels)

@@ -323,6 +323,9 @@ STRESS_QUERIES = [
     # touched-cell membership semi-join + top-k over touched cells
     # only — update cost tracks the delta batch
     "sim_knn_graph_delta",
+    # |vecs| x dims x |labels| scoring rows collapsed map-side;
+    # centroid table broadcasts
+    "sim_centroid_classifier_eval",
 ]
 
 
