@@ -3548,3 +3548,68 @@ pred AS (
 SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n
 FROM pred GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Retrieval label purity — labels-as-relevance evaluation: what
+# fraction of each query's top-k neighbors share its label. The
+# recall audit (sim_ann_recall_audit) measures faithfulness to brute
+# force; this measures whether retrieved neighbors are SEMANTICALLY
+# right, the metric that actually gates an embedding model swap.
+
+
+def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, query_label, n_hits, purity_bp): per query, how
+    many of its IVF top-k neighbors carry the query's label, in
+    integer basis points of k.
+
+    Scale shape: two vec_id-keyed label joins onto the k-bounded
+    search result (k rows per query), one query-keyed rollup.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    hits = knn_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    ql = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+    )
+    nl = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+    )
+    return (
+        hits.join(F.broadcast(ql), "query_id")
+        .join(nl, "neighbor_id")
+        .groupBy("query_id", "query_label")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(
+                F.when(
+                    F.col("n_label") == F.col("query_label"), 1
+                ).otherwise(0)
+            ).alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "query_label",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.expr("CAST((n_hits * 10000L) DIV k AS BIGINT)").alias(
+                "purity_bp"
+            ),
+        )
+    )
+
+
+KNN_LABEL_PURITY_SQL = f"""
+WITH hits AS MATERIALIZED (
+{KNN_IVF_SQL.strip()}
+)
+SELECT h.query_id, ql.label AS query_label,
+       CAST(sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST((sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END)
+             * 10000) // count(*) AS BIGINT) AS purity_bp
+FROM hits h
+JOIN embeddings ql ON ql.vec_id = h.query_id
+JOIN embeddings nl ON nl.vec_id = h.neighbor_id
+GROUP BY 1, 2
+"""

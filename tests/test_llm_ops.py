@@ -4268,3 +4268,19 @@ def test_centroid_classifier_eval_parity_and_accounting(spark, sf_dir):
     assert {r.pred_label for r in rows} <= labels
     acc = sum(r.n for r in rows if r.true_label == r.pred_label) / n_vec
     assert acc > 1.5 / len(labels)
+
+
+def test_knn_label_purity_parity_and_bounds(spark, sf_dir):
+    """Purity matches the twin; one row per query; hit counts bounded
+    by k; basis points replay from the counts."""
+    from spark_app_twitter_spark.operators import similarity
+
+    from tests.parity import assert_parity
+
+    df = similarity.knn_label_purity(spark, sf_dir)
+    assert_parity(df, similarity.KNN_LABEL_PURITY_SQL, sf_dir, "purity")
+    rows = df.collect()
+    assert len(rows) == similarity.N_QUERIES
+    for r in rows:
+        assert 0 <= r.n_hits <= similarity.TOP_K
+        assert r.purity_bp == (r.n_hits * 10000) // similarity.TOP_K

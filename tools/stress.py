@@ -326,6 +326,8 @@ STRESS_QUERIES = [
     # |vecs| x dims x |labels| scoring rows collapsed map-side;
     # centroid table broadcasts
     "sim_centroid_classifier_eval",
+    # two label joins on the k-bounded IVF result + query rollup
+    "sim_knn_label_purity",
 ]
 
 
