@@ -214,6 +214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_centroid_classifier_eval": similarity.centroid_classifier_eval,
         # labels-as-relevance purity of the IVF top-k
         "sim_knn_label_purity": similarity.knn_label_purity,
+        # Q1 maintained by partial-aggregate merge (IVM / RF1)
+        "tpch_q1_incremental": tpch.q1_incremental,
         # --- 0. added in the round-7 continuation (never attested):
         # sparse BM25 retrieval, DSIR importance weights, margin-based
         # bitext mining, the training-shard manifest, BM25+dense RRF
@@ -591,6 +593,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_knn_graph_delta": similarity.KNN_GRAPH_DELTA_SQL,
         "sim_centroid_classifier_eval": similarity.CENTROID_CLASSIFIER_EVAL_SQL,
         "sim_knn_label_purity": similarity.KNN_LABEL_PURITY_SQL,
+        "tpch_q1_incremental": tpch.Q1_INCREMENTAL_SQL,
         "retrieval_bm25": retrieval.BM25_RETRIEVE_SQL,
         "text_dsir_weights": textstats.DSIR_WEIGHTS_SQL,
         "sim_bitext_mining": similarity.BITEXT_MINING_IVF_SQL,

@@ -1199,3 +1199,105 @@ WHERE c_acctbal > (
   )
 GROUP BY c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance of Q1 — the TPC-H refresh-stream (RF1)
+# discipline: Q1's aggregates are all sums and counts, so a refresh
+# batch folds in by MERGING partial aggregates instead of rescanning
+# the fact table. DECIMAL partial sums are exact and associative, so
+# merge == recompute BIT-FOR-BIT (pinned in tests), which is the
+# property that lets a 100-TB deployment maintain the report at
+# delta cost.
+
+IVM_REFRESH_MOD = 97  # l_orderkey % MOD == 0 plays the refresh batch
+
+
+def q1_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 maintained as (base partial) MERGE (refresh partial): both
+    halves compute the standard map-side DECIMAL partials, the merge
+    is a 6-group sum of sums, and the final projection derives the
+    averages from merged sums — identical output to
+    :func:`q1_pricing_summary` (asserted in tests), at delta cost
+    when the base partial is already materialized.
+    """
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    disc_price = _money("l_extendedprice") * _one_minus("l_discount")
+    charge = disc_price * _one_plus("l_tax")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum(F.col("l_quantity").cast(_PRICE)).alias("sq"),
+            F.sum(_money("l_extendedprice")).alias("sbp"),
+            F.sum(disc_price).alias("sdp"),
+            F.sum(charge).alias("sch"),
+            F.sum(F.col("l_discount").cast(_RATE)).alias("sdisc"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+
+    base = partial(l.where(F.col("l_orderkey") % IVM_REFRESH_MOD != 0))
+    delta = partial(l.where(F.col("l_orderkey") % IVM_REFRESH_MOD == 0))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("sq").alias("sq"),
+            F.sum("sbp").alias("sbp"),
+            F.sum("sdp").alias("sdp"),
+            F.sum("sch").alias("sch"),
+            F.sum("sdisc").alias("sdisc"),
+            F.sum("cnt").alias("cnt"),
+        )
+    )
+    return merged.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sq").cast("double").alias("sum_qty"),
+        F.col("sbp").cast("double").alias("sum_base_price"),
+        F.col("sdp").cast("double").alias("sum_disc_price"),
+        F.col("sch").cast("double").alias("sum_charge"),
+        (F.col("sq").cast("double") / F.col("cnt")).alias("avg_qty"),
+        (F.col("sbp").cast("double") / F.col("cnt")).alias("avg_price"),
+        (F.col("sdisc").cast("double") / F.col("cnt")).alias("avg_disc"),
+        F.col("cnt").alias("count_order"),
+    )
+
+
+Q1_INCREMENTAL_SQL = f"""
+WITH src AS (
+  SELECT *, (l_orderkey % {IVM_REFRESH_MOD} = 0) AS is_refresh
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+),
+partials AS (
+  SELECT l_returnflag, l_linestatus, is_refresh,
+         sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sbp,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS sdp,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+             * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS sdp2,
+         sum(CAST(l_discount AS DECIMAL(3,2))) AS sdisc,
+         count(*) AS cnt
+  FROM src GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT l_returnflag, l_linestatus,
+         sum(sq) AS sq, sum(sbp) AS sbp, sum(sdp) AS sdp,
+         sum(sdp2) AS sch, sum(sdisc) AS sdisc,
+         CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM partials GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(sq AS DOUBLE) AS sum_qty,
+       CAST(sbp AS DOUBLE) AS sum_base_price,
+       CAST(sdp AS DOUBLE) AS sum_disc_price,
+       CAST(sch AS DOUBLE) AS sum_charge,
+       CAST(sq AS DOUBLE) / cnt AS avg_qty,
+       CAST(sbp AS DOUBLE) / cnt AS avg_price,
+       CAST(sdisc AS DOUBLE) / cnt AS avg_disc,
+       cnt AS count_order
+FROM merged
+"""

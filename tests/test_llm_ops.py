@@ -4284,3 +4284,21 @@ def test_knn_label_purity_parity_and_bounds(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_hits <= similarity.TOP_K
         assert r.purity_bp == (r.n_hits * 10000) // similarity.TOP_K
+
+
+def test_q1_incremental_merge_equals_recompute(spark, sf_dir):
+    """IVM identity: merging the base and refresh-batch DECIMAL
+    partials reproduces the full-scan Q1 BIT-FOR-BIT (exact decimal
+    sums are associative), and the twin replays the same two-phase
+    merge."""
+    from spark_app_twitter_spark.operators import tpch
+
+    from tests.parity import assert_parity
+
+    inc = tpch.q1_incremental(spark, sf_dir)
+    assert_parity(inc, tpch.Q1_INCREMENTAL_SQL, sf_dir, "q1ivm")
+    got = sorted(tuple(r) for r in inc.collect())
+    full = sorted(
+        tuple(r) for r in tpch.q1_pricing_summary(spark, sf_dir).collect()
+    )
+    assert got == full

@@ -328,6 +328,8 @@ STRESS_QUERIES = [
     "sim_centroid_classifier_eval",
     # two label joins on the k-bounded IVF result + query rollup
     "sim_knn_label_purity",
+    # two map-side DECIMAL partials + a 6-group merge (the IVM shape)
+    "tpch_q1_incremental",
 ]
 
 
