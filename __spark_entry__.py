@@ -216,6 +216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_label_purity": similarity.knn_label_purity,
         # Q1 maintained by partial-aggregate merge (IVM / RF1)
         "tpch_q1_incremental": tpch.q1_incremental,
+        # Q1 maintained under deletes (signed partials / RF2)
+        "tpch_q1_retraction": tpch.q1_retraction,
         # --- 0. added in the round-7 continuation (never attested):
         # sparse BM25 retrieval, DSIR importance weights, margin-based
         # bitext mining, the training-shard manifest, BM25+dense RRF
@@ -594,6 +596,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_centroid_classifier_eval": similarity.CENTROID_CLASSIFIER_EVAL_SQL,
         "sim_knn_label_purity": similarity.KNN_LABEL_PURITY_SQL,
         "tpch_q1_incremental": tpch.Q1_INCREMENTAL_SQL,
+        "tpch_q1_retraction": tpch.Q1_RETRACTION_SQL,
         "retrieval_bm25": retrieval.BM25_RETRIEVE_SQL,
         "text_dsir_weights": textstats.DSIR_WEIGHTS_SQL,
         "sim_bitext_mining": similarity.BITEXT_MINING_IVF_SQL,

@@ -1301,3 +1301,100 @@ SELECT l_returnflag, l_linestatus,
        cnt AS count_order
 FROM merged
 """
+
+
+def q1_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 maintained under DELETES — the RF2 half of the refresh
+    stream: subtract the refresh batch's DECIMAL partials from the
+    full report's and re-derive the averages. Exactly equals
+    recomputing Q1 over the surviving rows (asserted in tests; exact
+    decimal sums make subtraction as safe as addition). Groups whose
+    count reaches zero drop out of the report, as a recompute would
+    drop them.
+    """
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    disc_price = _money("l_extendedprice") * _one_minus("l_discount")
+    charge = disc_price * _one_plus("l_tax")
+
+    def partial(df: DataFrame, sign: int) -> DataFrame:
+        s = F.lit(sign).cast(_PRICE)
+        sr = F.lit(sign).cast(_RATE)
+        return df.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum(F.col("l_quantity").cast(_PRICE) * s).alias("sq"),
+            F.sum(_money("l_extendedprice") * s).alias("sbp"),
+            F.sum(disc_price * s).alias("sdp"),
+            F.sum(charge * s).alias("sch"),
+            F.sum(F.col("l_discount").cast(_RATE) * sr).alias("sdisc"),
+            F.sum(F.lit(sign).cast("long")).alias("cnt"),
+        )
+
+    full = partial(l, 1)
+    retract = partial(
+        l.where(F.col("l_orderkey") % IVM_REFRESH_MOD == 0), -1
+    )
+    merged = (
+        full.unionByName(retract)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("sq").alias("sq"),
+            F.sum("sbp").alias("sbp"),
+            F.sum("sdp").alias("sdp"),
+            F.sum("sch").alias("sch"),
+            F.sum("sdisc").alias("sdisc"),
+            F.sum("cnt").alias("cnt"),
+        )
+        .where(F.col("cnt") > 0)
+    )
+    return merged.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sq").cast("double").alias("sum_qty"),
+        F.col("sbp").cast("double").alias("sum_base_price"),
+        F.col("sdp").cast("double").alias("sum_disc_price"),
+        F.col("sch").cast("double").alias("sum_charge"),
+        (F.col("sq").cast("double") / F.col("cnt")).alias("avg_qty"),
+        (F.col("sbp").cast("double") / F.col("cnt")).alias("avg_price"),
+        (F.col("sdisc").cast("double") / F.col("cnt")).alias("avg_disc"),
+        F.col("cnt").alias("count_order"),
+    )
+
+
+Q1_RETRACTION_SQL = f"""
+WITH src AS (
+  SELECT *, CASE WHEN l_orderkey % {IVM_REFRESH_MOD} = 0
+                 THEN -1 ELSE 0 END AS retract
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+),
+signed AS (
+  SELECT l_returnflag, l_linestatus, CAST(1 AS INT) AS sign, * FROM src
+  UNION ALL
+  SELECT l_returnflag, l_linestatus, CAST(-1 AS INT) AS sign, *
+  FROM src WHERE retract = -1
+),
+merged AS (
+  SELECT l_returnflag, l_linestatus,
+         sum(sign * CAST(l_quantity AS DECIMAL(12,2))) AS sq,
+         sum(sign * CAST(l_extendedprice AS DECIMAL(12,2))) AS sbp,
+         sum(sign * CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS sdp,
+         sum(sign * CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+             * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS sch,
+         sum(sign * CAST(l_discount AS DECIMAL(3,2))) AS sdisc,
+         CAST(sum(sign) AS BIGINT) AS cnt
+  FROM signed GROUP BY 1, 2
+  HAVING sum(sign) > 0
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(sq AS DOUBLE) AS sum_qty,
+       CAST(sbp AS DOUBLE) AS sum_base_price,
+       CAST(sdp AS DOUBLE) AS sum_disc_price,
+       CAST(sch AS DOUBLE) AS sum_charge,
+       CAST(sq AS DOUBLE) / cnt AS avg_qty,
+       CAST(sbp AS DOUBLE) / cnt AS avg_price,
+       CAST(sdisc AS DOUBLE) / cnt AS avg_disc,
+       cnt AS count_order
+FROM merged
+"""

@@ -4302,3 +4302,91 @@ def test_q1_incremental_merge_equals_recompute(spark, sf_dir):
         tuple(r) for r in tpch.q1_pricing_summary(spark, sf_dir).collect()
     )
     assert got == full
+
+
+def test_q1_retraction_equals_recompute_over_survivors(spark, sf_dir, tmp_path):
+    """RF2 identity: subtracting the refresh batch's signed DECIMAL
+    partials from the full report equals recomputing Q1 over only
+    the surviving rows, bit-for-bit; twin replays the signed merge."""
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.operators import tpch
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    from tests.parity import assert_parity
+
+    ret = tpch.q1_retraction(spark, sf_dir)
+    assert_parity(ret, tpch.Q1_RETRACTION_SQL, sf_dir, "q1rf2")
+    load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % tpch.IVM_REFRESH_MOD != 0
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    direct = sorted(
+        tuple(r)
+        for r in tpch.q1_pricing_summary(spark, str(tmp_path)).collect()
+    )
+    assert sorted(tuple(r) for r in ret.collect()) == direct
+
+
+@_settings(max_examples=6, deadline=None)
+@_given(
+    _st.lists(
+        _st.tuples(
+            _st.integers(1, 300),  # l_orderkey
+            _st.sampled_from(["A", "N", "R"]),
+            _st.sampled_from(["F", "O"]),
+            _st.integers(1, 50),  # quantity
+            _st.integers(100, 99999),  # extendedprice cents
+            _st.integers(0, 10),  # discount %
+            _st.integers(0, 8),  # tax %
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_q1_ivm_identities_on_generated_lineitems(spark, rows):
+    """Both refresh directions hold on arbitrary generated lineitem
+    tables: insert-merge == full recompute, and delete-retraction ==
+    recompute over survivors."""
+    import datetime
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.operators import tpch
+
+    d = tempfile.mkdtemp(prefix="hypli_")
+    data = [
+        (
+            ok,
+            rf,
+            ls,
+            float(q),
+            cents / 100.0,
+            disc / 100.0,
+            tax / 100.0,
+            datetime.datetime(1998, 1, 1),
+        )
+        for ok, rf, ls, q, cents, disc, tax in rows
+    ]
+    spark.createDataFrame(
+        data,
+        "l_orderkey long, l_returnflag string, l_linestatus string,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+
+    full = sorted(
+        tuple(r) for r in tpch.q1_pricing_summary(spark, d).collect()
+    )
+    inc = sorted(tuple(r) for r in tpch.q1_incremental(spark, d).collect())
+    assert inc == full
+
+    d2 = tempfile.mkdtemp(prefix="hypli2_")
+    spark.read.parquet(f"{d}/lineitem.parquet").where(
+        F.col("l_orderkey") % tpch.IVM_REFRESH_MOD != 0
+    ).write.mode("overwrite").parquet(f"{d2}/lineitem.parquet")
+    survivors = sorted(
+        tuple(r) for r in tpch.q1_pricing_summary(spark, d2).collect()
+    )
+    ret = sorted(tuple(r) for r in tpch.q1_retraction(spark, d).collect())
+    assert ret == survivors

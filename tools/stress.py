@@ -330,6 +330,8 @@ STRESS_QUERIES = [
     "sim_knn_label_purity",
     # two map-side DECIMAL partials + a 6-group merge (the IVM shape)
     "tpch_q1_incremental",
+    # signed partials under deletes (the RF2 shape)
+    "tpch_q1_retraction",
 ]
 
 
