@@ -474,77 +474,22 @@ def lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same iterative discipline as dedup_clusters (fixed rounds, all
     shuffles keyed on doc_id, localCheckpoint truncating lineage per
     round) but over the O(n) capped edge list, so the whole chain is
-    linear in corpus size.
+    linear in corpus size. The propagation tail is the shared
+    _cc_propagate / _cc_sql_parts definition (one rule for LSH and
+    SimHash clusters — ADVICE r08).
     """
     pairs = minhash_lsh_pairs_capped(spark, sf_dir).select("doc_a", "doc_b")
-    sym = pairs.unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
-    ).localCheckpoint(eager=True)
-    labels = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .withColumn("label", F.col("doc_id"))
-    )
-    for _ in range(CC_ITERS):
-        neighbor_min = (
-            sym.join(labels, sym.doc_b == labels.doc_id)
-            .groupBy("doc_a")
-            .agg(F.min("label").alias("nmin"))
-        )
-        labels = (
-            labels.join(
-                neighbor_min, labels.doc_id == neighbor_min.doc_a, "left"
-            )
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    return labels.select(
-        "doc_id",
-        F.col("label").alias("cluster_id"),
-        (F.col("doc_id") == F.col("label")).alias("is_survivor"),
-    )
+    return _cc_propagate(spark, sf_dir, pairs)
 
 
 def _lsh_clusters_sql_parts() -> list[str]:
-    parts = [
-        _lsh_prefix_sql()
-        + _capped_cand_sql()
-        + _lsh_verify_cte_sql()
-        + """,
-sym AS (
-  SELECT doc_a, doc_b FROM pairs
-  UNION ALL
-  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
-),
-l0 AS (SELECT doc_id, doc_id AS label FROM documents)"""
-    ]
-    for i in range(CC_ITERS):
-        parts.append(
-            f"""n{i} AS (
-  SELECT s.doc_a, min(l.label) AS nmin
-  FROM sym s JOIN l{i} l ON s.doc_b = l.doc_id
-  GROUP BY s.doc_a
-),
-l{i + 1} AS (
-  SELECT l.doc_id, least(l.label, coalesce(n.nmin, l.label)) AS label
-  FROM l{i} l LEFT JOIN n{i} n ON l.doc_id = n.doc_a
-)"""
-        )
-    return parts
+    return [
+        _lsh_prefix_sql() + _capped_cand_sql() + _lsh_verify_cte_sql()
+    ] + _cc_sql_parts("pairs")
 
 
 def _lsh_clusters_sql() -> str:
-    return (
-        ",\n".join(_lsh_clusters_sql_parts())
-        + f"\nSELECT doc_id, label AS cluster_id, doc_id = label AS is_survivor FROM l{CC_ITERS}"
-    )
+    return ",\n".join(_lsh_clusters_sql_parts()) + _cc_sql_final()
 
 
 LSH_CLUSTERS_SQL = _lsh_clusters_sql()

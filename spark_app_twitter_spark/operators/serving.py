@@ -1169,7 +1169,6 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     tally = per_user.agg(
-        F.count(F.lit(1)).alias("n_total"),
         F.sum(F.col("mv").isNotNull().cast("long")).alias("n_view"),
         F.sum(F.col("mc").isNotNull().cast("long")).alias("n_click"),
         F.sum(F.col("mp").isNotNull().cast("long")).alias("n_purchase"),

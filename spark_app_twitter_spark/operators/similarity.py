@@ -2654,45 +2654,90 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _mmr_greedy(cand: DataFrame, pairs: DataFrame) -> DataFrame:
     """The fixed-step integer greedy shared by every shortlist
-    source (brute, IVF)."""
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("mmr"), F.asc("neighbor_id")
-    )
-    sel = (
-        cand.withColumn("mmr", F.lit(MMR_LAMBDA10) * F.col("rel_micro"))
-        .withColumn("rn", F.row_number().over(w))
-        .where("rn = 1")
-        .select("query_id", "neighbor_id", F.lit(1).alias("mmr_rank"))
-    )
-    for t in range(2, MMR_K + 1):
-        remaining = cand.join(sel, ["query_id", "neighbor_id"], "left_anti")
-        pen = (
-            pairs.join(
-                sel.selectExpr("query_id", "neighbor_id AS b"),
-                ["query_id", "b"],
+    source (brute, IVF), run per-query in ONE cogrouped
+    applyInPandas pass (VERDICT r08 item 3).
+
+    One query's state is tiny — a ≤MMR_M-row shortlist and its
+    ≤MMR_M² pair table — so the MMR_K-step recurrence is pure local
+    int64 arithmetic inside a single task: two shuffles total (cand
+    + pairs hash to query_id) instead of the former 300+-exchange
+    relational chain whose planning cost dominated the bench. The
+    similarity QUANTIZATION stays JVM-side (``pairs.sim_micro``
+    arrives pre-floored from Catalyst, exactly as the DuckDB twin
+    floors it), so the greedy itself — max/compare/subtract on
+    int64 — cannot diverge between engines. Tie rule identical to
+    the twin: mmr desc, neighbor_id asc; queries with fewer than
+    MMR_K candidates emit one row per candidate, like the
+    relational chain's empty step-t.
+    """
+    import numpy as np
+    import pandas as pd
+
+    lam, lam_c, k = MMR_LAMBDA10, 10 - MMR_LAMBDA10, MMR_K
+
+    def greedy(cdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(cdf)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int64"),
+                    "neighbor_id": pd.Series(dtype="int64"),
+                    "mmr_rank": pd.Series(dtype="int32"),
+                    "rel_micro": pd.Series(dtype="int64"),
+                }
             )
-            .groupBy("query_id", F.col("a").alias("neighbor_id"))
-            .agg(F.max("sim_micro").alias("pen"))
+        nid = cdf["neighbor_id"].to_numpy(dtype=np.int64)
+        rel = cdf["rel_micro"].to_numpy(dtype=np.int64)
+        # dense M x M penalty matrix: pairs covers every a != b of
+        # the shortlist, so sim[c, s] is fully populated off-diagonal
+        pos = {v: i for i, v in enumerate(nid)}
+        sim = np.zeros((n, n), dtype=np.int64)
+        if len(pdf):
+            ai = pdf["a"].map(pos).to_numpy(dtype=np.int64)
+            bi = pdf["b"].map(pos).to_numpy(dtype=np.int64)
+            sim[ai, bi] = pdf["sim_micro"].to_numpy(dtype=np.int64)
+        taken = np.zeros(n, dtype=bool)
+        pen = np.zeros(n, dtype=np.int64)
+        picks: list[int] = []
+        for t in range(min(k, n)):
+            score = lam * rel if t == 0 else lam * rel - lam_c * pen
+            free = np.flatnonzero(~taken)
+            best_score = score[free].max()
+            ties = free[score[free] == best_score]
+            j = int(ties[nid[ties].argmin()])
+            taken[j] = True
+            picks.append(j)
+            if t == 0:
+                # sim_micro is SIGNED (cosine can be negative): the
+                # first penalty is exactly that column, not
+                # max(0, .) — a zero init would clamp negative
+                # penalties up and flip picks
+                pen = sim[:, j].copy()
+            else:
+                np.maximum(pen, sim[:, j], out=pen)
+        idx = np.asarray(picks, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(
+                    np.int64(cdf["query_id"].iloc[0]), len(idx)
+                ),
+                "neighbor_id": nid[idx],
+                "mmr_rank": np.arange(1, len(idx) + 1, dtype=np.int32),
+                "rel_micro": rel[idx],
+            }
         )
-        step = (
-            remaining.join(pen, ["query_id", "neighbor_id"])
-            .withColumn(
-                "mmr",
-                F.lit(MMR_LAMBDA10) * F.col("rel_micro")
-                - F.lit(10 - MMR_LAMBDA10) * F.col("pen"),
-            )
-            .withColumn("rn", F.row_number().over(w))
-            .where("rn = 1")
-            .select("query_id", "neighbor_id", F.lit(t).alias("mmr_rank"))
-        )
-        sel = sel.unionByName(step)
+
     return (
-        sel.join(cand, ["query_id", "neighbor_id"])
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("mmr_rank").cast("int").alias("mmr_rank"),
-            "rel_micro",
+        cand.select("query_id", "neighbor_id", "rel_micro")
+        .groupBy("query_id")
+        .cogroup(
+            pairs.select("query_id", "a", "b", "sim_micro").groupBy(
+                "query_id"
+            )
+        )
+        .applyInPandas(
+            greedy,
+            "query_id long, neighbor_id long, mmr_rank int, rel_micro long",
         )
     )
 
@@ -2701,10 +2746,13 @@ def _mmr_steps_sql(pairs_name: str = "pairs") -> tuple[str, str]:
     """(chain, union_all) of the fixed greedy CTE steps, run against
     a shortlist CTE named ``cand`` and a pairwise-similarity CTE
     named ``pairs_name`` — shared by the brute and IVF twins."""
+    # sel{t} is MATERIALIZED: each step references it twice (pen join
+    # + NOT EXISTS) and DuckDB re-inlines plain CTEs — without the
+    # hint the re-evaluation count doubles per step (ADVICE r08)
     steps = []
     for t in range(2, MMR_K + 1):
         steps.append(
-            f"""sel{t-1} AS ({' UNION ALL '.join(f'SELECT * FROM s{i}' for i in range(1, t))}),
+            f"""sel{t-1} AS MATERIALIZED ({' UNION ALL '.join(f'SELECT * FROM s{i}' for i in range(1, t))}),
 pen{t} AS (
   SELECT p.query_id, p.a AS neighbor_id, max(p.sim_micro) AS pen
   FROM {pairs_name} p JOIN sel{t-1} s
@@ -2735,6 +2783,10 @@ s{t} AS (
 
 
 def _mmr_rerank_sql() -> str:
+    # cand/pairs are MATERIALIZED like the IVF twin's: the greedy
+    # chain references them in every step and DuckDB re-inlines
+    # plain CTEs, re-evaluating the cross-join shortlist and the M^2
+    # pair table per re-reference (ADVICE r08)
     chain, union_all = _mmr_steps_sql()
     return f"""
 WITH q AS (
@@ -2745,7 +2797,7 @@ c AS (
   SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
   WHERE vec_id >= {N_QUERIES}
 ),
-cand AS (
+cand AS MATERIALIZED (
   SELECT query_id, neighbor_id, rel_micro FROM (
     SELECT query_id, neighbor_id,
            CAST(floor({cosine_sql('qv', 'cv')} * 1000000.0 + 0.5)
@@ -2757,7 +2809,7 @@ cand AS (
     FROM c CROSS JOIN q
   ) WHERE rn <= {MMR_M}
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT ca.query_id, ca.neighbor_id AS a, cb.neighbor_id AS b,
          CAST(floor({cosine_sql('ea.embedding', 'eb.embedding')}
               * 1000000.0 + 0.5) AS BIGINT) AS sim_micro

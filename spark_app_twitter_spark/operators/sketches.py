@@ -592,10 +592,13 @@ SELECT source_a, source_b, m, kth, n_both,
             ELSE CAST({KMV_K - 1} AS BIGINT) * {KMV_SPACE} // kth
        END AS est_union,
        CAST((1000000 * n_both) // m AS BIGINT) AS est_jaccard_micro,
-       CAST(floor(CAST(n_both AS HUGEINT)
-                  * (CASE WHEN m < {KMV_K} THEN m
-                     ELSE CAST({KMV_K - 1} AS BIGINT) * {KMV_SPACE} // kth
-                     END) / m) AS BIGINT) AS est_intersection
+       -- integer floor division (//) mirrors the exact DECIMAL(38,0)
+       -- Spark path; '/' would route through DOUBLE and can disagree
+       -- by ulps once the product exceeds 2^53 (ADVICE r08)
+       CAST(CAST(n_both AS HUGEINT)
+            * (CASE WHEN m < {KMV_K} THEN m
+               ELSE CAST({KMV_K - 1} AS BIGINT) * {KMV_SPACE} // kth
+               END) // m AS BIGINT) AS est_intersection
 FROM agg
 """
 

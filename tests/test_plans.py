@@ -654,3 +654,20 @@ def test_knn_graph_cell_keyed_and_vector_windowed(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "hashpartitioning(cell" in plan
     assert "hashpartitioning(vec_id" in plan
+
+
+def test_mmr_greedy_is_one_cogroup_pass(spark, sf_dir):
+    """The MMR greedy runs per-query inside ONE cogrouped
+    applyInPandas task: the whole rerank plan carries O(1) exchanges
+    (shortlist + pairs hashing to query_id), not one exchange pair
+    per greedy step (the former 300+-exchange relational chain whose
+    planning cost dominated the bench — VERDICT r08 item 3)."""
+    from spark_app_twitter_spark.operators import similarity
+
+    df = similarity.mmr_rerank(spark, sf_dir)
+    plan = E.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert E.num_shuffles(df) <= 4, (
+        f"greedy must not re-shuffle per step: {E.num_shuffles(df)}"
+    )
