@@ -218,6 +218,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_incremental": tpch.q1_incremental,
         # Q1 maintained under deletes (signed partials / RF2)
         "tpch_q1_retraction": tpch.q1_retraction,
+        # --- R9. added in round 9 (VERDICT r08 item 6): the
+        # join-bearing IVM pair — Q3 under two-sided inserts via the
+        # bilinear join delta, and under lineitem deletes via signed
+        # partials through the join ---
+        "tpch_q3_incremental": tpch.q3_incremental,
+        "tpch_q3_retraction": tpch.q3_retraction,
         # --- 0. added in the round-7 continuation (never attested):
         # sparse BM25 retrieval, DSIR importance weights, margin-based
         # bitext mining, the training-shard manifest, BM25+dense RRF
@@ -597,6 +603,8 @@ def oracle_sql() -> dict[str, str]:
         "sim_knn_label_purity": similarity.KNN_LABEL_PURITY_SQL,
         "tpch_q1_incremental": tpch.Q1_INCREMENTAL_SQL,
         "tpch_q1_retraction": tpch.Q1_RETRACTION_SQL,
+        "tpch_q3_incremental": tpch.Q3_INCREMENTAL_SQL,
+        "tpch_q3_retraction": tpch.Q3_RETRACTION_SQL,
         "retrieval_bm25": retrieval.BM25_RETRIEVE_SQL,
         "text_dsir_weights": textstats.DSIR_WEIGHTS_SQL,
         "sim_bitext_mining": similarity.BITEXT_MINING_IVF_SQL,

