@@ -415,14 +415,23 @@ def knn_ivf_search(
     )
 
 
-def _ivf_pairs_sql(q_body: str | None = None) -> str:
+def _ivf_pairs_sql(
+    q_body: str | None = None,
+    cand_tail: str = "",
+    cand_name: str = "cand_cells",
+) -> str:
     """The shared WITH-chain of every IVF search twin, ending at a
     ``pairs`` CTE (query_id, qv, neighbor_id, cv) — mirrors
     :func:`ivf_probe_pairs` exactly; variants append their scoring
     tail. ``q_body`` overrides the query-cohort CTE body (default:
     the registered vec_id < N_QUERIES cohort) — the seam the
     bitext-IVF twin uses to make ENGLISH DOCS the query side while
-    the probe/candidate machinery stays the shared definition."""
+    the probe/candidate machinery stays the shared definition.
+    ``cand_tail``/``cand_name`` mirror ivf_probe_pairs' ``cand_prep``
+    hook: extra CTEs inserted after cand_cells (each ",\\n"-prefixed)
+    and the relation the pairs join reads as its candidate side —
+    the seam the CAPPED bitext twin uses to bound per-cell
+    candidates."""
     from spark_app_twitter_spark.operators.clustering import (
         ITERS,
         _centroid_score_sql,
@@ -452,7 +461,7 @@ def _ivf_pairs_sql(q_body: str | None = None) -> str:
         )
     return f"""
 WITH {chain},
-cand_cells AS ({cand_cells}),
+cand_cells AS ({cand_cells}),{cand_tail}
 q AS (
   {q_body}
 ),
@@ -477,7 +486,7 @@ probe_cells AS (
 ),
 pairs AS (
   SELECT p.query_id, p.qv, cc.neighbor_id, cc.cv
-  FROM cand_cells cc JOIN probe_cells p USING (cell)
+  FROM {cand_name} cc JOIN probe_cells p USING (cell)
 )"""
 
 
@@ -2382,6 +2391,134 @@ def _bitext_mining_ivf_sql() -> str:
 
 
 BITEXT_MINING_IVF_SQL = _bitext_mining_ivf_sql()
+
+
+# Per-cell candidate cap for the registered bitext default: bounds
+# the scored pair volume at |src| * n_probe * CAP — LINEAR in the
+# corpus even when BOTH language halves grow (VERDICT r08 item 2,
+# the minhash_lsh_pairs_capped discipline applied to mining). The
+# uncapped cell-probed variant stays registered as
+# sim_bitext_mining_exact_cells; the all-pairs one as _exact.
+BITEXT_CELL_CAP = 8  # non-English candidates kept per fine cell
+
+
+def bitext_mining_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_id, tgt_id, cos_sim, margin): the CAPPED corpus-scale
+    bitext path and the registered default ``sim_bitext_mining``
+    since r9 — identical to :func:`bitext_mining_ivf` except each
+    fine cell contributes at most BITEXT_CELL_CAP non-English
+    candidates: the cell's members ranked by centroid cosine
+    (round 6dp, neighbor_id tie-break — the most REPRESENTATIVE
+    targets survive; hub-ish outliers drop first). With the cap, the
+    scored pair volume is |src| x n_probe x CAP instead of
+    |src| x |tgt| x probe_fraction — the uncapped variant is
+    quadratic when both language halves grow with the corpus (the
+    r8 stress finding: 29 s at 3x), this one is output-linear.
+
+    Plan shape: the cap is ONE window over the cell key on the
+    candidate side (index-sized, before any query join) — exactly
+    where minhash_lsh_pairs_capped places its bucket cap; stage 2
+    (mutual-top-1 + ratio margin) is the shared _bitext_margins
+    definition. Recall trade: a true mutual-top-1 pair is lost only
+    if the target ranks below CAP within its own cell — the audit
+    twin for that loss is comparing against _exact_cells, the same
+    relationship sim_ann_recall_audit pins for knn_ivf.
+    """
+    from spark_app_twitter_spark.operators.clustering import (
+        corpus_size,
+        kmeans_fine_centroid_rows,
+        levels_for,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    langs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    q = (
+        emb.join(langs, "vec_id")
+        .where(F.col("lang") == "en")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+        )
+    )
+    _, k2 = levels_for(corpus_size(spark, sf_dir))
+    cents = spark.createDataFrame(
+        [
+            (int(co * k2 + fi), fv)
+            for co, fi, fv in kmeans_fine_centroid_rows(spark, sf_dir)
+        ],
+        "cell int, fv array<double>",
+    )
+    nonen = langs.where(F.col("lang") != "en").select(
+        F.col("vec_id").alias("neighbor_id")
+    )
+
+    def cap_cells(cc: DataFrame) -> DataFrame:
+        w = Window.partitionBy("cell").orderBy(
+            F.desc("csim"), F.asc("neighbor_id")
+        )
+        return (
+            cc.join(F.broadcast(nonen), "neighbor_id", "left_semi")
+            .join(F.broadcast(cents), "cell")
+            .withColumn(
+                "csim", F.round(cosine(F.col("cv"), F.col("fv")), 6)
+            )
+            .withColumn("crn", F.row_number().over(w))
+            .where(F.col("crn") <= BITEXT_CELL_CAP)
+            .select("neighbor_id", "cv", "cell")
+        )
+
+    pairs = ivf_probe_pairs(spark, sf_dir, q, cand_prep=cap_cells)
+    scored = pairs.select(
+        F.col("query_id").alias("src_id"),
+        F.col("neighbor_id").alias("tgt_id"),
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    return _bitext_margins(scored)
+
+
+def _bitext_mining_capped_sql() -> str:
+    from spark_app_twitter_spark.operators.clustering import (
+        ITERS,
+        levels_sql,
+    )
+
+    _, k2_sql = levels_sql()
+    q_body = (
+        "SELECT e.vec_id AS query_id, e.v AS qv FROM emb e"
+        " JOIN documents d ON e.vec_id = d.doc_id WHERE d.lang = 'en'"
+    )
+    cand_tail = f"""
+fcent AS (
+  SELECT CAST(coarse * {k2_sql} + fine AS INT) AS cell, fv FROM f{ITERS}
+),
+cand_capped AS (
+  SELECT neighbor_id, cv, cell FROM (
+    SELECT cc.neighbor_id, cc.cv, cc.cell,
+           row_number() OVER (PARTITION BY cc.cell
+                              ORDER BY round({cosine_sql('cc.cv', 'fc.fv')}, 6) DESC,
+                                       cc.neighbor_id ASC) AS crn
+    FROM cand_cells cc
+    JOIN documents d ON cc.neighbor_id = d.doc_id AND d.lang != 'en'
+    JOIN fcent fc ON cc.cell = fc.cell
+  ) WHERE crn <= {BITEXT_CELL_CAP}
+),"""
+    scored = (
+        "SELECT p.query_id AS src_id, p.neighbor_id AS tgt_id,"
+        f" round({cosine_sql('p.qv', 'p.cv')}, 6) AS cos_sim"
+        " FROM pairs p"
+    )
+    return (
+        _ivf_pairs_sql(q_body, cand_tail=cand_tail, cand_name="cand_capped")
+        + ",\nscored0 AS (\n  "
+        + scored
+        + "\n),\n"
+        + _bitext_tail_sql("SELECT * FROM scored0").strip()
+    )
+
+
+BITEXT_MINING_CAPPED_SQL = _bitext_mining_capped_sql()
 
 
 def kmeans_quality(spark: SparkSession, sf_dir: str) -> DataFrame:

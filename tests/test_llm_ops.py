@@ -4390,3 +4390,66 @@ def test_q1_ivm_identities_on_generated_lineitems(spark, rows):
     )
     ret = sorted(tuple(r) for r in tpch.q1_retraction(spark, d).collect())
     assert ret == survivors
+
+
+def test_bitext_mining_capped_parity_and_cap_binds(spark, sf_dir):
+    """The registered capped bitext default: twin parity, the
+    per-cell candidate relation never exceeds BITEXT_CELL_CAP
+    non-English members, and the mined pairs stay inside the capped
+    candidate universe (every tgt survives its cell's centroid-rank
+    cut)."""
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.operators import similarity
+    from spark_app_twitter_spark.operators.clustering import (
+        corpus_size,
+        kmeans_cells_2level_assigned,
+        kmeans_fine_centroid_rows,
+        levels_for,
+    )
+    from spark_app_twitter_spark.functions.vectors import cosine
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    from tests.parity import assert_parity
+
+    df = similarity.bitext_mining_capped(spark, sf_dir)
+    assert_parity(
+        df, similarity.BITEXT_MINING_CAPPED_SQL, sf_dir, "bitextcap"
+    )
+
+    # reconstruct the capped candidate relation and check the cap
+    langs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    _, k2 = levels_for(corpus_size(spark, sf_dir))
+    cents = spark.createDataFrame(
+        [
+            (int(co * k2 + fi), fv)
+            for co, fi, fv in kmeans_fine_centroid_rows(spark, sf_dir)
+        ],
+        "cell int, fv array<double>",
+    )
+    from pyspark.sql.window import Window
+
+    cc = (
+        kmeans_cells_2level_assigned(spark, sf_dir)
+        .where(F.col("vec_id") >= similarity.N_QUERIES)
+        .join(langs, "vec_id")
+        .where(F.col("lang") != "en")
+        .join(F.broadcast(cents), "cell")
+        .withColumn("csim", F.round(cosine(F.col("v"), F.col("fv")), 6))
+        .withColumn(
+            "crn",
+            F.row_number().over(
+                Window.partitionBy("cell").orderBy(
+                    F.desc("csim"), F.asc("vec_id")
+                )
+            ),
+        )
+    )
+    capped = cc.where(F.col("crn") <= similarity.BITEXT_CELL_CAP)
+    per_cell = capped.groupBy("cell").count().collect()
+    assert all(r["count"] <= similarity.BITEXT_CELL_CAP for r in per_cell)
+    allowed = {r.vec_id for r in capped.select("vec_id").collect()}
+    mined_tgts = {r.tgt_id for r in df.select("tgt_id").collect()}
+    assert mined_tgts <= allowed

@@ -225,14 +225,16 @@ STRESS_QUERIES = [
     # gate-oracle contract), so replication grows it quadratically
     # by construction; the docstring documents the IVF-bucketed
     # candidate composition as the corpus-scale path —
-    # sim_bitext_mining_ivf IS that composition (registered r7
-    # continuation), and probing cuts the scored pair volume by the
-    # probe fraction (~4x), but mining pairs BETWEEN two
-    # corpus-sized language groups is inherently
-    # O(|src| x |tgt| x probe_fraction): the fixture grows both
-    # sides, so full-multiple stress is quadratic by construction
-    # for it too (measured 3x below); the win is structure a
-    # cluster parallelizes, not single-box sublinearity.
+    # the uncapped cell-probed variant (sim_bitext_mining_exact_cells
+    # since r9) IS that composition, and probing cuts the scored pair
+    # volume by the probe fraction (~4x), but mining pairs BETWEEN
+    # two corpus-sized language groups is inherently
+    # O(|src| x |tgt| x probe_fraction) without a cell cap: the
+    # fixture grows both sides, so full-multiple stress is quadratic
+    # by construction for IT (measured 29 s at 3x, r8). The
+    # REGISTERED default since r9 is the per-cell-capped variant,
+    # which bounds pair volume at |src| x n_probe x CAP — stressed
+    # below as sim_bitext_mining.
     # closing round 8: O(log max_len)-output padding audit, one
     # (source, term) shuffle then vocab-bounded KL, map-only
     # winnowing (explode without exchange), IVF-shortlisted integer
@@ -332,6 +334,14 @@ STRESS_QUERIES = [
     "tpch_q1_incremental",
     # signed partials under deletes (the RF2 shape)
     "tpch_q1_retraction",
+    # round 9: per-cell-capped bitext mining — pair volume bounded
+    # at |src| x n_probe x CAP (the minhash capped-pairs discipline
+    # applied to cross-lingual mining; VERDICT r08 item 2)
+    "sim_bitext_mining",
+    # round 9: join-bearing IVM — bilinear insert delta and signed
+    # deletes THROUGH the customer x orders join
+    "tpch_q3_incremental",
+    "tpch_q3_retraction",
 ]
 
 
