@@ -86,14 +86,16 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 """
 
 
-def _plane_weights() -> list[list[int]]:
+def _plane_weights(n_planes: int) -> list[list[int]]:
     """Deterministic ±1 hyperplane weights from md5(plane|dim) parity.
 
     Computed offline in Python and inlined as literals on BOTH the
-    Spark and oracle sides — no engine hash dependence at all.
+    Spark and oracle sides — no engine hash dependence at all. Row p
+    depends only on p, so any prefix of the MAX_PLANES table is the
+    same planes every consumer has always used.
     """
     planes = []
-    for p in range(N_PLANES):
+    for p in range(n_planes):
         row = []
         for d in range(DIM):
             h = hashlib.md5(f"{p}|{d}".encode()).hexdigest()
@@ -102,7 +104,13 @@ def _plane_weights() -> list[list[int]]:
     return planes
 
 
-PLANES = _plane_weights()
+# Hard ceiling for the ADAPTIVE plane count (knn_graph_multiprobe):
+# 24 planes cover ceil(n / KNN_GRAPH_CAP) buckets up to n = 2^24 *
+# CAP ≈ 1e9 vectors — beyond that the formula clamps and bucket
+# occupancy grows linearly again (documented, guarded in tests).
+MAX_PLANES = 24
+_ALL_PLANES = _plane_weights(MAX_PLANES)
+PLANES = _ALL_PLANES[:N_PLANES]
 
 
 def _bucket_expr_for(planes: list[list[int]], vec: str, spark_side: bool) -> str:
@@ -128,6 +136,60 @@ def _bucket_expr_spark(vec: str) -> str:
 
 def _bucket_expr_duckdb(vec: str) -> str:
     return _bucket_expr_for(PLANES, vec, spark_side=False)
+
+
+def planes_for(n: int) -> int:
+    """Adaptive hyperplane count for the multiprobe bucket key
+    (VERDICT r08 item 4): enough planes that EXPECTED bucket
+    occupancy stays near the anchor cap — the smallest p with
+    2^p >= ceil(n / KNN_GRAPH_CAP) — floored at the static N_PLANES
+    (so small corpora keep their historical buckets) and clamped at
+    MAX_PLANES. All-integer, so the SQL twin (:func:`_planes_for_sql`)
+    is engine-exact."""
+    m = max(1, -(-n // KNN_GRAPH_CAP))
+    p = next(
+        (i for i in range(MAX_PLANES + 1) if (1 << i) >= m), MAX_PLANES
+    )
+    return min(MAX_PLANES, max(N_PLANES, p))
+
+
+def _planes_for_sql(
+    count_sql: str = "(SELECT count(*) FROM embeddings)",
+) -> str:
+    """DuckDB scalar twin of :func:`planes_for` over count(embeddings)
+    (``count_sql`` overridable so the property test can sweep n)."""
+    return (
+        f"(SELECT LEAST({MAX_PLANES}, GREATEST({N_PLANES},"
+        f" COALESCE(MIN(p), {MAX_PLANES})))"
+        f" FROM range(0, {MAX_PLANES + 1}) t(p)"
+        f" WHERE (CAST(1 AS BIGINT) << p) >="
+        f" ({count_sql} + {KNN_GRAPH_CAP - 1})"
+        f" // {KNN_GRAPH_CAP})"
+    )
+
+
+def _bucket_expr_spark_np(vec: str, n_planes: int) -> str:
+    """Spark bucket expr over the first ``n_planes`` shared planes."""
+    return _bucket_expr_for(_ALL_PLANES[:n_planes], vec, spark_side=True)
+
+
+def _bucket_expr_duckdb_np(vec: str, np_col: str) -> str:
+    """DuckDB bucket over the first ``np_col`` (a column reference)
+    planes of the shared MAX_PLANES table — the adaptive twin: each
+    plane's bit is gated on p < np, so the same SQL text serves any
+    corpus size."""
+    terms = []
+    for p, row in enumerate(_ALL_PLANES):
+        warr = "[" + ", ".join(str(w) for w in row) + "]"
+        dot = (
+            f"list_dot_product(CAST({vec} AS DOUBLE[]),"
+            f" CAST({warr} AS DOUBLE[]))"
+        )
+        terms.append(
+            f"(CASE WHEN {p} < {np_col} AND {dot} > 0"
+            f" THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
 
 
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3308,15 +3370,25 @@ def knn_graph_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring pass, so no pair is scored twice. Per-vector results
     dominate the single-partition graph pointwise: the candidate set
     is a superset of knn_graph's (verified in tests).
+
+    The bucket key uses the ADAPTIVE plane count (VERDICT r08 item
+    4): planes_for(n) grows the 2^p bucket space with the corpus so
+    expected occupancy tracks KNN_GRAPH_CAP instead of saturating
+    toward CAP-bounded cliques on dup-heavy corpora (the static
+    8-plane key measured 13.9x at 100x data). Small corpora keep the
+    historical 8 planes; the twin computes the same count from
+    count(*) with all-integer arithmetic.
     """
     from spark_app_twitter_spark.operators.clustering import (
+        corpus_size,
         kmeans_cells_2level_assigned,
     )
 
+    n_planes = planes_for(corpus_size(spark, sf_dir))
     assigned = (
         kmeans_cells_2level_assigned(spark, sf_dir)
         .select("vec_id", "v", "cell")
-        .withColumn("bucket", F.expr(_bucket_expr_spark("v")))
+        .withColumn("bucket", F.expr(_bucket_expr_spark_np("v", n_planes)))
         .localCheckpoint(eager=True)
     )
 
@@ -3385,10 +3457,11 @@ def _knn_graph_multiprobe_sql() -> str:
     return f"""
 WITH {chain},
 cells2 AS ({final}),
+nplanes AS (SELECT {_planes_for_sql()} AS np),
 assigned AS (
   SELECT c.vec_id, e.v, c.cell,
-         {_bucket_expr_duckdb('e.v')} AS bucket
-  FROM cells2 c JOIN emb e USING (vec_id)
+         {_bucket_expr_duckdb_np('e.v', 'np.np')} AS bucket
+  FROM cells2 c JOIN emb e USING (vec_id) CROSS JOIN nplanes np
 ),
 cands AS (
   SELECT DISTINCT vec_id, neighbor_id FROM ({part_sql('cell')}

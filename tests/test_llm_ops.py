@@ -4453,3 +4453,36 @@ def test_bitext_mining_capped_parity_and_cap_binds(spark, sf_dir):
     allowed = {r.vec_id for r in capped.select("vec_id").collect()}
     mined_tgts = {r.tgt_id for r in df.select("tgt_id").collect()}
     assert mined_tgts <= allowed
+
+
+def test_adaptive_planes_track_occupancy_and_twin_agrees():
+    """planes_for (VERDICT r08 item 4): expected bucket occupancy
+    n / 2^planes stays <= KNN_GRAPH_CAP until the MAX_PLANES clamp,
+    the count never shrinks below the historical 8 planes, is
+    monotone in n, and the all-integer DuckDB twin agrees exactly
+    across six decades of corpus size."""
+    import duckdb
+
+    from spark_app_twitter_spark.operators import similarity as S
+
+    con = duckdb.connect()
+    prev = 0
+    for n in [1, 10, 500, 5_000, 50_000, 500_000, 5_000_000,
+              50_000_000, 10**9, 10**12]:
+        p = S.planes_for(n)
+        assert S.N_PLANES <= p <= S.MAX_PLANES
+        assert p >= prev, "plane count must be monotone in n"
+        prev = p
+        if p < S.MAX_PLANES:
+            assert n / (1 << p) <= S.KNN_GRAPH_CAP, (
+                f"bucket occupancy saturates at n={n}: "
+                f"{n / (1 << p):.1f} > {S.KNN_GRAPH_CAP}"
+            )
+        twin = con.execute(
+            f"SELECT {S._planes_for_sql(str(n))}"
+        ).fetchone()[0]
+        assert twin == p, f"twin disagrees at n={n}: {twin} != {p}"
+    # the fixture SFs keep their historical 8-plane buckets (no
+    # result churn at gate scale)
+    assert S.planes_for(500) == S.N_PLANES
+    assert S.planes_for(5_000) == S.N_PLANES
