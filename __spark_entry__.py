@@ -73,9 +73,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       3. everything else (freshly attested last round), last.
     When editing, append new queries to the front section and demote
     whatever the previous round just re-attested. Since round 8 the
-    window is stated EXPLICITLY as _R8_WINDOW (applied by reordering
-    the dict below at return time) — the section comments document
-    provenance, the list documents the contract.
+    window is stated EXPLICITLY as a _R{N}_WINDOW list (applied by
+    reordering the dict below at return time; round 9: _R9_WINDOW) —
+    the section comments document provenance, the list documents the
+    contract.
 
     Round 7 rotation (executes VERDICT r06 items 1-2): the six
     entries with NO driver attestation lead — the repaired inverted
@@ -431,33 +432,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_lsh_multi": similarity.knn_lsh_multi,
         "multimodal_media_features": multimodal.media_features,
     }
-    ordered = {name: q.pop(name) for name in _R8_WINDOW}
+    ordered = {name: q.pop(name) for name in _R9_WINDOW}
     ordered.update(q)
     return ordered
 
 
-# The round-8 driver verification window (VERDICT r07 + the rotation
-# contract): ALL 35 never-attested round-8 operators, the 5 whose
-# code or oracle changed this round, then 10 of the displaced
-# r04-attested rows. Every registry entry is now driver-attested in
-# some round once this window runs. The r04 rows displaced to make
-# room (dedup_ngram_jaccard_pairs, dedup_containment_pairs,
-# dedup_clusters, text_token_stats, text_token_counts, text_lang_id,
-# text_doc_fingerprint, text_redact, sim_quantize_embeddings, plus
-# the earlier deferrals: text_common_ngrams, text_quality_rules,
-# sim_embedding_dim_stats, dedup_incremental, text_token_budget_sample,
-# dedup_span_stats, text_bigram_lm_score, text_weighted_sample,
-# text_ngram_diversity, sim_embedding_covariance, serving_weekly_active,
-# ...) head the round-9 window; each keeps a local DuckDB parity test
-# in CI and is sweep-green at sf0.01. The operators added AFTER this
-# rotation (registry positions 50+: sim_coreset_kcenter,
-# multimodal_chunk_dedup, serving_power_users, graph_kcore,
-# dedup_threshold_yield, text_rare_token_ratio, sim_knn_graph,
-# sim_knn_graph_multiprobe, dedup_quality_lift,
-# serving_new_vs_returning, sim_mmr_rerank_ivf,
-# serving_time_to_convert, sim_knn_graph_refine) join them at the
-# head of the round-9 window — every one is parity-tested in CI and
-# sweep-green at sf0.01 AND sf0.1 this round.
+# The round-9 driver verification window (VERDICT r08 item 1 + the
+# rotation contract), in priority order:
+#   (a) ALL 21 never-driver-attested entries — the 18 late-round-8
+#       additions (kNN-graph family incl. delta, k-core, coreset,
+#       MMR-IVF, quality-lift, threshold-yield, centroid-classifier
+#       eval, label purity, Q1 IVM + retraction, power users,
+#       chunk dedup, rare tokens, new-vs-returning, time-to-convert)
+#       plus the 3 round-9 registrations (Q3 IVM pair,
+#       sim_bitext_mining_exact_cells);
+#   (b) the 5 entries whose code or oracle changed this round
+#       (sim_mmr_rerank: applyInPandas greedy + materialized twin;
+#       sim_bitext_mining: now the capped path;
+#       dedup_lsh_clusters: shared-propagation refactor;
+#       sketch_kmv_source_overlap: integer-floor twin;
+#       serving_funnel_conversion: dropped unused aggregate) — note
+#       sim_mmr_rerank_ivf / sim_knn_graph_multiprobe /
+#       sim_knn_graph_refine also changed but already sit in (a);
+#   (c) 24 of the 29 oldest (r04-attested) rows. The 5 r04 rows
+#       still displaced — multimodal_resize_images,
+#       multimodal_audio_chunks, serving_props_stats,
+#       serving_retention_cohorts, sim_kmeans_cells — head the
+#       round-10 window; each keeps a local DuckDB parity test in CI
+#       and is sweep-green at sf0.01.
+# After this window runs, every one of the 233 registry entries has
+# a driver CORRECTNESS row in some round.
+_R9_WINDOW = (
+    # (a) never-attested
+    "sim_coreset_kcenter",
+    "multimodal_chunk_dedup",
+    "serving_power_users",
+    "graph_kcore",
+    "dedup_threshold_yield",
+    "text_rare_token_ratio",
+    "sim_knn_graph",
+    "sim_knn_graph_multiprobe",
+    "dedup_quality_lift",
+    "serving_new_vs_returning",
+    "sim_mmr_rerank_ivf",
+    "serving_time_to_convert",
+    "sim_knn_graph_refine",
+    "sim_knn_graph_delta",
+    "sim_centroid_classifier_eval",
+    "sim_knn_label_purity",
+    "tpch_q1_incremental",
+    "tpch_q1_retraction",
+    "tpch_q3_incremental",
+    "tpch_q3_retraction",
+    "sim_bitext_mining_exact_cells",
+    # (b) changed this round
+    "sim_mmr_rerank",
+    "sim_bitext_mining",
+    "dedup_lsh_clusters",
+    "sketch_kmv_source_overlap",
+    "serving_funnel_conversion",
+    # (c) oldest attestations (r04)
+    "dedup_clusters",
+    "dedup_containment_pairs",
+    "dedup_incremental",
+    "dedup_minhash_jaccard_est",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_span_stats",
+    "serving_weekly_active",
+    "sim_embedding_covariance",
+    "sim_embedding_dim_stats",
+    "sim_knn_quantized",
+    "sim_quantize_embeddings",
+    "text_bigram_lm_score",
+    "text_common_ngrams",
+    "text_doc_fingerprint",
+    "text_lang_id",
+    "text_length_histogram",
+    "text_ngram_diversity",
+    "text_quality_rules",
+    "text_redact",
+    "text_token_budget_sample",
+    "text_token_counts",
+    "text_token_stats",
+    "text_train_split",
+    "text_weighted_sample",
+)
+
+
+# Historical: the round-8 window (kept for provenance; superseded by
+# _R9_WINDOW above).
 _R8_WINDOW = (
     "dedup_lsh_clusters",
     "dedup_minhash_lsh_pairs_capped",
