@@ -225,6 +225,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # partials through the join ---
         "tpch_q3_incremental": tpch.q3_incremental,
         "tpch_q3_retraction": tpch.q3_retraction,
+        # NN-descent observability: per-round improvement metrics
+        # (VERDICT r08 item 8 — the ann_recall_audit of refinement)
+        "sim_knn_graph_convergence": similarity.knn_graph_convergence,
         # --- 0. added in the round-7 continuation (never attested):
         # sparse BM25 retrieval, DSIR importance weights, margin-based
         # bitext mining, the training-shard manifest, BM25+dense RRF
@@ -439,13 +442,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # The round-9 driver verification window (VERDICT r08 item 1 + the
 # rotation contract), in priority order:
-#   (a) ALL 21 never-driver-attested entries — the 18 late-round-8
+#   (a) ALL 22 never-driver-attested entries — the 18 late-round-8
 #       additions (kNN-graph family incl. delta, k-core, coreset,
 #       MMR-IVF, quality-lift, threshold-yield, centroid-classifier
 #       eval, label purity, Q1 IVM + retraction, power users,
 #       chunk dedup, rare tokens, new-vs-returning, time-to-convert)
-#       plus the 3 round-9 registrations (Q3 IVM pair,
-#       sim_bitext_mining_exact_cells);
+#       plus the 4 round-9 registrations (Q3 IVM pair,
+#       sim_bitext_mining_exact_cells, sim_knn_graph_convergence);
 #   (b) the 5 entries whose code or oracle changed this round
 #       (sim_mmr_rerank: applyInPandas greedy + materialized twin;
 #       sim_bitext_mining: now the capped path;
@@ -454,13 +457,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #       serving_funnel_conversion: dropped unused aggregate) — note
 #       sim_mmr_rerank_ivf / sim_knn_graph_multiprobe /
 #       sim_knn_graph_refine also changed but already sit in (a);
-#   (c) 24 of the 29 oldest (r04-attested) rows. The 5 r04 rows
+#   (c) 23 of the 29 oldest (r04-attested) rows. The 6 r04 rows
 #       still displaced — multimodal_resize_images,
 #       multimodal_audio_chunks, serving_props_stats,
-#       serving_retention_cohorts, sim_kmeans_cells — head the
-#       round-10 window; each keeps a local DuckDB parity test in CI
-#       and is sweep-green at sf0.01.
-# After this window runs, every one of the 233 registry entries has
+#       serving_retention_cohorts, sim_kmeans_cells,
+#       text_weighted_sample — head the round-10 window; each keeps
+#       a local DuckDB parity test in CI and is sweep-green at
+#       sf0.01.
+# After this window runs, every one of the 234 registry entries has
 # a driver CORRECTNESS row in some round.
 _R9_WINDOW = (
     # (a) never-attested
@@ -485,6 +489,7 @@ _R9_WINDOW = (
     "tpch_q3_incremental",
     "tpch_q3_retraction",
     "sim_bitext_mining_exact_cells",
+    "sim_knn_graph_convergence",
     # (b) changed this round
     "sim_mmr_rerank",
     "sim_bitext_mining",
@@ -515,7 +520,6 @@ _R9_WINDOW = (
     "text_token_counts",
     "text_token_stats",
     "text_train_split",
-    "text_weighted_sample",
 )
 
 
@@ -671,6 +675,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1_retraction": tpch.Q1_RETRACTION_SQL,
         "tpch_q3_incremental": tpch.Q3_INCREMENTAL_SQL,
         "tpch_q3_retraction": tpch.Q3_RETRACTION_SQL,
+        "sim_knn_graph_convergence": similarity.KNN_GRAPH_CONVERGENCE_SQL,
         "retrieval_bm25": retrieval.BM25_RETRIEVE_SQL,
         "text_dsir_weights": textstats.DSIR_WEIGHTS_SQL,
         "sim_bitext_mining": similarity.BITEXT_MINING_CAPPED_SQL,

@@ -345,6 +345,7 @@ def ivf_probe_pairs(
     q: DataFrame,
     cand_prep=None,
     carry_query_cols: tuple[str, ...] = (),
+    n_probe: int | None = None,
 ) -> DataFrame:
     """(query_id, qv, neighbor_id, cv, ...): each query joined to
     every candidate in its probed fine cells — the CANDIDATE-
@@ -359,7 +360,12 @@ def ivf_probe_pairs(
     state (e.g. int8 codes) computed once per vector instead of once
     per (query, candidate) pair, exactly like a real index stores
     codes alongside ids. ``carry_query_cols`` names extra ``q``
-    columns to thread through the probe machinery the same way."""
+    columns to thread through the probe machinery the same way.
+    ``n_probe`` overrides the probe count: the default
+    (n_probes_for, ~25% of cells) keeps recall stable for FIXED
+    query cohorts, but corpus-sized query sets (bitext mining) must
+    pin a constant — fraction-scaled probes make their pair volume
+    O(n^1.5)."""
     from spark_app_twitter_spark.operators.clustering import (
         corpus_size,
         kmeans_cells_2level_assigned,
@@ -377,7 +383,10 @@ def ivf_probe_pairs(
         cand_cells = cand_prep(cand_cells)
     probe_cells = (
         probe_rank(spark, sf_dir, q, carry_query_cols=carry_query_cols)
-        .where(F.col("prk") <= n_probes_for(k1 * k2))
+        .where(
+            F.col("prk")
+            <= (n_probes_for(k1 * k2) if n_probe is None else n_probe)
+        )
         .select("query_id", "qv", *carry_query_cols, "cell")
     )
     return cand_cells.join(F.broadcast(probe_cells), "cell").drop("cell")
@@ -481,6 +490,7 @@ def _ivf_pairs_sql(
     q_body: str | None = None,
     cand_tail: str = "",
     cand_name: str = "cand_cells",
+    n_probe: int | None = None,
 ) -> str:
     """The shared WITH-chain of every IVF search twin, ending at a
     ``pairs`` CTE (query_id, qv, neighbor_id, cv) — mirrors
@@ -509,8 +519,12 @@ def _ivf_pairs_sql(
         f"greatest(1, CAST(ceil({k1_sql} / {PROBE_FRACTION}.0) AS INT))"
     )
     n_probe_sql = (
-        f"greatest({N_PROBE}, "
-        f"CAST(ceil({k1_sql} * {k2_sql} / {PROBE_FRACTION}.0) AS INT))"
+        str(n_probe)
+        if n_probe is not None
+        else (
+            f"greatest({N_PROBE}, "
+            f"CAST(ceil({k1_sql} * {k2_sql} / {PROBE_FRACTION}.0) AS INT))"
+        )
     )
     cand_cells = kmeans_2level_assigned_cte(
         "vec_id AS neighbor_id, v AS cv, cell",
@@ -2455,13 +2469,19 @@ def _bitext_mining_ivf_sql() -> str:
 BITEXT_MINING_IVF_SQL = _bitext_mining_ivf_sql()
 
 
-# Per-cell candidate cap for the registered bitext default: bounds
-# the scored pair volume at |src| * n_probe * CAP — LINEAR in the
-# corpus even when BOTH language halves grow (VERDICT r08 item 2,
-# the minhash_lsh_pairs_capped discipline applied to mining). The
-# uncapped cell-probed variant stays registered as
+# Per-cell candidate cap + FIXED probe count for the registered
+# bitext default: bounds the scored pair volume at
+# |src| * BITEXT_PROBES * CAP — LINEAR in the corpus even when BOTH
+# language halves grow (VERDICT r08 item 2, the
+# minhash_lsh_pairs_capped discipline applied to mining). Both knobs
+# are needed: with the adaptive cell count (k ∝ √n) the DEFAULT
+# fraction-scaled probe rule makes a corpus-sized query set score
+# O(n^1.5) pairs (measured 41.7x at 30x with the cap alone), so the
+# mining path pins the probe count the way faiss/CCMatrix serving
+# does. The uncapped cell-probed variant stays registered as
 # sim_bitext_mining_exact_cells; the all-pairs one as _exact.
 BITEXT_CELL_CAP = 8  # non-English candidates kept per fine cell
+BITEXT_PROBES = 8  # fixed probed fine cells per English source doc
 
 
 def bitext_mining_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2471,11 +2491,15 @@ def bitext_mining_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     fine cell contributes at most BITEXT_CELL_CAP non-English
     candidates: the cell's members ranked by centroid cosine
     (round 6dp, neighbor_id tie-break — the most REPRESENTATIVE
-    targets survive; hub-ish outliers drop first). With the cap, the
-    scored pair volume is |src| x n_probe x CAP instead of
-    |src| x |tgt| x probe_fraction — the uncapped variant is
-    quadratic when both language halves grow with the corpus (the
-    r8 stress finding: 29 s at 3x), this one is output-linear.
+    targets survive; hub-ish outliers drop first) AND each source
+    probes a FIXED BITEXT_PROBES fine cells (the faiss/CCMatrix
+    nprobe convention) instead of the fraction-scaled default. With
+    both knobs the scored pair volume is |src| x PROBES x CAP —
+    output-linear — where the uncapped variant is quadratic when
+    both language halves grow (29 s at 3x, r8) and the cap alone
+    still leaves O(n^1.5) from √n-scaled probing (41.7x at 30x, r9).
+    Recall trade: the probed fraction shrinks as the corpus grows —
+    the standard IVF-serving dial, audited against _exact_cells.
 
     Plan shape: the cap is ONE window over the cell key on the
     candidate side (index-sized, before any query join) — exactly
@@ -2531,7 +2555,9 @@ def bitext_mining_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("neighbor_id", "cv", "cell")
         )
 
-    pairs = ivf_probe_pairs(spark, sf_dir, q, cand_prep=cap_cells)
+    pairs = ivf_probe_pairs(
+        spark, sf_dir, q, cand_prep=cap_cells, n_probe=BITEXT_PROBES
+    )
     scored = pairs.select(
         F.col("query_id").alias("src_id"),
         F.col("neighbor_id").alias("tgt_id"),
@@ -2572,7 +2598,12 @@ cand_capped AS (
         " FROM pairs p"
     )
     return (
-        _ivf_pairs_sql(q_body, cand_tail=cand_tail, cand_name="cand_capped")
+        _ivf_pairs_sql(
+            q_body,
+            cand_tail=cand_tail,
+            cand_name="cand_capped",
+            n_probe=BITEXT_PROBES,
+        )
         + ",\nscored0 AS (\n  "
         + scored
         + "\n),\n"
@@ -3513,6 +3544,15 @@ def knn_graph_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "neighbor_id")
         .localCheckpoint(eager=True)
     )
+    return _nn_descent_round(spark, sf_dir, seed)
+
+
+def _nn_descent_round(
+    spark: SparkSession, sf_dir: str, seed: DataFrame
+) -> DataFrame:
+    """One NN-descent round over an arbitrary (vec_id, neighbor_id)
+    seed — the shared body of knn_graph_refine and the convergence
+    diagnostic (one definition of the candidate rule)."""
     undirected = seed.unionByName(
         seed.select(
             F.col("neighbor_id").alias("vec_id"),
@@ -3560,17 +3600,15 @@ def knn_graph_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_graph_refine_sql() -> str:
-    # seed MATERIALIZED: referenced four times (two union branches,
-    # both sides of the 2-hop join) on top of the full Lloyd replay —
-    # plain-CTE inlining would re-run the whole multiprobe chain each
-    # time (the coreset/k-core lesson).
-    mp = KNN_GRAPH_MULTIPROBE_SQL.strip()
-    return f"""
-WITH seed AS MATERIALIZED (
-  SELECT vec_id, neighbor_id FROM ({mp})
-),
-undirected AS MATERIALIZED (
+def _nn_descent_chain_sql() -> str:
+    """undirected → cands → scored → refined CTE chain reading a
+    seed CTE named ``seed`` (vec_id, neighbor_id) — the SQL twin of
+    :func:`_nn_descent_round`, shared by the refine twin and the
+    convergence diagnostic. undirected is MATERIALIZED: it is
+    referenced three times (one union branch, both sides of the
+    2-hop join) and plain-CTE inlining would re-run the whole seed
+    chain each time (the coreset/k-core lesson)."""
+    return f"""undirected AS MATERIALIZED (
   SELECT vec_id, neighbor_id FROM seed
   UNION ALL
   SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM seed
@@ -3589,18 +3627,132 @@ scored AS (
   FROM cands cd
   JOIN embeddings ev ON ev.vec_id = cd.vec_id
   JOIN embeddings en ON en.vec_id = cd.neighbor_id
-)
-SELECT vec_id, neighbor_id, cos_sim, rank FROM (
-  SELECT vec_id, neighbor_id, cos_sim,
-         CAST(row_number() OVER (
-           PARTITION BY vec_id
-           ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
-  FROM scored
-) WHERE rank <= {KNN_GRAPH_K}
+),
+refined AS (
+  SELECT vec_id, neighbor_id, cos_sim, rank FROM (
+    SELECT vec_id, neighbor_id, cos_sim,
+           CAST(row_number() OVER (
+             PARTITION BY vec_id
+             ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+  ) WHERE rank <= {KNN_GRAPH_K}
+)"""
+
+
+def _knn_graph_refine_sql() -> str:
+    # seed MATERIALIZED on top of the full Lloyd replay — see
+    # _nn_descent_chain_sql
+    mp = KNN_GRAPH_MULTIPROBE_SQL.strip()
+    return f"""
+WITH seed AS MATERIALIZED (
+  SELECT vec_id, neighbor_id FROM ({mp})
+),
+{_nn_descent_chain_sql()}
+SELECT vec_id, neighbor_id, cos_sim, rank FROM refined
 """
 
 
 KNN_GRAPH_REFINE_SQL = _knn_graph_refine_sql()
+
+
+def knn_graph_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_vectors, n_improved, n_new_edges, total_gain_micro,
+    max_gain_micro): the OBSERVABILITY row for NN-descent (VERDICT
+    r08 item 8) — how much one refinement round actually improved
+    the multiprobe graph, the metric a production refinement loop
+    watches to decide when rounds stop paying (the role
+    ann_recall_audit plays for IVF probe counts).
+
+    Per vector, quality is the sum of its top-k neighbor cosines in
+    integer micro-units; the gain is refined minus seed (>= 0 by the
+    pointwise-dominance property pinned in the refine tests).
+    n_new_edges counts refined edges absent from the seed. All
+    integers, one row.
+
+    Scale shape: the seed graph is computed ONCE (checkpointed) and
+    feeds both the refinement round and the comparison; everything
+    after the refine's bounded candidate stage is two vec_id-keyed
+    rollups plus 1-row aggregates.
+    """
+    seed_full = knn_graph_multiprobe(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
+    refined = _nn_descent_round(
+        spark, sf_dir, seed_full.select("vec_id", "neighbor_id")
+    )
+    micro = F.round(F.col("cos_sim") * F.lit(1e6), 0).cast("long")
+    seed_sum = seed_full.groupBy("vec_id").agg(F.sum(micro).alias("sm"))
+    ref_sum = refined.groupBy("vec_id").agg(F.sum(micro).alias("rm"))
+    gains = (
+        seed_sum.join(ref_sum, "vec_id", "full")
+        .select(
+            (
+                F.coalesce(F.col("rm"), F.lit(0))
+                - F.coalesce(F.col("sm"), F.lit(0))
+            ).alias("gain")
+        )
+    )
+    stats = gains.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum((F.col("gain") > 0).cast("long")).alias("n_improved"),
+        F.sum("gain").alias("total_gain_micro"),
+        F.max("gain").alias("max_gain_micro"),
+    )
+    new_edges = (
+        refined.select("vec_id", "neighbor_id")
+        .join(
+            seed_full.select("vec_id", "neighbor_id"),
+            ["vec_id", "neighbor_id"],
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_new_edges"))
+    )
+    return stats.crossJoin(F.broadcast(new_edges)).select(
+        "n_vectors",
+        "n_improved",
+        "n_new_edges",
+        "total_gain_micro",
+        "max_gain_micro",
+    )
+
+
+def _knn_graph_convergence_sql() -> str:
+    mp = KNN_GRAPH_MULTIPROBE_SQL.strip()
+    return f"""
+WITH seed_full AS MATERIALIZED (SELECT * FROM ({mp})),
+seed AS MATERIALIZED (SELECT vec_id, neighbor_id FROM seed_full),
+{_nn_descent_chain_sql()},
+seed_sum AS (
+  SELECT vec_id,
+         sum(CAST(round(cos_sim * 1e6, 0) AS BIGINT)) AS sm
+  FROM seed_full GROUP BY vec_id
+),
+ref_sum AS (
+  SELECT vec_id,
+         sum(CAST(round(cos_sim * 1e6, 0) AS BIGINT)) AS rm
+  FROM refined GROUP BY vec_id
+),
+gains AS (
+  SELECT coalesce(r.rm, 0) - coalesce(s.sm, 0) AS gain
+  FROM seed_sum s FULL JOIN ref_sum r USING (vec_id)
+),
+new_edges AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_new_edges FROM refined r
+  WHERE NOT EXISTS (SELECT 1 FROM seed s
+                    WHERE s.vec_id = r.vec_id
+                      AND s.neighbor_id = r.neighbor_id)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(CASE WHEN gain > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_improved,
+       (SELECT n_new_edges FROM new_edges) AS n_new_edges,
+       CAST(sum(gain) AS BIGINT) AS total_gain_micro,
+       CAST(max(gain) AS BIGINT) AS max_gain_micro
+FROM gains
+"""
+
+
+KNN_GRAPH_CONVERGENCE_SQL = _knn_graph_convergence_sql()
 
 
 # ---------------------------------------------------------------------------

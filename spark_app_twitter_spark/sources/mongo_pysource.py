@@ -181,15 +181,25 @@ class MongoWireReader(DataSourceReader):
         self._schema = schema
 
     def partitions(self):
-        if not os.path.isdir(self._dir):
-            return []
-        return [
-            _FilePart(path=os.path.join(self._dir, f))
-            for f in sorted(os.listdir(self._dir))
-            if f.endswith(".jsonl")
-        ]
+        # an EMPTY collection (e.g. reading before the first publish,
+        # or after an aborted write) must yield 0 rows, like the real
+        # connector: the Python Data Source API does not accept an
+        # empty partition list (it falls back to read(None)), so an
+        # empty store returns one sentinel partition that reads
+        # nothing
+        if os.path.isdir(self._dir):
+            parts = [
+                _FilePart(path=os.path.join(self._dir, f))
+                for f in sorted(os.listdir(self._dir))
+                if f.endswith(".jsonl")
+            ]
+            if parts:
+                return parts
+        return [_FilePart(path="")]
 
     def read(self, partition: _FilePart):
+        if not partition.path:
+            return
         fields = self._schema.fields
         with open(partition.path) as f:
             for line in f:

@@ -4486,3 +4486,59 @@ def test_adaptive_planes_track_occupancy_and_twin_agrees():
     # result churn at gate scale)
     assert S.planes_for(500) == S.N_PLANES
     assert S.planes_for(5_000) == S.N_PLANES
+
+
+def test_knn_graph_convergence_metrics(spark, sf_dir):
+    """NN-descent observability (VERDICT r08 item 8): twin parity,
+    and the metrics agree with a direct recomputation — gains are
+    non-negative (pointwise dominance), n_improved counts exactly
+    the vectors whose top-k cosine mass grew, n_new_edges counts
+    refined edges absent from the seed."""
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.operators import similarity
+
+    from tests.parity import assert_parity
+
+    df = similarity.knn_graph_convergence(spark, sf_dir)
+    assert_parity(
+        df, similarity.KNN_GRAPH_CONVERGENCE_SQL, sf_dir, "knnconv"
+    )
+    row = df.collect()[0]
+    assert row.n_vectors > 0
+    assert 0 <= row.n_improved <= row.n_vectors
+    assert row.total_gain_micro >= row.max_gain_micro >= 0
+    if row.n_improved == 0:
+        assert row.total_gain_micro == 0
+
+    # direct recomputation from the two public graphs
+    seed = similarity.knn_graph_multiprobe(spark, sf_dir)
+    refined = similarity.knn_graph_refine(spark, sf_dir)
+    micro = F.round(F.col("cos_sim") * F.lit(1e6), 0).cast("long")
+    sm = {
+        r.vec_id: r.s
+        for r in seed.groupBy("vec_id").agg(F.sum(micro).alias("s")).collect()
+    }
+    rm = {
+        r.vec_id: r.s
+        for r in refined.groupBy("vec_id")
+        .agg(F.sum(micro).alias("s"))
+        .collect()
+    }
+    gains = {v: rm.get(v, 0) - s for v, s in sm.items()}
+    for v in rm:
+        assert v in sm, "refined vector missing from seed sums"
+    assert row.n_vectors == len(gains)
+    assert row.n_improved == sum(1 for g in gains.values() if g > 0)
+    assert row.total_gain_micro == sum(gains.values())
+    assert all(g >= 0 for g in gains.values())
+    seed_edges = {
+        (r.vec_id, r.neighbor_id)
+        for r in seed.select("vec_id", "neighbor_id").collect()
+    }
+    new = [
+        r
+        for r in refined.select("vec_id", "neighbor_id").collect()
+        if (r.vec_id, r.neighbor_id) not in seed_edges
+    ]
+    assert row.n_new_edges == len(new)

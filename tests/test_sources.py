@@ -505,3 +505,57 @@ def test_mongo_wire_serves_published_serving_rows(spark, tmp_path, sf_dir):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, serving.collect())
     )
+
+
+def test_mongo_wire_abort_publishes_nothing_and_restart_is_exactly_once(
+    spark, tmp_path
+):
+    """VERDICT r08 item 7: the staged two-phase commit under a
+    mid-batch abort. One partition's write is poisoned mid-stream;
+    the other partitions stage their files successfully, the driver
+    then ABORTS — and nothing becomes visible (visibility happens
+    only at driver commit, exactly the real connector's transactional
+    contract). A clean restart of the same batch publishes exactly
+    the batch rows: no duplicates, no residue from the aborted
+    attempt."""
+    import os as _os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.sources.sinks import (
+        read_mongo_batch,
+        write_mongo_batch,
+    )
+
+    mp = _mongo_env(tmp_path)
+    try:
+        mp.register_mongo_wire(spark)
+    except Exception as e:
+        assert "DATA_SOURCE_ALREADY_EXISTS" in str(e)
+
+    store = {mp.STORE_OPT: str(tmp_path)}
+    uri = "mongodb://localhost:27017"
+    ddl = "id long, label string"
+    rows = [(i, f"doc{i}") for i in range(8)]
+    df = spark.createDataFrame(rows, ddl).repartition(4, "id")
+
+    poisoned = df.withColumn(
+        "guard",
+        F.assert_true(F.col("id") != 5, F.lit("induced mid-batch failure")),
+    )
+    with pytest.raises(Exception, match="induced mid-batch failure"):
+        write_mongo_batch(poisoned, uri, "dash", "ep3").options(
+            **store
+        ).save()
+
+    coll = _os.path.join(str(tmp_path), "localhost_27017", "dash", "ep3")
+    visible = [f for f in _os.listdir(coll) if f.endswith(".jsonl")]
+    assert visible == [], f"aborted write published documents: {visible}"
+    assert (
+        read_mongo_batch(spark, uri, "dash", "ep3", ddl, store).count() == 0
+    )
+
+    write_mongo_batch(df, uri, "dash", "ep3").options(**store).save()
+    back = read_mongo_batch(spark, uri, "dash", "ep3", ddl, store)
+    assert sorted((r.id, r.label) for r in back.collect()) == sorted(rows)
