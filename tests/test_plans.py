@@ -557,20 +557,25 @@ def test_split_leakage_no_new_pairwise_stage(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_default_bitext_registration_is_ivf_bucketed(spark, sf_dir):
-    """VERDICT r07 item 2: the registry's default ``sim_bitext_mining``
-    must be the IVF-bucketed scale path — no corpus-sized broadcast
-    cross join anywhere in its plan. The all-pairs variant stays
-    available only under the explicit ``sim_bitext_mining_exact``."""
+def test_default_bitext_registration_is_capped_ivf(spark, sf_dir):
+    """VERDICT r07 item 2 + r08 item 2: the registry's default
+    ``sim_bitext_mining`` must be the CAPPED fixed-probe scale path —
+    no corpus-sized broadcast cross join anywhere in its plan. The
+    uncapped cell-probed variant stays available only under
+    ``sim_bitext_mining_exact_cells``, the all-pairs one under
+    ``sim_bitext_mining_exact``."""
     import __spark_entry__ as entry
     from spark_app_twitter_spark.operators import similarity
 
     q = entry.queries()
-    assert q["sim_bitext_mining"] is similarity.bitext_mining_ivf
+    assert q["sim_bitext_mining"] is similarity.bitext_mining_capped
+    assert (
+        q["sim_bitext_mining_exact_cells"] is similarity.bitext_mining_ivf
+    )
     assert q["sim_bitext_mining_exact"] is similarity.bitext_mining
     assert (
         entry.oracle_sql()["sim_bitext_mining"]
-        == similarity.BITEXT_MINING_IVF_SQL
+        == similarity.BITEXT_MINING_CAPPED_SQL
     )
     plan = E.executed_plan(q["sim_bitext_mining"](spark, sf_dir))
     assert "CartesianProduct" not in plan
