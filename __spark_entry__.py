@@ -228,6 +228,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NN-descent observability: per-round improvement metrics
         # (VERDICT r08 item 8 — the ann_recall_audit of refinement)
         "sim_knn_graph_convergence": similarity.knn_graph_convergence,
+        # Newman modularity of the LPA communities as exact integer
+        # rationals (the kmeans_quality of the near-dup graph)
+        "graph_modularity": graph.modularity,
+        # Kimball type-2 dimension history from the event stream
+        # (one user_id exchange for lag + lead + version window)
+        "versioning_scd2": versioning.scd2_user_attr,
         # --- 0. added in the round-7 continuation (never attested):
         # sparse BM25 retrieval, DSIR importance weights, margin-based
         # bitext mining, the training-shard manifest, BM25+dense RRF
@@ -442,13 +448,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # The round-9 driver verification window (VERDICT r08 item 1 + the
 # rotation contract), in priority order:
-#   (a) ALL 22 never-driver-attested entries — the 18 late-round-8
+#   (a) ALL 24 never-driver-attested entries — the 18 late-round-8
 #       additions (kNN-graph family incl. delta, k-core, coreset,
 #       MMR-IVF, quality-lift, threshold-yield, centroid-classifier
 #       eval, label purity, Q1 IVM + retraction, power users,
 #       chunk dedup, rare tokens, new-vs-returning, time-to-convert)
-#       plus the 4 round-9 registrations (Q3 IVM pair,
-#       sim_bitext_mining_exact_cells, sim_knn_graph_convergence);
+#       plus the 6 round-9 registrations (Q3 IVM pair,
+#       sim_bitext_mining_exact_cells, sim_knn_graph_convergence,
+#       graph_modularity, versioning_scd2);
 #   (b) the 5 entries whose code or oracle changed this round
 #       (sim_mmr_rerank: applyInPandas greedy + materialized twin;
 #       sim_bitext_mining: now the capped path;
@@ -457,14 +464,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #       serving_funnel_conversion: dropped unused aggregate) — note
 #       sim_mmr_rerank_ivf / sim_knn_graph_multiprobe /
 #       sim_knn_graph_refine also changed but already sit in (a);
-#   (c) 23 of the 29 oldest (r04-attested) rows. The 6 r04 rows
+#   (c) 21 of the 29 oldest (r04-attested) rows. The 8 r04 rows
 #       still displaced — multimodal_resize_images,
 #       multimodal_audio_chunks, serving_props_stats,
 #       serving_retention_cohorts, sim_kmeans_cells,
-#       text_weighted_sample — head the round-10 window; each keeps
-#       a local DuckDB parity test in CI and is sweep-green at
-#       sf0.01.
-# After this window runs, every one of the 234 registry entries has
+#       text_weighted_sample, text_train_split, text_token_stats —
+#       head the round-10 window; each keeps a local DuckDB parity
+#       test in CI and is sweep-green at sf0.01.
+# After this window runs, every one of the 236 registry entries has
 # a driver CORRECTNESS row in some round.
 _R9_WINDOW = (
     # (a) never-attested
@@ -490,6 +497,8 @@ _R9_WINDOW = (
     "tpch_q3_retraction",
     "sim_bitext_mining_exact_cells",
     "sim_knn_graph_convergence",
+    "graph_modularity",
+    "versioning_scd2",
     # (b) changed this round
     "sim_mmr_rerank",
     "sim_bitext_mining",
@@ -518,8 +527,6 @@ _R9_WINDOW = (
     "text_redact",
     "text_token_budget_sample",
     "text_token_counts",
-    "text_token_stats",
-    "text_train_split",
 )
 
 
@@ -676,6 +683,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q3_incremental": tpch.Q3_INCREMENTAL_SQL,
         "tpch_q3_retraction": tpch.Q3_RETRACTION_SQL,
         "sim_knn_graph_convergence": similarity.KNN_GRAPH_CONVERGENCE_SQL,
+        "graph_modularity": graph.MODULARITY_SQL,
+        "versioning_scd2": versioning.SCD2_USER_ATTR_SQL,
         "retrieval_bm25": retrieval.BM25_RETRIEVE_SQL,
         "text_dsir_weights": textstats.DSIR_WEIGHTS_SQL,
         "sim_bitext_mining": similarity.BITEXT_MINING_CAPPED_SQL,

@@ -332,9 +332,14 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _label_propagation_sql() -> str:
-    """Replay the fixed synchronous rounds as a DuckDB CTE chain over
-    the hash-green capped-pairs SQL — same vote, same tie-break."""
+def _lpa_sql_parts(materialize_pairs: bool = False) -> tuple[str, str]:
+    """(prelude+rounds CTE chain, final label CTE name) — the LPA
+    replay from the capped pairs, shared by the community query and
+    the modularity audit. The chain starts at a ``pairs`` CTE and
+    ends with the last ``l{i}`` round. ``materialize_pairs`` for
+    consumers that reference pairs more than once (modularity's
+    intra-edge count) — the LPA chain itself is linear and needs no
+    hint."""
     from spark_app_twitter_spark.operators.dedup import (
         MINHASH_LSH_PAIRS_CAPPED_SQL,
     )
@@ -359,8 +364,9 @@ l{i} AS (
         )
         prev = f"l{i}"
     chain = ",\n".join(rounds)
-    return f"""
-WITH pairs AS ({MINHASH_LSH_PAIRS_CAPPED_SQL}),
+    mat = " MATERIALIZED" if materialize_pairs else ""
+    return (
+        f"""pairs AS{mat} ({MINHASH_LSH_PAIRS_CAPPED_SQL}),
 e0 AS (SELECT doc_a, doc_b FROM pairs),
 e AS (
   SELECT doc_a AS src, doc_b AS dst FROM e0
@@ -368,7 +374,17 @@ e AS (
   SELECT doc_b AS src, doc_a AS dst FROM e0
 ),
 l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
-{chain}
+{chain}""",
+        prev,
+    )
+
+
+def _label_propagation_sql() -> str:
+    """Replay the fixed synchronous rounds as a DuckDB CTE chain over
+    the hash-green capped-pairs SQL — same vote, same tie-break."""
+    chain, prev = _lpa_sql_parts()
+    return f"""
+WITH {chain}
 SELECT node AS doc_id, label AS community FROM {prev}
 """
 
@@ -461,3 +477,126 @@ FROM {prev} GROUP BY src
 
 
 KCORE_SQL = _kcore_sql()
+
+
+# ---------------------------------------------------------------------------
+# Newman modularity of the LPA communities — the quality score that
+# tells a dedup pipeline whether its near-dup communities are real
+# structure or noise (Q near 0), the same audit role kmeans_quality
+# plays for the IVF index. Q = sum_c [ e_c/m - (d_c/(2m))^2 ] over
+# communities c, with m undirected edges, e_c intra-community edges,
+# d_c the community's degree sum.
+
+
+def modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(community, n_nodes, intra_edges, degree_sum, q_num, q_den):
+    per-community Newman modularity over the capped near-dup graph
+    under the LPA labels — as the EXACT integer rational
+    q_num / q_den = (4*m*e_c - d_c^2) / (4*m^2), no engine-variant
+    floor-division or float rounding anywhere (Spark ``div`` and
+    DuckDB ``//`` disagree on negative operands, and per-community
+    contributions CAN be negative — so the rational is the contract
+    and the consumer divides). Total modularity = sum(q_num) / q_den.
+
+    Scale shape: communities come from the shared LPA chain (capped
+    O(n) edges, fixed rounds); the intra-edge count is one pair join
+    against the |nodes|-sized label table; degree sums are one
+    node-keyed reduce. m (edge count) is a bounded driver scalar,
+    the corpus_size class.
+    """
+    pairs = (
+        minhash_lsh_pairs_capped(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    m = pairs.count()
+    comm = label_propagation(spark, sf_dir).localCheckpoint(eager=True)
+    if m == 0:
+        return comm.select(
+            F.col("community"),
+            F.lit(0).cast("long").alias("n_nodes"),
+            F.lit(0).cast("long").alias("intra_edges"),
+            F.lit(0).cast("long").alias("degree_sum"),
+            F.lit(0).cast("long").alias("q_num"),
+            F.lit(0).cast("long").alias("q_den"),
+        ).where(F.lit(False))
+    ca = comm.select(
+        F.col("doc_id").alias("doc_a"), F.col("community").alias("comm_a")
+    )
+    cb = comm.select(
+        F.col("doc_id").alias("doc_b"), F.col("community").alias("comm_b")
+    )
+    intra = (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .where(F.col("comm_a") == F.col("comm_b"))
+        .groupBy(F.col("comm_a").alias("community"))
+        .agg(F.count(F.lit(1)).alias("intra_edges"))
+    )
+    edges = _dup_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    per_comm = (
+        comm.join(deg, comm.doc_id == deg.node)
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("deg").alias("degree_sum"),
+        )
+    )
+    return (
+        per_comm.join(intra, "community", "left")
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce(F.col("intra_edges"), F.lit(0))
+            .cast("long")
+            .alias("intra_edges"),
+            F.col("degree_sum").cast("long").alias("degree_sum"),
+            (
+                F.lit(4 * m).cast("long")
+                * F.coalesce(F.col("intra_edges"), F.lit(0))
+                - F.col("degree_sum") * F.col("degree_sum")
+            )
+            .cast("long")
+            .alias("q_num"),
+            F.lit(4 * m * m).cast("long").alias("q_den"),
+        )
+    )
+
+
+def _modularity_sql() -> str:
+    chain, prev = _lpa_sql_parts(materialize_pairs=True)
+    return f"""
+WITH {chain},
+comm AS (SELECT node AS doc_id, label AS community FROM {prev}),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+intra AS (
+  SELECT ca.community, CAST(count(*) AS BIGINT) AS intra_edges
+  FROM pairs p
+  JOIN comm ca ON p.doc_a = ca.doc_id
+  JOIN comm cb ON p.doc_b = cb.doc_id AND ca.community = cb.community
+  GROUP BY ca.community
+),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+per_comm AS (
+  SELECT c.community,
+         CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(d.deg) AS BIGINT) AS degree_sum
+  FROM comm c JOIN deg d ON c.doc_id = d.node
+  GROUP BY c.community
+)
+SELECT pc.community, pc.n_nodes,
+       CAST(coalesce(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+       pc.degree_sum,
+       CAST(4 * mm.m * coalesce(i.intra_edges, 0)
+            - pc.degree_sum * pc.degree_sum AS BIGINT) AS q_num,
+       CAST(4 * mm.m * mm.m AS BIGINT) AS q_den
+FROM per_comm pc
+LEFT JOIN intra i ON pc.community = i.community
+CROSS JOIN mm
+"""
+
+
+MODULARITY_SQL = _modularity_sql()

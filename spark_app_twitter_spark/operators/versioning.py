@@ -512,3 +512,71 @@ FROM g JOIN th ON draw >= lo AND draw < hi
 
 
 DP_COUNTS_SQL = _dp_counts_sql()
+
+
+# ---------------------------------------------------------------------------
+# Type-2 slowly-changing dimension (Kimball SCD2) built from the
+# event stream — the warehouse-standard history table every serving
+# layer keeps next to its facts: one validity interval per VALUE the
+# tracked attribute held, closed by the next change. Complements
+# corpus_delta (snapshot diffing) with event-sourced history.
+
+
+def scd2_user_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, attr_k, valid_from, valid_to, version, is_current):
+    the type-2 history of each user's profile attribute (the ``k``
+    field of events.props). Consecutive equal observations collapse —
+    only a CHANGE opens a new version; valid_to is the next change's
+    timestamp (NULL on the open current row), version numbers count
+    changes per user from 1.
+
+    Plan shape: ONE user_id exchange serves everything — the
+    change-detection lag, the interval-closing lead, and the version
+    row_number all ride the same (user_id; ts, event_id) sort order,
+    so Catalyst plans a single Window stage over a single shuffle
+    (pinned by plan test). Event-time ties break on event_id, making
+    the history deterministic under replays.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("int").alias("attr_k"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.withColumn("prev", F.lag("attr_k").over(w)).where(
+        F.col("prev").isNull() | (F.col("prev") != F.col("attr_k"))
+    )
+    return changes.select(
+        "user_id",
+        "attr_k",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("int").alias("version"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+SCD2_USER_ATTR_SQL = """
+WITH ev AS (
+  SELECT user_id,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS attr_k,
+         ts, event_id
+  FROM events
+),
+lagged AS (
+  SELECT *, lag(attr_k) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev
+  FROM ev
+),
+changes AS (
+  SELECT user_id, attr_k, ts, event_id
+  FROM lagged WHERE prev IS NULL OR prev <> attr_k
+)
+SELECT user_id, attr_k, ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       CAST(row_number() OVER w AS INT) AS version,
+       lead(ts) OVER w IS NULL AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""

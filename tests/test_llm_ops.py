@@ -4542,3 +4542,77 @@ def test_knn_graph_convergence_metrics(spark, sf_dir):
         if (r.vec_id, r.neighbor_id) not in seed_edges
     ]
     assert row.n_new_edges == len(new)
+
+
+def test_scd2_intervals_well_formed_and_single_shuffle(spark, sf_dir):
+    """Type-2 dimension history: twin parity; per user the intervals
+    are contiguous (each valid_to equals the next valid_from),
+    non-overlapping, versions are 1..n, exactly one open current
+    row, and consecutive versions always CHANGE value (the collapse
+    rule); the whole operator rides one user_id exchange."""
+    from collections import defaultdict
+
+    from spark_app_twitter_spark.operators import versioning
+    from spark_app_twitter_spark.plans import explain as E
+
+    from tests.parity import assert_parity
+
+    df = versioning.scd2_user_attr(spark, sf_dir)
+    assert_parity(df, versioning.SCD2_USER_ATTR_SQL, sf_dir, "scd2")
+    # plan checks on a FRESH frame: parity executed df, so its AQE
+    # plan string now carries the duplicate "Initial Plan" section
+    fresh = versioning.scd2_user_attr(spark, sf_dir)
+    plan = E.executed_plan(fresh)
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert E.num_shuffles(fresh) == 1
+
+    hist = defaultdict(list)
+    for r in df.collect():
+        hist[r.user_id].append(r)
+    assert hist
+    for rows in hist.values():
+        rows.sort(key=lambda r: r.version)
+        assert [r.version for r in rows] == list(range(1, len(rows) + 1))
+        assert sum(1 for r in rows if r.is_current) == 1
+        assert rows[-1].is_current and rows[-1].valid_to is None
+        for a, b in zip(rows, rows[1:]):
+            assert a.valid_to == b.valid_from, "gapped/overlapping history"
+            assert a.attr_k != b.attr_k, "non-change opened a version"
+
+
+def test_modularity_identities(spark, sf_dir):
+    """Newman modularity as exact rationals: twin parity; the degree
+    sums add to 2m (handshake), intra edges add to at most m, every
+    LPA community appears exactly once, and total Q = sum(q_num)/q_den
+    lies in [-1/2, 1]."""
+    from spark_app_twitter_spark.operators import dedup, graph
+
+    from tests.parity import assert_parity
+
+    df = graph.modularity(spark, sf_dir)
+    assert_parity(df, graph.MODULARITY_SQL, sf_dir, "modularity")
+    rows = df.collect()
+    m = (
+        dedup.minhash_lsh_pairs_capped(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .count()
+    )
+    if m == 0:
+        assert rows == []
+        return
+    assert sum(r.degree_sum for r in rows) == 2 * m
+    assert sum(r.intra_edges for r in rows) <= m
+    assert all(r.q_den == 4 * m * m for r in rows)
+    comms = {r.community for r in rows}
+    lpa = {
+        r.community
+        for r in graph.label_propagation(spark, sf_dir)
+        .select("community")
+        .distinct()
+        .collect()
+    }
+    assert comms == lpa
+    q = sum(r.q_num for r in rows) / (4 * m * m)
+    assert -0.5 <= q <= 1.0
+    for r in rows:
+        assert r.q_num == 4 * m * r.intra_edges - r.degree_sum**2
