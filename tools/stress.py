@@ -342,6 +342,13 @@ STRESS_QUERIES = [
     # deletes THROUGH the customer x orders join
     "tpch_q3_incremental",
     "tpch_q3_retraction",
+    # round 9: LPA chain + one pair join + node-keyed degree reduce
+    "graph_modularity",
+    # round 9: one user_id exchange for all three SCD2 windows
+    "versioning_scd2",
+    # round 9: seed graph (checkpointed once) + the bounded
+    # NN-descent candidate stage + two vec_id rollups
+    "sim_knn_graph_convergence",
 ]
 
 
