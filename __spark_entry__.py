@@ -234,6 +234,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Kimball type-2 dimension history from the event stream
         # (one user_id exchange for lag + lead + version window)
         "versioning_scd2": versioning.scd2_user_attr,
+        # point-in-time (as-of) join of purchase facts to the type-2
+        # history — valid_from inclusive, facts never dropped
+        "versioning_scd2_pit": versioning.scd2_point_in_time,
         # --- 0. added in the round-7 continuation (never attested):
         # sparse BM25 retrieval, DSIR importance weights, margin-based
         # bitext mining, the training-shard manifest, BM25+dense RRF
@@ -448,14 +451,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # The round-9 driver verification window (VERDICT r08 item 1 + the
 # rotation contract), in priority order:
-#   (a) ALL 24 never-driver-attested entries — the 18 late-round-8
+#   (a) ALL 25 never-driver-attested entries — the 18 late-round-8
 #       additions (kNN-graph family incl. delta, k-core, coreset,
 #       MMR-IVF, quality-lift, threshold-yield, centroid-classifier
 #       eval, label purity, Q1 IVM + retraction, power users,
 #       chunk dedup, rare tokens, new-vs-returning, time-to-convert)
-#       plus the 6 round-9 registrations (Q3 IVM pair,
+#       plus the 7 round-9 registrations (Q3 IVM pair,
 #       sim_bitext_mining_exact_cells, sim_knn_graph_convergence,
-#       graph_modularity, versioning_scd2);
+#       graph_modularity, versioning_scd2 + its point-in-time join);
 #   (b) the 5 entries whose code or oracle changed this round
 #       (sim_mmr_rerank: applyInPandas greedy + materialized twin;
 #       sim_bitext_mining: now the capped path;
@@ -464,14 +467,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #       serving_funnel_conversion: dropped unused aggregate) — note
 #       sim_mmr_rerank_ivf / sim_knn_graph_multiprobe /
 #       sim_knn_graph_refine also changed but already sit in (a);
-#   (c) 21 of the 29 oldest (r04-attested) rows. The 8 r04 rows
+#   (c) 20 of the 29 oldest (r04-attested) rows. The 9 r04 rows
 #       still displaced — multimodal_resize_images,
 #       multimodal_audio_chunks, serving_props_stats,
 #       serving_retention_cohorts, sim_kmeans_cells,
-#       text_weighted_sample, text_train_split, text_token_stats —
-#       head the round-10 window; each keeps a local DuckDB parity
-#       test in CI and is sweep-green at sf0.01.
-# After this window runs, every one of the 236 registry entries has
+#       text_weighted_sample, text_train_split, text_token_stats,
+#       text_token_counts — head the round-10 window; each keeps a
+#       local DuckDB parity test in CI and is sweep-green at sf0.01.
+# After this window runs, every one of the 237 registry entries has
 # a driver CORRECTNESS row in some round.
 _R9_WINDOW = (
     # (a) never-attested
@@ -499,6 +502,7 @@ _R9_WINDOW = (
     "sim_knn_graph_convergence",
     "graph_modularity",
     "versioning_scd2",
+    "versioning_scd2_pit",
     # (b) changed this round
     "sim_mmr_rerank",
     "sim_bitext_mining",
@@ -526,7 +530,6 @@ _R9_WINDOW = (
     "text_quality_rules",
     "text_redact",
     "text_token_budget_sample",
-    "text_token_counts",
 )
 
 
@@ -685,6 +688,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_knn_graph_convergence": similarity.KNN_GRAPH_CONVERGENCE_SQL,
         "graph_modularity": graph.MODULARITY_SQL,
         "versioning_scd2": versioning.SCD2_USER_ATTR_SQL,
+        "versioning_scd2_pit": versioning.SCD2_POINT_IN_TIME_SQL,
         "retrieval_bm25": retrieval.BM25_RETRIEVE_SQL,
         "text_dsir_weights": textstats.DSIR_WEIGHTS_SQL,
         "sim_bitext_mining": similarity.BITEXT_MINING_CAPPED_SQL,

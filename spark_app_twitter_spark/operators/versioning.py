@@ -580,3 +580,92 @@ SELECT user_id, attr_k, ts AS valid_from,
 FROM changes
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
+
+
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_id, user_id, ts, attr_k, version): each purchase event
+    joined to the attribute value that was VALID AT its timestamp —
+    the point-in-time (as-of) join every warehouse runs between facts
+    and a type-2 dimension. Interval semantics: valid_from inclusive,
+    valid_to exclusive (a change applies at its own timestamp);
+    purchases before a user's first observation keep a NULL attribute
+    (left join), so fact rows are never dropped by dimension gaps.
+
+    Plan shape: the history and the facts hash to the SAME user_id
+    key; candidate versions are pruned by valid_from <= ts and the
+    as-of pick is a per-fact top-1 window (max valid_from, version
+    tie-break) — the asof.py discipline, no range explosion beyond
+    each user's own version count.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    hist = scd2_user_attr(spark, sf_dir).select(
+        "user_id", "attr_k", "valid_from", "version"
+    )
+    cand = facts.join(hist, "user_id", "left").where(
+        F.col("valid_from").isNull() | (F.col("valid_from") <= F.col("ts"))
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc("valid_from"), F.desc("version")
+    )
+    picked = cand.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+    # facts whose user has history but none valid yet fall out of the
+    # <=-filter entirely; restore them with a NULL attribute
+    missing = facts.join(
+        picked.select("event_id"), "event_id", "left_anti"
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(None).cast("int").alias("attr_k"),
+        F.lit(None).cast("int").alias("version"),
+    )
+    return (
+        picked.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "attr_k",
+            F.col("version").cast("int").alias("version"),
+        )
+        .unionByName(missing)
+    )
+
+
+SCD2_POINT_IN_TIME_SQL = """
+WITH ev AS (
+  SELECT user_id,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS attr_k,
+         ts, event_id
+  FROM events
+),
+lagged AS (
+  SELECT *, lag(attr_k) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev
+  FROM ev
+),
+hist AS (
+  SELECT user_id, attr_k, ts AS valid_from, event_id,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS INT) AS version
+  FROM lagged WHERE prev IS NULL OR prev <> attr_k
+),
+facts AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+picked AS (
+  SELECT event_id, user_id, ts, attr_k, version FROM (
+    SELECT f.event_id, f.user_id, f.ts, h.attr_k, h.version,
+           row_number() OVER (PARTITION BY f.event_id
+                              ORDER BY h.valid_from DESC,
+                                       h.version DESC) AS rn
+    FROM facts f
+    JOIN hist h ON f.user_id = h.user_id AND h.valid_from <= f.ts
+  ) WHERE rn = 1
+)
+SELECT f.event_id, f.user_id, f.ts,
+       p.attr_k, CAST(p.version AS INT) AS version
+FROM facts f LEFT JOIN picked p USING (event_id, user_id, ts)
+"""

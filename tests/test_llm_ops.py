@@ -4616,3 +4616,41 @@ def test_modularity_identities(spark, sf_dir):
     assert -0.5 <= q <= 1.0
     for r in rows:
         assert r.q_num == 4 * m * r.intra_edges - r.degree_sum**2
+
+
+def test_scd2_point_in_time_matches_interval_lookup(spark, sf_dir):
+    """As-of join correctness: twin parity; every purchase fact
+    appears exactly once; the picked attribute equals the SCD2
+    interval that CONTAINS the fact timestamp (valid_from inclusive,
+    valid_to exclusive), recomputed directly from the history."""
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.operators import versioning
+
+    from tests.parity import assert_parity
+
+    df = versioning.scd2_point_in_time(spark, sf_dir)
+    assert_parity(
+        df, versioning.SCD2_POINT_IN_TIME_SQL, sf_dir, "scd2pit"
+    )
+    got = {r.event_id: (r.attr_k, r.version) for r in df.collect()}
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    facts = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .collect()
+    )
+    assert len(got) == len(facts)
+    hist = {}
+    for r in versioning.scd2_user_attr(spark, sf_dir).collect():
+        hist.setdefault(r.user_id, []).append(r)
+    for f in facts:
+        want = None
+        for h in hist.get(f.user_id, []):
+            if h.valid_from <= f.ts and (
+                h.valid_to is None or f.ts < h.valid_to
+            ):
+                want = (h.attr_k, h.version)
+        assert got[f.event_id] == (want or (None, None))
