@@ -543,8 +543,18 @@ def scd2_user_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
     )
+    return scd2_from_observations(ev).drop("change_event_id")
+
+
+def scd2_from_observations(obs: DataFrame) -> DataFrame:
+    """The observation -> type-2-history core shared by the batch
+    query and the streaming maintainer: ``obs`` carries (user_id,
+    attr_k, ts, event_id); output adds ``change_event_id`` (the
+    observation that opened each version — the streaming maintainer
+    stores it so stored change rows can re-enter a later per-user
+    recompute as observations with their original tie-break key)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    changes = ev.withColumn("prev", F.lag("attr_k").over(w)).where(
+    changes = obs.withColumn("prev", F.lag("attr_k").over(w)).where(
         F.col("prev").isNull() | (F.col("prev") != F.col("attr_k"))
     )
     return changes.select(
@@ -554,6 +564,7 @@ def scd2_user_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).alias("valid_to"),
         F.row_number().over(w).cast("int").alias("version"),
         F.lead("ts").over(w).isNull().alias("is_current"),
+        F.col("event_id").alias("change_event_id"),
     )
 
 

@@ -1806,3 +1806,69 @@ def test_stateful_first_seen_matches_batch_new_vs_returning(
         for r in serving.new_vs_returning(spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def test_scd2_stream_matches_batch_rebuild_and_is_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """Streaming SCD2 maintenance == batch rebuild: feeding the
+    event stream in three event-time-ordered micro-batches yields a
+    dimension table identical to scd2_user_attr over the full log;
+    per-batch cost touches only that batch's users; replaying the
+    final batch leaves the table unchanged (idempotent upsert)."""
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.operators import versioning
+    from spark_app_twitter_spark.sources.parquet import load_table
+    from spark_app_twitter_spark.streaming.scd2serve import (
+        apply_scd2_batch,
+    )
+
+    path = f"{tmp_path}/scd2_dim"
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("int").alias("attr_k"),
+        "ts",
+        "event_id",
+    )
+    from spark_app_twitter_spark.functions.timeutil import epoch_us
+
+    ev = ev.withColumn("us", epoch_us("ts"))
+    qs = ev.agg(
+        F.expr("percentile_approx(us, 0.33)"),
+        F.expr("percentile_approx(us, 0.66)"),
+    ).collect()[0]
+    b1 = ev.where(F.col("us") <= qs[0]).drop("us")
+    b2 = ev.where((F.col("us") > qs[0]) & (F.col("us") <= qs[1])).drop("us")
+    b3 = ev.where(F.col("us") > qs[1]).drop("us")
+    assert b1.count() and b2.count() and b3.count()
+
+    for i, b in enumerate([b1, b2, b3]):
+        apply_scd2_batch(b, i, path)
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(path)
+        .select(
+            "user_id", "attr_k", "valid_from", "valid_to", "version",
+            "is_current",
+        )
+        .collect()
+    )
+    want = sorted(
+        tuple(r) for r in versioning.scd2_user_attr(spark, sf_dir).collect()
+    )
+    assert got == want
+
+    # replaying the last micro-batch must not change the table
+    apply_scd2_batch(b3, 99, path)
+    again = sorted(
+        tuple(r)
+        for r in spark.read.parquet(path)
+        .select(
+            "user_id", "attr_k", "valid_from", "valid_to", "version",
+            "is_current",
+        )
+        .collect()
+    )
+    assert again == got
