@@ -346,6 +346,7 @@ def ivf_probe_pairs(
     cand_prep=None,
     carry_query_cols: tuple[str, ...] = (),
     n_probe: int | None = None,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """(query_id, qv, neighbor_id, cv, ...): each query joined to
     every candidate in its probed fine cells — the CANDIDATE-
@@ -365,7 +366,10 @@ def ivf_probe_pairs(
     (n_probes_for, ~25% of cells) keeps recall stable for FIXED
     query cohorts, but corpus-sized query sets (bitext mining) must
     pin a constant — fraction-scaled probes make their pair volume
-    O(n^1.5)."""
+    O(n^1.5). ``broadcast_probes=False`` switches the probe->cand
+    join from broadcast to a cell-keyed hash join — mandatory for
+    corpus-sized cohorts, whose |q| x n_probe probe table is not
+    broadcastable on a real cluster."""
     from spark_app_twitter_spark.operators.clustering import (
         corpus_size,
         kmeans_cells_2level_assigned,
@@ -389,7 +393,9 @@ def ivf_probe_pairs(
         )
         .select("query_id", "qv", *carry_query_cols, "cell")
     )
-    return cand_cells.join(F.broadcast(probe_cells), "cell").drop("cell")
+    if broadcast_probes:
+        probe_cells = F.broadcast(probe_cells)
+    return cand_cells.join(probe_cells, "cell").drop("cell")
 
 
 def probe_rank(
@@ -405,7 +411,13 @@ def probe_rank(
     shared by the search path (which keeps prk <= n_probe) and the
     sensitivity audit (which reads the whole ranking). Both centroid
     levels are driver-held artifacts; the only exchange is the
-    per-query-bounded prk window."""
+    per-query-bounded prk window — and that exchange is NARROW
+    (query_id, cell, score): qv and the carry columns are joined
+    back AFTER the ranking, so a corpus-sized query cohort (bitext
+    mining) shuffles |q| x P1 x k2 slim rows instead of dragging the
+    64-double vector through every ranked row (the join-back reuses
+    the window's query_id partitioning; for small cohorts AQE
+    broadcasts the q side)."""
     import math
 
     from spark_app_twitter_spark.operators.clustering import (
@@ -434,16 +446,20 @@ def probe_rank(
         6,
     )
     pw = Window.partitionBy("query_id").orderBy(F.desc("_fs"), F.asc("cell"))
-    return (
+    ranked = (
         probe_coarse.join(F.broadcast(fdf), "coarse")
         .withColumn(
             "cell",
             (F.col("coarse") * k2 + F.col("fine")).cast("int"),
         )
         .withColumn("_fs", fscore)
+        .select("query_id", "cell", "_fs")
         .withColumn("prk", F.row_number().over(pw))
-        .select("query_id", "qv", *carry_query_cols, "cell", "prk")
+        .select("query_id", "cell", "prk")
     )
+    return ranked.join(
+        q.select("query_id", "qv", *carry_query_cols), "query_id"
+    ).select("query_id", "qv", *carry_query_cols, "cell", "prk")
 
 
 def guarded_cosine(a: F.Column, b: F.Column) -> F.Column:
@@ -2556,7 +2572,12 @@ def bitext_mining_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     pairs = ivf_probe_pairs(
-        spark, sf_dir, q, cand_prep=cap_cells, n_probe=BITEXT_PROBES
+        spark,
+        sf_dir,
+        q,
+        cand_prep=cap_cells,
+        n_probe=BITEXT_PROBES,
+        broadcast_probes=False,
     )
     scored = pairs.select(
         F.col("query_id").alias("src_id"),
