@@ -1,0 +1,145 @@
+"""Streaming maintenance of the TPC-H Q1 pricing summary.
+
+The IVM discipline (operators/tpch.py q1_incremental) run
+CONTINUOUSLY: each micro-batch of lineitem rows computes the
+standard map-side DECIMAL partials and MERGES them into a stored
+partial table (sum of sums per group — exact and associative, so
+the stored state after any prefix of batches equals the partials of
+all rows seen, bit-for-bit). The serving report derives averages
+from the merged sums on read, exactly like the batch query.
+
+This is the shape a 100-TB deployment actually runs: the fact
+stream never rescans, state is |groups| x |batches| rows (the per-batch partials are
+KEYED BY batch_id, so a foreachBatch retry REPLACES its own rows
+instead of double-counting — the idempotent-upsert contract every
+other sink here honors); the serving read merges the per-batch rows.
+A compaction job may fold old batches into one row at any time
+without changing the report (associativity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from spark_app_twitter_spark.operators.tpch import (
+    _money,
+    _one_minus,
+    _one_plus,
+    _PRICE,
+    _RATE,
+)
+
+_PARTIAL_DDL = (
+    "batch_id long, l_returnflag string, l_linestatus string, "
+    "sq decimal(38,2), sbp decimal(38,2), sdp decimal(38,6), "
+    "sch decimal(38,6), sdisc decimal(38,2), cnt long"
+)
+
+
+def q1_partials(batch: DataFrame) -> DataFrame:
+    """The map-side DECIMAL partials of one lineitem batch — the
+    same aggregates q1_incremental's partial() computes."""
+    disc_price = _money("l_extendedprice") * _one_minus("l_discount")
+    charge = disc_price * _one_plus("l_tax")
+    src = batch.where(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    return src.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(_PRICE)).alias("sq"),
+        F.sum(_money("l_extendedprice")).alias("sbp"),
+        F.sum(disc_price).alias("sdp"),
+        F.sum(charge).alias("sch"),
+        F.sum(F.col("l_discount").cast(_RATE)).alias("sdisc"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+def apply_q1_batch(batch: DataFrame, batch_id: int, path: str) -> None:
+    """foreachBatch body: upsert one batch's partials under its
+    batch_id — a retry of the same batch REPLACES its rows, so the
+    fold is exactly-once."""
+    spark = batch.sparkSession
+    delta = q1_partials(batch).select(
+        F.lit(batch_id).cast("long").alias("batch_id"),
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sq").cast("decimal(38,2)").alias("sq"),
+        F.col("sbp").cast("decimal(38,2)").alias("sbp"),
+        F.col("sdp").cast("decimal(38,6)").alias("sdp"),
+        F.col("sch").cast("decimal(38,6)").alias("sch"),
+        F.col("sdisc").cast("decimal(38,2)").alias("sdisc"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+    try:
+        stored = spark.read.schema(_PARTIAL_DDL).parquet(path)
+    except Exception as e:
+        err_class = ""
+        for attr in ("getCondition", "getErrorClass"):
+            fn = getattr(e, attr, None)
+            if callable(fn):
+                try:
+                    err_class = fn() or ""
+                    break
+                except Exception:
+                    pass
+        if "PATH_NOT_FOUND" not in err_class and (
+            "Path does not exist" not in str(e)
+        ):
+            raise
+        stored = None
+    merged = delta if stored is None else (
+        stored.where(F.col("batch_id") != batch_id).unionByName(delta)
+    )
+    merged = merged.localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(path)
+
+
+def q1_report_from_partials(spark, path: str) -> DataFrame:
+    """The serving read: derive the Q1 report (sums + averages) from
+    the stored partials — identical projection to the batch query."""
+    p = (
+        spark.read.schema(_PARTIAL_DDL)
+        .parquet(path)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("sq").cast("decimal(38,2)").alias("sq"),
+            F.sum("sbp").cast("decimal(38,2)").alias("sbp"),
+            F.sum("sdp").cast("decimal(38,6)").alias("sdp"),
+            F.sum("sch").cast("decimal(38,6)").alias("sch"),
+            F.sum("sdisc").cast("decimal(38,2)").alias("sdisc"),
+            F.sum("cnt").cast("long").alias("cnt"),
+        )
+    )
+    return p.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sq").cast("double").alias("sum_qty"),
+        F.col("sbp").cast("double").alias("sum_base_price"),
+        F.col("sdp").cast("double").alias("sum_disc_price"),
+        F.col("sch").cast("double").alias("sum_charge"),
+        (F.col("sq").cast("double") / F.col("cnt")).alias("avg_qty"),
+        (F.col("sbp").cast("double") / F.col("cnt")).alias("avg_price"),
+        (F.col("sdisc").cast("double") / F.col("cnt")).alias("avg_disc"),
+        F.col("cnt").alias("count_order"),
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+def maintain_q1_stream(
+    lineitem: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """Continuous Q1 maintenance over a lineitem stream."""
+    w = (
+        lineitem.writeStream.foreachBatch(
+            lambda b, i: apply_q1_batch(b, i, path)
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -1872,3 +1872,42 @@ def test_scd2_stream_matches_batch_rebuild_and_is_idempotent(
         .collect()
     )
     assert again == got
+
+
+def test_q1_stream_matches_batch_and_replay_is_exactly_once(
+    spark, sf_dir, tmp_path
+):
+    """Continuous Q1 IVM: folding the lineitem stream in three
+    micro-batches yields the batch report bit-for-bit (exact DECIMAL
+    partials are associative); replaying a batch under its batch_id
+    REPLACES its partials instead of double-counting."""
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.operators import tpch
+    from spark_app_twitter_spark.sources.parquet import load_table
+    from spark_app_twitter_spark.streaming.q1serve import (
+        apply_q1_batch,
+        q1_report_from_partials,
+    )
+
+    path = f"{tmp_path}/q1_partials"
+    li = load_table(spark, sf_dir, "lineitem")
+    batches = [li.where(F.col("l_orderkey") % 3 == i) for i in range(3)]
+    assert all(b.count() for b in batches)
+    for i, b in enumerate(batches):
+        apply_q1_batch(b, i, path)
+
+    got = sorted(
+        tuple(r) for r in q1_report_from_partials(spark, path).collect()
+    )
+    want = sorted(
+        tuple(r) for r in tpch.q1_pricing_summary(spark, sf_dir).collect()
+    )
+    assert got == want
+
+    # a foreachBatch retry re-applies batch 2 — report unchanged
+    apply_q1_batch(batches[2], 2, path)
+    again = sorted(
+        tuple(r) for r in q1_report_from_partials(spark, path).collect()
+    )
+    assert again == got
