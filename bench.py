@@ -136,6 +136,16 @@ HEADLINE = [
     "sim_mmr_rerank",
     "sim_coreset_kcenter",
     "multimodal_chunk_dedup",
+    # round 9 additions: heaviest representative per new family —
+    # the capped fixed-probe bitext miner (scored pairs
+    # |src| x PROBES x CAP), the join-bearing Q3 insert IVM (its
+    # retraction twin rides the same plan), Newman modularity over
+    # the LPA communities, and the SCD2 history build (point-in-time
+    # join rides the same user_id exchange + a fact window)
+    "sim_bitext_mining",
+    "tpch_q3_incremental",
+    "graph_modularity",
+    "versioning_scd2",
 ]
 
 
