@@ -1,0 +1,137 @@
+"""Streaming maintenance of TPC-H Q3 — the JOIN-BEARING IVM run
+continuously: lineitem arrives as a stream, the customer/orders
+dimension side is static, and each micro-batch folds
+ΔL ⨝ orders ⨝ customer revenue partials into a stored per-group
+partial table KEYED BY batch_id (a foreachBatch retry replaces its
+own rows — the q1serve exactly-once discipline). The serving read
+merges per-batch partials and projects the top-10 report, identical
+to the batch query over all rows seen.
+
+Scale shape: each fold joins only the BATCH against the dims (AQE
+broadcasts the batch side), state is touched-groups x batches rows,
+and the report derivation is a group-keyed merge + TakeOrdered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from spark_app_twitter_spark.operators.tpch import _money, _one_minus
+from spark_app_twitter_spark.sources.parquet import load_table
+
+_Q3_PARTIAL_DDL = (
+    "batch_id long, l_orderkey bigint, o_orderdate timestamp, "
+    "o_orderpriority string, rev decimal(38,4)"
+)
+
+
+def _q3_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filtered customer ⨝ orders dimension side (static)."""
+    cutoff = F.lit("1998-06-15").cast("timestamp")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < cutoff)
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+
+
+def q3_batch_partials(
+    batch: DataFrame, dims: DataFrame
+) -> DataFrame:
+    """One lineitem batch's revenue partials through the dim join."""
+    cutoff = F.lit("1998-06-15").cast("timestamp")
+    lx = batch.where(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        dims.join(lx, dims.o_orderkey == lx.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(_money("l_extendedprice") * _one_minus("l_discount"))
+            .cast("decimal(38,4)")
+            .alias("rev")
+        )
+    )
+
+
+def apply_q3_batch(
+    batch: DataFrame, batch_id: int, path: str, sf_dir: str
+) -> None:
+    """foreachBatch body: upsert this batch's partials by batch_id."""
+    spark = batch.sparkSession
+    delta = q3_batch_partials(batch, _q3_dims(spark, sf_dir)).select(
+        F.lit(batch_id).cast("long").alias("batch_id"),
+        "l_orderkey",
+        "o_orderdate",
+        "o_orderpriority",
+        "rev",
+    )
+    try:
+        stored = spark.read.schema(_Q3_PARTIAL_DDL).parquet(path)
+    except Exception as e:
+        err_class = ""
+        for attr in ("getCondition", "getErrorClass"):
+            fn = getattr(e, attr, None)
+            if callable(fn):
+                try:
+                    err_class = fn() or ""
+                    break
+                except Exception:
+                    pass
+        if "PATH_NOT_FOUND" not in err_class and (
+            "Path does not exist" not in str(e)
+        ):
+            raise
+        stored = None
+    merged = delta if stored is None else (
+        stored.where(F.col("batch_id") != batch_id).unionByName(delta)
+    )
+    merged = merged.localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(path)
+
+
+def q3_report_from_partials(spark: SparkSession, path: str) -> DataFrame:
+    """Merge per-batch partials and project the top-10 report —
+    identical columns and ordering to q3_shipping_priority."""
+    return (
+        spark.read.schema(_Q3_PARTIAL_DDL)
+        .parquet(path)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("rev").alias("rev"))
+        .select(
+            "l_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            F.col("rev").cast("double").alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def maintain_q3_stream(
+    lineitem: DataFrame,
+    path: str,
+    checkpoint: str,
+    sf_dir: str,
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """Continuous Q3 maintenance over a lineitem stream."""
+    w = (
+        lineitem.writeStream.foreachBatch(
+            lambda b, i: apply_q3_batch(b, i, path, sf_dir)
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

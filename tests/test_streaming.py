@@ -1911,3 +1911,41 @@ def test_q1_stream_matches_batch_and_replay_is_exactly_once(
         tuple(r) for r in q1_report_from_partials(spark, path).collect()
     )
     assert again == got
+
+
+def test_q3_stream_matches_batch_and_replay_is_exactly_once(
+    spark, sf_dir, tmp_path
+):
+    """Join-bearing streaming IVM: folding the lineitem stream in
+    three micro-batches through the static customer x orders dims
+    reproduces the batch Q3 top-10 bit-for-bit; replaying a batch
+    replaces its partials (batch_id-keyed, no double counting)."""
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.operators import tpch
+    from spark_app_twitter_spark.sources.parquet import load_table
+    from spark_app_twitter_spark.streaming.q3serve import (
+        apply_q3_batch,
+        q3_report_from_partials,
+    )
+
+    path = f"{tmp_path}/q3_partials"
+    li = load_table(spark, sf_dir, "lineitem")
+    batches = [li.where(F.col("l_suppkey") % 3 == i) for i in range(3)]
+    assert all(b.count() for b in batches)
+    for i, b in enumerate(batches):
+        apply_q3_batch(b, i, path, sf_dir)
+
+    got = sorted(
+        tuple(r) for r in q3_report_from_partials(spark, path).collect()
+    )
+    want = sorted(
+        tuple(r) for r in tpch.q3_shipping_priority(spark, sf_dir).collect()
+    )
+    assert got == want
+
+    apply_q3_batch(batches[1], 1, path, sf_dir)
+    again = sorted(
+        tuple(r) for r in q3_report_from_partials(spark, path).collect()
+    )
+    assert again == got
