@@ -56,21 +56,28 @@ def q1_partials(batch: DataFrame) -> DataFrame:
     )
 
 
-def apply_q1_batch(batch: DataFrame, batch_id: int, path: str) -> None:
+def apply_q1_batch(
+    batch: DataFrame, batch_id: int, path: str, sign: int = 1
+) -> None:
     """foreachBatch body: upsert one batch's partials under its
     batch_id — a retry of the same batch REPLACES its rows, so the
-    fold is exactly-once."""
+    fold is exactly-once. ``sign=-1`` folds a DELETE batch (the RF2
+    retraction stream): its partials enter negated, exactly the
+    q1_retraction math, and groups whose merged count reaches zero
+    drop out of the report on read."""
     spark = batch.sparkSession
-    delta = q1_partials(batch).select(
+    sgn = F.lit(sign).cast("decimal(38,6)")
+    raw = q1_partials(batch)
+    delta = raw.select(
         F.lit(batch_id).cast("long").alias("batch_id"),
         "l_returnflag",
         "l_linestatus",
-        F.col("sq").cast("decimal(38,2)").alias("sq"),
-        F.col("sbp").cast("decimal(38,2)").alias("sbp"),
-        F.col("sdp").cast("decimal(38,6)").alias("sdp"),
-        F.col("sch").cast("decimal(38,6)").alias("sch"),
-        F.col("sdisc").cast("decimal(38,2)").alias("sdisc"),
-        F.col("cnt").cast("long").alias("cnt"),
+        (F.col("sq") * sgn).cast("decimal(38,2)").alias("sq"),
+        (F.col("sbp") * sgn).cast("decimal(38,2)").alias("sbp"),
+        (F.col("sdp") * sgn).cast("decimal(38,6)").alias("sdp"),
+        (F.col("sch") * sgn).cast("decimal(38,6)").alias("sch"),
+        (F.col("sdisc") * sgn).cast("decimal(38,2)").alias("sdisc"),
+        (F.col("cnt") * F.lit(sign)).cast("long").alias("cnt"),
     )
     try:
         stored = spark.read.schema(_PARTIAL_DDL).parquet(path)
@@ -111,6 +118,9 @@ def q1_report_from_partials(spark, path: str) -> DataFrame:
             F.sum("sdisc").cast("decimal(38,2)").alias("sdisc"),
             F.sum("cnt").cast("long").alias("cnt"),
         )
+        # a fully-retracted group vanishes, as a recompute would
+        # drop it (the q1_retraction HAVING)
+        .where(F.col("cnt") > 0)
     )
     return p.select(
         "l_returnflag",

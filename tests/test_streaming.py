@@ -1949,3 +1949,44 @@ def test_q3_stream_matches_batch_and_replay_is_exactly_once(
         tuple(r) for r in q3_report_from_partials(spark, path).collect()
     )
     assert again == got
+
+
+def test_q1_stream_retraction_matches_recompute_over_survivors(
+    spark, sf_dir, tmp_path
+):
+    """RF2 through the STREAM: after folding the full lineitem log,
+    a delete batch (sign=-1) retracts the rows with
+    l_orderkey % IVM_REFRESH_MOD == 0 — the report then equals a
+    batch recompute over the surviving rows, and a retry of the
+    delete batch does not double-retract."""
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.operators import tpch
+    from spark_app_twitter_spark.sources.parquet import load_table
+    from spark_app_twitter_spark.streaming.q1serve import (
+        apply_q1_batch,
+        q1_report_from_partials,
+    )
+
+    path = f"{tmp_path}/q1_rf2"
+    li = load_table(spark, sf_dir, "lineitem")
+    apply_q1_batch(li.where(F.col("l_orderkey") % 2 == 0), 0, path)
+    apply_q1_batch(li.where(F.col("l_orderkey") % 2 == 1), 1, path)
+    deleted = li.where(F.col("l_orderkey") % tpch.IVM_REFRESH_MOD == 0)
+    apply_q1_batch(deleted, 2, path, sign=-1)
+
+    got = sorted(
+        tuple(r) for r in q1_report_from_partials(spark, path).collect()
+    )
+    want = sorted(
+        tuple(r) for r in tpch.q1_retraction(spark, sf_dir).collect()
+    )
+    assert got == want
+
+    # delete-batch retry replaces its own signed rows — no
+    # double-retraction
+    apply_q1_batch(deleted, 2, path, sign=-1)
+    again = sorted(
+        tuple(r) for r in q1_report_from_partials(spark, path).collect()
+    )
+    assert again == got
