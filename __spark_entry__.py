@@ -237,6 +237,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # point-in-time (as-of) join of purchase facts to the type-2
         # history — valid_from inclusive, facts never dropped
         "versioning_scd2_pit": versioning.scd2_point_in_time,
+        # recall/precision of the capped fixed-probe bitext default
+        # vs the uncapped cell-probed variant (the probe/cap tuning
+        # dial — ann_recall_audit's role for mining)
+        "sim_bitext_recall_audit": similarity.bitext_recall_audit,
         # --- 0. added in the round-7 continuation (never attested):
         # sparse BM25 retrieval, DSIR importance weights, margin-based
         # bitext mining, the training-shard manifest, BM25+dense RRF
@@ -451,14 +455,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # The round-9 driver verification window (VERDICT r08 item 1 + the
 # rotation contract), in priority order:
-#   (a) ALL 25 never-driver-attested entries — the 18 late-round-8
+#   (a) ALL 26 never-driver-attested entries — the 18 late-round-8
 #       additions (kNN-graph family incl. delta, k-core, coreset,
 #       MMR-IVF, quality-lift, threshold-yield, centroid-classifier
 #       eval, label purity, Q1 IVM + retraction, power users,
 #       chunk dedup, rare tokens, new-vs-returning, time-to-convert)
-#       plus the 7 round-9 registrations (Q3 IVM pair,
+#       plus the 8 round-9 registrations (Q3 IVM pair,
 #       sim_bitext_mining_exact_cells, sim_knn_graph_convergence,
-#       graph_modularity, versioning_scd2 + its point-in-time join);
+#       graph_modularity, versioning_scd2 + its point-in-time join,
+#       sim_bitext_recall_audit);
 #   (b) the 5 entries whose code or oracle changed this round
 #       (sim_mmr_rerank: applyInPandas greedy + materialized twin;
 #       sim_bitext_mining: now the capped path;
@@ -467,14 +472,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #       serving_funnel_conversion: dropped unused aggregate) — note
 #       sim_mmr_rerank_ivf / sim_knn_graph_multiprobe /
 #       sim_knn_graph_refine also changed but already sit in (a);
-#   (c) 20 of the 29 oldest (r04-attested) rows. The 9 r04 rows
+#   (c) 19 of the 29 oldest (r04-attested) rows. The 10 r04 rows
 #       still displaced — multimodal_resize_images,
 #       multimodal_audio_chunks, serving_props_stats,
 #       serving_retention_cohorts, sim_kmeans_cells,
 #       text_weighted_sample, text_train_split, text_token_stats,
-#       text_token_counts — head the round-10 window; each keeps a
-#       local DuckDB parity test in CI and is sweep-green at sf0.01.
-# After this window runs, every one of the 237 registry entries has
+#       text_token_counts, text_token_budget_sample — head the
+#       round-10 window; each keeps a local DuckDB parity test in CI
+#       and is sweep-green at sf0.01.
+# After this window runs, every one of the 238 registry entries has
 # a driver CORRECTNESS row in some round.
 _R9_WINDOW = (
     # (a) never-attested
@@ -503,6 +509,7 @@ _R9_WINDOW = (
     "graph_modularity",
     "versioning_scd2",
     "versioning_scd2_pit",
+    "sim_bitext_recall_audit",
     # (b) changed this round
     "sim_mmr_rerank",
     "sim_bitext_mining",
@@ -529,7 +536,6 @@ _R9_WINDOW = (
     "text_ngram_diversity",
     "text_quality_rules",
     "text_redact",
-    "text_token_budget_sample",
 )
 
 
@@ -689,6 +695,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_modularity": graph.MODULARITY_SQL,
         "versioning_scd2": versioning.SCD2_USER_ATTR_SQL,
         "versioning_scd2_pit": versioning.SCD2_POINT_IN_TIME_SQL,
+        "sim_bitext_recall_audit": similarity.BITEXT_RECALL_AUDIT_SQL,
         "retrieval_bm25": retrieval.BM25_RETRIEVE_SQL,
         "text_dsir_weights": textstats.DSIR_WEIGHTS_SQL,
         "sim_bitext_mining": similarity.BITEXT_MINING_CAPPED_SQL,

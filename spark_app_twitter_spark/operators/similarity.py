@@ -4048,3 +4048,77 @@ JOIN embeddings ql ON ql.vec_id = h.query_id
 JOIN embeddings nl ON nl.vec_id = h.neighbor_id
 GROUP BY 1, 2
 """
+
+
+def bitext_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_capped, n_exact_cells, n_common, recall_bp, precision_bp):
+    the observability row for the capped bitext default — how many of
+    the UNCAPPED cell-probed variant's mined pairs the capped
+    fixed-probe path still finds (recall, basis points) and how many
+    of its own pairs the uncapped variant confirms (precision). The
+    dial a production deployment watches when tuning BITEXT_PROBES /
+    BITEXT_CELL_CAP, exactly the role sim_ann_recall_audit plays for
+    the IVF probe count.
+
+    Scale note: the audit runs the UNCAPPED variant, so it is an
+    audit-sized job over a sampled corpus at scale (the
+    ann_recall_audit discipline), not a production path.
+    """
+    capped = bitext_mining_capped(spark, sf_dir).select(
+        "src_id", "tgt_id"
+    )
+    exact = bitext_mining_ivf(spark, sf_dir).select("src_id", "tgt_id")
+    common = capped.join(exact, ["src_id", "tgt_id"], "left_semi")
+    nc = capped.agg(F.count(F.lit(1)).alias("n_capped"))
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact_cells"))
+    nb = common.agg(F.count(F.lit(1)).alias("n_common"))
+    return (
+        nc.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n_capped",
+            "n_exact_cells",
+            "n_common",
+            F.expr(
+                "CASE WHEN n_exact_cells > 0"
+                " THEN (10000 * n_common) div n_exact_cells END"
+            ).alias("recall_bp"),
+            F.expr(
+                "CASE WHEN n_capped > 0"
+                " THEN (10000 * n_common) div n_capped END"
+            ).alias("precision_bp"),
+        )
+    )
+
+
+def _bitext_recall_audit_sql() -> str:
+    capped = BITEXT_MINING_CAPPED_SQL.strip()
+    exact = BITEXT_MINING_IVF_SQL.strip()
+    return f"""
+WITH capped AS MATERIALIZED (
+  SELECT src_id, tgt_id FROM ({capped})
+),
+exact_cells AS MATERIALIZED (
+  SELECT src_id, tgt_id FROM ({exact})
+),
+common AS (
+  SELECT count(*) AS n_common FROM capped c
+  WHERE EXISTS (SELECT 1 FROM exact_cells e
+                WHERE e.src_id = c.src_id AND e.tgt_id = c.tgt_id)
+),
+counts AS (
+  SELECT CAST((SELECT count(*) FROM capped) AS BIGINT) AS n_capped,
+         CAST((SELECT count(*) FROM exact_cells) AS BIGINT)
+           AS n_exact_cells,
+         CAST((SELECT n_common FROM common) AS BIGINT) AS n_common
+)
+SELECT n_capped, n_exact_cells, n_common,
+       CASE WHEN n_exact_cells > 0
+            THEN (10000 * n_common) // n_exact_cells END AS recall_bp,
+       CASE WHEN n_capped > 0
+            THEN (10000 * n_common) // n_capped END AS precision_bp
+FROM counts
+"""
+
+
+BITEXT_RECALL_AUDIT_SQL = _bitext_recall_audit_sql()

@@ -4654,3 +4654,31 @@ def test_scd2_point_in_time_matches_interval_lookup(spark, sf_dir):
             ):
                 want = (h.attr_k, h.version)
         assert got[f.event_id] == (want or (None, None))
+
+
+def test_bitext_recall_audit_consistent_with_direct_recount(spark, sf_dir):
+    """The mining recall/precision audit: twin parity, counts match a
+    direct set recount of the two variants, basis points exact."""
+    from spark_app_twitter_spark.operators import similarity
+
+    from tests.parity import assert_parity
+
+    df = similarity.bitext_recall_audit(spark, sf_dir)
+    assert_parity(
+        df, similarity.BITEXT_RECALL_AUDIT_SQL, sf_dir, "bitextaud"
+    )
+    row = df.collect()[0]
+    capped = {
+        (r.src_id, r.tgt_id)
+        for r in similarity.bitext_mining_capped(spark, sf_dir).collect()
+    }
+    exact = {
+        (r.src_id, r.tgt_id)
+        for r in similarity.bitext_mining_ivf(spark, sf_dir).collect()
+    }
+    common = capped & exact
+    assert row.n_capped == len(capped)
+    assert row.n_exact_cells == len(exact)
+    assert row.n_common == len(common)
+    assert row.recall_bp == (10000 * len(common)) // len(exact)
+    assert row.precision_bp == (10000 * len(common)) // len(capped)
