@@ -23,7 +23,7 @@ from spark_app_twitter_spark.sources.parquet import load_table
 
 _Q3_PARTIAL_DDL = (
     "batch_id long, l_orderkey bigint, o_orderdate timestamp, "
-    "o_orderpriority string, rev decimal(38,4)"
+    "o_orderpriority string, rev decimal(38,4), cnt long"
 )
 
 
@@ -57,22 +57,28 @@ def q3_batch_partials(
         .agg(
             F.sum(_money("l_extendedprice") * _one_minus("l_discount"))
             .cast("decimal(38,4)")
-            .alias("rev")
+            .alias("rev"),
+            F.count(F.lit(1)).alias("cnt"),
         )
     )
 
 
 def apply_q3_batch(
-    batch: DataFrame, batch_id: int, path: str, sf_dir: str
+    batch: DataFrame, batch_id: int, path: str, sf_dir: str, sign: int = 1
 ) -> None:
-    """foreachBatch body: upsert this batch's partials by batch_id."""
+    """foreachBatch body: upsert this batch's partials by batch_id.
+    ``sign=-1`` folds a DELETE batch (RF2 through the join): its
+    revenue partials and row counts enter negated; groups whose
+    merged count reaches zero drop from the report on read."""
     spark = batch.sparkSession
+    sgn = F.lit(sign).cast("decimal(38,4)")
     delta = q3_batch_partials(batch, _q3_dims(spark, sf_dir)).select(
         F.lit(batch_id).cast("long").alias("batch_id"),
         "l_orderkey",
         "o_orderdate",
         "o_orderpriority",
-        "rev",
+        (F.col("rev") * sgn).cast("decimal(38,4)").alias("rev"),
+        (F.col("cnt") * F.lit(sign)).cast("long").alias("cnt"),
     )
     try:
         stored = spark.read.schema(_Q3_PARTIAL_DDL).parquet(path)
@@ -105,7 +111,10 @@ def q3_report_from_partials(spark: SparkSession, path: str) -> DataFrame:
         spark.read.schema(_Q3_PARTIAL_DDL)
         .parquet(path)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum("rev").alias("rev"))
+        .agg(F.sum("rev").alias("rev"), F.sum("cnt").alias("cnt"))
+        # fully-retracted groups vanish, as a recompute would drop
+        # them (the q3_retraction HAVING)
+        .where(F.col("cnt") > 0)
         .select(
             "l_orderkey",
             "o_orderdate",

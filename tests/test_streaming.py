@@ -1990,3 +1990,42 @@ def test_q1_stream_retraction_matches_recompute_over_survivors(
         tuple(r) for r in q1_report_from_partials(spark, path).collect()
     )
     assert again == got
+
+
+def test_q3_stream_retraction_matches_recompute_over_survivors(
+    spark, sf_dir, tmp_path
+):
+    """RF2 through the streamed JOIN: after folding the lineitem
+    log, a delete batch (sign=-1) retracts the
+    l_suppkey % Q3_IVM_LINE_MOD rows THROUGH the dims — the report
+    equals q3_retraction (recompute over survivors) bit-for-bit,
+    and a delete-batch retry never double-retracts."""
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.operators import tpch
+    from spark_app_twitter_spark.sources.parquet import load_table
+    from spark_app_twitter_spark.streaming.q3serve import (
+        apply_q3_batch,
+        q3_report_from_partials,
+    )
+
+    path = f"{tmp_path}/q3_rf2"
+    li = load_table(spark, sf_dir, "lineitem")
+    apply_q3_batch(li.where(F.col("l_orderkey") % 2 == 0), 0, path, sf_dir)
+    apply_q3_batch(li.where(F.col("l_orderkey") % 2 == 1), 1, path, sf_dir)
+    deleted = li.where(F.col("l_suppkey") % tpch.Q3_IVM_LINE_MOD == 0)
+    apply_q3_batch(deleted, 2, path, sf_dir, sign=-1)
+
+    got = sorted(
+        tuple(r) for r in q3_report_from_partials(spark, path).collect()
+    )
+    want = sorted(
+        tuple(r) for r in tpch.q3_retraction(spark, sf_dir).collect()
+    )
+    assert got == want
+
+    apply_q3_batch(deleted, 2, path, sf_dir, sign=-1)
+    again = sorted(
+        tuple(r) for r in q3_report_from_partials(spark, path).collect()
+    )
+    assert again == got
