@@ -1,0 +1,158 @@
+"""Distributed exact global ranking: row_number / ntile / running
+totals over a TOTAL order without a single-partition WindowExec.
+
+`Window.orderBy(...)` with no partition spec forces every row through
+ONE partition (Spark warns "No Partition Defined for Window
+operation") — fine on a |users| aggregate at sf0.1, a serialization
+point at 10^8-10^9 rows. The scale-true equivalent is the TeraSort
+decomposition Spark already ships as `repartitionByRange`:
+
+  1. `repartitionByRange(B, *order)` samples the sort key and assigns
+     contiguous, NON-OVERLAPPING, partition-id-ordered key ranges —
+     every row in partition i sorts before every row in partition i+1.
+  2. A per-partition count/sum (B rows, collected — a bounded model
+     artifact like a quantile sketch, corpus-size-independent) gives
+     each partition's exact global offset.
+  3. A partition-LOCAL window (partitionBy the partition id) finishes
+     the exact global rank: offset + local row_number.
+
+The result is bit-identical to the global window (ranks are exact, so
+ntile buckets are exact) while every shuffle stays range-balanced.
+Callers must order by a TIE-FREE key list (append a unique id) — the
+sampler may split equal keys across a partition boundary.
+
+Oracle twins keep the plain `row_number()/ntile() OVER (ORDER BY ...)`
+SQL; the parity gate is the proof the decomposition is exact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "_rrank_pid"
+
+
+def _range_partitioned(
+    df: DataFrame, order_exprs: Sequence[Column], nbuckets: int | None
+) -> DataFrame:
+    """Range-shuffle df on the sort key and pin the layout.
+
+    localCheckpoint materializes the shuffled rows so the bounded
+    offset pass (one tiny collect) and the final plan read the SAME
+    partitioning — the upstream (often a corpus-sized aggregate) runs
+    exactly once.
+    """
+    if nbuckets is None:
+        nbuckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    d = df.repartitionByRange(nbuckets, *order_exprs)
+    return d.withColumn(_PID, F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
+
+
+def _offsets(
+    d: DataFrame, weight: Column
+) -> tuple[Column, int]:
+    """(offset-by-pid map lookup column, grand total).
+
+    One groupBy over the pinned layout yields <= nbuckets rows —
+    collected as a bounded artifact and folded into a literal map, so
+    the final plan applies offsets as a pure projection (no join, no
+    extra shuffle).
+    """
+    rows = d.groupBy(_PID).agg(F.sum(weight).alias("w")).collect()
+    per_pid = {r[_PID]: int(r["w"]) for r in rows}
+    total, offs = 0, {}
+    for pid in sorted(per_pid):
+        offs[pid] = total
+        total += per_pid[pid]
+    pairs: list[Column] = []
+    for pid, off in offs.items() or {-1: 0}.items():
+        pairs.extend((F.lit(pid), F.lit(off)))
+    return F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col(_PID)), F.lit(0)
+    ), total
+
+
+def exact_global_rank(
+    df: DataFrame,
+    order_exprs: Sequence[Column],
+    out: str = "rank",
+    nbuckets: int | None = None,
+) -> tuple[DataFrame, int]:
+    """df + exact global row_number() over (ORDER BY order_exprs),
+    plus the total row count (a build-time constant downstream
+    expressions may fold in). order_exprs must be tie-free."""
+    d = _range_partitioned(df, order_exprs, nbuckets)
+    off, total = _offsets(d, F.lit(1))
+    local = F.row_number().over(
+        Window.partitionBy(_PID).orderBy(*order_exprs)
+    )
+    return (
+        d.withColumn(out, (off + local).cast("long")).drop(_PID),
+        total,
+    )
+
+
+def ntile_bucket(rank: Column, total: int, n: int) -> Column:
+    """SQL NTILE(n) bucket of a 1-based exact global rank over
+    `total` rows: the first (total % n) buckets take ceil(total/n)
+    rows, the rest floor(total/n) — the exact distribution Spark and
+    DuckDB both implement, as a pure expression over constants."""
+    q, r = divmod(total, n)
+    if q == 0:  # fewer rows than buckets: one row per bucket
+        return rank.cast("int")
+    thr = r * (q + 1)
+    return (
+        F.when(rank <= thr, F.floor((rank - 1) / (q + 1)) + 1)
+        .otherwise(r + F.floor((rank - thr - 1) / q) + 1)
+        .cast("int")
+    )
+
+
+def exact_global_ntile(
+    df: DataFrame,
+    order_exprs: Sequence[Column],
+    n: int,
+    out: str,
+    nbuckets: int | None = None,
+    use_window: bool = False,
+) -> DataFrame:
+    """df + exact NTILE(n) OVER (ORDER BY order_exprs) — distributed
+    by default; ``use_window=True`` keeps the plain global-window
+    form (the small-n variant, and the equivalence test's oracle)."""
+    if use_window:
+        return df.withColumn(
+            out, F.ntile(n).over(Window.orderBy(*order_exprs))
+        )
+    ranked, total = exact_global_rank(df, order_exprs, "_rrank_rn", nbuckets)
+    return ranked.withColumn(
+        out, ntile_bucket(F.col("_rrank_rn"), total, n)
+    ).drop("_rrank_rn")
+
+
+def exact_running_total(
+    df: DataFrame,
+    order_exprs: Sequence[Column],
+    value: Column,
+    out: str,
+    include_current: bool = False,
+    nbuckets: int | None = None,
+) -> DataFrame:
+    """df + exact running SUM(value) OVER (ORDER BY order_exprs
+    ROWS UNBOUNDED PRECEDING [AND -1 when include_current=False]) —
+    the boundary-span primitive (e.g. cumulative counts over distinct
+    scores), same offset decomposition as the rank."""
+    d = _range_partitioned(df, order_exprs, nbuckets)
+    off, _ = _offsets(d, value)
+    hi = 0 if include_current else -1
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, hi)
+    )
+    local = F.coalesce(F.sum(value).over(w), F.lit(0))
+    return d.withColumn(out, (off + local).cast("long")).drop(_PID)

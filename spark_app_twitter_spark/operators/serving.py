@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from spark_app_twitter_spark.functions.ranking import exact_global_ntile
 from spark_app_twitter_spark.functions.timeutil import epoch_us
 
 from spark_app_twitter_spark.operators.aggregates import emotion_pivot
@@ -1388,11 +1389,12 @@ def rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: every ntile runs over a TOTAL order (metric then
     user_id), so bucket edges are engine-exact; monetary sums in
     DECIMAL before the double cast. Scale shape: one user_id-keyed
-    reduce over purchase rows; the three quintile windows run on the
-    |users|-sized aggregate, not on events. (Unpartitioned ntile
-    serializes at extreme |users| — the documented swap is
-    percentile_approx edges + a map-side bucket join, same answer
-    contract.)
+    reduce over purchase rows; each quintile is the DISTRIBUTED exact
+    ntile (functions/ranking.py: repartitionByRange + bounded
+    per-partition offsets + partition-local windows — no
+    single-partition WindowExec anywhere in the plan; pinned by
+    test_plans). The three passes chain, so the narrow per-user
+    row rides three range-balanced shuffles and joins nothing.
     """
     ev = load_table(spark, sf_dir, "events")
     p = ev.where(F.col("event_type") == "purchase")
@@ -1414,19 +1416,23 @@ def rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    r = F.ntile(5).over(
-        Window.orderBy(F.desc("recency_days"), F.asc("user_id"))
+    d = exact_global_ntile(
+        per_user, [F.desc("recency_days"), F.asc("user_id")], 5, "r_score"
     )
-    f5 = F.ntile(5).over(Window.orderBy(F.asc("frequency"), F.asc("user_id")))
-    m = F.ntile(5).over(Window.orderBy(F.asc("monetary"), F.asc("user_id")))
-    return per_user.select(
+    d = exact_global_ntile(
+        d, [F.asc("frequency"), F.asc("user_id")], 5, "f_score"
+    )
+    d = exact_global_ntile(
+        d, [F.asc("monetary"), F.asc("user_id")], 5, "m_score"
+    )
+    return d.select(
         "user_id",
         "recency_days",
         "frequency",
         "monetary",
-        r.alias("r_score"),
-        f5.alias("f_score"),
-        m.alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     ).withColumn(
         "rfm",
         (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).cast(
@@ -1639,31 +1645,36 @@ def power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     both in integer basis points (floor).
 
     Scale shape: one user_id-keyed reduce over events, then the
-    decile window runs on the |users|-sized aggregate — the
-    rfm_scores discipline (the documented extreme-|users| swap is
-    percentile_approx edges + a map-side bucket join). The decile
-    relation is 10 rows; the cumulative window is constant-size.
+    DISTRIBUTED exact decile (functions/ranking.py — range-balanced
+    shuffles, no single-partition WindowExec; pinned by test_plans).
+    The decile relation is 10 rows; its Lorenz cumulative is a
+    broadcast triangular self-join (decile' <= decile), window-free.
     """
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
-    dec = F.ntile(10).over(
-        Window.orderBy(F.desc("n_events"), F.asc("user_id"))
-    )
     tot = per_user.agg(F.sum("n_events").alias("tot"))
     by_dec = (
-        per_user.withColumn("decile", dec)
+        exact_global_ntile(
+            per_user, [F.desc("n_events"), F.asc("user_id")], 10, "decile"
+        )
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_users"),
             F.sum("n_events").alias("n_events"),
         )
     )
-    cum = Window.orderBy("decile").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    earlier = by_dec.select(
+        F.col("decile").alias("d2"), F.col("n_events").alias("e2")
+    )
+    cum_df = (
+        by_dec.join(
+            F.broadcast(earlier), F.col("d2") <= F.col("decile"), "inner"
+        )
+        .groupBy("decile", "n_users", "n_events")
+        .agg(F.sum("e2").alias("cum_events"))
     )
     return (
-        by_dec.crossJoin(F.broadcast(tot))
-        .withColumn("cum_events", F.sum("n_events").over(cum))
+        cum_df.crossJoin(F.broadcast(tot))
         .select(
             F.col("decile").cast("int").alias("decile"),
             "n_users",

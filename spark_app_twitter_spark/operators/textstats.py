@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_app_twitter_spark.functions.hashing import shingles, shingles_sql
+from spark_app_twitter_spark.functions.ranking import exact_running_total
 from spark_app_twitter_spark.functions.text import STOPWORDS, tokens
 from spark_app_twitter_spark.sources.parquet import load_table
 
@@ -2454,9 +2455,12 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment deliberately avoids a global ntile window (one
     single-partition sort of the whole corpus): lm_score is
     integer-valued by construction (micro-unit integer division),
-    so per-SCORE counts + a cumulative-offset window over the
-    |distinct scores| relation — LM_SCALE-bounded, a model artifact
-    like the quantile sketch — place every score's rank span; scores
+    so per-SCORE counts + an exact cumulative over the |distinct
+    scores| relation place every score's rank span; the cumulative
+    is the DISTRIBUTED running total (functions/ranking.py:
+    repartitionByRange + bounded per-partition offsets + a
+    partition-local window), so even a corpus where distinct scores
+    approach |docs| never single-partition-sorts; scores
     fully inside a tercile assign by broadcast join, and only the
     <= 2 boundary-CROSSING scores rank their member docs (per-score
     window, tie-break doc_id — the ntile order). The corpus never
@@ -2474,15 +2478,9 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     grp = scored.groupBy("lm_score").agg(F.count(F.lit(1)).alias("c"))
-    wg = (
-        Window.orderBy(F.desc("lm_score"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    spans = grp.select(
-        "lm_score",
-        "c",
-        F.coalesce(F.sum("c").over(wg), F.lit(0)).alias("cb"),
-    )
+    spans = exact_running_total(
+        grp, [F.desc("lm_score")], F.col("c"), "cb", include_current=False
+    ).select("lm_score", "c", "cb")
     tot = spans.agg(F.sum("c").alias("n"))
     q = F.expr("n div 3")
     b1 = q + (F.col("n") % n_b >= 1).cast("long")
@@ -2566,9 +2564,12 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln(freq) on ln(rank) over the top-N term frequencies.
 
     Scale shape: term counting is one explode + one term-keyed
-    combine; the top-N cut is a TakeOrderedAndProject (ranking ties
-    break on term asc so the cohort is deterministic); the
-    regression reduces N (x, y) pairs to five sums. Per-pair ln()
+    combine; the top-N cut is a literal TakeOrderedAndProject —
+    ``orderBy().limit(N)`` (ties break on term asc so the cohort is
+    deterministic), and only THEN a rank window over the N-row
+    remnant (constant-bounded: N <= ZIPF_TOP_N, never the full
+    vocabulary — the pre-r10 shape ranked every term in one
+    partition); the regression reduces N (x, y) pairs to five sums. Per-pair ln()
     values are rounded to 6dp BEFORE the sums so engine float-sum
     ordering cannot move the 6dp-rounded outputs; the sums
     themselves are doubles over N <= 1000 well-scaled terms — far
@@ -2589,8 +2590,10 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ym = F.round(F.log(F.col("c").cast("double")) * F.lit(1e6)).cast("long")
     top = (
-        counts.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= ZIPF_TOP_N)
+        counts.orderBy(F.desc("c"), F.asc("term"))
+        .limit(ZIPF_TOP_N)  # TakeOrderedAndProject: vocab never
+        # totally sorts; the window below sees <= ZIPF_TOP_N rows
+        .withColumn("rank", F.row_number().over(w))
         .select(xm.alias("xm"), ym.alias("ym"))
     )
     s = top.agg(
@@ -2772,26 +2775,32 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary mass in integer basis points (floor).
 
     Scale shape: one explode + term-keyed combine builds the counts
-    (corpus-sized work, one shuffle); everything after runs on the
-    |vocab|-row relation — the global rank window is vocabulary-
-    bounded exactly like the BPE/zipf trainers, and the final output
-    is |budgets| rows.
+    (corpus-sized work, one shuffle; checkpointed — two consumers);
+    the top-max(budget) cut is a TakeOrderedAndProject
+    (``orderBy().limit``) so the vocabulary never totally sorts —
+    the rank/cumulative windows run on the <= max(budget)-row
+    remnant (constant-bounded), and the final output is |budgets|
+    rows. total_tokens still sums the FULL counts relation.
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
     counts = (
         docs.select(F.explode(tokens("text")).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("c"))
-    )
+    ).localCheckpoint(eager=True)  # two consumers: totals + top-K cut
     w = Window.orderBy(F.desc("c"), F.asc("term"))
-    ranked = counts.select(
-        "c",
-        F.row_number().over(w).alias("rank"),
-        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
-            "cum"
-        ),
-    ).localCheckpoint(eager=True)  # two consumers: totals + per-budget cut
-    totals = ranked.agg(
+    ranked = (
+        counts.orderBy(F.desc("c"), F.asc("term"))
+        .limit(max(VOCAB_COVERAGE_SIZES))
+        .select(
+            "c",
+            F.row_number().over(w).alias("rank"),
+            F.sum("c")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cum"),
+        )
+    )
+    totals = counts.agg(
         F.sum("c").alias("total_tokens")
     )
     sizes = spark.range(0).sparkSession.createDataFrame(

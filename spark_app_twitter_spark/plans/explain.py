@@ -63,3 +63,33 @@ def has_broadcast_join(df: DataFrame) -> bool:
 def codegen_stage_count(df: DataFrame) -> int:
     """Number of WholeStageCodegen spans (fewer = wider fused spans)."""
     return executed_plan(df).count("WholeStageCodegen")
+
+
+def unpartitioned_windows(df: DataFrame) -> list[str]:
+    """Window nodes with NO partition spec — each one is a
+    single-partition sort of its whole input (Spark inserts
+    Exchange SinglePartition), the classic 100 TB serialization
+    point. Plan-text format: `Window [funcs], [part], [order]` when
+    both specs exist; with only ONE trailing group it is the ORDER
+    spec (contains ASC/DESC sort directions) when the window is
+    unpartitioned, or the bare-column PARTITION spec when the window
+    is partitioned but unordered (count(*) over (partition by k) —
+    fine at scale, not flagged); no trailing group at all is
+    over () — also a single partition."""
+    out = []
+    for line in executed_plan(df).splitlines():
+        s = line.strip().lstrip("+-*:( ")
+        if ") " in s[:8]:
+            s = s.split(") ", 1)[-1]
+        if not s.startswith("Window ["):
+            continue
+        groups = s.count("], [")
+        if groups >= 2:
+            continue  # partition spec + order spec both present
+        if groups == 0:
+            out.append(s)  # over (): no partition, no order
+            continue
+        trailing = s.rsplit("], [", 1)[-1]
+        if " ASC" in trailing or " DESC" in trailing:
+            out.append(s)  # lone group is an ORDER spec: unpartitioned
+    return out

@@ -9,12 +9,17 @@ all rows seen, bit-for-bit). The serving report derives averages
 from the merged sums on read, exactly like the batch query.
 
 This is the shape a 100-TB deployment actually runs: the fact
-stream never rescans, state is |groups| x |batches| rows (the per-batch partials are
-KEYED BY batch_id, so a foreachBatch retry REPLACES its own rows
-instead of double-counting — the idempotent-upsert contract every
-other sink here honors); the serving read merges the per-batch rows.
-A compaction job may fold old batches into one row at any time
-without changing the report (associativity).
+stream never rescans, state is |groups| x |batches| rows (the
+per-batch partials are KEYED BY (stream, batch_id) — each stream,
+e.g. the insert stream and the RF2 delete stream, owns its own
+batch_id namespace, so a foreachBatch retry REPLACES its own rows
+instead of double-counting AND a delete stream restarting at
+batch_id 0 cannot clobber insert batch 0); the serving read merges
+the per-batch rows. A compaction job may fold old batches into one
+row at any time without changing the report (associativity). State
+publication goes through streaming/statestore.py — immutable
+snapshot + atomic pointer swap, so a crash mid-write leaves the
+previous state readable.
 """
 
 from __future__ import annotations
@@ -30,9 +35,14 @@ from spark_app_twitter_spark.operators.tpch import (
     _PRICE,
     _RATE,
 )
+from spark_app_twitter_spark.streaming.statestore import (
+    publish_state,
+    read_state,
+)
 
 _PARTIAL_DDL = (
-    "batch_id long, l_returnflag string, l_linestatus string, "
+    "stream string, batch_id long, l_returnflag string, "
+    "l_linestatus string, "
     "sq decimal(38,2), sbp decimal(38,2), sdp decimal(38,6), "
     "sch decimal(38,6), sdisc decimal(38,2), cnt long"
 )
@@ -57,18 +67,28 @@ def q1_partials(batch: DataFrame) -> DataFrame:
 
 
 def apply_q1_batch(
-    batch: DataFrame, batch_id: int, path: str, sign: int = 1
+    batch: DataFrame,
+    batch_id: int,
+    path: str,
+    sign: int = 1,
+    stream: str | None = None,
 ) -> None:
     """foreachBatch body: upsert one batch's partials under its
-    batch_id — a retry of the same batch REPLACES its rows, so the
-    fold is exactly-once. ``sign=-1`` folds a DELETE batch (the RF2
-    retraction stream): its partials enter negated, exactly the
-    q1_retraction math, and groups whose merged count reaches zero
-    drop out of the report on read."""
+    (stream, batch_id) — a retry of the same batch REPLACES its own
+    rows, so the fold is exactly-once, and two streams sharing the
+    state (inserts + the RF2 delete stream, each with its OWN
+    batch_id counter) can never replace each other's partials.
+    ``sign=-1`` folds a DELETE batch: its partials enter negated,
+    exactly the q1_retraction math, and groups whose merged count
+    reaches zero drop out of the report on read. ``stream`` defaults
+    to "ins"/"del" by sign; pass explicit ids when running several
+    streams of the same sign."""
     spark = batch.sparkSession
+    sid = stream if stream is not None else ("ins" if sign >= 0 else "del")
     sgn = F.lit(sign).cast("decimal(38,6)")
     raw = q1_partials(batch)
     delta = raw.select(
+        F.lit(sid).alias("stream"),
         F.lit(batch_id).cast("long").alias("batch_id"),
         "l_returnflag",
         "l_linestatus",
@@ -79,36 +99,26 @@ def apply_q1_batch(
         (F.col("sdisc") * sgn).cast("decimal(38,2)").alias("sdisc"),
         (F.col("cnt") * F.lit(sign)).cast("long").alias("cnt"),
     )
-    try:
-        stored = spark.read.schema(_PARTIAL_DDL).parquet(path)
-    except Exception as e:
-        err_class = ""
-        for attr in ("getCondition", "getErrorClass"):
-            fn = getattr(e, attr, None)
-            if callable(fn):
-                try:
-                    err_class = fn() or ""
-                    break
-                except Exception:
-                    pass
-        if "PATH_NOT_FOUND" not in err_class and (
-            "Path does not exist" not in str(e)
-        ):
-            raise
-        stored = None
+    stored = read_state(spark, path, _PARTIAL_DDL)
     merged = delta if stored is None else (
-        stored.where(F.col("batch_id") != batch_id).unionByName(delta)
+        stored.where(
+            ~((F.col("stream") == sid) & (F.col("batch_id") == batch_id))
+        ).unionByName(delta)
     )
-    merged = merged.localCheckpoint(eager=True)
-    merged.write.mode("overwrite").parquet(path)
+    # read (old snapshot) and write (new snapshot) are different
+    # directories, so the merge plan streams directly — no
+    # localCheckpoint, nothing pinned in block-manager memory
+    publish_state(merged, path)
 
 
 def q1_report_from_partials(spark, path: str) -> DataFrame:
     """The serving read: derive the Q1 report (sums + averages) from
     the stored partials — identical projection to the batch query."""
+    stored = read_state(spark, path, _PARTIAL_DDL)
+    if stored is None:
+        stored = spark.createDataFrame([], _PARTIAL_DDL)
     p = (
-        spark.read.schema(_PARTIAL_DDL)
-        .parquet(path)
+        stored
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("sq").cast("decimal(38,2)").alias("sq"),
@@ -141,11 +151,15 @@ def maintain_q1_stream(
     path: str,
     checkpoint: str,
     trigger_available_now: bool = False,
+    sign: int = 1,
+    stream: str | None = None,
 ) -> StreamingQuery:
-    """Continuous Q1 maintenance over a lineitem stream."""
+    """Continuous Q1 maintenance over a lineitem stream; start a
+    second query with ``sign=-1`` (its own checkpoint) to fold an
+    RF2 delete stream into the same state path."""
     w = (
         lineitem.writeStream.foreachBatch(
-            lambda b, i: apply_q1_batch(b, i, path)
+            lambda b, i: apply_q1_batch(b, i, path, sign=sign, stream=stream)
         )
         .option("checkpointLocation", checkpoint)
         .outputMode("update")

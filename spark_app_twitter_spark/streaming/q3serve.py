@@ -2,10 +2,13 @@
 continuously: lineitem arrives as a stream, the customer/orders
 dimension side is static, and each micro-batch folds
 ΔL ⨝ orders ⨝ customer revenue partials into a stored per-group
-partial table KEYED BY batch_id (a foreachBatch retry replaces its
-own rows — the q1serve exactly-once discipline). The serving read
-merges per-batch partials and projects the top-10 report, identical
-to the batch query over all rows seen.
+partial table KEYED BY (stream, batch_id) (a foreachBatch retry
+replaces its own rows and the RF2 delete stream owns a separate
+batch_id namespace — the q1serve exactly-once discipline). The
+serving read merges per-batch partials and projects the top-10
+report, identical to the batch query over all rows seen. State
+publication goes through streaming/statestore.py (immutable
+snapshot + atomic pointer swap — crash-safe).
 
 Scale shape: each fold joins only the BATCH against the dims (AQE
 broadcasts the batch side), state is touched-groups x batches rows,
@@ -20,9 +23,14 @@ from pyspark.sql.streaming import StreamingQuery
 
 from spark_app_twitter_spark.operators.tpch import _money, _one_minus
 from spark_app_twitter_spark.sources.parquet import load_table
+from spark_app_twitter_spark.streaming.statestore import (
+    publish_state,
+    read_state,
+)
 
 _Q3_PARTIAL_DDL = (
-    "batch_id long, l_orderkey bigint, o_orderdate timestamp, "
+    "stream string, batch_id long, l_orderkey bigint, "
+    "o_orderdate timestamp, "
     "o_orderpriority string, rev decimal(38,4), cnt long"
 )
 
@@ -64,15 +72,25 @@ def q3_batch_partials(
 
 
 def apply_q3_batch(
-    batch: DataFrame, batch_id: int, path: str, sf_dir: str, sign: int = 1
+    batch: DataFrame,
+    batch_id: int,
+    path: str,
+    sf_dir: str,
+    sign: int = 1,
+    stream: str | None = None,
 ) -> None:
-    """foreachBatch body: upsert this batch's partials by batch_id.
-    ``sign=-1`` folds a DELETE batch (RF2 through the join): its
-    revenue partials and row counts enter negated; groups whose
-    merged count reaches zero drop from the report on read."""
+    """foreachBatch body: upsert this batch's partials by
+    (stream, batch_id) — retries replace their own rows; the insert
+    and delete streams each own a batch_id namespace (default ids
+    "ins"/"del" by sign). ``sign=-1`` folds a DELETE batch (RF2
+    through the join): its revenue partials and row counts enter
+    negated; groups whose merged count reaches zero drop from the
+    report on read."""
     spark = batch.sparkSession
+    sid = stream if stream is not None else ("ins" if sign >= 0 else "del")
     sgn = F.lit(sign).cast("decimal(38,4)")
     delta = q3_batch_partials(batch, _q3_dims(spark, sf_dir)).select(
+        F.lit(sid).alias("stream"),
         F.lit(batch_id).cast("long").alias("batch_id"),
         "l_orderkey",
         "o_orderdate",
@@ -80,36 +98,23 @@ def apply_q3_batch(
         (F.col("rev") * sgn).cast("decimal(38,4)").alias("rev"),
         (F.col("cnt") * F.lit(sign)).cast("long").alias("cnt"),
     )
-    try:
-        stored = spark.read.schema(_Q3_PARTIAL_DDL).parquet(path)
-    except Exception as e:
-        err_class = ""
-        for attr in ("getCondition", "getErrorClass"):
-            fn = getattr(e, attr, None)
-            if callable(fn):
-                try:
-                    err_class = fn() or ""
-                    break
-                except Exception:
-                    pass
-        if "PATH_NOT_FOUND" not in err_class and (
-            "Path does not exist" not in str(e)
-        ):
-            raise
-        stored = None
+    stored = read_state(spark, path, _Q3_PARTIAL_DDL)
     merged = delta if stored is None else (
-        stored.where(F.col("batch_id") != batch_id).unionByName(delta)
+        stored.where(
+            ~((F.col("stream") == sid) & (F.col("batch_id") == batch_id))
+        ).unionByName(delta)
     )
-    merged = merged.localCheckpoint(eager=True)
-    merged.write.mode("overwrite").parquet(path)
+    publish_state(merged, path)
 
 
 def q3_report_from_partials(spark: SparkSession, path: str) -> DataFrame:
     """Merge per-batch partials and project the top-10 report —
     identical columns and ordering to q3_shipping_priority."""
+    stored = read_state(spark, path, _Q3_PARTIAL_DDL)
+    if stored is None:
+        stored = spark.createDataFrame([], _Q3_PARTIAL_DDL)
     return (
-        spark.read.schema(_Q3_PARTIAL_DDL)
-        .parquet(path)
+        stored
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum("rev").alias("rev"), F.sum("cnt").alias("cnt"))
         # fully-retracted groups vanish, as a recompute would drop
@@ -132,11 +137,16 @@ def maintain_q3_stream(
     checkpoint: str,
     sf_dir: str,
     trigger_available_now: bool = False,
+    sign: int = 1,
+    stream: str | None = None,
 ) -> StreamingQuery:
-    """Continuous Q3 maintenance over a lineitem stream."""
+    """Continuous Q3 maintenance over a lineitem stream; a second
+    query with ``sign=-1`` (own checkpoint) folds RF2 deletes."""
     w = (
         lineitem.writeStream.foreachBatch(
-            lambda b, i: apply_q3_batch(b, i, path, sf_dir)
+            lambda b, i: apply_q3_batch(
+                b, i, path, sf_dir, sign=sign, stream=stream
+            )
         )
         .option("checkpointLocation", checkpoint)
         .outputMode("update")

@@ -15,20 +15,32 @@ micro-batches (the watermark discipline every other streaming
 operator here assumes); order WITHIN a batch is free. A late
 observation older than a stored change would need the full
 observation log to replay — that is the batch operator's job, the
-same split as dedup_incremental vs dedup_exact. Idempotent under
+same split as dedup_incremental vs dedup_exact. Since r10 the
+violation is DETECTED, not silent: every batch counts the users
+whose incoming min(ts) predates their newest stored change and
+appends them to a `late-audit` side log next to the state (the
+dead-letter channel a replay job drains); the merge itself still
+proceeds so the serving table stays available. Idempotent under
 batch replay: re-applying a batch merges observations that are
 already the stored change rows, and the collapse rule absorbs them
-(pinned in tests).
+(pinned in tests). State publication goes through
+streaming/statestore.py (immutable snapshot + atomic pointer swap).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from spark_app_twitter_spark.operators.versioning import (
     scd2_from_observations,
+)
+from spark_app_twitter_spark.streaming.statestore import (
+    publish_state,
+    read_state,
 )
 
 _HIST_DDL = (
@@ -36,37 +48,47 @@ _HIST_DDL = (
     "valid_to timestamp, version int, is_current boolean, "
     "change_event_id long"
 )
+_LATE_DDL = "batch_id long, user_id long, min_ts timestamp"
+_LATE_DIR = "late-audit"
 
 
 def apply_scd2_batch(batch: DataFrame, batch_id: int, path: str) -> None:
-    """foreachBatch body: per-user incremental SCD2 upsert."""
+    """foreachBatch body: per-user incremental SCD2 upsert, with
+    out-of-order arrivals routed to the late-audit dead letter."""
     spark = batch.sparkSession
     obs = batch.select(
         "user_id", "attr_k", "ts", "event_id"
     ).dropDuplicates(["user_id", "event_id"])
-    try:
-        stored = spark.read.schema(_HIST_DDL).parquet(path)
-    except Exception as e:
-        err_class = ""
-        for attr in ("getCondition", "getErrorClass"):
-            fn = getattr(e, attr, None)
-            if callable(fn):
-                try:
-                    err_class = fn() or ""
-                    break
-                except Exception:
-                    pass
-        if "PATH_NOT_FOUND" not in err_class and (
-            "Path does not exist" not in str(e)
-        ):
-            raise
-        stored = None
+    stored = read_state(spark, path, _HIST_DDL)
     if stored is None:
         out = scd2_from_observations(obs)
     else:
         touched = obs.select("user_id").distinct()
         rest = stored.join(touched, "user_id", "left_anti")
-        prior_obs = stored.join(touched, "user_id", "left_semi").select(
+        prior = stored.join(touched, "user_id", "left_semi")
+        # contract violation detector: an incoming observation older
+        # than the user's newest stored change means the collapsed
+        # change rows cannot reproduce the full rebuild — emit the
+        # user to the audit log (replay worklist) instead of merging
+        # silently. |touched|-sized, batch-keyed (idempotent on read
+        # via dropDuplicates).
+        newest = prior.groupBy("user_id").agg(
+            F.max("valid_from").alias("max_vf")
+        )
+        incoming_min = obs.groupBy("user_id").agg(
+            F.min("ts").alias("min_ts")
+        )
+        late = (
+            incoming_min.join(newest, "user_id")
+            .where(F.col("min_ts") < F.col("max_vf"))
+            .select(
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                "user_id",
+                "min_ts",
+            )
+        )
+        late.write.mode("append").parquet(os.path.join(path, _LATE_DIR))
+        prior_obs = prior.select(
             "user_id",
             "attr_k",
             F.col("valid_from").alias("ts"),
@@ -74,8 +96,29 @@ def apply_scd2_batch(batch: DataFrame, batch_id: int, path: str) -> None:
         )
         merged = prior_obs.unionByName(obs)
         out = rest.unionByName(scd2_from_observations(merged))
-    out = out.localCheckpoint(eager=True)
-    out.write.mode("overwrite").parquet(path)
+    publish_state(out, path)
+
+
+def scd2_table(spark: SparkSession, path: str) -> DataFrame:
+    """The serving read: the current SCD2 dimension snapshot
+    (empty with the right schema before the first publish)."""
+    stored = read_state(spark, path, _HIST_DDL)
+    if stored is None:
+        return spark.createDataFrame([], _HIST_DDL)
+    return stored
+
+
+def scd2_late_audit(spark: SparkSession, path: str) -> DataFrame:
+    """(batch_id, user_id, min_ts): users whose history needs a full
+    replay — the dead-letter worklist. Empty before any violation."""
+    d = os.path.join(path, _LATE_DIR)
+    if not os.path.isdir(d):
+        return spark.createDataFrame([], _LATE_DDL)
+    return (
+        spark.read.schema(_LATE_DDL)
+        .parquet(d)
+        .dropDuplicates(["batch_id", "user_id"])
+    )
 
 
 def maintain_scd2_stream(

@@ -1,0 +1,85 @@
+"""Crash-safe serving-state store for the foreachBatch maintainers.
+
+The pre-r10 maintainers (q1serve/q3serve/scd2serve) read their state
+parquet, localCheckpoint-ed, and overwrote the SAME path — a crash
+mid-overwrite (delete happens before the new files land) destroyed
+all accumulated state, so "exactly-once" only held for clean
+foreachBatch retries. This module is the repaired contract:
+
+  path/
+    v-00000000000000000001/   <- immutable parquet snapshots
+    v-00000000000000000002/
+    LATEST                    <- text pointer, swapped with os.replace
+
+A writer materializes the next snapshot into a NEW `v-{n+1}` dir
+while `LATEST` still names `v-{n}`; only after the write fully
+succeeds does an atomic `os.replace` move the pointer. A crash at
+ANY point leaves the previous snapshot readable (the half-written
+dir is garbage-collected on the next publish). Because read and
+write touch DIFFERENT directories, the maintainers no longer need
+localCheckpoint at all — the merge plan streams straight from the
+old snapshot into the new one, and nothing accumulates in block-
+manager memory across a long run.
+
+This is the local-FS/NFS realization of the pointer-commit protocol;
+an object-store deployment swaps `publish_state` for a manifest
+commit (Delta/Iceberg-style) — the maintainer code is unchanged
+because both expose read-snapshot / publish-snapshot.
+
+Single-writer per path (one streaming query owns its state dir —
+the same assumption Structured Streaming's own checkpoint makes).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+_POINTER = "LATEST"
+_KEEP = 2  # live snapshot + previous (in-flight readers, crash debris)
+
+
+def _current_version(path: str) -> int:
+    try:
+        with open(os.path.join(path, _POINTER)) as fh:
+            name = fh.read().strip()
+        return int(name.split("-")[1]) if name else 0
+    except (OSError, ValueError, IndexError):
+        return 0
+
+
+def read_state(spark: SparkSession, path: str, ddl: str) -> DataFrame | None:
+    """The snapshot LATEST points at, or None before the first
+    publish (a dangling pointer — crash debris — also reads None)."""
+    n = _current_version(path)
+    if n == 0:
+        return None
+    snap = os.path.join(path, f"v-{n:020d}")
+    if not os.path.isdir(snap):
+        return None
+    return spark.read.schema(ddl).parquet(snap)
+
+
+def publish_state(df: DataFrame, path: str) -> None:
+    """Write df as the next immutable snapshot, then atomically swap
+    the pointer. Old snapshots beyond _KEEP are pruned AFTER the
+    swap, so a failure anywhere leaves the prior state readable."""
+    os.makedirs(path, exist_ok=True)
+    n = _current_version(path) + 1
+    snap = f"v-{n:020d}"
+    df.write.mode("overwrite").parquet(os.path.join(path, snap))
+    tmp = os.path.join(path, f".{_POINTER}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(snap)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(path, _POINTER))
+    for name in os.listdir(path):
+        if name.startswith("v-"):
+            try:
+                if int(name.split("-")[1]) <= n - _KEEP:
+                    shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+            except (ValueError, IndexError):
+                continue

@@ -676,3 +676,41 @@ def test_mmr_greedy_is_one_cogroup_pass(spark, sf_dir):
     assert E.num_shuffles(df) <= 4, (
         f"greedy must not re-shuffle per step: {E.num_shuffles(df)}"
     )
+
+
+def test_rfm_and_power_users_have_no_unpartitioned_window(spark, sf_dir):
+    """The r10 contract: the CRM quintiles and the Lorenz deciles run
+    the DISTRIBUTED exact ntile (repartitionByRange + bounded offsets
+    + partition-local windows) — no partition-less WindowExec (a
+    single-partition sort of the |users| aggregate) anywhere."""
+    for fn in (serving.rfm_scores, serving.power_users):
+        df = fn(spark, sf_dir)
+        wins = E.unpartitioned_windows(df)
+        assert not wins, f"{fn.__name__}: {wins}"
+
+
+def test_perplexity_buckets_has_no_unpartitioned_window(spark, sf_dir):
+    """The CCNet tercile's cumulative span over distinct lm_scores is
+    the distributed running total since r10 — distinct scores can
+    approach |docs| on real corpora, so no single-partition window."""
+    from spark_app_twitter_spark.operators import textstats
+
+    wins = E.unpartitioned_windows(textstats.perplexity_buckets(spark, sf_dir))
+    assert not wins, wins
+
+
+def test_zipf_and_vocab_rank_after_take_ordered(spark, sf_dir):
+    """zipf_fit / vocab_coverage cut top-N with orderBy().limit
+    (TakeOrderedAndProject) BEFORE ranking: the vocabulary never
+    totally sorts; the surviving global window sees <= N constant
+    rows (the GLOBAL_WINDOW_OK allowlist bound)."""
+    from spark_app_twitter_spark.operators import textstats
+
+    for fn, bound in (
+        (textstats.zipf_fit, textstats.ZIPF_TOP_N),
+        (textstats.vocab_coverage, max(textstats.VOCAB_COVERAGE_SIZES)),
+    ):
+        df = fn(spark, sf_dir)
+        plan = E.executed_plan(df)
+        assert "TakeOrderedAndProject" in plan, f"{fn.__name__}: no top-N cut"
+        assert len(E.unpartitioned_windows(df)) <= 1

@@ -1,0 +1,79 @@
+"""functions/ranking.py: the distributed exact rank/ntile/running
+total must be BIT-IDENTICAL to the single-partition global window it
+replaces — on uniform, skewed, tiny, and sub-bucket-count inputs."""
+
+import random
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from spark_app_twitter_spark.functions.ranking import (
+    exact_global_ntile,
+    exact_global_rank,
+    exact_running_total,
+)
+
+
+def _cases(spark):
+    rng = random.Random(42)
+    uniform = spark.createDataFrame(
+        [(i, rng.randint(0, 10_000)) for i in range(2_003)],
+        "id long, m long",
+    )
+    # heavy ties: 90% of rows share one metric value — the sampler
+    # must split the tie across partitions and the id tie-break keeps
+    # ranks exact
+    skewed = spark.createDataFrame(
+        [(i, 7 if rng.random() < 0.9 else rng.randint(0, 50)) for i in range(1_501)],
+        "id long, m long",
+    )
+    tiny = spark.createDataFrame([(1, 5), (2, 9), (3, 1)], "id long, m long")
+    return {"uniform": uniform, "skewed": skewed, "tiny": tiny}
+
+
+def test_exact_ntile_matches_global_window(spark):
+    order = [F.desc("m"), F.asc("id")]
+    for label, df in _cases(spark).items():
+        for n in (3, 5, 10):
+            got = exact_global_ntile(df, order, n, "b").select("id", "b")
+            want = df.withColumn(
+                "b", F.ntile(n).over(Window.orderBy(*order))
+            ).select("id", F.col("b").alias("wb"))
+            diff = got.join(want, "id").where(F.col("b") != F.col("wb"))
+            assert diff.count() == 0, f"{label} ntile({n})"
+
+
+def test_exact_rank_matches_row_number(spark):
+    order = [F.asc("m"), F.asc("id")]
+    for label, df in _cases(spark).items():
+        got, total = exact_global_rank(df, order, "r")
+        assert total == df.count(), label
+        want = df.withColumn(
+            "r", F.row_number().over(Window.orderBy(*order))
+        ).select("id", F.col("r").alias("wr"))
+        diff = got.join(want, "id").where(F.col("r") != F.col("wr"))
+        assert diff.count() == 0, label
+
+
+def test_exact_running_total_matches_window(spark):
+    for label, df in _cases(spark).items():
+        g = df.groupBy("m").agg(F.count(F.lit(1)).alias("c"))
+        got = exact_running_total(g, [F.desc("m")], F.col("c"), "cb")
+        w = Window.orderBy(F.desc("m")).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        want = g.select(
+            "m", F.coalesce(F.sum("c").over(w), F.lit(0)).alias("wcb")
+        )
+        diff = got.join(want, "m").where(F.col("cb") != F.col("wcb"))
+        assert diff.count() == 0, label
+
+
+def test_use_window_small_n_variant_agrees(spark):
+    df = _cases(spark)["tiny"]
+    order = [F.asc("m"), F.asc("id")]
+    a = exact_global_ntile(df, order, 5, "b").select("id", "b")
+    b = exact_global_ntile(df, order, 5, "b", use_window=True).select(
+        "id", F.col("b").alias("wb")
+    )
+    assert a.join(b, "id").where(F.col("b") != F.col("wb")).count() == 0

@@ -1822,6 +1822,7 @@ def test_scd2_stream_matches_batch_rebuild_and_is_idempotent(
     from spark_app_twitter_spark.sources.parquet import load_table
     from spark_app_twitter_spark.streaming.scd2serve import (
         apply_scd2_batch,
+        scd2_table,
     )
 
     path = f"{tmp_path}/scd2_dim"
@@ -1848,7 +1849,7 @@ def test_scd2_stream_matches_batch_rebuild_and_is_idempotent(
 
     got = sorted(
         tuple(r)
-        for r in spark.read.parquet(path)
+        for r in scd2_table(spark, path)
         .select(
             "user_id", "attr_k", "valid_from", "valid_to", "version",
             "is_current",
@@ -1864,7 +1865,7 @@ def test_scd2_stream_matches_batch_rebuild_and_is_idempotent(
     apply_scd2_batch(b3, 99, path)
     again = sorted(
         tuple(r)
-        for r in spark.read.parquet(path)
+        for r in scd2_table(spark, path)
         .select(
             "user_id", "attr_k", "valid_from", "valid_to", "version",
             "is_current",
@@ -2029,3 +2030,130 @@ def test_q3_stream_retraction_matches_recompute_over_survivors(
         tuple(r) for r in q3_report_from_partials(spark, path).collect()
     )
     assert again == got
+
+
+def test_statestore_failed_publish_leaves_previous_snapshot(
+    spark, tmp_path, monkeypatch
+):
+    """The r10 crash-safety contract: a publish that dies at ANY
+    point (snapshot write or pointer swap) leaves the previously
+    published state readable — the pre-r10 read-overwrite-same-path
+    pattern destroyed it. Also: debris from the failed attempt is
+    garbage-collected by the next successful publish, and only _KEEP
+    snapshots are retained."""
+    import os
+
+    from spark_app_twitter_spark.streaming import statestore
+
+    path = f"{tmp_path}/store"
+    ddl = "k long, v long"
+    statestore.publish_state(spark.createDataFrame([(1, 10)], ddl), path)
+    first = [tuple(r) for r in statestore.read_state(spark, path, ddl).collect()]
+    assert first == [(1, 10)]
+
+    # crash during the snapshot write: half-written v-2 dir, pointer
+    # untouched
+    real_replace = os.replace
+
+    def boom(*a, **k):
+        raise OSError("simulated crash before pointer swap")
+
+    monkeypatch.setattr(statestore.os, "replace", boom)
+    try:
+        statestore.publish_state(
+            spark.createDataFrame([(2, 20)], ddl), path
+        )
+    except OSError:
+        pass
+    monkeypatch.setattr(statestore.os, "replace", real_replace)
+    still = [tuple(r) for r in statestore.read_state(spark, path, ddl).collect()]
+    assert still == [(1, 10)]
+
+    # next publish succeeds, supersedes the debris, prunes beyond
+    # _KEEP
+    statestore.publish_state(spark.createDataFrame([(3, 30)], ddl), path)
+    now = [tuple(r) for r in statestore.read_state(spark, path, ddl).collect()]
+    assert now == [(3, 30)]
+    statestore.publish_state(spark.createDataFrame([(4, 40)], ddl), path)
+    snaps = sorted(n for n in os.listdir(path) if n.startswith("v-"))
+    assert len(snaps) <= statestore._KEEP
+    assert [
+        tuple(r) for r in statestore.read_state(spark, path, ddl).collect()
+    ] == [(4, 40)]
+
+
+def test_q1_delete_stream_own_batchid_namespace(spark, sf_dir, tmp_path):
+    """The r10 namespace contract: a DELETE stream restarting at
+    batch_id 0 must RETRACT, not silently replace insert batch 0's
+    partials (the pre-r10 single-namespace corruption). Fold the
+    full log as insert batches 0/1, then fold the RF2 delete batch
+    as batch_id 0 of its own stream — the report must equal the
+    recompute over survivors, and a retry stays idempotent."""
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.operators import tpch
+    from spark_app_twitter_spark.sources.parquet import load_table
+    from spark_app_twitter_spark.streaming.q1serve import (
+        apply_q1_batch,
+        q1_report_from_partials,
+    )
+
+    path = f"{tmp_path}/q1_ns"
+    li = load_table(spark, sf_dir, "lineitem")
+    apply_q1_batch(li.where(F.col("l_orderkey") % 2 == 0), 0, path)
+    apply_q1_batch(li.where(F.col("l_orderkey") % 2 == 1), 1, path)
+    deleted = li.where(F.col("l_orderkey") % tpch.IVM_REFRESH_MOD == 0)
+    # same batch_id as insert batch 0 — previously clobbered it
+    apply_q1_batch(deleted, 0, path, sign=-1)
+    got = sorted(
+        tuple(r) for r in q1_report_from_partials(spark, path).collect()
+    )
+    want = sorted(
+        tuple(r) for r in tpch.q1_retraction(spark, sf_dir).collect()
+    )
+    assert got == want
+    apply_q1_batch(deleted, 0, path, sign=-1)
+    assert got == sorted(
+        tuple(r) for r in q1_report_from_partials(spark, path).collect()
+    )
+
+
+def test_scd2_late_observation_hits_audit_not_silent(spark, tmp_path):
+    """The r10 dead-letter contract: an observation OLDER than a
+    user's newest stored change is detected and logged to the
+    late-audit worklist (previously the merge silently produced
+    history differing from the batch rebuild). In-order users never
+    appear in the audit."""
+    import datetime as dt
+
+    from spark_app_twitter_spark.streaming.scd2serve import (
+        apply_scd2_batch,
+        scd2_late_audit,
+        scd2_table,
+    )
+
+    def ts(d):
+        return dt.datetime(2024, 1, d)
+
+    ddl = "user_id long, attr_k int, ts timestamp, event_id long"
+    path = f"{tmp_path}/scd2_late"
+    b0 = spark.createDataFrame(
+        [(1, 10, ts(1), 100), (1, 11, ts(5), 101), (2, 20, ts(2), 200)],
+        ddl,
+    )
+    apply_scd2_batch(b0, 0, path)
+    assert scd2_late_audit(spark, path).count() == 0
+
+    # user 1: ts(3) predates its stored change at ts(5) -> audited;
+    # user 2: in-order arrival -> not audited
+    b1 = spark.createDataFrame(
+        [(1, 12, ts(3), 102), (2, 21, ts(6), 201)], ddl
+    )
+    apply_scd2_batch(b1, 1, path)
+    audit = scd2_late_audit(spark, path)
+    assert [
+        (r.batch_id, r.user_id) for r in audit.collect()
+    ] == [(1, 1)]
+    # the merge still proceeded — the table is available and contains
+    # both users
+    assert scd2_table(spark, path).where("user_id = 2").count() >= 2
