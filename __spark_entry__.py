@@ -241,6 +241,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # vs the uncapped cell-probed variant (the probe/cap tuning
         # dial — ann_recall_audit's role for mining)
         "sim_bitext_recall_audit": similarity.bitext_recall_audit,
+        # r10: the probe dial's recall curve (VERDICT r9 item 7)
+        "sim_bitext_probe_sensitivity": similarity.bitext_probe_sensitivity,
         # --- 0. added in the round-7 continuation (never attested):
         # sparse BM25 retrieval, DSIR importance weights, margin-based
         # bitext mining, the training-shard manifest, BM25+dense RRF
@@ -696,6 +698,9 @@ def oracle_sql() -> dict[str, str]:
         "versioning_scd2": versioning.SCD2_USER_ATTR_SQL,
         "versioning_scd2_pit": versioning.SCD2_POINT_IN_TIME_SQL,
         "sim_bitext_recall_audit": similarity.BITEXT_RECALL_AUDIT_SQL,
+        "sim_bitext_probe_sensitivity": (
+            similarity.BITEXT_PROBE_SENSITIVITY_SQL
+        ),
         "retrieval_bm25": retrieval.BM25_RETRIEVE_SQL,
         "text_dsir_weights": textstats.DSIR_WEIGHTS_SQL,
         "sim_bitext_mining": similarity.BITEXT_MINING_CAPPED_SQL,

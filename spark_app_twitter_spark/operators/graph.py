@@ -533,7 +533,14 @@ def modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("comm_a").alias("community"))
         .agg(F.count(F.lit(1)).alias("intra_edges"))
     )
-    edges = _dup_edges(spark, sf_dir)
+    # degrees by symmetrizing the ALREADY-checkpointed pairs — not a
+    # second run of the minhash_lsh_pairs_capped chain through
+    # _dup_edges (the heaviest input relation; ADVICE r9)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )

@@ -3701,7 +3701,12 @@ def knn_graph_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     refined = _nn_descent_round(
         spark, sf_dir, seed_full.select("vec_id", "neighbor_id")
     )
-    micro = F.round(F.col("cos_sim") * F.lit(1e6), 0).cast("long")
+    # repo-standard integer-micro idiom: floor(x*1e6 + 0.5) on BOTH
+    # sides (cos_sim is pre-6dp-rounded so values are exact; floor is
+    # engine-identical where HALF_UP vs double-round could tie-split)
+    micro = F.floor(F.col("cos_sim") * F.lit(1e6) + F.lit(0.5)).cast(
+        "long"
+    )
     seed_sum = seed_full.groupBy("vec_id").agg(F.sum(micro).alias("sm"))
     ref_sum = refined.groupBy("vec_id").agg(F.sum(micro).alias("rm"))
     gains = (
@@ -3745,12 +3750,12 @@ seed AS MATERIALIZED (SELECT vec_id, neighbor_id FROM seed_full),
 {_nn_descent_chain_sql()},
 seed_sum AS (
   SELECT vec_id,
-         sum(CAST(round(cos_sim * 1e6, 0) AS BIGINT)) AS sm
+         sum(CAST(floor(cos_sim * 1e6 + 0.5) AS BIGINT)) AS sm
   FROM seed_full GROUP BY vec_id
 ),
 ref_sum AS (
   SELECT vec_id,
-         sum(CAST(round(cos_sim * 1e6, 0) AS BIGINT)) AS rm
+         sum(CAST(floor(cos_sim * 1e6 + 0.5) AS BIGINT)) AS rm
   FROM refined GROUP BY vec_id
 ),
 gains AS (
@@ -4122,3 +4127,148 @@ FROM counts
 
 
 BITEXT_RECALL_AUDIT_SQL = _bitext_recall_audit_sql()
+
+
+def bitext_probe_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_probe_budget, n_exact, n_reachable, recall): the
+    recall-vs-cost CURVE of the fixed-probe bitext dial — for every
+    probe budget p up to BITEXT_PROBES, the fraction of the
+    cell-probed exact variant's mined pairs whose TARGET cell the
+    source doc would reach probing only its p best fine cells.
+    bitext_recall_audit answers "is the default OK?"; this is the
+    tuning artifact that says what the next probe buys (the
+    ivf_probe_sensitivity role, for mining). Reachability isolates
+    the PROBE knob: BITEXT_CELL_CAP losses are the audit's
+    precision/recall row, not this curve.
+
+    Monotone in p by construction (a reachable cell stays reachable
+    at a larger budget) — pinned as a property test.
+
+    Scale note: the exact side replays the uncapped cell-probed
+    variant, so like the audit this is a sampled-cohort job at
+    scale, not a production path. The curve itself is |pairs| x
+    |budgets| bounded with the probe ranking's narrow
+    (query_id, cell, prk) exchange.
+    """
+    from spark_app_twitter_spark.operators.clustering import (
+        kmeans_cells_2level_assigned,
+    )
+
+    exact = bitext_mining_ivf(spark, sf_dir).select(
+        F.col("src_id").alias("query_id"), "tgt_id"
+    )
+    cand = (
+        kmeans_cells_2level_assigned(spark, sf_dir)
+        .where(F.col("vec_id") >= N_QUERIES)
+        .select(F.col("vec_id").alias("tgt_id"), "cell")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    langs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    q = (
+        emb.join(langs, "vec_id")
+        .where(F.col("lang") == "en")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+        )
+    )
+    probes = probe_rank(spark, sf_dir, q).select("query_id", "cell", "prk")
+    hits = exact.join(cand, "tgt_id").join(
+        probes, ["query_id", "cell"], "left_outer"
+    )
+    budgets = spark.range(1, BITEXT_PROBES + 1).select(
+        F.col("id").cast("int").alias("n_probe_budget")
+    )
+    return (
+        hits.crossJoin(F.broadcast(budgets))
+        .groupBy("n_probe_budget")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(
+                F.when(F.col("prk") <= F.col("n_probe_budget"), 1).otherwise(0)
+            ).cast("long").alias("n_reachable"),
+        )
+        .select(
+            "n_probe_budget",
+            "n_exact",
+            "n_reachable",
+            F.round(
+                F.col("n_reachable").cast("double")
+                / F.col("n_exact").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+def _bitext_probe_sensitivity_sql() -> str:
+    from spark_app_twitter_spark.operators.clustering import (
+        ITERS,
+        _centroid_score_sql,
+        kmeans_2level_assigned_cte,
+        kmeans_cells_2level_ctes,
+        levels_sql,
+    )
+
+    parts, _final = kmeans_cells_2level_ctes()
+    chain = ",\n".join(parts)
+    k1_sql, k2_sql = levels_sql()
+    p1_sql = (
+        f"greatest(1, CAST(ceil({k1_sql} / {PROBE_FRACTION}.0) AS INT))"
+    )
+    cand = kmeans_2level_assigned_cte(
+        "vec_id AS tgt_id, cell", where=f"m.vec_id >= {N_QUERIES}"
+    )
+    exact = BITEXT_MINING_IVF_SQL.strip()
+    return f"""
+WITH {chain},
+exact AS MATERIALIZED (
+  SELECT src_id AS query_id, tgt_id FROM ({exact})
+),
+cand AS ({cand}),
+q AS (
+  SELECT e.vec_id AS query_id, e.v AS qv FROM emb e
+  JOIN documents d ON e.vec_id = d.doc_id WHERE d.lang = 'en'
+),
+probe_coarse AS (
+  SELECT query_id, qv, coarse FROM (
+    SELECT q.query_id, q.qv, c.cell AS coarse,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_centroid_score_sql('q.qv', 'c.cv')} DESC,
+                                       c.cell ASC) AS crk
+    FROM q CROSS JOIN c{ITERS} c
+  ) WHERE crk <= {p1_sql}
+),
+probes AS (
+  SELECT pc.query_id,
+         CAST(pc.coarse * {k2_sql} + f.fine AS INT) AS cell,
+         row_number() OVER (PARTITION BY pc.query_id
+                            ORDER BY {_centroid_score_sql('pc.qv', 'f.fv')} DESC,
+                                     CAST(pc.coarse * {k2_sql} + f.fine AS INT) ASC) AS prk
+  FROM probe_coarse pc JOIN f{ITERS} f ON pc.coarse = f.coarse
+),
+hits AS (
+  SELECT e.query_id, p.prk
+  FROM exact e
+  JOIN cand c USING (tgt_id)
+  LEFT OUTER JOIN probes p
+    ON e.query_id = p.query_id AND c.cell = p.cell
+),
+budgets AS (
+  SELECT CAST(unnest(range(1, {BITEXT_PROBES} + 1)) AS INT)
+    AS n_probe_budget
+)
+SELECT b.n_probe_budget,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN h.prk <= b.n_probe_budget THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_reachable,
+       round(CAST(sum(CASE WHEN h.prk <= b.n_probe_budget THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM hits h CROSS JOIN budgets b
+GROUP BY b.n_probe_budget
+"""
+
+
+BITEXT_PROBE_SENSITIVITY_SQL = _bitext_probe_sensitivity_sql()

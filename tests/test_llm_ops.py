@@ -4682,3 +4682,26 @@ def test_bitext_recall_audit_consistent_with_direct_recount(spark, sf_dir):
     assert row.n_common == len(common)
     assert row.recall_bp == (10000 * len(common)) // len(exact)
     assert row.precision_bp == (10000 * len(common)) // len(capped)
+
+
+def test_bitext_probe_sensitivity_monotone_and_converges(spark, sf_dir):
+    """The r10 probe dial curve: recall is monotone non-decreasing
+    in the probe budget (a reachable target cell stays reachable at
+    a larger budget), n_exact is the same at every budget (the
+    denominator is the exact cell-probed variant's mined pairs), and
+    the curve is non-trivial on the fixtures (reaches > 0)."""
+    from spark_app_twitter_spark.operators import similarity
+
+    rows = sorted(
+        similarity.bitext_probe_sensitivity(spark, sf_dir).collect(),
+        key=lambda r: r.n_probe_budget,
+    )
+    assert [r.n_probe_budget for r in rows] == list(
+        range(1, similarity.BITEXT_PROBES + 1)
+    )
+    assert len({r.n_exact for r in rows}) == 1 and rows[0].n_exact > 0
+    prev = -1.0
+    for r in rows:
+        assert r.recall >= prev, "recall must be monotone in budget"
+        prev = r.recall
+    assert rows[-1].n_reachable > 0
