@@ -74,7 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     When editing, append new queries to the front section and demote
     whatever the previous round just re-attested. Since round 8 the
     window is stated EXPLICITLY as a _R{N}_WINDOW list (applied by
-    reordering the dict below at return time; round 9: _R9_WINDOW) —
+    reordering the dict below at return time; round 10: _R10_WINDOW) —
     the section comments document provenance, the list documents the
     contract.
 
@@ -450,7 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_lsh_multi": similarity.knn_lsh_multi,
         "multimodal_media_features": multimodal.media_features,
     }
-    ordered = {name: q.pop(name) for name in _R9_WINDOW}
+    ordered = {name: q.pop(name) for name in _R10_WINDOW}
     ordered.update(q)
     return ordered
 
@@ -538,6 +538,70 @@ _R9_WINDOW = (
     "text_ngram_diversity",
     "text_quality_rules",
     "text_redact",
+)
+
+
+# The round-10 driver verification window (VERDICT r9 item 4 + the
+# rotation contract in worklog/r10_plan.md), in priority order. After
+# this window runs, every registry entry's attestation is <= 5 rounds
+# old (the r04 backlog clears; next-oldest become the 13 remaining
+# r05 rows).
+_R10_WINDOW = (
+    # (a) never-attested: the round-10 registration
+    "sim_bitext_probe_sensitivity",
+    # (b) code or oracle changed in round 10 (distributed
+    # exact-ranking rewrites, micro-idiom, degree reuse)
+    "serving_rfm_scores",
+    "serving_power_users",
+    "text_zipf_fit",
+    "text_vocab_coverage",
+    "text_perplexity_buckets",
+    "sim_knn_graph_convergence",
+    "graph_modularity",
+    # (c) the 10 r04-attested rows displaced since r9
+    "multimodal_resize_images",
+    "multimodal_audio_chunks",
+    "serving_props_stats",
+    "serving_retention_cohorts",
+    "sim_kmeans_cells",
+    "text_weighted_sample",
+    "text_train_split",
+    "text_token_stats",
+    "text_token_counts",
+    "text_token_budget_sample",
+    # (d) oldest remaining attestations (r05), alphabetical
+    "agg_salted_event_totals",
+    "asof_purchases_last_click",
+    "layout_zorder_events",
+    "multimodal_media_features",
+    "pack_shuffle_export",
+    "range_clicks_near_errors",
+    "range_errors_near_purchases",
+    "serving_cube_value",
+    "serving_cumulative_daily",
+    "serving_hourly_gapfill",
+    "serving_latest_inputs",
+    "serving_session_paths",
+    "serving_session_window_stats",
+    "serving_sessionize",
+    "serving_signup_purchase_funnel",
+    "serving_unpivot_emotions",
+    "serving_value_anomalies",
+    "sim_embedding_near_dup",
+    "sim_knn_bruteforce",
+    "sim_knn_lsh",
+    "sim_knn_lsh_multi",
+    "sim_label_centroids",
+    "text_bpe_pair_counts",
+    "text_corpus_funnel",
+    "text_decontaminate",
+    "text_repetition_stats",
+    "text_sample_stratified",
+    "text_source_stats",
+    "text_tfidf_top_terms",
+    "tpch_promo_revenue_share",
+    "tpch_q11_important_parts",
+    "tpch_q16_supplier_part_stats",
 )
 
 

@@ -13,8 +13,11 @@ decomposition Spark already ships as `repartitionByRange`:
   2. A per-partition count/sum (B rows, collected — a bounded model
      artifact like a quantile sketch, corpus-size-independent) gives
      each partition's exact global offset.
-  3. A partition-LOCAL window (partitionBy the partition id) finishes
-     the exact global rank: offset + local row_number.
+  3. The partition-LOCAL position finishes the exact global rank:
+     offset + local position. For row ranks the local position is
+     map-side free (sortWithinPartitions + the documented
+     monotonically_increasing_id bit layout); running totals use a
+     partition-local window (partitionBy the partition id).
 
 The result is bit-identical to the global window (ranks are exact, so
 ntile buckets are exact) while every shuffle stays range-balanced.
@@ -77,6 +80,13 @@ def _offsets(
     ), total
 
 
+_MID = "_rrank_mid"
+_MID_MASK = (1 << 33) - 1  # monotonically_increasing_id: partition id
+# in the upper 31 bits, record offset within the partition in the
+# lower 33 (the documented layout) — so after sortWithinPartitions
+# the LOCAL rank is a pure projection, no window, no extra exchange
+
+
 def exact_global_rank(
     df: DataFrame,
     order_exprs: Sequence[Column],
@@ -85,14 +95,41 @@ def exact_global_rank(
 ) -> tuple[DataFrame, int]:
     """df + exact global row_number() over (ORDER BY order_exprs),
     plus the total row count (a build-time constant downstream
-    expressions may fold in). order_exprs must be tie-free."""
-    d = _range_partitioned(df, order_exprs, nbuckets)
-    off, total = _offsets(d, F.lit(1))
-    local = F.row_number().over(
-        Window.partitionBy(_PID).orderBy(*order_exprs)
+    expressions may fold in). order_exprs must be tie-free.
+
+    One range-balanced shuffle total: rows sort WITHIN partitions,
+    monotonically_increasing_id pins (partition, offset) per row
+    (nondeterministic expressions are execution-order-pinned above
+    the sort, and the checkpoint freezes them), and the bounded
+    offset map turns (partition, offset) into the exact global rank
+    map-side. Partitions are capped at 2^33 rows by the id layout —
+    8.6e9 rows per partition, far past any sane partitioning."""
+    if nbuckets is None:
+        nbuckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    d = (
+        df.repartitionByRange(nbuckets, *order_exprs)
+        .sortWithinPartitions(*order_exprs)
+        .withColumn(_MID, F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
     )
+    pid = F.shiftright(F.col(_MID), 33).cast("int")
+    rows = d.groupBy(pid.alias(_PID)).agg(
+        F.count(F.lit(1)).alias("w")
+    ).collect()
+    per_pid = {int(r[_PID]): int(r["w"]) for r in rows}
+    total, offs = 0, {}
+    for p in sorted(per_pid):
+        offs[p] = total
+        total += per_pid[p]
+    pairs: list[Column] = []
+    for p, off in (offs or {-1: 0}).items():
+        pairs.extend((F.lit(p), F.lit(off)))
+    off_col = F.coalesce(
+        F.element_at(F.create_map(*pairs), pid), F.lit(0)
+    )
+    local = F.col(_MID).bitwiseAND(F.lit(_MID_MASK)) + 1
     return (
-        d.withColumn(out, (off + local).cast("long")).drop(_PID),
+        d.withColumn(out, (off_col + local).cast("long")).drop(_MID),
         total,
     )
 

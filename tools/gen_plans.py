@@ -82,6 +82,9 @@ SHOWCASE = [
     ("sim_mmr_rerank", "brute shortlist then k-bounded fixed greedy: every post-shortlist stage touches <= M^2 rows/query"),
     ("multimodal_chunk_dedup", "binary chunk digests: digest-keyed buckets with DF cap, the exact-dedup discipline on blobs"),
     ("graph_kcore", "fixed peel rounds: per-round degree reduce + two semi-joins, lineage truncated to ONE live exchange"),
+    ("serving_rfm_scores", "r10 distributed exact ntile: three range-balanced shuffles + bounded offset maps + partition-local windows — NO single-partition WindowExec on the |users| aggregate"),
+    ("serving_power_users", "r10 distributed exact decile + broadcast triangular Lorenz cumulative: zero partition-less windows"),
+    ("text_zipf_fit", "top-N via TakeOrderedAndProject BEFORE ranking: the vocabulary never totally sorts"),
 ]
 
 

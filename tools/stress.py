@@ -257,8 +257,9 @@ STRESS_QUERIES = [
     # computation (no explode/filter depends on it) — measure with
     # SPARK_GRAFT_STRESS_NOOP=1 only
     "text_char_entropy",
-    # one purchase-filtered user_id reduce; ntile windows on the
-    # |users| aggregate only
+    # one purchase-filtered user_id reduce; r10: DISTRIBUTED exact
+    # ntile (3 range shuffles + bounded offsets, no single-partition
+    # window) on the |users| aggregate
     "serving_rfm_scores",
     # oriented path join over the capped O(n) edge relation; wedges
     # by degree formula — rides the lsh band shuffle
@@ -290,7 +291,8 @@ STRESS_QUERIES = [
     "sim_coreset_kcenter",
     # digest-keyed chunk buckets, DF-capped pair emission
     "multimodal_chunk_dedup",
-    # user-keyed reduce + ntile on the |users| aggregate (noop: the
+    # user-keyed reduce + r10 distributed exact decile (range
+    # shuffle + bounded offsets) on the |users| aggregate (noop: the
     # 10-row final is count-prunable)
     "serving_power_users",
     # fixed peel rounds: per-round degree reduce + two semi-joins on
