@@ -38,6 +38,7 @@ from spark_app_twitter_spark.operators.tpch import (
 from spark_app_twitter_spark.streaming.statestore import (
     publish_state,
     read_state,
+    state_lock,
 )
 
 _PARTIAL_DDL = (
@@ -99,16 +100,23 @@ def apply_q1_batch(
         (F.col("sdisc") * sgn).cast("decimal(38,2)").alias("sdisc"),
         (F.col("cnt") * F.lit(sign)).cast("long").alias("cnt"),
     )
-    stored = read_state(spark, path, _PARTIAL_DDL)
-    merged = delta if stored is None else (
-        stored.where(
-            ~((F.col("stream") == sid) & (F.col("batch_id") == batch_id))
-        ).unionByName(delta)
-    )
-    # read (old snapshot) and write (new snapshot) are different
-    # directories, so the merge plan streams directly — no
-    # localCheckpoint, nothing pinned in block-manager memory
-    publish_state(merged, path)
+    # the lock serializes concurrent writers (the insert and delete
+    # streams sharing this path) across the whole read-merge-publish
+    # — without it interleaved batches lose updates
+    with state_lock(path):
+        stored = read_state(spark, path, _PARTIAL_DDL)
+        merged = delta if stored is None else (
+            stored.where(
+                ~(
+                    (F.col("stream") == sid)
+                    & (F.col("batch_id") == batch_id)
+                )
+            ).unionByName(delta)
+        )
+        # read (old snapshot) and write (new snapshot) are different
+        # directories, so the merge plan streams directly — no
+        # localCheckpoint, nothing pinned in block-manager memory
+        publish_state(merged, path)
 
 
 def q1_report_from_partials(spark, path: str) -> DataFrame:

@@ -26,6 +26,7 @@ from spark_app_twitter_spark.sources.parquet import load_table
 from spark_app_twitter_spark.streaming.statestore import (
     publish_state,
     read_state,
+    state_lock,
 )
 
 _Q3_PARTIAL_DDL = (
@@ -98,13 +99,19 @@ def apply_q3_batch(
         (F.col("rev") * sgn).cast("decimal(38,4)").alias("rev"),
         (F.col("cnt") * F.lit(sign)).cast("long").alias("cnt"),
     )
-    stored = read_state(spark, path, _Q3_PARTIAL_DDL)
-    merged = delta if stored is None else (
-        stored.where(
-            ~((F.col("stream") == sid) & (F.col("batch_id") == batch_id))
-        ).unionByName(delta)
-    )
-    publish_state(merged, path)
+    # writer lock: the insert and delete streams share this path —
+    # serialize their read-merge-publish (q1serve discipline)
+    with state_lock(path):
+        stored = read_state(spark, path, _Q3_PARTIAL_DDL)
+        merged = delta if stored is None else (
+            stored.where(
+                ~(
+                    (F.col("stream") == sid)
+                    & (F.col("batch_id") == batch_id)
+                )
+            ).unionByName(delta)
+        )
+        publish_state(merged, path)
 
 
 def q3_report_from_partials(spark: SparkSession, path: str) -> DataFrame:

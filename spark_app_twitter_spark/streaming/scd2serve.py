@@ -41,6 +41,7 @@ from spark_app_twitter_spark.operators.versioning import (
 from spark_app_twitter_spark.streaming.statestore import (
     publish_state,
     read_state,
+    state_lock,
 )
 
 _HIST_DDL = (
@@ -59,6 +60,11 @@ def apply_scd2_batch(batch: DataFrame, batch_id: int, path: str) -> None:
     obs = batch.select(
         "user_id", "attr_k", "ts", "event_id"
     ).dropDuplicates(["user_id", "event_id"])
+    with state_lock(path):
+        _apply_scd2_locked(spark, obs, batch_id, path)
+
+
+def _apply_scd2_locked(spark, obs: DataFrame, batch_id: int, path: str):
     stored = read_state(spark, path, _HIST_DDL)
     if stored is None:
         out = scd2_from_observations(obs)

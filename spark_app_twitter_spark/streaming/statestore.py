@@ -26,19 +26,44 @@ an object-store deployment swaps `publish_state` for a manifest
 commit (Delta/Iceberg-style) — the maintainer code is unchanged
 because both expose read-snapshot / publish-snapshot.
 
-Single-writer per path (one streaming query owns its state dir —
-the same assumption Structured Streaming's own checkpoint makes).
+Writers serialize through :func:`state_lock` — an exclusive advisory
+flock held across the whole read-merge-publish of a foreachBatch
+body. Without it, two streams sharing one state path (the q1serve
+insert + RF2 delete pair) race their read-modify-write and one
+stream's merge silently drops the other's delta (lost update); with
+it, interleaved batches linearize. flock gives exclusion between
+processes AND between driver threads (each call opens its own file
+description). An object-store deployment swaps the lock + pointer
+pair for a transactional manifest commit.
 """
 
 from __future__ import annotations
 
+import fcntl
 import os
 import shutil
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
 _POINTER = "LATEST"
 _KEEP = 2  # live snapshot + previous (in-flight readers, crash debris)
+
+
+@contextmanager
+def state_lock(path: str):
+    """Exclusive writer lock for one state path. Hold it across the
+    ENTIRE read-merge-publish (the merge plan executes inside
+    publish_state, so materialization happens under the lock). A
+    crash while holding it releases the flock automatically."""
+    os.makedirs(path, exist_ok=True)
+    lf = open(os.path.join(path, ".lock"), "w")
+    try:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(lf, fcntl.LOCK_UN)
+        lf.close()
 
 
 def _current_version(path: str) -> int:

@@ -2157,3 +2157,44 @@ def test_scd2_late_observation_hits_audit_not_silent(spark, tmp_path):
     # the merge still proceeded — the table is available and contains
     # both users
     assert scd2_table(spark, path).where("user_id = 2").count() >= 2
+
+
+def test_statestore_lock_serializes_concurrent_writers(spark, tmp_path):
+    """Two writers sharing one state path (the insert + RF2 delete
+    stream pair) must linearize their read-merge-publish: without
+    the lock, interleaved read-modify-writes lose updates. Two
+    threads each fold 10 single-row increments into a shared counter
+    state — every increment must survive."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.streaming import statestore
+
+    path = f"{tmp_path}/ctr"
+    ddl = "k long, v long"
+    errors = []
+
+    def worker():
+        try:
+            for _ in range(10):
+                with statestore.state_lock(path):
+                    cur = statestore.read_state(spark, path, ddl)
+                    if cur is None:
+                        nxt = spark.createDataFrame([(0, 1)], ddl)
+                    else:
+                        nxt = cur.groupBy("k").agg(
+                            (F.sum("v") + F.lit(1)).alias("v")
+                        ).select("k", "v")
+                    statestore.publish_state(nxt, path)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    ts = [threading.Thread(target=worker) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors, errors
+    final = statestore.read_state(spark, path, ddl).collect()
+    assert [tuple(r) for r in final] == [(0, 20)]
