@@ -108,3 +108,53 @@ def publish_state(df: DataFrame, path: str) -> None:
                     shutil.rmtree(os.path.join(path, name), ignore_errors=True)
             except (ValueError, IndexError):
                 continue
+
+
+RESERVED_STREAM = "_compacted"  # real streams must not use this id
+
+
+def compact_partials(
+    spark: SparkSession,
+    path: str,
+    ddl: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    min_live_batch: int,
+) -> None:
+    """Fold per-(stream, batch_id) partial rows into one compacted
+    row per group — the associativity the maintainers' docstrings
+    promise — WITHOUT breaking replay idempotency.
+
+    The exactly-once contract replaces a replayed batch's rows by
+    (stream, batch_id); folding a batch that might still be replayed
+    would double-count it (the replacement filter finds nothing to
+    remove, then adds the batch again). So only batches STRICTLY
+    BELOW ``min_live_batch`` fold — the caller passes its replay
+    horizon (the streaming checkpoint's committed batch id; batches
+    below it are never redelivered). Compacted mass lives under the
+    RESERVED_STREAM sentinel with batch_id = -1, which (a) no real
+    replacement key ever matches and (b) re-folds into later
+    compactions (-1 < any horizon). Runs under the writer lock;
+    state equality before/after is pinned in tests.
+    """
+    with state_lock(path):
+        stored = read_state(spark, path, ddl)
+        if stored is None:
+            return
+        from pyspark.sql import functions as F
+
+        old = stored.where(F.col("batch_id") < min_live_batch)
+        keep = stored.where(~(F.col("batch_id") < min_live_batch))
+        types = {f.name: f.dataType for f in stored.schema.fields}
+        folded = old.groupBy(*group_cols).agg(
+            *[
+                F.sum(c).cast(types[c]).alias(c)
+                for c in sum_cols
+            ]
+        ).select(
+            F.lit(RESERVED_STREAM).alias("stream"),
+            F.lit(-1).cast("long").alias("batch_id"),
+            *group_cols,
+            *sum_cols,
+        )
+        publish_state(keep.unionByName(folded), path)

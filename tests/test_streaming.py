@@ -2198,3 +2198,68 @@ def test_statestore_lock_serializes_concurrent_writers(spark, tmp_path):
     assert not errors, errors
     final = statestore.read_state(spark, path, ddl).collect()
     assert [tuple(r) for r in final] == [(0, 20)]
+
+
+def test_q1_state_compaction_preserves_report_and_replay(
+    spark, sf_dir, tmp_path
+):
+    """Replay-safe compaction: folding batches below the replay
+    horizon (a) leaves the Q1 report bit-identical, (b) shrinks the
+    state, and (c) keeps a LIVE batch's replay idempotent. A replay
+    of a batch >= the horizon still replaces its own rows — the
+    (stream, batch_id) key survives compaction for live batches."""
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.streaming import q1serve, statestore
+
+    path = f"{tmp_path}/q1_compact"
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    batches = [li.where(F.col("l_orderkey") % 3 == i) for i in range(3)]
+    for i, b in enumerate(batches):
+        q1serve.apply_q1_batch(b, i, path)
+    before = sorted(
+        tuple(r)
+        for r in q1serve.q1_report_from_partials(spark, path).collect()
+    )
+    n_rows_before = statestore.read_state(
+        spark, path, q1serve._PARTIAL_DDL
+    ).count()
+
+    # horizon 2: batches 0 and 1 are committed, batch 2 may replay
+    statestore.compact_partials(
+        spark,
+        path,
+        q1serve._PARTIAL_DDL,
+        ["l_returnflag", "l_linestatus"],
+        ["sq", "sbp", "sdp", "sch", "sdisc", "cnt"],
+        min_live_batch=2,
+    )
+    after_state = statestore.read_state(spark, path, q1serve._PARTIAL_DDL)
+    assert after_state.count() < n_rows_before
+    assert sorted(
+        tuple(r)
+        for r in q1serve.q1_report_from_partials(spark, path).collect()
+    ) == before
+
+    # live-batch replay still exactly-once after compaction
+    q1serve.apply_q1_batch(batches[2], 2, path)
+    assert sorted(
+        tuple(r)
+        for r in q1serve.q1_report_from_partials(spark, path).collect()
+    ) == before
+
+    # a second compaction re-folds the sentinel row (-1 < horizon)
+    statestore.compact_partials(
+        spark,
+        path,
+        q1serve._PARTIAL_DDL,
+        ["l_returnflag", "l_linestatus"],
+        ["sq", "sbp", "sdp", "sch", "sdisc", "cnt"],
+        min_live_batch=3,
+    )
+    assert sorted(
+        tuple(r)
+        for r in q1serve.q1_report_from_partials(spark, path).collect()
+    ) == before
