@@ -443,6 +443,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_top_terms": textstats.tfidf_top_terms,
         "text_repetition_stats": textstats.repetition_stats,
         "text_decontaminate": textstats.decontaminate,
+        # r10: embedding-similarity contamination screen (the
+        # paraphrase-robust complement of the n-gram gate)
+        "text_decontaminate_semantic": semdedup.decontaminate_semantic,
         "sim_knn_bruteforce": similarity.knn_bruteforce,
         "sim_knn_lsh": similarity.knn_lsh,
         "sim_embedding_near_dup": similarity.embedding_near_dup,
@@ -547,8 +550,9 @@ _R9_WINDOW = (
 # old (the r04 backlog clears; next-oldest become the 13 remaining
 # r05 rows).
 _R10_WINDOW = (
-    # (a) never-attested: the round-10 registration
+    # (a) never-attested: the round-10 registrations
     "sim_bitext_probe_sensitivity",
+    "text_decontaminate_semantic",
     # (b) code or oracle changed in round 10 (distributed
     # exact-ranking rewrites, micro-idiom, degree reuse)
     "serving_rfm_scores",
@@ -601,7 +605,6 @@ _R10_WINDOW = (
     "text_tfidf_top_terms",
     "tpch_promo_revenue_share",
     "tpch_q11_important_parts",
-    "tpch_q16_supplier_part_stats",
 )
 
 
@@ -858,6 +861,9 @@ def oracle_sql() -> dict[str, str]:
         "text_tfidf_top_terms": textstats.TFIDF_TOP_TERMS_SQL,
         "text_repetition_stats": textstats.REPETITION_STATS_SQL,
         "text_decontaminate": textstats.DECONTAMINATE_SQL,
+        "text_decontaminate_semantic": (
+            semdedup.DECONTAMINATE_SEMANTIC_SQL
+        ),
         "tpch_q7_volume_shipping": tpch.Q7_SQL,
         "tpch_q8_market_share": tpch.Q8_SQL,
         "tpch_q9_product_profit": tpch.Q9_SQL,

@@ -218,6 +218,148 @@ FROM assigned LEFT OUTER JOIN dups ON assigned.vec_id = dup_id
 
 SEMDEDUP_2LEVEL_SQL = _semdedup_2level_sql()
 
+
+# ---------------------------------------------------------------------------
+# Semantic benchmark decontamination: the embedding-similarity
+# complement of textstats.decontaminate's n-gram collision check
+# (modern pipelines run BOTH — paraphrased eval items share no
+# n-grams but sit next to the eval doc in embedding space). Same
+# held-out split as the n-gram gate (doc_id % DECON_BENCH_MOD ==
+# DECON_BENCH_REM, one definition of "the benchmark"), same capped
+# intra-cell discipline as semdedup (benchmark members per cell
+# capped at SEM_CANDIDATE_CAP lowest-id — the linear-bound trade,
+# documented recall seam at extreme per-cell benchmark density).
+SEMDECON_THRESHOLD = 0.30  # deliberately LOOSER than the dedup
+# threshold: a contamination screen prefers recall (flag-and-review)
+# over the dedup gate's precision — the same reason n-gram decon
+# uses small n. Synthetic near-orthogonal embeddings put background
+# similarity ~0; real corpora tune ~0.90-0.95.
+
+
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bench_hits, max_sim, bench_id): training docs whose
+    embedding sits within SEMDECON_THRESHOLD cosine of a held-out
+    benchmark doc sharing their fine cell — per contaminated doc, the
+    number of (capped) benchmark neighbours over threshold, the best
+    similarity (6dp), and the best-matching benchmark id (ties break
+    on the LOWEST bench id).
+
+    Scale shape: rides the shared two-level assignment (shuffle-free
+    inline scoring against driver-held centroids); the bench×train
+    pair stage is a cell-keyed equi-join with the bench side capped
+    per cell — Σ min(|bench∩cell|, CAP)·|cell| <= n·CAP, the
+    semdedup bound. The rollup is doc_id-keyed.
+    """
+    from spark_app_twitter_spark.operators.clustering import (
+        kmeans_cells_2level_assigned,
+    )
+    from spark_app_twitter_spark.operators.textstats import (
+        DECON_BENCH_MOD,
+        DECON_BENCH_REM,
+    )
+
+    assigned = (
+        kmeans_cells_2level_assigned(spark, sf_dir)
+        .select("vec_id", "v", "cell")
+        .localCheckpoint(eager=True)  # feeds both join sides
+    )
+    is_b = (F.col("vec_id") % DECON_BENCH_MOD) == DECON_BENCH_REM
+    from pyspark.sql import Window
+
+    brank = F.row_number().over(
+        Window.partitionBy("cell").orderBy(F.asc("vec_id"))
+    )
+    bench = (
+        assigned.where(is_b)
+        .withColumn("brank", brank)
+        .where(F.col("brank") <= SEM_CANDIDATE_CAP)
+        .select(
+            F.col("vec_id").alias("bench_id"), F.col("v").alias("bv"), "cell"
+        )
+    )
+    train = assigned.where(~is_b).select(
+        F.col("vec_id").alias("doc_id"), F.col("v").alias("tv"), "cell"
+    )
+    hits = (
+        train.join(bench, "cell")
+        .withColumn(
+            "cos_sim", F.round(cosine(F.col("tv"), F.col("bv")), 6)
+        )
+        .where(F.col("cos_sim") > SEMDECON_THRESHOLD)
+    )
+    # argmax(bench_id tie-break: lowest id) as a struct max — one
+    # aggregation, no second window pass
+    best = F.max(
+        F.struct(
+            F.col("cos_sim").alias("s"),
+            (-F.col("bench_id")).alias("nb"),
+        )
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bench_hits"),
+            best.alias("m"),
+        )
+        .select(
+            "doc_id",
+            "n_bench_hits",
+            F.col("m.s").alias("max_sim"),
+            (-F.col("m.nb")).cast("bigint").alias("bench_id"),
+        )
+    )
+
+
+def _decontaminate_semantic_sql() -> str:
+    from spark_app_twitter_spark.operators.clustering import (
+        kmeans_cells_2level_ctes,
+    )
+    from spark_app_twitter_spark.operators.textstats import (
+        DECON_BENCH_MOD,
+        DECON_BENCH_REM,
+    )
+
+    parts, final = kmeans_cells_2level_ctes()
+    chain = ",\n".join(parts)
+    return f"""
+WITH {chain},
+cells2 AS ({final}),
+assigned AS (
+  SELECT c.vec_id, e.v, c.cell FROM cells2 c JOIN emb e USING (vec_id)
+),
+bench AS (
+  SELECT vec_id AS bench_id, v AS bv, cell
+  FROM (SELECT vec_id, v, cell, row_number() OVER (
+          PARTITION BY cell ORDER BY vec_id ASC) AS brank
+        FROM assigned
+        WHERE vec_id % {DECON_BENCH_MOD} = {DECON_BENCH_REM})
+  WHERE brank <= {SEM_CANDIDATE_CAP}
+),
+train AS (
+  SELECT vec_id AS doc_id, v AS tv, cell FROM assigned
+  WHERE vec_id % {DECON_BENCH_MOD} <> {DECON_BENCH_REM}
+),
+hits AS (
+  SELECT doc_id, bench_id,
+         round({cosine_sql('tv', 'bv')}, 6) AS cos_sim
+  FROM train t JOIN bench b USING (cell)
+  WHERE round({cosine_sql('tv', 'bv')}, 6) > {SEMDECON_THRESHOLD}
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
+         max(cos_sim) AS max_sim
+  FROM hits GROUP BY doc_id
+)
+SELECT a.doc_id, a.n_bench_hits, a.max_sim,
+       CAST(min(h.bench_id) AS BIGINT) AS bench_id
+FROM agg a JOIN hits h
+  ON h.doc_id = a.doc_id AND h.cos_sim = a.max_sim
+GROUP BY a.doc_id, a.n_bench_hits, a.max_sim
+"""
+
+
+DECONTAMINATE_SEMANTIC_SQL = _decontaminate_semantic_sql()
+
 # The registered default (VERDICT r06 item 4): `sem_dedup` IS the
 # two-level path; the flat trainer stays available as the explicit
 # small-n variant `sem_dedup_flat`. The aliases keep every historic
@@ -235,6 +377,9 @@ __all__ = [
     "SEMDEDUP_FLAT_SQL",
     "semdedup_2level",
     "SEMDEDUP_2LEVEL_SQL",
+    "decontaminate_semantic",
+    "DECONTAMINATE_SEMANTIC_SQL",
+    "SEMDECON_THRESHOLD",
     "SEM_DUP_THRESHOLD",
     "SEM_CANDIDATE_CAP",
     "K_CELLS",

@@ -4705,3 +4705,70 @@ def test_bitext_probe_sensitivity_monotone_and_converges(spark, sf_dir):
         assert r.recall >= prev, "recall must be monotone in budget"
         prev = r.recall
     assert rows[-1].n_reachable > 0
+
+
+def test_semantic_decontamination_planted_paraphrase(spark, tmp_path):
+    """A training embedding planted NEAR a benchmark doc's embedding
+    (paraphrase analogue: no shared n-grams needed) is flagged with
+    the right best-match id and similarity; orthogonal training docs
+    are not. Exercises the cell co-location + threshold + argmax
+    tie-break end to end on a controlled fixture."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_app_twitter_spark.operators.semdedup import (
+        SEMDECON_THRESHOLD,
+        decontaminate_semantic,
+    )
+    from spark_app_twitter_spark.operators.textstats import (
+        DECON_BENCH_MOD,
+        DECON_BENCH_REM,
+    )
+
+    d = 8
+    bench_id = DECON_BENCH_REM  # 7 % 50 == 7 -> benchmark member
+    base = [1.0] + [0.0] * (d - 1)
+    near = [0.98, 0.199] + [0.0] * (d - 2)  # cosine ~0.98 with base
+    vecs = {}
+    # orthogonal background training docs on distinct axes
+    for i in range(6):
+        v = [0.0] * d
+        v[i + 2] = 1.0
+        vecs[i] = v
+    vecs[bench_id] = base  # the benchmark doc
+    vecs[20] = near  # planted contaminated training doc
+    ids = sorted(vecs)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [[float(x) for x in vecs[i]] for i in ids],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        ),
+        f"{tmp_path}/embeddings.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": [f"doc {i}" for i in ids],
+                "lang": ["en"] * len(ids),
+                "source": ["synthetic"] * len(ids),
+                "n_chars": pa.array([5] * len(ids), pa.int64()),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    rows = {
+        r.doc_id: r
+        for r in decontaminate_semantic(spark, str(tmp_path)).collect()
+    }
+    assert 20 in rows, "planted near-duplicate must be flagged"
+    hit = rows[20]
+    assert hit.bench_id == bench_id
+    assert hit.max_sim > SEMDECON_THRESHOLD
+    # orthogonal docs (cosine 0 with everything) never flag
+    assert all(i not in rows for i in range(6))

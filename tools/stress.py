@@ -118,6 +118,9 @@ STRESS_QUERIES = [
     # its 65.5x-at-100x trajectory is the documented reason it was
     # demoted, so only re-measure it at small multiples)
     "sem_dedup_flat",
+    # r10: embedding contamination screen — the semdedup bound
+    # (bench side capped per cell; cell-keyed equi-join)
+    "text_decontaminate_semantic",
     # round 7: IVF+int8 serving composition (candidate-bounded +
     # RERANK_M-bounded float math), contrastive pair mining (its
     # registered stage 1 is the EXACT sampled-cohort top-k, so the
