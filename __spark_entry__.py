@@ -512,6 +512,9 @@ _R9_WINDOW = (
     "sim_bitext_mining_exact_cells",
     "sim_knn_graph_convergence",
     "graph_modularity",
+    "serving_topic_share",
+    "serving_topic_means",
+    "pack_curriculum_shards",
     "versioning_scd2",
     "versioning_scd2_pit",
     "sim_bitext_recall_audit",
@@ -547,14 +550,15 @@ _R9_WINDOW = (
 # The round-10 driver verification window (VERDICT r9 item 4 + the
 # rotation contract in worklog/r10_plan.md), in priority order. After
 # this window runs, every registry entry's attestation is <= 5 rounds
-# old (the r04 backlog clears; next-oldest become the 13 remaining
-# r05 rows).
+# old (the r04 backlog clears; next-oldest become the 17 remaining
+# r05 rows — see worklog/r11_plan.md).
 _R10_WINDOW = (
     # (a) never-attested: the round-10 registrations
     "sim_bitext_probe_sensitivity",
     "text_decontaminate_semantic",
     # (b) code or oracle changed in round 10 (distributed
-    # exact-ranking rewrites, micro-idiom, degree reuse)
+    # exact-ranking rewrites, micro-idiom, degree reuse, the three
+    # window-free lint-shrink rewrites)
     "serving_rfm_scores",
     "serving_power_users",
     "text_zipf_fit",
@@ -562,6 +566,9 @@ _R10_WINDOW = (
     "text_perplexity_buckets",
     "sim_knn_graph_convergence",
     "graph_modularity",
+    "serving_topic_share",
+    "serving_topic_means",
+    "pack_curriculum_shards",
     # (c) the 10 r04-attested rows displaced since r9
     "multimodal_resize_images",
     "multimodal_audio_chunks",
@@ -602,9 +609,6 @@ _R10_WINDOW = (
     "text_repetition_stats",
     "text_sample_stratified",
     "text_source_stats",
-    "text_tfidf_top_terms",
-    "tpch_promo_revenue_share",
-    "tpch_q11_important_parts",
 )
 
 

@@ -405,13 +405,29 @@ def curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mean_quality_micro"
             ),
         )
+        .localCheckpoint(eager=True)  # 16 rows feed both rank sides
     )
-    w = Window.orderBy(F.desc("mean_quality_micro"), F.asc("shard"))
-    return per_shard.select(
-        "shard",
-        "n_docs",
-        "mean_quality_micro",
-        F.row_number().over(w).alias("curriculum_pos"),
+    # rank via broadcast triangular self-join over the 16-row shard
+    # relation (r10: window-free — the GWIN! lint carries no
+    # allowlist entry; the power_users Lorenz idiom)
+    earlier = per_shard.select(
+        F.col("shard").alias("s2"),
+        F.col("mean_quality_micro").alias("m2"),
+    )
+    before = (
+        F.col("m2") > F.col("mean_quality_micro")
+    ) | (
+        (F.col("m2") == F.col("mean_quality_micro"))
+        & (F.col("s2") < F.col("shard"))
+    )
+    return (
+        per_shard.join(F.broadcast(earlier), before, "left")
+        .groupBy("shard", "n_docs", "mean_quality_micro")
+        .agg(
+            (F.count(F.col("s2")) + 1)
+            .cast("int")
+            .alias("curriculum_pos")
+        )
     )
 
 

@@ -99,22 +99,26 @@ wide AS (
 def topic_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7/P13: per-topic counts and share-of-total.
 
-    The pandas ``counts / counts.sum()`` percent-of-total becomes a
-    window aggregate **over the pre-aggregated** frame (|topics|
-    rows), so the unpartitioned window is harmless at any scale —
-    never apply it to the raw table.
+    The pandas ``counts / counts.sum()`` percent-of-total runs on the
+    pre-aggregated |topics| frame; the total is a 1-row broadcast
+    cross join (r10: window-free — never an ``over ()`` even on the
+    bounded frame, so the GWIN! lint needs no allowlist entry), and
+    never applies to the raw table.
     """
     ev = load_table(spark, sf_dir, "events")
     counts = ev.groupBy(F.col("event_type").alias("topic")).agg(
         F.count(F.lit(1)).alias("counts")
-    )
-    total = Window.partitionBy()
-    return counts.select(
-        "topic",
-        "counts",
-        F.round(
-            F.col("counts").cast("double") / F.sum("counts").over(total), 6
-        ).alias("share"),
+    ).localCheckpoint(eager=True)  # two consumers: total + projection
+    total = counts.agg(F.sum("counts").alias("tot"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "topic",
+            "counts",
+            F.round(
+                F.col("counts").cast("double") / F.col("tot"), 6
+            ).alias("share"),
+        )
     )
 
 
@@ -265,24 +269,26 @@ GROUP BY 1, 2
 
 def topic_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5+A6: per-topic mean value plus the grand mean across topics
-    (the dashboard's red rule line) — one pass, the grand mean as a
-    window over the pre-aggregated frame (|topics| rows), not a
-    second scan.
+    (the dashboard's red rule line) — ONE corpus pass (the |topics|
+    aggregate is checkpointed and feeds both the 1-row grand total,
+    broadcast back, and the per-topic projection; r10: window-free,
+    no GWIN! allowlist entry needed).
     """
     ev = load_table(spark, sf_dir, "events")
     per_topic = ev.groupBy(F.col("event_type").alias("topic")).agg(
         F.sum(F.col("value").cast(_VAL_DEC)).alias("sum_dec"),
         F.count(F.lit(1)).alias("n"),
+    ).localCheckpoint(eager=True)  # two consumers: totals + projection
+    totals = per_topic.agg(
+        F.sum("sum_dec").alias("gs"), F.sum("n").alias("gn")
     )
-    total = Window.partitionBy()
-    return per_topic.select(
+    return per_topic.crossJoin(F.broadcast(totals)).select(
         "topic",
         F.round(F.col("sum_dec").cast("double") / F.col("n"), 6).alias(
             "avg_value"
         ),
         F.round(
-            F.sum("sum_dec").over(total).cast("double")
-            / F.sum("n").over(total),
+            F.col("gs").cast("double") / F.col("gn"),
             6,
         ).alias("grand_avg"),
     )
