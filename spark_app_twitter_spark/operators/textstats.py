@@ -578,6 +578,25 @@ DECON_BENCH_MOD = 50  # doc_id % MOD == REM selects the held-out benchmark
 DECON_BENCH_REM = 7
 
 
+def doc_ngrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, g): each doc's DISTINCT word DECON_NGRAMs — the ONE
+    candidate-gram definition shared by the n-gram gate, the bloom
+    gate, and the streaming admission monitor (the pii_group_counts
+    discipline: batch report and stream can never disagree)."""
+    toks_df = docs.select("doc_id", tokens("text").alias("w"))
+    grams = F.when(
+        F.size("w") < DECON_NGRAM, F.array().cast("array<string>")
+    ).otherwise(
+        F.expr(
+            f"transform(sequence(1, size(w) - {DECON_NGRAM - 1}),"
+            f" i -> array_join(slice(w, i, {DECON_NGRAM}), ' '))"
+        )
+    )
+    return toks_df.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("g")
+    )
+
+
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs sharing any word
     n-gram with a held-out benchmark set (the public GPT-3 appendix-C
@@ -591,21 +610,7 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark grams it shares.
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    # token array as a column (not split() inside the lambda): the
-    # lambda-invariant reference is evaluated once per row, not once
-    # per gram index
-    toks_df = docs.select("doc_id", tokens("text").alias("w"))
-    grams = F.when(
-        F.size("w") < DECON_NGRAM, F.array().cast("array<string>")
-    ).otherwise(
-        F.expr(
-            f"transform(sequence(1, size(w) - {DECON_NGRAM - 1}),"
-            f" i -> array_join(slice(w, i, {DECON_NGRAM}), ' '))"
-        )
-    )
-    per_doc = toks_df.select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("g")
-    )
+    per_doc = doc_ngrams(docs)
     is_bench = (F.col("doc_id") % DECON_BENCH_MOD) == DECON_BENCH_REM
     bench = per_doc.where(is_bench).select("g").distinct()
     return (
@@ -652,21 +657,19 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin replays all of it bit-for-bit.
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    toks_df = docs.select("doc_id", tokens("text").alias("w"))
-    grams = F.when(
-        F.size("w") < DECON_NGRAM, F.array().cast("array<string>")
-    ).otherwise(
-        F.expr(
-            f"transform(sequence(1, size(w) - {DECON_NGRAM - 1}),"
-            f" i -> array_join(slice(w, i, {DECON_NGRAM}), ' '))"
-        )
-    )
-    per_doc = toks_df.select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("g")
-    )
+    per_doc = doc_ngrams(docs)
     is_bench = (F.col("doc_id") % DECON_BENCH_MOD) == DECON_BENCH_REM
     bench = per_doc.where(is_bench).select("g").distinct()
-    bench_words = (
+    bench_words = bloom_words_frame(bench)
+    return bloom_gate(per_doc.where(~is_bench), bench, bench_words)
+
+
+def bloom_words_frame(bench: DataFrame) -> DataFrame:
+    """(idx, bits): the ~8 KiB bloom bit table over the benchmark
+    grams — distributed bit_or build, <= 2^11 word rows. Static for
+    a published benchmark: build once, checkpoint, reuse per
+    micro-batch in the streaming gate."""
+    return (
         bench.select(
             F.explode(_bloom_positions_spark(F.col("g"))).alias("pos")
         )
@@ -678,7 +681,17 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("idx")
         .agg(F.bit_or("m").alias("bits"))
     )
-    probe = per_doc.where(~is_bench).select(
+
+
+def bloom_gate(
+    per_doc: DataFrame, bench: DataFrame, bench_words: DataFrame
+) -> DataFrame:
+    """(doc_id, n_candidates, n_hit_grams) over any (doc_id, g) gram
+    frame: bloom prefilter (broadcast bit table) then exact verify of
+    the survivors against the broadcast gram set — the ONE gate
+    definition shared by the batch report and the streaming
+    admission monitor."""
+    probe = per_doc.select(
         "doc_id",
         "g",
         F.explode(_bloom_positions_spark(F.col("g"))).alias("pos"),

@@ -2263,3 +2263,64 @@ def test_q1_state_compaction_preserves_report_and_replay(
         tuple(r)
         for r in q1serve.q1_report_from_partials(spark, path).collect()
     ) == before
+
+
+def test_decon_admission_gate_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming decontamination admission gate quarantines
+    EXACTLY the docs the batch bloom report flags (n_hit_grams > 0),
+    with identical audit columns (one shared bloom_gate definition),
+    admits the rest, and partitions both sinks by batch id. Fed the
+    non-benchmark corpus in two micro-batches."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.operators import textstats
+    from spark_app_twitter_spark.streaming import deconmonitor
+
+    want = {
+        (r.doc_id, r.n_candidates, r.n_hit_grams)
+        for r in textstats.decontaminate_bloom(spark, sf_dir)
+        .where(F.col("n_hit_grams") > 0)
+        .collect()
+    }
+    assert want, "fixture must plant contaminated docs"
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(
+            F.col("doc_id") % textstats.DECON_BENCH_MOD
+            != textstats.DECON_BENCH_REM
+        )
+        .select("doc_id", "text")
+    )
+    n_train = docs.count()
+    src = str(tmp_path / "wire")
+    os.makedirs(src)
+    rows = docs.collect()
+    for part in (0, 1):
+        with open(os.path.join(src, f"p{part}.json"), "w") as f:
+            for r in rows:
+                if r.doc_id % 2 == part:
+                    f.write(
+                        _json.dumps({"doc_id": r.doc_id, "text": r.text})
+                        + "\n"
+                    )
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).json(src)
+    clean, quar = f"{tmp_path}/clean", f"{tmp_path}/quarantine"
+    q = deconmonitor.admit_stream(
+        stream, spark, sf_dir, clean, quar, f"{tmp_path}/ckpt"
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.doc_id, r.n_candidates, r.n_hit_grams)
+        for r in spark.read.parquet(quar).collect()
+    }
+    assert got == want
+    admitted = spark.read.parquet(clean)
+    assert admitted.count() == n_train - len(want)
+    # two micro-batches -> batch-partitioned layout on both sinks
+    assert admitted.select("batch_id").distinct().count() == 2
