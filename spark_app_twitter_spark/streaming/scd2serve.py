@@ -127,6 +127,52 @@ def scd2_late_audit(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def scd2_replay_late_users(
+    spark: SparkSession, observations: DataFrame, path: str
+) -> int:
+    """Drain the late-audit dead letter: rebuild every flagged
+    user's history from the FULL observation log (the batch
+    operator's semantics — the repair the audit docstring promises)
+    and swap it into the state. After the drain the flagged users'
+    rows equal the batch rebuild exactly; untouched users' rows are
+    carried verbatim. Returns the number of users replayed.
+
+    ``observations`` is the full (user_id, attr_k, ts, event_id)
+    log — the corpus-side relation the incremental path deliberately
+    avoids and this repair job deliberately reads. All cohort
+    filtering is join-based (left_semi/left_anti on the worklist),
+    never a collected id list, so the job survives a large backlog.
+    Runs under the writer lock; the audit log clears only after the
+    repaired state publishes (a crash mid-replay leaves the worklist
+    intact for a retry)."""
+    import shutil
+
+    with state_lock(path):
+        uids = (
+            scd2_late_audit(spark, path)
+            .select("user_id")
+            .distinct()
+            .localCheckpoint(eager=True)  # three consumers
+        )
+        n = uids.count()
+        if n == 0:
+            return 0
+        stored = read_state(spark, path, _HIST_DDL)
+        if stored is None:
+            return 0
+        flagged = (
+            observations.join(uids, "user_id", "left_semi")
+            .select("user_id", "attr_k", "ts", "event_id")
+            .dropDuplicates(["user_id", "event_id"])
+        )
+        rest = stored.join(uids, "user_id", "left_anti")
+        publish_state(
+            rest.unionByName(scd2_from_observations(flagged)), path
+        )
+        shutil.rmtree(os.path.join(path, _LATE_DIR), ignore_errors=True)
+        return n
+
+
 def maintain_scd2_stream(
     events: DataFrame,
     path: str,

@@ -2324,3 +2324,74 @@ def test_decon_admission_gate_stream_matches_batch(spark, sf_dir, tmp_path):
     assert admitted.count() == n_train - len(want)
     # two micro-batches -> batch-partitioned layout on both sinks
     assert admitted.select("batch_id").distinct().count() == 2
+
+
+def test_scd2_replay_drains_audit_and_restores_batch_equality(
+    spark, tmp_path
+):
+    """The dead-letter repair: a late observation that the
+    incremental merge CANNOT reconstruct (a collapsed same-value
+    observation hid a revert) leaves the state diverging from the
+    batch rebuild and the user audited; scd2_replay_late_users over
+    the full log restores exact batch equality, carries untouched
+    users verbatim, and drains the worklist."""
+    import datetime as dt
+
+    from spark_app_twitter_spark.operators.versioning import (
+        scd2_from_observations,
+    )
+    from spark_app_twitter_spark.streaming.scd2serve import (
+        apply_scd2_batch,
+        scd2_late_audit,
+        scd2_replay_late_users,
+        scd2_table,
+    )
+
+    def ts(d):
+        return dt.datetime(2024, 1, d)
+
+    ddl = "user_id long, attr_k int, ts timestamp, event_id long"
+    path = f"{tmp_path}/scd2_replay"
+    # user 1: k10@t1, k10@t4 (collapses: no change), k11@t5
+    # user 2: in-order control
+    b0 = spark.createDataFrame(
+        [
+            (1, 10, ts(1), 100),
+            (1, 10, ts(4), 101),
+            (1, 11, ts(5), 102),
+            (2, 20, ts(2), 200),
+        ],
+        ddl,
+    )
+    apply_scd2_batch(b0, 0, path)
+    # late arrival k12@t2: the batch rebuild inserts a k12 interval
+    # AND a k10 revert at t4 — the collapsed t4 observation is gone
+    # from the stored changes, so the incremental merge can't see it
+    b1 = spark.createDataFrame([(1, 12, ts(2), 103)], ddl)
+    apply_scd2_batch(b1, 1, path)
+    full_log = b0.unionByName(b1)
+    want = sorted(
+        tuple(r)
+        for r in scd2_from_observations(full_log).collect()
+    )
+    got_incremental = sorted(
+        tuple(r)
+        for r in scd2_table(spark, path)
+        .select(*[f.name for f in scd2_from_observations(full_log).schema])
+        .collect()
+    )
+    assert got_incremental != want, "fixture must force divergence"
+    assert scd2_late_audit(spark, path).count() == 1
+
+    n = scd2_replay_late_users(spark, full_log, path)
+    assert n == 1
+    got = sorted(
+        tuple(r)
+        for r in scd2_table(spark, path)
+        .select(*[f.name for f in scd2_from_observations(full_log).schema])
+        .collect()
+    )
+    assert got == want
+    assert scd2_late_audit(spark, path).count() == 0
+    # idempotent: nothing left to replay
+    assert scd2_replay_late_users(spark, full_log, path) == 0
