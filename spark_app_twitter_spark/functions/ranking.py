@@ -66,8 +66,12 @@ def _offsets(
     the final plan applies offsets as a pure projection (no join, no
     extra shuffle).
     """
-    rows = d.groupBy(_PID).agg(F.sum(weight).alias("w")).collect()
-    per_pid = {r[_PID]: int(r["w"]) for r in rows}
+    rows = d.groupBy(_PID).agg(
+        # a partition whose values are ALL NULL sums to NULL — it
+        # contributes nothing to downstream offsets, not a TypeError
+        F.coalesce(F.sum(weight), F.lit(0)).alias("w")
+    ).collect()
+    per_pid = {r[_PID]: r["w"] for r in rows}  # int/float/Decimal as-is
     total, offs = 0, {}
     for pid in sorted(per_pid):
         offs[pid] = total
@@ -182,7 +186,13 @@ def exact_running_total(
     """df + exact running SUM(value) OVER (ORDER BY order_exprs
     ROWS UNBOUNDED PRECEDING [AND -1 when include_current=False]) —
     the boundary-span primitive (e.g. cumulative counts over distinct
-    scores), same offset decomposition as the rank."""
+    scores), same offset decomposition as the rank.
+
+    The output column keeps the value column's type class: integral
+    inputs yield a ``long`` (the window-SQL oracle's sum type);
+    fractional/decimal inputs keep Spark's natural sum type — no
+    silent truncation to integer. NULL values sum as 0 (SQL SUM
+    ignores NULLs; an all-NULL partition contributes a 0 offset)."""
     d = _range_partitioned(df, order_exprs, nbuckets)
     off, _ = _offsets(d, value)
     hi = 0 if include_current else -1
@@ -192,4 +202,9 @@ def exact_running_total(
         .rowsBetween(Window.unboundedPreceding, hi)
     )
     local = F.coalesce(F.sum(value).over(w), F.lit(0))
-    return d.withColumn(out, (off + local).cast("long")).drop(_PID)
+    vt = d.select(value.alias("_v")).schema[0].dataType.simpleString()
+    integral = vt in {"tinyint", "smallint", "int", "bigint"}
+    res = off + local
+    return d.withColumn(
+        out, res.cast("long") if integral else res
+    ).drop(_PID)

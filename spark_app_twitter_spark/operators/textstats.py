@@ -1425,16 +1425,44 @@ def _bigram_modelq(bi: DataFrame) -> tuple[DataFrame, DataFrame]:
     return modelq, vocab
 
 
-def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+# scoring-join strategy for the trained bigram model: "broadcast"
+# ships the |bigram vocab|-row model to every executor (the KenLM
+# pattern — right when the vocab fits in executor memory);
+# "shuffle" keeps it distributed and hash-joins on the bigram key
+# (the path for vocabularies that outgrow the driver/executors —
+# web-scale character-mix corpora). Selected per-call or via env.
+LM_JOIN_MODES = ("broadcast", "shuffle")
+
+
+def _lm_scoring_join(bi: DataFrame, modelq: DataFrame, mode: str | None):
+    import os as _os
+
+    mode = mode or _os.environ.get("SPARK_GRAFT_LM_JOIN", "broadcast")
+    if mode not in LM_JOIN_MODES:
+        mode = "broadcast"
+    if mode == "shuffle":
+        # distributed hash join on bg: the model never leaves the
+        # cluster, both sides shuffle on the bigram key (the model
+        # side is vocab-sized — the cheap side of that exchange)
+        return bi.join(modelq.hint("shuffle_hash"), "bg")
+    return bi.join(F.broadcast(modelq), "bg")
+
+
+def bigram_lm_score(
+    spark: SparkSession, sf_dir: str, join_mode: str | None = None
+) -> DataFrame:
     """(doc_id, n_bigrams, lm_score) — mean corpus-bigram probability
     per doc; null score for docs with < 2 tokens.
 
     Scale shape: the trained model is |bigram vocab| rows — orders of
     magnitude smaller than the corpus — so the scoring join
-    broadcasts it (falls back to a hash join on the bigram key when
-    the vocabulary outgrows the driver). The doc side is one explode
-    + one groupBy(doc_id) with map-side combine; model training is
-    two chained aggs over the same exploded rows.
+    broadcasts it by default; ``join_mode="shuffle"`` (or
+    SPARK_GRAFT_LM_JOIN=shuffle) switches to a distributed hash join
+    on the bigram key for vocabularies that outgrow the driver —
+    both paths are hash-identical vs the same oracle (tested). The
+    doc side is one explode + one groupBy(doc_id) with map-side
+    combine; model training is two chained aggs over the same
+    exploded rows.
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
     bi = docs.select(
@@ -1442,7 +1470,7 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     modelq, _ = _bigram_modelq(bi)
     scored = (
-        bi.join(F.broadcast(modelq), "bg")
+        _lm_scoring_join(bi, modelq, join_mode)
         .groupBy("doc_id")
         .agg(F.sum("q").alias("sq"), F.count(F.lit(1)).alias("nb"))
     )
@@ -1648,6 +1676,12 @@ def bigram_lm_model(spark: SparkSession, sf_dir: str) -> tuple[dict, int]:
     The dict is |bigram vocab|-sized (bounded by vocabulary, not
     corpus rows), so collecting it is safe at any corpus scale where
     a KenLM-style filter would fit in worker memory at all.
+
+    MEMORY BOUND (explicit): driver AND every scorer worker hold the
+    full dict — ~100 bytes/entry in CPython, so a 100M-bigram vocab
+    is ~10 GB per process. Beyond that, do NOT publish: score with
+    ``bigram_lm_score(join_mode="shuffle")``, which hash-joins the
+    model distributedly and never materializes it in one process.
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
     bi = docs.select(
@@ -1669,6 +1703,10 @@ def make_lm_pandas_scorer(model: dict, v: int):
     score null. On docs drawn from the training corpus every bigram
     is in-model, so output equals the Catalyst/oracle batch operator
     bit-for-bit (tested).
+
+    Same worker-memory bound as :func:`bigram_lm_model` (the closure
+    captures the dict; each Python worker holds one copy) — past
+    ~10 GB of vocab, use ``bigram_lm_score(join_mode="shuffle")``.
     """
     import pandas as pd
 

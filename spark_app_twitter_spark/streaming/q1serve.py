@@ -36,9 +36,8 @@ from spark_app_twitter_spark.operators.tpch import (
     _RATE,
 )
 from spark_app_twitter_spark.streaming.statestore import (
-    publish_state,
     read_state,
-    state_lock,
+    transact,
 )
 
 _PARTIAL_DDL = (
@@ -100,23 +99,26 @@ def apply_q1_batch(
         (F.col("sdisc") * sgn).cast("decimal(38,2)").alias("sdisc"),
         (F.col("cnt") * F.lit(sign)).cast("long").alias("cnt"),
     )
-    # the lock serializes concurrent writers (the insert and delete
+    # transact serializes concurrent writers (the insert and delete
     # streams sharing this path) across the whole read-merge-publish
-    # — without it interleaved batches lose updates
-    with state_lock(path):
-        stored = read_state(spark, path, _PARTIAL_DDL)
-        merged = delta if stored is None else (
-            stored.where(
-                ~(
-                    (F.col("stream") == sid)
-                    & (F.col("batch_id") == batch_id)
-                )
-            ).unionByName(delta)
-        )
+    # — flock on the pointer realization, optimistic manifest commit
+    # on object stores; without either, interleaved batches lose
+    # updates. The merge is a pure function of the stored state
+    # (replace-by-(stream,batch_id)), so a conflict retry is safe.
+    def merge(stored: DataFrame | None) -> DataFrame:
+        if stored is None:
+            return delta
         # read (old snapshot) and write (new snapshot) are different
         # directories, so the merge plan streams directly — no
         # localCheckpoint, nothing pinned in block-manager memory
-        publish_state(merged, path)
+        return stored.where(
+            ~(
+                (F.col("stream") == sid)
+                & (F.col("batch_id") == batch_id)
+            )
+        ).unionByName(delta)
+
+    transact(spark, path, _PARTIAL_DDL, merge)
 
 
 def q1_report_from_partials(spark, path: str) -> DataFrame:

@@ -24,9 +24,8 @@ from pyspark.sql.streaming import StreamingQuery
 from spark_app_twitter_spark.operators.tpch import _money, _one_minus
 from spark_app_twitter_spark.sources.parquet import load_table
 from spark_app_twitter_spark.streaming.statestore import (
-    publish_state,
     read_state,
-    state_lock,
+    transact,
 )
 
 _Q3_PARTIAL_DDL = (
@@ -99,19 +98,20 @@ def apply_q3_batch(
         (F.col("rev") * sgn).cast("decimal(38,4)").alias("rev"),
         (F.col("cnt") * F.lit(sign)).cast("long").alias("cnt"),
     )
-    # writer lock: the insert and delete streams share this path —
-    # serialize their read-merge-publish (q1serve discipline)
-    with state_lock(path):
-        stored = read_state(spark, path, _Q3_PARTIAL_DDL)
-        merged = delta if stored is None else (
-            stored.where(
-                ~(
-                    (F.col("stream") == sid)
-                    & (F.col("batch_id") == batch_id)
-                )
-            ).unionByName(delta)
-        )
-        publish_state(merged, path)
+    # the insert and delete streams share this path — transact
+    # serializes their read-merge-publish (q1serve discipline: flock
+    # or optimistic manifest commit, per the path's realization)
+    def merge(stored: DataFrame | None) -> DataFrame:
+        if stored is None:
+            return delta
+        return stored.where(
+            ~(
+                (F.col("stream") == sid)
+                & (F.col("batch_id") == batch_id)
+            )
+        ).unionByName(delta)
+
+    transact(spark, path, _Q3_PARTIAL_DDL, merge)
 
 
 def q3_report_from_partials(spark: SparkSession, path: str) -> DataFrame:

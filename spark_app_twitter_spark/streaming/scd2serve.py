@@ -21,9 +21,11 @@ whose incoming min(ts) predates their newest stored change and
 appends them to a `late-audit` side log next to the state (the
 dead-letter channel a replay job drains); the merge itself still
 proceeds so the serving table stays available. Idempotent under
-batch replay: re-applying a batch merges observations that are
-already the stored change rows, and the collapse rule absorbs them
-(pinned in tests). State publication goes through
+batch replay INCLUDING the audit channel: re-applying a batch merges
+observations that are already the stored change rows (or sit inside
+a stored same-attribute interval), the collapse rule absorbs them,
+and the late detector excludes such no-ops BEFORE computing min(ts),
+so a replay flags nobody (pinned in tests). State publication goes through
 streaming/statestore.py (immutable snapshot + atomic pointer swap).
 """
 
@@ -39,9 +41,8 @@ from spark_app_twitter_spark.operators.versioning import (
     scd2_from_observations,
 )
 from spark_app_twitter_spark.streaming.statestore import (
-    publish_state,
     read_state,
-    state_lock,
+    transact,
 )
 
 _HIST_DDL = (
@@ -55,54 +56,79 @@ _LATE_DIR = "late-audit"
 
 def apply_scd2_batch(batch: DataFrame, batch_id: int, path: str) -> None:
     """foreachBatch body: per-user incremental SCD2 upsert, with
-    out-of-order arrivals routed to the late-audit dead letter."""
+    out-of-order arrivals routed to the late-audit dead letter. Runs
+    as one transact (flock or optimistic manifest commit)."""
     spark = batch.sparkSession
     obs = batch.select(
         "user_id", "attr_k", "ts", "event_id"
     ).dropDuplicates(["user_id", "event_id"])
-    with state_lock(path):
-        _apply_scd2_locked(spark, obs, batch_id, path)
+    transact(
+        spark,
+        path,
+        _HIST_DDL,
+        lambda stored: _merged_history(spark, obs, batch_id, path, stored),
+    )
 
 
-def _apply_scd2_locked(spark, obs: DataFrame, batch_id: int, path: str):
-    stored = read_state(spark, path, _HIST_DDL)
+def _merged_history(
+    spark, obs: DataFrame, batch_id: int, path: str, stored: DataFrame | None
+) -> DataFrame:
     if stored is None:
-        out = scd2_from_observations(obs)
-    else:
-        touched = obs.select("user_id").distinct()
-        rest = stored.join(touched, "user_id", "left_anti")
-        prior = stored.join(touched, "user_id", "left_semi")
-        # contract violation detector: an incoming observation older
-        # than the user's newest stored change means the collapsed
-        # change rows cannot reproduce the full rebuild — emit the
-        # user to the audit log (replay worklist) instead of merging
-        # silently. |touched|-sized, batch-keyed (idempotent on read
-        # via dropDuplicates).
-        newest = prior.groupBy("user_id").agg(
-            F.max("valid_from").alias("max_vf")
-        )
-        incoming_min = obs.groupBy("user_id").agg(
-            F.min("ts").alias("min_ts")
-        )
-        late = (
-            incoming_min.join(newest, "user_id")
-            .where(F.col("min_ts") < F.col("max_vf"))
-            .select(
-                F.lit(batch_id).cast("long").alias("batch_id"),
-                "user_id",
-                "min_ts",
+        return scd2_from_observations(obs)
+    touched = obs.select("user_id").distinct()
+    rest = stored.join(touched, "user_id", "left_anti")
+    prior = stored.join(touched, "user_id", "left_semi")
+    # contract violation detector: an incoming observation that is
+    # (a) older than the user's newest stored change AND (b) not a
+    # NO-OP means the collapsed change rows cannot reproduce the full
+    # rebuild — emit the user to the audit log (replay worklist)
+    # instead of merging silently. No-ops are excluded FIRST so a
+    # foreachBatch replay of an already-merged batch (crash retry)
+    # leaves the audit channel empty, extending the idempotency
+    # contract to the audit (ADVICE r10): an observation is absorbed
+    # if it IS a stored change row (same event_id) or falls inside a
+    # stored interval carrying the SAME attribute value (the collapse
+    # rule discards it identically on a full rebuild — and a same-ts
+    # smaller-event_id tie is re-collapsed by the merge below).
+    # |touched|-sized, batch-keyed (idempotent on read via
+    # dropDuplicates).
+    o, p = obs.alias("o"), prior.alias("p")
+    absorbed = (F.col("o.user_id") == F.col("p.user_id")) & (
+        (F.col("o.event_id") == F.col("p.change_event_id"))
+        | (
+            (F.col("o.attr_k") == F.col("p.attr_k"))
+            & (F.col("o.ts") >= F.col("p.valid_from"))
+            & (
+                F.col("p.valid_to").isNull()
+                | (F.col("o.ts") < F.col("p.valid_to"))
             )
         )
-        late.write.mode("append").parquet(os.path.join(path, _LATE_DIR))
-        prior_obs = prior.select(
+    )
+    fresh = o.join(p, absorbed, "left_anti")
+    newest = prior.groupBy("user_id").agg(
+        F.max("valid_from").alias("max_vf")
+    )
+    incoming_min = fresh.groupBy("user_id").agg(
+        F.min("ts").alias("min_ts")
+    )
+    late = (
+        incoming_min.join(newest, "user_id")
+        .where(F.col("min_ts") < F.col("max_vf"))
+        .select(
+            F.lit(batch_id).cast("long").alias("batch_id"),
             "user_id",
-            "attr_k",
-            F.col("valid_from").alias("ts"),
-            F.col("change_event_id").alias("event_id"),
+            "min_ts",
         )
-        merged = prior_obs.unionByName(obs)
-        out = rest.unionByName(scd2_from_observations(merged))
-    publish_state(out, path)
+    )
+    late.write.mode("append").parquet(os.path.join(path, _LATE_DIR))
+    prior_obs = prior.select(
+        "user_id",
+        "attr_k",
+        F.col("valid_from").alias("ts"),
+        F.col("change_event_id").alias("event_id"),
+    )
+    merged = prior_obs.unionByName(obs)
+    return rest.unionByName(scd2_from_observations(merged))
 
 
 def scd2_table(spark: SparkSession, path: str) -> DataFrame:
@@ -142,35 +168,53 @@ def scd2_replay_late_users(
     avoids and this repair job deliberately reads. All cohort
     filtering is join-based (left_semi/left_anti on the worklist),
     never a collected id list, so the job survives a large backlog.
-    Runs under the writer lock; the audit log clears only after the
-    repaired state publishes (a crash mid-replay leaves the worklist
-    intact for a retry)."""
-    import shutil
+    Runs as one transact; only the audit FILES captured before the
+    merge are cleared, and only after the repaired state publishes —
+    a crash mid-replay leaves the worklist intact for a retry, and a
+    concurrent stream's fresh audit appends survive the clear."""
+    if read_state(spark, path, _HIST_DDL) is None:
+        return 0
+    late_dir = os.path.join(path, _LATE_DIR)
+    state = {"n": 0, "files": []}
 
-    with state_lock(path):
+    def merge(stored: DataFrame | None) -> DataFrame:
+        # capture the audit files this replay covers BEFORE reading
+        # the worklist — a file appended after this listing may still
+        # be read (over-replay is harmless) but is never cleared
+        # unprocessed
+        try:
+            state["files"] = [
+                os.path.join(late_dir, f) for f in os.listdir(late_dir)
+            ]
+        except OSError:
+            state["files"] = []
         uids = (
             scd2_late_audit(spark, path)
             .select("user_id")
             .distinct()
             .localCheckpoint(eager=True)  # three consumers
         )
-        n = uids.count()
-        if n == 0:
-            return 0
-        stored = read_state(spark, path, _HIST_DDL)
-        if stored is None:
-            return 0
+        state["n"] = uids.count()
+        if state["n"] == 0 or stored is None:
+            return stored if stored is not None else spark.createDataFrame(
+                [], _HIST_DDL
+            )
         flagged = (
             observations.join(uids, "user_id", "left_semi")
             .select("user_id", "attr_k", "ts", "event_id")
             .dropDuplicates(["user_id", "event_id"])
         )
         rest = stored.join(uids, "user_id", "left_anti")
-        publish_state(
-            rest.unionByName(scd2_from_observations(flagged)), path
-        )
-        shutil.rmtree(os.path.join(path, _LATE_DIR), ignore_errors=True)
-        return n
+        return rest.unionByName(scd2_from_observations(flagged))
+
+    transact(spark, path, _HIST_DDL, merge)
+    if state["n"]:
+        for f in state["files"]:
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+    return state["n"]
 
 
 def maintain_scd2_stream(

@@ -4772,3 +4772,22 @@ def test_semantic_decontamination_planted_paraphrase(spark, tmp_path):
     assert hit.max_sim > SEMDECON_THRESHOLD
     # orthogonal docs (cosine 0 with everything) never flag
     assert all(i not in rows for i in range(6))
+
+
+
+def test_bigram_lm_score_shuffle_fallback_parity(spark, sf_dir):
+    """VERDICT r10 item 4: the documented hash-join fallback for
+    vocabularies that outgrow the driver is a REAL code path — forced
+    here, it must be hash-identical to the same oracle AND must not
+    broadcast the model into the scoring join."""
+    df = textstats.bigram_lm_score(spark, sf_dir, join_mode="shuffle")
+    assert_parity(
+        df, textstats.BIGRAM_LM_SCORE_SQL, sf_dir, "bigram_lm_shuffle"
+    )
+    # plan guard on a FRESH frame (AQE finalization poisons the
+    # executed plan of an already-collected one)
+    fresh = textstats.bigram_lm_score(spark, sf_dir, join_mode="shuffle")
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, (
+        "shuffle mode must hash/merge-join the model distributedly"
+    )

@@ -77,3 +77,45 @@ def test_use_window_small_n_variant_agrees(spark):
         "id", F.col("b").alias("wb")
     )
     assert a.join(b, "id").where(F.col("b") != F.col("wb")).count() == 0
+
+
+def test_running_total_all_null_partition_and_null_values(spark):
+    """ADVICE r10: a range partition whose value column is entirely
+    NULL must contribute a 0 offset (SQL SUM ignores NULLs), not a
+    driver TypeError. Low-m rows carry NULL so at least one range
+    partition is all-NULL under any bucket count."""
+    rows = [(i, i, None if i < 1000 else 1) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, m long, c long")
+    got = exact_running_total(
+        df, [F.asc("m")], F.col("c"), "rt", include_current=True
+    )
+    w = Window.orderBy(F.asc("m")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = df.select(
+        "id", F.coalesce(F.sum("c").over(w), F.lit(0)).alias("wrt")
+    )
+    diff = got.join(want, "id").where(F.col("rt") != F.col("wrt"))
+    assert diff.count() == 0
+
+
+def test_running_total_preserves_fractional_type(spark):
+    """ADVICE r10: fractional value columns must not be silently
+    truncated to long — the output keeps a fractional sum type and
+    the values match the global window exactly."""
+    rows = [(i, i, 0.25 * (i % 7)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, m long, c double")
+    got = exact_running_total(
+        df, [F.asc("m")], F.col("c"), "rt", include_current=True
+    )
+    assert dict(got.dtypes)["rt"] == "double"
+    w = Window.orderBy(F.asc("m")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = df.select(
+        "id", F.coalesce(F.sum("c").over(w), F.lit(0.0)).alias("wrt")
+    )
+    diff = got.join(want, "id").where(
+        F.abs(F.col("rt") - F.col("wrt")) > 1e-9
+    )
+    assert diff.count() == 0

@@ -2076,7 +2076,7 @@ def test_statestore_failed_publish_leaves_previous_snapshot(
     assert now == [(3, 30)]
     statestore.publish_state(spark.createDataFrame([(4, 40)], ddl), path)
     snaps = sorted(n for n in os.listdir(path) if n.startswith("v-"))
-    assert len(snaps) <= statestore._KEEP
+    assert len(snaps) <= statestore._keep()
     assert [
         tuple(r) for r in statestore.read_state(spark, path, ddl).collect()
     ] == [(4, 40)]
