@@ -446,6 +446,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10: embedding-similarity contamination screen (the
         # paraphrase-robust complement of the n-gram gate)
         "text_decontaminate_semantic": semdedup.decontaminate_semantic,
+        # r11: the SEMDECON_THRESHOLD dial's sensitivity curve
+        # (VERDICT r10 item 7 — bitext_probe_sensitivity's role for
+        # the semantic contamination screen)
+        "text_semdecon_sensitivity": (
+            semdedup.decontaminate_threshold_sensitivity
+        ),
         "sim_knn_bruteforce": similarity.knn_bruteforce,
         "sim_knn_lsh": similarity.knn_lsh,
         "sim_embedding_near_dup": similarity.embedding_near_dup,
@@ -867,6 +873,9 @@ def oracle_sql() -> dict[str, str]:
         "text_decontaminate": textstats.DECONTAMINATE_SQL,
         "text_decontaminate_semantic": (
             semdedup.DECONTAMINATE_SEMANTIC_SQL
+        ),
+        "text_semdecon_sensitivity": (
+            semdedup.DECONTAMINATE_THRESHOLD_SENSITIVITY_SQL
         ),
         "tpch_q7_volume_shipping": tpch.Q7_SQL,
         "tpch_q8_market_share": tpch.Q8_SQL,

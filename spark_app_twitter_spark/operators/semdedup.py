@@ -360,6 +360,167 @@ GROUP BY a.doc_id, a.n_bench_hits, a.max_sim
 
 DECONTAMINATE_SEMANTIC_SQL = _decontaminate_semantic_sql()
 
+
+# Threshold grid for the sensitivity audit — spans well below and
+# above the production SEMDECON_THRESHOLD (0.30) so the curve shows
+# what tightening or loosening the dial buys. Synthetic fixtures put
+# background similarity ~0, so the interesting region is low.
+SEMDECON_GRID = (0.05, 0.10, 0.15, 0.20, 0.25, 0.30, 0.40, 0.50)
+
+
+def decontaminate_threshold_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(threshold, n_pairs, n_flagged, n_flagged_capped, cap_recall):
+    the SEMDECON_THRESHOLD dial's sensitivity curve (VERDICT r10
+    item 7 — the bitext_probe_sensitivity role for the semantic
+    contamination screen). For every threshold in SEMDECON_GRID:
+    how many intra-cell bench×train pairs score above it, how many
+    distinct training docs would be flagged, how many of those the
+    SEM_CANDIDATE_CAP-capped production screen still flags, and the
+    cap's recall at that threshold (null when nothing is flagged).
+    n_pairs / n_flagged are non-increasing in threshold by
+    construction — pinned as a property test, with planted
+    paraphrases exercising the non-trivial region.
+
+    Scale note: the FULL (uncapped) intra-cell pair relation is the
+    audit's ground truth — Σ|bench∩cell|·|cell| pairs, the same
+    sampled-cohort shape as bitext_probe_sensitivity's exact replay;
+    the production screen stays the capped decontaminate_semantic.
+    One pass over the pair relation: the 8-row grid broadcasts, and
+    map-side combine collapses each task to |grid| groups.
+    """
+    from pyspark.sql import Window
+
+    from spark_app_twitter_spark.operators.clustering import (
+        kmeans_cells_2level_assigned,
+    )
+    from spark_app_twitter_spark.operators.textstats import (
+        DECON_BENCH_MOD,
+        DECON_BENCH_REM,
+    )
+
+    assigned = (
+        kmeans_cells_2level_assigned(spark, sf_dir)
+        .select("vec_id", "v", "cell")
+        .localCheckpoint(eager=True)  # feeds both join sides
+    )
+    is_b = (F.col("vec_id") % DECON_BENCH_MOD) == DECON_BENCH_REM
+    brank = F.row_number().over(
+        Window.partitionBy("cell").orderBy(F.asc("vec_id"))
+    )
+    bench = (
+        assigned.where(is_b)
+        .withColumn("brank", brank)
+        .select(
+            F.col("v").alias("bv"),
+            "cell",
+            (F.col("brank") <= SEM_CANDIDATE_CAP).alias("in_cap"),
+        )
+    )
+    train = assigned.where(~is_b).select(
+        F.col("vec_id").alias("doc_id"), F.col("v").alias("tv"), "cell"
+    )
+    pairs = train.join(bench, "cell").select(
+        "doc_id",
+        "in_cap",
+        F.round(cosine(F.col("tv"), F.col("bv")), 6).alias("cos_sim"),
+    )
+    grid = spark.createDataFrame(
+        [(float(t),) for t in SEMDECON_GRID], "threshold double"
+    )
+    hit = F.col("cos_sim") > F.col("threshold")
+    n_flagged = F.count_distinct(F.when(hit, F.col("doc_id")))
+    n_capped = F.count_distinct(
+        F.when(hit & F.col("in_cap"), F.col("doc_id"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(grid))
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_pairs"),
+            n_flagged.cast("long").alias("n_flagged"),
+            n_capped.cast("long").alias("n_flagged_capped"),
+        )
+        .select(
+            "threshold",
+            "n_pairs",
+            "n_flagged",
+            "n_flagged_capped",
+            F.when(
+                F.col("n_flagged") > 0,
+                F.round(
+                    F.col("n_flagged_capped").cast("double")
+                    / F.col("n_flagged").cast("double"),
+                    6,
+                ),
+            ).alias("cap_recall"),
+        )
+    )
+
+
+def _decontaminate_threshold_sensitivity_sql() -> str:
+    from spark_app_twitter_spark.operators.clustering import (
+        kmeans_cells_2level_ctes,
+    )
+    from spark_app_twitter_spark.operators.textstats import (
+        DECON_BENCH_MOD,
+        DECON_BENCH_REM,
+    )
+
+    parts, final = kmeans_cells_2level_ctes()
+    chain = ",\n".join(parts)
+    grid = ", ".join(str(t) for t in SEMDECON_GRID)
+    return f"""
+WITH {chain},
+cells2 AS ({final}),
+assigned AS (
+  SELECT c.vec_id, e.v, c.cell FROM cells2 c JOIN emb e USING (vec_id)
+),
+bench AS (
+  SELECT v AS bv, cell, brank <= {SEM_CANDIDATE_CAP} AS in_cap
+  FROM (SELECT v, cell, row_number() OVER (
+          PARTITION BY cell ORDER BY vec_id ASC) AS brank
+        FROM assigned
+        WHERE vec_id % {DECON_BENCH_MOD} = {DECON_BENCH_REM})
+),
+train AS (
+  SELECT vec_id AS doc_id, v AS tv, cell FROM assigned
+  WHERE vec_id % {DECON_BENCH_MOD} <> {DECON_BENCH_REM}
+),
+pairs AS (
+  SELECT doc_id, in_cap,
+         round({cosine_sql('tv', 'bv')}, 6) AS cos_sim
+  FROM train t JOIN bench b USING (cell)
+),
+grid AS (SELECT CAST(unnest([{grid}]) AS DOUBLE) AS threshold),
+agg AS (
+  SELECT g.threshold,
+         CAST(sum(CASE WHEN p.cos_sim > g.threshold THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_pairs,
+         CAST(count(DISTINCT CASE WHEN p.cos_sim > g.threshold
+                                  THEN p.doc_id END) AS BIGINT)
+           AS n_flagged,
+         CAST(count(DISTINCT CASE WHEN p.in_cap
+                                   AND p.cos_sim > g.threshold
+                                  THEN p.doc_id END) AS BIGINT)
+           AS n_flagged_capped
+  FROM pairs p CROSS JOIN grid g
+  GROUP BY g.threshold
+)
+SELECT threshold, n_pairs, n_flagged, n_flagged_capped,
+       CASE WHEN n_flagged > 0
+            THEN round(CAST(n_flagged_capped AS DOUBLE)
+                       / CAST(n_flagged AS DOUBLE), 6)
+       END AS cap_recall
+FROM agg
+"""
+
+
+DECONTAMINATE_THRESHOLD_SENSITIVITY_SQL = (
+    _decontaminate_threshold_sensitivity_sql()
+)
+
 # The registered default (VERDICT r06 item 4): `sem_dedup` IS the
 # two-level path; the flat trainer stays available as the explicit
 # small-n variant `sem_dedup_flat`. The aliases keep every historic
@@ -379,6 +540,9 @@ __all__ = [
     "SEMDEDUP_2LEVEL_SQL",
     "decontaminate_semantic",
     "DECONTAMINATE_SEMANTIC_SQL",
+    "decontaminate_threshold_sensitivity",
+    "DECONTAMINATE_THRESHOLD_SENSITIVITY_SQL",
+    "SEMDECON_GRID",
     "SEMDECON_THRESHOLD",
     "SEM_DUP_THRESHOLD",
     "SEM_CANDIDATE_CAP",

@@ -4791,3 +4791,122 @@ def test_bigram_lm_score_shuffle_fallback_parity(spark, sf_dir):
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, (
         "shuffle mode must hash/merge-join the model distributedly"
     )
+
+
+def test_semdecon_sensitivity_parity(spark, sf_dir):
+    from spark_app_twitter_spark.operators import semdedup
+
+    assert_parity(
+        semdedup.decontaminate_threshold_sensitivity(spark, sf_dir),
+        semdedup.DECONTAMINATE_THRESHOLD_SENSITIVITY_SQL,
+        sf_dir,
+        "semdecon_sensitivity",
+    )
+
+
+def test_semdecon_sensitivity_monotone_and_nontrivial(spark, sf_dir):
+    """The threshold curve covers the whole grid, n_pairs/n_flagged
+    are non-increasing in threshold (monotone by construction), the
+    capped screen never flags MORE than the full one, and the curve
+    is non-trivial on the fixtures (the loosest threshold flags
+    something, the production threshold row exists)."""
+    from spark_app_twitter_spark.operators import semdedup
+
+    rows = sorted(
+        semdedup.decontaminate_threshold_sensitivity(
+            spark, sf_dir
+        ).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert [r.threshold for r in rows] == list(semdedup.SEMDECON_GRID)
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_pairs <= a.n_pairs
+        assert b.n_flagged <= a.n_flagged
+        assert b.n_flagged_capped <= a.n_flagged_capped
+    for r in rows:
+        assert r.n_flagged_capped <= r.n_flagged
+        if r.n_flagged > 0:
+            assert r.cap_recall is not None and 0.0 <= r.cap_recall <= 1.0
+        else:
+            assert r.cap_recall is None
+    assert rows[0].n_flagged > 0, "loosest threshold must flag"
+    assert any(
+        abs(r.threshold - semdedup.SEMDECON_THRESHOLD) < 1e-9 for r in rows
+    ), "grid must include the production threshold"
+
+
+def test_semdecon_sensitivity_planted_paraphrases_transition(
+    spark, tmp_path
+):
+    """Two paraphrase analogues planted at known cosines (0.98 and
+    ~0.35) against one benchmark embedding: the curve's flagged count
+    steps down exactly where the threshold crosses each planted
+    similarity — recall/threshold behavior verified on ground truth,
+    not just monotonicity."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_app_twitter_spark.operators.semdedup import (
+        decontaminate_threshold_sensitivity,
+    )
+    from spark_app_twitter_spark.operators.textstats import (
+        DECON_BENCH_REM,
+    )
+
+    d = 8
+    bench_id = DECON_BENCH_REM
+    base = [1.0] + [0.0] * (d - 1)
+    near = [0.98, 0.199] + [0.0] * (d - 2)  # cos ~0.98
+    s35 = 0.35
+    mid = [s35, math.sqrt(1 - s35 * s35)] + [0.0] * (d - 2)  # cos 0.35
+    vecs = {}
+    for i in range(6):
+        v = [0.0] * d
+        v[i + 2] = 1.0
+        vecs[i] = v
+    vecs[bench_id] = base
+    vecs[20] = near
+    vecs[21] = mid
+    ids = sorted(vecs)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [[float(x) for x in vecs[i]] for i in ids],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        ),
+        f"{tmp_path}/embeddings.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": [f"doc {i}" for i in ids],
+                "lang": ["en"] * len(ids),
+                "source": ["synthetic"] * len(ids),
+                "n_chars": pa.array([5] * len(ids), pa.int64()),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    curve = {
+        r.threshold: r
+        for r in decontaminate_threshold_sensitivity(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # both planted docs flag below 0.35; only the 0.98 one above
+    for t in (0.05, 0.10, 0.15, 0.20, 0.25, 0.30):
+        assert curve[t].n_flagged == 2, (t, curve[t])
+    for t in (0.40, 0.50):
+        assert curve[t].n_flagged == 1, (t, curve[t])
+    # cap never binds on this tiny fixture: capped == full
+    for r in curve.values():
+        assert r.n_flagged_capped == r.n_flagged
+        if r.n_flagged:
+            assert r.cap_recall == 1.0
