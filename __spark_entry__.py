@@ -459,9 +459,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_lsh_multi": similarity.knn_lsh_multi,
         "multimodal_media_features": multimodal.media_features,
     }
-    ordered = {name: q.pop(name) for name in _R10_WINDOW}
+    ordered = {name: q.pop(name) for name in _R11_WINDOW}
     ordered.update(q)
     return ordered
+
+
+# The round-11 driver verification window (VERDICT r10 item 1 + the
+# rotation contract in worklog/r11_plan.md), in priority order:
+#   (a) never-attested: the round-11 registration (the semantic-decon
+#       threshold-sensitivity curve);
+#   (b) code changed in round 11: the bigram-LM scoring join gained
+#       the executable shuffle-hash fallback seam, and
+#       functions/ranking.py (null-partition offsets + dtype
+#       preservation) feeds rfm/power_users/perplexity_buckets;
+#   (c) the 17 r05-attested rows (the TPC-H batch cohort +
+#       text_tfidf_top_terms) — the oldest attestations in the
+#       registry, displaced since the r10 window;
+#   (d) fill to 50 with the oldest r06-attested rows, alphabetical
+#       (the 16 r06 remainder heads the r12 window; each keeps a
+#       local DuckDB parity test in CI and is sweep-green).
+# After this window runs, no registry entry's attestation is older
+# than r06 (< 5 rounds).
+_R11_WINDOW = (
+    # (a) never-attested
+    "text_semdecon_sensitivity",
+    # (b) changed this round
+    "text_bigram_lm_score",
+    "serving_rfm_scores",
+    "serving_power_users",
+    "text_perplexity_buckets",
+    # (c) r05 attestations
+    "text_tfidf_top_terms",
+    "tpch_promo_revenue_share",
+    "tpch_q11_important_parts",
+    "tpch_q16_supplier_part_stats",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q1_pricing_summary",
+    "tpch_q20_excess_share_suppliers",
+    "tpch_q21_sole_blame_suppliers",
+    "tpch_q2_min_price_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_rich_customers_vs_nation",
+    # (d) oldest r06 attestations, alphabetical
+    "agg_emotion_counts",
+    "agg_emotion_pivot",
+    "agg_emotion_share",
+    "agg_positivity",
+    "asof_nearest_click",
+    "dedup_cluster_best",
+    "dedup_paragraphs",
+    "dedup_paragraphs_rewrite",
+    "dedup_simhash",
+    "dedup_simhash64_pairs",
+    "dedup_source_overlap",
+    "diag_key_skew",
+    "enrich_documents",
+    "ingest_parse_events",
+    "layout_compaction_plan",
+    "multimodal_video_frames",
+    "pack_chunk_documents",
+    "pack_efficiency",
+    "pack_sequences",
+    "rag_retrieve",
+    "sim_embedding_drift",
+    "sim_embedding_pca",
+    "sketch_cms_top_terms",
+    "sketch_hist_quantiles",
+    "sketch_hll_daily_users",
+    "text_bpe_encode",
+    "text_bpe_train_batched",
+    "text_bpe_train_merges",
+)
 
 
 # The round-9 driver verification window (VERDICT r08 item 1 + the

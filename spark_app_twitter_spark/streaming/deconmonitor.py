@@ -75,11 +75,14 @@ def admit_stream(
     quarantine_path: str,
     checkpoint: str,
     trigger_available_now: bool = True,
+    artifacts: tuple[DataFrame, DataFrame] | None = None,
 ) -> StreamingQuery:
     """docs (streaming, at least (doc_id, text)) -> admission gate ->
     clean/quarantine batch_id-partitioned parquet. Quarantine rows
-    carry the audit columns (n_candidates, n_hit_grams)."""
-    bench, words = benchmark_artifacts(spark, sf_dir)
+    carry the audit columns (n_candidates, n_hit_grams). Pass
+    ``artifacts`` (a benchmark_artifacts result) to reuse the static
+    side across stream restarts — built here otherwise."""
+    bench, words = artifacts or benchmark_artifacts(spark, sf_dir)
 
     def admit(batch: DataFrame, batch_id: int) -> None:
         b = batch.localCheckpoint(eager=True)  # two consumers
