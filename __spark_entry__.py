@@ -452,6 +452,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_semdecon_sensitivity": (
             semdedup.decontaminate_threshold_sensitivity
         ),
+        # r11: agreement audit between the n-gram and semantic
+        # contamination screens (the paraphrase bucket made visible)
+        "text_decon_screen_agreement": semdedup.decon_screen_agreement,
         "sim_knn_bruteforce": similarity.knn_bruteforce,
         "sim_knn_lsh": similarity.knn_lsh,
         "sim_embedding_near_dup": similarity.embedding_near_dup,
@@ -476,13 +479,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #       text_tfidf_top_terms) — the oldest attestations in the
 #       registry, displaced since the r10 window;
 #   (d) fill to 50 with the oldest r06-attested rows, alphabetical
-#       (the 16 r06 remainder heads the r12 window; each keeps a
+#       (the 16 r06-or-renamed remainder heads the r12 window; each keeps a
 #       local DuckDB parity test in CI and is sweep-green).
 # After this window runs, no registry entry's attestation is older
 # than r06 (< 5 rounds).
 _R11_WINDOW = (
     # (a) never-attested
     "text_semdecon_sensitivity",
+    "text_decon_screen_agreement",
     # (b) changed this round
     "text_bigram_lm_score",
     "serving_rfm_scores",
@@ -534,7 +538,6 @@ _R11_WINDOW = (
     "sketch_hll_daily_users",
     "text_bpe_encode",
     "text_bpe_train_batched",
-    "text_bpe_train_merges",
 )
 
 
@@ -950,6 +953,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_semdecon_sensitivity": (
             semdedup.DECONTAMINATE_THRESHOLD_SENSITIVITY_SQL
+        ),
+        "text_decon_screen_agreement": (
+            semdedup.DECON_SCREEN_AGREEMENT_SQL
         ),
         "tpch_q7_volume_shipping": tpch.Q7_SQL,
         "tpch_q8_market_share": tpch.Q8_SQL,

@@ -521,6 +521,76 @@ DECONTAMINATE_THRESHOLD_SENSITIVITY_SQL = (
     _decontaminate_threshold_sensitivity_sql()
 )
 
+
+def decon_screen_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(screen, n_docs, avg_hit_grams, avg_max_sim): agreement audit
+    between the two contamination screens — the n-gram collision gate
+    (text_decontaminate, the GPT-3 appendix-C method) and the
+    embedding-similarity screen (text_decontaminate_semantic). Every
+    flagged training doc lands in exactly one class: ``both``,
+    ``ngram_only`` (verbatim overlap the loose cosine threshold
+    missed), or ``semantic_only`` (the paraphrase bucket — shared
+    meaning with NO shared n-grams, the class that justifies running
+    the semantic screen at all). Per class: doc count, mean n-gram
+    hits, mean best cosine.
+
+    Scale shape: a doc_id-keyed full-outer join of two already-
+    bounded screen outputs (each much smaller than the corpus),
+    then a 3-group rollup — composition adds one keyed exchange.
+    """
+    from spark_app_twitter_spark.operators import textstats
+
+    ng = textstats.decontaminate(spark, sf_dir)
+    sem = decontaminate_semantic(spark, sf_dir).select(
+        "doc_id", "max_sim"
+    )
+    j = ng.join(sem, "doc_id", "full_outer")
+    screen = (
+        F.when(
+            F.col("n_hit_grams").isNotNull()
+            & F.col("max_sim").isNotNull(),
+            F.lit("both"),
+        )
+        .when(F.col("n_hit_grams").isNotNull(), F.lit("ngram_only"))
+        .otherwise(F.lit("semantic_only"))
+    )
+    return (
+        j.groupBy(screen.alias("screen"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("n_hit_grams"), 6).alias("avg_hit_grams"),
+            F.round(F.avg("max_sim"), 6).alias("avg_max_sim"),
+        )
+    )
+
+
+def _decon_screen_agreement_sql() -> str:
+    from spark_app_twitter_spark.operators.textstats import (
+        DECONTAMINATE_SQL,
+    )
+
+    return f"""
+WITH ng AS (SELECT * FROM ({DECONTAMINATE_SQL})),
+sem AS (SELECT doc_id, max_sim FROM ({DECONTAMINATE_SEMANTIC_SQL})),
+j AS (
+  SELECT coalesce(ng.doc_id, sem.doc_id) AS doc_id,
+         ng.n_hit_grams, sem.max_sim
+  FROM ng FULL OUTER JOIN sem ON ng.doc_id = sem.doc_id
+)
+SELECT CASE WHEN n_hit_grams IS NOT NULL AND max_sim IS NOT NULL
+              THEN 'both'
+            WHEN n_hit_grams IS NOT NULL THEN 'ngram_only'
+            ELSE 'semantic_only' END AS screen,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(n_hit_grams), 6) AS avg_hit_grams,
+       round(avg(max_sim), 6) AS avg_max_sim
+FROM j
+GROUP BY 1
+"""
+
+
+DECON_SCREEN_AGREEMENT_SQL = _decon_screen_agreement_sql()
+
 # The registered default (VERDICT r06 item 4): `sem_dedup` IS the
 # two-level path; the flat trainer stays available as the explicit
 # small-n variant `sem_dedup_flat`. The aliases keep every historic
@@ -542,6 +612,8 @@ __all__ = [
     "DECONTAMINATE_SEMANTIC_SQL",
     "decontaminate_threshold_sensitivity",
     "DECONTAMINATE_THRESHOLD_SENSITIVITY_SQL",
+    "decon_screen_agreement",
+    "DECON_SCREEN_AGREEMENT_SQL",
     "SEMDECON_GRID",
     "SEMDECON_THRESHOLD",
     "SEM_DUP_THRESHOLD",

@@ -4910,3 +4910,26 @@ def test_semdecon_sensitivity_planted_paraphrases_transition(
         assert r.n_flagged_capped == r.n_flagged
         if r.n_flagged:
             assert r.cap_recall == 1.0
+
+
+def test_decon_screen_agreement_parity_and_partition(spark, sf_dir):
+    """Screen-agreement audit: oracle parity, plus the classes
+    partition the union of both screens' flagged docs (doc counts
+    reconcile exactly against the two source screens)."""
+    from spark_app_twitter_spark.operators import semdedup
+
+    df = semdedup.decon_screen_agreement(spark, sf_dir)
+    assert_parity(
+        df, semdedup.DECON_SCREEN_AGREEMENT_SQL, sf_dir,
+        "decon_screen_agreement",
+    )
+    rows = {r.screen: r for r in
+            semdedup.decon_screen_agreement(spark, sf_dir).collect()}
+    n_ng = textstats.decontaminate(spark, sf_dir).count()
+    n_sem = semdedup.decontaminate_semantic(spark, sf_dir).count()
+    both = rows.get("both")
+    n_both = both.n_docs if both else 0
+    n_ngo = rows["ngram_only"].n_docs if "ngram_only" in rows else 0
+    n_semo = rows["semantic_only"].n_docs if "semantic_only" in rows else 0
+    assert n_both + n_ngo == n_ng
+    assert n_both + n_semo == n_sem
