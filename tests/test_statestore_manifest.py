@@ -300,3 +300,37 @@ def test_scd2_replay_of_merged_batch_keeps_audit_empty(spark, tmp_path):
     assert scd2_late_audit(spark, path).count() == 0
     after = sorted(tuple(r) for r in scd2_table(spark, path).collect())
     assert after == before
+
+
+@pytest.mark.parametrize("backend", ["pointer", "manifest"])
+def test_q3_maintainer_parity_across_realizations(
+    spark, sf_dir, tmp_path, monkeypatch, backend
+):
+    """The join-bearing Q3 maintainer rides the same transact seam:
+    folding two insert batches plus an exactly-once replay yields the
+    batch Q3 report on either realization."""
+    monkeypatch.setenv("SPARK_GRAFT_STATE_BACKEND", backend)
+    from spark_app_twitter_spark.sources.parquet import load_table
+    from spark_app_twitter_spark.streaming import q3serve
+
+    path = f"{tmp_path}/q3_{backend}"
+    li = load_table(spark, sf_dir, "lineitem")
+    for i in range(2):
+        q3serve.apply_q3_batch(
+            li.where(F.col("l_orderkey") % 2 == i), i, path, sf_dir
+        )
+    q3serve.apply_q3_batch(
+        li.where(F.col("l_orderkey") % 2 == 1), 1, path, sf_dir
+    )
+    got = sorted(
+        tuple(r)
+        for r in q3serve.q3_report_from_partials(spark, path).collect()
+    )
+    from spark_app_twitter_spark.operators import tpch
+
+    want = sorted(
+        tuple(r)
+        for r in tpch.q3_shipping_priority(spark, sf_dir).collect()
+    )
+    assert got == want
+    assert statestore.backend_for(path) == backend
