@@ -492,6 +492,9 @@ _R11_WINDOW = (
     "serving_rfm_scores",
     "serving_power_users",
     "text_perplexity_buckets",
+    # (b, late r11) the shared bench/train-split refactor touches the
+    # production semantic screen too — re-attest it
+    "text_decontaminate_semantic",
     # (c) r05 attestations
     "text_tfidf_top_terms",
     "tpch_promo_revenue_share",
@@ -537,7 +540,6 @@ _R11_WINDOW = (
     "sketch_hist_quantiles",
     "sketch_hll_daily_users",
     "text_bpe_encode",
-    "text_bpe_train_batched",
 )
 
 

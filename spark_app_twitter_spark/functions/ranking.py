@@ -190,9 +190,13 @@ def exact_running_total(
 
     The output column keeps the value column's type class: integral
     inputs yield a ``long`` (the window-SQL oracle's sum type);
-    fractional/decimal inputs keep Spark's natural sum type — no
-    silent truncation to integer. NULL values sum as 0 (SQL SUM
-    ignores NULLs; an all-NULL partition contributes a 0 offset)."""
+    float inputs yield ``double``; DecimalType inputs are summed at
+    Spark's decimal-sum precision (p+10 capped at 38) and the offset
+    literal is cast to that exact type, so the output dtype equals
+    the plain window sum's — totals whose integral part outgrows
+    that precision follow Spark's decimal overflow semantics, as the
+    window form would. NULL values sum as 0 (SQL SUM ignores NULLs;
+    an all-NULL partition contributes a 0 offset)."""
     d = _range_partitioned(df, order_exprs, nbuckets)
     off, _ = _offsets(d, value)
     hi = 0 if include_current else -1
@@ -204,6 +208,17 @@ def exact_running_total(
     local = F.coalesce(F.sum(value).over(w), F.lit(0))
     vt = d.select(value.alias("_v")).schema[0].dataType.simpleString()
     integral = vt in {"tinyint", "smallint", "int", "bigint"}
+    if vt.startswith("decimal"):
+        # pin the offset literal to the window-sum's type — F.lit on
+        # a Python Decimal infers decimal(38,18), whose addition
+        # would spill past precision 38 and degrade the output dtype
+        sum_t = d.select(
+            F.sum(value).over(w).alias("_s")
+        ).schema[0].dataType.simpleString()
+        off = off.cast(sum_t)
+        return d.withColumn(
+            out, (off + local).cast(sum_t)
+        ).drop(_PID)
     res = off + local
     return d.withColumn(
         out, res.cast("long") if integral else res

@@ -236,20 +236,21 @@ SEMDECON_THRESHOLD = 0.30  # deliberately LOOSER than the dedup
 # similarity ~0; real corpora tune ~0.90-0.95.
 
 
-def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_bench_hits, max_sim, bench_id): training docs whose
-    embedding sits within SEMDECON_THRESHOLD cosine of a held-out
-    benchmark doc sharing their fine cell — per contaminated doc, the
-    number of (capped) benchmark neighbours over threshold, the best
-    similarity (6dp), and the best-matching benchmark id (ties break
-    on the LOWEST bench id).
+def _bench_train_split(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """ONE definition of the semantic screens' held-out split and
+    per-cell bench ordering, shared by the production screen
+    (decontaminate_semantic) and its sensitivity audit — the audit's
+    cap_recall is only ground truth if its in_cap flag matches the
+    production cap filter exactly, so the construction cannot fork.
 
-    Scale shape: rides the shared two-level assignment (shuffle-free
-    inline scoring against driver-held centroids); the bench×train
-    pair stage is a cell-keyed equi-join with the bench side capped
-    per cell — Σ min(|bench∩cell|, CAP)·|cell| <= n·CAP, the
-    semdedup bound. The rollup is doc_id-keyed.
-    """
+    Returns (bench, train): bench rows carry (bench_id, bv, cell,
+    brank) with brank the 1-based lowest-id-first rank within the
+    cell (the production screen keeps brank <= SEM_CANDIDATE_CAP);
+    train rows carry (doc_id, tv, cell)."""
+    from pyspark.sql import Window
+
     from spark_app_twitter_spark.operators.clustering import (
         kmeans_cells_2level_assigned,
     )
@@ -264,22 +265,43 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # feeds both join sides
     )
     is_b = (F.col("vec_id") % DECON_BENCH_MOD) == DECON_BENCH_REM
-    from pyspark.sql import Window
-
     brank = F.row_number().over(
         Window.partitionBy("cell").orderBy(F.asc("vec_id"))
     )
     bench = (
         assigned.where(is_b)
         .withColumn("brank", brank)
-        .where(F.col("brank") <= SEM_CANDIDATE_CAP)
         .select(
-            F.col("vec_id").alias("bench_id"), F.col("v").alias("bv"), "cell"
+            F.col("vec_id").alias("bench_id"),
+            F.col("v").alias("bv"),
+            "cell",
+            "brank",
         )
     )
     train = assigned.where(~is_b).select(
         F.col("vec_id").alias("doc_id"), F.col("v").alias("tv"), "cell"
     )
+    return bench, train
+
+
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bench_hits, max_sim, bench_id): training docs whose
+    embedding sits within SEMDECON_THRESHOLD cosine of a held-out
+    benchmark doc sharing their fine cell — per contaminated doc, the
+    number of (capped) benchmark neighbours over threshold, the best
+    similarity (6dp), and the best-matching benchmark id (ties break
+    on the LOWEST bench id).
+
+    Scale shape: rides the shared two-level assignment (shuffle-free
+    inline scoring against driver-held centroids); the bench×train
+    pair stage is a cell-keyed equi-join with the bench side capped
+    per cell — Σ min(|bench∩cell|, CAP)·|cell| <= n·CAP, the
+    semdedup bound. The rollup is doc_id-keyed.
+    """
+    bench_ranked, train = _bench_train_split(spark, sf_dir)
+    bench = bench_ranked.where(
+        F.col("brank") <= SEM_CANDIDATE_CAP
+    ).select("bench_id", "bv", "cell")
     hits = (
         train.join(bench, "cell")
         .withColumn(
@@ -310,7 +332,11 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _decontaminate_semantic_sql() -> str:
+def _bench_train_sql_ctes() -> str:
+    """The SQL realization of _bench_train_split — the twins share
+    this text so the oracle-side split/cap construction cannot fork
+    either. Yields CTEs: ... , assigned, bench_ranked (bench_id, bv,
+    cell, brank), train (doc_id, tv, cell)."""
     from spark_app_twitter_spark.operators.clustering import (
         kmeans_cells_2level_ctes,
     )
@@ -321,23 +347,29 @@ def _decontaminate_semantic_sql() -> str:
 
     parts, final = kmeans_cells_2level_ctes()
     chain = ",\n".join(parts)
-    return f"""
-WITH {chain},
+    return f"""{chain},
 cells2 AS ({final}),
 assigned AS (
   SELECT c.vec_id, e.v, c.cell FROM cells2 c JOIN emb e USING (vec_id)
 ),
-bench AS (
-  SELECT vec_id AS bench_id, v AS bv, cell
-  FROM (SELECT vec_id, v, cell, row_number() OVER (
-          PARTITION BY cell ORDER BY vec_id ASC) AS brank
-        FROM assigned
-        WHERE vec_id % {DECON_BENCH_MOD} = {DECON_BENCH_REM})
-  WHERE brank <= {SEM_CANDIDATE_CAP}
+bench_ranked AS (
+  SELECT vec_id AS bench_id, v AS bv, cell, row_number() OVER (
+           PARTITION BY cell ORDER BY vec_id ASC) AS brank
+  FROM assigned
+  WHERE vec_id % {DECON_BENCH_MOD} = {DECON_BENCH_REM}
 ),
 train AS (
   SELECT vec_id AS doc_id, v AS tv, cell FROM assigned
   WHERE vec_id % {DECON_BENCH_MOD} <> {DECON_BENCH_REM}
+)"""
+
+
+def _decontaminate_semantic_sql() -> str:
+    return f"""
+WITH {_bench_train_sql_ctes()},
+bench AS (
+  SELECT bench_id, bv, cell FROM bench_ranked
+  WHERE brank <= {SEM_CANDIDATE_CAP}
 ),
 hits AS (
   SELECT doc_id, bench_id,
@@ -390,36 +422,11 @@ def decontaminate_threshold_sensitivity(
     One pass over the pair relation: the 8-row grid broadcasts, and
     map-side combine collapses each task to |grid| groups.
     """
-    from pyspark.sql import Window
-
-    from spark_app_twitter_spark.operators.clustering import (
-        kmeans_cells_2level_assigned,
-    )
-    from spark_app_twitter_spark.operators.textstats import (
-        DECON_BENCH_MOD,
-        DECON_BENCH_REM,
-    )
-
-    assigned = (
-        kmeans_cells_2level_assigned(spark, sf_dir)
-        .select("vec_id", "v", "cell")
-        .localCheckpoint(eager=True)  # feeds both join sides
-    )
-    is_b = (F.col("vec_id") % DECON_BENCH_MOD) == DECON_BENCH_REM
-    brank = F.row_number().over(
-        Window.partitionBy("cell").orderBy(F.asc("vec_id"))
-    )
-    bench = (
-        assigned.where(is_b)
-        .withColumn("brank", brank)
-        .select(
-            F.col("v").alias("bv"),
-            "cell",
-            (F.col("brank") <= SEM_CANDIDATE_CAP).alias("in_cap"),
-        )
-    )
-    train = assigned.where(~is_b).select(
-        F.col("vec_id").alias("doc_id"), F.col("v").alias("tv"), "cell"
+    bench_ranked, train = _bench_train_split(spark, sf_dir)
+    bench = bench_ranked.select(
+        "bv",
+        "cell",
+        (F.col("brank") <= SEM_CANDIDATE_CAP).alias("in_cap"),
     )
     pairs = train.join(bench, "cell").select(
         "doc_id",
@@ -460,33 +467,12 @@ def decontaminate_threshold_sensitivity(
 
 
 def _decontaminate_threshold_sensitivity_sql() -> str:
-    from spark_app_twitter_spark.operators.clustering import (
-        kmeans_cells_2level_ctes,
-    )
-    from spark_app_twitter_spark.operators.textstats import (
-        DECON_BENCH_MOD,
-        DECON_BENCH_REM,
-    )
-
-    parts, final = kmeans_cells_2level_ctes()
-    chain = ",\n".join(parts)
     grid = ", ".join(str(t) for t in SEMDECON_GRID)
     return f"""
-WITH {chain},
-cells2 AS ({final}),
-assigned AS (
-  SELECT c.vec_id, e.v, c.cell FROM cells2 c JOIN emb e USING (vec_id)
-),
+WITH {_bench_train_sql_ctes()},
 bench AS (
-  SELECT v AS bv, cell, brank <= {SEM_CANDIDATE_CAP} AS in_cap
-  FROM (SELECT v, cell, row_number() OVER (
-          PARTITION BY cell ORDER BY vec_id ASC) AS brank
-        FROM assigned
-        WHERE vec_id % {DECON_BENCH_MOD} = {DECON_BENCH_REM})
-),
-train AS (
-  SELECT vec_id AS doc_id, v AS tv, cell FROM assigned
-  WHERE vec_id % {DECON_BENCH_MOD} <> {DECON_BENCH_REM}
+  SELECT bv, cell, brank <= {SEM_CANDIDATE_CAP} AS in_cap
+  FROM bench_ranked
 ),
 pairs AS (
   SELECT doc_id, in_cap,

@@ -1439,7 +1439,14 @@ def _lm_scoring_join(bi: DataFrame, modelq: DataFrame, mode: str | None):
 
     mode = mode or _os.environ.get("SPARK_GRAFT_LM_JOIN", "broadcast")
     if mode not in LM_JOIN_MODES:
-        mode = "broadcast"
+        # fail FAST: a caller reaching for this seam is opting out of
+        # the broadcast because the model is too big for it — quietly
+        # coercing a typo'd mode back to broadcast would OOM the
+        # driver with the exact failure they asked to avoid
+        raise ValueError(
+            f"unknown LM scoring join mode {mode!r}; expected one of "
+            f"{LM_JOIN_MODES}"
+        )
     if mode == "shuffle":
         # distributed hash join on bg: the model never leaves the
         # cluster, both sides shuffle on the bigram key (the model

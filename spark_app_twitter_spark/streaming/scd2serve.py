@@ -62,17 +62,34 @@ def apply_scd2_batch(batch: DataFrame, batch_id: int, path: str) -> None:
     obs = batch.select(
         "user_id", "attr_k", "ts", "event_id"
     ).dropDuplicates(["user_id", "event_id"])
+    # the late-audit plan is computed inside the merge (it needs the
+    # stored state) but WRITTEN only after the transact commits —
+    # merge_fn must stay side-effect-free so a manifest-backend
+    # conflict retry cannot persist flags computed against a stale
+    # read (the cell always holds the WINNING merge's plan)
+    late_cell: dict[str, DataFrame] = {}
     transact(
         spark,
         path,
         _HIST_DDL,
-        lambda stored: _merged_history(spark, obs, batch_id, path, stored),
+        lambda stored: _merged_history(
+            spark, obs, batch_id, stored, late_cell
+        ),
     )
+    if "late" in late_cell:
+        late_cell["late"].write.mode("append").parquet(
+            os.path.join(path, _LATE_DIR)
+        )
 
 
 def _merged_history(
-    spark, obs: DataFrame, batch_id: int, path: str, stored: DataFrame | None
+    spark,
+    obs: DataFrame,
+    batch_id: int,
+    stored: DataFrame | None,
+    late_cell: dict,
 ) -> DataFrame:
+    late_cell.pop("late", None)  # a retry recomputes against new state
     if stored is None:
         return scd2_from_observations(obs)
     touched = obs.select("user_id").distinct()
@@ -120,7 +137,9 @@ def _merged_history(
             "min_ts",
         )
     )
-    late.write.mode("append").parquet(os.path.join(path, _LATE_DIR))
+    # materialize now (|touched|-bounded) so the post-commit write
+    # does not depend on the read snapshot surviving pruning
+    late_cell["late"] = late.localCheckpoint(eager=True)
     prior_obs = prior.select(
         "user_id",
         "attr_k",
@@ -173,6 +192,13 @@ def scd2_replay_late_users(
     a crash mid-replay leaves the worklist intact for a retry, and a
     concurrent stream's fresh audit appends survive the clear."""
     if read_state(spark, path, _HIST_DDL) is None:
+        return 0
+    # empty-worklist fast path: the steady-state poll must not
+    # publish (a publish rewrites the full dimension as a new
+    # snapshot and burns a version); the worklist is re-read inside
+    # the merge, so a flag landing between this check and the
+    # transact is simply picked up by the next poll
+    if scd2_late_audit(spark, path).limit(1).count() == 0:
         return 0
     late_dir = os.path.join(path, _LATE_DIR)
     state = {"n": 0, "files": []}

@@ -157,8 +157,26 @@ def read_state(spark: SparkSession, path: str, ddl: str) -> DataFrame | None:
                 f"state path {path!r} has BOTH a LATEST pointer and a "
                 "_manifests/ commit log — one path, one realization"
             )
-        return _read_manifest_state(
-            spark, path, ddl, _manifest_version(path)
+        # churn retry: between listing the max manifest and opening
+        # it, a burst of >= _keep() concurrent commits can prune it.
+        # If the version moved, re-list; a version that holds still
+        # but cannot be resolved is real corruption — raise, never
+        # silently serve an empty report over existing state.
+        for _ in range(8):
+            v = _manifest_version(path)
+            if v == 0:
+                return None
+            df = _read_manifest_state(spark, path, ddl, v)
+            if df is not None:
+                return df
+            if _manifest_version(path) == v:
+                raise RuntimeError(
+                    f"state path {path!r}: manifest m-{v} exists but "
+                    "its snapshot is unreadable — corrupted commit"
+                )
+        raise RuntimeError(
+            f"state path {path!r}: manifest churn outran 8 read "
+            "retries — raise SPARK_GRAFT_STATE_KEEP"
         )
     if n == 0:
         _reject_legacy_layout(path)
@@ -383,6 +401,18 @@ def transact(
         with state_lock(path):
             publish_state(merge_fn(read_state(spark, path, ddl)), path)
         return
+    # the manifest branch must honor the same layout guards the
+    # pointer read enforces: committing manifests over a LATEST
+    # pointer forks the state, and committing over a pre-snapshot
+    # flat-parquet dir silently restarts the fold from empty
+    if _current_version(path):
+        raise RuntimeError(
+            f"state path {path!r} has a LATEST pointer — refusing to "
+            "start a _manifests/ commit log on it (one path, one "
+            "realization)"
+        )
+    if _manifest_version(path) == 0:
+        _reject_legacy_layout(path)
     for _ in range(max_retries):
         v = _manifest_version(path)
         stored = _read_manifest_state(spark, path, ddl, v)
@@ -391,6 +421,17 @@ def transact(
             return
         except CommitConflict:
             continue
+        except Exception:
+            # snapshot-churn race: with >= _keep() commits landing
+            # between our read and our write, the snapshot the lazy
+            # `stored` plan captured may have been pruned — the merge
+            # then fails with a FileNotFound-class error instead of a
+            # CommitConflict. If the version moved, that is what
+            # happened: re-read the NEW state and retry. If it did
+            # not move, the failure is real — re-raise.
+            if _manifest_version(path) != v:
+                continue
+            raise
     raise RuntimeError(
         f"transact: gave up after {max_retries} commit conflicts on "
         f"{path!r} — a writer is livelocked or retries are too low"

@@ -119,3 +119,24 @@ def test_running_total_preserves_fractional_type(spark):
         F.abs(F.col("rt") - F.col("wrt")) > 1e-9
     )
     assert diff.count() == 0
+
+
+def test_running_total_decimal_matches_window_and_dtype(spark):
+    """DecimalType values: the output dtype equals the plain window
+    sum's (offset literal pinned to the decimal-sum type — naive
+    Decimal literals would spill past precision 38), and values match
+    the global window exactly."""
+    rows = [(i, i, f"{(i % 13) * 7}.25") for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, m long, s string").select(
+        "id", "m", F.col("s").cast("decimal(38,2)").alias("c")
+    )
+    got = exact_running_total(
+        df, [F.asc("m")], F.col("c"), "rt", include_current=True
+    )
+    w = Window.orderBy(F.asc("m")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = df.select("id", F.sum("c").over(w).alias("wrt"))
+    assert dict(got.dtypes)["rt"] == dict(want.dtypes)["wrt"]
+    diff = got.join(want, "id").where(F.col("rt") != F.col("wrt"))
+    assert diff.count() == 0
