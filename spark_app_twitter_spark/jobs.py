@@ -251,3 +251,114 @@ def prepare_training_corpus_v2(
         .distinct()
         .count(),
     }
+
+
+def prepare_training_corpus_v3(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    n_shards: int = 8,
+) -> dict:
+    """The round-11 capstone: v2's lexical funnel PLUS the embedding
+    layer — what a modern multimodal-era corpus build actually runs,
+    every stage one of the engine's oracle-verified operators:
+
+      1. segment-level paragraph dedup gate (as v2);
+      2. lexical near-dup clusters -> keep-best survivor (as v2);
+      3. SEMANTIC dedup keep-first survivors (SemDeDup cells over
+         the embedding column; a doc must have an embedding to pass
+         this stage — the vec_id == doc_id contract);
+      4. DUAL decontamination: a doc is disqualified by a true
+         benchmark n-gram hit (bloom-prefiltered exact gate) OR by
+         an embedding-cosine hit against the held-out benchmark
+         (the paraphrase-robust screen) — the two screens whose
+         agreement text_decon_screen_agreement audits;
+      5. mixture epoch expansion + deterministic shuffle-shard
+         export (as v2).
+
+    Returns the per-stage funnel report including the per-screen
+    contamination split. Scale shape unchanged from v2: every stage
+    is a semi/anti join of small key relations against one corpus
+    scan; the embedding stages ride the shared two-level cell
+    assignment; nothing corpus-sized collects driver-side.
+    """
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.operators.dedup import (
+        cluster_best_representatives,
+        paragraph_dedup,
+    )
+    from spark_app_twitter_spark.operators.semdedup import (
+        decontaminate_semantic,
+        semdedup as sem_dedup_cells,
+    )
+    from spark_app_twitter_spark.operators.textstats import (
+        decontaminate_bloom,
+        mixture_apply,
+    )
+    from spark_app_twitter_spark.sources.sinks import write_training_shards
+
+    # stage frames are checkpointed: export AND funnel counts both
+    # consume them (v2 discipline)
+    seg = paragraph_dedup(spark, sf_dir).localCheckpoint(eager=True)
+    seg_keep = seg.where(
+        F.col("n_dropped") * 2 <= F.col("n_segments")
+    ).select("doc_id")
+    reps = (
+        cluster_best_representatives(spark, sf_dir)
+        .select(F.col("rep_doc_id").alias("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    sem_keep = (
+        sem_dedup_cells(spark, sf_dir)
+        .where(F.col("keep"))
+        .select(F.col("vec_id").alias("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    cont_ngram = (
+        decontaminate_bloom(spark, sf_dir)
+        .where(F.col("n_hit_grams") > 0)
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    cont_sem = (
+        decontaminate_semantic(spark, sf_dir)
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    epochs = mixture_apply(spark, sf_dir).localCheckpoint(eager=True)
+    survivors = (
+        epochs.join(seg_keep, "doc_id", "left_semi")
+        .join(reps, "doc_id", "left_semi")
+        .join(sem_keep, "doc_id", "left_semi")
+        .join(cont_ngram, "doc_id", "left_anti")
+        .join(cont_sem, "doc_id", "left_anti")
+    )
+    keyed = survivors.withColumn(
+        "shuffle_key",
+        F.md5(F.concat_ws(":", F.col("doc_id"), F.col("epoch"))),
+    )
+    write_training_shards(
+        keyed,
+        out_path,
+        n_shards,
+        "shuffle_key",
+        sort_cols=["shuffle_key"],
+    )
+    written = spark.read.parquet(out_path)
+    return {
+        "corpus": seg.count(),
+        "after_segment_gate": seg_keep.count(),
+        "lexical_representatives": reps.count(),
+        "semantic_survivors": sem_keep.count(),
+        "contaminated_ngram": cont_ngram.count(),
+        "contaminated_semantic": cont_sem.count(),
+        "contaminated_both": cont_ngram.join(
+            cont_sem, "doc_id", "left_semi"
+        ).count(),
+        "epoch_rows": epochs.count(),
+        "written_rows": written.count(),
+        "distinct_docs_written": written.select("doc_id")
+        .distinct()
+        .count(),
+    }

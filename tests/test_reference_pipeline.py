@@ -205,3 +205,59 @@ def test_prepare_training_corpus_v2_funnel(spark, tmp_path, sf_dir):
         .collect()
     }
     assert a == b
+
+
+def test_prepare_training_corpus_v3_dual_screen_funnel(
+    spark, tmp_path, sf_dir
+):
+    """The r11 capstone: the embedding layer joins the funnel — the
+    export contains no semantic near-duplicate losers and no doc
+    flagged by EITHER contamination screen; stage counts reconcile;
+    two runs are bit-identical."""
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark import jobs
+    from spark_app_twitter_spark.operators.semdedup import (
+        decontaminate_semantic,
+        semdedup as sem_dedup_cells,
+    )
+    from spark_app_twitter_spark.operators.textstats import (
+        decontaminate_bloom,
+    )
+
+    out1 = str(tmp_path / "v3a")
+    r = jobs.prepare_training_corpus_v3(spark, sf_dir, out1, n_shards=4)
+    assert r["after_segment_gate"] <= r["corpus"]
+    assert r["semantic_survivors"] <= r["corpus"]
+    assert r["contaminated_both"] <= min(
+        r["contaminated_ngram"], r["contaminated_semantic"]
+    )
+    assert r["written_rows"] > 0
+    written = spark.read.parquet(out1)
+    # neither screen's flags may appear in the export
+    for flagged in (
+        decontaminate_bloom(spark, sf_dir).where(F.col("n_hit_grams") > 0),
+        decontaminate_semantic(spark, sf_dir),
+    ):
+        assert written.join(flagged, "doc_id", "left_semi").count() == 0
+    # no semantic-dedup loser may appear either
+    losers = (
+        sem_dedup_cells(spark, sf_dir)
+        .where(~F.col("keep"))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    assert written.join(losers, "doc_id", "left_semi").count() == 0
+    # determinism
+    out2 = str(tmp_path / "v3b")
+    jobs.prepare_training_corpus_v3(spark, sf_dir, out2, n_shards=4)
+    a = {
+        tuple(x)
+        for x in written.select("doc_id", "epoch", "shuffle_key").collect()
+    }
+    b = {
+        tuple(x)
+        for x in spark.read.parquet(out2)
+        .select("doc_id", "epoch", "shuffle_key")
+        .collect()
+    }
+    assert a == b

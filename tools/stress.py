@@ -121,6 +121,15 @@ STRESS_QUERIES = [
     # r10: embedding contamination screen — the semdedup bound
     # (bench side capped per cell; cell-keyed equi-join)
     "text_decontaminate_semantic",
+    # r11: the threshold-sensitivity audit runs the UNCAPPED
+    # intra-cell pair relation (its ground truth) — an audit-class
+    # job whose pair volume is Σ|bench∩cell|·|cell| (bench is 2% of
+    # docs); the replication fixture's exact-duplicate embeddings
+    # inflate cells, so this is its worst case
+    "text_semdecon_sensitivity",
+    # r11: screen-agreement rollup — composes the two bounded screens
+    # plus one doc_id-keyed outer join
+    "text_decon_screen_agreement",
     # round 7: IVF+int8 serving composition (candidate-bounded +
     # RERANK_M-bounded float math), contrastive pair mining (its
     # registered stage 1 is the EXACT sampled-cohort top-k, so the
