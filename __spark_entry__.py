@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from spark_app_twitter_spark import jobs
 from spark_app_twitter_spark.sources import bucketing as layout
 from spark_app_twitter_spark.operators import (
     graph,
@@ -455,6 +456,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r11: agreement audit between the n-gram and semantic
         # contamination screens (the paraphrase bucket made visible)
         "text_decon_screen_agreement": semdedup.decon_screen_agreement,
+        # r11: the dual-screen corpus-build funnel report — the
+        # capstone composition itself, driver-attested (its oracle
+        # replays every component twin)
+        "pipeline_funnel_v3": jobs.pipeline_funnel_v3,
         "sim_knn_bruteforce": similarity.knn_bruteforce,
         "sim_knn_lsh": similarity.knn_lsh,
         "sim_embedding_near_dup": similarity.embedding_near_dup,
@@ -487,6 +492,7 @@ _R11_WINDOW = (
     # (a) never-attested
     "text_semdecon_sensitivity",
     "text_decon_screen_agreement",
+    "pipeline_funnel_v3",
     # (b) changed this round
     "text_bigram_lm_score",
     "serving_rfm_scores",
@@ -539,7 +545,6 @@ _R11_WINDOW = (
     "sketch_cms_top_terms",
     "sketch_hist_quantiles",
     "sketch_hll_daily_users",
-    "text_bpe_encode",
 )
 
 
@@ -959,6 +964,7 @@ def oracle_sql() -> dict[str, str]:
         "text_decon_screen_agreement": (
             semdedup.DECON_SCREEN_AGREEMENT_SQL
         ),
+        "pipeline_funnel_v3": jobs.PIPELINE_FUNNEL_V3_SQL,
         "tpch_q7_volume_shipping": tpch.Q7_SQL,
         "tpch_q8_market_share": tpch.Q8_SQL,
         "tpch_q9_product_profit": tpch.Q9_SQL,

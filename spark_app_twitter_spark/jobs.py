@@ -362,3 +362,160 @@ def prepare_training_corpus_v3(
         .distinct()
         .count(),
     }
+
+
+def pipeline_funnel_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(stage, n_docs): the v3 corpus-build funnel report as a
+    relation — the oracle-gated face of prepare_training_corpus_v3
+    (same stage relations, counts instead of a shard export), so the
+    capstone composition itself is driver-attested against a DuckDB
+    twin that replays every component oracle.
+
+    Scale shape: each stage count is one aggregation over the same
+    key relations the job builds; the stage frames checkpoint once
+    and feed both the survivor join and their counts.
+    """
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.operators.dedup import (
+        cluster_best_representatives,
+        paragraph_dedup,
+    )
+    from spark_app_twitter_spark.operators.semdedup import (
+        decontaminate_semantic,
+        semdedup as sem_dedup_cells,
+    )
+    from spark_app_twitter_spark.operators.textstats import (
+        decontaminate_bloom,
+        mixture_apply,
+    )
+
+    seg = paragraph_dedup(spark, sf_dir).localCheckpoint(eager=True)
+    gate = seg.where(
+        F.col("n_dropped") * 2 <= F.col("n_segments")
+    ).select("doc_id")
+    reps = (
+        cluster_best_representatives(spark, sf_dir)
+        .select(F.col("rep_doc_id").alias("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    semk = (
+        sem_dedup_cells(spark, sf_dir)
+        .where(F.col("keep"))
+        .select(F.col("vec_id").alias("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    cn = (
+        decontaminate_bloom(spark, sf_dir)
+        .where(F.col("n_hit_grams") > 0)
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    cs = (
+        decontaminate_semantic(spark, sf_dir)
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    ep = mixture_apply(spark, sf_dir).select(
+        "doc_id", "epoch"
+    ).localCheckpoint(eager=True)
+    surv = (
+        ep.join(gate, "doc_id", "left_semi")
+        .join(reps, "doc_id", "left_semi")
+        .join(semk, "doc_id", "left_semi")
+        .join(cn, "doc_id", "left_anti")
+        .join(cs, "doc_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+
+    def row(stage: str, df: DataFrame, expr=None) -> DataFrame:
+        agg = expr if expr is not None else F.count(F.lit(1))
+        return df.agg(agg.cast("long").alias("n_docs")).select(
+            F.lit(stage).alias("stage"), "n_docs"
+        )
+
+    parts = [
+        row("corpus", seg),
+        row("after_segment_gate", gate),
+        row("lexical_representatives", reps),
+        row("semantic_survivors", semk),
+        row("contaminated_ngram", cn),
+        row("contaminated_semantic", cs),
+        row("contaminated_both", cn.join(cs, "doc_id", "left_semi")),
+        row("epoch_rows", ep),
+        row("surviving_epoch_rows", surv),
+        row(
+            "surviving_distinct_docs",
+            surv,
+            F.count_distinct(F.col("doc_id")),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _pipeline_funnel_v3_sql() -> str:
+    from spark_app_twitter_spark.operators.dedup import (
+        CLUSTER_BEST_REPRESENTATIVES_SQL,
+        PARAGRAPH_DEDUP_SQL,
+    )
+    from spark_app_twitter_spark.operators.semdedup import (
+        DECONTAMINATE_SEMANTIC_SQL,
+        SEMDEDUP_SQL,
+    )
+    from spark_app_twitter_spark.operators.textstats import (
+        DECONTAMINATE_BLOOM_SQL,
+        MIXTURE_APPLY_SQL,
+    )
+
+    # every component CTE is referenced by >= 2 downstream stages —
+    # MATERIALIZED stops DuckDB re-inlining the expensive chains
+    # (the connected-components / semdedup replays) per reference
+    return f"""
+WITH seg AS MATERIALIZED (SELECT * FROM ({PARAGRAPH_DEDUP_SQL})),
+gate AS MATERIALIZED (
+  SELECT doc_id FROM seg WHERE n_dropped * 2 <= n_segments
+),
+reps AS MATERIALIZED (
+  SELECT rep_doc_id AS doc_id FROM ({CLUSTER_BEST_REPRESENTATIVES_SQL})
+),
+semk AS MATERIALIZED (
+  SELECT vec_id AS doc_id FROM ({SEMDEDUP_SQL}) WHERE keep
+),
+cn AS MATERIALIZED (
+  SELECT doc_id FROM ({DECONTAMINATE_BLOOM_SQL}) WHERE n_hit_grams > 0
+),
+cs AS MATERIALIZED (
+  SELECT doc_id FROM ({DECONTAMINATE_SEMANTIC_SQL})
+),
+ep AS MATERIALIZED (
+  SELECT doc_id, epoch FROM ({MIXTURE_APPLY_SQL})
+),
+surv AS MATERIALIZED (
+  SELECT ep.doc_id, ep.epoch FROM ep
+  WHERE ep.doc_id IN (SELECT doc_id FROM gate)
+    AND ep.doc_id IN (SELECT doc_id FROM reps)
+    AND ep.doc_id IN (SELECT doc_id FROM semk)
+    AND ep.doc_id NOT IN (SELECT doc_id FROM cn)
+    AND ep.doc_id NOT IN (SELECT doc_id FROM cs)
+)
+SELECT 'corpus' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM seg
+UNION ALL SELECT 'after_segment_gate', CAST(count(*) AS BIGINT) FROM gate
+UNION ALL SELECT 'lexical_representatives', CAST(count(*) AS BIGINT)
+  FROM reps
+UNION ALL SELECT 'semantic_survivors', CAST(count(*) AS BIGINT) FROM semk
+UNION ALL SELECT 'contaminated_ngram', CAST(count(*) AS BIGINT) FROM cn
+UNION ALL SELECT 'contaminated_semantic', CAST(count(*) AS BIGINT) FROM cs
+UNION ALL SELECT 'contaminated_both', CAST(count(*) AS BIGINT)
+  FROM (SELECT doc_id FROM cn WHERE doc_id IN (SELECT doc_id FROM cs))
+UNION ALL SELECT 'epoch_rows', CAST(count(*) AS BIGINT) FROM ep
+UNION ALL SELECT 'surviving_epoch_rows', CAST(count(*) AS BIGINT)
+  FROM surv
+UNION ALL SELECT 'surviving_distinct_docs',
+  CAST(count(DISTINCT doc_id) AS BIGINT) FROM surv
+"""
+
+
+PIPELINE_FUNNEL_V3_SQL = _pipeline_funnel_v3_sql()

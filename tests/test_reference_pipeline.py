@@ -261,3 +261,36 @@ def test_prepare_training_corpus_v3_dual_screen_funnel(
         .collect()
     }
     assert a == b
+
+
+def test_pipeline_funnel_v3_parity_and_job_agreement(
+    spark, tmp_path, sf_dir
+):
+    """The funnel relation is oracle-exact AND equals the job's own
+    report (the attested face and the exporting face cannot drift)."""
+    from spark_app_twitter_spark import jobs
+    from tests.parity import assert_parity
+
+    assert_parity(
+        jobs.pipeline_funnel_v3(spark, sf_dir),
+        jobs.PIPELINE_FUNNEL_V3_SQL,
+        sf_dir,
+        "pipeline_funnel_v3",
+    )
+    got = {
+        r.stage: r.n_docs
+        for r in jobs.pipeline_funnel_v3(spark, sf_dir).collect()
+    }
+    rep = jobs.prepare_training_corpus_v3(
+        spark, sf_dir, str(tmp_path / "v3f"), n_shards=4
+    )
+    assert got["corpus"] == rep["corpus"]
+    assert got["after_segment_gate"] == rep["after_segment_gate"]
+    assert got["lexical_representatives"] == rep["lexical_representatives"]
+    assert got["semantic_survivors"] == rep["semantic_survivors"]
+    assert got["contaminated_ngram"] == rep["contaminated_ngram"]
+    assert got["contaminated_semantic"] == rep["contaminated_semantic"]
+    assert got["contaminated_both"] == rep["contaminated_both"]
+    assert got["epoch_rows"] == rep["epoch_rows"]
+    assert got["surviving_epoch_rows"] == rep["written_rows"]
+    assert got["surviving_distinct_docs"] == rep["distinct_docs_written"]
