@@ -460,6 +460,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # capstone composition itself, driver-attested (its oracle
         # replays every component twin)
         "pipeline_funnel_v3": jobs.pipeline_funnel_v3,
+        # r11: soft dedup — keep every doc, constant sampling mass
+        # per near-dup family (weight = 1/|cluster|)
+        "dedup_soft_weights": dedup.soft_dedup_weights,
         "sim_knn_bruteforce": similarity.knn_bruteforce,
         "sim_knn_lsh": similarity.knn_lsh,
         "sim_embedding_near_dup": similarity.embedding_near_dup,
@@ -493,6 +496,7 @@ _R11_WINDOW = (
     "text_semdecon_sensitivity",
     "text_decon_screen_agreement",
     "pipeline_funnel_v3",
+    "dedup_soft_weights",
     # (b) changed this round
     "text_bigram_lm_score",
     "serving_rfm_scores",
@@ -544,7 +548,6 @@ _R11_WINDOW = (
     "sim_embedding_pca",
     "sketch_cms_top_terms",
     "sketch_hist_quantiles",
-    "sketch_hll_daily_users",
 )
 
 
@@ -965,6 +968,7 @@ def oracle_sql() -> dict[str, str]:
             semdedup.DECON_SCREEN_AGREEMENT_SQL
         ),
         "pipeline_funnel_v3": jobs.PIPELINE_FUNNEL_V3_SQL,
+        "dedup_soft_weights": dedup.SOFT_DEDUP_WEIGHTS_SQL,
         "tpch_q7_volume_shipping": tpch.Q7_SQL,
         "tpch_q8_market_share": tpch.Q8_SQL,
         "tpch_q9_product_profit": tpch.Q9_SQL,

@@ -2202,3 +2202,51 @@ FROM by_c
 
 
 QUALITY_LIFT_SQL = _quality_lift_sql()
+
+
+def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size, weight): SOFT near-dup
+    deduplication — keep every document, down-weight near-duplicate
+    families so each cluster contributes constant sampling mass
+    (weight = 1/|cluster|, 6dp; singletons keep weight 1.0). The
+    alternative modern pipelines use when hard dropping loses
+    paraphrase diversity: the sampler consumes `weight` the way
+    text_weighted_sample consumes duplicate counts, and per-cluster
+    weights sum to 1 by construction (pinned in tests).
+
+    Scale shape: rides the O(n) lsh_clusters chain; one additional
+    cluster_id-keyed count + one cluster_id-keyed join — both linear,
+    both on the same key (the join reuses the count's partitioning).
+    """
+    clusters = lsh_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return clusters.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight"),
+    )
+
+
+def _soft_dedup_weights_sql() -> str:
+    # the first chain part carries its own WITH (the shared LSH
+    # prefix) — append, don't re-open
+    chain = ",\n".join(_lsh_clusters_sql_parts())
+    return f"""
+{chain},
+clusters AS (
+  SELECT doc_id, label AS cluster_id FROM l{CC_ITERS}
+),
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM clusters GROUP BY cluster_id
+)
+SELECT c.doc_id, c.cluster_id, s.cluster_size,
+       round(CAST(1.0 AS DOUBLE) / s.cluster_size, 6) AS weight
+FROM clusters c JOIN sizes s USING (cluster_id)
+"""
+
+
+SOFT_DEDUP_WEIGHTS_SQL = _soft_dedup_weights_sql()

@@ -4933,3 +4933,27 @@ def test_decon_screen_agreement_parity_and_partition(spark, sf_dir):
     n_semo = rows["semantic_only"].n_docs if "semantic_only" in rows else 0
     assert n_both + n_ngo == n_ng
     assert n_both + n_semo == n_sem
+
+
+def test_soft_dedup_weights_parity_and_mass_conservation(spark, sf_dir):
+    """Soft dedup: oracle parity; every doc keeps a row; per-cluster
+    weights sum to 1 (constant sampling mass per near-dup family);
+    singletons keep weight 1.0."""
+    got = dedup.soft_dedup_weights(spark, sf_dir)
+    assert_parity(
+        got, dedup.SOFT_DEDUP_WEIGHTS_SQL, sf_dir, "soft_dedup_weights"
+    )
+    df = dedup.soft_dedup_weights(spark, sf_dir)
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert df.count() == n_docs
+    bad_mass = (
+        df.groupBy("cluster_id")
+        .agg(F.sum("weight").alias("mass"))
+        .where(F.abs(F.col("mass") - 1.0) > 1e-3)
+        .count()
+    )
+    assert bad_mass == 0
+    singles = df.where(F.col("cluster_size") == 1)
+    assert singles.where(F.col("weight") != 1.0).count() == 0

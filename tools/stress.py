@@ -130,6 +130,9 @@ STRESS_QUERIES = [
     # r11: screen-agreement rollup — composes the two bounded screens
     # plus one doc_id-keyed outer join
     "text_decon_screen_agreement",
+    # r11: soft dedup rides the O(n) lsh_clusters chain + one
+    # cluster-keyed count/join pair
+    "dedup_soft_weights",
     # round 7: IVF+int8 serving composition (candidate-bounded +
     # RERANK_M-bounded float math), contrastive pair mining (its
     # registered stage 1 is the EXACT sampled-cohort top-k, so the
