@@ -253,34 +253,20 @@ def prepare_training_corpus_v2(
     }
 
 
-def prepare_training_corpus_v3(
-    spark: SparkSession,
-    sf_dir: str,
-    out_path: str,
-    n_shards: int = 8,
-) -> dict:
-    """The round-11 capstone: v2's lexical funnel PLUS the embedding
-    layer — what a modern multimodal-era corpus build actually runs,
-    every stage one of the engine's oracle-verified operators:
+def _v3_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """ONE definition of the v3 funnel's stage relations, shared by
+    the exporting job (prepare_training_corpus_v3) and the attested
+    funnel relation (pipeline_funnel_v3) so the two faces cannot
+    drift. Every frame is eagerly checkpointed: the survivor join
+    and the stage counts both consume them.
 
-      1. segment-level paragraph dedup gate (as v2);
-      2. lexical near-dup clusters -> keep-best survivor (as v2);
-      3. SEMANTIC dedup keep-first survivors (SemDeDup cells over
-         the embedding column; a doc must have an embedding to pass
-         this stage — the vec_id == doc_id contract);
-      4. DUAL decontamination: a doc is disqualified by a true
-         benchmark n-gram hit (bloom-prefiltered exact gate) OR by
-         an embedding-cosine hit against the held-out benchmark
-         (the paraphrase-robust screen) — the two screens whose
-         agreement text_decon_screen_agreement audits;
-      5. mixture epoch expansion + deterministic shuffle-shard
-         export (as v2).
-
-    Returns the per-stage funnel report including the per-screen
-    contamination split. Scale shape unchanged from v2: every stage
-    is a semi/anti join of small key relations against one corpus
-    scan; the embedding stages ride the shared two-level cell
-    assignment; nothing corpus-sized collects driver-side.
+    Keys: seg (paragraph report), gate (segment-gate survivors),
+    reps (lexical cluster representatives), semk (semantic dedup
+    keepers), cn / cs (n-gram / semantic contamination flags),
+    ep (mixture epoch rows, ALREADY excluding the held-out benchmark
+    docs — both screens flag only TRAINING docs, so the bench docs
+    themselves must be filtered here or they would sail through the
+    anti-joins into the export; the v1 job's documented invariant).
     """
     from pyspark.sql import functions as F
 
@@ -293,99 +279,8 @@ def prepare_training_corpus_v3(
         semdedup as sem_dedup_cells,
     )
     from spark_app_twitter_spark.operators.textstats import (
-        decontaminate_bloom,
-        mixture_apply,
-    )
-    from spark_app_twitter_spark.sources.sinks import write_training_shards
-
-    # stage frames are checkpointed: export AND funnel counts both
-    # consume them (v2 discipline)
-    seg = paragraph_dedup(spark, sf_dir).localCheckpoint(eager=True)
-    seg_keep = seg.where(
-        F.col("n_dropped") * 2 <= F.col("n_segments")
-    ).select("doc_id")
-    reps = (
-        cluster_best_representatives(spark, sf_dir)
-        .select(F.col("rep_doc_id").alias("doc_id"))
-        .localCheckpoint(eager=True)
-    )
-    sem_keep = (
-        sem_dedup_cells(spark, sf_dir)
-        .where(F.col("keep"))
-        .select(F.col("vec_id").alias("doc_id"))
-        .localCheckpoint(eager=True)
-    )
-    cont_ngram = (
-        decontaminate_bloom(spark, sf_dir)
-        .where(F.col("n_hit_grams") > 0)
-        .select("doc_id")
-        .localCheckpoint(eager=True)
-    )
-    cont_sem = (
-        decontaminate_semantic(spark, sf_dir)
-        .select("doc_id")
-        .localCheckpoint(eager=True)
-    )
-    epochs = mixture_apply(spark, sf_dir).localCheckpoint(eager=True)
-    survivors = (
-        epochs.join(seg_keep, "doc_id", "left_semi")
-        .join(reps, "doc_id", "left_semi")
-        .join(sem_keep, "doc_id", "left_semi")
-        .join(cont_ngram, "doc_id", "left_anti")
-        .join(cont_sem, "doc_id", "left_anti")
-    )
-    keyed = survivors.withColumn(
-        "shuffle_key",
-        F.md5(F.concat_ws(":", F.col("doc_id"), F.col("epoch"))),
-    )
-    write_training_shards(
-        keyed,
-        out_path,
-        n_shards,
-        "shuffle_key",
-        sort_cols=["shuffle_key"],
-    )
-    written = spark.read.parquet(out_path)
-    return {
-        "corpus": seg.count(),
-        "after_segment_gate": seg_keep.count(),
-        "lexical_representatives": reps.count(),
-        "semantic_survivors": sem_keep.count(),
-        "contaminated_ngram": cont_ngram.count(),
-        "contaminated_semantic": cont_sem.count(),
-        "contaminated_both": cont_ngram.join(
-            cont_sem, "doc_id", "left_semi"
-        ).count(),
-        "epoch_rows": epochs.count(),
-        "written_rows": written.count(),
-        "distinct_docs_written": written.select("doc_id")
-        .distinct()
-        .count(),
-    }
-
-
-def pipeline_funnel_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(stage, n_docs): the v3 corpus-build funnel report as a
-    relation — the oracle-gated face of prepare_training_corpus_v3
-    (same stage relations, counts instead of a shard export), so the
-    capstone composition itself is driver-attested against a DuckDB
-    twin that replays every component oracle.
-
-    Scale shape: each stage count is one aggregation over the same
-    key relations the job builds; the stage frames checkpoint once
-    and feed both the survivor join and their counts.
-    """
-    from pyspark.sql import functions as F
-
-    from spark_app_twitter_spark.operators.dedup import (
-        cluster_best_representatives,
-        paragraph_dedup,
-    )
-    from spark_app_twitter_spark.operators.semdedup import (
-        decontaminate_semantic,
-        semdedup as sem_dedup_cells,
-    )
-    from spark_app_twitter_spark.operators.textstats import (
+        DECON_BENCH_MOD,
+        DECON_BENCH_REM,
         decontaminate_bloom,
         mixture_apply,
     )
@@ -416,17 +311,118 @@ def pipeline_funnel_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .localCheckpoint(eager=True)
     )
-    ep = mixture_apply(spark, sf_dir).select(
-        "doc_id", "epoch"
-    ).localCheckpoint(eager=True)
-    surv = (
-        ep.join(gate, "doc_id", "left_semi")
-        .join(reps, "doc_id", "left_semi")
-        .join(semk, "doc_id", "left_semi")
-        .join(cn, "doc_id", "left_anti")
-        .join(cs, "doc_id", "left_anti")
+    ep = (
+        mixture_apply(spark, sf_dir)
+        .where(
+            (F.col("doc_id") % DECON_BENCH_MOD) != DECON_BENCH_REM
+        )
         .localCheckpoint(eager=True)
     )
+    return {
+        "seg": seg, "gate": gate, "reps": reps,
+        "semk": semk, "cn": cn, "cs": cs, "ep": ep,
+    }
+
+
+def _v3_survivors(frames: dict) -> DataFrame:
+    return (
+        frames["ep"]
+        .join(frames["gate"], "doc_id", "left_semi")
+        .join(frames["reps"], "doc_id", "left_semi")
+        .join(frames["semk"], "doc_id", "left_semi")
+        .join(frames["cn"], "doc_id", "left_anti")
+        .join(frames["cs"], "doc_id", "left_anti")
+    )
+
+
+def prepare_training_corpus_v3(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    n_shards: int = 8,
+) -> dict:
+    """The round-11 capstone: v2's lexical funnel PLUS the embedding
+    layer — what a modern multimodal-era corpus build actually runs,
+    every stage one of the engine's oracle-verified operators:
+
+      1. segment-level paragraph dedup gate (as v2);
+      2. lexical near-dup clusters -> keep-best survivor (as v2);
+      3. SEMANTIC dedup keep-first survivors (SemDeDup cells over
+         the embedding column; a doc must have an embedding to pass
+         this stage — the vec_id == doc_id contract);
+      4. DUAL decontamination: a doc is disqualified by a true
+         benchmark n-gram hit (bloom-prefiltered exact gate) OR by
+         an embedding-cosine hit against the held-out benchmark
+         (the paraphrase-robust screen) — the two screens whose
+         agreement text_decon_screen_agreement audits;
+      5. mixture epoch expansion (the held-out benchmark split is
+         excluded HERE — both screens flag only training docs, v1's
+         documented never-train invariant) + deterministic
+         shuffle-shard export (as v2).
+
+    Returns the per-stage funnel report including the per-screen
+    contamination split. Scale shape unchanged from v2: every stage
+    is a semi/anti join of small key relations against one corpus
+    scan; the embedding stages ride the shared two-level cell
+    assignment; nothing corpus-sized collects driver-side.
+    """
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.sources.sinks import write_training_shards
+
+    f = _v3_stage_frames(spark, sf_dir)
+    survivors = _v3_survivors(f)
+    keyed = survivors.withColumn(
+        "shuffle_key",
+        F.md5(F.concat_ws(":", F.col("doc_id"), F.col("epoch"))),
+    )
+    write_training_shards(
+        keyed,
+        out_path,
+        n_shards,
+        "shuffle_key",
+        sort_cols=["shuffle_key"],
+    )
+    written = spark.read.parquet(out_path)
+    return {
+        "corpus": f["seg"].count(),
+        "after_segment_gate": f["gate"].count(),
+        "lexical_representatives": f["reps"].count(),
+        "semantic_survivors": f["semk"].count(),
+        "contaminated_ngram": f["cn"].count(),
+        "contaminated_semantic": f["cs"].count(),
+        "contaminated_both": f["cn"].join(
+            f["cs"], "doc_id", "left_semi"
+        ).count(),
+        "epoch_rows": f["ep"].count(),
+        "written_rows": written.count(),
+        "distinct_docs_written": written.select("doc_id")
+        .distinct()
+        .count(),
+    }
+
+
+def pipeline_funnel_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(stage, n_docs): the v3 corpus-build funnel report as a
+    relation — the oracle-gated face of prepare_training_corpus_v3
+    (same stage relations, counts instead of a shard export), so the
+    capstone composition itself is driver-attested against a DuckDB
+    twin that replays every component oracle.
+
+    Scale shape: each stage count is one aggregation over the same
+    key relations the job builds; the stage frames checkpoint once
+    and feed both the survivor join and their counts.
+    """
+    from pyspark.sql import functions as F
+
+    f = _v3_stage_frames(spark, sf_dir)
+    seg, gate, reps, semk, cn, cs, ep = (
+        f["seg"], f["gate"], f["reps"], f["semk"], f["cn"], f["cs"],
+        f["ep"].select("doc_id", "epoch"),
+    )
+    surv = _v3_survivors(
+        {**f, "ep": ep}
+    ).localCheckpoint(eager=True)
 
     def row(stage: str, df: DataFrame, expr=None) -> DataFrame:
         agg = expr if expr is not None else F.count(F.lit(1))
@@ -466,6 +462,8 @@ def _pipeline_funnel_v3_sql() -> str:
         SEMDEDUP_SQL,
     )
     from spark_app_twitter_spark.operators.textstats import (
+        DECON_BENCH_MOD,
+        DECON_BENCH_REM,
         DECONTAMINATE_BLOOM_SQL,
         MIXTURE_APPLY_SQL,
     )
@@ -491,7 +489,10 @@ cs AS MATERIALIZED (
   SELECT doc_id FROM ({DECONTAMINATE_SEMANTIC_SQL})
 ),
 ep AS MATERIALIZED (
+  -- the held-out benchmark docs themselves must NEVER train: both
+  -- screens flag only TRAINING docs, so filter the bench split here
   SELECT doc_id, epoch FROM ({MIXTURE_APPLY_SQL})
+  WHERE doc_id % {DECON_BENCH_MOD} <> {DECON_BENCH_REM}
 ),
 surv AS MATERIALIZED (
   SELECT ep.doc_id, ep.epoch FROM ep

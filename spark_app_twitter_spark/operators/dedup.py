@@ -2208,7 +2208,9 @@ def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, cluster_id, cluster_size, weight): SOFT near-dup
     deduplication — keep every document, down-weight near-duplicate
     families so each cluster contributes constant sampling mass
-    (weight = 1/|cluster|, 6dp; singletons keep weight 1.0). The
+    (weight = 1/|cluster| EXACT, no rounding — a 6dp round would
+    zero the weight of multi-million-member clusters and drift the
+    per-cluster mass; singletons keep weight 1.0). The
     alternative modern pipelines use when hard dropping loses
     paraphrase diversity: the sampler consumes `weight` the way
     text_weighted_sample consumes duplicate counts, and per-cluster
@@ -2226,7 +2228,7 @@ def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "cluster_id",
         "cluster_size",
-        F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight"),
+        (F.lit(1.0) / F.col("cluster_size")).alias("weight"),
     )
 
 
@@ -2244,7 +2246,7 @@ sizes AS (
   FROM clusters GROUP BY cluster_id
 )
 SELECT c.doc_id, c.cluster_id, s.cluster_size,
-       round(CAST(1.0 AS DOUBLE) / s.cluster_size, 6) AS weight
+       CAST(1.0 AS DOUBLE) / s.cluster_size AS weight
 FROM clusters c JOIN sizes s USING (cluster_id)
 """
 

@@ -240,6 +240,18 @@ def test_prepare_training_corpus_v3_dual_screen_funnel(
         decontaminate_semantic(spark, sf_dir),
     ):
         assert written.join(flagged, "doc_id", "left_semi").count() == 0
+    # the held-out benchmark split itself must NEVER train
+    from spark_app_twitter_spark.operators.textstats import (
+        DECON_BENCH_MOD,
+        DECON_BENCH_REM,
+    )
+
+    assert (
+        written.where(
+            (F.col("doc_id") % DECON_BENCH_MOD) == DECON_BENCH_REM
+        ).count()
+        == 0
+    )
     # no semantic-dedup loser may appear either
     losers = (
         sem_dedup_cells(spark, sf_dir)
@@ -271,16 +283,15 @@ def test_pipeline_funnel_v3_parity_and_job_agreement(
     from spark_app_twitter_spark import jobs
     from tests.parity import assert_parity
 
+    funnel = jobs.pipeline_funnel_v3(spark, sf_dir)
     assert_parity(
-        jobs.pipeline_funnel_v3(spark, sf_dir),
+        funnel,
         jobs.PIPELINE_FUNNEL_V3_SQL,
         sf_dir,
         "pipeline_funnel_v3",
     )
-    got = {
-        r.stage: r.n_docs
-        for r in jobs.pipeline_funnel_v3(spark, sf_dir).collect()
-    }
+    # re-collecting the SAME frame reuses the stage checkpoints
+    got = {r.stage: r.n_docs for r in funnel.collect()}
     rep = jobs.prepare_training_corpus_v3(
         spark, sf_dir, str(tmp_path / "v3f"), n_shards=4
     )
