@@ -85,6 +85,9 @@ SHOWCASE = [
     ("serving_rfm_scores", "r10 distributed exact ntile: three range-balanced shuffles + bounded offset maps + partition-local windows — NO single-partition WindowExec on the |users| aggregate"),
     ("serving_power_users", "r10 distributed exact decile + broadcast triangular Lorenz cumulative: zero partition-less windows"),
     ("text_zipf_fit", "top-N via TakeOrderedAndProject BEFORE ranking: the vocabulary never totally sorts"),
+    ("text_semdecon_sensitivity", "r11 threshold-sensitivity audit: ONE pass over the uncapped intra-cell pair relation; the 8-row grid broadcasts and map-side combine collapses each task to |grid| groups"),
+    ("text_decon_screen_agreement", "r11 screen agreement: two bounded screens full-outer joined on doc_id, then a 3-class rollup — composition adds one keyed exchange"),
+    ("dedup_soft_weights", "r11 soft dedup: the O(n) cluster chain + one cluster-keyed count/join pair on the SAME key (the join reuses the count's partitioning)"),
 ]
 
 
