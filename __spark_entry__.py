@@ -463,6 +463,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r11: soft dedup — keep every doc, constant sampling mass
         # per near-dup family (weight = 1/|cluster|)
         "dedup_soft_weights": dedup.soft_dedup_weights,
+        # r11: per-source contamination rates (which ingest feeds
+        # are dirty — the screens' by-source drill-down)
+        "text_contamination_by_source": semdedup.contamination_by_source,
         "sim_knn_bruteforce": similarity.knn_bruteforce,
         "sim_knn_lsh": similarity.knn_lsh,
         "sim_embedding_near_dup": similarity.embedding_near_dup,
@@ -497,6 +500,7 @@ _R11_WINDOW = (
     "text_decon_screen_agreement",
     "pipeline_funnel_v3",
     "dedup_soft_weights",
+    "text_contamination_by_source",
     # (b) changed this round
     "text_bigram_lm_score",
     "serving_rfm_scores",
@@ -547,7 +551,6 @@ _R11_WINDOW = (
     "sim_embedding_drift",
     "sim_embedding_pca",
     "sketch_cms_top_terms",
-    "sketch_hist_quantiles",
 )
 
 
@@ -969,6 +972,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pipeline_funnel_v3": jobs.PIPELINE_FUNNEL_V3_SQL,
         "dedup_soft_weights": dedup.SOFT_DEDUP_WEIGHTS_SQL,
+        "text_contamination_by_source": (
+            semdedup.CONTAMINATION_BY_SOURCE_SQL
+        ),
         "tpch_q7_volume_shipping": tpch.Q7_SQL,
         "tpch_q8_market_share": tpch.Q8_SQL,
         "tpch_q9_product_profit": tpch.Q9_SQL,

@@ -577,6 +577,101 @@ GROUP BY 1
 
 DECON_SCREEN_AGREEMENT_SQL = _decon_screen_agreement_sql()
 
+
+def contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_train_docs, n_flagged_ngram, n_flagged_semantic,
+    ngram_rate, semantic_rate): per-SOURCE contamination rates from
+    both screens — the actionable rollup a pipeline owner reads to
+    decide which ingest feeds are dirty (global agreement is
+    text_decon_screen_agreement; this is its by-source drill-down).
+    Rates are over the source's TRAINING docs (the held-out bench
+    split is excluded from the denominator — it is not trainable).
+
+    Scale shape: two bounded flag relations left-joined onto the
+    (doc_id, source) projection, one source-keyed rollup with
+    map-side combine — |sources| output rows.
+    """
+    from spark_app_twitter_spark.operators.textstats import (
+        DECON_BENCH_MOD,
+        DECON_BENCH_REM,
+        decontaminate,
+    )
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % DECON_BENCH_MOD) != DECON_BENCH_REM)
+        .select("doc_id", "source")
+    )
+    ng = decontaminate(spark, sf_dir).select(
+        "doc_id", F.lit(1).alias("is_ng")
+    )
+    sem = decontaminate_semantic(spark, sf_dir).select(
+        "doc_id", F.lit(1).alias("is_sem")
+    )
+    rate = lambda c, n: F.round(  # noqa: E731
+        c.cast("double") / n.cast("double"), 6
+    )
+    agg = (
+        docs.join(ng, "doc_id", "left")
+        .join(sem, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_train_docs"),
+            F.sum(F.coalesce(F.col("is_ng"), F.lit(0)))
+            .cast("long")
+            .alias("n_flagged_ngram"),
+            F.sum(F.coalesce(F.col("is_sem"), F.lit(0)))
+            .cast("long")
+            .alias("n_flagged_semantic"),
+        )
+    )
+    return agg.select(
+        "source",
+        "n_train_docs",
+        "n_flagged_ngram",
+        "n_flagged_semantic",
+        rate(F.col("n_flagged_ngram"), F.col("n_train_docs")).alias(
+            "ngram_rate"
+        ),
+        rate(F.col("n_flagged_semantic"), F.col("n_train_docs")).alias(
+            "semantic_rate"
+        ),
+    )
+
+
+def _contamination_by_source_sql() -> str:
+    from spark_app_twitter_spark.operators.textstats import (
+        DECON_BENCH_MOD,
+        DECON_BENCH_REM,
+        DECONTAMINATE_SQL,
+    )
+
+    return f"""
+WITH ng AS (SELECT doc_id FROM ({DECONTAMINATE_SQL})),
+sem AS (SELECT doc_id FROM ({DECONTAMINATE_SEMANTIC_SQL})),
+agg AS (
+  SELECT d.source,
+         CAST(count(*) AS BIGINT) AS n_train_docs,
+         CAST(count(ng.doc_id) AS BIGINT) AS n_flagged_ngram,
+         CAST(count(sem.doc_id) AS BIGINT) AS n_flagged_semantic
+  FROM documents d
+  LEFT JOIN ng ON d.doc_id = ng.doc_id
+  LEFT JOIN sem ON d.doc_id = sem.doc_id
+  WHERE d.doc_id % {DECON_BENCH_MOD} <> {DECON_BENCH_REM}
+  GROUP BY d.source
+)
+SELECT source, n_train_docs, n_flagged_ngram, n_flagged_semantic,
+       round(CAST(n_flagged_ngram AS DOUBLE) / n_train_docs, 6)
+         AS ngram_rate,
+       round(CAST(n_flagged_semantic AS DOUBLE) / n_train_docs, 6)
+         AS semantic_rate
+FROM agg
+"""
+
+
+CONTAMINATION_BY_SOURCE_SQL = _contamination_by_source_sql()
+
 # The registered default (VERDICT r06 item 4): `sem_dedup` IS the
 # two-level path; the flat trainer stays available as the explicit
 # small-n variant `sem_dedup_flat`. The aliases keep every historic

@@ -4957,3 +4957,29 @@ def test_soft_dedup_weights_parity_and_mass_conservation(spark, sf_dir):
     assert bad_mass == 0
     singles = df.where(F.col("cluster_size") == 1)
     assert singles.where(F.col("weight") != 1.0).count() == 0
+
+
+def test_contamination_by_source_parity_and_reconciliation(spark, sf_dir):
+    """Per-source contamination drill-down: oracle parity; per-source
+    flag counts sum to the global screens' doc counts; rates bounded
+    by [0, 1] and exact against the counts."""
+    from spark_app_twitter_spark.operators import semdedup
+
+    df = semdedup.contamination_by_source(spark, sf_dir)
+    assert_parity(
+        df,
+        semdedup.CONTAMINATION_BY_SOURCE_SQL,
+        sf_dir,
+        "contamination_by_source",
+    )
+    rows = df.collect()
+    assert sum(r.n_flagged_ngram for r in rows) == textstats.decontaminate(
+        spark, sf_dir
+    ).count()
+    assert sum(
+        r.n_flagged_semantic for r in rows
+    ) == semdedup.decontaminate_semantic(spark, sf_dir).count()
+    for r in rows:
+        assert 0.0 <= r.ngram_rate <= 1.0
+        assert 0.0 <= r.semantic_rate <= 1.0
+        assert abs(r.ngram_rate - r.n_flagged_ngram / r.n_train_docs) < 1e-6

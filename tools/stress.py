@@ -133,6 +133,9 @@ STRESS_QUERIES = [
     # r11: soft dedup rides the O(n) lsh_clusters chain + one
     # cluster-keyed count/join pair
     "dedup_soft_weights",
+    # r11: per-source drill-down — two bounded flag relations onto
+    # the (doc_id, source) projection, |sources|-row rollup
+    "text_contamination_by_source",
     # round 7: IVF+int8 serving composition (candidate-bounded +
     # RERANK_M-bounded float math), contrastive pair mining (its
     # registered stage 1 is the EXACT sampled-cohort top-k, so the
