@@ -4793,6 +4793,59 @@ def test_bigram_lm_score_shuffle_fallback_parity(spark, sf_dir):
     )
 
 
+def test_bigram_lm_join_mode_auto_switch(spark, sf_dir, monkeypatch):
+    """VERDICT r11 item 2: the broadcast/shuffle choice is wired to a
+    model-size estimate, env var as override. Forced both ways via
+    the budget threshold; both branches hash-green vs the unchanged
+    oracle; precedence is kwarg > env > auto."""
+    monkeypatch.delenv("SPARK_GRAFT_LM_JOIN", raising=False)
+
+    docs = textstats.load_table(spark, sf_dir, "documents")
+    bi = docs.select(
+        "doc_id",
+        F.explode(
+            textstats.shingles(textstats.tokens("text"), 2)
+        ).alias("bg"),
+    )
+    modelq, _ = textstats._bigram_modelq(bi)
+
+    # auto, generous budget -> broadcast; starved budget -> shuffle
+    monkeypatch.setenv("SPARK_GRAFT_LM_BROADCAST_BUDGET", str(1 << 30))
+    mode, est = textstats._resolve_lm_join_mode(modelq, None)
+    assert mode == "broadcast" and est is not None and est > 0
+    monkeypatch.setenv("SPARK_GRAFT_LM_BROADCAST_BUDGET", "1")
+    mode, est2 = textstats._resolve_lm_join_mode(modelq, None)
+    assert mode == "shuffle" and est2 == est
+
+    # precedence: explicit kwarg beats env var beats auto
+    monkeypatch.setenv("SPARK_GRAFT_LM_JOIN", "shuffle")
+    assert textstats._resolve_lm_join_mode(modelq, None)[0] == "shuffle"
+    assert (
+        textstats._resolve_lm_join_mode(modelq, "broadcast")[0]
+        == "broadcast"
+    )
+    monkeypatch.delenv("SPARK_GRAFT_LM_JOIN")
+
+    # both auto-selected branches are hash-identical to the oracle
+    monkeypatch.setenv("SPARK_GRAFT_LM_BROADCAST_BUDGET", "1")
+    assert_parity(
+        textstats.bigram_lm_score(spark, sf_dir),
+        textstats.BIGRAM_LM_SCORE_SQL,
+        sf_dir,
+        "bigram_lm_auto_shuffle",
+    )
+    fresh = textstats.bigram_lm_score(spark, sf_dir)
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    monkeypatch.setenv("SPARK_GRAFT_LM_BROADCAST_BUDGET", str(1 << 30))
+    assert_parity(
+        textstats.bigram_lm_score(spark, sf_dir),
+        textstats.BIGRAM_LM_SCORE_SQL,
+        sf_dir,
+        "bigram_lm_auto_broadcast",
+    )
+
+
 def test_semdecon_sensitivity_parity(spark, sf_dir):
     from spark_app_twitter_spark.operators import semdedup
 

@@ -46,6 +46,9 @@ ALLOWED: dict[tuple[str, str], str] = {
         "dims^2 covariance entries + dims sums (model artifact)",
     ("operators/similarity.py", "embedding_isotropy"):
         "dims^2 covariance entries (spectrum input; model artifact)",
+    ("operators/textstats.py", "_estimate_model_bytes"):
+        "exactly 1 row (count + mean key width of the vocab-sized "
+        "model; sizes the r12 auto broadcast/shuffle join choice)",
     ("operators/textstats.py", "bigram_lm_model"):
         "|bigram vocab| published-LM entries + 1 vocab-size row; "
         "~10 GB vocab ceiling documented, bigram_lm_score("
