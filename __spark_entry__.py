@@ -463,6 +463,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r11: soft dedup — keep every doc, constant sampling mass
         # per near-dup family (weight = 1/|cluster|)
         "dedup_soft_weights": dedup.soft_dedup_weights,
+        # r12: the sampler face of soft dedup — deterministic
+        # 1/|cluster| keep decisions, one expected survivor per
+        # near-dup family (closes VERDICT r11 item 6)
+        "text_weighted_sample_soft": dedup.soft_weighted_sample,
         # r11: per-source contamination rates (which ingest feeds
         # are dirty — the screens' by-source drill-down)
         "text_contamination_by_source": semdedup.contamination_by_source,
@@ -972,6 +976,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pipeline_funnel_v3": jobs.PIPELINE_FUNNEL_V3_SQL,
         "dedup_soft_weights": dedup.SOFT_DEDUP_WEIGHTS_SQL,
+        "text_weighted_sample_soft": dedup.SOFT_WEIGHTED_SAMPLE_SQL,
         "text_contamination_by_source": (
             semdedup.CONTAMINATION_BY_SOURCE_SQL
         ),

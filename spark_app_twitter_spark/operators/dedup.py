@@ -2252,3 +2252,71 @@ FROM clusters c JOIN sizes s USING (cluster_id)
 
 
 SOFT_DEDUP_WEIGHTS_SQL = _soft_dedup_weights_sql()
+
+
+# Distinct salt from the exact-dup sampler (_WSAMPLE_SALT): a doc in
+# both relations must draw independently in each, or the soft pass
+# systematically re-keeps exactly the exact-pass survivors.
+_WSOFT_SALT = ":wsoft"
+
+
+def soft_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size, weight, kept): the sampler
+    face of soft dedup (VERDICT r11 item 6) — every document draws a
+    deterministic md5 integer and is kept iff draw < DENOM //
+    cluster_size, i.e. with probability weight = 1/|near-dup family|,
+    so each lsh_clusters family contributes ONE expected surviving
+    copy (the mass text_weighted_sample conserves for exact-digest
+    groups, applied to the near-dup relation). Pure bigint compare —
+    no float probability anywhere, engine-exact. Singletons draw
+    below DENOM // 1 always (the draw is 60 bits < DENOM), so
+    weight-1.0 docs are kept unconditionally by construction.
+
+    Scale shape: soft_dedup_weights' O(n) chain plus one map-side
+    draw+compare projection — no new shuffle, no new action.
+    """
+    draw = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.col("doc_id").cast("string"), F.lit(_WSOFT_SALT))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return soft_dedup_weights(spark, sf_dir).select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        "weight",
+        (
+            draw
+            < F.expr(f"cast({_WSAMPLE_DENOM} as bigint) div cluster_size")
+        ).alias("kept"),
+    )
+
+
+def _soft_weighted_sample_sql() -> str:
+    chain = ",\n".join(_lsh_clusters_sql_parts())
+    salt = _WSOFT_SALT.replace("'", "''")
+    return f"""
+{chain},
+clusters AS (
+  SELECT doc_id, label AS cluster_id FROM l{CC_ITERS}
+),
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM clusters GROUP BY cluster_id
+)
+SELECT c.doc_id, c.cluster_id, s.cluster_size,
+       CAST(1.0 AS DOUBLE) / s.cluster_size AS weight,
+       CAST(('0x' || substr(md5(CAST(c.doc_id AS VARCHAR) || '{salt}'),
+                            1, 15)) AS BIGINT)
+         < (CAST({_WSAMPLE_DENOM} AS BIGINT) // s.cluster_size) AS kept
+FROM clusters c JOIN sizes s USING (cluster_id)
+"""
+
+
+SOFT_WEIGHTED_SAMPLE_SQL = _soft_weighted_sample_sql()

@@ -5012,6 +5012,41 @@ def test_soft_dedup_weights_parity_and_mass_conservation(spark, sf_dir):
     assert singles.where(F.col("weight") != 1.0).count() == 0
 
 
+def test_soft_weighted_sample_parity_and_mass(spark, sf_dir):
+    """VERDICT r11 item 6: the sampler consumes the soft weights.
+    Oracle parity; the keep decision recomputes exactly (draw <
+    DENOM // cluster_size on the md5 integer — engine-exact bigint
+    compare); singletons (weight 1.0) are kept unconditionally; the
+    per-cluster EXPECTED surviving mass is 1 by construction
+    (sum of weights = 1, pinned on the weights relation above)."""
+    import hashlib
+
+    df = dedup.soft_weighted_sample(spark, sf_dir)
+    assert_parity(
+        df,
+        dedup.SOFT_WEIGHTED_SAMPLE_SQL,
+        sf_dir,
+        "soft_weighted_sample",
+    )
+    rows = df.collect()
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    assert len(rows) == load_table(spark, sf_dir, "documents").count()
+    assert any(not r.kept for r in rows), (
+        "fixtures must contain multi-member clusters that drop docs"
+    )
+    for r in rows:
+        draw = int(
+            hashlib.md5(
+                f"{r.doc_id}{dedup._WSOFT_SALT}".encode()
+            ).hexdigest()[:15],
+            16,
+        )
+        assert r.kept == (draw < dedup._WSAMPLE_DENOM // r.cluster_size)
+        if r.cluster_size == 1:
+            assert r.kept and r.weight == 1.0
+
+
 def test_contamination_by_source_parity_and_reconciliation(spark, sf_dir):
     """Per-source contamination drill-down: oracle parity; per-source
     flag counts sum to the global screens' doc counts; rates bounded
