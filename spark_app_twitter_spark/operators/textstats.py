@@ -683,57 +683,68 @@ def bloom_words_frame(bench: DataFrame) -> DataFrame:
     )
 
 
+def bloom_bits_words(bench_words: DataFrame) -> list[int]:
+    """The bloom bit table as a zero-filled dense word list —
+    <= 2^11 rows collected (~8 KiB, the model artifact the 100 TB
+    deployment broadcasts). Collect ONCE per published benchmark
+    (deconmonitor.benchmark_artifacts caches it across micro-
+    batches); bloom_gate accepts either this list or the frame."""
+    arr = [0] * (BLOOM_BITS >> 5)
+    for r in bench_words.collect():
+        arr[int(r["idx"])] = int(r["bits"])
+    return arr
+
+
 def bloom_gate(
-    per_doc: DataFrame, bench: DataFrame, bench_words: DataFrame
+    per_doc: DataFrame,
+    bench: DataFrame,
+    bench_words: DataFrame | list[int],
 ) -> DataFrame:
     """(doc_id, n_candidates, n_hit_grams) over any (doc_id, g) gram
-    frame: bloom prefilter (broadcast bit table) then exact verify of
-    the survivors against the broadcast gram set — the ONE gate
-    definition shared by the batch report and the streaming
-    admission monitor."""
-    probe = per_doc.select(
-        "doc_id",
-        "g",
-        F.explode(_bloom_positions_spark(F.col("g"))).alias("pos"),
+    frame: bloom prefilter, then exact verify of the survivors
+    against the broadcast gram set — the ONE gate definition shared
+    by the batch report and the streaming admission monitor.
+
+    Plan shape (r12 rewrite): the prefilter is a PURE MAP-SIDE
+    expression — the ~8 KiB bit table becomes a constant-folded
+    array literal and each gram tests its K md5 positions inline, so
+    the bloom stage contributes ZERO shuffles (the previous shape
+    exploded grams x K positions, range-joined the word table and
+    min-aggregated per (doc_id, g): one corpus-sized shuffle + an
+    eager checkpoint, which at the streaming gate's ~1 s micro-batch
+    floor was most of the marginal batch cost). The exact verify is
+    one broadcast mark-join folded into the single doc_id rollup —
+    the whole gate is now one shuffle end to end.
+    """
+    words = (
+        bench_words
+        if isinstance(bench_words, list)
+        else bloom_bits_words(bench_words)
     )
-    checked = probe.join(
-        F.broadcast(bench_words), F.shiftright("pos", 5) == F.col("idx"),
-        "left",
-    ).select(
-        "doc_id",
-        "g",
-        F.coalesce(
-            F.expr(
-                "(shiftright(bits, CAST(pos & 31 AS INT)) & 1)"
-            ),
-            F.lit(0),
-        ).alias("hit"),
-    )
+    bits_sql = f"array({','.join(f'{w}L' for w in words)})"
+    conds = []
+    for i in range(BLOOM_K):
+        pos = f"CAST(conv(substring(_md5g, {1 + 4 * i}, 4), 16, 10) AS BIGINT)"
+        conds.append(
+            f"((shiftright(element_at(_bloom_bits,"
+            f" CAST(shiftright({pos}, 5) AS INT) + 1),"
+            f" CAST({pos} & 31 AS INT)) & 1) = 1)"
+        )
     cand = (
-        checked.groupBy("doc_id", "g")
-        .agg(F.min("hit").alias("all_hit"))
-        .where(F.col("all_hit") == 1)
-        # TWO consumers (candidate counts + exact verify) — pin the
-        # small survivor set or the whole bloom probe lineage runs
-        # twice (PLANSTATS flagged this as the registry's deepest
-        # plan: 14 shuffles, halved by this checkpoint)
-        .localCheckpoint(eager=True)
+        per_doc.withColumn("_md5g", F.md5(F.col("g")))
+        .withColumn("_bloom_bits", F.expr(bits_sql))
+        .where(F.expr(" AND ".join(conds)))
+        .drop("_md5g", "_bloom_bits")
     )
-    exact = (
-        cand.join(F.broadcast(bench), "g", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
-    )
+    marked = F.broadcast(bench.select("g", F.lit(1).alias("in_bench")))
     return (
-        cand.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_candidates"))
-        .join(exact, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_candidates",
-            F.coalesce("n_hit_grams", F.lit(0).cast("long")).alias(
-                "n_hit_grams"
-            ),
+        cand.join(marked, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(F.coalesce("in_bench", F.lit(0)))
+            .cast("long")
+            .alias("n_hit_grams"),
         )
     )
 

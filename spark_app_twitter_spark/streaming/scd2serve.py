@@ -32,6 +32,7 @@ streaming/statestore.py (immutable snapshot + atomic pointer swap).
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -41,6 +42,7 @@ from spark_app_twitter_spark.operators.versioning import (
     scd2_from_observations,
 )
 from spark_app_twitter_spark.streaming.statestore import (
+    NoChange,
     read_state,
     transact,
 )
@@ -57,29 +59,52 @@ _LATE_DIR = "late-audit"
 def apply_scd2_batch(batch: DataFrame, batch_id: int, path: str) -> None:
     """foreachBatch body: per-user incremental SCD2 upsert, with
     out-of-order arrivals routed to the late-audit dead letter. Runs
-    as one transact (flock or optimistic manifest commit)."""
+    as one transact (flock or optimistic manifest commit).
+
+    Audit-channel durability (ADVICE r11): the late flags are written
+    INSIDE the merge, BEFORE the state commit, as a non-empty-only
+    overwrite of the batch's own ``late-audit/batch_id=N/`` partition
+    (see _write_late for the empty-recompute rule). Writing after the
+    commit was at-most-once — a crash in the gap lost the flags
+    forever, because on foreachBatch replay the merged observations
+    are absorbed and the detector (correctly) flags nobody. The keyed
+    overwrite makes the write idempotent instead: a retry of a FAILED
+    merge recomputes against the same state and overwrites the same
+    partition with the same rows; a replay of a MERGED batch computes
+    empty and leaves the flags standing. The channel is at-least-once
+    with convergent contents. This is the documented exception to
+    "merge_fn is side-effect-free": the side effect is
+    keyed-idempotent, so retries converge.
+    """
     spark = batch.sparkSession
     obs = batch.select(
         "user_id", "attr_k", "ts", "event_id"
     ).dropDuplicates(["user_id", "event_id"])
-    # the late-audit plan is computed inside the merge (it needs the
-    # stored state) but WRITTEN only after the transact commits —
-    # merge_fn must stay side-effect-free so a manifest-backend
-    # conflict retry cannot persist flags computed against a stale
-    # read (the cell always holds the WINNING merge's plan)
-    late_cell: dict[str, DataFrame] = {}
     transact(
         spark,
         path,
         _HIST_DDL,
-        lambda stored: _merged_history(
-            spark, obs, batch_id, stored, late_cell
-        ),
+        lambda stored: _merged_history(spark, obs, batch_id, stored, path),
     )
-    if "late" in late_cell:
-        late_cell["late"].write.mode("append").parquet(
-            os.path.join(path, _LATE_DIR)
-        )
+
+
+def _write_late(late: DataFrame, path: str, batch_id: int) -> None:
+    """Overwrite this batch's late-audit partition (data carries
+    (user_id, min_ts); batch_id is the partition directory) — but
+    ONLY when the worklist is non-empty. An empty recompute must not
+    clear flags a previous attempt legitimately raised: a post-commit
+    foreachBatch replay absorbs the batch's observations and computes
+    an empty worklist, and clearing on it would re-open the
+    at-most-once hole from the other side. Over-flagging (a stale
+    conflict-retry attempt's flags surviving a winning merge that
+    absorbed them) is harmless — the replay repair is an idempotent
+    full rebuild; under-flagging is the bug. Flags are cleared only
+    by the replay drain (scd2_replay_late_users)."""
+    rows = late.localCheckpoint(eager=True)  # |touched|-bounded
+    if rows.limit(1).count():
+        rows.select("user_id", "min_ts").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, _LATE_DIR, f"batch_id={batch_id}"))
 
 
 def _merged_history(
@@ -87,9 +112,8 @@ def _merged_history(
     obs: DataFrame,
     batch_id: int,
     stored: DataFrame | None,
-    late_cell: dict,
+    path: str,
 ) -> DataFrame:
-    late_cell.pop("late", None)  # a retry recomputes against new state
     if stored is None:
         return scd2_from_observations(obs)
     touched = obs.select("user_id").distinct()
@@ -137,9 +161,9 @@ def _merged_history(
             "min_ts",
         )
     )
-    # materialize now (|touched|-bounded) so the post-commit write
-    # does not depend on the read snapshot surviving pruning
-    late_cell["late"] = late.localCheckpoint(eager=True)
+    # pre-commit idempotent write (see apply_scd2_batch's docstring):
+    # |touched|-bounded, keyed to this batch's partition
+    _write_late(late, path, batch_id)
     prior_obs = prior.select(
         "user_id",
         "attr_k",
@@ -163,11 +187,16 @@ def scd2_late_audit(spark: SparkSession, path: str) -> DataFrame:
     """(batch_id, user_id, min_ts): users whose history needs a full
     replay — the dead-letter worklist. Empty before any violation."""
     d = os.path.join(path, _LATE_DIR)
-    if not os.path.isdir(d):
+    if not os.path.isdir(d) or not any(
+        n.startswith("batch_id=") for n in os.listdir(d)
+    ):
         return spark.createDataFrame([], _LATE_DDL)
+    # batch_id comes from the partition directories (the r12 keyed-
+    # overwrite layout); data files carry (user_id, min_ts)
     return (
         spark.read.schema(_LATE_DDL)
         .parquet(d)
+        .select("batch_id", "user_id", "min_ts")
         .dropDuplicates(["batch_id", "user_id"])
     )
 
@@ -204,13 +233,15 @@ def scd2_replay_late_users(
     state = {"n": 0, "files": []}
 
     def merge(stored: DataFrame | None) -> DataFrame:
-        # capture the audit files this replay covers BEFORE reading
-        # the worklist — a file appended after this listing may still
-        # be read (over-replay is harmless) but is never cleared
-        # unprocessed
+        # capture the audit partitions this replay covers BEFORE
+        # reading the worklist — a partition written after this
+        # listing may still be read (over-replay is harmless) but is
+        # never cleared unprocessed
         try:
             state["files"] = [
-                os.path.join(late_dir, f) for f in os.listdir(late_dir)
+                os.path.join(late_dir, f)
+                for f in os.listdir(late_dir)
+                if f.startswith("batch_id=")
             ]
         except OSError:
             state["files"] = []
@@ -222,9 +253,12 @@ def scd2_replay_late_users(
         )
         state["n"] = uids.count()
         if state["n"] == 0 or stored is None:
-            return stored if stored is not None else spark.createDataFrame(
-                [], _HIST_DDL
-            )
+            # signal "no change" instead of returning the stored
+            # frame: transact would otherwise publish a full new
+            # snapshot (burning a version, rewriting the whole
+            # dimension) for a worklist that emptied between the
+            # caller's fast path and this merge (ADVICE r11)
+            raise NoChange()
         flagged = (
             observations.join(uids, "user_id", "left_semi")
             .select("user_id", "attr_k", "ts", "event_id")
@@ -236,10 +270,7 @@ def scd2_replay_late_users(
     transact(spark, path, _HIST_DDL, merge)
     if state["n"]:
         for f in state["files"]:
-            try:
-                os.remove(f)
-            except OSError:
-                pass
+            shutil.rmtree(f, ignore_errors=True)
     return state["n"]
 
 

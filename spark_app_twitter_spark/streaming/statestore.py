@@ -231,6 +231,34 @@ class CommitConflict(Exception):
     state, re-merge, retry (the optimistic loop in transact)."""
 
 
+class NoChange(Exception):
+    """Raised by a merge_fn to signal the stored state needs no new
+    version: transact returns WITHOUT publishing, so a no-op poll
+    (e.g. an audit worklist that emptied between the caller's fast
+    path and the merge) does not burn a snapshot version rewriting
+    the whole dimension (ADVICE r11)."""
+
+
+# FileNotFound-class markers: the snapshot-churn race (a lazily-read
+# snapshot pruned by >= _keep() concurrent commits) surfaces as one
+# of these, never as an arbitrary exception — a deterministic
+# merge_fn bug (schema error, bad column) must NOT be retried 64
+# times and reported as "commit conflicts" (ADVICE r11).
+_CHURN_MARKERS = (
+    "FileNotFound",
+    "PATH_NOT_FOUND",
+    "FILE_NOT_FOUND",
+    "does not exist",
+    "RDD block",
+    "block of rdd",
+)
+
+
+def _is_churn_error(exc: Exception) -> bool:
+    s = f"{type(exc).__name__}: {exc}"
+    return any(m in s for m in _CHURN_MARKERS)
+
+
 def _manifest_version(path: str) -> int:
     """Highest committed manifest number (the object-store LIST)."""
     mdir = os.path.join(path, _MANIFEST_DIR)
@@ -394,12 +422,30 @@ def transact(
     manifest: optimistic — read version n, merge, attempt commit of
     n+1; on CommitConflict re-read and re-merge (merge_fn must be a
     pure function of the stored state, which every maintainer's
-    replace-by-(stream,batch_id) merge is). No shared lock anywhere.
+    replace-by-(stream,batch_id) merge is — the one sanctioned
+    exception is a KEYED-IDEMPOTENT side write like scd2serve's
+    per-batch late-audit overwrite, where a retry's re-write
+    converges). No shared lock anywhere. A merge_fn may raise
+    NoChange to skip publishing entirely (no version burned).
     """
     b = backend or backend_for(path)
     if b == "pointer":
+        # symmetric layout guard to the manifest branch's LATEST-
+        # pointer check: publishing a pointer over an existing
+        # _manifests/ commit log forks the path into both layouts
+        # and every subsequent read raises (ADVICE r11)
+        if os.path.isdir(os.path.join(path, _MANIFEST_DIR)):
+            raise RuntimeError(
+                f"state path {path!r} has a _manifests/ commit log — "
+                "refusing to publish a LATEST pointer over it (one "
+                "path, one realization)"
+            )
         with state_lock(path):
-            publish_state(merge_fn(read_state(spark, path, ddl)), path)
+            try:
+                merged = merge_fn(read_state(spark, path, ddl))
+            except NoChange:
+                return
+            publish_state(merged, path)
         return
     # the manifest branch must honor the same layout guards the
     # pointer read enforces: committing manifests over a LATEST
@@ -413,29 +459,44 @@ def transact(
         )
     if _manifest_version(path) == 0:
         _reject_legacy_layout(path)
+    last_exc: Exception | None = None
     for _ in range(max_retries):
         v = _manifest_version(path)
         stored = _read_manifest_state(spark, path, ddl, v)
         try:
-            _commit_manifest(merge_fn(stored), path, expected_version=v)
+            merged = merge_fn(stored)
+        except NoChange:
             return
-        except CommitConflict:
-            continue
-        except Exception:
+        except Exception as exc:  # noqa: BLE001 — classified below
             # snapshot-churn race: with >= _keep() commits landing
-            # between our read and our write, the snapshot the lazy
-            # `stored` plan captured may have been pruned — the merge
-            # then fails with a FileNotFound-class error instead of a
-            # CommitConflict. If the version moved, that is what
-            # happened: re-read the NEW state and retry. If it did
-            # not move, the failure is real — re-raise.
-            if _manifest_version(path) != v:
+            # between our read and the merge's own actions, the
+            # snapshot the lazy `stored` plan captured may have been
+            # pruned — the merge then fails with a FileNotFound-class
+            # error instead of a CommitConflict. Retry ONLY that
+            # class, and only if the version actually moved; a
+            # deterministic merge_fn bug (schema error, bad column)
+            # re-raises immediately (ADVICE r11).
+            if _is_churn_error(exc) and _manifest_version(path) != v:
+                last_exc = exc
+                continue
+            raise
+        try:
+            _commit_manifest(merged, path, expected_version=v)
+            return
+        except CommitConflict as exc:
+            last_exc = exc
+            continue
+        except Exception as exc:  # noqa: BLE001 — classified below
+            # same churn race surfacing at write time (the merged
+            # plan executes inside the snapshot write)
+            if _is_churn_error(exc) and _manifest_version(path) != v:
+                last_exc = exc
                 continue
             raise
     raise RuntimeError(
         f"transact: gave up after {max_retries} commit conflicts on "
         f"{path!r} — a writer is livelocked or retries are too low"
-    )
+    ) from last_exc
 
 
 RESERVED_STREAM = "_compacted"  # real streams must not use this id

@@ -334,3 +334,154 @@ def test_q3_maintainer_parity_across_realizations(
     )
     assert got == want
     assert statestore.backend_for(path) == backend
+
+
+@pytest.mark.parametrize("backend", ["pointer", "manifest"])
+def test_nochange_skips_publish(spark, tmp_path, backend):
+    """ADVICE r11: a merge_fn raising NoChange leaves the state and
+    its version untouched — a no-op poll must not burn a snapshot
+    version rewriting the whole dimension."""
+    path = f"{tmp_path}/nochange_{backend}"
+    statestore.transact(
+        spark, path, DDL, _counter_merge(spark), backend=backend
+    )
+    ver = (
+        statestore._manifest_version(path)
+        if backend == "manifest"
+        else statestore._current_version(path)
+    )
+    before = sorted(
+        tuple(r) for r in statestore.read_state(spark, path, DDL).collect()
+    )
+
+    def no_change(stored):
+        assert stored is not None
+        raise statestore.NoChange()
+
+    statestore.transact(spark, path, DDL, no_change, backend=backend)
+    ver2 = (
+        statestore._manifest_version(path)
+        if backend == "manifest"
+        else statestore._current_version(path)
+    )
+    assert ver2 == ver
+    after = sorted(
+        tuple(r) for r in statestore.read_state(spark, path, DDL).collect()
+    )
+    assert after == before
+
+
+def test_pointer_over_manifest_layout_rejected(spark, tmp_path):
+    """ADVICE r11: transact(backend='pointer') on a path carrying a
+    _manifests/ commit log must refuse BEFORE publishing — a LATEST
+    pointer over a manifest log forks the path into both layouts."""
+    path = f"{tmp_path}/fork_guard"
+    statestore.transact(
+        spark, path, DDL, _counter_merge(spark), backend="manifest"
+    )
+    with pytest.raises(RuntimeError, match="_manifests"):
+        statestore.transact(
+            spark, path, DDL, _counter_merge(spark), backend="pointer"
+        )
+    # the path is untouched: still a clean manifest read
+    assert statestore.backend_for(path) == "manifest"
+    assert statestore.read_state(spark, path, DDL).count() == 1
+
+
+def test_deterministic_merge_bug_not_retried(spark, tmp_path):
+    """ADVICE r11: a deterministic merge_fn bug (not a FileNotFound-
+    class churn error) surfaces immediately with the real exception —
+    not after 64 retries as a generic 'commit conflicts' error."""
+    path = f"{tmp_path}/merge_bug"
+    statestore.transact(
+        spark, path, DDL, _counter_merge(spark), backend="manifest"
+    )
+    calls = {"n": 0}
+
+    def buggy(stored):
+        calls["n"] += 1
+        raise ValueError("bad column in merge plan")
+
+    with pytest.raises(ValueError, match="bad column"):
+        statestore.transact(spark, path, DDL, buggy, backend="manifest")
+    assert calls["n"] == 1
+
+
+def test_conflict_exhaustion_chains_last_conflict(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11: when retries exhaust, the RuntimeError chains the
+    last CommitConflict as __cause__ so the root cause survives."""
+    path = f"{tmp_path}/exhaust"
+    statestore.transact(
+        spark, path, DDL, _counter_merge(spark), backend="manifest"
+    )
+
+    def always_conflict(df, p, expected_version):
+        raise statestore.CommitConflict("forced")
+
+    monkeypatch.setattr(statestore, "_commit_manifest", always_conflict)
+    with pytest.raises(RuntimeError, match="gave up") as ei:
+        statestore.transact(
+            spark,
+            path,
+            DDL,
+            _counter_merge(spark),
+            backend="manifest",
+            max_retries=2,
+        )
+    assert isinstance(ei.value.__cause__, statestore.CommitConflict)
+
+
+def test_scd2_late_flags_survive_crash_before_commit(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11 (medium): the late-audit flags are durable across a
+    crash BETWEEN the merge and the state commit (written pre-commit,
+    keyed-overwrite), and a post-commit replay — whose recompute is
+    empty because the observations are now absorbed — leaves the
+    standing flags alone instead of clearing them."""
+    import datetime as dt
+
+    from spark_app_twitter_spark.streaming.scd2serve import (
+        apply_scd2_batch,
+        scd2_late_audit,
+    )
+
+    def ts(d):
+        return dt.datetime(2024, 1, d)
+
+    ddl = "user_id long, attr_k int, ts timestamp, event_id long"
+    path = f"{tmp_path}/scd2_crash"
+    b0 = spark.createDataFrame([(1, 10, ts(5), 100)], ddl)
+    apply_scd2_batch(b0, 0, path)
+    assert scd2_late_audit(spark, path).count() == 0
+
+    # genuinely-late batch: ts(1) predates user 1's stored ts(5)
+    # change with a DIFFERENT attribute — not absorbable
+    b1 = spark.createDataFrame([(1, 11, ts(1), 101)], ddl)
+
+    # crash in the gap: publish fails AFTER the merge ran
+    real_publish = statestore.publish_state
+
+    def boom(df, p):
+        raise RuntimeError("simulated crash before commit")
+
+    monkeypatch.setattr(statestore, "publish_state", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        apply_scd2_batch(b1, 1, path)
+    # the flags survived the crash (pre-commit write)
+    flagged = scd2_late_audit(spark, path).collect()
+    assert [(r.batch_id, r.user_id) for r in flagged] == [(1, 1)]
+
+    # recovery replay: merges for real, flags recomputed identically
+    monkeypatch.setattr(statestore, "publish_state", real_publish)
+    apply_scd2_batch(b1, 1, path)
+    flagged = scd2_late_audit(spark, path).collect()
+    assert [(r.batch_id, r.user_id) for r in flagged] == [(1, 1)]
+
+    # post-commit replay: observations absorbed -> empty recompute
+    # must NOT clear the standing flag
+    apply_scd2_batch(b1, 1, path)
+    flagged = scd2_late_audit(spark, path).collect()
+    assert [(r.batch_id, r.user_id) for r in flagged] == [(1, 1)]

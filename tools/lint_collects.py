@@ -46,6 +46,9 @@ ALLOWED: dict[tuple[str, str], str] = {
         "dims^2 covariance entries + dims sums (model artifact)",
     ("operators/similarity.py", "embedding_isotropy"):
         "dims^2 covariance entries (spectrum input; model artifact)",
+    ("operators/textstats.py", "bloom_bits_words"):
+        "<= 2^11 bloom bit-table words (~8 KiB model artifact; "
+        "becomes the gate's constant-folded prefilter literal)",
     ("operators/textstats.py", "_estimate_model_bytes"):
         "exactly 1 row (count + mean key width of the vocab-sized "
         "model; sizes the r12 auto broadcast/shuffle join choice)",
