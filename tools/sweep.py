@@ -8,6 +8,9 @@ Usage: python tools/sweep.py [N | A:B]   (N = check only the first N
 registry entries, e.g. 50 for the driver's window; A:B = the
 [A, B) slice of the registry order, for chunking the slow sf0.1
 sweeps; default: all)
+       python tools/sweep.py --stale    (attestation-staleness report
+over the cumulative CORRECTNESS_r*.json ledger, rename-aware — the
+input to each round's _R{N}_WINDOW rotation; no Spark started)
 """
 
 from __future__ import annotations
@@ -56,7 +59,53 @@ def _lint_oracle_dtypes(oracle_sqls: dict) -> None:
     print(f"oracle dtype lint: {len(oracle_sqls)} oracles clean", flush=True)
 
 
+# registry renames: attestations recorded under a query's OLD name
+# carry over to the live name, so staleness accounting tracks live
+# names only and retired names stop inflating the cumulative union
+# (VERDICT r11 item 8). old name -> live name.
+RENAMES = {
+    "sem_dedup_2level": "sem_dedup",
+    "sim_bitext_mining_ivf": "sim_bitext_mining",
+}
+
+
+def stale_report() -> int:
+    """Latest attestation round per LIVE registry name (rename-aware),
+    oldest first — the rotation window's input. Exit 1 if any ledger
+    name is neither live nor in RENAMES (accounting drift)."""
+    import glob
+    import json
+    import re
+    from collections import Counter
+
+    import __spark_entry__ as entry
+
+    att: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
+        r = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        for k in json.load(open(f)):
+            att[RENAMES.get(k, k)] = max(att.get(RENAMES.get(k, k), 0), r)
+    live = list(entry.queries())
+    drift = sorted(set(att) - set(live))
+    ranked = sorted((att.get(n, 0), n) for n in live)
+    print(f"live registry: {len(live)}  attested: "
+          f"{sum(1 for n in live if n in att)}  "
+          f"by round: {dict(sorted(Counter(r for r, _ in ranked).items()))}")
+    oldest = ranked[0][0]
+    print(f"oldest attestation: r{oldest}")
+    for r, n in ranked:
+        if r <= oldest:
+            print(f"  r{r or '–'} {n}")
+    if drift:
+        print(f"DRIFT: {len(drift)} ledger names neither live nor "
+              f"renamed: {drift}")
+        return 1
+    return 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--stale":
+        return stale_report()
     start, limit = 0, None
     if len(sys.argv) > 1:
         if ":" in sys.argv[1]:
