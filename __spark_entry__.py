@@ -477,9 +477,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_lsh_multi": similarity.knn_lsh_multi,
         "multimodal_media_features": multimodal.media_features,
     }
-    ordered = {name: q.pop(name) for name in _R11_WINDOW}
+    ordered = {name: q.pop(name) for name in _R12_WINDOW}
     ordered.update(q)
     return ordered
+
+
+# The round-12 driver verification window (VERDICT r11 item 1 + the
+# rotation contract in worklog/r12_plan.md), in priority order:
+#   (a) never-attested: the r12 registration (the soft-dedup sampler
+#       composition);
+#   (b) code changed in round 12: the bigram-LM scoring join is now
+#       size-triggered (auto broadcast/shuffle), the bitext recall
+#       audit checkpoints its pair relations (62->2 shuffles), and
+#       bloom_gate's prefilter became a constant-folded map-side
+#       bit-array test (feeds text_decontaminate_bloom);
+#   (c) the remaining 19 r06-attested rows — the oldest attestations
+#       in the registry (TPC-H q4/q10/q12/q13/q15/q18/q22 +
+#       customers_without_orders, the BPE train/encode family,
+#       sketches, mixture plan/apply, versioning, train_lang_lr);
+#   (d) fill to 50 with the oldest r07-attested rows, alphabetical.
+# After this window runs, no registry entry's attestation is older
+# than r07 (< 6 rounds); the 13 r07 rows left over head the r13
+# window. Staleness accounting: tools/sweep.py --stale.
+_R12_WINDOW = (
+    # (a) never-attested
+    "text_weighted_sample_soft",
+    # (b) changed this round
+    "text_bigram_lm_score",
+    "sim_bitext_recall_audit",
+    "text_decontaminate_bloom",
+    # (c) r06 attestations (oldest in the registry)
+    "sketch_hist_quantiles",
+    "sketch_hll_daily_users",
+    "text_bpe_encode",
+    "text_bpe_train_batched",
+    "text_bpe_train_merges",
+    "text_mixture_apply",
+    "text_mixture_plan",
+    "text_train_lang_lr",
+    "tpch_customers_without_orders",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_by_status",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q18_large_volume_orders",
+    "tpch_q22_dormant_rich_customers",
+    "tpch_q4_order_priority",
+    "versioning_corpus_delta",
+    "versioning_incremental_stats",
+    "versioning_k_anonymous",
+    # (d) oldest r07 attestations, alphabetical
+    "agg_serving_join",
+    "dedup_cluster_sizes",
+    "dedup_weighted_sample",
+    "layout_zorder_skipping",
+    "retrieval_bm25",
+    "retrieval_hybrid_rrf",
+    "retrieval_index_delta",
+    "retrieval_inverted_index",
+    "retrieval_rag_ivf",
+    "sem_dedup",
+    "sem_dedup_flat",
+    "serving_dedup_first",
+    "serving_grains_grouping_sets",
+    "serving_hourly_window",
+    "serving_trending_topics",
+    "serving_value_percentiles",
+    "sim_ann_recall_audit",
+    "sim_contrastive_pairs",
+    "sim_embedding_isotropy",
+    "sim_embedding_outliers",
+    "sim_embedding_sanity",
+    "sim_ivf_index_append",
+    "sim_ivf_index_export",
+    "sim_ivf_probe_sensitivity",
+    "sim_ivf_rebalance_plan",
+    "sim_kmeans_cells_2level",
+    "sim_knn_ivf",
+)
 
 
 # The round-11 driver verification window (VERDICT r10 item 1 + the
