@@ -306,11 +306,44 @@ def main() -> None:
     # host-load context: bench totals inflate uniformly under
     # contention (observed 26s idle vs 46s loaded for the same code) —
     # loadavg at start/end distinguishes that from a real regression
+    # A/B control (VERDICT r11 item 4): tools/bench_ab.py writes the
+    # prior-tree per-query medians + ratios to worklog/ab_control.json
+    # at round close; embed them so BENCH_rN carries the control. The
+    # compact tail line gets the summary (the 2000-char archive tail
+    # cannot hold 73 medians); the full worklog line gets everything.
+    ab_full: dict | None = None
+    ab_summary: dict | None = None
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "worklog",
+                "ab_control.json",
+            )
+        ) as f:
+            ab_full = json.load(f)
+        ab_summary = {
+            k: ab_full[k]
+            for k in (
+                "base_ref",
+                "base_sha",
+                "n_runs",
+                "median_ratio",
+                "base_total_median",
+                "current_total_median",
+                "measured_utc",
+            )
+            if k in ab_full
+        }
+    except (OSError, ValueError):
+        pass
+
     out = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "ab_control": ab_full,
         "model_seconds": model_times,
         "ivf_train_seconds": ivf_train_seconds,
         "sf": sf_val,
@@ -341,6 +374,7 @@ def main() -> None:
                 "n_queries": len(times),
                 "sf": sf_val,
                 "load_gate": load_gate,
+                "ab_control": ab_summary,
             }
         )
     )
