@@ -136,6 +136,9 @@ STRESS_QUERIES = [
     # r11: per-source drill-down — two bounded flag relations onto
     # the (doc_id, source) projection, |sources|-row rollup
     "text_contamination_by_source",
+    # r12: the sampler face of soft dedup — soft weights + one
+    # map-side draw/compare projection (same O(n) cluster chain)
+    "text_weighted_sample_soft",
     # round 7: IVF+int8 serving composition (candidate-bounded +
     # RERANK_M-bounded float math), contrastive pair mining (its
     # registered stage 1 is the EXACT sampled-cohort top-k, so the
