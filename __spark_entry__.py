@@ -497,15 +497,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #       sketches, mixture plan/apply, versioning, train_lang_lr);
 #   (d) fill to 50 with the oldest r07-attested rows, alphabetical.
 # After this window runs, no registry entry's attestation is older
-# than r07 (< 6 rounds); the 13 r07 rows left over head the r13
-# window. Staleness accounting: tools/sweep.py --stale.
+# than r07 (< 6 rounds); the 14 r07 rows left over head the r13
+# window (sweep.py --stale lists them). Staleness accounting is
+# rename-aware since r12.
 _R12_WINDOW = (
     # (a) never-attested
     "text_weighted_sample_soft",
-    # (b) changed this round
+    # (b) changed this round (pipeline_funnel_v3 transitively: its
+    # n-gram screen stage rides the rewritten bloom gate)
     "text_bigram_lm_score",
     "sim_bitext_recall_audit",
     "text_decontaminate_bloom",
+    "pipeline_funnel_v3",
     # (c) r06 attestations (oldest in the registry)
     "sketch_hist_quantiles",
     "sketch_hll_daily_users",
@@ -553,7 +556,6 @@ _R12_WINDOW = (
     "sim_ivf_probe_sensitivity",
     "sim_ivf_rebalance_plan",
     "sim_kmeans_cells_2level",
-    "sim_knn_ivf",
 )
 
 
