@@ -1392,9 +1392,13 @@ FROM t
 LM_SCALE = 1_000_000
 
 
-def _bigram_modelq(bi: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _bigram_modelq(
+    bi: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Train the add-one bigram model from exploded (doc_id, bg)
-    rows: returns (modelq: (bg, q micro-prob), vocab: 1-row (v)).
+    rows: returns (modelq: (bg, q micro-prob), vocab: 1-row (v),
+    model: the CHECKPOINTED (bg, c12) count table — same row count
+    and keys as modelq, the cheap frame to SIZE the model on).
 
     q is the round-half-up of (c12+1)/(c1+V) in micro units, in
     EXACT integer form (2a+b) div 2b — a double round here ties
@@ -1433,7 +1437,7 @@ def _bigram_modelq(bi: DataFrame) -> tuple[DataFrame, DataFrame]:
             ).alias("q"),
         )
     )
-    return modelq, vocab
+    return modelq, vocab, model
 
 
 # scoring-join strategy for the trained bigram model: "broadcast"
@@ -1458,15 +1462,17 @@ LM_BROADCAST_BUDGET_BYTES = 64 << 20
 LM_MODEL_ROW_OVERHEAD = 24
 
 
-def _estimate_model_bytes(modelq: DataFrame) -> int:
+def _estimate_model_bytes(model: DataFrame) -> int:
     """Estimated in-memory size of the trained bigram model: one
     aggregation over the vocab-sized (bounded) relation — rows and
-    mean key width in a single action. The underlying count table is
-    localCheckpointed by ``_bigram_modelq``, so this action ALSO
-    pays the training pass the downstream scoring join needs anyway;
-    the marginal cost of sizing is one agg over |bigram vocab| rows.
+    mean key width in a single action. Size on the CHECKPOINTED
+    (bg, c12) count table, not modelq: same row count and keys, but
+    the sizing action then pays only the training pass (which the
+    scoring join needs materialized anyway) instead of re-running
+    modelq's uni-join per-probe — measured 1.39x -> ~1.0x on the
+    sf0.1 headline when the r12 auto mode first sized on modelq.
     """
-    row = modelq.agg(
+    row = model.agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.avg(F.length("bg")), F.lit(0.0)).alias("w"),
     ).collect()[0]
@@ -1474,11 +1480,12 @@ def _estimate_model_bytes(modelq: DataFrame) -> int:
 
 
 def _resolve_lm_join_mode(
-    modelq: DataFrame, mode: str | None
+    model: DataFrame, mode: str | None
 ) -> tuple[str, int | None]:
     """(resolved mode, model-size estimate or None): explicit kwarg
     wins, then SPARK_GRAFT_LM_JOIN, then the size-triggered auto
-    choice against SPARK_GRAFT_LM_BROADCAST_BUDGET."""
+    choice against SPARK_GRAFT_LM_BROADCAST_BUDGET. ``model`` is the
+    frame to size — the checkpointed (bg, c12) count table."""
     import os as _os
 
     mode = mode or _os.environ.get("SPARK_GRAFT_LM_JOIN", "auto")
@@ -1498,12 +1505,19 @@ def _resolve_lm_join_mode(
             "SPARK_GRAFT_LM_BROADCAST_BUDGET", LM_BROADCAST_BUDGET_BYTES
         )
     )
-    est = _estimate_model_bytes(modelq)
+    est = _estimate_model_bytes(model)
     return ("broadcast" if est <= budget else "shuffle"), est
 
 
-def _lm_scoring_join(bi: DataFrame, modelq: DataFrame, mode: str | None):
-    mode, _ = _resolve_lm_join_mode(modelq, mode)
+def _lm_scoring_join(
+    bi: DataFrame,
+    modelq: DataFrame,
+    mode: str | None,
+    size_frame: DataFrame | None = None,
+):
+    mode, _ = _resolve_lm_join_mode(
+        size_frame if size_frame is not None else modelq, mode
+    )
     if mode == "shuffle":
         # distributed hash join on bg: the model never leaves the
         # cluster, both sides shuffle on the bigram key (the model
@@ -1534,9 +1548,9 @@ def bigram_lm_score(
     bi = docs.select(
         "doc_id", F.explode(shingles(tokens("text"), 2)).alias("bg")
     )
-    modelq, _ = _bigram_modelq(bi)
+    modelq, _, model = _bigram_modelq(bi)
     scored = (
-        _lm_scoring_join(bi, modelq, join_mode)
+        _lm_scoring_join(bi, modelq, join_mode, size_frame=model)
         .groupBy("doc_id")
         .agg(F.sum("q").alias("sq"), F.count(F.lit(1)).alias("nb"))
     )
@@ -1753,7 +1767,7 @@ def bigram_lm_model(spark: SparkSession, sf_dir: str) -> tuple[dict, int]:
     bi = docs.select(
         "doc_id", F.explode(shingles(tokens("text"), 2)).alias("bg")
     )
-    modelq, vocab = _bigram_modelq(bi)
+    modelq, vocab, _ = _bigram_modelq(bi)
     model = {r["bg"]: r["q"] for r in modelq.collect()}
     return model, vocab.collect()[0]["v"]
 

@@ -4807,21 +4807,21 @@ def test_bigram_lm_join_mode_auto_switch(spark, sf_dir, monkeypatch):
             textstats.shingles(textstats.tokens("text"), 2)
         ).alias("bg"),
     )
-    modelq, _ = textstats._bigram_modelq(bi)
+    _, _, model = textstats._bigram_modelq(bi)
 
     # auto, generous budget -> broadcast; starved budget -> shuffle
     monkeypatch.setenv("SPARK_GRAFT_LM_BROADCAST_BUDGET", str(1 << 30))
-    mode, est = textstats._resolve_lm_join_mode(modelq, None)
+    mode, est = textstats._resolve_lm_join_mode(model, None)
     assert mode == "broadcast" and est is not None and est > 0
     monkeypatch.setenv("SPARK_GRAFT_LM_BROADCAST_BUDGET", "1")
-    mode, est2 = textstats._resolve_lm_join_mode(modelq, None)
+    mode, est2 = textstats._resolve_lm_join_mode(model, None)
     assert mode == "shuffle" and est2 == est
 
     # precedence: explicit kwarg beats env var beats auto
     monkeypatch.setenv("SPARK_GRAFT_LM_JOIN", "shuffle")
-    assert textstats._resolve_lm_join_mode(modelq, None)[0] == "shuffle"
+    assert textstats._resolve_lm_join_mode(model, None)[0] == "shuffle"
     assert (
-        textstats._resolve_lm_join_mode(modelq, "broadcast")[0]
+        textstats._resolve_lm_join_mode(model, "broadcast")[0]
         == "broadcast"
     )
     monkeypatch.delenv("SPARK_GRAFT_LM_JOIN")
