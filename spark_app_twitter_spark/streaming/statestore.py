@@ -537,6 +537,11 @@ def compact_partials(
             stored = spark.createDataFrame([], ddl)
         old = stored.where(F.col("batch_id") < min_live_batch)
         keep = stored.where(~(F.col("batch_id") < min_live_batch))
+        # steady-state poll with nothing below the horizon: skip the
+        # publish entirely (NoChange) instead of rewriting the whole
+        # state as a new version for a no-op fold
+        if old.limit(1).count() == 0:
+            raise NoChange()
         types = {f.name: f.dataType for f in stored.schema.fields}
         folded = old.groupBy(*group_cols).agg(
             *[

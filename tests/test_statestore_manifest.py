@@ -485,3 +485,41 @@ def test_scd2_late_flags_survive_crash_before_commit(
     apply_scd2_batch(b1, 1, path)
     flagged = scd2_late_audit(spark, path).collect()
     assert [(r.batch_id, r.user_id) for r in flagged] == [(1, 1)]
+
+
+@pytest.mark.parametrize("backend", ["pointer", "manifest"])
+def test_compact_noop_skips_publish(spark, tmp_path, backend):
+    """A compaction poll with nothing below the replay horizon is a
+    no-op and must not burn a version (NoChange fast path)."""
+    path = f"{tmp_path}/compact_noop_{backend}"
+    ddl = "stream string, batch_id long, k long, v long"
+    statestore.transact(
+        spark,
+        path,
+        ddl,
+        lambda s: spark.createDataFrame([("a", 5, 0, 1)], ddl),
+        backend=backend,
+    )
+    ver = (
+        statestore._manifest_version(path)
+        if backend == "manifest"
+        else statestore._current_version(path)
+    )
+    # horizon below every stored batch -> nothing to fold
+    statestore.compact_partials(
+        spark, path, ddl, ["k"], ["v"], min_live_batch=3
+    )
+    ver2 = (
+        statestore._manifest_version(path)
+        if backend == "manifest"
+        else statestore._current_version(path)
+    )
+    assert ver2 == ver
+    # a horizon above it folds and publishes
+    statestore.compact_partials(
+        spark, path, ddl, ["k"], ["v"], min_live_batch=9
+    )
+    rows = statestore.read_state(spark, path, ddl).collect()
+    assert [(r.stream, r.batch_id, r.k, r.v) for r in rows] == [
+        (statestore.RESERVED_STREAM, -1, 0, 1)
+    ]
