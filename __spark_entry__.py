@@ -267,6 +267,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_perplexity_buckets": textstats.perplexity_buckets,
         "text_unigram_train": unigram.unigram_train,
         "text_unigram_encode": unigram.unigram_encode,
+        # r12: per-language fertility of the trained unigram tokenizer
+        # (pieces per word by predicted language — the multilingual
+        # tokenizer-fairness monitor)
+        "text_tokenizer_fertility": unigram.tokenizer_fertility,
         "versioning_dp_counts": versioning.dp_released_counts,
         "sim_pq_train": pq.pq_train,
         "sim_pq_encode": pq.pq_encode,
@@ -342,6 +346,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_quantize_embeddings": similarity.quantize_embeddings,
         "multimodal_resize_images": multimodal.resize_images,
         "sim_kmeans_cells": clustering.kmeans_cells,
+        # r12: topic-balanced subsample — per-cell keep quota over the
+        # trained k-means cells (head topics capped, tails kept whole)
+        "sim_cluster_balanced_sample": clustering.cluster_balanced_sample,
         "text_train_split": textstats.train_split,
         "text_length_histogram": textstats.length_histogram,
         "sim_knn_quantized": similarity.knn_quantized,
@@ -497,12 +504,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #       sketches, mixture plan/apply, versioning, train_lang_lr);
 #   (d) fill to 50 with the oldest r07-attested rows, alphabetical.
 # After this window runs, no registry entry's attestation is older
-# than r07 (< 6 rounds); the 14 r07 rows left over head the r13
-# window (sweep.py --stale lists them). Staleness accounting is
-# rename-aware since r12.
+# than r07 (< 6 rounds); the 16 r07 rows left over (the 14 named in
+# worklog/r13_plan.md plus sim_ivf_rebalance_plan and
+# sim_kmeans_cells_2level, displaced by the two late-r12
+# registrations) head the r13 window (sweep.py --stale lists them).
+# Staleness accounting is rename-aware since r12.
 _R12_WINDOW = (
-    # (a) never-attested
+    # (a) never-attested (the three r12 registrations)
     "text_weighted_sample_soft",
+    "sim_cluster_balanced_sample",
+    "text_tokenizer_fertility",
     # (b) changed this round (pipeline_funnel_v3 transitively: its
     # n-gram screen stage rides the rewritten bloom gate)
     "text_bigram_lm_score",
@@ -554,8 +565,6 @@ _R12_WINDOW = (
     "sim_ivf_index_append",
     "sim_ivf_index_export",
     "sim_ivf_probe_sensitivity",
-    "sim_ivf_rebalance_plan",
-    "sim_kmeans_cells_2level",
 )
 
 
@@ -868,6 +877,7 @@ def _trained_oracles() -> dict[str, str]:
             "text_bpe_compression": oracles.bpe_compression_sql(),
             "text_unigram_train": oracles.unigram_train_sql(),
             "text_unigram_encode": oracles.unigram_encode_sql(),
+            "text_tokenizer_fertility": oracles.tokenizer_fertility_sql(),
             "text_unigram_prune": oracles.unigram_prune_sql(),
             "sim_embedding_isotropy": oracles.embedding_isotropy_sql(),
         }
@@ -1112,6 +1122,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_embedding_near_dup": similarity.EMBEDDING_NEAR_DUP_SQL,
         "sim_label_centroids": similarity.LABEL_CENTROIDS_SQL,
         "sim_kmeans_cells": clustering.KMEANS_CELLS_SQL,
+        "sim_cluster_balanced_sample": clustering.CLUSTER_BALANCED_SAMPLE_SQL,
         "multimodal_media_features": multimodal.MEDIA_FEATURES_SQL,
         "multimodal_video_frames": multimodal.VIDEO_FRAMES_SQL,
         # round 3 additions

@@ -404,6 +404,111 @@ KMEANS_CELLS_SQL = kmeans_cells_sql()
 
 
 # ---------------------------------------------------------------------------
+# Cluster-balanced (topic-balanced) subsampling — the curation
+# primitive behind DataComp/DoReMi-style topic rebalancing: cap each
+# semantic cell's contribution so head topics (boilerplate-heavy web
+# genres, template floods) cannot dominate the training mix no matter
+# how many raw documents they ship.
+# ---------------------------------------------------------------------------
+
+# per-cell keep quota. With k = cells_for(n) ~ ceil(sqrt(n)) cells the
+# balanced sample is <= CAP*sqrt(n) rows — sublinear in the corpus, so
+# the output stays bounded as the raw crawl grows.
+BALANCED_SAMPLE_CAP = 16
+
+# distinct salt from the dedup samplers (_WSAMPLE_SALT/_WSOFT_SALT in
+# operators/dedup.py): a doc surviving near-dup sampling must draw
+# independently here, or topic balancing systematically re-keeps the
+# dedup survivors' hash order.
+_BSAMPLE_SALT = ":bsample"
+
+
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell, cell_size, rk): topic-balanced subsample — the
+    ``BALANCED_SAMPLE_CAP`` lowest deterministic md5 draws from every
+    k-means cell (draw asc, vec_id asc tie-break), so each semantic
+    cluster contributes at most CAP vectors regardless of its raw
+    population. Cells smaller than the quota keep everything — the
+    sampler never *up*-weights a topic, it only caps the head.
+    ``rk`` is the 1-based keep rank within the cell (rk <= CAP by
+    construction), ``cell_size`` the cell's pre-sample population, so
+    downstream mixture planning can reconstruct each topic's
+    acceptance rate CAP/|cell| without re-scanning the corpus.
+
+    Scale shape: rides the trained cell table (one ~sqrt(n)-row
+    broadcast assignment pass, shared via the session centroid
+    cache); the quota pick is ONE window over cell-partitioned rows
+    (cells are ~sqrt(n) populations by construction — no giant
+    partition), and the cell_size join broadcasts the k-row count
+    table. No crossJoin, no corpus-sized collect, output sublinear.
+    """
+    from pyspark.sql import Window
+
+    cells = kmeans_cells(spark, sf_dir)
+    sizes = cells.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("cell_size")
+    )
+    draw = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.col("vec_id").cast("string"), F.lit(_BSAMPLE_SALT))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("cell").orderBy(F.asc("draw"), F.asc("vec_id"))
+    return (
+        cells.withColumn("draw", draw)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= BALANCED_SAMPLE_CAP)
+        .join(F.broadcast(sizes), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            "cell_size",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+def cluster_balanced_sample_sql() -> str:
+    """Oracle twin: the shared centroid CTE chain + the same draw /
+    window / quota relational tail (md5 draw parity with the Spark
+    side is byte-exact — both hash ``vec_id || salt``)."""
+    parts = kmeans_centroid_ctes()
+    assigned = kmeans_assigned_cte("vec_id, cell")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+cells AS ({assigned}),
+sizes AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS cell_size
+  FROM cells GROUP BY cell
+),
+drawn AS (
+  SELECT vec_id, cell,
+         CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '{_BSAMPLE_SALT}'),
+                              1, 15)) AS BIGINT) AS draw
+  FROM cells
+)
+SELECT vec_id, cell, cell_size, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT d.vec_id, d.cell, s.cell_size,
+         row_number() OVER (PARTITION BY d.cell
+                            ORDER BY d.draw ASC, d.vec_id ASC) AS rk
+  FROM drawn d JOIN sizes s USING (cell)
+) WHERE rk <= {BALANCED_SAMPLE_CAP}
+"""
+    )
+
+
+CLUSTER_BALANCED_SAMPLE_SQL = cluster_balanced_sample_sql()
+
+
+# ---------------------------------------------------------------------------
 # Hierarchical (two-level) cells — the production path past the flat
 # trainer's n*k assignment wall.
 # ---------------------------------------------------------------------------

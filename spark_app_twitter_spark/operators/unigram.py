@@ -286,6 +286,56 @@ def unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_docs, n_words, n_pieces, pieces_per_word): per-language
+    FERTILITY of the trained unigram tokenizer — pieces emitted per
+    whitespace word, grouped by the trigram language-ID prediction.
+    The standard multilingual-tokenizer fairness metric: a tokenizer
+    trained on a skewed mixture fragments under-represented languages
+    into more pieces per word, which silently taxes their effective
+    context window and per-token training budget. Grouping by the
+    PREDICTED language (not the gold label) makes this the deployable
+    monitor — at corpus scale there is no gold label column.
+
+    Scale shape: composes two already-bounded operators — the
+    vocabulary-trick unigram encode (Viterbi once per distinct word,
+    vocab-bounded broadcast back onto per-doc counts) and the
+    broadcast-profile language ID — with ONE doc_id-keyed equi-join
+    and a |langs|-row aggregation. No new unbounded state; the output
+    is |langs| rows.
+    """
+    # function-level import: textstats is the bigger module and does
+    # not depend on unigram — keep it that way
+    from spark_app_twitter_spark.operators.textstats import lang_id
+
+    enc = unigram_encode(spark, sf_dir).select(
+        "doc_id", "n_words", "n_pieces"
+    )
+    lid = lang_id(spark, sf_dir).select(
+        "doc_id", F.col("predicted").alias("lang")
+    )
+    return (
+        enc.join(lid, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_pieces").alias("n_pieces"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_pieces",
+            F.round(
+                F.col("n_pieces").cast("double")
+                / F.col("n_words").cast("double"),
+                6,
+            ).alias("pieces_per_word"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Vocabulary pruning (the SentencePiece reduction schedule, one
 # round): after EM, keep every character plus only the multi-char

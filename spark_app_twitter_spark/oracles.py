@@ -700,6 +700,53 @@ GROUP BY doc_id
     return _SQL_CACHE[key]
 
 
+def tokenizer_fertility_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Per-language fertility twin: the literal per-word piece counts
+    (sequential Viterbi under the replica-trained unigram
+    probabilities — same relation unigram_encode_sql embeds) rolled up
+    per doc, joined onto the pure-SQL language-ID prediction, grouped
+    by predicted language. Division happens once, on the per-language
+    integer sums, so both engines perform the identical IEEE op."""
+    key = ("tokenizer_fertility", sf_dir)
+    if key not in _SQL_CACHE:
+        from spark_app_twitter_spark.operators.textstats import LANG_ID_SQL
+
+        art = replica_unigram(sf_dir)
+        logp = {p: lp for p, _, lp in art}
+        words = _ug_words(sf_dir)
+        vals = ",\n  ".join(
+            f"({_s(w)}, {len(_ug_viterbi(w, logp))})" for w in sorted(words)
+        )
+        _SQL_CACHE[key] = f"""
+WITH enc(word, np) AS (VALUES
+  {vals}
+),
+wc AS (
+  SELECT doc_id, word, count(*) AS n
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+  GROUP BY doc_id, word
+),
+docenc AS (
+  SELECT doc_id, sum(n) AS n_words, sum(n * np) AS n_pieces
+  FROM wc JOIN enc USING (word)
+  GROUP BY doc_id
+),
+lid AS (
+  SELECT doc_id, predicted FROM ({LANG_ID_SQL})
+)
+SELECT predicted AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+       round(CAST(sum(n_pieces) AS DOUBLE)
+             / CAST(sum(n_words) AS DOUBLE), 6) AS pieces_per_word
+FROM docenc JOIN lid USING (doc_id)
+GROUP BY predicted
+"""
+    return _SQL_CACHE[key]
+
+
 UG_PRUNE_KEEP = 100
 
 

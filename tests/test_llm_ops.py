@@ -5071,3 +5071,69 @@ def test_contamination_by_source_parity_and_reconciliation(spark, sf_dir):
         assert 0.0 <= r.ngram_rate <= 1.0
         assert 0.0 <= r.semantic_rate <= 1.0
         assert abs(r.ngram_rate - r.n_flagged_ngram / r.n_train_docs) < 1e-6
+
+
+def test_cluster_balanced_sample_parity_and_quota(spark, sf_dir):
+    """Topic-balanced subsample: oracle parity; every k-means cell
+    contributes exactly min(CAP, |cell|) rows (head topics capped,
+    tails kept whole); keep ranks are a 1..quota permutation per
+    cell; cell_size reconciles with the assignment relation."""
+    from spark_app_twitter_spark.operators import clustering
+
+    df = clustering.cluster_balanced_sample(spark, sf_dir)
+    assert_parity(
+        df,
+        clustering.CLUSTER_BALANCED_SAMPLE_SQL,
+        sf_dir,
+        "cluster_balanced_sample",
+    )
+    rows = df.collect()
+    true_sizes = {
+        r.cell: r.n
+        for r in clustering.kmeans_cells(spark, sf_dir)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    # every populated cell is represented — the sampler never drops
+    # a topic outright
+    assert set(by_cell) == set(true_sizes)
+    for cell, members in by_cell.items():
+        assert all(m.cell_size == true_sizes[cell] for m in members)
+        quota = min(clustering.BALANCED_SAMPLE_CAP, true_sizes[cell])
+        assert len(members) == quota
+        assert sorted(m.rk for m in members) == list(range(1, quota + 1))
+
+
+def test_tokenizer_fertility_parity_and_bounds(spark, sf_dir):
+    """Per-language tokenizer fertility: oracle parity; fertility is
+    >= 1 everywhere (a word is at least one piece); language doc
+    counts reconcile with the language-ID relation it groups by."""
+    from spark_app_twitter_spark import oracles
+    from spark_app_twitter_spark.operators import unigram
+
+    df = unigram.tokenizer_fertility(spark, sf_dir)
+    assert_parity(
+        df,
+        oracles.tokenizer_fertility_sql(sf_dir),
+        sf_dir,
+        "tokenizer_fertility",
+    )
+    rows = df.collect()
+    assert rows
+    lid_counts = {
+        r.predicted: r.n
+        for r in textstats.lang_id(spark, sf_dir)
+        .groupBy("predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.n_pieces >= r.n_words >= r.n_docs >= 1
+        assert r.pieces_per_word >= 1.0
+        # inner join with the encode relation can only drop docs that
+        # produced no words — never add any
+        assert r.n_docs <= lid_counts[r.lang]
