@@ -139,6 +139,14 @@ STRESS_QUERIES = [
     # r12: the sampler face of soft dedup — soft weights + one
     # map-side draw/compare projection (same O(n) cluster chain)
     "text_weighted_sample_soft",
+    # late r12: topic-balanced subsample — cell-partitioned window
+    # over the trained cell table (quota pick), k-row size broadcast;
+    # output sublinear (CAP * sqrt(n))
+    "sim_cluster_balanced_sample",
+    # late r12: tokenizer fertility — vocabulary-bounded encode +
+    # broadcast-profile lang-ID composed by one doc-keyed join into a
+    # |langs|-row rollup
+    "text_tokenizer_fertility",
     # round 7: IVF+int8 serving composition (candidate-bounded +
     # RERANK_M-bounded float math), contrastive pair mining (its
     # registered stage 1 is the EXACT sampled-cohort top-k, so the
