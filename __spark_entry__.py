@@ -504,11 +504,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #       sketches, mixture plan/apply, versioning, train_lang_lr);
 #   (d) fill to 50 with the oldest r07-attested rows, alphabetical.
 # After this window runs, no registry entry's attestation is older
-# than r07 (< 6 rounds); the 16 r07 rows left over (the 14 named in
-# worklog/r13_plan.md plus sim_ivf_rebalance_plan and
-# sim_kmeans_cells_2level, displaced by the two late-r12
-# registrations) head the r13 window (sweep.py --stale lists them).
-# Staleness accounting is rename-aware since r12.
+# than r07 (< 6 rounds); the 19 r07 rows left over (the 14 named in
+# worklog/r13_plan.md plus sim_ivf_rebalance_plan,
+# sim_kmeans_cells_2level, sim_ivf_index_append, sim_ivf_index_export
+# and sim_ivf_probe_sensitivity — displaced by the two late-r12
+# registrations and the three changed retrieval rows) head the r13
+# window (sweep.py --stale lists them). Staleness accounting is
+# rename-aware since r12.
 _R12_WINDOW = (
     # (a) never-attested (the three r12 registrations)
     "text_weighted_sample_soft",
@@ -520,6 +522,13 @@ _R12_WINDOW = (
     "sim_bitext_recall_audit",
     "text_decontaminate_bloom",
     "pipeline_funnel_v3",
+    # (b) late r12: the bm25 core + query-likelihood checkpoint their
+    # shared bounded relations (plan-width cut: 25->7 shuffles,
+    # 22->2 scans on the widest; retrieval_bm25 and hybrid_rrf are
+    # transitive consumers already in the (d) fill below)
+    "retrieval_bm25_eval",
+    "retrieval_query_expansion",
+    "retrieval_query_likelihood",
     # (c) r06 attestations (oldest in the registry)
     "sketch_hist_quantiles",
     "sketch_hll_daily_users",
@@ -562,9 +571,6 @@ _R12_WINDOW = (
     "sim_embedding_isotropy",
     "sim_embedding_outliers",
     "sim_embedding_sanity",
-    "sim_ivf_index_append",
-    "sim_ivf_index_export",
-    "sim_ivf_probe_sensitivity",
 )
 
 

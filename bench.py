@@ -146,6 +146,13 @@ HEADLINE = [
     "tpch_q3_incremental",
     "graph_modularity",
     "versioning_scd2",
+    # late r12 additions: the topic-balanced quota sampler (cell
+    # window + WindowGroupLimit) and the per-language tokenizer
+    # fertility rollup (composes the unigram encode + lang-ID
+    # artifacts; both artifact halves pre-warm under model_seconds'
+    # cold-share discipline like the other trained-artifact queries)
+    "sim_cluster_balanced_sample",
+    "text_tokenizer_fertility",
 ]
 
 

@@ -219,8 +219,11 @@ def bm25_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
     # deterministic query set: 1 row per (query_id, term) — shared
-    # with query_expansion's pass 1
-    return bm25_search(spark, sf_dir, _seed_query_terms(docs))
+    # with query_expansion's pass 1; checkpointed because the core
+    # reads it twice (distinct-term filter + the scoring join)
+    return bm25_search(
+        spark, sf_dir, _seed_query_terms(docs).localCheckpoint(eager=False)
+    )
 
 
 def bm25_search(
@@ -232,7 +235,15 @@ def bm25_search(
     bm25_retrieve is this core applied to the corpus-derived query
     set; the plan shape (broadcast term filter below the tf combine,
     doc_id-keyed length count, micro-unit integer sums) is identical
-    for both callers."""
+    for both callers.
+
+    The hit table and the 1-row corpus scalar are shared by two
+    consumer branches each (df count + scoring; dl-norm + scoring),
+    so both are localCheckpointed once (the r12 plan-width
+    discipline) — without truncation every bm25 consumer re-ran the
+    corpus explode per branch. Legal on the streaming seam too:
+    bm25serve calls this inside foreachBatch, where micro-batch
+    frames are plain batch DataFrames."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
@@ -242,7 +253,7 @@ def bm25_search(
     scalars = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(tokens("text"))).alias("n_tokens"),
-    )
+    ).localCheckpoint(eager=False)
 
     # broadcast term filter BEFORE the tf combine: the (doc, term)
     # shuffle carries only query-term rows, not the whole corpus
@@ -252,6 +263,7 @@ def bm25_search(
         toks.join(F.broadcast(qterms.select("term").distinct()), "term")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
     df_per_term = hits.groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
@@ -926,23 +938,32 @@ def query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the tf combine, doc_id-keyed length reduce, constant-size
     broadcast scalars; ranking is the per-query-bounded window.
 
+    The three SHARED bounded relations — the seed query set (<=
+    N_QUERIES * Q_TERMS rows), the hit table (candidate docs x query
+    terms), and the 1-row corpus scalar — are localCheckpointed once
+    (the sim_bitext_recall_audit r12 pattern): without truncation the
+    plan re-derived qterms 3x, the corpus-explode-backed hit combine
+    2x, and the corpus-sum scalar 2x inside one action (25 shuffles /
+    22 scans, the widest registry plan after the bitext cut).
+
     Reference scope note: no reference analogue; SURVEY.md §2.9
     retrieval mandate (sparse family, second ranker).
     """
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    qterms = _seed_query_terms(docs)
+    qterms = _seed_query_terms(docs).localCheckpoint(eager=False)
     toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
 
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     scalars = docs.agg(
         F.sum(F.size(tokens("text"))).alias("n_tokens")
-    )
+    ).localCheckpoint(eager=False)
     hits = (
         toks.join(F.broadcast(qterms.select("term").distinct()), "term")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
     cf = hits.groupBy("term").agg(F.sum("tf").alias("cf"))
 
