@@ -714,3 +714,40 @@ def test_zipf_and_vocab_rank_after_take_ordered(spark, sf_dir):
         plan = E.executed_plan(df)
         assert "TakeOrderedAndProject" in plan, f"{fn.__name__}: no top-N cut"
         assert len(E.unpartitioned_windows(df)) <= 1
+
+
+def test_cluster_balanced_sample_quota_pushdown_and_bounded_sizes(
+    spark, sf_dir
+):
+    """The quota pick pushes the rank filter below the cell exchange
+    (WindowGroupLimit: each map task forwards <= CAP rows per cell),
+    the window stays cell-partitioned, and the cell_size join
+    broadcasts the k-row count relation."""
+    from spark_app_twitter_spark.operators import clustering
+
+    df = clustering.cluster_balanced_sample(spark, sf_dir)
+    plan = E.executed_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert not E.unpartitioned_windows(df)
+    assert "BroadcastExchange" in plan
+
+
+def test_retrieval_shared_relations_checkpointed_once(spark, sf_dir):
+    """The late-r12 plan-width cut stays cut: the bm25 core and the
+    query-likelihood ranker localCheckpoint their shared bounded
+    relations, so one action scans the corpus at most a handful of
+    times instead of re-deriving the explode per consumer branch
+    (query_likelihood was 25 shuffles / 22 scans before)."""
+    from spark_app_twitter_spark.operators import retrieval
+
+    for fn, max_shuffles, max_scans in (
+        (retrieval.query_likelihood, 9, 4),
+        (retrieval.bm25_retrieve, 7, 4),
+        (retrieval.hybrid_rrf, 11, 8),
+    ):
+        df = fn(spark, sf_dir)
+        plan = E.executed_plan(df)
+        n_sh = E.num_shuffles(df)
+        n_sc = plan.count("Scan parquet") + plan.count("FileScan")
+        assert n_sh <= max_shuffles, (fn.__name__, n_sh)
+        assert n_sc <= max_scans, (fn.__name__, n_sc)
