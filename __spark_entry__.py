@@ -271,6 +271,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (pieces per word by predicted language — the multilingual
         # tokenizer-fairness monitor)
         "text_tokenizer_fertility": unigram.tokenizer_fertility,
+        # r12: per-source quality-floor calibration (source-fair
+        # quantile thresholds over the bounded score histogram)
+        "text_quality_floor_by_source": textstats.quality_floor_by_source,
         "versioning_dp_counts": versioning.dp_released_counts,
         "sim_pq_train": pq.pq_train,
         "sim_pq_encode": pq.pq_encode,
@@ -504,18 +507,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #       sketches, mixture plan/apply, versioning, train_lang_lr);
 #   (d) fill to 50 with the oldest r07-attested rows, alphabetical.
 # After this window runs, no registry entry's attestation is older
-# than r07 (< 6 rounds); the 19 r07 rows left over (the 14 named in
+# than r07 (< 6 rounds); the 20 r07 rows left over (the 14 named in
 # worklog/r13_plan.md plus sim_ivf_rebalance_plan,
-# sim_kmeans_cells_2level, sim_ivf_index_append, sim_ivf_index_export
-# and sim_ivf_probe_sensitivity — displaced by the two late-r12
-# registrations and the three changed retrieval rows) head the r13
-# window (sweep.py --stale lists them). Staleness accounting is
-# rename-aware since r12.
+# sim_kmeans_cells_2level, sim_ivf_index_append, sim_ivf_index_export,
+# sim_ivf_probe_sensitivity and sim_embedding_sanity — displaced by
+# the three late-r12 registrations and the three changed retrieval
+# rows) head the r13 window (sweep.py --stale lists them). Staleness
+# accounting is rename-aware since r12.
 _R12_WINDOW = (
-    # (a) never-attested (the three r12 registrations)
+    # (a) never-attested (the four r12 registrations)
     "text_weighted_sample_soft",
     "sim_cluster_balanced_sample",
     "text_tokenizer_fertility",
+    "text_quality_floor_by_source",
     # (b) changed this round (pipeline_funnel_v3 transitively: its
     # n-gram screen stage rides the rewritten bloom gate)
     "text_bigram_lm_score",
@@ -570,7 +574,6 @@ _R12_WINDOW = (
     "sim_contrastive_pairs",
     "sim_embedding_isotropy",
     "sim_embedding_outliers",
-    "sim_embedding_sanity",
 )
 
 
@@ -1141,6 +1144,9 @@ def oracle_sql() -> dict[str, str]:
         "serving_props_stats": serving.PROPS_STATS_SQL,
         "serving_weekly_active": serving.WEEKLY_ACTIVE_SQL,
         "text_quality_rules": textstats.QUALITY_RULES_SQL,
+        "text_quality_floor_by_source": (
+            textstats.QUALITY_FLOOR_BY_SOURCE_SQL
+        ),
         "text_common_ngrams": textstats.COMMON_NGRAMS_SQL,
         "sim_embedding_dim_stats": similarity.EMBEDDING_DIM_STATS_SQL,
         "dedup_incremental": dedup.INCREMENTAL_DEDUP_SQL,

@@ -253,6 +253,14 @@ def main() -> None:
     # (the coarse centroid artifact is trained inside
     # kmeans_fine_centroid_rows above — no separate warm needed)
 
+    # the FLAT cell table is its own published artifact (the balanced
+    # sampler and the flat sem-dedup variant read it): train it here
+    # so sim_cluster_balanced_sample measures the quota pick, not
+    # Lloyd iterations
+    t0 = time.perf_counter()
+    clustering.kmeans_centroid_rows(spark, SF_DIR)
+    model_times["kmeans_flat_train"] = round(time.perf_counter() - t0, 3)
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]

@@ -1269,6 +1269,142 @@ FROM s
 
 
 # ---------------------------------------------------------------------------
+# Per-source quality-floor calibration: a single global quality
+# threshold is source-UNFAIR — terse sources (forums, chat) sit low
+# on the composite score wholesale, so one corpus-wide cutoff
+# silently deletes whole genres while barely touching verbose prose.
+# The RefinedWeb-style fix: calibrate the floor PER SOURCE at a fixed
+# quantile of that source's own score distribution.
+# ---------------------------------------------------------------------------
+
+# floor quantile in basis points (2500 = p25) and the score grid
+# (quality_score in [0, 1] -> bucket = floor(score * GRID)).
+QUALITY_FLOOR_BP = 2500
+QUALITY_FLOOR_GRID = 1000
+
+
+def quality_floor_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, floor_bucket, n_below, below_ratio): the
+    per-source quality floor — for each ingest source, the smallest
+    score bucket whose cumulative population reaches the
+    QUALITY_FLOOR_BP quantile (exact integer target:
+    ceil(n * bp / 10000)), plus how many docs sit strictly below it
+    (what a source-fair gate would drop; < the quantile mass by
+    construction). floor_bucket differences ACROSS sources are the
+    calibration signal: a global threshold set at any one source's
+    floor over/under-shoots every other.
+
+    Scale shape: ONE corpus pass builds the (source, bucket)
+    histogram — bounded at |sources| * (GRID+1) rows and
+    localCheckpointed once, so the three consumer branches (totals,
+    floor pick, below count) replay the tiny artifact, not the
+    corpus. The quantile read-off windows the histogram per source
+    (<= GRID+1 rows per partition), never the data — the
+    sketch_hist_quantiles discipline applied per source.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    bucket = F.floor(
+        quality_score_expr(tokens("text")) * F.lit(QUALITY_FLOOR_GRID)
+    ).cast("int")
+    hist = (
+        docs.select("source", bucket.alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.asc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    totals = hist.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_docs")
+    )
+    tgt = totals.select(
+        "source",
+        "n_docs",
+        F.expr(
+            f"(n_docs * {QUALITY_FLOOR_BP} + 9999) div 10000"
+        ).alias("target"),
+    )
+    floor_pick = (
+        cum.join(F.broadcast(tgt), "source")
+        .where(F.col("cum") >= F.col("target"))
+        .groupBy("source")
+        .agg(F.min("bucket").alias("floor_bucket"))
+    )
+    below = (
+        cum.join(F.broadcast(floor_pick), "source")
+        .where(F.col("bucket") < F.col("floor_bucket"))
+        .groupBy("source")
+        .agg(F.sum("c").cast("long").alias("n_below"))
+    )
+    return (
+        tgt.join(F.broadcast(floor_pick), "source")
+        .join(F.broadcast(below), "source", "left_outer")
+        .select(
+            "source",
+            "n_docs",
+            "floor_bucket",
+            F.coalesce(F.col("n_below"), F.lit(0))
+            .cast("long")
+            .alias("n_below"),
+            F.round(
+                F.coalesce(F.col("n_below"), F.lit(0)).cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("below_ratio"),
+        )
+    )
+
+
+QUALITY_FLOOR_BY_SOURCE_SQL = f"""
+WITH t AS (
+  SELECT source, string_split(text, ' ') AS toks FROM documents
+),
+hist AS (
+  SELECT source,
+         CAST(floor({quality_score_sql("toks")} * {QUALITY_FLOOR_GRID})
+              AS INT) AS bucket,
+         count(*) AS c
+  FROM t GROUP BY source, bucket
+),
+cum AS (
+  SELECT source, bucket, c,
+         sum(c) OVER (PARTITION BY source ORDER BY bucket ASC
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+),
+tot AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+         (CAST(sum(c) AS BIGINT) * {QUALITY_FLOOR_BP} + 9999) // 10000
+           AS target
+  FROM hist GROUP BY source
+),
+fl AS (
+  SELECT cum.source, min(bucket) AS floor_bucket
+  FROM cum JOIN tot USING (source)
+  WHERE cum >= target GROUP BY cum.source
+),
+bel AS (
+  SELECT cum.source, CAST(sum(c) AS BIGINT) AS n_below
+  FROM cum JOIN fl USING (source)
+  WHERE bucket < floor_bucket GROUP BY cum.source
+)
+SELECT t.source, t.n_docs, f.floor_bucket,
+       CAST(coalesce(b.n_below, 0) AS BIGINT) AS n_below,
+       round(CAST(coalesce(b.n_below, 0) AS DOUBLE)
+             / CAST(t.n_docs AS DOUBLE), 6) AS below_ratio
+FROM tot t
+JOIN fl f USING (source)
+LEFT JOIN bel b USING (source)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Corpus-boilerplate detector: word n-grams ranked by DOCUMENT
 # frequency (each doc votes once per distinct gram). High-df grams
 # are shared boilerplate (headers, footers, license blurbs) — the

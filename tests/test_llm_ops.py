@@ -5137,3 +5137,37 @@ def test_tokenizer_fertility_parity_and_bounds(spark, sf_dir):
         # inner join with the encode relation can only drop docs that
         # produced no words — never add any
         assert r.n_docs <= lid_counts[r.lang]
+
+
+def test_quality_floor_by_source_parity_and_quantile_bound(spark, sf_dir):
+    """Per-source quality floor: oracle parity; the floor bucket's
+    cumulative population reaches the exact integer target
+    ceil(n * bp / 10000) while everything strictly below stays under
+    it (so a source-fair gate drops < the quantile mass); totals
+    reconcile with the documents table."""
+    from spark_app_twitter_spark.operators.textstats import (
+        QUALITY_FLOOR_BP,
+        QUALITY_FLOOR_BY_SOURCE_SQL,
+        quality_floor_by_source,
+    )
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    df = quality_floor_by_source(spark, sf_dir)
+    assert_parity(
+        df, QUALITY_FLOOR_BY_SOURCE_SQL, sf_dir, "quality_floor_by_source"
+    )
+    rows = df.collect()
+    true_counts = {
+        r.source: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {r.source for r in rows} == set(true_counts)
+    for r in rows:
+        assert r.n_docs == true_counts[r.source]
+        target = -(-r.n_docs * QUALITY_FLOOR_BP // 10000)  # ceil div
+        assert r.n_below < target  # below-floor mass stays under the target
+        assert 0 <= r.floor_bucket <= 1000
+        assert abs(r.below_ratio - r.n_below / r.n_docs) < 1e-9

@@ -147,6 +147,10 @@ STRESS_QUERIES = [
     # broadcast-profile lang-ID composed by one doc-keyed join into a
     # |langs|-row rollup
     "text_tokenizer_fertility",
+    # late r12: per-source quality floor — one corpus pass into a
+    # |sources| x (GRID+1)-row checkpointed histogram; the quantile
+    # read-off windows the sketch, never the data
+    "text_quality_floor_by_source",
     # round 7: IVF+int8 serving composition (candidate-bounded +
     # RERANK_M-bounded float math), contrastive pair mining (its
     # registered stage 1 is the EXACT sampled-cohort top-k, so the
