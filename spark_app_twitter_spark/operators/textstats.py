@@ -1283,6 +1283,24 @@ QUALITY_FLOOR_BP = 2500
 QUALITY_FLOOR_GRID = 1000
 
 
+def quality_hist_frame(docs: DataFrame) -> DataFrame:
+    """(source, bucket, c): the bounded quality-score histogram over
+    any documents relation — ONE definition shared by the batch
+    calibration query and the streaming maintainer
+    (streaming/qualitymon.py), so the bucketing can never fork.
+    Bounded at |sources| * (GRID+1) rows; counts are ADDITIVE, which
+    is what makes the histogram perfect streaming state (per-batch
+    histograms merge by integer sum, bit-exactly)."""
+    bucket = F.floor(
+        quality_score_expr(tokens("text")) * F.lit(QUALITY_FLOOR_GRID)
+    ).cast("int")
+    return (
+        docs.select("source", bucket.alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 def quality_floor_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(source, n_docs, floor_bucket, n_below, below_ratio): the
     per-source quality floor — for each ingest source, the smallest
@@ -1302,18 +1320,18 @@ def quality_floor_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     (<= GRID+1 rows per partition), never the data — the
     sketch_hist_quantiles discipline applied per source.
     """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    hist = quality_hist_frame(docs).localCheckpoint(eager=False)
+    return quality_floor_from_hist(hist)
+
+
+def quality_floor_from_hist(hist: DataFrame) -> DataFrame:
+    """The quantile read-off over ANY (source, bucket, c) histogram
+    relation — shared by the batch query (checkpointed one-pass
+    histogram) and the streaming monitor's serving read (merged
+    statestore counts)."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents", spread=True)
-    bucket = F.floor(
-        quality_score_expr(tokens("text")) * F.lit(QUALITY_FLOOR_GRID)
-    ).cast("int")
-    hist = (
-        docs.select("source", bucket.alias("bucket"))
-        .groupBy("source", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
-    )
     w = (
         Window.partitionBy("source")
         .orderBy(F.asc("bucket"))

@@ -1,0 +1,110 @@
+"""Streaming maintenance of the per-source quality-score histogram —
+the quality-floor calibration (operators/textstats.py
+quality_floor_by_source) run CONTINUOUSLY over the document ingest.
+
+The histogram is the ideal streaming state: per-batch (source,
+bucket) counts are integer-additive, so the stored state after any
+prefix of batches equals the one-pass batch histogram bit-for-bit,
+and the serving read derives the per-source floors from the merged
+counts through the SAME read-off the batch query uses
+(quality_floor_from_hist — one definition, no fork). This is the
+q1serve partial-fold discipline applied to a data-quality sketch:
+per-batch rows are keyed by (stream, batch_id) so a foreachBatch
+retry REPLACES its own rows instead of double-counting, and a
+compaction may fold old batches into one row at any time without
+changing the report (associativity).
+
+Why a 100 TB deployment wants this: the quality floor drifts as
+crawl composition shifts; recomputing the batch calibration rescans
+the corpus, while this maintainer touches only each micro-batch and
+keeps state at |streams| x |batches| x |sources| x (GRID+1) rows.
+
+State publication goes through streaming/statestore.py (immutable
+snapshot + atomic pointer swap / optimistic manifest commit), so a
+crash mid-write leaves the previous state readable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from spark_app_twitter_spark.operators.textstats import (
+    quality_floor_from_hist,
+    quality_hist_frame,
+)
+from spark_app_twitter_spark.streaming.statestore import (
+    read_state,
+    transact,
+)
+
+_HIST_DDL = "stream string, batch_id long, source string, bucket int, c long"
+
+
+def apply_quality_batch(
+    batch: DataFrame, batch_id: int, path: str, stream: str = "docs"
+) -> None:
+    """foreachBatch body: upsert one document batch's (source,
+    bucket) counts under its (stream, batch_id) key — exactly-once
+    under retries, multi-stream-safe under distinct stream ids (two
+    ingest feeds folding into one calibration state keep their own
+    batch_id namespaces)."""
+    spark = batch.sparkSession
+    delta = quality_hist_frame(batch).select(
+        F.lit(stream).alias("stream"),
+        F.lit(batch_id).cast("long").alias("batch_id"),
+        "source",
+        "bucket",
+        F.col("c").cast("long").alias("c"),
+    )
+
+    def merge(stored: DataFrame | None) -> DataFrame:
+        if stored is None:
+            return delta
+        return stored.where(
+            ~(
+                (F.col("stream") == stream)
+                & (F.col("batch_id") == batch_id)
+            )
+        ).unionByName(delta)
+
+    transact(spark, path, _HIST_DDL, merge)
+
+
+def quality_floor_from_state(spark, path: str) -> DataFrame:
+    """The serving read: merge the per-batch histogram rows (integer
+    sum per (source, bucket)) and run the SAME quantile read-off the
+    batch query uses — after folding the full corpus, this equals
+    quality_floor_by_source bit-for-bit (pinned in
+    tests/test_streaming.py)."""
+    stored = read_state(spark, path, _HIST_DDL)
+    if stored is None:
+        stored = spark.createDataFrame([], _HIST_DDL)
+    hist = (
+        stored.groupBy("source", "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .where(F.col("c") > 0)
+    )
+    return quality_floor_from_hist(hist)
+
+
+def maintain_quality_stream(
+    docs: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_available_now: bool = False,
+    stream: str = "docs",
+) -> StreamingQuery:
+    """Continuous quality-histogram maintenance over a document
+    stream (any relation carrying ``source`` and ``text``)."""
+    w = (
+        docs.writeStream.foreachBatch(
+            lambda b, i: apply_quality_batch(b, i, path, stream=stream)
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -2395,3 +2395,98 @@ def test_scd2_replay_drains_audit_and_restores_batch_equality(
     assert scd2_late_audit(spark, path).count() == 0
     # idempotent: nothing left to replay
     assert scd2_replay_late_users(spark, full_log, path) == 0
+
+
+def test_quality_floor_stream_fold_matches_batch_calibration(
+    spark, sf_dir, tmp_path
+):
+    """The quality-histogram maintainer: after folding the corpus in
+    three batches, the state-derived floors equal the one-pass batch
+    calibration bit-for-bit; a batch retry replaces its own rows
+    (exactly-once); prefixes serve valid intermediate floors."""
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.operators.textstats import (
+        quality_floor_by_source,
+    )
+    from spark_app_twitter_spark.sources.parquet import load_table
+    from spark_app_twitter_spark.streaming.qualitymon import (
+        apply_quality_batch,
+        quality_floor_from_state,
+    )
+
+    path = f"{tmp_path}/qhist"
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = [docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+
+    apply_quality_batch(chunks[0], 0, path)
+    apply_quality_batch(chunks[1], 1, path)
+    # intermediate state serves: every represented source gets a
+    # floor over the prefix's own distribution
+    mid = quality_floor_from_state(spark, path).collect()
+    assert mid and all(r.n_below < -(-r.n_docs * 2500 // 10000) for r in mid)
+
+    apply_quality_batch(chunks[2], 2, path)
+    got = sorted(
+        tuple(r) for r in quality_floor_from_state(spark, path).collect()
+    )
+    want = sorted(
+        tuple(r) for r in quality_floor_by_source(spark, sf_dir).collect()
+    )
+    assert got == want
+
+    # foreachBatch retry of batch 2 replaces its own (stream,
+    # batch_id) rows — the fold stays exactly-once
+    apply_quality_batch(chunks[2], 2, path)
+    again = sorted(
+        tuple(r) for r in quality_floor_from_state(spark, path).collect()
+    )
+    assert again == got
+
+
+def test_quality_floor_real_stream_available_now(spark, sf_dir, tmp_path):
+    """maintain_quality_stream through a real availableNow file
+    stream (maxFilesPerTrigger=1 forces multiple micro-batches):
+    the folded state reproduces the batch calibration exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.operators.textstats import (
+        quality_floor_by_source,
+    )
+    from spark_app_twitter_spark.sources.parquet import load_table
+    from spark_app_twitter_spark.streaming.qualitymon import (
+        maintain_quality_stream,
+        quality_floor_from_state,
+    )
+
+    src = f"{tmp_path}/docs_src"
+    os.makedirs(src)
+    docs = load_table(spark, sf_dir, "documents")
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).json(src)
+
+    path = f"{tmp_path}/qhist_stream"
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = maintain_quality_stream(
+        stream,
+        path,
+        f"{tmp_path}/ckpt",
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        tuple(r) for r in quality_floor_from_state(spark, path).collect()
+    )
+    want = sorted(
+        tuple(r) for r in quality_floor_by_source(spark, sf_dir).collect()
+    )
+    assert got == want
