@@ -470,6 +470,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # capstone composition itself, driver-attested (its oracle
         # replays every component twin)
         "pipeline_funnel_v3": jobs.pipeline_funnel_v3,
+        # late r12: the capstone with the two new curation stages
+        # composed in (per-source quality floor + topic quota)
+        "pipeline_funnel_v4": jobs.pipeline_funnel_v4,
         # r11: soft dedup — keep every doc, constant sampling mass
         # per near-dup family (weight = 1/|cluster|)
         "dedup_soft_weights": dedup.soft_dedup_weights,
@@ -507,19 +510,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #       sketches, mixture plan/apply, versioning, train_lang_lr);
 #   (d) fill to 50 with the oldest r07-attested rows, alphabetical.
 # After this window runs, no registry entry's attestation is older
-# than r07 (< 6 rounds); the 20 r07 rows left over (the 14 named in
+# than r07 (< 6 rounds); the 21 r07 rows left over (the 14 named in
 # worklog/r13_plan.md plus sim_ivf_rebalance_plan,
 # sim_kmeans_cells_2level, sim_ivf_index_append, sim_ivf_index_export,
-# sim_ivf_probe_sensitivity and sim_embedding_sanity — displaced by
-# the three late-r12 registrations and the three changed retrieval
-# rows) head the r13 window (sweep.py --stale lists them). Staleness
-# accounting is rename-aware since r12.
+# sim_ivf_probe_sensitivity, sim_embedding_sanity and
+# sim_embedding_outliers — displaced by the four late-r12
+# registrations and the three changed retrieval rows) head the r13
+# window (sweep.py --stale lists them). Staleness accounting is
+# rename-aware since r12.
 _R12_WINDOW = (
-    # (a) never-attested (the four r12 registrations)
+    # (a) never-attested (the five r12 registrations)
     "text_weighted_sample_soft",
     "sim_cluster_balanced_sample",
     "text_tokenizer_fertility",
     "text_quality_floor_by_source",
+    "pipeline_funnel_v4",
     # (b) changed this round (pipeline_funnel_v3 transitively: its
     # n-gram screen stage rides the rewritten bloom gate)
     "text_bigram_lm_score",
@@ -573,7 +578,6 @@ _R12_WINDOW = (
     "sim_ann_recall_audit",
     "sim_contrastive_pairs",
     "sim_embedding_isotropy",
-    "sim_embedding_outliers",
 )
 
 
@@ -1071,6 +1075,7 @@ def oracle_sql() -> dict[str, str]:
             semdedup.DECON_SCREEN_AGREEMENT_SQL
         ),
         "pipeline_funnel_v3": jobs.PIPELINE_FUNNEL_V3_SQL,
+        "pipeline_funnel_v4": jobs.PIPELINE_FUNNEL_V4_SQL,
         "dedup_soft_weights": dedup.SOFT_DEDUP_WEIGHTS_SQL,
         "text_weighted_sample_soft": dedup.SOFT_WEIGHTED_SAMPLE_SQL,
         "text_contamination_by_source": (

@@ -520,3 +520,240 @@ UNION ALL SELECT 'surviving_distinct_docs',
 
 
 PIPELINE_FUNNEL_V3_SQL = _pipeline_funnel_v3_sql()
+
+
+# ---------------------------------------------------------------------------
+# v4: the late-r12 curation stages join the capstone — per-source
+# quality-floor gating (source-fair thresholds, not one global
+# cutoff) and topic-quota balancing (head semantic cells capped, so
+# no genre dominates the mix). Both are oracle-verified operators in
+# their own right; here they compose into the corpus build.
+# ---------------------------------------------------------------------------
+
+
+def _v4_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """v3's stage relations PLUS:
+
+    qgate — docs at or above their OWN source's quality floor (the
+    text_quality_floor_by_source calibration applied per doc: bucket
+    >= floor_bucket, a |sources|-row broadcast join);
+    quota — the topic-balanced keep set (sim_cluster_balanced_sample
+    under the vec_id == doc_id contract: each semantic cell
+    contributes at most its quota, tails kept whole).
+    """
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.functions.text import tokens
+    from spark_app_twitter_spark.operators.clustering import (
+        cluster_balanced_sample,
+    )
+    from spark_app_twitter_spark.operators.textstats import (
+        QUALITY_FLOOR_GRID,
+        quality_floor_by_source,
+        quality_score_expr,
+    )
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    f = _v3_stage_frames(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    bucket = F.floor(
+        quality_score_expr(tokens("text")) * F.lit(QUALITY_FLOOR_GRID)
+    ).cast("int")
+    floors = quality_floor_by_source(spark, sf_dir).select(
+        "source", "floor_bucket"
+    )
+    f["qgate"] = (
+        docs.select("doc_id", "source", bucket.alias("bucket"))
+        .join(F.broadcast(floors), "source")
+        .where(F.col("bucket") >= F.col("floor_bucket"))
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    f["quota"] = (
+        cluster_balanced_sample(spark, sf_dir)
+        .select(F.col("vec_id").alias("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    return f
+
+
+def _v4_survivors(frames: dict) -> DataFrame:
+    return (
+        _v3_survivors(frames)
+        .join(frames["qgate"], "doc_id", "left_semi")
+        .join(frames["quota"], "doc_id", "left_semi")
+    )
+
+
+def prepare_training_corpus_v4(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    n_shards: int = 8,
+) -> dict:
+    """The v3 dual-screen build with the two late-r12 curation stages
+    composed in: a doc must also clear its OWN source's quality floor
+    (source-fair gating — one global threshold wholesale-deletes
+    terse genres) and sit inside its semantic cell's topic quota
+    (head topics capped at the sampler's deterministic keep set).
+    Scale shape unchanged: two more semi joins of bounded/sub-linear
+    key relations against the epoch stream."""
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.sources.sinks import write_training_shards
+
+    f = _v4_stage_frames(spark, sf_dir)
+    survivors = _v4_survivors(f)
+    keyed = survivors.withColumn(
+        "shuffle_key",
+        F.md5(F.concat_ws(":", F.col("doc_id"), F.col("epoch"))),
+    )
+    write_training_shards(
+        keyed, out_path, n_shards, "shuffle_key", sort_cols=["shuffle_key"]
+    )
+    written = spark.read.parquet(out_path)
+    return {
+        "corpus": f["seg"].count(),
+        "after_segment_gate": f["gate"].count(),
+        "lexical_representatives": f["reps"].count(),
+        "semantic_survivors": f["semk"].count(),
+        "quality_floor_survivors": f["qgate"].count(),
+        "topic_quota_kept": f["quota"].count(),
+        "contaminated_ngram": f["cn"].count(),
+        "contaminated_semantic": f["cs"].count(),
+        "epoch_rows": f["ep"].count(),
+        "written_rows": written.count(),
+        "distinct_docs_written": written.select("doc_id")
+        .distinct()
+        .count(),
+    }
+
+
+def pipeline_funnel_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(stage, n_docs): the v4 funnel report — the attested face of
+    prepare_training_corpus_v4, same stage relations, counts instead
+    of a shard export. The DuckDB twin replays every component
+    oracle including the two late-r12 stages."""
+    from pyspark.sql import functions as F
+
+    f = _v4_stage_frames(spark, sf_dir)
+    ep = f["ep"].select("doc_id", "epoch")
+    surv = _v4_survivors({**f, "ep": ep}).localCheckpoint(eager=True)
+
+    def row(stage: str, df: DataFrame, expr=None) -> DataFrame:
+        agg = expr if expr is not None else F.count(F.lit(1))
+        return df.agg(agg.cast("long").alias("n_docs")).select(
+            F.lit(stage).alias("stage"), "n_docs"
+        )
+
+    parts = [
+        row("corpus", f["seg"]),
+        row("after_segment_gate", f["gate"]),
+        row("lexical_representatives", f["reps"]),
+        row("semantic_survivors", f["semk"]),
+        row("quality_floor_survivors", f["qgate"]),
+        row("topic_quota_kept", f["quota"]),
+        row("contaminated_ngram", f["cn"]),
+        row("contaminated_semantic", f["cs"]),
+        row("epoch_rows", ep),
+        row("surviving_epoch_rows", surv),
+        row(
+            "surviving_distinct_docs",
+            surv,
+            F.count_distinct(F.col("doc_id")),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _pipeline_funnel_v4_sql() -> str:
+    from spark_app_twitter_spark.operators.clustering import (
+        CLUSTER_BALANCED_SAMPLE_SQL,
+    )
+    from spark_app_twitter_spark.operators.dedup import (
+        CLUSTER_BEST_REPRESENTATIVES_SQL,
+        PARAGRAPH_DEDUP_SQL,
+    )
+    from spark_app_twitter_spark.operators.semdedup import (
+        DECONTAMINATE_SEMANTIC_SQL,
+        SEMDEDUP_SQL,
+    )
+    from spark_app_twitter_spark.operators.textstats import (
+        DECON_BENCH_MOD,
+        DECON_BENCH_REM,
+        DECONTAMINATE_BLOOM_SQL,
+        MIXTURE_APPLY_SQL,
+        QUALITY_FLOOR_BY_SOURCE_SQL,
+        QUALITY_FLOOR_GRID,
+        quality_score_sql,
+    )
+
+    return f"""
+WITH seg AS MATERIALIZED (SELECT * FROM ({PARAGRAPH_DEDUP_SQL})),
+gate AS MATERIALIZED (
+  SELECT doc_id FROM seg WHERE n_dropped * 2 <= n_segments
+),
+reps AS MATERIALIZED (
+  SELECT rep_doc_id AS doc_id FROM ({CLUSTER_BEST_REPRESENTATIVES_SQL})
+),
+semk AS MATERIALIZED (
+  SELECT vec_id AS doc_id FROM ({SEMDEDUP_SQL}) WHERE keep
+),
+qbuck AS MATERIALIZED (
+  SELECT doc_id, source,
+         CAST(floor({quality_score_sql("string_split(text, ' ')")}
+              * {QUALITY_FLOOR_GRID}) AS INT) AS bucket
+  FROM documents
+),
+qfloor AS MATERIALIZED (
+  SELECT source, floor_bucket FROM ({QUALITY_FLOOR_BY_SOURCE_SQL})
+),
+qgate AS MATERIALIZED (
+  SELECT doc_id FROM qbuck JOIN qfloor USING (source)
+  WHERE bucket >= floor_bucket
+),
+quota AS MATERIALIZED (
+  SELECT vec_id AS doc_id FROM ({CLUSTER_BALANCED_SAMPLE_SQL})
+),
+cn AS MATERIALIZED (
+  SELECT doc_id FROM ({DECONTAMINATE_BLOOM_SQL}) WHERE n_hit_grams > 0
+),
+cs AS MATERIALIZED (
+  SELECT doc_id FROM ({DECONTAMINATE_SEMANTIC_SQL})
+),
+ep AS MATERIALIZED (
+  SELECT doc_id, epoch FROM ({MIXTURE_APPLY_SQL})
+  WHERE doc_id % {DECON_BENCH_MOD} <> {DECON_BENCH_REM}
+),
+surv AS MATERIALIZED (
+  SELECT ep.doc_id, ep.epoch FROM ep
+  WHERE ep.doc_id IN (SELECT doc_id FROM gate)
+    AND ep.doc_id IN (SELECT doc_id FROM reps)
+    AND ep.doc_id IN (SELECT doc_id FROM semk)
+    AND ep.doc_id IN (SELECT doc_id FROM qgate)
+    AND ep.doc_id IN (SELECT doc_id FROM quota)
+    AND ep.doc_id NOT IN (SELECT doc_id FROM cn)
+    AND ep.doc_id NOT IN (SELECT doc_id FROM cs)
+)
+SELECT 'corpus' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM seg
+UNION ALL SELECT 'after_segment_gate', CAST(count(*) AS BIGINT) FROM gate
+UNION ALL SELECT 'lexical_representatives', CAST(count(*) AS BIGINT)
+  FROM reps
+UNION ALL SELECT 'semantic_survivors', CAST(count(*) AS BIGINT) FROM semk
+UNION ALL SELECT 'quality_floor_survivors', CAST(count(*) AS BIGINT)
+  FROM qgate
+UNION ALL SELECT 'topic_quota_kept', CAST(count(*) AS BIGINT) FROM quota
+UNION ALL SELECT 'contaminated_ngram', CAST(count(*) AS BIGINT) FROM cn
+UNION ALL SELECT 'contaminated_semantic', CAST(count(*) AS BIGINT) FROM cs
+UNION ALL SELECT 'epoch_rows', CAST(count(*) AS BIGINT) FROM ep
+UNION ALL SELECT 'surviving_epoch_rows', CAST(count(*) AS BIGINT)
+  FROM surv
+UNION ALL SELECT 'surviving_distinct_docs',
+  CAST(count(DISTINCT doc_id) AS BIGINT) FROM surv
+"""
+
+
+PIPELINE_FUNNEL_V4_SQL = _pipeline_funnel_v4_sql()

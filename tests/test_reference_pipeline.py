@@ -305,3 +305,57 @@ def test_pipeline_funnel_v3_parity_and_job_agreement(
     assert got["epoch_rows"] == rep["epoch_rows"]
     assert got["surviving_epoch_rows"] == rep["written_rows"]
     assert got["surviving_distinct_docs"] == rep["distinct_docs_written"]
+
+
+def test_pipeline_funnel_v4_parity_job_agreement_and_composition(
+    spark, tmp_path, sf_dir
+):
+    """The late-r12 capstone: the funnel relation is oracle-exact and
+    equals the exporting job's report; the export contains only docs
+    that clear their OWN source's quality floor AND sit inside their
+    semantic cell's topic quota; v4 survivors are a subset of v3's."""
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark import jobs
+    from spark_app_twitter_spark.operators.clustering import (
+        cluster_balanced_sample,
+    )
+    from tests.parity import assert_parity
+
+    funnel = jobs.pipeline_funnel_v4(spark, sf_dir)
+    assert_parity(
+        funnel, jobs.PIPELINE_FUNNEL_V4_SQL, sf_dir, "pipeline_funnel_v4"
+    )
+    got = {r.stage: r.n_docs for r in funnel.collect()}
+
+    out = str(tmp_path / "v4")
+    rep = jobs.prepare_training_corpus_v4(spark, sf_dir, out, n_shards=4)
+    for key in (
+        "corpus",
+        "after_segment_gate",
+        "lexical_representatives",
+        "semantic_survivors",
+        "quality_floor_survivors",
+        "topic_quota_kept",
+        "contaminated_ngram",
+        "contaminated_semantic",
+        "epoch_rows",
+    ):
+        assert got[key] == rep[key], key
+    assert got["surviving_epoch_rows"] == rep["written_rows"]
+    assert got["surviving_distinct_docs"] == rep["distinct_docs_written"]
+
+    written = spark.read.parquet(out)
+    # every written doc is inside its cell's quota keep set
+    quota = cluster_balanced_sample(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    assert written.join(quota, "doc_id", "left_anti").count() == 0
+    # and clears its own source's floor
+    frames = jobs._v4_stage_frames(spark, sf_dir)
+    assert written.join(frames["qgate"], "doc_id", "left_anti").count() == 0
+    # composing two more gates can only shrink the v3 survivor set
+    v3 = {r.stage: r.n_docs for r in
+          jobs.pipeline_funnel_v3(spark, sf_dir).collect()}
+    assert got["surviving_epoch_rows"] <= v3["surviving_epoch_rows"]
+    assert got["surviving_distinct_docs"] <= v3["surviving_distinct_docs"]
