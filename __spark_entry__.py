@@ -510,14 +510,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #       sketches, mixture plan/apply, versioning, train_lang_lr);
 #   (d) fill to 50 with the oldest r07-attested rows, alphabetical.
 # After this window runs, no registry entry's attestation is older
-# than r07 (< 6 rounds); the 21 r07 rows left over (the 14 named in
+# than r07 (< 6 rounds); the 22 r07 rows left over (13 named in
 # worklog/r13_plan.md plus sim_ivf_rebalance_plan,
 # sim_kmeans_cells_2level, sim_ivf_index_append, sim_ivf_index_export,
-# sim_ivf_probe_sensitivity, sim_embedding_sanity and
-# sim_embedding_outliers — displaced by the four late-r12
-# registrations and the three changed retrieval rows) head the r13
-# window (sweep.py --stale lists them). Staleness accounting is
-# rename-aware since r12.
+# sim_ivf_probe_sensitivity, sim_embedding_sanity,
+# sim_embedding_outliers, sim_embedding_isotropy and
+# sim_contrastive_pairs — displaced by the five late-r12
+# registrations and the five changed rows: three retrieval + the two
+# lang-ID rows) head the r13 window (sweep.py --stale lists them).
+# Staleness accounting is rename-aware since r12.
 _R12_WINDOW = (
     # (a) never-attested (the five r12 registrations)
     "text_weighted_sample_soft",
@@ -538,6 +539,11 @@ _R12_WINDOW = (
     "retrieval_bm25_eval",
     "retrieval_query_expansion",
     "retrieval_query_likelihood",
+    # (b) late r12: lang_id gained the session label-table cache
+    # (its consumers fertility / train_lang_lr are already above and
+    # in (c) respectively)
+    "text_lang_id",
+    "text_langid_metrics",
     # (c) r06 attestations (oldest in the registry)
     "sketch_hist_quantiles",
     "sketch_hll_daily_users",
@@ -576,8 +582,6 @@ _R12_WINDOW = (
     "serving_trending_topics",
     "serving_value_percentiles",
     "sim_ann_recall_audit",
-    "sim_contrastive_pairs",
-    "sim_embedding_isotropy",
 )
 
 
