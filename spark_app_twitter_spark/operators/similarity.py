@@ -2055,7 +2055,20 @@ def _bitext_margins(scored: DataFrame) -> DataFrame:
     """Stage 2 of both bitext variants — mutual-top-1 + ratio margin
     over an arbitrary (src_id, tgt_id, cos_sim) pair relation. ONE
     definition so the exact (all-pairs) and IVF-bucketed variants
-    can never diverge on ranking, tie-break, or margin arithmetic."""
+    can never diverge on ranking, tie-break, or margin arithmetic.
+
+    Plan shape (r13): ``ranked`` feeds THREE branches below (forward
+    margin mean, backward margin mean, mutual filter), and without
+    lineage truncation each branch re-derives the entire upstream
+    candidate pipeline — two-level tree scoring, probe ranking, the
+    per-cell cap window — inside one action (PLANSTATS r12: 18
+    shuffles / 30 scans on the capped default, the registry's widest
+    plan). The pair relation is bounded for every registered caller
+    (|src| x PROBES x CAP on the capped default; audit-sized on the
+    exact twins), so lazily localCheckpoint it once and let all three
+    branches read the materialized blocks — the same move that took
+    the retrieval family 25->7 shuffles (r12 commit 6d8d9df) and the
+    bitext recall audit 62->2."""
     wf = Window.partitionBy("src_id").orderBy(
         F.desc("cos_sim"), F.asc("tgt_id")
     )
@@ -2068,7 +2081,7 @@ def _bitext_margins(scored: DataFrame) -> DataFrame:
         "cos_sim",
         F.row_number().over(wf).alias("fr"),
         F.row_number().over(wb).alias("br"),
-    )
+    ).localCheckpoint(eager=False)
     # margin in exact integer micro-units (bigram_lm_score's idiom):
     # cos_sim is already 6dp-rounded, so cos_micro is an exact bigint;
     # margin = cos / ((fm_sum/kf + bm_sum/kb) / 2)

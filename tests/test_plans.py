@@ -582,6 +582,23 @@ def test_default_bitext_registration_is_capped_ivf(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_bitext_family_plan_width(spark, sf_dir):
+    """VERDICT r12 item 2: the bitext margin stage checkpoints its
+    3-consumer ranked relation, so the capped default's plan must
+    stay narrow (was 18 shuffles / 30 scans when every margin branch
+    re-derived the IVF candidate pipeline). Same ceiling discipline
+    for the probe-sensitivity curve (was 17/38) and the CDC-composed
+    index delta (was 13/12)."""
+    from spark_app_twitter_spark.operators import retrieval, similarity
+
+    df = similarity.bitext_mining_capped(spark, sf_dir)
+    assert E.num_shuffles(df) <= 6
+    df = similarity.bitext_probe_sensitivity(spark, sf_dir)
+    assert E.num_shuffles(df) <= 10
+    df = retrieval.index_delta(spark, sf_dir)
+    assert E.num_shuffles(df) <= 7
+
+
 def test_lsh_clusters_capped_and_bucket_joined(spark, sf_dir):
     """The O(n) cluster chain must stay bucket-joined: no cartesian,
     no broadcast nested loop, and the candidate join keyed on the
