@@ -126,23 +126,102 @@ def char_trigrams_expr() -> F.Column:
 # tokenizer-fertility monitor) reads the labels, instead of re-running
 # the full trigram scoring per query. Added late r12: fertility's
 # headline row was ~90% redundant lang-ID re-scoring.
+#
+# IMMUTABILITY CONTRACT (the centroid-cache discipline, ADVICE r12):
+# the cache key is (applicationId, sf_dir) and the entry is an EAGER
+# localCheckpoint — a dataset path REWRITTEN inside the same session
+# would keep serving the stale label table, and losing an executor
+# after lineage truncation makes consumers irrecoverable (local, not
+# reliable, checkpoint). Both are the accepted artifact trade for
+# immutable benchmark inputs; a session that rewrites a path must
+# call clear_langid_cache() (tests do).
 _LANGID_CACHE: dict[tuple[str, str], DataFrame] = {}
+_LANGID_PROFILE_CACHE: dict[tuple[str, str], list[tuple[str, list[str]]]] = {}
 
 
 def clear_langid_cache() -> None:
+    """Evict cached label tables AND unpersist their checkpoint
+    blocks (ADVICE r12: dropping the dict reference alone leaks the
+    executor storage until driver GC)."""
+    for df in _LANGID_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
     _LANGID_CACHE.clear()
+    _LANGID_PROFILE_CACHE.clear()
+
+
+def langid_profile_rows(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[str, list[str]]]:
+    """The trained language-profile ARTIFACT: for every corpus
+    language, its top-PROFILE_TOP_K character trigrams by frequency
+    (cnt desc, trigram asc tie-break), as a driver-held
+    ``[(lang, [trigram, ...]), ...]`` sorted by lang.
+
+    Bounded at |langs| * PROFILE_TOP_K rows (5 * 20 here; a few
+    thousand even for a 100-language corpus) — the same model-artifact
+    class as kmeans_centroid_rows. The profile build itself is one
+    explode + a map-side-combinable (lang, trigram) count whose
+    distinct-key space is alphabet-bounded, then a |distinct keys|
+    window — linear in the corpus with bounded shuffle width.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _LANGID_PROFILE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    docs = (
+        load_table(spark, sf_dir, "documents", spread=True)
+        .where(F.length("text") >= 3)
+        .select(
+            "lang",
+            F.expr(
+                "transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))"
+            ).alias("tri"),
+        )
+    )
+    counts = (
+        docs.select("lang", F.explode("tri").alias("trigram"))
+        .groupBy("lang", "trigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wprof = Window.partitionBy("lang").orderBy(
+        F.desc("cnt"), F.asc("trigram")
+    )
+    rows = (
+        counts.withColumn("rk", F.row_number().over(wprof))
+        .where(F.col("rk") <= PROFILE_TOP_K)
+        .groupBy("lang")
+        .agg(F.sort_array(F.collect_list(F.struct("rk", "trigram"))).alias("ts"))
+        .select("lang", F.col("ts.trigram").alias("trigrams"))
+        .collect()
+    )
+    out = sorted((r["lang"], list(r["trigrams"])) for r in rows)
+    _LANGID_PROFILE_CACHE[key] = out
+    return out
 
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigram-profile language ID.
 
     1. Profile build: explode char trigrams -> count per (lang,
-       trigram) -> keep top-K per lang (window rank). Aggregation
-       shrinks to |langs| * K rows — broadcastable at any corpus size.
-    2. Scoring: explode doc trigrams, hash-join the broadcast profile
-       (O(1) per trigram — beats per-trigram profile scans), count
-       matches per (doc, candidate lang), argmax with deterministic
-       tie-break (hits desc, lang asc).
+       trigram) -> keep top-K per lang (window rank). Shrinks to
+       |langs| * K rows — a driver-held model artifact
+       (:func:`langid_profile_rows`), like a real lang-ID model's
+       published profile table.
+    2. Scoring (r13 rewrite): pure map-side inline argmax — for each
+       candidate language, hits = occurrences of its profile trigrams
+       in the doc (a codegen'd array filter over the constant-folded
+       profile literal), argmax with deterministic tie-break (hits
+       desc, lang asc) via a struct array_max. ZERO data-side
+       shuffles; the r12 explode + broadcast-join + per-(doc,cand)
+       count + per-doc window re-shuffled the corpus twice and was
+       the worst non-output-driven 100x trajectory left (13.3x,
+       VERDICT r12 item 3).
+
+    Docs with no profile hit in ANY language carry no prediction
+    (dropped), matching the r12 inner-join semantics and the SQL twin.
 
     Output: doc_id, predicted, actual, correct — computed once per
     (session, dataset) and served from the eager-checkpointed label
@@ -152,11 +231,12 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _LANGID_CACHE.get(key)
     if cached is not None:
         return cached
+    profile = langid_profile_rows(spark, sf_dir)
+    langs = [lang for lang, _ in profile]
     # Pre-filter docs shorter than a trigram instead of using the
-    # guarded expr: explode(empty array) drops the row anyway, the
-    # filter pushes to the scan, and the UNguarded transform keeps the
-    # explode in the fast codegen Generate path (the CASE-wrapped
-    # variant measured ~50% slower here).
+    # guarded expr: the filter pushes to the scan, and the UNguarded
+    # transform keeps codegen fast (the CASE-wrapped variant measured
+    # ~50% slower in r2).
     docs = (
         load_table(spark, sf_dir, "documents", spread=True)
         .where(F.length("text") >= 3)
@@ -168,41 +248,37 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tri"),
         )
     )
-    # NOTE: profile build and scoring both consume the explode; a
-    # measured localCheckpoint here LOST time in one-shot runs
-    # (materializing 1.5M rows costs more than recomputing the
-    # explode), so the plan recomputes — revisit only if trigram
-    # generation grows a heavier tokenizer.
-    exploded = docs.select(
-        "doc_id", "lang", F.explode("tri").alias("trigram")
+    # struct ordering is lexicographic (h, then ni): max h wins, and
+    # among ties the LARGEST ni = smallest index = lang asc — the
+    # r12 window's (hits desc, cand asc) tie-break, inline.
+    def _hits(trigs: list[str]) -> F.Column:
+        # a plain closure: a defaulted lambda param would make PySpark
+        # read the lambda as the 2-arg (element, index) form
+        return F.size(F.filter(F.col("tri"), lambda t: t.isin(*trigs)))
+
+    scored = F.array(
+        *[
+            F.struct(_hits(trigs).alias("h"), F.lit(-i).alias("ni"))
+            for i, (_, trigs) in enumerate(profile)
+        ]
     )
-    counts = exploded.groupBy("lang", "trigram").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    wprof = Window.partitionBy("lang").orderBy(
-        F.desc("cnt"), F.asc("trigram")
-    )
-    profile = (
-        counts.withColumn("rk", F.row_number().over(wprof))
-        .where(F.col("rk") <= PROFILE_TOP_K)
-        .select(F.col("lang").alias("cand"), "trigram")
-    )
-    scores = (
-        exploded.join(F.broadcast(profile), "trigram")
-        .groupBy("doc_id", "lang", "cand")
-        .agg(F.count(F.lit(1)).alias("hits"))
-    )
-    wbest = Window.partitionBy("doc_id").orderBy(
-        F.desc("hits"), F.asc("cand")
+    best = F.array_max(scored)
+    predicted = F.element_at(
+        F.array(*[F.lit(c) for c in langs]), (-best["ni"] + 1).cast("int")
     )
     out = (
-        scores.withColumn("rk", F.row_number().over(wbest))
-        .where(F.col("rk") == 1)
+        docs.select(
+            "doc_id",
+            predicted.alias("predicted"),
+            F.col("lang").alias("actual"),
+            best["h"].alias("_h"),
+        )
+        .where(F.col("_h") >= 1)
         .select(
             "doc_id",
-            F.col("cand").alias("predicted"),
-            F.col("lang").alias("actual"),
-            (F.col("cand") == F.col("lang")).alias("correct"),
+            "predicted",
+            "actual",
+            (F.col("predicted") == F.col("actual")).alias("correct"),
         )
         .localCheckpoint(eager=True)
     )

@@ -56,6 +56,10 @@ ALLOWED: dict[tuple[str, str], str] = {
         "|bigram vocab| published-LM entries + 1 vocab-size row; "
         "~10 GB vocab ceiling documented, bigram_lm_score("
         "join_mode='shuffle') beyond it",
+    ("operators/textstats.py", "langid_profile_rows"):
+        "|langs| * PROFILE_TOP_K profile rows (5*20 here; model "
+        "artifact — becomes lang_id's constant-folded inline-argmax "
+        "scoring literal)",
     ("operators/textstats.py", "bpe_train_merges_frame"):
         "top-1 pair per merge round, <= n_merges total (model "
         "artifact)",
