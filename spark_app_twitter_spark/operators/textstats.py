@@ -171,18 +171,24 @@ def langid_profile_rows(
     cached = _LANGID_PROFILE_CACHE.get(key)
     if cached is not None:
         return cached
+    # Trigrams via position-explode + substr, NOT
+    # transform(sequence, i -> substr(...)) + explode: higher-order
+    # lambdas evaluate interpreted (outside codegen) and measured 2x
+    # slower at the 100x fixture (worklog/r13_notes.md).
     docs = (
         load_table(spark, sf_dir, "documents", spread=True)
         .where(F.length("text") >= 3)
-        .select(
-            "lang",
-            F.expr(
-                "transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))"
-            ).alias("tri"),
-        )
+        .select("lang", "text")
     )
     counts = (
-        docs.select("lang", F.explode("tri").alias("trigram"))
+        docs.select(
+            "lang",
+            "text",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - 2)
+            ).alias("pos"),
+        )
+        .select("lang", F.expr("substr(text, pos, 3)").alias("trigram"))
         .groupBy("lang", "trigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -210,15 +216,21 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
        |langs| * K rows — a driver-held model artifact
        (:func:`langid_profile_rows`), like a real lang-ID model's
        published profile table.
-    2. Scoring (r13 rewrite): pure map-side inline argmax — for each
-       candidate language, hits = occurrences of its profile trigrams
-       in the doc (a codegen'd array filter over the constant-folded
-       profile literal), argmax with deterministic tie-break (hits
-       desc, lang asc) via a struct array_max. ZERO data-side
-       shuffles; the r12 explode + broadcast-join + per-(doc,cand)
-       count + per-doc window re-shuffled the corpus twice and was
-       the worst non-output-driven 100x trajectory left (13.3x,
-       VERDICT r12 item 3).
+    2. Scoring (r13 rewrite): explode trigram positions, then collapse
+       to ONE row per doc in a single conditional-sum aggregation —
+       per-language hit counts as ``sum(when(trigram IN <profile_L>,
+       1))`` columns over the driver-held profile literal (codegen'd
+       InSet, no join at all) — and pick the winner with an inline
+       greatest + first-match CASE (langs pre-sorted, so equal-best
+       resolves lang asc: the r12 window's tie-break). vs r12 this
+       deletes the broadcast join, the per-(doc, cand) count shuffle
+       AND the per-doc rank window — the one remaining exchange
+       carries |docs| slim rows (map-side-combined). Measured at the
+       100x fixture: 58 s -> 14 s absolute (same session A/B). Two
+       rejected r13 variants, both measured (worklog/r13_notes.md):
+       higher-order array-filter scoring (lambdas evaluate
+       interpreted, outside codegen — 2.3x slower than r12) and
+       broadcast-join + conditional-agg (1.5x slower than InSet).
 
     Docs with no profile hit in ANY language carry no prediction
     (dropped), matching the r12 inner-join semantics and the SQL twin.
@@ -233,47 +245,49 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         return cached
     profile = langid_profile_rows(spark, sf_dir)
     langs = [lang for lang, _ in profile]
-    # Pre-filter docs shorter than a trigram instead of using the
-    # guarded expr: the filter pushes to the scan, and the UNguarded
-    # transform keeps codegen fast (the CASE-wrapped variant measured
-    # ~50% slower in r2).
+    # Pre-filter docs shorter than a trigram (pushes to the scan);
+    # trigrams via position-explode + substr, same codegen rationale
+    # as langid_profile_rows.
     docs = (
         load_table(spark, sf_dir, "documents", spread=True)
         .where(F.length("text") >= 3)
-        .select(
-            "doc_id",
-            "lang",
-            F.expr(
-                "transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))"
-            ).alias("tri"),
-        )
+        .select("doc_id", "lang", "text")
     )
-    # struct ordering is lexicographic (h, then ni): max h wins, and
-    # among ties the LARGEST ni = smallest index = lang asc — the
-    # r12 window's (hits desc, cand asc) tie-break, inline.
-    def _hits(trigs: list[str]) -> F.Column:
-        # a plain closure: a defaulted lambda param would make PySpark
-        # read the lambda as the 2-arg (element, index) form
-        return F.size(F.filter(F.col("tri"), lambda t: t.isin(*trigs)))
-
-    scored = F.array(
+    exploded = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 2)).alias("pos"),
+    ).select("doc_id", "lang", F.expr("substr(text, pos, 3)").alias("trigram"))
+    # per-language hit counts as codegen'd InSet conditional sums —
+    # no join at all (measured 1.5x faster than the broadcast-join +
+    # conditional-agg variant at the 100x fixture); a doc row with no
+    # profile hit anywhere gets all-zero counts and is dropped below,
+    # matching the r12 inner-join semantics.
+    hits = [
+        F.sum(
+            F.when(F.col("trigram").isin(*trigs), 1).otherwise(0)
+        ).alias(f"_h{i}")
+        for i, (_, trigs) in enumerate(profile)
+    ]
+    per_doc = exploded.groupBy("doc_id", "lang").agg(*hits)
+    best = F.greatest(*[F.col(f"_h{i}") for i in range(len(langs))])
+    # first-match over asc-sorted langs = the (hits desc, cand asc)
+    # tie-break of the r12 rank window
+    predicted = F.coalesce(
         *[
-            F.struct(_hits(trigs).alias("h"), F.lit(-i).alias("ni"))
-            for i, (_, trigs) in enumerate(profile)
+            F.when(F.col(f"_h{i}") == F.col("_b"), F.lit(c))
+            for i, c in enumerate(langs)
         ]
     )
-    best = F.array_max(scored)
-    predicted = F.element_at(
-        F.array(*[F.lit(c) for c in langs]), (-best["ni"] + 1).cast("int")
-    )
     out = (
-        docs.select(
+        per_doc.withColumn("_b", best)
+        .where(F.col("_b") >= 1)
+        .select(
             "doc_id",
             predicted.alias("predicted"),
             F.col("lang").alias("actual"),
-            best["h"].alias("_h"),
         )
-        .where(F.col("_h") >= 1)
         .select(
             "doc_id",
             "predicted",

@@ -196,22 +196,26 @@ def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
     n = load_table(spark, sf_dir, "nation")
-    # Pre-aggregate revenue per order BEFORE any join (decimal sums
-    # are associative, so results are bit-identical to join-then-agg):
-    # the fact table collapses ~4x before it touches orders, and the
-    # customer join carries one row per customer instead of one per
-    # lineitem — the shape that survives a 100x fact-table scale-up.
-    # Measured 1.9 -> 1.45 s at sf0.1.
-    per_order = l.groupBy("l_orderkey").agg(
-        F.sum(_money("l_extendedprice") * _one_minus("l_discount")).alias(
-            "o_rev"
-        )
+    # Slim projections straight into the orderkey join, then ONE
+    # aggregation to the customer grain. The r4 per-order pre-agg
+    # (groupBy(l_orderkey) before the join) measured faster at sf0.1
+    # (1.9 -> 1.45 s) but INVERTS at scale: |l_orderkey| groups ~=
+    # |lineitem|/4, so the pre-agg hash table spills to sort-based
+    # aggregation and the 100x fixture measured 32.5 s vs 17.1 s
+    # without it (r13 A/B, worklog/r13_notes.md) — collapsing 4:1
+    # doesn't pay for sorting 600M rows. Decimal sums are
+    # associative, so both shapes are bit-identical.
+    lv = l.select(
+        "l_orderkey",
+        (_money("l_extendedprice") * _one_minus("l_discount")).alias("rt"),
     )
     per_cust = (
-        o.select("o_orderkey", "o_custkey")
-        .join(per_order, o.o_orderkey == per_order.l_orderkey)
+        lv.join(
+            o.select("o_orderkey", "o_custkey"),
+            lv.l_orderkey == F.col("o_orderkey"),
+        )
         .groupBy("o_custkey")
-        .agg(F.sum("o_rev").alias("rev_dec"))
+        .agg(F.sum("rt").alias("rev_dec"))
     )
     joined = per_cust.join(c, per_cust.o_custkey == c.c_custkey).join(
         F.broadcast(n), c.c_nationkey == n.n_nationkey
