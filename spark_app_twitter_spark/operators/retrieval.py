@@ -227,7 +227,10 @@ def bm25_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def bm25_search(
-    spark: SparkSession, sf_dir: str, qterms: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    qterms: DataFrame,
+    materialized: list[DataFrame] | None = None,
 ) -> DataFrame:
     """The BM25 scoring core against an ARBITRARY (query_id, term)
     relation — the seam the streaming keyword server
@@ -243,7 +246,15 @@ def bm25_search(
     discipline) — without truncation every bm25 consumer re-ran the
     corpus explode per branch. Legal on the streaming seam too:
     bm25serve calls this inside foreachBatch, where micro-batch
-    frames are plain batch DataFrames."""
+    frames are plain batch DataFrames.
+
+    ``materialized`` (ADVICE r12): checkpointed RDD blocks are freed
+    only when the driver GCs the frame references, so a LONG-RUNNING
+    stream accumulates executor storage between GC cycles. A caller
+    that consumes the result within one action (bm25serve's
+    foreachBatch) passes a list; the checkpointed frames are appended
+    to it and the caller unpersists them after its write. Batch
+    callers (one action, short-lived session) may omit it."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
@@ -254,6 +265,8 @@ def bm25_search(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(tokens("text"))).alias("n_tokens"),
     ).localCheckpoint(eager=False)
+    if materialized is not None:
+        materialized.append(scalars)
 
     # broadcast term filter BEFORE the tf combine: the (doc, term)
     # shuffle carries only query-term rows, not the whole corpus
@@ -265,6 +278,8 @@ def bm25_search(
         .agg(F.count(F.lit(1)).alias("tf"))
         .localCheckpoint(eager=False)
     )
+    if materialized is not None:
+        materialized.append(hits)
     df_per_term = hits.groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
     )

@@ -56,9 +56,16 @@ def serve_bm25_stream(
         qterms = batch.select(
             "query_id", F.explode("terms").alias("term")
         ).distinct()
-        bm25_search(spark, sf_dir, qterms).write.mode("overwrite").parquet(
-            f"{out_path}/batch_id={batch_id}"
-        )
+        # collect the core's checkpointed relations and free their
+        # blocks after the write: a long-running stream must not
+        # accumulate per-batch checkpoint storage until driver GC
+        # (ADVICE r12)
+        materialized: list[DataFrame] = []
+        bm25_search(
+            spark, sf_dir, qterms, materialized=materialized
+        ).write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+        for df in materialized:
+            df.unpersist()
 
     return (
         queries.writeStream.foreachBatch(answer)

@@ -41,6 +41,17 @@ from spark_app_twitter_spark.streaming.statestore import (
 
 _HIST_DDL = "stream string, batch_id long, source string, bucket int, c long"
 
+# Batches older than this many behind the current one fold into the
+# (stream, batch_id=-1) sentinel row inside merge() — keeping state
+# bounded at |streams| x (RETAIN+1) x |sources| x (GRID+1) rows
+# regardless of stream age (ADVICE r12: without compaction, each
+# transact() rewrote a snapshot growing linearly with n_batches).
+# Recent batch_ids stay individually keyed so a checkpoint-recovery
+# replay still REPLACES its own rows; Structured Streaming replays
+# only the trailing uncommitted batch, so RETAIN=16 is generous.
+COMPACT_RETAIN = 16
+_SENTINEL = -1
+
 
 def apply_quality_batch(
     batch: DataFrame, batch_id: int, path: str, stream: str = "docs"
@@ -49,7 +60,9 @@ def apply_quality_batch(
     bucket) counts under its (stream, batch_id) key — exactly-once
     under retries, multi-stream-safe under distinct stream ids (two
     ingest feeds folding into one calibration state keep their own
-    batch_id namespaces)."""
+    batch_id namespaces). Batches aged past COMPACT_RETAIN fold into
+    the sentinel row (associative integer sums — the report is
+    unchanged by construction, pinned in test_streaming)."""
     spark = batch.sparkSession
     delta = quality_hist_frame(batch).select(
         F.lit(stream).alias("stream"),
@@ -62,12 +75,27 @@ def apply_quality_batch(
     def merge(stored: DataFrame | None) -> DataFrame:
         if stored is None:
             return delta
-        return stored.where(
+        kept = stored.where(
             ~(
                 (F.col("stream") == stream)
                 & (F.col("batch_id") == batch_id)
             )
-        ).unionByName(delta)
+        )
+        cutoff = batch_id - COMPACT_RETAIN
+        aged = (F.col("stream") == stream) & (F.col("batch_id") < cutoff)
+        folded = (
+            kept.where(aged)  # includes the previous sentinel row
+            .groupBy("source", "bucket")
+            .agg(F.sum("c").cast("long").alias("c"))
+            .select(
+                F.lit(stream).alias("stream"),
+                F.lit(_SENTINEL).cast("long").alias("batch_id"),
+                "source",
+                "bucket",
+                "c",
+            )
+        )
+        return kept.where(~aged).unionByName(folded).unionByName(delta)
 
     transact(spark, path, _HIST_DDL, merge)
 

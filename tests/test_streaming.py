@@ -2444,6 +2444,64 @@ def test_quality_floor_stream_fold_matches_batch_calibration(
     assert again == got
 
 
+def test_quality_floor_state_compaction_bounds_and_preserves(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r12: batches aged past COMPACT_RETAIN fold into the
+    (stream, batch_id=-1) sentinel, so stored rows stay bounded by
+    RETAIN+1 batch keys while the served floors still equal the
+    one-pass batch calibration, and a trailing-batch retry stays
+    exactly-once."""
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.operators.textstats import (
+        quality_floor_by_source,
+    )
+    from spark_app_twitter_spark.sources.parquet import load_table
+    from spark_app_twitter_spark.streaming.qualitymon import (
+        COMPACT_RETAIN,
+        apply_quality_batch,
+        quality_floor_from_state,
+    )
+    from spark_app_twitter_spark.streaming.statestore import read_state
+
+    path = f"{tmp_path}/qhist_compact"
+    docs = load_table(spark, sf_dir, "documents")
+    n_batches = COMPACT_RETAIN + 5
+    for i in range(n_batches):
+        apply_quality_batch(
+            docs.where(F.col("doc_id") % n_batches == i), i, path
+        )
+
+    ddl = "stream string, batch_id long, source string, bucket int, c long"
+    stored = read_state(spark, path, ddl)
+    ids = {r.batch_id for r in stored.select("batch_id").distinct().collect()}
+    assert -1 in ids, "aged batches must fold into the sentinel row"
+    # individual ids span [last - RETAIN, last] plus the sentinel
+    assert len(ids) <= COMPACT_RETAIN + 2
+    assert min(i for i in ids if i != -1) >= n_batches - 1 - COMPACT_RETAIN
+
+    got = sorted(
+        tuple(r) for r in quality_floor_from_state(spark, path).collect()
+    )
+    want = sorted(
+        tuple(r) for r in quality_floor_by_source(spark, sf_dir).collect()
+    )
+    assert got == want
+
+    # retrying the trailing batch replaces its own rows; the sentinel
+    # (already folded) is untouched — still exactly-once end to end
+    apply_quality_batch(
+        docs.where(F.col("doc_id") % n_batches == n_batches - 1),
+        n_batches - 1,
+        path,
+    )
+    again = sorted(
+        tuple(r) for r in quality_floor_from_state(spark, path).collect()
+    )
+    assert again == got
+
+
 def test_quality_floor_real_stream_available_now(spark, sf_dir, tmp_path):
     """maintain_quality_stream through a real availableNow file
     stream (maxFilesPerTrigger=1 forces multiple micro-batches):
