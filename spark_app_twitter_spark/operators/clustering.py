@@ -423,6 +423,25 @@ BALANCED_SAMPLE_CAP = 16
 _BSAMPLE_SALT = ":bsample"
 
 
+def balanced_draw_expr() -> F.Column:
+    """The sampler's deterministic per-vector draw —
+    md5(vec_id || salt) first-15-hex as bigint (the engine-wide
+    salted-draw idiom). ONE definition shared by the batch sampler
+    and the streaming quota maintainer (streaming/quotamon.py), so
+    the fold can never diverge from the batch keep set."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.col("vec_id").cast("string"), F.lit(_BSAMPLE_SALT))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
 def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cell, cell_size, rk): topic-balanced subsample — the
     ``BALANCED_SAMPLE_CAP`` lowest deterministic md5 draws from every
@@ -448,17 +467,7 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = cells.groupBy("cell").agg(
         F.count(F.lit(1)).cast("long").alias("cell_size")
     )
-    draw = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(F.col("vec_id").cast("string"), F.lit(_BSAMPLE_SALT))
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    draw = balanced_draw_expr()
     w = Window.partitionBy("cell").orderBy(F.asc("draw"), F.asc("vec_id"))
     return (
         cells.withColumn("draw", draw)

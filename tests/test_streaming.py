@@ -2502,6 +2502,143 @@ def test_quality_floor_state_compaction_bounds_and_preserves(
     assert again == got
 
 
+def test_quota_stream_fold_matches_batch_sampler(spark, sf_dir, tmp_path):
+    """VERDICT r12 item 8 (half 1): the topic-quota keep set is a
+    lowest-K-per-cell fold (associative + idempotent), so after
+    draining the embedding corpus in micro-batches the state-derived
+    sample equals cluster_balanced_sample bit-for-bit — including
+    cell_size from the additively-folded size relation — and a
+    trailing-batch replay changes nothing (exactly-once)."""
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.operators.clustering import (
+        cluster_balanced_sample,
+    )
+    from spark_app_twitter_spark.sources.parquet import load_table
+    from spark_app_twitter_spark.streaming.quotamon import (
+        apply_quota_batch,
+        quota_sample_from_state,
+    )
+
+    path = f"{tmp_path}/quota"
+    emb = load_table(spark, sf_dir, "embeddings")
+    for i in range(3):
+        apply_quota_batch(emb.where(F.col("vec_id") % 3 == i), i, path, sf_dir)
+
+    got = sorted(
+        tuple(r) for r in quota_sample_from_state(spark, path).collect()
+    )
+    want = sorted(
+        tuple(r) for r in cluster_balanced_sample(spark, sf_dir).collect()
+    )
+    assert got == want
+
+    # checkpoint-recovery replay of the trailing batch: candidate
+    # fold is idempotent, size rows replace their own batch_id
+    apply_quota_batch(emb.where(F.col("vec_id") % 3 == 2), 2, path, sf_dir)
+    again = sorted(
+        tuple(r) for r in quota_sample_from_state(spark, path).collect()
+    )
+    assert again == got
+
+
+def test_v4_admission_stream_equals_batch_funnel_stages(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r12 item 8 (half 2): drive BOTH v4 curation stages
+    through real availableNow streams (docs -> quality histogram,
+    embeddings -> topic quota) and check the state-derived admission
+    equals the batch funnel's qgate ∩ quota on the same corpus —
+    stream == batch, the windowed.py discipline."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.functions.text import tokens
+    from spark_app_twitter_spark.operators.clustering import (
+        cluster_balanced_sample,
+    )
+    from spark_app_twitter_spark.operators.textstats import (
+        QUALITY_FLOOR_GRID,
+        quality_floor_by_source,
+        quality_score_expr,
+    )
+    from spark_app_twitter_spark.sources.parquet import load_table
+    from spark_app_twitter_spark.streaming.qualitymon import (
+        maintain_quality_stream,
+    )
+    from spark_app_twitter_spark.streaming.quotamon import (
+        maintain_quota_stream,
+        v4_admission_from_state,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    dsrc = f"{tmp_path}/docs_src"
+    os.makedirs(dsrc)
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).json(dsrc)
+    esrc = f"{tmp_path}/emb_src"
+    for i in range(3):
+        emb.where(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(esrc)
+
+    hist_path = f"{tmp_path}/qhist"
+    quota_path = f"{tmp_path}/quota"
+    q1 = maintain_quality_stream(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(dsrc),
+        hist_path,
+        f"{tmp_path}/ckpt_hist",
+        trigger_available_now=True,
+    )
+    q1.awaitTermination(120)
+    q2 = maintain_quota_stream(
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(esrc),
+        quota_path,
+        f"{tmp_path}/ckpt_quota",
+        sf_dir,
+        trigger_available_now=True,
+    )
+    q2.awaitTermination(180)
+
+    got = sorted(
+        r.doc_id
+        for r in v4_admission_from_state(
+            spark, sf_dir, hist_path, quota_path
+        ).collect()
+    )
+    # the batch funnel's qgate ∩ quota, from the same definitions
+    # _v4_stage_frames composes
+    bucket = F.floor(
+        quality_score_expr(tokens("text")) * F.lit(QUALITY_FLOOR_GRID)
+    ).cast("int")
+    floors = quality_floor_by_source(spark, sf_dir).select(
+        "source", "floor_bucket"
+    )
+    qgate = (
+        docs.select("doc_id", "source", bucket.alias("bucket"))
+        .join(F.broadcast(floors), "source")
+        .where(F.col("bucket") >= F.col("floor_bucket"))
+        .select("doc_id")
+    )
+    quota = cluster_balanced_sample(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    want = sorted(
+        r.doc_id
+        for r in qgate.join(quota, "doc_id", "left_semi").collect()
+    )
+    assert got and got == want
+
+
 def test_quality_floor_real_stream_available_now(spark, sf_dir, tmp_path):
     """maintain_quality_stream through a real availableNow file
     stream (maxFilesPerTrigger=1 forces multiple micro-batches):
