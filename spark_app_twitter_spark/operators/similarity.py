@@ -1173,22 +1173,34 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     so no cross-engine tie to break.
     """
     # d(d+1)/2 products per row dominate the scan: spread the
-    # single-row-group file across cores before the explode
+    # single-row-group file across cores before the explode.
+    # Pair emission is TWO chained position explodes + a scalar
+    # element_at product — all codegen'd. The r4..r12 shape (one
+    # explode of a nested transform building an array of 2080
+    # structs) ran the lambdas INTERPRETED (higher-order functions
+    # sit outside whole-stage codegen) and measured 13.2 s vs 1.4 s
+    # at the 100x fixture (r13 A/B, worklog/r13_notes.md — the
+    # lang-ID lesson applied here).
     qv = _quantized_vectors(spark, sf_dir)
-    pairs = qv.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(0, size(q) - 1), i ->"
-                " transform(sequence(i, size(q) - 1), j ->"
-                " struct(i AS i, j AS j,"
-                " element_at(q, i + 1) * element_at(q, j + 1) AS p))))"
-            )
-        ).alias("s")
+    pairs = (
+        qv.select(
+            "q", F.explode(F.sequence(F.lit(0), F.size("q") - 1)).alias("i")
+        )
+        .select(
+            "q",
+            "i",
+            F.explode(F.sequence(F.col("i"), F.size("q") - 1)).alias("j"),
+        )
+        .select(
+            "i",
+            "j",
+            (
+                F.expr("element_at(q, i + 1)") * F.expr("element_at(q, j + 1)")
+            ).alias("p"),
+        )
     )
-    agg = pairs.groupBy(
-        F.col("s.i").alias("i"), F.col("s.j").alias("j")
-    ).agg(
-        F.sum(F.col("s.p").cast("decimal(38,0)")).alias("sp"),
+    agg = pairs.groupBy("i", "j").agg(
+        F.sum(F.col("p").cast("decimal(38,0)")).alias("sp"),
         F.count(F.lit(1)).alias("n_vecs"),
     )
     dims = _dim_sums(qv)
