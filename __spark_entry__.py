@@ -490,9 +490,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_lsh_multi": similarity.knn_lsh_multi,
         "multimodal_media_features": multimodal.media_features,
     }
-    ordered = {name: q.pop(name) for name in _R12_WINDOW}
+    ordered = {name: q.pop(name) for name in _R13_WINDOW}
     ordered.update(q)
     return ordered
+
+
+# The round-13 driver verification window (VERDICT r12 item 1 + the
+# rotation contract in worklog/r13_plan.md), in priority order:
+#   (a) code changed in round 13, incl. transitive consumers:
+#       - the bitext margin stage checkpoints its 3-consumer ranked
+#         relation (18->4 shuffles on the capped default) — all five
+#         bitext registrations share _bitext_margins;
+#       - retrieval_index_delta checkpoints its CDC delta (13->5);
+#       - bm25_search grew the streaming-hygiene `materialized`
+#         out-param (batch behavior unchanged; retrieval_bm25/_eval/
+#         hybrid_rrf re-attest as its callers);
+#       - lang-ID scoring rewritten to InSet conditional sums off a
+#         position explode (13.3x -> 6.5x at 100x) — metrics +
+#         fertility are label-table consumers;
+#       - tpch_top_customers_per_nation dropped the spilling
+#         per-order pre-agg (15.5x -> 7.9x);
+#       - embedding covariance pair emission is two chained position
+#         explodes (13.4x -> 2.0x) — pca trains on it (isotropy too,
+#         listed with its stale cohort below);
+#       - cluster_balanced_sample's draw moved to the shared
+#         balanced_draw_expr (quotamon twin) — pipeline_funnel_v4
+#         composes the sampler.
+#   (b) the 22 r07-attested rows named in worklog/r13_plan.md — the
+#       oldest attestations in the registry (IVF/PQ/unigram/BPE/
+#       mixture/DSIR/DP families + the embedding audits).
+#   (c) fill to 50 with the oldest r08-attested rows, alphabetical
+#       (dedup + graph cohort; sim_bitext_mining_exact and
+#       tpch_top_customers_per_nation left this cohort for (a)).
+# After this window runs, no registry entry's attestation is older
+# than r08; the 29 r08 rows left over head the r14 window
+# (sweep.py --stale lists them).
+_R13_WINDOW = (
+    # (a) changed this round
+    "sim_bitext_mining",
+    "sim_bitext_mining_exact",
+    "sim_bitext_mining_exact_cells",
+    "sim_bitext_recall_audit",
+    "sim_bitext_probe_sensitivity",
+    "retrieval_index_delta",
+    "retrieval_bm25",
+    "retrieval_bm25_eval",
+    "retrieval_hybrid_rrf",
+    "text_lang_id",
+    "text_langid_metrics",
+    "text_tokenizer_fertility",
+    "tpch_top_customers_per_nation",
+    "sim_embedding_covariance",
+    "sim_embedding_pca",
+    "sim_cluster_balanced_sample",
+    "pipeline_funnel_v4",
+    # (b) the r07-attested remainder (rotation contract)
+    "sim_contrastive_pairs",
+    "sim_embedding_isotropy",
+    "sim_embedding_outliers",
+    "sim_embedding_sanity",
+    "sim_ivf_index_append",
+    "sim_ivf_index_export",
+    "sim_ivf_probe_sensitivity",
+    "sim_ivf_rebalance_plan",
+    "sim_kmeans_cells_2level",
+    "sim_knn_ivf",
+    "sim_knn_ivf_quantized",
+    "sim_knn_pq_adc",
+    "sim_matryoshka_recall",
+    "sim_pq_encode",
+    "sim_pq_train",
+    "text_bpe_compression",
+    "text_dsir_weights",
+    "text_mixture_temperature",
+    "text_unigram_encode",
+    "text_unigram_prune",
+    "text_unigram_train",
+    "versioning_dp_counts",
+    # (c) oldest r08 attestations, alphabetical
+    "dedup_cluster_survivors_by_source",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_lsh_pairs_capped",
+    "dedup_minhash_signatures",
+    "dedup_simhash_clusters",
+    "dedup_split_leakage",
+    "dedup_split_leakage_pairs",
+    "dedup_winnowing_pairs",
+    "graph_degree_stats",
+    "graph_label_propagation",
+)
 
 
 # The round-12 driver verification window (VERDICT r11 item 1 + the
