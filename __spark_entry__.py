@@ -520,10 +520,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #       oldest attestations in the registry (IVF/PQ/unigram/BPE/
 #       mixture/DSIR/DP families + the embedding audits).
 #   (c) fill to 50 with the oldest r08-attested rows, alphabetical
-#       (dedup + graph cohort; sim_bitext_mining_exact and
-#       tpch_top_customers_per_nation left this cohort for (a)).
+#       (dedup cohort; sim_bitext_mining_exact and
+#       tpch_top_customers_per_nation left this cohort for (a);
+#       the late bigram-family changes displaced the last four fill
+#       slots — dedup_split_leakage_pairs, dedup_winnowing_pairs,
+#       graph_degree_stats, graph_label_propagation head r14).
 # After this window runs, no registry entry's attestation is older
-# than r08; the 29 r08 rows left over head the r14 window
+# than r08; the 33 r08 rows left over head the r14 window
 # (sweep.py --stale lists them).
 _R13_WINDOW = (
     # (a) changed this round
@@ -544,6 +547,13 @@ _R13_WINDOW = (
     "sim_embedding_pca",
     "sim_cluster_balanced_sample",
     "pipeline_funnel_v4",
+    # (a, late) the bigram family moved onto the codegen'd
+    # exploded_shingles emission (12.1x -> 1.8x at 100x); diversity
+    # shares the helper, perplexity rides the scorer
+    "text_bigram_lm_score",
+    "text_perplexity_buckets",
+    "text_kn_bigram_score",
+    "text_ngram_diversity",
     # (b) the r07-attested remainder (rotation contract)
     "sim_contrastive_pairs",
     "sim_embedding_isotropy",
@@ -575,10 +585,6 @@ _R13_WINDOW = (
     "dedup_minhash_signatures",
     "dedup_simhash_clusters",
     "dedup_split_leakage",
-    "dedup_split_leakage_pairs",
-    "dedup_winnowing_pairs",
-    "graph_degree_stats",
-    "graph_label_propagation",
 )
 
 

@@ -31,6 +31,38 @@ def shingles(toks: Column, n: int) -> Column:
     )
 
 
+def exploded_shingles(
+    df: DataFrame, key_cols: list[str], toks: Column, n: int, out: str
+) -> DataFrame:
+    """(key..., out) rows: one row per word n-gram shingle — the
+    EXPLODED twin of :func:`shingles`, emitting shingles through a
+    position explode + scalar slice/concat so the whole pipeline
+    stays inside whole-stage codegen.
+
+    Use this instead of ``explode(shingles(...))`` whenever the
+    shingles are consumed as rows: the array form runs its transform
+    lambda INTERPRETED (higher-order functions sit outside codegen)
+    and measured 5.5x slower at the 100x stress fixture (13.7 s vs
+    2.5 s for the corpus bigram count, r13 A/B —
+    worklog/r13_notes.md). Keep :func:`shingles` for operators that
+    need the per-doc ARRAY (minhash's per-seed array_min, the bloom
+    prefilter's array_contains gate).
+
+    Docs with fewer than n tokens emit nothing — exactly
+    explode(empty array) semantics."""
+    w = df.select(*key_cols, toks.alias("_w")).where(F.size("_w") >= n)
+    idx = F.explode(F.sequence(F.lit(1), F.size("_w") - (n - 1)))
+    if n == 2:  # the common case: two element_ats beat a slice alloc
+        sh = F.concat_ws(
+            " ", F.expr("element_at(_w, _i)"), F.expr("element_at(_w, _i + 1)")
+        )
+    else:
+        sh = F.concat_ws(" ", F.expr(f"slice(_w, _i, {n})"))
+    return w.select(*key_cols, "_w", idx.alias("_i")).select(
+        *key_cols, sh.alias(out)
+    )
+
+
 def shingles_sql(toks_expr: str, n: int) -> str:
     """DuckDB twin of :func:`shingles` (list_transform + list slicing)."""
     return (

@@ -11,7 +11,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from spark_app_twitter_spark.functions.hashing import shingles, shingles_sql
+from spark_app_twitter_spark.functions.hashing import (
+    exploded_shingles,
+    shingles,
+    shingles_sql,
+)
 from spark_app_twitter_spark.functions.ranking import exact_running_total
 from spark_app_twitter_spark.functions.text import STOPWORDS, tokens
 from spark_app_twitter_spark.sources.parquet import load_table
@@ -1812,9 +1816,7 @@ def bigram_lm_score(
     exploded rows.
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    bi = docs.select(
-        "doc_id", F.explode(shingles(tokens("text"), 2)).alias("bg")
-    )
+    bi = exploded_shingles(docs, ["doc_id"], tokens("text"), 2, "bg")
     modelq, _, model = _bigram_modelq(bi)
     scored = (
         _lm_scoring_join(bi, modelq, join_mode, size_frame=model)
@@ -1973,9 +1975,7 @@ def ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     bi = (
-        docs.select(
-            "source", F.explode(shingles(tokens("text"), 2)).alias("g")
-        )
+        exploded_shingles(docs, ["source"], tokens("text"), 2, "g")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
@@ -2031,9 +2031,7 @@ def bigram_lm_model(spark: SparkSession, sf_dir: str) -> tuple[dict, int]:
     model distributedly and never materializes it in one process.
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    bi = docs.select(
-        "doc_id", F.explode(shingles(tokens("text"), 2)).alias("bg")
-    )
+    bi = exploded_shingles(docs, ["doc_id"], tokens("text"), 2, "bg")
     modelq, vocab, _ = _bigram_modelq(bi)
     model = {r["bg"]: r["q"] for r in modelq.collect()}
     return model, vocab.collect()[0]["v"]
@@ -3955,9 +3953,7 @@ def kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id-keyed combine.
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    bi = docs.select(
-        "doc_id", F.explode(shingles(tokens("text"), 2)).alias("bg")
-    )
+    bi = exploded_shingles(docs, ["doc_id"], tokens("text"), 2, "bg")
     model = (
         bi.groupBy("bg")
         .agg(F.count(F.lit(1)).alias("c12"))
