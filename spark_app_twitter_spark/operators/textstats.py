@@ -3458,7 +3458,16 @@ def source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
     st = docs.select("source", F.explode(tokens("text")).alias("term"))
-    cs = st.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c_st"))
+    # cs is |sources| x |vocab| bounded and feeds THREE branches
+    # (corpus counts, source totals, the contribution join) — without
+    # lineage truncation each branch re-runs the corpus explode
+    # (PLANSTATS r13: 12 shuffles / 8 scans, the registry's widest
+    # plan after the bitext fix). Checkpoint it once.
+    cs = (
+        st.groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+        .localCheckpoint(eager=False)
+    )
     cw = cs.groupBy("term").agg(F.sum("c_st").alias("c_t"))
     tot_s = cs.groupBy("source").agg(F.sum("c_st").alias("c_s"))
     tot = tot_s.agg(F.sum("c_s").alias("c"))
@@ -3627,10 +3636,17 @@ def winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound as the capped MinHash relation. The final pair reduce is
     keyed on (doc_a, doc_b).
     """
+    # fps feeds the df-cap AND the keep join, and keep feeds both
+    # self-join sides — without truncation the winnowing scan re-runs
+    # four times inside one action (PLANSTATS r13: 11 shuffles /
+    # 8 scans). A production deployment materializes the fingerprint
+    # index as a table (winnowing's docstring contract); the
+    # checkpoints are that materialization in-session.
     fps = (
         winnowing(spark, sf_dir)
         .select("doc_id", "fp_hash")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     df_ok = (
         fps.groupBy("fp_hash")
@@ -3638,7 +3654,7 @@ def winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df") <= WINNOW_DF_CAP)
         .select("fp_hash")
     )
-    keep = fps.join(df_ok, "fp_hash")
+    keep = fps.join(df_ok, "fp_hash").localCheckpoint(eager=False)
     a = keep.select("fp_hash", F.col("doc_id").alias("doc_a"))
     b = keep.select("fp_hash", F.col("doc_id").alias("doc_b"))
     return (
@@ -3841,15 +3857,18 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
     t = docs.select(tokens("text").alias("t"))
-    pairs = t.select(
-        F.explode(
-            F.expr(
-                "zip_with(slice(t, 1, greatest(size(t) - 1, 0)),"
-                " slice(t, 2, greatest(size(t) - 1, 0)),"
-                " (x, y) -> struct(x AS w1, y AS w2))"
-            )
-        ).alias("p")
-    ).select("p.w1", "p.w2")
+    # adjacent pairs via a position explode + two element_ats (codegen)
+    # instead of the interpreted zip_with lambda (the r13 HOF lesson)
+    pairs = (
+        t.where(F.size("t") >= 2)
+        .select(
+            "t", F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i")
+        )
+        .select(
+            F.expr("element_at(t, i)").alias("w1"),
+            F.expr("element_at(t, i + 1)").alias("w2"),
+        )
+    )
     c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_pair"))
     uni = t.select(F.explode("t").alias("w")).groupBy("w").agg(
         F.count(F.lit(1)).alias("c_w")
