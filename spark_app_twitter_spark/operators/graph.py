@@ -231,11 +231,15 @@ def degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-independent. All-integer output.
     """
     e = minhash_lsh_pairs_capped(spark, sf_dir).select("doc_a", "doc_b")
+    # deg is node-bounded and feeds the histogram AND the total —
+    # checkpoint so the 2x|edges| union + reduce runs once
+    # (PLANSTATS r13: 11 shuffles before truncation)
     deg = (
         e.select(F.col("doc_a").alias("node"))
         .unionAll(e.select(F.col("doc_b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
     )
     hist = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("n_nodes"))
     tot = deg.agg(F.count(F.lit(1)).alias("n_tot"))

@@ -3723,9 +3723,13 @@ def knn_graph_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed_full = knn_graph_multiprobe(spark, sf_dir).localCheckpoint(
         eager=True
     )
+    # refined is n x k bounded and feeds BOTH the per-vector rollup
+    # and the new-edge anti-join — checkpoint so the NN-descent
+    # candidate stage runs once (PLANSTATS r13: 11 shuffles / 8 scans
+    # before truncation)
     refined = _nn_descent_round(
         spark, sf_dir, seed_full.select("vec_id", "neighbor_id")
-    )
+    ).localCheckpoint(eager=False)
     # repo-standard integer-micro idiom: floor(x*1e6 + 0.5) on BOTH
     # sides (cos_sim is pre-6dp-rounded so values are exact; floor is
     # engine-identical where HALF_UP vs double-round could tie-split)
