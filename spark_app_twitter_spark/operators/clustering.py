@@ -27,6 +27,8 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd  # module-level: pandas_udf resolves stringified hints here
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -79,6 +81,18 @@ def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at n ≈ 1M vectors per dataset.
 LITERAL_ASSIGN_MAX_K = 1024
 
+# Above this many centroids the Arrow exact-fold scorer
+# (:func:`_arrow_assign`) takes over from the inline literal
+# expression: the literal's aggregate(zip_with(...)) dot product
+# evaluates INTERPRETED (the r13 HOF lesson), so its cost is
+# k x dim interpreted ops per vector — 82.5 s for the flat k=448
+# assignment at the 100x fixture vs 11.6 s through the Arrow fold
+# (7.1x, bit-identical; worklog/r13_notes.md documents the rejected
+# alternatives: per-centroid unrolling OOMs janino at this k, the
+# broadcast+window form is 204 s). At gate/bench scales (k<=45) the
+# literal path stays selected, so attested plans are unchanged.
+ARROW_ASSIGN_MIN_K = 128
+
 
 def _broadcast_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment as a broadcast crossJoin + window
@@ -105,20 +119,75 @@ def _broadcast_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def _arrow_assign(
+    vecs: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Nearest-centroid assignment through an Arrow-batched exact
+    fold — the large-k formulation (r13), bit-identical to
+    :func:`_train_assign` (pinned in tests).
+
+    Exactness argument: the pandas_udf computes the UNROUNDED
+    v·c - |c|²/2 per centroid by folding dims in order with 64
+    vectorized elementwise numpy ops (``acc = acc + V[:, i] * C[:, i]``
+    — elementwise IEEE multiply-add, NO BLAS/pairwise reordering), so
+    every score's floating chain is the exact sequence the literal
+    expression evaluates; |c|²/2 folds sequentially in Python like
+    euclid_score_literal_sql. The parity-critical decimal rounding
+    (round(x, 6), BigDecimal HALF_UP) and the argmax pick stay
+    JVM-side, byte-for-byte the _train_assign tail."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    ordered = sorted(cents)
+    cmat = np.array([cv for _, cv in ordered], dtype=np.float64)
+    halves = []
+    for _, cv in ordered:
+        c2 = 0.0
+        for x in cv:
+            c2 += x * x
+        halves.append(c2 / 2.0)
+    hvec = np.array(halves, dtype=np.float64)
+    cells_sql = ", ".join(str(c) for c, _ in ordered)
+
+    @pandas_udf("array<double>")
+    def raw_scores(vs: pd.Series) -> pd.Series:
+        v = np.array(vs.tolist(), dtype=np.float64)
+        acc = np.zeros((v.shape[0], cmat.shape[0]), dtype=np.float64)
+        for i in range(cmat.shape[1]):
+            acc = acc + v[:, i : i + 1] * cmat[:, i]
+        acc = acc - hvec
+        return pd.Series(list(acc))
+
+    return (
+        vecs.withColumn("_raw", raw_scores(F.col("v")))
+        .withColumn(
+            "_scores", F.transform(F.col("_raw"), lambda s: F.round(s, 6))
+        )
+        .withColumn(
+            "cell",
+            F.expr(
+                f"element_at(array({cells_sql}), "
+                "cast(array_position(_scores, array_max(_scores)) as int))"
+            ),
+        )
+        .drop("_raw", "_scores")
+    )
+
+
 def assign_cells(
     spark: SparkSession, vecs: DataFrame, cents: list[tuple[int, list[float]]]
 ) -> DataFrame:
     """(vec_id, v, cell): nearest-centroid assignment, picking the
-    physical strategy by k — inline literal expression while the plan
-    stays small (shuffle-free map, no broadcast sub-job), broadcast
-    crossJoin + window beyond ``LITERAL_ASSIGN_MAX_K``. Both paths
-    are bit-identical."""
-    if len(cents) <= LITERAL_ASSIGN_MAX_K:
+    physical strategy by k — inline literal expression while the
+    interpreted-HOF cost is small (shuffle-free map, no broadcast
+    sub-job, no Python workers), the Arrow exact fold beyond
+    ``ARROW_ASSIGN_MIN_K`` (still shuffle-free; batch memory is
+    O(batch x k)). All paths are bit-identical (tests pin literal ==
+    broadcast == arrow); the windowed broadcast formulation remains
+    available as :func:`_broadcast_assign` (the SQL-oracle mirror)."""
+    if len(cents) <= ARROW_ASSIGN_MIN_K:
         return _train_assign(vecs, cents)
-    cdf = spark.createDataFrame(
-        [(c, v) for c, v in cents], "cell int, cv array<double>"
-    )
-    return _broadcast_assign(vecs, cdf)
+    return _arrow_assign(vecs, cents)
 
 
 def euclid_score_literal_sql(vec: str, cv: list[float]) -> str:

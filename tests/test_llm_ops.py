@@ -273,6 +273,42 @@ def test_assignment_paths_bit_identical(spark, sf_dir):
         for r in clustering._broadcast_assign(vecs, cdf).select("vec_id", "cell").collect()
     }
     assert lit == bcast
+    arrow = {
+        r.vec_id: r.cell
+        for r in clustering._arrow_assign(vecs, cents).select("vec_id", "cell").collect()
+    }
+    assert lit == arrow
+
+
+def test_arrow_assign_bit_identical_beyond_switch(spark, sf_dir):
+    """The r13 Arrow exact-fold path must agree with the literal
+    expression at a k ABOVE ARROW_ASSIGN_MIN_K (where assign_cells
+    actually selects it). Centroids are the first 200 corpus vectors
+    — no training needed; ties and the (score DESC, cell ASC) pick
+    exercise the identical JVM rounding + argmax tail on both."""
+    from spark_app_twitter_spark.operators import clustering
+
+    vecs = clustering._vecs(spark, sf_dir)
+    cents = [
+        (i, list(r.v))
+        for i, r in enumerate(
+            vecs.orderBy("vec_id").limit(200).collect()
+        )
+    ]
+    assert len(cents) > clustering.ARROW_ASSIGN_MIN_K
+    lit = {
+        r.vec_id: r.cell
+        for r in clustering._train_assign(vecs, cents)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    via_switch = {
+        r.vec_id: r.cell
+        for r in clustering.assign_cells(spark, vecs, cents)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert lit == via_switch
 
 
 def test_semdedup_parity(spark, sf_dir):
