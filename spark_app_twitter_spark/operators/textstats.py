@@ -248,7 +248,18 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
     profile = langid_profile_rows(spark, sf_dir)
+    # Degenerate-cardinality guards (ADVICE r13): a language whose
+    # profile list is empty can't contribute an isin() InSet (raises
+    # on zero args) and can never win — drop it before building the
+    # conditional sums; an all-empty profile set predicts nothing.
+    profile = [(lang, trigs) for lang, trigs in profile if trigs]
     langs = [lang for lang, _ in profile]
+    if not langs:
+        out = spark.createDataFrame(
+            [], "doc_id bigint, predicted string, actual string, correct boolean"
+        )
+        _LANGID_CACHE[key] = out
+        return out
     # Pre-filter docs shorter than a trigram (pushes to the scan);
     # trigrams via position-explode + substr, same codegen rationale
     # as langid_profile_rows.
@@ -275,7 +286,13 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, (_, trigs) in enumerate(profile)
     ]
     per_doc = exploded.groupBy("doc_id", "lang").agg(*hits)
-    best = F.greatest(*[F.col(f"_h{i}") for i in range(len(langs))])
+    # F.greatest needs >=2 columns; a single-language corpus degrades
+    # to "predicted = that lang wherever it hit at all" (ADVICE r13)
+    best = (
+        F.col("_h0")
+        if len(langs) == 1
+        else F.greatest(*[F.col(f"_h{i}") for i in range(len(langs))])
+    )
     # first-match over asc-sorted langs = the (hits desc, cand asc)
     # tie-break of the r12 rank window
     predicted = F.coalesce(

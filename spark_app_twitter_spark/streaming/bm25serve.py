@@ -59,13 +59,16 @@ def serve_bm25_stream(
         # collect the core's checkpointed relations and free their
         # blocks after the write: a long-running stream must not
         # accumulate per-batch checkpoint storage until driver GC
-        # (ADVICE r12)
+        # (ADVICE r12); the unpersist sits in finally so a failed
+        # batch write can't leak the blocks either (ADVICE r13)
         materialized: list[DataFrame] = []
-        bm25_search(
-            spark, sf_dir, qterms, materialized=materialized
-        ).write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
-        for df in materialized:
-            df.unpersist()
+        try:
+            bm25_search(
+                spark, sf_dir, qterms, materialized=materialized
+            ).write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+        finally:
+            for df in materialized:
+                df.unpersist()
 
     return (
         queries.writeStream.foreachBatch(answer)

@@ -80,7 +80,12 @@ def apply_quota_batch(
     )
 
     spark = batch.sparkSession
-    vecs = batch.select(
+    # Dedup by vec_id BEFORE sizing so the size fold shares the
+    # candidate fold's within-batch idempotence (ADVICE r13): a
+    # vec_id presented twice in one micro-batch counts once in both
+    # states. Cross-batch re-delivery is governed by the delivery
+    # contract on maintain_quota_stream.
+    vecs = batch.dropDuplicates(["vec_id"]).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
@@ -159,7 +164,18 @@ def maintain_quota_stream(
     trigger_available_now: bool = False,
 ) -> StreamingQuery:
     """Continuous topic-quota maintenance over an embedding stream
-    (any relation carrying ``vec_id`` and ``embedding``)."""
+    (any relation carrying ``vec_id`` and ``embedding``).
+
+    Delivery contract (ADVICE r13): the candidate fold is idempotent
+    under ANY re-delivery (dropDuplicates on vec_id before the
+    truncation), but the size fold is idempotent only per batch_id —
+    within-batch duplicates and checkpoint replays of the same
+    batch_id count once, while a vec_id re-delivered in a LATER
+    micro-batch (at-least-once source duplication across batches)
+    double-counts in cell_size. Feed this stream a once-per-corpus
+    source (file/Delta sources and transactional Kafka satisfy this);
+    exact cross-batch dedup would require O(corpus) seen-id state,
+    which the bounded k x CAP design deliberately avoids."""
     w = (
         embeddings.writeStream.foreachBatch(
             lambda b, i: apply_quota_batch(b, i, path, sf_dir)

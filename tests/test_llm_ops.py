@@ -64,6 +64,27 @@ def test_lang_id(spark, sf_dir):
     )
 
 
+def test_lang_id_degenerate_single_language(spark, tmp_path):
+    """ADVICE r13: F.greatest requires >=2 columns and isin() >=1
+    literal, so a single-language corpus (and a language with no
+    trigram at all) used to raise. The guards must keep the
+    prediction semantics: every doc with a profile hit predicts the
+    one language."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over it", "en", "web", 33),
+            (2, "hello world of spark engines today", "en", "web", 34),
+            (3, "ab", "xx", "web", 2),  # sub-trigram: no profile, dropped
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = textstats.lang_id(spark, str(tmp_path)).collect()
+    assert len(out) == 2
+    assert {r.predicted for r in out} == {"en"}
+    assert all(r.correct for r in out)
+
+
 def test_doc_fingerprint(spark, sf_dir):
     assert_parity(
         textstats.doc_fingerprint(spark, sf_dir),

@@ -2542,6 +2542,70 @@ def test_quota_stream_fold_matches_batch_sampler(spark, sf_dir, tmp_path):
     assert again == got
 
 
+def test_quota_size_state_compaction_bounds_and_preserves(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r13: quotamon's SIZE_COMPACT_RETAIN path was untested
+    (the 3-batch fold test never ages a batch). Drive RETAIN+5
+    micro-batches — one of them with within-batch duplicate vec_ids —
+    and check (a) aged size rows fold into the batch_id=-1 sentinel,
+    (b) stored batch keys stay bounded by RETAIN+2, (c) the served
+    sample still equals the one-pass batch sampler bit-for-bit, and
+    (d) a trailing-batch retry is exactly-once."""
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.operators.clustering import (
+        cluster_balanced_sample,
+    )
+    from spark_app_twitter_spark.sources.parquet import load_table
+    from spark_app_twitter_spark.streaming.quotamon import (
+        SIZE_COMPACT_RETAIN,
+        apply_quota_batch,
+        quota_sample_from_state,
+    )
+    from spark_app_twitter_spark.streaming.statestore import read_state
+
+    path = f"{tmp_path}/quota_compact"
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_batches = SIZE_COMPACT_RETAIN + 5
+    for i in range(n_batches):
+        part = emb.where(F.col("vec_id") % n_batches == i)
+        if i == 0:
+            # at-least-once duplication WITHIN a micro-batch: the
+            # vec_id dedup keeps both folds idempotent (ADVICE r13)
+            part = part.unionByName(part)
+        apply_quota_batch(part, i, path, sf_dir)
+
+    stored = read_state(
+        spark, f"{path}/sizes", "batch_id long, cell int, n long"
+    )
+    ids = {r.batch_id for r in stored.select("batch_id").distinct().collect()}
+    assert -1 in ids, "aged size batches must fold into the sentinel row"
+    assert len(ids) <= SIZE_COMPACT_RETAIN + 2
+    assert min(i for i in ids if i != -1) >= n_batches - 1 - SIZE_COMPACT_RETAIN
+
+    got = sorted(
+        tuple(r) for r in quota_sample_from_state(spark, path).collect()
+    )
+    want = sorted(
+        tuple(r) for r in cluster_balanced_sample(spark, sf_dir).collect()
+    )
+    assert got == want
+
+    # retrying the trailing batch replaces its own size rows; the
+    # sentinel (already folded) is untouched — still exactly-once
+    apply_quota_batch(
+        emb.where(F.col("vec_id") % n_batches == n_batches - 1),
+        n_batches - 1,
+        path,
+        sf_dir,
+    )
+    again = sorted(
+        tuple(r) for r in quota_sample_from_state(spark, path).collect()
+    )
+    assert again == got
+
+
 def test_v4_admission_stream_equals_batch_funnel_stages(
     spark, sf_dir, tmp_path
 ):
