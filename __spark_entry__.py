@@ -43,6 +43,7 @@ from spark_app_twitter_spark.operators import (
     training,
     versioning,
 )
+from spark_app_twitter_spark.streaming import qualitymon, quotamon
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -113,6 +114,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     path with its full index-replay twin) leads.
     """
     q = {
+        # --- R14-0. added in round 14 (VERDICT r13 item 6): the two
+        # streaming monitors' state-derived serves, driven batch-style
+        # (modular micro-batch replay into a fresh state dir) so the
+        # r13 streaming capstone sits under the driver's oracle gate
+        # like everything else. Oracles are the batch twins' SQL —
+        # the folds are bit-exact by construction ---
+        "stream_quota_state_sample": quotamon.quota_sample_replayed,
+        "stream_quality_floor_state": qualitymon.quality_floor_replayed,
         # --- R8-0. added or rerouted in round 8 (VERDICT r07 items
         # 3-4): the O(n) cluster-routed near-dup family — capped pair
         # emission (star-from-representative above CLIQUE_CAP-member
@@ -1007,6 +1016,10 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query."""
     return {
         **_trained_oracles(),
+        # r14: the streaming monitors' replayed serves equal their
+        # batch twins bit-for-bit, so they share the twins' oracles
+        "stream_quota_state_sample": clustering.CLUSTER_BALANCED_SAMPLE_SQL,
+        "stream_quality_floor_state": textstats.QUALITY_FLOOR_BY_SOURCE_SQL,
         "dedup_lsh_clusters": dedup.LSH_CLUSTERS_SQL,
         "dedup_minhash_lsh_pairs_capped": dedup.MINHASH_LSH_PAIRS_CAPPED_SQL,
         "dedup_split_leakage_pairs": dedup.SPLIT_LEAKAGE_PAIRS_SQL,

@@ -117,6 +117,30 @@ def quality_floor_from_state(spark, path: str) -> DataFrame:
     return quality_floor_from_hist(hist)
 
 
+def quality_floor_replayed(
+    spark, sf_dir: str, n_batches: int = 3
+) -> DataFrame:
+    """Batch-drivable registry twin (VERDICT r13 item 6): fold the
+    documents corpus through :func:`apply_quality_batch` in
+    ``n_batches`` modular micro-batches against a fresh state dir,
+    then serve :func:`quality_floor_from_state`. The histogram fold
+    is integer-additive, so the served floors equal the one-pass
+    batch calibration (operators/textstats.quality_floor_by_source)
+    bit-for-bit — putting the quality-floor stream under the driver's
+    DuckDB oracle gate (oracle: QUALITY_FLOOR_BY_SOURCE_SQL)."""
+    import tempfile
+
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    path = tempfile.mkdtemp(prefix="qualitymon_replay_")
+    docs = load_table(spark, sf_dir, "documents")
+    for i in range(n_batches):
+        apply_quality_batch(
+            docs.where(F.col("doc_id") % n_batches == i), i, path
+        )
+    return quality_floor_from_state(spark, path)
+
+
 def maintain_quality_stream(
     docs: DataFrame,
     path: str,

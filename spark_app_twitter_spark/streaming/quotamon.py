@@ -156,6 +156,32 @@ def quota_sample_from_state(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def quota_sample_replayed(
+    spark: SparkSession, sf_dir: str, n_batches: int = 3
+) -> DataFrame:
+    """Batch-drivable registry twin (VERDICT r13 item 6): fold the
+    embeddings corpus through :func:`apply_quota_batch` in
+    ``n_batches`` modular micro-batches against a fresh state dir,
+    then serve :func:`quota_sample_from_state`. Because the candidate
+    fold is an associative lowest-K truncation and the size fold is
+    integer-additive, the served frame equals the one-pass batch
+    sampler (operators/clustering.cluster_balanced_sample) bit-for-bit
+    — which is exactly what puts the streaming capstone under the
+    driver's DuckDB oracle gate (oracle: CLUSTER_BALANCED_SAMPLE_SQL).
+    """
+    import tempfile
+
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    path = tempfile.mkdtemp(prefix="quotamon_replay_")
+    emb = load_table(spark, sf_dir, "embeddings")
+    for i in range(n_batches):
+        apply_quota_batch(
+            emb.where(F.col("vec_id") % n_batches == i), i, path, sf_dir
+        )
+    return quota_sample_from_state(spark, path)
+
+
 def maintain_quota_stream(
     embeddings: DataFrame,
     path: str,
