@@ -3437,37 +3437,28 @@ KNN_GRAPH_SQL = _knn_graph_sql()
 # while keeping candidate volume at the sum of two linear bounds.
 
 
-def knn_graph_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, neighbor_id, cos_sim, rank): top-``KNN_GRAPH_K``
-    neighbors per vector over the UNION of its cell's and its
-    hyperplane-bucket's ``KNN_GRAPH_CAP`` lowest-id anchors.
-
-    Candidate volume is <= n*CAP per partition (the SemDeDup bound,
-    twice); the union dedups on the pair key before the single
-    scoring pass, so no pair is scored twice. Per-vector results
-    dominate the single-partition graph pointwise: the candidate set
-    is a superset of knn_graph's (verified in tests).
-
-    The bucket key uses the ADAPTIVE plane count (VERDICT r08 item
-    4): planes_for(n) grows the 2^p bucket space with the corpus so
-    expected occupancy tracks KNN_GRAPH_CAP instead of saturating
-    toward CAP-bounded cliques on dup-heavy corpora (the static
-    8-plane key measured 13.9x at 100x data). Small corpora keep the
-    historical 8 planes; the twin computes the same count from
-    count(*) with all-integer arithmetic.
-    """
+def _multiprobe_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, cell, bucket): the two independent partition keys,
+    checkpointed once — shared by the operator and the r14 cost
+    decomposition (worklog) so measurements can't drift from the
+    registered plan."""
     from spark_app_twitter_spark.operators.clustering import (
         corpus_size,
         kmeans_cells_2level_assigned,
     )
 
     n_planes = planes_for(corpus_size(spark, sf_dir))
-    assigned = (
+    return (
         kmeans_cells_2level_assigned(spark, sf_dir)
         .select("vec_id", "v", "cell")
         .withColumn("bucket", F.expr(_bucket_expr_spark_np("v", n_planes)))
         .localCheckpoint(eager=True)
     )
+
+
+def _multiprobe_candidates(assigned: DataFrame) -> DataFrame:
+    """The deduped (vec_id, neighbor_id) candidate relation — the
+    union of both partitions' capped anchor pairs."""
 
     def part_pairs(key: str) -> DataFrame:
         anchors = (
@@ -3487,7 +3478,30 @@ def knn_graph_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "neighbor_id")
         )
 
-    cands = part_pairs("cell").unionByName(part_pairs("bucket")).distinct()
+    return part_pairs("cell").unionByName(part_pairs("bucket")).distinct()
+
+
+def knn_graph_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, neighbor_id, cos_sim, rank): top-``KNN_GRAPH_K``
+    neighbors per vector over the UNION of its cell's and its
+    hyperplane-bucket's ``KNN_GRAPH_CAP`` lowest-id anchors.
+
+    Candidate volume is <= n*CAP per partition (the SemDeDup bound,
+    twice); the union dedups on the pair key before the single
+    scoring pass, so no pair is scored twice. Per-vector results
+    dominate the single-partition graph pointwise: the candidate set
+    is a superset of knn_graph's (verified in tests).
+
+    The bucket key uses the ADAPTIVE plane count (VERDICT r08 item
+    4): planes_for(n) grows the 2^p bucket space with the corpus so
+    expected occupancy tracks KNN_GRAPH_CAP instead of saturating
+    toward CAP-bounded cliques on dup-heavy corpora (the static
+    8-plane key measured 13.9x at 100x data). Small corpora keep the
+    historical 8 planes; the twin computes the same count from
+    count(*) with all-integer arithmetic.
+    """
+    assigned = _multiprobe_assigned(spark, sf_dir)
+    cands = _multiprobe_candidates(assigned)
     ev = assigned.select("vec_id", "v")
     scored = (
         cands.join(ev, "vec_id")
