@@ -119,6 +119,39 @@ def _broadcast_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def _seq_half_norm(cv: list[float]) -> float:
+    """|cv|²/2 folded sequentially in Python — the exact left-to-right
+    IEEE adds of the ``dot`` aggregate / euclid_score_literal_sql."""
+    c2 = 0.0
+    for x in cv:
+        c2 += x * x
+    return c2 / 2.0
+
+
+def _arrow_raw_scores_udf(cmat, hvec):
+    """pandas_udf computing UNROUNDED v·c - |c|²/2 per centroid row of
+    ``cmat`` by folding dims IN ORDER with elementwise numpy ops
+    (``acc = acc + V[:, i] * C[:, i]`` — IEEE multiply-add, no
+    BLAS/pairwise reordering), so every score's floating chain is the
+    exact sequence the literal expression evaluates. Shared by the
+    flat (:func:`_arrow_assign`), fine (:func:`_arrow_fine_assign`)
+    and probe (:func:`inline_top_cells_euclid`) large-k paths; the
+    parity-critical round(x, 6) stays JVM-side in every caller."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def raw_scores(vs: pd.Series) -> pd.Series:
+        v = np.array(vs.tolist(), dtype=np.float64)
+        acc = np.zeros((v.shape[0], cmat.shape[0]), dtype=np.float64)
+        for i in range(cmat.shape[1]):
+            acc = acc + v[:, i : i + 1] * cmat[:, i]
+        acc = acc - hvec
+        return pd.Series(list(acc))
+
+    return raw_scores
+
+
 def _arrow_assign(
     vecs: DataFrame, cents: list[tuple[int, list[float]]]
 ) -> DataFrame:
@@ -136,27 +169,12 @@ def _arrow_assign(
     (round(x, 6), BigDecimal HALF_UP) and the argmax pick stay
     JVM-side, byte-for-byte the _train_assign tail."""
     import numpy as np
-    from pyspark.sql.functions import pandas_udf
 
     ordered = sorted(cents)
     cmat = np.array([cv for _, cv in ordered], dtype=np.float64)
-    halves = []
-    for _, cv in ordered:
-        c2 = 0.0
-        for x in cv:
-            c2 += x * x
-        halves.append(c2 / 2.0)
-    hvec = np.array(halves, dtype=np.float64)
+    hvec = np.array([_seq_half_norm(cv) for _, cv in ordered], dtype=np.float64)
     cells_sql = ", ".join(str(c) for c, _ in ordered)
-
-    @pandas_udf("array<double>")
-    def raw_scores(vs: pd.Series) -> pd.Series:
-        v = np.array(vs.tolist(), dtype=np.float64)
-        acc = np.zeros((v.shape[0], cmat.shape[0]), dtype=np.float64)
-        for i in range(cmat.shape[1]):
-            acc = acc + v[:, i : i + 1] * cmat[:, i]
-        acc = acc - hvec
-        return pd.Series(list(acc))
+    raw_scores = _arrow_raw_scores_udf(cmat, hvec)
 
     return (
         vecs.withColumn("_raw", raw_scores(F.col("v")))
@@ -666,11 +684,6 @@ def inline_top_cells_euclid(
     formulation the SQL oracles keep."""
     ordered = sorted(cents)
     cells_sql = ", ".join(str(c) for c, _ in ordered)
-    scores_sql = (
-        "array("
-        + ", ".join(euclid_score_literal_sql(vec, cv) for _, cv in ordered)
-        + ")"
-    )
     top_sql = (
         f"slice(array_sort(zip_with(_scores, array({cells_sql}), "
         "(s, c) -> struct(s AS s, c AS c)), "
@@ -678,10 +691,104 @@ def inline_top_cells_euclid(
         "WHEN a.c < b.c THEN -1 WHEN a.c > b.c THEN 1 ELSE 0 END), "
         f"1, {keep})"
     )
+    if len(ordered) > ARROW_ASSIGN_MIN_K:
+        # large-k probe scoring through the shared Arrow exact fold
+        # (VERDICT r13 item 3) — raw folds in Arrow, round(x, 6)
+        # JVM-side, identical sort/slice tail
+        import numpy as np
+
+        cmat = np.array([cv for _, cv in ordered], dtype=np.float64)
+        hvec = np.array(
+            [_seq_half_norm(cv) for _, cv in ordered], dtype=np.float64
+        )
+        raw_scores = _arrow_raw_scores_udf(cmat, hvec)
+        scored = df.withColumn(
+            "_scores",
+            F.transform(raw_scores(F.col(vec)), lambda s: F.round(s, 6)),
+        )
+    else:
+        scores_sql = (
+            "array("
+            + ", ".join(
+                euclid_score_literal_sql(vec, cv) for _, cv in ordered
+            )
+            + ")"
+        )
+        scored = df.withColumn("_scores", F.expr(scores_sql))
     return (
-        df.withColumn("_scores", F.expr(scores_sql))
+        scored
         .select(key, vec, *carry, F.explode(F.expr(top_sql)).alias("_sc"))
         .select(key, vec, *carry, F.col("_sc.c").alias("cell"))
+    )
+
+
+def _arrow_fine_assign(
+    members: DataFrame, fine_rows: list[tuple[int, int, list[float]]]
+) -> DataFrame:
+    """(vec_id, v, coarse, fine): the large-k twin of
+    :func:`_inline_fine_assign` (VERDICT r13 item 3) — nearest fine
+    centroid within each vector's coarse cell through one Arrow
+    exact-fold pass instead of the broadcast-join + per-vector window
+    of :func:`_fine_assign`. Still shuffle-free: the pandas_udf takes
+    (coarse, v) and scores ONLY the row's own branch (K2 work per
+    vector, exactly the CASE-dispatch bound), padding ragged branches
+    with NaN so the batch matrix stays rectangular; the
+    parity-critical round(x, 6) and the first-max == (score DESC,
+    fine ASC) pick stay JVM-side, byte-for-byte the
+    _inline_fine_assign tail (fine ids sorted ascending per coarse)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    by_coarse: dict[int, list[tuple[int, list[float]]]] = {}
+    for co, fi, fv in sorted(fine_rows):
+        by_coarse.setdefault(co, []).append((fi, fv))
+    dim = len(fine_rows[0][2])
+    width = max(len(fs) for fs in by_coarse.values())
+    cmats: dict[int, object] = {}
+    hvecs: dict[int, object] = {}
+    fine_branches = []
+    for co, fs in sorted(by_coarse.items()):
+        cmats[co] = np.array([fv for _, fv in fs], dtype=np.float64)
+        hvecs[co] = np.array(
+            [_seq_half_norm(fv) for _, fv in fs], dtype=np.float64
+        )
+        fines = ", ".join(str(fi) for fi, _ in fs)
+        fine_branches.append(f"WHEN {co} THEN array({fines})")
+    ff_sql = "CASE coarse " + " ".join(fine_branches) + " END"
+
+    @pandas_udf("array<double>")
+    def raw_branch_scores(cos: pd.Series, vs: pd.Series) -> pd.Series:
+        v = np.array(vs.tolist(), dtype=np.float64)
+        out = np.full((v.shape[0], width), np.nan, dtype=np.float64)
+        co_arr = cos.to_numpy()
+        for co in np.unique(co_arr):
+            mask = co_arr == co
+            cmat = cmats.get(int(co))
+            if cmat is None:  # no fine branch: null fine, like the CASE
+                continue
+            hvec = hvecs[int(co)]
+            vb = v[mask]
+            acc = np.zeros((vb.shape[0], cmat.shape[0]), dtype=np.float64)
+            for i in range(dim):
+                acc = acc + vb[:, i : i + 1] * cmat[:, i]
+            out[mask, : cmat.shape[0]] = acc - hvec
+        return pd.Series([row[~np.isnan(row)] for row in out])
+
+    return (
+        members.withColumn(
+            "_raw", raw_branch_scores(F.col("coarse"), F.col("v"))
+        )
+        .withColumn(
+            "_fs", F.transform(F.col("_raw"), lambda s: F.round(s, 6))
+        )
+        .withColumn(
+            "fine",
+            F.expr(
+                f"element_at({ff_sql}, "
+                "cast(array_position(_fs, array_max(_fs)) as int))"
+            ),
+        )
+        .select("vec_id", "v", "coarse", "fine")
     )
 
 
@@ -820,14 +927,15 @@ def _assign_fine(
 ) -> DataFrame:
     """Fine assignment, picking the physical strategy by total fine
     count exactly like :func:`assign_cells` — inline coarse-dispatched
-    map while the literal table stays small, broadcast join + window
-    beyond. Both paths are bit-identical."""
+    map while the literal table stays small, the Arrow exact fold
+    beyond (VERDICT r13 item 3: the broadcast-join + per-vector-window
+    form pays a |N|·K2-row broadcast join AND a vec_id window shuffle;
+    the Arrow fold is shuffle-free like the inline path). All paths
+    are bit-identical (tests pin inline == broadcast == arrow);
+    :func:`_fine_assign` remains the SQL-oracle mirror."""
     if len(rows) <= LITERAL_ASSIGN_MAX_K:
         return _inline_fine_assign(members, rows)
-    fdf = spark.createDataFrame(
-        rows, "coarse int, fine int, fv array<double>"
-    )
-    return _fine_assign(members, fdf)
+    return _arrow_fine_assign(members, rows)
 
 
 def _final_2level_select(

@@ -332,6 +332,86 @@ def test_arrow_assign_bit_identical_beyond_switch(spark, sf_dir):
     assert lit == via_switch
 
 
+def test_arrow_fine_assign_bit_identical(spark, sf_dir):
+    """VERDICT r13 item 3: the Arrow coarse-dispatched fine assigner
+    (the >LITERAL_ASSIGN_MAX_K path) must agree row-for-row with BOTH
+    the inline CASE-dispatch and the broadcast-join + window form on
+    the real trained fine tree (ragged branches included — empty-cell
+    drops make per-coarse widths uneven)."""
+    from spark_app_twitter_spark.operators import clustering
+
+    rows = clustering.kmeans_fine_centroid_rows(spark, sf_dir)
+    coarse_rows = clustering.kmeans_centroid_rows(
+        spark, sf_dir, k=clustering.levels_for(
+            clustering.corpus_size(spark, sf_dir)
+        )[0],
+    )
+    members = clustering.assign_cells(
+        spark, clustering._vecs(spark, sf_dir), coarse_rows
+    ).select("vec_id", "v", F.col("cell").alias("coarse"))
+    inline = {
+        (r.vec_id, r.coarse, r.fine)
+        for r in clustering._inline_fine_assign(members, rows)
+        .select("vec_id", "coarse", "fine")
+        .collect()
+    }
+    arrow = {
+        (r.vec_id, r.coarse, r.fine)
+        for r in clustering._arrow_fine_assign(members, rows)
+        .select("vec_id", "coarse", "fine")
+        .collect()
+    }
+    assert inline == arrow
+    fdf = spark.createDataFrame(
+        rows, "coarse int, fine int, fv array<double>"
+    )
+    bcast = {
+        (r.vec_id, r.coarse, r.fine)
+        for r in clustering._fine_assign(members, fdf)
+        .select("vec_id", "coarse", "fine")
+        .collect()
+    }
+    assert inline == bcast
+
+
+def test_arrow_probe_top_cells_bit_identical(spark, sf_dir):
+    """VERDICT r13 item 3: inline_top_cells_euclid's large-k Arrow
+    path (engaged above ARROW_ASSIGN_MIN_K) must return the same
+    ranked cell slice as the literal expression — 200 fake centroids
+    (the first 200 corpus vectors) force the switch, duplicate
+    vectors exercise the (score DESC, cell ASC) tie-break."""
+    from spark_app_twitter_spark.operators import clustering
+
+    vecs = clustering._vecs(spark, sf_dir)
+    cents = [
+        (i, list(r.v))
+        for i, r in enumerate(vecs.orderBy("vec_id").limit(200).collect())
+    ]
+    assert len(cents) > clustering.ARROW_ASSIGN_MIN_K
+    q = vecs.limit(50).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+
+    def run(cs):
+        return sorted(
+            (r.query_id, r.cell)
+            for r in clustering.inline_top_cells_euclid(
+                q, "query_id", "qv", cs, keep=5
+            ).collect()
+        )
+
+    via_arrow = run(cents)
+    # literal path: stay under the switch by splitting isn't possible
+    # for one ranking, so force it by lifting the threshold
+    orig = clustering.ARROW_ASSIGN_MIN_K
+    clustering.ARROW_ASSIGN_MIN_K = 10_000
+    try:
+        via_literal = run(cents)
+    finally:
+        clustering.ARROW_ASSIGN_MIN_K = orig
+    assert via_arrow == via_literal
+
+
 def test_semdedup_parity(spark, sf_dir):
     """Full-corpus parity for the SemDeDup oracle — exercises the
     adaptive-k (kp scalar subquery) centroid chain end to end."""
