@@ -32,6 +32,7 @@ import pandas as pd  # module-level: pandas_udf resolves stringified hints here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_app_twitter_spark.functions.caches import register_cache
 from spark_app_twitter_spark.sources.parquet import load_table
 
 K_CELLS = 8  # floor; the default cell count adapts to corpus size
@@ -54,7 +55,7 @@ def cells_for(n: int) -> int:
 
 # Corpus sizes, keyed by (spark app, data dir) — one count job per
 # dataset per session, shared by every adaptive-k consumer.
-_N_CACHE: dict[tuple[str, str], int] = {}
+_N_CACHE: dict[tuple[str, str], int] = register_cache({})
 
 
 def corpus_size(spark: SparkSession, sf_dir: str) -> int:
@@ -324,18 +325,23 @@ def _recenter_rows(
 # centroids trained on the old files. Entries are k-row tables — the
 # dicts stay tiny even across many datasets.
 _CentKey = tuple[str, str, int, int]
-_CENTROID_CACHE: dict[_CentKey, DataFrame] = {}
-_CENTROID_ROWS_CACHE: dict[_CentKey, list[tuple[int, list[float]]]] = {}
-_FINE_CENTROID_CACHE: dict[tuple, list[tuple]] = {}
+_CENTROID_CACHE: dict[_CentKey, DataFrame] = register_cache({})
+_CENTROID_ROWS_CACHE: dict[_CentKey, list[tuple[int, list[float]]]] = (
+    register_cache({})
+)
+_FINE_CENTROID_CACHE: dict[tuple, list[tuple]] = register_cache({})
 
 
 def clear_centroid_cache() -> None:
     """Drop all trained centroid tables (e.g. after rewriting a
-    dataset path in-session)."""
-    _CENTROID_CACHE.clear()
-    _CENTROID_ROWS_CACHE.clear()
-    _FINE_CENTROID_CACHE.clear()
-    _N_CACHE.clear()
+    dataset path in-session) — through the shared eviction contract,
+    so any value holding executor storage is unpersisted first."""
+    from spark_app_twitter_spark.functions.caches import _evict
+
+    _evict(_CENTROID_CACHE)
+    _evict(_CENTROID_ROWS_CACHE)
+    _evict(_FINE_CENTROID_CACHE)
+    _evict(_N_CACHE)
 
 
 def kmeans_centroid_rows(

@@ -42,6 +42,7 @@ from spark_app_twitter_spark.operators.clustering import (
     euclid_score_literal_sql,
 )
 from spark_app_twitter_spark.operators.similarity import DIM, N_QUERIES
+from spark_app_twitter_spark.functions.caches import register_cache
 from spark_app_twitter_spark.sources.parquet import load_table
 
 PQ_M = 8  # subspaces
@@ -108,7 +109,9 @@ def _pq_assign(
     )
 
 
-_PQ_CODEBOOK_CACHE: dict[tuple[str, str], list[tuple[int, int, list[float]]]] = {}
+_PQ_CODEBOOK_CACHE: dict[tuple[str, str], list[tuple[int, int, list[float]]]] = (
+    register_cache({})
+)
 
 
 def clear_pq_cache() -> None:

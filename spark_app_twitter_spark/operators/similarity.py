@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_app_twitter_spark.functions.vectors import cosine, cosine_sql
+from spark_app_twitter_spark.functions.caches import register_cache
 from spark_app_twitter_spark.sources.parquet import load_table
 
 N_QUERIES = 5  # vec_id < N_QUERIES form the query set
@@ -1258,7 +1259,7 @@ PCA_COMPONENTS = 2
 # Trained PCA axes, keyed by (spark app, data dir, k) — the same
 # publish-once artifact discipline as the centroid and BPE-merge
 # caches (and the same immutable-path contract).
-_PCA_CACHE: dict[tuple[str, str, int], tuple[list, list]] = {}
+_PCA_CACHE: dict[tuple[str, str, int], tuple[list, list]] = register_cache({})
 
 
 def clear_pca_cache() -> None:

@@ -18,6 +18,7 @@ from spark_app_twitter_spark.functions.hashing import (
 )
 from spark_app_twitter_spark.functions.ranking import exact_running_total
 from spark_app_twitter_spark.functions.text import STOPWORDS, tokens
+from spark_app_twitter_spark.functions.caches import register_cache
 from spark_app_twitter_spark.sources.parquet import load_table
 
 PROFILE_TOP_K = 20  # trigrams kept per language profile
@@ -139,21 +140,20 @@ def char_trigrams_expr() -> F.Column:
 # reliable, checkpoint). Both are the accepted artifact trade for
 # immutable benchmark inputs; a session that rewrites a path must
 # call clear_langid_cache() (tests do).
-_LANGID_CACHE: dict[tuple[str, str], DataFrame] = {}
-_LANGID_PROFILE_CACHE: dict[tuple[str, str], list[tuple[str, list[str]]]] = {}
+_LANGID_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
+_LANGID_PROFILE_CACHE: dict[tuple[str, str], list[tuple[str, list[str]]]] = (
+    register_cache({})
+)
 
 
 def clear_langid_cache() -> None:
     """Evict cached label tables AND unpersist their checkpoint
     blocks (ADVICE r12: dropping the dict reference alone leaks the
-    executor storage until driver GC)."""
-    for df in _LANGID_CACHE.values():
-        try:
-            df.unpersist()
-        except Exception:  # noqa: BLE001 — session may already be gone
-            pass
-    _LANGID_CACHE.clear()
-    _LANGID_PROFILE_CACHE.clear()
+    executor storage until driver GC) — via the shared contract."""
+    from spark_app_twitter_spark.functions.caches import _evict
+
+    _evict(_LANGID_CACHE)
+    _evict(_LANGID_PROFILE_CACHE)
 
 
 def langid_profile_rows(
@@ -2339,7 +2339,9 @@ def bpe_train_merges_batched(
 # streaming gates) applies the SAME rules. Entries are K-tuples of
 # string pairs — tiny. Same immutable-path contract as the centroid
 # cache (clustering.clear_centroid_cache's caveat applies).
-_MERGES_CACHE: dict[tuple[str, str, int], list[tuple[str, str, int]]] = {}
+_MERGES_CACHE: dict[tuple[str, str, int], list[tuple[str, str, int]]] = (
+    register_cache({})
+)
 
 
 def clear_merges_cache() -> None:

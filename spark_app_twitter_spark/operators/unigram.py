@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_app_twitter_spark.functions.text import tokens
+from spark_app_twitter_spark.functions.caches import register_cache
 from spark_app_twitter_spark.sources.parquet import load_table
 
 UNIGRAM_MAX_PIECE = 4  # candidate substring length cap
@@ -184,7 +185,9 @@ def _estep_counts(
 
 # session artifact cache, the BPE merges-cache idiom (immutable-path
 # contract: a session that rewrites a corpus dir must clear this)
-_UNIGRAM_CACHE: dict[tuple[str, str], list[tuple[str, int, int]]] = {}
+_UNIGRAM_CACHE: dict[tuple[str, str], list[tuple[str, int, int]]] = (
+    register_cache({})
+)
 
 
 def clear_unigram_cache() -> None:
@@ -345,7 +348,9 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 # absorb the dropped pieces' mass.
 UNIGRAM_PRUNE_KEEP = 100
 
-_PRUNED_CACHE: dict[tuple[str, str], list[tuple[str, int, int]]] = {}
+_PRUNED_CACHE: dict[tuple[str, str], list[tuple[str, int, int]]] = (
+    register_cache({})
+)
 
 
 def clear_pruned_cache() -> None:

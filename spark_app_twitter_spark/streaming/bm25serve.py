@@ -67,8 +67,15 @@ def serve_bm25_stream(
                 spark, sf_dir, qterms, materialized=materialized
             ).write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
         finally:
+            # unpersist_frame, not DataFrame.unpersist: checkpoint
+            # blocks live under a LogicalRDD the cacheManager never
+            # sees (r14 finding — the bare unpersist was a no-op)
+            from spark_app_twitter_spark.functions.caches import (
+                unpersist_frame,
+            )
+
             for df in materialized:
-                df.unpersist()
+                unpersist_frame(df)
 
     return (
         queries.writeStream.foreachBatch(answer)

@@ -144,14 +144,23 @@ def admit_stream(
         routed = b.join(flags, "doc_id", "left").localCheckpoint(
             eager=True
         )
-        routed.where(F.col("n_hit_grams").isNotNull()).write.mode(
-            "overwrite"
-        ).parquet(f"{quarantine_path}/batch_id={batch_id}")
-        routed.where(F.col("n_hit_grams").isNull()).drop(
-            "n_candidates", "n_hit_grams"
-        ).write.mode("overwrite").parquet(
-            f"{clean_path}/batch_id={batch_id}"
-        )
+        try:
+            routed.where(F.col("n_hit_grams").isNotNull()).write.mode(
+                "overwrite"
+            ).parquet(f"{quarantine_path}/batch_id={batch_id}")
+            routed.where(F.col("n_hit_grams").isNull()).drop(
+                "n_candidates", "n_hit_grams"
+            ).write.mode("overwrite").parquet(
+                f"{clean_path}/batch_id={batch_id}"
+            )
+        finally:
+            # release the per-batch checkpoint blocks (r14: the bare
+            # DataFrame.unpersist is a no-op on checkpointed frames)
+            from spark_app_twitter_spark.functions.caches import (
+                unpersist_frame,
+            )
+
+            unpersist_frame(routed)
 
     w = (
         docs.writeStream.foreachBatch(admit)

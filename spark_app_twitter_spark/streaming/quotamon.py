@@ -131,7 +131,9 @@ def apply_quota_batch(
         return kept.where(~aged).unionByName(folded).unionByName(sdelta)
 
     transact(spark, _size_path(path), _SIZE_DDL, merge_sizes)
-    delta.unpersist()
+    from spark_app_twitter_spark.functions.caches import unpersist_frame
+
+    unpersist_frame(delta)  # checkpoint blocks need the LogicalRDD release
 
 
 def quota_sample_from_state(spark: SparkSession, path: str) -> DataFrame:

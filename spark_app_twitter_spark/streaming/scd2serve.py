@@ -101,10 +101,15 @@ def _write_late(late: DataFrame, path: str, batch_id: int) -> None:
     full rebuild; under-flagging is the bug. Flags are cleared only
     by the replay drain (scd2_replay_late_users)."""
     rows = late.localCheckpoint(eager=True)  # |touched|-bounded
-    if rows.limit(1).count():
-        rows.select("user_id", "min_ts").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(path, _LATE_DIR, f"batch_id={batch_id}"))
+    try:
+        if rows.limit(1).count():
+            rows.select("user_id", "min_ts").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(path, _LATE_DIR, f"batch_id={batch_id}"))
+    finally:
+        from spark_app_twitter_spark.functions.caches import unpersist_frame
+
+        unpersist_frame(rows)  # per-batch checkpoint blocks (r14)
 
 
 def _merged_history(
@@ -251,6 +256,7 @@ def scd2_replay_late_users(
             .distinct()
             .localCheckpoint(eager=True)  # three consumers
         )
+        state["uids"] = uids  # released after the transact (r14)
         state["n"] = uids.count()
         if state["n"] == 0 or stored is None:
             # signal "no change" instead of returning the stored
@@ -267,7 +273,15 @@ def scd2_replay_late_users(
         rest = stored.join(uids, "user_id", "left_anti")
         return rest.unionByName(scd2_from_observations(flagged))
 
-    transact(spark, path, _HIST_DDL, merge)
+    try:
+        transact(spark, path, _HIST_DDL, merge)
+    finally:
+        if state.get("uids") is not None:
+            from spark_app_twitter_spark.functions.caches import (
+                unpersist_frame,
+            )
+
+            unpersist_frame(state["uids"])
     if state["n"]:
         for f in state["files"]:
             shutil.rmtree(f, ignore_errors=True)

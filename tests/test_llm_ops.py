@@ -64,6 +64,40 @@ def test_lang_id(spark, sf_dir):
     )
 
 
+def test_session_cache_eviction_contract(spark, sf_dir):
+    """VERDICT r13 item 7: every session cache registers with the
+    shared eviction contract; the umbrella clear empties them all and
+    unpersists DataFrame values (the lang-ID label table holds eager
+    checkpoint blocks — the ADVICE-r12 leak class)."""
+    from spark_app_twitter_spark.functions import caches
+    from spark_app_twitter_spark.operators import (  # noqa: F401
+        clustering,
+        pq,
+        similarity,
+        unigram,
+    )
+    from spark_app_twitter_spark.operators.textstats import (
+        _LANGID_CACHE,
+        lang_id,
+    )
+
+    # textstats 3 + clustering 4 + unigram 2 + pq 1 + similarity 1
+    assert caches.registered_cache_count() >= 11
+    lang_id(spark, sf_dir)  # populates the checkpointed label table
+    clustering.kmeans_centroids(spark, sf_dir)
+    assert _LANGID_CACHE and clustering._CENTROID_CACHE
+
+    def n_persistent() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    before = n_persistent()
+    assert before >= 1  # the label table's localCheckpoint blocks
+    caches.clear_session_caches()
+    for c in caches._REGISTRY:
+        assert not c
+    assert n_persistent() < before
+
+
 def test_lang_id_degenerate_single_language(spark, tmp_path):
     """ADVICE r13: F.greatest requires >=2 columns and isin() >=1
     literal, so a single-language corpus (and a language with no
