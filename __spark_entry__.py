@@ -499,9 +499,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_lsh_multi": similarity.knn_lsh_multi,
         "multimodal_media_features": multimodal.media_features,
     }
-    ordered = {name: q.pop(name) for name in _R13_WINDOW}
+    ordered = {name: q.pop(name) for name in _R14_WINDOW}
     ordered.update(q)
     return ordered
+
+
+# The round-14 driver verification window (VERDICT r13 item 1 + the
+# standing rotation contract), in priority order:
+#   (a) never-attested: the two r14 streaming-monitor replay twins;
+#   (b) code changed in round 14, incl. transitive consumers:
+#       - lang_id grew degenerate-cardinality guards (ADVICE r13) —
+#         langid_metrics + tokenizer_fertility are label-table
+#         consumers;
+#       - knn_graph_multiprobe's assignment/candidate stages were
+#         factored into shared helpers for the r14 cost decomposition
+#         (plan-identical; refine rides the seed, knn_graph/delta
+#         re-attest as family, double-duty r09 rows);
+#   (c) the 30 r08-attested rows sweep.py --stale listed at round
+#       start (includes the six late-r13 earmarks: split_leakage,
+#       winnowing_pairs, degree_stats, label_propagation, source_kl,
+#       pmi_collocations);
+#   (d) fill to 50 with the head of the r09 cohort (dedup family +
+#       kcore/chunk_dedup/funnel_conversion/new_vs_returning).
+# The r14 Arrow-fold extension (fine assignment, probe scoring) sits
+# entirely above the gate-scale k switches — gen_plans diff verified
+# no attested plan changed (worklog/r14_notes.md).
+# After this window runs, no attestation is older than r09; the 25
+# r09 rows left over head the r15 window (sweep.py --stale).
+_R14_WINDOW = (
+    # (a) never attested
+    "stream_quota_state_sample",
+    "stream_quality_floor_state",
+    # (b) changed this round + consumers/family
+    "text_lang_id",
+    "text_langid_metrics",
+    "text_tokenizer_fertility",
+    "sim_knn_graph_multiprobe",
+    "sim_knn_graph_refine",
+    "sim_knn_graph",
+    "sim_knn_graph_delta",
+    # (c) the 30 r08-attested rows
+    "dedup_split_leakage_pairs",
+    "dedup_winnowing_pairs",
+    "graph_degree_stats",
+    "graph_label_propagation",
+    "graph_pagerank_near_dup",
+    "graph_triangle_count",
+    "pack_length_buckets",
+    "pack_shard_manifest",
+    "retrieval_phrase_search",
+    "serving_distinct_users",
+    "serving_event_transitions",
+    "serving_hourly_anomalies",
+    "serving_item_cooccurrence",
+    "serving_loyal_purchasers",
+    "serving_moving_avg_daily",
+    "serving_rollup_value",
+    "serving_stickiness",
+    "serving_value_histogram",
+    "serving_value_quartiles",
+    "sim_kmeans_quality",
+    "sim_knn_binary_hamming",
+    "sim_knn_ivf_pq",
+    "text_char_entropy",
+    "text_corpus_datacard",
+    "text_ngram_novelty",
+    "text_pii_stats",
+    "text_pmi_collocations",
+    "text_readability",
+    "text_source_kl",
+    "text_winnowing",
+    # (d) fill from the r09 cohort head
+    "dedup_clusters",
+    "dedup_containment_pairs",
+    "dedup_incremental",
+    "dedup_lsh_clusters",
+    "dedup_minhash_jaccard_est",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_quality_lift",
+    "dedup_span_stats",
+    "dedup_threshold_yield",
+    "graph_kcore",
+    "multimodal_chunk_dedup",
+)
 
 
 # The round-13 driver verification window (VERDICT r12 item 1 + the
