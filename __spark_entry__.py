@@ -122,6 +122,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the folds are bit-exact by construction ---
         "stream_quota_state_sample": quotamon.quota_sample_replayed,
         "stream_quality_floor_state": qualitymon.quality_floor_replayed,
+        # Gopher n-gram repetition battery (top-n-gram / duplicated
+        # n-gram char-mass ceilings) — the phrase-level complement of
+        # text_quality_rules; lands unattested, heads the r15 window
+        "text_repetition_rules": textstats.repetition_rules,
         # --- R8-0. added or rerouted in round 8 (VERDICT r07 items
         # 3-4): the O(n) cluster-routed near-dup family — capped pair
         # emission (star-from-representative above CLIQUE_CAP-member
@@ -1100,6 +1104,7 @@ def oracle_sql() -> dict[str, str]:
         # batch twins bit-for-bit, so they share the twins' oracles
         "stream_quota_state_sample": clustering.CLUSTER_BALANCED_SAMPLE_SQL,
         "stream_quality_floor_state": textstats.QUALITY_FLOOR_BY_SOURCE_SQL,
+        "text_repetition_rules": textstats.REPETITION_RULES_SQL,
         "dedup_lsh_clusters": dedup.LSH_CLUSTERS_SQL,
         "dedup_minhash_lsh_pairs_capped": dedup.MINHASH_LSH_PAIRS_CAPPED_SQL,
         "dedup_split_leakage_pairs": dedup.SPLIT_LEAKAGE_PAIRS_SQL,

@@ -1362,6 +1362,199 @@ def quality_rules_frame(docs: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Gopher n-gram repetition rules (Rae et al. 2021, arXiv:2112.11446
+# §A1.1, "repetition" battery) — the n-gram complement of
+# quality_rules' word-level battery: documents dominated by a single
+# repeated phrase (top-n-gram char mass) or by many repeated phrases
+# (duplicated-n-gram char mass) are boilerplate/spam signals no
+# per-word rule catches. Definitions (documented variant — Gopher
+# does not specify overlap handling): mass of an n-gram = occurrence
+# count x length of the space-joined gram; fraction = mass /
+# length(text). Overlapping occurrences all count, so a fraction may
+# exceed 1.0 on degenerate docs — the rules are one-sided ceilings,
+# so that only strengthens the rejection.
+
+REP_TOP_NS = (2, 3)  # top-n-gram rules (threshold per n)
+REP_DUP_NS = (5,)  # duplicated-n-gram rules
+REP_MAX_TOP = {2: 0.20, 3: 0.18}  # Gopher's published ceilings
+REP_MAX_DUP = {5: 0.15}
+
+
+def repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, top2_frac, top3_frac, dup5_frac, ok_top2, ok_top3,
+    ok_dup5, passes): per-document n-gram repetition scores + named
+    rule verdicts.
+
+    Scale shape: ONE tagged union of position-exploded shingles
+    (codegen — the exploded_shingles discipline) feeds a single
+    (doc_id, n, gram) count with map-side combine, then a
+    (doc_id, n)-grain reduce computes the top gram (max over a
+    (cnt, gram) struct — ties to the lexicographically largest gram,
+    identical struct ordering in DuckDB) and the duplicated mass in
+    the SAME aggregate (no second pass over the gram relation), a
+    |docs|x|ns|-row conditional pivot, and one doc-keyed join back to
+    the slim (doc_id, length) projection. Every exchange is keyed and
+    slim; nothing is quadratic in document length.
+
+    Docs too short for an n (no shingles) score 0.0 for that rule and
+    pass it — explode-nothing + left join + coalesce.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    base = docs.select(
+        "doc_id",
+        F.length("text").alias("_len"),
+        tokens("text").alias("w"),
+    )
+    grams = None
+    for n in (*REP_TOP_NS, *REP_DUP_NS):
+        g = exploded_shingles(base, ["doc_id"], F.col("w"), n, "gram").select(
+            "doc_id", F.lit(n).alias("n"), "gram"
+        )
+        grams = g if grams is None else grams.unionByName(g)
+    counts = grams.groupBy("doc_id", "n", "gram").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    per = counts.groupBy("doc_id", "n").agg(
+        F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("_top"),
+        F.sum(
+            F.when(
+                F.col("cnt") >= 2, F.col("cnt") * F.length("gram")
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("dup_mass"),
+    ).select(
+        "doc_id",
+        "n",
+        (F.col("_top.cnt") * F.length(F.col("_top.gram")))
+        .cast("long")
+        .alias("top_mass"),
+        "dup_mass",
+    )
+    stats = per.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("top_mass")))
+            .alias(f"_top{n}")
+            for n in REP_TOP_NS
+        ],
+        *[
+            F.max(F.when(F.col("n") == n, F.col("dup_mass")))
+            .alias(f"_dup{n}")
+            for n in REP_DUP_NS
+        ],
+    )
+    out = base.select("doc_id", "_len").join(stats, "doc_id", "left")
+    fracs = {
+        **{
+            f"top{n}_frac": F.round(
+                F.coalesce(F.col(f"_top{n}"), F.lit(0)).cast("double")
+                / F.col("_len").cast("double"),
+                6,
+            )
+            for n in REP_TOP_NS
+        },
+        **{
+            f"dup{n}_frac": F.round(
+                F.coalesce(F.col(f"_dup{n}"), F.lit(0)).cast("double")
+                / F.col("_len").cast("double"),
+                6,
+            )
+            for n in REP_DUP_NS
+        },
+    }
+    out = out.select(
+        "doc_id", *[c.alias(name) for name, c in fracs.items()]
+    )
+    oks = [
+        (F.col(f"top{n}_frac") <= F.lit(REP_MAX_TOP[n])).alias(f"ok_top{n}")
+        for n in REP_TOP_NS
+    ] + [
+        (F.col(f"dup{n}_frac") <= F.lit(REP_MAX_DUP[n])).alias(f"ok_dup{n}")
+        for n in REP_DUP_NS
+    ]
+    all_ok = None
+    for n in REP_TOP_NS:
+        c = F.col(f"top{n}_frac") <= F.lit(REP_MAX_TOP[n])
+        all_ok = c if all_ok is None else (all_ok & c)
+    for n in REP_DUP_NS:
+        all_ok = all_ok & (F.col(f"dup{n}_frac") <= F.lit(REP_MAX_DUP[n]))
+    return out.select("*", *oks, all_ok.alias("passes"))
+
+
+def _repetition_rules_sql() -> str:
+    g_parts = "\n  UNION ALL\n  ".join(
+        f"(SELECT doc_id, {n} AS n, unnest("
+        f"{shingles_sql('w', n)}) AS gram FROM t)"
+        for n in (*REP_TOP_NS, *REP_DUP_NS)
+    )
+    top_cols = ", ".join(
+        f"max(CASE WHEN n = {n} THEN top_mass END) AS _top{n}"
+        for n in REP_TOP_NS
+    )
+    dup_cols = ", ".join(
+        f"max(CASE WHEN n = {n} THEN dup_mass END) AS _dup{n}"
+        for n in REP_DUP_NS
+    )
+    frac_cols = ", ".join(
+        [
+            f"round(coalesce(_top{n}, 0) / CAST(_len AS DOUBLE), 6)"
+            f" AS top{n}_frac"
+            for n in REP_TOP_NS
+        ]
+        + [
+            f"round(coalesce(_dup{n}, 0) / CAST(_len AS DOUBLE), 6)"
+            f" AS dup{n}_frac"
+            for n in REP_DUP_NS
+        ]
+    )
+    ok_cols = ", ".join(
+        [
+            f"(top{n}_frac <= {REP_MAX_TOP[n]}) AS ok_top{n}"
+            for n in REP_TOP_NS
+        ]
+        + [
+            f"(dup{n}_frac <= {REP_MAX_DUP[n]}) AS ok_dup{n}"
+            for n in REP_DUP_NS
+        ]
+    )
+    passes = " AND ".join(
+        [f"top{n}_frac <= {REP_MAX_TOP[n]}" for n in REP_TOP_NS]
+        + [f"dup{n}_frac <= {REP_MAX_DUP[n]}" for n in REP_DUP_NS]
+    )
+    frac_names = ", ".join(
+        [f"top{n}_frac" for n in REP_TOP_NS]
+        + [f"dup{n}_frac" for n in REP_DUP_NS]
+    )
+    return f"""
+WITH t AS (SELECT doc_id, length(text) AS _len,
+                  string_split(text, ' ') AS w FROM documents),
+g AS (
+  {g_parts}
+),
+c AS (SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS cnt
+      FROM g GROUP BY doc_id, n, gram),
+p AS (SELECT doc_id, n,
+        max(struct_pack(cnt := cnt, gram := gram)) AS _top,
+        CAST(sum(CASE WHEN cnt >= 2 THEN cnt * length(gram)
+                 ELSE 0 END) AS BIGINT) AS dup_mass
+      FROM c GROUP BY doc_id, n),
+p2 AS (SELECT doc_id, n,
+         CAST(_top.cnt * length(_top.gram) AS BIGINT) AS top_mass,
+         dup_mass
+       FROM p),
+s AS (SELECT doc_id, {top_cols}, {dup_cols} FROM p2 GROUP BY doc_id),
+f AS (SELECT t.doc_id, {frac_cols}
+      FROM t LEFT JOIN s ON t.doc_id = s.doc_id)
+SELECT doc_id, {frac_names}, {ok_cols},
+       ({passes}) AS passes
+FROM f
+"""
+
+
+REPETITION_RULES_SQL = _repetition_rules_sql()
+
+
 def quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc named quality rules + the composite verdict.
 

@@ -119,6 +119,42 @@ def test_lang_id_degenerate_single_language(spark, tmp_path):
     assert all(r.correct for r in out)
 
 
+def test_repetition_rules_parity(spark, sf_dir):
+    assert_parity(
+        textstats.repetition_rules(spark, sf_dir),
+        textstats.REPETITION_RULES_SQL,
+        sf_dir,
+        "repetition",
+    )
+
+
+def test_repetition_rules_planted(spark, tmp_path):
+    """A phrase-spam doc fails the top-2-gram ceiling; a short doc
+    (no 5-grams) scores 0.0 on dup5 and passes it; a normal varied
+    doc passes everything."""
+    spam = " ".join(["buy now"] * 30)  # one bigram dominates
+    # long enough that a single-occurrence top n-gram is a small
+    # fraction (the Gopher rules assume web-document lengths)
+    varied = " ".join(f"w{i}" for i in range(80))
+    docs = spark.createDataFrame(
+        [
+            (1, spam, "en", "web", len(spam)),
+            (2, varied, "en", "web", len(varied)),
+            (3, "tiny doc", "en", "web", 8),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rows = {
+        r.doc_id: r
+        for r in textstats.repetition_rules(spark, str(tmp_path)).collect()
+    }
+    assert len(rows) == 3
+    assert not rows[1].ok_top2 and not rows[1].passes
+    assert rows[2].passes
+    assert rows[3].dup5_frac == 0.0 and rows[3].ok_dup5
+
+
 def test_doc_fingerprint(spark, sf_dir):
     assert_parity(
         textstats.doc_fingerprint(spark, sf_dir),

@@ -384,6 +384,16 @@ STRESS_QUERIES = [
     # round 9: seed graph (checkpointed once) + the bounded
     # NN-descent candidate stage + two vec_id rollups
     "sim_knn_graph_convergence",
+    # r14: the streaming monitors' replay twins — per-batch cost is
+    # one assignment pass + two bounded state transacts (quota) /
+    # one histogram fold (quality); state stays k x CAP and
+    # |sources| x (GRID+1) rows at any corpus size
+    "stream_quota_state_sample",
+    "stream_quality_floor_state",
+    # r14: Gopher repetition battery — one tagged shingle union into
+    # a (doc, n, gram)-keyed count (map-side combine), (doc, n)
+    # reduce, doc pivot + slim doc join; all exchanges keyed
+    "text_repetition_rules",
 ]
 
 
