@@ -126,6 +126,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # n-gram char-mass ceilings) — the phrase-level complement of
         # text_quality_rules; lands unattested, heads the r15 window
         "text_repetition_rules": textstats.repetition_rules,
+        # cluster naming: highest-lift terms per k-means cell (the
+        # reporting face of the topic quota); unattested, heads r15
+        "sim_cluster_topic_terms": clustering.cluster_topic_terms,
         # --- R8-0. added or rerouted in round 8 (VERDICT r07 items
         # 3-4): the O(n) cluster-routed near-dup family — capped pair
         # emission (star-from-representative above CLIQUE_CAP-member
@@ -1105,6 +1108,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_quota_state_sample": clustering.CLUSTER_BALANCED_SAMPLE_SQL,
         "stream_quality_floor_state": textstats.QUALITY_FLOOR_BY_SOURCE_SQL,
         "text_repetition_rules": textstats.REPETITION_RULES_SQL,
+        "sim_cluster_topic_terms": clustering.CLUSTER_TOPIC_TERMS_SQL,
         "dedup_lsh_clusters": dedup.LSH_CLUSTERS_SQL,
         "dedup_minhash_lsh_pairs_capped": dedup.MINHASH_LSH_PAIRS_CAPPED_SQL,
         "dedup_split_leakage_pairs": dedup.SPLIT_LEAKAGE_PAIRS_SQL,

@@ -611,6 +611,118 @@ CLUSTER_BALANCED_SAMPLE_SQL = cluster_balanced_sample_sql()
 
 
 # ---------------------------------------------------------------------------
+# Cluster naming: distinctive terms per semantic cell. The reporting
+# face of the topic-quota story — a mixture dashboard showing "cell
+# 17 capped at CAP" needs to say what cell 17 IS, and the standard
+# answer is its highest-lift terms (relative frequency in the cell vs
+# the corpus — the PMI-style label choice topic models use).
+
+TOPIC_TERMS_K = 5
+_LIFT_SCALE = 1_000_000
+
+
+def cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cell, term, rk, lift): the ``TOPIC_TERMS_K`` highest-lift
+    terms per k-means cell, lift = (c_ct/c_c) / (c_t/T) computed as
+    the exact integer (c_ct*T*SCALE) div (c_c*c_t) so both engines
+    agree bit-for-bit (one IEEE division at the end renders the
+    double; ties break to the ascending term). BIGINT bounds: c_ct*T
+    fits while corpus tokens < ~3e9; past that the expression
+    upgrades to DECIMAL(38) verbatim.
+
+    Scale shape: cells join documents on the doc key (both
+    corpus-sized but SLIM — id+tokens only), one (cell, term) count
+    with map-side combine, then |cells|- and |vocab|-bounded
+    broadcast joins and a per-cell window over vocab-bounded rows.
+    Nothing is corpus² and the only corpus-sized exchange carries
+    (cell, term) partial counts.
+    """
+    from spark_app_twitter_spark.functions.text import tokens
+
+    cells = kmeans_cells(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        F.col("doc_id").alias("vec_id"), tokens("text").alias("w")
+    )
+    ct = (
+        docs.join(cells, "vec_id")
+        .select("cell", F.explode("w").alias("term"))
+        .groupBy("cell", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ct"))
+    )
+    cc = ct.groupBy("cell").agg(F.sum("c_ct").cast("long").alias("c_c"))
+    tt = ct.groupBy("term").agg(F.sum("c_ct").cast("long").alias("c_t"))
+    tot = ct.agg(F.sum("c_ct").cast("long").alias("t_all"))
+    scored = (
+        ct.join(F.broadcast(cc), "cell")
+        .join(F.broadcast(tt), "term")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "lift_micro",
+            F.expr(
+                f"(c_ct * t_all * {_LIFT_SCALE}L) div (c_c * c_t)"
+            ).cast("long"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cell").orderBy(
+        F.desc("lift_micro"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOPIC_TERMS_K)
+        .select(
+            "cell",
+            "term",
+            F.col("rk").cast("long").alias("rk"),
+            F.round(
+                F.col("lift_micro").cast("double") / F.lit(float(_LIFT_SCALE)),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+def cluster_topic_terms_sql() -> str:
+    parts = kmeans_centroid_ctes()
+    assigned = kmeans_assigned_cte("vec_id, cell")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+cells AS ({assigned}),
+ct AS (
+  SELECT c.cell, t.term, CAST(count(*) AS BIGINT) AS c_ct
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents) t
+  JOIN cells c ON c.vec_id = t.doc_id
+  GROUP BY c.cell, t.term
+),
+cc AS (SELECT cell, CAST(sum(c_ct) AS BIGINT) AS c_c FROM ct GROUP BY cell),
+tt AS (SELECT term, CAST(sum(c_ct) AS BIGINT) AS c_t FROM ct GROUP BY term),
+tot AS (SELECT CAST(sum(c_ct) AS BIGINT) AS t_all FROM ct),
+scored AS (
+  SELECT ct.cell, ct.term,
+         CAST((ct.c_ct * tot.t_all * {_LIFT_SCALE}) // (cc.c_c * tt.c_t)
+              AS BIGINT) AS lift_micro
+  FROM ct JOIN cc USING (cell) JOIN tt USING (term) CROSS JOIN tot
+)
+SELECT cell, term, CAST(rk AS BIGINT) AS rk,
+       round(CAST(lift_micro AS DOUBLE) / {_LIFT_SCALE}.0, 6) AS lift
+FROM (
+  SELECT cell, term, lift_micro,
+         row_number() OVER (PARTITION BY cell
+                            ORDER BY lift_micro DESC, term ASC) AS rk
+  FROM scored
+) WHERE rk <= {TOPIC_TERMS_K}
+"""
+    )
+
+
+CLUSTER_TOPIC_TERMS_SQL = cluster_topic_terms_sql()
+
+
+# ---------------------------------------------------------------------------
 # Hierarchical (two-level) cells — the production path past the flat
 # trainer's n*k assignment wall.
 # ---------------------------------------------------------------------------

@@ -155,6 +155,27 @@ def test_repetition_rules_planted(spark, tmp_path):
     assert rows[3].dup5_frac == 0.0 and rows[3].ok_dup5
 
 
+def test_cluster_topic_terms(spark, sf_dir):
+    from spark_app_twitter_spark.operators import clustering
+
+    assert_parity(
+        clustering.cluster_topic_terms(spark, sf_dir),
+        clustering.CLUSTER_TOPIC_TERMS_SQL,
+        sf_dir,
+        "topic_terms",
+    )
+    rows = clustering.cluster_topic_terms(spark, sf_dir).collect()
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    for cell, rs in by_cell.items():
+        assert len(rs) <= clustering.TOPIC_TERMS_K
+        ranks = sorted(r.rk for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        lifts = [r.lift for r in sorted(rs, key=lambda r: r.rk)]
+        assert lifts == sorted(lifts, reverse=True)
+
+
 def test_doc_fingerprint(spark, sf_dir):
     assert_parity(
         textstats.doc_fingerprint(spark, sf_dir),

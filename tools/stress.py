@@ -394,6 +394,9 @@ STRESS_QUERIES = [
     # a (doc, n, gram)-keyed count (map-side combine), (doc, n)
     # reduce, doc pivot + slim doc join; all exchanges keyed
     "text_repetition_rules",
+    # r14: cluster naming — one (cell, term)-keyed corpus count, then
+    # |cells|/|vocab|-bounded broadcasts + per-cell vocab window
+    "sim_cluster_topic_terms",
 ]
 
 
