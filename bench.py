@@ -153,6 +153,12 @@ HEADLINE = [
     # cold-share discipline like the other trained-artifact queries)
     "sim_cluster_balanced_sample",
     "text_tokenizer_fertility",
+    # r14 additions: streaming replay twins, Gopher repetition
+    # battery, cluster naming
+    "stream_quota_state_sample",
+    "stream_quality_floor_state",
+    "text_repetition_rules",
+    "sim_cluster_topic_terms",
 ]
 
 

@@ -648,6 +648,12 @@ def cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cell", F.explode("w").alias("term"))
         .groupBy("cell", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("c_ct"))
+        # four consumers (cc/tt/tot/scored) — materialize the count
+        # table once instead of re-running the corpus explode per
+        # branch (the text_source_kl discipline; a deployment
+        # publishes this table). Size is Σ per-cell distinct terms,
+        # <= corpus tokens and typically vocab-bounded per cell.
+        .localCheckpoint(eager=True)
     )
     cc = ct.groupBy("cell").agg(F.sum("c_ct").cast("long").alias("c_c"))
     tt = ct.groupBy("term").agg(F.sum("c_ct").cast("long").alias("c_t"))
