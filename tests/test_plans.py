@@ -768,3 +768,38 @@ def test_retrieval_shared_relations_checkpointed_once(spark, sf_dir):
         n_sc = plan.count("Scan parquet") + plan.count("FileScan")
         assert n_sh <= max_shuffles, (fn.__name__, n_sh)
         assert n_sc <= max_scans, (fn.__name__, n_sc)
+
+
+# --------------------------------------------------------------- round 14
+
+
+def test_r14_new_ops_plan_width(spark, sf_dir, tmp_path):
+    """The r14 additions keep their checkpointed multi-consumer
+    relations: topic terms materialize the (cell, term) count once
+    (was 11 shuffles / 16 scans when cc/tt/tot/scored each re-ran the
+    corpus explode), the repetition battery stays a single tagged
+    union (no per-n re-aggregation), and the quality-floor serving
+    read checkpoints the merged histogram (was 12 shuffles / 12 state
+    scans)."""
+    from spark_app_twitter_spark.operators import clustering, textstats
+    from spark_app_twitter_spark.streaming.qualitymon import (
+        apply_quality_batch,
+        quality_floor_from_state,
+    )
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    df = clustering.cluster_topic_terms(spark, sf_dir)
+    assert E.num_shuffles(df) <= 5
+    plan = E.executed_plan(df)
+    assert plan.count("Scan parquet") + plan.count("FileScan") == 0
+
+    df = textstats.repetition_rules(spark, sf_dir)
+    assert E.num_shuffles(df) <= 8
+    assert "CartesianProduct" not in E.executed_plan(df)
+
+    path = f"{tmp_path}/qstate"
+    apply_quality_batch(load_table(spark, sf_dir, "documents"), 0, path)
+    df = quality_floor_from_state(spark, path)
+    assert E.num_shuffles(df) <= 7
+    plan = E.executed_plan(df)
+    assert plan.count("Scan parquet") + plan.count("FileScan") == 0
