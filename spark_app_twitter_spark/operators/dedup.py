@@ -1333,6 +1333,135 @@ LEFT JOIN n_dup USING (doc_id)
 """
 
 
+def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, span_start, span_end, span_len, n_dup_windows):
+    MAXIMAL duplicated token spans per document — the spans
+    exact-substring dedup (Lee et al. 2022, arXiv:2107.06499,
+    "Deduplicating Training Data Makes Language Models Better")
+    actually cuts, where dup_span_stats only reports the fraction.
+
+    A duplicated span is a maximal run of DUP_SPAN_W-token windows
+    whose hash occurs in >= 2 window slots corpus-wide; two
+    duplicated windows at positions p1 < p2 merge into one span when
+    p2 - p1 <= DUP_SPAN_W (their token ranges touch or overlap) —
+    the classic gaps-and-islands merge. span_start/span_end are
+    1-based token positions, span_end = last window start + W - 1.
+
+    Scale shape: the dup_span_stats skeleton (one position-exploded
+    window-hash relation, a groupBy(wh) count with map-side combine,
+    membership join for the duplicated minority) plus ONE per-doc
+    window pass (lag + running flag-sum over each doc's duplicated
+    positions — bounded by the doc's window count). No pairwise
+    joins, no suffix array; cost stays O(total tokens).
+
+    Reference scope note: no reference analogue; SURVEY.md §2.9
+    training-data-pipeline mandate (dedup family).
+    """
+    from pyspark.sql import Window
+
+    docs = _docs_spread(spark, sf_dir)
+    w_tok = docs.select(
+        "doc_id",
+        tokens("text").alias("_w"),
+    ).where(F.size("_w") >= DUP_SPAN_W)
+    wins = w_tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(1, size(_w) - {DUP_SPAN_W - 1})")
+        ).alias("pos"),
+        "_w",
+    ).select(
+        "doc_id",
+        "pos",
+        F.md5(
+            F.concat_ws(" ", F.expr(f"slice(_w, pos, {DUP_SPAN_W})"))
+        ).alias("wh"),
+    )
+    dup_hashes = (
+        wins.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("wh")
+    )
+    dup_pos = wins.join(dup_hashes, "wh").select("doc_id", "pos")
+    ord_w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        dup_pos.withColumn("_prev", F.lag("pos").over(ord_w))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull()
+                | (F.col("pos") - F.col("_prev") > DUP_SPAN_W),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("_new").over(
+                ord_w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(DUP_SPAN_W - 1))
+            .cast("long")
+            .alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("span_len"),
+            "n_dup_windows",
+        )
+    )
+
+
+DUP_SPANS_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+wins AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(w[pos:pos + {DUP_SPAN_W - 1}], ' ')) AS wh
+  FROM t, unnest(range(1, len(w) - {DUP_SPAN_W - 1} + 1)) AS u(pos)
+  WHERE len(w) >= {DUP_SPAN_W}
+),
+dup_hashes AS (
+  SELECT wh FROM wins GROUP BY wh HAVING count(*) >= 2
+),
+dup_pos AS (
+  SELECT doc_id, pos FROM wins JOIN dup_hashes USING (wh)
+),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   IS NULL
+              OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   > {DUP_SPAN_W}
+              THEN 1 ELSE 0 END AS _new
+  FROM dup_pos
+),
+islands AS (
+  SELECT doc_id, pos,
+         sum(_new) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {DUP_SPAN_W - 1} AS BIGINT) AS span_end,
+       CAST(max(pos) + {DUP_SPAN_W - 1} - min(pos) + 1 AS BIGINT)
+         AS span_len,
+       CAST(count(*) AS BIGINT) AS n_dup_windows
+FROM islands GROUP BY doc_id, island
+"""
+
+
 # Paragraph-granular dedup: documents are cut into fixed SEG_WORDS-word
 # segments (this corpus has no newline structure, so fixed windows
 # stand in for '\n\n' paragraphs) and duplicate segments are dropped

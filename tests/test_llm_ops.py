@@ -155,6 +155,48 @@ def test_repetition_rules_planted(spark, tmp_path):
     assert rows[3].dup5_frac == 0.0 and rows[3].ok_dup5
 
 
+def test_dup_spans_parity(spark, sf_dir):
+    assert_parity(
+        dedup.dup_spans(spark, sf_dir), dedup.DUP_SPANS_SQL, sf_dir, "spans"
+    )
+
+
+def test_dup_spans_planted_islands(spark, tmp_path):
+    """Two docs sharing one long run -> ONE maximal span each covering
+    the run; a doc repeating the run in two separated places -> TWO
+    islands; unique text emits nothing."""
+    W = dedup.DUP_SPAN_W
+    shared = " ".join(f"s{i}" for i in range(3 * W))  # 24-token run
+    uniq_a = " ".join(f"a{i}" for i in range(W))
+    uniq_b = " ".join(f"b{i}" for i in range(W))
+    uniq_c = " ".join(f"c{i}" for i in range(2 * W))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{uniq_a} {shared}", "en", "w", 0),
+            (2, f"{shared} {uniq_b}", "en", "w", 0),
+            (3, f"{shared} {uniq_c} {shared}", "en", "w", 0),
+            (4, " ".join(f"z{i}" for i in range(4 * W)), "en", "w", 0),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rows = dedup.dup_spans(spark, str(tmp_path)).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 4 not in by_doc  # unique doc: no duplicated windows
+    assert len(by_doc[1]) == 1 and len(by_doc[2]) == 1
+    # doc 1: the shared run occupies tokens W+1 .. W+3W
+    s1 = by_doc[1][0]
+    assert s1.span_start == W + 1 and s1.span_end == 4 * W
+    assert s1.span_len == 3 * W
+    # doc 3: the run appears twice, separated by 2W unique tokens
+    assert len(by_doc[3]) == 2
+    spans3 = sorted((r.span_start, r.span_end) for r in by_doc[3])
+    assert spans3[0] == (1, 3 * W)
+    assert spans3[1][1] - spans3[1][0] + 1 == 3 * W
+
+
 def test_cluster_topic_terms(spark, sf_dir):
     from spark_app_twitter_spark.operators import clustering
 

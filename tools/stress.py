@@ -397,6 +397,11 @@ STRESS_QUERIES = [
     # r14: cluster naming — one (cell, term)-keyed corpus count, then
     # |cells|/|vocab|-bounded broadcasts + per-cell vocab window
     "sim_cluster_topic_terms",
+    # r14: maximal duplicated spans — the dup_span_stats skeleton +
+    # one per-doc window over the duplicated minority; the
+    # replication fixture makes every replicated doc one giant span,
+    # so output stays O(docs)
+    "dedup_dup_spans",
 ]
 
 
