@@ -159,6 +159,7 @@ HEADLINE = [
     "stream_quality_floor_state",
     "text_repetition_rules",
     "sim_cluster_topic_terms",
+    "dedup_dup_spans",
 ]
 
 
