@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # maximal duplicated token spans (the exact-substring-dedup
         # cut list); unattested, heads r15
         "dedup_dup_spans": dedup.dup_spans,
+        "dedup_span_rewrite": dedup.span_dedup_rewrite,
         # --- R8-0. added or rerouted in round 8 (VERDICT r07 items
         # 3-4): the O(n) cluster-routed near-dup family — capped pair
         # emission (star-from-representative above CLIQUE_CAP-member
@@ -1113,6 +1114,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition_rules": textstats.REPETITION_RULES_SQL,
         "sim_cluster_topic_terms": clustering.CLUSTER_TOPIC_TERMS_SQL,
         "dedup_dup_spans": dedup.DUP_SPANS_SQL,
+        "dedup_span_rewrite": dedup.SPAN_DEDUP_REWRITE_SQL,
         "dedup_lsh_clusters": dedup.LSH_CLUSTERS_SQL,
         "dedup_minhash_lsh_pairs_capped": dedup.MINHASH_LSH_PAIRS_CAPPED_SQL,
         "dedup_split_leakage_pairs": dedup.SPLIT_LEAKAGE_PAIRS_SQL,

@@ -160,6 +160,7 @@ HEADLINE = [
     "text_repetition_rules",
     "sim_cluster_topic_terms",
     "dedup_dup_spans",
+    "dedup_span_rewrite",
 ]
 
 

@@ -1462,6 +1462,73 @@ FROM islands GROUP BY doc_id, island
 """
 
 
+def span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_kept, new_text): the MATERIALIZING half of
+    :func:`dup_spans` — each document rewritten with every token
+    inside a maximal duplicated span removed (Lee et al. 2022 cut
+    every occurrence of a duplicated substring; the span relation is
+    exactly their cut list at DUP_SPAN_W-token resolution). Documents
+    whose every token sits in a duplicated span drop out entirely;
+    documents with no duplicated span pass through verbatim.
+
+    Scale shape: the dup_spans pipeline (window-hash count +
+    membership join + per-doc islands) plus ONE doc-keyed range
+    anti-join of the token positions against the doc's own spans
+    (spans per doc are few; the join is equi on doc_id with a bounded
+    range residual) and one doc-keyed reassembly via
+    sort_array(collect_list) — per-doc buffers bounded by document
+    length.
+    """
+    spans = dup_spans(spark, sf_dir)
+    docs = _docs_spread(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(tokens("text")).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    survivors = toks.join(
+        spans,
+        (toks.doc_id == spans.doc_id)
+        & (toks.pos >= spans.span_start)
+        & (toks.pos <= spans.span_end),
+        "left_anti",
+    )
+    return survivors.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("new_text"),
+    )
+
+
+SPAN_DEDUP_REWRITE_SQL = f"""
+WITH spans AS ({DUP_SPANS_SQL}),
+toks AS (
+  SELECT doc_id, u.pos AS pos, u.tok AS tok
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, len(string_split(text, ' ')) + 1),
+             i -> {{'pos': i, 'tok': string_split(text, ' ')[i]}})) AS u
+    FROM documents
+  )
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       string_agg(t.tok, ' ' ORDER BY t.pos ASC) AS new_text
+FROM toks t
+WHERE NOT EXISTS (
+  SELECT 1 FROM spans s
+  WHERE s.doc_id = t.doc_id
+    AND t.pos BETWEEN s.span_start AND s.span_end
+)
+GROUP BY t.doc_id
+"""
+
+
 # Paragraph-granular dedup: documents are cut into fixed SEG_WORDS-word
 # segments (this corpus has no newline structure, so fixed windows
 # stand in for '\n\n' paragraphs) and duplicate segments are dropped

@@ -197,6 +197,35 @@ def test_dup_spans_planted_islands(spark, tmp_path):
     assert spans3[1][1] - spans3[1][0] + 1 == 3 * W
 
 
+def test_span_rewrite_parity_and_cut(spark, sf_dir, tmp_path):
+    assert_parity(
+        dedup.span_dedup_rewrite(spark, sf_dir),
+        dedup.SPAN_DEDUP_REWRITE_SQL,
+        sf_dir,
+        "span_rw",
+    )
+    # planted: the shared run is cut from EVERY occurrence; the
+    # unique remainder survives verbatim; a doc that is all-duplicate
+    # drops out
+    W = dedup.DUP_SPAN_W
+    shared = " ".join(f"s{i}" for i in range(2 * W))
+    uniq = " ".join(f"u{i}" for i in range(W))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} {uniq}", "en", "w", 0),
+            (2, shared, "en", "w", 0),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rows = {
+        r.doc_id: r
+        for r in dedup.span_dedup_rewrite(spark, str(tmp_path)).collect()
+    }
+    assert 2 not in rows  # fully duplicated: drops out
+    assert rows[1].new_text == uniq and rows[1].n_kept == W
+
+
 def test_cluster_topic_terms(spark, sf_dir):
     from spark_app_twitter_spark.operators import clustering
 

@@ -402,6 +402,10 @@ STRESS_QUERIES = [
     # replication fixture makes every replicated doc one giant span,
     # so output stays O(docs)
     "dedup_dup_spans",
+    # r14: the span CUT — dup_spans + one doc-keyed range anti-join +
+    # doc reassembly (noop-measure: the unique-keyed output is
+    # count-prunable through the final agg only, so count is honest)
+    "dedup_span_rewrite",
 ]
 
 
