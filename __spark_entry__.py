@@ -133,6 +133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cut list); unattested, heads r15
         "dedup_dup_spans": dedup.dup_spans,
         "dedup_span_rewrite": dedup.span_dedup_rewrite,
+        # capstone v5: v4 + the repetition gate composed in
+        "pipeline_funnel_v5": jobs.pipeline_funnel_v5,
         # --- R8-0. added or rerouted in round 8 (VERDICT r07 items
         # 3-4): the O(n) cluster-routed near-dup family — capped pair
         # emission (star-from-representative above CLIQUE_CAP-member
@@ -1115,6 +1117,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_cluster_topic_terms": clustering.CLUSTER_TOPIC_TERMS_SQL,
         "dedup_dup_spans": dedup.DUP_SPANS_SQL,
         "dedup_span_rewrite": dedup.SPAN_DEDUP_REWRITE_SQL,
+        "pipeline_funnel_v5": jobs.PIPELINE_FUNNEL_V5_SQL,
         "dedup_lsh_clusters": dedup.LSH_CLUSTERS_SQL,
         "dedup_minhash_lsh_pairs_capped": dedup.MINHASH_LSH_PAIRS_CAPPED_SQL,
         "dedup_split_leakage_pairs": dedup.SPLIT_LEAKAGE_PAIRS_SQL,

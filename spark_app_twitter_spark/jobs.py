@@ -757,3 +757,139 @@ UNION ALL SELECT 'surviving_distinct_docs',
 
 
 PIPELINE_FUNNEL_V4_SQL = _pipeline_funnel_v4_sql()
+
+
+def _v5_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """v4's stage relations PLUS rgate — docs passing the r14 Gopher
+    n-gram repetition battery (operators/textstats.repetition_rules):
+    phrase-spam (one dominant n-gram) and boilerplate (heavy
+    duplicated-5-gram mass) are cut BEFORE epoch planning, the gate
+    no word-level rule in the v3 stack could express."""
+    from spark_app_twitter_spark.operators.textstats import (
+        repetition_rules,
+    )
+
+    f = _v4_stage_frames(spark, sf_dir)
+    f["rgate"] = (
+        repetition_rules(spark, sf_dir)
+        .where("passes")
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    return f
+
+
+def _v5_survivors(frames: dict) -> DataFrame:
+    return _v4_survivors(frames).join(frames["rgate"], "doc_id", "left_semi")
+
+
+def prepare_training_corpus_v5(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    n_shards: int = 8,
+) -> dict:
+    """The v4 build with the r14 repetition gate composed in: a doc
+    must ALSO pass every n-gram repetition ceiling. Scale shape
+    unchanged — one more semi join of a corpus-keyed boolean
+    relation against the epoch stream."""
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.sources.sinks import write_training_shards
+
+    f = _v5_stage_frames(spark, sf_dir)
+    survivors = _v5_survivors(f)
+    keyed = survivors.withColumn(
+        "shuffle_key",
+        F.md5(F.concat_ws(":", F.col("doc_id"), F.col("epoch"))),
+    )
+    write_training_shards(
+        keyed, out_path, n_shards, "shuffle_key", sort_cols=["shuffle_key"]
+    )
+    written = spark.read.parquet(out_path)
+    return {
+        "corpus": f["seg"].count(),
+        "after_segment_gate": f["gate"].count(),
+        "lexical_representatives": f["reps"].count(),
+        "semantic_survivors": f["semk"].count(),
+        "quality_floor_survivors": f["qgate"].count(),
+        "topic_quota_kept": f["quota"].count(),
+        "repetition_pass": f["rgate"].count(),
+        "contaminated_ngram": f["cn"].count(),
+        "contaminated_semantic": f["cs"].count(),
+        "epoch_rows": f["ep"].count(),
+        "written_rows": written.count(),
+        "distinct_docs_written": written.select("doc_id")
+        .distinct()
+        .count(),
+    }
+
+
+def pipeline_funnel_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(stage, n_docs): the v5 funnel report — v4 plus the r14
+    repetition gate, every component replayed by the DuckDB twin."""
+    from pyspark.sql import functions as F
+
+    f = _v5_stage_frames(spark, sf_dir)
+    ep = f["ep"].select("doc_id", "epoch")
+    surv = _v5_survivors({**f, "ep": ep}).localCheckpoint(eager=True)
+
+    def row(stage: str, df: DataFrame, expr=None) -> DataFrame:
+        agg = expr if expr is not None else F.count(F.lit(1))
+        return df.agg(agg.cast("long").alias("n_docs")).select(
+            F.lit(stage).alias("stage"), "n_docs"
+        )
+
+    parts = [
+        row("corpus", f["seg"]),
+        row("after_segment_gate", f["gate"]),
+        row("lexical_representatives", f["reps"]),
+        row("semantic_survivors", f["semk"]),
+        row("quality_floor_survivors", f["qgate"]),
+        row("topic_quota_kept", f["quota"]),
+        row("repetition_pass", f["rgate"]),
+        row("contaminated_ngram", f["cn"]),
+        row("contaminated_semantic", f["cs"]),
+        row("epoch_rows", ep),
+        row("surviving_epoch_rows", surv),
+        row(
+            "surviving_distinct_docs",
+            surv,
+            F.count_distinct(F.col("doc_id")),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _pipeline_funnel_v5_sql() -> str:
+    from spark_app_twitter_spark.operators.textstats import (
+        REPETITION_RULES_SQL,
+    )
+
+    base = _pipeline_funnel_v4_sql()
+    rgate_cte = f"""rgate AS MATERIALIZED (
+  SELECT doc_id FROM ({REPETITION_RULES_SQL}) WHERE passes
+),
+cn AS MATERIALIZED ("""
+    assert "cn AS MATERIALIZED (" in base
+    sql = base.replace("cn AS MATERIALIZED (", rgate_cte, 1)
+    sql = sql.replace(
+        "    AND ep.doc_id IN (SELECT doc_id FROM quota)",
+        "    AND ep.doc_id IN (SELECT doc_id FROM quota)\n"
+        "    AND ep.doc_id IN (SELECT doc_id FROM rgate)",
+        1,
+    )
+    sql = sql.replace(
+        "UNION ALL SELECT 'contaminated_ngram',",
+        "UNION ALL SELECT 'repetition_pass', CAST(count(*) AS BIGINT)"
+        " FROM rgate\n"
+        "UNION ALL SELECT 'contaminated_ngram',",
+        1,
+    )
+    return sql
+
+
+PIPELINE_FUNNEL_V5_SQL = _pipeline_funnel_v5_sql()

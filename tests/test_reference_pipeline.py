@@ -307,6 +307,47 @@ def test_pipeline_funnel_v3_parity_and_job_agreement(
     assert got["surviving_distinct_docs"] == rep["distinct_docs_written"]
 
 
+def test_pipeline_funnel_v5_parity_job_agreement_and_composition(
+    spark, tmp_path, sf_dir
+):
+    """The r14 capstone extension: the v5 funnel (v4 + the repetition
+    gate) is oracle-exact, equals the exporting job's report, the
+    export contains only repetition-passing docs, and v5 survivors
+    are a subset of v4's."""
+    from spark_app_twitter_spark import jobs
+    from spark_app_twitter_spark.operators.textstats import (
+        repetition_rules,
+    )
+    from tests.parity import assert_parity
+
+    funnel = jobs.pipeline_funnel_v5(spark, sf_dir)
+    assert_parity(
+        funnel, jobs.PIPELINE_FUNNEL_V5_SQL, sf_dir, "pipeline_funnel_v5"
+    )
+    got = {r.stage: r.n_docs for r in funnel.collect()}
+
+    out = str(tmp_path / "v5")
+    rep = jobs.prepare_training_corpus_v5(spark, sf_dir, out, n_shards=4)
+    for key in (
+        "corpus",
+        "quality_floor_survivors",
+        "topic_quota_kept",
+        "repetition_pass",
+        "epoch_rows",
+    ):
+        assert got[key] == rep[key], key
+    assert got["surviving_epoch_rows"] == rep["written_rows"]
+    assert got["surviving_distinct_docs"] == rep["distinct_docs_written"]
+
+    written = spark.read.parquet(out)
+    rgate = repetition_rules(spark, sf_dir).where("passes").select("doc_id")
+    assert written.join(rgate, "doc_id", "left_anti").count() == 0
+    v4 = {r.stage: r.n_docs for r in
+          jobs.pipeline_funnel_v4(spark, sf_dir).collect()}
+    assert got["surviving_epoch_rows"] <= v4["surviving_epoch_rows"]
+    assert got["surviving_distinct_docs"] <= v4["surviving_distinct_docs"]
+
+
 def test_pipeline_funnel_v4_parity_job_agreement_and_composition(
     spark, tmp_path, sf_dir
 ):
