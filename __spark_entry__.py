@@ -135,6 +135,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_rewrite": dedup.span_dedup_rewrite,
         # capstone v5: v4 + the repetition gate composed in
         "pipeline_funnel_v5": jobs.pipeline_funnel_v5,
+        # PCA whitening serve (the isotropy FIX); literal-artifact
+        # oracle like sim_embedding_pca; unattested, heads r15
+        "sim_embedding_whiten": similarity.embedding_whiten,
         # --- R8-0. added or rerouted in round 8 (VERDICT r07 items
         # 3-4): the O(n) cluster-routed near-dup family — capped pair
         # emission (star-from-representative above CLIQUE_CAP-member
@@ -1092,6 +1095,7 @@ def _trained_oracles() -> dict[str, str]:
             "text_tokenizer_fertility": oracles.tokenizer_fertility_sql(),
             "text_unigram_prune": oracles.unigram_prune_sql(),
             "sim_embedding_isotropy": oracles.embedding_isotropy_sql(),
+            "sim_embedding_whiten": oracles.embedding_whiten_sql(),
         }
     except Exception as e:  # pragma: no cover - environment guard
         # the downgrade to rows-only must never be silent: a bug in

@@ -161,6 +161,7 @@ HEADLINE = [
     "sim_cluster_topic_terms",
     "dedup_dup_spans",
     "dedup_span_rewrite",
+    "sim_embedding_whiten",
 ]
 
 

@@ -1269,7 +1269,7 @@ def clear_pca_cache() -> None:
     _PCA_CACHE.clear()
 
 
-def _pca_components(spark: SparkSession, sf_dir: str, k: int):
+def _pca_axes(spark: SparkSession, sf_dir: str, k: int):
     """Top-k principal axes (and the per-dim means) of the embedding
     corpus. The eigendecomposition runs on the DRIVER over the
     DIM x DIM covariance matrix — deliberately: covariance is the
@@ -1304,6 +1304,7 @@ def _pca_components(spark: SparkSession, sf_dir: str, k: int):
         if v[pivot] < 0:
             v = -v
         comps.append([float(x) for x in v])
+    eigvals = [float(vals[idx]) for idx in order]
     # per-dim means (for centering): the SAME _dim_sums reduction the
     # covariance uses — shared definition, no copy-paste drift. (A
     # second bounded job, but d rows vs the d(d+1)/2-row covariance
@@ -1312,7 +1313,12 @@ def _pca_components(spark: SparkSession, sf_dir: str, k: int):
     means = [0.0] * d
     for r in sums:
         means[r.dim] = float(r.sd) / (float(r.n) * 1e6)
-    _PCA_CACHE[key] = (comps, means)
+    _PCA_CACHE[key] = (comps, means, eigvals)
+    return comps, means, eigvals
+
+
+def _pca_components(spark: SparkSession, sf_dir: str, k: int):
+    comps, means, _ = _pca_axes(spark, sf_dir, k)
     return comps, means
 
 
@@ -1350,6 +1356,64 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
         cols.append(F.round(proj, 6).alias(f"pc{ci + 1}"))
+    return out.select(*cols)
+
+
+# Whitening keeps more axes than the 2-component visualization
+# projection; 1/sqrt(eig) factors below this floor zero out instead
+# of exploding a numerically-dead direction.
+WHITEN_COMPONENTS = 8
+WHITEN_EIG_FLOOR = 1e-12
+
+
+def whiten_factors(eigvals: list[float]) -> list[float]:
+    """1/sqrt(eig) per kept axis, 0.0 for non-positive/dead axes —
+    ONE definition shared by the operator and the oracle replica so
+    the literal factors can never fork."""
+    import math as _math
+
+    return [
+        (1.0 / _math.sqrt(v)) if v > WHITEN_EIG_FLOOR else 0.0
+        for v in eigvals
+    ]
+
+
+def embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, z1..z{W}): PCA-whitened coordinates — the isotropy
+    FIX that pairs with the embedding_isotropy audit: each kept axis
+    is the centered projection scaled by 1/sqrt(eigenvalue), so the
+    whitened population has unit variance per axis (standard
+    preprocessing before cosine retrieval / SemDeDup when the
+    spectrum is anisotropic; e.g. Su et al. 2021, arXiv:2103.15316
+    "Whitening Sentence Representations").
+
+    Scale shape: identical to embedding_pca_project — the only
+    distributed work is the bounded covariance reduction at train
+    time; serving is a pure map of broadcast-literal dot products
+    (zip_with/aggregate JVM-side), zero shuffles. The 1/sqrt(eig)
+    factors are driver floats embedded as literals, so the oracle's
+    replica lands on bit-identical doubles (same exact-integer
+    covariance, same numpy eigh).
+    """
+    comps, means, eigvals = _pca_axes(spark, sf_dir, WHITEN_COMPONENTS)
+    factors = whiten_factors(eigvals)
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    centered = F.expr(
+        "transform(embedding, (x, i) ->"
+        " CAST(x AS DOUBLE) - element_at(_pca_means, i + 1))"
+    )
+    out = emb.withColumn(
+        "_pca_means", F.array(*[F.lit(m) for m in means])
+    ).withColumn("_c", centered)
+    cols = [F.col("vec_id")]
+    for ci, (comp, inv) in enumerate(zip(comps, factors)):
+        axis = F.array(*[F.lit(x) for x in comp])
+        proj = F.aggregate(
+            F.zip_with(F.col("_c"), axis, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append(F.round(proj * F.lit(inv), 6).alias(f"z{ci + 1}"))
     return out.select(*cols)
 
 

@@ -416,9 +416,9 @@ def train_lang_lr_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
 # ---------------------------------------------------------------- PCA
 
 
-def replica_pca(
+def replica_pca_axes(
     sf_dir: str, k: int
-) -> tuple[list[list[float]], list[float]]:
+) -> tuple[list[list[float]], list[float], list[float]]:
     """Sequential replica of similarity._pca_components: exact
     integer sums from DuckDB, the operator's own IEEE chain for
     cov/means, the same numpy eigh + sign canonicalization."""
@@ -460,7 +460,15 @@ def replica_pca(
         if v[pivot] < 0:
             v = -v
         comps.append([float(x) for x in v])
+    eigvals = [float(vals[idx]) for idx in order]
     means = [float(sd[dim]) / (n * 1e6) for dim in range(d)]
+    return comps, means, eigvals
+
+
+def replica_pca(
+    sf_dir: str, k: int
+) -> tuple[list[list[float]], list[float]]:
+    comps, means, _ = replica_pca_axes(sf_dir, k)
     return comps, means
 
 
@@ -483,6 +491,35 @@ def embedding_pca_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
                 f" * {_f(comp[i])}"
             )
         cols.append(f"round({terms}, 6) AS pc{ci + 1}")
+    _SQL_CACHE[key] = "SELECT " + ",\n       ".join(cols) + " FROM embeddings"
+    return _SQL_CACHE[key]
+
+
+def embedding_whiten_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Twin of similarity.embedding_whiten: the pca twin's literal
+    axes/means projection chain, each component multiplied by the
+    SHARED whiten_factors 1/sqrt(eig) literal before the round —
+    bit-identical because both sides train on the same exact-integer
+    covariance and the same numpy eigh."""
+    key = ("embedding_whiten", sf_dir)
+    if key in _SQL_CACHE:
+        return _SQL_CACHE[key]
+    from spark_app_twitter_spark.operators.similarity import (
+        WHITEN_COMPONENTS,
+        whiten_factors,
+    )
+
+    comps, means, eigvals = replica_pca_axes(sf_dir, WHITEN_COMPONENTS)
+    factors = whiten_factors(eigvals)
+    cols = ["vec_id"]
+    for ci, (comp, inv) in enumerate(zip(comps, factors)):
+        terms = "0.0"
+        for i in range(len(means)):
+            terms += (
+                f" + (CAST(embedding[{i + 1}] AS DOUBLE) - {_f(means[i])})"
+                f" * {_f(comp[i])}"
+            )
+        cols.append(f"round(({terms}) * {_f(inv)}, 6) AS z{ci + 1}")
     _SQL_CACHE[key] = "SELECT " + ",\n       ".join(cols) + " FROM embeddings"
     return _SQL_CACHE[key]
 

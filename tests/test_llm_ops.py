@@ -155,6 +155,27 @@ def test_repetition_rules_planted(spark, tmp_path):
     assert rows[3].dup5_frac == 0.0 and rows[3].ok_dup5
 
 
+def test_embedding_whiten_parity_and_unit_variance(spark, sf_dir):
+    """Whitened coordinates are oracle-exact AND achieve the defining
+    property: unit population variance per kept axis (up to the 1e-6
+    output rounding and the exact-integer covariance quantization)."""
+    import statistics
+
+    from spark_app_twitter_spark.oracles import embedding_whiten_sql
+
+    df = similarity.embedding_whiten(spark, sf_dir)
+    assert_parity(df, embedding_whiten_sql(sf_dir), sf_dir, "whiten")
+    rows = df.collect()
+    ncols = len(rows[0]) - 1
+    assert ncols == similarity.WHITEN_COMPONENTS
+    for ci in range(1, ncols + 1):
+        zs = [r[ci] for r in rows]
+        var = statistics.pvariance(zs)
+        mean = sum(zs) / len(zs)
+        assert abs(mean) < 1e-3, (ci, mean)
+        assert abs(var - 1.0) < 0.02, (ci, var)
+
+
 def test_dup_spans_parity(spark, sf_dir):
     assert_parity(
         dedup.dup_spans(spark, sf_dir), dedup.DUP_SPANS_SQL, sf_dir, "spans"

@@ -406,6 +406,10 @@ STRESS_QUERIES = [
     # doc reassembly (noop-measure: the unique-keyed output is
     # count-prunable through the final agg only, so count is honest)
     "dedup_span_rewrite",
+    # r14: whitening serve — map-only literal projections after the
+    # bounded covariance train (the pca shape; noop-measure to defeat
+    # projection pruning)
+    "sim_embedding_whiten",
 ]
 
 
