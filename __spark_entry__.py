@@ -554,6 +554,11 @@ _R14_WINDOW = (
     "sim_knn_graph_refine",
     "sim_knn_graph",
     "sim_knn_graph_delta",
+    # late r14: the pca trainer now caches eigenvalues alongside axes
+    # (the whitening artifact) — pca re-attests as the touched
+    # consumer; displaces the last r09 fill row (multimodal_chunk_dedup
+    # heads r15 with the other leftovers)
+    "sim_embedding_pca",
     # (c) the 30 r08-attested rows
     "dedup_split_leakage_pairs",
     "dedup_winnowing_pairs",
@@ -596,7 +601,6 @@ _R14_WINDOW = (
     "dedup_span_stats",
     "dedup_threshold_yield",
     "graph_kcore",
-    "multimodal_chunk_dedup",
 )
 
 
