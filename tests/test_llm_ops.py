@@ -595,6 +595,33 @@ def test_arrow_probe_top_cells_bit_identical(spark, sf_dir):
     assert via_arrow == via_literal
 
 
+def test_two_level_train_arrow_switch_integration(spark, sf_dir):
+    """VERDICT r13 item 3, integration form: force EVERY fine
+    assignment (each fine Lloyd iteration AND the final assignment)
+    through the Arrow coarse-dispatched fold by dropping
+    LITERAL_ASSIGN_MAX_K to 0, retrain the whole two-level tree cold,
+    and require the identical (vec_id, cell) assignment — the switch
+    must be invisible not just per-pass (unit tests) but through the
+    recenter feedback loop of training itself."""
+    from spark_app_twitter_spark.operators import clustering as cl
+
+    base = {
+        (r.vec_id, r.cell)
+        for r in cl.kmeans_cells_2level(spark, sf_dir).collect()
+    }
+    orig = cl.LITERAL_ASSIGN_MAX_K
+    cl.clear_centroid_cache()  # force a cold retrain on the new path
+    cl.LITERAL_ASSIGN_MAX_K = 0
+    try:
+        forced = {
+            (r.vec_id, r.cell)
+            for r in cl.kmeans_cells_2level(spark, sf_dir).collect()
+        }
+    finally:
+        cl.LITERAL_ASSIGN_MAX_K = orig
+    assert base == forced
+
+
 def test_semdedup_parity(spark, sf_dir):
     """Full-corpus parity for the SemDeDup oracle — exercises the
     adaptive-k (kp scalar subquery) centroid chain end to end."""
