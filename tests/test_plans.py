@@ -803,3 +803,26 @@ def test_r14_new_ops_plan_width(spark, sf_dir, tmp_path):
     assert E.num_shuffles(df) <= 7
     plan = E.executed_plan(df)
     assert plan.count("Scan parquet") + plan.count("FileScan") == 0
+
+
+def test_collect_linter_green_on_tree():
+    """Mechanical close-gate guard (VERDICT r14 item 2): the
+    no-unbounded-collects linter must be green on the committed tree —
+    zero unlisted collect sites AND zero stale allowlist keys, so a
+    rename (the _pca_components -> _pca_axes slip) can't silently
+    re-redden it after a manual 'lint clean' check."""
+    import importlib.util
+    import io
+    import os
+    from contextlib import redirect_stdout
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "lint_collects", os.path.join(root, "tools", "lint_collects.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    sites = mod._sites()
+    found = {(rel, fn) for rel, fn, _ in sites}
+    assert sorted(found - set(mod.ALLOWED)) == [], "unlisted collect site"
+    assert sorted(set(mod.ALLOWED) - found) == [], "stale allowlist entry"

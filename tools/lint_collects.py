@@ -42,7 +42,7 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("operators/pq.py", "pq_codebook_rows"):
         "PQ_M * PQ_K codebook seed rows (vec_id < PQ_K filter; "
         "model artifact)",
-    ("operators/similarity.py", "_pca_components"):
+    ("operators/similarity.py", "_pca_axes"):
         "dims^2 covariance entries + dims sums (model artifact)",
     ("operators/similarity.py", "embedding_isotropy"):
         "dims^2 covariance entries (spectrum input; model artifact)",
