@@ -626,9 +626,12 @@ def cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms per k-means cell, lift = (c_ct/c_c) / (c_t/T) computed as
     the exact integer (c_ct*T*SCALE) div (c_c*c_t) so both engines
     agree bit-for-bit (one IEEE division at the end renders the
-    double; ties break to the ascending term). BIGINT bounds: c_ct*T
-    fits while corpus tokens < ~3e9; past that the expression
-    upgrades to DECIMAL(38) verbatim.
+    double; ties break to the ascending term). The scaled product is
+    computed in DECIMAL(38,0) on the Spark side and HUGEINT in the
+    oracle (r14 ADVICE): c_ct*T*SCALE <= T^2*1e6, within 1e38 up to
+    T ~ 1e16 corpus tokens (100 TB of text is ~2e13). Only the
+    QUOTIENT must fit BIGINT — bounded by (T/c_c)*SCALE, i.e. a cell
+    would need fewer than one-quintillionth of corpus mass to wrap.
 
     Scale shape: cells join documents on the doc key (both
     corpus-sized but SLIM — id+tokens only), one (cell, term) count
@@ -665,7 +668,8 @@ def cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "lift_micro",
             F.expr(
-                f"(c_ct * t_all * {_LIFT_SCALE}L) div (c_c * c_t)"
+                f"(CAST(c_ct AS DECIMAL(38,0)) * t_all * {_LIFT_SCALE}L)"
+                f" div (CAST(c_c AS DECIMAL(38,0)) * c_t)"
             ).cast("long"),
         )
     )
@@ -709,7 +713,8 @@ tt AS (SELECT term, CAST(sum(c_ct) AS BIGINT) AS c_t FROM ct GROUP BY term),
 tot AS (SELECT CAST(sum(c_ct) AS BIGINT) AS t_all FROM ct),
 scored AS (
   SELECT ct.cell, ct.term,
-         CAST((ct.c_ct * tot.t_all * {_LIFT_SCALE}) // (cc.c_c * tt.c_t)
+         CAST((CAST(ct.c_ct AS HUGEINT) * tot.t_all * {_LIFT_SCALE})
+              // (CAST(cc.c_c AS HUGEINT) * tt.c_t)
               AS BIGINT) AS lift_micro
   FROM ct JOIN cc USING (cell) JOIN tt USING (term) CROSS JOIN tot
 )
@@ -855,8 +860,15 @@ def _arrow_fine_assign(
     exact-fold pass instead of the broadcast-join + per-vector window
     of :func:`_fine_assign`. Still shuffle-free: the pandas_udf takes
     (coarse, v) and scores ONLY the row's own branch (K2 work per
-    vector, exactly the CASE-dispatch bound), padding ragged branches
-    with NaN so the batch matrix stays rectangular; the
+    vector, exactly the CASE-dispatch bound); ragged branches pad the
+    batch matrix rectangular, and each row is SLICED back to its own
+    branch width (never NaN-filtered — a genuine NaN score from a
+    NaN/Inf vector component must survive so Spark's NaN-is-largest
+    ordering matches the inline path, r14 ADVICE). The Arrow
+    transfer itself renders float NaN as null (pandas' missing-value
+    convention), so the JVM side coalesces null elements back to NaN
+    before rounding — sound because an in-branch raw score is never
+    legitimately null; the
     parity-critical round(x, 6) and the first-max == (score DESC,
     fine ASC) pick stay JVM-side, byte-for-byte the
     _inline_fine_assign tail (fine ids sorted ascending per coarse)."""
@@ -884,6 +896,7 @@ def _arrow_fine_assign(
     def raw_branch_scores(cos: pd.Series, vs: pd.Series) -> pd.Series:
         v = np.array(vs.tolist(), dtype=np.float64)
         out = np.full((v.shape[0], width), np.nan, dtype=np.float64)
+        lens = np.zeros(v.shape[0], dtype=np.int64)
         co_arr = cos.to_numpy()
         for co in np.unique(co_arr):
             mask = co_arr == co
@@ -896,14 +909,21 @@ def _arrow_fine_assign(
             for i in range(dim):
                 acc = acc + vb[:, i : i + 1] * cmat[:, i]
             out[mask, : cmat.shape[0]] = acc - hvec
-        return pd.Series([row[~np.isnan(row)] for row in out])
+            lens[mask] = cmat.shape[0]
+        return pd.Series([row[:n] for row, n in zip(out, lens)])
 
     return (
         members.withColumn(
             "_raw", raw_branch_scores(F.col("coarse"), F.col("v"))
         )
         .withColumn(
-            "_fs", F.transform(F.col("_raw"), lambda s: F.round(s, 6))
+            "_fs",
+            F.transform(
+                F.col("_raw"),
+                lambda s: F.round(
+                    F.coalesce(s, F.lit(float("nan"))), 6
+                ),
+            ),
         )
         .withColumn(
             "fine",

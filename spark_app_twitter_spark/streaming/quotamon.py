@@ -44,6 +44,14 @@ from spark_app_twitter_spark.streaming.statestore import (
 _CAND_DDL = "vec_id bigint, cell int, draw long"
 _SIZE_DDL = "batch_id long, cell int, n long"
 
+# (applicationId, sf_dir, n_batches) -> served sample frame: the
+# replay twin folds once per session and reuses its state dir (no
+# checkpoint lives in the serve plan, so the frame itself is the
+# only cached object; register_cache gives it the eviction contract).
+from spark_app_twitter_spark.functions.caches import register_cache
+
+_REPLAY_SERVES = register_cache({})
+
 # Sizes fold compaction (qualitymon's COMPACT_RETAIN discipline):
 # batches older than this many behind the current fold into the
 # batch_id=-1 sentinel row, keeping the size state bounded by
@@ -170,18 +178,29 @@ def quota_sample_replayed(
     sampler (operators/clustering.cluster_balanced_sample) bit-for-bit
     — which is exactly what puts the streaming capstone under the
     driver's DuckDB oracle gate (oracle: CLUSTER_BALANCED_SAMPLE_SQL).
-    """
-    import tempfile
 
+    The state dir is REUSED per (applicationId, sf_dir, n_batches)
+    and the served frame session-cached (r14 ADVICE: per-call
+    mkdtemp leaked a corpus-derived state dir per bench/oracle
+    invocation, and each call re-folded the whole corpus)."""
     from spark_app_twitter_spark.sources.parquet import load_table
+    from spark_app_twitter_spark.streaming.statestore import (
+        replay_state_dir,
+    )
 
-    path = tempfile.mkdtemp(prefix="quotamon_replay_")
+    key = (spark.sparkContext.applicationId, sf_dir, n_batches)
+    hit = _REPLAY_SERVES.get(key)
+    if hit is not None:
+        return hit
+    path = replay_state_dir(spark, "quotamon", sf_dir, n_batches)
     emb = load_table(spark, sf_dir, "embeddings")
     for i in range(n_batches):
         apply_quota_batch(
             emb.where(F.col("vec_id") % n_batches == i), i, path, sf_dir
         )
-    return quota_sample_from_state(spark, path)
+    served = quota_sample_from_state(spark, path)
+    _REPLAY_SERVES[key] = served
+    return served
 
 
 def maintain_quota_stream(

@@ -89,6 +89,31 @@ def _keep() -> int:
         return 2
 
 
+def replay_state_dir(spark: SparkSession, kind: str, sf_dir: str,
+                     n_batches: int) -> str:
+    """A REUSABLE scratch state dir for the batch-drivable replay
+    twins (r14 ADVICE: per-call ``tempfile.mkdtemp`` leaked one
+    corpus-derived parquet state dir per bench/oracle invocation).
+    Keyed by (applicationId, sf_dir, n_batches) so repeated serves in
+    one session fold once and share state; a NEW driver process gets
+    a fresh dir (its own applicationId), so a crash mid-fold can
+    never leak partial state into another process — and within a
+    process a retried fold simply re-applies the same batch_ids,
+    which every transact() merge REPLACES (exactly-once by key)."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(
+        f"{sf_dir}|{n_batches}".encode()
+    ).hexdigest()[:12]
+    app = spark.sparkContext.applicationId
+    d = os.path.join(
+        tempfile.gettempdir(), f"{kind}_replay_{app}_{tag}"
+    )
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 @contextmanager
 def state_lock(path: str):
     """Exclusive writer lock for one state path. Hold it across the

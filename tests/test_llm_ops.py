@@ -557,6 +557,46 @@ def test_arrow_fine_assign_bit_identical(spark, sf_dir):
     assert inline == bcast
 
 
+def test_arrow_fine_assign_nan_vector_matches_inline(spark):
+    """r14 ADVICE: a vector with a NaN component produces genuine NaN
+    raw scores; the Arrow fold must SLICE padding off by branch width
+    rather than NaN-filter, or the real NaN scores are stripped too
+    (shifting score/fine alignment — here collapsing to an empty
+    array and a null fine) while the inline path keeps NaN, which
+    Spark orders largest. Ragged branches (widths 3 and 1) exercise
+    the padding; the NaN row must land on the inline answer."""
+    from spark_app_twitter_spark.operators import clustering
+
+    rows = [
+        (0, 0, [1.0, 0.0]),
+        (0, 1, [0.0, 1.0]),
+        (0, 2, [1.0, 1.0]),
+        (1, 3, [2.0, 2.0]),
+    ]
+    members = spark.createDataFrame(
+        [
+            (10, [float("nan"), 1.0], 0),
+            (11, [0.9, 0.1], 0),
+            (12, [2.0, 1.9], 1),
+        ],
+        "vec_id long, v array<double>, coarse int",
+    )
+    inline = {
+        (r.vec_id, r.fine)
+        for r in clustering._inline_fine_assign(members, rows)
+        .select("vec_id", "fine")
+        .collect()
+    }
+    arrow = {
+        (r.vec_id, r.fine)
+        for r in clustering._arrow_fine_assign(members, rows)
+        .select("vec_id", "fine")
+        .collect()
+    }
+    assert inline == arrow
+    assert all(f is not None for _, f in arrow)
+
+
 def test_arrow_probe_top_cells_bit_identical(spark, sf_dir):
     """VERDICT r13 item 3: inline_top_cells_euclid's large-k Arrow
     path (engaged above ARROW_ASSIGN_MIN_K) must return the same

@@ -2749,3 +2749,62 @@ def test_quality_floor_real_stream_available_now(spark, sf_dir, tmp_path):
         tuple(r) for r in quality_floor_by_source(spark, sf_dir).collect()
     )
     assert got == want
+
+
+def test_quota_cross_batch_redelivery_pins_contract(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r14 item 5: quantify the documented at-least-once gap.
+    maintain_quota_stream's delivery contract says a vec_id
+    re-delivered in a LATER micro-batch counts once in the candidate
+    fold (dropDuplicates) but TWICE in the size fold (batch_id-keyed
+    only). Drive a deliberately duplicate-delivering source — batch 1
+    re-presents all of batch 0 — and pin both halves: the sampled
+    rows (vec_id, cell, rk) still equal the batch sampler exactly,
+    while each cell_size is inflated by EXACTLY that cell's count of
+    re-delivered ids (not corrupted further, not candidate-visible)."""
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.operators.clustering import (
+        cluster_balanced_sample,
+        kmeans_cells,
+    )
+    from spark_app_twitter_spark.sources.parquet import load_table
+    from spark_app_twitter_spark.streaming.quotamon import (
+        apply_quota_batch,
+        quota_sample_from_state,
+    )
+
+    path = f"{tmp_path}/quota_dup"
+    emb = load_table(spark, sf_dir, "embeddings")
+    b0 = emb.where(F.col("vec_id") % 3 == 0)
+    apply_quota_batch(b0, 0, path, sf_dir)
+    # cross-batch at-least-once duplication: batch 1 re-delivers b0
+    apply_quota_batch(
+        emb.where(F.col("vec_id") % 3 == 1).unionByName(b0), 1, path, sf_dir
+    )
+    apply_quota_batch(emb.where(F.col("vec_id") % 3 == 2), 2, path, sf_dir)
+
+    got = {
+        (r.vec_id, r.cell, r.rk): r.cell_size
+        for r in quota_sample_from_state(spark, path).collect()
+    }
+    want = {
+        (r.vec_id, r.cell, r.rk): r.cell_size
+        for r in cluster_balanced_sample(spark, sf_dir).collect()
+    }
+    # half 1: the sample itself is redelivery-proof
+    assert set(got) == set(want)
+    # half 2: sizes diverge by exactly the per-cell re-delivered count
+    dup_per_cell = {
+        r.cell: r.n
+        for r in kmeans_cells(spark, sf_dir)
+        .where(F.col("vec_id") % 3 == 0)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert any(dup_per_cell.values()), "fixture must re-deliver something"
+    for key, size in got.items():
+        cell = key[1]
+        assert size == want[key] + dup_per_cell.get(cell, 0)
