@@ -138,6 +138,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PCA whitening serve (the isotropy FIX); literal-artifact
         # oracle like sim_embedding_pca; unattested, heads r15
         "sim_embedding_whiten": similarity.embedding_whiten,
+        # r15: URL canonicalization + URL/host-level dedup — the
+        # RefinedWeb stage-one grain the dedup family didn't cover
+        # (scheme/www/tracking/fragment/slash variants collapse to
+        # one canonical page; keep-first + per-host dup shares)
+        "dedup_url_canonical": dedup.url_canonical_dedup,
+        "dedup_url_host_stats": dedup.url_host_stats,
         # --- R8-0. added or rerouted in round 8 (VERDICT r07 items
         # 3-4): the O(n) cluster-routed near-dup family — capped pair
         # emission (star-from-representative above CLIQUE_CAP-member
@@ -1125,6 +1131,8 @@ def oracle_sql() -> dict[str, str]:
         "sim_cluster_topic_terms": clustering.CLUSTER_TOPIC_TERMS_SQL,
         "dedup_dup_spans": dedup.DUP_SPANS_SQL,
         "dedup_span_rewrite": dedup.SPAN_DEDUP_REWRITE_SQL,
+        "dedup_url_canonical": dedup.URL_CANONICAL_DEDUP_SQL,
+        "dedup_url_host_stats": dedup.URL_HOST_STATS_SQL,
         "pipeline_funnel_v5": jobs.PIPELINE_FUNNEL_V5_SQL,
         "dedup_lsh_clusters": dedup.LSH_CLUSTERS_SQL,
         "dedup_minhash_lsh_pairs_capped": dedup.MINHASH_LSH_PAIRS_CAPPED_SQL,

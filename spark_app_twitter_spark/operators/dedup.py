@@ -2516,3 +2516,169 @@ FROM clusters c JOIN sizes s USING (cluster_id)
 
 
 SOFT_WEIGHTED_SAMPLE_SQL = _soft_weighted_sample_sql()
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + URL/host-level dedup (VERDICT r14 item 7a).
+# The RefinedWeb pipeline's stage-one dedup key is the CANONICAL URL
+# (scheme/case/www/tracking-param/fragment/trailing-slash variants of
+# one page must collide) — the one dedup grain this family didn't
+# cover (reference parity: jmcmt87/spark_app_twitter has no URL
+# stage; this is engine enrichment for the 100 TB pipeline story).
+#
+# The documents fixture carries no URL column, so the operator
+# synthesizes a deterministic messy URL per doc from (source, doc_id)
+# — the same modulo-variant discipline the multimodal fixtures use —
+# with every canonicalization hazard present: three scheme spellings,
+# a www.-plus-mixed-case host variant, tracking params (utm_*, ref)
+# that must be stripped NEXT TO a real param (page=1) that must be
+# kept, fragments, and trailing slashes. Docs in the same source
+# whose doc_id lands in the same PAGE_GROUP block synthesize variants
+# of the SAME page, so canonical collisions are guaranteed and their
+# group structure is exactly checkable.
+#
+# All regex patterns avoid backslashes ([?] not \?) — Spark SQL
+# string literals process C escapes while DuckDB's do not, and a
+# pattern that differs by one backslash diverges silently.
+
+URL_PAGE_GROUP = 100
+
+_URL_TRACKING_STEPS: list[tuple[str, str]] = [
+    ("^https?://", ""),
+    ("^www[.]", ""),
+    ("#.*$", ""),
+    ("(utm_[a-z]+|ref)=[^&#]*&?", ""),
+    ("[?]$", ""),
+    ("/[?]", "?"),
+    ("/$", ""),
+]
+
+
+def _url_synth_sql(div: str, strty: str) -> str:
+    """The deterministic messy-URL expression, dialect-parametrized
+    (``div``: Spark ``div`` / DuckDB ``//``; ``strty``: STRING /
+    VARCHAR)."""
+    return (
+        "CASE doc_id % 3 WHEN 0 THEN 'http://' WHEN 1 THEN 'https://'"
+        " ELSE 'HTTPS://' END"
+        " || CASE WHEN doc_id % 7 < 3"
+        " THEN 'www.' || source || '.Example.COM'"
+        " ELSE source || '.example.com' END"
+        f" || '/p/' || CAST(doc_id {div} {URL_PAGE_GROUP} AS {strty})"
+        " || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END"
+        " || CASE doc_id % 11 WHEN 0 THEN '?utm_source=feed'"
+        " WHEN 1 THEN '?utm_campaign=c&utm_medium=m'"
+        " WHEN 2 THEN '?ref=tw'"
+        " WHEN 3 THEN '?page=1' ELSE '' END"
+        " || CASE WHEN doc_id % 13 = 0 THEN '#top' ELSE '' END"
+    )
+
+
+def _url_canon_sql(url_expr: str, global_flag: str) -> str:
+    """Canonicalization chain over ``url_expr``: lowercase, drop
+    scheme and www., drop fragment, strip tracking params keeping
+    real ones, tidy the leftover separators, drop the trailing
+    slash. ``global_flag`` is '' for Spark (regexp_replace replaces
+    every match) and \", 'g'\" for DuckDB (first-match default)."""
+    c = f"lower({url_expr})"
+    for pat, rep in _URL_TRACKING_STEPS:
+        c = f"regexp_replace({c}, '{pat}', '{rep}'{global_flag})"
+    return c
+
+
+def _url_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, url, canon_url): map-only synthesis +
+    canonicalization — stays inside whole-stage codegen (regexp over
+    a bounded-length string per row, no UDF, no shuffle)."""
+    url = _url_synth_sql("div", "STRING")
+    return load_table(spark, sf_dir, "documents", spread=True).selectExpr(
+        "doc_id",
+        f"{url} AS url",
+        f"{_url_canon_sql(url, '')} AS canon_url",
+    )
+
+
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(canon_url, kept_doc_id, n_variants): URL-level keep-first
+    dedup — one row per canonical URL with the lowest-doc_id variant
+    kept, n_variants counting the messy spellings that collapsed.
+
+    Scale shape: map-only canonicalization, then ONE canon_url-keyed
+    exchange with map-side combine (min + count are both partial);
+    output is |distinct pages|, input-linear in the worst case. At
+    100 TB this is the cheapest dedup stage in the family — no
+    shingles, no signatures, one shuffle on a short string key."""
+    return (
+        _url_rows(spark, sf_dir)
+        .groupBy("canon_url")
+        .agg(
+            F.min("doc_id").cast("long").alias("kept_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+        )
+    )
+
+
+def _url_canonical_dedup_sql() -> str:
+    url = _url_synth_sql("//", "VARCHAR")
+    return f"""
+WITH rows AS (
+  SELECT doc_id, {_url_canon_sql(url, ", 'g'")} AS canon_url
+  FROM documents
+)
+SELECT canon_url,
+       CAST(min(doc_id) AS BIGINT) AS kept_doc_id,
+       CAST(count(*) AS BIGINT) AS n_variants
+FROM rows GROUP BY canon_url
+"""
+
+
+URL_CANONICAL_DEDUP_SQL = _url_canonical_dedup_sql()
+
+
+def url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, n_urls, n_pages, dup_rate_bp): per-host rollup of the
+    URL dedup — how many raw URLs each host contributed, how many
+    canonical pages they collapse to, and the duplicate share in
+    exact basis points ((n_urls - n_pages) * 10000 div n_urls — the
+    integer-division parity discipline).
+
+    Scale shape: the same map-only canonical relation, one
+    (host, canon_url)-keyed partial-dedup exchange, then a
+    |hosts|-bounded rollup — countDistinct plans as the standard
+    two-level aggregate, never a global distinct."""
+    rows = _url_rows(spark, sf_dir).selectExpr(
+        "split_part(canon_url, '/', 1) AS host", "canon_url"
+    )
+    return (
+        rows.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.countDistinct("canon_url").cast("long").alias("n_pages"),
+        )
+        .selectExpr(
+            "host",
+            "n_urls",
+            "n_pages",
+            "CAST((n_urls - n_pages) * 10000 div n_urls AS BIGINT)"
+            " AS dup_rate_bp",
+        )
+    )
+
+
+def _url_host_stats_sql() -> str:
+    url = _url_synth_sql("//", "VARCHAR")
+    return f"""
+WITH rows AS (
+  SELECT doc_id, {_url_canon_sql(url, ", 'g'")} AS canon_url
+  FROM documents
+)
+SELECT split_part(canon_url, '/', 1) AS host,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT canon_url) AS BIGINT) AS n_pages,
+       CAST((count(*) - count(DISTINCT canon_url)) * 10000
+            // count(*) AS BIGINT) AS dup_rate_bp
+FROM rows GROUP BY 1
+"""
+
+
+URL_HOST_STATS_SQL = _url_host_stats_sql()

@@ -5558,3 +5558,51 @@ def test_quality_floor_by_source_parity_and_quantile_bound(spark, sf_dir):
         assert r.n_below < target  # below-floor mass stays under the target
         assert 0 <= r.floor_bucket <= 1000
         assert abs(r.below_ratio - r.n_below / r.n_docs) < 1e-9
+
+
+def test_url_canonical_dedup_parity_and_semantics(spark, sf_dir):
+    """r15: URL keep-first dedup matches its oracle, and the
+    canonicalization itself does what the docstring claims — every
+    hazard variant (scheme case, www., tracking params, fragment,
+    trailing slash) collapses while the REAL query param survives."""
+    from spark_app_twitter_spark.operators import dedup as dd
+
+    assert_parity(
+        dd.url_canonical_dedup(spark, sf_dir),
+        dd.URL_CANONICAL_DEDUP_SQL,
+        sf_dir,
+        "dedup_url_canonical",
+    )
+    rows = {
+        r.doc_id: (r.url, r.canon_url)
+        for r in dd._url_rows(spark, sf_dir).where("doc_id < 20").collect()
+    }
+    for _, canon in rows.values():
+        assert not canon.startswith(("http", "www.")), canon
+        assert "utm_" not in canon and "ref=" not in canon
+        assert "#" not in canon
+        assert not canon.endswith(("/", "?", "&"))
+        assert canon == canon.lower()
+    # doc 3: doc_id % 11 == 3 synthesizes the kept param
+    assert rows[3][1].endswith("?page=1")
+    # docs 0/1/2 are variants of the same page in different sources;
+    # 0 and 20 share source (doc_id % 20) and page block (div 100)
+    got = {
+        r.canon_url: (r.kept_doc_id, r.n_variants)
+        for r in dd.url_canonical_dedup(spark, sf_dir)
+        .where("canon_url = 'src0.example.com/p/0'")
+        .collect()
+    }
+    kept, n = got["src0.example.com/p/0"]
+    assert kept == 0 and n >= 2  # 0, 20, 40, 60, 80 minus page=1 holders
+
+
+def test_url_host_stats_parity(spark, sf_dir):
+    from spark_app_twitter_spark.operators import dedup as dd
+
+    assert_parity(
+        dd.url_host_stats(spark, sf_dir),
+        dd.URL_HOST_STATS_SQL,
+        sf_dir,
+        "dedup_url_host_stats",
+    )
