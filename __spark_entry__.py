@@ -144,6 +144,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one canonical page; keep-first + per-host dup shares)
         "dedup_url_canonical": dedup.url_canonical_dedup,
         "dedup_url_host_stats": dedup.url_host_stats,
+        # r15: tokenizer-aware packing — concat-then-cut in TRAINED
+        # unigram piece units (what the training loop actually
+        # consumes) + the scorecard quantifying the word-budget
+        # packer's underestimate (the fertility tax)
+        "pack_unigram_sequences": packing.pack_unigram_sequences,
+        "pack_unigram_efficiency": packing.pack_unigram_efficiency,
         # --- R8-0. added or rerouted in round 8 (VERDICT r07 items
         # 3-4): the O(n) cluster-routed near-dup family — capped pair
         # emission (star-from-representative above CLIQUE_CAP-member
@@ -1103,6 +1109,10 @@ def _trained_oracles() -> dict[str, str]:
             "text_unigram_train": oracles.unigram_train_sql(),
             "text_unigram_encode": oracles.unigram_encode_sql(),
             "text_tokenizer_fertility": oracles.tokenizer_fertility_sql(),
+            "pack_unigram_sequences": oracles.pack_unigram_sequences_sql(),
+            "pack_unigram_efficiency": (
+                oracles.pack_unigram_efficiency_sql()
+            ),
             "text_unigram_prune": oracles.unigram_prune_sql(),
             "sim_embedding_isotropy": oracles.embedding_isotropy_sql(),
             "sim_embedding_whiten": oracles.embedding_whiten_sql(),

@@ -522,3 +522,100 @@ SELECT bucket_cap, n_docs, total_tokens,
          // (bucket_cap * n_docs) AS waste_bp
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-aware packing (VERDICT r14 item 7b): the concat-then-cut
+# packer re-run in TRAINED-TOKENIZER PIECE units instead of
+# whitespace words. A training export is consumed in tokenizer
+# pieces, so a packer that budgets whitespace words under-fills every
+# bin by the corpus fertility factor (pieces per word > 1) — this
+# pair is the deployable fix plus the scorecard quantifying what the
+# word-budget packer got wrong.
+
+
+def _piece_sized_sharded_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(doc_id, n_words, n_pieces, shard): the tokenizer-aware
+    packer's input projection — per-doc piece counts under the
+    trained unigram vocabulary (unigram.unigram_encode's
+    vocabulary-trick join: Viterbi once per DISTINCT word, broadcast
+    back, doc-keyed reduce), sharded like the word packer."""
+    # function-level import: packing must stay importable without
+    # pulling the tokenizer stack
+    from spark_app_twitter_spark.operators.unigram import unigram_encode
+
+    return unigram_encode(spark, sf_dir).select(
+        "doc_id",
+        "n_words",
+        "n_pieces",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+    )
+
+
+def pack_unigram_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shard, bin, offset, n_pieces): concat-then-cut
+    packing in trained-unigram PIECE units — within each hash shard,
+    docs concatenate in doc_id order and cut into PACK_BUDGET-piece
+    training sequences; a doc belongs to the bin where its first
+    piece lands.
+
+    Scale shape: the unigram encode's vocab-bounded broadcast join +
+    one doc-keyed reduce, then ONE shard-keyed window (running
+    per-shard counter, shards pack in parallel) — the same plan
+    skeleton as pack_sequences with n_tok swapped for n_pieces. The
+    oracle embeds the sequential replica's per-word piece counts as
+    a literal relation (oracles.pack_unigram_sequences_sql) and
+    replays the relational half."""
+    docs = _piece_sized_sharded_docs(spark, sf_dir)
+    start = _shard_start("n_pieces")
+    return docs.select(
+        "doc_id",
+        "shard",
+        F.floor(start / PACK_BUDGET).alias("bin"),
+        (start % PACK_BUDGET).alias("offset"),
+        F.col("n_pieces").cast("long").alias("n_pieces"),
+    )
+
+
+def pack_unigram_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(shard, n_docs, total_words, total_pieces, n_bins, fill_pct,
+    word_budget_underestimate_bp): the tokenizer-aware packing
+    scorecard — per shard, bin count and fill under the PIECE budget,
+    plus how far a whitespace-word budget underestimates the piece
+    stream in exact basis points ((total_pieces - total_words) *
+    10000 div total_words — the corpus fertility tax on the training
+    budget, computed with the integer-division parity discipline).
+
+    Same single shard-keyed reduce as pack_efficiency; the underrun
+    column is free (both sums ride the same aggregate)."""
+    per = (
+        _piece_sized_sharded_docs(spark, sf_dir)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum("n_pieces").cast("long").alias("total_pieces"),
+        )
+    )
+    n_bins = (
+        F.floor((F.col("total_pieces") - 1) / PACK_BUDGET) + 1
+    ).cast("long")
+    return per.select(
+        "shard",
+        "n_docs",
+        "total_words",
+        "total_pieces",
+        n_bins.alias("n_bins"),
+        F.round(
+            F.col("total_pieces").cast("double")
+            / (n_bins * F.lit(PACK_BUDGET)).cast("double")
+            * 100.0,
+            4,
+        ).alias("fill_pct"),
+        F.expr(
+            "CAST((total_pieces - total_words) * 10000"
+            " div total_words AS BIGINT)"
+        ).alias("word_budget_underestimate_bp"),
+    )

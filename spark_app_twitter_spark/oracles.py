@@ -888,3 +888,90 @@ SELECT CAST({d} AS INTEGER) AS n_dims,
        CAST({_f(erank)} AS DOUBLE) AS effective_rank
 """
     return _SQL_CACHE[key]
+
+
+def _ug_enc_values(sf_dir: str) -> str:
+    """The literal per-word piece-count relation (sequential Viterbi
+    under the replica-trained unigram probabilities) — shared by the
+    encode, fertility, and tokenizer-aware packing twins."""
+    art = replica_unigram(sf_dir)
+    logp = {p: lp for p, _, lp in art}
+    words = _ug_words(sf_dir)
+    return ",\n  ".join(
+        f"({_s(w)}, {len(_ug_viterbi(w, logp))})" for w in sorted(words)
+    )
+
+
+def _pack_unigram_ctes(sf_dir: str) -> str:
+    from spark_app_twitter_spark.operators.packing import PACK_SHARDS
+
+    return f"""enc(word, np) AS (VALUES
+  {_ug_enc_values(sf_dir)}
+),
+wc AS (
+  SELECT doc_id, word, count(*) AS n
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+  GROUP BY doc_id, word
+),
+sized AS (
+  SELECT doc_id,
+         CAST(sum(n) AS BIGINT) AS n_words,
+         CAST(sum(n * np) AS BIGINT) AS n_pieces,
+         doc_id % {PACK_SHARDS} AS shard
+  FROM wc JOIN enc USING (word)
+  GROUP BY doc_id
+),
+cum AS (
+  SELECT doc_id, shard, n_words, n_pieces,
+         CAST(sum(n_pieces) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) - n_pieces AS start
+  FROM sized
+)"""
+
+
+def pack_unigram_sequences_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Tokenizer-aware packer twin: literal per-word piece counts +
+    the relational half (doc rollup, shard-keyed running cut) as real
+    SQL over the corpus."""
+    key = ("pack_unigram_sequences", sf_dir)
+    if key not in _SQL_CACHE:
+        from spark_app_twitter_spark.operators.packing import PACK_BUDGET
+
+        _SQL_CACHE[key] = f"""
+WITH {_pack_unigram_ctes(sf_dir)}
+SELECT doc_id, shard,
+       CAST(floor(CAST(start AS DOUBLE) / {PACK_BUDGET}) AS BIGINT) AS bin,
+       start % {PACK_BUDGET} AS offset,
+       n_pieces
+FROM cum
+"""
+    return _SQL_CACHE[key]
+
+
+def pack_unigram_efficiency_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    key = ("pack_unigram_efficiency", sf_dir)
+    if key not in _SQL_CACHE:
+        from spark_app_twitter_spark.operators.packing import PACK_BUDGET
+
+        _SQL_CACHE[key] = f"""
+WITH {_pack_unigram_ctes(sf_dir)},
+per AS (
+  SELECT shard,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_words) AS BIGINT) AS total_words,
+         CAST(sum(n_pieces) AS BIGINT) AS total_pieces
+  FROM sized GROUP BY shard
+)
+SELECT shard, n_docs, total_words, total_pieces,
+       CAST(floor((total_pieces - 1) / {PACK_BUDGET}) + 1 AS BIGINT)
+         AS n_bins,
+       round(CAST(total_pieces AS DOUBLE)
+             / CAST((floor((total_pieces - 1) / {PACK_BUDGET}) + 1)
+                    * {PACK_BUDGET} AS DOUBLE) * 100.0, 4) AS fill_pct,
+       CAST((total_pieces - total_words) * 10000
+            // total_words AS BIGINT) AS word_budget_underestimate_bp
+FROM per
+"""
+    return _SQL_CACHE[key]
