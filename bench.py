@@ -162,6 +162,10 @@ HEADLINE = [
     "dedup_dup_spans",
     "dedup_span_rewrite",
     "sim_embedding_whiten",
+    # r15 additions: URL canonical dedup, tokenizer-aware packing
+    # (unigram artifact pre-warmed under model_seconds)
+    "dedup_url_canonical",
+    "pack_unigram_sequences",
 ]
 
 
@@ -176,6 +180,59 @@ HEADLINE = [
 # annotation records both the gate verdict and the waited seconds.
 LOAD_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_LOADGATE", "2.0"))
 LOAD_WAIT_MAX = int(os.environ.get("SPARK_GRAFT_BENCH_LOADWAIT", "180"))
+
+
+def _host_jiffies() -> tuple[int, int]:
+    """(total, busy) jiffies across all cpus since boot — busy
+    excludes idle+iowait."""
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    total = sum(vals)
+    busy = total - vals[3] - vals[4]
+    return total, busy
+
+
+def _tree_jiffies() -> int:
+    """utime+stime jiffies of THIS process tree (driver + the JVM it
+    spawned + python workers) — subtracting it from host busy gives
+    EXTERNAL load, the signal loadavg can't provide mid-run because
+    the bench's own 32 task threads dominate the run queue (VERDICT
+    r14 item 8: the load gate samples before the run; contention that
+    arrives mid-run needs a per-query instrument)."""
+    me = os.getpid()
+    ppid: dict[int, int] = {}
+    jf: dict[int, int] = {}
+    for p in os.listdir("/proc"):
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/stat") as f:
+                s = f.read()
+            fields = s[s.rindex(")") + 2:].split()
+            ppid[int(p)] = int(fields[1])
+            jf[int(p)] = int(fields[11]) + int(fields[12])
+        except (OSError, ValueError):
+            continue
+
+    def mine(pid: int) -> bool:
+        seen = 0
+        while pid > 1 and seen < 64:
+            if pid == me:
+                return True
+            pid = ppid.get(pid, 0)
+            seen += 1
+        return False
+
+    return sum(v for p, v in jf.items() if mine(p))
+
+
+# External-busy share above which a headline query re-runs once at
+# the end of the loop (recording both samples). 8% of 32 cpus ~ 2.5
+# cores of foreign work — the same magnitude the LOAD_GATE screens
+# for at start.
+EXT_BUSY_PCT_GATE = float(
+    os.environ.get("SPARK_GRAFT_BENCH_EXTPCT", "8.0")
+)
 
 
 def _await_quiet_host() -> dict:
@@ -271,11 +328,39 @@ def main() -> None:
     model_times["kmeans_flat_train"] = round(time.perf_counter() - t0, 3)
 
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
+    ext_pct: dict[str, float] = {}
+    contended_reruns: dict[str, dict] = {}
+
+    def _timed(name, fn):
+        ht0, hb0 = _host_jiffies()
+        tj0 = _tree_jiffies()
         t0 = time.perf_counter()
         fn(spark, SF_DIR).count()
-        times[name] = round(time.perf_counter() - t0, 3)
+        dt = time.perf_counter() - t0
+        ht1, hb1 = _host_jiffies()
+        tj1 = _tree_jiffies()
+        total_d = max(1, ht1 - ht0)
+        foreign = max(0, (hb1 - hb0) - (tj1 - tj0))
+        return round(dt, 3), round(100.0 * foreign / total_d, 2)
+
+    for name in HEADLINE:
+        times[name], ext_pct[name] = _timed(name, qs[name])
+
+    # per-query contention re-run (VERDICT r14 item 8): a spike that
+    # arrives mid-run inflates single queries 3-6x (r14's driver
+    # bench: knn_ivf_quantized 18.5 s vs 3.0 s quiet) while the
+    # start-of-run gate reads clean. Re-measure any query whose
+    # EXTERNAL busy share exceeded the gate; keep the quieter sample.
+    for name in [n for n in HEADLINE if ext_pct[n] > EXT_BUSY_PCT_GATE]:
+        re_t, re_ext = _timed(name, qs[name])
+        contended_reruns[name] = {
+            "first_sec": times[name],
+            "first_ext_pct": ext_pct[name],
+            "rerun_sec": re_t,
+            "rerun_ext_pct": re_ext,
+        }
+        if re_ext <= ext_pct[name]:
+            times[name], ext_pct[name] = re_t, re_ext
 
     # Non-headline: REAL numpy models through both seams at bench
     # scale (VERDICT r02 item 4) — proves "model under load", kept
@@ -367,6 +452,9 @@ def main() -> None:
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "query_external_busy_pct": ext_pct,
+        "contended_reruns": contended_reruns,
+        "ext_busy_pct_gate": EXT_BUSY_PCT_GATE,
         "ab_control": ab_full,
         "model_seconds": model_times,
         "ivf_train_seconds": ivf_train_seconds,
