@@ -527,9 +527,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_lsh_multi": similarity.knn_lsh_multi,
         "multimodal_media_features": multimodal.media_features,
     }
-    ordered = {name: q.pop(name) for name in _R14_WINDOW}
+    ordered = {name: q.pop(name) for name in _R15_WINDOW}
     ordered.update(q)
     return ordered
+
+
+# The round-15 driver verification window (VERDICT r14 item 1 + the
+# standing rotation contract), in priority order:
+#   (a) never-attested: the six r14 additions (repetition battery,
+#       topic terms, dup spans + rewrite, funnel v5, whitening) and
+#       the four r15 additions (URL canonical dedup + host stats,
+#       tokenizer-aware packing pair);
+#   (b) code changed in round 15, incl. consumers:
+#       - both streaming replay twins re-attest (reusable state dir +
+#         session-cached serve, r14 ADVICE items 2-3);
+#       - sim_knn_ivf re-attests as the two-level family seed for the
+#         _arrow_fine_assign NaN-slice fix (the fix sits above the
+#         gate-scale k switch; attestation pins that);
+#       - sim_cluster_topic_terms (DECIMAL lift) is already in (a);
+#         pipeline_funnel_v5 (quality_floor_from_state seam) too;
+#   (c) the 26 r09-attested rows — the whole cohort fits, closing the
+#       r14 target "no attestation older than r10" one round late
+#       for the leftovers and on time for everything else;
+#   (d) fill to 50 with the head of the r10 cohort.
+_R15_WINDOW = (
+    # (a) never attested
+    "text_repetition_rules",
+    "sim_cluster_topic_terms",
+    "dedup_dup_spans",
+    "dedup_span_rewrite",
+    "pipeline_funnel_v5",
+    "sim_embedding_whiten",
+    "dedup_url_canonical",
+    "dedup_url_host_stats",
+    "pack_unigram_sequences",
+    "pack_unigram_efficiency",
+    # (b) changed this round + consumers/family
+    "stream_quota_state_sample",
+    "stream_quality_floor_state",
+    "sim_knn_ivf",
+    # (c) the 26 r09-attested rows
+    "multimodal_chunk_dedup",
+    "serving_funnel_conversion",
+    "serving_new_vs_returning",
+    "serving_time_to_convert",
+    "serving_weekly_active",
+    "sim_centroid_classifier_eval",
+    "sim_coreset_kcenter",
+    "sim_embedding_dim_stats",
+    "sim_knn_label_purity",
+    "sim_knn_quantized",
+    "sim_mmr_rerank",
+    "sim_mmr_rerank_ivf",
+    "sim_quantize_embeddings",
+    "sketch_kmv_source_overlap",
+    "text_common_ngrams",
+    "text_doc_fingerprint",
+    "text_length_histogram",
+    "text_quality_rules",
+    "text_rare_token_ratio",
+    "text_redact",
+    "tpch_q1_incremental",
+    "tpch_q1_retraction",
+    "tpch_q3_incremental",
+    "tpch_q3_retraction",
+    "versioning_scd2",
+    "versioning_scd2_pit",
+    # (d) fill from the r10 cohort head
+    "agg_salted_event_totals",
+    "asof_purchases_last_click",
+    "graph_modularity",
+    "layout_zorder_events",
+    "multimodal_audio_chunks",
+    "multimodal_media_features",
+    "multimodal_resize_images",
+    "pack_curriculum_shards",
+    "pack_shuffle_export",
+    "range_clicks_near_errors",
+    "range_errors_near_purchases",
+)
 
 
 # The round-14 driver verification window (VERDICT r13 item 1 + the
