@@ -410,6 +410,16 @@ STRESS_QUERIES = [
     # bounded covariance train (the pca shape; noop-measure to defeat
     # projection pruning)
     "sim_embedding_whiten",
+    # r15: URL canonical dedup — map-only regex canonicalization +
+    # one canon-keyed combine; the replication fixture shifts doc_id
+    # so canonical pages REALLY multiply (no accidental collapse)
+    "dedup_url_canonical",
+    "dedup_url_host_stats",
+    # r15: tokenizer-aware packing — the unigram vocab-trick join +
+    # one shard-keyed running window; replicas multiply the doc
+    # stream while the distinct-word table stays vocab-bounded
+    "pack_unigram_sequences",
+    "pack_unigram_efficiency",
 ]
 
 
