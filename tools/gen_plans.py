@@ -88,6 +88,8 @@ SHOWCASE = [
     ("text_semdecon_sensitivity", "r11 threshold-sensitivity audit: ONE pass over the uncapped intra-cell pair relation; the 8-row grid broadcasts and map-side combine collapses each task to |grid| groups"),
     ("text_decon_screen_agreement", "r11 screen agreement: two bounded screens full-outer joined on doc_id, then a 3-class rollup — composition adds one keyed exchange"),
     ("dedup_soft_weights", "r11 soft dedup: the O(n) cluster chain + one cluster-keyed count/join pair on the SAME key (the join reuses the count's partitioning)"),
+    ("dedup_url_canonical", "r15 URL dedup: map-only regex canonicalization inside codegen + ONE canon-keyed partial-combined exchange"),
+    ("pack_unigram_sequences", "r15 tokenizer-aware packer: vocab-bounded Viterbi broadcast join + doc reduce + one shard-keyed running window"),
 ]
 
 
