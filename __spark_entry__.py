@@ -150,6 +150,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # packer's underestimate (the fertility tax)
         "pack_unigram_sequences": packing.pack_unigram_sequences,
         "pack_unigram_efficiency": packing.pack_unigram_efficiency,
+        # r15: exact-fill rollover packing (docs SPLIT at sequence
+        # boundaries — every bin but a shard's last holds exactly
+        # PACK_BUDGET pieces) + its published fill audit
+        "pack_rollover_segments": packing.pack_rollover_segments,
+        "pack_rollover_fill": packing.pack_rollover_fill,
         # --- R8-0. added or rerouted in round 8 (VERDICT r07 items
         # 3-4): the O(n) cluster-routed near-dup family — capped pair
         # emission (star-from-representative above CLIQUE_CAP-member
@@ -562,6 +567,8 @@ _R15_WINDOW = (
     "dedup_url_host_stats",
     "pack_unigram_sequences",
     "pack_unigram_efficiency",
+    "pack_rollover_segments",
+    "pack_rollover_fill",
     # (b) changed this round + consumers/family
     "stream_quota_state_sample",
     "stream_quality_floor_state",
@@ -603,8 +610,6 @@ _R15_WINDOW = (
     "multimodal_resize_images",
     "pack_curriculum_shards",
     "pack_shuffle_export",
-    "range_clicks_near_errors",
-    "range_errors_near_purchases",
 )
 
 
@@ -1189,6 +1194,8 @@ def _trained_oracles() -> dict[str, str]:
             "pack_unigram_efficiency": (
                 oracles.pack_unigram_efficiency_sql()
             ),
+            "pack_rollover_segments": oracles.pack_rollover_segments_sql(),
+            "pack_rollover_fill": oracles.pack_rollover_fill_sql(),
             "text_unigram_prune": oracles.unigram_prune_sql(),
             "sim_embedding_isotropy": oracles.embedding_isotropy_sql(),
             "sim_embedding_whiten": oracles.embedding_whiten_sql(),

@@ -619,3 +619,109 @@ def pack_unigram_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div total_words AS BIGINT)"
         ).alias("word_budget_underestimate_bp"),
     )
+
+
+def pack_rollover_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shard, bin, bin_offset, doc_offset, seg_pieces):
+    EXACT-FILL tokenizer-aware packing — the concat-then-cut stream in
+    trained-unigram piece units with documents SPLIT at bin
+    boundaries (rollover), so every training sequence except a
+    shard's last holds exactly PACK_BUDGET pieces. This is the shape
+    a real training export ships (GPT-style document packing with
+    cross-boundary continuation), where pack_unigram_sequences is the
+    whole-doc-placement variant.
+
+    A doc occupying piece interval [start, start+n) emits one row per
+    bin it overlaps: bin_offset = where the segment starts inside the
+    bin, doc_offset = how many of the doc's pieces earlier bins
+    already consumed, seg_pieces = the piece count landing here.
+
+    Scale shape: the same vocab-bounded sizing join + ONE shard-keyed
+    running window, then a map-side explode over
+    sequence(first_bin, last_bin) — output rows = total_pieces/BUDGET
+    + n_docs, i.e. input-linear with no new exchange after the
+    window. Nothing is corpus^2 and the explode bound per doc is
+    ceil(n_pieces/BUDGET) + 1."""
+    docs = _piece_sized_sharded_docs(spark, sf_dir)
+    start = _shard_start("n_pieces")
+    sized = docs.select(
+        "doc_id", "shard", "n_pieces", start.alias("start")
+    )
+    b = PACK_BUDGET
+    return sized.selectExpr(
+        "doc_id",
+        "shard",
+        "n_pieces",
+        "start",
+        f"explode(sequence(CAST(start div {b} AS BIGINT),"
+        f" CAST((start + n_pieces - 1) div {b} AS BIGINT))) AS bin",
+    ).selectExpr(
+        "doc_id",
+        "shard",
+        "bin",
+        f"CAST(greatest(start, bin * {b}) - bin * {b} AS BIGINT)"
+        " AS bin_offset",
+        f"CAST(greatest(start, bin * {b}) - start AS BIGINT)"
+        " AS doc_offset",
+        f"CAST(least(start + n_pieces, (bin + 1) * {b})"
+        f" - greatest(start, bin * {b}) AS BIGINT) AS seg_pieces",
+    )
+
+
+def pack_rollover_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(shard, n_bins, full_bins, n_segments, split_docs,
+    last_fill_pieces): the exact-fill audit for
+    :func:`pack_rollover_segments` — every bin but the shard's last
+    must hold exactly PACK_BUDGET pieces (full_bins = n_bins - 1 by
+    construction; publishing the audit makes the invariant a
+    monitored contract instead of a code comment), plus how many
+    segments and boundary-split docs the export carries.
+
+    One (shard, bin) reduce over the segment stream + a |shards|
+    rollup."""
+    segs = pack_rollover_segments(spark, sf_dir)
+    per_bin = segs.groupBy("shard", "bin").agg(
+        F.sum("seg_pieces").cast("long").alias("fill"),
+        F.count(F.lit(1)).cast("long").alias("n_segs"),
+    )
+    rollup = per_bin.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum(F.when(F.col("fill") == PACK_BUDGET, 1).otherwise(0))
+        .cast("long")
+        .alias("full_bins"),
+        F.sum("n_segs").cast("long").alias("n_segments"),
+        F.max("bin").alias("_last_bin"),
+    )
+    # keep only the last bin's fill per shard (broadcast |shards| keys)
+    last_fill = (
+        per_bin.join(
+            F.broadcast(
+                rollup.select(
+                    "shard", F.col("_last_bin").alias("bin")
+                )
+            ),
+            ["shard", "bin"],
+        )
+        .select("shard", F.col("fill").alias("last_fill_pieces"))
+    )
+    split_docs = (
+        segs.groupBy("shard", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).cast("long").alias("split_docs"))
+    )
+    return (
+        rollup.drop("_last_bin")
+        .join(last_fill, "shard")
+        .join(split_docs, "shard", "left")
+        .na.fill({"split_docs": 0})
+        .select(
+            "shard",
+            "n_bins",
+            "full_bins",
+            "n_segments",
+            "split_docs",
+            "last_fill_pieces",
+        )
+    )

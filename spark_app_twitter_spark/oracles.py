@@ -975,3 +975,81 @@ SELECT shard, n_docs, total_words, total_pieces,
 FROM per
 """
     return _SQL_CACHE[key]
+
+
+def pack_rollover_segments_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Exact-fill rollover packer twin: the piece-sized cum CTE +
+    a generate_series explode over each doc's bin span."""
+    key = ("pack_rollover_segments", sf_dir)
+    if key not in _SQL_CACHE:
+        from spark_app_twitter_spark.operators.packing import PACK_BUDGET
+
+        b = PACK_BUDGET
+        _SQL_CACHE[key] = f"""
+WITH {_pack_unigram_ctes(sf_dir)},
+spans AS (
+  SELECT doc_id, shard, n_pieces, start,
+         unnest(generate_series(start // {b},
+                                (start + n_pieces - 1) // {b})) AS bin
+  FROM cum
+)
+SELECT doc_id, shard, CAST(bin AS BIGINT) AS bin,
+       CAST(greatest(start, bin * {b}) - bin * {b} AS BIGINT)
+         AS bin_offset,
+       CAST(greatest(start, bin * {b}) - start AS BIGINT) AS doc_offset,
+       CAST(least(start + n_pieces, (bin + 1) * {b})
+            - greatest(start, bin * {b}) AS BIGINT) AS seg_pieces
+FROM spans
+"""
+    return _SQL_CACHE[key]
+
+
+def pack_rollover_fill_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    key = ("pack_rollover_fill", sf_dir)
+    if key not in _SQL_CACHE:
+        from spark_app_twitter_spark.operators.packing import PACK_BUDGET
+
+        b = PACK_BUDGET
+        _SQL_CACHE[key] = f"""
+WITH {_pack_unigram_ctes(sf_dir)},
+spans AS (
+  SELECT doc_id, shard, n_pieces, start,
+         unnest(generate_series(start // {b},
+                                (start + n_pieces - 1) // {b})) AS bin
+  FROM cum
+),
+segs AS (
+  SELECT doc_id, shard, bin,
+         least(start + n_pieces, (bin + 1) * {b})
+           - greatest(start, bin * {b}) AS seg_pieces
+  FROM spans
+),
+per_bin AS (
+  SELECT shard, bin,
+         CAST(sum(seg_pieces) AS BIGINT) AS fill,
+         CAST(count(*) AS BIGINT) AS n_segs
+  FROM segs GROUP BY shard, bin
+),
+rollup AS (
+  SELECT shard,
+         CAST(count(*) AS BIGINT) AS n_bins,
+         CAST(sum(CASE WHEN fill = {b} THEN 1 ELSE 0 END) AS BIGINT)
+           AS full_bins,
+         CAST(sum(n_segs) AS BIGINT) AS n_segments,
+         max(bin) AS last_bin
+  FROM per_bin GROUP BY shard
+),
+sd AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS split_docs
+  FROM (SELECT shard, doc_id FROM segs GROUP BY shard, doc_id
+        HAVING count(*) > 1)
+  GROUP BY shard
+)
+SELECT r.shard, r.n_bins, r.full_bins, r.n_segments,
+       COALESCE(sd.split_docs, CAST(0 AS BIGINT)) AS split_docs,
+       p.fill AS last_fill_pieces
+FROM rollup r
+JOIN per_bin p ON p.shard = r.shard AND p.bin = r.last_bin
+LEFT JOIN sd ON sd.shard = r.shard
+"""
+    return _SQL_CACHE[key]

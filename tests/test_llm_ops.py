@@ -5652,3 +5652,71 @@ def test_pack_unigram_efficiency_parity_and_fertility_tax(spark, sf_dir):
         assert 0 < r.fill_pct <= 100.0
     # the tax must be visible somewhere or the scorecard is vacuous
     assert any(r.word_budget_underestimate_bp > 0 for r in rows)
+
+
+def test_pack_rollover_exact_fill_invariant(spark, sf_dir):
+    """r15: rollover packing matches its oracle AND holds the
+    exact-fill contract — within every shard, each bin except the
+    last sums to exactly PACK_BUDGET pieces, segments of one doc are
+    contiguous (doc_offset resumes where the previous bin stopped),
+    and the segment stream reassembles every doc's full piece
+    count."""
+    from spark_app_twitter_spark.operators import packing
+    from spark_app_twitter_spark import oracles
+
+    assert_parity(
+        packing.pack_rollover_segments(spark, sf_dir),
+        oracles.pack_rollover_segments_sql(sf_dir),
+        sf_dir,
+        "pack_rollover_segments",
+    )
+    segs = packing.pack_rollover_segments(spark, sf_dir).collect()
+    b = packing.PACK_BUDGET
+    fill: dict = {}
+    per_doc: dict = {}
+    for r in segs:
+        assert 0 < r.seg_pieces <= b and 0 <= r.bin_offset < b
+        fill.setdefault(r.shard, {}).setdefault(r.bin, 0)
+        fill[r.shard][r.bin] += r.seg_pieces
+        per_doc.setdefault((r.shard, r.doc_id), []).append(
+            (r.bin, r.doc_offset, r.seg_pieces)
+        )
+    for shard, bins in fill.items():
+        last = max(bins)
+        for bin_, f in bins.items():
+            if bin_ != last:
+                assert f == b, (shard, bin_, f)
+        assert 0 < bins[last] <= b
+    for (_, doc), parts in per_doc.items():
+        parts.sort()
+        off = 0
+        for i, (bin_, doff, n) in enumerate(parts):
+            assert doff == off, (doc, parts)
+            if i > 0:
+                assert bin_ == parts[i - 1][0] + 1  # contiguous bins
+            off += n
+    # reassembly: total pieces per doc equals the sizing relation
+    enc = {
+        r.doc_id: r.n_pieces
+        for r in packing._piece_sized_sharded_docs(spark, sf_dir).collect()
+    }
+    got = {}
+    for (_, doc), parts in per_doc.items():
+        got[doc] = sum(n for _, _, n in parts)
+    assert got == enc
+
+
+def test_pack_rollover_fill_parity(spark, sf_dir):
+    from spark_app_twitter_spark.operators import packing
+    from spark_app_twitter_spark import oracles
+
+    assert_parity(
+        packing.pack_rollover_fill(spark, sf_dir),
+        oracles.pack_rollover_fill_sql(sf_dir),
+        sf_dir,
+        "pack_rollover_fill",
+    )
+    rows = packing.pack_rollover_fill(spark, sf_dir).collect()
+    for r in rows:
+        assert r.full_bins >= r.n_bins - 1
+        assert 0 < r.last_fill_pieces <= packing.PACK_BUDGET

@@ -420,6 +420,10 @@ STRESS_QUERIES = [
     # stream while the distinct-word table stays vocab-bounded
     "pack_unigram_sequences",
     "pack_unigram_efficiency",
+    # r15: exact-fill rollover — the piece window + a map-side
+    # sequence explode (output = pieces/BUDGET + docs, input-linear)
+    "pack_rollover_segments",
+    "pack_rollover_fill",
 ]
 
 
