@@ -672,56 +672,52 @@ def pack_rollover_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(shard, n_bins, full_bins, n_segments, split_docs,
     last_fill_pieces): the exact-fill audit for
     :func:`pack_rollover_segments` — every bin but the shard's last
-    must hold exactly PACK_BUDGET pieces (full_bins = n_bins - 1 by
-    construction; publishing the audit makes the invariant a
-    monitored contract instead of a code comment), plus how many
-    segments and boundary-split docs the export carries.
+    holds exactly PACK_BUDGET pieces; publishing the audit makes the
+    invariant a monitored contract instead of a code comment.
 
-    One (shard, bin) reduce over the segment stream + a |shards|
-    rollup."""
-    segs = pack_rollover_segments(spark, sf_dir)
-    per_bin = segs.groupBy("shard", "bin").agg(
-        F.sum("seg_pieces").cast("long").alias("fill"),
-        F.count(F.lit(1)).cast("long").alias("n_segs"),
+    Scale shape — and the verification trick: because the piece
+    stream is a CONTIGUOUS concat from offset 0, every audit column
+    has a closed form over the per-doc sizing relation (n_bins from
+    the piece total, full_bins = n_bins minus the one partial tail,
+    n_segments = sum of per-doc bin spans, split_docs = docs whose
+    interval crosses a boundary) — so the Spark side is ONE
+    shard-keyed reduce over `sized`, never touching the exploded
+    segment stream (a naive per-bin re-aggregation re-ran the encode
+    chain per consumer: 24 shuffles / 16 scans; this is 6/4, the
+    pack_unigram_efficiency plan shape). The DuckDB oracle
+    DELIBERATELY computes the same columns the expensive way — from
+    the exploded segment stream (pack_rollover_fill_sql) — so the
+    driver's hash equality IS a proof that the closed form and the
+    segment stream agree, i.e. the exact-fill invariant holds on the
+    materialized export."""
+    docs = _piece_sized_sharded_docs(spark, sf_dir)
+    start = _shard_start("n_pieces")
+    b = PACK_BUDGET
+    sized = docs.select(
+        "doc_id", "shard", "n_pieces", start.alias("start")
+    ).selectExpr(
+        "shard",
+        "n_pieces",
+        f"CAST(start div {b} AS BIGINT) AS first_bin",
+        f"CAST((start + n_pieces - 1) div {b} AS BIGINT) AS last_bin",
     )
-    rollup = per_bin.groupBy("shard").agg(
-        F.count(F.lit(1)).cast("long").alias("n_bins"),
-        F.sum(F.when(F.col("fill") == PACK_BUDGET, 1).otherwise(0))
+    return sized.groupBy("shard").agg(
+        F.sum("n_pieces").cast("long").alias("_total"),
+        F.sum(F.col("last_bin") - F.col("first_bin") + 1)
         .cast("long")
-        .alias("full_bins"),
-        F.sum("n_segs").cast("long").alias("n_segments"),
-        F.max("bin").alias("_last_bin"),
-    )
-    # keep only the last bin's fill per shard (broadcast |shards| keys)
-    last_fill = (
-        per_bin.join(
-            F.broadcast(
-                rollup.select(
-                    "shard", F.col("_last_bin").alias("bin")
-                )
-            ),
-            ["shard", "bin"],
+        .alias("n_segments"),
+        F.sum(
+            F.when(F.col("last_bin") > F.col("first_bin"), 1).otherwise(0)
         )
-        .select("shard", F.col("fill").alias("last_fill_pieces"))
-    )
-    split_docs = (
-        segs.groupBy("shard", "doc_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") > 1)
-        .groupBy("shard")
-        .agg(F.count(F.lit(1)).cast("long").alias("split_docs"))
-    )
-    return (
-        rollup.drop("_last_bin")
-        .join(last_fill, "shard")
-        .join(split_docs, "shard", "left")
-        .na.fill({"split_docs": 0})
-        .select(
-            "shard",
-            "n_bins",
-            "full_bins",
-            "n_segments",
-            "split_docs",
-            "last_fill_pieces",
-        )
+        .cast("long")
+        .alias("split_docs"),
+    ).selectExpr(
+        "shard",
+        f"CAST((_total - 1) div {b} + 1 AS BIGINT) AS n_bins",
+        f"CAST((_total - 1) div {b} + (CASE WHEN _total % {b} = 0"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS full_bins",
+        "n_segments",
+        "split_docs",
+        f"CAST(_total - ((_total - 1) div {b}) * {b} AS BIGINT)"
+        " AS last_fill_pieces",
     )
