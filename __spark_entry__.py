@@ -135,6 +135,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_rewrite": dedup.span_dedup_rewrite,
         # capstone v5: v4 + the repetition gate composed in
         "pipeline_funnel_v5": jobs.pipeline_funnel_v5,
+        # r15 capstone: the v5 survivors tokenized (trained unigram
+        # vocab) and exact-fill rollover-packed — the per-shard
+        # export manifest a pretraining run actually consumes; the
+        # oracle recomputes the audit the expensive way (segment
+        # stream), proving the closed form on the filtered corpus
+        "pipeline_pretrain_export": jobs.pipeline_pretrain_export,
         # PCA whitening serve (the isotropy FIX); literal-artifact
         # oracle like sim_embedding_pca; unattested, heads r15
         "sim_embedding_whiten": similarity.embedding_whiten,
@@ -541,8 +547,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # standing rotation contract), in priority order:
 #   (a) never-attested: the six r14 additions (repetition battery,
 #       topic terms, dup spans + rewrite, funnel v5, whitening) and
-#       the four r15 additions (URL canonical dedup + host stats,
-#       tokenizer-aware packing pair);
+#       the seven r15 additions (URL canonical dedup + host stats,
+#       tokenizer-aware packing pair, rollover pair, and the
+#       pretrain-export manifest capstone);
 #   (b) code changed in round 15, incl. consumers:
 #       - both streaming replay twins re-attest (reusable state dir +
 #         session-cached serve, r14 ADVICE items 2-3);
@@ -569,6 +576,7 @@ _R15_WINDOW = (
     "pack_unigram_efficiency",
     "pack_rollover_segments",
     "pack_rollover_fill",
+    "pipeline_pretrain_export",
     # (b) changed this round + consumers/family
     "stream_quota_state_sample",
     "stream_quality_floor_state",
@@ -609,7 +617,6 @@ _R15_WINDOW = (
     "multimodal_media_features",
     "multimodal_resize_images",
     "pack_curriculum_shards",
-    "pack_shuffle_export",
 )
 
 
@@ -1227,6 +1234,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_url_canonical": dedup.URL_CANONICAL_DEDUP_SQL,
         "dedup_url_host_stats": dedup.URL_HOST_STATS_SQL,
         "pipeline_funnel_v5": jobs.PIPELINE_FUNNEL_V5_SQL,
+        "pipeline_pretrain_export": jobs._pipeline_pretrain_export_sql(),
         "dedup_lsh_clusters": dedup.LSH_CLUSTERS_SQL,
         "dedup_minhash_lsh_pairs_capped": dedup.MINHASH_LSH_PAIRS_CAPPED_SQL,
         "dedup_split_leakage_pairs": dedup.SPLIT_LEAKAGE_PAIRS_SQL,

@@ -893,3 +893,183 @@ cn AS MATERIALIZED ("""
 
 
 PIPELINE_FUNNEL_V5_SQL = _pipeline_funnel_v5_sql()
+
+
+def pipeline_pretrain_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(shard, n_docs, split_docs, n_bins, full_bins, total_words,
+    total_pieces, last_fill_pieces, fertility_bp): the end-to-end
+    PRETRAINING EXPORT MANIFEST — the v5 funnel's surviving DISTINCT
+    docs tokenized under the trained unigram vocabulary and
+    exact-fill rollover-packed into PACK_BUDGET-piece training
+    sequences, reported per output shard. This is the capstone a
+    reference user actually ships: curation (dedup + semantic +
+    quality floor + topic quota + repetition + decontamination)
+    composed with tokenization and sequence packing in ONE lineage,
+    so the manifest row count, fill, and fertility all describe the
+    corpus that really trains.
+
+    Scale shape: the funnel's bounded semi-join stack (each gate a
+    checkpointed key relation) feeds ONE distinct on doc_id; the
+    unigram encode's vocabulary-trick join sizes survivors only
+    (Viterbi once per distinct word, vocab-bounded broadcast); then
+    the rollover CLOSED FORM — one shard-keyed running window and
+    one shard reduce, never materializing the exploded segment
+    stream. No stage is corpus^2; the widest exchange is the
+    (doc_id, word) count the encode already pays.
+
+    Oracle: the v5 survivor CTE chain composed with the literal
+    per-word piece relation, packing survivors only — and the audit
+    columns computed the EXPENSIVE way (generate_series segment
+    explosion, per-bin re-aggregation), so the driver's hash
+    equality proves the closed form and the materialized segment
+    stream agree on the filtered corpus (the pack_rollover_fill
+    verification trick, now end-to-end).
+    """
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.operators.packing import (
+        PACK_BUDGET,
+        PACK_SHARDS,
+        _shard_start,
+    )
+    from spark_app_twitter_spark.operators.unigram import unigram_encode
+
+    f = _v5_stage_frames(spark, sf_dir)
+    surv_docs = (
+        _v5_survivors({**f, "ep": f["ep"].select("doc_id", "epoch")})
+        .select("doc_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sized = (
+        unigram_encode(spark, sf_dir)
+        .join(surv_docs, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_pieces",
+            (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        )
+    )
+    b = PACK_BUDGET
+    start = _shard_start("n_pieces")
+    spans = sized.select(
+        "doc_id", "shard", "n_words", "n_pieces", start.alias("start")
+    ).selectExpr(
+        "shard",
+        "n_words",
+        "n_pieces",
+        f"CAST(start div {b} AS BIGINT) AS first_bin",
+        f"CAST((start + n_pieces - 1) div {b} AS BIGINT) AS last_bin",
+    )
+    return (
+        spans.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("last_bin") > F.col("first_bin"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("split_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum("n_pieces").cast("long").alias("_total"),
+        )
+        .selectExpr(
+            "shard",
+            "n_docs",
+            "split_docs",
+            f"CAST((_total - 1) div {b} + 1 AS BIGINT) AS n_bins",
+            f"CAST((_total - 1) div {b} + (CASE WHEN _total % {b} = 0"
+            " THEN 1 ELSE 0 END) AS BIGINT) AS full_bins",
+            "total_words",
+            "CAST(_total AS BIGINT) AS total_pieces",
+            f"CAST(_total - ((_total - 1) div {b}) * {b} AS BIGINT)"
+            " AS last_fill_pieces",
+            "CAST((_total - total_words) * 10000 div total_words"
+            " AS BIGINT) AS fertility_bp",
+        )
+    )
+
+
+_PRETRAIN_EXPORT_SQL_CACHE: dict = {}
+
+
+def _pipeline_pretrain_export_sql(sf_dir: str | None = None) -> str:
+    """Compose: v5 survivor CTE body + survivor-filtered pack CTEs +
+    the expensive segment-stream verification aggregate. Memoized
+    per sf_dir — the literal enc(word, np) relation replays
+    sequential Viterbi over the corpus vocabulary once per process.
+    Only the enc literal is sf-dependent; every other CTE is
+    relational over the pre-registered views."""
+    from spark_app_twitter_spark.operators.packing import PACK_BUDGET
+    from spark_app_twitter_spark.oracles import (
+        ORACLE_SF_DIR,
+        _pack_unigram_ctes,
+    )
+
+    sf_dir = sf_dir or ORACLE_SF_DIR
+    if sf_dir in _PRETRAIN_EXPORT_SQL_CACHE:
+        return _PRETRAIN_EXPORT_SQL_CACHE[sf_dir]
+
+    full = _pipeline_funnel_v5_sql()
+    head, sep, _ = full.partition("SELECT 'corpus'")
+    assert sep, "v5 funnel SQL shape changed"
+    body = head.rstrip()
+    assert body.endswith(")")
+    b = PACK_BUDGET
+    pack = _pack_unigram_ctes(
+        sf_dir,
+        doc_where="WHERE doc_id IN (SELECT doc_id FROM survd)",
+    )
+    _PRETRAIN_EXPORT_SQL_CACHE[sf_dir] = f"""{body},
+survd AS MATERIALIZED (SELECT DISTINCT doc_id FROM surv),
+{pack},
+spans AS (
+  SELECT doc_id, shard, n_pieces, start,
+         unnest(generate_series(start // {b},
+                                (start + n_pieces - 1) // {b})) AS bin
+  FROM cum
+),
+segs AS (
+  SELECT doc_id, shard, bin,
+         least(start + n_pieces, (bin + 1) * {b})
+           - greatest(start, bin * {b}) AS seg_pieces
+  FROM spans
+),
+per_bin AS (
+  SELECT shard, bin, CAST(sum(seg_pieces) AS BIGINT) AS fill
+  FROM segs GROUP BY shard, bin
+),
+rollup AS (
+  SELECT shard,
+         CAST(count(*) AS BIGINT) AS n_bins,
+         CAST(sum(CASE WHEN fill = {b} THEN 1 ELSE 0 END) AS BIGINT)
+           AS full_bins,
+         max(bin) AS last_bin
+  FROM per_bin GROUP BY shard
+),
+sd AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS split_docs
+  FROM (SELECT shard, doc_id FROM segs GROUP BY shard, doc_id
+        HAVING count(*) > 1)
+  GROUP BY shard
+),
+words AS (
+  SELECT shard,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_words) AS BIGINT) AS total_words,
+         CAST(sum(n_pieces) AS BIGINT) AS total_pieces
+  FROM sized GROUP BY shard
+)
+SELECT w.shard, w.n_docs,
+       COALESCE(sd.split_docs, CAST(0 AS BIGINT)) AS split_docs,
+       r.n_bins, r.full_bins, w.total_words, w.total_pieces,
+       p.fill AS last_fill_pieces,
+       CAST((w.total_pieces - w.total_words) * 10000
+            // w.total_words AS BIGINT) AS fertility_bp
+FROM words w
+JOIN rollup r USING (shard)
+JOIN per_bin p ON p.shard = r.shard AND p.bin = r.last_bin
+LEFT JOIN sd ON sd.shard = w.shard
+"""
+    return _PRETRAIN_EXPORT_SQL_CACHE[sf_dir]

@@ -902,7 +902,11 @@ def _ug_enc_values(sf_dir: str) -> str:
     )
 
 
-def _pack_unigram_ctes(sf_dir: str) -> str:
+def _pack_unigram_ctes(sf_dir: str, doc_where: str = "") -> str:
+    """The tokenizer-aware packer's shared CTE chain. ``doc_where``
+    optionally restricts the corpus (e.g. to a funnel's survivor set)
+    with a raw SQL predicate over ``documents`` — the export-manifest
+    oracle packs only surviving docs."""
     from spark_app_twitter_spark.operators.packing import PACK_SHARDS
 
     return f"""enc(word, np) AS (VALUES
@@ -911,7 +915,7 @@ def _pack_unigram_ctes(sf_dir: str) -> str:
 wc AS (
   SELECT doc_id, word, count(*) AS n
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-        FROM documents)
+        FROM documents {doc_where})
   GROUP BY doc_id, word
 ),
 sized AS (

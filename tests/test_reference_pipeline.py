@@ -400,3 +400,60 @@ def test_pipeline_funnel_v4_parity_job_agreement_and_composition(
           jobs.pipeline_funnel_v3(spark, sf_dir).collect()}
     assert got["surviving_epoch_rows"] <= v3["surviving_epoch_rows"]
     assert got["surviving_distinct_docs"] <= v3["surviving_distinct_docs"]
+
+
+def test_pipeline_pretrain_export_parity_and_manifest_invariants(
+    spark, sf_dir
+):
+    """The r15 capstone: the export manifest is oracle-exact (the
+    oracle recomputes every audit column from the exploded segment
+    stream, so the hash equality IS the closed-form proof on the
+    survivor-filtered corpus), covers exactly the v5 survivor docs
+    that tokenize to >= 1 piece, and holds the exact-fill accounting
+    (full_bins within one of n_bins, last fill in (0, BUDGET],
+    fertility never negative)."""
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark import jobs
+    from spark_app_twitter_spark.operators import packing
+    from spark_app_twitter_spark.operators.unigram import unigram_encode
+    from tests.parity import assert_parity
+
+    manifest = jobs.pipeline_pretrain_export(spark, sf_dir)
+    assert_parity(
+        manifest,
+        jobs._pipeline_pretrain_export_sql(sf_dir),
+        sf_dir,
+        "pipeline_pretrain_export",
+    )
+    rows = manifest.collect()
+    b = packing.PACK_BUDGET
+    for r in rows:
+        assert 0 <= r.shard < packing.PACK_SHARDS
+        assert r.n_bins - 1 <= r.full_bins <= r.n_bins
+        assert 0 < r.last_fill_pieces <= b
+        assert r.full_bins == r.n_bins - (
+            0 if r.last_fill_pieces == b else 1
+        )
+        assert r.total_pieces >= r.total_words > 0
+        assert r.fertility_bp >= 0
+        assert 0 <= r.split_docs <= r.n_docs
+    # doc accounting: manifest totals equal the survivor-filtered
+    # sizing relation exactly (no doc gained or lost by packing)
+    f = jobs._v5_stage_frames(spark, sf_dir)
+    surv = (
+        jobs._v5_survivors(
+            {**f, "ep": f["ep"].select("doc_id", "epoch")}
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    sized = unigram_encode(spark, sf_dir).join(surv, "doc_id", "left_semi")
+    exp = sized.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_pieces").alias("p"),
+        F.sum("n_words").alias("w"),
+    ).collect()[0]
+    assert sum(r.n_docs for r in rows) == exp.n
+    assert sum(r.total_pieces for r in rows) == exp.p
+    assert sum(r.total_words for r in rows) == exp.w
