@@ -135,7 +135,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_rewrite": dedup.span_dedup_rewrite,
         # capstone v5: v4 + the repetition gate composed in
         "pipeline_funnel_v5": jobs.pipeline_funnel_v5,
-        # r15 capstone: the v5 survivors tokenized (trained unigram
+        # r15: keep-best over the capped O(n) LSH cluster relation —
+        # the 100 TB lexical-representative stage (the exact
+        # ngram-Jaccard chain stays as the named audit twin); funnel
+        # v6 routes its reps stage through this (decomp: the exact
+        # reps stage was 1392 s of 1450 s at the 100x fixture)
+        "dedup_lsh_cluster_best": dedup.lsh_cluster_best,
+        # r15: funnel v6 — v5 with the capped lexical stage
+        "pipeline_funnel_v6": jobs.pipeline_funnel_v6,
+        # r15 capstone: the v6 survivors tokenized (trained unigram
         # vocab) and exact-fill rollover-packed — the per-shard
         # export manifest a pretraining run actually consumes; the
         # oracle recomputes the audit the expensive way (segment
@@ -577,6 +585,8 @@ _R15_WINDOW = (
     "pack_rollover_segments",
     "pack_rollover_fill",
     "pipeline_pretrain_export",
+    "dedup_lsh_cluster_best",
+    "pipeline_funnel_v6",
     # (b) changed this round + consumers/family
     "stream_quota_state_sample",
     "stream_quality_floor_state",
@@ -615,8 +625,6 @@ _R15_WINDOW = (
     "layout_zorder_events",
     "multimodal_audio_chunks",
     "multimodal_media_features",
-    "multimodal_resize_images",
-    "pack_curriculum_shards",
 )
 
 
@@ -1234,6 +1242,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_url_canonical": dedup.URL_CANONICAL_DEDUP_SQL,
         "dedup_url_host_stats": dedup.URL_HOST_STATS_SQL,
         "pipeline_funnel_v5": jobs.PIPELINE_FUNNEL_V5_SQL,
+        "dedup_lsh_cluster_best": dedup.LSH_CLUSTER_BEST_SQL,
+        "pipeline_funnel_v6": jobs.PIPELINE_FUNNEL_V6_SQL,
         "pipeline_pretrain_export": jobs._pipeline_pretrain_export_sql(),
         "dedup_lsh_clusters": dedup.LSH_CLUSTERS_SQL,
         "dedup_minhash_lsh_pairs_capped": dedup.MINHASH_LSH_PAIRS_CAPPED_SQL,

@@ -253,7 +253,9 @@ def prepare_training_corpus_v2(
     }
 
 
-def _v3_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
+def _v3_stage_frames(
+    spark: SparkSession, sf_dir: str, reps_frame: DataFrame | None = None
+) -> dict:
     """ONE definition of the v3 funnel's stage relations, shared by
     the exporting job (prepare_training_corpus_v3) and the attested
     funnel relation (pipeline_funnel_v3) so the two faces cannot
@@ -289,11 +291,15 @@ def _v3_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
     gate = seg.where(
         F.col("n_dropped") * 2 <= F.col("n_segments")
     ).select("doc_id")
+    # reps_frame lets v6 swap in the capped O(n) LSH representative
+    # relation; default stays the exact audit chain (v3-v5 frozen)
     reps = (
-        cluster_best_representatives(spark, sf_dir)
-        .select(F.col("rep_doc_id").alias("doc_id"))
-        .localCheckpoint(eager=True)
-    )
+        reps_frame
+        if reps_frame is not None
+        else cluster_best_representatives(spark, sf_dir).select(
+            F.col("rep_doc_id").alias("doc_id")
+        )
+    ).localCheckpoint(eager=True)
     semk = (
         sem_dedup_cells(spark, sf_dir)
         .where(F.col("keep"))
@@ -531,7 +537,9 @@ PIPELINE_FUNNEL_V3_SQL = _pipeline_funnel_v3_sql()
 # ---------------------------------------------------------------------------
 
 
-def _v4_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
+def _v4_stage_frames(
+    spark: SparkSession, sf_dir: str, reps_frame: DataFrame | None = None
+) -> dict:
     """v3's stage relations PLUS:
 
     qgate — docs at or above their OWN source's quality floor (the
@@ -554,7 +562,7 @@ def _v4_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
     )
     from spark_app_twitter_spark.sources.parquet import load_table
 
-    f = _v3_stage_frames(spark, sf_dir)
+    f = _v3_stage_frames(spark, sf_dir, reps_frame=reps_frame)
     docs = load_table(spark, sf_dir, "documents", spread=True)
     bucket = F.floor(
         quality_score_expr(tokens("text")) * F.lit(QUALITY_FLOOR_GRID)
@@ -759,7 +767,9 @@ UNION ALL SELECT 'surviving_distinct_docs',
 PIPELINE_FUNNEL_V4_SQL = _pipeline_funnel_v4_sql()
 
 
-def _v5_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
+def _v5_stage_frames(
+    spark: SparkSession, sf_dir: str, reps_frame: DataFrame | None = None
+) -> dict:
     """v4's stage relations PLUS rgate — docs passing the r14 Gopher
     n-gram repetition battery (operators/textstats.repetition_rules):
     phrase-spam (one dominant n-gram) and boilerplate (heavy
@@ -769,7 +779,7 @@ def _v5_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
         repetition_rules,
     )
 
-    f = _v4_stage_frames(spark, sf_dir)
+    f = _v4_stage_frames(spark, sf_dir, reps_frame=reps_frame)
     f["rgate"] = (
         repetition_rules(spark, sf_dir)
         .where("passes")
@@ -895,11 +905,94 @@ cn AS MATERIALIZED ("""
 PIPELINE_FUNNEL_V5_SQL = _pipeline_funnel_v5_sql()
 
 
+def _v6_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """v5's stage relations with the LEXICAL REPRESENTATIVE stage
+    routed through the capped O(n) LSH cluster relation
+    (dedup.lsh_cluster_best) instead of the exact ngram-Jaccard CC
+    chain — the 100 TB-ready funnel. Measured motivation
+    (tools/decomp_funnel.py at the 100x near-dup fixture): the exact
+    reps stage was 1,392 s of the funnel's ~1,450 s; every other
+    stage is seconds. The capped chain's star emission is
+    output-linear, so v6 removes the funnel's only super-linear
+    stage while keeping the election rule (keep-best quality,
+    tie-break lowest id) identical."""
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.operators.dedup import lsh_cluster_best
+
+    reps6 = lsh_cluster_best(spark, sf_dir).select(
+        F.col("rep_doc_id").alias("doc_id")
+    )
+    return _v5_stage_frames(spark, sf_dir, reps_frame=reps6)
+
+
+def pipeline_funnel_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(stage, n_docs): the v6 funnel report — v5 with the capped
+    lexical representative stage (see _v6_stage_frames). Same stage
+    names as v5; only the reps relation (and therefore the survivor
+    intersection) changes."""
+    from pyspark.sql import functions as F
+
+    f = _v6_stage_frames(spark, sf_dir)
+    ep = f["ep"].select("doc_id", "epoch")
+    surv = _v5_survivors({**f, "ep": ep}).localCheckpoint(eager=True)
+
+    def row(stage: str, df: DataFrame, expr=None) -> DataFrame:
+        agg = expr if expr is not None else F.count(F.lit(1))
+        return df.agg(agg.cast("long").alias("n_docs")).select(
+            F.lit(stage).alias("stage"), "n_docs"
+        )
+
+    parts = [
+        row("corpus", f["seg"]),
+        row("after_segment_gate", f["gate"]),
+        row("lexical_representatives", f["reps"]),
+        row("semantic_survivors", f["semk"]),
+        row("quality_floor_survivors", f["qgate"]),
+        row("topic_quota_kept", f["quota"]),
+        row("repetition_pass", f["rgate"]),
+        row("contaminated_ngram", f["cn"]),
+        row("contaminated_semantic", f["cs"]),
+        row("epoch_rows", ep),
+        row("surviving_epoch_rows", surv),
+        row(
+            "surviving_distinct_docs",
+            surv,
+            F.count_distinct(F.col("doc_id")),
+        ),
+    ]
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
+
+
+def _pipeline_funnel_v6_sql() -> str:
+    """v5's composed twin with the reps subquery swapped for the
+    capped LSH keep-best SQL — one substitution, so the two funnels
+    cannot drift anywhere else."""
+    from spark_app_twitter_spark.operators.dedup import (
+        CLUSTER_BEST_REPRESENTATIVES_SQL,
+        LSH_CLUSTER_BEST_SQL,
+    )
+
+    base = _pipeline_funnel_v5_sql()
+    assert base.count(CLUSTER_BEST_REPRESENTATIVES_SQL) == 1
+    return base.replace(
+        CLUSTER_BEST_REPRESENTATIVES_SQL, LSH_CLUSTER_BEST_SQL, 1
+    )
+
+
+PIPELINE_FUNNEL_V6_SQL = _pipeline_funnel_v6_sql()
+
+
 def pipeline_pretrain_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(shard, n_docs, split_docs, n_bins, full_bins, total_words,
     total_pieces, last_fill_pieces, fertility_bp): the end-to-end
-    PRETRAINING EXPORT MANIFEST — the v5 funnel's surviving DISTINCT
-    docs tokenized under the trained unigram vocabulary and
+    PRETRAINING EXPORT MANIFEST — the v6 funnel's surviving DISTINCT
+    docs (v5 gates with the capped O(n) lexical representative
+    stage, _v6_stage_frames) tokenized under the trained unigram
+    vocabulary and
     exact-fill rollover-packed into PACK_BUDGET-piece training
     sequences, reported per output shard. This is the capstone a
     reference user actually ships: curation (dedup + semantic +
@@ -917,7 +1010,7 @@ def pipeline_pretrain_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream. No stage is corpus^2; the widest exchange is the
     (doc_id, word) count the encode already pays.
 
-    Oracle: the v5 survivor CTE chain composed with the literal
+    Oracle: the v6 survivor CTE chain composed with the literal
     per-word piece relation, packing survivors only — and the audit
     columns computed the EXPENSIVE way (generate_series segment
     explosion, per-bin re-aggregation), so the driver's hash
@@ -934,7 +1027,7 @@ def pipeline_pretrain_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from spark_app_twitter_spark.operators.unigram import unigram_encode
 
-    f = _v5_stage_frames(spark, sf_dir)
+    f = _v6_stage_frames(spark, sf_dir)
     surv_docs = (
         _v5_survivors({**f, "ep": f["ep"].select("doc_id", "epoch")})
         .select("doc_id")
@@ -995,7 +1088,7 @@ _PRETRAIN_EXPORT_SQL_CACHE: dict = {}
 
 
 def _pipeline_pretrain_export_sql(sf_dir: str | None = None) -> str:
-    """Compose: v5 survivor CTE body + survivor-filtered pack CTEs +
+    """Compose: v6 survivor CTE body + survivor-filtered pack CTEs +
     the expensive segment-stream verification aggregate. Memoized
     per sf_dir — the literal enc(word, np) relation replays
     sequential Viterbi over the corpus vocabulary once per process.
@@ -1011,9 +1104,9 @@ def _pipeline_pretrain_export_sql(sf_dir: str | None = None) -> str:
     if sf_dir in _PRETRAIN_EXPORT_SQL_CACHE:
         return _PRETRAIN_EXPORT_SQL_CACHE[sf_dir]
 
-    full = _pipeline_funnel_v5_sql()
+    full = _pipeline_funnel_v6_sql()
     head, sep, _ = full.partition("SELECT 'corpus'")
-    assert sep, "v5 funnel SQL shape changed"
+    assert sep, "v6 funnel SQL shape changed"
     body = head.rstrip()
     assert body.endswith(")")
     b = PACK_BUDGET

@@ -1751,36 +1751,110 @@ def cluster_best_representatives(
     )
 
 
-def _cluster_best_sql() -> str:
+def _keep_best_tail_sql() -> str:
+    """quality/ranked CTEs + the keep-best rollup over a ``clusters``
+    CTE of (doc_id, cluster_id) — one election rule for the exact and
+    the capped cluster relations."""
     from spark_app_twitter_spark.operators.textstats import (
         quality_score_sql,
     )
 
-    clusters = DEDUP_CLUSTERS_SQL.strip()
-    return f"""
-WITH clusters AS (
-{clusters}
-),
-quality AS (
+    return f""",
+kb_quality AS (
   SELECT doc_id, {quality_score_sql("string_split(text, ' ')")} AS q
   FROM documents
 ),
-ranked AS (
+kb_ranked AS (
   SELECT c.cluster_id, c.doc_id, q.q,
          row_number() OVER (PARTITION BY c.cluster_id
                             ORDER BY q.q DESC, c.doc_id ASC) AS rn
-  FROM clusters c JOIN quality q USING (doc_id)
+  FROM clusters c JOIN kb_quality q USING (doc_id)
 )
 SELECT cluster_id,
        min(CASE WHEN rn = 1 THEN doc_id END) AS rep_doc_id,
        min(CASE WHEN rn = 1 THEN q END) AS rep_quality,
        CAST(count(*) AS BIGINT) AS n_members
-FROM ranked
+FROM kb_ranked
 GROUP BY cluster_id
 """
 
 
+def _cluster_best_sql() -> str:
+    clusters = DEDUP_CLUSTERS_SQL.strip()
+    return (
+        f"""
+WITH clusters AS (
+{clusters}
+)"""
+        + _keep_best_tail_sql()
+    )
+
+
 CLUSTER_BEST_REPRESENTATIVES_SQL = _cluster_best_sql()
+
+
+def lsh_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cluster_id, rep_doc_id, rep_quality, n_members): KEEP-BEST
+    refinement over the CAPPED O(n) LSH cluster relation —
+    :func:`cluster_best_representatives`'s election rule (highest
+    quality score, tie-break lowest doc_id) applied to
+    :func:`lsh_clusters`' labels instead of the exact ngram-Jaccard
+    CC chain.
+
+    This is the 100 TB formulation of the lexical representative
+    stage: the exact chain verifies every candidate PAIR, which is
+    clique-quadratic on near-dup-heavy corpora (measured: reps was
+    1,392 s of the funnel's ~1,450 s at the 100x key-shifted
+    near-dup fixture — tools/decomp_funnel.py), while the capped
+    chain's star emission is output-linear. Funnel v6 composes THIS
+    relation; cluster_best_representatives remains the explicitly-
+    named exact audit twin.
+
+    Scale shape: lsh_clusters' capped edges + fixed-round CC (all
+    doc_id-keyed), one doc_id join onto the map-side quality
+    projection, one cluster-keyed window+rollup.
+    """
+    from spark_app_twitter_spark.functions.text import tokens as _toks
+    from spark_app_twitter_spark.operators.textstats import (
+        quality_score_expr,
+    )
+
+    labels = lsh_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    quality = load_table(spark, sf_dir, "documents").select(
+        "doc_id", quality_score_expr(_toks("text")).alias("q")
+    )
+    scored = labels.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("q"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias(
+                "rep_doc_id"
+            ),
+            F.min(F.when(F.col("rn") == 1, F.col("q"))).alias(
+                "rep_quality"
+            ),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+
+
+def _lsh_cluster_best_sql() -> str:
+    # the first part already carries the WITH prefix (_lsh_prefix_sql)
+    return (
+        ",\n".join(_lsh_clusters_sql_parts())
+        + f""",
+clusters AS (
+  SELECT doc_id, label AS cluster_id FROM l{CC_ITERS}
+)"""
+        + _keep_best_tail_sql()
+    )
+
+
+LSH_CLUSTER_BEST_SQL = _lsh_cluster_best_sql()
 
 
 def cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:

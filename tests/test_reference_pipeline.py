@@ -439,8 +439,9 @@ def test_pipeline_pretrain_export_parity_and_manifest_invariants(
         assert r.fertility_bp >= 0
         assert 0 <= r.split_docs <= r.n_docs
     # doc accounting: manifest totals equal the survivor-filtered
-    # sizing relation exactly (no doc gained or lost by packing)
-    f = jobs._v5_stage_frames(spark, sf_dir)
+    # sizing relation exactly (no doc gained or lost by packing);
+    # the export composes the V6 frames (capped lexical stage)
+    f = jobs._v6_stage_frames(spark, sf_dir)
     surv = (
         jobs._v5_survivors(
             {**f, "ep": f["ep"].select("doc_id", "epoch")}
@@ -457,3 +458,66 @@ def test_pipeline_pretrain_export_parity_and_manifest_invariants(
     assert sum(r.n_docs for r in rows) == exp.n
     assert sum(r.total_pieces for r in rows) == exp.p
     assert sum(r.total_words for r in rows) == exp.w
+
+
+def test_pipeline_funnel_v6_parity_and_capped_reps(spark, sf_dir):
+    """The r15 scale fix: funnel v6 (capped O(n) lexical
+    representative stage) is oracle-exact, its reps row equals the
+    capped keep-best relation's cluster count, the election rule
+    matches the exact audit chain per shared cluster (highest
+    quality, tie lowest doc_id), and the two funnels agree on every
+    stage that does not flow through reps."""
+    from spark_app_twitter_spark import jobs
+    from spark_app_twitter_spark.operators import dedup
+    from tests.parity import assert_parity
+
+    funnel = jobs.pipeline_funnel_v6(spark, sf_dir)
+    assert_parity(
+        funnel, jobs.PIPELINE_FUNNEL_V6_SQL, sf_dir, "pipeline_funnel_v6"
+    )
+    got = {r.stage: r.n_docs for r in funnel.collect()}
+    capped = dedup.lsh_cluster_best(spark, sf_dir).collect()
+    assert got["lexical_representatives"] == len(capped)
+    # election rule: the rep really is its cluster's best member
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in dedup.lsh_clusters(spark, sf_dir).collect()
+    }
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.functions.text import tokens
+    from spark_app_twitter_spark.operators.textstats import (
+        quality_score_expr,
+    )
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    q = {
+        r.doc_id: r.q
+        for r in load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", quality_score_expr(tokens("text")).alias("q")
+        )
+        .collect()
+    }
+    members: dict = {}
+    for d, c in labels.items():
+        members.setdefault(c, []).append(d)
+    for r in capped:
+        best = sorted(members[r.cluster_id], key=lambda d: (-q[d], d))[0]
+        assert r.rep_doc_id == best
+        assert r.n_members == len(members[r.cluster_id])
+    # stages independent of reps agree with the v5 report
+    v5 = {r.stage: r.n_docs for r in
+          jobs.pipeline_funnel_v5(spark, sf_dir).collect()}
+    for stage in (
+        "corpus",
+        "after_segment_gate",
+        "semantic_survivors",
+        "quality_floor_survivors",
+        "topic_quota_kept",
+        "repetition_pass",
+        "contaminated_ngram",
+        "contaminated_semantic",
+        "epoch_rows",
+    ):
+        assert got[stage] == v5[stage], stage

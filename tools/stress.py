@@ -424,6 +424,13 @@ STRESS_QUERIES = [
     # sequence explode (output = pieces/BUDGET + docs, input-linear)
     "pack_rollover_segments",
     "pack_rollover_fill",
+    # r15 capstone: the full funnel -> tokenize -> rollover manifest;
+    # v6 composition — the lexical stage rides the capped O(n) LSH
+    # cluster relation (the exact chain measured 1392 s of 1450 s at
+    # the 100x fixture, tools/decomp_funnel.py, and stays audit-only)
+    "pipeline_pretrain_export",
+    # r15: keep-best over the capped cluster relation (v6's reps)
+    "dedup_lsh_cluster_best",
 ]
 
 
