@@ -166,6 +166,10 @@ HEADLINE = [
     # (unigram artifact pre-warmed under model_seconds)
     "dedup_url_canonical",
     "pack_unigram_sequences",
+    # r15 continuation: keep-best over the capped cluster relation —
+    # funnel v6's lexical stage (the funnel itself stays off the
+    # headline list like v3-v5: composite, ~40 s)
+    "dedup_lsh_cluster_best",
 ]
 
 
