@@ -986,6 +986,49 @@ def _pipeline_funnel_v6_sql() -> str:
 PIPELINE_FUNNEL_V6_SQL = _pipeline_funnel_v6_sql()
 
 
+def prepare_training_corpus_v6(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    n_shards: int = 8,
+) -> dict:
+    """The v5 build with the capped O(n) lexical representative
+    stage (_v6_stage_frames) — the 100 TB-ready export job. Same
+    report keys as v5; pipeline_funnel_v6 is its attested face (one
+    stage-frame definition, two faces — the engine's standing
+    funnel/job contract)."""
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.sources.sinks import write_training_shards
+
+    f = _v6_stage_frames(spark, sf_dir)
+    survivors = _v5_survivors(f)
+    keyed = survivors.withColumn(
+        "shuffle_key",
+        F.md5(F.concat_ws(":", F.col("doc_id"), F.col("epoch"))),
+    )
+    write_training_shards(
+        keyed, out_path, n_shards, "shuffle_key", sort_cols=["shuffle_key"]
+    )
+    written = spark.read.parquet(out_path)
+    return {
+        "corpus": f["seg"].count(),
+        "after_segment_gate": f["gate"].count(),
+        "lexical_representatives": f["reps"].count(),
+        "semantic_survivors": f["semk"].count(),
+        "quality_floor_survivors": f["qgate"].count(),
+        "topic_quota_kept": f["quota"].count(),
+        "repetition_pass": f["rgate"].count(),
+        "contaminated_ngram": f["cn"].count(),
+        "contaminated_semantic": f["cs"].count(),
+        "epoch_rows": f["ep"].count(),
+        "written_rows": written.count(),
+        "distinct_docs_written": written.select("doc_id")
+        .distinct()
+        .count(),
+    }
+
+
 def pipeline_pretrain_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(shard, n_docs, split_docs, n_bins, full_bins, total_words,
     total_pieces, last_fill_pieces, fertility_bp): the end-to-end

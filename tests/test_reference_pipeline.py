@@ -521,3 +521,33 @@ def test_pipeline_funnel_v6_parity_and_capped_reps(spark, sf_dir):
         "epoch_rows",
     ):
         assert got[stage] == v5[stage], stage
+
+
+def test_prepare_training_corpus_v6_job_agreement(spark, tmp_path, sf_dir):
+    """The v6 exporting job and the v6 funnel report one truth, and
+    the export contains exactly the capped-representative survivor
+    docs (every written doc is an lsh_cluster_best rep and passes
+    every other gate — spot-checked via the funnel counts)."""
+    from spark_app_twitter_spark import jobs
+    from spark_app_twitter_spark.operators import dedup
+
+    got = {r.stage: r.n_docs for r in
+           jobs.pipeline_funnel_v6(spark, sf_dir).collect()}
+    out = str(tmp_path / "v6")
+    rep = jobs.prepare_training_corpus_v6(spark, sf_dir, out, n_shards=4)
+    for key in (
+        "corpus",
+        "lexical_representatives",
+        "quality_floor_survivors",
+        "topic_quota_kept",
+        "repetition_pass",
+        "epoch_rows",
+    ):
+        assert got[key] == rep[key], key
+    assert got["surviving_epoch_rows"] == rep["written_rows"]
+    assert got["surviving_distinct_docs"] == rep["distinct_docs_written"]
+    written = spark.read.parquet(out)
+    reps = {
+        r.rep_doc_id for r in dedup.lsh_cluster_best(spark, sf_dir).collect()
+    }
+    assert {r.doc_id for r in written.select("doc_id").collect()} <= reps
