@@ -591,6 +591,13 @@ _R15_WINDOW = (
     "stream_quota_state_sample",
     "stream_quality_floor_state",
     "sim_knn_ivf",
+    # (b, continuation) the shared keep-best tail refactor renamed
+    # CTEs inside CLUSTER_BEST_REPRESENTATIVES_SQL — its direct
+    # consumer and the two composed funnels off-window re-attest
+    # (v5/v6/capstone already head the window)
+    "dedup_cluster_best",
+    "pipeline_funnel_v3",
+    "pipeline_funnel_v4",
     # (c) the 26 r09-attested rows
     "multimodal_chunk_dedup",
     "serving_funnel_conversion",
@@ -622,9 +629,6 @@ _R15_WINDOW = (
     "agg_salted_event_totals",
     "asof_purchases_last_click",
     "graph_modularity",
-    "layout_zorder_events",
-    "multimodal_audio_chunks",
-    "multimodal_media_features",
 )
 
 
