@@ -143,6 +143,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_cluster_best": dedup.lsh_cluster_best,
         # r15: funnel v6 — v5 with the capped lexical stage
         "pipeline_funnel_v6": jobs.pipeline_funnel_v6,
+        # r15: the NIGHTLY APPEND — an arriving batch admitted
+        # against the published corpus (incremental near-dup, floor,
+        # repetition, bloom) and appended to the packed export as a
+        # per-shard continuation manifest; the oracle rebuilds the
+        # union stream the expensive way, proving append == rebuild
+        "pipeline_export_append": jobs.pipeline_export_append,
         # r15 capstone: the v6 survivors tokenized (trained unigram
         # vocab) and exact-fill rollover-packed — the per-shard
         # export manifest a pretraining run actually consumes; the
@@ -587,6 +593,7 @@ _R15_WINDOW = (
     "pipeline_pretrain_export",
     "dedup_lsh_cluster_best",
     "pipeline_funnel_v6",
+    "pipeline_export_append",
     # (b) changed this round + consumers/family
     "stream_quota_state_sample",
     "stream_quality_floor_state",
@@ -628,7 +635,6 @@ _R15_WINDOW = (
     # (d) fill from the r10 cohort head
     "agg_salted_event_totals",
     "asof_purchases_last_click",
-    "graph_modularity",
 )
 
 
@@ -1248,6 +1254,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_funnel_v5": jobs.PIPELINE_FUNNEL_V5_SQL,
         "dedup_lsh_cluster_best": dedup.LSH_CLUSTER_BEST_SQL,
         "pipeline_funnel_v6": jobs.PIPELINE_FUNNEL_V6_SQL,
+        "pipeline_export_append": jobs._pipeline_export_append_sql(),
         "pipeline_pretrain_export": jobs._pipeline_pretrain_export_sql(),
         "dedup_lsh_clusters": dedup.LSH_CLUSTERS_SQL,
         "dedup_minhash_lsh_pairs_capped": dedup.MINHASH_LSH_PAIRS_CAPPED_SQL,

@@ -1209,3 +1209,326 @@ JOIN per_bin p ON p.shard = r.shard AND p.bin = r.last_bin
 LEFT JOIN sd ON sd.shard = w.shard
 """
     return _PRETRAIN_EXPORT_SQL_CACHE[sf_dir]
+
+
+def pipeline_export_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(shard, prev_total_pieces, n_new_docs, admitted_words,
+    admitted_pieces, split_docs_new, total_pieces_after, new_bins,
+    n_bins_after, last_fill_pieces_after): the NIGHTLY APPEND job —
+    an arriving crawl batch (doc_id % INC_BATCH_MOD == INC_BATCH_REM,
+    the engine's standing incremental convention) admitted against
+    the PUBLISHED corpus and appended to its packed export without
+    rebuilding it.
+
+    Admission gates, each an existing oracle-paired operator:
+      - not a near-duplicate of the index (incremental_dedup — banded
+        minhash candidates against the published side only, verified
+        Jaccard >= threshold);
+      - at/above its OWN source's quality floor (the
+        quality_floor_by_source artifact — the post-fold floors the
+        streaming quality monitor publishes);
+      - passes the Gopher repetition battery (doc-local);
+      - no benchmark n-gram hit (bloom decontamination).
+
+    The append continues each shard's piece stream where the
+    published export stopped: admitted docs pack in doc_id order
+    starting at the published per-shard piece total, so previously
+    written sequences are never rewritten — the partially-filled last
+    bin completes first, then new exact-fill bins. All "after"
+    columns are CLOSED FORMS over (prev_total, admitted sums); the
+    oracle recomputes them the EXPENSIVE way from the union segment
+    stream (published block then admitted block), so the driver's
+    hash equality proves append == rebuild-of-the-union on every
+    audit column.
+
+    Scale shape: ONE vocabulary-bounded encode sizes both blocks;
+    the gates are semi/anti joins of bounded key relations against
+    the BATCH only; the published side contributes one |shards|-row
+    aggregate; the window runs over admitted docs only. Nothing
+    rescans or repacks the published export.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.functions.text import tokens
+    from spark_app_twitter_spark.operators.dedup import (
+        INC_BATCH_MOD,
+        INC_BATCH_REM,
+        incremental_dedup,
+    )
+    from spark_app_twitter_spark.operators.packing import (
+        PACK_BUDGET,
+        PACK_SHARDS,
+    )
+    from spark_app_twitter_spark.operators.textstats import (
+        QUALITY_FLOOR_GRID,
+        decontaminate_bloom,
+        quality_floor_by_source,
+        quality_score_expr,
+        repetition_rules,
+    )
+    from spark_app_twitter_spark.operators.unigram import unigram_encode
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    b = PACK_BUDGET
+    is_new = (F.col("doc_id") % INC_BATCH_MOD) == F.lit(INC_BATCH_REM)
+    sized = unigram_encode(spark, sf_dir).select(
+        "doc_id",
+        "n_words",
+        "n_pieces",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+    )
+    prev = (
+        sized.where(~is_new)
+        .groupBy("shard")
+        .agg(F.sum("n_pieces").cast("long").alias("prev_total"))
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    bucket = F.floor(
+        quality_score_expr(tokens("text")) * F.lit(QUALITY_FLOOR_GRID)
+    ).cast("int")
+    floors = quality_floor_by_source(spark, sf_dir).select(
+        "source", "floor_bucket"
+    )
+    qok = (
+        docs.where(is_new)
+        .select("doc_id", "source", bucket.alias("bucket"))
+        .join(F.broadcast(floors), "source")
+        .where(F.col("bucket") >= F.col("floor_bucket"))
+        .select("doc_id")
+    )
+    dup = (
+        incremental_dedup(spark, sf_dir)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+    rok = repetition_rules(spark, sf_dir).where("passes").select("doc_id")
+    cn = (
+        decontaminate_bloom(spark, sf_dir)
+        .where(F.col("n_hit_grams") > 0)
+        .select("doc_id")
+    )
+    admitted = (
+        sized.where(is_new)
+        .join(dup, "doc_id", "left_anti")
+        .join(qok, "doc_id", "left_semi")
+        .join(rok, "doc_id", "left_semi")
+        .join(cn, "doc_id", "left_anti")
+    )
+    win = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rel = F.sum("n_pieces").over(win) - F.col("n_pieces")
+    placed = (
+        admitted.select(
+            "shard", "doc_id", "n_words", "n_pieces", rel.alias("rel")
+        )
+        .join(F.broadcast(prev), "shard")
+        .selectExpr(
+            "shard",
+            "n_words",
+            "n_pieces",
+            "prev_total + rel AS start",
+        )
+        .selectExpr(
+            "shard",
+            "n_words",
+            "n_pieces",
+            f"CAST(start div {b} AS BIGINT) AS first_bin",
+            f"CAST((start + n_pieces - 1) div {b} AS BIGINT) AS last_bin",
+        )
+    )
+    agg = placed.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_docs"),
+        F.sum("n_words").cast("long").alias("admitted_words"),
+        F.sum("n_pieces").cast("long").alias("admitted_pieces"),
+        F.sum(
+            F.when(F.col("last_bin") > F.col("first_bin"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("split_docs_new"),
+    )
+    bins = f"CASE WHEN {{t}} = 0 THEN CAST(0 AS BIGINT) ELSE CAST(({{t}} - 1) div {b} + 1 AS BIGINT) END"
+    return (
+        prev.join(agg, "shard", "full_outer")
+        .selectExpr(
+            "shard",
+            "CAST(coalesce(prev_total, 0) AS BIGINT) AS prev_total_pieces",
+            "CAST(coalesce(n_new_docs, 0) AS BIGINT) AS n_new_docs",
+            "CAST(coalesce(admitted_words, 0) AS BIGINT) AS admitted_words",
+            "CAST(coalesce(admitted_pieces, 0) AS BIGINT)"
+            " AS admitted_pieces",
+            "CAST(coalesce(split_docs_new, 0) AS BIGINT) AS split_docs_new",
+        )
+        .selectExpr(
+            "shard",
+            "prev_total_pieces",
+            "n_new_docs",
+            "admitted_words",
+            "admitted_pieces",
+            "split_docs_new",
+            "prev_total_pieces + admitted_pieces AS total_pieces_after",
+        )
+        .selectExpr(
+            "shard",
+            "prev_total_pieces",
+            "n_new_docs",
+            "admitted_words",
+            "admitted_pieces",
+            "split_docs_new",
+            "total_pieces_after",
+            bins.format(t="total_pieces_after")
+            + f" - ({bins.format(t='prev_total_pieces')}) AS new_bins",
+            bins.format(t="total_pieces_after") + " AS n_bins_after",
+            f"CAST(CASE WHEN total_pieces_after = 0 THEN 0"
+            f" ELSE total_pieces_after"
+            f" - ((total_pieces_after - 1) div {b}) * {b} END AS BIGINT)"
+            " AS last_fill_pieces_after",
+        )
+    )
+
+
+_EXPORT_APPEND_SQL_CACHE: dict = {}
+
+
+def _pipeline_export_append_sql(sf_dir: str | None = None) -> str:
+    """Expensive-way twin of the append manifest: the UNION piece
+    stream (published block in doc_id order, then the admitted block)
+    is materialized per shard via generate_series segment explosion,
+    and every 'after' column is recomputed from it — so the driver's
+    hash equality proves the closed-form append equals a rebuild of
+    the union. Memoized per sf_dir (the enc literal)."""
+    from spark_app_twitter_spark.operators.dedup import (
+        INC_BATCH_MOD,
+        INC_BATCH_REM,
+        INCREMENTAL_DEDUP_SQL,
+    )
+    from spark_app_twitter_spark.operators.packing import PACK_BUDGET
+    from spark_app_twitter_spark.operators.textstats import (
+        DECONTAMINATE_BLOOM_SQL,
+        QUALITY_FLOOR_BY_SOURCE_SQL,
+        QUALITY_FLOOR_GRID,
+        REPETITION_RULES_SQL,
+        quality_score_sql,
+    )
+    from spark_app_twitter_spark.oracles import (
+        ORACLE_SF_DIR,
+        _pack_unigram_ctes,
+    )
+
+    sf_dir = sf_dir or ORACLE_SF_DIR
+    if sf_dir in _EXPORT_APPEND_SQL_CACHE:
+        return _EXPORT_APPEND_SQL_CACHE[sf_dir]
+    b = PACK_BUDGET
+    mod, rem = INC_BATCH_MOD, INC_BATCH_REM
+    _EXPORT_APPEND_SQL_CACHE[sf_dir] = f"""
+WITH {_pack_unigram_ctes(sf_dir)},
+dupnew AS MATERIALIZED (
+  SELECT DISTINCT new_id AS doc_id FROM ({INCREMENTAL_DEDUP_SQL})
+),
+qfloor2 AS MATERIALIZED (
+  SELECT source, floor_bucket FROM ({QUALITY_FLOOR_BY_SOURCE_SQL})
+),
+qok AS MATERIALIZED (
+  SELECT d.doc_id FROM (
+    SELECT doc_id, source,
+           CAST(floor({quality_score_sql("string_split(text, ' ')")}
+                * {QUALITY_FLOOR_GRID}) AS INT) AS bucket
+    FROM documents WHERE doc_id % {mod} = {rem}) d
+  JOIN qfloor2 USING (source)
+  WHERE bucket >= floor_bucket
+),
+rok AS MATERIALIZED (
+  SELECT doc_id FROM ({REPETITION_RULES_SQL}) WHERE passes
+),
+cnhit AS MATERIALIZED (
+  SELECT doc_id FROM ({DECONTAMINATE_BLOOM_SQL}) WHERE n_hit_grams > 0
+),
+adm AS MATERIALIZED (
+  SELECT * FROM sized WHERE doc_id % {mod} = {rem}
+    AND doc_id NOT IN (SELECT doc_id FROM dupnew)
+    AND doc_id IN (SELECT doc_id FROM qok)
+    AND doc_id IN (SELECT doc_id FROM rok)
+    AND doc_id NOT IN (SELECT doc_id FROM cnhit)
+),
+pub AS MATERIALIZED (
+  SELECT * FROM sized WHERE NOT (doc_id % {mod} = {rem})
+),
+stream AS (
+  SELECT shard, doc_id, n_pieces, 0 AS blk FROM pub
+  UNION ALL
+  SELECT shard, doc_id, n_pieces, 1 AS blk FROM adm
+),
+cum2 AS (
+  SELECT shard, doc_id, n_pieces, blk,
+         CAST(sum(n_pieces) OVER (PARTITION BY shard ORDER BY blk, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) - n_pieces AS start
+  FROM stream
+),
+spans2 AS (
+  SELECT shard, doc_id, blk, n_pieces, start,
+         unnest(generate_series(start // {b},
+                                (start + n_pieces - 1) // {b})) AS bin
+  FROM cum2
+),
+segs2 AS (
+  SELECT shard, doc_id, blk, bin,
+         least(start + n_pieces, (bin + 1) * {b})
+           - greatest(start, bin * {b}) AS seg
+  FROM spans2
+),
+per_bin2 AS (
+  SELECT shard, bin, CAST(sum(seg) AS BIGINT) AS fill
+  FROM segs2 GROUP BY shard, bin
+),
+ru AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n_bins_after,
+         max(bin) AS last_bin
+  FROM per_bin2 GROUP BY shard
+),
+pubbins AS (
+  SELECT shard, CAST(count(DISTINCT bin) AS BIGINT) AS prev_bins
+  FROM segs2 WHERE blk = 0 GROUP BY shard
+),
+sdnew AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS split_docs_new
+  FROM (SELECT shard, doc_id FROM segs2 WHERE blk = 1
+        GROUP BY shard, doc_id HAVING count(*) > 1)
+  GROUP BY shard
+),
+prevt AS (
+  SELECT shard, CAST(sum(n_pieces) AS BIGINT) AS prev_total
+  FROM pub GROUP BY shard
+),
+admagg AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n_new_docs,
+         CAST(sum(n_words) AS BIGINT) AS admitted_words,
+         CAST(sum(n_pieces) AS BIGINT) AS admitted_pieces
+  FROM adm GROUP BY shard
+),
+shards AS (SELECT DISTINCT shard FROM stream)
+SELECT s.shard,
+       CAST(COALESCE(p.prev_total, 0) AS BIGINT) AS prev_total_pieces,
+       CAST(COALESCE(a.n_new_docs, 0) AS BIGINT) AS n_new_docs,
+       CAST(COALESCE(a.admitted_words, 0) AS BIGINT) AS admitted_words,
+       CAST(COALESCE(a.admitted_pieces, 0) AS BIGINT) AS admitted_pieces,
+       CAST(COALESCE(sd.split_docs_new, 0) AS BIGINT) AS split_docs_new,
+       CAST(COALESCE(p.prev_total, 0) + COALESCE(a.admitted_pieces, 0)
+            AS BIGINT) AS total_pieces_after,
+       CAST(r.n_bins_after - COALESCE(pb.prev_bins, 0) AS BIGINT)
+         AS new_bins,
+       r.n_bins_after,
+       pbin.fill AS last_fill_pieces_after
+FROM shards s
+JOIN ru r ON r.shard = s.shard
+JOIN per_bin2 pbin ON pbin.shard = s.shard AND pbin.bin = r.last_bin
+LEFT JOIN prevt p ON p.shard = s.shard
+LEFT JOIN admagg a ON a.shard = s.shard
+LEFT JOIN pubbins pb ON pb.shard = s.shard
+LEFT JOIN sdnew sd ON sd.shard = s.shard
+"""
+    return _EXPORT_APPEND_SQL_CACHE[sf_dir]

@@ -551,3 +551,58 @@ def test_prepare_training_corpus_v6_job_agreement(spark, tmp_path, sf_dir):
         r.rep_doc_id for r in dedup.lsh_cluster_best(spark, sf_dir).collect()
     }
     assert {r.doc_id for r in written.select("doc_id").collect()} <= reps
+
+
+def test_pipeline_export_append_parity_and_invariants(spark, sf_dir):
+    """The r15 append job: oracle-exact (the twin rebuilds the union
+    stream the expensive way — equality proves append == rebuild),
+    closed-form column relations hold, admission really gates (the
+    admitted batch is a strict, non-empty subset of the arriving
+    batch on this fixture), and nothing previously published moves
+    (prev totals equal the published block's sizing relation)."""
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark import jobs
+    from spark_app_twitter_spark.operators.dedup import (
+        INC_BATCH_MOD,
+        INC_BATCH_REM,
+    )
+    from spark_app_twitter_spark.operators.packing import (
+        PACK_BUDGET,
+        PACK_SHARDS,
+    )
+    from spark_app_twitter_spark.operators.unigram import unigram_encode
+    from tests.parity import assert_parity
+
+    manifest = jobs.pipeline_export_append(spark, sf_dir)
+    assert_parity(
+        manifest,
+        jobs._pipeline_export_append_sql(sf_dir),
+        sf_dir,
+        "pipeline_export_append",
+    )
+    rows = manifest.collect()
+    b = PACK_BUDGET
+    assert {r.shard for r in rows} == set(range(PACK_SHARDS))
+    for r in rows:
+        assert r.prev_total_pieces + r.admitted_pieces == r.total_pieces_after
+        assert 0 <= r.split_docs_new <= r.n_new_docs
+        assert r.new_bins >= 0
+        if r.total_pieces_after > 0:
+            assert 0 < r.last_fill_pieces_after <= b
+            assert r.n_bins_after == (r.total_pieces_after - 1) // b + 1
+    sized = unigram_encode(spark, sf_dir)
+    is_new = (F.col("doc_id") % INC_BATCH_MOD) == INC_BATCH_REM
+    batch = sized.where(is_new)
+    n_batch = batch.count()
+    n_admitted = sum(r.n_new_docs for r in rows)
+    assert 0 < n_admitted < n_batch  # gates bite but don't empty
+    pub = {
+        r.shard: r.p
+        for r in sized.where(~is_new)
+        .groupBy((F.col("doc_id") % PACK_SHARDS).alias("shard"))
+        .agg(F.sum("n_pieces").alias("p"))
+        .collect()
+    }
+    for r in rows:
+        assert r.prev_total_pieces == pub.get(r.shard, 0)

@@ -431,6 +431,10 @@ STRESS_QUERIES = [
     "pipeline_pretrain_export",
     # r15: keep-best over the capped cluster relation (v6's reps)
     "dedup_lsh_cluster_best",
+    # r15: nightly append — batch-only gates (incremental minhash vs
+    # the index, floor, repetition, bloom) + one |shards|-row
+    # published aggregate; the published export is never repacked
+    "pipeline_export_append",
 ]
 
 
