@@ -1001,8 +1001,25 @@ def kmeans_cells_2level_assigned(
     coarse_rows = kmeans_centroid_rows(spark, sf_dir, k=k1)
     members = assign_cells(spark, _vecs(spark, sf_dir), coarse_rows).select(
         "vec_id", "v", F.col("cell").alias("coarse")
-    ).localCheckpoint(eager=True)
-    rows = kmeans_fine_centroid_rows(spark, sf_dir, iters, members=members)
+    )
+    fkey = (spark.sparkContext.applicationId, sf_dir, k1, k2, iters)
+    if fkey not in _FINE_CENTROID_CACHE:
+        # TRAIN path (cold fine cache): the Lloyd loop re-reads the
+        # coarse assignment ITERS+1 times — materialize it once.
+        members = members.localCheckpoint(eager=True)
+        rows = kmeans_fine_centroid_rows(spark, sf_dir, iters, members=members)
+        return _final_2level_select(spark, members, rows, k2)
+    # SERVE path (optimization r15): with the trained fine artifact
+    # in cache the coarse assignment is consumed exactly ONCE by the
+    # fine dispatch. A lazy localCheckpoint keeps the consumer plans
+    # as small as the eager form (toRdd is forced at build, so
+    # downstream sees a LogicalRDD — a fully-pipelined lazy frame was
+    # measured 2.5x SLOWER here: the giant inline-scoring expressions
+    # land inside every consumer's AQE replanning loop) while folding
+    # the materialization into the consumer's own first job instead
+    # of a separate serial warm-up job per query.
+    members = members.localCheckpoint(eager=False)
+    rows = kmeans_fine_centroid_rows(spark, sf_dir, iters)
     return _final_2level_select(spark, members, rows, k2)
 
 

@@ -393,7 +393,15 @@ def _cc_propagate(
     relation — the shared connected-components tail of the cluster
     operators (one definition: LSH, SimHash, and n-gram clusters can
     never diverge on the propagation rule). All shuffles are keyed on
-    doc_id; localCheckpoint truncates the iterative lineage."""
+    doc_id. Optimization r15: the per-round localCheckpoints stay
+    (plan truncation per round keeps AQE replanning cheap — the
+    fully-pipelined variant measured slower on the IVF family) but
+    become LAZY: each round's label table still materializes exactly
+    once, inside the consumer's job, instead of as its own serial
+    barrier job. The FINAL label table stays EAGER — multi-consumer
+    callers (funnel stages, histogram rollups) read it more than
+    once and lazy checkpoints race under concurrent branch
+    evaluation."""
     sym = pairs.select("doc_a", "doc_b").unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
@@ -404,24 +412,21 @@ def _cc_propagate(
         .select("doc_id")
         .withColumn("label", F.col("doc_id"))
     )
-    for _ in range(CC_ITERS):
+    for it in range(CC_ITERS):
         neighbor_min = (
             sym.join(labels, sym.doc_b == labels.doc_id)
             .groupBy("doc_a")
             .agg(F.min("label").alias("nmin"))
         )
-        labels = (
-            labels.join(
-                neighbor_min, labels.doc_id == neighbor_min.doc_a, "left"
-            )
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
+        labels = labels.join(
+            neighbor_min, labels.doc_id == neighbor_min.doc_a, "left"
+        ).select(
+            "doc_id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+            ).alias("label"),
         )
+        labels = labels.localCheckpoint(eager=(it == CC_ITERS - 1))
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),

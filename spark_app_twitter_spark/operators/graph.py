@@ -303,34 +303,54 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: each round is one edges-to-labels shuffle (the
     capped O(n) relation) + one (node, label) combine + a node-keyed
-    window on the |nodes|-sized vote table; ``localCheckpoint``
-    truncates lineage per round (the PageRank discipline). No
-    driver-side collect.
+    ``min_by`` reduce over the vote table. No driver-side collect.
     """
-    from pyspark.sql import Window
-
     e = _dup_edges(spark, sf_dir).localCheckpoint(eager=True)
-    labels = (
-        e.select(F.col("src").alias("node")).distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+    return label_propagation_frame(e)
+
+
+def label_propagation_frame(e: DataFrame) -> DataFrame:
+    """LPA rounds over a caller-materialized symmetrized edge list —
+    factored out (optimization r15) so composite consumers
+    (:func:`modularity`) share ONE materialization of the capped
+    pairs chain instead of re-running it per consumer.
+
+    Optimization r15 (guide §2.3/§2.4), results bit-identical:
+
+    - round 1 is algebraic: the initial label of every node is the
+      node itself, so the first vote table is just the edge list
+      read as (src, dst-as-label) — the ``distinct`` node seed and
+      the first join are gone;
+    - the per-round winner is one ``min_by(label, (-c, label))``
+      aggregation instead of a row_number window: same unique
+      winner (count DESC, label ASC — (c, label) pairs are unique
+      per node after the vote combine, so the order key is strict),
+      but the final exchange carries partially-aggregated rows and
+      skips the window sort;
+    - the per-round localCheckpoints stay (they truncate each
+      round's plan so AQE replans small trees — a fully-pipelined
+      4-round plan measured ~1.7x slower) but become LAZY: the
+      round's label table still materializes exactly once, inside
+      the consumer's job instead of as its own serial barrier job.
+    """
+    winner = F.min_by(
+        "label",
+        F.struct((-F.col("c")).alias("nc"), F.col("label").alias("lb")),
+    ).alias("label")
+    votes = (
+        e.select(F.col("src").alias("node"), F.col("dst").alias("label"))
+        .groupBy("node", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    w = Window.partitionBy("node").orderBy(
-        F.desc("c"), F.asc("label")
-    )
-    for _ in range(LPA_ITERS):
+    labels = votes.groupBy("node").agg(winner).localCheckpoint(eager=False)
+    for _ in range(LPA_ITERS - 1):
         votes = (
             e.join(labels, e.dst == labels.node)
             .select(F.col("src").alias("node"), "label")
             .groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        labels = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .where("rn = 1")
-            .select("node", "label")
-            .localCheckpoint(eager=True)
-        )
+        labels = votes.groupBy("node").agg(winner).localCheckpoint(eager=False)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("community")
     )
@@ -514,7 +534,17 @@ def modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     m = pairs.count()
-    comm = label_propagation(spark, sf_dir).localCheckpoint(eager=True)
+    # optimization r15: LPA runs over THIS materialization of the
+    # capped pairs (symmetrized below for degrees too) — previously
+    # label_propagation() re-ran the whole minhash chain a second
+    # time for its own edge list (guide §2.4: don't compute the
+    # heaviest relation twice).
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    comm = label_propagation_frame(edges).localCheckpoint(eager=True)
     if m == 0:
         return comm.select(
             F.col("community"),
@@ -537,14 +567,8 @@ def modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("comm_a").alias("community"))
         .agg(F.count(F.lit(1)).alias("intra_edges"))
     )
-    # degrees by symmetrizing the ALREADY-checkpointed pairs — not a
-    # second run of the minhash_lsh_pairs_capped chain through
-    # _dup_edges (the heaviest input relation; ADVICE r9)
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
+    # degrees from the same symmetrized view of the checkpointed
+    # pairs that fed the LPA rounds above (ADVICE r9)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )

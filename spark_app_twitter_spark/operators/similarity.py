@@ -3299,6 +3299,11 @@ def coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("dist_micro"),
     )
     for t in range(2, CORESET_K + 1):
+        # optimization r15 (guide §2.4 / §1.2): the picked row already
+        # carries its embedding in ``st`` — thread it through ``new``
+        # instead of re-joining the embeddings table per round, and
+        # checkpoint the 1-row pick so the distributed top-1 is not
+        # evaluated twice (once for picks, once for the state update).
         new = (
             st.join(F.broadcast(picks.select("vec_id")), "vec_id", "left_anti")
             .orderBy(F.desc("mind"), F.asc("vec_id"))
@@ -3307,16 +3312,17 @@ def coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(t).cast("int").alias("pick_rank"),
                 "vec_id",
                 F.col("mind").cast("long").alias("dist_micro"),
+                F.col("embedding").alias("sv"),
             )
+            .localCheckpoint(eager=False)
         )
-        picks = picks.unionByName(new).localCheckpoint(eager=False)
+        picks = picks.unionByName(
+            new.select("pick_rank", "vec_id", "dist_micro")
+        ).localCheckpoint(eager=False)
         if t == CORESET_K:
             break
-        center = emb.join(
-            F.broadcast(new.select("vec_id")), "vec_id"
-        ).select(F.col("embedding").alias("sv"))
         st = (
-            st.crossJoin(F.broadcast(center))
+            st.crossJoin(F.broadcast(new.select("sv")))
             .select(
                 "vec_id",
                 "embedding",
