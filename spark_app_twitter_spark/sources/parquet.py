@@ -17,7 +17,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from spark_app_twitter_spark.functions.caches import register_cache
 from spark_app_twitter_spark.schemas import ALL_TABLES
+
+# Session metadata caches (optimization r15, guide §6 listing note):
+# a bare ``spark.read.parquet(path)`` re-resolves the datasource on
+# EVERY call — file listing + footer schema inference — measured at
+# ~100-125 ms per load_table call vs ~15 ms with the schema supplied.
+# The bench makes hundreds of load_table calls, so this was tens of
+# seconds of pure driver latency. A real deployment reads through a
+# catalog (metastore/Iceberg) that holds exactly this metadata; these
+# dicts are that catalog for the session. Keys are (appId, sf_dir,
+# table); values are METADATA ONLY (schema / partition width — never
+# data or results). The standing immutable-path contract applies
+# (clear_session_caches after rewriting a path in-session).
+_SCHEMA_CACHE: dict[tuple, object] = register_cache({})
+_NPART_CACHE: dict[tuple, int] = register_cache({})
+_TZ_PINNED: set[str] = set()
 
 
 def load_table(
@@ -40,12 +56,22 @@ def load_table(
     this becomes a no-op by construction).
     """
     # All oracle parity assumes UTC timestamp rendering; pin it here so
-    # correctness does not depend on the caller's session defaults.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # correctness does not depend on the caller's session defaults
+    # (once per session — conf.set is a py4j round trip per call).
+    app_id = spark.sparkContext.applicationId
+    if app_id not in _TZ_PINNED:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        _TZ_PINNED.add(app_id)
     path = os.path.join(sf_dir, f"{name}.parquet")
+    skey = (app_id, sf_dir, name)
+    schema = _SCHEMA_CACHE.get(skey)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        if schema is None:
+            df = spark.read.parquet(path)
+            _SCHEMA_CACHE[skey] = df.schema
+        else:
+            df = spark.read.schema(schema).parquet(path)
         # The driver testdata stores TIMESTAMP(NANOS), surfaced as a
         # long under nanosAsLong — convert ONLY then. A re-exported
         # events table (engine-written parquet, e.g. tools/stress.py)
@@ -54,12 +80,22 @@ def load_table(
             # integer division: float division would lose precision at ~1e18 ns
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
-        df = spark.read.parquet(path)
+        if schema is None:
+            df = spark.read.parquet(path)
+            _SCHEMA_CACHE[skey] = df.schema
+        else:
+            df = spark.read.schema(schema).parquet(path)
     if spread:
         width = spread if isinstance(spread, int) and spread is not True else (
             spark.sparkContext.defaultParallelism
         )
-        if df.rdd.getNumPartitions() < width:
+        nparts = _NPART_CACHE.get(skey)
+        if nparts is None:
+            # df.rdd forces physical planning — cache the scan width
+            # per (session, path) under the immutable-path contract
+            nparts = df.rdd.getNumPartitions()
+            _NPART_CACHE[skey] = nparts
+        if nparts < width:
             df = df.repartition(width)
     return df
 
