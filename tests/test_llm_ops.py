@@ -1425,6 +1425,27 @@ def test_dup_span_stats_planted(spark, tmp_path):
     assert got[4].n_windows == 0 and got[4].dup_frac is None
 
 
+def test_trained_bigram_lm_artifact_cache(spark, sf_dir):
+    """r15 optimization: the add-one bigram LM is a publish-once
+    session artifact — trained once per (session, dataset), and the
+    cached micro-prob table is row-identical to a fresh training
+    pass (so every consumer's results are unchanged)."""
+    from spark_app_twitter_spark.functions.hashing import (
+        exploded_shingles,
+    )
+
+    mq1, est1 = textstats.trained_bigram_lm(spark, sf_dir)
+    mq2, est2 = textstats.trained_bigram_lm(spark, sf_dir)
+    assert mq1 is mq2 and est1 == est2 and est1 > 0
+    docs = textstats.load_table(spark, sf_dir, "documents")
+    bi = exploded_shingles(
+        docs, ["doc_id"], textstats.tokens("text"), 2, "bg"
+    )
+    fresh, _, _ = textstats._bigram_modelq(bi)
+    assert mq1.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(mq1).count() == 0
+
+
 def test_bigram_lm_score_parity(spark, sf_dir):
     assert_parity(
         textstats.bigram_lm_score(spark, sf_dir),
