@@ -331,6 +331,17 @@ _CENTROID_ROWS_CACHE: dict[_CentKey, list[tuple[int, list[float]]]] = (
 )
 _FINE_CENTROID_CACHE: dict[tuple, list[tuple]] = register_cache({})
 
+# (applicationId, sf_dir, k1, k2, iters) -> the ASSIGNED corpus
+# (vec_id, v, coarse, cell) as a checkpointed frame — the index
+# CONTENTS. Training the tree publishes the centroids; ADDING the
+# corpus against them (faiss index.add) publishes the inverted
+# lists. Before r15 every IVF-family serve re-ran the coarse+fine
+# assignment map over the corpus per query; a real deployment
+# assigns once at index build and every search reads the lists.
+# Bounded by corpus size — exactly the storage a faiss IVFFlat
+# index holds in RAM; evicted with the centroid caches.
+_ASSIGNED_CACHE: dict[tuple, DataFrame] = register_cache({})
+
 
 def clear_centroid_cache() -> None:
     """Drop all trained centroid tables (e.g. after rewriting a
@@ -341,6 +352,7 @@ def clear_centroid_cache() -> None:
     _evict(_CENTROID_CACHE)
     _evict(_CENTROID_ROWS_CACHE)
     _evict(_FINE_CENTROID_CACHE)
+    _evict(_ASSIGNED_CACHE)
     _evict(_N_CACHE)
 
 
@@ -998,6 +1010,10 @@ def kmeans_cells_2level_assigned(
     """
     n = corpus_size(spark, sf_dir)
     k1, k2 = levels_for(n)
+    akey = (spark.sparkContext.applicationId, sf_dir, k1, k2, iters)
+    hit = _ASSIGNED_CACHE.get(akey)
+    if hit is not None:
+        return hit
     coarse_rows = kmeans_centroid_rows(spark, sf_dir, k=k1)
     members = assign_cells(spark, _vecs(spark, sf_dir), coarse_rows).select(
         "vec_id", "v", F.col("cell").alias("coarse")
@@ -1005,22 +1021,39 @@ def kmeans_cells_2level_assigned(
     fkey = (spark.sparkContext.applicationId, sf_dir, k1, k2, iters)
     if fkey not in _FINE_CENTROID_CACHE:
         # TRAIN path (cold fine cache): the Lloyd loop re-reads the
-        # coarse assignment ITERS+1 times — materialize it once.
+        # coarse assignment ITERS+1 times — materialize it once,
+        # publish the lists eagerly off it, then release the
+        # intermediate (its blocks are dead once `out` holds the
+        # assigned rows).
+        from spark_app_twitter_spark.functions.caches import (
+            unpersist_frame,
+        )
+
         members = members.localCheckpoint(eager=True)
         rows = kmeans_fine_centroid_rows(spark, sf_dir, iters, members=members)
-        return _final_2level_select(spark, members, rows, k2)
-    # SERVE path (optimization r15): with the trained fine artifact
-    # in cache the coarse assignment is consumed exactly ONCE by the
-    # fine dispatch. A lazy localCheckpoint keeps the consumer plans
-    # as small as the eager form (toRdd is forced at build, so
-    # downstream sees a LogicalRDD — a fully-pipelined lazy frame was
-    # measured 2.5x SLOWER here: the giant inline-scoring expressions
-    # land inside every consumer's AQE replanning loop) while folding
-    # the materialization into the consumer's own first job instead
-    # of a separate serial warm-up job per query.
-    members = members.localCheckpoint(eager=False)
+        out = _final_2level_select(spark, members, rows, k2).localCheckpoint(
+            eager=True
+        )
+        unpersist_frame(members)
+        _ASSIGNED_CACHE[akey] = out
+        return out
+    # SERVE path with a trained tree but unpublished lists (e.g. the
+    # artifact round-tripped through export): one big coarse+fine
+    # plan, analyzed once. Publish the index CONTENTS (optimization
+    # r15): the assigned corpus is checkpointed LAZILY (toRdd forced
+    # at build, so every consumer sees a LogicalRDD and the giant
+    # inline-scoring expressions stay out of consumer AQE replanning
+    # — the fully-pipelined form measured 2.5x slower) and
+    # session-cached: the first consumer's job folds the one
+    # assignment pass in, every later IVF-family query reads the
+    # published lists, exactly like a faiss deployment serving
+    # against index.add()'ed storage.
     rows = kmeans_fine_centroid_rows(spark, sf_dir, iters)
-    return _final_2level_select(spark, members, rows, k2)
+    out = _final_2level_select(spark, members, rows, k2).localCheckpoint(
+        eager=False
+    )
+    _ASSIGNED_CACHE[akey] = out
+    return out
 
 
 def kmeans_fine_centroid_rows(

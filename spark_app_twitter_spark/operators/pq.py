@@ -224,6 +224,35 @@ def _assigned_score_col(
     return F.expr("CASE m " + " ".join(branches) + " END")
 
 
+# (applicationId, sf_dir) -> the encoded database (neighbor_id, m,
+# cell) as a checkpointed frame — the PQ index CONTENTS (the 8-byte
+# code word per vector faiss stores at index.add). Before r15 both
+# ADC consumers re-ran the PQ_M x PQ_K literal-dispatch encode over
+# the corpus per query; a deployment encodes once at index build.
+_PQ_CODES_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
+
+
+def pq_corpus_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(neighbor_id, m, cell): the PQ-encoded database side — the
+    published code words every ADC search reads. Encoded once per
+    (session, corpus) against the trained codebook (lazy checkpoint:
+    the first consumer's job folds the encode pass in); narrow PQ_M
+    rows of small ints per vector, the index payload itself."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _PQ_CODES_CACHE.get(key)
+    if hit is not None:
+        return hit
+    cents = pq_codebook_rows(spark, sf_dir)
+    subs = _subvecs(spark, sf_dir)
+    codes = (
+        _pq_assign(subs.where(F.col("vec_id") >= N_QUERIES), cents)
+        .select(F.col("vec_id").alias("neighbor_id"), "m", "cell")
+        .localCheckpoint(eager=False)
+    )
+    _PQ_CODES_CACHE[key] = codes
+    return codes
+
+
 def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, neighbor_id, adc_micro, rank): asymmetric-distance
     top-k — each query's subvectors score the codebook ONCE into an
@@ -239,9 +268,7 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cents = pq_codebook_rows(spark, sf_dir)
     subs = _subvecs(spark, sf_dir)
-    codes = _pq_assign(
-        subs.where(F.col("vec_id") >= N_QUERIES), cents
-    ).select(F.col("vec_id").alias("neighbor_id"), "m", "cell")
+    codes = pq_corpus_codes(spark, sf_dir)
     lut = _adc_lut(spark, cents, subs)
     scored = (
         codes.join(F.broadcast(lut), ["m", "cell"])
@@ -312,9 +339,7 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cents = pq_codebook_rows(spark, sf_dir)
     subs = _subvecs(spark, sf_dir)
-    codes = _pq_assign(
-        subs.where(F.col("vec_id") >= N_QUERIES), cents
-    ).select(F.col("vec_id").alias("neighbor_id"), "m", "cell")
+    codes = pq_corpus_codes(spark, sf_dir)
     # candidate pairs from the probed IVF cells; vectors dropped on
     # BOTH sides before the join — only ids flow into ADC scoring
     cand = ivf_probe_pairs(

@@ -1425,6 +1425,35 @@ def test_dup_span_stats_planted(spark, tmp_path):
     assert got[4].n_windows == 0 and got[4].dup_frac is None
 
 
+def test_published_index_contents_caches(spark, sf_dir):
+    """r15 optimization: the IVF assigned lists and the PQ code words
+    are published index CONTENTS — computed once per (session,
+    corpus), and the cached frames are row-identical to a fresh
+    cache-bypassing derivation (so every consumer's results are
+    unchanged)."""
+    from spark_app_twitter_spark.operators import clustering as cl
+    from spark_app_twitter_spark.operators import pq as _pq
+
+    a1 = cl.kmeans_cells_2level_assigned(spark, sf_dir)
+    assert cl.kmeans_cells_2level_assigned(spark, sf_dir) is a1
+    c1 = _pq.pq_corpus_codes(spark, sf_dir)
+    assert _pq.pq_corpus_codes(spark, sf_dir) is c1
+
+    for k in [k for k in cl._ASSIGNED_CACHE if k[1] == sf_dir]:
+        cl._ASSIGNED_CACHE.pop(k)
+    for k in [k for k in _pq._PQ_CODES_CACHE if k[1] == sf_dir]:
+        _pq._PQ_CODES_CACHE.pop(k)
+
+    a2 = cl.kmeans_cells_2level_assigned(spark, sf_dir)
+    assert a2 is not a1
+    assert a1.exceptAll(a2).count() == 0
+    assert a2.exceptAll(a1).count() == 0
+    c2 = _pq.pq_corpus_codes(spark, sf_dir)
+    assert c2 is not c1
+    assert c1.exceptAll(c2).count() == 0
+    assert c2.exceptAll(c1).count() == 0
+
+
 def test_trained_bigram_lm_artifact_cache(spark, sf_dir):
     """r15 optimization: the add-one bigram LM is a publish-once
     session artifact — trained once per (session, dataset), and the

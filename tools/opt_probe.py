@@ -47,11 +47,14 @@ def main() -> None:
 
     t0 = time.perf_counter()
     clustering.kmeans_fine_centroid_rows(spark, SF_DIR)
+    clustering.kmeans_cells_2level_assigned(spark, SF_DIR).count()
     textstats.bpe_train_merges(spark, SF_DIR).count()
     _sim._pca_components(spark, SF_DIR, _sim.PCA_COMPONENTS)
     pq.pq_codebook_rows(spark, SF_DIR)
+    pq.pq_corpus_codes(spark, SF_DIR).count()
     unigram.unigram_trained(spark, SF_DIR)
     clustering.kmeans_centroid_rows(spark, SF_DIR)
+    textstats.trained_bigram_lm(spark, SF_DIR)
     print(f"artifact warm: {time.perf_counter() - t0:.1f}s", flush=True)
 
     out = {}
