@@ -341,6 +341,17 @@ def main() -> None:
     _ts.trained_bigram_lm(spark, SF_DIR)
     model_times["bigram_lm_train"] = round(time.perf_counter() - t0, 3)
 
+    # sparse-retrieval index (r15): postings + doc lengths + corpus
+    # scalars are offline index storage in any search deployment —
+    # build once here so the BM25/QL/RRF headline rows measure the
+    # ranking serve path against published postings
+    from spark_app_twitter_spark.operators import retrieval as _ret
+
+    t0 = time.perf_counter()
+    p, d, s = _ret.text_index(spark, SF_DIR)
+    p.count(), d.count(), s.count()
+    model_times["text_index_build"] = round(time.perf_counter() - t0, 3)
+
     # (the coarse centroid artifact is trained inside
     # kmeans_fine_centroid_rows above — no separate warm needed)
 

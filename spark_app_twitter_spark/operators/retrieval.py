@@ -36,7 +36,61 @@ from spark_app_twitter_spark.operators.textstats import (
     quality_score_sql,
     redact_sql_expr,
 )
+from spark_app_twitter_spark.functions.caches import register_cache
 from spark_app_twitter_spark.sources.parquet import load_table
+
+# (applicationId, sf_dir) -> (postings, doclen, scalars): the
+# published sparse-retrieval index. A search deployment builds its
+# postings offline — (doc_id, term, tf) plus per-doc lengths and the
+# corpus scalars are exactly what Lucene stores — and every
+# BM25/QL/RRF query serves against that storage. Before r15 each
+# ranking query re-exploded the corpus and re-reduced doc lengths per
+# call. Frames are checkpointed (postings/doclen lazily: the first
+# consumer folds the build pass into its own job) and evicted under
+# the session cache contract.
+_TEXT_INDEX_CACHE: dict[
+    tuple[str, str], tuple[DataFrame, DataFrame, DataFrame]
+] = register_cache({})
+
+
+def text_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(postings (doc_id, term, tf), doclen (doc_id, dl),
+    scalars 1-row (n_docs, n_tokens)): the published text index,
+    built once per (session, corpus).
+
+    doclen derives from postings (sum of tf per doc == token count)
+    so the build is ONE corpus explode + one (doc_id, term) reduce;
+    the scalars row aggregates the narrow documents scan directly.
+    Filtering postings to a query's terms AFTER the tf reduce is
+    row-identical to filtering the token stream before it (the group
+    key contains the filter key), so every consumer's results are
+    unchanged — the parity gates prove it.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _TEXT_INDEX_CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    postings = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    doclen = (
+        postings.groupBy("doc_id")
+        .agg(F.sum("tf").cast("long").alias("dl"))
+        .localCheckpoint(eager=False)
+    )
+    scalars = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens("text"))).alias("n_tokens"),
+    ).localCheckpoint(eager=False)
+    out = (postings, doclen, scalars)
+    _TEXT_INDEX_CACHE[key] = out
+    return out
 
 
 def _payload_join(spark: SparkSession, sf_dir: str, knn_hits) -> DataFrame:
@@ -236,17 +290,21 @@ def bm25_search(
     relation — the seam the streaming keyword server
     (streaming/bm25serve.py) answers micro-batches through.
     bm25_retrieve is this core applied to the corpus-derived query
-    set; the plan shape (broadcast term filter below the tf combine,
-    doc_id-keyed length count, micro-unit integer sums) is identical
-    for both callers.
+    set; the plan shape (broadcast term filter over the published
+    postings, micro-unit integer sums) is identical for both callers.
 
-    The hit table and the 1-row corpus scalar are shared by two
-    consumer branches each (df count + scoring; dl-norm + scoring),
-    so both are localCheckpointed once (the r12 plan-width
-    discipline) — without truncation every bm25 consumer re-ran the
-    corpus explode per branch. Legal on the streaming seam too:
+    Since r15 the corpus-wide relations come from
+    :func:`text_index` — the published postings / doc-length /
+    scalar storage every sparse ranker serves against (filtering
+    postings to the query's terms after the tf reduce is
+    row-identical to filtering the token stream before it). The
+    per-call hit table is still localCheckpointed once (two consumer
+    branches: df count + scoring). Legal on the streaming seam too:
     bm25serve calls this inside foreachBatch, where micro-batch
-    frames are plain batch DataFrames.
+    frames are plain batch DataFrames; the session-owned index
+    frames are NOT appended to ``materialized`` (they outlive the
+    batch by design — index storage, evicted with the session
+    caches).
 
     ``materialized`` (ADVICE r12): checkpointed RDD blocks are freed
     only when the driver GCs the frame references, so a LONG-RUNNING
@@ -257,27 +315,16 @@ def bm25_search(
     callers (one action, short-lived session) may omit it."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents", spread=True)
-    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    # serve against the published index (r15): postings, doc
+    # lengths and corpus scalars are session index storage — the
+    # per-query work is the broadcast term filter over postings
+    # (row-identical to filtering the token stream before the tf
+    # combine, since the group key contains the filter key)
+    postings, dl, scalars = text_index(spark, sf_dir)
 
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    scalars = docs.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(tokens("text"))).alias("n_tokens"),
+    hits = postings.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
     ).localCheckpoint(eager=False)
-    if materialized is not None:
-        materialized.append(scalars)
-
-    # broadcast term filter BEFORE the tf combine: the (doc, term)
-    # shuffle carries only query-term rows, not the whole corpus
-    # vocabulary (the per-doc dl count above is the only corpus-wide
-    # reduction, and its key is just doc_id)
-    hits = (
-        toks.join(F.broadcast(qterms.select("term").distinct()), "term")
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
-    )
     if materialized is not None:
         materialized.append(hits)
     df_per_term = hits.groupBy("term").agg(
@@ -976,18 +1023,13 @@ def query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
     qterms = _seed_query_terms(docs).localCheckpoint(eager=False)
-    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
-
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    scalars = docs.agg(
-        F.sum(F.size(tokens("text"))).alias("n_tokens")
+    # serve against the published index (r15): postings / doc
+    # lengths / corpus scalar — same storage bm25_search reads
+    postings, dl, idx_scalars = text_index(spark, sf_dir)
+    scalars = idx_scalars.select("n_tokens")
+    hits = postings.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
     ).localCheckpoint(eager=False)
-    hits = (
-        toks.join(F.broadcast(qterms.select("term").distinct()), "term")
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
-    )
     cf = hits.groupBy("term").agg(F.sum("tf").alias("cf"))
 
     tfc, cfc, ct = (

@@ -1454,6 +1454,43 @@ def test_published_index_contents_caches(spark, sf_dir):
     assert c2.exceptAll(c1).count() == 0
 
 
+def test_text_index_artifact_cache(spark, sf_dir):
+    """r15 optimization: the sparse-retrieval index (postings, doc
+    lengths, corpus scalars) is published session storage — built
+    once, and row-identical to the inline derivation it replaced."""
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.operators import retrieval as ret
+
+    p1, d1, s1 = ret.text_index(spark, sf_dir)
+    p2, d2, s2 = ret.text_index(spark, sf_dir)
+    assert p1 is p2 and d1 is d2 and s1 is s2
+
+    docs = ret.load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(ret.tokens("text")).alias("term")
+    )
+    fresh_p = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    assert p1.select("doc_id", "term", "tf").exceptAll(fresh_p).count() == 0
+    assert fresh_p.exceptAll(p1.select("doc_id", "term", "tf")).count() == 0
+    fresh_d = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl")
+    )
+    assert d1.exceptAll(fresh_d).count() == 0
+    assert fresh_d.exceptAll(d1).count() == 0
+    row = s1.collect()[0]
+    fresh_s = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(ret.tokens("text"))).alias("n_tokens"),
+    ).collect()[0]
+    assert (row.n_docs, row.n_tokens) == (
+        fresh_s.n_docs,
+        fresh_s.n_tokens,
+    )
+
+
 def test_trained_bigram_lm_artifact_cache(spark, sf_dir):
     """r15 optimization: the add-one bigram LM is a publish-once
     session artifact — trained once per (session, dataset), and the

@@ -55,6 +55,10 @@ def main() -> None:
     unigram.unigram_trained(spark, SF_DIR)
     clustering.kmeans_centroid_rows(spark, SF_DIR)
     textstats.trained_bigram_lm(spark, SF_DIR)
+    from spark_app_twitter_spark.operators import retrieval as _ret
+
+    for fr in _ret.text_index(spark, SF_DIR):
+        fr.count()
     print(f"artifact warm: {time.perf_counter() - t0:.1f}s", flush=True)
 
     out = {}
