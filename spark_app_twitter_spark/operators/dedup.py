@@ -402,11 +402,16 @@ def _cc_propagate(
     callers (funnel stages, histogram rollups) read it more than
     once and lazy checkpoints race under concurrent branch
     evaluation."""
+    # r15: LAZY — sym is read once per round, but every round sits
+    # inside the final label table's one materializing job, where the
+    # persisted blocks are computed exactly once and reused; the
+    # eager form ran the whole edge-generation chain as a separate
+    # serial barrier job at plan-build time.
     sym = pairs.select("doc_a", "doc_b").unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     labels = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
@@ -1476,36 +1481,56 @@ def span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose every token sits in a duplicated span drop out entirely;
     documents with no duplicated span pass through verbatim.
 
-    Scale shape: the dup_spans pipeline (window-hash count +
-    membership join + per-doc islands) plus ONE doc-keyed range
-    anti-join of the token positions against the doc's own spans
-    (spans per doc are few; the join is equi on doc_id with a bounded
-    range residual) and one doc-keyed reassembly via
-    sort_array(collect_list) — per-doc buffers bounded by document
-    length.
+    Scale shape (r15): the dup_spans pipeline (window-hash count +
+    membership join + per-doc islands) plus ONE doc-keyed reduce of
+    the spans to a per-doc cut list (few rows per doc), one join of
+    that list onto the documents, and a PURE MAP cut+reassembly via
+    higher-order functions — the token positions never ride a
+    shuffle. The previous form position-exploded the whole corpus,
+    range-anti-joined every token against the spans and re-shuffled
+    every surviving token through collect_list: two corpus-token
+    exchanges replaced by one |docs-with-spans| exchange.
     """
     spans = dup_spans(spark, sf_dir)
-    docs = _docs_spread(spark, sf_dir)
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(tokens("text")).alias("pos0", "tok"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
-    survivors = toks.join(
-        spans,
-        (toks.doc_id == spans.doc_id)
-        & (toks.pos >= spans.span_start)
-        & (toks.pos <= spans.span_end),
-        "left_anti",
+    span_lists = spans.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").cast("long").alias("span_start"),
+                F.col("span_end").cast("long").alias("span_end"),
+            )
+        ).alias("_spans")
     )
-    return survivors.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
+    docs = _docs_spread(spark, sf_dir)
+    kept = F.filter(
+        F.zip_with(
+            tokens("text"),
+            F.sequence(F.lit(1), F.size(tokens("text"))),
+            lambda tok, pos: F.struct(
+                pos.alias("pos"), tok.alias("tok")
             ),
-            " ",
-        ).alias("new_text"),
+        ),
+        lambda s: ~F.exists(
+            F.coalesce(
+                F.col("_spans"),
+                F.array().cast(
+                    "array<struct<span_start:bigint,span_end:bigint>>"
+                ),
+            ),
+            lambda sp: (s["pos"] >= sp["span_start"])
+            & (s["pos"] <= sp["span_end"]),
+        ),
+    )
+    return (
+        docs.join(span_lists, "doc_id", "left")
+        .select("doc_id", kept.alias("_kept"))
+        .where(F.size("_kept") > 0)
+        .select(
+            "doc_id",
+            F.size("_kept").cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform("_kept", lambda s: s["tok"]), " "
+            ).alias("new_text"),
+        )
     )
 
 
