@@ -361,6 +361,9 @@ def main() -> None:
     # Lloyd iterations
     t0 = time.perf_counter()
     clustering.kmeans_centroid_rows(spark, SF_DIR)
+    # r15: add the corpus to the flat index too (published cell
+    # table — same index.add contract as the two-level lists)
+    clustering.kmeans_cells(spark, SF_DIR).count()
     model_times["kmeans_flat_train"] = round(time.perf_counter() - t0, 3)
 
     times: dict[str, float] = {}

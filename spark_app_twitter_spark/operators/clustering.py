@@ -417,11 +417,27 @@ def kmeans_cells(
     deterministic init (first k vectors). Assignment reuses the
     driver-held artifact through the inline literal-expression path —
     a pure map over the vectors, no crossJoin, no window shuffle
-    (bit-identical to :func:`_assign`, see :func:`_train_assign`)."""
+    (bit-identical to :func:`_assign`, see :func:`_train_assign`).
+
+    r15: the assigned flat cell table is published index contents on
+    the same contract as the two-level lists (_ASSIGNED_CACHE) —
+    computed once per (session, corpus, k, iters), lazily
+    checkpointed (narrow 2-int rows), shared by every flat-cell
+    consumer (balanced sampler, topic terms)."""
+    akey = ("flat", spark.sparkContext.applicationId, sf_dir, k, iters)
+    hit = _ASSIGNED_CACHE.get(akey)
+    if hit is not None:
+        return hit
     vecs = _vecs(spark, sf_dir)
-    return assign_cells(
-        spark, vecs, kmeans_centroid_rows(spark, sf_dir, k, iters)
-    ).select("vec_id", "cell")
+    out = (
+        assign_cells(
+            spark, vecs, kmeans_centroid_rows(spark, sf_dir, k, iters)
+        )
+        .select("vec_id", "cell")
+        .localCheckpoint(eager=False)
+    )
+    _ASSIGNED_CACHE[akey] = out
+    return out
 
 
 def _centroid_score_sql(v: str, c: str) -> str:

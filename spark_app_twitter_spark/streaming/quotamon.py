@@ -101,7 +101,13 @@ def apply_quota_batch(
         assign_cells(spark, vecs, kmeans_centroid_rows(spark, sf_dir))
         .select("vec_id", "cell")
         .withColumn("draw", balanced_draw_expr())
-        .localCheckpoint(eager=True)  # one assignment pass, two state folds
+        # one assignment pass, two state folds. Kept EAGER: the r15
+        # lazy variant (materialize inside the first transact's
+        # write job) measured a wash across 3 interleaved cold A/B
+        # pairs — the state-store writes dominate this path, and the
+        # eager form keeps the replay-vs-stream failure surface
+        # identical batch by batch.
+        .localCheckpoint(eager=True)
     )
 
     def merge_cands(stored: DataFrame | None) -> DataFrame:
