@@ -1282,6 +1282,13 @@ def _pca_axes(spark: SparkSession, sf_dir: str, k: int):
     each eigenvector's sign is canonicalized so its largest-magnitude
     coordinate is positive (first index on ties) — numpy's sign
     choice is implementation-defined, the canonical form is not.
+
+    Optimization r15: the distributed work (covariance reduction +
+    dim sums) is k-INDEPENDENT — the full DIM-axis decomposition is
+    trained once per (session, corpus) and every k-request slices its
+    prefix (identical values: the per-axis canonicalization does not
+    look at k, and argsort over the same vals picks the same order),
+    so pca_project (k=2) and whiten (k=8) share ONE training pass.
     """
     import numpy as np
 
@@ -1289,32 +1296,38 @@ def _pca_axes(spark: SparkSession, sf_dir: str, k: int):
     cached = _PCA_CACHE.get(key)
     if cached is not None:
         return cached
-    cov_rows = embedding_covariance(spark, sf_dir).collect()
-    d = max(r.j for r in cov_rows) + 1
-    cov = np.zeros((d, d))
-    for r in cov_rows:
-        cov[r.i, r.j] = r.cov
-        cov[r.j, r.i] = r.cov
-    vals, vecs = np.linalg.eigh(cov)  # ascending
-    order = np.argsort(vals)[::-1][:k]
-    comps = []
-    for idx in order:
-        v = vecs[:, idx]
-        pivot = int(np.argmax(np.abs(np.round(v, 9))))
-        if v[pivot] < 0:
-            v = -v
-        comps.append([float(x) for x in v])
-    eigvals = [float(vals[idx]) for idx in order]
-    # per-dim means (for centering): the SAME _dim_sums reduction the
-    # covariance uses — shared definition, no copy-paste drift. (A
-    # second bounded job, but d rows vs the d(d+1)/2-row covariance
-    # reduction that dominates.)
-    sums = _dim_sums(_quantized_vectors(spark, sf_dir)).collect()
-    means = [0.0] * d
-    for r in sums:
-        means[r.dim] = float(r.sd) / (float(r.n) * 1e6)
-    _PCA_CACHE[key] = (comps, means, eigvals)
-    return comps, means, eigvals
+    full_key = (spark.sparkContext.applicationId, sf_dir, None)
+    full = _PCA_CACHE.get(full_key)
+    if full is None:
+        cov_rows = embedding_covariance(spark, sf_dir).collect()
+        d = max(r.j for r in cov_rows) + 1
+        cov = np.zeros((d, d))
+        for r in cov_rows:
+            cov[r.i, r.j] = r.cov
+            cov[r.j, r.i] = r.cov
+        vals, vecs = np.linalg.eigh(cov)  # ascending
+        order = np.argsort(vals)[::-1]
+        comps_all = []
+        for idx in order:
+            v = vecs[:, idx]
+            pivot = int(np.argmax(np.abs(np.round(v, 9))))
+            if v[pivot] < 0:
+                v = -v
+            comps_all.append([float(x) for x in v])
+        eigvals_all = [float(vals[idx]) for idx in order]
+        # per-dim means (for centering): the SAME _dim_sums reduction
+        # the covariance uses — shared definition, no copy-paste
+        # drift. (A second bounded job, but d rows vs the d(d+1)/2-row
+        # covariance reduction that dominates.)
+        sums = _dim_sums(_quantized_vectors(spark, sf_dir)).collect()
+        means = [0.0] * d
+        for r in sums:
+            means[r.dim] = float(r.sd) / (float(r.n) * 1e6)
+        full = (comps_all, means, eigvals_all)
+        _PCA_CACHE[full_key] = full
+    out = (full[0][:k], full[1], full[2][:k])
+    _PCA_CACHE[key] = out
+    return out
 
 
 def _pca_components(spark: SparkSession, sf_dir: str, k: int):
