@@ -122,8 +122,6 @@ def apply_quota_batch(
             .select("vec_id", "cell", "draw")
         )
 
-    transact(spark, _cand_path(path), _CAND_DDL, merge_cands)
-
     sdelta = delta.groupBy("cell").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     ).select(F.lit(batch_id).cast("long").alias("batch_id"), "cell", "n")
@@ -144,7 +142,25 @@ def apply_quota_batch(
         )
         return kept.where(~aged).unionByName(folded).unionByName(sdelta)
 
-    transact(spark, _size_path(path), _SIZE_DDL, merge_sizes)
+    # The two folds touch DIFFERENT state paths (own flocks, own
+    # snapshots) and both read the already-materialized delta
+    # checkpoint, so their read-merge-publish jobs overlap (guide
+    # §2.6 — per-batch decomposition: cand 0.6 s + size 0.45 s
+    # serial, all fixed job overhead at bench scale). Failure
+    # surface is unchanged: a foreachBatch retry replays BOTH folds
+    # and each is idempotent per batch_id, exactly as when a serial
+    # first fold committed and the second crashed.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fc = pool.submit(
+            transact, spark, _cand_path(path), _CAND_DDL, merge_cands
+        )
+        fs = pool.submit(
+            transact, spark, _size_path(path), _SIZE_DDL, merge_sizes
+        )
+        fc.result()
+        fs.result()
     from spark_app_twitter_spark.functions.caches import unpersist_frame
 
     unpersist_frame(delta)  # checkpoint blocks need the LogicalRDD release
