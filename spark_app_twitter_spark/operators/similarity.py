@@ -2602,6 +2602,69 @@ BITEXT_MINING_IVF_SQL = _bitext_mining_ivf_sql()
 BITEXT_CELL_CAP = 8  # non-English candidates kept per fine cell
 BITEXT_PROBES = 8  # fixed probed fine cells per English source doc
 
+# (applicationId, sf_dir) -> the capped non-English candidate
+# shortlist (neighbor_id, cv, cell): query-INDEPENDENT index-side
+# state of the registered bitext default — the per-cell top-CAP
+# most-representative targets, exactly the target-side index a
+# CCMatrix-style deployment builds offline before mining any source
+# language against it. Published once per session on the
+# _ASSIGNED_CACHE contract (optimization r15: the per-query plan
+# re-ran the semi-join + centroid-cosine + cap window — two extra
+# serial AQE stages per mining call).
+_BITEXT_CAND_CACHE: dict[tuple, DataFrame] = register_cache({})
+
+
+def bitext_capped_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capped target-side shortlist read by
+    :func:`bitext_mining_capped` — (neighbor_id, cv, cell) with at
+    most BITEXT_CELL_CAP non-English members per fine cell, ranked
+    by centroid cosine (round 6dp, neighbor_id tie-break). Derived
+    only from the published inverted lists + fine centroids +
+    documents.lang: corpus state, no query dependence, so it is
+    publishable index contents (bench materializes it in the model
+    region alongside the other index artifacts)."""
+    from spark_app_twitter_spark.operators.clustering import (
+        corpus_size,
+        kmeans_cells_2level_assigned,
+        kmeans_fine_centroid_rows,
+        levels_for,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _BITEXT_CAND_CACHE.get(key)
+    if hit is not None:
+        return hit
+    _, k2 = levels_for(corpus_size(spark, sf_dir))
+    cents = spark.createDataFrame(
+        [
+            (int(co * k2 + fi), fv)
+            for co, fi, fv in kmeans_fine_centroid_rows(spark, sf_dir)
+        ],
+        "cell int, fv array<double>",
+    )
+    langs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    nonen = langs.where(F.col("lang") != "en").select(
+        F.col("vec_id").alias("neighbor_id")
+    )
+    assigned = kmeans_cells_2level_assigned(spark, sf_dir)
+    cand_cells = assigned.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "cell"
+    )
+    w = Window.partitionBy("cell").orderBy(F.desc("csim"), F.asc("neighbor_id"))
+    out = (
+        cand_cells.join(F.broadcast(nonen), "neighbor_id", "left_semi")
+        .join(F.broadcast(cents), "cell")
+        .withColumn("csim", F.round(cosine(F.col("cv"), F.col("fv")), 6))
+        .withColumn("crn", F.row_number().over(w))
+        .where(F.col("crn") <= BITEXT_CELL_CAP)
+        .select("neighbor_id", "cv", "cell")
+        .localCheckpoint(eager=False)
+    )
+    _BITEXT_CAND_CACHE[key] = out
+    return out
+
 
 def bitext_mining_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(src_id, tgt_id, cos_sim, margin): the CAPPED corpus-scale
@@ -2622,19 +2685,18 @@ def bitext_mining_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: the cap is ONE window over the cell key on the
     candidate side (index-sized, before any query join) — exactly
-    where minhash_lsh_pairs_capped places its bucket cap; stage 2
-    (mutual-top-1 + ratio margin) is the shared _bitext_margins
-    definition. Recall trade: a true mutual-top-1 pair is lost only
-    if the target ranks below CAP within its own cell — the audit
-    twin for that loss is comparing against _exact_cells, the same
-    relationship sim_ann_recall_audit pins for knn_ivf.
+    where minhash_lsh_pairs_capped places its bucket cap — and since
+    optimization r15 that capped shortlist is the PUBLISHED
+    :func:`bitext_capped_candidates` session artifact, so the
+    per-query plan starts from the stored target-side index instead
+    of re-running the semi-join + centroid-cosine + cap window;
+    stage 2 (mutual-top-1 + ratio margin) is the shared
+    _bitext_margins definition. Recall trade: a true mutual-top-1
+    pair is lost only if the target ranks below CAP within its own
+    cell — the audit twin for that loss is comparing against
+    _exact_cells, the same relationship sim_ann_recall_audit pins
+    for knn_ivf.
     """
-    from spark_app_twitter_spark.operators.clustering import (
-        corpus_size,
-        kmeans_fine_centroid_rows,
-        levels_for,
-    )
-
     emb = load_table(spark, sf_dir, "embeddings")
     langs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("vec_id"), "lang"
@@ -2647,38 +2709,12 @@ def bitext_mining_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
         )
     )
-    _, k2 = levels_for(corpus_size(spark, sf_dir))
-    cents = spark.createDataFrame(
-        [
-            (int(co * k2 + fi), fv)
-            for co, fi, fv in kmeans_fine_centroid_rows(spark, sf_dir)
-        ],
-        "cell int, fv array<double>",
-    )
-    nonen = langs.where(F.col("lang") != "en").select(
-        F.col("vec_id").alias("neighbor_id")
-    )
-
-    def cap_cells(cc: DataFrame) -> DataFrame:
-        w = Window.partitionBy("cell").orderBy(
-            F.desc("csim"), F.asc("neighbor_id")
-        )
-        return (
-            cc.join(F.broadcast(nonen), "neighbor_id", "left_semi")
-            .join(F.broadcast(cents), "cell")
-            .withColumn(
-                "csim", F.round(cosine(F.col("cv"), F.col("fv")), 6)
-            )
-            .withColumn("crn", F.row_number().over(w))
-            .where(F.col("crn") <= BITEXT_CELL_CAP)
-            .select("neighbor_id", "cv", "cell")
-        )
-
+    capped = bitext_capped_candidates(spark, sf_dir)
     pairs = ivf_probe_pairs(
         spark,
         sf_dir,
         q,
-        cand_prep=cap_cells,
+        cand_prep=lambda _cc: capped,
         n_probe=BITEXT_PROBES,
         broadcast_probes=False,
     )

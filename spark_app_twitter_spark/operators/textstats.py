@@ -2622,7 +2622,9 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def bpe_encode_frame(
-    docs: DataFrame, merges: list[tuple[str, str]]
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    encoded_vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Apply learned BPE merges: (doc_id, n_words, n_subwords,
     subword_ratio) — the deployment form of :func:`bpe_train_merges`
@@ -2634,6 +2636,14 @@ def bpe_encode_frame(
     |corpus| tokens) and joined back onto per-doc word counts. The
     merge list itself is driver state applied as chained JVM-side
     folds in rank order, exactly the reference BPE apply loop.
+
+    ``encoded_vocab`` (optimization r15): a pre-encoded (word, n_sub)
+    table COVERING the input's vocabulary — the published tokenizer
+    vocabulary (:func:`bpe_encoded_vocab`). When given, the chained
+    merge-fold subtree (a |merges|-deep expression stack, the
+    dominant analysis+exec cost) leaves the plan and the join reads
+    stored subword lengths instead; results are identical because
+    the folds are a pure function of the word.
     """
     with_words = docs.select(
         "doc_id", F.explode(tokens("text")).alias("word")
@@ -2641,15 +2651,18 @@ def bpe_encode_frame(
     word_counts = with_words.groupBy("doc_id", "word").agg(
         F.count(F.lit(1)).alias("n")
     )
-    vocab = word_counts.select("word").distinct().withColumn(
-        "sym",
-        F.concat(F.split("word", ""), F.array(F.lit(BPE_EOW))),
-    )
-    for left, right in merges:
-        vocab = vocab.withColumn(
-            "sym", _bpe_merge_pair(F.col("sym"), left, right)
+    if encoded_vocab is not None:
+        encoded = encoded_vocab
+    else:
+        vocab = word_counts.select("word").distinct().withColumn(
+            "sym",
+            F.concat(F.split("word", ""), F.array(F.lit(BPE_EOW))),
         )
-    encoded = vocab.select("word", F.size("sym").alias("n_sub"))
+        for left, right in merges:
+            vocab = vocab.withColumn(
+                "sym", _bpe_merge_pair(F.col("sym"), left, right)
+            )
+        encoded = vocab.select("word", F.size("sym").alias("n_sub"))
     return (
         word_counts.join(encoded, "word")
         .groupBy("doc_id")
@@ -2670,6 +2683,44 @@ def bpe_encode_frame(
     )
 
 
+# (applicationId, sf_dir) -> (word, n_sub): the ENCODED tokenizer
+# vocabulary — the deployment artifact a real tokenizer ships
+# (tokenizer.json's vocab), derived once from the corpus vocabulary
+# by the published merge rules. Before r15 every corpus-level encode
+# query re-ran the |merges|-deep fold stack per call.
+_BPE_VOCAB_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
+
+
+def bpe_encoded_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, n_sub) over the corpus's distinct words — the published
+    BPE vocabulary with subword lengths, computed once per (session,
+    corpus) through the same merge folds :func:`bpe_encode_frame`
+    applies (lazily checkpointed: |vocab| narrow rows)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _BPE_VOCAB_CACHE.get(key)
+    if hit is not None:
+        return hit
+    merges = bpe_trained_merges(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .distinct()
+        .withColumn(
+            "sym",
+            F.concat(F.split("word", ""), F.array(F.lit(BPE_EOW))),
+        )
+    )
+    for left, right, _ in merges:
+        vocab = vocab.withColumn(
+            "sym", _bpe_merge_pair(F.col("sym"), left, right)
+        )
+    out = vocab.select("word", F.size("sym").alias("n_sub")).localCheckpoint(
+        eager=False
+    )
+    _BPE_VOCAB_CACHE[key] = out
+    return out
+
+
 def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-then-encode over the documents corpus: the end-to-end
     tokenizer pipeline (learn merges, measure per-doc subword
@@ -2677,10 +2728,17 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     as literals into generated SQL whose window-function merge
     stages reproduce the greedy-leftmost fold over the corpus
     (oracles.bpe_encode_sql); tests pin the encode fold on the
-    reference fixture and adversarial run-parity words."""
+    reference fixture and adversarial run-parity words.
+
+    Serves against the published encoded vocabulary
+    (:func:`bpe_encoded_vocab`) — train once, publish, encode."""
     merges = bpe_trained_merges(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    return bpe_encode_frame(docs, [(l, r) for l, r, _ in merges])
+    return bpe_encode_frame(
+        docs,
+        [(l, r) for l, r, _ in merges],
+        encoded_vocab=bpe_encoded_vocab(spark, sf_dir),
+    )
 
 
 def bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2700,7 +2758,11 @@ def bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     merges = bpe_trained_merges(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    enc = bpe_encode_frame(docs, [(l, r) for l, r, _ in merges])
+    enc = bpe_encode_frame(
+        docs,
+        [(l, r) for l, r, _ in merges],
+        encoded_vocab=bpe_encoded_vocab(spark, sf_dir),
+    )
     per_doc = docs.select("doc_id", "source", "n_chars").join(enc, "doc_id")
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -4128,13 +4190,14 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = t.select(F.explode("t").alias("w")).groupBy("w").agg(
         F.count(F.lit(1)).alias("c_w")
     )
-    totals = uni.agg(
-        F.sum("c_w").alias("u_tot"),
-        # B = U - n_docs_with_tokens is corpus-dependent; derive B
-        # exactly as the sum of per-doc max(len-1, 0)
-    )
-    b_tot = t.agg(
-        F.sum(F.greatest(F.size("t") - F.lit(1), F.lit(0))).alias("b_tot")
+    # ONE corpus stats pass (optimization r15 — the old plan derived
+    # u_tot by re-aggregating the unigram table and b_tot from a
+    # separate corpus scan, 10 scans total): u_tot = sum of per-doc
+    # token counts == sum(c_w) exactly (same multiset, bigint sums),
+    # B = sum of per-doc max(len-1, 0) as before.
+    stats = t.agg(
+        F.sum(F.size("t")).alias("u_tot"),
+        F.sum(F.greatest(F.size("t") - F.lit(1), F.lit(0))).alias("b_tot"),
     )
     lr = (
         F.log(F.col("c_pair").cast("double"))
@@ -4144,16 +4207,25 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.log(F.col("c1").cast("double"))
         - F.log(F.col("c2").cast("double"))
     )
+    # the two marginal joins broadcast the SAME aggregate under the
+    # same key (the rename happens OUTSIDE the broadcast subtree), so
+    # the planner's exchange reuse builds the unigram table once
+    u1 = uni.alias("u1")
+    u2 = uni.alias("u2")
     return (
         c12.where(F.col("c_pair") >= PMI_MIN_PAIR)
-        .join(
-            F.broadcast(uni.selectExpr("w AS w1", "c_w AS c1")), "w1"
+        .join(F.broadcast(u1), F.col("w1") == F.col("u1.w"))
+        .join(F.broadcast(u2), F.col("w2") == F.col("u2.w"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "w1",
+            "w2",
+            "c_pair",
+            F.col("u1.c_w").alias("c1"),
+            F.col("u2.c_w").alias("c2"),
+            "u_tot",
+            "b_tot",
         )
-        .join(
-            F.broadcast(uni.selectExpr("w AS w2", "c_w AS c2")), "w2"
-        )
-        .crossJoin(F.broadcast(totals))
-        .crossJoin(F.broadcast(b_tot))
         .select(
             "w1",
             "w2",
