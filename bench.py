@@ -313,6 +313,13 @@ def main() -> None:
     _ts.bpe_encoded_vocab(spark, SF_DIR).count()
     model_times["bpe_vocab_encode"] = round(time.perf_counter() - t0, 3)
 
+    # published benchmark artifacts (decontamination): gram set +
+    # bloom bit table are static for a published benchmark — build
+    # once, as the streaming gate already did per stream
+    t0 = time.perf_counter()
+    _ts.decon_benchmark_artifacts(spark, SF_DIR)
+    model_times["decon_benchmark_build"] = round(time.perf_counter() - t0, 3)
+
     # PCA axes are trained state too: warm _PCA_CACHE so the headline
     # sim_embedding_pca number measures projection, not training
     from spark_app_twitter_spark.operators import similarity as _sim
@@ -339,6 +346,12 @@ def main() -> None:
     t0 = time.perf_counter()
     _ug.unigram_trained(spark, SF_DIR)
     model_times["unigram_em_train"] = round(time.perf_counter() - t0, 3)
+
+    # encoded unigram vocabulary: one Viterbi Arrow pass per session
+    # (the piece-table analogue of bpe_vocab_encode above)
+    t0 = time.perf_counter()
+    _ug.unigram_encoded_vocab(spark, SF_DIR).count()
+    model_times["unigram_vocab_encode"] = round(time.perf_counter() - t0, 3)
 
     # corpus bigram LM (r15): the CCNet/KenLM-style quality filter is
     # the same publish-once artifact class — train it here so the LM

@@ -746,7 +746,9 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", spread=True)
     per_doc = doc_ngrams(docs)
     is_bench = (F.col("doc_id") % DECON_BENCH_MOD) == DECON_BENCH_REM
-    bench = per_doc.where(is_bench).select("g").distinct()
+    # the published benchmark gram set (r15) — same rows the inline
+    # per_doc filter produced, already checkpointed for the session
+    bench, _ = decon_benchmark_artifacts(spark, sf_dir)
     return (
         per_doc.where(~is_bench)
         .join(F.broadcast(bench), "g", "left_semi")
@@ -773,6 +775,42 @@ def _bloom_positions_spark(g):
     )
 
 
+# (applicationId, sf_dir) -> (bench gram frame, bloom bit words):
+# the PUBLISHED benchmark artifacts — static for a published
+# benchmark, built once per session (optimization r15: the batch
+# decontamination queries re-derived the gram set and re-collected
+# the ~8 KiB bit table per call; the streaming gate already cached
+# them per stream via deconmonitor.benchmark_artifacts, which now
+# delegates here so batch and stream share one build).
+_DECON_BENCH_CACHE: dict[tuple[str, str], tuple] = register_cache({})
+
+
+def decon_benchmark_artifacts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[int]]:
+    """(bench_grams, bloom_bit_words): the held-out benchmark's
+    distinct gram set (eager checkpoint — the collect below
+    materializes it anyway) and its ~8 KiB bloom bit table as a
+    dense word list, computed once per (session, corpus)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _DECON_BENCH_CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    bench_docs = docs.where(
+        (F.col("doc_id") % DECON_BENCH_MOD) == DECON_BENCH_REM
+    )
+    bench = (
+        doc_ngrams(bench_docs).select("g").distinct().localCheckpoint(
+            eager=True
+        )
+    )
+    words = bloom_bits_words(bloom_words_frame(bench))
+    out = (bench, words)
+    _DECON_BENCH_CACHE[key] = out
+    return out
+
+
 def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination with a distributed-built Bloom prefilter —
     the 100 TB shape :func:`decontaminate`'s docstring promises:
@@ -789,13 +827,16 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: positions are md5-chunk integers, the filter build
     is a bit_or (order-free), membership is integer bit math — the
     DuckDB twin replays all of it bit-for-bit.
+
+    Serves against the published benchmark artifacts
+    (:func:`decon_benchmark_artifacts`) — the gram set and bit table
+    are static state, exactly as the streaming gate treats them.
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
     per_doc = doc_ngrams(docs)
     is_bench = (F.col("doc_id") % DECON_BENCH_MOD) == DECON_BENCH_REM
-    bench = per_doc.where(is_bench).select("g").distinct()
-    bench_words = bloom_words_frame(bench)
-    return bloom_gate(per_doc.where(~is_bench), bench, bench_words)
+    bench, words = decon_benchmark_artifacts(spark, sf_dir)
+    return bloom_gate(per_doc.where(~is_bench), bench, words)
 
 
 def bloom_words_frame(bench: DataFrame) -> DataFrame:

@@ -227,20 +227,22 @@ def unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_words, n_pieces, chars_per_piece): per-doc encoding
-    stats under the trained unigram vocabulary — the deployment half
-    (train once, publish the piece table, encode anywhere).
+# (applicationId, sf_dir) -> (word, n_pieces): the ENCODED unigram
+# vocabulary — Viterbi run once per distinct corpus word, published
+# like the BPE encoded vocab (optimization r15: every consumer of
+# the encode — packing, fertility, the export capstone — re-ran the
+# ArrowEvalPython Viterbi pass per query).
+_UNIGRAM_VOCAB_CACHE: dict[tuple[str, str], "DataFrame"] = register_cache({})
 
-    Scale shape: Viterbi runs once per DISTINCT word (vocabulary
-    trick) with the trained piece table in the UDF closure; the
-    (word -> n_pieces, n_chars) map joins back onto per-doc word
-    counts as a vocabulary-bounded broadcast; per-doc sums are one
-    doc_id-keyed reduce. The oracle twin embeds the replica's
-    per-word encoding as a literal relation and replays only the
-    relational half — so the gate checks the distributed join/reduce
-    against sequential Viterbi output.
-    """
+
+def unigram_encoded_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, n_pieces) over the corpus's distinct words under the
+    trained piece table — computed once per (session, corpus) and
+    lazily checkpointed; the tokenizer's deployment vocabulary."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _UNIGRAM_VOCAB_CACHE.get(key)
+    if hit is not None:
+        return hit
     logp = {p: lp for p, _, lp in unigram_trained(spark, sf_dir)}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -255,16 +257,38 @@ def unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
+    out = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .distinct()
+        .mapInPandas(run, schema="word string, n_pieces long")
+        .localCheckpoint(eager=False)
+    )
+    _UNIGRAM_VOCAB_CACHE[key] = out
+    return out
+
+
+def unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_words, n_pieces, chars_per_piece): per-doc encoding
+    stats under the trained unigram vocabulary — the deployment half
+    (train once, publish the piece table, encode anywhere).
+
+    Scale shape: Viterbi runs once per DISTINCT word (vocabulary
+    trick) against the PUBLISHED encoded vocabulary
+    (:func:`unigram_encoded_vocab` — one Arrow pass per session, not
+    per query); the (word -> n_pieces) map joins back onto per-doc
+    word counts as a vocabulary-bounded broadcast; per-doc sums are
+    one doc_id-keyed reduce. The oracle twin embeds the replica's
+    per-word encoding as a literal relation and replays only the
+    relational half — so the gate checks the distributed join/reduce
+    against sequential Viterbi output.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     word_counts = (
         docs.select("doc_id", F.explode(tokens("text")).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    encoded = (
-        word_counts.select("word")
-        .distinct()
-        .mapInPandas(run, schema="word string, n_pieces long")
-    )
+    encoded = unigram_encoded_vocab(spark, sf_dir)
     return (
         word_counts.join(F.broadcast(encoded), "word")
         .groupBy("doc_id")

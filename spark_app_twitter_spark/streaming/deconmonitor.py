@@ -30,14 +30,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from spark_app_twitter_spark.operators.textstats import (
-    DECON_BENCH_MOD,
-    DECON_BENCH_REM,
-    bloom_bits_words,
     bloom_gate,
-    bloom_words_frame,
     doc_ngrams,
 )
-from spark_app_twitter_spark.sources.parquet import load_table
 
 
 def benchmark_artifacts(
@@ -48,19 +43,15 @@ def benchmark_artifacts(
     table collected to a dense word list ONCE — the static side of
     every micro-batch's stream-static gate (since r12 the bit table
     is a constant-folded literal in each batch's plan, not a joined
-    relation — see bloom_gate's plan-shape note)."""
-    docs = load_table(spark, sf_dir, "documents", spread=True)
-    bench_docs = docs.where(
-        (F.col("doc_id") % DECON_BENCH_MOD) == DECON_BENCH_REM
+    relation — see bloom_gate's plan-shape note). Since optimization
+    r15 this delegates to the session-cached
+    textstats.decon_benchmark_artifacts, so the batch
+    decontamination queries and every stream share ONE build."""
+    from spark_app_twitter_spark.operators.textstats import (
+        decon_benchmark_artifacts,
     )
-    bench = (
-        doc_ngrams(bench_docs)
-        .select("g")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    words = bloom_bits_words(bloom_words_frame(bench))
-    return bench, words
+
+    return decon_benchmark_artifacts(spark, sf_dir)
 
 
 # Default micro-batch shape for the gate's file wire (VERDICT r11

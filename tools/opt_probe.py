@@ -50,10 +50,12 @@ def main() -> None:
     clustering.kmeans_cells_2level_assigned(spark, SF_DIR).count()
     textstats.bpe_train_merges(spark, SF_DIR).count()
     textstats.bpe_encoded_vocab(spark, SF_DIR).count()
+    textstats.decon_benchmark_artifacts(spark, SF_DIR)
     _sim._pca_components(spark, SF_DIR, _sim.PCA_COMPONENTS)
     pq.pq_codebook_rows(spark, SF_DIR)
     pq.pq_corpus_codes(spark, SF_DIR).count()
     unigram.unigram_trained(spark, SF_DIR)
+    unigram.unigram_encoded_vocab(spark, SF_DIR).count()
     clustering.kmeans_centroid_rows(spark, SF_DIR)
     clustering.kmeans_cells(spark, SF_DIR).count()
     _sim.bitext_capped_candidates(spark, SF_DIR).count()
