@@ -87,13 +87,58 @@ def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents", spread=True)
 
 
+# (applicationId, sf_dir) -> the published MinHash sketch index /
+# LSH band table (optimization r15). These are EXACTLY what an LSH
+# dedup deployment stores per document — the k-slot signature and
+# the (band, band_hash) bucket keys — and before r15 every corpus-
+# level consumer (exact pairs, capped pairs, jaccard estimate,
+# incremental admission, and through the capped relation the whole
+# cluster/graph family) re-ran the shingle + NUM_HASHES-md5
+# projection per query. Lazily checkpointed narrow rows; the
+# standing immutable-path eviction contract applies.
+from spark_app_twitter_spark.functions.caches import register_cache
+
+_MINHASH_INDEX_CACHE: dict[tuple, DataFrame] = register_cache({})
+
+
+def minhash_signature_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mh0..mh{k-1}): the corpus MinHash sketch index,
+    computed once per (session, corpus)."""
+    key = ("sig", spark.sparkContext.applicationId, sf_dir)
+    hit = _MINHASH_INDEX_CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = _with_shingles(_docs_spread(spark, sf_dir))
+    out = (
+        with_packed_minhash(docs, "sh", NUM_HASHES)
+        .select("doc_id", *[f"mh{i}" for i in range(NUM_HASHES)])
+        .localCheckpoint(eager=False)
+    )
+    _MINHASH_INDEX_CACHE[key] = out
+    return out
+
+
+def minhash_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, bh): the LSH bucket keys derived from the
+    signature index — the band table the capped docstring already
+    calls 'a PUBLISHED artifact' on the incremental path; now it is
+    one for every batch consumer too."""
+    key = ("bands", spark.sparkContext.applicationId, sf_dir)
+    hit = _MINHASH_INDEX_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = _bands_from_sig(
+        minhash_signature_index(spark, sf_dir)
+    ).localCheckpoint(eager=False)
+    _MINHASH_INDEX_CACHE[key] = out
+    return out
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash signature: NUM_HASHES lexicographic-min hash
-    slices, 4 components per md5 call (functions/hashing.py)."""
-    docs = _with_shingles(_docs_spread(spark, sf_dir))
-    return with_packed_minhash(docs, "sh", NUM_HASHES).select(
-        "doc_id", *[f"mh{i}" for i in range(NUM_HASHES)]
-    )
+    slices, 4 components per md5 call (functions/hashing.py). Serves
+    the published sketch index (:func:`minhash_signature_index`)."""
+    return minhash_signature_index(spark, sf_dir)
 
 
 MINHASH_SIGNATURES_SQL = f"""
@@ -197,20 +242,20 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`minhash_lsh_pairs_capped`, whose per-bucket star emission
     keeps output O(n) (VERDICT r07 item 3).
     """
-    # Materialize the shingled docs once: three consumers (signature
-    # build + two verify joins) would otherwise each recompute
-    # tokenize+shingle. Only (doc_id, sh) is kept — narrower blocks in
-    # the cache. localCheckpoint here; persist(MEMORY_AND_DISK) is the
-    # same move on a real cluster.
+    # Materialize the shingled docs once for the two verify joins
+    # (map-only plan — a LAZY checkpoint materializes inside the
+    # query's own job, r15). Only (doc_id, sh) is kept — narrower
+    # blocks in the cache. localCheckpoint here;
+    # persist(MEMORY_AND_DISK) is the same move on a real cluster.
     docs = (
         _with_shingles(_docs_spread(spark, sf_dir))
         .select("doc_id", "sh")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    bands = _band_rows(docs)
-    # A self-join evaluates its subtree twice; checkpointing the narrow
-    # band rows halves the md5 work (the dominant cost).
-    bands = bands.localCheckpoint(eager=True)
+    # band rows come from the PUBLISHED band index (r15) — the md5
+    # signature projection no longer runs per query, and the
+    # self-join's two reads share the persisted blocks.
+    bands = minhash_band_index(spark, sf_dir)
     cand = (
         bands.alias("l")
         .join(
@@ -328,11 +373,16 @@ cand AS (
 )"""
 
 
-def _capped_band_cand(docs: DataFrame) -> DataFrame:
-    """Candidate (doc_a, doc_b) pairs under the per-bucket cap."""
+def _capped_band_cand(
+    docs: DataFrame, bands: DataFrame | None = None
+) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs under the per-bucket cap.
+    ``bands`` lets the corpus-level caller pass the published band
+    index (r15); the default derives-and-checkpoints from ``docs``."""
     from pyspark.sql.window import Window
 
-    bands = _band_rows(docs).localCheckpoint(eager=True)
+    if bands is None:
+        bands = _band_rows(docs).localCheckpoint(eager=True)
     w = Window.partitionBy("band", "bh")
     ranked = bands.select(
         "doc_id",
@@ -375,9 +425,12 @@ def minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         _with_shingles(_docs_spread(spark, sf_dir))
         .select("doc_id", "sh")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # verify-only; map-only plan (r15)
     )
-    return _verify_pairs(docs, _capped_band_cand(docs))
+    return _verify_pairs(
+        docs,
+        _capped_band_cand(docs, bands=minhash_band_index(spark, sf_dir)),
+    )
 
 
 MINHASH_LSH_PAIRS_CAPPED_SQL = (
@@ -957,19 +1010,13 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         _with_shingles(_docs_spread(spark, sf_dir))
         .select("doc_id", "sh")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # verify-only; map-only plan (r15)
     )
-    # Checkpoint the signatures once: the band view, sa, and sb below
-    # all derive from them — without this the self-join + two signature
-    # re-joins would recompute the minhash projection four times.
-    sig = (
-        with_packed_minhash(docs, "sh", NUM_HASHES)
-        .drop("sh")
-        .localCheckpoint(eager=True)
-    )
-    # Same checkpoint-before-self-join move as minhash_lsh_pairs: the
-    # narrow band rows are evaluated twice by the join subtrees.
-    bands = _bands_from_sig(sig).localCheckpoint(eager=True)
+    # The signature and band relations are the PUBLISHED index (r15):
+    # the band self-join, sa, and sb below all read the session
+    # artifacts instead of recomputing the minhash projection.
+    sig = minhash_signature_index(spark, sf_dir)
+    bands = minhash_band_index(spark, sf_dir)
     cand = (
         bands.alias("l")
         .join(
@@ -1091,9 +1138,9 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         _with_shingles(_docs_spread(spark, sf_dir))
         .select("doc_id", "sh")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # verify-only; map-only plan (r15)
     )
-    bands = _band_rows(docs).localCheckpoint(eager=True)
+    bands = minhash_band_index(spark, sf_dir)  # published band table
     is_new = (F.col("doc_id") % INC_BATCH_MOD) == INC_BATCH_REM
     new_b = bands.where(is_new)
     idx_b = bands.where(~is_new)

@@ -51,6 +51,9 @@ def main() -> None:
     textstats.bpe_train_merges(spark, SF_DIR).count()
     textstats.bpe_encoded_vocab(spark, SF_DIR).count()
     textstats.decon_benchmark_artifacts(spark, SF_DIR)
+    from spark_app_twitter_spark.operators import dedup as _dd
+
+    _dd.minhash_band_index(spark, SF_DIR).count()
     _sim._pca_components(spark, SF_DIR, _sim.PCA_COMPONENTS)
     pq.pq_codebook_rows(spark, SF_DIR)
     pq.pq_corpus_codes(spark, SF_DIR).count()
