@@ -56,10 +56,22 @@ def unpersist_frame(df) -> None:
         pass
 
 
+def _release_value(v) -> None:
+    """Unpersist a cached value, recursing into tuple/list composites
+    (r15: several artifact caches hold (frame, metadata) tuples — the
+    sparse-retrieval index triple, the decontamination (bench grams,
+    bit words) pair — whose checkpointed frames the flat walk
+    silently skipped on eviction)."""
+    if callable(getattr(v, "unpersist", None)):
+        unpersist_frame(v)
+    elif isinstance(v, (tuple, list)):
+        for x in v:
+            _release_value(x)
+
+
 def _evict(cache: MutableMapping) -> None:
     for v in cache.values():
-        if callable(getattr(v, "unpersist", None)):
-            unpersist_frame(v)
+        _release_value(v)
     cache.clear()
 
 

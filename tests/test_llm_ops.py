@@ -98,6 +98,27 @@ def test_session_cache_eviction_contract(spark, sf_dir):
     assert n_persistent() < before
 
 
+def test_cache_eviction_releases_tuple_nested_frames(spark):
+    """r15: artifact caches may hold (frame, metadata) composites —
+    the sparse-retrieval index triple, the decontamination
+    (bench grams, bit words) pair. _evict must recurse into
+    tuples/lists and unpersist nested checkpointed frames, not just
+    top-level DataFrame values."""
+    from spark_app_twitter_spark.functions import caches
+
+    df = spark.range(10).localCheckpoint(eager=True)
+
+    def n_persistent() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    before = n_persistent()
+    assert before >= 1
+    cache = {"k": (df, [1, 2, 3])}
+    caches._evict(cache)
+    assert not cache
+    assert n_persistent() < before
+
+
 def test_lang_id_degenerate_single_language(spark, tmp_path):
     """ADVICE r13: F.greatest requires >=2 columns and isin() >=1
     literal, so a single-language corpus (and a language with no
