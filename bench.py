@@ -2,9 +2,12 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints a FULL JSON line (everything, persisted to worklog/ too) and
+then a FINAL compact JSON line — the one the driver archives — that
+carries the contract fields INCLUDING the per-query map:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {name: sec, ...}, "headline_plus_model_sec": ...,
+   "sf": <sf>}
 
 Each query is timed as plan-build + full execution (count via a
 no-op-projection collect of aggregates would skew tiny results, so
@@ -526,11 +529,59 @@ def main() -> None:
     except (OSError, ValueError):
         pass
 
+    # Cost-shift exposure (VERDICT r15 items 1a/2): the model region
+    # is FROZEN as of r16 — no new artifact classes may be added to
+    # the untimed pre-train block — and both output lines carry
+    # headline_plus_model_sec (headline + every untimed artifact
+    # build) so cross-round comparisons can never silently drop the
+    # index-build cost. cold_first_query records, per published
+    # artifact, what the FIRST consumer query would cost in a session
+    # with no published artifacts: the measured artifact build
+    # seconds plus the measured warm serve seconds of its headline
+    # representative (both components measured this run; the sum is
+    # the cold build+serve figure the r15 verdict asked for).
+    model_total = round(sum(model_times.values()) + ivf_train_seconds, 3)
+    _ARTIFACT_REPS = {
+        "sim_knn_ivf": ["_ivf_train"],
+        "text_bpe_encode": ["bpe_train_merges", "bpe_vocab_encode"],
+        "text_decontaminate": ["decon_benchmark_build"],
+        "dedup_minhash_lsh_pairs": ["minhash_index_build"],
+        "sim_embedding_pca": ["pca_train"],
+        "sim_knn_pq_adc": [
+            "_ivf_train", "pq_codebook_train", "pq_corpus_encode"
+        ],
+        "text_unigram_encode": [
+            "unigram_em_train", "unigram_vocab_encode"
+        ],
+        "text_perplexity_buckets": ["bigram_lm_train"],
+        "retrieval_bm25": ["text_index_build"],
+        "sim_cluster_balanced_sample": ["kmeans_flat_train"],
+        "sim_bitext_mining": ["_ivf_train", "bitext_cap_index"],
+    }
+    cold_first_query = {}
+    for rep, keys in _ARTIFACT_REPS.items():
+        if rep not in times:
+            continue
+        build = sum(
+            ivf_train_seconds if k == "_ivf_train" else model_times.get(k, 0.0)
+            for k in keys
+        )
+        cold_first_query[rep] = {
+            "serve_sec": times[rep],
+            "build_sec": round(build, 3),
+            "build_plus_serve_sec": round(build + times[rep], 3),
+        }
+
     out = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "headline_plus_model_sec": round(
+            sum(times.values()) + model_total, 3
+        ),
+        "model_seconds_total": model_total,
+        "cold_first_query": cold_first_query,
         "query_external_busy_pct": ext_pct,
         "contended_reruns": contended_reruns,
         "ext_busy_pct_gate": EXT_BUSY_PCT_GATE,
@@ -544,18 +595,25 @@ def main() -> None:
         "timestamp_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     print(json.dumps(out))
-    # the driver archives only the TAIL of stdout into BENCH_rN.json,
-    # and the full per-query line can exceed that tail — ALWAYS end
-    # with a compact headline line so the total survives archiving
-    # (VERDICT r08 item 5); the full line is also persisted under
-    # worklog/ for the judge
+    # the full line above is also persisted under worklog/ for the
+    # judge; r16 appends per-run history (the r15 verdict found the
+    # single overwritable file had lost the 32-core run's per-query
+    # map to the driver's own 8-core re-run)
     try:
         wl = os.path.join(os.path.dirname(os.path.abspath(__file__)), "worklog")
         os.makedirs(wl, exist_ok=True)
         with open(os.path.join(wl, "bench_last_full.json"), "w") as f:
             f.write(json.dumps(out) + "\n")
+        with open(os.path.join(wl, "bench_history.jsonl"), "a") as f:
+            f.write(json.dumps(out) + "\n")
     except OSError:
         pass
+    # The FINAL stdout line is what the driver parses (it archives
+    # the tail of stdout): per the docstring contract — and VERDICT
+    # r15 item 1a, which found PERF's per_query empty for two rounds
+    # because this line omitted the map — it MUST carry "queries".
+    # ~85 rounded floats is ~2.5 kB; everything bulkier (per-query
+    # contention data, full ab_control) stays on the full first line.
     print(
         json.dumps(
             {
@@ -563,6 +621,10 @@ def main() -> None:
                 "value": out["value"],
                 "unit": "sec",
                 "n_queries": len(times),
+                "queries": times,
+                "headline_plus_model_sec": out["headline_plus_model_sec"],
+                "model_seconds_total": model_total,
+                "ivf_train_seconds": ivf_train_seconds,
                 "sf": sf_val,
                 "load_gate": load_gate,
                 "ab_control": ab_summary,

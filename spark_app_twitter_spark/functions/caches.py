@@ -21,9 +21,44 @@ rule — which is the point.
 
 from __future__ import annotations
 
-from typing import MutableMapping
+import threading
+from typing import Callable, MutableMapping, TypeVar
 
 _REGISTRY: list[MutableMapping] = []
+
+# ONE re-entrant lock for every artifact cache's build path (ADVICE
+# r15): session artifacts are lazily checkpointed and multi-consumer,
+# and two driver threads (parallel foreachBatch maintainers, the
+# quotamon fold pool, two streams sharing one session) racing a cache
+# MISS would each run the build — the loser's checkpointed frame then
+# overwrites the winner's cache entry and the winner's checkpoint
+# blocks leak until session end. Double-checked locking closes the
+# race; re-entrant because builds nest (the band index builds the
+# signature index, consumers build the assigned table) and the
+# artifact dependency graph is a DAG built under this single lock.
+_BUILD_LOCK = threading.RLock()
+
+V = TypeVar("V")
+
+
+def get_or_build(
+    cache: MutableMapping, key, build: Callable[[], V]
+) -> V:
+    """Session-artifact cache getter with the build-once guarantee:
+    the fast path is lock-free (dict reads are atomic under the GIL);
+    a miss re-checks under the build lock, so exactly one thread
+    builds and every concurrent caller returns the SAME artifact
+    object."""
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
+    with _BUILD_LOCK:
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+        val = build()
+        cache[key] = val
+        return val
 
 
 def register_cache(cache: MutableMapping) -> MutableMapping:

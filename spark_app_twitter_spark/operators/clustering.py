@@ -424,20 +424,20 @@ def kmeans_cells(
     computed once per (session, corpus, k, iters), lazily
     checkpointed (narrow 2-int rows), shared by every flat-cell
     consumer (balanced sampler, topic terms)."""
-    akey = ("flat", spark.sparkContext.applicationId, sf_dir, k, iters)
-    hit = _ASSIGNED_CACHE.get(akey)
-    if hit is not None:
-        return hit
-    vecs = _vecs(spark, sf_dir)
-    out = (
-        assign_cells(
-            spark, vecs, kmeans_centroid_rows(spark, sf_dir, k, iters)
+    from spark_app_twitter_spark.functions.caches import get_or_build
+
+    def build() -> DataFrame:
+        vecs = _vecs(spark, sf_dir)
+        return (
+            assign_cells(
+                spark, vecs, kmeans_centroid_rows(spark, sf_dir, k, iters)
+            )
+            .select("vec_id", "cell")
+            .localCheckpoint(eager=False)
         )
-        .select("vec_id", "cell")
-        .localCheckpoint(eager=False)
-    )
-    _ASSIGNED_CACHE[akey] = out
-    return out
+
+    akey = ("flat", spark.sparkContext.applicationId, sf_dir, k, iters)
+    return get_or_build(_ASSIGNED_CACHE, akey, build)
 
 
 def _centroid_score_sql(v: str, c: str) -> str:
@@ -1024,12 +1024,21 @@ def kmeans_cells_2level_assigned(
     state between iterations is a K1*K2-row driver artifact, exactly
     like the flat centroid cache.
     """
+    from spark_app_twitter_spark.functions.caches import get_or_build
+
     n = corpus_size(spark, sf_dir)
     k1, k2 = levels_for(n)
     akey = (spark.sparkContext.applicationId, sf_dir, k1, k2, iters)
-    hit = _ASSIGNED_CACHE.get(akey)
-    if hit is not None:
-        return hit
+    return get_or_build(
+        _ASSIGNED_CACHE,
+        akey,
+        lambda: _build_2level_assigned(spark, sf_dir, k1, k2, iters),
+    )
+
+
+def _build_2level_assigned(
+    spark: SparkSession, sf_dir: str, k1: int, k2: int, iters: int
+) -> DataFrame:
     coarse_rows = kmeans_centroid_rows(spark, sf_dir, k=k1)
     members = assign_cells(spark, _vecs(spark, sf_dir), coarse_rows).select(
         "vec_id", "v", F.col("cell").alias("coarse")
@@ -1051,7 +1060,6 @@ def kmeans_cells_2level_assigned(
             eager=True
         )
         unpersist_frame(members)
-        _ASSIGNED_CACHE[akey] = out
         return out
     # SERVE path with a trained tree but unpublished lists (e.g. the
     # artifact round-tripped through export): one big coarse+fine
@@ -1065,11 +1073,9 @@ def kmeans_cells_2level_assigned(
     # published lists, exactly like a faiss deployment serving
     # against index.add()'ed storage.
     rows = kmeans_fine_centroid_rows(spark, sf_dir, iters)
-    out = _final_2level_select(spark, members, rows, k2).localCheckpoint(
+    return _final_2level_select(spark, members, rows, k2).localCheckpoint(
         eager=False
     )
-    _ASSIGNED_CACHE[akey] = out
-    return out
 
 
 def kmeans_fine_centroid_rows(

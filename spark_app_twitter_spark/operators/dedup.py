@@ -104,18 +104,18 @@ _MINHASH_INDEX_CACHE: dict[tuple, DataFrame] = register_cache({})
 def minhash_signature_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, mh0..mh{k-1}): the corpus MinHash sketch index,
     computed once per (session, corpus)."""
+    from spark_app_twitter_spark.functions.caches import get_or_build
+
+    def build() -> DataFrame:
+        docs = _with_shingles(_docs_spread(spark, sf_dir))
+        return (
+            with_packed_minhash(docs, "sh", NUM_HASHES)
+            .select("doc_id", *[f"mh{i}" for i in range(NUM_HASHES)])
+            .localCheckpoint(eager=False)
+        )
+
     key = ("sig", spark.sparkContext.applicationId, sf_dir)
-    hit = _MINHASH_INDEX_CACHE.get(key)
-    if hit is not None:
-        return hit
-    docs = _with_shingles(_docs_spread(spark, sf_dir))
-    out = (
-        with_packed_minhash(docs, "sh", NUM_HASHES)
-        .select("doc_id", *[f"mh{i}" for i in range(NUM_HASHES)])
-        .localCheckpoint(eager=False)
-    )
-    _MINHASH_INDEX_CACHE[key] = out
-    return out
+    return get_or_build(_MINHASH_INDEX_CACHE, key, build)
 
 
 def minhash_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,15 +123,16 @@ def minhash_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature index — the band table the capped docstring already
     calls 'a PUBLISHED artifact' on the incremental path; now it is
     one for every batch consumer too."""
+    from spark_app_twitter_spark.functions.caches import get_or_build
+
     key = ("bands", spark.sparkContext.applicationId, sf_dir)
-    hit = _MINHASH_INDEX_CACHE.get(key)
-    if hit is not None:
-        return hit
-    out = _bands_from_sig(
-        minhash_signature_index(spark, sf_dir)
-    ).localCheckpoint(eager=False)
-    _MINHASH_INDEX_CACHE[key] = out
-    return out
+    return get_or_build(
+        _MINHASH_INDEX_CACHE,
+        key,
+        lambda: _bands_from_sig(
+            minhash_signature_index(spark, sf_dir)
+        ).localCheckpoint(eager=False),
+    )
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:

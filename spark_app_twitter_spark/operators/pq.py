@@ -238,19 +238,19 @@ def pq_corpus_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     (session, corpus) against the trained codebook (lazy checkpoint:
     the first consumer's job folds the encode pass in); narrow PQ_M
     rows of small ints per vector, the index payload itself."""
+    from spark_app_twitter_spark.functions.caches import get_or_build
+
+    def build() -> DataFrame:
+        cents = pq_codebook_rows(spark, sf_dir)
+        subs = _subvecs(spark, sf_dir)
+        return (
+            _pq_assign(subs.where(F.col("vec_id") >= N_QUERIES), cents)
+            .select(F.col("vec_id").alias("neighbor_id"), "m", "cell")
+            .localCheckpoint(eager=False)
+        )
+
     key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _PQ_CODES_CACHE.get(key)
-    if hit is not None:
-        return hit
-    cents = pq_codebook_rows(spark, sf_dir)
-    subs = _subvecs(spark, sf_dir)
-    codes = (
-        _pq_assign(subs.where(F.col("vec_id") >= N_QUERIES), cents)
-        .select(F.col("vec_id").alias("neighbor_id"), "m", "cell")
-        .localCheckpoint(eager=False)
-    )
-    _PQ_CODES_CACHE[key] = codes
-    return codes
+    return get_or_build(_PQ_CODES_CACHE, key, build)
 
 
 def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -68,29 +68,31 @@ def text_index(
     key contains the filter key), so every consumer's results are
     unchanged — the parity gates prove it.
     """
+    from spark_app_twitter_spark.functions.caches import get_or_build
+
+    def build() -> tuple[DataFrame, DataFrame, DataFrame]:
+        docs = load_table(spark, sf_dir, "documents", spread=True)
+        toks = docs.select(
+            "doc_id", F.explode(tokens("text")).alias("term")
+        )
+        postings = (
+            toks.groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .localCheckpoint(eager=False)
+        )
+        doclen = (
+            postings.groupBy("doc_id")
+            .agg(F.sum("tf").cast("long").alias("dl"))
+            .localCheckpoint(eager=False)
+        )
+        scalars = docs.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens("text"))).alias("n_tokens"),
+        ).localCheckpoint(eager=False)
+        return (postings, doclen, scalars)
+
     key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _TEXT_INDEX_CACHE.get(key)
-    if hit is not None:
-        return hit
-    docs = load_table(spark, sf_dir, "documents", spread=True)
-    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
-    postings = (
-        toks.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
-    )
-    doclen = (
-        postings.groupBy("doc_id")
-        .agg(F.sum("tf").cast("long").alias("dl"))
-        .localCheckpoint(eager=False)
-    )
-    scalars = docs.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(tokens("text"))).alias("n_tokens"),
-    ).localCheckpoint(eager=False)
-    out = (postings, doclen, scalars)
-    _TEXT_INDEX_CACHE[key] = out
-    return out
+    return get_or_build(_TEXT_INDEX_CACHE, key, build)
 
 
 def _payload_join(spark: SparkSession, sf_dir: str, knn_hits) -> DataFrame:

@@ -2147,54 +2147,73 @@ def _bitext_margins(scored: DataFrame) -> DataFrame:
     definition so the exact (all-pairs) and IVF-bucketed variants
     can never diverge on ranking, tie-break, or margin arithmetic.
 
-    Plan shape (r13): ``ranked`` feeds THREE branches below (forward
-    margin mean, backward margin mean, mutual filter), and without
-    lineage truncation each branch re-derives the entire upstream
-    candidate pipeline — two-level tree scoring, probe ranking, the
-    per-cell cap window — inside one action (PLANSTATS r12: 18
-    shuffles / 30 scans on the capped default, the registry's widest
-    plan). The pair relation is bounded for every registered caller
-    (|src| x PROBES x CAP on the capped default; audit-sized on the
-    exact twins), so lazily localCheckpoint it once and let all three
-    branches read the materialized blocks — the same move that took
-    the retrieval family 25->7 shuffles (r12 commit 6d8d9df) and the
-    bitext recall audit 62->2."""
-    wf = Window.partitionBy("src_id").orderBy(
-        F.desc("cos_sim"), F.asc("tgt_id")
-    )
-    wb = Window.partitionBy("tgt_id").orderBy(
-        F.desc("cos_sim"), F.asc("src_id")
-    )
-    ranked = scored.select(
+    Plan shape (r16, VERDICT r15 item 6): the r13-r15 formulation
+    stacked TWO serial row_number windows (src- then tgt-partitioned
+    exchange + full sort each) onto the pair relation, checkpointed
+    the ranked table, and fed THREE branches (forward mean, backward
+    mean, mutual filter) plus two re-joins — ~5 serial AQE stages of
+    fixed latency after the candidate join. Everything each side
+    needs is a per-key TOP-K statistic, so each direction is now ONE
+    partial-aggregated hash aggregate over the checkpointed pair
+    relation: collect the per-key candidate list, array_sort by the
+    EXACT total order the windows used ((-cos_micro, other_id)
+    ascending == (cos_sim DESC, other_id ASC) — cos_sim -> micro is
+    injective on 6dp-rounded values, and (src_id, tgt_id) pairs are
+    unique so the sort never reaches a third field), then read
+    top-1 / top-K-sum / top-K-count off the sorted array. The two
+    aggregates are independent subtrees (no serial window chain) and
+    the mutual-top-1 + margin tail is ONE join of two
+    one-row-per-key sides instead of filter + two joins. Per-key
+    array volume equals exactly what each window sort already
+    materialized per partition key (|pairs per key|, bounded at
+    PROBES x CAP per src on the capped default; per tgt it is the
+    probe fan-in its cell receives — the same rows the tgt window
+    sorted). The pair relation still lazily localCheckpoints once
+    (slimmer now: no fr/br columns), truncating the wide candidate
+    pipeline out of both aggregate subtrees (PLANSTATS r12: without
+    truncation, 18 shuffles / 30 scans)."""
+    pairs = scored.localCheckpoint(eager=False)
+    micro = F.round(F.col("cos_sim") * F.lit(1e6), 0).cast("long")
+    k = F.lit(BITEXT_MARGIN_K)
+
+    def _topk(key: str, other: str, carry_cos: bool):
+        fields = [
+            (-micro).alias("nm"),
+            F.col(other).alias("oid"),
+        ]
+        if carry_cos:
+            # third struct field: never compared (nm, oid) is unique
+            fields.append(F.col("cos_sim").alias("cs"))
+        sorted_c = F.array_sort(F.collect_list(F.struct(*fields)))
+        return pairs.groupBy(key).agg(
+            F.element_at(sorted_c, 1).alias("top"),
+            F.aggregate(
+                F.slice(sorted_c, F.lit(1), k),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc - x["nm"],
+            ).alias("_sum"),
+            F.least(F.size(sorted_c), k).cast("long").alias("_k"),
+        )
+
+    fwd = _topk("src_id", "tgt_id", carry_cos=True).select(
         "src_id",
-        "tgt_id",
-        "cos_sim",
-        F.row_number().over(wf).alias("fr"),
-        F.row_number().over(wb).alias("br"),
-    ).localCheckpoint(eager=False)
+        F.col("top.oid").alias("tgt_id"),
+        F.col("top.cs").alias("cos_sim"),
+        F.col("_sum").alias("fm_sum"),
+        F.col("_k").alias("kf"),
+    )
+    bwd = _topk("tgt_id", "src_id", carry_cos=False).select(
+        F.col("tgt_id").alias("b_tgt"),
+        F.col("top.oid").alias("b_src"),
+        F.col("_sum").alias("bm_sum"),
+        F.col("_k").alias("kb"),
+    )
     # margin in exact integer micro-units (bigram_lm_score's idiom):
     # cos_sim is already 6dp-rounded, so cos_micro is an exact bigint;
     # margin = cos / ((fm_sum/kf + bm_sum/kb) / 2)
     #        = 2*cos*kf*kb / (fm_sum*kb + bm_sum*kf)  — an integer
     # rational, rounded half-up by one integer division, so the
     # variable-order float average can never flip the 6th decimal.
-    micro = F.round(F.col("cos_sim") * F.lit(1e6), 0).cast("long")
-    fwd_mean = (
-        ranked.where(F.col("fr") <= BITEXT_MARGIN_K)
-        .groupBy("src_id")
-        .agg(
-            F.sum(micro).alias("fm_sum"),
-            F.count(F.lit(1)).alias("kf"),
-        )
-    )
-    bwd_mean = (
-        ranked.where(F.col("br") <= BITEXT_MARGIN_K)
-        .groupBy("tgt_id")
-        .agg(
-            F.sum(micro).alias("bm_sum"),
-            F.count(F.lit(1)).alias("kb"),
-        )
-    )
     num = 2 * micro * F.col("kf") * F.col("kb")
     den = F.col("fm_sum") * F.col("kb") + F.col("bm_sum") * F.col("kf")
     margin = (
@@ -2205,10 +2224,15 @@ def _bitext_margins(scored: DataFrame) -> DataFrame:
         ).cast("double")
         / F.lit(float(_BITEXT_SCALE))
     )
+    # a pair (s, t) had fr == 1 iff t is s's top-1 target and br == 1
+    # iff s is t's top-1 source — the join below IS the mutual filter,
+    # with both means already on the joined row
     return (
-        ranked.where((F.col("fr") == 1) & (F.col("br") == 1))
-        .join(fwd_mean, "src_id")
-        .join(bwd_mean, "tgt_id")
+        fwd.join(
+            bwd,
+            (F.col("tgt_id") == F.col("b_tgt"))
+            & (F.col("src_id") == F.col("b_src")),
+        )
         .where((den > 0) & (num > 0))
         .select(
             "src_id",
@@ -2630,40 +2654,44 @@ def bitext_capped_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         levels_for,
     )
 
+    from spark_app_twitter_spark.functions.caches import get_or_build
+
+    def build() -> DataFrame:
+        _, k2 = levels_for(corpus_size(spark, sf_dir))
+        cents = spark.createDataFrame(
+            [
+                (int(co * k2 + fi), fv)
+                for co, fi, fv in kmeans_fine_centroid_rows(spark, sf_dir)
+            ],
+            "cell int, fv array<double>",
+        )
+        langs = load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("vec_id"), "lang"
+        )
+        nonen = langs.where(F.col("lang") != "en").select(
+            F.col("vec_id").alias("neighbor_id")
+        )
+        assigned = kmeans_cells_2level_assigned(spark, sf_dir)
+        cand_cells = assigned.where(F.col("vec_id") >= N_QUERIES).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("cv"),
+            "cell",
+        )
+        w = Window.partitionBy("cell").orderBy(
+            F.desc("csim"), F.asc("neighbor_id")
+        )
+        return (
+            cand_cells.join(F.broadcast(nonen), "neighbor_id", "left_semi")
+            .join(F.broadcast(cents), "cell")
+            .withColumn("csim", F.round(cosine(F.col("cv"), F.col("fv")), 6))
+            .withColumn("crn", F.row_number().over(w))
+            .where(F.col("crn") <= BITEXT_CELL_CAP)
+            .select("neighbor_id", "cv", "cell")
+            .localCheckpoint(eager=False)
+        )
+
     key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _BITEXT_CAND_CACHE.get(key)
-    if hit is not None:
-        return hit
-    _, k2 = levels_for(corpus_size(spark, sf_dir))
-    cents = spark.createDataFrame(
-        [
-            (int(co * k2 + fi), fv)
-            for co, fi, fv in kmeans_fine_centroid_rows(spark, sf_dir)
-        ],
-        "cell int, fv array<double>",
-    )
-    langs = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("vec_id"), "lang"
-    )
-    nonen = langs.where(F.col("lang") != "en").select(
-        F.col("vec_id").alias("neighbor_id")
-    )
-    assigned = kmeans_cells_2level_assigned(spark, sf_dir)
-    cand_cells = assigned.where(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "cell"
-    )
-    w = Window.partitionBy("cell").orderBy(F.desc("csim"), F.asc("neighbor_id"))
-    out = (
-        cand_cells.join(F.broadcast(nonen), "neighbor_id", "left_semi")
-        .join(F.broadcast(cents), "cell")
-        .withColumn("csim", F.round(cosine(F.col("cv"), F.col("fv")), 6))
-        .withColumn("crn", F.row_number().over(w))
-        .where(F.col("crn") <= BITEXT_CELL_CAP)
-        .select("neighbor_id", "cv", "cell")
-        .localCheckpoint(eager=False)
-    )
-    _BITEXT_CAND_CACHE[key] = out
-    return out
+    return get_or_build(_BITEXT_CAND_CACHE, key, build)
 
 
 def bitext_mining_capped(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -792,23 +792,23 @@ def decon_benchmark_artifacts(
     distinct gram set (eager checkpoint — the collect below
     materializes it anyway) and its ~8 KiB bloom bit table as a
     dense word list, computed once per (session, corpus)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _DECON_BENCH_CACHE.get(key)
-    if hit is not None:
-        return hit
-    docs = load_table(spark, sf_dir, "documents", spread=True)
-    bench_docs = docs.where(
-        (F.col("doc_id") % DECON_BENCH_MOD) == DECON_BENCH_REM
-    )
-    bench = (
-        doc_ngrams(bench_docs).select("g").distinct().localCheckpoint(
-            eager=True
+    from spark_app_twitter_spark.functions.caches import get_or_build
+
+    def build() -> tuple[DataFrame, list[int]]:
+        docs = load_table(spark, sf_dir, "documents", spread=True)
+        bench_docs = docs.where(
+            (F.col("doc_id") % DECON_BENCH_MOD) == DECON_BENCH_REM
         )
-    )
-    words = bloom_bits_words(bloom_words_frame(bench))
-    out = (bench, words)
-    _DECON_BENCH_CACHE[key] = out
-    return out
+        bench = (
+            doc_ngrams(bench_docs).select("g").distinct().localCheckpoint(
+                eager=True
+            )
+        )
+        words = bloom_bits_words(bloom_words_frame(bench))
+        return (bench, words)
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return get_or_build(_DECON_BENCH_CACHE, key, build)
 
 
 def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1651,20 +1651,31 @@ QUALITY_FLOOR_BP = 2500
 QUALITY_FLOOR_GRID = 1000
 
 
-def quality_hist_frame(docs: DataFrame) -> DataFrame:
+def quality_hist_frame(
+    docs: DataFrame,
+    group_extra: tuple[tuple[str, F.Column], ...] = (),
+) -> DataFrame:
     """(source, bucket, c): the bounded quality-score histogram over
     any documents relation — ONE definition shared by the batch
     calibration query and the streaming maintainer
     (streaming/qualitymon.py), so the bucketing can never fork.
     Bounded at |sources| * (GRID+1) rows; counts are ADDITIVE, which
     is what makes the histogram perfect streaming state (per-batch
-    histograms merge by integer sum, bit-exactly)."""
+    histograms merge by integer sum, bit-exactly).
+
+    ``group_extra`` prepends extra (name, column) grouping keys (the
+    replay twin passes its modular batch key so all per-batch deltas
+    come from one corpus pass — counts per (extra, source, bucket)
+    filtered to one extra value equal the per-slice histogram
+    exactly, because counting commutes with partitioning the rows)."""
     bucket = F.floor(
         quality_score_expr(tokens("text")) * F.lit(QUALITY_FLOOR_GRID)
     ).cast("int")
+    extra_names = [n for n, _ in group_extra]
+    extra_cols = [c.alias(n) for n, c in group_extra]
     return (
-        docs.select("source", bucket.alias("bucket"))
-        .groupBy("source", "bucket")
+        docs.select(*extra_cols, "source", bucket.alias("bucket"))
+        .groupBy(*extra_names, "source", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
 
@@ -2073,20 +2084,22 @@ def trained_bigram_lm(
     vocabulary, not corpus); the size estimate feeds the
     broadcast/shuffle auto decision withOUT a per-call sizing job.
     """
-    from spark_app_twitter_spark.functions.caches import unpersist_frame
+    from spark_app_twitter_spark.functions.caches import (
+        get_or_build,
+        unpersist_frame,
+    )
+
+    def build() -> tuple[DataFrame, int]:
+        docs = load_table(spark, sf_dir, "documents", spread=True)
+        bi = exploded_shingles(docs, ["doc_id"], tokens("text"), 2, "bg")
+        modelq, _, model = _bigram_modelq(bi)
+        est = _estimate_model_bytes(model)  # materializes count table
+        mq = modelq.localCheckpoint(eager=True)  # vocab-bounded
+        unpersist_frame(model)  # intermediate count blocks are dead
+        return (mq, est)
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _LM_CACHE.get(key)
-    if hit is not None:
-        return hit
-    docs = load_table(spark, sf_dir, "documents", spread=True)
-    bi = exploded_shingles(docs, ["doc_id"], tokens("text"), 2, "bg")
-    modelq, _, model = _bigram_modelq(bi)
-    est = _estimate_model_bytes(model)  # materializes the count table
-    mq = modelq.localCheckpoint(eager=True)  # vocab-bounded artifact
-    unpersist_frame(model)  # the intermediate count blocks are dead
-    _LM_CACHE[key] = (mq, est)
-    return mq, est
+    return get_or_build(_LM_CACHE, key, build)
 
 
 def bigram_lm_score(
@@ -2737,29 +2750,29 @@ def bpe_encoded_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     BPE vocabulary with subword lengths, computed once per (session,
     corpus) through the same merge folds :func:`bpe_encode_frame`
     applies (lazily checkpointed: |vocab| narrow rows)."""
+    from spark_app_twitter_spark.functions.caches import get_or_build
+
+    def build() -> DataFrame:
+        merges = bpe_trained_merges(spark, sf_dir)
+        docs = load_table(spark, sf_dir, "documents", spread=True)
+        vocab = (
+            docs.select(F.explode(tokens("text")).alias("word"))
+            .distinct()
+            .withColumn(
+                "sym",
+                F.concat(F.split("word", ""), F.array(F.lit(BPE_EOW))),
+            )
+        )
+        for left, right, _ in merges:
+            vocab = vocab.withColumn(
+                "sym", _bpe_merge_pair(F.col("sym"), left, right)
+            )
+        return vocab.select(
+            "word", F.size("sym").alias("n_sub")
+        ).localCheckpoint(eager=False)
+
     key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _BPE_VOCAB_CACHE.get(key)
-    if hit is not None:
-        return hit
-    merges = bpe_trained_merges(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents", spread=True)
-    vocab = (
-        docs.select(F.explode(tokens("text")).alias("word"))
-        .distinct()
-        .withColumn(
-            "sym",
-            F.concat(F.split("word", ""), F.array(F.lit(BPE_EOW))),
-        )
-    )
-    for left, right, _ in merges:
-        vocab = vocab.withColumn(
-            "sym", _bpe_merge_pair(F.col("sym"), left, right)
-        )
-    out = vocab.select("word", F.size("sym").alias("n_sub")).localCheckpoint(
-        eager=False
-    )
-    _BPE_VOCAB_CACHE[key] = out
-    return out
+    return get_or_build(_BPE_VOCAB_CACHE, key, build)
 
 
 def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -239,32 +239,35 @@ def unigram_encoded_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(word, n_pieces) over the corpus's distinct words under the
     trained piece table — computed once per (session, corpus) and
     lazily checkpointed; the tokenizer's deployment vocabulary."""
+    from spark_app_twitter_spark.functions.caches import get_or_build
+
+    def build() -> DataFrame:
+        logp = {p: lp for p, _, lp in unigram_trained(spark, sf_dir)}
+
+        def run(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "word": pdf["word"],
+                        "n_pieces": [
+                            len(_viterbi_pieces(w, logp))
+                            for w in pdf["word"]
+                        ],
+                    }
+                )
+
+        docs = load_table(spark, sf_dir, "documents", spread=True)
+        return (
+            docs.select(F.explode(tokens("text")).alias("word"))
+            .distinct()
+            .mapInPandas(run, schema="word string, n_pieces long")
+            .localCheckpoint(eager=False)
+        )
+
     key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _UNIGRAM_VOCAB_CACHE.get(key)
-    if hit is not None:
-        return hit
-    logp = {p: lp for p, _, lp in unigram_trained(spark, sf_dir)}
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "word": pdf["word"],
-                    "n_pieces": [
-                        len(_viterbi_pieces(w, logp)) for w in pdf["word"]
-                    ],
-                }
-            )
-
-    docs = load_table(spark, sf_dir, "documents", spread=True)
-    out = (
-        docs.select(F.explode(tokens("text")).alias("word"))
-        .distinct()
-        .mapInPandas(run, schema="word string, n_pieces long")
-        .localCheckpoint(eager=False)
-    )
-    _UNIGRAM_VOCAB_CACHE[key] = out
-    return out
+    return get_or_build(_UNIGRAM_VOCAB_CACHE, key, build)
 
 
 def unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:

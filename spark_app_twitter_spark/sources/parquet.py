@@ -33,7 +33,11 @@ from spark_app_twitter_spark.schemas import ALL_TABLES
 # (clear_session_caches after rewriting a path in-session).
 _SCHEMA_CACHE: dict[tuple, object] = register_cache({})
 _NPART_CACHE: dict[tuple, int] = register_cache({})
-_TZ_PINNED: set[str] = set()
+# registered (ADVICE r15): clear_session_caches must force a re-pin,
+# so a caller that reset spark.sql.session.timeZone mid-session can
+# restore the UTC contract with the same clear it already owes after
+# any in-session contract change
+_TZ_PINNED: dict[str, bool] = register_cache({})
 
 
 def load_table(
@@ -61,7 +65,7 @@ def load_table(
     app_id = spark.sparkContext.applicationId
     if app_id not in _TZ_PINNED:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        _TZ_PINNED.add(app_id)
+        _TZ_PINNED[app_id] = True
     path = os.path.join(sf_dir, f"{name}.parquet")
     skey = (app_id, sf_dir, name)
     schema = _SCHEMA_CACHE.get(skey)

@@ -62,24 +62,16 @@ COMPACT_RETAIN = 16
 _SENTINEL = -1
 
 
-def apply_quality_batch(
-    batch: DataFrame, batch_id: int, path: str, stream: str = "docs"
+def _fold_hist_delta(
+    spark, delta: DataFrame, batch_id: int, path: str, stream: str
 ) -> None:
-    """foreachBatch body: upsert one document batch's (source,
-    bucket) counts under its (stream, batch_id) key — exactly-once
-    under retries, multi-stream-safe under distinct stream ids (two
-    ingest feeds folding into one calibration state keep their own
-    batch_id namespaces). Batches aged past COMPACT_RETAIN fold into
-    the sentinel row (associative integer sums — the report is
-    unchanged by construction, pinned in test_streaming)."""
-    spark = batch.sparkSession
-    delta = quality_hist_frame(batch).select(
-        F.lit(stream).alias("stream"),
-        F.lit(batch_id).cast("long").alias("batch_id"),
-        "source",
-        "bucket",
-        F.col("c").cast("long").alias("c"),
-    )
+    """Fold one batch's (stream, batch_id, source, bucket, c) delta
+    into the histogram state — the transact body shared by the
+    foreachBatch maintainer and the replay twin. Replaces the
+    batch's own (stream, batch_id) rows (exactly-once under
+    retries); batches aged past COMPACT_RETAIN fold into the
+    sentinel row (associative integer sums — the report is unchanged
+    by construction, pinned in test_streaming)."""
 
     def merge(stored: DataFrame | None) -> DataFrame:
         if stored is None:
@@ -107,6 +99,25 @@ def apply_quality_batch(
         return kept.where(~aged).unionByName(folded).unionByName(delta)
 
     transact(spark, path, _HIST_DDL, merge)
+
+
+def apply_quality_batch(
+    batch: DataFrame, batch_id: int, path: str, stream: str = "docs"
+) -> None:
+    """foreachBatch body: upsert one document batch's (source,
+    bucket) counts under its (stream, batch_id) key — exactly-once
+    under retries, multi-stream-safe under distinct stream ids (two
+    ingest feeds folding into one calibration state keep their own
+    batch_id namespaces)."""
+    spark = batch.sparkSession
+    delta = quality_hist_frame(batch).select(
+        F.lit(stream).alias("stream"),
+        F.lit(batch_id).cast("long").alias("batch_id"),
+        "source",
+        "bucket",
+        F.col("c").cast("long").alias("c"),
+    )
+    _fold_hist_delta(spark, delta, batch_id, path, stream)
 
 
 def quality_floor_from_state(
@@ -158,7 +169,22 @@ def quality_floor_replayed(
     per-call mkdtemp leaked one state dir AND one hist checkpoint per
     bench/oracle invocation); eviction goes through the
     register_cache umbrella, which unpersist_frame-releases the
-    cached serve's checkpoint blocks."""
+    cached serve's checkpoint blocks.
+
+    r16 (VERDICT r15 item 7 / guide §1.2): ALL per-batch deltas come
+    from ONE corpus pass — the histogram is grouped by the modular
+    batch key alongside (source, bucket) and lazily checkpointed, so
+    each fold filters its own batch's rows out of the tiny
+    checkpointed table instead of re-scanning + re-scoring the whole
+    documents parquet per batch (3 corpus tokenize+score passes → 1;
+    counting commutes with partitioning the rows, so the per-batch
+    rows are bit-identical). The fold order, the per-batch transact
+    publishes and the replace-by-(stream, batch_id) idempotence are
+    unchanged — the state dir goes through the same per-batch
+    snapshots as before. The TRUE streaming path
+    (apply_quality_batch) still builds its delta from its own
+    micro-batch."""
+    from spark_app_twitter_spark.functions.caches import unpersist_frame
     from spark_app_twitter_spark.sources.parquet import load_table
     from spark_app_twitter_spark.streaming.statestore import (
         replay_state_dir,
@@ -170,10 +196,27 @@ def quality_floor_replayed(
         return hit
     path = replay_state_dir(spark, "qualitymon", sf_dir, n_batches)
     docs = load_table(spark, sf_dir, "documents")
-    for i in range(n_batches):
-        apply_quality_batch(
-            docs.where(F.col("doc_id") % n_batches == i), i, path
-        )
+    stream = "docs"
+    deltas = quality_hist_frame(
+        docs,
+        group_extra=(
+            ("batch_id", (F.col("doc_id") % n_batches).cast("long")),
+        ),
+    ).localCheckpoint(eager=False)
+    try:
+        for i in range(n_batches):
+            delta = deltas.where(F.col("batch_id") == i).select(
+                F.lit(stream).alias("stream"),
+                F.lit(i).cast("long").alias("batch_id"),
+                "source",
+                "bucket",
+                F.col("c").cast("long").alias("c"),
+            )
+            _fold_hist_delta(spark, delta, i, path, stream)
+    finally:
+        # the folds are the only consumers of the delta checkpoint —
+        # the served frame reads the published state snapshots
+        unpersist_frame(deltas)
     mats: list[DataFrame] = []
     served = quality_floor_from_state(spark, path, materialized=mats)
     _REPLAY_SERVES[key] = served

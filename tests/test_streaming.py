@@ -2808,3 +2808,80 @@ def test_quota_cross_batch_redelivery_pins_contract(
     for key, size in got.items():
         cell = key[1]
         assert size == want[key] + dup_per_cell.get(cell, 0)
+
+
+def test_quota_replay_twin_serves_batch_sampler_exactly(spark, sf_dir):
+    """r16 optimization guard: quota_sample_replayed now derives each
+    replay batch's delta from the PUBLISHED flat cell table
+    (clustering.kmeans_cells) instead of re-assigning per batch —
+    the served frame must still equal the one-pass batch sampler
+    bit-for-bit (the same equality the DuckDB oracle checks)."""
+    from spark_app_twitter_spark.operators.clustering import (
+        cluster_balanced_sample,
+    )
+    from spark_app_twitter_spark.streaming.quotamon import (
+        quota_sample_replayed,
+    )
+
+    got = sorted(
+        tuple(r) for r in quota_sample_replayed(spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r) for r in cluster_balanced_sample(spark, sf_dir).collect()
+    )
+    assert got == want
+
+
+def test_quality_floor_replay_twin_serves_batch_calibration_exactly(
+    spark, sf_dir
+):
+    """r16 optimization guard: quality_floor_replayed now derives ALL
+    per-batch histogram deltas from ONE corpus pass (grouped by the
+    modular batch key) — the served floors must still equal the
+    one-pass batch calibration bit-for-bit."""
+    from spark_app_twitter_spark.operators.textstats import (
+        quality_floor_by_source,
+    )
+    from spark_app_twitter_spark.streaming.qualitymon import (
+        quality_floor_replayed,
+    )
+
+    got = sorted(
+        tuple(r) for r in quality_floor_replayed(spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in quality_floor_by_source(spark, sf_dir).collect()
+    )
+    assert got == want
+
+
+def test_quality_replay_one_pass_deltas_match_per_batch_deltas(spark, sf_dir):
+    """The one-pass grouped delta table must reproduce each per-batch
+    histogram EXACTLY (counting commutes with partitioning the rows)
+    — the per-batch state snapshots a recovery would read are then
+    identical to the old per-batch-scan fold's."""
+    from pyspark.sql import functions as F
+
+    from spark_app_twitter_spark.operators.textstats import (
+        quality_hist_frame,
+    )
+    from spark_app_twitter_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    grouped = quality_hist_frame(
+        docs,
+        group_extra=(("batch_id", (F.col("doc_id") % 3).cast("long")),),
+    )
+    for i in range(3):
+        got = sorted(
+            (r.source, r.bucket, r.c)
+            for r in grouped.where(F.col("batch_id") == i).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in quality_hist_frame(
+                docs.where(F.col("doc_id") % 3 == i)
+            ).collect()
+        )
+        assert got == want
