@@ -552,9 +552,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_lsh_multi": similarity.knn_lsh_multi,
         "multimodal_media_features": multimodal.media_features,
     }
-    ordered = {name: q.pop(name) for name in _R15_WINDOW}
+    ordered = {name: q.pop(name) for name in _R16_WINDOW}
     ordered.update(q)
     return ordered
+
+
+# The round-16 driver verification window (VERDICT r15 item 9 + the
+# standing rotation contract), in priority order:
+#   (a) code changed in optimization round 16, incl. consumers:
+#       - both streaming replay twins (quota delta now served from
+#         the published flat cell table; quality-floor deltas from
+#         ONE grouped corpus pass) + the quota twin's batch-sampler
+#         source of truth;
+#       - the whole bitext family (the shared _bitext_margins stage
+#         was rewritten window->aggregate);
+#       - one consumer per artifact getter moved onto the
+#         get_or_build double-checked build lock (plan-identical;
+#         attestation pins that);
+#   (b) the r15 rewrites the driver's window never covered (VERDICT
+#       r15 item 9 list): LPA/modularity, bm25/QL/hybrid-RRF,
+#       index_delta, the bigram-LM pair, minhash pairs/jaccard, PMI;
+#   (c) fill to 50 from the r10-attested cohort (oldest attestations
+#       per sweep.py --stale).
+_R16_WINDOW = (
+    # (a) changed this round + consumers
+    "stream_quota_state_sample",
+    "stream_quality_floor_state",
+    "sim_cluster_balanced_sample",
+    "sim_bitext_mining",
+    "sim_bitext_mining_exact",
+    "sim_bitext_mining_exact_cells",
+    "sim_bitext_recall_audit",
+    "sim_bitext_probe_sensitivity",
+    "dedup_minhash_signatures",
+    "sim_knn_pq_adc",
+    "text_bpe_encode",
+    "text_unigram_encode",
+    "text_decontaminate_bloom",
+    "sim_kmeans_cells_2level",
+    "sim_cluster_topic_terms",
+    # (b) r15 rewrites rotated into the driver window
+    "graph_label_propagation",
+    "graph_modularity",
+    "retrieval_bm25",
+    "retrieval_query_likelihood",
+    "retrieval_hybrid_rrf",
+    "retrieval_index_delta",
+    "text_bigram_lm_score",
+    "text_perplexity_buckets",
+    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_jaccard_est",
+    "text_pmi_collocations",
+    # (c) the r10-attested cohort head (staleness rotation)
+    "layout_zorder_events",
+    "multimodal_audio_chunks",
+    "multimodal_media_features",
+    "multimodal_resize_images",
+    "pack_curriculum_shards",
+    "pack_shuffle_export",
+    "range_clicks_near_errors",
+    "range_errors_near_purchases",
+    "serving_cube_value",
+    "serving_cumulative_daily",
+    "serving_hourly_gapfill",
+    "serving_latest_inputs",
+    "serving_props_stats",
+    "serving_retention_cohorts",
+    "serving_session_paths",
+    "serving_session_window_stats",
+    "serving_sessionize",
+    "serving_signup_purchase_funnel",
+    "serving_topic_means",
+    "serving_topic_share",
+    "serving_unpivot_emotions",
+    "serving_value_anomalies",
+    "sim_embedding_near_dup",
+    "sim_kmeans_cells",
+)
 
 
 # The round-15 driver verification window (VERDICT r14 item 1 + the

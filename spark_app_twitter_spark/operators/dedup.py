@@ -916,44 +916,20 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop iterates until a convergence counter stops changing; fixed
     rounds keep the operator oracle-reproducible, and both engines run
     the same rounds so results agree even on non-converged graphs.
+
+    r16: propagation goes through the SHARED :func:`_cc_propagate`
+    tail (identical rounds, rule, and final projection — this
+    function had kept a private copy with the pre-r15 EAGER
+    checkpoints, so the exact audit chain paid CC_ITERS+1 serial
+    barrier jobs, each re-materializing the blocked all-pairs
+    Jaccard compare at plan-build time; the shared tail's lazy
+    per-round checkpoints fold all rounds into the consumer's one
+    materializing job).
     """
     edges = ngram_jaccard_pairs(spark, sf_dir, threshold=0.2).select(
         "doc_a", "doc_b"
     )
-    # symmetric edge list
-    sym = edges.unionByName(
-        edges.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
-    ).localCheckpoint(eager=True)
-    labels = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .withColumn("label", F.col("doc_id"))
-    )
-    for _ in range(CC_ITERS):
-        neighbor_min = (
-            sym.join(labels, sym.doc_b == labels.doc_id)
-            .groupBy("doc_a")
-            .agg(F.min("label").alias("nmin"))
-        )
-        labels = (
-            labels.join(
-                neighbor_min, labels.doc_id == neighbor_min.doc_a, "left"
-            )
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=True)  # iterative: truncate lineage
-        )
-    return labels.select(
-        "doc_id",
-        F.col("label").alias("cluster_id"),
-        (F.col("doc_id") == F.col("label")).alias("is_survivor"),
-    )
+    return _cc_propagate(spark, sf_dir, edges)
 
 
 def _dedup_clusters_sql() -> str:

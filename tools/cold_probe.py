@@ -27,7 +27,9 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
 def _njobs(spark) -> int:
-    return spark._jsc.sc().dagScheduler().nextJobId().get()
+    # DAGScheduler's job-id counter: py4j unwraps the AtomicInteger
+    # accessor to a plain int
+    return spark._jsc.sc().dagScheduler().nextJobId()
 
 
 def main() -> None:
