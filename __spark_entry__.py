@@ -591,6 +591,10 @@ _R16_WINDOW = (
     "text_decontaminate_bloom",
     "sim_kmeans_cells_2level",
     "sim_cluster_topic_terms",
+    # (a, batch 6) consumers rewired onto the published postings
+    "text_tfidf_top_terms",
+    "retrieval_inverted_index",
+    "retrieval_query_expansion",
     # (b) r15 rewrites rotated into the driver window
     "graph_label_propagation",
     "graph_modularity",
@@ -625,9 +629,6 @@ _R16_WINDOW = (
     "serving_topic_means",
     "serving_topic_share",
     "serving_unpivot_emotions",
-    "serving_value_anomalies",
-    "sim_embedding_near_dup",
-    "sim_kmeans_cells",
 )
 
 

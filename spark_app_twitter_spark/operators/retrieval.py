@@ -164,21 +164,22 @@ def build_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     half of a hybrid RAG stack, and the exact-match complement of
     the ANN index.
 
-    Scale shape: one explode to (term, doc_id), distinct, then a
-    single per-term pass — row_number over (term ORDER BY doc_id)
-    ranks postings so the cap is applied WITHOUT materializing the
-    full list (no unbounded collect_set; the aggregation buffer
-    holds at most POSTING_CAP ids per term), and df counts the
-    pre-cap pairs in the same aggregation. Both shuffles are keyed
-    on the term — no skew beyond natural stopword weight, which the
-    cap bounds on the output side.
+    Scale shape: the distinct (term, doc_id) pairs ARE the published
+    text index's postings rows (unique on the group key by
+    construction — r16: serve against the session artifact instead
+    of re-running the corpus explode + distinct exchange per call),
+    then a single per-term pass — row_number over (term ORDER BY
+    doc_id) ranks postings so the cap is applied WITHOUT
+    materializing the full list (no unbounded collect_set; the
+    aggregation buffer holds at most POSTING_CAP ids per term), and
+    df counts the pre-cap pairs in the same aggregation. Both
+    shuffles are keyed on the term — no skew beyond natural stopword
+    weight, which the cap bounds on the output side.
     """
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents", spread=True)
-    pairs = docs.select(
-        F.explode(tokens("text")).alias("term"), "doc_id"
-    ).distinct()
+    postings, _dl, _scalars = text_index(spark, sf_dir)
+    pairs = postings.select("term", "doc_id")
     rn = F.row_number().over(
         Window.partitionBy("term").orderBy(F.asc("doc_id"))
     )
@@ -834,11 +835,15 @@ def query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     qterms = _seed_query_terms(docs)
     base = bm25_search(spark, sf_dir, qterms)
     fb = base.where(F.col("rank") <= FB_DOCS).select("query_id", "doc_id")
-    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    # r16: total term occurrences over the feedback docs = sum of the
+    # published postings' per-doc tf (same tokens(), counting grouped
+    # by (doc, term) first commutes with the (query, term) rollup) —
+    # the corpus token explode leaves this pass too
+    postings, _dl, _scalars = text_index(spark, sf_dir)
     mined = (
-        toks.join(F.broadcast(fb), "doc_id")
+        postings.join(F.broadcast(fb), "doc_id")
         .groupBy("query_id", "term")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("tf").cast("long").alias("c"))
         .join(qterms, ["query_id", "term"], "left_anti")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("term"))

@@ -559,18 +559,25 @@ TFIDF_TOP_N = 3
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-N salient terms per document by TF-IDF.
 
-    One explode -> (doc, term) counts [shuffle 1 on (doc_id, term)];
-    document frequency reuses that aggregate (one row per (doc,term)
-    -> count rows per term) [tiny shuffle 2]; N is a 1-row broadcast.
-    The idf is the raw ratio n_docs/df — no log — so the score is
-    integer arithmetic in f64 and bit-identical across engines; log
-    scaling is monotone per term and would not change the ranking.
+    r16: the (doc_id, term, tf) aggregate and the n_docs scalar ARE
+    the published text index's postings/scalars relations (same
+    tokens(), same group key, same count — retrieval.text_index),
+    so this query serves against that session artifact instead of
+    re-exploding the corpus per call: within any session that also
+    ranks (BM25/QL/RRF — or calls this twice), the corpus explode
+    runs ONCE total. Document frequency reuses the postings rows
+    (one row per (doc, term) -> count rows per term) [tiny shuffle];
+    N is a 1-row broadcast. The idf is the raw ratio n_docs/df — no
+    log — so the score is integer arithmetic in f64 and
+    bit-identical across engines; log scaling is monotone per term
+    and would not change the ranking.
     """
-    docs = load_table(spark, sf_dir, "documents", spread=True)
-    exploded = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
-    tf = exploded.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    from spark_app_twitter_spark.operators.retrieval import text_index
+
+    postings, _dl, scalars = text_index(spark, sf_dir)
+    tf = postings  # (doc_id, term, tf) — identical relation
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    n = scalars.select("n_docs")
     # df (one row per vocabulary term) is NOT force-broadcast: the
     # vocabulary grows with the corpus, so the join strategy is left
     # to the optimizer (AQE broadcasts it while it is actually small,
