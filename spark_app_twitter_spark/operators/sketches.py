@@ -237,16 +237,34 @@ def cms_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     2048-row sketch; candidate enumeration is vocabulary-bounded
     (production would feed a sampled candidate set instead).
     """
-    from spark_app_twitter_spark.functions.text import tokens
-    from spark_app_twitter_spark.sources.parquet import load_table as _lt
+    # r16: per-term occurrence totals come from the published text
+    # index (sum of per-doc tf over postings == count of occurrence
+    # rows — same tokens(), grouped one level finer first), and the
+    # sketch cells aggregate the VOCABULARY-bounded counts weighted
+    # by n_exact instead of exploding every corpus occurrence CMS_D
+    # ways: sum(n_exact) per (j, cell) over term rows equals
+    # count(*) per (j, cell) over occurrence x j rows, integer for
+    # integer — the committed stream/batch seam (:func:`cms_cells`)
+    # is unchanged for callers that genuinely hold an occurrence
+    # stream.
+    from spark_app_twitter_spark.operators.retrieval import text_index
 
-    occ = _lt(spark, sf_dir, "documents", spread=True).select(
-        F.explode(tokens("text")).alias("term")
-    )
+    postings, _dl, _scalars = text_index(spark, sf_dir)
     js = F.array(*[F.lit(j) for j in range(CMS_D)])
     h = _cms_hash()
-    cells = cms_cells(occ)
-    cand = occ.groupBy("term").agg(F.count(F.lit(1)).alias("n_exact"))
+    cand = (
+        postings.groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("n_exact"))
+        # |vocab| rows feeding BOTH the cells build and the estimate
+        # join below — truncate once
+        .localCheckpoint(eager=False)
+    )
+    cells = (
+        cand.select("term", "n_exact", F.explode(js).alias("j"))
+        .select("j", F.pmod(h, F.lit(CMS_W)).alias("cell"), "n_exact")
+        .groupBy("j", "cell")
+        .agg(F.sum("n_exact").cast("long").alias("c"))
+    )
     est = (
         cand.select("term", "n_exact", F.explode(js).alias("j"))
         .withColumn("cell", F.pmod(h, F.lit(CMS_W)))

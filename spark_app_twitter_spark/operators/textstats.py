@@ -3352,11 +3352,13 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference scope note: no reference analogue; SURVEY §2.9 corpus
     reporting (datacard's vocabulary-shape complement).
     """
-    docs = load_table(spark, sf_dir, "documents", spread=True)
-    counts = (
-        docs.select(F.explode(tokens("text")).alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("c"))
+    # r16: term totals from the published postings (sum of per-doc tf
+    # == counting the exploded occurrences; same tokens())
+    from spark_app_twitter_spark.operators.retrieval import text_index
+
+    postings, _dl, _scalars = text_index(spark, sf_dir)
+    counts = postings.groupBy("term").agg(
+        F.sum("tf").cast("long").alias("c")
     )
     w = Window.orderBy(F.desc("c"), F.asc("term"))
     xm = F.round(F.log(F.col("rank").cast("double")) * F.lit(1e6)).cast(
@@ -3556,11 +3558,14 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     remnant (constant-bounded), and the final output is |budgets|
     rows. total_tokens still sums the FULL counts relation.
     """
-    docs = load_table(spark, sf_dir, "documents", spread=True)
+    # r16: term totals from the published postings (sum of per-doc tf
+    # == counting the exploded occurrences; same tokens())
+    from spark_app_twitter_spark.operators.retrieval import text_index
+
+    postings, _dl, _scalars = text_index(spark, sf_dir)
     counts = (
-        docs.select(F.explode(tokens("text")).alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("c"))
+        postings.groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("c"))
     ).localCheckpoint(eager=True)  # two consumers: totals + top-K cut
     w = Window.orderBy(F.desc("c"), F.asc("term"))
     ranked = (
@@ -3835,6 +3840,12 @@ def source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data-pipeline mandate (mixture design / domain shift).
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
+    # NOT rewired onto the postings artifact (r16 decision): that
+    # would need a doc_id join to re-attach `source`, whose build
+    # side scales with the corpus — the existing shape (map-side
+    # explode straight into ONE (source, term) combine) is already
+    # the scale-sound plan and a join-based variant only wins at
+    # local bench sizes.
     st = docs.select("source", F.explode(tokens("text")).alias("term"))
     # cs is |sources| x |vocab| bounded and feeds THREE branches
     # (corpus counts, source totals, the contribution join) — without

@@ -449,7 +449,13 @@ def test_cms_sketch_broadcast_and_partial_agg(spark, sf_dir):
     df = sketches.cms_top_terms(spark, sf_dir)
     plan = E.executed_plan(df)
     assert "BroadcastHashJoin" in plan, "sketch join must broadcast"
-    assert "partial_count" in plan, "cell counts must combine map-side"
+    # r16: cells aggregate the vocabulary-bounded per-term counts
+    # weighted by n_exact (partial_sum) instead of counting raw
+    # occurrence x j rows (partial_count) — the map-side combine
+    # requirement is the same either way
+    assert "partial_sum" in plan or "partial_count" in plan, (
+        "cell counts must combine map-side"
+    )
     assert "CartesianProduct" not in plan
 
 
