@@ -305,8 +305,11 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped O(n) relation) + one (node, label) combine + a node-keyed
     ``min_by`` reduce over the vote table. No driver-side collect.
     """
-    e = _dup_edges(spark, sf_dir).localCheckpoint(eager=True)
-    return label_propagation_frame(e)
+    # r16: the capped pairs underneath are the session-shared
+    # checkpointed relation, so symmetrizing is a narrow map over
+    # persisted blocks — re-derived per round for free, no private
+    # eager checkpoint (−1 serial barrier job).
+    return label_propagation_frame(_dup_edges(spark, sf_dir))
 
 
 def label_propagation_frame(e: DataFrame) -> DataFrame:
@@ -528,17 +531,13 @@ def modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     node-keyed reduce. m (edge count) is a bounded driver scalar,
     the corpus_size class.
     """
-    pairs = (
-        minhash_lsh_pairs_capped(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
+    # optimization r16: the capped pair relation is the session-shared
+    # checkpointed artifact (dedup.minhash_lsh_pairs_capped caches it
+    # per (session, corpus)), so the private eager re-checkpoint is
+    # gone — count() below materializes the shared blocks once and
+    # every reference (LPA rounds, intra join, degrees) reads them.
+    pairs = minhash_lsh_pairs_capped(spark, sf_dir).select("doc_a", "doc_b")
     m = pairs.count()
-    # optimization r15: LPA runs over THIS materialization of the
-    # capped pairs (symmetrized below for degrees too) — previously
-    # label_propagation() re-ran the whole minhash chain a second
-    # time for its own edge list (guide §2.4: don't compute the
-    # heaviest relation twice).
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(

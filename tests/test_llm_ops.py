@@ -203,6 +203,29 @@ def test_dup_spans_parity(spark, sf_dir):
     )
 
 
+def test_r16_session_shared_relations(spark, sf_dir):
+    """r16 (guide §2.4): the capped LSH pair relation and the dup-span
+    relation are computed once per (session, corpus) — a second call
+    returns the SAME checkpointed frame (so the cluster/graph family
+    and span_rewrite stop re-running the build), and the cached span
+    rows are row-identical to a fresh uncached build. Parity of both
+    relations against their SQL oracles is pinned by the existing
+    parity tests, which exercise the first (building) call."""
+    from spark_app_twitter_spark.functions import caches
+
+    caches.clear_session_caches()
+    p1 = dedup.minhash_lsh_pairs_capped(spark, sf_dir)
+    assert dedup.minhash_lsh_pairs_capped(spark, sf_dir) is p1
+    s1 = dedup.dup_spans(spark, sf_dir)
+    assert dedup.dup_spans(spark, sf_dir) is s1
+    fresh = dedup._dup_spans_build(spark, sf_dir)
+
+    def k(r):
+        return (r.doc_id, r.span_start)
+
+    assert sorted(s1.collect(), key=k) == sorted(fresh.collect(), key=k)
+
+
 def test_dup_spans_planted_islands(spark, tmp_path):
     """Two docs sharing one long run -> ONE maximal span each covering
     the run; a doc repeating the run in two separated places -> TWO
