@@ -649,14 +649,12 @@ def index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
     # delta is bounded (changed-docs only) and feeds BOTH the old-side
-    # and new-side branches below; without lineage truncation each
-    # branch re-runs corpus_delta's full-outer fingerprint join
-    # (PLANSTATS r12: 13 shuffles / 12 scans). Checkpoint it once.
-    delta = (
-        corpus_delta(spark, sf_dir)
-        .select("doc_id", "status")
-        .localCheckpoint(eager=False)
-    )
+    # and new-side branches below; corpus_delta is the session-shared
+    # checkpointed CDC work list (r16), so both branches read its
+    # persisted rows — no private re-checkpoint, no re-run of the
+    # full-outer fingerprint join (PLANSTATS r12: 13 shuffles / 12
+    # scans before truncation).
+    delta = corpus_delta(spark, sf_dir).select("doc_id", "status")
     ddocs = docs.join(F.broadcast(delta), "doc_id")
 
     old_side = ddocs.where(

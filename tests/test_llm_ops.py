@@ -213,9 +213,16 @@ def test_r16_session_shared_relations(spark, sf_dir):
     parity tests, which exercise the first (building) call."""
     from spark_app_twitter_spark.functions import caches
 
+    from spark_app_twitter_spark.operators import versioning
+
     caches.clear_session_caches()
     p1 = dedup.minhash_lsh_pairs_capped(spark, sf_dir)
     assert dedup.minhash_lsh_pairs_capped(spark, sf_dir) is p1
+    d1 = versioning.corpus_delta(spark, sf_dir)
+    assert versioning.corpus_delta(spark, sf_dir) is d1
+    fresh_d = versioning._corpus_delta_build(spark, sf_dir)
+    kd = lambda r: r.doc_id  # noqa: E731
+    assert sorted(d1.collect(), key=kd) == sorted(fresh_d.collect(), key=kd)
     s1 = dedup.dup_spans(spark, sf_dir)
     assert dedup.dup_spans(spark, sf_dir) is s1
     fresh = dedup._dup_spans_build(spark, sf_dir)

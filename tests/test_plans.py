@@ -407,7 +407,9 @@ def test_corpus_delta_is_single_join_of_fingerprints(spark, sf_dir):
     co-partitioned full-outer join — text never travels past md5."""
     from spark_app_twitter_spark.operators import versioning
 
-    df = versioning.corpus_delta(spark, sf_dir)
+    # r16: corpus_delta serves a session-shared checkpointed relation;
+    # the gated plan shape is the BUILD body's.
+    df = versioning._corpus_delta_build(spark, sf_dir)
     plan = E.executed_plan(df)
     assert plan.count("SortMergeJoin FullOuter") == 1 or (
         "FullOuter" in plan
