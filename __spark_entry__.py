@@ -595,6 +595,14 @@ _R16_WINDOW = (
     "text_tfidf_top_terms",
     "retrieval_inverted_index",
     "retrieval_query_expansion",
+    # (a, batches 7-9) session-shared capped pairs / dup spans / CDC
+    # work list and their consumers
+    "dedup_dup_spans",
+    "dedup_span_rewrite",
+    "dedup_span_stats",
+    "dedup_lsh_clusters",
+    "dedup_lsh_cluster_best",
+    "versioning_corpus_delta",
     # (b) r15 rewrites rotated into the driver window
     "graph_label_propagation",
     "graph_modularity",
@@ -616,9 +624,6 @@ _R16_WINDOW = (
     "pack_shuffle_export",
     "range_clicks_near_errors",
     "range_errors_near_purchases",
-    "serving_cube_value",
-    "serving_cumulative_daily",
-    "serving_hourly_gapfill",
     "serving_latest_inputs",
     "serving_props_stats",
     "serving_retention_cohorts",
@@ -626,9 +631,6 @@ _R16_WINDOW = (
     "serving_session_window_stats",
     "serving_sessionize",
     "serving_signup_purchase_funnel",
-    "serving_topic_means",
-    "serving_topic_share",
-    "serving_unpivot_emotions",
 )
 
 

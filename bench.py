@@ -433,7 +433,30 @@ def main() -> None:
     # bench: knn_ivf_quantized 18.5 s vs 3.0 s quiet) while the
     # start-of-run gate reads clean. Re-measure any query whose
     # EXTERNAL busy share exceeded the gate; keep the quieter sample.
+    #
+    # EXCEPT the first-computation rows (r16 measurement-honesty
+    # fix): these queries build a session-cached artifact on their
+    # FIRST call (lang-ID label table, the replay twins' state folds,
+    # the r16 in-timed-region shared relations), so a re-run measures
+    # the warm serve against the session cache — a biased sample
+    # (observed: versioning_corpus_delta 1.76 s cold, 0.05 s "rerun").
+    # They keep the first measurement; the contention is annotated.
+    FIRST_COMPUTATION_ROWS = {
+        "text_lang_id",
+        "stream_quota_state_sample",
+        "stream_quality_floor_state",
+        "graph_label_propagation",  # builds the shared capped pairs
+        "dedup_dup_spans",  # builds the shared span relation
+        "versioning_corpus_delta",  # builds the shared CDC work list
+    }
     for name in [n for n in HEADLINE if ext_pct[n] > EXT_BUSY_PCT_GATE]:
+        if name in FIRST_COMPUTATION_ROWS:
+            contended_reruns[name] = {
+                "first_sec": times[name],
+                "first_ext_pct": ext_pct[name],
+                "rerun_skipped": "session-cached first computation",
+            }
+            continue
         re_t, re_ext = _timed(name, qs[name])
         contended_reruns[name] = {
             "first_sec": times[name],
