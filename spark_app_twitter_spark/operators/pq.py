@@ -347,6 +347,7 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         _query_frame(spark, sf_dir),
         cand_prep=lambda cc: cc.drop("cv"),
+        cohort="registered",
     ).select("query_id", "neighbor_id")
     lut = _adc_lut(spark, cents, subs)
     scored = (

@@ -323,7 +323,9 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Euclidean argmin); the final candidate scoring stays exact
     cosine.
     """
-    return knn_ivf_search(spark, sf_dir, _query_frame(spark, sf_dir))
+    return knn_ivf_search(
+        spark, sf_dir, _query_frame(spark, sf_dir), cohort="registered"
+    )
 
 
 def _query_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -340,6 +342,26 @@ def _query_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (applicationId, sf_dir, cohort) -> the UNFILTERED probe ranking
+# core (query_id, cell, prk) of a FIXED query cohort (optimization
+# r16, guide §2.4). The ranking depends only on the cohort's
+# (query_id, qv) rows and the session centroid artifacts — it is
+# independent of n_probe (the prk filter is downstream), of carry
+# columns (dropped before ranking), and of the candidate side — yet
+# every IVF consumer recomputed it per call. Tagged cohort:
+# "registered" (vec_id < N_QUERIES — knn_ivf/rag_ivf/quantized/
+# ivf_pq/mmr_rerank_ivf/probe_sensitivity). The corpus-sized English
+# bitext cohort was measured and REJECTED: checkpointing its
+# |q| x P1 x k2 core put an RDD boundary inside the non-broadcast
+# probe join and cost +2/+3 jobs per consumer (cold probe r16) —
+# corpus-sized cohorts keep cohort=None. Built inside the first
+# consumer's TIMED call (the bench model region is frozen); lazily
+# checkpointed; standing immutable-path eviction contract. Callers
+# passing a cohort tag assert their q carries exactly that cohort's
+# (query_id, qv) rows.
+_PROBE_RANK_CACHE: dict[tuple, DataFrame] = register_cache({})
+
+
 def ivf_probe_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -348,6 +370,7 @@ def ivf_probe_pairs(
     carry_query_cols: tuple[str, ...] = (),
     n_probe: int | None = None,
     broadcast_probes: bool = True,
+    cohort: str | None = None,
 ) -> DataFrame:
     """(query_id, qv, neighbor_id, cv, ...): each query joined to
     every candidate in its probed fine cells — the CANDIDATE-
@@ -387,7 +410,10 @@ def ivf_probe_pairs(
     if cand_prep is not None:
         cand_cells = cand_prep(cand_cells)
     probe_cells = (
-        probe_rank(spark, sf_dir, q, carry_query_cols=carry_query_cols)
+        probe_rank(
+            spark, sf_dir, q, carry_query_cols=carry_query_cols,
+            cohort=cohort,
+        )
         .where(
             F.col("prk")
             <= (n_probes_for(k1 * k2) if n_probe is None else n_probe)
@@ -404,6 +430,7 @@ def probe_rank(
     sf_dir: str,
     q: DataFrame,
     carry_query_cols: tuple[str, ...] = (),
+    cohort: str | None = None,
 ) -> DataFrame:
     """(query_id, qv, ..., cell, prk): every query's fine cells
     ranked by the probe discipline, UNFILTERED — the ONE definition
@@ -418,46 +445,68 @@ def probe_rank(
     mining) shuffles |q| x P1 x k2 slim rows instead of dragging the
     64-double vector through every ranked row (the join-back reuses
     the window's query_id partitioning; for small cohorts AQE
-    broadcasts the q side)."""
-    import math
+    broadcasts the q side).
 
-    from spark_app_twitter_spark.operators.clustering import (
-        corpus_size,
-        inline_top_cells_euclid,
-        kmeans_centroid_rows,
-        kmeans_fine_centroid_rows,
-        levels_for,
-    )
+    ``cohort`` (r16): names a FIXED query cohort whose ranking core
+    is session-cached (_PROBE_RANK_CACHE) — the caller asserts its
+    ``q`` carries exactly that cohort's (query_id, qv) rows. None
+    (ad-hoc / streaming batches) always recomputes."""
 
-    k1, k2 = levels_for(corpus_size(spark, sf_dir))
-    coarse_rows = kmeans_centroid_rows(spark, sf_dir, k=k1)
-    fine_rows = kmeans_fine_centroid_rows(spark, sf_dir)
-    p1 = max(1, math.ceil(k1 / PROBE_FRACTION))
-    probe_coarse = inline_top_cells_euclid(
-        q, "query_id", "qv", coarse_rows, p1, carry=carry_query_cols
-    ).withColumnRenamed("cell", "coarse")
-    fdf = spark.createDataFrame(
-        fine_rows, "coarse int, fine int, fv array<double>"
-    )
-    from spark_app_twitter_spark.functions.vectors import dot
+    def rank_core() -> DataFrame:
+        import math
 
-    fscore = F.round(
-        dot(F.col("qv"), F.col("fv"))
-        - dot(F.col("fv"), F.col("fv")) / F.lit(2.0),
-        6,
-    )
-    pw = Window.partitionBy("query_id").orderBy(F.desc("_fs"), F.asc("cell"))
-    ranked = (
-        probe_coarse.join(F.broadcast(fdf), "coarse")
-        .withColumn(
-            "cell",
-            (F.col("coarse") * k2 + F.col("fine")).cast("int"),
+        from spark_app_twitter_spark.functions.vectors import dot
+        from spark_app_twitter_spark.operators.clustering import (
+            corpus_size,
+            inline_top_cells_euclid,
+            kmeans_centroid_rows,
+            kmeans_fine_centroid_rows,
+            levels_for,
         )
-        .withColumn("_fs", fscore)
-        .select("query_id", "cell", "_fs")
-        .withColumn("prk", F.row_number().over(pw))
-        .select("query_id", "cell", "prk")
-    )
+
+        k1, k2 = levels_for(corpus_size(spark, sf_dir))
+        coarse_rows = kmeans_centroid_rows(spark, sf_dir, k=k1)
+        fine_rows = kmeans_fine_centroid_rows(spark, sf_dir)
+        p1 = max(1, math.ceil(k1 / PROBE_FRACTION))
+        probe_coarse = inline_top_cells_euclid(
+            q, "query_id", "qv", coarse_rows, p1
+        ).withColumnRenamed("cell", "coarse")
+        fdf = spark.createDataFrame(
+            fine_rows, "coarse int, fine int, fv array<double>"
+        )
+        fscore = F.round(
+            dot(F.col("qv"), F.col("fv"))
+            - dot(F.col("fv"), F.col("fv")) / F.lit(2.0),
+            6,
+        )
+        pw = Window.partitionBy("query_id").orderBy(
+            F.desc("_fs"), F.asc("cell")
+        )
+        return (
+            probe_coarse.join(F.broadcast(fdf), "coarse")
+            .withColumn(
+                "cell",
+                (F.col("coarse") * k2 + F.col("fine")).cast("int"),
+            )
+            .withColumn("_fs", fscore)
+            .select("query_id", "cell", "_fs")
+            .withColumn("prk", F.row_number().over(pw))
+            .select("query_id", "cell", "prk")
+        )
+
+    if cohort is None:
+        ranked = rank_core()
+    else:
+        # fixed-cohort routing table, built once per session — see
+        # _PROBE_RANK_CACHE. Narrow (query_id, cell, prk) rows.
+        from spark_app_twitter_spark.functions.caches import get_or_build
+
+        key = (spark.sparkContext.applicationId, sf_dir, cohort)
+        ranked = get_or_build(
+            _PROBE_RANK_CACHE,
+            key,
+            lambda: rank_core().localCheckpoint(eager=False),
+        )
     return ranked.join(
         q.select("query_id", "qv", *carry_query_cols), "query_id"
     ).select("query_id", "qv", *carry_query_cols, "cell", "prk")
@@ -478,7 +527,10 @@ def guarded_cosine(a: F.Column, b: F.Column) -> F.Column:
 
 
 def knn_ivf_search(
-    spark: SparkSession, sf_dir: str, q: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    q: DataFrame,
+    cohort: str | None = None,
 ) -> DataFrame:
     """The SERVE half of :func:`knn_ivf`, factored so any query frame
     (the registry's fixed cohort, an ad-hoc batch, or a streaming
@@ -489,7 +541,7 @@ def knn_ivf_search(
     vector in a streaming micro-batch must not kill the query); the
     registered cohort has no zero vectors, so the oracle twin is
     unaffected."""
-    pairs = ivf_probe_pairs(spark, sf_dir, q)
+    pairs = ivf_probe_pairs(spark, sf_dir, q, cohort=cohort)
     scored = pairs.select(
         "query_id",
         "neighbor_id",
@@ -851,6 +903,7 @@ def knn_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cq", _q8_of(F.col("cv"))
         ).withColumn("cn2", idot("cq", "cq")),
         carry_query_cols=("qq", "qn2"),
+        cohort="registered",
     )
     quant = pairs.select(
         "query_id",
@@ -1470,7 +1523,7 @@ def ivf_probe_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shared probe RANKING (probe_rank — the one definition the
     # search path also consumes), prk kept unfiltered
     probes = probe_rank(
-        spark, sf_dir, _query_frame(spark, sf_dir)
+        spark, sf_dir, _query_frame(spark, sf_dir), cohort="registered"
     ).select("query_id", "cell", "prk")
     hits = exact.join(cand, "neighbor_id").join(
         probes, ["query_id", "cell"], "left_outer"
@@ -3266,7 +3319,9 @@ def mmr_rerank_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probing excludes a true top-M neighbor (the standard IVF recall
     trade, audited by sim_ann_recall_audit)."""
     cand = _mmr_shortlist(
-        ivf_probe_pairs(spark, sf_dir, _query_frame(spark, sf_dir))
+        ivf_probe_pairs(
+            spark, sf_dir, _query_frame(spark, sf_dir), cohort="registered"
+        )
     )
     return _mmr_greedy(cand, _mmr_pairs(spark, sf_dir, cand))
 

@@ -231,6 +231,25 @@ def test_r16_session_shared_relations(spark, sf_dir):
         return (r.doc_id, r.span_start)
 
     assert sorted(s1.collect(), key=k) == sorted(fresh.collect(), key=k)
+    # the registered-cohort probe ranking core: cached rows must be
+    # identical to an uncached recompute over the same cohort
+    q = similarity._query_frame(spark, sf_dir)
+    r1 = similarity.probe_rank(spark, sf_dir, q, cohort="registered")
+    key = [
+        kk
+        for kk in similarity._PROBE_RANK_CACHE
+        if kk[1] == sf_dir and kk[2] == "registered"
+    ]
+    assert len(key) == 1
+    uncached = similarity.probe_rank(spark, sf_dir, q, cohort=None)
+
+    def kr(r):
+        return (r.query_id, r.prk)
+
+    cols = ["query_id", "cell", "prk"]
+    assert sorted(
+        r1.select(*cols).collect(), key=kr
+    ) == sorted(uncached.select(*cols).collect(), key=kr)
 
 
 def test_dup_spans_planted_islands(spark, tmp_path):
