@@ -603,6 +603,13 @@ _R16_WINDOW = (
     "dedup_lsh_clusters",
     "dedup_lsh_cluster_best",
     "versioning_corpus_delta",
+    # (a, batch 10) registered-cohort probe-ranking consumers
+    "sim_knn_ivf",
+    "sim_knn_ivf_quantized",
+    "sim_knn_ivf_pq",
+    "sim_mmr_rerank_ivf",
+    "retrieval_rag_ivf",
+    "sim_ivf_probe_sensitivity",
     # (b) r15 rewrites rotated into the driver window
     "graph_label_propagation",
     "graph_modularity",
@@ -617,15 +624,9 @@ _R16_WINDOW = (
     "text_pmi_collocations",
     # (c) the r10-attested cohort head (staleness rotation)
     "layout_zorder_events",
-    "multimodal_audio_chunks",
     "multimodal_media_features",
-    "multimodal_resize_images",
-    "pack_curriculum_shards",
     "pack_shuffle_export",
     "range_clicks_near_errors",
-    "range_errors_near_purchases",
-    "serving_latest_inputs",
-    "serving_props_stats",
     "serving_retention_cohorts",
     "serving_session_paths",
     "serving_session_window_stats",
